@@ -1,0 +1,122 @@
+"""Text-analysis operators over the ``documents`` table: language ID,
+quality scoring, token counting, fingerprinting, token explode.
+
+These are the LLM-training-data-pipeline analogues of the reference's
+per-record enrichment (classification + derived columns before the
+warehouse write, ``traffic_batch_processing.py:50-69``).
+
+Scale notes: all per-row projections (no shuffle) except the wordcount
+explode, which is explode→hash-agg with map-side partial aggregation —
+the canonical scalable wordcount. No Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smart_city_data_pipeline_spark.catalog import table
+from smart_city_data_pipeline_spark.functions.rounding import pround
+from smart_city_data_pipeline_spark.functions import text as T
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id"),
+        T.lang_id(F.col("text")).alias("lang_pred"),
+        pround(T.stopword_ratio(F.col("text"))).alias("stopword_ratio"),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        F.col("doc_id"),
+        T.ws_token_count(t).alias("n_tokens"),
+        pround(T.punct_ratio(t)).alias("punct_ratio"),
+        pround(T.mean_word_len(t)).alias("mean_word_len"),
+        T.quality_score(t).alias("quality_score"),
+    )
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        F.col("doc_id"),
+        T.ws_token_count(t).alias("ws_tokens"),
+        T.regex_token_count(t).alias("regex_tokens"),
+        F.length(t).alias("n_chars_computed"),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id"),
+        T.fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+def token_explode_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens corpus-wide (explode → agg → top-N), the
+    nested-array flatten pattern of ``setup_smart_city_hive.hql:7``."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+QUERIES = {
+    "lang_id": lang_id,
+    "text_quality": text_quality,
+    "token_count": token_count,
+    "doc_fingerprint": doc_fingerprint,
+    "token_explode_count": token_explode_count,
+}
+
+_T = "text"
+
+ORACLES = {
+    "lang_id": f"""
+        SELECT doc_id,
+               {T.lang_id_sql(_T)} AS lang_pred,
+               (FLOOR(CAST(({T.stopword_ratio_sql(_T)}) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS stopword_ratio
+        FROM documents
+    """,
+    "text_quality": f"""
+        SELECT doc_id,
+               CAST({T.ws_token_count_sql(_T)} AS INT) AS n_tokens,
+               (FLOOR(CAST(({T.punct_ratio_sql(_T)}) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS punct_ratio,
+               (FLOOR(CAST(({T.mean_word_len_sql(_T)}) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS mean_word_len,
+               {T.quality_score_sql(_T)} AS quality_score
+        FROM documents
+    """,
+    "token_count": f"""
+        SELECT doc_id,
+               CAST({T.ws_token_count_sql(_T)} AS INT) AS ws_tokens,
+               CAST({T.regex_token_count_sql(_T)} AS INT) AS regex_tokens,
+               CAST(length({_T}) AS INT) AS n_chars_computed
+        FROM documents
+    """,
+    "doc_fingerprint": f"""
+        SELECT doc_id, {T.fingerprint_sql(_T)} AS fingerprint
+        FROM documents
+    """,
+    "token_explode_count": """
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+            FROM documents
+        )
+        GROUP BY 1
+        ORDER BY n DESC, token ASC
+        LIMIT 20
+    """,
+}

@@ -1,0 +1,303 @@
+"""Time-series operators: the TimescaleDB-hypertable side of the
+reference (``pipline2/init-timescaledb.sql``) plus the streaming
+analytics re-expressed as batch-equivalents.
+
+- time_bucket continuous aggregate: ``init-timescaledb.sql:50``
+- latest-value realtime metrics: ``init-db.sql:85``
+- retention policy: ``init-timescaledb.sql:71``
+- sessionization / stateful tracking: ``flink_vision_job_proper.py:35``
+- anomaly detection / moving averages: README analytics & ML layer
+
+Scale notes: window functions partition on ``user_id`` (high
+cardinality) — never a global window. ``anomaly_zscore`` computes the
+5-row per-type stats table with a groupBy and broadcast-joins it back
+instead of a window over 5 giant partitions (which would put 20% of
+100 TB in one task). ``retention_filter``'s scalar max(ts) is a
+1-row broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from smart_city_data_pipeline_spark.catalog import table
+from smart_city_data_pipeline_spark.functions.rounding import (
+    avg_exact,
+    pround,
+    sum_exact,
+)
+
+SESSION_GAP_S = 1800  # 30-minute inactivity gap, per Flink tracker spirit
+
+
+def time_bucket_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-minute continuous aggregate (count, distinct, avg)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("user_id").alias("sensor_id"),
+            F.date_trunc("minute", F.col("ts")).alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("total_events"),
+            F.countDistinct("event_type").alias("unique_types"),
+            pround(avg_exact(F.col("value"))).alias("avg_value"),
+        )
+    )
+
+
+def latest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest reading per sensor (realtime_metrics semantics)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").alias("sensor_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            pround(F.col("value")).alias("last_value"),
+        )
+    )
+
+
+def retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the trailing 7 days relative to the newest event, then
+    roll up per type (what survives the retention policy)."""
+    ev = table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts").alias("max_ts"))
+    kept = ev.join(F.broadcast(max_ts)).filter(
+        F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 7 DAYS")
+    )
+    return kept.groupBy(F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        pround(avg_exact(F.col("value"))).alias("avg_value"),
+    )
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions per user (30-min inactivity boundary)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    with_break = ev.withColumn(
+        "is_break", F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
+    )
+    with_sid = with_break.withColumn("session_id", F.sum("is_break").over(w))
+    return with_sid.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        pround(sum_exact(F.col("value"))).alias("session_value"),
+    )
+
+
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readings more than 2.5 sample-stddevs from their type mean."""
+    ev = table(spark, sf_dir, "events")
+    vd = F.col("value").cast("decimal(18,2)")
+    # Exact decimal moments → a deterministic double sigma (stddev() over
+    # doubles is summation-order-dependent and engine-specific).
+    stats = ev.groupBy("event_type").agg(
+        F.sum(vd).cast("double").alias("s1"),
+        F.sum(vd * vd).cast("double").alias("s2"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    mu = F.col("s1") / F.col("n")
+    sigma = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1))
+    z = (F.col("value") - mu) / sigma
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select(
+            F.col("event_id"),
+            F.col("event_type"),
+            pround(F.col("value")).alias("value"),
+            pround(z).alias("zscore"),
+        )
+    )
+
+
+def moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-reading trailing moving average per sensor."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 0)
+    )
+    return ev.select(
+        F.col("event_id"),
+        F.col("user_id").alias("sensor_id"),
+        F.col("ts"),
+        pround(
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("mavg_value"),
+    )
+
+
+def top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users by total purchase value (deterministic tie-break).
+
+    LIMIT after ORDER BY compiles to TakeOrderedAndProject — each
+    partition keeps only its local top-10, no global sort shuffle.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(pround(sum_exact(F.col("value"))).alias("total_purchase"))
+        .orderBy(F.col("total_purchase").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup→purchase conversion: one summary row."""
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    return per_user.agg(
+        F.sum(F.when(F.col("first_signup").isNotNull(), 1).otherwise(0)).alias("n_signed_up"),
+        F.sum(
+            F.when(
+                F.col("first_signup").isNotNull()
+                & F.col("first_purchase").isNotNull()
+                & (F.col("first_purchase") > F.col("first_signup")),
+                1,
+            ).otherwise(0)
+        ).alias("n_converted"),
+    )
+
+
+def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unwrap the raw JSON payload column (the collectors' envelope
+    unwrap, ``setup_smart_city_hive.hql`` nested-struct access)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id"),
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+    )
+
+
+QUERIES = {
+    "time_bucket_1min": time_bucket_1min,
+    "latest_metrics": latest_metrics,
+    "retention_filter": retention_filter,
+    "sessionize": sessionize,
+    "anomaly_zscore": anomaly_zscore,
+    "moving_avg": moving_avg,
+    "top_k": top_k,
+    "event_funnel": event_funnel,
+    "props_extract": props_extract,
+}
+
+ORACLES = {
+    "time_bucket_1min": """
+        SELECT user_id AS sensor_id,
+               date_trunc('minute', ts) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS total_events,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS unique_types,
+               (FLOOR(CAST(((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS avg_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "latest_metrics": """
+        SELECT user_id AS sensor_id,
+               ts AS last_ts,
+               event_type AS last_type,
+               (FLOOR(CAST((value) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS last_value
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "retention_filter": """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               (FLOOR(CAST(((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS avg_value
+        FROM events
+        WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 7 DAY
+        GROUP BY 1
+    """,
+    "sessionize": f"""
+        WITH gaps AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > {SESSION_GAP_S}
+                             OR LAG(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS is_break
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sids AS (
+            SELECT *, SUM(is_break) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM gaps
+        )
+        SELECT user_id,
+               CAST(session_id AS BIGINT) AS session_id,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               (FLOOR(CAST((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS session_value
+        FROM sids
+        GROUP BY 1, 2
+    """,
+    "anomaly_zscore": """
+        WITH stats AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+                   CAST(COUNT(*) AS DOUBLE) AS n
+            FROM events GROUP BY 1
+        )
+        SELECT e.event_id,
+               e.event_type,
+               (FLOOR(CAST((e.value) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS value,
+               (FLOOR(CAST(((e.value - s.s1 / s.n) / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS zscore
+        FROM events e JOIN stats s USING (event_type)
+        WHERE ABS((e.value - s.s1 / s.n) / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1))) > 2.5
+    """,
+    "moving_avg": """
+        SELECT event_id,
+               user_id AS sensor_id,
+               ts,
+               (FLOOR(CAST((CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                   / COUNT(*) OVER w) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS mavg_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+    "top_k": """
+        SELECT user_id,
+               (FLOOR(CAST((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS total_purchase
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+        ORDER BY total_purchase DESC, user_id ASC
+        LIMIT 10
+    """,
+    "event_funnel": """
+        WITH per_user AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+            FROM events GROUP BY 1
+        )
+        SELECT CAST(SUM(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signed_up,
+               CAST(SUM(CASE WHEN first_signup IS NOT NULL AND first_purchase IS NOT NULL
+                              AND first_purchase > first_signup THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+        FROM per_user
+    """,
+    "props_extract": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    """,
+}

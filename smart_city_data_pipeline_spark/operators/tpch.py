@@ -1,0 +1,294 @@
+"""Warehouse / daily-report batch analytics (TPC-H-style) — the
+reference's Spark-batch + Postgres-warehouse side
+(``pipline2/spark-jobs/traffic_batch_processing.py``,
+``pipline2/init-db.sql``) exercised on the star schema.
+
+Money arithmetic is done in DECIMAL(18,2)-derived types so sums are
+EXACT and engine-portable (double summation order differs between
+engines and even between Spark runs due to partial-agg ordering); the
+final cast to double + round(4) happens only on the exact decimal.
+
+Scale notes: dims (region, nation, supplier, and the probe sides of
+semi-joins) are broadcast — no shuffle of the fact table for dim
+enrichment. Fact-fact joins (orders⋈lineitem) shuffle on the join key
+once; AQE handles skew. Top-N uses orderBy+limit which compiles to
+TakeOrderedAndProject (per-partition heap, no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smart_city_data_pipeline_spark.catalog import table
+from smart_city_data_pipeline_spark.functions.rounding import pround
+
+
+def _dec(c: str) -> Column:
+    return F.col(c).cast("decimal(18,2)")
+
+
+def _disc_price() -> Column:
+    return _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+
+
+def _charge() -> Column:
+    return _disc_price() * (F.lit(1).cast("decimal(18,2)") + _dec("l_tax"))
+
+
+def _money(col: Column, alias: str) -> Column:
+    """Exact decimal sum → double, rounded."""
+    return pround(F.sum(col).cast("double")).alias(alias)
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: pricing summary report. Single scan + hash aggregate;
+    the shipdate filter is pushed to the parquet scan."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money(_dec("l_quantity"), "sum_qty"),
+            _money(_dec("l_extendedprice"), "sum_base_price"),
+            _money(_disc_price(), "sum_disc_price"),
+            _money(_charge(), "sum_charge"),
+            pround(F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            pround(F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            pround(F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: unshipped-orders revenue, top 10."""
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        # customer is the small filtered side — broadcast it.
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_money(_disc_price(), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue by nation where supplier and customer share a
+    nation, ASIA, 1996. region/nation/supplier broadcast."""
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = table(spark, sf_dir, "nation")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_money(_disc_price(), "revenue"))
+    )
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-nation revenue rollup across the full fact table."""
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            _money(_disc_price(), "revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def big_spender_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: orders whose total quantity exceeds 150."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 150)
+    )
+    return (
+        # `big` is tiny after the HAVING filter — broadcast it into orders.
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_name"),
+            F.col("o_orderkey"),
+            F.col("o_orderdate"),
+            pround(F.col("o_totalprice")).alias("o_totalprice"),
+            F.col("qty_dec").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: share of revenue from PROMO parts, one month."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )
+    )
+    total = F.sum(_disc_price())
+    return joined.agg(
+        pround(promo.cast("double") * 100.0 / total.cast("double")).alias("promo_pct")
+    )
+
+
+def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: orders with a late-shipped lineitem, by priority.
+    Left-semi join — Spark never materializes the pair blowup."""
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    matched = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return matched.groupBy(F.col("o_orderpriority")).agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+_DISC_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+_CHARGE_SQL = f"({_DISC_SQL}) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))"
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier": q5_local_supplier,
+    "revenue_by_nation": revenue_by_nation,
+    "big_spender_orders": big_spender_orders,
+    "promo_revenue": promo_revenue,
+    "order_priority_count": order_priority_count,
+}
+
+ORACLES = {
+    "q1_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               (FLOOR(CAST((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS sum_qty,
+               (FLOOR(CAST((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS sum_base_price,
+               (FLOOR(CAST((CAST(SUM({_DISC_SQL}) AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS sum_disc_price,
+               (FLOOR(CAST((CAST(SUM({_CHARGE_SQL}) AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS sum_charge,
+               (FLOOR(CAST((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS avg_qty,
+               (FLOOR(CAST((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS avg_price,
+               (FLOOR(CAST((CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS avg_disc,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        GROUP BY 1, 2
+    """,
+    "q3_shipping_priority": f"""
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               (FLOOR(CAST((CAST(SUM({_DISC_SQL}) AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        LIMIT 10
+    """,
+    "q5_local_supplier": f"""
+        SELECT n_name,
+               (FLOOR(CAST((CAST(SUM({_DISC_SQL}) AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1
+    """,
+    "revenue_by_nation": f"""
+        SELECT r_name AS region_name, n_name AS nation_name,
+               (FLOOR(CAST((CAST(SUM({_DISC_SQL}) AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS revenue,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2
+    """,
+    "big_spender_orders": """
+        WITH big AS (
+            SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+            FROM lineitem GROUP BY 1
+            HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+        )
+        SELECT c_name, o_orderkey, o_orderdate,
+               (FLOOR(CAST((o_totalprice) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS o_totalprice,
+               CAST(qty_dec AS DOUBLE) AS total_qty
+        FROM orders
+        JOIN big ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 100
+    """,
+    "promo_revenue": f"""
+        SELECT (FLOOR(CAST((CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_SQL}
+                                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0
+                     / CAST(SUM({_DISC_SQL}) AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS promo_pct
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+    "order_priority_count": """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY 1
+    """,
+}

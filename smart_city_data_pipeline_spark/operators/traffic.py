@@ -1,0 +1,195 @@
+"""Smart-city traffic / air-quality / parking analytics.
+
+Re-expresses the reference's batch analytics over the ``events`` sensor
+stream stand-in (`user_id`=sensor, `event_type`=zone dim, `value`=
+reading, `ts`=event time). Reference semantics:
+
+- congestion classification: ``pipline2/spark-jobs/
+  traffic_batch_processing.py:64`` (occupancy>0.8 high, >0.5 medium)
+- zone aggregates: ``traffic_batch_processing.py:74``
+- road-type aggregates: ``traffic_batch_processing.py:87``
+- hourly stats: ``pipline2/init-db.sql:72`` (hourly_traffic_stats)
+- AQI: ``data-simulators/air-quality/air_quality_simulator.py:95``
+- parking: ``data-simulators/parking-sensors/parking_simulator.py:165``
+
+Scale notes: every query is scan→(narrow map)→single hash-aggregate;
+the per-event classifiers are pure projections (no shuffle at all), and
+the rollups shuffle once on their group keys with map-side partial
+aggregation — the plan Catalyst already picks for groupBy/agg. At
+100 TB these are embarrassingly parallel; the only tuning knob is
+shuffle partition count, handled by AQE coalescing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smart_city_data_pipeline_spark.catalog import table
+from smart_city_data_pipeline_spark.functions.rounding import (
+    avg_exact,
+    avg_exact_sql,
+    pround,
+    sum_exact,
+    sum_exact_sql,
+)
+from smart_city_data_pipeline_spark.functions.aqi import (
+    aqi_category,
+    aqi_category_sql,
+    aqi_value,
+    aqi_value_sql,
+)
+from smart_city_data_pipeline_spark.functions.congestion import (
+    congestion_level,
+    dynamic_rate,
+    parking_status,
+)
+
+
+def congestion_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event congestion label from a normalized occupancy reading."""
+    ev = table(spark, sf_dir, "events")
+    occ = F.col("value") / 200.0
+    return ev.select(
+        F.col("event_id"),
+        F.col("user_id").alias("sensor_id"),
+        pround(occ).alias("occupancy_rate"),
+        congestion_level(occ).alias("congestion_level"),
+    )
+
+
+def zone_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-zone / per-day rollup (avg reading, volume, active sensors)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("event_type").alias("zone"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .agg(
+            pround(avg_exact(F.col("value"))).alias("avg_value"),
+            pround(sum_exact(F.col("value"))).alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("active_sensors"),
+        )
+    )
+
+
+def road_type_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type rollup: avg reading, event count, avg occupancy."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("road_type")).agg(
+        pround(avg_exact(F.col("value"))).alias("avg_value"),
+        F.count(F.lit(1)).alias("event_count"),
+        pround(avg_exact(F.col("value")) / 200.0).alias("avg_occupancy"),
+    )
+
+
+def hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-zone stats: totals, average, peak (init-db.sql:72)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("event_type").alias("zone"),
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+        )
+        .agg(
+            pround(sum_exact(F.col("value"))).alias("total_value"),
+            pround(avg_exact(F.col("value"))).alias("avg_value"),
+            pround(F.max("value")).alias("peak_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def aqi_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPA AQI value + category treating the reading as PM2.5 µg/m³."""
+    ev = table(spark, sf_dir, "events")
+    pm25 = F.col("value")
+    return ev.select(
+        F.col("event_id"),
+        pround(pm25).alias("pm25"),
+        aqi_value(pm25).alias("aqi"),
+        aqi_category(pm25).alias("aqi_category"),
+    )
+
+
+def parking_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy bucket + dynamic pricing per reading."""
+    ev = table(spark, sf_dir, "events")
+    occ = F.least(F.col("value") / 200.0, F.lit(1.0))
+    return ev.select(
+        F.col("event_id"),
+        F.col("user_id").alias("lot_id"),
+        pround(occ).alias("occupancy_rate"),
+        parking_status(occ).alias("status"),
+        dynamic_rate(F.lit(2.5), occ).alias("rate_per_hour"),
+    )
+
+
+QUERIES = {
+    "congestion_classify": congestion_classify,
+    "zone_analytics": zone_analytics,
+    "road_type_analytics": road_type_analytics,
+    "hourly_stats": hourly_stats,
+    "aqi_compute": aqi_compute,
+    "parking_status": parking_status_q,
+}
+
+ORACLES = {
+    "congestion_classify": """
+        SELECT event_id,
+               user_id AS sensor_id,
+               (FLOOR(CAST((value / 200.0) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS occupancy_rate,
+               CASE WHEN value / 200.0 > 0.8 THEN 'high'
+                    WHEN value / 200.0 > 0.5 THEN 'medium'
+                    ELSE 'low' END AS congestion_level
+        FROM events
+    """,
+    "zone_analytics": """
+        SELECT event_type AS zone,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               (FLOOR(CAST((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS avg_value,
+               (FLOOR(CAST((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS total_value,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_sensors
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "road_type_analytics": """
+        SELECT event_type AS road_type,
+               (FLOOR(CAST((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS avg_value,
+               CAST(COUNT(*) AS BIGINT) AS event_count,
+               (FLOOR(CAST((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) / 200.0) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS avg_occupancy
+        FROM events
+        GROUP BY 1
+    """,
+    "hourly_stats": """
+        SELECT event_type AS zone,
+               date_trunc('hour', ts) AS hour,
+               (FLOOR(CAST((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS total_value,
+               (FLOOR(CAST((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS avg_value,
+               (FLOOR(CAST((MAX(value)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS peak_value,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "aqi_compute": f"""
+        SELECT event_id,
+               (FLOOR(CAST((value) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS pm25,
+               {aqi_value_sql('value')} AS aqi,
+               {aqi_category_sql('value')} AS aqi_category
+        FROM events
+    """,
+    "parking_status": """
+        SELECT event_id,
+               user_id AS lot_id,
+               (FLOOR(CAST((LEAST(value / 200.0, 1.0)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS occupancy_rate,
+               CASE WHEN LEAST(value / 200.0, 1.0) >= 0.95 THEN 'full'
+                    WHEN LEAST(value / 200.0, 1.0) >= 0.80 THEN 'high'
+                    WHEN LEAST(value / 200.0, 1.0) >= 0.50 THEN 'medium'
+                    ELSE 'low' END AS status,
+               (FLOOR(CAST((2.5 * (1.0 + LEAST(value / 200.0, 1.0) * 0.5)) AS DOUBLE) * 100.0 + 0.5) / 100.0) AS rate_per_hour
+        FROM events
+    """,
+}
