@@ -9,35 +9,53 @@ are engine-specific and never appear in an output contract.
 
 Scale notes (the part that matters at 100 TB):
 - NO O(n²) cross joins anywhere. Candidate pairs always come from an
-  equi-join on a blocking key (shingle, LSH band hash, simhash band),
-  so the shuffle is keyed and bounded by bucket size.
-- The inverted-index Jaccard join is the classic
-  group-by-shingle/pair-within-bucket plan; at production scale you cap
-  document frequency per shingle (drop shingles with df > K) — here the
-  corpus is synthetic and df stays small, so no cap is applied, keeping
-  oracle semantics exact.
-- MinHash signatures are one explode + one groupBy per doc (map-side
-  combinable); LSH banding turns near-dup search into an equi-join.
-- Everything is built-in expressions — no Python rows that would cap
-  throughput at the Arrow boundary.
+  equi-join on a blocking key (hashed shingle, LSH band hash), so the
+  shuffle is keyed and bounded by bucket size.
+- Shingles are hashed to 60-bit ints BEFORE any shuffle — joins move
+  8-byte keys, not 25-byte strings.
+- MinHash computes ONE md5 per shingle; the 16-member hash family is
+  derived by XOR with fixed md5-derived constants (a bijective
+  remix — the standard cheap multi-hash construction), and the
+  signature is ONE ROW per doc (16 agg columns), so LSH banding and
+  verification need no re-explode and no self-join on exploded rows.
+- SimHash computes the 60 bit-sums as 60 aggregate expressions in a
+  single map-side-combinable groupBy — no 60× row blowup.
+- The inverted-index Jaccard join is the classic group-by-shingle
+  plan; at production scale you additionally cap document frequency
+  per shingle (drop df > K) — the synthetic corpus keeps df small so
+  no cap is applied, keeping oracle semantics exact.
 """
 
 from __future__ import annotations
+
+import functools
+import operator
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from smart_city_data_pipeline_spark.catalog import table
-from smart_city_data_pipeline_spark.functions.rounding import pround
 from smart_city_data_pipeline_spark.functions.hashing import md5_long, md5_long_sql
-from smart_city_data_pipeline_spark.functions.vector import cosine, cosine_sql
+from smart_city_data_pipeline_spark.functions.rounding import pround
+from smart_city_data_pipeline_spark.functions.vector import dot, dot_sql
 
 N_MINHASH = 16
-N_BANDS = 4  # 4 rows per band
+BAND_SIZE = 4  # 4 signature slots per band → 4 bands
 JACCARD_THRESHOLD = 0.8
 MINHASH_SIM_THRESHOLD = 0.5
 COSINE_NEARDUP_THRESHOLD = 0.3
 SIMHASH_BITS = 60  # fits signed 64-bit in both engines
+
+# XOR remix constants: md5_long(f"seed{i}") — reproducible from public
+# md5, identical in the DuckDB oracle.
+MINHASH_SEEDS = (
+    540442613055849566, 659945854033207311, 1092948100739145322,
+    624905167944759590, 265086471538597634, 149272099862640253,
+    559198623604842082, 204418457025325590, 749810262501303197,
+    303450015336661875, 619972245274043289, 1041635968090115895,
+    537856009778720971, 136194567011837421, 716876411218673299,
+    1142210552143796295,
+)
 
 
 def _ws_tokens(text: Column) -> Column:
@@ -45,13 +63,22 @@ def _ws_tokens(text: Column) -> Column:
 
 
 def _shingles(text: Column) -> Column:
-    """Distinct 3-token shingles."""
+    """Distinct 3-token shingles.
+
+    Built from three array slices zipped together rather than
+    ``transform(sequence(...), i -> toks[i] ...)`` — the index-lambda
+    form re-evaluates the ``split()`` for EVERY element access (no CSE
+    inside lambda bodies after projection collapse), which is quadratic
+    in document length. The slice form evaluates the split a constant
+    number of times per row.
+    """
     toks = _ws_tokens(text)
-    n = F.size(toks)
-    tri = F.transform(
-        F.sequence(F.lit(0), n - 3),
-        lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
-    )
+    n = F.greatest(F.size(toks) - 2, F.lit(0))
+    first = F.slice(toks, 1, n)
+    second = F.slice(toks, 2, n)
+    third = F.slice(toks, 3, n)
+    pair = F.zip_with(first, second, lambda x, y: F.concat(x, F.lit(" "), y))
+    tri = F.zip_with(pair, third, lambda xy, z: F.concat(xy, F.lit(" "), z))
     return F.array_distinct(tri)
 
 
@@ -60,6 +87,20 @@ _SHINGLES_SQL = (
     "list_distinct(list_transform(range(1, len({toks}) - 1),"
     " i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]))"
 ).format(toks="regexp_split_to_array(trim(lower(text)), '\\s+')")
+
+
+def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hs): one 60-bit hash per distinct shingle."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id"), F.explode(_shingles(F.col("text"))).alias("shingle")
+    ).select(F.col("doc_id"), md5_long(F.col("shingle")).alias("hs"))
+
+
+_HASHED_SHINGLES_SQL = f"""
+        SELECT doc_id, {md5_long_sql('shingle')} AS hs
+        FROM (SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents)
+"""
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,16 +123,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard ≥ threshold via inverted-index self-join."""
-    docs = table(spark, sf_dir, "documents")
-    sh = docs.select(
-        F.col("doc_id"), F.explode(_shingles(F.col("text"))).alias("shingle")
-    )
+    """Exact 3-gram Jaccard ≥ threshold via inverted-index self-join
+    on hashed shingles."""
+    sh = _hashed_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.hs") == F.col("b.hs")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -102,119 +141,105 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
         .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= JACCARD_THRESHOLD)
-        .select(
-            F.col("doc_a"), F.col("doc_b"), pround(jac).alias("jaccard")
-        )
+        .select(F.col("doc_a"), F.col("doc_b"), pround(jac).alias("jaccard"))
     )
 
 
-def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, seed, minhash): min over shingles of seeded md5 hash."""
-    docs = table(spark, sf_dir, "documents")
-    sh = docs.select(
-        F.col("doc_id"), F.explode(_shingles(F.col("text"))).alias("shingle")
-    )
-    # Per-row seed, so the seeded-hash concat is built inline rather
-    # than via the literal-seed helper.
-    seeded = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("seed"),
-        F.col("shingle"),
-    ).select(
-        "doc_id",
-        "seed",
-        md5_long(F.concat(F.lit("s"), F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
-    )
-    return seeded.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+def _minhash_sig_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per doc: m0..m15 minhash slots (min over shingles of
+    hash XOR seed-constant)."""
+    sh = _hashed_shingles(spark, sf_dir)
+    aggs = [
+        F.min(F.col("hs").bitwiseXOR(F.lit(c))).alias(f"m{i}")
+        for i, c in enumerate(MINHASH_SEEDS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _band_cols() -> list[Column]:
+    cols = []
+    for j in range(N_MINHASH // BAND_SIZE):
+        slots = [F.col(f"m{j * BAND_SIZE + k}").cast("string") for k in range(BAND_SIZE)]
+        cols.append(F.md5(F.concat_ws(",", *slots)).alias(f"b{j}"))
+    return cols
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding: candidate pairs share an identical band,
     verified by signature similarity ≥ threshold."""
-    sigs = _minhash_sigs(spark, sf_dir)
-    band = (
-        sigs.withColumn("band", F.col("seed") % N_BANDS)
-        .groupBy("doc_id", "band")
-        # sort by seed inside the band so the band key is deterministic
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct(F.col("seed"), F.col("minhash")))
-                        ),
-                        lambda s: s["minhash"].cast("string"),
-                    ),
-                )
-            ).alias("band_hash")
-        )
-    )
-    a = band.alias("a")
-    b = band.alias("b")
-    cand = (
+    sig = _minhash_sig_wide(spark, sf_dir).select("doc_id", *[F.col(f"m{i}") for i in range(N_MINHASH)])
+    sig = sig.select("*", *_band_cols())
+    n_bands = N_MINHASH // BAND_SIZE
+    a = sig.alias("a")
+    b = sig.alias("b")
+    cands = [
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col(f"a.b{j}") == F.col(f"b.b{j}")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *[(F.col(f"a.m{i}") == F.col(f"b.m{i}")).cast("double").alias(f"eq{i}") for i in range(N_MINHASH)],
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        for j in range(n_bands)
+    ]
+    cand = functools.reduce(DataFrame.unionAll, cands).dropDuplicates(["doc_a", "doc_b"])
+    sim = functools.reduce(operator.add, [F.col(f"eq{i}") for i in range(N_MINHASH)]) / float(N_MINHASH)
+    return (
+        cand.select("doc_a", "doc_b", pround(sim).alias("sig_sim"))
+        .filter(F.col("sig_sim") >= MINHASH_SIM_THRESHOLD)
     )
-    sa = _minhash_sigs(spark, sf_dir).alias("sa")
-    sb = _minhash_sigs(spark, sf_dir).alias("sb")
-    sim = (
-        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.seed") == F.col("sb.seed")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            pround(F.avg((F.col("sa.minhash") == F.col("sb.minhash")).cast("double"))).alias("sig_sim")
-        )
-    )
-    return sim.filter(F.col("sig_sim") >= MINHASH_SIM_THRESHOLD)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash fingerprint per document + coarse band key."""
     docs = table(spark, sf_dir, "documents")
-    tok = docs.select(
-        F.col("doc_id"), F.explode(_ws_tokens(F.col("text"))).alias("token")
-    ).groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("w"))
-    h = md5_long(F.col("token"))
-    bits = tok.select(
-        "doc_id",
-        "w",
-        h.alias("h"),
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+    tok = (
+        docs.select(F.col("doc_id"), F.explode(_ws_tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .withColumn("h", md5_long(F.col("token")))
     )
-    # shiftright/shiftleft Python helpers take int shift amounts only,
-    # so the per-row bit shift goes through SQL expressions.
-    contrib = F.when(
-        F.expr("shiftright(h, CAST(bit AS INT)) & 1") == 1, F.col("w")
-    ).otherwise(-F.col("w"))
-    per_bit = bits.groupBy("doc_id", "bit").agg(F.sum(contrib).alias("s"))
-    fp = per_bit.groupBy("doc_id").agg(
+    # 60 aggregate expressions — single shuffle, no row blowup.
+    bit_aggs = [
         F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(-F.col("w"))
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*bit_aggs)
+    fp = functools.reduce(
+        operator.add,
+        [
+            F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+            for b in range(SIMHASH_BITS)
+        ],
     )
-    return fp.select(
+    return per_doc.select(
         "doc_id",
-        F.col("simhash"),
+        fp.alias("simhash"),
+    ).select(
+        "doc_id",
+        "simhash",
         F.shiftright(F.col("simhash"), SIMHASH_BITS - 12).alias("band"),
     )
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Within-label (IVF-style blocked) cosine near-dup pairs."""
-    emb = table(spark, sf_dir, "embeddings")
+    """Within-label (IVF-style blocked) cosine near-dup pairs.
+
+    Norms are precomputed per vector (narrow), so each candidate pair
+    costs one dot product instead of three array folds.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
     a = emb.alias("a")
     b = emb.alias("b")
-    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(
             b,
@@ -230,15 +255,28 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MINHASH_SIGS_SQL = f"""
-    SELECT doc_id, seed,
-           MIN({md5_long_sql("'s' || CAST(seed AS VARCHAR) || ':' || shingle")}) AS minhash
-    FROM (
-        SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
-        FROM documents
-    ), (SELECT unnest(range(0, {N_MINHASH})) AS seed)
-    GROUP BY 1, 2
-"""
+# ---------------------------------------------------------------- oracles
+
+_SIG_COLS_SQL = ",\n               ".join(
+    f"MIN(xor(hs, {c})) AS m{i}" for i, c in enumerate(MINHASH_SEEDS)
+)
+_BAND_COLS_SQL = ",\n               ".join(
+    "md5(" + " || ',' || ".join(f"CAST(m{j * BAND_SIZE + k} AS VARCHAR)" for k in range(BAND_SIZE)) + f") AS b{j}"
+    for j in range(N_MINHASH // BAND_SIZE)
+)
+_EQ_SUM_SQL = "(" + " + ".join(
+    f"(CASE WHEN a.m{i} = b.m{i} THEN 1.0 ELSE 0.0 END)" for i in range(N_MINHASH)
+) + f") / {float(N_MINHASH)}"
+_CAND_UNION_SQL = "\n            UNION\n            ".join(
+    f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {_EQ_SUM_SQL} AS raw_sim\n"
+    f"             FROM sig a JOIN sig b ON a.b{j} = b.b{j} AND a.doc_id < b.doc_id"
+    for j in range(N_MINHASH // BAND_SIZE)
+)
+_SIMHASH_BITS_SQL = " + ".join(
+    f"(CASE WHEN SUM(CASE WHEN (({md5_long_sql('token')} >> {b}) & 1) = 1 THEN w ELSE -w END) > 0"
+    f" THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for b in range(SIMHASH_BITS)
+)
 
 QUERIES = {
     "dedup_exact": dedup_exact,
@@ -262,14 +300,11 @@ ORACLES = {
         FROM documents d JOIN canon c ON md5(d.text) = c.text_hash
     """,
     "dedup_ngram_jaccard": f"""
-        WITH sh AS (
-            SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
-            FROM documents
-        ),
+        WITH sh AS ({_HASHED_SHINGLES_SQL}),
         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            FROM sh a JOIN sh b ON a.hs = b.hs AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         )
         SELECT doc_a, doc_b,
@@ -280,24 +315,24 @@ ORACLES = {
         WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_THRESHOLD}
     """,
     "dedup_minhash_lsh": f"""
-        WITH sigs AS ({_MINHASH_SIGS_SQL}),
-        bands AS (
-            SELECT doc_id, seed % {N_BANDS} AS band,
-                   md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_hash
-            FROM sigs GROUP BY 1, 2
+        WITH sh AS ({_HASHED_SHINGLES_SQL}),
+        sigm AS (
+            SELECT doc_id,
+               {_SIG_COLS_SQL}
+            FROM sh GROUP BY 1
+        ),
+        sig AS (
+            SELECT *,
+               {_BAND_COLS_SQL}
+            FROM sigm
         ),
         cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+            {_CAND_UNION_SQL}
         )
         SELECT doc_a, doc_b,
-               (FLOOR(CAST((AVG(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS sig_sim
+               (FLOOR(CAST((raw_sim) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS sig_sim
         FROM cand
-        JOIN sigs sa ON doc_a = sa.doc_id
-        JOIN sigs sb ON doc_b = sb.doc_id AND sa.seed = sb.seed
-        GROUP BY 1, 2
-        HAVING AVG(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END) >= {MINHASH_SIM_THRESHOLD}
+        WHERE (FLOOR(CAST((raw_sim) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) >= {MINHASH_SIM_THRESHOLD}
     """,
     "dedup_simhash": f"""
         WITH tok AS (
@@ -308,24 +343,25 @@ ORACLES = {
                 FROM documents
             ) GROUP BY 1, 2
         ),
-        bits AS (
-            SELECT doc_id, bit,
-                   SUM(CASE WHEN (({md5_long_sql('token')} >> bit) & 1) = 1
-                            THEN w ELSE -w END) AS s
-            FROM tok, (SELECT unnest(range(0, {SIMHASH_BITS})) AS bit)
-            GROUP BY 1, 2
+        fp AS (
+            SELECT doc_id,
+                   CAST({_SIMHASH_BITS_SQL} AS BIGINT) AS simhash
+            FROM tok
+            GROUP BY doc_id
         )
-        SELECT doc_id,
-               CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash,
-               CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) >> {SIMHASH_BITS - 12} AS band
-        FROM bits
-        GROUP BY 1
+        SELECT doc_id, simhash, simhash >> {SIMHASH_BITS - 12} AS band
+        FROM fp
     """,
     "embedding_neardup": f"""
+        WITH e AS (
+            SELECT vec_id, label, embedding,
+                   sqrt({dot_sql('embedding', 'embedding')}) AS nrm
+            FROM embeddings
+        )
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-               (FLOOR(CAST(({cosine_sql('a.embedding', 'b.embedding')}) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS cos_sim
-        FROM embeddings a
-        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE {cosine_sql('a.embedding', 'b.embedding')} >= {COSINE_NEARDUP_THRESHOLD}
+               (FLOOR(CAST(({dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS cos_sim
+        FROM e a
+        JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= {COSINE_NEARDUP_THRESHOLD}
     """,
 }
