@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from smart_city_data_pipeline_spark.operators import (
         dedup,
+        multimodal,
         similarity,
         textops,
         timeseries,
@@ -24,7 +25,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (traffic, timeseries, tpch, textops, dedup, similarity):
+    for mod in (traffic, timeseries, tpch, textops, dedup, similarity, multimodal):
         out.update(mod.QUERIES)
     return out
 
@@ -32,6 +33,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def all_oracles() -> dict[str, str]:
     from smart_city_data_pipeline_spark.operators import (
         dedup,
+        multimodal,
         similarity,
         textops,
         timeseries,
@@ -40,6 +42,6 @@ def all_oracles() -> dict[str, str]:
     )
 
     out: dict[str, str] = {}
-    for mod in (traffic, timeseries, tpch, textops, dedup, similarity):
+    for mod in (traffic, timeseries, tpch, textops, dedup, similarity, multimodal):
         out.update(mod.ORACLES)
     return out

@@ -1,0 +1,163 @@
+"""Multimodal columns: binary frames + typed metadata + mapInPandas pipeline.
+
+The reference's camera path (RTSP → Kafka frames → Flink vision job,
+``data-simulators/camera-sim``, ``pipline2/data-proccessor/stream/
+flink_vision_job_proper.py``) carries opaque image payloads with typed
+metadata and runs decode→detect over them. Spark-first re-expression:
+
+- frames are rows ``(frame_id, camera_id, ts, meta struct, payload binary)``
+  — an opaque ``binary`` column, never parsed by Catalyst;
+- decode/feature-extract runs in ``mapInPandas`` so payloads cross the
+  Python boundary as Arrow record batches (zero-copy buffers), not
+  pickled rows;
+- the codec itself is STUBBED (no cv2/PIL in this container): a clearly
+  marked seam tries the real decoder and otherwise computes deterministic
+  payload statistics, keeping schema / partitioning / batch plumbing real.
+
+Scale notes: binary payloads dominate bytes, so the pipeline projects
+metadata-only columns whenever the payload is not needed (column pruning
+keeps frame scans cheap), and ``maxRecordsPerBatch`` bounds Arrow batch
+memory when payloads are large. Frame sampling happens BEFORE decode —
+filter on metadata (frame_no % k) so undecoded payloads are never moved.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from smart_city_data_pipeline_spark.catalog import table
+
+FRAME_META = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("frame_no", T.IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("frame_id", T.LongType()),
+        T.StructField("camera_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+        T.StructField("histo_head", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def synth_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stand-in frame table derived from ``documents``.
+
+    Payload = utf-8 bytes of the doc text (an opaque blob as far as the
+    pipeline is concerned); metadata is a typed struct. In production this
+    table is the Kafka/RTSP bridge output written to the lake.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("frame_id"),
+        (F.col("doc_id") % 16).alias("camera_id"),
+        F.struct(
+            F.lit(640).alias("width"),
+            F.lit(480).alias("height"),
+            F.lit("raw8").alias("format"),
+            (F.col("doc_id") % 30).cast("int").alias("frame_no"),
+        ).alias("meta"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+
+def sample_frames(frames: DataFrame, every_k: int = 10) -> DataFrame:
+    """Keep every k-th frame — metadata-only filter, payloads never move."""
+    return frames.where(F.col("meta.frame_no") % every_k == 0)
+
+
+def _decode_payload(buf: bytes) -> tuple[float, list[int]]:
+    """Codec seam. Real decode would go through cv2/PIL here.
+
+    This container ships neither, so we fall back to deterministic
+    payload statistics (mean byte value + first-4-bucket byte histogram),
+    which keeps the Arrow plumbing and the downstream schema honest.
+    """
+    try:  # pragma: no cover - cv2 absent in this environment
+        import cv2  # noqa: F401
+        import numpy as np
+
+        arr = cv2.imdecode(np.frombuffer(buf, dtype=np.uint8), cv2.IMREAD_GRAYSCALE)
+        if arr is None:
+            raise ValueError("undecodable payload")
+        histo = np.histogram(arr, bins=4, range=(0, 256))[0]
+        return float(arr.mean()), [int(x) for x in histo]
+    except ImportError:
+        if not buf:
+            return 0.0, [0, 0, 0, 0]
+        histo = [0, 0, 0, 0]
+        total = 0
+        for b in buf:
+            histo[b >> 6] += 1
+            total += b
+        return total / len(buf), histo
+
+
+def extract_features(frames: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow-batched)."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            means, histos, sizes = [], [], []
+            for buf in pdf["payload"]:
+                raw = bytes(buf) if buf is not None else b""
+                mean, histo = _decode_payload(raw)
+                means.append(mean)
+                histos.append(histo)
+                sizes.append(len(raw))
+            yield pd.DataFrame(
+                {
+                    "frame_id": pdf["frame_id"],
+                    "camera_id": pdf["camera_id"],
+                    "n_bytes": sizes,
+                    "mean_intensity": means,
+                    "histo_head": histos,
+                }
+            )
+
+    spark = frames.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return frames.select("frame_id", "camera_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def camera_rollup(features: DataFrame) -> DataFrame:
+    """Per-camera feature rollup — the vision job's windowed aggregate."""
+    return features.groupBy("camera_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.avg("mean_intensity").alias("avg_intensity"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+
+
+def frames_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry: synth frames → sample → decode → per-camera rollup.
+
+    rows-only oracle (binary decode is not SQL-expressible); determinism
+    comes from the stubbed codec.
+    """
+    frames = sample_frames(synth_frames(spark, sf_dir), every_k=3)
+    return camera_rollup(extract_features(frames)).select(
+        "camera_id",
+        "n_frames",
+        F.round("avg_intensity", 4).alias("avg_intensity"),
+        "total_bytes",
+    )
+
+
+QUERIES = {
+    "frames_features": frames_features,
+}
+
+ORACLES: dict[str, str] = {}

@@ -1,0 +1,107 @@
+"""Batch sinks: partitioned parquet, CSV, and gated JDBC/Kafka.
+
+Reference sinks:
+- partitioned parquet: ``pipline2/spark-jobs/traffic_batch_processing.py:100``
+  (analytics written partitioned for downstream pruning)
+- JDBC/Postgres: ``traffic_batch_processing.py:117`` (warehouse tables from
+  ``init-db.sql``)
+- Kafka: the MQTT→Kafka / RTSP→Kafka bridges (``pipline2/extract/``)
+
+Scale notes: partitioned writes repartition by the partition columns first
+so each task writes few files (without it, every task writes a file per
+partition value → small-file explosion at 1000 executors). JDBC writes
+bound per-connection batches; Kafka writes serialize JVM-side via
+``to_json``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned_parquet(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Parquet sink partitioned by the given columns.
+
+    ``repartition(*cols)`` co-locates each partition value in one task →
+    one file per partition value instead of (tasks × values) small files.
+    AQE coalescing keeps the shuffle cheap for small outputs.
+    """
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .write.partitionBy(*partition_cols)
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def write_hour_partitioned_parquet(df: DataFrame, path: str, ts_col: str = "ts") -> None:
+    """y/m/d/h-partitioned parquet — the collectors' lake layout, columnar."""
+    out = (
+        df.withColumn("year", F.year(ts_col))
+        .withColumn("month", F.month(ts_col))
+        .withColumn("day", F.dayofmonth(ts_col))
+        .withColumn("hour", F.hour(ts_col))
+    )
+    write_partitioned_parquet(out, path, ["year", "month", "day", "hour"])
+
+
+def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    """CSV read with explicit schema (no inference pass) + header."""
+    return spark.read.schema(schema).option("header", "true").csv(path)
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    df.write.option("header", "true").mode("overwrite").csv(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    properties: dict[str, str] | None = None,
+    batchsize: int = 10_000,
+) -> None:
+    """JDBC sink (reference: ``traffic_batch_processing.py:117``).
+
+    Gated: this environment ships no JDBC driver jar, so the call will
+    raise from Spark's driver-class lookup; the plan construction and
+    options are the production path (bounded batch size, rewrite to
+    multi-row INSERTs is driver-side config).
+    """
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table).option(
+        "batchsize", str(batchsize)
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()
+
+
+def write_kafka(df: DataFrame, bootstrap: str, topic: str, key_col: str | None = None) -> None:
+    """Kafka sink (reference bridges publish JSON envelopes to topics).
+
+    Gated: no spark-sql-kafka package in this environment. Serialization
+    is JVM-side ``to_json`` over all columns; an optional key column keeps
+    per-key ordering within a Kafka partition.
+    """
+    payload = F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value")
+    cols = [payload] if key_col is None else [F.col(key_col).cast("string").alias("key"), payload]
+    (
+        df.select(*cols)
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .save()
+    )
+
+
+def read_kafka(spark: SparkSession, bootstrap: str, topic: str, schema) -> DataFrame:
+    """Kafka batch source → parsed envelope (gated, same reason as above)."""
+    raw = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .load()
+    )
+    return raw.select(F.from_json(F.col("value").cast("string"), schema).alias("j")).select("j.*")

@@ -1,0 +1,75 @@
+"""Source/sink tests: JSONL envelope lake round-trip, partitioned parquet
+layout, CSV round-trip (SURVEY.md §2E)."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from smart_city_data_pipeline_spark.catalog import table
+from smart_city_data_pipeline_spark.sources.jsonl_lake import read_event_lake, write_event_lake
+from smart_city_data_pipeline_spark.sources.writers import (
+    read_csv,
+    write_csv,
+    write_hour_partitioned_parquet,
+    write_partitioned_parquet,
+)
+
+
+def test_jsonl_lake_roundtrip(spark, sf_dir, tmp_path):
+    ev = table(spark, sf_dir, "events")
+    path = str(tmp_path / "lake")
+    write_event_lake(ev, path)
+
+    # Hive-style hour partitions on disk, JSONL inside.
+    assert glob.glob(f"{path}/year=*/month=*/day=*/hour=*/part-*")
+
+    back = read_event_lake(spark, path)
+    orig = ev.select("event_id", "ts", "user_id", "event_type", "value").orderBy("event_id")
+    rt = back.select("event_id", "ts", "user_id", "event_type", "value").orderBy("event_id")
+    assert [tuple(r) for r in rt.collect()] == [tuple(r) for r in orig.collect()]
+
+
+def test_jsonl_lake_partition_pruning(spark, sf_dir, tmp_path):
+    ev = table(spark, sf_dir, "events")
+    path = str(tmp_path / "lake")
+    write_event_lake(ev, path)
+    back = read_event_lake(spark, path)
+
+    one_hour = back.where((F.col("day") == 1) & (F.col("hour") == 3))
+    plan = one_hour._jdf.queryExecution().executedPlan().toString()
+    # Partition filters must reach the scan (pruning, not post-filter).
+    assert "PartitionFilters" in plan
+    expected = ev.where((F.dayofmonth("ts") == 1) & (F.hour("ts") == 3)).count()
+    assert one_hour.count() == expected
+
+
+def test_partitioned_parquet_write(spark, sf_dir, tmp_path):
+    ev = table(spark, sf_dir, "events")
+    path = str(tmp_path / "pq")
+    write_hour_partitioned_parquet(ev, path)
+    assert glob.glob(f"{path}/year=*/month=*/day=*/hour=*/*.parquet")
+    assert spark.read.parquet(path).count() == ev.count()
+    # repartition-by-partition-cols → exactly one file per hour dir.
+    per_dir = {}
+    for f in glob.glob(f"{path}/year=*/month=*/day=*/hour=*/*.parquet"):
+        d = f.rsplit("/", 1)[0]
+        per_dir[d] = per_dir.get(d, 0) + 1
+    assert max(per_dir.values()) == 1
+
+
+def test_zone_partitioned_write(spark, sf_dir, tmp_path):
+    ev = table(spark, sf_dir, "events")
+    path = str(tmp_path / "zones")
+    write_partitioned_parquet(ev.withColumnRenamed("event_type", "zone"), path, ["zone"])
+    zones = {d.rsplit("=", 1)[1] for d in glob.glob(f"{path}/zone=*")}
+    assert zones == {r[0] for r in ev.select("event_type").distinct().collect()}
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    path = str(tmp_path / "csv")
+    write_csv(ev, path)
+    back = read_csv(spark, path, ev.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, ev.collect()))

@@ -1,0 +1,123 @@
+"""Streaming tests (SURVEY.md §2D): file-source streams drained with
+``availableNow`` must equal their batch formulation."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from smart_city_data_pipeline_spark.catalog import table
+from smart_city_data_pipeline_spark.streaming.lake_sink import stream_to_lake
+from smart_city_data_pipeline_spark.streaming.stateful import (
+    batch_equivalent_streaks,
+    congestion_streaks,
+)
+from smart_city_data_pipeline_spark.streaming.windowed import (
+    batch_equivalent_zone_counts,
+    windowed_zone_counts,
+)
+
+
+def _events_stream(spark, sf_dir, tmp_path):
+    """Materialize events as a parquet dir and open it as a file stream."""
+    ev = table(spark, sf_dir, "events")
+    src = str(tmp_path / "stream_src")
+    ev.write.mode("overwrite").parquet(src)
+    return ev, spark.readStream.schema(ev.schema).parquet(src)
+
+
+def _drain(stream_df, tmp_path, name):
+    out = str(tmp_path / f"{name}_out")
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return out
+
+
+def _norm_windows(df):
+    return sorted(
+        (str(r["bucket"]), r["zone"], r["n_events"], round(r["avg_value"], 6))
+        for r in df.collect()
+    )
+
+
+def test_windowed_counts_match_batch(spark, sf_dir, tmp_path):
+    """Complete-mode drain == batch formulation, window for window."""
+    ev, stream = _events_stream(spark, sf_dir, tmp_path)
+    q = (
+        windowed_zone_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_complete")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("win_complete")
+    want = batch_equivalent_zone_counts(ev)
+    assert _norm_windows(got) == _norm_windows(want)
+
+
+def test_windowed_append_respects_watermark(spark, sf_dir, tmp_path):
+    """Append mode over a multi-batch drain emits only watermark-closed
+    windows, with values identical to the batch formulation."""
+    ev = table(spark, sf_dir, "events")
+    src = str(tmp_path / "wm_src")
+    # Time-ordered files so the watermark advances batch over batch.
+    ev.orderBy("ts").coalesce(8).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = _drain(windowed_zone_counts(stream), tmp_path, "wm")
+    got = spark.read.parquet(out)
+    want = {t[:2]: t for t in _norm_windows(batch_equivalent_zone_counts(ev))}
+    emitted = _norm_windows(got)
+    assert len(emitted) > 0  # watermark advanced → earlier windows closed
+    assert len(emitted) < len(want)  # trailing windows stay open
+    for t in emitted:  # every emitted window is final and exact
+        assert want[t[:2]] == t
+
+
+def test_stateful_streaks_match_batch(spark, sf_dir, tmp_path):
+    ev, stream = _events_stream(spark, sf_dir, tmp_path)
+    got = congestion_streaks(stream)
+    q = (
+        got.writeStream.format("memory")
+        .queryName("streaks")
+        .option("checkpointLocation", str(tmp_path / "streak_ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # update mode: keep the final row per sensor.
+    final = (
+        spark.table("streaks")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("last_ts", "streak", "streak_start")).alias("s"))
+        .select("user_id", "s.streak", "s.streak_start", "s.last_ts")
+    )
+    want = batch_equivalent_streaks(ev)
+    norm = lambda df: sorted(
+        (r["user_id"], r["streak"], str(r["streak_start"]), str(r["last_ts"]))
+        for r in df.collect()
+    )
+    assert norm(final) == norm(want)
+
+
+def test_stream_to_partitioned_lake(spark, sf_dir, tmp_path):
+    ev, stream = _events_stream(spark, sf_dir, tmp_path)
+    out = str(tmp_path / "lake")
+    q = stream_to_lake(stream, out, str(tmp_path / "lake_ckpt"))
+    q.awaitTermination(120)
+    assert glob.glob(f"{out}/year=*/month=*/day=*/hour=*/*.parquet")
+    assert spark.read.parquet(out).count() == ev.count()
