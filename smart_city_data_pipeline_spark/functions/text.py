@@ -79,6 +79,29 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized_text(text))
 
 
+# Rabin-Karp-style polynomial rolling hash over token hashes. Constants
+# sized so acc*B + x never exceeds 2^63: acc < M = 2^31-1, x < 10^6.
+ROLL_B = 131
+ROLL_M = 2_147_483_647
+_ROLL_X = 1_000_000
+
+
+def rolling_hash(text: Column) -> Column:
+    """Order-sensitive document fingerprint: fold h = (h*B + tok) % M.
+
+    Pure array fold (aggregate) over per-token md5-derived ints —
+    whole-stage codegen, no shuffle, no Python.
+    """
+    from smart_city_data_pipeline_spark.functions.hashing import md5_long
+
+    vals = F.transform(ws_tokens(normalized_text(text)), lambda t: md5_long(t) % _ROLL_X)
+    return F.aggregate(
+        vals,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * ROLL_B + x) % ROLL_M,
+    )
+
+
 # ---------------------------------------------------------------- SQL twins
 
 _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
@@ -124,3 +147,14 @@ def normalized_text_sql(col: str) -> str:
 
 def fingerprint_sql(col: str) -> str:
     return f"md5({normalized_text_sql(col)})"
+
+
+def rolling_hash_sql(col: str) -> str:
+    from smart_city_data_pipeline_spark.functions.hashing import md5_long_sql
+
+    toks = f"regexp_split_to_array(trim({normalized_text_sql(col)}), '\\s+')"
+    vals = f"list_transform({toks}, t -> {md5_long_sql('t')} % {_ROLL_X})"
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {vals}), "
+        f"(acc, x) -> (acc * {ROLL_B} + x) % {ROLL_M})"
+    )

@@ -22,10 +22,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         timeseries,
         tpch,
         traffic,
+        vision,
     )
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (traffic, timeseries, tpch, textops, dedup, similarity, multimodal):
+    for mod in (traffic, timeseries, tpch, textops, dedup, similarity, multimodal, vision):
         out.update(mod.QUERIES)
     return out
 
@@ -39,9 +40,10 @@ def all_oracles() -> dict[str, str]:
         timeseries,
         tpch,
         traffic,
+        vision,
     )
 
     out: dict[str, str] = {}
-    for mod in (traffic, timeseries, tpch, textops, dedup, similarity, multimodal):
+    for mod in (traffic, timeseries, tpch, textops, dedup, similarity, multimodal, vision):
         out.update(mod.ORACLES)
     return out

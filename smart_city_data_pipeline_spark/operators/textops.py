@@ -60,6 +60,15 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive Rabin-Karp fingerprint (vs. md5 set-style above)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id"),
+        T.rolling_hash(F.col("text")).alias("roll_hash"),
+    )
+
+
 def token_explode_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 tokens corpus-wide (explode → agg → top-N), the
     nested-array flatten pattern of ``setup_smart_city_hive.hql:7``."""
@@ -78,6 +87,7 @@ QUERIES = {
     "text_quality": text_quality,
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,
+    "rolling_fingerprint": rolling_fingerprint,
     "token_explode_count": token_explode_count,
 }
 
@@ -107,6 +117,10 @@ ORACLES = {
     """,
     "doc_fingerprint": f"""
         SELECT doc_id, {T.fingerprint_sql(_T)} AS fingerprint
+        FROM documents
+    """,
+    "rolling_fingerprint": f"""
+        SELECT doc_id, {T.rolling_hash_sql(_T)} AS roll_hash
         FROM documents
     """,
     "token_explode_count": """
