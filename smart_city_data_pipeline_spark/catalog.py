@@ -46,6 +46,26 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, *by: str) -> DataFrame:
+    """Ensure CPU-heavy downstream work can use every core.
+
+    Parquet scans parallelize by file/row-group split; a single-row-group
+    file (bad compaction, tiny dims, this test lake) yields a 1-partition
+    scan, serializing everything pipelined onto it (explode, hashing,
+    partial aggregation). When the scan has at least half the cluster's
+    parallelism this is a NO-OP — at 100 TB inputs arrive in thousands of
+    splits and no extra exchange is added. Only pathological inputs pay
+    one cheap round-robin/hash exchange of the raw rows.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    from pyspark.sql import functions as F
+
+    return df.repartition(target, *[F.col(c) for c in by]) if by else df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load every table and register it as a temp view."""
     out: dict[str, DataFrame] = {}

@@ -34,7 +34,7 @@ import operator
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from smart_city_data_pipeline_spark.catalog import table
+from smart_city_data_pipeline_spark.catalog import spread, table
 from smart_city_data_pipeline_spark.functions.hashing import md5_long, md5_long_sql
 from smart_city_data_pipeline_spark.functions.rounding import pround
 from smart_city_data_pipeline_spark.functions.vector import dot, dot_sql
@@ -91,7 +91,7 @@ _SHINGLES_SQL = (
 
 def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, hs): one 60-bit hash per distinct shingle."""
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
     return docs.select(
         F.col("doc_id"), F.explode(_shingles(F.col("text"))).alias("shingle")
     ).select(F.col("doc_id"), md5_long(F.col("shingle")).alias("hs"))
@@ -105,7 +105,7 @@ _HASHED_SHINGLES_SQL = f"""
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: min doc_id per identical text is canonical."""
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
     canon = (
         docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
         .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
@@ -168,7 +168,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding: candidate pairs share an identical band,
     verified by signature similarity ≥ threshold."""
     sig = _minhash_sig_wide(spark, sf_dir).select("doc_id", *[F.col(f"m{i}") for i in range(N_MINHASH)])
-    sig = sig.select("*", *_band_cols())
+    # Materialize signatures: the sig table is 16 longs + 4 band hashes per
+    # doc (~200 B/doc — 200 GB per TRILLION docs, trivially cacheable next
+    # to a 100 TB corpus), and every band join references it twice; without
+    # persistence the shingle explode + 16-way min agg would re-run up to
+    # 8x.
+    sig = sig.select("*", *_band_cols()).persist()
     n_bands = N_MINHASH // BAND_SIZE
     a = sig.alias("a")
     b = sig.alias("b")
@@ -193,7 +198,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash fingerprint per document + coarse band key."""
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
     tok = (
         docs.select(F.col("doc_id"), F.explode(_ws_tokens(F.col("text"))).alias("token"))
         .groupBy("doc_id", "token")
@@ -231,7 +236,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Norms are precomputed per vector (narrow), so each candidate pair
     costs one dot product instead of three array folds.
     """
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id",
         "label",
         "embedding",

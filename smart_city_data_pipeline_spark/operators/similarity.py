@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from smart_city_data_pipeline_spark.catalog import table
+from smart_city_data_pipeline_spark.catalog import spread, table
 from smart_city_data_pipeline_spark.functions.rounding import pround
 from smart_city_data_pipeline_spark.functions.vector import cosine, cosine_sql
 
@@ -27,7 +27,7 @@ TOP_K = 5
 
 def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k neighbors for each probe (full-scan baseline)."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id")
     probes = emb.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
     )
@@ -52,7 +52,7 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-pruned top-k: probes only scan their own label cell."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id")
     probes = emb.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"),
         F.col("label").alias("probe_label"),
