@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from smart_city_data_pipeline_spark.catalog import table
+from smart_city_data_pipeline_spark.catalog import spread, table
 from smart_city_data_pipeline_spark.functions.rounding import pround
 
 
@@ -46,7 +46,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shipdate filter is pushed to the parquet scan."""
     li = table(spark, sf_dir, "lineitem")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        # spread AFTER the filter: pushdown reaches the scan, then the
+        # decimal-heavy partial aggregation fans out across all cores.
+        spread(li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _money(_dec("l_quantity"), "sum_qty"),
@@ -70,6 +72,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )
+    # Hash-spread on the join key: the exchange satisfies the join's
+    # required distribution, so it adds parallelism without an extra
+    # shuffle stage.
+    li = spread(li, "l_orderkey")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         # customer is the small filtered side — broadcast it.
@@ -92,7 +98,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
-    li = table(spark, sf_dir, "lineitem")
+    li = spread(table(spark, sf_dir, "lineitem"), "l_orderkey")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -110,7 +116,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = table(spark, sf_dir, "region")
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
+    li = spread(table(spark, sf_dir, "lineitem"), "l_orderkey")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -130,7 +136,7 @@ def big_spender_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
     big = (
-        li.groupBy("l_orderkey")
+        spread(li, "l_orderkey").groupBy("l_orderkey")
         .agg(F.sum(_dec("l_quantity")).alias("qty_dec"))
         .filter(F.col("qty_dec") > 150)
     )
