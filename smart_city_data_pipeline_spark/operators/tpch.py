@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from smart_city_data_pipeline_spark.catalog import spread, table
-from smart_city_data_pipeline_spark.functions.rounding import pround
+from smart_city_data_pipeline_spark.functions.rounding import pround, sum_exact, sum_exact_sql
 
 
 def _dec(c: str) -> Column:
@@ -194,6 +194,86 @@ def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style: shipping volume between two nations per year.
+
+    Both nation lookups broadcast; the only fact shuffle is li⋈orders /
+    ⋈customer on their keys."""
+    nation = table(spark, sf_dir, "nation")
+    supp = table(spark, sf_dir, "supplier")
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = spread(table(spark, sf_dir, "lineitem"), "l_orderkey").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    n1 = nation.select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation"))
+    pair = (F.col("supp_nation") == "NATION_20") & (F.col("cust_nation") == "NATION_11") | (
+        F.col("supp_nation") == "NATION_11"
+    ) & (F.col("cust_nation") == "NATION_20")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_money(_disc_price(), "revenue"))
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: top 20 customers by lost revenue on returns."""
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = spread(table(spark, sf_dir, "lineitem"), "l_orderkey").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_money(_disc_price(), "revenue"))
+        .withColumn("c_acctbal", pround(F.col("c_acctbal")))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: rich customers with no RECENT orders (since
+    1999), by nation group.
+
+    Scalar avg via 1-row broadcast; orders exclusion via left_anti join
+    on the date-filtered fact (no pair blowup, no distinct
+    materialization; the date predicate pushes to the scan)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    # avg comparison in EXACT decimals (bal * n > total) — a double avg
+    # differs between engines in the last ulp, which can flip membership.
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_dec("c_acctbal")).alias("tot_bal"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    rich = cust.join(F.broadcast(avg_bal)).filter(
+        _dec("c_acctbal") * F.col("n_pos") > F.col("tot_bal")
+    )
+    no_orders = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return no_orders.groupBy((F.col("c_nationkey") % 5).alias("cntry_grp")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        pround(sum_exact(F.col("c_acctbal"))).alias("totacctbal"),
+    )
+
+
 _DISC_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 _CHARGE_SQL = f"({_DISC_SQL}) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))"
 
@@ -205,6 +285,9 @@ QUERIES = {
     "big_spender_orders": big_spender_orders,
     "promo_revenue": promo_revenue,
     "order_priority_count": order_priority_count,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q10_returned_items": q10_returned_items,
+    "q22_global_sales_opportunity": q22_global_sales_opportunity,
 }
 
 ORACLES = {
@@ -283,6 +366,53 @@ ORACLES = {
         JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1996-03-01'
           AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+    "q7_volume_shipping": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               (FLOOR(CAST((CAST(SUM({_DISC_SQL}) AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+            OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
+        GROUP BY 1, 2, 3
+    """,
+    "q10_returned_items": f"""
+        SELECT c_custkey, c_name,
+               (FLOOR(CAST((c_acctbal) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS c_acctbal,
+               n_name,
+               (FLOOR(CAST((CAST(SUM({_DISC_SQL}) AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND l_returnflag = 'R'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    "q22_global_sales_opportunity": f"""
+        WITH stats AS (
+            SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS tot_bal, COUNT(*) AS n_pos
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntry_grp,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               (FLOOR(CAST(({sum_exact_sql('c_acctbal')}) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS totacctbal
+        FROM customer, stats
+        WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > tot_bal
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY 1
     """,
     "order_priority_count": """
         SELECT o_orderpriority,

@@ -60,9 +60,9 @@ def test_window_partitioned_no_global_sort(spark, sf_dir):
 # Documented exceptions:
 # - ann_topk_cosine: brute-force baseline, every (probe, vector) pair by
 #   design.
-# - retention_filter: build side is a 1-row scalar (global max ts) — a
-#   broadcast of one row, constant cost at any scale.
-BNLJ_ALLOWED = {"ann_topk_cosine", "retention_filter"}
+# - retention_filter / q22: build side is a 1-row scalar (global max ts
+#   / balance stats) — a broadcast of one row, constant cost at any scale.
+BNLJ_ALLOWED = {"ann_topk_cosine", "retention_filter", "q22_global_sales_opportunity"}
 
 
 @pytest.mark.parametrize("key", sorted(_queries()))
