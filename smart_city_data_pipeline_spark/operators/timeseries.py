@@ -175,6 +175,41 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONGESTION_THRESHOLD = 160.0  # > 0.8 occupancy at the 200 reading scale
+
+
+def congestion_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing run-length of over-threshold readings per sensor — the
+    batch formulation of the stateful streaming streak detector
+    (streaming/stateful.py), registered here so the driver's oracle gate
+    covers the streaming semantics too.
+
+    Gaps-and-islands with per-user windows (high-cardinality partition
+    key, no global sort); the island id is the running count of resets.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id", "ts", "event_id",
+        (F.col("value") > CONGESTION_THRESHOLD).cast("int").alias("over"),
+    ).withColumn("grp", F.sum((F.col("over") == 0).cast("int")).over(w))
+    last = flagged.groupBy("user_id").agg(
+        F.max("grp").alias("max_grp"), F.max("ts").alias("last_ts")
+    )
+    streaks = (
+        flagged.join(last, "user_id")
+        .where((F.col("grp") == F.col("max_grp")) & (F.col("over") == 1))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("streak"), F.min("ts").alias("streak_start"))
+    )
+    return last.join(streaks, ["user_id"], "left").select(
+        F.col("user_id").alias("sensor_id"),
+        F.coalesce("streak", F.lit(0)).alias("streak"),
+        "streak_start",
+        "last_ts",
+    )
+
+
 def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unwrap the raw JSON payload column (the collectors' envelope
     unwrap, ``setup_smart_city_hive.hql`` nested-struct access)."""
@@ -194,10 +229,35 @@ QUERIES = {
     "moving_avg": moving_avg,
     "top_k": top_k,
     "event_funnel": event_funnel,
+    "congestion_streaks": congestion_streaks,
     "props_extract": props_extract,
 }
 
 ORACLES = {
+    "congestion_streaks": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN value > 160.0 THEN 1 ELSE 0 END AS over,
+                   SUM(CASE WHEN value > 160.0 THEN 0 ELSE 1 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS grp
+            FROM events
+        ),
+        last AS (
+            SELECT user_id, MAX(grp) AS max_grp, MAX(ts) AS last_ts
+            FROM flagged GROUP BY 1
+        ),
+        streaks AS (
+            SELECT f.user_id, CAST(COUNT(*) AS INT) AS streak, MIN(f.ts) AS streak_start
+            FROM flagged f
+            JOIN last l ON f.user_id = l.user_id AND f.grp = l.max_grp AND f.over = 1
+            GROUP BY 1
+        )
+        SELECT l.user_id AS sensor_id,
+               COALESCE(s.streak, 0) AS streak,
+               s.streak_start,
+               l.last_ts
+        FROM last l LEFT JOIN streaks s ON l.user_id = s.user_id
+    """,
     "time_bucket_1min": """
         SELECT user_id AS sensor_id,
                date_trunc('minute', ts) AS bucket,
