@@ -197,33 +197,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash fingerprint per document + coarse band key."""
+    """60-bit SimHash fingerprint per document + coarse band key.
+
+    One explode + ONE map-side-combinable hash aggregate: the 60
+    bit-sums are conditional-sum aggregate expressions (whole-stage
+    codegen — array-fold lambdas would run interpreted) over per-instance
+    token hashes. Term frequency is implicit: ±1 per token INSTANCE sums
+    to the weighted ±tf per distinct token, so no (doc, token) pre-agg
+    and only one shuffle, keyed by doc_id.
+    """
     docs = spread(table(spark, sf_dir, "documents"), "doc_id")
-    tok = (
-        docs.select(F.col("doc_id"), F.explode(_ws_tokens(F.col("text"))).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .withColumn("h", md5_long(F.col("token")))
-    )
-    # 60 aggregate expressions — single shuffle, no row blowup.
+    tok = docs.select(
+        "doc_id", F.explode(_ws_tokens(F.col("text"))).alias("token")
+    ).select("doc_id", md5_long(F.col("token")).alias("h"))
     bit_aggs = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(-F.col("w"))
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"s{b}")
         for b in range(SIMHASH_BITS)
     ]
     per_doc = tok.groupBy("doc_id").agg(*bit_aggs)
-    fp = functools.reduce(
-        operator.add,
-        [
-            F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-            for b in range(SIMHASH_BITS)
-        ],
+    # Assemble the fingerprint as a flat bit-string → conv(,2,10): one
+    # 60-child concat node. (A reduce() of 60 nested adds builds a
+    # depth-60 expression tree that costs ~2 s of Catalyst analysis per
+    # plan construction.)
+    bits = F.concat(
+        *[
+            F.when(F.col(f"s{b}") > 0, "1").otherwise("0")
+            for b in reversed(range(SIMHASH_BITS))
+        ]
     )
-    return per_doc.select(
-        "doc_id",
-        fp.alias("simhash"),
-    ).select(
+    fp = F.conv(bits, 2, 10).cast("long")
+    return per_doc.select("doc_id", fp.alias("simhash")).select(
         "doc_id",
         "simhash",
         F.shiftright(F.col("simhash"), SIMHASH_BITS - 12).alias("band"),
