@@ -127,12 +127,34 @@ def parking_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def air_quality_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-zone/day air-quality rollup (``init-db.sql:23``
+    air_quality_analytics indexed by zone+time): reading stats, average
+    AQI, share of unhealthy readings. Single map-side-combinable
+    aggregate; AQI is an integer so its sum is exact in BIGINT."""
+    ev = table(spark, sf_dir, "events")
+    aqi = aqi_value(F.col("value"))
+    return (
+        ev.groupBy(
+            F.col("event_type").alias("zone"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_readings"),
+            pround(avg_exact(F.col("value"))).alias("avg_pm25"),
+            pround(F.sum(aqi) / F.count(F.lit(1))).alias("avg_aqi"),
+            pround(F.sum((aqi > 100).cast("long")) / F.count(F.lit(1))).alias("unhealthy_share"),
+        )
+    )
+
+
 QUERIES = {
     "congestion_classify": congestion_classify,
     "zone_analytics": zone_analytics,
     "road_type_analytics": road_type_analytics,
     "hourly_stats": hourly_stats,
     "aqi_compute": aqi_compute,
+    "air_quality_zone": air_quality_zone,
     "parking_status": parking_status_q,
 }
 
@@ -180,6 +202,16 @@ ORACLES = {
                {aqi_value_sql('value')} AS aqi,
                {aqi_category_sql('value')} AS aqi_category
         FROM events
+    """,
+    "air_quality_zone": f"""
+        SELECT event_type AS zone,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_readings,
+               (FLOOR(CAST((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS avg_pm25,
+               (FLOOR(CAST((CAST(SUM({aqi_value_sql('value')}) AS DOUBLE) / COUNT(*)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS avg_aqi,
+               (FLOOR(CAST((CAST(SUM(CASE WHEN {aqi_value_sql('value')} > 100 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS unhealthy_share
+        FROM events
+        GROUP BY 1, 2
     """,
     "parking_status": """
         SELECT event_id,
