@@ -265,6 +265,83 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _srp_hyperplanes(n_bits: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from public md5 — the
+    same integer weights are embedded as literals in the DuckDB oracle."""
+    import hashlib
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return [
+        [float(h(f"hp{i}:{j}") % 2001 - 1000) for j in range(dim)]
+        for i in range(n_bits)
+    ]
+
+
+SRP_BITS = 16  # 2 bands x 8 bits; band width scales with corpus size
+SRP_DIM = 64
+_SRP_PLANES = _srp_hyperplanes(SRP_BITS, SRP_DIM)
+
+
+def embedding_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-FREE cosine near-dup via sign-random-projection LSH.
+
+    The true 100 TB path when no coarse partition (label/IVF cell)
+    exists: each vector gets a 16-bit sign signature against fixed
+    md5-derived hyperplanes, split into 2 bands of 8 bits; candidate
+    pairs share a band value (equi-join on an 8-char key — bounded
+    buckets, no O(n²)), then verify exact cosine ≥ threshold. At larger
+    corpora widen the bands (more bits per band → smaller buckets) and
+    add bands to keep recall.
+    """
+    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id")
+    bits = []
+    for plane in _SRP_PLANES:
+        harr = F.array(*[F.lit(w) for w in plane])
+        proj = F.aggregate(
+            F.zip_with(F.col("embedding").cast("array<double>"), harr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, "1").otherwise("0"))
+    sig = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        F.concat(*bits).alias("sig"),
+    ).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.substring("sig", 1, 8).alias("band0"),
+        F.substring("sig", 9, 8).alias("band1"),
+    ).persist()
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = functools.reduce(
+        DataFrame.unionAll,
+        [
+            a.join(
+                b,
+                (F.col(f"a.band{j}") == F.col(f"b.band{j}"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            ).select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.col("a.embedding").alias("ea"),
+                F.col("b.embedding").alias("eb"),
+                F.col("a.nrm").alias("na"),
+                F.col("b.nrm").alias("nb"),
+            )
+            for j in range(2)
+        ],
+    ).dropDuplicates(["vec_a", "vec_b"])
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return cand.filter(cos >= COSINE_NEARDUP_THRESHOLD).select(
+        "vec_a", "vec_b", pround(cos).alias("cos_sim")
+    )
+
+
 # ---------------------------------------------------------------- oracles
 
 _SIG_COLS_SQL = ",\n               ".join(
@@ -288,12 +365,20 @@ _SIMHASH_BITS_SQL = " + ".join(
     for b in range(SIMHASH_BITS)
 )
 
+_SRP_SIG_SQL = " || ".join(
+    "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ["
+    + ", ".join(str(w) for w in plane)
+    + "]) > 0 THEN '1' ELSE '0' END)"
+    for plane in _SRP_PLANES
+)
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "embedding_neardup": embedding_neardup,
+    "embedding_srp_lsh": embedding_srp_lsh,
 }
 
 ORACLES = {
@@ -373,5 +458,31 @@ ORACLES = {
         FROM e a
         JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE {dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= {COSINE_NEARDUP_THRESHOLD}
+    """,
+    "embedding_srp_lsh": f"""
+        WITH sig AS (
+            SELECT vec_id, embedding,
+                   sqrt({dot_sql('embedding', 'embedding')}) AS nrm,
+                   {_SRP_SIG_SQL} AS s
+            FROM embeddings
+        ),
+        bands AS (
+            SELECT vec_id, embedding, nrm,
+                   substr(s, 1, 8) AS band0, substr(s, 9, 8) AS band1
+            FROM sig
+        ),
+        cand AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM bands a JOIN bands b ON a.band0 = b.band0 AND a.vec_id < b.vec_id
+            UNION
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM bands a JOIN bands b ON a.band1 = b.band1 AND a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b,
+               (FLOOR(CAST(({dot_sql('sa.embedding', 'sb.embedding')} / (sa.nrm * sb.nrm)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS cos_sim
+        FROM cand
+        JOIN bands sa ON vec_a = sa.vec_id
+        JOIN bands sb ON vec_b = sb.vec_id
+        WHERE {dot_sql('sa.embedding', 'sb.embedding')} / (sa.nrm * sb.nrm) >= {COSINE_NEARDUP_THRESHOLD}
     """,
 }

@@ -69,6 +69,31 @@ def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data filter: language == en, quality ≥ 0.5,
+    exact-dup removal (keep the min-doc_id canonical copy).
+
+    The composite pipeline an LLM-data run executes before tokenization:
+    narrow per-row scoring + one hash-groupBy for canonical selection —
+    every stage map-side-combinable, no pair joins.
+    """
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        T.lang_id(t).alias("lang_pred"),
+        T.quality_score(t).alias("quality_score"),
+    ).filter((F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.5))
+    canon = scored.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return (
+        scored.join(canon, "doc_id", "left_semi")
+        .select("doc_id", "lang_pred", "quality_score")
+    )
+
+
 def token_explode_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 tokens corpus-wide (explode → agg → top-N), the
     nested-array flatten pattern of ``setup_smart_city_hive.hql:7``."""
@@ -88,6 +113,7 @@ QUERIES = {
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,
     "rolling_fingerprint": rolling_fingerprint,
+    "corpus_filter": corpus_filter,
     "token_explode_count": token_explode_count,
 }
 
@@ -122,6 +148,25 @@ ORACLES = {
     "rolling_fingerprint": f"""
         SELECT doc_id, {T.rolling_hash_sql(_T)} AS roll_hash
         FROM documents
+    """,
+    "corpus_filter": f"""
+        WITH scored AS (
+            SELECT doc_id, text,
+                   {T.lang_id_sql(_T)} AS lang_pred,
+                   {T.quality_score_sql(_T)} AS quality_score
+            FROM documents
+        ),
+        kept AS (
+            SELECT * FROM scored
+            WHERE lang_pred = 'en' AND quality_score >= 0.5
+        ),
+        canon AS (
+            SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id
+            FROM kept GROUP BY 1
+        )
+        SELECT k.doc_id, k.lang_pred, k.quality_score
+        FROM kept k
+        WHERE k.doc_id IN (SELECT doc_id FROM canon)
     """,
     "token_explode_count": """
         SELECT token, CAST(COUNT(*) AS BIGINT) AS n
