@@ -47,6 +47,26 @@ def time_bucket_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute windows sliding every minute, per zone — the overlapping
+    continuous-aggregate / Flink-sliding-window shape. Spark's window()
+    generator assigns each event to its 5 covering windows before the
+    map-side-combinable aggregate (same explode-then-agg plan at any
+    scale; state in streaming mode is bounded by the watermark)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "5 minutes", "1 minute").alias("w"),
+            F.col("event_type").alias("zone"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(avg_exact(F.col("value"))).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("bucket"), "zone", "n_events", "avg_value")
+    )
+
+
 def latest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest reading per sensor (realtime_metrics semantics)."""
     ev = table(spark, sf_dir, "events")
@@ -222,6 +242,7 @@ def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "time_bucket_1min": time_bucket_1min,
+    "sliding_window_counts": sliding_window_counts,
     "latest_metrics": latest_metrics,
     "retention_filter": retention_filter,
     "sessionize": sessionize,
@@ -257,6 +278,14 @@ ORACLES = {
                s.streak_start,
                l.last_ts
         FROM last l LEFT JOIN streaks s ON l.user_id = s.user_id
+    """,
+    "sliding_window_counts": """
+        SELECT date_trunc('minute', ts) - INTERVAL (k) MINUTE AS bucket,
+               event_type AS zone,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               (FLOOR(CAST((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS avg_value
+        FROM (SELECT *, unnest(range(0, 5)) AS k FROM events)
+        GROUP BY 1, 2
     """,
     "time_bucket_1min": """
         SELECT user_id AS sensor_id,
