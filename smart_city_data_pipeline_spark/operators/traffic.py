@@ -148,6 +148,24 @@ def air_quality_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zone_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based zone stats: HyperLogLog++ distinct sensors and
+    approximate value percentiles.
+
+    At 100 TB exact distinct counts and exact percentiles force a
+    shuffle of every (zone, sensor) / a global sort per zone; the
+    sketches are fixed-size mergeable state, so the whole rollup stays
+    one map-side-combinable aggregate. rows-only oracle (sketch outputs
+    are algorithm-specific); accuracy vs exact is pytest-asserted.
+    """
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("zone")).agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_sensors"),
+        F.percentile_approx("value", [0.5, 0.95], 10_000).alias("value_p50_p95"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 QUERIES = {
     "congestion_classify": congestion_classify,
     "zone_analytics": zone_analytics,
@@ -156,6 +174,7 @@ QUERIES = {
     "aqi_compute": aqi_compute,
     "air_quality_zone": air_quality_zone,
     "parking_status": parking_status_q,
+    "zone_sketch_stats": zone_sketch_stats,
 }
 
 ORACLES = {

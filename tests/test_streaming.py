@@ -114,6 +114,21 @@ def test_stateful_streaks_match_batch(spark, sf_dir, tmp_path):
     assert norm(final) == norm(want)
 
 
+def test_streaming_dedup_drops_redeliveries(spark, sf_dir, tmp_path):
+    """An at-least-once source (every event delivered twice) comes out
+    exactly-once after dropDuplicatesWithinWatermark."""
+    from smart_city_data_pipeline_spark.streaming.dedup import dedup_stream
+
+    ev = table(spark, sf_dir, "events")
+    src = str(tmp_path / "dup_src")
+    ev.unionAll(ev).write.mode("overwrite").parquet(src)  # redelivery
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = _drain(dedup_stream(stream), tmp_path, "dedup")
+    got = spark.read.parquet(out)
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
+
+
 def test_stream_to_partitioned_lake(spark, sf_dir, tmp_path):
     ev, stream = _events_stream(spark, sf_dir, tmp_path)
     out = str(tmp_path / "lake")
