@@ -166,29 +166,37 @@ def _band_cols() -> list[Column]:
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding: candidate pairs share an identical band,
-    verified by signature similarity ≥ threshold."""
+    verified by signature similarity ≥ threshold.
+
+    Banding is ONE posexplode to (doc, band_idx, band_hash) rows and ONE
+    self-equi-join on (band_idx, band_hash) — not a join per band — so
+    the whole search is a single keyed shuffle regardless of band count.
+    The wide m0..m15 signature rides along both join sides, so
+    verification is a projection (no lookup join back to signatures).
+    Signatures persist because both join sides reference them (~200 B/doc
+    — trivially cacheable at any corpus size).
+    """
     sig = _minhash_sig_wide(spark, sf_dir).select("doc_id", *[F.col(f"m{i}") for i in range(N_MINHASH)])
-    # Materialize signatures: the sig table is 16 longs + 4 band hashes per
-    # doc (~200 B/doc — 200 GB per TRILLION docs, trivially cacheable next
-    # to a 100 TB corpus), and every band join references it twice; without
-    # persistence the shingle explode + 16-way min agg would re-run up to
-    # 8x.
-    sig = sig.select("*", *_band_cols()).persist()
-    n_bands = N_MINHASH // BAND_SIZE
-    a = sig.alias("a")
-    b = sig.alias("b")
-    cands = [
+    bands = sig.select(
+        "doc_id",
+        *[F.col(f"m{i}") for i in range(N_MINHASH)],
+        F.posexplode(F.array(*_band_cols())).alias("band_idx", "band_hash"),
+    ).persist()
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col(f"a.b{j}") == F.col(f"b.b{j}")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             *[(F.col(f"a.m{i}") == F.col(f"b.m{i}")).cast("double").alias(f"eq{i}") for i in range(N_MINHASH)],
         )
-        for j in range(n_bands)
-    ]
-    cand = functools.reduce(DataFrame.unionAll, cands).dropDuplicates(["doc_a", "doc_b"])
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
     sim = functools.reduce(operator.add, [F.col(f"eq{i}") for i in range(N_MINHASH)]) / float(N_MINHASH)
     return (
         cand.select("doc_a", "doc_b", pround(sim).alias("sig_sim"))
