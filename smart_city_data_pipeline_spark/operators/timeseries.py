@@ -195,6 +195,58 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attach to each 'view' reading the latest 'error'
+    reading of the same sensor at-or-before its timestamp.
+
+    Spark has no native ASOF JOIN; a range-condition join explodes into
+    O(n·m) pairs per key. The scalable formulation: tag both streams,
+    UNION them, and forward-fill the right value with a per-key
+    ``last(ignorenulls)`` window ordered by (ts, right-first) — one
+    shuffle on the key, linear work, identical to DuckDB's native
+    ASOF LEFT JOIN (the oracle). Right side is pre-collapsed to one row
+    per (key, ts) with ``max_by(value, event_id)`` so ties are
+    deterministic in both engines.
+    """
+    ev = table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("value"),
+        F.lit(None).cast("double").alias("r_value"),
+        F.lit(0).alias("is_r"),
+    )
+    right = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("r_value"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+            "r_value",
+            F.lit(1).alias("is_r"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_r").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = left.unionAll(right).withColumn(
+        "last_error_value", F.last("r_value", ignorenulls=True).over(w)
+    )
+    return filled.filter(F.col("is_r") == 0).select(
+        "event_id",
+        "user_id",
+        "ts",
+        pround(F.col("value")).alias("value"),
+        pround(F.col("last_error_value")).alias("last_error_value"),
+    )
+
+
 CONGESTION_THRESHOLD = 160.0  # > 0.8 occupancy at the 200 reading scale
 
 
@@ -251,10 +303,27 @@ QUERIES = {
     "top_k": top_k,
     "event_funnel": event_funnel,
     "congestion_streaks": congestion_streaks,
+    "asof_enrich": asof_enrich,
     "props_extract": props_extract,
 }
 
 ORACLES = {
+    "asof_enrich": """
+        WITH l AS (
+            SELECT user_id, ts, event_id, value
+            FROM events WHERE event_type = 'view'
+        ),
+        r AS (
+            SELECT user_id, ts, arg_max(value, event_id) AS r_value
+            FROM events WHERE event_type = 'error'
+            GROUP BY 1, 2
+        )
+        SELECT l.event_id, l.user_id, l.ts,
+               (FLOOR(CAST((l.value) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS value,
+               (FLOOR(CAST((r.r_value) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS last_error_value
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
     "congestion_streaks": """
         WITH flagged AS (
             SELECT user_id, ts, event_id,
