@@ -247,6 +247,45 @@ def asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_WINDOW_S = 300  # pair events within ±5 minutes
+
+
+def range_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per sensor, count (view, error) event pairs within
+    ±5 minutes — the bucketized formulation.
+
+    A raw |Δt| ≤ w join condition gives Spark no equi-key (O(n·m) per
+    sensor). Bucketizing time into w-sized cells and expanding the LEFT
+    side to its cell ±1 turns it into an equi-join on (key, cell) with a
+    residual |Δt| filter: each right event's cell matches exactly one of
+    the three expanded left cells, so no pair is produced twice and the
+    shuffle stays keyed and bounded — 3x the left rows, never n·m.
+    """
+    ev = table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id"),
+        epoch.alias("t_v"),
+        F.explode(
+            F.array(*[(epoch / RANGE_WINDOW_S).cast("long") + d for d in (-1, 0, 1)])
+        ).alias("cell"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        epoch.alias("t_e"),
+        (epoch / RANGE_WINDOW_S).cast("long").alias("e_cell"),
+    )
+    return (
+        views.join(
+            errors,
+            (F.col("user_id") == F.col("e_user")) & (F.col("cell") == F.col("e_cell")),
+        )
+        .filter(F.abs(F.col("t_v") - F.col("t_e")) <= RANGE_WINDOW_S)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 CONGESTION_THRESHOLD = 160.0  # > 0.8 occupancy at the 200 reading scale
 
 
@@ -304,10 +343,21 @@ QUERIES = {
     "event_funnel": event_funnel,
     "congestion_streaks": congestion_streaks,
     "asof_enrich": asof_enrich,
+    "range_pair_counts": range_pair_counts,
     "props_extract": props_extract,
 }
 
 ORACLES = {
+    "range_pair_counts": """
+        SELECT v.user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t_v
+              FROM events WHERE event_type = 'view') v
+        JOIN (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t_e
+              FROM events WHERE event_type = 'error') e
+          ON v.user_id = e.user_id AND abs(v.t_v - e.t_e) <= 300
+        GROUP BY 1
+    """,
     "asof_enrich": """
         WITH l AS (
             SELECT user_id, ts, event_id, value
