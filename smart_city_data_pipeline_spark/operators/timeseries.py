@@ -247,6 +247,44 @@ def asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_bucket_gapfill + locf (TimescaleDB gap-filling): a dense
+    hourly series per sensor between its first and last reading, with
+    missing hours carried forward from the last observation.
+
+    The dense grid comes from sequence()+explode of each sensor's OWN
+    [min, max] hour span (never a global calendar cross join); the fill
+    is last(ignorenulls) over the per-sensor window. Grid size is
+    O(active span per sensor) — at 100 TB this parallelizes by sensor
+    and no operator sees more than one sensor's timeline.
+    """
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("user_id"), F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(pround(avg_exact(F.col("value"))).alias("avg_value"))
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("bucket").alias("b_min"), F.max("bucket").alias("b_max")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("b_min"), F.col("b_max"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    joined = grid.join(hourly, ["user_id", "bucket"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col("user_id").alias("sensor_id"),
+        F.col("bucket"),
+        F.last("avg_value", ignorenulls=True).over(w).alias("value_locf"),
+        F.col("avg_value").isNull().alias("is_gap"),
+    )
+
+
 RANGE_WINDOW_S = 300  # pair events within ±5 minutes
 
 
@@ -344,10 +382,38 @@ QUERIES = {
     "congestion_streaks": congestion_streaks,
     "asof_enrich": asof_enrich,
     "range_pair_counts": range_pair_counts,
+    "gap_fill_hourly": gap_fill_hourly,
     "props_extract": props_extract,
 }
 
 ORACLES = {
+    "gap_fill_hourly": """
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS bucket,
+                   (FLOOR(CAST((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS avg_value
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT user_id, MIN(bucket) AS b_min, MAX(bucket) AS b_max
+            FROM hourly GROUP BY 1
+        ),
+        grid AS (
+            SELECT user_id,
+                   unnest(generate_series(b_min, b_max, INTERVAL 1 HOUR)) AS bucket
+            FROM bounds
+        ),
+        j AS (
+            SELECT g.user_id, g.bucket, h.avg_value
+            FROM grid g LEFT JOIN hourly h
+              ON g.user_id = h.user_id AND g.bucket = h.bucket
+        )
+        SELECT user_id AS sensor_id, bucket,
+               last_value(avg_value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
+               avg_value IS NULL AS is_gap
+        FROM j
+    """,
     "range_pair_counts": """
         SELECT v.user_id,
                CAST(COUNT(*) AS BIGINT) AS n_pairs
