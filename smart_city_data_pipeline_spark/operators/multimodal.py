@@ -132,6 +132,60 @@ def extract_features(frames: DataFrame, batch_size: int = 256) -> DataFrame:
     return frames.select("frame_id", "camera_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
+def crop_payload(frames: DataFrame, max_bytes: int) -> DataFrame:
+    """Byte-level payload crop — pure JVM expression (substring works on
+    binary), no Python boundary: the cheap pre-filter before any decode
+    when only a payload prefix is needed (headers, thumbnails)."""
+    return frames.withColumn(
+        "payload", F.expr(f"substring(payload, 1, {int(max_bytes)})")
+    )
+
+
+def resize_frames(frames: DataFrame, width: int, height: int, batch_size: int = 256) -> DataFrame:
+    """Decode → resize → re-encode via mapInPandas (Arrow-batched).
+
+    Codec seam like :func:`_decode_payload`: with cv2 absent the
+    deterministic fallback subsamples every k-th byte to the target
+    size, keeping the schema contract (payload stays binary, meta is
+    updated) and the Arrow plumbing real.
+    """
+    target = width * height
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for buf in pdf["payload"]:
+                raw = bytes(buf) if buf is not None else b""
+                try:  # pragma: no cover - cv2 absent in this environment
+                    import cv2
+                    import numpy as np
+
+                    arr = cv2.imdecode(np.frombuffer(raw, dtype=np.uint8), cv2.IMREAD_GRAYSCALE)
+                    if arr is None:
+                        raise ValueError("undecodable payload")
+                    out.append(cv2.resize(arr, (width, height)).tobytes())
+                except ImportError:
+                    k = max(1, len(raw) // target) if raw else 1
+                    out.append(raw[::k][:target])
+            res = pdf.copy()
+            res["payload"] = out
+            yield res
+
+    spark = frames.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    base = frames.select("frame_id", "camera_id", "meta", "payload")
+    resized = base.mapInPandas(run, base.schema)
+    return resized.withColumn(
+        "meta",
+        F.struct(
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.col("meta.format").alias("format"),
+            F.col("meta.frame_no").alias("frame_no"),
+        ),
+    )
+
+
 def camera_rollup(features: DataFrame) -> DataFrame:
     """Per-camera feature rollup — the vision job's windowed aggregate."""
     return features.groupBy("camera_id").agg(

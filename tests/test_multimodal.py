@@ -5,8 +5,10 @@ from __future__ import annotations
 
 from smart_city_data_pipeline_spark.operators.multimodal import (
     camera_rollup,
+    crop_payload,
     extract_features,
     frames_features,
+    resize_frames,
     sample_frames,
     synth_frames,
 )
@@ -39,6 +41,28 @@ def test_feature_extraction_deterministic(spark, sf_dir):
     # Deterministic across runs.
     again = {r["frame_id"]: r for r in extract_features(frames).collect()}
     assert again[min(rows)]["mean_intensity"] == r0["mean_intensity"]
+
+
+def test_crop_payload_is_jvm_side(spark, sf_dir):
+    frames = synth_frames(spark, sf_dir).limit(20)
+    cropped = crop_payload(frames, 16)
+    rows = cropped.collect()
+    assert all(len(bytes(r["payload"])) <= 16 for r in rows)
+    # No Python boundary: the plan must not contain a MapInPandas node.
+    assert "MapInPandas" not in cropped._jdf.queryExecution().executedPlan().toString()
+
+
+def test_resize_frames_contract(spark, sf_dir):
+    frames = synth_frames(spark, sf_dir).limit(20)
+    resized = resize_frames(frames, 8, 4)
+    rows = resized.collect()
+    assert resized.schema["payload"].dataType.simpleString() == "binary"
+    for r in rows:
+        assert r["meta"]["width"] == 8 and r["meta"]["height"] == 4
+        assert len(bytes(r["payload"])) <= 8 * 4
+    # Deterministic stub.
+    again = resize_frames(frames, 8, 4).collect()
+    assert sorted(bytes(r["payload"]) for r in rows) == sorted(bytes(r["payload"]) for r in again)
 
 
 def test_camera_rollup_and_query_entry(spark, sf_dir):
