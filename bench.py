@@ -39,6 +39,10 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name, fn in qs.items():
+        # Queries are independent; drop persisted intermediates (LSH
+        # signature tables) so earlier queries' caches don't pressure
+        # later ones.
+        spark.catalog.clearCache()
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()

@@ -96,6 +96,66 @@ def congestion_streaks(stream: DataFrame, threshold: float = CONGESTION_THRESHOL
     )
 
 
+EWMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ]
+)
+
+EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ewma", T.DoubleType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("last_ts_us", T.LongType()),
+    ]
+)
+
+
+def _ewma_fn(alpha: float):
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        ewma, n_seen, last_us = state.get if state.exists else (None, 0, None)
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                v = float(value)
+                ewma = v if ewma is None else alpha * v + (1.0 - alpha) * ewma
+                n_seen += 1
+                last_us = int(pd.Timestamp(ts).value // 1000)
+        state.update((ewma, n_seen, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "ewma": [ewma],
+                "n_seen": [n_seen],
+                "last_ts": [pd.Timestamp(last_us * 1000) if last_us is not None else pd.NaT],
+            }
+        )
+
+    return update
+
+
+def ewma_stream(stream: DataFrame, alpha: float = 0.2) -> DataFrame:
+    """Exponentially-weighted moving average per sensor — an inherently
+    RECURSIVE aggregate (y_t = a*x_t + (1-a)*y_{t-1}) that no window
+    function expresses; keyed state via applyInPandasWithState is the
+    Spark-native home for it. State per key is three scalars."""
+    return (
+        stream.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _ewma_fn(alpha),
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def batch_equivalent_streaks(df: DataFrame, threshold: float = CONGESTION_THRESHOLD) -> DataFrame:
     """Batch oracle: trailing run-length of over-threshold readings per sensor.
 

@@ -114,6 +114,38 @@ def test_stateful_streaks_match_batch(spark, sf_dir, tmp_path):
     assert norm(final) == norm(want)
 
 
+def test_ewma_stream_matches_pandas(spark, sf_dir, tmp_path):
+    from smart_city_data_pipeline_spark.streaming.stateful import ewma_stream
+
+    ev, stream = _events_stream(spark, sf_dir, tmp_path)
+    q = (
+        ewma_stream(stream, alpha=0.2)
+        .writeStream.format("memory")
+        .queryName("ewma")
+        .option("checkpointLocation", str(tmp_path / "ewma_ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    final = (
+        spark.table("ewma")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_seen", "ewma", "last_ts")).alias("s"))
+        .select("user_id", "s.ewma", "s.n_seen")
+    )
+    got = {r["user_id"]: r for r in final.collect()}
+    # pandas oracle
+    pdf = ev.select("user_id", "ts", "event_id", "value").toPandas()
+    for user_id, grp in pdf.sort_values(["ts"]).groupby("user_id"):
+        ewma = None
+        for v in grp["value"]:
+            ewma = float(v) if ewma is None else 0.2 * float(v) + 0.8 * ewma
+        g = got[user_id]
+        assert g["n_seen"] == len(grp)
+        assert abs(g["ewma"] - ewma) < 1e-9, user_id
+
+
 def test_streaming_dedup_drops_redeliveries(spark, sf_dir, tmp_path):
     """An at-least-once source (every event delivered twice) comes out
     exactly-once after dropDuplicatesWithinWatermark."""
