@@ -39,12 +39,12 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name, fn in qs.items():
-        # Queries are independent; drop persisted intermediates (LSH
-        # signature tables) so earlier queries' caches don't pressure
-        # later ones.
-        spark.catalog.clearCache()
         best = float("inf")
         for _ in range(runs):
+            # Drop persisted intermediates BETWEEN RUNS TOO: queries that
+            # persist() (LSH signatures) would otherwise serve run 2 from
+            # the already-materialized cache and under-report the work.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

@@ -78,12 +78,25 @@ def sample_frames(frames: DataFrame, every_k: int = 10) -> DataFrame:
     return frames.where(F.col("meta.frame_no") % every_k == 0)
 
 
+def _fallback_stats(buf: bytes) -> tuple[float, list[int]]:
+    """Deterministic payload statistics — the stub 'decode'."""
+    if not buf:
+        return 0.0, [0, 0, 0, 0]
+    histo = [0, 0, 0, 0]
+    total = 0
+    for b in buf:
+        histo[b >> 6] += 1
+        total += b
+    return total / len(buf), histo
+
+
 def _decode_payload(buf: bytes) -> tuple[float, list[int]]:
     """Codec seam. Real decode would go through cv2/PIL here.
 
-    This container ships neither, so we fall back to deterministic
-    payload statistics (mean byte value + first-4-bucket byte histogram),
-    which keeps the Arrow plumbing and the downstream schema honest.
+    This container ships neither; and even with cv2 present the
+    synthetic payloads are not images, so ANY decode failure (missing
+    lib or undecodable bytes) falls back to deterministic payload
+    statistics, keeping the Arrow plumbing and schema honest everywhere.
     """
     try:  # pragma: no cover - cv2 absent in this environment
         import cv2  # noqa: F401
@@ -94,19 +107,18 @@ def _decode_payload(buf: bytes) -> tuple[float, list[int]]:
             raise ValueError("undecodable payload")
         histo = np.histogram(arr, bins=4, range=(0, 256))[0]
         return float(arr.mean()), [int(x) for x in histo]
-    except ImportError:
-        if not buf:
-            return 0.0, [0, 0, 0, 0]
-        histo = [0, 0, 0, 0]
-        total = 0
-        for b in buf:
-            histo[b >> 6] += 1
-            total += b
-        return total / len(buf), histo
+    except (ImportError, ValueError):
+        return _fallback_stats(buf)
 
 
-def extract_features(frames: DataFrame, batch_size: int = 256) -> DataFrame:
-    """Decode + feature-extract via mapInPandas (Arrow-batched)."""
+def extract_features(frames: DataFrame) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow-batched).
+
+    Batch memory is bounded by the session's
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` (set it per cluster
+    for large payloads) — never mutated here: a query must not change
+    session-global execution config as a side effect.
+    """
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -127,8 +139,6 @@ def extract_features(frames: DataFrame, batch_size: int = 256) -> DataFrame:
                 }
             )
 
-    spark = frames.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
     return frames.select("frame_id", "camera_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
@@ -141,7 +151,7 @@ def crop_payload(frames: DataFrame, max_bytes: int) -> DataFrame:
     )
 
 
-def resize_frames(frames: DataFrame, width: int, height: int, batch_size: int = 256) -> DataFrame:
+def resize_frames(frames: DataFrame, width: int, height: int) -> DataFrame:
     """Decode → resize → re-encode via mapInPandas (Arrow-batched).
 
     Codec seam like :func:`_decode_payload`: with cv2 absent the
@@ -164,15 +174,13 @@ def resize_frames(frames: DataFrame, width: int, height: int, batch_size: int = 
                     if arr is None:
                         raise ValueError("undecodable payload")
                     out.append(cv2.resize(arr, (width, height)).tobytes())
-                except ImportError:
+                except (ImportError, ValueError):
                     k = max(1, len(raw) // target) if raw else 1
                     out.append(raw[::k][:target])
             res = pdf.copy()
             res["payload"] = out
             yield res
 
-    spark = frames.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
     base = frames.select("frame_id", "camera_id", "meta", "payload")
     resized = base.mapInPandas(run, base.schema)
     return resized.withColumn(

@@ -57,8 +57,11 @@ def _streak_fn(threshold: float):
             streak, start_us, last_us = state.get
         else:
             streak, start_us, last_us = 0, None, None
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
+        # A key's rows can arrive as SEVERAL Arrow chunks per micro-batch;
+        # order is only meaningful after concatenating the whole group.
+        chunks = [pdf for pdf in pdfs]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("ts", kind="stable")
             for ts, value in zip(pdf["ts"], pdf["value"]):
                 ts_us = int(pd.Timestamp(ts).value // 1000)
                 if value > threshold:
@@ -118,8 +121,9 @@ def _ewma_fn(alpha: float):
     def update(key, pdfs, state: GroupState):
         (user_id,) = key
         ewma, n_seen, last_us = state.get if state.exists else (None, 0, None)
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
+        chunks = [pdf for pdf in pdfs]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("ts", kind="stable")
             for ts, value in zip(pdf["ts"], pdf["value"]):
                 v = float(value)
                 ewma = v if ewma is None else alpha * v + (1.0 - alpha) * ewma
@@ -165,9 +169,11 @@ def batch_equivalent_streaks(df: DataFrame, threshold: float = CONGESTION_THRESH
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    w = Window.partitionBy("user_id").orderBy("ts")
+    # event_id tie-break → ROWS-frame semantics; ts alone gives a RANGE
+    # frame where tied timestamps are peers and the running sum diverges.
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = df.select(
-        "user_id", "ts", (F.col("value") > threshold).cast("int").alias("over")
+        "user_id", "ts", "event_id", (F.col("value") > threshold).cast("int").alias("over")
     ).withColumn("grp", F.sum((F.col("over") == 0).cast("int")).over(w))
     # Rows in the trailing island (over=1 after the last reset) form the streak.
     last = flagged.groupBy("user_id").agg(

@@ -37,7 +37,7 @@ def _drain(stream_df, tmp_path, name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in time"
     return out
 
 
@@ -59,7 +59,7 @@ def test_windowed_counts_match_batch(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in time"
     got = spark.table("win_complete")
     want = batch_equivalent_zone_counts(ev)
     assert _norm_windows(got) == _norm_windows(want)
@@ -98,7 +98,7 @@ def test_stateful_streaks_match_batch(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not drain in time"
     # update mode: keep the final row per sensor.
     final = (
         spark.table("streaks")
@@ -127,7 +127,7 @@ def test_ewma_stream_matches_pandas(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not drain in time"
     final = (
         spark.table("ewma")
         .groupBy("user_id")
@@ -165,6 +165,6 @@ def test_stream_to_partitioned_lake(spark, sf_dir, tmp_path):
     ev, stream = _events_stream(spark, sf_dir, tmp_path)
     out = str(tmp_path / "lake")
     q = stream_to_lake(stream, out, str(tmp_path / "lake_ckpt"))
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in time"
     assert glob.glob(f"{out}/year=*/month=*/day=*/hour=*/*.parquet")
     assert spark.read.parquet(out).count() == ev.count()
