@@ -46,7 +46,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def spread(df: DataFrame, *by: str) -> DataFrame:
+# Split-count probe results per (source key, parallelism): the probe
+# (df.rdd.getNumPartitions()) costs a full physical-planning pass, and
+# the answer is a property of the underlying FILES, not of the filters
+# applied on top — so one probe per source table per session suffices.
+_SPREAD_CACHE: dict[tuple[str, int], bool] = {}
+
+
+def spread(df: DataFrame, *by: str, key: str | None = None) -> DataFrame:
     """Ensure CPU-heavy downstream work can use every core.
 
     Parquet scans parallelize by file/row-group split; a single-row-group
@@ -56,10 +63,20 @@ def spread(df: DataFrame, *by: str) -> DataFrame:
     parallelism this is a NO-OP — at 100 TB inputs arrive in thousands of
     splits and no extra exchange is added. Only pathological inputs pay
     one cheap round-robin/hash exchange of the raw rows.
+
+    Pass ``key`` (e.g. ``f"{sf_dir}:lineitem"``) to memoize the probe per
+    source table instead of re-planning on every query construction.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(2, target // 2):
+    ck = (key, target) if key is not None else None
+    if ck is not None and ck in _SPREAD_CACHE:
+        needs_spread = _SPREAD_CACHE[ck]
+    else:
+        needs_spread = df.rdd.getNumPartitions() < max(2, target // 2)
+        if ck is not None:
+            _SPREAD_CACHE[ck] = needs_spread
+    if not needs_spread:
         return df
     from pyspark.sql import functions as F
 

@@ -91,7 +91,7 @@ _SHINGLES_SQL = (
 
 def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, hs): one 60-bit hash per distinct shingle."""
-    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents")
     return docs.select(
         F.col("doc_id"), F.explode(_shingles(F.col("text"))).alias("shingle")
     ).select(F.col("doc_id"), md5_long(F.col("shingle")).alias("hs"))
@@ -105,7 +105,7 @@ _HASHED_SHINGLES_SQL = f"""
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: min doc_id per identical text is canonical."""
-    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents")
     canon = (
         docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
         .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
@@ -214,7 +214,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the weighted ±tf per distinct token, so no (doc, token) pre-agg
     and only one shuffle, keyed by doc_id.
     """
-    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents")
     tok = docs.select(
         "doc_id", F.explode(_ws_tokens(F.col("text"))).alias("token")
     ).select("doc_id", md5_long(F.col("token")).alias("h"))
@@ -249,7 +249,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Norms are precomputed per vector (narrow), so each candidate pair
     costs one dot product instead of three array folds.
     """
-    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id").select(
+    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings").select(
         "vec_id",
         "label",
         "embedding",
@@ -303,7 +303,7 @@ def embedding_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora widen the bands (more bits per band → smaller buckets) and
     add bands to keep recall.
     """
-    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id")
+    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings")
     bits = []
     for plane in _SRP_PLANES:
         harr = F.array(*[F.lit(w) for w in plane])

@@ -27,7 +27,7 @@ TOP_K = 5
 
 def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k neighbors for each probe (full-scan baseline)."""
-    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id")
+    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings")
     probes = emb.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
     )
@@ -52,7 +52,7 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-pruned top-k: probes only scan their own label cell."""
-    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id")
+    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings")
     probes = emb.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"),
         F.col("label").alias("probe_label"),

@@ -48,7 +48,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         # spread AFTER the filter: pushdown reaches the scan, then the
         # decimal-heavy partial aggregation fans out across all cores.
-        spread(li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")))
+        spread(li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")), key=f"{sf_dir}:lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _money(_dec("l_quantity"), "sum_qty"),
@@ -75,7 +75,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Hash-spread on the join key: the exchange satisfies the join's
     # required distribution, so it adds parallelism without an extra
     # shuffle stage.
-    li = spread(li, "l_orderkey")
+    li = spread(li, "l_orderkey", key=f"{sf_dir}:lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         # customer is the small filtered side — broadcast it.
@@ -98,7 +98,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
-    li = spread(table(spark, sf_dir, "lineitem"), "l_orderkey")
+    li = spread(table(spark, sf_dir, "lineitem"), "l_orderkey", key=f"{sf_dir}:lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -116,7 +116,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = table(spark, sf_dir, "region")
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders")
-    li = spread(table(spark, sf_dir, "lineitem"), "l_orderkey")
+    li = spread(table(spark, sf_dir, "lineitem"), "l_orderkey", key=f"{sf_dir}:lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -136,7 +136,7 @@ def big_spender_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
     big = (
-        spread(li, "l_orderkey").groupBy("l_orderkey")
+        spread(li, "l_orderkey", key=f"{sf_dir}:lineitem").groupBy("l_orderkey")
         .agg(F.sum(_dec("l_quantity")).alias("qty_dec"))
         .filter(F.col("qty_dec") > 150)
     )
@@ -203,7 +203,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = table(spark, sf_dir, "supplier")
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders")
-    li = spread(table(spark, sf_dir, "lineitem"), "l_orderkey").filter(
+    li = spread(table(spark, sf_dir, "lineitem"), "l_orderkey", key=f"{sf_dir}:lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
@@ -232,7 +232,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
-    li = spread(table(spark, sf_dir, "lineitem"), "l_orderkey").filter(
+    li = spread(table(spark, sf_dir, "lineitem"), "l_orderkey", key=f"{sf_dir}:lineitem").filter(
         F.col("l_returnflag") == "R"
     )
     return (
