@@ -166,6 +166,21 @@ def zone_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dataset_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch job's closing processing summary
+    (``traffic_batch_processing.py:131-134``): totals, distinct
+    entities, time range — one aggregate pass instead of the
+    reference's four separate actions."""
+    ev = table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("total_events"),
+        F.countDistinct("user_id").alias("unique_sensors"),
+        F.countDistinct("event_type").alias("unique_types"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+    )
+
+
 QUERIES = {
     "congestion_classify": congestion_classify,
     "zone_analytics": zone_analytics,
@@ -175,6 +190,7 @@ QUERIES = {
     "air_quality_zone": air_quality_zone,
     "parking_status": parking_status_q,
     "zone_sketch_stats": zone_sketch_stats,
+    "dataset_summary": dataset_summary,
 }
 
 ORACLES = {
@@ -220,6 +236,14 @@ ORACLES = {
                (FLOOR(CAST((value) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS pm25,
                {aqi_value_sql('value')} AS aqi,
                {aqi_category_sql('value')} AS aqi_category
+        FROM events
+    """,
+    "dataset_summary": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS total_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_sensors,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS unique_types,
+               MIN(ts) AS ts_min,
+               MAX(ts) AS ts_max
         FROM events
     """,
     "air_quality_zone": f"""
