@@ -122,11 +122,30 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, df_cap: int | None = None
+) -> DataFrame:
     """Exact 3-gram Jaccard ≥ threshold via inverted-index self-join
-    on hashed shingles."""
+    on hashed shingles.
+
+    ``df_cap`` is the production knob: shingles appearing in more than
+    df_cap documents are dropped from the INDEX side (stop-shingles
+    contribute candidate-pair blowup quadratic in their document
+    frequency while barely affecting near-dup Jaccard). Sizes are still
+    computed over ALL shingles, so with a cap the measure becomes a
+    lower bound — on this corpus no shingle exceeds a modest cap and
+    results are identical (pytest-asserted); the oracle runs uncapped.
+    """
     sh = _hashed_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if df_cap is not None:
+        rare = (
+            sh.groupBy("hs")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("hs")
+        )
+        sh = sh.join(F.broadcast(rare), "hs", "left_semi")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (

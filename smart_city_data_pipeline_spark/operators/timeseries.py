@@ -359,6 +359,26 @@ def congestion_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def top_sensors_per_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-per-group report: top-3 sensors by total reading within each
+    zone — dense window over (zone) partitions, exact-decimal totals.
+    The per-zone partition is low-cardinality but the pre-aggregation to
+    (zone, sensor) shrinks input to one row per pair before the window,
+    so the window never sees raw events."""
+    ev = table(spark, sf_dir, "events")
+    per = ev.groupBy(
+        F.col("event_type").alias("zone"), F.col("user_id").alias("sensor_id")
+    ).agg(pround(sum_exact(F.col("value"))).alias("total_value"))
+    w = Window.partitionBy("zone").orderBy(
+        F.col("total_value").desc(), F.col("sensor_id").asc()
+    )
+    return (
+        per.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("zone", F.col("rank").cast("int").alias("rank"), "sensor_id", "total_value")
+    )
+
+
 def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unwrap the raw JSON payload column (the collectors' envelope
     unwrap, ``setup_smart_city_hive.hql`` nested-struct access)."""
@@ -383,10 +403,24 @@ QUERIES = {
     "asof_enrich": asof_enrich,
     "range_pair_counts": range_pair_counts,
     "gap_fill_hourly": gap_fill_hourly,
+    "top_sensors_per_zone": top_sensors_per_zone,
     "props_extract": props_extract,
 }
 
 ORACLES = {
+    "top_sensors_per_zone": """
+        WITH per AS (
+            SELECT event_type AS zone, user_id AS sensor_id,
+                   (FLOOR(CAST((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS total_value
+            FROM events GROUP BY 1, 2
+        )
+        SELECT zone, CAST(rank AS INT) AS rank, sensor_id, total_value
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY zone ORDER BY total_value DESC, sensor_id ASC) AS rank
+            FROM per
+        ) WHERE rank <= 3
+    """,
     "gap_fill_hourly": """
         WITH hourly AS (
             SELECT user_id, date_trunc('hour', ts) AS bucket,
