@@ -161,6 +161,49 @@ def test_streaming_dedup_drops_redeliveries(spark, sf_dir, tmp_path):
     assert got.select("event_id").distinct().count() == ev.count()
 
 
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    from smart_city_data_pipeline_spark.streaming.joins import (
+        batch_equivalent_correlate,
+        correlate_streams,
+    )
+
+    ev, stream = _events_stream(spark, sf_dir, tmp_path)
+    lv = stream.filter(F.col("event_type") == "view")
+    rv = stream.filter(F.col("event_type") == "error")
+    out = _drain(correlate_streams(lv, rv), tmp_path, "ssjoin")
+    got = spark.read.parquet(out)
+    want = batch_equivalent_correlate(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "error"),
+    )
+    norm = lambda df: sorted(map(tuple, df.select(sorted(df.columns)).collect()))
+    assert norm(got) == norm(want)
+    assert got.count() > 0  # non-vacuous
+
+
+def test_foreachbatch_warehouse_sink(spark, sf_dir, tmp_path):
+    from smart_city_data_pipeline_spark.streaming.warehouse_sink import stream_to_warehouse
+
+    ev, stream = _events_stream(spark, sf_dir, tmp_path)
+    out = str(tmp_path / "wh")
+    seen_batches = []
+
+    def writer(df, batch_id):
+        seen_batches.append(batch_id)
+        df.write.mode("append").parquet(out)
+
+    q = stream_to_warehouse(
+        stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")),
+        writer,
+        str(tmp_path / "wh_ckpt"),
+    )
+    assert q.awaitTermination(120), "stream did not drain in time"
+    assert seen_batches  # the batch writer actually ran with batch ids
+    got = {r["event_type"]: r["n"] for r in spark.read.parquet(out).collect()}
+    want = {r["event_type"]: r["n"] for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want
+
+
 def test_stream_to_partitioned_lake(spark, sf_dir, tmp_path):
     ev, stream = _events_stream(spark, sf_dir, tmp_path)
     out = str(tmp_path / "lake")
