@@ -274,6 +274,44 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style: how many customers placed k orders (k incl. 0).
+
+    LEFT join so order-less customers count at k=0; two
+    map-side-combinable aggregates, no distinct."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style: revenue from lineitems whose quantity is below
+    20% of their part's average quantity.
+
+    The correlated scalar avg becomes a per-part aggregate broadcast
+    back onto the fact; the avg comparison is EXACTIFIED by multiplying
+    through (5*qty*cnt < sum) so no double division can flip a boundary
+    row between engines."""
+    li = spread(table(spark, sf_dir, "lineitem"), "l_partkey", key=f"{sf_dir}:lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        F.sum(_dec("l_quantity")).alias("qty_sum"),
+        F.count(F.lit(1)).alias("qty_cnt"),
+    )
+    joined = li.join(F.broadcast(per_part), li.l_partkey == F.col("p_key"))
+    # l_quantity < 0.2 * (qty_sum / qty_cnt)  <=>  5*qty*cnt < sum  (exact)
+    small = joined.filter(
+        _dec("l_quantity") * 5 * F.col("qty_cnt") < F.col("qty_sum")
+    )
+    return small.agg(
+        pround((F.sum(_dec("l_extendedprice")) / F.lit(7)).cast("double")).alias("avg_yearly")
+    )
+
+
 _DISC_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 _CHARGE_SQL = f"({_DISC_SQL}) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))"
 
@@ -287,6 +325,8 @@ QUERIES = {
     "order_priority_count": order_priority_count,
     "q7_volume_shipping": q7_volume_shipping,
     "q10_returned_items": q10_returned_items,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
 }
 
@@ -398,6 +438,26 @@ ORACLES = {
         GROUP BY 1, 2, 3, 4
         ORDER BY revenue DESC, c_custkey ASC
         LIMIT 20
+    """,
+    "q13_customer_distribution": """
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM (
+            SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY 1
+        )
+        GROUP BY 1
+    """,
+    "q17_small_quantity_revenue": """
+        WITH per_part AS (
+            SELECT l_partkey AS p_key,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sum,
+                   COUNT(*) AS qty_cnt
+            FROM lineitem GROUP BY 1
+        )
+        SELECT (FLOOR(CAST((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / 7 AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS avg_yearly
+        FROM lineitem JOIN per_part ON l_partkey = p_key
+        WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * qty_cnt < qty_sum
     """,
     "q22_global_sales_opportunity": f"""
         WITH stats AS (
