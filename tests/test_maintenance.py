@@ -1,0 +1,58 @@
+"""Lake maintenance tests: latest-wins upsert round-trips, compaction
+reduces file counts without changing data."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from smart_city_data_pipeline_spark.catalog import table
+from smart_city_data_pipeline_spark.sources.maintenance import compact_lake, upsert_latest
+
+
+def test_upsert_latest_keeps_newest(spark, sf_dir, tmp_path):
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    path = str(tmp_path / "metrics")
+    old = ev.filter(F.dayofmonth("ts") <= 15)
+    new = ev.filter(F.dayofmonth("ts") > 15)
+
+    upsert_latest(spark, path, old, ["user_id"])
+    first = {r["user_id"]: r["ts"] for r in spark.read.parquet(path).collect()}
+    upsert_latest(spark, path, new, ["user_id"])
+    got = {r["user_id"]: r["ts"] for r in spark.read.parquet(path).collect()}
+
+    want = {
+        r["user_id"]: r["mts"]
+        for r in ev.groupBy("user_id").agg(F.max("ts").alias("mts")).collect()
+    }
+    assert got == want
+    assert len(first) <= len(got)
+    # One row per key (upsert, not append).
+    assert spark.read.parquet(path).count() == len(want)
+
+
+def test_compact_lake_reduces_files(spark, sf_dir, tmp_path):
+    ev = table(spark, sf_dir, "events")
+    path = str(tmp_path / "lake")
+    # Simulate a small-file mess: 8 files per day partition.
+    (
+        ev.withColumn("day", F.dayofmonth("ts"))
+        .repartition(8)
+        .write.partitionBy("day")
+        .parquet(path)
+    )
+    before = len(glob.glob(f"{path}/day=*/*.parquet"))
+    rows_before = sorted(map(tuple, spark.read.parquet(path).drop("day").collect()))
+
+    compact_lake(spark, path, ["day"])
+
+    after_files = glob.glob(f"{path}/day=*/*.parquet")
+    per_dir: dict[str, int] = {}
+    for f in after_files:
+        d = f.rsplit("/", 1)[0]
+        per_dir[d] = per_dir.get(d, 0) + 1
+    assert max(per_dir.values()) == 1  # one file per partition dir
+    assert len(after_files) < before
+    rows_after = sorted(map(tuple, spark.read.parquet(path).drop("day").collect()))
+    assert rows_after == rows_before
