@@ -379,6 +379,25 @@ def top_sensors_per_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: daily × event-type count matrix.
+
+    The pivot value list is EXPLICIT — with it, Spark skips the extra
+    distinct-values job and the plan is a single map-side-combinable
+    aggregate with one output column per type (the only scale-safe way
+    to pivot: never pivot on an unbounded-cardinality column)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
 def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unwrap the raw JSON payload column (the collectors' envelope
     unwrap, ``setup_smart_city_hive.hql`` nested-struct access)."""
@@ -404,10 +423,21 @@ QUERIES = {
     "range_pair_counts": range_pair_counts,
     "gap_fill_hourly": gap_fill_hourly,
     "top_sensors_per_zone": top_sensors_per_zone,
+    "daily_type_pivot": daily_type_pivot,
     "props_extract": props_extract,
 }
 
 ORACLES = {
+    "daily_type_pivot": """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        FROM events
+        GROUP BY 1
+    """,
     "top_sensors_per_zone": """
         WITH per AS (
             SELECT event_type AS zone, user_id AS sensor_id,
