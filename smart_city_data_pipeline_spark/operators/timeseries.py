@@ -398,6 +398,34 @@ def daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zone_dow_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: (zone, weekday) detail + per-zone subtotals
+    + grand total in ONE aggregate pass — Spark expands grouping sets
+    inside the hash aggregate (an Expand node), so subtotals cost one
+    extra partial-agg row per input row, not extra scans."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.col("event_type").alias("zone"),
+            F.date_format("ts", "EEEE").alias("dow"),
+            "value",
+        )
+        .rollup("zone", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(sum_exact(F.col("value"))).alias("total_value"),
+        )
+        # Subtotal rows get an explicit sentinel (source keys are never
+        # null here), keeping the output orderable/comparable.
+        .select(
+            F.coalesce("zone", F.lit("ALL")).alias("zone"),
+            F.coalesce("dow", F.lit("ALL")).alias("dow"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unwrap the raw JSON payload column (the collectors' envelope
     unwrap, ``setup_smart_city_hive.hql`` nested-struct access)."""
@@ -424,6 +452,7 @@ QUERIES = {
     "gap_fill_hourly": gap_fill_hourly,
     "top_sensors_per_zone": top_sensors_per_zone,
     "daily_type_pivot": daily_type_pivot,
+    "zone_dow_rollup": zone_dow_rollup,
     "props_extract": props_extract,
 }
 
@@ -437,6 +466,14 @@ ORACLES = {
                CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         FROM events
         GROUP BY 1
+    """,
+    "zone_dow_rollup": """
+        SELECT COALESCE(event_type, 'ALL') AS zone,
+               COALESCE(dayname(ts), 'ALL') AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               (FLOOR(CAST((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS total_value
+        FROM events
+        GROUP BY ROLLUP(event_type, dayname(ts))
     """,
     "top_sensors_per_zone": """
         WITH per AS (
