@@ -369,6 +369,44 @@ def embedding_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LEVENSHTEIN_MAX_DIST = 20
+_PREFIX_LEN = 12
+
+
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup: candidate pairs share a normalized-text
+    prefix block, verified by levenshtein <= threshold.
+
+    Prefix blocking is the classic cheap blocker for typo-level dups
+    (near-identical docs rarely differ in the first characters); the
+    equi-join on the block key bounds the pair count, and levenshtein —
+    O(len^2) per pair — only runs inside blocks. Both engines implement
+    the same standard edit distance, so the oracle is exact.
+    """
+    from smart_city_data_pipeline_spark.functions.text import normalized_text
+
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents")
+    norm = docs.select(
+        "doc_id",
+        normalized_text(F.col("text")).alias("norm"),
+    ).withColumn("block", F.substring("norm", 1, _PREFIX_LEN))
+    a, b = norm.alias("a"), norm.alias("b")
+    dist = F.levenshtein(F.col("a.norm"), F.col("b.norm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(dist <= LEVENSHTEIN_MAX_DIST)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- oracles
 
 _SIG_COLS_SQL = ",\n               ".join(
@@ -406,6 +444,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "embedding_neardup": embedding_neardup,
     "embedding_srp_lsh": embedding_srp_lsh,
+    "dedup_levenshtein": dedup_levenshtein,
 }
 
 ORACLES = {
@@ -511,5 +550,20 @@ ORACLES = {
         JOIN bands sa ON vec_a = sa.vec_id
         JOIN bands sb ON vec_b = sb.vec_id
         WHERE {dot_sql('sa.embedding', 'sb.embedding')} / (sa.nrm * sb.nrm) >= {COSINE_NEARDUP_THRESHOLD}
+    """,
+    "dedup_levenshtein": """
+        WITH norm AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+            FROM documents
+        ),
+        blocked AS (
+            SELECT doc_id, norm, substr(norm, 1, 12) AS block FROM norm
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(a.norm, b.norm) AS INT) AS edit_dist
+        FROM blocked a JOIN blocked b
+          ON a.block = b.block AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.norm, b.norm) <= 20
     """,
 }

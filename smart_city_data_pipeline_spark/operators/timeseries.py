@@ -426,6 +426,18 @@ def zone_dow_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def melt_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the day × type matrix back to long form —
+    `stack()` is a generator expression, so the wide→long reshape is a
+    pure projection (no shuffle beyond the pivot's own aggregate)."""
+    wide = daily_type_pivot(spark, sf_dir)
+    stack_expr = "stack({n}, {args}) as (event_type, n_events)".format(
+        n=len(EVENT_TYPES),
+        args=", ".join(f"'{t}', {t}" for t in EVENT_TYPES),
+    )
+    return wide.select("day", F.expr(stack_expr)).filter(F.col("n_events") > 0)
+
+
 def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unwrap the raw JSON payload column (the collectors' envelope
     unwrap, ``setup_smart_city_hive.hql`` nested-struct access)."""
@@ -453,6 +465,7 @@ QUERIES = {
     "top_sensors_per_zone": top_sensors_per_zone,
     "daily_type_pivot": daily_type_pivot,
     "zone_dow_rollup": zone_dow_rollup,
+    "melt_type_counts": melt_type_counts,
     "props_extract": props_extract,
 }
 
@@ -466,6 +479,13 @@ ORACLES = {
                CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         FROM events
         GROUP BY 1
+    """,
+    "melt_type_counts": """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY 1, 2
     """,
     "zone_dow_rollup": """
         SELECT COALESCE(event_type, 'ALL') AS zone,
