@@ -145,7 +145,8 @@ def dedup_ngram_jaccard(
             .filter(F.col("df") <= df_cap)
             .select("hs")
         )
-        sh = sh.join(F.broadcast(rare), "hs", "left_semi")
+        # rare has one row per distinct shingle — corpus-scaled, no hint.
+        sh = sh.join(rare, "hs", "left_semi")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -156,9 +157,12 @@ def dedup_ngram_jaccard(
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("n_inter") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter"))
+    # sizes has one row per DOCUMENT — it grows with the corpus, so no
+    # broadcast hint: at 100 TB it must shuffle-join (AQE still picks a
+    # broadcast at test scale where it fits under the threshold).
     return (
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= JACCARD_THRESHOLD)
         .select(F.col("doc_a"), F.col("doc_b"), pround(jac).alias("jaccard"))
     )
@@ -192,15 +196,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole search is a single keyed shuffle regardless of band count.
     The wide m0..m15 signature rides along both join sides, so
     verification is a projection (no lookup join back to signatures).
-    Signatures persist because both join sides reference them (~200 B/doc
-    — trivially cacheable at any corpus size).
+    Both self-join sides are the IDENTICAL subplan, so Spark's
+    ReuseExchange rule computes the signature shuffle once and feeds
+    both sides from it — no persist() needed (an explicit cache would
+    outlive the query and leak executor storage for the session).
     """
     sig = _minhash_sig_wide(spark, sf_dir).select("doc_id", *[F.col(f"m{i}") for i in range(N_MINHASH)])
     bands = sig.select(
         "doc_id",
         *[F.col(f"m{i}") for i in range(N_MINHASH)],
         F.posexplode(F.array(*_band_cols())).alias("band_idx", "band_hash"),
-    ).persist()
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -321,6 +327,14 @@ def embedding_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets, no O(n²)), then verify exact cosine ≥ threshold. At larger
     corpora widen the bands (more bits per band → smaller buckets) and
     add bands to keep recall.
+
+    Banding is ONE posexplode to (vec, band_idx, band_val) rows and ONE
+    self-equi-join on (band_idx, band_val) — same shape as the MinHash
+    LSH. The explicit repartition on the join keys puts the expensive
+    16-projection signature computation BELOW a shuffle that both
+    self-join sides share (ReuseExchange), so signatures are computed
+    once per vector with no persist() (which would leak session-lifetime
+    cache) and the join itself needs no further exchange.
     """
     emb = spread(table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings")
     bits = []
@@ -337,32 +351,33 @@ def embedding_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
         F.concat(*bits).alias("sig"),
-    ).select(
+    )
+    bands = sig.select(
         "vec_id",
         "embedding",
         "nrm",
-        F.substring("sig", 1, 8).alias("band0"),
-        F.substring("sig", 9, 8).alias("band1"),
-    ).persist()
-    a, b = sig.alias("a"), sig.alias("b")
-    cand = functools.reduce(
-        DataFrame.unionAll,
-        [
-            a.join(
-                b,
-                (F.col(f"a.band{j}") == F.col(f"b.band{j}"))
-                & (F.col("a.vec_id") < F.col("b.vec_id")),
-            ).select(
-                F.col("a.vec_id").alias("vec_a"),
-                F.col("b.vec_id").alias("vec_b"),
-                F.col("a.embedding").alias("ea"),
-                F.col("b.embedding").alias("eb"),
-                F.col("a.nrm").alias("na"),
-                F.col("b.nrm").alias("nb"),
-            )
-            for j in range(2)
-        ],
-    ).dropDuplicates(["vec_a", "vec_b"])
+        F.posexplode(
+            F.array(F.substring("sig", 1, 8), F.substring("sig", 9, 8))
+        ).alias("band_idx", "band_val"),
+    ).repartition("band_idx", "band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.embedding").alias("ea"),
+            F.col("b.embedding").alias("eb"),
+            F.col("a.nrm").alias("na"),
+            F.col("b.nrm").alias("nb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
     cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return cand.filter(cos >= COSINE_NEARDUP_THRESHOLD).select(
         "vec_a", "vec_b", pround(cos).alias("cos_sim")
@@ -373,7 +388,9 @@ LEVENSHTEIN_MAX_DIST = 20
 _PREFIX_LEN = 12
 
 
-def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_levenshtein(
+    spark: SparkSession, sf_dir: str, block_cap: int | None = None
+) -> DataFrame:
     """Edit-distance near-dup: candidate pairs share a normalized-text
     prefix block, verified by levenshtein <= threshold.
 
@@ -382,6 +399,14 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the block key bounds the pair count, and levenshtein —
     O(len^2) per pair — only runs inside blocks. Both engines implement
     the same standard edit distance, so the oracle is exact.
+
+    ``block_cap`` is the production guard against boilerplate-heavy
+    corpora (license headers, templated pages) where one shared prefix
+    collects thousands of documents and the within-block self-join goes
+    quadratic: blocks with more than ``block_cap`` members are dropped
+    entirely (df_cap-style). On this corpus no block exceeds a modest
+    cap, so results are identical (pytest-asserted) and the oracle runs
+    uncapped.
     """
     from smart_city_data_pipeline_spark.functions.text import normalized_text
 
@@ -390,6 +415,16 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         normalized_text(F.col("text")).alias("norm"),
     ).withColumn("block", F.substring("norm", 1, _PREFIX_LEN))
+    if block_cap is not None:
+        small = (
+            norm.groupBy("block")
+            .agg(F.count(F.lit(1)).alias("bn"))
+            .filter(F.col("bn") <= block_cap)
+            .select("block")
+        )
+        # semi-join, no broadcast hint: the block-key list grows with the
+        # corpus; AQE broadcasts it when it fits.
+        norm = norm.join(small, "block", "left_semi")
     a, b = norm.alias("a"), norm.alias("b")
     dist = F.levenshtein(F.col("a.norm"), F.col("b.norm"))
     return (

@@ -8,10 +8,15 @@ EXACT and engine-portable (double summation order differs between
 engines and even between Spark runs due to partial-agg ordering); the
 final cast to double + round(4) happens only on the exact decimal.
 
-Scale notes: dims (region, nation, supplier, and the probe sides of
-semi-joins) are broadcast — no shuffle of the fact table for dim
-enrichment. Fact-fact joins (orders⋈lineitem) shuffle on the join key
-once; AQE handles skew. Top-N uses orderBy+limit which compiles to
+Scale notes: broadcast hints are reserved for genuinely BOUNDED sides
+— region (5 rows), nation (25 rows), 1-row scalar aggregates, and
+post-HAVING filters whose output is provably tiny. Tables that grow
+with scale factor (customer, supplier, part, per-key aggregates of the
+fact table) carry NO forced hint: at sf0.1 AQE still picks a broadcast
+join via autoBroadcastJoinThreshold, while at 100 TB the same plan
+degrades gracefully to a shuffle hash join instead of an executor OOM.
+Fact-fact joins (orders⋈lineitem) shuffle on the join key once; AQE
+handles skew. Top-N uses orderBy+limit which compiles to
 TakeOrderedAndProject (per-partition heap, no global sort).
 """
 
@@ -78,8 +83,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spread(li, "l_orderkey", key=f"{sf_dir}:lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        # customer is the small filtered side — broadcast it.
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer grows with sf — no forced hint; AQE size-gates it.
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_money(_disc_price(), "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
@@ -89,7 +94,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5: revenue by nation where supplier and customer share a
-    nation, ASIA, 1996. region/nation/supplier broadcast."""
+    nation, ASIA, 1996. Only region/nation (bounded) broadcast."""
     region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = table(spark, sf_dir, "nation")
     cust = table(spark, sf_dir, "customer")
@@ -102,7 +107,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
@@ -119,7 +124,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spread(table(spark, sf_dir, "lineitem"), "l_orderkey", key=f"{sf_dir}:lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
@@ -142,8 +147,9 @@ def big_spender_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         # `big` is tiny after the HAVING filter — broadcast it into orders.
+        # customer is sf-scaled: no hint, AQE decides.
         orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             F.col("c_name"),
             F.col("o_orderkey"),
@@ -163,7 +169,7 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     part = table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     promo = F.sum(
         F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(
             F.lit(0).cast("decimal(18,2)")
@@ -197,8 +203,8 @@ def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7-style: shipping volume between two nations per year.
 
-    Both nation lookups broadcast; the only fact shuffle is li⋈orders /
-    ⋈customer on their keys."""
+    Both nation lookups broadcast (bounded); customer/supplier joins
+    are unhinted shuffle-or-AQE-broadcast on their keys."""
     nation = table(spark, sf_dir, "nation")
     supp = table(spark, sf_dir, "supplier")
     cust = table(spark, sf_dir, "customer")
@@ -214,8 +220,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) & (F.col("cust_nation") == "NATION_20")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
         .filter(pair)
@@ -237,7 +243,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(_money(_disc_price(), "revenue"))
@@ -293,16 +299,20 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17-style: revenue from lineitems whose quantity is below
     20% of their part's average quantity.
 
-    The correlated scalar avg becomes a per-part aggregate broadcast
-    back onto the fact; the avg comparison is EXACTIFIED by multiplying
-    through (5*qty*cnt < sum) so no double division can flip a boundary
-    row between engines."""
+    The correlated scalar avg becomes a per-part aggregate joined back
+    onto the fact. per_part has one row per distinct l_partkey — it
+    grows with sf, so it carries NO broadcast hint; both sides are
+    already hash-partitioned on l_partkey (the spread + the groupBy),
+    so the join co-locates without an extra exchange of the fact. The
+    avg comparison is EXACTIFIED by multiplying through
+    (5*qty*cnt < sum) so no double division can flip a boundary row
+    between engines."""
     li = spread(table(spark, sf_dir, "lineitem"), "l_partkey", key=f"{sf_dir}:lineitem")
     per_part = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
         F.sum(_dec("l_quantity")).alias("qty_sum"),
         F.count(F.lit(1)).alias("qty_cnt"),
     )
-    joined = li.join(F.broadcast(per_part), li.l_partkey == F.col("p_key"))
+    joined = li.join(per_part, li.l_partkey == F.col("p_key"))
     # l_quantity < 0.2 * (qty_sum / qty_cnt)  <=>  5*qty*cnt < sum  (exact)
     small = joined.filter(
         _dec("l_quantity") * 5 * F.col("qty_cnt") < F.col("qty_sum")

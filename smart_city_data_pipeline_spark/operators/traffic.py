@@ -157,11 +157,16 @@ def zone_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches are fixed-size mergeable state, so the whole rollup stays
     one map-side-combinable aggregate. rows-only oracle (sketch outputs
     are algorithm-specific); accuracy vs exact is pytest-asserted.
+
+    Scalar output columns only: downstream canonicalizers (pandas
+    sort_values) cannot order ARRAY cells, so the two percentiles are
+    emitted as separate double columns rather than one array.
     """
     ev = table(spark, sf_dir, "events")
     return ev.groupBy(F.col("event_type").alias("zone")).agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_sensors"),
-        F.percentile_approx("value", [0.5, 0.95], 10_000).alias("value_p50_p95"),
+        F.percentile_approx("value", 0.5, 10_000).alias("value_p50"),
+        F.percentile_approx("value", 0.95, 10_000).alias("value_p95"),
         F.count(F.lit(1)).alias("n_events"),
     )
 

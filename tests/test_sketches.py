@@ -32,7 +32,7 @@ def test_sketch_accuracy(spark, sf_dir):
         assert g["n_events"] == e["n"]
         # HLL++ at rsd=0.02: allow 3 sigma.
         assert abs(g["approx_sensors"] - e["sensors"]) <= max(2, 0.06 * e["sensors"])
-        p50, p95 = g["value_p50_p95"]
+        p50, p95 = g["value_p50"], g["value_p95"]
         lo50, hi50, lo95, hi95 = e["bounds"]
         assert lo50 <= p50 <= hi50, zone
         assert lo95 <= p95 <= hi95, zone
