@@ -146,9 +146,11 @@ def big_spender_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("qty_dec") > 150)
     )
     return (
-        # `big` is tiny after the HAVING filter — broadcast it into orders.
-        # customer is sf-scaled: no hint, AQE decides.
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        # `big` is small after the HAVING filter at any one sf, but the
+        # number of qualifying orders grows linearly with the corpus —
+        # no forced hint; AQE broadcasts it while it fits and degrades
+        # to a shuffle join at 100 TB instead of an executor OOM.
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             F.col("c_name"),

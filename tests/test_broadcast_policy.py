@@ -1,9 +1,23 @@
 """Broadcast-hint policy: forced ``F.broadcast()`` is allowed ONLY on
-genuinely bounded sides — region (5 rows), nation (25), 1-row scalar /
-post-HAVING aggregates, and the fixed probe set. Tables that grow with
-scale factor (customer, supplier, part, per-key aggregates of the fact
-table, per-document stats) must carry NO hint so AQE can size-gate the
-join: a hard hint that is fine at sf0.1 is an executor OOM at 100 TB.
+provably bounded sides —
+
+- region (5 rows) / nation (25 rows) dims,
+- GLOBAL aggregates (no grouping keys → exactly one row),
+- aggregates grouped ONLY on bounded dims (nation/region keys, the
+  fixed event_type vocabulary),
+- the fixed ANN probe set (a literal-bounded ``vec_id < 5`` filter).
+
+Everything that grows with scale factor (customer, supplier, part,
+fact tables, per-fact-key aggregates — even post-HAVING ones, since the
+number of qualifying orders grows linearly with the corpus) must carry
+NO hint so AQE can size-gate the join: a hard hint that is fine at
+sf0.1 is an executor OOM at 100 TB.
+
+Relations are identified by their schema columns (``c_custkey`` ⇒
+customer, …): analyzed-plan ``Relation`` nodes print column lists, not
+file paths, so path matching would be vacuous. A mutation test proves
+the checker actually fires on a forced broadcast of customer and on a
+grouped-on-fact-key aggregate.
 
 The assertion is on the ANALYZED LOGICAL plan's ResolvedHint nodes —
 AQE may (and at test scale will) still choose a physical broadcast
@@ -12,7 +26,11 @@ join, which is exactly the intent.
 
 from __future__ import annotations
 
+import re
+
 import pytest
+
+from pyspark.sql import functions as F
 
 
 def _hint_subtrees(df) -> list[str]:
@@ -39,16 +57,63 @@ def _hint_subtrees(df) -> list[str]:
     return out
 
 
-SF_SCALED = (
-    "customer.parquet",
-    "supplier.parquet",
-    "part.parquet",
-    "lineitem.parquet",
-    "orders.parquet",
-    "documents.parquet",
-    "embeddings.parquet",
-    "events.parquet",
-)
+# sf-scaled table → a column that appears in the plan text iff that
+# table's relation (or a projection of it) is in the subtree.
+SF_SCALED_ID_COLS = {
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+# Grouping keys whose cardinality is a fixed vocabulary, NOT a function
+# of corpus size: nation/region dims and the closed event_type enum.
+BOUNDED_GROUP_COLS = {
+    "n_nationkey",
+    "n_name",
+    "n_regionkey",
+    "r_regionkey",
+    "r_name",
+    "event_type",
+}
+
+# The ANN probe set: a literal range filter caps it at 5 rows.
+_PROBE_FILTER_RE = re.compile(r"vec_id#\d+L? < cast\(5 as bigint\)")
+
+_GROUPED_AGG_RE = re.compile(r"Aggregate \[([^\]]*)\], \[")
+_COL_REF_RE = re.compile(r"(\w+)#\d+")
+
+
+def _bounded_grouping(group_exprs: str) -> bool:
+    cols = set(_COL_REF_RE.findall(group_exprs))
+    return bool(cols) and cols <= BOUNDED_GROUP_COLS
+
+
+def _violations(df) -> list[str]:
+    """Hint subtrees that force-broadcast an unbounded side."""
+    bad = []
+    for sub in _hint_subtrees(df):
+        present = [
+            t for t, c in SF_SCALED_ID_COLS.items() if re.search(rf"\b{c}#", sub)
+        ]
+        if not present:
+            continue  # bounded dims only (nation/region)
+        if _PROBE_FILTER_RE.search(sub):
+            continue  # fixed probe set, ≤ 5 rows by literal predicate
+        if "Aggregate" in sub:
+            grouped = _GROUPED_AGG_RE.findall(sub)
+            # Global aggregates ([] → every Aggregate is 1-row) and
+            # aggregates grouped only on bounded dims are bounded by
+            # construction; grouped-on-fact-key aggregates (q17 per-part
+            # avg, q18 post-HAVING order set) are NOT — they scale.
+            if all(_bounded_grouping(g) for g in grouped):
+                continue
+        bad.append(f"broadcast of sf-scaled {present}:\n{sub}")
+    return bad
 
 
 def _queries():
@@ -60,24 +125,51 @@ def _queries():
 @pytest.mark.parametrize("key", sorted(_queries()))
 def test_no_forced_broadcast_of_sf_scaled_tables(key, spark, sf_dir):
     df = _queries()[key](spark, sf_dir)
-    for sub in _hint_subtrees(df):
-        if "Aggregate" in sub:
-            # 1-row scalar aggregates (q22 balance stats) and
-            # post-HAVING filters (q18 big orders) are bounded by
-            # construction even though they read sf-scaled inputs.
-            continue
-        bad = [t for t in SF_SCALED if t in sub]
-        assert not bad, f"{key}: forced broadcast of sf-scaled {bad}"
+    assert not _violations(df), f"{key}: {_violations(df)}"
 
 
 def test_bounded_dims_still_hinted(spark, sf_dir):
     """The bounded dims keep their explicit hints (don't over-correct:
-    nation/region need no statistics or AQE to broadcast)."""
+    nation/region need no statistics or AQE to broadcast). Relations are
+    matched by schema columns — plan text never shows file paths."""
     q = _queries()
     for key, n_hints in (("q5_local_supplier", 2), ("q10_returned_items", 1)):
         subs = _hint_subtrees(q[key](spark, sf_dir))
         assert len(subs) == n_hints, (key, subs)
-        assert all("nation.parquet" in s or "region.parquet" in s for s in subs), key
+        assert all(
+            re.search(r"\bn_nationkey#", s) or re.search(r"\br_regionkey#", s)
+            for s in subs
+        ), key
+
+
+def test_forced_broadcast_mutation_is_caught(spark, sf_dir):
+    """Negative control: the checker must fire on the exact shapes the
+    policy exists to prevent (it was vacuous in round 2)."""
+    from smart_city_data_pipeline_spark.catalog import table
+
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+
+    # 1. plain forced broadcast of an sf-scaled dim
+    bad = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    assert _violations(bad), "checker missed a forced broadcast of customer"
+
+    # 2. grouped-on-fact-key aggregate (the q17/q18 class): post-HAVING
+    # output still grows with sf, so the Aggregate exemption must not
+    # cover it.
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+    )
+    bad2 = orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+    assert _violations(bad2), "checker missed a grouped-on-fact-key broadcast"
+
+    # 3. sanity: a global aggregate over an sf-scaled table stays exempt
+    tot = li.agg(F.sum("l_quantity").alias("t"))
+    ok = orders.join(F.broadcast(tot))
+    assert not _violations(ok)
 
 
 def test_no_leaked_cache_after_lsh(spark, sf_dir):
