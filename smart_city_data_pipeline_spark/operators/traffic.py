@@ -148,15 +148,22 @@ def air_quality_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def zone_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based zone stats: HyperLogLog++ distinct sensors and
-    approximate value percentiles.
+SKETCH_PCT_ACCURACY = 10_000
 
-    At 100 TB exact distinct counts and exact percentiles force a
-    shuffle of every (zone, sensor) / a global sort per zone; the
-    sketches are fixed-size mergeable state, so the whole rollup stays
-    one map-side-combinable aggregate. rows-only oracle (sketch outputs
-    are algorithm-specific); accuracy vs exact is pytest-asserted.
+
+def zone_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based zone stats: approximate value percentiles via the
+    Greenwald-Khanna quantile sketch (``percentile_approx``).
+
+    At 100 TB exact percentiles force a global sort per zone; the
+    sketch is fixed-size mergeable state, so the whole rollup stays one
+    map-side-combinable aggregate. FULL oracle: when a zone's row count
+    is ≤ the sketch accuracy (true at the driver's gate sf, where zones
+    hold ~2 k rows against accuracy 10 k), GK stores every value and
+    returns the exact discrete quantile — the same element DuckDB's
+    ``quantile_disc`` picks — so the gate hash-matches deterministically;
+    the approximate regime (counts > accuracy) is covered by the
+    rank-tolerance assertions in tests/test_sketches.py.
 
     Scalar output columns only: downstream canonicalizers (pandas
     sort_values) cannot order ARRAY cells, so the two percentiles are
@@ -164,9 +171,26 @@ def zone_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = table(spark, sf_dir, "events")
     return ev.groupBy(F.col("event_type").alias("zone")).agg(
+        F.percentile_approx("value", 0.5, SKETCH_PCT_ACCURACY).alias("value_p50"),
+        F.percentile_approx("value", 0.95, SKETCH_PCT_ACCURACY).alias("value_p95"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def zone_sketch_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete sketch rollup: adds HyperLogLog++ distinct sensors.
+
+    NOT in the oracle gate — HLL estimates are implementation-specific
+    and can never hash-match another engine; accuracy vs exact distinct
+    is asserted in tests/test_sketches.py (3σ at rsd=0.02). At 100 TB
+    this is the variant you run: both sketches are mergeable fixed-size
+    state in ONE aggregate pass.
+    """
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("zone")).agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_sensors"),
-        F.percentile_approx("value", 0.5, 10_000).alias("value_p50"),
-        F.percentile_approx("value", 0.95, 10_000).alias("value_p95"),
+        F.percentile_approx("value", 0.5, SKETCH_PCT_ACCURACY).alias("value_p50"),
+        F.percentile_approx("value", 0.95, SKETCH_PCT_ACCURACY).alias("value_p95"),
         F.count(F.lit(1)).alias("n_events"),
     )
 
@@ -260,6 +284,14 @@ ORACLES = {
                (FLOOR(CAST((CAST(SUM(CASE WHEN {aqi_value_sql('value')} > 100 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS unhealthy_share
         FROM events
         GROUP BY 1, 2
+    """,
+    "zone_sketch_stats": """
+        SELECT event_type AS zone,
+               quantile_disc(value, 0.5) AS value_p50,
+               quantile_disc(value, 0.95) AS value_p95,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY 1
     """,
     "parking_status": """
         SELECT event_id,

@@ -7,11 +7,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from smart_city_data_pipeline_spark.catalog import table
-from smart_city_data_pipeline_spark.operators.traffic import zone_sketch_stats
+from smart_city_data_pipeline_spark.operators.traffic import zone_sketch_full
 
 
 def test_sketch_accuracy(spark, sf_dir):
-    got = {r["zone"]: r for r in zone_sketch_stats(spark, sf_dir).collect()}
+    got = {r["zone"]: r for r in zone_sketch_full(spark, sf_dir).collect()}
     ev = table(spark, sf_dir, "events")
     exact = {
         r["zone"]: r
