@@ -448,6 +448,44 @@ def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def props_unwrap_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field typed envelope extraction — the batch job's one-select
+    unwrap of several payload fields with casts
+    (``pipline2/spark-jobs/traffic_batch_processing.py:50-59``).
+
+    The collector envelope (string id, quoted numeric reading, kind tag,
+    nested payload object) is synthesized deterministically from event
+    columns — identically in the oracle — then parsed ONCE with
+    ``from_json`` + an explicit schema (never schema inference: on
+    100 TB inference is an extra full scan and a silently drifting
+    contract) and unwrapped into typed columns in one projection.
+    Numeric round-trip goes through DECIMAL(18,2) text so both engines
+    serialize the same digits.
+    """
+    ev = table(spark, sf_dir, "events")
+    env = F.concat(
+        F.lit('{"sensor_id":'),
+        F.col("user_id").cast("string"),
+        F.lit(',"reading":"'),
+        F.col("value").cast("decimal(18,2)").cast("string"),
+        F.lit('","kind":"'),
+        F.col("event_type"),
+        F.lit('","payload":'),
+        F.col("props"),
+        F.lit("}"),
+    )
+    schema = "sensor_id BIGINT, reading STRING, kind STRING, payload STRUCT<k: BIGINT>"
+    parsed = ev.select("event_id", F.from_json(env, schema).alias("e"))
+    return parsed.select(
+        "event_id",
+        F.col("e.sensor_id").alias("sensor_id"),
+        F.col("e.reading").cast("double").alias("reading"),
+        F.col("e.kind").alias("kind"),
+        F.col("e.payload.k").alias("k"),
+        (F.col("e.kind") == "error").alias("is_error"),
+    )
+
+
 QUERIES = {
     "time_bucket_1min": time_bucket_1min,
     "sliding_window_counts": sliding_window_counts,
@@ -467,6 +505,7 @@ QUERIES = {
     "zone_dow_rollup": zone_dow_rollup,
     "melt_type_counts": melt_type_counts,
     "props_extract": props_extract,
+    "props_unwrap_typed": props_unwrap_typed,
 }
 
 ORACLES = {
@@ -694,5 +733,22 @@ ORACLES = {
         SELECT event_id,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         FROM events
+    """,
+    "props_unwrap_typed": """
+        WITH env AS (
+            SELECT event_id,
+                   '{"sensor_id":' || CAST(user_id AS VARCHAR)
+                   || ',"reading":"' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR)
+                   || '","kind":"' || event_type
+                   || '","payload":' || props || '}' AS e
+            FROM events
+        )
+        SELECT event_id,
+               CAST(json_extract_string(e, '$.sensor_id') AS BIGINT) AS sensor_id,
+               CAST(json_extract_string(e, '$.reading') AS DOUBLE) AS reading,
+               json_extract_string(e, '$.kind') AS kind,
+               CAST(json_extract_string(e, '$.payload.k') AS BIGINT) AS k,
+               json_extract_string(e, '$.kind') = 'error' AS is_error
+        FROM env
     """,
 }
