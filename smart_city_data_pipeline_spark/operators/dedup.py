@@ -268,11 +268,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Within-label (IVF-style blocked) cosine near-dup pairs.
+NEARDUP_CELL_CAP = 20_000
+
+
+def embedding_neardup(
+    spark: SparkSession, sf_dir: str, cell_cap: int = NEARDUP_CELL_CAP
+) -> DataFrame:
+    """Within-label (IVF-style blocked) cosine near-dup pairs, with a
+    skew guard so NO label cell is ever all-pairs-unbounded.
+
+    Blocking key is (label, band): cells with ≤ ``cell_cap`` members get
+    the single sentinel band ``*`` (exact all-pairs within the cell —
+    bounded at cap² pair candidates), while oversized cells — a skewed
+    label, or a corpus whose labels don't discriminate — are subdivided
+    by the SRP LSH bands (:data:`_SRP_PLANES`), so the self-join stays a
+    keyed equi-join with bounded buckets at any scale. The 16 SRP
+    projections sit in the CASE's otherwise-branch, so small-cell
+    corpora never evaluate them. On the test corpus every cell is under
+    the cap ⇒ output identical to plain within-label all-pairs and the
+    uncapped SQL oracle stays exact; the banded path (approximate, LSH
+    recall) is pytest-covered via a forced tiny cap.
 
     Norms are precomputed per vector (narrow), so each candidate pair
-    costs one dot product instead of three array folds.
+    costs one dot product instead of three array folds. Pair dedup runs
+    AFTER the cosine filter on the slim projection, so the dedup
+    shuffle never carries embedding arrays.
     """
     emb = spread(table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings").select(
         "vec_id",
@@ -280,13 +300,35 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
-    a = emb.alias("a")
-    b = emb.alias("b")
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("cell_n"))
+    bits = []
+    for plane in _SRP_PLANES:
+        harr = F.array(*[F.lit(w) for w in plane])
+        proj = F.aggregate(
+            F.zip_with(F.col("embedding").cast("array<double>"), harr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, "1").otherwise("0"))
+    sig = F.concat(*bits)
+    band_arr = F.when(F.col("cell_n") <= cell_cap, F.array(F.lit("*"))).otherwise(
+        F.array(
+            F.concat(F.lit("0:"), F.substring(sig, 1, 8)),
+            F.concat(F.lit("1:"), F.substring(sig, 9, 8)),
+        )
+    )
+    blocked = emb.join(counts, "label").select(
+        "vec_id", "label", "embedding", "nrm", F.explode(band_arr).alias("band")
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
     cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(
             b,
-            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .filter(cos >= COSINE_NEARDUP_THRESHOLD)
         .select(
@@ -295,6 +337,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.label").alias("label"),
             pround(cos).alias("cos_sim"),
         )
+        .dropDuplicates(["vec_a", "vec_b"])
     )
 
 
@@ -386,10 +429,11 @@ def embedding_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LEVENSHTEIN_MAX_DIST = 20
 _PREFIX_LEN = 12
+LEVENSHTEIN_BLOCK_CAP = 256
 
 
 def dedup_levenshtein(
-    spark: SparkSession, sf_dir: str, block_cap: int | None = None
+    spark: SparkSession, sf_dir: str, block_cap: int | None = LEVENSHTEIN_BLOCK_CAP
 ) -> DataFrame:
     """Edit-distance near-dup: candidate pairs share a normalized-text
     prefix block, verified by levenshtein <= threshold.
@@ -404,9 +448,12 @@ def dedup_levenshtein(
     corpora (license headers, templated pages) where one shared prefix
     collects thousands of documents and the within-block self-join goes
     quadratic: blocks with more than ``block_cap`` members are dropped
-    entirely (df_cap-style). On this corpus no block exceeds a modest
-    cap, so results are identical (pytest-asserted) and the oracle runs
-    uncapped.
+    entirely (df_cap-style). The guard is ON BY DEFAULT — the registered
+    query runs with :data:`LEVENSHTEIN_BLOCK_CAP` — because a cap that
+    ships disabled protects nothing. On this corpus no block exceeds the
+    cap, so results are identical to uncapped (asserted by
+    tests/test_dedup_dfcap.py::test_levenshtein_block_cap_noop) and the
+    oracle runs uncapped.
     """
     from smart_city_data_pipeline_spark.functions.text import normalized_text
 

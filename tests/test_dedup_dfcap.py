@@ -1,5 +1,6 @@
-"""The Jaccard document-frequency cap (production stop-shingle knob)
-must be a no-op on this corpus where no shingle is frequent."""
+"""Production guard knobs on the dedup operators (Jaccard df_cap,
+levenshtein block_cap, neardup cell_cap) must be no-ops on this corpus
+— and must actually bite when forced low."""
 
 from __future__ import annotations
 
@@ -7,7 +8,9 @@ from pyspark.sql import functions as F
 
 from smart_city_data_pipeline_spark.operators.dedup import (
     _hashed_shingles,
+    dedup_levenshtein,
     dedup_ngram_jaccard,
+    embedding_neardup,
 )
 
 
@@ -28,3 +31,32 @@ def test_df_cap_drops_frequent_shingles(spark, sf_dir):
     # A cap of 1 keeps only unique shingles — candidate pairs (which need
     # a SHARED shingle, df >= 2) must vanish.
     assert dedup_ngram_jaccard(spark, sf_dir, df_cap=1).count() == 0
+
+
+def test_levenshtein_block_cap_noop(spark, sf_dir):
+    """The DEFAULT cap (the registered query's production path) must
+    return exactly the uncapped result on this corpus."""
+    capped = sorted(map(tuple, dedup_levenshtein(spark, sf_dir).collect()))
+    uncapped = sorted(
+        map(tuple, dedup_levenshtein(spark, sf_dir, block_cap=None).collect())
+    )
+    assert capped == uncapped
+    assert len(capped) > 0  # the corpus has planted near-dups
+
+
+def test_levenshtein_block_cap_bites(spark, sf_dir):
+    # Pairs need >= 2 docs sharing a block; cap 1 drops every such block.
+    assert dedup_levenshtein(spark, sf_dir, block_cap=1).count() == 0
+
+
+def test_neardup_cell_cap_noop_and_banded_subset(spark, sf_dir):
+    """Default cap: identical to plain within-label all-pairs (cells are
+    small here). Forced cap 1: every cell goes through SRP banding — the
+    result must be a subset with identical cosine values (LSH recall)."""
+    base = sorted(map(tuple, embedding_neardup(spark, sf_dir).collect()))
+    assert len(base) > 0
+    banded = sorted(map(tuple, embedding_neardup(spark, sf_dir, cell_cap=1).collect()))
+    assert set(banded) <= set(base)
+    # plan shows the band equi-join (the scale guard is in the key)
+    plan = embedding_neardup(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+    assert "band" in plan
