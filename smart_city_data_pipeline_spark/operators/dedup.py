@@ -301,16 +301,7 @@ def embedding_neardup(
         F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
     counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("cell_n"))
-    bits = []
-    for plane in _SRP_PLANES:
-        harr = F.array(*[F.lit(w) for w in plane])
-        proj = F.aggregate(
-            F.zip_with(F.col("embedding").cast("array<double>"), harr, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj > 0, "1").otherwise("0"))
-    sig = F.concat(*bits)
+    sig = _srp_sig()
     band_arr = F.when(F.col("cell_n") <= cell_cap, F.array(F.lit("*"))).otherwise(
         F.array(
             F.concat(F.lit("0:"), F.substring(sig, 1, 8)),
@@ -359,6 +350,29 @@ SRP_BITS = 16  # 2 bands x 8 bits; band width scales with corpus size
 SRP_DIM = 64
 _SRP_PLANES = _srp_hyperplanes(SRP_BITS, SRP_DIM)
 
+# The 16×64 hyperplane matrix as ONE SQL literal and the signature as
+# ONE F.expr: building it from 1024 F.lit() calls costs ~1.5 s of py4j
+# round-trips PER QUERY CONSTRUCTION (measured), which dwarfed the
+# actual execution. A single expr string is one py4j call and one
+# JVM-side parse.
+_SRP_PLANES_SQL_ARR = (
+    "array("
+    + ",".join(
+        "array(" + ",".join(f"{w}D" for w in plane) + ")" for plane in _SRP_PLANES
+    )
+    + ")"
+)
+
+
+def _srp_sig() -> Column:
+    """16-char '0'/'1' SRP signature of ``embedding`` as a single
+    expression (sign of the dot product against each fixed plane)."""
+    return F.expr(
+        f"array_join(transform({_SRP_PLANES_SQL_ARR}, "
+        "p -> CASE WHEN aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), p, "
+        "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x) > 0D THEN '1' ELSE '0' END), '')"
+    )
+
 
 def embedding_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-FREE cosine near-dup via sign-random-projection LSH.
@@ -371,59 +385,48 @@ def embedding_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora widen the bands (more bits per band → smaller buckets) and
     add bands to keep recall.
 
-    Banding is ONE posexplode to (vec, band_idx, band_val) rows and ONE
-    self-equi-join on (band_idx, band_val) — same shape as the MinHash
-    LSH. The explicit repartition on the join keys puts the expensive
-    16-projection signature computation BELOW a shuffle that both
-    self-join sides share (ReuseExchange), so signatures are computed
-    once per vector with no persist() (which would leak session-lifetime
-    cache) and the join itself needs no further exchange.
+    Banding is ONE posexplode to SLIM (vec_id, band_idx, band_val) rows
+    — ~20 bytes, never the 64-double embedding — and ONE self-equi-join
+    on (band_idx, band_val). Candidate pairs are deduped while still
+    slim, THEN joined back to (vec_id, embedding, nrm) for the exact
+    cosine verify. Both verify joins key on vec_id with the identical
+    projection subplan, so ReuseExchange materializes that exchange
+    once: embedding arrays cross exactly ONE shuffle end-to-end (round
+    2's shape repartitioned full rows and carried the arrays through the
+    band shuffle twice — 1.37× slower). No persist() anywhere (an
+    explicit cache would outlive the query and leak executor storage).
     """
     emb = spread(table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings")
-    bits = []
-    for plane in _SRP_PLANES:
-        harr = F.array(*[F.lit(w) for w in plane])
-        proj = F.aggregate(
-            F.zip_with(F.col("embedding").cast("array<double>"), harr, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj > 0, "1").otherwise("0"))
-    sig = emb.select(
+    sig = _srp_sig()
+    bands = emb.select(
         "vec_id",
-        "embedding",
-        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
-        F.concat(*bits).alias("sig"),
-    )
-    bands = sig.select(
-        "vec_id",
-        "embedding",
-        "nrm",
         F.posexplode(
-            F.array(F.substring("sig", 1, 8), F.substring("sig", 9, 8))
+            F.array(F.substring(sig, 1, 8), F.substring(sig, 9, 8))
         ).alias("band_idx", "band_val"),
-    ).repartition("band_idx", "band_val")
+    )
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    pairs = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.embedding").alias("ea"),
-            F.col("b.embedding").alias("eb"),
-            F.col("a.nrm").alias("na"),
-            F.col("b.nrm").alias("nb"),
-        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    return cand.filter(cos >= COSINE_NEARDUP_THRESHOLD).select(
-        "vec_a", "vec_b", pround(cos).alias("cos_sim")
+    vec = emb.select(
+        "vec_id", "embedding", F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm")
+    )
+    va, vb = vec.alias("va"), vec.alias("vb")
+    cos = dot(F.col("va.embedding"), F.col("vb.embedding")) / (
+        F.col("va.nrm") * F.col("vb.nrm")
+    )
+    return (
+        pairs.join(va, F.col("vec_a") == F.col("va.vec_id"))
+        .join(vb, F.col("vec_b") == F.col("vb.vec_id"))
+        .filter(cos >= COSINE_NEARDUP_THRESHOLD)
+        .select("vec_a", "vec_b", pround(cos).alias("cos_sim"))
     )
 
 
