@@ -211,3 +211,46 @@ def test_stream_to_partitioned_lake(spark, sf_dir, tmp_path):
     assert q.awaitTermination(120), "stream did not drain in time"
     assert glob.glob(f"{out}/year=*/month=*/day=*/hour=*/*.parquet")
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_continuous_minute_rollup_incremental(spark, sf_dir, tmp_path):
+    """Multi-batch incremental maintenance must equal the one-shot batch
+    rollup exactly (decimal-exact partial-merge), and replaying an
+    already-applied batch id must be a no-op."""
+    from smart_city_data_pipeline_spark.streaming.cont_agg import (
+        _minute_partials,
+        continuous_minute_rollup,
+        read_minute_rollup,
+        refresh_minute_rollup,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    src = str(tmp_path / "ca_src")
+    ev.repartition(6).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)  # force multiple micro-batches
+        .parquet(src)
+    )
+    lake = str(tmp_path / "rollup")
+    q = continuous_minute_rollup(stream, lake, str(tmp_path / "ca_ckpt"))
+    assert q.awaitTermination(120), "stream did not drain in time"
+
+    got = {
+        (r["zone"], r["minute"]): (r["total_value"], r["n_events"], r["peak_value"])
+        for r in spark.read.parquet(lake).collect()
+    }
+    want = {
+        (r["zone"], r["minute"]): (r["total_value"], r["n_events"], r["peak_value"])
+        for r in _minute_partials(ev).collect()
+    }
+    assert got == want
+
+    # derived avg view
+    row = read_minute_rollup(spark, lake).filter(F.col("n_events") > 0).first()
+    assert abs(row["avg_value"] - float(row["total_value"]) / row["n_events"]) < 1e-9
+
+    # crash-replay idempotency: re-applying batch 0 changes nothing
+    before = sorted(map(tuple, spark.read.parquet(lake).collect()))
+    refresh_minute_rollup(spark, lake, ev, 0)
+    assert sorted(map(tuple, spark.read.parquet(lake).collect())) == before
