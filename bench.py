@@ -36,7 +36,7 @@ def main() -> None:
     # of one-off whole-stage-codegen compilation that is amortized away
     # on any real cluster within seconds of uptime; min-of-N measures the
     # engine, not the JIT.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         best = float("inf")
@@ -51,6 +51,27 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Round-over-round noise guard: compare against the latest recorded
+    # BENCH_r*.json and flag >1.5× per-query regressions explicitly, so
+    # a slow query is a signal, not an archaeology project.
+    import glob
+
+    prev_name, deltas, regressions = None, {}, {}
+    prior = sorted(glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+    if prior:
+        try:
+            with open(prior[-1]) as f:
+                data = json.load(f)
+            prev_q = data.get("parsed", data).get("queries", {})
+            prev_name = os.path.basename(prior[-1])
+            for k, v in timings.items():
+                if prev_q.get(k):
+                    deltas[k] = round(v / prev_q[k], 2)
+            regressions = {k: d for k, d in deltas.items() if d > 1.5}
+        except (OSError, ValueError, AttributeError):
+            prev_name = None
+
     print(
         json.dumps(
             {
@@ -61,6 +82,9 @@ def main() -> None:
                 "sf": float(sf),
                 "runs_per_query": runs,
                 "timing": "min over runs (steady-state)",
+                "prev_bench": prev_name,
+                "deltas_vs_prev": deltas,
+                "regressions_gt_1p5x": regressions,
             }
         )
     )
