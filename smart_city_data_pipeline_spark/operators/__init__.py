@@ -24,6 +24,9 @@ from pyspark.sql import DataFrame, SparkSession
 # New/changed this round or past the 50-entry window in rounds 1-2 —
 # these MUST be inside the driver's gate window.
 _GATE_FIRST = [
+    "dedup_clusters",
+    "stratified_sample",
+    "tfidf_top_terms",
     "zone_sketch_stats",
     "camera_dwell_stats",
     "props_unwrap_typed",
@@ -42,6 +45,9 @@ _GATE_FIRST = [
 # projections/rollups with no round-3 changes), plus the by-design
 # rows-only stub-codec rollup.
 _GATE_LAST = [
+    "lang_id",
+    "token_count",
+    "doc_fingerprint",
     "congestion_classify",
     "aqi_compute",
     "parking_status",

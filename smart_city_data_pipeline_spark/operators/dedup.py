@@ -492,6 +492,93 @@ def dedup_levenshtein(
     )
 
 
+CLUSTER_MAX_ITERS = 20
+
+
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, max_iters: int = CLUSTER_MAX_ITERS
+) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup pairs:
+    every document gets a ``cluster_id`` (the MIN doc_id reachable
+    through near-dup edges; singletons are their own cluster) and an
+    ``is_canonical`` flag — the step that turns a pair list into "keep
+    one copy per duplicate group" for a training corpus.
+
+    Iterative min-label propagation (the standard large-graph CC loop):
+    each round every node takes the minimum component id among itself
+    and its neighbors — one equi-join + one min-aggregate per round,
+    both keyed shuffles, converging in O(component diameter) rounds
+    (near-dup clusters are shallow; the cap is a runaway guard). The
+    edge list and each round's labels are eagerly local-checkpointed:
+    edges so the LSH pipeline runs ONCE (not once per round), labels so
+    the plan does not grow by two joins every round. The convergence
+    probe is ``isEmpty()`` on the changed-rows diff — a driver-side
+    SCALAR per round, not a data collect; this is an iterative
+    algorithm, the one shape where a driver loop is the right design.
+
+    Checkpoint lifecycle: each round's checkpoint TRUNCATES lineage, so
+    once the loop ends only the LAST checkpoint backs the result — the
+    edge list and every superseded round are explicitly unpersisted
+    before returning (the final one is released by the ContextCleaner
+    when the caller drops the result; nothing else survives the call).
+
+    DuckDB oracle: recursive CTE computing min-reachable-id — exact
+    match including singleton clusters.
+    """
+    jsc = spark.sparkContext._jsc
+
+    def _persistent_ids() -> set[int]:
+        return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+
+    base_ids = _persistent_ids()
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents")
+    labels = docs.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("comp"))
+    last_ids: set[int] = set()
+    for _ in range(max_iters):
+        pre_ids = _persistent_ids()
+        nbr_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("nbr_node"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == F.col("nbr_node"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        last_ids = _persistent_ids() - pre_ids
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+        )
+        converged = changed.isEmpty()
+        labels = new_labels
+        if converged:
+            break
+    jmap = jsc.getPersistentRDDs()
+    for rid in (_persistent_ids() - base_ids) - last_ids:
+        rdd = jmap.get(rid)
+        if rdd is not None:
+            rdd.unpersist(False)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        (F.col("node") == F.col("comp")).alias("is_canonical"),
+    )
+
+
 # ---------------------------------------------------------------- oracles
 
 _SIG_COLS_SQL = ",\n               ".join(
@@ -530,6 +617,7 @@ QUERIES = {
     "embedding_neardup": embedding_neardup,
     "embedding_srp_lsh": embedding_srp_lsh,
     "dedup_levenshtein": dedup_levenshtein,
+    "dedup_clusters": dedup_clusters,
 }
 
 ORACLES = {
@@ -635,6 +723,41 @@ ORACLES = {
         JOIN bands sa ON vec_a = sa.vec_id
         JOIN bands sb ON vec_b = sb.vec_id
         WHERE {dot_sql('sa.embedding', 'sb.embedding')} / (sa.nrm * sb.nrm) >= {COSINE_NEARDUP_THRESHOLD}
+    """,
+    "dedup_clusters": f"""
+        WITH RECURSIVE sh AS ({_HASHED_SHINGLES_SQL}),
+        sigm AS (
+            SELECT doc_id,
+               {_SIG_COLS_SQL}
+            FROM sh GROUP BY 1
+        ),
+        sig AS (
+            SELECT *,
+               {_BAND_COLS_SQL}
+            FROM sigm
+        ),
+        cand AS (
+            {_CAND_UNION_SQL}
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b FROM cand
+            WHERE (FLOOR(CAST((raw_sim) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) >= {MINHASH_SIM_THRESHOLD}
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(node, comp) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+        )
+        SELECT node AS doc_id,
+               MIN(comp) AS cluster_id,
+               node = MIN(comp) AS is_canonical
+        FROM reach
+        GROUP BY node
     """,
     "dedup_levenshtein": """
         WITH norm AS (

@@ -12,7 +12,7 @@ the canonical scalable wordcount. No Python UDFs anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from smart_city_data_pipeline_spark.catalog import table
@@ -107,6 +107,78 @@ def token_explode_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_BUCKETS = 10_000
+# Per-language keep-rate in buckets/10000: downsample the dominant
+# language, keep the tail whole — the classic corpus-mix rebalance.
+SAMPLE_RATES = {"en": 3_000}
+SAMPLE_DEFAULT_RATE = 10_000
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling.
+
+    Every doc lands in a stable bucket via md5(doc_id) mod 10 000 —
+    never ``rand()``: at 100 TB a sample must be reproducible across
+    retries, partitions, and engines (the md5 bucket is engine-portable
+    and oracle-exact), and hash sampling needs NO shuffle, count, or
+    sort — it is a pure per-row filter that composes with pushdown.
+    Per-stratum rates come from the language-ID heuristic.
+    """
+    from smart_city_data_pipeline_spark.functions.hashing import md5_long
+
+    docs = table(spark, sf_dir, "documents")
+    bucket = md5_long(F.col("doc_id").cast("string")) % SAMPLE_BUCKETS
+    lang = T.lang_id(F.col("text"))
+    rate = F.lit(SAMPLE_DEFAULT_RATE)
+    for lg, r in SAMPLE_RATES.items():
+        rate = F.when(lang == lg, r).otherwise(rate)
+    return (
+        docs.select(
+            "doc_id",
+            lang.alias("lang_pred"),
+            bucket.alias("sample_bucket"),
+            rate.alias("keep_rate"),
+        )
+        .filter(F.col("sample_bucket") < F.col("keep_rate"))
+        .select("doc_id", "lang_pred", "sample_bucket")
+    )
+
+
+TFIDF_TOP_K = 5
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document — the keyword/feature extraction
+    pass of a training-data pipeline.
+
+    Shapes: one explode → (doc, token) count (single keyed shuffle with
+    map-side combine), token document-frequency as a second aggregate of
+    THAT result (no re-scan of the corpus), corpus size as a 1-row
+    global aggregate (broadcast — bounded by construction). The df side
+    is corpus-scaled so it carries no hint. Ranking is a per-doc window
+    with a deterministic (score desc, token asc) tiebreak.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf") * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+    scored = (
+        tf.join(dfreq, "token")
+        .join(F.broadcast(n_docs))
+        .select("doc_id", "token", score.alias("tfidf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "rank", "token", pround(F.col("tfidf")).alias("tfidf"))
+    )
+
+
 QUERIES = {
     "lang_id": lang_id,
     "text_quality": text_quality,
@@ -115,9 +187,18 @@ QUERIES = {
     "rolling_fingerprint": rolling_fingerprint,
     "corpus_filter": corpus_filter,
     "token_explode_count": token_explode_count,
+    "stratified_sample": stratified_sample,
+    "tfidf_top_terms": tfidf_top_terms,
 }
 
 _T = "text"
+
+from smart_city_data_pipeline_spark.functions.hashing import md5_long_sql as _md5_long_sql  # noqa: E402
+
+_SAMPLE_BUCKET_SQL = f"{_md5_long_sql('CAST(doc_id AS VARCHAR)')} % {SAMPLE_BUCKETS}"
+_SAMPLE_CASE_SQL = " ".join(
+    f"WHEN lang_pred = '{lg}' THEN {r}" for lg, r in SAMPLE_RATES.items()
+)
 
 ORACLES = {
     "lang_id": f"""
@@ -167,6 +248,39 @@ ORACLES = {
         SELECT k.doc_id, k.lang_pred, k.quality_score
         FROM kept k
         WHERE k.doc_id IN (SELECT doc_id FROM canon)
+    """,
+    "stratified_sample": f"""
+        SELECT doc_id, lang_pred, sample_bucket
+        FROM (
+            SELECT doc_id,
+                   {T.lang_id_sql(_T)} AS lang_pred,
+                   {_SAMPLE_BUCKET_SQL} AS sample_bucket
+            FROM documents
+        )
+        WHERE sample_bucket < CASE {_SAMPLE_CASE_SQL} ELSE {SAMPLE_DEFAULT_RATE} END
+    """,
+    "tfidf_top_terms": f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+            FROM documents
+        ),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT doc_id, token,
+                   tf * ln((n_docs + 1.0) / (df + 1.0)) AS tfidf
+            FROM tf JOIN dfreq USING (token), n
+        )
+        SELECT doc_id, CAST(rank AS INT) AS rank, token,
+               (FLOOR(CAST((tfidf) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS tfidf
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rank
+            FROM scored
+        )
+        WHERE rank <= {TFIDF_TOP_K}
     """,
     "token_explode_count": """
         SELECT token, CAST(COUNT(*) AS BIGINT) AS n
