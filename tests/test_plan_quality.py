@@ -62,7 +62,12 @@ def test_window_partitioned_no_global_sort(spark, sf_dir):
 #   design.
 # - retention_filter / q22: build side is a 1-row scalar (global max ts
 #   / balance stats) — a broadcast of one row, constant cost at any scale.
-BNLJ_ALLOWED = {"ann_topk_cosine", "retention_filter", "q22_global_sales_opportunity"}
+BNLJ_ALLOWED = {
+    "ann_topk_cosine",
+    "retention_filter",
+    "q22_global_sales_opportunity",
+    "tfidf_top_terms",  # 1-row corpus-size aggregate broadcast
+}
 
 
 @pytest.mark.parametrize("key", sorted(_queries()))
