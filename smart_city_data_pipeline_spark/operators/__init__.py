@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 # New/changed this round or past the 50-entry window in rounds 1-2 —
 # these MUST be inside the driver's gate window.
 _GATE_FIRST = [
+    "salted_zone_sensors",
     "dedup_clusters",
     "stratified_sample",
     "tfidf_top_terms",
@@ -45,6 +46,7 @@ _GATE_FIRST = [
 # projections/rollups with no round-3 changes), plus the by-design
 # rows-only stub-codec rollup.
 _GATE_LAST = [
+    "dedup_simhash",
     "lang_id",
     "token_count",
     "doc_fingerprint",
@@ -66,6 +68,7 @@ def _modules():
         dedup,
         multimodal,
         similarity,
+        skew,
         textops,
         timeseries,
         tpch,
@@ -73,7 +76,7 @@ def _modules():
         vision,
     )
 
-    return (traffic, timeseries, tpch, textops, dedup, similarity, multimodal, vision)
+    return (traffic, timeseries, tpch, textops, dedup, similarity, multimodal, vision, skew)
 
 
 def _ordered(merged: dict) -> dict:

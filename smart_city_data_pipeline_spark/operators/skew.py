@@ -30,3 +30,31 @@ def salted_distinct_count(
         F.countDistinct(distinct_col).alias("_partial")
     )
     return partial.groupBy(group_col).agg(F.sum("_partial").alias("n_distinct"))
+
+
+def salted_zone_sensors(spark, sf_dir: str) -> DataFrame:
+    """queries() entry: exact distinct sensors per zone via salting —
+    the 100 TB-safe shape for COUNT(DISTINCT) on a 5-value group key
+    (an unsalted plan concentrates each zone's whole distinct-set in
+    one task). The salt is internal, so the result is EXACTLY the
+    naive COUNT(DISTINCT) and the oracle is plain SQL."""
+    from smart_city_data_pipeline_spark.catalog import table
+
+    ev = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("zone"), "user_id"
+    )
+    return salted_distinct_count(ev, "zone", "user_id")
+
+
+QUERIES = {
+    "salted_zone_sensors": salted_zone_sensors,
+}
+
+ORACLES = {
+    "salted_zone_sensors": """
+        SELECT event_type AS zone,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+        FROM events
+        GROUP BY 1
+    """,
+}
