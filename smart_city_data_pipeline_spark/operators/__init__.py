@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 # these MUST be inside the driver's gate window.
 _GATE_FIRST = [
     "salted_zone_sensors",
+    "dedup_incremental",
     "dedup_clusters",
     "stratified_sample",
     "tfidf_top_terms",
@@ -46,6 +47,7 @@ _GATE_FIRST = [
 # projections/rollups with no round-3 changes), plus the by-design
 # rows-only stub-codec rollup.
 _GATE_LAST = [
+    "rolling_fingerprint",
     "dedup_simhash",
     "lang_id",
     "token_count",

@@ -492,6 +492,70 @@ def dedup_levenshtein(
     )
 
 
+INGEST_SPLIT_FRACTION = 0.8  # doc_id ≥ ceil(0.8·max) plays the "new batch"
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup: for each document in the NEW batch, find its
+    near-duplicates in the EXISTING corpus — the shape a production
+    pipeline runs on every ingest. Re-pairing the whole corpus per
+    batch (what ``dedup_minhash_lsh`` does once, offline) is O(corpus)
+    per ingest; the incremental form joins the SMALL batch's band rows
+    against the corpus band index, so per-ingest cost is
+    O(batch × bucket), not O(corpus²).
+
+    The batch is simulated deterministically as the top 20 % of doc ids
+    (the latest ingest by id order); the split point is a 1-row global
+    max aggregate (broadcast — bounded by construction). Pairs verify
+    by MinHash signature similarity exactly as the offline operator, so
+    offline and incremental answers agree on the overlap.
+
+    Output: one row per new doc with ≥1 existing near-dup —
+    (new_doc_id, n_dups, first_dup = min existing match).
+    """
+    sig = _minhash_sig_wide(spark, sf_dir).select(
+        "doc_id", *[F.col(f"m{i}") for i in range(N_MINHASH)]
+    )
+    bands = sig.select(
+        "doc_id",
+        *[F.col(f"m{i}") for i in range(N_MINHASH)],
+        F.posexplode(F.array(*_band_cols())).alias("band_idx", "band_hash"),
+    )
+    split = (
+        spread(table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents")
+        .agg(F.ceil(F.max("doc_id") * INGEST_SPLIT_FRACTION).alias("split_id"))
+    )
+    # 1-row global aggregate: bounded, broadcast is policy-exempt.
+    banded = bands.join(F.broadcast(split))
+    new_side = banded.filter(F.col("doc_id") >= F.col("split_id")).alias("a")
+    old_side = banded.filter(F.col("doc_id") < F.col("split_id")).alias("b")
+    sim = functools.reduce(
+        operator.add,
+        [
+            (F.col(f"a.m{i}") == F.col(f"b.m{i}")).cast("double")
+            for i in range(N_MINHASH)
+        ],
+    ) / float(N_MINHASH)
+    cand = (
+        new_side.join(
+            old_side,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_doc_id"),
+            F.col("b.doc_id").alias("old_doc_id"),
+            pround(sim).alias("sig_sim"),
+        )
+        .filter(F.col("sig_sim") >= MINHASH_SIM_THRESHOLD)
+        .dropDuplicates(["new_doc_id", "old_doc_id"])
+    )
+    return cand.groupBy("new_doc_id").agg(
+        F.count(F.lit(1)).alias("n_dups"),
+        F.min("old_doc_id").alias("first_dup"),
+    )
+
+
 CLUSTER_MAX_ITERS = 20
 
 
@@ -618,6 +682,7 @@ QUERIES = {
     "embedding_srp_lsh": embedding_srp_lsh,
     "dedup_levenshtein": dedup_levenshtein,
     "dedup_clusters": dedup_clusters,
+    "dedup_incremental": dedup_incremental,
 }
 
 ORACLES = {
@@ -723,6 +788,38 @@ ORACLES = {
         JOIN bands sa ON vec_a = sa.vec_id
         JOIN bands sb ON vec_b = sb.vec_id
         WHERE {dot_sql('sa.embedding', 'sb.embedding')} / (sa.nrm * sb.nrm) >= {COSINE_NEARDUP_THRESHOLD}
+    """,
+    "dedup_incremental": f"""
+        WITH sh AS ({_HASHED_SHINGLES_SQL}),
+        sigm AS (
+            SELECT doc_id,
+               {_SIG_COLS_SQL}
+            FROM sh GROUP BY 1
+        ),
+        sig AS (
+            SELECT *,
+               {_BAND_COLS_SQL}
+            FROM sigm
+        ),
+        split AS (
+            SELECT CEIL(MAX(doc_id) * {INGEST_SPLIT_FRACTION}) AS split_id
+            FROM documents
+        ),
+        cand AS (
+            {" UNION ".join(
+                f'''SELECT a.doc_id AS new_doc_id, b.doc_id AS old_doc_id,
+                    (FLOOR(CAST(({_EQ_SUM_SQL}) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS sig_sim
+                    FROM sig a JOIN sig b ON a.b{j} = b.b{j}, split
+                    WHERE a.doc_id >= split_id AND b.doc_id < split_id'''
+                for j in range(N_MINHASH // BAND_SIZE)
+            )}
+        )
+        SELECT new_doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_dups,
+               MIN(old_doc_id) AS first_dup
+        FROM cand
+        WHERE sig_sim >= {MINHASH_SIM_THRESHOLD}
+        GROUP BY 1
     """,
     "dedup_clusters": f"""
         WITH RECURSIVE sh AS ({_HASHED_SHINGLES_SQL}),

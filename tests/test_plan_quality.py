@@ -67,6 +67,7 @@ BNLJ_ALLOWED = {
     "retention_filter",
     "q22_global_sales_opportunity",
     "tfidf_top_terms",  # 1-row corpus-size aggregate broadcast
+    "dedup_incremental",  # 1-row ingest split-point broadcast
 }
 
 
