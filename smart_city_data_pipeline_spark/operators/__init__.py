@@ -47,6 +47,7 @@ _GATE_FIRST = [
 # projections/rollups with no round-3 changes), plus the by-design
 # rows-only stub-codec rollup.
 _GATE_LAST = [
+    "dedup_ngram_jaccard",
     "rolling_fingerprint",
     "dedup_simhash",
     "lang_id",

@@ -195,6 +195,29 @@ def zone_sketch_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_BUCKET_WIDTH = 20.0
+
+
+def zone_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width reading histogram per zone (the dashboard
+    distribution panel): one map-side-combinable groupBy on
+    (zone, floor(value/width)) — histogramming at 100 TB is exactly a
+    keyed count, never a sort or a per-zone collect."""
+    ev = table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / HIST_BUCKET_WIDTH).cast("long")
+    return (
+        ev.groupBy(F.col("event_type").alias("zone"), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_readings"))
+        .select(
+            "zone",
+            "bucket",
+            pround(F.col("bucket") * HIST_BUCKET_WIDTH).alias("bucket_lo"),
+            pround((F.col("bucket") + 1) * HIST_BUCKET_WIDTH).alias("bucket_hi"),
+            "n_readings",
+        )
+    )
+
+
 def dataset_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batch job's closing processing summary
     (``traffic_batch_processing.py:131-134``): totals, distinct
@@ -219,6 +242,7 @@ QUERIES = {
     "air_quality_zone": air_quality_zone,
     "parking_status": parking_status_q,
     "zone_sketch_stats": zone_sketch_stats,
+    "zone_value_histogram": zone_value_histogram,
     "dataset_summary": dataset_summary,
 }
 
@@ -283,6 +307,18 @@ ORACLES = {
                (FLOOR(CAST((CAST(SUM({aqi_value_sql('value')}) AS DOUBLE) / COUNT(*)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS avg_aqi,
                (FLOOR(CAST((CAST(SUM(CASE WHEN {aqi_value_sql('value')} > 100 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS unhealthy_share
         FROM events
+        GROUP BY 1, 2
+    """,
+    "zone_value_histogram": """
+        SELECT zone, bucket,
+               (FLOOR(CAST((bucket * 20.0) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS bucket_lo,
+               (FLOOR(CAST(((bucket + 1) * 20.0) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS bucket_hi,
+               CAST(COUNT(*) AS BIGINT) AS n_readings
+        FROM (
+            SELECT event_type AS zone,
+                   CAST(FLOOR(value / 20.0) AS BIGINT) AS bucket
+            FROM events
+        )
         GROUP BY 1, 2
     """,
     "zone_sketch_stats": """
