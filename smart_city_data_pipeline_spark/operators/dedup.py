@@ -611,24 +611,22 @@ def dedup_clusters(
             .groupBy(F.col("dst").alias("nbr_node"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
+        new_comp = F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp")))
+        # The convergence flag rides INSIDE the checkpointed row, so the
+        # probe is a filter over the already-materialized RDD — no extra
+        # join job per round.
+        stepped = (
             labels.join(nbr_min, labels.node == F.col("nbr_node"), "left")
             .select(
                 "node",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("comp"),
+                new_comp.alias("comp"),
+                (new_comp != F.col("comp")).alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
         last_ids = _persistent_ids() - pre_ids
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-        )
-        converged = changed.isEmpty()
-        labels = new_labels
+        converged = stepped.filter(F.col("_changed")).isEmpty()
+        labels = stepped.drop("_changed")
         if converged:
             break
     jmap = jsc.getPersistentRDDs()

@@ -60,3 +60,36 @@ def test_neardup_cell_cap_noop_and_banded_subset(spark, sf_dir):
     # plan shows the band equi-join (the scale guard is in the key)
     plan = embedding_neardup(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
     assert "band" in plan
+
+
+def test_incremental_matches_offline_restriction(spark, sf_dir):
+    """dedup_incremental(new batch vs corpus) must equal the offline
+    pair list restricted to (new, existing) pairs — the two paths may
+    never disagree on the overlap."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from smart_city_data_pipeline_spark.catalog import table
+    from smart_city_data_pipeline_spark.operators.dedup import (
+        INGEST_SPLIT_FRACTION,
+        dedup_incremental,
+        dedup_minhash_lsh,
+    )
+
+    split = math.ceil(
+        table(spark, sf_dir, "documents").agg(F.max("doc_id")).collect()[0][0]
+        * INGEST_SPLIT_FRACTION
+    )
+    offline = dedup_minhash_lsh(spark, sf_dir).collect()
+    want = {}
+    for r in offline:
+        a, b = r["doc_a"], r["doc_b"]  # a < b by construction
+        if b >= split and a < split:
+            n, first = want.get(b, (0, None))
+            want[b] = (n + 1, a if first is None else min(first, a))
+    got = {
+        r["new_doc_id"]: (r["n_dups"], r["first_dup"])
+        for r in dedup_incremental(spark, sf_dir).collect()
+    }
+    assert got == want
