@@ -80,9 +80,17 @@ def synth_detections(ev: DataFrame) -> DataFrame:
 
 
 def detections_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flatten the nested array-of-structs — the Hive external-table read."""
+    """Flatten the nested array-of-structs — the Hive external-table read.
+
+    ``inline_outer``, not ``inline``: the non-outer generator plants a
+    ``size(detections) > 0`` guard filter that re-evaluates the whole
+    synthesis expression twice more (measured 2× wall time); every frame
+    has ≥1 detection, so outer semantics are identical here. On a real
+    lake the column is stored and the distinction is moot — with a
+    computed column it matters.
+    """
     frames = synth_detections(table(spark, sf_dir, "events"))
-    return frames.select("event_id", "camera_id", F.inline("detections"))
+    return frames.select("event_id", "camera_id", F.inline_outer("detections"))
 
 
 def camera_object_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,7 +127,7 @@ def camera_dwell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     over every sighting.
     """
     frames = synth_detections(table(spark, sf_dir, "events"))
-    det = frames.select("camera_id", "ts", F.inline("detections")).select(
+    det = frames.select("camera_id", "ts", F.inline_outer("detections")).select(
         "camera_id", "ts", "object_id"
     )
     types = F.array(*[F.lit(t) for t in OBJ_TYPES])
