@@ -90,11 +90,22 @@ _SHINGLES_SQL = (
 
 
 def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, hs): one 60-bit hash per distinct shingle."""
+    """(doc_id, hs): one 60-bit hash per distinct shingle.
+
+    ``explode_outer`` + notnull filter ≡ plain ``explode`` (outer turns
+    exactly the empty/null arrays into one null row, which the filter
+    drops) but skips the inferred ``size(..) > 0`` generator guard that
+    re-evaluates the whole shingle expression per row (measured ~25%
+    on this, the hottest expression in the dedup family).
+    """
     docs = spread(table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents")
-    return docs.select(
-        F.col("doc_id"), F.explode(_shingles(F.col("text"))).alias("shingle")
-    ).select(F.col("doc_id"), md5_long(F.col("shingle")).alias("hs"))
+    return (
+        docs.select(
+            F.col("doc_id"), F.explode_outer(_shingles(F.col("text"))).alias("shingle")
+        )
+        .filter(F.col("shingle").isNotNull())
+        .select(F.col("doc_id"), md5_long(F.col("shingle")).alias("hs"))
+    )
 
 
 _HASHED_SHINGLES_SQL = f"""
@@ -240,9 +251,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     and only one shuffle, keyed by doc_id.
     """
     docs = spread(table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents")
-    tok = docs.select(
-        "doc_id", F.explode(_ws_tokens(F.col("text"))).alias("token")
-    ).select("doc_id", md5_long(F.col("token")).alias("h"))
+    tok = (
+        docs.select(
+            "doc_id", F.explode_outer(_ws_tokens(F.col("text"))).alias("token")
+        )
+        .filter(F.col("token").isNotNull())  # ≡ explode, minus the re-evaluating guard
+        .select("doc_id", md5_long(F.col("token")).alias("h"))
+    )
     bit_aggs = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
