@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 # these MUST be inside the driver's gate window.
 _GATE_FIRST = [
     "salted_zone_sensors",
+    "text_repetition",
     "dedup_incremental",
     "dedup_clusters",
     "stratified_sample",
@@ -47,6 +48,7 @@ _GATE_FIRST = [
 # projections/rollups with no round-3 changes), plus the by-design
 # rows-only stub-codec rollup.
 _GATE_LAST = [
+    "token_explode_count",
     "dedup_ngram_jaccard",
     "rolling_fingerprint",
     "dedup_simhash",

@@ -179,6 +179,31 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-token
+    ratio and top-token share — the dominant junk filters for web-scale
+    corpora (templated/boilerplate pages repeat a few tokens).
+
+    One explode → (doc, token) count (keyed shuffle, map-side combine)
+    → per-doc aggregate of that result. Ratios divide exact BIGINTs, so
+    both engines produce identical doubles.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id", F.explode_outer(T.ws_tokens(F.lower(F.col("text")))).alias("token")
+        )
+        .filter(F.col("token").isNotNull())
+    )
+    per = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    return per.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        pround(F.count(F.lit(1)).cast("double") / F.sum("cnt")).alias("distinct_ratio"),
+        pround(F.max("cnt").cast("double") / F.sum("cnt")).alias("top_token_share"),
+    )
+
+
 QUERIES = {
     "lang_id": lang_id,
     "text_quality": text_quality,
@@ -189,6 +214,7 @@ QUERIES = {
     "token_explode_count": token_explode_count,
     "stratified_sample": stratified_sample,
     "tfidf_top_terms": tfidf_top_terms,
+    "text_repetition": text_repetition,
 }
 
 _T = "text"
@@ -281,6 +307,24 @@ ORACLES = {
             FROM scored
         )
         WHERE rank <= {TFIDF_TOP_K}
+    """,
+    "text_repetition": """
+        WITH per AS (
+            SELECT doc_id, token, COUNT(*) AS cnt
+            FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+                FROM documents
+            )
+            GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               (FLOOR(CAST((CAST(COUNT(*) AS DOUBLE) / SUM(cnt)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS distinct_ratio,
+               (FLOOR(CAST((CAST(MAX(cnt) AS DOUBLE) / SUM(cnt)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS top_token_share
+        FROM per
+        GROUP BY 1
     """,
     "token_explode_count": """
         SELECT token, CAST(COUNT(*) AS BIGINT) AS n
