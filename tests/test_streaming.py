@@ -254,3 +254,35 @@ def test_continuous_minute_rollup_incremental(spark, sf_dir, tmp_path):
     before = sorted(map(tuple, spark.read.parquet(lake).collect()))
     refresh_minute_rollup(spark, lake, ev, 0)
     assert sorted(map(tuple, spark.read.parquet(lake).collect())) == before
+
+
+def test_session_windows_match_batch(spark, sf_dir, tmp_path):
+    """Complete-mode drain of session_window == the batch formulation,
+    session for session (engine-merged gap windows)."""
+    from smart_city_data_pipeline_spark.streaming.sessions import (
+        batch_equivalent_sessions,
+        session_stats,
+    )
+
+    ev, stream = _events_stream(spark, sf_dir, tmp_path)
+    q = (
+        session_stats(stream)
+        .writeStream.format("memory")
+        .queryName("sess_complete")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not drain in time"
+
+    def norm(df):
+        return sorted(
+            (r["user_id"], str(r["session_start"]), str(r["session_end"]),
+             r["n_events"], round(r["total_value"], 6))
+            for r in df.collect()
+        )
+
+    got = norm(spark.table("sess_complete"))
+    want = norm(batch_equivalent_sessions(ev))
+    assert len(got) > 0
+    assert got == want
