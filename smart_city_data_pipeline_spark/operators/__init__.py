@@ -41,6 +41,8 @@ _GATE_FIRST = [
     "ann_topk_cosine",
     "ann_ivf_topk",
     "big_spender_orders",
+    "q19_discounted_revenue",
+    "late_supplier_blame",
     "dedup_minhash_lsh",
 ]
 
@@ -48,6 +50,8 @@ _GATE_FIRST = [
 # projections/rollups with no round-3 changes), plus the by-design
 # rows-only stub-codec rollup.
 _GATE_LAST = [
+    "text_quality",
+    "sessionize",
     "token_explode_count",
     "dedup_ngram_jaccard",
     "rolling_fingerprint",

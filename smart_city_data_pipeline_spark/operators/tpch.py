@@ -324,6 +324,71 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style: revenue under a DISJUNCTION of brand/size/
+    quantity band predicates.
+
+    The plan property under test at scale: Catalyst splits the OR into
+    a part-side filter (brand/size bands push to the part scan) and a
+    lineitem-side filter (the quantity envelope 1..30 pushes to the
+    fact scan), then applies the full disjunction as the join's
+    residual condition — so neither scan reads rows that no branch can
+    accept."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    branch1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & qty.between(1, 11)
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & qty.between(10, 20)
+    )
+    branch3 = (
+        (F.col("p_type") == "PROMO")
+        & F.col("p_size").between(1, 35)
+        & qty.between(20, 30)
+    )
+    joined = li.join(part, li.l_partkey == part.p_partkey).filter(
+        branch1 | branch2 | branch3
+    )
+    return joined.agg(_money(_disc_price(), "revenue"))
+
+
+def late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style: suppliers who were the SOLE late shipper in a
+    multi-supplier order — the exists + not-exists pair re-expressed as
+    one conditional aggregate per order (countDistinct all / late
+    suppliers + min late supplier), so the two correlated subqueries
+    cost a single keyed shuffle instead of two pair joins."""
+    orders = table(spark, sf_dir, "orders")
+    supp = table(spark, sf_dir, "supplier")
+    li = spread(table(spark, sf_dir, "lineitem"), "l_orderkey", key=f"{sf_dir}:lineitem")
+    flagged = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
+            "late"
+        ),
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+        F.min(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
+    )
+    blamed = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    return (
+        blamed.join(supp, blamed.late_supp == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
 _DISC_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 _CHARGE_SQL = f"({_DISC_SQL}) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))"
 
@@ -340,6 +405,8 @@ QUERIES = {
     "q13_customer_distribution": q13_customer_distribution,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
+    "q19_discounted_revenue": q19_discounted_revenue,
+    "late_supplier_blame": late_supplier_blame,
 }
 
 ORACLES = {
@@ -485,6 +552,31 @@ ORACLES = {
                           WHERE o_custkey = c_custkey
                             AND o_orderdate >= TIMESTAMP '1999-01-01')
         GROUP BY 1
+    """,
+    "q19_discounted_revenue": f"""
+        SELECT (FLOOR(CAST((CAST(SUM({_DISC_SQL}) AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_type = 'PROMO' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "late_supplier_blame": """
+        WITH per_order AS (
+            SELECT l_orderkey,
+                   COUNT(DISTINCT l_suppkey) AS n_supp,
+                   COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                                       THEN l_suppkey END) AS n_late,
+                   MIN(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                            THEN l_suppkey END) AS late_supp
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
+        )
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM per_order JOIN supplier ON late_supp = s_suppkey
+        WHERE n_supp >= 2 AND n_late = 1
+        GROUP BY 1
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 20
     """,
     "order_priority_count": """
         SELECT o_orderpriority,
