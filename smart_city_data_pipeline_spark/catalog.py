@@ -33,16 +33,24 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Plain parquet scan → pushdown-friendly.
 
-    The lake stores TIMESTAMP(NANOS) (pandas-written parquet); Spark has
-    no nanosecond timestamp type, so we read nanos as long and truncate
-    to microseconds — the same truncation DuckDB applies when casting
-    TIMESTAMP_NS → TIMESTAMP, keeping both engines bit-identical.
+    Timestamp normalization: the lake has been generated with either
+    TIMESTAMP(NANOS) (pandas-written; Spark has no nanos type, so we
+    read nanos as long and truncate to micros — the same truncation
+    DuckDB applies casting TIMESTAMP_NS → TIMESTAMP) or plain
+    TIMESTAMP_NTZ(MICROS) (isAdjustedToUTC=false, which Spark 4 infers
+    as TIMESTAMP_NTZ). Every operator expects the classic TIMESTAMP
+    (LTZ) type — NTZ is rejected by unix_micros/window and changes
+    collect() semantics — so both variants are normalized to TIMESTAMP.
+    The session timezone is pinned to UTC (session.py), making the
+    NTZ → LTZ cast lossless and bit-identical to DuckDB's naive reads.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         if field.name in ("ts",) and field.dataType.simpleString() == "bigint":
             df = df.withColumn(field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000")))
+        elif field.name in ("ts",) and field.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
