@@ -202,40 +202,46 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding: candidate pairs share an identical band,
     verified by signature similarity ≥ threshold.
 
-    Banding is ONE posexplode to (doc, band_idx, band_hash) rows and ONE
-    self-equi-join on (band_idx, band_hash) — not a join per band — so
-    the whole search is a single keyed shuffle regardless of band count.
-    The wide m0..m15 signature rides along both join sides, so
-    verification is a projection (no lookup join back to signatures).
-    Both self-join sides are the IDENTICAL subplan, so Spark's
-    ReuseExchange rule computes the signature shuffle once and feeds
-    both sides from it — no persist() needed (an explicit cache would
-    outlive the query and leak executor storage for the session).
+    Banding is ONE posexplode to SLIM (doc_id, band_idx, band_hash)
+    rows — ~40 bytes, never the 16 m-columns — and ONE self-equi-join
+    on (band_idx, band_hash), not a join per band, so candidate search
+    is a single keyed shuffle regardless of band count. Candidate pairs
+    are deduped while still slim, THEN joined back to the m0..m15
+    signatures (twice, keyed on doc_id) for verification. Both verify
+    joins use the IDENTICAL signature subplan, so Spark's ReuseExchange
+    rule materializes that exchange once and feeds both sides from it —
+    no persist() needed (an explicit cache would outlive the query and
+    leak executor storage for the session). Round 3 instead rode all 16
+    signature columns through the band self-join; that doubled the band
+    shuffle's width and cost 1.5× wall at sf0.1 — the slim-band +
+    verify-join shape (proven on :func:`embedding_srp_lsh`) is the
+    100 TB-correct layout: the wide rows cross exactly one shuffle.
     """
     sig = _minhash_sig_wide(spark, sf_dir).select("doc_id", *[F.col(f"m{i}") for i in range(N_MINHASH)])
     bands = sig.select(
         "doc_id",
-        *[F.col(f"m{i}") for i in range(N_MINHASH)],
         F.posexplode(F.array(*_band_cols())).alias("band_idx", "band_hash"),
     )
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    pairs = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            *[(F.col(f"a.m{i}") == F.col(f"b.m{i}")).cast("double").alias(f"eq{i}") for i in range(N_MINHASH)],
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sim = functools.reduce(operator.add, [F.col(f"eq{i}") for i in range(N_MINHASH)]) / float(N_MINHASH)
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    sim = functools.reduce(
+        operator.add,
+        [(F.col(f"sa.m{i}") == F.col(f"sb.m{i}")).cast("double") for i in range(N_MINHASH)],
+    ) / float(N_MINHASH)
     return (
-        cand.select("doc_a", "doc_b", pround(sim).alias("sig_sim"))
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", pround(sim).alias("sig_sim"))
         .filter(F.col("sig_sim") >= MINHASH_SIM_THRESHOLD)
     )
 
@@ -305,17 +311,28 @@ def embedding_neardup(
     recall) is pytest-covered via a forced tiny cap.
 
     Norms are precomputed per vector (narrow), so each candidate pair
-    costs one dot product instead of three array folds. Pair dedup runs
-    AFTER the cosine filter on the slim projection, so the dedup
-    shuffle never carries embedding arrays.
+    costs one dot product instead of three array folds. Candidate pairs
+    are unique BY CONSTRUCTION (first-shared-band emission — see the
+    inline comment), so there is no pair-dedup shuffle at all.
+
+    The per-label counts side of the skew-guard join is BOUNDED BY
+    LABEL CARDINALITY (one row per label — a fixed class vocabulary,
+    not a function of corpus size), so it is force-broadcast under the
+    bounded-dim exemption of the broadcast policy. Without the hint the
+    guard join shuffled every embedding array a second time just to
+    attach ``cell_n`` — a 2.1× wall regression at sf0.1 (round 3) and a
+    full extra pass over the fact at 100 TB.
     """
-    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings").select(
+    base = table(spark, sf_dir, "embeddings")
+    emb = spread(base, "vec_id", key=f"{sf_dir}:embeddings").select(
         "vec_id",
         "label",
         "embedding",
         F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
-    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("cell_n"))
+    # Counts read the RAW scan (label column only — no spread exchange,
+    # no nrm projection): a map-side-combinable agg over one column.
+    counts = F.broadcast(base.groupBy("label").agg(F.count(F.lit(1)).alias("cell_n")))
     sig = _srp_sig()
     band_arr = F.when(F.col("cell_n") <= cell_cap, F.array(F.lit("*"))).otherwise(
         F.array(
@@ -323,8 +340,24 @@ def embedding_neardup(
             F.concat(F.lit("1:"), F.substring(sig, 9, 8)),
         )
     )
-    blocked = emb.join(counts, "label").select(
-        "vec_id", "label", "embedding", "nrm", F.explode(band_arr).alias("band")
+    # Each exploded row also carries its row's FIRST band (b0): a pair
+    # matching on several bands is emitted ONLY from the first shared
+    # one (matched band is a's first band, or the first bands differ —
+    # for equal band arrays the band-0 copy), so every candidate pair
+    # appears exactly once BY CONSTRUCTION and no dropDuplicates
+    # shuffle of the pair list is needed. At 100 TB that dedup exchange
+    # over the full candidate set was the widest shuffle in the query.
+    blocked = (
+        emb.join(counts, "label")
+        .select("vec_id", "label", "embedding", "nrm", band_arr.alias("bands"))
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "nrm",
+            F.element_at("bands", 1).alias("b0"),
+            F.explode("bands").alias("band"),
+        )
     )
     a = blocked.alias("a")
     b = blocked.alias("b")
@@ -336,14 +369,16 @@ def embedding_neardup(
             & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(cos >= COSINE_NEARDUP_THRESHOLD)
+        .filter(
+            ((F.col("a.band") == F.col("a.b0")) | (F.col("a.b0") != F.col("b.b0")))
+            & (cos >= COSINE_NEARDUP_THRESHOLD)
+        )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.label").alias("label"),
             pround(cos).alias("cos_sim"),
         )
-        .dropDuplicates(["vec_a", "vec_b"])
     )
 
 
@@ -365,27 +400,42 @@ SRP_BITS = 16  # 2 bands x 8 bits; band width scales with corpus size
 SRP_DIM = 64
 _SRP_PLANES = _srp_hyperplanes(SRP_BITS, SRP_DIM)
 
-# The 16×64 hyperplane matrix as ONE SQL literal and the signature as
-# ONE F.expr: building it from 1024 F.lit() calls costs ~1.5 s of py4j
-# round-trips PER QUERY CONSTRUCTION (measured), which dwarfed the
-# actual execution. A single expr string is one py4j call and one
-# JVM-side parse.
-_SRP_PLANES_SQL_ARR = (
-    "array("
-    + ",".join(
-        "array(" + ",".join(f"{w}D" for w in plane) + ")" for plane in _SRP_PLANES
-    )
-    + ")"
-)
+# The 16×64 hyperplane matrix as ONE nested-list literal: F.lit of a
+# nested Python list is a SINGLE Literal(array<array<double>>) node, so
+# Catalyst's per-layer re-analysis of downstream DataFrames touches one
+# leaf instead of the 1000+-node CreateArray tree an F.expr string
+# parses to (~0.3 s per query construction, measured round 4; 1024
+# individual F.lit() calls were ~1.5 s of py4j round-trips, measured
+# round 2). Materializing the nested-list literal itself still walks
+# the list element-by-element over py4j (~0.5 s), so the Column is
+# built once per process and cached — a Literal is session-independent
+# for the life of the JVM gateway.
+_SRP_PLANES_LIT = [[float(w) for w in plane] for plane in _SRP_PLANES]
+
+
+@functools.lru_cache(maxsize=1)
+def _srp_planes_col() -> Column:
+    return F.lit(_SRP_PLANES_LIT)
 
 
 def _srp_sig() -> Column:
     """16-char '0'/'1' SRP signature of ``embedding`` as a single
     expression (sign of the dot product against each fixed plane)."""
-    return F.expr(
-        f"array_join(transform({_SRP_PLANES_SQL_ARR}, "
-        "p -> CASE WHEN aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), p, "
-        "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x) > 0D THEN '1' ELSE '0' END), '')"
+    emb = F.col("embedding").cast("array<double>")
+    return F.array_join(
+        F.transform(
+            _srp_planes_col(),
+            lambda p: F.when(
+                F.aggregate(
+                    F.zip_with(emb, p, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0,
+                F.lit("1"),
+            ).otherwise("0"),
+        ),
+        "",
     )
 
 

@@ -4,7 +4,7 @@ provably bounded sides —
 - region (5 rows) / nation (25 rows) dims,
 - GLOBAL aggregates (no grouping keys → exactly one row),
 - aggregates grouped ONLY on bounded dims (nation/region keys, the
-  fixed event_type vocabulary),
+  fixed event_type vocabulary, the fixed embeddings label vocabulary),
 - the fixed ANN probe set (a literal-bounded ``vec_id < 5`` filter).
 
 Everything that grows with scale factor (customer, supplier, part,
@@ -71,7 +71,9 @@ SF_SCALED_ID_COLS = {
 }
 
 # Grouping keys whose cardinality is a fixed vocabulary, NOT a function
-# of corpus size: nation/region dims and the closed event_type enum.
+# of corpus size: nation/region dims, the closed event_type enum, and
+# the embeddings class-label vocabulary (10 fixed classes — a per-label
+# aggregate is one row per class regardless of corpus size).
 BOUNDED_GROUP_COLS = {
     "n_nationkey",
     "n_name",
@@ -79,6 +81,7 @@ BOUNDED_GROUP_COLS = {
     "r_regionkey",
     "r_name",
     "event_type",
+    "label",
 }
 
 # The ANN probe set: a literal range filter caps it at 5 rows.
