@@ -625,7 +625,10 @@ CLUSTER_MAX_ITERS = 20
 
 
 def dedup_clusters(
-    spark: SparkSession, sf_dir: str, max_iters: int = CLUSTER_MAX_ITERS
+    spark: SparkSession,
+    sf_dir: str,
+    max_iters: int = CLUSTER_MAX_ITERS,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over the MinHash-LSH near-dup pairs:
     every document gets a ``cluster_id`` (the MIN doc_id reachable
@@ -651,21 +654,35 @@ def dedup_clusters(
     before returning (the final one is released by the ContextCleaner
     when the caller drops the result; nothing else survives the call).
 
+    Durability: the default ``localCheckpoint`` stores checkpoint
+    blocks in EXECUTOR storage — lineage is truncated, so losing one
+    executor mid-loop kills the job unrecoverably. That is the right
+    trade on local[32] (no executor can be lost independently of the
+    job). On a real cluster pass ``checkpoint_dir`` (an HDFS/object
+    -store path): each round then uses a RELIABLE ``checkpoint()`` to
+    that directory and the loop survives executor loss. Checkpoint
+    files are cleaned by the caller dropping the directory (or
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true``).
+
     DuckDB oracle: recursive CTE computing min-reachable-id — exact
     match including singleton clusters.
     """
     jsc = spark.sparkContext._jsc
+
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
 
     def _persistent_ids() -> set[int]:
         return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
 
     base_ids = _persistent_ids()
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .toDF("src", "dst")
-        .localCheckpoint(eager=True)
-    )
+    edges = _ckpt(pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF("src", "dst"))
     docs = spread(table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents")
     labels = docs.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("comp"))
     last_ids: set[int] = set()
@@ -680,14 +697,12 @@ def dedup_clusters(
         # The convergence flag rides INSIDE the checkpointed row, so the
         # probe is a filter over the already-materialized RDD — no extra
         # join job per round.
-        stepped = (
-            labels.join(nbr_min, labels.node == F.col("nbr_node"), "left")
-            .select(
+        stepped = _ckpt(
+            labels.join(nbr_min, labels.node == F.col("nbr_node"), "left").select(
                 "node",
                 new_comp.alias("comp"),
                 (new_comp != F.col("comp")).alias("_changed"),
             )
-            .localCheckpoint(eager=True)
         )
         last_ids = _persistent_ids() - pre_ids
         converged = stepped.filter(F.col("_changed")).isEmpty()

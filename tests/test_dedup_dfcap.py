@@ -93,3 +93,23 @@ def test_incremental_matches_offline_restriction(spark, sf_dir):
         for r in dedup_incremental(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_clusters_reliable_checkpoint_matches_local(spark, sf_dir, tmp_path):
+    """dedup_clusters with a reliable checkpoint dir (the 1000-executor
+    durability path) must produce exactly the localCheckpoint answer,
+    and must actually write checkpoint data into the directory."""
+    from smart_city_data_pipeline_spark.operators.dedup import dedup_clusters
+
+    ckdir = str(tmp_path / "cc_ckpt")
+    local = sorted(map(tuple, dedup_clusters(spark, sf_dir).collect()))
+    reliable = sorted(
+        map(tuple, dedup_clusters(spark, sf_dir, checkpoint_dir=ckdir).collect())
+    )
+    assert reliable == local
+    import os
+
+    found = [
+        os.path.join(dp, f) for dp, _, fs in os.walk(ckdir) for f in fs
+    ]
+    assert found, "no reliable checkpoint files were written"
