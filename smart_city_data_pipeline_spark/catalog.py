@@ -37,20 +37,26 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TIMESTAMP(NANOS) (pandas-written; Spark has no nanos type, so we
     read nanos as long and truncate to micros — the same truncation
     DuckDB applies casting TIMESTAMP_NS → TIMESTAMP) or plain
-    TIMESTAMP_NTZ(MICROS) (isAdjustedToUTC=false, which Spark 4 infers
-    as TIMESTAMP_NTZ). Every operator expects the classic TIMESTAMP
-    (LTZ) type — NTZ is rejected by unix_micros/window and changes
-    collect() semantics — so both variants are normalized to TIMESTAMP.
-    The session timezone is pinned to UTC (session.py), making the
-    NTZ → LTZ cast lossless and bit-identical to DuckDB's naive reads.
+    TIMESTAMP_NTZ(MICROS) (isAdjustedToUTC=false, which Spark 4's
+    ``inferTimestampNTZ`` default would surface as TIMESTAMP_NTZ —
+    a type unix_micros/window reject). NTZ inference is DISABLED for
+    these reads, so EVERY naive micros column (events.ts as well as
+    lineitem.l_shipdate / orders.o_orderdate) comes back as classic
+    TIMESTAMP whose epoch equals the stored naive micros — the exact
+    value DuckDB's naive read produces, with no dependence on
+    ``spark.sql.session.timeZone`` at read time (a cast NTZ → LTZ
+    would shift by the ambient session zone; the reader path does
+    not). Both confs are set per-call so external callers that build
+    their own SparkSession get the same schema from ``table()``.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
+        # Only events.ts is nanos-written; a bare bigint is otherwise a
+        # key column, so the nanos fix-up stays gated on the name.
         if field.name in ("ts",) and field.dataType.simpleString() == "bigint":
             df = df.withColumn(field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000")))
-        elif field.name in ("ts",) and field.dataType.simpleString() == "timestamp_ntz":
-            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
