@@ -389,6 +389,56 @@ def late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q20_surplus_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style: suppliers (nation subset) who kept SURPLUS
+    stock of the small-part family — shipped more of a part in 1995-H2
+    than half of that part's 1995-H1 demand — the classic nested-semi
+    topology: semi-join over a correlated per-(partkey, suppkey)
+    aggregate over the fact (reference: the one join shape from
+    ``init-db.sql``-style warehouse reporting not yet represented).
+
+    Spark-first flattening: the two correlated scalar subqueries (H2
+    shipped vs H1 demand for the same (ps) pair) collapse into ONE
+    conditional aggregate over a single date-bracketed scan — the
+    [1995-01-01, 1996-01-01) envelope is pushed to the parquet scan,
+    the part-family restriction is a LEFT SEMI join (part grows with
+    sf ⇒ no hint, AQE sizes it), and the supplier IN-list becomes a
+    second LEFT SEMI join. Quantity sums compare in DECIMAL(18,2)
+    (2·h2 > h1), so no double-summation order can flip a boundary
+    pair between engines. Only nation — 25 rows — carries a forced
+    broadcast."""
+    part = table(spark, sf_dir, "part")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    li = spread(table(spark, sf_dir, "lineitem"), "l_partkey", key=f"{sf_dir}:lineitem")
+
+    y_start = F.lit("1995-01-01").cast("timestamp")
+    h2_start = F.lit("1995-07-01").cast("timestamp")
+    y_end = F.lit("1996-01-01").cast("timestamp")
+    zero = F.lit(0).cast("decimal(18,2)")
+    bracketed = li.filter((F.col("l_shipdate") >= y_start) & (F.col("l_shipdate") < y_end))
+    small_parts = part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    per_ps = (
+        bracketed.join(small_parts, bracketed.l_partkey == small_parts.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(F.col("l_shipdate") >= h2_start, _dec("l_quantity")).otherwise(zero)).alias("h2_qty"),
+            F.sum(F.when(F.col("l_shipdate") < h2_start, _dec("l_quantity")).otherwise(zero)).alias("h1_qty"),
+        )
+        .filter((F.col("h1_qty") > 0) & (F.col("h2_qty") * 2 > F.col("h1_qty")))
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(
+            F.broadcast(nation.filter(F.col("n_nationkey") % 2 == 0)),
+            supp.s_nationkey == nation.n_nationkey,
+        )
+        .join(per_ps, supp.s_suppkey == per_ps.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
 _DISC_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 _CHARGE_SQL = f"({_DISC_SQL}) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))"
 
@@ -407,6 +457,7 @@ QUERIES = {
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "q19_discounted_revenue": q19_discounted_revenue,
     "late_supplier_blame": late_supplier_blame,
+    "q20_surplus_suppliers": q20_surplus_suppliers,
 }
 
 ORACLES = {
@@ -590,5 +641,27 @@ ORACLES = {
                 AND l_shipdate > o_orderdate + INTERVAL 60 DAY
           )
         GROUP BY 1
+    """,
+    "q20_surplus_suppliers": """
+        SELECT s_name, s_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_nationkey % 2 = 0
+          AND s_suppkey IN (
+              SELECT l_suppkey FROM lineitem
+              WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+                AND l_shipdate >= TIMESTAMP '1995-01-01'
+                AND l_shipdate < TIMESTAMP '1996-01-01'
+              GROUP BY l_partkey, l_suppkey
+              HAVING SUM(CASE WHEN l_shipdate < TIMESTAMP '1995-07-01'
+                              THEN CAST(l_quantity AS DECIMAL(18,2))
+                              ELSE CAST(0 AS DECIMAL(18,2)) END) > 0
+                 AND SUM(CASE WHEN l_shipdate >= TIMESTAMP '1995-07-01'
+                              THEN CAST(l_quantity AS DECIMAL(18,2))
+                              ELSE CAST(0 AS DECIMAL(18,2)) END) * 2
+                     > SUM(CASE WHEN l_shipdate < TIMESTAMP '1995-07-01'
+                                THEN CAST(l_quantity AS DECIMAL(18,2))
+                                ELSE CAST(0 AS DECIMAL(18,2)) END)
+          )
+        ORDER BY s_name
     """,
 }
