@@ -71,25 +71,65 @@ def write_event_lake(events: DataFrame, path: str, topic_prefix: str = "smartcit
     )
 
 
-def read_event_lake(spark: SparkSession, path: str) -> DataFrame:
+def read_event_lake(
+    spark: SparkSession, path: str, quarantine_dir: str | None = None
+) -> DataFrame:
     """Read the JSONL lake back into the flat events shape.
 
     Explicit schema + ``basePath`` → partition columns year/month/day/hour
     are available for pruning; the envelope is unwrapped JVM-side.
+
+    Malformed-envelope tolerance: the reference's collectors write a
+    PARTIAL last line when they crash mid-flush
+    (``traffic_collector.py`` appends, then fsyncs), so a broken line
+    must neither abort the job (FAILFAST) nor slip through as an
+    all-null row (bare PERMISSIVE, the previous behavior). The lake is
+    read as TEXT and parsed with PERMISSIVE ``from_json`` carrying an
+    explicit ``_corrupt_record`` — the same single scan and the same
+    y/m/d/h partition pruning, but parsing is an ordinary projection,
+    so filtering on the corrupt column is legal (the raw-JSON reader
+    forbids corrupt-column-only queries —
+    UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — and the
+    documented cache() workaround is a non-starter at 100 TB). Good
+    rows flow; corrupt raw lines are dropped from the result and, when
+    ``quarantine_dir`` is given, written there as text for
+    replay/inspection (one eager write — call it from the maintenance
+    job, not the hot path).
     """
-    raw = (
-        spark.read.schema(ENVELOPE_SCHEMA)
-        .option("basePath", path)
-        .json(f"{path}/year=*/month=*/day=*/hour=*")
+    parse_schema = T.StructType(
+        ENVELOPE_SCHEMA.fields + [T.StructField("_corrupt_record", T.StringType())]
     )
+    lines = (
+        spark.read.option("basePath", path)
+        .text(f"{path}/year=*/month=*/day=*/hour=*")
+    )
+    raw = lines.select(
+        F.from_json(
+            "value",
+            parse_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("e"),
+        "year",
+        "month",
+        "day",
+        "hour",
+    )
+    if quarantine_dir is not None:
+        (
+            raw.filter(F.col("e._corrupt_record").isNotNull())
+            .select(F.col("e._corrupt_record").alias("value"))
+            .write.mode("overwrite")
+            .text(quarantine_dir)
+        )
+    raw = raw.filter(F.col("e._corrupt_record").isNull())
     return raw.select(
-        F.col("data.event_id").alias("event_id"),
-        F.to_timestamp("timestamp").alias("ts"),
-        F.col("data.user_id").alias("user_id"),
-        F.col("data.event_type").alias("event_type"),
-        F.col("data.value").alias("value"),
-        F.col("data.props").alias("props"),
-        "mqtt_topic",
+        F.col("e.data.event_id").alias("event_id"),
+        F.to_timestamp("e.timestamp").alias("ts"),
+        F.col("e.data.user_id").alias("user_id"),
+        F.col("e.data.event_type").alias("event_type"),
+        F.col("e.data.value").alias("value"),
+        F.col("e.data.props").alias("props"),
+        F.col("e.mqtt_topic").alias("mqtt_topic"),
         "year",
         "month",
         "day",

@@ -73,3 +73,36 @@ def test_csv_roundtrip(spark, sf_dir, tmp_path):
     write_csv(ev, path)
     back = read_csv(spark, path, ev.schema)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, ev.collect()))
+
+
+def test_jsonl_lake_malformed_lines_quarantined(spark, sf_dir, tmp_path):
+    """A crash-truncated (malformed) line must neither abort the read
+    nor surface as an all-null row: good rows survive intact, the raw
+    bad line lands in the quarantine dir."""
+    import os
+
+    from smart_city_data_pipeline_spark.catalog import table
+
+    ev = table(spark, sf_dir, "events").limit(50)
+    path = str(tmp_path / "lake")
+    write_event_lake(ev, path)
+    n_good = read_event_lake(spark, path).count()
+    assert n_good == 50
+
+    # Inject a partial envelope (collector died mid-write) into one
+    # existing hour partition.
+    part_dir = None
+    for dp, _, fs in os.walk(path):
+        if any(f.endswith(".txt") for f in fs) and "hour=" in dp:
+            part_dir = dp
+            break
+    assert part_dir is not None
+    with open(os.path.join(part_dir, "part-crashed.txt"), "w") as f:
+        f.write('{"mqtt_topic": "smartcity/click", "timestamp": "2024-0')
+
+    qdir = str(tmp_path / "quarantine")
+    back = read_event_lake(spark, path, quarantine_dir=qdir)
+    assert back.count() == n_good  # good rows all survive
+    assert back.filter(back.event_id.isNull()).count() == 0  # no null ghosts
+    quarantined = [r[0] for r in spark.read.text(qdir).collect()]
+    assert quarantined == ['{"mqtt_topic": "smartcity/click", "timestamp": "2024-0']
