@@ -21,35 +21,20 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# New/changed this round or past the 50-entry window in rounds 1-2 —
-# these MUST be inside the driver's gate window.
+# Round-4 rotation (VERDICT r3 item 4): new/changed entries this round
+# + the 18 entries that sat out the r3 driver window (judge-verified
+# there, but due a driver-green pass) — these MUST be inside the
+# driver's 50-entry gate window.
 _GATE_FIRST = [
-    "salted_zone_sensors",
-    "text_repetition",
-    "dedup_incremental",
-    "dedup_clusters",
-    "stratified_sample",
-    "tfidf_top_terms",
-    "zone_sketch_stats",
-    "camera_dwell_stats",
-    "props_unwrap_typed",
-    "detections_explode",
-    "camera_object_stats",
+    # new in round 4
+    "q20_surplus_suppliers",
+    "ann_ivf_kmeans",
+    # perf-reworked / transitively changed in round 4
     "embedding_neardup",
-    "embedding_srp_lsh",
-    "dedup_levenshtein",
-    "ann_topk_cosine",
-    "ann_ivf_topk",
-    "big_spender_orders",
-    "q19_discounted_revenue",
-    "late_supplier_blame",
     "dedup_minhash_lsh",
-]
-
-# Driver-green in both round 1 and round 2 (simple single-pass
-# projections/rollups with no round-3 changes), plus the by-design
-# rows-only stub-codec rollup.
-_GATE_LAST = [
+    "embedding_srp_lsh",
+    "dedup_clusters",
+    # sat outside the r3 window — rotate back in front
     "text_quality",
     "sessionize",
     "token_explode_count",
@@ -68,6 +53,33 @@ _GATE_LAST = [
     "retention_filter",
     "melt_type_counts",
     "props_extract",
+]
+
+# Driver-green in round 3 (and unchanged since) — deferred to the tail
+# this round so the window rotates every oracle entry through a
+# driver-green pass at least every other round; plus the by-design
+# rows-only stub-codec rollup.
+_GATE_LAST = [
+    "salted_zone_sensors",
+    "text_repetition",
+    "dedup_incremental",
+    "stratified_sample",
+    "tfidf_top_terms",
+    "zone_sketch_stats",
+    "camera_dwell_stats",
+    "props_unwrap_typed",
+    "detections_explode",
+    "camera_object_stats",
+    "dedup_levenshtein",
+    "ann_topk_cosine",
+    "ann_ivf_topk",
+    "big_spender_orders",
+    "q19_discounted_revenue",
+    "late_supplier_blame",
+    "zone_dow_rollup",
+    "daily_type_pivot",
+    "top_sensors_per_zone",
+    "gap_fill_hourly",
     "frames_features",
 ]
 

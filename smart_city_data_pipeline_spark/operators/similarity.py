@@ -80,9 +80,132 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_KMEANS_K = 16
+ANN_KMEANS_ITERS = 2
+ANN_KMEANS_NPROBE = 2
+
+# Trained centroid literal per (sf_dir, k, iters): training is a
+# bounded driver loop (collects only k×dim means per round), and the
+# nested-list literal costs ~0.5 s of py4j transport — both are paid
+# once per process, not per query construction.
+_KMEANS_CACHE: dict[tuple[str, int, int], "F.Column"] = {}
+
+
+def _cell_scores(emb_col, cents_col):
+    """array<double> of cosine(emb, centroid) for every centroid."""
+    return F.transform(cents_col, lambda c: cosine(emb_col, c))
+
+
+def _train_kmeans(emb: DataFrame, k: int, iters: int):
+    """Lloyd's k-means as ``iters`` DataFrame rounds (no MLlib).
+
+    Init is deterministic: the k vectors with the smallest
+    md5(vec_id) — a public, seed-free shuffle of the corpus. Each
+    round assigns every vector to its max-cosine centroid (JVM-side
+    transform/argmax over a single broadcast literal) and recomputes
+    element-wise means via posexplode → (cell, pos) avg — a keyed,
+    map-side-combinable aggregate that scales to any corpus; only the
+    k×dim means ever reach the driver. Means are rounded to 6 dp so
+    the trained quantizer is bit-stable across partial-agg orderings.
+    At 100 TB you would train on a stratified sample
+    (:func:`textops.stratified_sample` is the template) — the index
+    ASSIGNMENT pass is the full-scan part, and it is one projection.
+    """
+    seed_rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(k)
+        .collect()
+    )
+    cents = [[round(float(x), 6) for x in r["embedding"]] for r in seed_rows]
+    for _ in range(iters):
+        cc = F.lit(cents)
+        scores = _cell_scores(F.col("embedding").cast("array<double>"), cc)
+        assigned = emb.select(
+            (F.array_position(scores, F.array_max(scores)) - 1).alias("cell"),
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+        )
+        means = assigned.groupBy("cell", "pos").agg(F.avg("x").alias("m")).collect()
+        new_cents = [list(c) for c in cents]  # empty cells keep their centroid
+        for r in means:
+            new_cents[int(r["cell"])][int(r["pos"])] = round(float(r["m"]), 6)
+        cents = new_cents
+    return cents
+
+
+def kmeans_ivf_topk(emb: DataFrame, cc, n_probe: int) -> DataFrame:
+    """Query an embeddings DataFrame through a trained centroid
+    literal: assign cells, explode each probe to its ``n_probe``
+    nearest cells, candidate-join on cell id, exact-cosine rank."""
+    scores = _cell_scores(F.col("embedding").cast("array<double>"), cc)
+    assigned = emb.select(
+        "vec_id", "embedding", (F.array_position(scores, F.array_max(scores)) - 1).alias("cell")
+    )
+    psc = _cell_scores(F.col("probe_emb").cast("array<double>"), cc)
+    first = F.array_position(psc, F.array_max(psc)) - 1
+    masked = F.transform(
+        psc, lambda v, i: F.when(i == first, F.lit(-2.0)).otherwise(v)
+    )
+    second = F.array_position(masked, F.array_max(masked)) - 1
+    cells = F.array_distinct(F.slice(F.array(first, second), 1, n_probe))
+    probes = (
+        emb.filter(F.col("vec_id") < N_PROBES)
+        .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb"))
+        .select("probe_id", "probe_emb", F.explode(cells).alias("cell"))
+    )
+    cos = cosine(F.col("probe_emb"), F.col("embedding"))
+    scored = assigned.join(
+        F.broadcast(probes), assigned.cell == probes.cell
+    ).filter(F.col("vec_id") != F.col("probe_id")).select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        pround(cos).alias("cos_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("probe_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+def ann_ivf_kmeans(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = ANN_KMEANS_K,
+    iters: int = ANN_KMEANS_ITERS,
+    n_probe: int = ANN_KMEANS_NPROBE,
+) -> DataFrame:
+    """True-IVF ANN: a LEARNED coarse quantizer (k-means centroids)
+    replaces the label column, and each probe scans only its
+    ``n_probe`` nearest cells — the FAISS-IVF shape for a corpus with
+    no natural partition. Candidates are an equi-join on cell id
+    (bounded buckets, no O(n²)); the centroid table is a broadcast
+    literal.
+
+    Checks: rows-only driver gate by design — the quantizer is
+    learned, so there is no portable SQL twin. The recall ≥ 0.9 bound
+    vs the exact scan is pytest-asserted on a CLUSTERED corpus
+    (tests/test_ann_kmeans.py): cell pruning is only meaningful where
+    cluster structure exists — on this repo's synthetic ``embeddings``
+    table the vectors are near-uniform (the true top-5 of a probe
+    share its label only ~12 % of the time), a regime where NO
+    partition-pruned index can reach high recall and a full-scan
+    (:func:`ann_topk_cosine`) is the honest answer.
+    """
+    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings")
+    key = (sf_dir, k, iters)
+    if key not in _KMEANS_CACHE:
+        _KMEANS_CACHE[key] = F.lit(_train_kmeans(emb, k, iters))
+    return kmeans_ivf_topk(emb, _KMEANS_CACHE[key], n_probe)
+
+
 QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_kmeans": ann_ivf_kmeans,
 }
 
 _COS = cosine_sql("p.probe_emb", "e.embedding")
