@@ -52,42 +52,67 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
-    # Round-over-round noise guard: compare against the latest recorded
-    # BENCH_r*.json and flag >1.5× per-query regressions explicitly, so
-    # a slow query is a signal, not an archaeology project.
+    # Round-over-round noise guard: compare against the newest PRIOR
+    # round's BENCH_r*.json and flag >1.5× per-query regressions, so a
+    # slow query is a signal, not an archaeology project. The newest
+    # file on disk can be THIS round's own partial artifact (the driver
+    # creates it before bench finishes — round 3 compared against
+    # itself), so candidates written within the last 2 hours are
+    # skipped when an older one exists, as are candidates that don't
+    # parse to a non-empty queries dict.
     import glob
+    import time as _time
 
     prev_name, deltas, regressions = None, {}, {}
-    prior = sorted(glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
-    if prior:
+    here = os.path.dirname(os.path.abspath(__file__))
+    candidates = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True)
+    parseable = []
+    for p in candidates:
         try:
-            with open(prior[-1]) as f:
+            with open(p) as f:
                 data = json.load(f)
             prev_q = data.get("parsed", data).get("queries", {})
-            prev_name = os.path.basename(prior[-1])
-            for k, v in timings.items():
-                if prev_q.get(k):
-                    deltas[k] = round(v / prev_q[k], 2)
-            regressions = {k: d for k, d in deltas.items() if d > 1.5}
+            if isinstance(prev_q, dict) and prev_q:
+                parseable.append((p, prev_q))
         except (OSError, ValueError, AttributeError):
-            prev_name = None
+            continue
+    chosen = None
+    for i, (p, prev_q) in enumerate(parseable):
+        fresh = _time.time() - os.path.getmtime(p) < 2 * 3600
+        if fresh and i + 1 < len(parseable):
+            continue  # same-round partial; an older complete file exists
+        chosen = (p, prev_q)
+        break
+    if chosen is not None:
+        prev_name = os.path.basename(chosen[0])
+        for k, v in timings.items():
+            if chosen[1].get(k):
+                deltas[k] = round(v / chosen[1][k], 2)
+        regressions = {k: d for k, d in deltas.items() if d > 1.5}
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "runs_per_query": runs,
-                "timing": "min over runs (steady-state)",
-                "prev_bench": prev_name,
-                "deltas_vs_prev": deltas,
-                "regressions_gt_1p5x": regressions,
-            }
-        )
-    )
+    # Full machine-readable record → file (the driver stores stdout as
+    # a FRONT-TRUNCATED tail, which made round 3's total unrecoverable).
+    # The stdout line keeps the driver contract but is slimmed (no
+    # per-query deltas) and ordered with metric/value/sf LAST, so even
+    # a truncated tail retains the headline numbers.
+    full = {
+        "queries": timings,
+        "runs_per_query": runs,
+        "timing": "min over runs (steady-state)",
+        "prev_bench": prev_name,
+        "deltas_vs_prev": deltas,
+        "regressions_gt_1p5x": regressions,
+        "unit": "sec",
+        "sf": float(sf),
+        "metric": "total_query_wall_seconds",
+        "value": total,
+    }
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    line = dict(full)
+    del line["deltas_vs_prev"]
+    line["full_record"] = "BENCH_FULL.json"
+    print(json.dumps(line))
     spark.stop()
 
 

