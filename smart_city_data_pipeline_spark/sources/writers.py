@@ -69,6 +69,14 @@ def write_jdbc(
     raise from Spark's driver-class lookup; the plan construction and
     options are the production path (bounded batch size, rewrite to
     multi-row INSERTs is driver-side config).
+
+    Runtime-provisioning probe (round 4): a fresh session configured
+    with ``spark.jars.packages = org.postgresql:postgresql:42.7.4``
+    fails ivy resolution with ``unresolved dependency: not found`` —
+    Maven Central is unreachable from this sandbox (HTTP 000), so the
+    jar cannot be fetched at runtime either. On any network-connected
+    cluster that exact coordinate resolves and this writer round-trips
+    unchanged.
     """
     writer = df.write.format("jdbc").option("url", url).option("dbtable", table).option(
         "batchsize", str(batchsize)
@@ -84,6 +92,16 @@ def write_kafka(df: DataFrame, bootstrap: str, topic: str, key_col: str | None =
     Gated: no spark-sql-kafka package in this environment. Serialization
     is JVM-side ``to_json`` over all columns; an optional key column keeps
     per-key ordering within a Kafka partition.
+
+    Runtime-provisioning probe (round 4): a fresh session configured
+    with ``spark.jars.packages =
+    org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2`` (the exact
+    match for this PySpark 4.1.2 / Scala 2.13 build) fails ivy
+    resolution with ``unresolved dependency: not found`` — Maven
+    Central is unreachable from this sandbox (HTTP 000), so the
+    package cannot be fetched at runtime either. On any
+    network-connected cluster that exact coordinate resolves and this
+    sink round-trips unchanged.
     """
     payload = F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value")
     cols = [payload] if key_col is None else [F.col(key_col).cast("string").alias("key"), payload]
