@@ -29,6 +29,8 @@ _GATE_FIRST = [
     # new in round 4
     "q20_surplus_suppliers",
     "ann_ivf_kmeans",
+    "decontaminate_ngram",
+    "source_token_rebalance",
     # perf-reworked / transitively changed in round 4
     "embedding_neardup",
     "dedup_minhash_lsh",
@@ -80,6 +82,8 @@ _GATE_LAST = [
     "daily_type_pivot",
     "top_sensors_per_zone",
     "gap_fill_hourly",
+    "sliding_window_counts",
+    "time_bucket_1min",
     "frames_features",
 ]
 

@@ -643,6 +643,48 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECONTAM_PROBE_DOCS = 5  # doc_id < 5 play the held-out eval set
+DECONTAM_MIN_SHARED = 3
+
+
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: per corpus document, how many of its
+    3-gram shingles also occur in the held-out eval set (doc_id <
+    ``DECONTAM_PROBE_DOCS``), and a ``contaminated`` flag at ≥
+    ``DECONTAM_MIN_SHARED`` shared shingles — the standard n-gram
+    overlap check a training pipeline runs before shipping a corpus
+    that might leak its own benchmarks.
+
+    Shape: one shingle pass (shared with the whole dedup family), a
+    LEFT join of corpus shingles against the DISTINCT probe-shingle
+    set (bounded by the literal probe predicate — AQE broadcasts it;
+    no forced hint), one keyed count aggregate. The probe set being
+    distinct means no fanout: each corpus shingle row matches at most
+    once, so n_shingles is exact.
+    """
+    sh = _hashed_shingles(spark, sf_dir)
+    probes = (
+        sh.filter(F.col("doc_id") < DECONTAM_PROBE_DOCS)
+        .select(F.col("hs").alias("phs"))
+        .distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") >= DECONTAM_PROBE_DOCS)
+    return (
+        corpus.join(probes, corpus.hs == probes.phs, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("phs").alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            (F.col("n_shared") >= DECONTAM_MIN_SHARED).alias("contaminated"),
+        )
+    )
+
+
 CLUSTER_MAX_ITERS = 20
 
 
@@ -783,9 +825,21 @@ QUERIES = {
     "dedup_levenshtein": dedup_levenshtein,
     "dedup_clusters": dedup_clusters,
     "dedup_incremental": dedup_incremental,
+    "decontaminate_ngram": decontaminate_ngram,
 }
 
 ORACLES = {
+    "decontaminate_ngram": f"""
+        WITH sh AS ({_HASHED_SHINGLES_SQL}),
+        probes AS (SELECT DISTINCT hs FROM sh WHERE doc_id < {DECONTAM_PROBE_DOCS}),
+        corpus AS (SELECT * FROM sh WHERE doc_id >= {DECONTAM_PROBE_DOCS})
+        SELECT c.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(COUNT(p.hs) AS BIGINT) AS n_shared,
+               (COUNT(p.hs) >= {DECONTAM_MIN_SHARED}) AS contaminated
+        FROM corpus c LEFT JOIN probes p ON c.hs = p.hs
+        GROUP BY 1
+    """,
     "dedup_exact": """
         WITH canon AS (
             SELECT md5(text) AS text_hash,

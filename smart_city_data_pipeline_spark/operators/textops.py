@@ -144,6 +144,69 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REBALANCE_BUCKETS = 10_000
+REBALANCE_SHARE_NUM = 1  # keep ~1/2 of total corpus tokens…
+REBALANCE_SHARE_DEN = 2  # …split equally across sources
+
+
+def source_token_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix rebalancing under a TOKEN budget: allocate
+    (total·share)/n_sources tokens to every source, keep each source's
+    deterministic md5-bucket prefix that fits its allocation — the op a
+    training pipeline runs to stop one over-crawled domain from
+    dominating the mixture.
+
+    Shapes that survive 100 TB: per-doc token counts are a pure
+    projection; per-source totals are ONE map-side-combinable
+    aggregate whose output is bounded by the source vocabulary (20
+    fixed sources ⇒ broadcast back is policy-exempt); doc selection is
+    a per-row bucket filter (md5, never rand() — reproducible across
+    retries, partitions, engines). All threshold arithmetic is INTEGER
+    (DIV / least), so no double division can flip a boundary doc
+    between engines. Output: per-source before/after doc and token
+    counts plus the bucket threshold actually applied.
+    """
+    from smart_city_data_pipeline_spark.catalog import spread
+    from smart_city_data_pipeline_spark.functions.hashing import md5_long
+
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        T.ws_token_count(F.col("text")).cast("long").alias("tok"),
+        (md5_long(F.col("doc_id").cast("string")) % REBALANCE_BUCKETS).alias("bucket"),
+    )
+    per_src = d.groupBy("source").agg(F.sum("tok").alias("tokens"))
+    totals = per_src.agg(
+        F.sum("tokens").alias("tot_tokens"), F.count(F.lit(1)).alias("n_src")
+    )
+    thr = (
+        per_src.join(F.broadcast(totals))
+        .select(
+            "source",
+            F.least(
+                F.lit(REBALANCE_BUCKETS),
+                F.expr(
+                    f"({REBALANCE_BUCKETS} * ((tot_tokens * {REBALANCE_SHARE_NUM}) DIV "
+                    f"({REBALANCE_SHARE_DEN} * n_src))) DIV greatest(tokens, 1)"
+                ),
+            ).alias("keep_thr"),
+        )
+    )
+    kept = F.col("bucket") < F.col("keep_thr")
+    return (
+        d.join(F.broadcast(thr), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("n_tokens"),
+            F.max("keep_thr").alias("keep_thr"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("tok")).otherwise(0)).alias("tokens_kept"),
+        )
+    )
+
+
 TFIDF_TOP_K = 5
 
 
@@ -215,6 +278,7 @@ QUERIES = {
     "stratified_sample": stratified_sample,
     "tfidf_top_terms": tfidf_top_terms,
     "text_repetition": text_repetition,
+    "source_token_rebalance": source_token_rebalance,
 }
 
 _T = "text"
@@ -335,5 +399,31 @@ ORACLES = {
         GROUP BY 1
         ORDER BY n DESC, token ASC
         LIMIT 20
+    """,
+    "source_token_rebalance": f"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   CAST({T.ws_token_count_sql(_T)} AS BIGINT) AS tok,
+                   {_SAMPLE_BUCKET_SQL} AS bucket
+            FROM documents
+        ),
+        s AS (SELECT source, SUM(tok) AS tokens FROM d GROUP BY 1),
+        t AS (SELECT SUM(tokens) AS tot_tokens, COUNT(*) AS n_src FROM s),
+        thr AS (
+            SELECT source,
+                   LEAST({REBALANCE_BUCKETS},
+                         ({REBALANCE_BUCKETS} * ((tot_tokens * {REBALANCE_SHARE_NUM})
+                              // ({REBALANCE_SHARE_DEN} * n_src)))
+                         // GREATEST(tokens, 1)) AS keep_thr
+            FROM s, t
+        )
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(tok) AS BIGINT) AS n_tokens,
+               CAST(MAX(keep_thr) AS BIGINT) AS keep_thr,
+               CAST(SUM(CASE WHEN bucket < keep_thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN bucket < keep_thr THEN tok ELSE 0 END) AS BIGINT) AS tokens_kept
+        FROM d JOIN thr ON d.source = thr.source
+        GROUP BY 1
     """,
 }

@@ -71,9 +71,10 @@ SF_SCALED_ID_COLS = {
 }
 
 # Grouping keys whose cardinality is a fixed vocabulary, NOT a function
-# of corpus size: nation/region dims, the closed event_type enum, and
-# the embeddings class-label vocabulary (10 fixed classes — a per-label
-# aggregate is one row per class regardless of corpus size).
+# of corpus size: nation/region dims, the closed event_type enum, the
+# embeddings class-label vocabulary (10 fixed classes), and the
+# documents source catalog (20 fixed sources) — a per-class/source
+# aggregate is one row per vocabulary entry regardless of corpus size.
 BOUNDED_GROUP_COLS = {
     "n_nationkey",
     "n_name",
@@ -82,6 +83,7 @@ BOUNDED_GROUP_COLS = {
     "r_name",
     "event_type",
     "label",
+    "source",
 }
 
 # The ANN probe set: a literal range filter caps it at 5 rows.
