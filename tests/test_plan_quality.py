@@ -68,6 +68,7 @@ BNLJ_ALLOWED = {
     "q22_global_sales_opportunity",
     "tfidf_top_terms",  # 1-row corpus-size aggregate broadcast
     "dedup_incremental",  # 1-row ingest split-point broadcast
+    "source_token_rebalance",  # 1-row total-token-budget broadcast
 }
 
 
