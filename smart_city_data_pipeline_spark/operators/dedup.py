@@ -179,23 +179,40 @@ def dedup_ngram_jaccard(
     )
 
 
+# Column expressions are immutable and session-independent, so the
+# fixed 16-agg / 4-band / 16-eq expression sets are built ONCE per
+# process (each F.* call is a py4j round-trip; these lists are ~100
+# calls rebuilt on every query construction otherwise).
+@functools.lru_cache(maxsize=1)
+def _minhash_aggs() -> tuple:
+    return tuple(
+        F.min(F.col("hs").bitwiseXOR(F.lit(c))).alias(f"m{i}")
+        for i, c in enumerate(MINHASH_SEEDS)
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def _minhash_eq_sim():
+    return functools.reduce(
+        operator.add,
+        [(F.col(f"sa.m{i}") == F.col(f"sb.m{i}")).cast("double") for i in range(N_MINHASH)],
+    ) / float(N_MINHASH)
+
+
 def _minhash_sig_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per doc: m0..m15 minhash slots (min over shingles of
     hash XOR seed-constant)."""
     sh = _hashed_shingles(spark, sf_dir)
-    aggs = [
-        F.min(F.col("hs").bitwiseXOR(F.lit(c))).alias(f"m{i}")
-        for i, c in enumerate(MINHASH_SEEDS)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return sh.groupBy("doc_id").agg(*_minhash_aggs())
 
 
-def _band_cols() -> list[Column]:
+@functools.lru_cache(maxsize=1)
+def _band_cols() -> tuple:
     cols = []
     for j in range(N_MINHASH // BAND_SIZE):
         slots = [F.col(f"m{j * BAND_SIZE + k}").cast("string") for k in range(BAND_SIZE)]
         cols.append(F.md5(F.concat_ws(",", *slots)).alias(f"b{j}"))
-    return cols
+    return tuple(cols)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,10 +251,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
     )
     sa, sb = sig.alias("sa"), sig.alias("sb")
-    sim = functools.reduce(
-        operator.add,
-        [(F.col(f"sa.m{i}") == F.col(f"sb.m{i}")).cast("double") for i in range(N_MINHASH)],
-    ) / float(N_MINHASH)
+    sim = _minhash_eq_sim()
     return (
         pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
