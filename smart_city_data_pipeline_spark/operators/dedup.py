@@ -454,9 +454,12 @@ def _srp_planes_col() -> Column:
     return F.lit(_SRP_PLANES_LIT)
 
 
+@functools.lru_cache(maxsize=1)
 def _srp_sig() -> Column:
     """16-char '0'/'1' SRP signature of ``embedding`` as a single
-    expression (sign of the dot product against each fixed plane)."""
+    expression (sign of the dot product against each fixed plane).
+    Deterministic in its free column reference, so built once per
+    process like the plane literal it wraps."""
     emb = F.col("embedding").cast("array<double>")
     return F.array_join(
         F.transform(
