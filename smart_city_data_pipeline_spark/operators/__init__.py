@@ -31,6 +31,8 @@ _GATE_FIRST = [
     "ann_ivf_kmeans",
     "decontaminate_ngram",
     "source_token_rebalance",
+    "unigram_logprob_score",
+    "length_outlier_filter",
     # perf-reworked / transitively changed in round 4
     "embedding_neardup",
     "dedup_minhash_lsh",
@@ -84,6 +86,8 @@ _GATE_LAST = [
     "gap_fill_hourly",
     "sliding_window_counts",
     "time_bucket_1min",
+    "latest_metrics",
+    "anomaly_zscore",
     "frames_features",
 ]
 

@@ -207,6 +207,80 @@ def source_token_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: train token frequencies on
+    the corpus itself, score each document by its mean token negative
+    log-probability — the classic cheap perplexity proxy used to rank
+    training documents (low = natural in-distribution text, high =
+    rare-token soup).
+
+    One explode pass feeds BOTH aggregates (per-token corpus counts and
+    the per-doc join-back), the vocabulary join is an equi-join on
+    token (AQE sizes it; vocabulary grows sublinearly in the corpus),
+    and the 1-row total is a broadcast scalar. ln() on an integer
+    ratio is engine-portable; the final mean is rounded through pround.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("n_total"))
+    neg_lp = -F.log(F.col("tf").cast("double") / F.col("n_total"))
+    return (
+        tok.join(vocab, "token")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            pround(F.avg(neg_lp)).alias("mean_neg_logprob"),
+        )
+    )
+
+
+LENGTH_FILTER_LO = 5    # percent
+LENGTH_FILTER_HI = 95   # percent
+
+
+def length_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop length outliers: keep documents whose token count lies in
+    the exact [P5, P95] of the corpus length distribution — the
+    truncation/duplication guard every corpus build runs first.
+
+    EXACT percentiles without a global sort: token-count HISTOGRAM
+    (one hash aggregate over a value domain bounded by max doc length),
+    cumulative counts via a window over the tiny distinct-value table
+    (hundreds of rows — never the corpus), then the cutoffs broadcast
+    back as a 1-row scalar pair and applied as a pure per-row filter.
+    DuckDB twin uses the same construction, so the boundary is
+    integer-exact in both engines (quantile functions would disagree on
+    interpolation).
+    """
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", T.ws_token_count(F.col("text")).cast("long").alias("n_tok"))
+    hist = d.groupBy("n_tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("n_tok").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("n_tok", F.sum("cnt").over(w).alias("cum"), F.col("cnt"))
+    tot = hist.agg(F.sum("cnt").alias("n_docs"))
+    # smallest value with cum*100 >= pct*n_docs  (integer arithmetic)
+    cuts = (
+        cum.join(F.broadcast(tot))
+        .agg(
+            F.min(
+                F.when(F.col("cum") * 100 >= F.col("n_docs") * LENGTH_FILTER_LO, F.col("n_tok"))
+            ).alias("lo"),
+            F.min(
+                F.when(F.col("cum") * 100 >= F.col("n_docs") * LENGTH_FILTER_HI, F.col("n_tok"))
+            ).alias("hi"),
+        )
+    )
+    return (
+        d.join(F.broadcast(cuts))
+        .filter((F.col("n_tok") >= F.col("lo")) & (F.col("n_tok") <= F.col("hi")))
+        .select("doc_id", "n_tok")
+    )
+
+
 TFIDF_TOP_K = 5
 
 
@@ -279,6 +353,8 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "text_repetition": text_repetition,
     "source_token_rebalance": source_token_rebalance,
+    "unigram_logprob_score": unigram_logprob_score,
+    "length_outlier_filter": length_outlier_filter,
 }
 
 _T = "text"
@@ -425,5 +501,40 @@ ORACLES = {
                CAST(SUM(CASE WHEN bucket < keep_thr THEN tok ELSE 0 END) AS BIGINT) AS tokens_kept
         FROM d JOIN thr ON d.source = thr.source
         GROUP BY 1
+    """,
+    "unigram_logprob_score": """
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+            FROM documents
+        ),
+        vocab AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY 1),
+        tot AS (SELECT SUM(tf) AS n_total FROM vocab)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               (FLOOR(CAST((AVG(-ln(CAST(tf AS DOUBLE) / n_total))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS mean_neg_logprob
+        FROM tok JOIN vocab USING (token), tot
+        GROUP BY 1
+    """,
+    "length_outlier_filter": f"""
+        WITH d AS (
+            SELECT doc_id, CAST({T.ws_token_count_sql(_T)} AS BIGINT) AS n_tok
+            FROM documents
+        ),
+        hist AS (SELECT n_tok, COUNT(*) AS cnt FROM d GROUP BY 1),
+        cum AS (
+            SELECT n_tok,
+                   SUM(cnt) OVER (ORDER BY n_tok
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM hist
+        ),
+        tot AS (SELECT COUNT(*) AS n_docs FROM d),
+        cuts AS (
+            SELECT MIN(CASE WHEN cum * 100 >= n_docs * {LENGTH_FILTER_LO} THEN n_tok END) AS lo,
+                   MIN(CASE WHEN cum * 100 >= n_docs * {LENGTH_FILTER_HI} THEN n_tok END) AS hi
+            FROM cum, tot
+        )
+        SELECT doc_id, n_tok FROM d, cuts
+        WHERE n_tok >= lo AND n_tok <= hi
     """,
 }

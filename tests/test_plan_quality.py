@@ -69,6 +69,8 @@ BNLJ_ALLOWED = {
     "tfidf_top_terms",  # 1-row corpus-size aggregate broadcast
     "dedup_incremental",  # 1-row ingest split-point broadcast
     "source_token_rebalance",  # 1-row total-token-budget broadcast
+    "unigram_logprob_score",  # 1-row corpus-token-total broadcast
+    "length_outlier_filter",  # 1-row percentile-cutoff broadcast
 }
 
 
