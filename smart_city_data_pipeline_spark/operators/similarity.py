@@ -14,12 +14,14 @@ Vector math is JVM-side (``zip_with``/``aggregate``) — see
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from smart_city_data_pipeline_spark.catalog import spread, table
 from smart_city_data_pipeline_spark.functions.rounding import pround
-from smart_city_data_pipeline_spark.functions.vector import cosine, cosine_sql
+from smart_city_data_pipeline_spark.functions.vector import cosine, cosine_sql, dot
 
 N_PROBES = 5  # vec_id < 5 are the query vectors
 TOP_K = 5
@@ -84,16 +86,36 @@ ANN_KMEANS_K = 16
 ANN_KMEANS_ITERS = 2
 ANN_KMEANS_NPROBE = 2
 
-# Trained centroid literal per (sf_dir, k, iters): training is a
-# bounded driver loop (collects only k×dim means per round), and the
-# nested-list literal costs ~0.5 s of py4j transport — both are paid
-# once per process, not per query construction.
-_KMEANS_CACHE: dict[tuple[str, int, int], "F.Column"] = {}
+# Trained centroids per (sf_dir, k, iters): training is a bounded
+# driver loop (collects only k×dim means per round), paid once per
+# process; the normalized literal Column is cached separately
+# (:func:`_norm_cents_col`).
+_KMEANS_CACHE: dict[tuple[str, int, int], list] = {}
 
 
 def _cell_scores(emb_col, cents_col):
-    """array<double> of cosine(emb, centroid) for every centroid."""
-    return F.transform(cents_col, lambda c: cosine(emb_col, c))
+    """array<double> of dot(emb, centroid) for every centroid.
+
+    Centroid literals are L2-NORMALIZED at build time
+    (:func:`_unit`), so argmax(dot) ≡ argmax(cosine): the row's own
+    norm is constant across centroids and cannot change the argmax,
+    and the centroid norm is folded into the literal. That removes the
+    2×16 redundant 64-element norm folds per row that a naive
+    per-centroid cosine would evaluate.
+    """
+    return F.transform(cents_col, lambda c: dot(emb_col, c))
+
+
+def _unit(vec: list[float]) -> list[float]:
+    n = sum(x * x for x in vec) ** 0.5 or 1.0
+    return [round(x / n, 9) for x in vec]
+
+
+@functools.lru_cache(maxsize=8)
+def _norm_cents_col(cents_key: tuple) -> "F.Column":
+    """Normalized-centroid literal, built once per distinct quantizer
+    (a 16×64 nested F.lit costs ~0.5 s of py4j transport per call)."""
+    return F.lit([_unit(list(c)) for c in cents_key])
 
 
 def _train_kmeans(emb: DataFrame, k: int, iters: int):
@@ -119,7 +141,7 @@ def _train_kmeans(emb: DataFrame, k: int, iters: int):
     )
     cents = [[round(float(x), 6) for x in r["embedding"]] for r in seed_rows]
     for _ in range(iters):
-        cc = F.lit(cents)
+        cc = F.lit([_unit(c) for c in cents])  # assignment by dot ≡ cosine
         scores = _cell_scores(F.col("embedding").cast("array<double>"), cc)
         assigned = emb.select(
             (F.array_position(scores, F.array_max(scores)) - 1).alias("cell"),
@@ -133,10 +155,12 @@ def _train_kmeans(emb: DataFrame, k: int, iters: int):
     return cents
 
 
-def kmeans_ivf_topk(emb: DataFrame, cc, n_probe: int) -> DataFrame:
-    """Query an embeddings DataFrame through a trained centroid
-    literal: assign cells, explode each probe to its ``n_probe``
-    nearest cells, candidate-join on cell id, exact-cosine rank."""
+def kmeans_ivf_topk(emb: DataFrame, cents: list, n_probe: int) -> DataFrame:
+    """Query an embeddings DataFrame through trained centroids:
+    assign cells (dot against the L2-normalized centroid literal),
+    explode each probe to its ``n_probe`` nearest cells,
+    candidate-join on cell id, exact-cosine rank."""
+    cc = _norm_cents_col(tuple(tuple(c) for c in cents))
     scores = _cell_scores(F.col("embedding").cast("array<double>"), cc)
     assigned = emb.select(
         "vec_id", "embedding", (F.array_position(scores, F.array_max(scores)) - 1).alias("cell")
@@ -198,7 +222,7 @@ def ann_ivf_kmeans(
     emb = spread(table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings")
     key = (sf_dir, k, iters)
     if key not in _KMEANS_CACHE:
-        _KMEANS_CACHE[key] = F.lit(_train_kmeans(emb, k, iters))
+        _KMEANS_CACHE[key] = _train_kmeans(emb, k, iters)
     return kmeans_ivf_topk(emb, _KMEANS_CACHE[key], n_probe)
 
 

@@ -64,7 +64,7 @@ def _exact_topk(x: np.ndarray, probe: int) -> list[int]:
 def test_kmeans_ivf_recall_on_clustered_corpus(spark, clustered):
     df, x = clustered
     cents = _train_kmeans(df, k=N_CENTERS, iters=3)
-    approx = kmeans_ivf_topk(df, F.lit(cents), n_probe=2).collect()
+    approx = kmeans_ivf_topk(df, cents, n_probe=2).collect()
     got = {(r["probe_id"], r["neighbor_id"]) for r in approx}
     want = {(p, n) for p in range(N_PROBES) for n in _exact_topk(x, p)}
     recall = len(got & want) / len(want)
@@ -77,9 +77,11 @@ def test_kmeans_cells_partition_the_corpus(spark, clustered):
     must be within range."""
     df, _ = clustered
     cents = _train_kmeans(df, k=N_CENTERS, iters=3)
-    from smart_city_data_pipeline_spark.operators.similarity import _cell_scores
+    from smart_city_data_pipeline_spark.operators.similarity import _cell_scores, _unit
 
-    scores = _cell_scores(F.col("embedding").cast("array<double>"), F.lit(cents))
+    scores = _cell_scores(
+        F.col("embedding").cast("array<double>"), F.lit([_unit(c) for c in cents])
+    )
     cells = (
         df.select((F.array_position(scores, F.array_max(scores)) - 1).alias("cell"))
         .groupBy("cell")
