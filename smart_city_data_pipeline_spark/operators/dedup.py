@@ -631,24 +631,18 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 1-row global aggregate: bounded, broadcast is policy-exempt.
     banded = bands.join(F.broadcast(split))
-    new_side = banded.filter(F.col("doc_id") >= F.col("split_id")).alias("a")
-    old_side = banded.filter(F.col("doc_id") < F.col("split_id")).alias("b")
-    sim = functools.reduce(
-        operator.add,
-        [
-            (F.col(f"a.m{i}") == F.col(f"b.m{i}")).cast("double")
-            for i in range(N_MINHASH)
-        ],
-    ) / float(N_MINHASH)
+    new_side = banded.filter(F.col("doc_id") >= F.col("split_id")).alias("sa")
+    old_side = banded.filter(F.col("doc_id") < F.col("split_id")).alias("sb")
+    sim = _minhash_eq_sim()
     cand = (
         new_side.join(
             old_side,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash")),
+            (F.col("sa.band_idx") == F.col("sb.band_idx"))
+            & (F.col("sa.band_hash") == F.col("sb.band_hash")),
         )
         .select(
-            F.col("a.doc_id").alias("new_doc_id"),
-            F.col("b.doc_id").alias("old_doc_id"),
+            F.col("sa.doc_id").alias("new_doc_id"),
+            F.col("sb.doc_id").alias("old_doc_id"),
             pround(sim).alias("sig_sim"),
         )
         .filter(F.col("sig_sim") >= MINHASH_SIM_THRESHOLD)
