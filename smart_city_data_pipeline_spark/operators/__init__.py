@@ -89,6 +89,7 @@ _GATE_LAST = [
     "latest_metrics",
     "anomaly_zscore",
     "frames_features",
+    "frames_features_bmp",
 ]
 
 
