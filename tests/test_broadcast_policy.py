@@ -98,6 +98,28 @@ def _bounded_grouping(group_exprs: str) -> bool:
     return bool(cols) and cols <= BOUNDED_GROUP_COLS
 
 
+def _root_is_global_aggregate(sub: str) -> bool:
+    """The broadcast side's OUTPUT cardinality is set by the subtree's
+    root operator: a root ``Aggregate []`` emits exactly one row no
+    matter how unbounded the plan beneath it is (corpus totals,
+    percentile cutoffs). Interior aggregates don't qualify — a grouped
+    aggregate root still scales with its keys."""
+    for line in sub.splitlines():
+        if not line.strip():
+            continue
+        # Analyzed plans print global aggregates in SINGLE-bracket form
+        # ("Aggregate [sum(x) AS y]"); grouped ones as two lists
+        # ("Aggregate [k], [k, count(1)]"). Treat as global: explicit
+        # empty group list, or a root Aggregate with no second list.
+        if re.search(r"^[\s:+-]*Aggregate \[\], \[", line):
+            return True
+        return (
+            re.search(r"^[\s:+-]*Aggregate \[", line) is not None
+            and re.search(r"^[\s:+-]*Aggregate \[[^\]]*\], \[", line) is None
+        )
+    return False
+
+
 def _violations(df) -> list[str]:
     """Hint subtrees that force-broadcast an unbounded side."""
     bad = []
@@ -109,6 +131,8 @@ def _violations(df) -> list[str]:
             continue  # bounded dims only (nation/region)
         if _PROBE_FILTER_RE.search(sub):
             continue  # fixed probe set, ≤ 5 rows by literal predicate
+        if _root_is_global_aggregate(sub):
+            continue  # 1-row scalar side by construction
         if "Aggregate" in sub:
             grouped = _GROUPED_AGG_RE.findall(sub)
             # Global aggregates ([] → every Aggregate is 1-row) and
