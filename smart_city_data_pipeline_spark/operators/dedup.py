@@ -358,6 +358,15 @@ def embedding_neardup(
     ``cell_n`` — a 2.1× wall regression at sf0.1, and a full extra
     pass over the fact at 100 TB). A label missing from the snapshot
     falls back to the banded path (conservative).
+
+    Because the snapshot is known at PLAN TIME, the guard also
+    specializes the plan: when every cell is under the cap the band
+    machinery vanishes entirely (constant ``*`` band — Catalyst folds
+    the trivially-true band conditions away, leaving the plain
+    within-label self-join); only a corpus with at least one oversized
+    cell plans the SRP CASE + explode. Either way the DECISION is the
+    guard — the same snapshot drives both forms, and the forced-cap
+    pytest exercises the banded plan.
     """
     cnts = _label_counts(spark, sf_dir)
     emb = spread(table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings").select(
@@ -366,17 +375,20 @@ def embedding_neardup(
         "embedding",
         F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
-    cnt_map = F.create_map(
-        *[c for k in sorted(cnts) for c in (F.lit(k), F.lit(cnts[k]))]
-    )
-    cell_n = F.coalesce(F.element_at(cnt_map, F.col("label")), F.lit(1 << 62))
-    sig = _srp_sig()
-    band_arr = F.when(cell_n <= cell_cap, F.array(F.lit("*"))).otherwise(
-        F.array(
-            F.concat(F.lit("0:"), F.substring(sig, 1, 8)),
-            F.concat(F.lit("1:"), F.substring(sig, 9, 8)),
+    if cnts and max(cnts.values()) <= cell_cap:
+        band_arr = F.array(F.lit("*"))
+    else:
+        cnt_map = F.create_map(
+            *[c for k in sorted(cnts) for c in (F.lit(k), F.lit(cnts[k]))]
         )
-    )
+        cell_n = F.coalesce(F.element_at(cnt_map, F.col("label")), F.lit(1 << 62))
+        sig = _srp_sig()
+        band_arr = F.when(cell_n <= cell_cap, F.array(F.lit("*"))).otherwise(
+            F.array(
+                F.concat(F.lit("0:"), F.substring(sig, 1, 8)),
+                F.concat(F.lit("1:"), F.substring(sig, 9, 8)),
+            )
+        )
     # Each exploded row also carries its row's FIRST band (b0): a pair
     # matching on several bands is emitted ONLY from the first shared
     # one (matched band is a's first band, or the first bands differ —
