@@ -33,6 +33,7 @@ _GATE_FIRST = [
     "source_token_rebalance",
     "unigram_logprob_score",
     "length_outlier_filter",
+    "q2_min_cost_supplier",
     # perf-reworked / transitively changed in round 4
     "embedding_neardup",
     "dedup_minhash_lsh",
@@ -88,6 +89,7 @@ _GATE_LAST = [
     "time_bucket_1min",
     "latest_metrics",
     "anomaly_zscore",
+    "congestion_streaks",
     "frames_features",
     "frames_features_bmp",
 ]

@@ -22,7 +22,7 @@ TakeOrderedAndProject (per-partition heap, no global sort).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from smart_city_data_pipeline_spark.catalog import spread, table
@@ -439,6 +439,54 @@ def q20_surplus_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style: for each part of a family, the ARGMIN supplier —
+    the one with the lowest average supply price — restricted to an
+    even-keyed nation subset (this schema has no partsupp; per-(part,
+    supplier) average lineitem price plays ps_supplycost).
+
+    The correlated "= (SELECT MIN(...))" subquery becomes a rank-1
+    window over the per-(part, supplier) aggregate: one keyed shuffle
+    for the aggregate, a window partitioned BY PART (never global),
+    deterministic tie-break on suppkey, then dim joins — supplier is
+    sf-scaled (no hint, AQE sizes it), nation is a forced 25-row
+    broadcast. Price averages divide an EXACT decimal sum by a count,
+    so both engines rank identical doubles; output prices re-round
+    through pround."""
+    li = spread(table(spark, sf_dir, "lineitem"), "l_partkey", key=f"{sf_dir}:lineitem")
+    part = table(spark, sf_dir, "part")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    fam = part.filter(F.col("p_name").like("red%")).select("p_partkey", "p_name")
+    per_ps = (
+        li.join(fam, li.l_partkey == fam.p_partkey)
+        .groupBy("p_partkey", "p_name", "l_suppkey")
+        .agg((F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"))
+    )
+    # Q2 semantics: the MIN ranges over suppliers IN the nation subset,
+    # so restrict BEFORE the argmin window.
+    eligible = per_ps.join(supp, per_ps.l_suppkey == supp.s_suppkey).join(
+        F.broadcast(nation.filter(F.col("n_nationkey") % 2 == 0)),
+        supp.s_nationkey == nation.n_nationkey,
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("avg_price").asc(), F.col("l_suppkey").asc()
+    )
+    return (
+        eligible.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            pround(F.col("avg_price")).alias("min_avg_price"),
+        )
+        .orderBy(F.col("min_avg_price").asc(), F.col("p_partkey").asc())
+        .limit(20)
+    )
+
+
 _DISC_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 _CHARGE_SQL = f"({_DISC_SQL}) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))"
 
@@ -458,6 +506,7 @@ QUERIES = {
     "q19_discounted_revenue": q19_discounted_revenue,
     "late_supplier_blame": late_supplier_blame,
     "q20_surplus_suppliers": q20_surplus_suppliers,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
 }
 
 ORACLES = {
@@ -663,5 +712,31 @@ ORACLES = {
                                 ELSE CAST(0 AS DECIMAL(18,2)) END)
           )
         ORDER BY s_name
+    """,
+    "q2_min_cost_supplier": """
+        WITH per_ps AS (
+            SELECT p_partkey, p_name, l_suppkey,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE 'red%'
+            GROUP BY 1, 2, 3
+        ),
+        eligible AS (
+            SELECT per_ps.*, s_name, n_name
+            FROM per_ps
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_nationkey % 2 = 0
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY p_partkey ORDER BY avg_price ASC, l_suppkey ASC) AS rk
+            FROM eligible
+        )
+        SELECT p_partkey, p_name, s_name, n_name AS nation,
+               (FLOOR(CAST((avg_price) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS min_avg_price
+        FROM ranked WHERE rk = 1
+        ORDER BY min_avg_price ASC, p_partkey ASC
+        LIMIT 20
     """,
 }
