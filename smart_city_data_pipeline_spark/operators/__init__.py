@@ -34,6 +34,7 @@ _GATE_FIRST = [
     "unigram_logprob_score",
     "length_outlier_filter",
     "q2_min_cost_supplier",
+    "dedup_containment",
     # perf-reworked / transitively changed in round 4
     "embedding_neardup",
     "dedup_minhash_lsh",
@@ -90,6 +91,7 @@ _GATE_LAST = [
     "latest_metrics",
     "anomaly_zscore",
     "congestion_streaks",
+    "asof_enrich",
     "frames_features",
     "frames_features_bmp",
 ]

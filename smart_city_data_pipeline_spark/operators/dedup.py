@@ -666,6 +666,55 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional n-gram CONTAINMENT: |A∩B| / |A| ≥ threshold flags A
+    as (near-)embedded in B — the boilerplate/quote/subset-dup case
+    Jaccard misses (a short doc pasted into a long one has low Jaccard
+    but containment ≈ 1). Standard companion to Jaccard in corpus
+    dedup.
+
+    Same inverted-index self-join as :func:`dedup_ngram_jaccard` (one
+    keyed shuffle for the intersection counts), then ONE pass emits
+    both directions of each pair via an array-of-structs explode — no
+    second join of the intersection table, no union re-scan. Sizes are
+    per-document (corpus-scaled ⇒ no broadcast hint).
+    """
+    sh = _hashed_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.hs") == F.col("b.hs")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    directed = F.explode(
+        F.array(
+            F.struct(
+                F.col("doc_a").alias("contained_doc"),
+                F.col("doc_b").alias("container_doc"),
+                (F.col("n_inter").cast("double") / F.col("sa.n_sh")).alias("containment"),
+            ),
+            F.struct(
+                F.col("doc_b").alias("contained_doc"),
+                F.col("doc_a").alias("container_doc"),
+                (F.col("n_inter").cast("double") / F.col("sb.n_sh")).alias("containment"),
+            ),
+        )
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(directed.alias("e"))
+        .select("e.*")
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("contained_doc", "container_doc", pround(F.col("containment")).alias("containment"))
+    )
+
+
 DECONTAM_PROBE_DOCS = 5  # doc_id < 5 play the held-out eval set
 DECONTAM_MIN_SHARED = 3
 
@@ -849,9 +898,31 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_incremental": dedup_incremental,
     "decontaminate_ngram": decontaminate_ngram,
+    "dedup_containment": dedup_containment,
 }
 
 ORACLES = {
+    "dedup_containment": f"""
+        WITH sh AS ({_HASHED_SHINGLES_SQL}),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b ON a.hs = b.hs AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        directed AS (
+            SELECT doc_a AS contained_doc, doc_b AS container_doc,
+                   CAST(n_inter AS DOUBLE) / sa.n_sh AS c
+            FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+            UNION ALL
+            SELECT doc_b, doc_a, CAST(n_inter AS DOUBLE) / sb.n_sh
+            FROM inter JOIN sizes sb ON doc_b = sb.doc_id
+        )
+        SELECT contained_doc, container_doc,
+               (FLOOR(CAST((c) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS containment
+        FROM directed
+        WHERE c >= {CONTAINMENT_THRESHOLD}
+    """,
     "decontaminate_ngram": f"""
         WITH sh AS ({_HASHED_SHINGLES_SQL}),
         probes AS (SELECT DISTINCT hs FROM sh WHERE doc_id < {DECONTAM_PROBE_DOCS}),
