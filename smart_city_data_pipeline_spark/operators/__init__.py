@@ -35,6 +35,7 @@ _GATE_FIRST = [
     "length_outlier_filter",
     "q2_min_cost_supplier",
     "dedup_containment",
+    "pack_sequences",
     # perf-reworked / transitively changed in round 4
     "embedding_neardup",
     "dedup_minhash_lsh",
@@ -92,6 +93,7 @@ _GATE_LAST = [
     "anomaly_zscore",
     "congestion_streaks",
     "asof_enrich",
+    "range_pair_counts",
     "frames_features",
     "frames_features_bmp",
 ]

@@ -281,6 +281,53 @@ def length_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_SEQ_LEN = 512  # tokens per training sequence
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (concat-then-chunk): documents are
+    concatenated in a deterministic order and cut into fixed
+    ``PACK_SEQ_LEN``-token training sequences; each document reports
+    the pack range it lands in — the final step of every LLM
+    training-data build, and the input manifest a dataloader shards on.
+
+    Deterministic and scalable: packing runs WITHIN each source (a
+    window partitioned by source, ordered by md5(doc_id) — per-source
+    partitions, never a global sort), the running offset is an integer
+    cumulative sum, and pack ids are integer divisions — so both
+    engines agree exactly and re-runs are reproducible. Documents
+    longer than a sequence span multiple packs (end_pack > start_pack).
+    """
+    from smart_city_data_pipeline_spark.catalog import spread
+    from smart_city_data_pipeline_spark.functions.hashing import md5_long
+
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        T.ws_token_count(F.col("text")).cast("long").alias("tok"),
+        md5_long(F.col("doc_id").cast("string")).alias("ord"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = d.select(
+        "doc_id", "source", "tok", F.sum("tok").over(w).alias("cum")
+    )
+    return cum.select(
+        "doc_id",
+        "source",
+        "tok",
+        F.expr(f"(cum - tok) DIV {PACK_SEQ_LEN}").alias("start_pack"),
+        # greatest(cum,1): a zero-token doc at offset 0 must not go
+        # negative (DuckDB // floors, Spark DIV truncates — they
+        # disagree below zero).
+        F.expr(f"(greatest(cum, 1) - 1) DIV {PACK_SEQ_LEN}").alias("end_pack"),
+    )
+
+
 TFIDF_TOP_K = 5
 
 
@@ -355,6 +402,7 @@ QUERIES = {
     "source_token_rebalance": source_token_rebalance,
     "unigram_logprob_score": unigram_logprob_score,
     "length_outlier_filter": length_outlier_filter,
+    "pack_sequences": pack_sequences,
 }
 
 _T = "text"
@@ -536,5 +584,23 @@ ORACLES = {
         )
         SELECT doc_id, n_tok FROM d, cuts
         WHERE n_tok >= lo AND n_tok <= hi
+    """,
+    "pack_sequences": f"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   CAST({T.ws_token_count_sql(_T)} AS BIGINT) AS tok,
+                   {_md5_long_sql('CAST(doc_id AS VARCHAR)')} AS ord
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, source, tok,
+                   SUM(tok) OVER (PARTITION BY source ORDER BY ord, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM d
+        )
+        SELECT doc_id, source, tok,
+               (cum - tok) // {PACK_SEQ_LEN} AS start_pack,
+               (GREATEST(cum, 1) - 1) // {PACK_SEQ_LEN} AS end_pack
+        FROM cum
     """,
 }
