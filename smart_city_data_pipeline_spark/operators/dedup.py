@@ -777,7 +777,12 @@ def dedup_clusters(
     and its neighbors — one equi-join + one min-aggregate per round,
     both keyed shuffles, converging in O(component diameter) rounds
     (near-dup clusters are shallow; the cap is a runaway guard). The
-    edge list and each round's labels are eagerly local-checkpointed:
+    LOOP RUNS ONLY OVER THE EDGE-INDUCED SUBGRAPH: a node with no
+    near-dup edge can never change label, so the iterative working set
+    is the dup-involved nodes (at production dup rates, a few percent
+    of the corpus), not every document — singletons join the result
+    once at the end via a left join (comp = coalesce(comp, doc_id)).
+    The edge list and each round's labels are eagerly checkpointed:
     edges so the LSH pipeline runs ONCE (not once per round), labels so
     the plan does not grow by two joins every round. The convergence
     probe is ``isEmpty()`` on the changed-rows diff — a driver-side
@@ -820,7 +825,10 @@ def dedup_clusters(
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     edges = _ckpt(pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF("src", "dst"))
     docs = spread(table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents")
-    labels = docs.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("comp"))
+    # Edge-induced subgraph only: the loop never touches edge-less docs.
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "comp", F.col("node")
+    )
     last_ids: set[int] = set()
     for _ in range(max_iters):
         pre_ids = _persistent_ids()
@@ -850,10 +858,18 @@ def dedup_clusters(
         rdd = jmap.get(rid)
         if rdd is not None:
             rdd.unpersist(False)
-    return labels.select(
-        F.col("node").alias("doc_id"),
-        F.col("comp").alias("cluster_id"),
-        (F.col("node") == F.col("comp")).alias("is_canonical"),
+    # Singletons (no near-dup edge) are their own cluster; one left
+    # join attaches the converged subgraph labels to the full corpus.
+    return (
+        docs.select("doc_id")
+        .join(labels, docs.doc_id == labels.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("comp"), F.col("doc_id")).alias("cluster_id"),
+            (F.coalesce(F.col("comp"), F.col("doc_id")) == F.col("doc_id")).alias(
+                "is_canonical"
+            ),
+        )
     )
 
 
