@@ -286,3 +286,34 @@ def test_session_windows_match_batch(spark, sf_dir, tmp_path):
     want = norm(batch_equivalent_sessions(ev))
     assert len(got) > 0
     assert got == want
+
+
+def test_stateful_anomaly_matches_batch(spark, sf_dir, tmp_path):
+    """Running-stats z-score anomalies from keyed streaming state must
+    equal the expanding-window batch twin event-for-event."""
+    from smart_city_data_pipeline_spark.streaming.anomaly import (
+        anomaly_stream,
+        batch_equivalent_anomalies,
+    )
+
+    ev, stream = _events_stream(spark, sf_dir, tmp_path)
+    q = (
+        anomaly_stream(stream)
+        .writeStream.format("memory")
+        .queryName("anomalies")
+        .option("checkpointLocation", str(tmp_path / "anom_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not drain in time"
+    got = {
+        (r["user_id"], r["event_id"]): round(r["zscore"], 6)
+        for r in spark.table("anomalies").collect()
+    }
+    want = {
+        (r["user_id"], r["event_id"]): round(r["zscore"], 6)
+        for r in batch_equivalent_anomalies(ev).collect()
+    }
+    assert len(want) > 0, "twin found no anomalies — test corpus unfit"
+    assert got == want
