@@ -36,6 +36,7 @@ _GATE_FIRST = [
     "q2_min_cost_supplier",
     "dedup_containment",
     "pack_sequences",
+    "bigram_logprob_score",
     # perf-reworked / transitively changed in round 4
     "embedding_neardup",
     "dedup_minhash_lsh",
@@ -94,6 +95,7 @@ _GATE_LAST = [
     "congestion_streaks",
     "asof_enrich",
     "range_pair_counts",
+    "zone_value_histogram",
     "frames_features",
     "frames_features_bmp",
 ]

@@ -281,6 +281,46 @@ def length_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score: corpus-trained conditional
+    probabilities p(w_t | w_{t-1}) = count(w_{t-1} w_t) / count(w_{t-1}
+    as a PREFIX), scored as each document's mean −log p over its
+    adjacent token pairs — the next step up from the unigram proxy
+    (:func:`unigram_logprob_score`): it punishes unnatural token ORDER,
+    not just rare tokens.
+
+    One posexplode pass feeds everything: adjacent pairs come from a
+    per-doc lag window (partitioned by doc_id — bounded partitions,
+    no global sort); bigram and prefix-unigram counts are two hash
+    aggregates over the pair table (so numerator and denominator are
+    consistent by construction — trailing tokens never inflate the
+    prefix count); the final join back is keyed on the pair. ln() on
+    an integer ratio is engine-portable; mean rounds through pround.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(T.ws_tokens(F.lower(F.col("text")))).alias("pos", "token")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prs = (
+        tok.withColumn("prev", F.lag("token").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("doc_id", "prev", "token")
+    )
+    big = prs.groupBy("prev", "token").agg(F.count(F.lit(1)).alias("c2"))
+    pre = prs.groupBy(F.col("prev").alias("p1")).agg(F.count(F.lit(1)).alias("c1"))
+    neg_lp = -F.log(F.col("c2").cast("double") / F.col("c1"))
+    return (
+        prs.join(big, ["prev", "token"])
+        .join(pre, prs.prev == F.col("p1"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            pround(F.avg(neg_lp)).alias("mean_neg_logprob"),
+        )
+    )
+
+
 PACK_SEQ_LEN = 512  # tokens per training sequence
 
 
@@ -403,6 +443,7 @@ QUERIES = {
     "unigram_logprob_score": unigram_logprob_score,
     "length_outlier_filter": length_outlier_filter,
     "pack_sequences": pack_sequences,
+    "bigram_logprob_score": bigram_logprob_score,
 }
 
 _T = "text"
@@ -602,5 +643,29 @@ ORACLES = {
                (cum - tok) // {PACK_SEQ_LEN} AS start_pack,
                (GREATEST(cum, 1) - 1) // {PACK_SEQ_LEN} AS end_pack
         FROM cum
+    """,
+    "bigram_logprob_score": """
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token,
+                   generate_subscripts(regexp_split_to_array(trim(lower(text)), '\\s+'), 1) AS pos
+            FROM documents
+        ),
+        prs AS (
+            SELECT doc_id, prev, token FROM (
+                SELECT doc_id, token,
+                       LAG(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                FROM tok
+            ) WHERE prev IS NOT NULL
+        ),
+        big AS (SELECT prev, token, COUNT(*) AS c2 FROM prs GROUP BY 1, 2),
+        pre AS (SELECT prev AS p1, COUNT(*) AS c1 FROM prs GROUP BY 1)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               (FLOOR(CAST((AVG(-ln(CAST(c2 AS DOUBLE) / c1))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS mean_neg_logprob
+        FROM prs
+        JOIN big USING (prev, token)
+        JOIN pre ON prs.prev = pre.p1
+        GROUP BY 1
     """,
 }
