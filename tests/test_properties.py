@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis) for the pure-Python seams.
+
+These cover the code that parses UNTRUSTED bytes or feeds literals
+into plans — the places where a single malformed input must never
+crash a 1000-executor job: the BMP codec, the centroid normalizer,
+and the deterministic hyperplane generator.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from smart_city_data_pipeline_spark.operators.multimodal import (
+    decode_bmp_gray,
+    encode_bmp_gray,
+)
+from smart_city_data_pipeline_spark.operators.similarity import _unit
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bmp_roundtrip_any_shape(h, w, seed):
+    """decode(encode(img)) is bit-exact for EVERY shape, including the
+    row-padding cases (width not a multiple of 4)."""
+    img = np.random.default_rng(seed).integers(0, 256, size=(h, w), dtype=np.uint8)
+    back = decode_bmp_gray(encode_bmp_gray(img))
+    assert back is not None and back.shape == (h, w) and (back == img).all()
+
+
+@settings(max_examples=120, deadline=None)
+@given(buf=st.binary(min_size=0, max_size=300))
+def test_bmp_decoder_never_raises_on_garbage(buf):
+    """Arbitrary bytes must yield None or an array — never an
+    exception (a crash-truncated payload in the lake must not kill the
+    decode stage)."""
+    out = decode_bmp_gray(buf)
+    assert out is None or isinstance(out, np.ndarray)
+
+
+@settings(max_examples=120, deadline=None)
+@given(tail=st.binary(min_size=0, max_size=300))
+def test_bmp_decoder_never_raises_on_bm_prefixed_garbage(tail):
+    """Same, for bytes that PASS the magic check — header fields are
+    attacker-controlled (sizes, offsets, bpp) and must be bounds-checked."""
+    out = decode_bmp_gray(b"BM" + tail)
+    assert out is None or isinstance(out, np.ndarray)
+
+
+def test_bmp_24bpp_decode_path():
+    """A hand-built 24-bit uncompressed BMP decodes to the per-pixel
+    channel mean (the grayscale reduction the feature extractor uses)."""
+    w, h = 3, 2
+    px = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1].reshape(h, w * 3)
+    pixels = rows.tobytes()
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + len(pixels), 0, 0, offset)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    out = decode_bmp_gray(header + info + pixels)
+    assert out is not None and out.shape == (h, w)
+    want = px.mean(axis=2).astype(np.uint8)
+    assert (out == want).all()
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    vec=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=64
+    )
+)
+def test_unit_normalizer_properties(vec):
+    """_unit never raises (incl. the all-zero vector), returns finite
+    values, and is idempotent up to its own rounding."""
+    u = _unit(vec)
+    assert len(u) == len(vec)
+    assert all(np.isfinite(u))
+    n = float(np.linalg.norm(u))
+    assert n == 0.0 or 0.99 <= n <= 1.01
+    again = _unit(u)
+    assert np.allclose(u, again, atol=1e-6)
+
+
+def test_srp_hyperplanes_deterministic():
+    from smart_city_data_pipeline_spark.operators.dedup import _srp_hyperplanes
+
+    a = _srp_hyperplanes(4, 8)
+    b = _srp_hyperplanes(4, 8)
+    assert a == b
+    assert all(-1000.0 <= x <= 1000.0 for row in a for x in row)
