@@ -37,6 +37,7 @@ _GATE_FIRST = [
     "dedup_containment",
     "pack_sequences",
     "bigram_logprob_score",
+    "filter_funnel_report",
     # perf-reworked / transitively changed in round 4
     "embedding_neardup",
     "dedup_minhash_lsh",
@@ -96,6 +97,7 @@ _GATE_LAST = [
     "asof_enrich",
     "range_pair_counts",
     "zone_value_histogram",
+    "dataset_summary",
     "frames_features",
     "frames_features_bmp",
 ]

@@ -281,6 +281,88 @@ def length_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_MIN_TOKENS = 50
+FUNNEL_MAX_TOKENS = 400
+FUNNEL_MIN_QUALITY = 0.5
+FUNNEL_MIN_DISTINCT_RATIO = 0.45
+
+
+def filter_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-build FILTERING FUNNEL: for each quality rule, how
+    many documents it flags, how many it removes MARGINALLY (among
+    survivors of the earlier rules), and how many documents survive
+    after it — the report every large-scale data build publishes
+    before training.
+
+    Rules in funnel order: non-English → low quality score → high
+    repetition → length outside [50, 400] tokens. All per-doc
+    signals come from pure Column expressions plus ONE token-explode
+    aggregate (the repetition signal); the funnel itself is a single
+    global aggregate over the flag columns (conditional counts — one
+    row out per rule via an explicit stack, no shuffle beyond the
+    per-doc aggregate). Counts are integers, so the oracle is exact.
+    """
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    rep = (
+        docs.select(
+            "doc_id", F.explode_outer(T.ws_tokens(F.lower(t))).alias("token")
+        )
+        .filter(F.col("token").isNotNull())
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            (F.count(F.lit(1)).cast("double") / F.sum("cnt")).alias("distinct_ratio")
+        )
+    )
+    flags = (
+        docs.select(
+            "doc_id",
+            (T.lang_id(t) != "en").alias("f_lang"),
+            (T.quality_score(t) < FUNNEL_MIN_QUALITY).alias("f_quality"),
+            T.ws_token_count(t).alias("n_tok"),
+        )
+        .join(rep, "doc_id")
+        .select(
+            "f_lang",
+            "f_quality",
+            (F.col("distinct_ratio") < FUNNEL_MIN_DISTINCT_RATIO).alias("f_rep"),
+            (
+                (F.col("n_tok") < FUNNEL_MIN_TOKENS)
+                | (F.col("n_tok") > FUNNEL_MAX_TOKENS)
+            ).alias("f_len"),
+        )
+    )
+    s1 = ~F.col("f_lang")
+    s2 = s1 & ~F.col("f_quality")
+    s3 = s2 & ~F.col("f_rep")
+    s4 = s3 & ~F.col("f_len")
+    cnt = lambda c: F.sum(c.cast("int")).cast("bigint")
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        cnt(F.col("f_lang")).alias("fl1"),
+        cnt(F.col("f_quality")).alias("fl2"),
+        cnt(F.col("f_rep")).alias("fl3"),
+        cnt(F.col("f_len")).alias("fl4"),
+        cnt(s1 & F.col("f_quality")).alias("m2"),
+        cnt(s2 & F.col("f_rep")).alias("m3"),
+        cnt(s3 & F.col("f_len")).alias("m4"),
+        cnt(s1).alias("s1"),
+        cnt(s2).alias("s2"),
+        cnt(s3).alias("s3"),
+        cnt(s4).alias("s4"),
+    )
+    return agg.selectExpr(
+        """stack(4,
+            'lang',       fl1, fl1,            s1,
+            'quality',    fl2, m2,             s2,
+            'repetition', fl3, m3,             s3,
+            'length',     fl4, m4,             s4
+        ) AS (rule, n_flagged, n_removed_marginal, n_surviving)"""
+    )
+
+
 def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram language-model quality score: corpus-trained conditional
     probabilities p(w_t | w_{t-1}) = count(w_{t-1} w_t) / count(w_{t-1}
@@ -444,6 +526,7 @@ QUERIES = {
     "length_outlier_filter": length_outlier_filter,
     "pack_sequences": pack_sequences,
     "bigram_logprob_score": bigram_logprob_score,
+    "filter_funnel_report": filter_funnel_report,
 }
 
 _T = "text"
@@ -667,5 +750,48 @@ ORACLES = {
         JOIN big USING (prev, token)
         JOIN pre ON prs.prev = pre.p1
         GROUP BY 1
+    """,
+    "filter_funnel_report": f"""
+        WITH rep AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS DOUBLE) / SUM(cnt) AS distinct_ratio
+            FROM (
+                SELECT doc_id, token, COUNT(*) AS cnt
+                FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+                    FROM documents
+                )
+                GROUP BY 1, 2
+            )
+            GROUP BY 1
+        ),
+        flags AS (
+            SELECT ({T.lang_id_sql(_T)}) <> 'en' AS f_lang,
+                   ({T.quality_score_sql(_T)}) < {FUNNEL_MIN_QUALITY} AS f_quality,
+                   rep.distinct_ratio < {FUNNEL_MIN_DISTINCT_RATIO} AS f_rep,
+                   ({T.ws_token_count_sql(_T)} < {FUNNEL_MIN_TOKENS}
+                    OR {T.ws_token_count_sql(_T)} > {FUNNEL_MAX_TOKENS}) AS f_len
+            FROM documents JOIN rep USING (doc_id)
+        ),
+        agg AS (
+            SELECT
+                CAST(SUM(CASE WHEN f_lang THEN 1 ELSE 0 END) AS BIGINT) AS fl1,
+                CAST(SUM(CASE WHEN f_quality THEN 1 ELSE 0 END) AS BIGINT) AS fl2,
+                CAST(SUM(CASE WHEN f_rep THEN 1 ELSE 0 END) AS BIGINT) AS fl3,
+                CAST(SUM(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) AS fl4,
+                CAST(SUM(CASE WHEN NOT f_lang AND f_quality THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+                CAST(SUM(CASE WHEN NOT f_lang AND NOT f_quality AND f_rep THEN 1 ELSE 0 END) AS BIGINT) AS m3,
+                CAST(SUM(CASE WHEN NOT f_lang AND NOT f_quality AND NOT f_rep AND f_len THEN 1 ELSE 0 END) AS BIGINT) AS m4,
+                CAST(SUM(CASE WHEN NOT f_lang THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+                CAST(SUM(CASE WHEN NOT f_lang AND NOT f_quality THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+                CAST(SUM(CASE WHEN NOT f_lang AND NOT f_quality AND NOT f_rep THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+                CAST(SUM(CASE WHEN NOT f_lang AND NOT f_quality AND NOT f_rep AND NOT f_len THEN 1 ELSE 0 END) AS BIGINT) AS s4
+            FROM flags
+        )
+        SELECT 'lang' AS rule, fl1 AS n_flagged, fl1 AS n_removed_marginal, s1 AS n_surviving FROM agg
+        UNION ALL SELECT 'quality', fl2, m2, s2 FROM agg
+        UNION ALL SELECT 'repetition', fl3, m3, s3 FROM agg
+        UNION ALL SELECT 'length', fl4, m4, s4 FROM agg
     """,
 }
