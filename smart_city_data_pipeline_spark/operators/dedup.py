@@ -667,9 +667,21 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CONTAINMENT_THRESHOLD = 0.9
+# Production stop-shingle guard, ON by default: the hs self-join below
+# is quadratic in a shingle's document frequency, so one boilerplate
+# 3-gram shared by 1 M docs at 100 TB is a 10^12-row join cell. Any
+# shingle in > CONTAINMENT_DF_CAP docs is boilerplate by construction
+# (a real contained-in relationship shares many RARE shingles too), and
+# at this cap the worst cell is bounded at ~CONTAINMENT_DF_CAP² rows.
+# Max observed df on the test corpora is 7 (sf0.01) / 25 (sf0.1), so
+# the default is a verified no-op there (pytest) and the uncapped
+# oracle stays green.
+CONTAINMENT_DF_CAP = 1000
 
 
-def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_containment(
+    spark: SparkSession, sf_dir: str, df_cap: int | None = CONTAINMENT_DF_CAP
+) -> DataFrame:
     """Directional n-gram CONTAINMENT: |A∩B| / |A| ≥ threshold flags A
     as (near-)embedded in B — the boilerplate/quote/subset-dup case
     Jaccard misses (a short doc pasted into a long one has low Jaccard
@@ -681,9 +693,28 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     both directions of each pair via an array-of-structs explode — no
     second join of the intersection table, no union re-scan. Sizes are
     per-document (corpus-scaled ⇒ no broadcast hint).
+
+    ``df_cap`` mirrors :func:`dedup_ngram_jaccard`'s knob but is ON by
+    default (:data:`CONTAINMENT_DF_CAP`): shingles appearing in more
+    than ``df_cap`` documents are dropped from BOTH sides of the
+    intersection join (they are boilerplate, not evidence of
+    containment). ``n_sh`` sizes are still computed over ALL shingles,
+    so under a biting cap the reported containment is a LOWER bound —
+    capped pairs can only drop out, never appear spuriously. Pass
+    ``df_cap=None`` for the exact uncapped semantics (what the DuckDB
+    oracle computes).
     """
     sh = _hashed_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if df_cap is not None:
+        rare = (
+            sh.groupBy("hs")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("hs")
+        )
+        # One row per distinct surviving shingle — corpus-scaled, no hint.
+        sh = sh.join(rare, "hs", "left_semi")
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.hs") == F.col("b.hs")) & (F.col("a.doc_id") < F.col("b.doc_id")))

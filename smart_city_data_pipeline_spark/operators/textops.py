@@ -723,8 +723,8 @@ ORACLES = {
             FROM d
         )
         SELECT doc_id, source, tok,
-               (cum - tok) // {PACK_SEQ_LEN} AS start_pack,
-               (GREATEST(cum, 1) - 1) // {PACK_SEQ_LEN} AS end_pack
+               CAST((cum - tok) // {PACK_SEQ_LEN} AS BIGINT) AS start_pack,
+               CAST((GREATEST(cum, 1) - 1) // {PACK_SEQ_LEN} AS BIGINT) AS end_pack
         FROM cum
     """,
     "bigram_logprob_score": """

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from smart_city_data_pipeline_spark.operators.dedup import (
     _hashed_shingles,
+    dedup_containment,
     dedup_levenshtein,
     dedup_ngram_jaccard,
     embedding_neardup,
@@ -31,6 +32,24 @@ def test_df_cap_drops_frequent_shingles(spark, sf_dir):
     # A cap of 1 keeps only unique shingles — candidate pairs (which need
     # a SHARED shingle, df >= 2) must vanish.
     assert dedup_ngram_jaccard(spark, sf_dir, df_cap=1).count() == 0
+
+
+def test_containment_df_cap_default_noop(spark, sf_dir):
+    """The DEFAULT cap (the registered query's production path) must
+    return exactly the uncapped result on this corpus — max shingle df
+    here is far below CONTAINMENT_DF_CAP."""
+    capped = sorted(map(tuple, dedup_containment(spark, sf_dir).collect()))
+    uncapped = sorted(
+        map(tuple, dedup_containment(spark, sf_dir, df_cap=None).collect())
+    )
+    assert capped == uncapped
+    assert len(capped) > 0  # the corpus has planted containment pairs
+
+
+def test_containment_df_cap_bites(spark, sf_dir):
+    # Intersections need a shingle SHARED by >= 2 docs (df >= 2); a cap
+    # of 1 keeps only unique shingles, so every pair must vanish.
+    assert dedup_containment(spark, sf_dir, df_cap=1).count() == 0
 
 
 def test_levenshtein_block_cap_noop(spark, sf_dir):
