@@ -21,54 +21,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Round-4 rotation (VERDICT r3 item 4): new/changed entries this round
-# + the 18 entries that sat out the r3 driver window (judge-verified
-# there, but due a driver-green pass) — these MUST be inside the
-# driver's 50-entry gate window.
+# Round-5 rotation (VERDICT r4 item 3): entries that are new or
+# changed this round, plus the 29 oracle entries that sat out the r4
+# driver window (judge-verified there, but due a driver-green pass) —
+# these MUST be inside the driver's 50-entry gate window. Entries
+# driver-green in r4 fall into the middle (``rest``) and fill the
+# remaining window slots in module order; whichever sit past slot 50
+# are covered by the judge's full rerun and rotate back in r6.
 _GATE_FIRST = [
-    # new in round 4
-    "q20_surplus_suppliers",
-    "ann_ivf_kmeans",
-    "decontaminate_ngram",
-    "source_token_rebalance",
-    "unigram_logprob_score",
-    "length_outlier_filter",
-    "q2_min_cost_supplier",
-    "dedup_containment",
-    "pack_sequences",
-    "bigram_logprob_score",
-    "filter_funnel_report",
-    # perf-reworked / transitively changed in round 4
-    "embedding_neardup",
-    "dedup_minhash_lsh",
-    "embedding_srp_lsh",
-    "dedup_clusters",
-    # sat outside the r3 window — rotate back in front
-    "text_quality",
-    "sessionize",
-    "token_explode_count",
-    "dedup_ngram_jaccard",
-    "rolling_fingerprint",
-    "dedup_simhash",
-    "lang_id",
-    "token_count",
-    "doc_fingerprint",
-    "congestion_classify",
-    "aqi_compute",
-    "parking_status",
-    "moving_avg",
-    "top_k",
-    "event_funnel",
-    "retention_filter",
-    "melt_type_counts",
-    "props_extract",
-]
-
-# Driver-green in round 3 (and unchanged since) — deferred to the tail
-# this round so the window rotates every oracle entry through a
-# driver-green pass at least every other round; plus the by-design
-# rows-only stub-codec rollup.
-_GATE_LAST = [
+    # new or changed in round 5
+    "pack_sequences",  # oracle int-width fix (r4's one red row)
+    "dedup_containment",  # df_cap knob now on by default
+    "frames_features_bmp",  # upgraded rows-only -> full analytic oracle
+    "frames_features_png",  # new: real PNG decode under the hash gate
+    "minute_rollup_batch",  # new: continuous-aggregate batch twin
+    # sat outside the r4 window — rotate back in front
     "salted_zone_sensors",
     "text_repetition",
     "dedup_incremental",
@@ -98,8 +65,17 @@ _GATE_LAST = [
     "range_pair_counts",
     "zone_value_histogram",
     "dataset_summary",
+]
+
+# Entries that can never hash-match (no oracle_sql twin by documented
+# design: binary/stat decode, learned quantizer) — parked at the very
+# tail so they never occupy a checkable slot in the driver's window
+# (VERDICT r4 item 3: ann_ivf_kmeans burned a slot as `err: no_oracle`
+# in r4; it has had its window appearance, rows-only coverage is via
+# pytest recall tests).
+_GATE_LAST = [
     "frames_features",
-    "frames_features_bmp",
+    "ann_ivf_kmeans",
 ]
 
 
@@ -115,8 +91,20 @@ def _modules():
         traffic,
         vision,
     )
+    from smart_city_data_pipeline_spark.streaming import cont_agg
 
-    return (traffic, timeseries, tpch, textops, dedup, similarity, multimodal, vision, skew)
+    return (
+        traffic,
+        timeseries,
+        tpch,
+        textops,
+        dedup,
+        similarity,
+        multimodal,
+        vision,
+        skew,
+        cont_agg,
+    )
 
 
 def _ordered(merged: dict) -> dict:
@@ -137,4 +125,7 @@ def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
     for mod in _modules():
         out.update(mod.ORACLES)
-    return _ordered(out)
+    # Follow queries() ordering exactly: each module may declare its
+    # ORACLES in a different insertion order than its QUERIES, and the
+    # driver walks both dicts positionally.
+    return {k: out[k] for k in all_queries() if k in out}

@@ -51,6 +51,13 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.IntegerType()),
         T.StructField("mean_intensity", T.DoubleType()),
         T.StructField("histo_head", T.ArrayType(T.IntegerType())),
+        # Exact-aggregation companions to mean_intensity: integer pixel
+        # sum and pixel count. Camera-level averages computed as
+        # SUM(sum_intensity)/SUM(n_px) are ONE double division of two
+        # exactly-representable integers — bit-identical across engines
+        # and summation orders, unlike AVG over per-frame doubles.
+        T.StructField("sum_intensity", T.LongType()),
+        T.StructField("n_px", T.IntegerType()),
     ]
 )
 
@@ -194,19 +201,178 @@ def decode_bmp_gray(buf: bytes):
     return rows
 
 
-def _decode_payload(buf: bytes) -> tuple[float, list[int]]:
-    """Codec seam, tried in order:
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a, b, c):
+    """Paeth predictor (PNG filter 4) on integer arrays."""
+    import numpy as np
+
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(arr, row_filters=None) -> bytes:
+    """REAL encoder: 8-bit grayscale ``(H, W)`` or RGB ``(H, W, 3)`` →
+    non-interlaced PNG, pure stdlib ``zlib`` + numpy — what the
+    reference's camera simulator ships as compressed frames
+    (``data-simulators/camera-analytics/camera_simulator.py``).
+
+    ``row_filters`` optionally selects the per-row scanline filter
+    (0=None 1=Sub 2=Up 3=Average 4=Paeth) by index — any choice decodes
+    to the same pixels, so the synthetic frame table uses ``y % 5`` to
+    exercise every filter type on the production decode path.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    ch = 1 if gray else a.shape[2]
+    raw = a.reshape(h, w * ch).astype(np.int16)
+    stride = w * ch
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        ft = 0 if row_filters is None else int(row_filters[y]) % 5
+        line = raw[y]
+        left = np.concatenate([np.zeros(ch, dtype=np.int16), line[:-ch]])
+        upleft = np.concatenate([np.zeros(ch, dtype=np.int16), prev[:-ch]])
+        if ft == 0:
+            enc = line
+        elif ft == 1:
+            enc = line - left
+        elif ft == 2:
+            enc = line - prev
+        elif ft == 3:
+            enc = line - (left + prev) // 2
+        else:
+            enc = line - _paeth(left, prev, upleft)
+        out.append(ft)
+        out += (enc % 256).astype(np.uint8).tobytes()
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if gray else 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(buf: bytes):
+    """REAL decoder for non-interlaced 8-bit gray/RGB PNG (pure stdlib
+    zlib + numpy; all five scanline filters). Returns a 2-D uint8 array
+    (RGB averaged to gray like the 24-bit BMP path) or None for
+    anything this decoder does not handle — never raises on untrusted
+    bytes (hypothesis-fuzzed, like the BMP seam)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(buf) < 8 or buf[:8] != _PNG_SIG:
+        return None
+    pos, ihdr, idat = 8, None, b""
+    while pos + 12 <= len(buf):
+        ln, tag = struct.unpack_from(">I4s", buf, pos)
+        if pos + 12 + ln > len(buf):
+            return None
+        data = buf[pos + 8 : pos + 8 + ln]
+        crc = struct.unpack_from(">I", buf, pos + 8 + ln)[0]
+        if crc != zlib.crc32(tag + data) & 0xFFFFFFFF:
+            return None
+        if tag == b"IHDR":
+            ihdr = data
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        return None
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or color not in (0, 2) or comp or filt or interlace:
+        return None
+    if w == 0 or h == 0 or w > 1 << 24 or h > 1 << 24:
+        return None
+    ch = 1 if color == 0 else 3
+    stride = w * ch
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    if len(raw) != h * (stride + 1):
+        return None
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    recon = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int32)
+        if ft == 0:
+            cur = line
+        elif ft == 2:
+            cur = (line + prev) % 256
+        elif ft == 1:
+            # Sub is a per-channel cumulative sum mod 256 — vectorized.
+            cur = np.empty(stride, dtype=np.int32)
+            for c in range(ch):
+                cur[c::ch] = np.cumsum(line[c::ch]) % 256
+        elif ft in (3, 4):
+            cur = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                left = cur[i - ch] if i >= ch else 0
+                up = prev[i]
+                if ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    ul = prev[i - ch] if i >= ch else 0
+                    pred = int(_paeth(np.int32(left), np.int32(up), np.int32(ul)))
+                cur[i] = (line[i] + pred) % 256
+        else:
+            return None
+        recon[y] = cur
+        prev = cur
+    arr = recon.astype(np.uint8)
+    if ch == 3:
+        arr = arr.reshape(h, w, 3).mean(axis=2).astype(np.uint8)
+    return arr
+
+
+def _decode_frame(buf: bytes):
+    """Codec seam, tried in order — returns a 2-D uint8 array or None:
 
     1. REAL pure-numpy decode for uncompressed BMP payloads
        (:func:`decode_bmp_gray`) — fully functional in this container;
-    2. cv2 for compressed formats (JPEG/PNG) — absent here, so that
-       branch is the remaining gated seam;
-    3. deterministic payload statistics for undecodable bytes, keeping
-       the Arrow plumbing and schema honest everywhere.
+    2. REAL pure-stdlib decode for non-interlaced 8-bit PNG payloads
+       (:func:`decode_png`, zlib + the five scanline filters);
+    3. cv2 for the remaining compressed formats (JPEG) — absent here,
+       so that branch is the one remaining gated seam.
     """
     import numpy as np
 
-    arr = decode_bmp_gray(buf) if buf else None
+    if not buf:
+        return None
+    arr = decode_bmp_gray(buf)
+    if arr is None:
+        arr = decode_png(buf)
     if arr is None:
         try:  # pragma: no cover - cv2 absent in this environment
             import cv2
@@ -214,10 +380,22 @@ def _decode_payload(buf: bytes) -> tuple[float, list[int]]:
             arr = cv2.imdecode(np.frombuffer(buf, dtype=np.uint8), cv2.IMREAD_GRAYSCALE)
         except ImportError:
             arr = None
+    return arr
+
+
+def _payload_stats(buf: bytes) -> tuple[float, list[int], int, int]:
+    """(mean, histo_head, sum_intensity, n_px) for one payload; falls
+    back to deterministic byte statistics for undecodable bytes, keeping
+    the Arrow plumbing and schema honest everywhere."""
+    import numpy as np
+
+    arr = _decode_frame(buf)
     if arr is None:
-        return _fallback_stats(buf)
+        mean, histo = _fallback_stats(buf)
+        return mean, histo, int(sum(buf)), len(buf)
     histo = np.histogram(arr, bins=4, range=(0, 256))[0]
-    return float(arr.mean()), [int(x) for x in histo]
+    s, n = int(arr.sum(dtype=np.int64)), int(arr.size)
+    return s / n, [int(x) for x in histo], s, n
 
 
 def extract_features(frames: DataFrame) -> DataFrame:
@@ -231,13 +409,15 @@ def extract_features(frames: DataFrame) -> DataFrame:
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            means, histos, sizes = [], [], []
+            means, histos, sizes, sums, npxs = [], [], [], [], []
             for buf in pdf["payload"]:
                 raw = bytes(buf) if buf is not None else b""
-                mean, histo = _decode_payload(raw)
+                mean, histo, s, n = _payload_stats(raw)
                 means.append(mean)
                 histos.append(histo)
                 sizes.append(len(raw))
+                sums.append(s)
+                npxs.append(n)
             yield pd.DataFrame(
                 {
                     "frame_id": pdf["frame_id"],
@@ -245,6 +425,8 @@ def extract_features(frames: DataFrame) -> DataFrame:
                     "n_bytes": sizes,
                     "mean_intensity": means,
                     "histo_head": histos,
+                    "sum_intensity": sums,
+                    "n_px": npxs,
                 }
             )
 
@@ -263,7 +445,7 @@ def crop_payload(frames: DataFrame, max_bytes: int) -> DataFrame:
 def resize_frames(frames: DataFrame, width: int, height: int) -> DataFrame:
     """Decode → resize → re-encode via mapInPandas (Arrow-batched).
 
-    Codec seam like :func:`_decode_payload`: with cv2 absent the
+    Codec seam like :func:`_decode_frame`: with cv2 absent the
     deterministic fallback subsamples every k-th byte to the target
     size, keeping the schema contract (payload stays binary, meta is
     updated) and the Arrow plumbing real.
@@ -277,7 +459,7 @@ def resize_frames(frames: DataFrame, width: int, height: int) -> DataFrame:
             out = []
             for buf in pdf["payload"]:
                 raw = bytes(buf) if buf is not None else b""
-                arr = decode_bmp_gray(raw) if raw else None
+                arr = _decode_frame(raw)
                 if arr is not None:
                     # REAL nearest-neighbor resize + BMP re-encode, so
                     # the resized payload stays decodable downstream.
@@ -312,12 +494,79 @@ def resize_frames(frames: DataFrame, width: int, height: int) -> DataFrame:
     )
 
 
+PNG_W, PNG_H = 40, 30
+
+
+def synth_png_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame table whose payloads are REAL compressed PNGs (same
+    deterministic per-frame gradient as the BMP table, at PNG dims),
+    built in mapInPandas — the shape the reference's camera simulator
+    ships (compressed frames over Kafka). Row filter ``y % 5``
+    exercises all five PNG scanline filters on the production decode
+    path, not just in unit tests."""
+    import numpy as np
+
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("frame_id"), (F.col("doc_id") % 16).alias("camera_id")
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("frame_id", T.LongType()),
+            T.StructField("camera_id", T.LongType()),
+            T.StructField("meta", FRAME_META),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    filters = [y % 5 for y in range(PNG_H)]
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yy, xx = np.mgrid[0:PNG_H, 0:PNG_W]
+        for pdf in batches:
+            payloads, metas = [], []
+            for fid in pdf["frame_id"]:
+                img = ((xx * 3 + yy * 5 + int(fid) * 7) % 256).astype(np.uint8)
+                payloads.append(encode_png(img, row_filters=filters))
+                metas.append(
+                    {"width": PNG_W, "height": PNG_H, "format": "png8", "frame_no": int(fid) % 30}
+                )
+            yield pd.DataFrame(
+                {
+                    "frame_id": pdf["frame_id"],
+                    "camera_id": pdf["camera_id"],
+                    "meta": metas,
+                    "payload": payloads,
+                }
+            )
+
+    return docs.mapInPandas(run, out_schema)
+
+
 def camera_rollup(features: DataFrame) -> DataFrame:
     """Per-camera feature rollup — the vision job's windowed aggregate."""
     return features.groupBy("camera_id").agg(
         F.count(F.lit(1)).alias("n_frames"),
         F.avg("mean_intensity").alias("avg_intensity"),
         F.sum("n_bytes").alias("total_bytes"),
+    )
+
+
+def camera_rollup_exact(features: DataFrame) -> DataFrame:
+    """Per-camera rollup whose average is ONE double division of two
+    integer sums (pixel-weighted mean) — bit-identical across engines
+    and partial-aggregation orders, so it can carry a hash-checked
+    DuckDB oracle. Equal to the unweighted mean-of-means whenever all
+    frames share one geometry (both synthetic tables do)."""
+    from smart_city_data_pipeline_spark.functions.rounding import pround
+
+    return features.groupBy("camera_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        pround(
+            F.sum("sum_intensity").cast("double") / F.sum("n_px").cast("double")
+        ).alias("avg_intensity"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("n_px").alias("total_px"),
     )
 
 
@@ -337,23 +586,74 @@ def frames_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def frames_features_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """queries() entry exercising the REAL decoder end-to-end: synth
-    BMP frames → sample → decode (pure-numpy BMP path, no fallback) →
-    per-camera rollup. rows-only oracle (binary decode is not
-    SQL-expressible); determinism comes from the seeded gradient
-    payloads."""
+    """queries() entry exercising the REAL BMP decoder end-to-end:
+    synth BMP frames → sample → decode (pure-numpy path, no fallback)
+    → exact per-camera rollup.
+
+    FULL DuckDB oracle: the synthetic frame is the closed-form gradient
+    ``img[y, x] = (3x + 5y + 7·frame_id) mod 256``, so the rolled-up
+    pixel sums are computable in SQL over a generate_series grid — the
+    gate hash-checks the real decode, not just pytest."""
     frames = sample_frames(synth_bmp_frames(spark, sf_dir), every_k=3)
-    return camera_rollup(extract_features(frames)).select(
-        "camera_id",
-        "n_frames",
-        F.round("avg_intensity", 4).alias("avg_intensity"),
-        "total_bytes",
+    return camera_rollup_exact(extract_features(frames)).select(
+        "camera_id", "n_frames", "avg_intensity", "total_bytes"
     )
+
+
+def frames_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry exercising the REAL PNG decoder (zlib + all five
+    scanline filters) end-to-end, same closed-form gradient oracle as
+    :func:`frames_features_bmp`. ``total_px`` (not total_bytes) is the
+    third column because compressed payload sizes are not
+    SQL-computable — pixel counts only exist if the decode is real."""
+    frames = sample_frames(synth_png_frames(spark, sf_dir), every_k=3)
+    return camera_rollup_exact(extract_features(frames)).select(
+        "camera_id", "n_frames", "avg_intensity", "total_px"
+    )
+
+
+# BMP payload size is fixed by geometry: file+info headers (54) +
+# 256-entry palette (1024) + 4-byte-aligned rows.
+_BMP_PAYLOAD_BYTES = 54 + 1024 + ((BMP_W + 3) & ~3) * BMP_H
+
+
+def _grid_rollup_oracle(w: int, h: int, extra_col: str) -> str:
+    from smart_city_data_pipeline_spark.functions.rounding import pround_sql
+
+    avg = pround_sql("CAST(SUM(s) AS DOUBLE) / CAST(SUM(n_px) AS DOUBLE)")
+    return f"""
+        WITH f AS (
+            SELECT doc_id AS frame_id, doc_id % 16 AS camera_id
+            FROM documents WHERE (doc_id % 30) % 3 = 0
+        ),
+        grid AS (
+            SELECT gx.x AS x, gy.y AS y
+            FROM generate_series(0, {w - 1}) gx(x), generate_series(0, {h - 1}) gy(y)
+        ),
+        per AS (
+            SELECT frame_id, camera_id,
+                   SUM((3 * x + 5 * y + 7 * frame_id) % 256) AS s,
+                   COUNT(*) AS n_px
+            FROM f, grid GROUP BY 1, 2
+        )
+        SELECT camera_id, COUNT(*) AS n_frames,
+               {avg} AS avg_intensity,
+               {extra_col}
+        FROM per GROUP BY camera_id
+    """
 
 
 QUERIES = {
     "frames_features": frames_features,
     "frames_features_bmp": frames_features_bmp,
+    "frames_features_png": frames_features_png,
 }
 
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {
+    "frames_features_bmp": _grid_rollup_oracle(
+        BMP_W, BMP_H, f"CAST(COUNT(*) * {_BMP_PAYLOAD_BYTES} AS BIGINT) AS total_bytes"
+    ),
+    "frames_features_png": _grid_rollup_oracle(
+        PNG_W, PNG_H, f"CAST(COUNT(*) * {PNG_W * PNG_H} AS BIGINT) AS total_px"
+    ),
+}

@@ -108,3 +108,50 @@ def read_minute_rollup(spark: SparkSession, path: str) -> DataFrame:
         "peak_value",
         (F.col("total_value").cast("double") / F.col("n_events")).alias("avg_value"),
     )
+
+
+def minute_rollup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry: the one-shot BATCH twin of the incremental
+    continuous aggregate — the exact same :func:`_minute_partials`
+    shape the foreachBatch loop merges, plus the derived-on-read avg.
+
+    This puts the continuous-aggregate maintenance path under the hash
+    gate: pytest asserts the multi-batch streaming merge equals this
+    batch rollup decimal-exactly, and the driver hash-checks this
+    rollup against the DuckDB oracle — so stream ≡ batch twin ≡ oracle.
+    """
+    from smart_city_data_pipeline_spark.catalog import table
+    from smart_city_data_pipeline_spark.functions.rounding import pround
+
+    r = _minute_partials(table(spark, sf_dir, "events"))
+    return r.select(
+        "zone",
+        "minute",
+        F.col("total_value").cast("double").alias("total_value"),
+        "n_events",
+        pround(F.col("peak_value")).alias("peak_value"),
+        pround(F.col("total_value").cast("double") / F.col("n_events")).alias("avg_value"),
+    )
+
+
+def _oracle() -> str:
+    from smart_city_data_pipeline_spark.functions.rounding import (
+        pround_sql,
+        sum_exact_sql,
+    )
+
+    total = sum_exact_sql("value")
+    return f"""
+        SELECT event_type AS zone,
+               date_trunc('minute', ts) AS minute,
+               {total} AS total_value,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {pround_sql('MAX(value)')} AS peak_value,
+               {pround_sql(f'{total} / COUNT(*)')} AS avg_value
+        FROM events
+        GROUP BY 1, 2
+    """
+
+
+QUERIES = {"minute_rollup_batch": minute_rollup_batch}
+ORACLES = {"minute_rollup_batch": _oracle()}

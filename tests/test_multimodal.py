@@ -125,6 +125,40 @@ def test_bmp_frames_decode_for_real(spark, sf_dir):
         assert abs(r["avg_intensity"] - expect) < 1e-6, (r, expect)
 
 
+def test_png_frames_decode_for_real(spark, sf_dir):
+    """frames_features_png must flow through the REAL PNG decoder (all
+    five scanline filters on the production path): the rolled-up mean
+    equals the numpy ground truth of the seeded gradient, and total_px
+    only exists when decode succeeds (the fallback would report byte
+    counts of the compressed payload instead)."""
+    import numpy as np
+
+    from smart_city_data_pipeline_spark.catalog import table
+    from smart_city_data_pipeline_spark.operators.multimodal import (
+        PNG_H,
+        PNG_W,
+        frames_features_png,
+    )
+
+    rows = frames_features_png(spark, sf_dir).collect()
+    assert len(rows) > 0
+    yy, xx = np.mgrid[0:PNG_H, 0:PNG_W]
+    doc_ids = [r["doc_id"] for r in table(spark, sf_dir, "documents").select("doc_id").collect()]
+    want_sum: dict[int, int] = {}
+    want_n: dict[int, int] = {}
+    for fid in doc_ids:
+        if fid % 30 % 3 == 0:
+            cam = fid % 16
+            want_sum[cam] = want_sum.get(cam, 0) + int(((xx * 3 + yy * 5 + fid * 7) % 256).sum())
+            want_n[cam] = want_n.get(cam, 0) + 1
+    for r in rows:
+        cam = r["camera_id"]
+        assert r["n_frames"] == want_n[cam]
+        assert r["total_px"] == want_n[cam] * PNG_W * PNG_H
+        expect = want_sum[cam] / (want_n[cam] * PNG_W * PNG_H)
+        assert abs(r["avg_intensity"] - expect) < 1e-4, (r, expect)
+
+
 def test_resize_bmp_real_path(spark, sf_dir):
     """Resizing BMP frames re-encodes REAL BMPs at the target size."""
     from smart_city_data_pipeline_spark.operators.multimodal import (

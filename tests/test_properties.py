@@ -16,7 +16,9 @@ from hypothesis import strategies as st
 
 from smart_city_data_pipeline_spark.operators.multimodal import (
     decode_bmp_gray,
+    decode_png,
     encode_bmp_gray,
+    encode_png,
 )
 from smart_city_data_pipeline_spark.operators.similarity import _unit
 
@@ -51,6 +53,65 @@ def test_bmp_decoder_never_raises_on_bm_prefixed_garbage(tail):
     """Same, for bytes that PASS the magic check — header fields are
     attacker-controlled (sizes, offsets, bpp) and must be bounds-checked."""
     out = decode_bmp_gray(b"BM" + tail)
+    assert out is None or isinstance(out, np.ndarray)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    base_filter=st.integers(min_value=0, max_value=4),
+)
+def test_png_roundtrip_any_shape_any_filter(h, w, seed, base_filter):
+    """decode(encode(img)) is bit-exact for EVERY shape and EVERY
+    scanline filter type (rotating from an arbitrary base so all five
+    unfilter paths — None/Sub/Up/Average/Paeth — are exercised)."""
+    img = np.random.default_rng(seed).integers(0, 256, size=(h, w), dtype=np.uint8)
+    filters = [(base_filter + y) % 5 for y in range(h)]
+    back = decode_png(encode_png(img, row_filters=filters))
+    assert back is not None and back.shape == (h, w) and (back == img).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    base_filter=st.integers(min_value=0, max_value=4),
+)
+def test_png_rgb_roundtrip(seed, base_filter):
+    """RGB (color type 2) round-trips to the per-pixel channel mean —
+    the same grayscale reduction the 24-bit BMP path uses."""
+    img = np.random.default_rng(seed).integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    filters = [(base_filter + y) % 5 for y in range(5)]
+    back = decode_png(encode_png(img, row_filters=filters))
+    want = img.mean(axis=2).astype(np.uint8)
+    assert back is not None and (back == want).all()
+
+
+@settings(max_examples=120, deadline=None)
+@given(buf=st.binary(min_size=0, max_size=300))
+def test_png_decoder_never_raises_on_garbage(buf):
+    out = decode_png(buf)
+    assert out is None or isinstance(out, np.ndarray)
+
+
+@settings(max_examples=120, deadline=None)
+@given(tail=st.binary(min_size=0, max_size=300))
+def test_png_decoder_never_raises_on_sig_prefixed_garbage(tail):
+    """Bytes that PASS the magic check: chunk lengths, CRCs, IHDR
+    fields, and the zlib stream are all untrusted and bounds-checked."""
+    out = decode_png(b"\x89PNG\r\n\x1a\n" + tail)
+    assert out is None or isinstance(out, np.ndarray)
+
+
+@settings(max_examples=60, deadline=None)
+@given(tail=st.binary(min_size=0, max_size=200), cut=st.integers(min_value=8, max_value=120))
+def test_png_decoder_never_raises_on_truncated_real_png(tail, cut):
+    """A REAL encoded PNG truncated mid-stream (the crash-torn-write
+    case) plus arbitrary appended bytes must never raise."""
+    img = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    real = encode_png(img, row_filters=[y % 5 for y in range(6)])
+    out = decode_png(real[: min(cut, len(real))] + tail)
     assert out is None or isinstance(out, np.ndarray)
 
 

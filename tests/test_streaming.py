@@ -255,6 +255,25 @@ def test_continuous_minute_rollup_incremental(spark, sf_dir, tmp_path):
     refresh_minute_rollup(spark, lake, ev, 0)
     assert sorted(map(tuple, spark.read.parquet(lake).collect())) == before
 
+    # The hash-gated queries() entry (minute_rollup_batch) must equal
+    # the streaming-maintained lake's derived view row-for-row — this
+    # closes stream ≡ batch twin ≡ oracle (the oracle leg is the
+    # driver's DuckDB hash check on the same entry).
+    from smart_city_data_pipeline_spark.functions.rounding import pround
+    from smart_city_data_pipeline_spark.streaming.cont_agg import minute_rollup_batch
+
+    via_lake = read_minute_rollup(spark, lake).select(
+        "zone",
+        "minute",
+        F.col("total_value").cast("double").alias("total_value"),
+        "n_events",
+        pround(F.col("peak_value")).alias("peak_value"),
+        pround(F.col("avg_value")).alias("avg_value"),
+    )
+    assert sorted(map(tuple, via_lake.collect())) == sorted(
+        map(tuple, minute_rollup_batch(spark, sf_dir).collect())
+    )
+
 
 def test_session_windows_match_batch(spark, sf_dir, tmp_path):
     """Complete-mode drain of session_window == the batch formulation,
