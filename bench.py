@@ -57,17 +57,29 @@ def main() -> None:
     # slow query is a signal, not an archaeology project. The newest
     # file on disk can be THIS round's own partial artifact (the driver
     # creates it before bench finishes — round 3 compared against
-    # itself), so candidates written within the last 2 hours are
-    # skipped when an older one exists, as are candidates that don't
-    # parse to a non-empty queries dict.
+    # itself). The current round number comes from PROGRESS.jsonl, so
+    # the current round's artifact is excluded BY NAME (a 2-hour mtime
+    # heuristic broke on 3-hour rounds); the mtime check remains only
+    # as a fallback when PROGRESS.jsonl is absent. Candidates that
+    # don't parse to a non-empty queries dict are skipped either way.
     import glob
     import time as _time
 
-    prev_name, deltas, regressions = None, {}, {}
+    cur_round = None
     here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "PROGRESS.jsonl")) as f:
+            lines = [ln for ln in f.read().splitlines() if ln.strip()]
+        cur_round = int(json.loads(lines[-1])["round"])
+    except (OSError, ValueError, KeyError, IndexError):
+        pass
+
+    prev_name, deltas, regressions = None, {}, {}
     candidates = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True)
     parseable = []
     for p in candidates:
+        if cur_round is not None and os.path.basename(p) >= f"BENCH_r{cur_round:02d}.json":
+            continue  # this round's own (or a later stray) artifact
         try:
             with open(p) as f:
                 data = json.load(f)
@@ -78,9 +90,10 @@ def main() -> None:
             continue
     chosen = None
     for i, (p, prev_q) in enumerate(parseable):
-        fresh = _time.time() - os.path.getmtime(p) < 2 * 3600
-        if fresh and i + 1 < len(parseable):
-            continue  # same-round partial; an older complete file exists
+        if cur_round is None:
+            fresh = _time.time() - os.path.getmtime(p) < 2 * 3600
+            if fresh and i + 1 < len(parseable):
+                continue  # same-round partial; an older complete file exists
         chosen = (p, prev_q)
         break
     if chosen is not None:
@@ -95,10 +108,25 @@ def main() -> None:
     # The stdout line keeps the driver contract but is slimmed (no
     # per-query deltas) and ordered with metric/value/sf LAST, so even
     # a truncated tail retains the headline numbers.
+    # Stamp the measured commit so builder/driver/judge runs of
+    # BENCH_FULL.json are distinguishable even though they overwrite
+    # the same file.
+    import subprocess
+
+    try:
+        head_sha = subprocess.run(
+            ["git", "-C", here, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10, check=True,
+        ).stdout.strip()
+    except Exception:
+        head_sha = None
+
     full = {
         "queries": timings,
         "runs_per_query": runs,
         "timing": "min over runs (steady-state)",
+        "git_head": head_sha,
+        "measured_at_epoch": int(time.time()),
         "prev_bench": prev_name,
         "deltas_vs_prev": deltas,
         "regressions_gt_1p5x": regressions,

@@ -34,7 +34,7 @@ import operator
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from smart_city_data_pipeline_spark.catalog import spread, table
+from smart_city_data_pipeline_spark.catalog import dataset_fingerprint, spread, table
 from smart_city_data_pipeline_spark.functions.hashing import md5_long, md5_long_sql
 from smart_city_data_pipeline_spark.functions.rounding import pround
 from smart_city_data_pipeline_spark.functions.vector import dot, dot_sql
@@ -305,25 +305,28 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NEARDUP_CELL_CAP = 20_000
 
-# Per-label corpus counts per sf_dir: a property of the DATASET, not of
+# Per-label corpus counts per DATASET: a property of the data, not of
 # the query — one bounded aggregate (≤ label-vocabulary rows reach the
 # driver), collected once per process. Embedded as a map literal, the
 # skew guard costs ZERO runtime plan nodes: no counts subplan, no
 # broadcast exchange, no join — at any scale the guard is one map
-# lookup per row.
-_LABEL_COUNTS_CACHE: dict[str, dict] = {}
+# lookup per row. Keyed on the parquet fingerprint (path, size, mtime)
+# so regenerating the data under a reused sf_dir invalidates the cache
+# rather than planning the skew guard against stale counts.
+_LABEL_COUNTS_CACHE: dict[tuple, dict] = {}
 
 
 def _label_counts(spark: SparkSession, sf_dir: str) -> dict:
-    if sf_dir not in _LABEL_COUNTS_CACHE:
+    key = dataset_fingerprint(sf_dir, "embeddings")
+    if key not in _LABEL_COUNTS_CACHE:
         rows = (
             table(spark, sf_dir, "embeddings")
             .groupBy("label")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        _LABEL_COUNTS_CACHE[sf_dir] = {r["label"]: int(r["n"]) for r in rows}
-    return _LABEL_COUNTS_CACHE[sf_dir]
+        _LABEL_COUNTS_CACHE[key] = {r["label"]: int(r["n"]) for r in rows}
+    return _LABEL_COUNTS_CACHE[key]
 
 
 def embedding_neardup(

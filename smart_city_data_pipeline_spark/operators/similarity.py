@@ -19,7 +19,7 @@ import functools
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from smart_city_data_pipeline_spark.catalog import spread, table
+from smart_city_data_pipeline_spark.catalog import dataset_fingerprint, spread, table
 from smart_city_data_pipeline_spark.functions.rounding import pround
 from smart_city_data_pipeline_spark.functions.vector import cosine, cosine_sql, dot
 
@@ -86,11 +86,11 @@ ANN_KMEANS_K = 16
 ANN_KMEANS_ITERS = 2
 ANN_KMEANS_NPROBE = 2
 
-# Trained centroids per (sf_dir, k, iters): training is a bounded
-# driver loop (collects only k×dim means per round), paid once per
-# process; the normalized literal Column is cached separately
-# (:func:`_norm_cents_col`).
-_KMEANS_CACHE: dict[tuple[str, int, int], list] = {}
+# Trained centroids per (dataset fingerprint, k, iters): training is a
+# bounded driver loop (collects only k×dim means per round), paid once
+# per process and invalidated if the backing parquet is rewritten; the
+# normalized literal Column is cached separately (:func:`_norm_cents_col`).
+_KMEANS_CACHE: dict[tuple, list] = {}
 
 
 def _cell_scores(emb_col, cents_col):
@@ -167,8 +167,13 @@ def kmeans_ivf_topk(emb: DataFrame, cents: list, n_probe: int) -> DataFrame:
     )
     psc = _cell_scores(F.col("probe_emb").cast("array<double>"), cc)
     first = F.array_position(psc, F.array_max(psc)) - 1
+    # Mask with -inf, not a finite sentinel: embeddings are NOT
+    # normalized, so dot(embedding, unit-centroid) has no lower bound
+    # a fixed constant can stay under — a vector with norm > 2 facing
+    # away from every centroid would make a -2.0 sentinel the argmax
+    # and silently collapse n_probe=2 to one probed cell.
     masked = F.transform(
-        psc, lambda v, i: F.when(i == first, F.lit(-2.0)).otherwise(v)
+        psc, lambda v, i: F.when(i == first, F.lit(float("-inf"))).otherwise(v)
     )
     second = F.array_position(masked, F.array_max(masked)) - 1
     cells = F.array_distinct(F.slice(F.array(first, second), 1, n_probe))
@@ -220,7 +225,10 @@ def ann_ivf_kmeans(
     (:func:`ann_topk_cosine`) is the honest answer.
     """
     emb = spread(table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings")
-    key = (sf_dir, k, iters)
+    # Keyed on the parquet fingerprint (path, size, mtime), not the
+    # bare sf_dir: regenerating the data under a reused directory must
+    # retrain rather than serve a quantizer learned on the old vectors.
+    key = (dataset_fingerprint(sf_dir, "embeddings"), k, iters)
     if key not in _KMEANS_CACHE:
         _KMEANS_CACHE[key] = _train_kmeans(emb, k, iters)
     return kmeans_ivf_topk(emb, _KMEANS_CACHE[key], n_probe)

@@ -104,6 +104,7 @@ def read_event_lake(
         .text(f"{path}/year=*/month=*/day=*/hour=*")
     )
     raw = lines.select(
+        "value",
         F.from_json(
             "value",
             parse_schema,
@@ -114,14 +115,22 @@ def read_event_lake(
         "day",
         "hour",
     )
+    # Two corrupt shapes: (a) unparseable lines, which PERMISSIVE mode
+    # lands in _corrupt_record; (b) blank lines and the JSON literal
+    # 'null', for which from_json returns a NULL struct WITHOUT setting
+    # _corrupt_record — without the isNull() arm those become all-null
+    # ghost rows in the result and are missed by the quarantine.
+    corrupt = F.col("e").isNull() | F.col("e._corrupt_record").isNotNull()
     if quarantine_dir is not None:
+        # Quarantine the ORIGINAL line (not _corrupt_record, which is
+        # NULL for the null-struct shape) so every dropped line replays.
         (
-            raw.filter(F.col("e._corrupt_record").isNotNull())
-            .select(F.col("e._corrupt_record").alias("value"))
+            raw.filter(corrupt)
+            .select("value")
             .write.mode("overwrite")
             .text(quarantine_dir)
         )
-    raw = raw.filter(F.col("e._corrupt_record").isNull())
+    raw = raw.filter(~corrupt)
     return raw.select(
         F.col("e.data.event_id").alias("event_id"),
         F.to_timestamp("e.timestamp").alias("ts"),

@@ -89,13 +89,45 @@ BOUNDED_GROUP_COLS = {
 # The ANN probe set: a literal range filter caps it at 5 rows.
 _PROBE_FILTER_RE = re.compile(r"vec_id#\d+L? < cast\(5 as bigint\)")
 
-_GROUPED_AGG_RE = re.compile(r"Aggregate \[([^\]]*)\], \[")
 _COL_REF_RE = re.compile(r"(\w+)#\d+")
+_AGG_LINE_RE = re.compile(r"^[\s:+-]*(Aggregate \[)")
 
 
 def _bounded_grouping(group_exprs: str) -> bool:
     cols = set(_COL_REF_RE.findall(group_exprs))
     return bool(cols) and cols <= BOUNDED_GROUP_COLS
+
+
+def _parse_aggregate_line(line: str):
+    """Split an ``Aggregate [...]...`` plan line at its first BALANCED
+    bracket group. Returns ``(group_list_str, has_second_list)`` or
+    None. A naive ``\\[[^\\]]*\\]`` regex breaks on grouping
+    expressions that contain ']' (array indexing, lambdas), misreading
+    a grouped aggregate as global/1-row."""
+    m = _AGG_LINE_RE.search(line)
+    if m is None:
+        return None
+    i = m.end(1) - 1  # index of the opening '['
+    depth = 0
+    for j in range(i, len(line)):
+        if line[j] == "[":
+            depth += 1
+        elif line[j] == "]":
+            depth -= 1
+            if depth == 0:
+                return line[i + 1 : j], line[j + 1 :].startswith(", [")
+    return None  # unbalanced — treat as unparseable, never as global
+
+
+def _aggregate_group_lists(sub: str) -> list[str]:
+    """Group lists of every grouped Aggregate in the subtree (bracket-
+    balanced parse)."""
+    out = []
+    for line in sub.splitlines():
+        parsed = _parse_aggregate_line(line)
+        if parsed is not None and parsed[1]:
+            out.append(parsed[0])
+    return out
 
 
 def _root_is_global_aggregate(sub: str) -> bool:
@@ -107,16 +139,15 @@ def _root_is_global_aggregate(sub: str) -> bool:
     for line in sub.splitlines():
         if not line.strip():
             continue
+        parsed = _parse_aggregate_line(line)
+        if parsed is None:
+            return False
+        group_list, has_second = parsed
         # Analyzed plans print global aggregates in SINGLE-bracket form
         # ("Aggregate [sum(x) AS y]"); grouped ones as two lists
         # ("Aggregate [k], [k, count(1)]"). Treat as global: explicit
         # empty group list, or a root Aggregate with no second list.
-        if re.search(r"^[\s:+-]*Aggregate \[\], \[", line):
-            return True
-        return (
-            re.search(r"^[\s:+-]*Aggregate \[", line) is not None
-            and re.search(r"^[\s:+-]*Aggregate \[[^\]]*\], \[", line) is None
-        )
+        return group_list.strip() == "" or not has_second
     return False
 
 
@@ -134,7 +165,7 @@ def _violations(df) -> list[str]:
         if _root_is_global_aggregate(sub):
             continue  # 1-row scalar side by construction
         if "Aggregate" in sub:
-            grouped = _GROUPED_AGG_RE.findall(sub)
+            grouped = _aggregate_group_lists(sub)
             # Global aggregates ([] → every Aggregate is 1-row) and
             # aggregates grouped only on bounded dims are bounded by
             # construction; grouped-on-fact-key aggregates (q17 per-part
@@ -143,6 +174,23 @@ def _violations(df) -> list[str]:
                 continue
         bad.append(f"broadcast of sf-scaled {present}:\n{sub}")
     return bad
+
+
+def test_aggregate_parse_is_bracket_balanced():
+    """Grouping expressions containing ']' (array indexing, lambdas)
+    must not be misread as a global/1-row aggregate — that misread
+    would let an unbounded forced broadcast pass the policy test."""
+    lam = "Aggregate [transform(arr#1, lambdafunction(x#9[1], x#9))], [count(1) AS c#2L]"
+    assert _parse_aggregate_line(lam) == (
+        "transform(arr#1, lambdafunction(x#9[1], x#9))",
+        True,
+    )
+    assert not _root_is_global_aggregate(lam)
+    assert _root_is_global_aggregate("Aggregate [sum(x#3) AS s#4L]")
+    assert _root_is_global_aggregate("Aggregate [], [count(1) AS c#5L]")
+    assert not _root_is_global_aggregate("Project [a#1]")
+    # Unbalanced brackets: unparseable, never 'global'.
+    assert not _root_is_global_aggregate("Aggregate [elt(a#1[, b#2], [x#3]")
 
 
 def _queries():
