@@ -29,6 +29,8 @@ map-side-combinable.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -39,15 +41,15 @@ OBJ_TYPES = ("person", "car", "bike", "bus")
 OBJECTS_PER_CAMERA = 50
 
 
-def synth_detections(ev: DataFrame) -> DataFrame:
-    """Frame table with a nested detections ARRAY<STRUCT> column.
+@functools.lru_cache(maxsize=1)
+def _detections_col() -> Column:
+    """The synthesized detections expression, built ONCE per process.
 
-    1-3 detections per event; object_id recurs within a camera so
-    objects are trackable across frames; bbox ints and per-object
-    demographics mirror the reference's detection schema
-    (init-timescaledb.sql:14-20 bounding boxes, tracker attributes).
-    Every field is a deterministic function of (event_id, user_id, i)
-    so the DuckDB oracle reproduces it exactly.
+    The ~30 field sub-expressions cost ~0.3 s of py4j Column transport
+    per construction (measured r5 — the whole r2→r4 'drift' of the
+    vision queries, plans unchanged); the expression only references
+    unresolved input columns (event_id, user_id), so one cached Column
+    serves every caller, like the dedup family's cached literals.
     """
     types = F.array(*[F.lit(t) for t in OBJ_TYPES])
     n = (F.col("event_id") % 3 + 1).cast("bigint")
@@ -71,11 +73,24 @@ def synth_detections(ev: DataFrame) -> DataFrame:
             F.when(oid % 10 < 2, "child").otherwise("adult").alias("age_group"),
         )
 
+    return F.transform(F.sequence(F.lit(1).cast("bigint"), n), det)
+
+
+def synth_detections(ev: DataFrame) -> DataFrame:
+    """Frame table with a nested detections ARRAY<STRUCT> column.
+
+    1-3 detections per event; object_id recurs within a camera so
+    objects are trackable across frames; bbox ints and per-object
+    demographics mirror the reference's detection schema
+    (init-timescaledb.sql:14-20 bounding boxes, tracker attributes).
+    Every field is a deterministic function of (event_id, user_id, i)
+    so the DuckDB oracle reproduces it exactly.
+    """
     return ev.select(
         "event_id",
         F.col("user_id").alias("camera_id"),
         "ts",
-        F.transform(F.sequence(F.lit(1).cast("bigint"), n), det).alias("detections"),
+        _detections_col().alias("detections"),
     )
 
 
