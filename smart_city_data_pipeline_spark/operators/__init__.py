@@ -35,6 +35,13 @@ _GATE_FIRST = [
     "frames_features_bmp",  # upgraded rows-only -> full analytic oracle
     "frames_features_png",  # new: real PNG decode under the hash gate
     "minute_rollup_batch",  # new: continuous-aggregate batch twin
+    "q6_forecast_revenue",  # new TPC-H additions (r5)
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_ship_delay_priority",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
     # sat outside the r4 window — rotate back in front
     "salted_zone_sensors",
     "text_repetition",

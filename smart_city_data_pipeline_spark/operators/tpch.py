@@ -487,6 +487,213 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: forecasting revenue change — one scan, every predicate
+    (date bracket, discount band, quantity cap) pushed to parquet, one
+    global decimal aggregate. The canonical pushdown showcase: the scan
+    reads 4 columns of a 11-column table and skips row groups outside
+    the 1996 shipdate bracket."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_money(_dec("l_extendedprice") * _dec("l_discount"), "revenue"))
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style: NATION_2's share of region-1 market revenue per
+    order year. The market restriction (customers in region 1) and the
+    share numerator (suppliers from NATION_2) are both nation-table
+    lookups — 25 rows, forced broadcast; the share is one conditional
+    decimal aggregate, so numerator and denominator come from a single
+    pass with no second join of the fact."""
+    li = spread(table(spark, sf_dir, "lineitem"), "l_orderkey", key=f"{sf_dir}:lineitem")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    market_nations = nation.filter(F.col("n_regionkey") == 1).select(
+        F.col("n_nationkey").alias("cn_key")
+    )
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    vol = _disc_price()
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(market_nations), cust.c_nationkey == F.col("cn_key"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(supp_nation), supp.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            _money(vol, "total_volume"),
+            pround(
+                F.sum(F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(zero)).cast(
+                    "double"
+                )
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share"),
+        )
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style: profit by supplier nation and ship year over the
+    blue part family. This schema has no partsupp, so half the retail
+    price plays ps_supplycost (deterministic in both engines):
+    profit = disc_price − 0.5·p_retailprice·l_quantity, summed in
+    DECIMAL. Part family is an equi-join (sf-scaled, no hint); nation
+    is the only forced broadcast; ship year avoids a second fact-fact
+    join against orders (documented Q9 adaptation)."""
+    li = spread(table(spark, sf_dir, "lineitem"), "l_partkey", key=f"{sf_dir}:lineitem")
+    part = table(spark, sf_dir, "part")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    fam = part.filter(F.col("p_name").like("blue%")).select("p_partkey", "p_retailprice")
+    half = F.lit(0.5).cast("decimal(18,2)")
+    profit = _disc_price() - half * _dec("p_retailprice") * _dec("l_quantity")
+    return (
+        li.join(fam, li.l_partkey == fam.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
+        .agg(_money(profit, "sum_profit"))
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style: parts whose shipped value (from odd-nation
+    suppliers) exceeds 0.1 % of the whole segment's value. No partsupp
+    in this schema, so shipped disc_price plays ps_availqty·supplycost.
+
+    The correlated HAVING-over-global-total becomes a 1-ROW global
+    aggregate cross-joined in (forced broadcast is policy-legal: a
+    global aggregate root emits exactly one row at any scale); the
+    per-part aggregate is one keyed shuffle. Threshold compares
+    DECIMAL·INT against DECIMAL — exact in both engines, no float
+    boundary flip."""
+    li = spread(table(spark, sf_dir, "lineitem"), "l_partkey", key=f"{sf_dir}:lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    odd_supp = supp.join(
+        F.broadcast(nation.filter(F.col("n_nationkey") % 2 == 1)),
+        supp.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey")
+    segment = li.join(odd_supp, li.l_suppkey == odd_supp.s_suppkey, "left_semi")
+    per_part = segment.groupBy("l_partkey").agg(F.sum(_disc_price()).alias("value_dec"))
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec") * 1000 > F.col("total_dec"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            pround(F.col("value_dec").cast("double")).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), F.col("p_partkey").asc())
+    )
+
+
+def q12_ship_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style: order-priority mix by shipping promptness. This
+    schema has no l_shipmode/commitdate/receiptdate, so lineitems are
+    bucketed by actual ship delay (shipdate − orderdate: <30 d fast,
+    30-90 d normal, >90 d slow) and each bucket counts critical
+    (1-URGENT / 2-HIGH) vs other order priorities — Q12's exact output
+    contract over the columns this lake has. One fact-fact equi-join,
+    buckets and counts in a single conditional aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay < 30, "fast").when(delay <= 90, "normal").otherwise("slow")
+    )
+    critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(critical, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(critical, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) with maximum revenue in 1996-Q1. The
+    revenue view is one keyed aggregate; the correlated
+    "= (SELECT MAX(...))" becomes a 1-row global max cross-joined in
+    (broadcast-legal by the global-aggregate rule) with an EXACT
+    decimal equality — double rounding can never drop or duplicate the
+    argmax. No global sort anywhere."""
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_disc_price()).alias("rev_dec"))
+    )
+    top = revenue.agg(F.max("rev_dec").alias("max_dec"))
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("rev_dec") == F.col("max_dec"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey"),
+            F.col("s_name"),
+            pround(F.col("rev_dec").cast("double")).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style: how many distinct suppliers can deliver each
+    (brand, type, size) family, excluding one brand and excluding
+    complained-about suppliers (no comment column in this lake —
+    negative account balance plays the complaint flag, an anti-join).
+    partsupp is played by the distinct (l_partkey, l_suppkey) pairs
+    actually shipped. Distinct-pairs → part equi-join →
+    countDistinct: two keyed shuffles, no row explosion."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    supp = table(spark, sf_dir, "supplier")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    complained = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    fam = part.filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size") <= 25)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        pairs.join(complained, pairs.l_suppkey == complained.s_suppkey, "left_anti")
+        .join(fam, pairs.l_partkey == fam.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+        .limit(40)
+    )
+
+
 _DISC_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 _CHARGE_SQL = f"({_DISC_SQL}) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))"
 
@@ -507,6 +714,13 @@ QUERIES = {
     "late_supplier_blame": late_supplier_blame,
     "q20_surplus_suppliers": q20_surplus_suppliers,
     "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q11_important_stock": q11_important_stock,
+    "q12_ship_delay_priority": q12_ship_delay_priority,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_part_variety": q16_supplier_part_variety,
 }
 
 ORACLES = {
@@ -738,5 +952,105 @@ ORACLES = {
         FROM ranked WHERE rk = 1
         ORDER BY min_avg_price ASC, p_partkey ASC
         LIMIT 20
+    """,
+    "q6_forecast_revenue": f"""
+        SELECT (FLOOR(CAST((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.02 AND l_discount <= 0.04
+          AND l_quantity < 24
+    """,
+    "q8_market_share": f"""
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               (FLOOR(CAST((CAST(SUM({_DISC_SQL}) AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS total_volume,
+               (FLOOR(CAST((
+                   CAST(SUM(CASE WHEN sn.n_name = 'NATION_2' THEN {_DISC_SQL}
+                                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                   / CAST(SUM({_DISC_SQL}) AS DOUBLE)
+               ) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS mkt_share
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE cn.n_regionkey = 1
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1
+    """,
+    "q9_product_profit": f"""
+        SELECT n_name AS nation, CAST(year(l_shipdate) AS INTEGER) AS o_year,
+               (FLOOR(CAST((CAST(SUM(
+                   {_DISC_SQL} - CAST(0.5 AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))
+               ) AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE 'blue%'
+        GROUP BY 1, 2
+    """,
+    "q11_important_stock": """
+        WITH odd_supp AS (
+            SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_nationkey % 2 = 1
+        ),
+        per_part AS (
+            SELECT l_partkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS value_dec
+            FROM lineitem SEMI JOIN odd_supp ON l_suppkey = s_suppkey
+            GROUP BY 1
+        )
+        SELECT l_partkey AS p_partkey,
+               (FLOOR(CAST((CAST(value_dec AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS part_value
+        FROM per_part, (SELECT SUM(value_dec) AS total_dec FROM per_part) t
+        WHERE value_dec * 1000 > total_dec
+        ORDER BY part_value DESC, p_partkey ASC
+    """,
+    "q12_ship_delay_priority": """
+        SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 30 THEN 'fast'
+                    WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 'normal'
+                    ELSE 'slow' END AS delay_bucket,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1
+    """,
+    "q15_top_supplier": """
+        WITH revenue AS (
+            SELECT l_suppkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+            GROUP BY 1
+        )
+        SELECT s_suppkey, s_name,
+               (FLOOR(CAST((CAST(rev_dec AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS total_revenue
+        FROM revenue, (SELECT MAX(rev_dec) AS max_dec FROM revenue) t
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE rev_dec = max_dec
+        ORDER BY s_suppkey
+    """,
+    "q16_supplier_part_variety": """
+        WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        ok_pairs AS (
+            SELECT * FROM pairs
+            ANTI JOIN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) c
+            ON l_suppkey = c.s_suppkey
+        )
+        SELECT p_brand, p_type, p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM ok_pairs
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_size <= 25
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+        LIMIT 40
     """,
 }

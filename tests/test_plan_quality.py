@@ -71,6 +71,8 @@ BNLJ_ALLOWED = {
     "source_token_rebalance",  # 1-row total-token-budget broadcast
     "unigram_logprob_score",  # 1-row corpus-token-total broadcast
     "length_outlier_filter",  # 1-row percentile-cutoff broadcast
+    "q11_important_stock",  # 1-row segment-total broadcast (inequality
+    # threshold can't become an equi-join; q15's equality predicate does)
 }
 
 
