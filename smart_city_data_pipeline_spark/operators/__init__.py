@@ -42,6 +42,10 @@ _GATE_FIRST = [
     "q12_ship_delay_priority",
     "q15_top_supplier",
     "q16_supplier_part_variety",
+    "ohlc_bars",  # new analytics additions (r5, second batch)
+    "interp_linear",
+    "cusum_drift",
+    "type_corr_matrix",
     # sat outside the r4 window — rotate back in front
     "salted_zone_sensors",
     "text_repetition",

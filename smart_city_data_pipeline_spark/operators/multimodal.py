@@ -336,16 +336,32 @@ def decode_png(buf: bytes):
             for c in range(ch):
                 cur[c::ch] = np.cumsum(line[c::ch]) % 256
         elif ft in (3, 4):
-            cur = np.empty(stride, dtype=np.int32)
-            for i in range(stride):
-                left = cur[i - ch] if i >= ch else 0
-                up = prev[i]
-                if ft == 3:
-                    pred = (left + up) // 2
-                else:
-                    ul = prev[i - ch] if i >= ch else 0
-                    pred = int(_paeth(np.int32(left), np.int32(up), np.int32(ul)))
-                cur[i] = (line[i] + pred) % 256
+            # Average/Paeth are sequential along the row (cur[i] needs
+            # cur[i-ch]) — loop over plain Python ints: numpy scalar
+            # indexing per element is ~50× slower than list ops here.
+            line_l = line.tolist()
+            prev_l = prev.tolist()
+            cur_l = [0] * stride
+            if ft == 3:
+                for i in range(stride):
+                    left = cur_l[i - ch] if i >= ch else 0
+                    cur_l[i] = (line_l[i] + ((left + prev_l[i]) >> 1)) & 255
+            else:
+                for i in range(stride):
+                    left = cur_l[i - ch] if i >= ch else 0
+                    up = prev_l[i]
+                    ul = prev_l[i - ch] if i >= ch else 0
+                    pa = abs(up - ul)
+                    pb = abs(left - ul)
+                    pc = abs(left + up - ul - ul)
+                    if pa <= pb and pa <= pc:
+                        pred = left
+                    elif pb <= pc:
+                        pred = up
+                    else:
+                        pred = ul
+                    cur_l[i] = (line_l[i] + pred) & 255
+            cur = np.asarray(cur_l, dtype=np.int32)
         else:
             return None
         recon[y] = cur
@@ -497,18 +513,29 @@ def resize_frames(frames: DataFrame, width: int, height: int) -> DataFrame:
 PNG_W, PNG_H = 40, 30
 
 
-def synth_png_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synth_png_frames(
+    spark: SparkSession, sf_dir: str, every_k: int | None = None
+) -> DataFrame:
     """Frame table whose payloads are REAL compressed PNGs (same
     deterministic per-frame gradient as the BMP table, at PNG dims),
     built in mapInPandas — the shape the reference's camera simulator
     ships (compressed frames over Kafka). Row filter ``y % 5``
     exercises all five PNG scanline filters on the production decode
-    path, not just in unit tests."""
+    path, not just in unit tests.
+
+    ``every_k`` pre-applies :func:`sample_frames`'s frame_no filter
+    (frame_no ≡ frame_id % 30) BEFORE the encode stage: in production
+    frames arrive already encoded, so the encoder here is synthetic-
+    data scaffolding and paying it for frames the pipeline immediately
+    drops would triple the benchmark's Python time for no coverage.
+    """
     import numpy as np
 
     docs = table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("frame_id"), (F.col("doc_id") % 16).alias("camera_id")
     )
+    if every_k is not None:
+        docs = docs.where((F.col("frame_id") % 30) % every_k == 0)
 
     out_schema = T.StructType(
         [
@@ -606,7 +633,7 @@ def frames_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`frames_features_bmp`. ``total_px`` (not total_bytes) is the
     third column because compressed payload sizes are not
     SQL-computable — pixel counts only exist if the decode is real."""
-    frames = sample_frames(synth_png_frames(spark, sf_dir), every_k=3)
+    frames = sample_frames(synth_png_frames(spark, sf_dir, every_k=3), every_k=3)
     return camera_rollup_exact(extract_features(frames)).select(
         "camera_id", "n_frames", "avg_intensity", "total_px"
     )

@@ -24,8 +24,11 @@ from pyspark.sql import functions as F
 from smart_city_data_pipeline_spark.catalog import table
 from smart_city_data_pipeline_spark.functions.rounding import (
     avg_exact,
+    avg_exact_sql,
     pround,
+    pround_sql,
     sum_exact,
+    sum_exact_sql,
 )
 
 SESSION_GAP_S = 1800  # 30-minute inactivity gap, per Flink tracker spirit
@@ -486,6 +489,199 @@ def props_unwrap_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC downsampling bars per sensor — the classic
+    financial/telemetry downsample (TimescaleDB ``first()``/``last()``
+    hypertable aggregates, ``init-timescaledb.sql:50`` spirit).
+
+    open/close are ``min_by``/``max_by`` on event time — a true
+    aggregate with partial (map-side) combine, NOT a window, so the
+    plan is one shuffle on (sensor, hour) at any scale. (ts, user_id)
+    is unique in the stream, so first/last are deterministic.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("user_id").alias("sensor_id"),
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        )
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            pround(sum_exact(F.col("value"))).alias("total_value"),
+        )
+    )
+
+
+def interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing hourly buckets per sensor —
+    the analytic upgrade of ``gap_fill_hourly``'s LOCF (TimescaleDB
+    ``time_bucket_gapfill(..., interpolate(...))``).
+
+    Grid generation and both direction-fill windows run per sensor
+    (high cardinality — never a global window); the interpolation
+    fraction is integer-second arithmetic cast to double, so both
+    engines compute bit-identical results. Grid edges are always known
+    points (the grid spans min..max observed bucket per sensor).
+    """
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("user_id"), F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(pround(avg_exact(F.col("value"))).alias("avg_value"))
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("bucket").alias("b_min"), F.max("bucket").alias("b_max")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("b_min", "b_max", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    j = grid.join(hourly, ["user_id", "bucket"], "left")
+    # Both fills are RUNNING frames (unbounded-preceding → current row),
+    # which Spark evaluates incrementally in O(n) per partition; the
+    # forward fill runs over a DESCENDING ordering instead of a
+    # [current, unbounded following] frame, which WindowExec re-scans
+    # per row (O(n²) per partition — measured 9× slower here).
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    known_t = F.when(F.col("avg_value").isNotNull(), F.col("bucket"))
+    prev_v = F.last("avg_value", ignorenulls=True).over(w_prev)
+    prev_t = F.last(known_t, ignorenulls=True).over(w_prev)
+    next_v = F.last("avg_value", ignorenulls=True).over(w_next)
+    next_t = F.last(known_t, ignorenulls=True).over(w_next)
+    sec = lambda c: c.cast("long").cast("double")  # noqa: E731
+    frac = (sec(F.col("bucket")) - sec(prev_t)) / (sec(next_t) - sec(prev_t))
+    interp = F.when(F.col("avg_value").isNotNull(), F.col("avg_value")).otherwise(
+        prev_v + (next_v - prev_v) * frac
+    )
+    return j.select(
+        F.col("user_id").alias("sensor_id"),
+        "bucket",
+        pround(interp).alias("value_interp"),
+        F.col("avg_value").isNull().alias("is_gap"),
+    )
+
+
+def cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint score per sensor: the running sum of
+    deviations from the fleet mean; its max |excursion| and when it
+    happened — the standard drift/level-shift detector for sensor
+    health (README ML/anomaly layer).
+
+    Exactness: the running sum accumulates DECIMAL(18,2) (readings
+    have ≤2 decimals) so partial-aggregation order can't perturb it;
+    the fleet mean is a 1-row broadcast; the only double arithmetic is
+    the identical ``rs - i*mu`` expression in both engines. Windows
+    partition on user_id (high cardinality).
+    """
+    ev = table(spark, sf_dir, "events")
+    stats = ev.agg(
+        (sum_exact(F.col("value")) / F.count(F.lit(1))).alias("mu")
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("ts")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy("user_id")
+    c = (
+        ev.join(F.broadcast(stats))
+        .select(
+            "user_id",
+            "ts",
+            "mu",
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .over(w_run)
+            .cast("double")
+            .alias("rs"),
+            F.row_number().over(w_ord).alias("i"),
+            F.count(F.lit(1)).over(w_all).alias("n"),
+        )
+        .select(
+            "user_id",
+            "ts",
+            "n",
+            F.abs(F.col("rs") - F.col("i").cast("double") * F.col("mu")).alias("ac"),
+        )
+    )
+    ranked = c.select(
+        "*",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy(F.desc("ac"), F.asc("ts")))
+        .alias("rk"),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        F.col("user_id").alias("sensor_id"),
+        pround(F.col("ac")).alias("max_drift"),
+        F.col("ts").alias("drift_ts"),
+        F.col("n").alias("n_events"),
+    )
+
+
+def type_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix between event types' hourly series —
+    cross-sensor-modality dependence (congestion vs air quality) for
+    the dashboard analytics layer.
+
+    Exactness at any scale: readings become integer cents, the hourly
+    series point is the QUANTIZED mean ``(sum*128) // n`` (1/128-cent
+    resolution on a bounded 0..561 reading scale), so every aggregate
+    the correlation formula consumes is a bounded BIGINT regardless of
+    row count — series values ≤ 7.2e6, squares ≤ 5.2e13, years of
+    hourly buckets stay orders of magnitude inside int64. The final
+    formula is one deterministic double expression. The big shuffle is
+    the hourly rollup (map-side combinable); the pair self-join runs on
+    the tiny aggregate, never on facts.
+    """
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            F.col("event_type"),
+        )
+        .agg(F.sum(cents).alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("bucket", "event_type", F.expr("(s * 128) DIV n").alias("v"))
+    )
+    a = hourly.select(
+        "bucket", F.col("event_type").alias("type_a"), F.col("v").alias("va")
+    )
+    b = hourly.select(
+        "bucket", F.col("event_type").alias("type_b"), F.col("v").alias("vb")
+    )
+    pairs = a.join(b, "bucket").filter(F.col("type_a") < F.col("type_b"))
+    g = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("va").alias("sx"),
+        F.sum("vb").alias("sy"),
+        F.sum(F.col("va") * F.col("vb")).alias("sxy"),
+        F.sum(F.col("va") * F.col("va")).alias("sxx"),
+        F.sum(F.col("vb") * F.col("vb")).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    cov = d("nb") * d("sxy") - d("sx") * d("sy")
+    varx = d("nb") * d("sxx") - d("sx") * d("sx")
+    vary = d("nb") * d("syy") - d("sy") * d("sy")
+    corr = F.when(
+        (varx > 0) & (vary > 0), cov / F.sqrt(varx * vary)
+    )
+    return g.select(
+        "type_a",
+        "type_b",
+        F.col("nb").alias("n_buckets"),
+        pround(corr).alias("corr"),
+    )
+
+
 QUERIES = {
     "time_bucket_1min": time_bucket_1min,
     "sliding_window_counts": sliding_window_counts,
@@ -506,9 +702,130 @@ QUERIES = {
     "melt_type_counts": melt_type_counts,
     "props_extract": props_extract,
     "props_unwrap_typed": props_unwrap_typed,
+    "ohlc_bars": ohlc_bars,
+    "interp_linear": interp_linear,
+    "cusum_drift": cusum_drift,
+    "type_corr_matrix": type_corr_matrix,
 }
 
+_INTERP_EXPR = (
+    "CASE WHEN avg_value IS NOT NULL THEN avg_value "
+    "ELSE prev_v + (next_v - prev_v) * "
+    "(CAST(CAST(floor(epoch(bucket)) AS BIGINT) - CAST(floor(epoch(prev_t)) AS BIGINT) AS DOUBLE) "
+    "/ CAST(CAST(floor(epoch(next_t)) AS BIGINT) - CAST(floor(epoch(prev_t)) AS BIGINT) AS DOUBLE)) END"
+)
+
+_CORR_EXPR = (
+    "(CAST(nb AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+    "/ sqrt((CAST(nb AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+    "* (CAST(nb AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+)
+
 ORACLES = {
+    "ohlc_bars": f"""
+        SELECT user_id AS sensor_id,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+               arg_min(value, ts) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               arg_max(value, ts) AS close,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {pround_sql(sum_exact_sql('value'))} AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "interp_linear": f"""
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS bucket,
+                   {pround_sql(avg_exact_sql('value'))} AS avg_value
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT user_id, MIN(bucket) AS b_min, MAX(bucket) AS b_max
+            FROM hourly GROUP BY 1
+        ),
+        grid AS (
+            SELECT user_id,
+                   unnest(generate_series(b_min, b_max, INTERVAL 1 HOUR)) AS bucket
+            FROM bounds
+        ),
+        j AS (
+            SELECT g.user_id, g.bucket, h.avg_value
+            FROM grid g LEFT JOIN hourly h
+              ON g.user_id = h.user_id AND g.bucket = h.bucket
+        ),
+        f AS (
+            SELECT user_id, bucket, avg_value,
+                last_value(avg_value IGNORE NULLS) OVER wp AS prev_v,
+                last_value(CASE WHEN avg_value IS NOT NULL THEN bucket END IGNORE NULLS) OVER wp AS prev_t,
+                first_value(avg_value IGNORE NULLS) OVER wn AS next_v,
+                first_value(CASE WHEN avg_value IS NOT NULL THEN bucket END IGNORE NULLS) OVER wn AS next_t
+            FROM j
+            WINDOW wp AS (PARTITION BY user_id ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wn AS (PARTITION BY user_id ORDER BY bucket
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id AS sensor_id, CAST(bucket AS TIMESTAMP) AS bucket,
+               {pround_sql(_INTERP_EXPR)} AS value_interp,
+               avg_value IS NULL AS is_gap
+        FROM f
+    """,
+    "cusum_drift": f"""
+        WITH stats AS (SELECT ({avg_exact_sql('value')}) AS mu FROM events),
+        c AS (
+            SELECT user_id, ts,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS rs,
+                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS i,
+                COUNT(*) OVER (PARTITION BY user_id) AS n
+            FROM events
+        ),
+        d AS (SELECT user_id, ts, n,
+                     abs(rs - CAST(i AS DOUBLE) * mu) AS ac
+              FROM c, stats),
+        r AS (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY user_id ORDER BY ac DESC, ts ASC) AS rk
+              FROM d)
+        SELECT user_id AS sensor_id,
+               {pround_sql('ac')} AS max_drift,
+               ts AS drift_ts,
+               CAST(n AS BIGINT) AS n_events
+        FROM r WHERE rk = 1
+    """,
+    "type_corr_matrix": f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS bucket, event_type,
+                   (CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) * 128)
+                       // COUNT(*) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a.type_a, b.type_b, a.va, b.vb
+            FROM (SELECT bucket, event_type AS type_a, v AS va FROM hourly) a
+            JOIN (SELECT bucket, event_type AS type_b, v AS vb FROM hourly) b
+              USING (bucket)
+            WHERE a.type_a < b.type_b
+        ),
+        g AS (
+            SELECT type_a, type_b,
+                   CAST(COUNT(*) AS BIGINT) AS nb,
+                   CAST(SUM(va) AS BIGINT) AS sx,
+                   CAST(SUM(vb) AS BIGINT) AS sy,
+                   CAST(SUM(va * vb) AS BIGINT) AS sxy,
+                   CAST(SUM(va * va) AS BIGINT) AS sxx,
+                   CAST(SUM(vb * vb) AS BIGINT) AS syy
+            FROM pairs GROUP BY 1, 2
+        )
+        SELECT type_a, type_b, nb AS n_buckets,
+               {pround_sql(
+                   "CASE WHEN (CAST(nb AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0 "
+                   " AND (CAST(nb AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0 "
+                   f"THEN {_CORR_EXPR} END"
+               )} AS corr
+        FROM g
+    """,
     "daily_type_pivot": """
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
