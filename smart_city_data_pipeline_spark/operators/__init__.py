@@ -46,6 +46,12 @@ _GATE_FIRST = [
     "interp_linear",
     "cusum_drift",
     "type_corr_matrix",
+    "ewma_batch",
+    "type_transition_matrix",
+    "pii_scrub",
+    "global_shuffle_shards",
+    "seq_len_histogram",
+    "exact_substring_spans",
     # sat outside the r4 window — rotate back in front
     "salted_zone_sensors",
     "text_repetition",
@@ -75,7 +81,10 @@ _GATE_FIRST = [
     "asof_enrich",
     "range_pair_counts",
     "zone_value_histogram",
-    "dataset_summary",
+    # dataset_summary deferred to the judge-covered rest this round:
+    # the 11 new r5 entries filled the window; it is the simplest
+    # driver-r3-green aggregate of the rotation set and rotates back
+    # in r6.
 ]
 
 # Entries that can never hash-match (no oracle_sql twin by documented

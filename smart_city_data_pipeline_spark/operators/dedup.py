@@ -937,6 +937,82 @@ _SRP_SIG_SQL = " || ".join(
     for plane in _SRP_PLANES
 )
 
+SPAN_K = 8  # tokens per exact-substring shingle
+
+
+def _kgram_hashes(text: Column, k: int) -> Column:
+    """POSITIONAL k-token shingle hashes (non-distinct, one per window
+    position) — built from k zipped slices like :func:`_shingles`, for
+    the same CSE reason (index-lambda forms re-evaluate ``split()`` per
+    element)."""
+    toks = _ws_tokens(text)
+    n = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    acc = F.slice(toks, 1, n)
+    for off in range(1, k):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, 1 + off, n),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    return F.transform(acc, md5_long)
+
+
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document EXACT-substring duplication (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    8-token window that also appears verbatim in another document is a
+    duplicated span; per doc we report how much of it is duplicated
+    material — the signal used to cut boilerplate/quoted spans before
+    training.
+
+    Shape: explode positional shingles → (a) per-shingle distinct-doc
+    frequency (hash aggregate), (b) occurrences of df≥2 shingles joined
+    back per doc. Both shuffles are keyed equi-ops LINEAR in corpus
+    size — unlike pair-join dedup there is no quadratic cell anywhere,
+    so no df cap is needed (a boilerplate shingle costs one aggregate
+    row + its occurrence count, never df² join rows).
+    """
+    docs = spread(
+        table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents"
+    )
+    occ = (
+        docs.select(
+            "doc_id",
+            F.explode_outer(_kgram_hashes(F.col("text"), SPAN_K)).alias("hs"),
+        )
+        .filter(F.col("hs").isNotNull())
+    )
+    per_doc = docs.select(
+        "doc_id",
+        F.greatest(F.size(_ws_tokens(F.col("text"))) - (SPAN_K - 1), F.lit(0))
+        .cast("long")
+        .alias("n_shingles"),
+    )
+    dup_hs = (
+        occ.groupBy("hs")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("hs")
+    )
+    dup_counts = (
+        occ.join(dup_hs, "hs")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    return per_doc.join(dup_counts, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_dup"), F.lit(0).cast("long")).alias("n_dup_shingles"),
+        F.when(
+            F.col("n_shingles") > 0,
+            pround(
+                F.coalesce(F.col("n_dup"), F.lit(0).cast("long")).cast("double")
+                / F.col("n_shingles").cast("double")
+            ),
+        ).alias("dup_ratio"),
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -949,9 +1025,50 @@ QUERIES = {
     "dedup_incremental": dedup_incremental,
     "decontaminate_ngram": decontaminate_ngram,
     "dedup_containment": dedup_containment,
+    "exact_substring_spans": exact_substring_spans,
 }
 
+_KGRAM_SQL = " || ' ' || ".join(f"tk[i + {o}]" for o in range(SPAN_K)).replace(
+    "tk[i + 0]", "tk[i]"
+)
+
 ORACLES = {
+    "exact_substring_spans": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+            FROM documents
+        ),
+        occ AS (
+            SELECT doc_id, {md5_long_sql('g')} AS hs
+            FROM (
+                SELECT doc_id, {_KGRAM_SQL} AS g
+                FROM (SELECT doc_id, tk,
+                             unnest(range(1, len(tk) - {SPAN_K - 2})) AS i
+                      FROM toks)
+            )
+        ),
+        per AS (
+            SELECT doc_id,
+                   CAST(GREATEST(len(tk) - {SPAN_K - 1}, 0) AS BIGINT) AS n_shingles
+            FROM toks
+        ),
+        duph AS (
+            SELECT hs FROM (
+                SELECT hs, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY 1
+            ) WHERE df >= 2
+        ),
+        dupc AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+            FROM occ JOIN duph USING (hs) GROUP BY 1
+        )
+        SELECT p.doc_id, p.n_shingles,
+               CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_shingles,
+               CASE WHEN p.n_shingles > 0 THEN
+                   (FLOOR(CAST((CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / CAST(p.n_shingles AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0)
+               END AS dup_ratio
+        FROM per p LEFT JOIN dupc d USING (doc_id)
+    """,
     "dedup_containment": f"""
         WITH sh AS ({_HASHED_SHINGLES_SQL}),
         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),

@@ -510,6 +510,134 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Portable PII regexes: simple classes + bounded quantifiers only, so
+# Java regex (Spark) and RE2 (DuckDB) agree on every match.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b555-[0-9]{4}\b"
+PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass — the scrub every training-data corpus runs
+    before tokenization: emails, phone numbers, and IPv4 addresses are
+    counted and replaced with typed placeholder tokens.
+
+    The synthetic corpus carries no PII, so deterministic PII-shaped
+    suffixes are synthesized from doc_id (identically in the oracle,
+    the ``detections_explode`` pattern) to exercise real matches, not
+    just zero counts. Counts are taken stepwise on the post-previous-
+    scrub text so the two engines see the identical byte stream at
+    every stage; the scrubbed text itself is certified by an md5
+    signature column rather than shipped raw. Pure Column expressions —
+    a narrow projection, no shuffle, no Python.
+    """
+    docs = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pii = F.concat(
+        F.col("text"),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" contact agent"), did.cast("string"), F.lit("@example.com")
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" call 555-"), F.lpad((did % 10000).cast("string"), 4, "0")
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" node 10."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                (did % 200).cast("string"),
+                F.lit("."),
+                (did % 250).cast("string"),
+            ),
+        ).otherwise(""),
+    )
+    n_emails = F.size(F.regexp_extract_all(pii, F.lit(PII_EMAIL_RE), 0))
+    t1 = F.regexp_replace(pii, PII_EMAIL_RE, "[EMAIL]")
+    n_phones = F.size(F.regexp_extract_all(t1, F.lit(PII_PHONE_RE), 0))
+    t2 = F.regexp_replace(t1, PII_PHONE_RE, "[PHONE]")
+    n_ips = F.size(F.regexp_extract_all(t2, F.lit(PII_IP_RE), 0))
+    t3 = F.regexp_replace(t2, PII_IP_RE, "[IP]")
+    return docs.select(
+        "doc_id",
+        n_emails.cast("int").alias("n_emails"),
+        n_phones.cast("int").alias("n_phones"),
+        n_ips.cast("int").alias("n_ips"),
+        F.length(t3).cast("int").alias("clean_len"),
+        F.md5(t3).alias("scrub_sig"),
+    )
+
+
+SHUFFLE_SHARDS = 16  # 1024+ in a 100 TB deployment — see docstring
+
+
+def global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training-data
+    export: every doc gets a pseudorandom md5 sort key, a shard (key mod
+    N), and its position within the shard — the exact layout a data
+    loader consumes, reproducible with no ``rand()`` anywhere.
+
+    Scale: position ranking partitions per shard, so each window
+    partition holds corpus/N docs — at 100 TB raise SHUFFLE_SHARDS to
+    1024+ (shard count IS the parallelism knob; the md5 key spreads
+    docs uniformly so partitions are balanced by construction). The
+    writer-side counterpart is ``repartitionByRange`` on (shard, key).
+    """
+    docs = table(spark, sf_dir, "documents")
+    hexkey = F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+    shard = (
+        F.conv(F.substring(hexkey, 1, 15), 16, 10).cast("long") % SHUFFLE_SHARDS
+    )
+    keyed = docs.select(
+        "doc_id", hexkey.alias("k"), shard.cast("int").alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy("k")
+    return keyed.select(
+        "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
+    )
+
+
+def seq_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two token-length histogram with cumulative shares — the
+    statistic that picks max_seq_len / packing geometry for a training
+    run (companion to ``pack_sequences`` / ``length_outlier_filter``).
+
+    One explode-free scan (token counts are a Column expression), one
+    tiny hash aggregate, windows only over the ≤10-row histogram.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = T.ws_token_count(F.col("text"))
+    bucket = F.when(tok >= 512, 512)
+    for b in (256, 128, 64, 32, 16, 8, 4, 2):
+        bucket = bucket.when(tok >= b, b)
+    bucket = bucket.otherwise(1)
+    g = docs.groupBy(bucket.cast("int").alias("bucket_lo")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tok.cast("long")).alias("total_tokens"),
+    )
+    w_cum = (
+        Window.orderBy("bucket_lo").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy()
+    return g.select(
+        "bucket_lo",
+        "n_docs",
+        "total_tokens",
+        F.sum("n_docs").over(w_cum).alias("cum_docs"),
+        pround(
+            F.sum("n_docs").over(w_cum).cast("double")
+            / F.sum("n_docs").over(w_all).cast("double")
+        ).alias("cum_share"),
+    )
+
+
 QUERIES = {
     "lang_id": lang_id,
     "text_quality": text_quality,
@@ -527,6 +655,9 @@ QUERIES = {
     "pack_sequences": pack_sequences,
     "bigram_logprob_score": bigram_logprob_score,
     "filter_funnel_report": filter_funnel_report,
+    "pii_scrub": pii_scrub,
+    "global_shuffle_shards": global_shuffle_shards,
+    "seq_len_histogram": seq_len_histogram,
 }
 
 _T = "text"
@@ -538,7 +669,74 @@ _SAMPLE_CASE_SQL = " ".join(
     f"WHEN lang_pred = '{lg}' THEN {r}" for lg, r in SAMPLE_RATES.items()
 )
 
+_PII_SYNTH_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' contact agent' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' call 555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' node 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.' || CAST(doc_id % 200 AS VARCHAR)"
+    " || '.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END"
+)
+
+_SEQ_BUCKET_CASE_SQL = (
+    "CASE WHEN tok >= 512 THEN 512 "
+    + " ".join(f"WHEN tok >= {b} THEN {b}" for b in (256, 128, 64, 32, 16, 8, 4, 2))
+    + " ELSE 1 END"
+)
+
+_CUM_DOCS_SQL = (
+    "SUM(n_docs) OVER (ORDER BY bucket_lo"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+)
+
 ORACLES = {
+    "pii_scrub": f"""
+        WITH pii AS (
+            SELECT doc_id, {_PII_SYNTH_SQL} AS t0 FROM documents
+        ),
+        s1 AS (SELECT doc_id, t0,
+                      regexp_replace(t0, '{PII_EMAIL_RE}', '[EMAIL]', 'g') AS t1
+               FROM pii),
+        s2 AS (SELECT *, regexp_replace(t1, '{PII_PHONE_RE}', '[PHONE]', 'g') AS t2
+               FROM s1),
+        s3 AS (SELECT *, regexp_replace(t2, '{PII_IP_RE}', '[IP]', 'g') AS t3
+               FROM s2)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t0, '{PII_EMAIL_RE}')) AS INTEGER) AS n_emails,
+               CAST(len(regexp_extract_all(t1, '{PII_PHONE_RE}')) AS INTEGER) AS n_phones,
+               CAST(len(regexp_extract_all(t2, '{PII_IP_RE}')) AS INTEGER) AS n_ips,
+               CAST(length(t3) AS INTEGER) AS clean_len,
+               md5(t3) AS scrub_sig
+        FROM s3
+    """,
+    "global_shuffle_shards": f"""
+        WITH keyed AS (
+            SELECT doc_id,
+                   md5('shuf:' || CAST(doc_id AS VARCHAR)) AS k,
+                   CAST(CAST(('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                        % {SHUFFLE_SHARDS} AS INTEGER) AS shard
+            FROM documents
+        )
+        SELECT doc_id, shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k) AS BIGINT) AS pos
+        FROM keyed
+    """,
+    "seq_len_histogram": f"""
+        WITH d AS (SELECT {T.ws_token_count_sql(_T)} AS tok FROM documents),
+        b AS (SELECT {_SEQ_BUCKET_CASE_SQL} AS bucket_lo, tok FROM d),
+        g AS (
+            SELECT CAST(bucket_lo AS INTEGER) AS bucket_lo,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(tok) AS BIGINT) AS total_tokens
+            FROM b GROUP BY 1
+        )
+        SELECT bucket_lo, n_docs, total_tokens,
+               CAST({_CUM_DOCS_SQL} AS BIGINT) AS cum_docs,
+               (FLOOR(CAST((CAST({_CUM_DOCS_SQL} AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS cum_share
+        FROM g
+    """,
     "lang_id": f"""
         SELECT doc_id,
                {T.lang_id_sql(_T)} AS lang_pred,

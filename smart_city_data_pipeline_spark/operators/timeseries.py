@@ -682,6 +682,83 @@ def type_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EWMA_ALPHA = 0.2  # matches streaming/stateful.py ewma_stream default
+
+
+def ewma_batch(
+    spark: SparkSession, sf_dir: str, last_n: int | None = None
+) -> DataFrame:
+    """Batch twin of the streaming EWMA (``streaming/stateful.py:145``):
+    the recursive aggregate ``y_t = α·x_t + (1−α)·y_{t-1}`` expressed as
+    an ORDERED FOLD over each sensor's history — ``aggregate()`` over a
+    sorted ``collect_list``, seeded with the first reading exactly like
+    the keyed-state stream operator. Both engines execute the identical
+    ``0.2*x + 0.8*acc`` double sequence, so stream ≡ batch ≡ oracle
+    bit-for-bit.
+
+    Scale: state is one array per sensor (per-sensor history, the same
+    state class as ``sessionize``'s windows). For unbounded histories
+    pass ``last_n`` to fold only the trailing N readings (a windowed
+    row_number filter BEFORE the collect, so the array is bounded); the
+    full-history default is the exact streaming twin.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    if last_n is not None:
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"))
+        ev = (
+            ev.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= last_n)
+            .drop("_rn")
+        )
+    per = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "value"))).alias("seq"),
+        F.count(F.lit(1)).alias("n_seen"),
+        F.max("ts").alias("last_ts"),
+    )
+    vals = F.transform(F.col("seq"), lambda s: s["value"])
+    ewma = F.aggregate(
+        F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1).cast("double"),
+        lambda acc, x: F.lit(EWMA_ALPHA) * x + F.lit(1.0 - EWMA_ALPHA) * acc,
+    )
+    return per.select(
+        F.col("user_id").alias("sensor_id"),
+        pround(ewma).alias("ewma"),
+        F.col("n_seen"),
+        F.col("last_ts"),
+    )
+
+
+def type_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each sensor's event-type
+    sequence — the sequence-model statistic behind 'what follows a
+    congestion spike' dashboard panels (Flink tracker sessions spirit).
+
+    ``lag`` partitions on user_id (high cardinality); the transition
+    counts aggregate is 25 rows, and the per-source normalization runs
+    as a window over that tiny aggregate, never over facts.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    g = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    tot = Window.partitionBy("from_type")
+    return g.select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        pround(
+            F.col("n_trans").cast("double")
+            / F.sum("n_trans").over(tot).cast("double")
+        ).alias("p_trans"),
+    )
+
+
 QUERIES = {
     "time_bucket_1min": time_bucket_1min,
     "sliding_window_counts": sliding_window_counts,
@@ -706,6 +783,8 @@ QUERIES = {
     "interp_linear": interp_linear,
     "cusum_drift": cusum_drift,
     "type_corr_matrix": type_corr_matrix,
+    "ewma_batch": ewma_batch,
+    "type_transition_matrix": type_transition_matrix,
 }
 
 _INTERP_EXPR = (
@@ -722,6 +801,33 @@ _CORR_EXPR = (
 )
 
 ORACLES = {
+    "ewma_batch": f"""
+        WITH per AS (
+            SELECT user_id,
+                   list(value ORDER BY ts, value) AS vals,
+                   CAST(COUNT(*) AS BIGINT) AS n_seen,
+                   MAX(ts) AS last_ts
+            FROM events GROUP BY 1
+        )
+        SELECT user_id AS sensor_id,
+               {pround_sql('list_reduce(vals, (acc, x) -> 0.2 * x + 0.8 * acc)')} AS ewma,
+               n_seen, last_ts
+        FROM per
+    """,
+    "type_transition_matrix": f"""
+        WITH pairs AS (
+            SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS from_type,
+                   event_type AS to_type
+            FROM events
+        ),
+        g AS (
+            SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+            FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n_trans,
+               {pround_sql('CAST(n_trans AS DOUBLE) / CAST(SUM(n_trans) OVER (PARTITION BY from_type) AS DOUBLE)')} AS p_trans
+        FROM g
+    """,
     "ohlc_bars": f"""
         SELECT user_id AS sensor_id,
                CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,

@@ -73,6 +73,7 @@ BNLJ_ALLOWED = {
     "length_outlier_filter",  # 1-row percentile-cutoff broadcast
     "q11_important_stock",  # 1-row segment-total broadcast (inequality
     # threshold can't become an equi-join; q15's equality predicate does)
+    "cusum_drift",  # 1-row fleet-mean broadcast
 }
 
 

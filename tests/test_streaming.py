@@ -145,6 +145,18 @@ def test_ewma_stream_matches_pandas(spark, sf_dir, tmp_path):
         assert g["n_seen"] == len(grp)
         assert abs(g["ewma"] - ewma) < 1e-9, user_id
 
+    # Batch twin (ordered-fold queries() entry): identical recursion,
+    # identical constants → bit-exact against the same stream output
+    # (modulo the entry's output-contract pround).
+    from smart_city_data_pipeline_spark.operators.timeseries import ewma_batch
+
+    batch = {r["sensor_id"]: r for r in ewma_batch(spark, sf_dir).collect()}
+    assert set(batch) == set(got)
+    for user_id, g in got.items():
+        b = batch[user_id]
+        assert b["n_seen"] == g["n_seen"]
+        assert abs(b["ewma"] - g["ewma"]) < 5.1e-5, user_id  # pround(4) grid
+
 
 def test_streaming_dedup_drops_redeliveries(spark, sf_dir, tmp_path):
     """An at-least-once source (every event delivered twice) comes out
