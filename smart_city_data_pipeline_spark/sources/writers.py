@@ -46,6 +46,34 @@ def write_hour_partitioned_parquet(df: DataFrame, path: str, ts_col: str = "ts")
     write_partitioned_parquet(out, path, ["year", "month", "day", "hour"])
 
 
+def write_sorted_parquet(
+    df: DataFrame, path: str, sort_cols: list[str], n_files: int
+) -> None:
+    """Globally-sorted parquet export (terasort layout): range-partition
+    on the sort key, then sort within each partition — file k holds a
+    contiguous, non-overlapping key range below file k+1, and rows
+    inside each file are ordered.
+
+    This is the scalable form of ``ORDER BY`` output: a global
+    ``sort()`` into one task cannot scale, while range partitioning
+    samples the key distribution (one lightweight job) and gives every
+    task an equal key slice. Downstream readers get merge-join-able /
+    binary-searchable files, and parquet min/max footer stats align
+    with the file order so range predicates prune whole files.
+    Training-data use: the (shard, pos) export layout of
+    ``global_shuffle_shards`` written with ``sort_cols=["shard",
+    "pos"]`` is exactly a deterministic-shuffle dataset a loader can
+    stream in order.
+    """
+    cols = [F.col(c) for c in sort_cols]
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
     """CSV read with explicit schema (no inference pass) + header."""
     return spark.read.schema(schema).option("header", "true").csv(path)

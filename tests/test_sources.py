@@ -143,3 +143,31 @@ def test_jsonl_lake_malformed_lines_quarantined(spark, sf_dir, tmp_path):
         "null",
         '{"mqtt_topic": "smartcity/click", "timestamp": "2024-0',
     ]
+
+
+def test_sorted_parquet_export(spark, sf_dir, tmp_path):
+    """Range-partitioned sorted export: rows sorted inside every file,
+    file key-ranges non-overlapping and ordered by file name — the
+    terasort layout downstream mergers / loaders rely on."""
+    from smart_city_data_pipeline_spark.sources.writers import write_sorted_parquet
+
+    ev = table(spark, sf_dir, "events")
+    path = str(tmp_path / "sorted")
+    write_sorted_parquet(ev, path, ["ts", "event_id"], n_files=8)
+
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    assert len(files) > 1  # range partitioner actually split
+    prev_max = None
+    total = 0
+    for f in files:
+        keys = [
+            (r["ts"], r["event_id"])
+            for r in spark.read.parquet(f).select("ts", "event_id").collect()
+        ]
+        total += len(keys)
+        assert keys == sorted(keys), f"unsorted rows inside {f}"
+        if keys:
+            if prev_max is not None:
+                assert prev_max < keys[0], "file key ranges overlap"
+            prev_max = keys[-1]
+    assert total == ev.count()
