@@ -1013,6 +1013,109 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the share of a doc's 3-gram
+    positions whose shingle has never appeared in any earlier doc
+    (doc_id order = ingest order) — the dataset-curation signal for
+    'how much new material does this doc add' (near-zero novelty ⇒
+    recombined boilerplate, a candidate to drop even when no single
+    pair-dedup fires).
+
+    Shape: positional shingles → per-shingle min(doc_id) hash
+    aggregate → occurrences joined back. Linear keyed shuffles only,
+    same scale posture as :func:`exact_substring_spans`.
+    """
+    docs = spread(
+        table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents"
+    )
+    occ = (
+        docs.select(
+            "doc_id",
+            F.explode_outer(_kgram_hashes(F.col("text"), 3)).alias("hs"),
+        )
+        .filter(F.col("hs").isNotNull())
+    )
+    firsts = occ.groupBy("hs").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = docs.select(
+        "doc_id",
+        F.greatest(F.size(_ws_tokens(F.col("text"))) - 2, F.lit(0))
+        .cast("long")
+        .alias("n_kgrams"),
+    )
+    novel = (
+        occ.join(firsts, "hs")
+        .filter(F.col("doc_id") == F.col("first_doc"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return per_doc.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_kgrams",
+        F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).alias("n_novel"),
+        F.when(
+            F.col("n_kgrams") > 0,
+            pround(
+                F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).cast("double")
+                / F.col("n_kgrams").cast("double")
+            ),
+        ).alias("novelty"),
+    )
+
+
+def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE n-gram contamination matrix: for every source pair,
+    how many distinct 3-gram shingles they share, and the overlap
+    coefficient |A∩B| / min(|A|, |B|) — the corpus diagnostic that
+    finds a domain scraped twice under different names before any
+    doc-level dedup runs.
+
+    The self-join key is (shingle, source)-distinct, so a shingle's
+    join cell is bounded by the SOURCE vocabulary (≤ #sources rows),
+    never by document frequency — no df cap needed. Per-source totals
+    are a #sources-row aggregate, broadcast back onto the pair table.
+    """
+    docs = spread(
+        table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents"
+    )
+    src_sh = (
+        docs.select(
+            "source",
+            F.explode_outer(_shingles(F.col("text"))).alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+        .select("source", md5_long(F.col("shingle")).alias("hs"))
+        .distinct()
+    )
+    sizes = src_sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = src_sh.select(F.col("source").alias("source_a"), "hs")
+    b = src_sh.select(F.col("source").alias("source_b"), "hs")
+    inter = (
+        a.join(b, "hs")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_sh").alias("na")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_sh").alias("nb")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            pround(
+                F.col("n_shared").cast("double")
+                / F.least("na", "nb").cast("double")
+            ).alias("overlap_coef"),
+        )
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1026,6 +1129,8 @@ QUERIES = {
     "decontaminate_ngram": decontaminate_ngram,
     "dedup_containment": dedup_containment,
     "exact_substring_spans": exact_substring_spans,
+    "ngram_novelty": ngram_novelty,
+    "source_ngram_overlap": source_ngram_overlap,
 }
 
 _KGRAM_SQL = " || ' ' || ".join(f"tk[i + {o}]" for o in range(SPAN_K)).replace(
@@ -1033,6 +1138,61 @@ _KGRAM_SQL = " || ' ' || ".join(f"tk[i + {o}]" for o in range(SPAN_K)).replace(
 )
 
 ORACLES = {
+    "ngram_novelty": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+            FROM documents
+        ),
+        occ AS (
+            SELECT doc_id, {md5_long_sql('g')} AS hs
+            FROM (
+                SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+                FROM (SELECT doc_id, tk,
+                             unnest(range(1, len(tk) - 1)) AS i
+                      FROM toks)
+            )
+        ),
+        firsts AS (SELECT hs, MIN(doc_id) AS first_doc FROM occ GROUP BY 1),
+        per AS (
+            SELECT doc_id,
+                   CAST(GREATEST(len(tk) - 2, 0) AS BIGINT) AS n_kgrams
+            FROM toks
+        ),
+        novel AS (
+            SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+            FROM occ o JOIN firsts f ON o.hs = f.hs AND o.doc_id = f.first_doc
+            GROUP BY 1
+        )
+        SELECT p.doc_id, p.n_kgrams,
+               CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+               CASE WHEN p.n_kgrams > 0 THEN
+                   (FLOOR(CAST((CAST(COALESCE(n.n_novel, 0) AS DOUBLE) / CAST(p.n_kgrams AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0)
+               END AS novelty
+        FROM per p LEFT JOIN novel n USING (doc_id)
+    """,
+    "source_ngram_overlap": f"""
+        WITH src_sh AS (
+            SELECT DISTINCT source, {md5_long_sql('shingle')} AS hs
+            FROM (SELECT source, unnest({_SHINGLES_SQL}) AS shingle
+                  FROM documents)
+            WHERE shingle IS NOT NULL
+        ),
+        sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh
+                  FROM src_sh GROUP BY 1),
+        inter AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM src_sh a JOIN src_sh b
+              ON a.hs = b.hs AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT i.source_a, i.source_b, i.n_shared,
+               (FLOOR(CAST((CAST(i.n_shared AS DOUBLE) / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS overlap_coef
+        FROM inter i
+        JOIN sizes sa ON i.source_a = sa.source
+        JOIN sizes sb ON i.source_b = sb.source
+    """,
     "exact_substring_spans": f"""
         WITH toks AS (
             SELECT doc_id,

@@ -638,6 +638,61 @@ def seq_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_MIN_FREQS = (2, 10, 100)
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage report: for each minimum-frequency
+    cutoff, how many distinct tokens survive and what share of all
+    token OCCURRENCES they cover — the statistic that sizes a
+    vocabulary / estimates the OOV rate before training a tokenizer.
+
+    Deliberately threshold-based rather than top-K: top-K needs a
+    global rank over the vocabulary (a single-partition window at
+    100 TB), while frequency thresholds are one conditional aggregate
+    over the vocab table — explode → hash-agg → 1-row agg → stack.
+    """
+    docs = table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            F.explode_outer(T.ws_tokens(F.lower(F.col("text")))).alias("token")
+        )
+        .filter(F.col("token").isNotNull() & (F.col("token") != ""))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    aggs = [F.sum("n").alias("total_tokens")]
+    for t in VOCAB_MIN_FREQS:
+        aggs.append(
+            F.count(F.when(F.col("n") >= t, 1)).alias(f"v{t}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("n") >= t, F.col("n")).otherwise(F.lit(0))).alias(
+                f"c{t}"
+            )
+        )
+    one = freq.agg(*aggs)
+    stack_expr = ", ".join(
+        f"{t}, v{t}, c{t}" for t in VOCAB_MIN_FREQS
+    )
+    n = len(VOCAB_MIN_FREQS)
+    return one.select(
+        F.expr(
+            f"stack({n}, {stack_expr}) AS (min_freq, vocab_size, covered_tokens)"
+        ),
+        "total_tokens",
+    ).select(
+        F.col("min_freq").cast("int").alias("min_freq"),
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        F.col("covered_tokens").cast("long").alias("covered_tokens"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        pround(
+            F.col("covered_tokens").cast("double")
+            / F.col("total_tokens").cast("double")
+        ).alias("coverage"),
+    )
+
+
 QUERIES = {
     "lang_id": lang_id,
     "text_quality": text_quality,
@@ -658,6 +713,7 @@ QUERIES = {
     "pii_scrub": pii_scrub,
     "global_shuffle_shards": global_shuffle_shards,
     "seq_len_histogram": seq_len_histogram,
+    "vocab_coverage": vocab_coverage,
 }
 
 _T = "text"
@@ -691,7 +747,36 @@ _CUM_DOCS_SQL = (
     " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
 )
 
+_VOCAB_AGG_SQL = ", ".join(
+    f"CAST(COUNT(CASE WHEN n >= {t} THEN 1 END) AS BIGINT) AS v{t}, "
+    f"CAST(SUM(CASE WHEN n >= {t} THEN n ELSE 0 END) AS BIGINT) AS c{t}"
+    for t in VOCAB_MIN_FREQS
+)
+_VOCAB_ROWS_SQL = " UNION ALL ".join(
+    f"SELECT CAST({t} AS INTEGER) AS min_freq, v{t} AS vocab_size,"
+    f" c{t} AS covered_tokens, total_tokens,"
+    f" (FLOOR(CAST((CAST(c{t} AS DOUBLE) / CAST(total_tokens AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS coverage"
+    " FROM one"
+    for t in VOCAB_MIN_FREQS
+)
+
 ORACLES = {
+    "vocab_coverage": f"""
+        WITH freq AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (
+                SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+                FROM documents
+            )
+            WHERE token IS NOT NULL AND token <> ''
+            GROUP BY 1
+        ),
+        one AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS total_tokens, {_VOCAB_AGG_SQL}
+            FROM freq
+        )
+        {_VOCAB_ROWS_SQL}
+    """,
     "pii_scrub": f"""
         WITH pii AS (
             SELECT doc_id, {_PII_SYNTH_SQL} AS t0 FROM documents

@@ -759,6 +759,30 @@ def type_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum detection per sensor: a reading strictly above both
+    neighbors is a peak — the spike detector feeding the alerting layer
+    (congestion spikes, PM2.5 bursts). Boundary rows (no neighbor on
+    one side) are not peaks.
+
+    One lag/lead window partitioned on user_id (high cardinality);
+    (ts, user_id) is unique so the ordering is deterministic.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = ev.select(
+        F.col("user_id").alias("sensor_id"),
+        F.col("ts").alias("peak_ts"),
+        F.col("value").alias("peak_value"),
+        F.lag("value").over(w).alias("prev_v"),
+        F.lead("value").over(w).alias("next_v"),
+    )
+    return flagged.filter(
+        (F.col("peak_value") > F.col("prev_v"))
+        & (F.col("peak_value") > F.col("next_v"))
+    ).select("sensor_id", "peak_ts", "peak_value")
+
+
 QUERIES = {
     "time_bucket_1min": time_bucket_1min,
     "sliding_window_counts": sliding_window_counts,
@@ -785,6 +809,7 @@ QUERIES = {
     "type_corr_matrix": type_corr_matrix,
     "ewma_batch": ewma_batch,
     "type_transition_matrix": type_transition_matrix,
+    "peak_detection": peak_detection,
 }
 
 _INTERP_EXPR = (
@@ -801,6 +826,17 @@ _CORR_EXPR = (
 )
 
 ORACLES = {
+    "peak_detection": """
+        WITH flagged AS (
+            SELECT user_id AS sensor_id, ts AS peak_ts, value AS peak_value,
+                   lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev_v,
+                   lead(value) OVER (PARTITION BY user_id ORDER BY ts) AS next_v
+            FROM events
+        )
+        SELECT sensor_id, peak_ts, peak_value
+        FROM flagged
+        WHERE peak_value > prev_v AND peak_value > next_v
+    """,
     "ewma_batch": f"""
         WITH per AS (
             SELECT user_id,
