@@ -529,10 +529,16 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     zero = F.lit(0).cast("decimal(18,2)")
     vol = _disc_price()
+    # Restrict orders to market customers BEFORE the fact join: the
+    # broadcast nation filter cuts customers ~5× and the date bracket
+    # cuts orders ~3×, so the lineitem join shuffles a far smaller
+    # build side (Catalyst won't reorder shuffle joins without CBO
+    # stats, so the join order is the plan).
+    market_orders = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).join(F.broadcast(market_nations), cust.c_nationkey == F.col("cn_key"))
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(market_nations), cust.c_nationkey == F.col("cn_key"))
+        li.join(market_orders, li.l_orderkey == F.col("o_orderkey"))
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(supp_nation), supp.s_nationkey == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
