@@ -54,27 +54,27 @@ def _minute_partials(df: DataFrame) -> DataFrame:
     )
 
 
-def refresh_minute_rollup(
-    spark: SparkSession, path: str, batch_df: DataFrame, batch_id: int
+def merge_partials_into_lake(
+    spark: SparkSession,
+    path: str,
+    part: DataFrame,
+    keys: tuple[str, ...],
+    merge_aggs: list,
+    batch_id: int,
 ) -> None:
-    """Merge one micro-batch's partials into the rollup lake (idempotent)."""
+    """Generic idempotent read-merge-swap of one batch's partials into a
+    rollup lake. ``part`` must carry ``last_batch_id``; ``merge_aggs``
+    are the monoid merges applied on ``groupBy(keys)`` over
+    current ∪ partials and must include
+    ``F.max("last_batch_id")``. Shared by the minute rollup and the
+    incremental top-k totals (streaming/topk.py)."""
     fs, dest = maintenance._hadoop_fs(spark, path)
-    part = _minute_partials(batch_df).withColumn("last_batch_id", F.lit(batch_id))
     if fs.exists(dest):
         cur = spark.read.parquet(path)
         applied = cur.agg(F.max("last_batch_id")).collect()[0][0]
         if applied is not None and batch_id <= applied:
             return  # crash-replay of an already-merged batch
-        merged = (
-            cur.unionByName(part)
-            .groupBy(*BUCKET_KEYS)
-            .agg(
-                F.sum("total_value").cast("decimal(18,2)").alias("total_value"),
-                F.sum("n_events").alias("n_events"),
-                F.max("peak_value").alias("peak_value"),
-                F.max("last_batch_id").alias("last_batch_id"),
-            )
-        )
+        merged = cur.unionByName(part).groupBy(*keys).agg(*merge_aggs)
     else:
         merged = part
     tmp = path.rstrip("/") + "._tmp_contagg"
@@ -83,6 +83,26 @@ def refresh_minute_rollup(
         fs.delete(tpath, True)
     merged.write.mode("overwrite").parquet(tmp)
     maintenance._commit_swap(spark, path, tmp)
+
+
+def refresh_minute_rollup(
+    spark: SparkSession, path: str, batch_df: DataFrame, batch_id: int
+) -> None:
+    """Merge one micro-batch's partials into the rollup lake (idempotent)."""
+    part = _minute_partials(batch_df).withColumn("last_batch_id", F.lit(batch_id))
+    merge_partials_into_lake(
+        spark,
+        path,
+        part,
+        BUCKET_KEYS,
+        [
+            F.sum("total_value").cast("decimal(18,2)").alias("total_value"),
+            F.sum("n_events").alias("n_events"),
+            F.max("peak_value").alias("peak_value"),
+            F.max("last_batch_id").alias("last_batch_id"),
+        ],
+        batch_id,
+    )
 
 
 def continuous_minute_rollup(

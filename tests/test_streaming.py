@@ -348,3 +348,42 @@ def test_stateful_anomaly_matches_batch(spark, sf_dir, tmp_path):
     }
     assert len(want) > 0, "twin found no anomalies — test corpus unfit"
     assert got == want
+
+
+def test_continuous_top_sensors_incremental(spark, sf_dir, tmp_path):
+    """Incrementally-maintained (zone, sensor) totals derive the exact
+    batch top-k: top-k is not a monoid, the totals are — so the stream
+    keeps totals and ranks on read. Replay must be a no-op."""
+    from smart_city_data_pipeline_spark.operators.timeseries import (
+        top_sensors_per_zone,
+    )
+    from smart_city_data_pipeline_spark.streaming.topk import (
+        continuous_top_sensors,
+        read_top_sensors,
+        refresh_sensor_totals,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    src = str(tmp_path / "tk_src")
+    ev.repartition(6).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)  # force multiple micro-batches
+        .parquet(src)
+    )
+    lake = str(tmp_path / "sensor_totals")
+    q = continuous_top_sensors(stream, lake, str(tmp_path / "tk_ckpt"))
+    assert q.awaitTermination(120), "stream did not drain in time"
+
+    norm = lambda df: sorted(
+        (r["zone"], r["rank"], r["sensor_id"], r["total_value"])
+        for r in df.collect()
+    )
+    got = norm(read_top_sensors(spark, lake, k=3))
+    want = norm(top_sensors_per_zone(spark, sf_dir))
+    assert got == want and len(got) > 0
+
+    # crash-replay idempotency: re-applying batch 0 changes nothing
+    before = sorted(map(tuple, spark.read.parquet(lake).collect()))
+    refresh_sensor_totals(spark, lake, ev, 0)
+    assert sorted(map(tuple, spark.read.parquet(lake).collect())) == before
