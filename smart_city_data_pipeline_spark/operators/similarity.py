@@ -234,15 +234,71 @@ def ann_ivf_kmeans(
     return kmeans_ivf_topk(emb, _KMEANS_CACHE[key], n_probe)
 
 
+CENTROID_Q = 1 << 16  # quantization scale — see embedding_centroids
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding corpus — the IVF coarse-
+    quantizer training artifact (what :func:`ann_ivf_topk` probes) as a
+    hash-checkable entry.
+
+    Float summation is order-dependent, so components are QUANTIZED to
+    1/2¹⁶ (a power of two — the scaling itself is exact in binary)
+    before the integer sum; the centroid is one double division of two
+    exact integers, bit-identical across engines and partial-agg
+    orders. Components are |x| < 1, so int64 holds the per-cell sum up
+    to ~10¹⁴ corpus rows per label — quantization bias (≤ 2⁻¹⁷ per
+    component) is orders below the inter-centroid distances that matter
+    for IVF routing. ``pos`` is 1-based to match SQL subscripts.
+
+    Shape: posexplode → one (label, pos) hash aggregate with map-side
+    combine — 64·#labels output rows, a single keyed shuffle at any
+    scale.
+    """
+    emb = spread(
+        table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings"
+    )
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.floor(F.col("x").cast("double") * CENTROID_Q + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    return comp.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        pround(
+            F.sum("q").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(float(CENTROID_Q)))
+        ).alias("centroid"),
+    )
+
+
 QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_kmeans": ann_ivf_kmeans,
+    "embedding_centroids": embedding_centroids,
 }
 
 _COS = cosine_sql("p.probe_emb", "e.embedding")
 
 ORACLES = {
+    "embedding_centroids": f"""
+        WITH comp AS (
+            SELECT label,
+                   CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+                   CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {CENTROID_Q} + 0.5) AS BIGINT) AS q
+            FROM embeddings
+        )
+        SELECT label, pos,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               (FLOOR(CAST((CAST(SUM(q) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * {float(CENTROID_Q)})) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS centroid
+        FROM comp
+        GROUP BY 1, 2
+    """,
     "ann_topk_cosine": f"""
         WITH probes AS (
             SELECT vec_id AS probe_id, embedding AS probe_emb
