@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from smart_city_data_pipeline_spark.catalog import table
+from smart_city_data_pipeline_spark.catalog import spread, table
 
 FRAME_META = T.StructType(
     [
@@ -69,7 +69,9 @@ def synth_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline is concerned); metadata is a typed struct. In production this
     table is the Kafka/RTSP bridge output written to the lake.
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(
+        table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents"
+    )
     return docs.select(
         F.col("doc_id").alias("frame_id"),
         (F.col("doc_id") % 16).alias("camera_id"),
@@ -99,7 +101,11 @@ def synth_bmp_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the statistics fallback."""
     import numpy as np
 
-    docs = table(spark, sf_dir, "documents").select(
+    # spread BEFORE the mapInPandas chain: a single-row-group scan would
+    # otherwise serialize every Python encode/decode onto one core.
+    docs = spread(
+        table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents"
+    ).select(
         F.col("doc_id").alias("frame_id"), (F.col("doc_id") % 16).alias("camera_id")
     )
 
@@ -531,7 +537,11 @@ def synth_png_frames(
     """
     import numpy as np
 
-    docs = table(spark, sf_dir, "documents").select(
+    # spread BEFORE the mapInPandas chain: a single-row-group scan would
+    # otherwise serialize every Python encode/decode onto one core.
+    docs = spread(
+        table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents"
+    ).select(
         F.col("doc_id").alias("frame_id"), (F.col("doc_id") % 16).alias("camera_id")
     )
     if every_k is not None:
