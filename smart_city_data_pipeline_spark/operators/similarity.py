@@ -276,16 +276,139 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_S = 8  # subspaces
+PQ_SUBDIM = 8  # dims per subspace (corpus embeddings are 64-dim)
+PQ_K = 16  # codes per subspace
+
+
+def _pq_codebook(emb: DataFrame) -> list[list[float]]:
+    """Deterministic PQ codebook: the PQ_K vectors with the smallest
+    md5('pq:'+vec_id) — the same public seed-free shuffle the k-means
+    init uses (decorrelated by the 'pq:' prefix). Bounded collect:
+    PQ_K × dim floats reach the driver, nothing corpus-scaled."""
+    rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.concat(F.lit("pq:"), F.col("vec_id").cast("string"))))
+        .limit(PQ_K)
+        .collect()
+    )
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code assignment — the memory-compression
+    leg of ANN at 100 TB (IVF routes, PQ compresses residuals): each
+    embedding becomes PQ_S small codes, one per subspace, by nearest
+    codebook entry in L2.
+
+    Shape: each vector explodes into its PQ_S subvectors, which
+    broadcast-join the PQ_S·PQ_K-row codebook; the per-(vector,
+    subspace) argmin is a lexicographic struct MIN — a true aggregate
+    with map-side combine, so the shuffle carries one tiny row per
+    (vector, subspace). (A projection that unrolls all PQ_K·PQ_SUBDIM
+    distance terms per subspace was 2.2× slower — the expression tree
+    overflows whole-stage codegen into interpreted evaluation.) The
+    distance fold is the identical left-associated double chain in
+    both engines (the 0.0 fold seed is exact: every term is ≥ 0);
+    ties break on the lower code id. At 100 TB the codebook trains on
+    a stratified sample (``textops.stratified_sample`` is the
+    template); this deterministic seed-codebook IS that sample's
+    degenerate 0-iterations case, keeping the oracle exact.
+    """
+    emb = spread(
+        table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings"
+    )
+    cb = _pq_codebook(emb)
+    subs = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("subspace"),
+                        F.slice(
+                            F.col("embedding").cast("array<double>"),
+                            s * PQ_SUBDIM + 1,
+                            PQ_SUBDIM,
+                        ).alias("sv"),
+                    )
+                    for s in range(PQ_S)
+                ]
+            )
+        ).alias("e"),
+    ).select("vec_id", "e.subspace", "e.sv")
+    cb_rows = [
+        (s, k, [float(cb[k][s * PQ_SUBDIM + i]) for i in range(PQ_SUBDIM)])
+        for s in range(PQ_S)
+        for k in range(PQ_K)
+    ]
+    cbdf = spark.createDataFrame(cb_rows, "subspace int, k int, cv array<double>")
+    d = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        subs.join(F.broadcast(cbdf), "subspace")
+        .select(
+            "vec_id",
+            "subspace",
+            F.struct(d.alias("d"), F.col("k")).alias("dk"),
+        )
+        .groupBy("vec_id", "subspace")
+        .agg(F.min("dk").alias("m"))
+        .select(
+            "vec_id",
+            F.col("subspace").cast("int").alias("subspace"),
+            F.col("m.k").cast("int").alias("code"),
+        )
+    )
+
+
+def _pq_dist_sql(s_expr: str) -> str:
+    terms = []
+    for i in range(PQ_SUBDIM):
+        a = f"CAST(e.embedding[{s_expr} * {PQ_SUBDIM} + {i + 1}] AS DOUBLE)"
+        b = f"CAST(c.embedding[{s_expr} * {PQ_SUBDIM} + {i + 1}] AS DOUBLE)"
+        terms.append(f"(({a}) - ({b})) * (({a}) - ({b}))")
+    return " + ".join(terms)
+
+
 QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_kmeans": ann_ivf_kmeans,
     "embedding_centroids": embedding_centroids,
+    "embedding_pq_codes": embedding_pq_codes,
 }
 
 _COS = cosine_sql("p.probe_emb", "e.embedding")
 
 ORACLES = {
+    "embedding_pq_codes": f"""
+        WITH seeds AS (
+            SELECT embedding,
+                   ROW_NUMBER() OVER (
+                       ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR))) - 1 AS k
+            FROM embeddings
+            ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR))
+            LIMIT {PQ_K}
+        ),
+        grid AS (SELECT unnest(range(0, {PQ_S})) AS s),
+        dists AS (
+            SELECT e.vec_id, g.s AS subspace, c.k,
+                   {_pq_dist_sql('g.s')} AS d
+            FROM embeddings e CROSS JOIN grid g CROSS JOIN seeds c
+        ),
+        r AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id, subspace ORDER BY d, k) AS rn
+            FROM dists
+        )
+        SELECT vec_id, CAST(subspace AS INTEGER) AS subspace,
+               CAST(k AS INTEGER) AS code
+        FROM r WHERE rn = 1
+    """,
     "embedding_centroids": f"""
         WITH comp AS (
             SELECT label,
