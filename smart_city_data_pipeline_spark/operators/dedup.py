@@ -31,7 +31,7 @@ from __future__ import annotations
 import functools
 import operator
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from smart_city_data_pipeline_spark.catalog import dataset_fingerprint, spread, table
@@ -546,6 +546,68 @@ def embedding_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(vb, F.col("vec_b") == F.col("vb.vec_id"))
         .filter(cos >= COSINE_NEARDUP_THRESHOLD)
         .select("vec_a", "vec_b", pround(cos).alias("cos_sim"))
+    )
+
+
+KNN_K = 3
+
+
+def knn_graph(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH over the embedding corpus —
+    the artifact semantic-dedup clustering, curriculum mining, and
+    near-dup visualization consume: for every vector, its top-k
+    band-mates by exact cosine.
+
+    Same SRP band machinery as :func:`embedding_srp_lsh` (slim band
+    rows, bounded buckets, no O(n²)) but candidates keep BOTH
+    directions (the graph is per-source), and instead of a global
+    threshold each source ranks its candidates — a window over the
+    per-source candidate list, which the band structure bounds. Recall
+    tuning is the usual LSH dial: more/wider bands.
+    """
+    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings")
+    sig = _srp_sig()
+    bands = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(F.substring(sig, 1, 8), F.substring(sig, 9, 8))
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("nbr"))
+        .dropDuplicates(["src", "nbr"])
+    )
+    vec = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    va, vb = vec.alias("va"), vec.alias("vb")
+    cos = dot(F.col("va.embedding"), F.col("vb.embedding")) / (
+        F.col("va.nrm") * F.col("vb.nrm")
+    )
+    scored = (
+        cand.join(va, F.col("src") == F.col("va.vec_id"))
+        .join(vb, F.col("nbr") == F.col("vb.vec_id"))
+        .select("src", "nbr", cos.alias("cs"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cs"), F.asc("nbr"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("src").alias("vec_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("nbr").alias("neighbor_id"),
+            pround(F.col("cs")).alias("cos_sim"),
+        )
     )
 
 
@@ -1131,6 +1193,7 @@ QUERIES = {
     "exact_substring_spans": exact_substring_spans,
     "ngram_novelty": ngram_novelty,
     "source_ngram_overlap": source_ngram_overlap,
+    "knn_graph": knn_graph,
 }
 
 _KGRAM_SQL = " || ' ' || ".join(f"tk[i + {o}]" for o in range(SPAN_K)).replace(
@@ -1138,6 +1201,44 @@ _KGRAM_SQL = " || ' ' || ".join(f"tk[i + {o}]" for o in range(SPAN_K)).replace(
 )
 
 ORACLES = {
+    "knn_graph": f"""
+        WITH sig AS (
+            SELECT vec_id, embedding,
+                   sqrt({dot_sql('embedding', 'embedding')}) AS nrm,
+                   {_SRP_SIG_SQL} AS s
+            FROM embeddings
+        ),
+        bands AS (
+            SELECT vec_id, embedding, nrm,
+                   substr(s, 1, 8) AS band0, substr(s, 9, 8) AS band1
+            FROM sig
+        ),
+        cand AS (
+            SELECT a.vec_id AS src, b.vec_id AS nbr
+            FROM bands a JOIN bands b
+              ON a.band0 = b.band0 AND a.vec_id <> b.vec_id
+            UNION
+            SELECT a.vec_id AS src, b.vec_id AS nbr
+            FROM bands a JOIN bands b
+              ON a.band1 = b.band1 AND a.vec_id <> b.vec_id
+        ),
+        scored AS (
+            SELECT c.src, c.nbr,
+                   {dot_sql('sa.embedding', 'sb.embedding')} / (sa.nrm * sb.nrm) AS cs
+            FROM cand c
+            JOIN bands sa ON c.src = sa.vec_id
+            JOIN bands sb ON c.nbr = sb.vec_id
+        ),
+        r AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY src ORDER BY cs DESC, nbr ASC) AS rank
+            FROM scored
+        )
+        SELECT src AS vec_id, CAST(rank AS INTEGER) AS rank,
+               nbr AS neighbor_id,
+               (FLOOR(CAST(cs AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS cos_sim
+        FROM r WHERE rank <= {KNN_K}
+    """,
     "ngram_novelty": f"""
         WITH toks AS (
             SELECT doc_id,
