@@ -680,10 +680,56 @@ def _grid_rollup_oracle(w: int, h: int, extra_col: str) -> str:
     """
 
 
+RESIZE_W, RESIZE_H = 16, 12
+
+
+def frames_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry proving the REAL resize path end-to-end under
+    the hash gate: BMP frames → nearest-neighbor resize + BMP re-encode
+    (:func:`resize_frames`) → decode again → camera rollup. The
+    nearest-neighbor map ``src[(y·H)//H', (x·W)//W']`` over the
+    synthetic gradient is closed-form, so the oracle recomputes the
+    resized pixel means entirely in SQL — a wrong index map, stride
+    bug, or re-encode defect hash-mismatches here."""
+    frames = sample_frames(synth_bmp_frames(spark, sf_dir), every_k=3)
+    resized = resize_frames(frames, RESIZE_W, RESIZE_H)
+    return camera_rollup_exact(extract_features(resized)).select(
+        "camera_id", "n_frames", "avg_intensity", "total_px"
+    )
+
+
+def _resize_rollup_oracle(src_w: int, src_h: int, w: int, h: int) -> str:
+    from smart_city_data_pipeline_spark.functions.rounding import pround_sql
+
+    avg = pround_sql("CAST(SUM(s) AS DOUBLE) / CAST(SUM(n_px) AS DOUBLE)")
+    px = f"(3 * ((x * {src_w}) // {w}) + 5 * ((y * {src_h}) // {h}) + 7 * frame_id) % 256"
+    return f"""
+        WITH f AS (
+            SELECT doc_id AS frame_id, doc_id % 16 AS camera_id
+            FROM documents WHERE (doc_id % 30) % 3 = 0
+        ),
+        grid AS (
+            SELECT gx.x AS x, gy.y AS y
+            FROM generate_series(0, {w - 1}) gx(x), generate_series(0, {h - 1}) gy(y)
+        ),
+        per AS (
+            SELECT frame_id, camera_id,
+                   SUM({px}) AS s,
+                   COUNT(*) AS n_px
+            FROM f, grid GROUP BY 1, 2
+        )
+        SELECT camera_id, COUNT(*) AS n_frames,
+               {avg} AS avg_intensity,
+               CAST(COUNT(*) * {w * h} AS BIGINT) AS total_px
+        FROM per GROUP BY camera_id
+    """
+
+
 QUERIES = {
     "frames_features": frames_features,
     "frames_features_bmp": frames_features_bmp,
     "frames_features_png": frames_features_png,
+    "frames_resize_stats": frames_resize_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -692,5 +738,8 @@ ORACLES: dict[str, str] = {
     ),
     "frames_features_png": _grid_rollup_oracle(
         PNG_W, PNG_H, f"CAST(COUNT(*) * {PNG_W * PNG_H} AS BIGINT) AS total_px"
+    ),
+    "frames_resize_stats": _resize_rollup_oracle(
+        BMP_W, BMP_H, RESIZE_W, RESIZE_H
     ),
 }
