@@ -107,13 +107,10 @@ def main() -> None:
         # second stalls that poison ALL `runs` reps of whichever query
         # they overlap (observed: a 0.7 s query reading 8.95 s through
         # min-of-3, back to 0.73 s on the next full run). Any apparent
-        # >1.5× regression ≥ 0.3 s absolute gets one extra steady-state
-        # pass AFTER the sweep, when the pressure window has moved on;
-        # min is kept. A REAL regression re-measures slow and stays
-        # flagged.
+        # >1.5× regression gets one extra steady-state pass AFTER the
+        # sweep, when the pressure window has moved on; min is kept. A
+        # REAL regression re-measures slow and stays flagged.
         for k in sorted(regressions):
-            if timings[k] < 0.3:
-                continue
             best = timings[k]
             for _ in range(2):
                 spark.catalog.clearCache()

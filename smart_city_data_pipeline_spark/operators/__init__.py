@@ -52,7 +52,25 @@ _GATE_FIRST = [
     "global_shuffle_shards",
     "seq_len_histogram",
     "exact_substring_spans",
-    # sat outside the r4 window — rotate back in front
+    # new or changed in round 5, third batch — NEVER driver-checked, so
+    # they outrank twice-green rotation entries for window slots
+    "peak_detection",
+    "vocab_coverage",
+    "ngram_novelty",
+    "source_ngram_overlap",
+    "embedding_centroids",
+    "embedding_pq_codes",
+    "knn_graph",
+    "frames_resize_stats",
+    "corpus_filter",  # re-implemented (single-pass window) this round
+    # sat outside the r4 window — rotate back in front. The r5 entry
+    # wave displaced the TEN entries listed at the bottom of this
+    # comment block into the judge-covered rest (each is driver-r3
+    # green AND judge-r4 green AND unchanged since — strictly lower
+    # risk than a never-checked new entry); they rotate back in r6:
+    # dataset_summary, zone_value_histogram, range_pair_counts,
+    # asof_enrich, congestion_streaks, anomaly_zscore, latest_metrics,
+    # time_bucket_1min, sliding_window_counts, gap_fill_hourly.
     "salted_zone_sensors",
     "text_repetition",
     "dedup_incremental",
@@ -72,19 +90,6 @@ _GATE_FIRST = [
     "zone_dow_rollup",
     "daily_type_pivot",
     "top_sensors_per_zone",
-    "gap_fill_hourly",
-    "sliding_window_counts",
-    "time_bucket_1min",
-    "latest_metrics",
-    "anomaly_zscore",
-    "congestion_streaks",
-    "asof_enrich",
-    "range_pair_counts",
-    "zone_value_histogram",
-    # dataset_summary deferred to the judge-covered rest this round:
-    # the 11 new r5 entries filled the window; it is the simplest
-    # driver-r3-green aggregate of the rotation set and rotates back
-    # in r6.
 ]
 
 # Entries that can never hash-match (no oracle_sql twin by documented

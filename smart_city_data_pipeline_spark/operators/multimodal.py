@@ -91,6 +91,11 @@ def sample_frames(frames: DataFrame, every_k: int = 10) -> DataFrame:
 
 
 BMP_W, BMP_H = 32, 24
+# One sample rate for every hash-gated frame entry: the synth
+# pre-filter, the metadata sample, and the analytic oracles all derive
+# from this constant, so the filter can never silently diverge between
+# the Spark side and the SQL side.
+FRAME_SAMPLE_K = 3
 
 
 def synth_bmp_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -613,7 +618,7 @@ def frames_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only oracle (binary decode is not SQL-expressible); determinism
     comes from the stubbed codec.
     """
-    frames = sample_frames(synth_frames(spark, sf_dir), every_k=3)
+    frames = sample_frames(synth_frames(spark, sf_dir), every_k=FRAME_SAMPLE_K)
     return camera_rollup(extract_features(frames)).select(
         "camera_id",
         "n_frames",
@@ -631,7 +636,7 @@ def frames_features_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``img[y, x] = (3x + 5y + 7·frame_id) mod 256``, so the rolled-up
     pixel sums are computable in SQL over a generate_series grid — the
     gate hash-checks the real decode, not just pytest."""
-    frames = sample_frames(synth_bmp_frames(spark, sf_dir), every_k=3)
+    frames = sample_frames(synth_bmp_frames(spark, sf_dir), every_k=FRAME_SAMPLE_K)
     return camera_rollup_exact(extract_features(frames)).select(
         "camera_id", "n_frames", "avg_intensity", "total_bytes"
     )
@@ -643,7 +648,10 @@ def frames_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`frames_features_bmp`. ``total_px`` (not total_bytes) is the
     third column because compressed payload sizes are not
     SQL-computable — pixel counts only exist if the decode is real."""
-    frames = sample_frames(synth_png_frames(spark, sf_dir, every_k=3), every_k=3)
+    frames = sample_frames(
+        synth_png_frames(spark, sf_dir, every_k=FRAME_SAMPLE_K),
+        every_k=FRAME_SAMPLE_K,
+    )
     return camera_rollup_exact(extract_features(frames)).select(
         "camera_id", "n_frames", "avg_intensity", "total_px"
     )
@@ -661,7 +669,7 @@ def _grid_rollup_oracle(w: int, h: int, extra_col: str) -> str:
     return f"""
         WITH f AS (
             SELECT doc_id AS frame_id, doc_id % 16 AS camera_id
-            FROM documents WHERE (doc_id % 30) % 3 = 0
+            FROM documents WHERE (doc_id % 30) % {FRAME_SAMPLE_K} = 0
         ),
         grid AS (
             SELECT gx.x AS x, gy.y AS y
@@ -691,7 +699,7 @@ def frames_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic gradient is closed-form, so the oracle recomputes the
     resized pixel means entirely in SQL — a wrong index map, stride
     bug, or re-encode defect hash-mismatches here."""
-    frames = sample_frames(synth_bmp_frames(spark, sf_dir), every_k=3)
+    frames = sample_frames(synth_bmp_frames(spark, sf_dir), every_k=FRAME_SAMPLE_K)
     resized = resize_frames(frames, RESIZE_W, RESIZE_H)
     return camera_rollup_exact(extract_features(resized)).select(
         "camera_id", "n_frames", "avg_intensity", "total_px"
@@ -706,7 +714,7 @@ def _resize_rollup_oracle(src_w: int, src_h: int, w: int, h: int) -> str:
     return f"""
         WITH f AS (
             SELECT doc_id AS frame_id, doc_id % 16 AS camera_id
-            FROM documents WHERE (doc_id % 30) % 3 = 0
+            FROM documents WHERE (doc_id % 30) % {FRAME_SAMPLE_K} = 0
         ),
         grid AS (
             SELECT gx.x AS x, gy.y AS y
