@@ -215,6 +215,71 @@ def _band_cols() -> tuple:
     return tuple(cols)
 
 
+def _band_pairs(sig: DataFrame) -> DataFrame:
+    """Distinct LSH candidate pairs from a wide signature table: slim
+    (doc_id, band_idx, band_hash) posexplode + ONE self-equi-join,
+    deduped while still slim. Shared by the dedup operator and the
+    LSH-quality evaluation."""
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*_band_cols())).alias("band_idx", "band_hash"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure, don't guess: precision/recall of the MinHash-LSH
+    candidate stage against EXACT Jaccard ≥ threshold ground truth —
+    the evaluation that justifies (or retunes) the band/row geometry
+    before a 100 TB run commits to it.
+
+    Candidates are the banded pairs BEFORE signature verification;
+    truth is the exact inverted-index Jaccard operator. One full-outer
+    join of two pair sets (both corpus-dedup-sized, tiny relative to
+    facts) and one global aggregate.
+    """
+    sig = _minhash_sig_wide(spark, sf_dir).select(
+        "doc_id", *[F.col(f"m{i}") for i in range(N_MINHASH)]
+    )
+    cand = _band_pairs(sig).withColumn("is_cand", F.lit(1))
+    truth = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("is_true", F.lit(1))
+    )
+    j = cand.join(truth, ["doc_a", "doc_b"], "full_outer")
+    g = j.agg(
+        F.sum("is_cand").cast("long").alias("n_candidates"),
+        F.sum("is_true").cast("long").alias("n_truth"),
+        F.count(
+            F.when(F.col("is_cand").isNotNull() & F.col("is_true").isNotNull(), 1)
+        ).alias("n_tp"),
+    )
+    return g.select(
+        "n_candidates",
+        "n_truth",
+        "n_tp",
+        F.when(
+            F.col("n_candidates") > 0,
+            pround(F.col("n_tp").cast("double") / F.col("n_candidates").cast("double")),
+        ).alias("precision"),
+        F.when(
+            F.col("n_truth") > 0,
+            pround(F.col("n_tp").cast("double") / F.col("n_truth").cast("double")),
+        ).alias("recall"),
+    )
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding: candidate pairs share an identical band,
     verified by signature similarity ≥ threshold.
@@ -235,21 +300,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB-correct layout: the wide rows cross exactly one shuffle.
     """
     sig = _minhash_sig_wide(spark, sf_dir).select("doc_id", *[F.col(f"m{i}") for i in range(N_MINHASH)])
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(F.array(*_band_cols())).alias("band_idx", "band_hash"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    pairs = _band_pairs(sig)
     sa, sb = sig.alias("sa"), sig.alias("sb")
     sim = _minhash_eq_sim()
     return (
@@ -1194,6 +1245,7 @@ QUERIES = {
     "ngram_novelty": ngram_novelty,
     "source_ngram_overlap": source_ngram_overlap,
     "knn_graph": knn_graph,
+    "lsh_quality_report": lsh_quality_report,
 }
 
 _KGRAM_SQL = " || ' ' || ".join(f"tk[i + {o}]" for o in range(SPAN_K)).replace(
@@ -1201,6 +1253,53 @@ _KGRAM_SQL = " || ' ' || ".join(f"tk[i + {o}]" for o in range(SPAN_K)).replace(
 )
 
 ORACLES = {
+    "lsh_quality_report": f"""
+        WITH sh AS ({_HASHED_SHINGLES_SQL}),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b ON a.hs = b.hs AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        truth AS (
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_THRESHOLD}
+        ),
+        sigm AS (
+            SELECT doc_id,
+               {_SIG_COLS_SQL}
+            FROM sh GROUP BY 1
+        ),
+        sig AS (
+            SELECT *,
+               {_BAND_COLS_SQL}
+            FROM sigm
+        ),
+        cand AS (
+            SELECT DISTINCT doc_a, doc_b FROM (
+                {_CAND_UNION_SQL}
+            )
+        ),
+        m AS (
+            SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+                   (SELECT COUNT(*) FROM truth) AS n_truth,
+                   (SELECT COUNT(*) FROM cand c
+                    JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_tp
+        )
+        SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+               CAST(n_truth AS BIGINT) AS n_truth,
+               CAST(n_tp AS BIGINT) AS n_tp,
+               CASE WHEN n_candidates > 0 THEN
+                   (FLOOR(CAST((CAST(n_tp AS DOUBLE) / CAST(n_candidates AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0)
+               END AS precision,
+               CASE WHEN n_truth > 0 THEN
+                   (FLOOR(CAST((CAST(n_tp AS DOUBLE) / CAST(n_truth AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0)
+               END AS recall
+        FROM m
+    """,
     "knn_graph": f"""
         WITH sig AS (
             SELECT vec_id, embedding,

@@ -695,6 +695,36 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic-evaluation confusion matrix: the stopword language-ID
+    heuristic scored against the corpus's labeled ``lang`` column —
+    (true, predicted, count, share-of-true) — the eval every
+    classifier-driven corpus filter needs before it gates data.
+
+    One narrow projection + one tiny hash aggregate; the per-true-label
+    normalization is a window over the ≤ |langs|² aggregate.
+    """
+    docs = table(spark, sf_dir, "documents")
+    g = (
+        docs.select(
+            F.col("lang").alias("lang_true"),
+            T.lang_id(F.col("text")).alias("lang_pred"),
+        )
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("lang_true")
+    return g.select(
+        "lang_true",
+        "lang_pred",
+        "n_docs",
+        pround(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w).cast("double")
+        ).alias("share_of_true"),
+    )
+
+
 QUERIES = {
     "lang_id": lang_id,
     "text_quality": text_quality,
@@ -716,6 +746,7 @@ QUERIES = {
     "global_shuffle_shards": global_shuffle_shards,
     "seq_len_histogram": seq_len_histogram,
     "vocab_coverage": vocab_coverage,
+    "langid_confusion": langid_confusion,
 }
 
 _T = "text"
@@ -763,6 +794,17 @@ _VOCAB_ROWS_SQL = " UNION ALL ".join(
 )
 
 ORACLES = {
+    "langid_confusion": f"""
+        WITH g AS (
+            SELECT lang AS lang_true,
+                   {T.lang_id_sql(_T)} AS lang_pred,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1, 2
+        )
+        SELECT lang_true, lang_pred, n_docs,
+               (FLOOR(CAST((CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER (PARTITION BY lang_true) AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS share_of_true
+        FROM g
+    """,
     "vocab_coverage": f"""
         WITH freq AS (
             SELECT token, CAST(COUNT(*) AS BIGINT) AS n
