@@ -63,6 +63,8 @@ _GATE_FIRST = [
     "knn_graph",
     "frames_resize_stats",
     "corpus_filter",  # re-implemented (single-pass window) this round
+    "lsh_quality_report",  # new evaluation entries (r5, fourth batch)
+    "langid_confusion",
     # sat outside the r4 window — rotate back in front. The r5 entry
     # wave displaced the TEN entries listed at the bottom of this
     # comment block into the judge-covered rest (each is driver-r3
@@ -70,7 +72,8 @@ _GATE_FIRST = [
     # risk than a never-checked new entry); they rotate back in r6:
     # dataset_summary, zone_value_histogram, range_pair_counts,
     # asof_enrich, congestion_streaks, anomaly_zscore, latest_metrics,
-    # time_bucket_1min, sliding_window_counts, gap_fill_hourly.
+    # time_bucket_1min, sliding_window_counts, gap_fill_hourly,
+    # daily_type_pivot, top_sensors_per_zone.
     "salted_zone_sensors",
     "text_repetition",
     "dedup_incremental",
@@ -88,8 +91,6 @@ _GATE_FIRST = [
     "q19_discounted_revenue",
     "late_supplier_blame",
     "zone_dow_rollup",
-    "daily_type_pivot",
-    "top_sensors_per_zone",
 ]
 
 # Entries that can never hash-match (no oracle_sql twin by documented
