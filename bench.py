@@ -109,8 +109,12 @@ def main() -> None:
         # min-of-3, back to 0.73 s on the next full run). Any apparent
         # >1.5× regression gets one extra steady-state pass AFTER the
         # sweep, when the pressure window has moved on; min is kept. A
-        # REAL regression re-measures slow and stays flagged.
-        for k in sorted(regressions):
+        # REAL regression re-measures slow and stays flagged. NEW
+        # entries have no prior record to diff against, so any reading
+        # ≥ 2 s is retried too (a genuinely heavy query re-measures
+        # heavy; a poisoned one collapses).
+        suspects = set(regressions) | {k for k, v in timings.items() if v >= 2.0}
+        for k in sorted(suspects):
             best = timings[k]
             for _ in range(2):
                 spark.catalog.clearCache()
@@ -120,7 +124,8 @@ def main() -> None:
             if best < timings[k]:
                 retried[k] = {"first_pass": timings[k], "retried": round(best, 3)}
                 timings[k] = round(best, 3)
-                deltas[k] = round(best / chosen[1][k], 2)
+                if chosen[1].get(k):
+                    deltas[k] = round(best / chosen[1][k], 2)
         regressions = {k: d for k, d in deltas.items() if d > 1.5}
         total = round(sum(timings.values()), 3)
 
