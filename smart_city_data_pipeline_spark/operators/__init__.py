@@ -65,6 +65,9 @@ _GATE_FIRST = [
     "corpus_filter",  # re-implemented (single-pass window) this round
     "lsh_quality_report",  # new evaluation entries (r5, fourth batch)
     "langid_confusion",
+    "acf_lags",  # new analytics additions (r5, fifth batch)
+    "robust_zscore",
+    "sensor_uptime",
     # sat outside the r4 window — rotate back in front. The r5 entry
     # wave displaced the TEN entries listed at the bottom of this
     # comment block into the judge-covered rest (each is driver-r3
@@ -73,7 +76,8 @@ _GATE_FIRST = [
     # dataset_summary, zone_value_histogram, range_pair_counts,
     # asof_enrich, congestion_streaks, anomaly_zscore, latest_metrics,
     # time_bucket_1min, sliding_window_counts, gap_fill_hourly,
-    # daily_type_pivot, top_sensors_per_zone.
+    # daily_type_pivot, top_sensors_per_zone, and (fifth-batch wave)
+    # zone_dow_rollup, late_supplier_blame, q19_discounted_revenue.
     "salted_zone_sensors",
     "text_repetition",
     "dedup_incremental",
@@ -88,9 +92,6 @@ _GATE_FIRST = [
     "ann_topk_cosine",
     "ann_ivf_topk",
     "big_spender_orders",
-    "q19_discounted_revenue",
-    "late_supplier_blame",
-    "zone_dow_rollup",
 ]
 
 # Entries that can never hash-match (no oracle_sql twin by documented

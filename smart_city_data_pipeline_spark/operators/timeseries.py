@@ -783,6 +783,172 @@ def peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("sensor_id", "peak_ts", "peak_value")
 
 
+ACF_LAGS = (1, 2, 3)  # hours
+
+
+def acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of each event type's hourly series at lags 1-3 h
+    — the periodicity diagnostic behind forecasting/seasonality panels
+    (is congestion autocorrelated hour-over-hour?).
+
+    Exactness and scale follow ``type_corr_matrix``: readings quantize
+    to integer cents, the hourly series point is ``(sum*128) DIV n``
+    (bounded BIGINT at any row count), and the lag pairing is an
+    equi-join of the tiny hourly aggregate against itself on
+    ``(event_type, hour_index + lag)`` — pairwise-complete points only,
+    holes in the series pair nothing. The facts shuffle once (the
+    hourly rollup, map-side combinable); everything after runs on
+    #types × #hours rows. One deterministic double formula at the end.
+    """
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hourly = (
+        ev.groupBy(
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+            .cast("long")
+            .alias("he"),
+            F.col("event_type"),
+        )
+        .agg(F.sum(cents).alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("he", "event_type", F.expr("(s * 128) DIV n").alias("v"))
+    )
+    lags = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in ACF_LAGS])).alias("lag")
+    )
+    a = hourly.crossJoin(F.broadcast(lags)).select(
+        "event_type", "lag", F.col("he").alias("hea"), F.col("v").alias("va")
+    )
+    b = hourly.select(
+        F.col("event_type").alias("tb"), F.col("he").alias("heb"),
+        F.col("v").alias("vb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("event_type") == F.col("tb"))
+        & (F.col("heb") == F.col("hea") + F.col("lag")),
+    )
+    g = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("va").alias("sx"),
+        F.sum("vb").alias("sy"),
+        F.sum(F.col("va") * F.col("vb")).alias("sxy"),
+        F.sum(F.col("va") * F.col("va")).alias("sxx"),
+        F.sum(F.col("vb") * F.col("vb")).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    cov = d("nb") * d("sxy") - d("sx") * d("sy")
+    varx = d("nb") * d("sxx") - d("sx") * d("sx")
+    vary = d("nb") * d("syy") - d("sy") * d("sy")
+    acf = F.when((varx > 0) & (vary > 0), cov / F.sqrt(varx * vary))
+    return g.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("nb").alias("n_pairs"),
+        pround(acf).alias("acf"),
+    )
+
+
+ROBUST_Z_CUT = 3.5
+ROBUST_Z_K = 0.6745  # MAD → σ consistency constant
+
+
+def robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outliers per event type — the anomaly detector
+    that survives the anomalies (``anomaly_zscore``'s mean/σ are
+    themselves dragged by the spikes they're meant to flag).
+
+    No global sort anywhere: readings quantize to integer cents, whose
+    DISTINCT cardinality is bounded by the physical reading scale, so
+    the per-type lower median comes from the ``length_outlier_filter``
+    histogram trick — a (type, cents) count aggregate plus a cumulative
+    window over distinct cents (tiny), twice (values, then absolute
+    deviations). The 5-row median/MAD tables broadcast back onto the
+    facts; the fact scan never sorts or windows. All arithmetic is
+    integer until the final z double, guarded by pround.
+    """
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+
+    def _lower_median(df: DataFrame, col: str) -> DataFrame:
+        """Per-type lower median of an integer column via histogram +
+        cumulative counts (never sorts the facts)."""
+        cnt = df.groupBy("event_type", col).agg(F.count(F.lit(1)).alias("n"))
+        wc = (
+            Window.partitionBy("event_type")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wt = Window.partitionBy("event_type")
+        # lower-median 1-indexed position: (n_total + 1) DIV 2. The
+        # double division is exact for counts < 2^52.
+        pos = F.floor((F.sum("n").over(wt) + 1) / 2).cast("long")
+        ranked = cnt.select(
+            "event_type",
+            F.col(col),
+            F.sum("n").over(wc).alias("cum"),
+            pos.alias("pos"),
+        )
+        return (
+            ranked.filter(F.col("cum") >= F.col("pos"))
+            .groupBy("event_type")
+            .agg(F.min(col).alias(f"med_{col}"))
+        )
+
+    base = ev.select("event_id", "event_type", "value", cents.alias("c"))
+    med = _lower_median(base, "c")
+    dev = base.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("c") - F.col("med_c")).alias("ad")
+    )
+    mad = _lower_median(dev, "ad")
+    z = (
+        F.lit(ROBUST_Z_K)
+        * (F.col("c") - F.col("med_c")).cast("double")
+        / F.col("med_ad").cast("double")
+    )
+    return (
+        base.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter(F.col("med_ad") > 0)
+        .select(
+            "event_id", "event_type", "value", pround(z).alias("robust_z")
+        )
+        .filter(F.abs(F.col("robust_z")) > ROBUST_Z_CUT)
+    )
+
+
+def sensor_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sensor availability: share of hourly buckets inside the
+    sensor's active span that carry at least one reading — the fleet
+    health metric a city dashboard puts next to every sensor
+    (collectors' hour-partitioned lake makes 'hour with data' the
+    natural grain, ``traffic_collector.py`` layout).
+
+    One keyed aggregate over facts (count-distinct on the hour index is
+    per-sensor, high cardinality key, map-side combinable). No windows,
+    no joins.
+    """
+    ev = table(spark, sf_dir, "events")
+    he = (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600).cast(
+        "long"
+    )
+    g = ev.groupBy(F.col("user_id").alias("sensor_id")).agg(
+        F.min(he.cast("long")).alias("first_he"),
+        F.max(he.cast("long")).alias("last_he"),
+        F.countDistinct(he).alias("active_hours"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    span = F.col("last_he") - F.col("first_he") + 1
+    return g.select(
+        "sensor_id",
+        span.alias("span_hours"),
+        "active_hours",
+        "n_events",
+        pround(
+            F.col("active_hours").cast("double") / span.cast("double")
+        ).alias("uptime_share"),
+    )
+
+
 QUERIES = {
     "time_bucket_1min": time_bucket_1min,
     "sliding_window_counts": sliding_window_counts,
@@ -810,6 +976,9 @@ QUERIES = {
     "ewma_batch": ewma_batch,
     "type_transition_matrix": type_transition_matrix,
     "peak_detection": peak_detection,
+    "acf_lags": acf_lags,
+    "robust_zscore": robust_zscore,
+    "sensor_uptime": sensor_uptime,
 }
 
 _INTERP_EXPR = (
@@ -825,7 +994,102 @@ _CORR_EXPR = (
     "* (CAST(nb AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
 )
 
+_ACF_LAGS_SQL = " UNION ALL ".join(f"SELECT {k} AS lag" for k in ACF_LAGS)
+
+_MED_HIST_SQL = """
+        {out} AS (
+            SELECT event_type, MIN({col}) AS {alias}
+            FROM (
+                SELECT event_type, {col},
+                       SUM(n) OVER (PARTITION BY event_type ORDER BY {col}
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                       (SUM(n) OVER (PARTITION BY event_type) + 1) // 2 AS pos
+                FROM (
+                    SELECT event_type, {col}, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM {src} GROUP BY 1, 2
+                )
+            )
+            WHERE cum >= pos GROUP BY 1
+        )"""
+
 ORACLES = {
+    "acf_lags": f"""
+        WITH hourly AS (
+            SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600 AS he,
+                   event_type,
+                   (CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) * 128)
+                       // COUNT(*) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        lags AS ({_ACF_LAGS_SQL}),
+        pairs AS (
+            SELECT a.event_type, l.lag, a.v AS va, b.v AS vb
+            FROM hourly a CROSS JOIN lags l
+            JOIN hourly b
+              ON b.event_type = a.event_type AND b.he = a.he + l.lag
+        ),
+        g AS (
+            SELECT event_type, lag,
+                   CAST(COUNT(*) AS BIGINT) AS nb,
+                   CAST(SUM(va) AS BIGINT) AS sx,
+                   CAST(SUM(vb) AS BIGINT) AS sy,
+                   CAST(SUM(va * vb) AS BIGINT) AS sxy,
+                   CAST(SUM(va * va) AS BIGINT) AS sxx,
+                   CAST(SUM(vb * vb) AS BIGINT) AS syy
+            FROM pairs GROUP BY 1, 2
+        )
+        SELECT event_type, CAST(lag AS INTEGER) AS lag, nb AS n_pairs,
+               {pround_sql(
+                   "CASE WHEN (CAST(nb AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0 "
+                   " AND (CAST(nb AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0 "
+                   f"THEN {_CORR_EXPR} END"
+               )} AS acf
+        FROM g
+    """,
+    "robust_zscore": f"""
+        WITH base AS (
+            SELECT event_id, event_type, value,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+            FROM events
+        ),
+        {_MED_HIST_SQL.format(out="med", src="base", col="c", alias="med_c").strip()},
+        dev AS (
+            SELECT b.event_type, abs(b.c - m.med_c) AS ad
+            FROM base b JOIN med m USING (event_type)
+        ),
+        {_MED_HIST_SQL.format(out="mad", src="dev", col="ad", alias="med_ad").strip()}
+        SELECT event_id, event_type, value, robust_z
+        FROM (
+            SELECT b.event_id, b.event_type, b.value,
+                   {pround_sql(
+                       f"{ROBUST_Z_K} * CAST(b.c - m.med_c AS DOUBLE)"
+                       " / CAST(d.med_ad AS DOUBLE)"
+                   )} AS robust_z
+            FROM base b
+            JOIN med m USING (event_type)
+            JOIN mad d USING (event_type)
+            WHERE d.med_ad > 0
+        )
+        WHERE abs(robust_z) > {ROBUST_Z_CUT}
+    """,
+    "sensor_uptime": f"""
+        WITH g AS (
+            SELECT user_id AS sensor_id,
+                   MIN(CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600) AS first_he,
+                   MAX(CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600) AS last_he,
+                   CAST(COUNT(DISTINCT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600) AS BIGINT) AS active_hours,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1
+        )
+        SELECT sensor_id,
+               CAST(last_he - first_he + 1 AS BIGINT) AS span_hours,
+               active_hours, n_events,
+               {pround_sql(
+                   "CAST(active_hours AS DOUBLE)"
+                   " / CAST(last_he - first_he + 1 AS DOUBLE)"
+               )} AS uptime_share
+        FROM g
+    """,
     "peak_detection": """
         WITH flagged AS (
             SELECT user_id AS sensor_id, ts AS peak_ts, value AS peak_value,
