@@ -68,6 +68,10 @@ _GATE_FIRST = [
     "acf_lags",  # new analytics additions (r5, fifth batch)
     "robust_zscore",
     "sensor_uptime",
+    "prefix_dup_groups",  # new C-block additions (r5, sixth batch)
+    "priority_dedup",
+    "ann_range_search",
+    "quality_classifier_score",
     # sat outside the r4 window — rotate back in front. The r5 entry
     # wave displaced the TEN entries listed at the bottom of this
     # comment block into the judge-covered rest (each is driver-r3
@@ -76,8 +80,10 @@ _GATE_FIRST = [
     # dataset_summary, zone_value_histogram, range_pair_counts,
     # asof_enrich, congestion_streaks, anomaly_zscore, latest_metrics,
     # time_bucket_1min, sliding_window_counts, gap_fill_hourly,
-    # daily_type_pivot, top_sensors_per_zone, and (fifth-batch wave)
-    # zone_dow_rollup, late_supplier_blame, q19_discounted_revenue.
+    # daily_type_pivot, top_sensors_per_zone, and (fifth/sixth-batch
+    # waves) zone_dow_rollup, late_supplier_blame,
+    # q19_discounted_revenue, big_spender_orders, ann_ivf_topk,
+    # ann_topk_cosine, dedup_levenshtein.
     "salted_zone_sensors",
     "text_repetition",
     "dedup_incremental",
@@ -88,10 +94,6 @@ _GATE_FIRST = [
     "props_unwrap_typed",
     "detections_explode",
     "camera_object_stats",
-    "dedup_levenshtein",
-    "ann_topk_cosine",
-    "ann_ivf_topk",
-    "big_spender_orders",
 ]
 
 # Entries that can never hash-match (no oracle_sql twin by documented

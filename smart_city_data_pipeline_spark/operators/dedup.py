@@ -1229,6 +1229,103 @@ def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PREFIX_DUP_TOKENS = 16
+
+
+def prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate detection: documents sharing the same
+    normalized first-16-token prefix are one generation template
+    (autogenerated listings, mirrored headers) even when their tails
+    differ — a duplication signal exact-hash and shingle-Jaccard both
+    under-weight because the shared region is a fixed small prefix.
+
+    One projection (slice + md5 — the text never leaves the row) into
+    one hash groupBy with map-side combine; groups smaller than 2 drop
+    in the aggregate's HAVING, so output is bounded by the number of
+    actual templates.
+    """
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents")
+    toks = _ws_tokens(F.col("text"))
+    prefix = F.array_join(F.slice(toks, 1, PREFIX_DUP_TOKENS), " ")
+    return (
+        docs.select(
+            F.col("doc_id"),
+            F.col("source"),
+            F.md5(prefix).alias("prefix_hash"),
+        )
+        .groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# Curated-first source tiers: lower tier wins the canonical pick. At
+# 100 TB this is the policy table of a corpus build (license-clean
+# curated sets outrank web crawl); kept as a literal CASE so the
+# expression stays in codegen — a real deployment would broadcast-join
+# a tiny policy dim instead.
+PRIORITY_TIERS = {0: range(0, 5), 1: range(5, 13)}  # tier 2 = rest
+
+
+def _source_tier(src: Column) -> Column:
+    num = F.regexp_extract(src, "([0-9]+)", 1).cast("int")
+    tier = F.lit(2)
+    for t in sorted(PRIORITY_TIERS, reverse=True):
+        rng = PRIORITY_TIERS[t]
+        tier = F.when(
+            (num >= rng.start) & (num < rng.stop), F.lit(t)
+        ).otherwise(tier)
+    return tier
+
+
+def _source_tier_sql(src: str) -> str:
+    num = f"CAST(regexp_extract({src}, '([0-9]+)', 1) AS INTEGER)"
+    whens = " ".join(
+        f"WHEN {num} >= {rng.start} AND {num} < {rng.stop} THEN {t}"
+        for t, rng in sorted(PRIORITY_TIERS.items())
+    )
+    return f"CASE {whens} ELSE 2 END"
+
+
+def priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact dedup with a source-priority canonical pick:
+    identical texts collapse to the copy from the highest-priority
+    (lowest-tier) source, doc_id breaking ties — the corpus-build rule
+    'keep the curated copy, drop the crawl copy' that min-doc_id
+    ``dedup_exact`` cannot express.
+
+    Same shape as ``dedup_exact``: the text collapses to md5 before the
+    shuffle, the canonical pick is a struct-min aggregate (no window —
+    min of (tier, doc_id) pairs is a monoid, map-side combinable).
+    """
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents")
+    hashed = docs.select(
+        F.col("doc_id"),
+        F.col("source"),
+        _source_tier(F.col("source")).alias("tier"),
+        F.md5(F.col("text")).alias("text_hash"),
+    )
+    canon = hashed.groupBy("text_hash").agg(
+        F.min(F.struct("tier", "doc_id")).alias("best"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return (
+        hashed.join(canon, "text_hash")
+        .select(
+            "doc_id",
+            "source",
+            "tier",
+            F.col("best.doc_id").alias("canonical_doc_id"),
+            (F.col("doc_id") != F.col("best.doc_id")).alias("is_duplicate"),
+            "n_copies",
+        )
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1246,6 +1343,8 @@ QUERIES = {
     "source_ngram_overlap": source_ngram_overlap,
     "knn_graph": knn_graph,
     "lsh_quality_report": lsh_quality_report,
+    "prefix_dup_groups": prefix_dup_groups,
+    "priority_dedup": priority_dedup,
 }
 
 _KGRAM_SQL = " || ' ' || ".join(f"tk[i + {o}]" for o in range(SPAN_K)).replace(
@@ -1253,6 +1352,40 @@ _KGRAM_SQL = " || ' ' || ".join(f"tk[i + {o}]" for o in range(SPAN_K)).replace(
 )
 
 ORACLES = {
+    "prefix_dup_groups": f"""
+        WITH hashed AS (
+            SELECT doc_id, source,
+                   md5(array_to_string(
+                       list_slice(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                  1, {PREFIX_DUP_TOKENS}), ' ')) AS prefix_hash
+            FROM documents
+        )
+        SELECT prefix_hash,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               MIN(doc_id) AS canonical_doc_id
+        FROM hashed GROUP BY 1
+        HAVING COUNT(*) >= 2
+    """,
+    "priority_dedup": f"""
+        WITH hashed AS (
+            SELECT doc_id, source,
+                   {_source_tier_sql('source')} AS tier,
+                   md5(text) AS text_hash
+            FROM documents
+        ),
+        canon AS (
+            SELECT text_hash,
+                   MIN({{'tier': tier, 'doc_id': doc_id}}) AS best,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM hashed GROUP BY 1
+        )
+        SELECT h.doc_id, h.source, CAST(h.tier AS INTEGER) AS tier,
+               c.best.doc_id AS canonical_doc_id,
+               h.doc_id <> c.best.doc_id AS is_duplicate,
+               c.n_copies
+        FROM hashed h JOIN canon c USING (text_hash)
+    """,
     "lsh_quality_report": f"""
         WITH sh AS ({_HASHED_SHINGLES_SQL}),
         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),

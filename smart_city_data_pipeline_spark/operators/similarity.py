@@ -374,17 +374,60 @@ def _pq_dist_sql(s_expr: str) -> str:
     return " + ".join(terms)
 
 
+RANGE_SEARCH_T = 0.25  # cosine threshold (≈P98 of the clustered-corpus pair distribution)
+
+
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range query: ALL neighbors within the cosine threshold of each probe —
+    the 'everything semantically this close' retrieval mode (dedup
+    sweeps, recall-first retrieval) where top-k's fixed k is wrong
+    because neighborhood sizes vary per probe.
+
+    Same scale shape as ``ann_topk_cosine``: the bounded probe set
+    broadcasts, the corpus streams once, and — unlike top-k — there is
+    no window at all: the threshold is a pure filter, so the operator
+    is one scan with map-side selectivity (at 100 TB the scan is
+    partition-pruned by the IVF cell variant; this is the exact
+    baseline).
+    """
+    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
+    )
+    cos = cosine(F.col("probe_emb"), F.col("embedding"))
+    return (
+        emb.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .select(
+            F.col("probe_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            pround(cos).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= RANGE_SEARCH_T)
+    )
+
+
 QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_kmeans": ann_ivf_kmeans,
     "embedding_centroids": embedding_centroids,
     "embedding_pq_codes": embedding_pq_codes,
+    "ann_range_search": ann_range_search,
 }
 
 _COS = cosine_sql("p.probe_emb", "e.embedding")
 
 ORACLES = {
+    "ann_range_search": f"""
+        WITH probes AS (
+            SELECT vec_id AS probe_id, embedding AS probe_emb
+            FROM embeddings WHERE vec_id < {N_PROBES}
+        )
+        SELECT p.probe_id, e.vec_id AS neighbor_id,
+               (FLOOR(CAST(({_COS}) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS cos_sim
+        FROM embeddings e JOIN probes p ON e.vec_id <> p.probe_id
+        WHERE (FLOOR(CAST(({_COS}) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) >= {RANGE_SEARCH_T}
+    """,
     "embedding_pq_codes": f"""
         WITH seeds AS (
             SELECT embedding,

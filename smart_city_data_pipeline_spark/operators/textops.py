@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from smart_city_data_pipeline_spark.catalog import table
-from smart_city_data_pipeline_spark.functions.rounding import pround
+from smart_city_data_pipeline_spark.functions.rounding import pround, pround_sql
 from smart_city_data_pipeline_spark.functions import text as T
 
 
@@ -725,6 +725,51 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed logistic-regression weights: the stand-in for a trained
+# fasttext-style quality classifier (the reference point is a model
+# artifact shipped WITH the pipeline, not learned in it). Positive
+# signal: English stopword density; negative: punctuation soup, very
+# long 'words' (markup), with a mild length prior.
+QC_WEIGHTS = {
+    "bias": -1.0,
+    "stopword_ratio": 8.0,
+    "punct_ratio": -6.0,
+    "mean_word_len": -0.2,
+    "log_tokens": 0.35,
+}
+QC_KEEP_THRESHOLD = 0.5
+
+
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: a fixed-weight logistic model over
+    cheap text features → per-doc keep probability + keep flag — the
+    classifier-filter stage of a corpus build (rule filters in
+    ``filter_funnel_report`` catch the floor; the classifier ranks the
+    middle).
+
+    Pure per-row projection, zero shuffle: every feature and the
+    sigmoid are single Column expressions inside whole-stage codegen.
+    The keep flag compares the ROUNDED score so the decision is
+    engine-portable at the boundary.
+    """
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    z = (
+        F.lit(QC_WEIGHTS["bias"])
+        + F.lit(QC_WEIGHTS["stopword_ratio"]) * T.stopword_ratio(t)
+        + F.lit(QC_WEIGHTS["punct_ratio"]) * T.punct_ratio(t)
+        + F.lit(QC_WEIGHTS["mean_word_len"]) * T.mean_word_len(t)
+        + F.lit(QC_WEIGHTS["log_tokens"])
+        * F.log(F.lit(1.0) + T.ws_token_count(t).cast("double"))
+    )
+    score = pround(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+    return docs.select(
+        "doc_id",
+        score.alias("qc_score"),
+        (score >= QC_KEEP_THRESHOLD).alias("keep"),
+    )
+
+
 QUERIES = {
     "lang_id": lang_id,
     "text_quality": text_quality,
@@ -747,6 +792,7 @@ QUERIES = {
     "seq_len_histogram": seq_len_histogram,
     "vocab_coverage": vocab_coverage,
     "langid_confusion": langid_confusion,
+    "quality_classifier_score": quality_classifier_score,
 }
 
 _T = "text"
@@ -793,7 +839,28 @@ _VOCAB_ROWS_SQL = " UNION ALL ".join(
     for t in VOCAB_MIN_FREQS
 )
 
+_QC_Z_SQL = (
+    f"{QC_WEIGHTS['bias']}"
+    f" + {QC_WEIGHTS['stopword_ratio']} * ({{sw}})"
+    f" + {QC_WEIGHTS['punct_ratio']} * ({{pr}})"
+    f" + {QC_WEIGHTS['mean_word_len']} * ({{mw}})"
+    f" + {QC_WEIGHTS['log_tokens']} * ln(1.0 + CAST({{tc}} AS DOUBLE))"
+).format(
+    sw=T.stopword_ratio_sql(_T),
+    pr=T.punct_ratio_sql(_T),
+    mw=T.mean_word_len_sql(_T),
+    tc=T.ws_token_count_sql(_T),
+)
+
 ORACLES = {
+    "quality_classifier_score": f"""
+        SELECT doc_id, qc_score, qc_score >= {QC_KEEP_THRESHOLD} AS keep
+        FROM (
+            SELECT doc_id,
+                   {pround_sql(f"1.0 / (1.0 + exp(-({_QC_Z_SQL})))")} AS qc_score
+            FROM documents
+        )
+    """,
     "langid_confusion": f"""
         WITH g AS (
             SELECT lang AS lang_true,
