@@ -72,6 +72,8 @@ _GATE_FIRST = [
     "priority_dedup",
     "ann_range_search",
     "quality_classifier_score",
+    "column_profile",  # new lakehouse additions (r5, seventh batch)
+    "zorder_codes",
     # sat outside the r4 window — rotate back in front. The r5 entry
     # wave displaced the TEN entries listed at the bottom of this
     # comment block into the judge-covered rest (each is driver-r3
@@ -83,7 +85,8 @@ _GATE_FIRST = [
     # daily_type_pivot, top_sensors_per_zone, and (fifth/sixth-batch
     # waves) zone_dow_rollup, late_supplier_blame,
     # q19_discounted_revenue, big_spender_orders, ann_ivf_topk,
-    # ann_topk_cosine, dedup_levenshtein.
+    # ann_topk_cosine, dedup_levenshtein, detections_explode,
+    # camera_object_stats.
     "salted_zone_sensors",
     "text_repetition",
     "dedup_incremental",
@@ -92,8 +95,6 @@ _GATE_FIRST = [
     "zone_sketch_stats",
     "camera_dwell_stats",
     "props_unwrap_typed",
-    "detections_explode",
-    "camera_object_stats",
 ]
 
 # Entries that can never hash-match (no oracle_sql twin by documented
@@ -111,6 +112,7 @@ _GATE_LAST = [
 def _modules():
     from smart_city_data_pipeline_spark.operators import (
         dedup,
+        lakehouse,
         multimodal,
         similarity,
         skew,
@@ -133,6 +135,7 @@ def _modules():
         vision,
         skew,
         cont_agg,
+        lakehouse,
     )
 
 
