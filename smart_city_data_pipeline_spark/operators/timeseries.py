@@ -812,11 +812,11 @@ def acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(cents).alias("s"), F.count(F.lit(1)).alias("n"))
         .select("he", "event_type", F.expr("(s * 128) DIV n").alias("v"))
     )
-    lags = spark.range(1).select(
-        F.explode(F.array(*[F.lit(k) for k in ACF_LAGS])).alias("lag")
-    )
-    a = hourly.crossJoin(F.broadcast(lags)).select(
-        "event_type", "lag", F.col("he").alias("hea"), F.col("v").alias("va")
+    a = hourly.select(
+        "event_type",
+        F.explode(F.array(*[F.lit(k) for k in ACF_LAGS])).alias("lag"),
+        F.col("he").alias("hea"),
+        F.col("v").alias("va"),
     )
     b = hourly.select(
         F.col("event_type").alias("tb"), F.col("he").alias("heb"),

@@ -74,6 +74,8 @@ BNLJ_ALLOWED = {
     "q11_important_stock",  # 1-row segment-total broadcast (inequality
     # threshold can't become an equi-join; q15's equality predicate does)
     "cusum_drift",  # 1-row fleet-mean broadcast
+    "ann_range_search",  # brute-force range baseline: every (probe,
+    # vector) pair by design, bounded probe side broadcast
 }
 
 
