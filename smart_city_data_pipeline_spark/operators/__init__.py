@@ -74,6 +74,9 @@ _GATE_FIRST = [
     "quality_classifier_score",
     "column_profile",  # new lakehouse additions (r5, seventh batch)
     "zorder_codes",
+    "seasonal_anomaly",  # new additions (r5, eighth batch)
+    "char_entropy",
+    "embedding_qc",
     # sat outside the r4 window — rotate back in front. The r5 entry
     # wave displaced the TEN entries listed at the bottom of this
     # comment block into the judge-covered rest (each is driver-r3
@@ -86,15 +89,13 @@ _GATE_FIRST = [
     # waves) zone_dow_rollup, late_supplier_blame,
     # q19_discounted_revenue, big_spender_orders, ann_ivf_topk,
     # ann_topk_cosine, dedup_levenshtein, detections_explode,
-    # camera_object_stats.
+    # camera_object_stats, zone_sketch_stats, camera_dwell_stats,
+    # props_unwrap_typed.
     "salted_zone_sensors",
     "text_repetition",
     "dedup_incremental",
     "stratified_sample",
     "tfidf_top_terms",
-    "zone_sketch_stats",
-    "camera_dwell_stats",
-    "props_unwrap_typed",
 ]
 
 # Entries that can never hash-match (no oracle_sql twin by documented

@@ -20,8 +20,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from smart_city_data_pipeline_spark.catalog import dataset_fingerprint, spread, table
-from smart_city_data_pipeline_spark.functions.rounding import pround
-from smart_city_data_pipeline_spark.functions.vector import cosine, cosine_sql, dot
+from smart_city_data_pipeline_spark.functions.rounding import pround, pround_sql
+from smart_city_data_pipeline_spark.functions.vector import (
+    cosine,
+    cosine_sql,
+    dot,
+    dot_sql,
+    norm,
+)
 
 N_PROBES = 5  # vec_id < 5 are the query vectors
 TOP_K = 5
@@ -406,6 +412,59 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NORM_QUANT = 10_000        # norms quantized to 1e-4 before the moments
+NONUNIT_TOL = 10           # |q - NORM_QUANT| above this = not unit-norm
+
+
+def embedding_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding quality control: per-label norm profile + defect
+    counts — the pre-index sanity sweep that catches truncated, zero,
+    or un-normalized vectors before they poison an ANN index or make a
+    cosine threshold incomparable across shards.
+
+    Per label: vector count, distinct dimensionality count (a healthy
+    export has exactly 1), min/mean/max L2 norm, and how many vectors
+    deviate from unit norm by more than 1e-3. Determinism at any
+    scale: norms quantize to integers (1e-4 resolution) BEFORE the
+    aggregate, so the sums are exact BIGINTs regardless of
+    partial-aggregation order (double moments would be
+    summation-order-dependent across engines). One keyed aggregate,
+    output bounded by label cardinality.
+    """
+    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings")
+    q = F.floor(
+        norm(F.col("embedding")) * NORM_QUANT + F.lit(0.5)
+    ).cast("long")
+    base = emb.select(
+        "label",
+        q.alias("q"),
+        F.size("embedding").alias("dim"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        base.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.countDistinct("dim").alias("n_dims"),
+            F.min("q").alias("q_min"),
+            F.max("q").alias("q_max"),
+            F.sum("q").alias("q_sum"),
+            F.sum(
+                (F.abs(F.col("q") - NORM_QUANT) > NONUNIT_TOL).cast("long")
+            ).alias("n_nonunit"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "n_dims",
+            pround(d("q_min") / NORM_QUANT).alias("min_norm"),
+            pround(d("q_sum") / d("n_vecs") / NORM_QUANT).alias("mean_norm"),
+            pround(d("q_max") / NORM_QUANT).alias("max_norm"),
+            "n_nonunit",
+        )
+    )
+
+
 QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "ann_ivf_topk": ann_ivf_topk,
@@ -413,11 +472,38 @@ QUERIES = {
     "embedding_centroids": embedding_centroids,
     "embedding_pq_codes": embedding_pq_codes,
     "ann_range_search": ann_range_search,
+    "embedding_qc": embedding_qc,
 }
 
 _COS = cosine_sql("p.probe_emb", "e.embedding")
 
 ORACLES = {
+    "embedding_qc": f"""
+        WITH base AS (
+            SELECT label,
+                   CAST(FLOOR(sqrt({dot_sql('embedding', 'embedding')})
+                        * {NORM_QUANT} + 0.5) AS BIGINT) AS q,
+                   len(embedding) AS dim
+            FROM embeddings
+        ),
+        g AS (
+            SELECT label,
+                   CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                   CAST(COUNT(DISTINCT dim) AS BIGINT) AS n_dims,
+                   CAST(MIN(q) AS BIGINT) AS q_min,
+                   CAST(MAX(q) AS BIGINT) AS q_max,
+                   CAST(SUM(q) AS BIGINT) AS q_sum,
+                   CAST(SUM(CASE WHEN ABS(q - {NORM_QUANT}) > {NONUNIT_TOL}
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_nonunit
+            FROM base GROUP BY 1
+        )
+        SELECT label, n_vecs, n_dims,
+               {pround_sql(f"CAST(q_min AS DOUBLE) / {NORM_QUANT}")} AS min_norm,
+               {pround_sql(f"CAST(q_sum AS DOUBLE) / CAST(n_vecs AS DOUBLE) / {NORM_QUANT}")} AS mean_norm,
+               {pround_sql(f"CAST(q_max AS DOUBLE) / {NORM_QUANT}")} AS max_norm,
+               n_nonunit
+        FROM g
+    """,
     "ann_range_search": f"""
         WITH probes AS (
             SELECT vec_id AS probe_id, embedding AS probe_emb

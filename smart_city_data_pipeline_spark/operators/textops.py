@@ -770,6 +770,35 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the Gopher-style
+    'is this text or noise' signal (base64 blobs and repeated-char
+    padding sit far below natural language; random bytes far above).
+
+    Linear keyed work: one char explode → (doc, char) counts →
+    per-doc entropy, with the per-doc total as a window over the tiny
+    counts table (≤ alphabet size rows per doc), never a second fact
+    scan. Map-side combine collapses the explode before the shuffle.
+    """
+    docs = table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.length("ch") > 0)
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n"))
+    wd = Window.partitionBy("doc_id")
+    p = F.col("n").cast("double") / F.sum("n").over(wd).cast("double")
+    terms = counts.select(
+        "doc_id",
+        F.sum("n").over(wd).alias("n_chars"),
+        (-p * F.log(p)).alias("term"),
+    )
+    return terms.groupBy("doc_id").agg(
+        F.max("n_chars").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_unique_chars"),
+        pround(F.sum("term")).alias("char_entropy"),
+    )
+
+
 QUERIES = {
     "lang_id": lang_id,
     "text_quality": text_quality,
@@ -793,6 +822,7 @@ QUERIES = {
     "vocab_coverage": vocab_coverage,
     "langid_confusion": langid_confusion,
     "quality_classifier_score": quality_classifier_score,
+    "char_entropy": char_entropy,
 }
 
 _T = "text"
@@ -852,7 +882,28 @@ _QC_Z_SQL = (
     tc=T.ws_token_count_sql(_T),
 )
 
+_ENTROPY_P_SQL = "(CAST(n AS DOUBLE) / CAST(n_chars AS DOUBLE))"
+
 ORACLES = {
+    "char_entropy": f"""
+        WITH counts AS (
+            SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                  FROM documents)
+            WHERE ch <> ''
+            GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT doc_id, n,
+                   SUM(n) OVER (PARTITION BY doc_id) AS n_chars
+            FROM counts
+        )
+        SELECT doc_id,
+               CAST(MAX(n_chars) AS BIGINT) AS n_chars,
+               CAST(COUNT(*) AS BIGINT) AS n_unique_chars,
+               {pround_sql(f"SUM(-{_ENTROPY_P_SQL} * ln({_ENTROPY_P_SQL}))")} AS char_entropy
+        FROM t GROUP BY doc_id
+    """,
     "quality_classifier_score": f"""
         SELECT doc_id, qc_score, qc_score >= {QC_KEEP_THRESHOLD} AS keep
         FROM (

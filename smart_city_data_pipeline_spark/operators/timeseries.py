@@ -949,6 +949,50 @@ def sensor_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEASONAL_Z_CUT = 2.5
+SEASONAL_MIN_SUPPORT = 5  # readings per (type, hour-of-day) cell
+
+
+def seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-conditional anomalies: each reading is judged
+    against its (event_type, hour-of-day) profile instead of the
+    global type mean — 3 a.m. baseline traffic is not rush-hour
+    baseline, so ``anomaly_zscore`` both misses night spikes and
+    false-alarms every morning peak. The classic dashboard 'deviation
+    from typical profile' panel.
+
+    Same scale shape as ``anomaly_zscore``: exact DECIMAL moments per
+    profile cell (≤ types × 24 rows) broadcast back over one fact
+    scan; cells under the support floor or with zero variance emit
+    nothing rather than unstable z-scores.
+    """
+    ev = table(spark, sf_dir, "events")
+    vd = F.col("value").cast("decimal(18,2)")
+    stats = ev.groupBy(
+        "event_type", F.hour(F.col("ts")).alias("hod")
+    ).agg(
+        F.sum(vd).cast("double").alias("s1"),
+        F.sum(vd * vd).cast("double").alias("s2"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    mu = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    z = (F.col("value") - mu) / F.sqrt(var)
+    return (
+        ev.select("event_id", "event_type", F.hour("ts").alias("hod"), "value")
+        .join(F.broadcast(stats), ["event_type", "hod"])
+        .filter((F.col("n") >= SEASONAL_MIN_SUPPORT) & (var > 0))
+        .filter(F.abs(z) > SEASONAL_Z_CUT)
+        .select(
+            "event_id",
+            "event_type",
+            F.col("hod").cast("int").alias("hod"),
+            pround(F.col("value")).alias("value"),
+            pround(z).alias("seasonal_z"),
+        )
+    )
+
+
 QUERIES = {
     "time_bucket_1min": time_bucket_1min,
     "sliding_window_counts": sliding_window_counts,
@@ -979,6 +1023,7 @@ QUERIES = {
     "acf_lags": acf_lags,
     "robust_zscore": robust_zscore,
     "sensor_uptime": sensor_uptime,
+    "seasonal_anomaly": seasonal_anomaly,
 }
 
 _INTERP_EXPR = (
@@ -1012,7 +1057,28 @@ _MED_HIST_SQL = """
             WHERE cum >= pos GROUP BY 1
         )"""
 
+_SEASONAL_SIGMA_SQL = "sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1))"
+_SEASONAL_Z_SQL = f"(e.value - s.s1 / s.n) / {_SEASONAL_SIGMA_SQL}"
+
 ORACLES = {
+    "seasonal_anomaly": f"""
+        WITH stats AS (
+            SELECT event_type, CAST(hour(ts) AS INTEGER) AS hod,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+                   CAST(COUNT(*) AS DOUBLE) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.event_type, CAST(hour(e.ts) AS INTEGER) AS hod,
+               {pround_sql('e.value')} AS value,
+               {pround_sql(_SEASONAL_Z_SQL)} AS seasonal_z
+        FROM events e
+        JOIN stats s ON s.event_type = e.event_type
+                    AND s.hod = CAST(hour(e.ts) AS INTEGER)
+        WHERE s.n >= {SEASONAL_MIN_SUPPORT}
+          AND (s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1) > 0
+          AND ABS({_SEASONAL_Z_SQL}) > {SEASONAL_Z_CUT}
+    """,
     "acf_lags": f"""
         WITH hourly AS (
             SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600 AS he,
