@@ -74,6 +74,22 @@ def main() -> None:
     except (OSError, ValueError, KeyError, IndexError):
         pass
 
+    def _tail_queries(tail: str) -> dict:
+        """Recover per-query timings from a front-truncated stdout tail
+        (the driver keeps only the last ~2000 chars; the queries dict is
+        cut at the FRONT, so whatever key/value pairs survive before the
+        '}, \"runs_per_query\"' terminator are still good data). Partial
+        coverage is fine — deltas are computed per matching key."""
+        import re
+
+        head, sep, _ = tail.partition('}, "runs_per_query"')
+        if not sep:
+            return {}
+        return {
+            k: float(v)
+            for k, v in re.findall(r'"([a-z0-9_]+)": ([0-9][0-9.]*)', head)
+        }
+
     prev_name, deltas, regressions, retried = None, {}, {}, {}
     candidates = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True)
     parseable = []
@@ -83,7 +99,12 @@ def main() -> None:
         try:
             with open(p) as f:
                 data = json.load(f)
-            prev_q = data.get("parsed", data).get("queries", {})
+            parsed = data.get("parsed")
+            prev_q = parsed.get("queries") if isinstance(parsed, dict) else None
+            if not prev_q:
+                prev_q = data.get("queries")  # BENCH_FULL-style record
+            if not prev_q and isinstance(data.get("tail"), str):
+                prev_q = _tail_queries(data["tail"])
             if isinstance(prev_q, dict) and prev_q:
                 parseable.append((p, prev_q))
         except (OSError, ValueError, AttributeError):
