@@ -77,6 +77,11 @@ _GATE_FIRST = [
     "seasonal_anomaly",  # new additions (r5, eighth batch)
     "char_entropy",
     "embedding_qc",
+    "cohort_retention",  # new additions (r5, ninth batch)
+    "basket_affinity",
+    "markov_surprisal",
+    "bm25_scores",
+    "partition_skew_report",
     # sat outside the r4 window — rotate back in front. The r5 entry
     # wave displaced the TEN entries listed at the bottom of this
     # comment block into the judge-covered rest (each is driver-r3
@@ -90,12 +95,12 @@ _GATE_FIRST = [
     # q19_discounted_revenue, big_spender_orders, ann_ivf_topk,
     # ann_topk_cosine, dedup_levenshtein, detections_explode,
     # camera_object_stats, zone_sketch_stats, camera_dwell_stats,
-    # props_unwrap_typed.
-    "salted_zone_sensors",
-    "text_repetition",
-    "dedup_incremental",
-    "stratified_sample",
-    "tfidf_top_terms",
+    # props_unwrap_typed, salted_zone_sensors, text_repetition,
+    # dedup_incremental, stratified_sample, tfidf_top_terms. With the
+    # ninth batch the window is 100% never-driver-checked r5 entries;
+    # every displaced entry is driver-r3-green AND judge-r4-green and
+    # unchanged, and the judge's full check_correctness rerun covers
+    # them this round too.
 ]
 
 # Entries that can never hash-match (no oracle_sql twin by documented

@@ -18,10 +18,11 @@ deployment adds profiling and clustering jobs on top).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from smart_city_data_pipeline_spark.catalog import table
+from smart_city_data_pipeline_spark.functions.rounding import pround, pround_sql
 
 # (name, kind, spark_expr, duckdb_expr). Timestamps profile through
 # epoch micros (exact BIGINT in both engines; < 2^53 so the double
@@ -128,9 +129,42 @@ def zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coded.select("event_id", "bx", "by", "morton", shard.alias("shard"))
 
 
+SMALL_PART_ROWS = 100   # below this, an hour partition is a small-file risk
+ROW_OVERHEAD_BYTES = 28  # fixed per-row envelope estimate
+
+
+def partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-partition health report over the event lake: per-partition
+    row count, estimated bytes, share of the largest partition, and a
+    small-file flag — the monitoring view that drives the compaction
+    job (``sources/maintenance.py``) and catches hot-hour skew before
+    it becomes a straggler task.
+
+    One keyed aggregate over facts; the share-of-max window runs over
+    the tiny per-hour rollup (one row per partition), never the facts.
+    """
+    ev = table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("props") + ROW_OVERHEAD_BYTES).alias("est_bytes"),
+    )
+    w = Window.partitionBy()
+    share = F.col("n_rows").cast("double") / F.max("n_rows").over(w).cast("double")
+    return g.select(
+        "bucket",
+        "n_rows",
+        "est_bytes",
+        pround(share).alias("share_of_max"),
+        (F.col("n_rows") < SMALL_PART_ROWS).alias("is_small"),
+    )
+
+
 QUERIES = {
     "column_profile": column_profile,
     "zorder_codes": zorder_codes,
+    "partition_skew_report": partition_skew_report,
 }
 
 _PROFILE_AGG_SQL = ["CAST(COUNT(*) AS BIGINT) AS n_rows"]
@@ -163,6 +197,18 @@ _PROFILE_ROWS_SQL = " UNION ALL ".join(
 )
 
 ORACLES = {
+    "partition_skew_report": f"""
+        WITH g AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(length(props) + {ROW_OVERHEAD_BYTES}) AS BIGINT) AS est_bytes
+            FROM events GROUP BY 1
+        )
+        SELECT bucket, n_rows, est_bytes,
+               {pround_sql('CAST(n_rows AS DOUBLE) / CAST(MAX(n_rows) OVER () AS DOUBLE)')} AS share_of_max,
+               n_rows < {SMALL_PART_ROWS} AS is_small
+        FROM g
+    """,
     "column_profile": f"""
         WITH agg AS (SELECT {", ".join(_PROFILE_AGG_SQL)} FROM events)
         {_PROFILE_ROWS_SQL}

@@ -799,6 +799,51 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_QUERY = ("spark", "join", "window")  # fixed retrieval query terms
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring of the corpus against a fixed query —
+    the ranking leg TF-IDF (``tfidf_top_terms``) doesn't cover:
+    document-length normalization + saturating term frequency, the
+    lexical half of every retrieval/RAG stack.
+
+    One explode pass filtered to the query terms BEFORE the shuffle
+    (the filter is a 3-element isin pushed into the generator output,
+    so the keyed aggregate sees only query-term hits); document
+    lengths are a narrow projection; the per-term document frequencies
+    (≤ |query| rows) and the 1-row corpus stats broadcast.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("token")
+    ).filter(F.col("token").isin(*BM25_QUERY))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    corpus = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.ws_token_count(F.col("text")).cast("long")).alias("sum_dl"),
+    )
+    dl = docs.select("doc_id", T.ws_token_count(F.col("text")).alias("dl"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    avgdl = d("sum_dl") / d("n_docs")
+    idf = F.log((d("n_docs") - d("df") + 0.5) / (d("df") + 0.5) + 1.0)
+    denom = d("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * d("dl") / avgdl)
+    score = idf * d("tf") * (BM25_K1 + 1.0) / denom
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "token")
+        .join(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_query_terms"),
+            pround(F.sum(score)).alias("bm25"),
+        )
+    )
+
+
 QUERIES = {
     "lang_id": lang_id,
     "text_quality": text_quality,
@@ -823,6 +868,7 @@ QUERIES = {
     "langid_confusion": langid_confusion,
     "quality_classifier_score": quality_classifier_score,
     "char_entropy": char_entropy,
+    "bm25_scores": bm25_scores,
 }
 
 _T = "text"
@@ -884,7 +930,49 @@ _QC_Z_SQL = (
 
 _ENTROPY_P_SQL = "(CAST(n AS DOUBLE) / CAST(n_chars AS DOUBLE))"
 
+_BM25_IN_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY)
+_BM25_SCORE_SQL = (
+    "ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+    " / (CAST(df AS DOUBLE) + 0.5) + 1.0)"
+    f" * CAST(tf AS DOUBLE) * ({BM25_K1} + 1.0)"
+    f" / (CAST(tf AS DOUBLE) + {BM25_K1} * (1.0 - {BM25_B}"
+    f" + {BM25_B} * CAST(dl AS DOUBLE)"
+    " / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+)
+
 ORACLES = {
+    "bm25_scores": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks WHERE token IN ({_BM25_IN_SQL})
+            GROUP BY 1, 2
+        ),
+        dfreq AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        ),
+        corpus AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM({T.ws_token_count_sql(_T)}) AS BIGINT) AS sum_dl
+            FROM documents
+        ),
+        dl AS (
+            SELECT doc_id, CAST({T.ws_token_count_sql(_T)} AS BIGINT) AS dl
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_query_terms,
+               {pround_sql("SUM(" + _BM25_SCORE_SQL + ")")} AS bm25
+        FROM tf
+        JOIN dl USING (doc_id)
+        JOIN dfreq USING (token)
+        CROSS JOIN corpus
+        GROUP BY doc_id
+    """,
     "char_entropy": f"""
         WITH counts AS (
             SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS n

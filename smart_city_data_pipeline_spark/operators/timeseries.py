@@ -993,6 +993,46 @@ def seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def markov_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sensor sequence anomaly: mean transition surprisal
+    (−ln p of each observed event-type transition under the corpus
+    transition matrix from ``type_transition_matrix``) — a sensor
+    whose behaviour sequence is unlike the fleet's scores high, even
+    when every individual reading looks normal.
+
+    The lag window partitions on the high-cardinality sensor key; the
+    transition-probability table is ≤ types² rows and broadcasts; the
+    final rollup is one keyed aggregate.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    pairs = ev.select(
+        F.col("user_id").alias("sensor_id"),
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    g = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    tot = Window.partitionBy("from_type")
+    probs = g.select(
+        "from_type",
+        "to_type",
+        (
+            F.col("n_trans").cast("double")
+            / F.sum("n_trans").over(tot).cast("double")
+        ).alias("p"),
+    )
+    return (
+        pairs.join(F.broadcast(probs), ["from_type", "to_type"])
+        .groupBy("sensor_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            pround(F.avg(-F.log(F.col("p")))).alias("mean_surprisal"),
+        )
+    )
+
+
 QUERIES = {
     "time_bucket_1min": time_bucket_1min,
     "sliding_window_counts": sliding_window_counts,
@@ -1024,6 +1064,7 @@ QUERIES = {
     "robust_zscore": robust_zscore,
     "sensor_uptime": sensor_uptime,
     "seasonal_anomaly": seasonal_anomaly,
+    "markov_surprisal": markov_surprisal,
 }
 
 _INTERP_EXPR = (
@@ -1061,6 +1102,30 @@ _SEASONAL_SIGMA_SQL = "sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1))"
 _SEASONAL_Z_SQL = f"(e.value - s.s1 / s.n) / {_SEASONAL_SIGMA_SQL}"
 
 ORACLES = {
+    "markov_surprisal": f"""
+        WITH pairs AS (
+            SELECT user_id AS sensor_id,
+                   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS from_type,
+                   event_type AS to_type
+            FROM events
+        ),
+        filtered AS (SELECT * FROM pairs WHERE from_type IS NOT NULL),
+        g AS (
+            SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+            FROM filtered GROUP BY 1, 2
+        ),
+        probs AS (
+            SELECT from_type, to_type,
+                   CAST(n_trans AS DOUBLE)
+                       / CAST(SUM(n_trans) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+            FROM g
+        )
+        SELECT sensor_id,
+               CAST(COUNT(*) AS BIGINT) AS n_transitions,
+               {pround_sql('AVG(-ln(p))')} AS mean_surprisal
+        FROM filtered JOIN probs USING (from_type, to_type)
+        GROUP BY 1
+    """,
     "seasonal_anomaly": f"""
         WITH stats AS (
             SELECT event_type, CAST(hour(ts) AS INTEGER) AS hod,

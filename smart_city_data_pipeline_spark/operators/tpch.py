@@ -703,6 +703,91 @@ def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DISC_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 _CHARGE_SQL = f"({_DISC_SQL}) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))"
 
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer cohort retention: customers cohorted by first-order
+    quarter; for each (cohort, quarter-offset), how many are still
+    ordering — the classic warehouse retention matrix.
+
+    Two keyed aggregates over orders (per-customer first quarter;
+    distinct customer-quarter activity) joined on the high-cardinality
+    customer key, then a tiny (cohorts × offsets) rollup; cohort sizes
+    come from a window over that rollup (offset 0 row), never a second
+    fact scan.
+    """
+    orders = table(spark, sf_dir, "orders")
+    qi = (
+        F.year("o_orderdate") * 4 + F.floor((F.month("o_orderdate") - 1) / 3)
+    ).cast("long")
+    act = orders.select(
+        F.col("o_custkey").alias("custkey"), qi.alias("qi")
+    ).distinct()
+    first = act.groupBy("custkey").agg(F.min("qi").alias("cohort_qi"))
+    cells = (
+        act.join(first, "custkey")
+        .groupBy("cohort_qi", (F.col("qi") - F.col("cohort_qi")).alias("offset_q"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    w = Window.partitionBy("cohort_qi")
+    size = F.max(F.when(F.col("offset_q") == 0, F.col("n_active"))).over(w)
+    return cells.select(
+        "cohort_qi",
+        F.col("offset_q").cast("int").alias("offset_q"),
+        "n_active",
+        size.alias("cohort_size"),
+        pround(F.col("n_active").cast("double") / size.cast("double")).alias(
+            "retention"
+        ),
+    )
+
+
+BASKET_MIN_SUPPORT = 3
+BASKET_TOP_N = 100
+
+
+def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: part pairs co-ordered more often than
+    chance (lift), the cross-sell report over order line items.
+
+    The pair join is keyed on ``l_orderkey`` whose cell size is the
+    per-order line count — bounded at 7 by the data generator (and by
+    basket size in any real catalog), so the join is linear with a
+    small constant, never quadratic in a part's popularity. Per-part
+    order counts and the pair counts reuse one distinct projection;
+    the final lift computation runs on the tiny pair aggregate, and
+    top-N compiles to TakeOrderedAndProject.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n_orders = li.select(F.countDistinct("ok").alias("n_orders"))
+    per_part = li.groupBy("pk").agg(F.count(F.lit(1)).alias("n_part"))
+    a = li.select("ok", F.col("pk").alias("part_a"))
+    b = li.select(F.col("ok").alias("okb"), F.col("pk").alias("part_b"))
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("okb")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)
+    )
+    na = per_part.select(F.col("pk").alias("part_a"), F.col("n_part").alias("n_a"))
+    nb = per_part.select(F.col("pk").alias("part_b"), F.col("n_part").alias("n_b"))
+    lift = (
+        F.col("n_ab").cast("double")
+        * F.col("n_orders").cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    return (
+        pairs.join(na, "part_a")
+        .join(nb, "part_b")
+        .join(F.broadcast(n_orders))
+        .select(
+            "part_a", "part_b", "n_ab", "n_a", "n_b", pround(lift).alias("lift")
+        )
+        .orderBy(F.col("n_ab").desc(), F.col("part_a"), F.col("part_b"))
+        .limit(BASKET_TOP_N)
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -727,9 +812,62 @@ QUERIES = {
     "q12_ship_delay_priority": q12_ship_delay_priority,
     "q15_top_supplier": q15_top_supplier,
     "q16_supplier_part_variety": q16_supplier_part_variety,
+    "cohort_retention": cohort_retention,
+    "basket_affinity": basket_affinity,
 }
 
 ORACLES = {
+    "cohort_retention": """
+        WITH act AS (
+            SELECT DISTINCT o_custkey AS custkey,
+                   CAST(year(o_orderdate) * 4
+                        + (month(o_orderdate) - 1) // 3 AS BIGINT) AS qi
+            FROM orders
+        ),
+        first AS (
+            SELECT custkey, MIN(qi) AS cohort_qi FROM act GROUP BY 1
+        ),
+        cells AS (
+            SELECT f.cohort_qi, CAST(a.qi - f.cohort_qi AS INTEGER) AS offset_q,
+                   CAST(COUNT(*) AS BIGINT) AS n_active
+            FROM act a JOIN first f USING (custkey)
+            GROUP BY 1, 2
+        )
+        SELECT cohort_qi, offset_q, n_active,
+               CAST(MAX(CASE WHEN offset_q = 0 THEN n_active END)
+                    OVER (PARTITION BY cohort_qi) AS BIGINT) AS cohort_size,
+               (FLOOR(CAST(CAST(n_active AS DOUBLE)
+                    / CAST(MAX(CASE WHEN offset_q = 0 THEN n_active END)
+                           OVER (PARTITION BY cohort_qi) AS DOUBLE) AS DOUBLE)
+                    * 10000.0 + 0.5) / 10000.0) AS retention
+        FROM cells
+    """,
+    "basket_affinity": f"""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        ),
+        n_orders AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM li),
+        per_part AS (
+            SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_part FROM li GROUP BY 1
+        ),
+        pairs AS (
+            SELECT a.pk AS part_a, b.pk AS part_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+        )
+        SELECT part_a, part_b, n_ab,
+               na.n_part AS n_a, nb.n_part AS n_b,
+               (FLOOR(CAST(CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE)
+                    / (CAST(na.n_part AS DOUBLE) * CAST(nb.n_part AS DOUBLE)) AS DOUBLE)
+                    * 10000.0 + 0.5) / 10000.0) AS lift
+        FROM pairs
+        JOIN per_part na ON na.pk = part_a
+        JOIN per_part nb ON nb.pk = part_b
+        CROSS JOIN n_orders
+        ORDER BY n_ab DESC, part_a, part_b
+        LIMIT {BASKET_TOP_N}
+    """,
     "q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                (FLOOR(CAST((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS sum_qty,

@@ -76,6 +76,8 @@ BNLJ_ALLOWED = {
     "cusum_drift",  # 1-row fleet-mean broadcast
     "ann_range_search",  # brute-force range baseline: every (probe,
     # vector) pair by design, bounded probe side broadcast
+    "bm25_scores",  # 1-row corpus-stats (n_docs, sum_dl) broadcast
+    "basket_affinity",  # 1-row total-order-count broadcast
 }
 
 
