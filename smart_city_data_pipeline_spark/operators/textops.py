@@ -813,8 +813,11 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     One explode pass filtered to the query terms BEFORE the shuffle
     (the filter is a 3-element isin pushed into the generator output,
     so the keyed aggregate sees only query-term hits); document
-    lengths are a narrow projection; the per-term document frequencies
-    (≤ |query| rows) and the 1-row corpus stats broadcast.
+    lengths are a narrow projection; the 1-row corpus stats carry an
+    explicit broadcast (global aggregate, provably 1 row), while the
+    per-term document frequencies (≤ |query| rows, but grouped on an
+    unbounded-vocabulary column the policy checker can't prove) carry
+    no hint — AQE size-gates that join and broadcasts it at runtime.
     """
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -834,7 +837,7 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = idf * d("tf") * (BM25_K1 + 1.0) / denom
     return (
         tf.join(dl, "doc_id")
-        .join(F.broadcast(dfreq), "token")
+        .join(dfreq, "token")
         .join(F.broadcast(corpus))
         .groupBy("doc_id")
         .agg(

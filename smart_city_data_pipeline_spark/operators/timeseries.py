@@ -862,8 +862,9 @@ def robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-type lower median comes from the ``length_outlier_filter``
     histogram trick — a (type, cents) count aggregate plus a cumulative
     window over distinct cents (tiny), twice (values, then absolute
-    deviations). The 5-row median/MAD tables broadcast back onto the
-    facts; the fact scan never sorts or windows. All arithmetic is
+    deviations). The per-type median/MAD tables join back onto the
+    facts (AQE broadcasts them at runtime); the fact scan never sorts
+    or windows. All arithmetic is
     integer until the final z double, guarded by pround.
     """
     ev = table(spark, sf_dir, "events")
@@ -896,7 +897,11 @@ def robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = ev.select("event_id", "event_type", "value", cents.alias("c"))
     med = _lower_median(base, "c")
-    dev = base.join(F.broadcast(med), "event_type").select(
+    # med/mad are one row per event type by semantics, but their
+    # subtrees contain an interior (type, value-histogram) aggregate
+    # the broadcast-policy checker can't prove bounded — no forced
+    # hint; AQE size-gates these joins and broadcasts at runtime.
+    dev = base.join(med, "event_type").select(
         "event_type", F.abs(F.col("c") - F.col("med_c")).alias("ad")
     )
     mad = _lower_median(dev, "ad")
@@ -906,8 +911,8 @@ def robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.col("med_ad").cast("double")
     )
     return (
-        base.join(F.broadcast(med), "event_type")
-        .join(F.broadcast(mad), "event_type")
+        base.join(med, "event_type")
+        .join(mad, "event_type")
         .filter(F.col("med_ad") > 0)
         .select(
             "event_id", "event_type", "value", pround(z).alias("robust_z")
@@ -962,9 +967,10 @@ def seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from typical profile' panel.
 
     Same scale shape as ``anomaly_zscore``: exact DECIMAL moments per
-    profile cell (≤ types × 24 rows) broadcast back over one fact
-    scan; cells under the support floor or with zero variance emit
-    nothing rather than unstable z-scores.
+    profile cell (≤ types × 24 rows) joined back over one fact scan
+    (AQE broadcasts the tiny side at runtime); cells under the support
+    floor or with zero variance emit nothing rather than unstable
+    z-scores.
     """
     ev = table(spark, sf_dir, "events")
     vd = F.col("value").cast("decimal(18,2)")
@@ -978,9 +984,12 @@ def seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     mu = F.col("s1") / F.col("n")
     var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
     z = (F.col("value") - mu) / F.sqrt(var)
+    # stats is ≤ types × 24 rows by semantics, but the hour() grouping
+    # key reads as unbounded ts to the broadcast-policy checker — no
+    # forced hint; AQE size-gates the join and broadcasts at runtime.
     return (
         ev.select("event_id", "event_type", F.hour("ts").alias("hod"), "value")
-        .join(F.broadcast(stats), ["event_type", "hod"])
+        .join(stats, ["event_type", "hod"])
         .filter((F.col("n") >= SEASONAL_MIN_SUPPORT) & (var > 0))
         .filter(F.abs(z) > SEASONAL_Z_CUT)
         .select(
@@ -1001,8 +1010,8 @@ def markov_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     when every individual reading looks normal.
 
     The lag window partitions on the high-cardinality sensor key; the
-    transition-probability table is ≤ types² rows and broadcasts; the
-    final rollup is one keyed aggregate.
+    transition-probability table is ≤ types² rows (AQE broadcasts it
+    at runtime); the final rollup is one keyed aggregate.
     """
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
@@ -1023,8 +1032,11 @@ def markov_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_trans").over(tot).cast("double")
         ).alias("p"),
     )
+    # probs is ≤ types² rows by semantics, but its grouping key is a
+    # lag() alias the broadcast-policy checker can't prove bounded —
+    # no forced hint; AQE size-gates the join and broadcasts at runtime.
     return (
-        pairs.join(F.broadcast(probs), ["from_type", "to_type"])
+        pairs.join(probs, ["from_type", "to_type"])
         .groupBy("sensor_id")
         .agg(
             F.count(F.lit(1)).alias("n_transitions"),
