@@ -1298,9 +1298,12 @@ def priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     'keep the curated copy, drop the crawl copy' that min-doc_id
     ``dedup_exact`` cannot express.
 
-    Same shape as ``dedup_exact``: the text collapses to md5 before the
-    shuffle, the canonical pick is a struct-min aggregate (no window —
-    min of (tier, doc_id) pairs is a monoid, map-side combinable).
+    The text collapses to md5 before the shuffle; canonical pick and
+    copy count are ONE window over the hash (struct-min of
+    (tier, doc_id) pairs) — every row survives into the output anyway,
+    so the groupBy + join-back alternative would only re-evaluate the
+    md5 text scan a second time (the dominant cost at 100 TB) for the
+    same single shuffle.
     """
     docs = spread(table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents")
     hashed = docs.select(
@@ -1309,20 +1312,15 @@ def priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _source_tier(F.col("source")).alias("tier"),
         F.md5(F.col("text")).alias("text_hash"),
     )
-    canon = hashed.groupBy("text_hash").agg(
-        F.min(F.struct("tier", "doc_id")).alias("best"),
-        F.count(F.lit(1)).alias("n_copies"),
-    )
-    return (
-        hashed.join(canon, "text_hash")
-        .select(
-            "doc_id",
-            "source",
-            "tier",
-            F.col("best.doc_id").alias("canonical_doc_id"),
-            (F.col("doc_id") != F.col("best.doc_id")).alias("is_duplicate"),
-            "n_copies",
-        )
+    w = Window.partitionBy("text_hash")
+    best = F.min(F.struct("tier", "doc_id")).over(w)
+    return hashed.select(
+        "doc_id",
+        "source",
+        "tier",
+        best["doc_id"].alias("canonical_doc_id"),
+        (F.col("doc_id") != best["doc_id"]).alias("is_duplicate"),
+        F.count(F.lit(1)).over(w).alias("n_copies"),
     )
 
 
