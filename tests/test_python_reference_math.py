@@ -1,0 +1,155 @@
+"""Independent Python ground truth for the session's numeric
+operators. The DuckDB oracle proves cross-engine agreement, but both
+sides were authored together — a bug mirrored into both SQL dialects
+would pass it. These tests recompute char_entropy, bm25_scores,
+robust_zscore, and acf_lags from the raw parquet in plain Python
+(pyarrow + math, no Spark, no SQL) and compare under the same
+``floor(x·1e4 + 0.5)/1e4`` rounding the operators use."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import pyarrow.parquet as pq
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _pround(x: float) -> float:
+    return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+
+@pytest.fixture(scope="module")
+def docs():
+    t = pq.read_table(f"{SF_DIR}/documents.parquet").to_pylist()
+    return {r["doc_id"]: r for r in t}
+
+
+@pytest.fixture(scope="module")
+def events():
+    return pq.read_table(f"{SF_DIR}/events.parquet").to_pylist()
+
+
+def test_char_entropy_matches_python(spark, sf_dir, docs):
+    from smart_city_data_pipeline_spark.operators.textops import char_entropy
+
+    out = {r["doc_id"]: r for r in char_entropy(spark, sf_dir).collect()}
+    assert set(out) == set(docs)
+    for doc_id, row in docs.items():
+        counts = Counter(row["text"])  # every char; no empties possible
+        n = sum(counts.values())
+        ent = -sum((c / n) * math.log(c / n) for c in sorted(counts.values()))
+        got = out[doc_id]
+        assert got["n_chars"] == n
+        assert got["n_unique_chars"] == len(counts)
+        assert abs(got["char_entropy"] - _pround(ent)) <= 1e-4, doc_id
+
+
+def test_bm25_matches_python(spark, sf_dir, docs):
+    from smart_city_data_pipeline_spark.operators.textops import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY,
+        bm25_scores,
+    )
+
+    toks = {d: r["text"].lower().split() for d, r in docs.items()}
+    dl = {d: len(t) for d, t in toks.items()}
+    n_docs = len(docs)
+    avgdl = sum(dl.values()) / n_docs
+    tf = {d: Counter(t for t in tt if t in BM25_QUERY) for d, tt in toks.items()}
+    df = Counter(term for c in tf.values() for term in c)
+    expected = {}
+    for d, c in tf.items():
+        if not c:
+            continue
+        s = 0.0
+        for term, f in c.items():
+            idf = math.log((n_docs - df[term] + 0.5) / (df[term] + 0.5) + 1.0)
+            s += idf * f * (BM25_K1 + 1.0) / (
+                f + BM25_K1 * (1.0 - BM25_B + BM25_B * dl[d] / avgdl)
+            )
+        expected[d] = (len(c), s)
+    out = {r["doc_id"]: r for r in bm25_scores(spark, sf_dir).collect()}
+    assert set(out) == set(expected)
+    for d, (n_terms, s) in expected.items():
+        assert out[d]["n_query_terms"] == n_terms, d
+        assert abs(out[d]["bm25"] - _pround(s)) <= 2e-4, d
+
+
+def _lower_median(values: list[int]) -> int:
+    v = sorted(values)
+    return v[(len(v) + 1) // 2 - 1]
+
+
+def test_robust_zscore_matches_python(spark, sf_dir, events):
+    from smart_city_data_pipeline_spark.operators.timeseries import (
+        ROBUST_Z_CUT,
+        ROBUST_Z_K,
+        robust_zscore,
+    )
+
+    cents = defaultdict(list)
+    by_event = {}
+    for r in events:
+        c = math.floor(r["value"] * 100 + 0.5)
+        cents[r["event_type"]].append(c)
+        by_event[r["event_id"]] = (r["event_type"], c)
+    med = {t: _lower_median(v) for t, v in cents.items()}
+    mad = {
+        t: _lower_median([abs(c - med[t]) for c in v]) for t, v in cents.items()
+    }
+    expected = {}
+    for eid, (t, c) in by_event.items():
+        if mad[t] <= 0:
+            continue
+        z = _pround(ROBUST_Z_K * (c - med[t]) / mad[t])
+        if abs(z) > ROBUST_Z_CUT:
+            expected[eid] = z
+    out = {r["event_id"]: r["robust_z"] for r in robust_zscore(spark, sf_dir).collect()}
+    assert out == expected
+
+
+def test_acf_lags_matches_python(spark, sf_dir, events):
+    from smart_city_data_pipeline_spark.operators.timeseries import (
+        ACF_LAGS,
+        acf_lags,
+    )
+
+    from datetime import timezone
+
+    series = defaultdict(dict)  # type -> hour_index -> (sum_cents, n)
+    for r in events:
+        # events.ts is naive micros; the engines treat it as UTC-naive,
+        # so pin UTC here (a bare .timestamp() would apply local time).
+        hr = r["ts"].replace(minute=0, second=0, microsecond=0, tzinfo=timezone.utc)
+        he = int(hr.timestamp()) // 3600
+        c = math.floor(r["value"] * 100 + 0.5)
+        s, n = series[r["event_type"]].get(he, (0, 0))
+        series[r["event_type"]][he] = (s + c, n + 1)
+    expected = {}
+    for t, pts in series.items():
+        v = {he: (s * 128) // n for he, (s, n) in pts.items()}
+        for lag in ACF_LAGS:
+            pairs = [(v[he], v[he + lag]) for he in v if he + lag in v]
+            nb = len(pairs)
+            sx = sum(a for a, _ in pairs)
+            sy = sum(b for _, b in pairs)
+            sxy = sum(a * b for a, b in pairs)
+            sxx = sum(a * a for a, _ in pairs)
+            syy = sum(b * b for _, b in pairs)
+            varx = nb * sxx - sx * sx
+            vary = nb * syy - sy * sy
+            acf = (
+                _pround((nb * sxy - sx * sy) / math.sqrt(float(varx) * float(vary)))
+                if varx > 0 and vary > 0
+                else None
+            )
+            expected[(t, lag)] = (nb, acf)
+    out = {
+        (r["event_type"], r["lag"]): (r["n_pairs"], r["acf"])
+        for r in acf_lags(spark, sf_dir).collect()
+    }
+    assert out == expected
