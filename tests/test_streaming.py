@@ -387,3 +387,47 @@ def test_continuous_top_sensors_incremental(spark, sf_dir, tmp_path):
     before = sorted(map(tuple, spark.read.parquet(lake).collect()))
     refresh_sensor_totals(spark, lake, ev, 0)
     assert sorted(map(tuple, spark.read.parquet(lake).collect())) == before
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static dim join: stateless (no watermark, no join state),
+    static side broadcast per micro-batch; left join keeps dim misses."""
+    from smart_city_data_pipeline_spark.streaming.enrich import (
+        batch_equivalent_enrich,
+        enrich_stream,
+    )
+
+    ev, stream = _events_stream(spark, sf_dir, tmp_path)
+    # Sensor registration dim: half the sensors registered, so the
+    # left-join's miss path is exercised (nulls for unregistered).
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 2 == 0)
+        .select(
+            "user_id",
+            F.concat(F.lit("zone_"), F.pmod("user_id", F.lit(5))).alias("zone"),
+        )
+    )
+    out = str(tmp_path / "enrich_out")
+    q = (
+        enrich_stream(stream, dim)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "enrich_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not drain in time"
+    # Stateless by construction: no state-store operators in progress.
+    progresses = [p for p in q.recentProgress if p is not None]
+    assert progresses and all(not p["stateOperators"] for p in progresses)
+    got = spark.read.parquet(out)
+    want = batch_equivalent_enrich(ev, dim)
+    norm = lambda df: sorted(  # noqa: E731
+        map(tuple, df.select(sorted(df.columns)).collect())
+    )
+    assert norm(got) == norm(want)
+    hits = got.filter(F.col("zone").isNotNull()).count()
+    assert 0 < hits < got.count()  # both the hit and miss paths ran
