@@ -1,0 +1,377 @@
+"""Pure struct/numpy baseline JPEG codec (8-bit grayscale, sequential
+DCT, one Huffman/quant table pair) — the last compressed-frame format
+the reference's cameras ship (``data-simulators/camera-analytics/
+camera_simulator.py`` sends JPEG frames over Kafka) that previously
+sat behind the gated cv2 seam.
+
+Scope: ITU-T T.81 baseline, single component. The DECODER is driven
+entirely by the bitstream (it builds its Huffman/quant tables from the
+file's DHT/DQT segments), so it decodes any conforming single-
+component baseline JPEG, not just this encoder's output. The ENCODER
+exists to synthesize test/bench payloads; it uses the standard Annex K
+luminance quant table and a deliberately simple — but perfectly valid —
+canonical Huffman geometry (all 12 DC categories at 4 bits, all 162 AC
+symbols at 8 bits; Kraft sums 12/16 and 162/256, all-ones codes
+unassigned), trading compression ratio for zero spec-table surface.
+
+Exactness contract used by the analytic oracle: for a block-constant
+image whose values satisfy ``(v - 128) % 2 == 0``, every AC
+coefficient quantizes to exactly 0 (float residue ~1e-13 ≪ 0.5) and
+the DC path is ``round((v-128)/2)·16`` — integer-exact because the
+quant step 16 divides ``8·(v-128)``. Decode therefore reproduces the
+source bit-for-bit, which `frames_features_jpeg` exploits to carry a
+closed-form SQL oracle THROUGH a real entropy-coded JPEG round trip.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# Standard Annex K luminance quantization table (natural row order).
+QTABLE = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+
+def _zigzag_order() -> list[int]:
+    """Natural index (8r + c) for each zigzag position, generated from
+    the anti-diagonal walk (even diagonals run up-right, odd down-left)
+    instead of a hand-typed table."""
+    out = []
+    for s in range(15):
+        rng = range(s, -1, -1) if s % 2 == 0 else range(s + 1)
+        for r in rng:
+            c = s - r
+            if r < 8 and c < 8:
+                out.append(8 * r + c)
+    return out
+
+
+ZIGZAG = _zigzag_order()  # zigzag position -> natural index
+
+# Huffman geometry (see module docstring). huffval order IS the
+# canonical code order.
+_DC_BITS = [0] * 16
+_DC_BITS[3] = 12  # 12 categories, all 4-bit codes (bits index = len-1)
+_DC_VALS = list(range(12))
+_AC_BITS = [0] * 16
+_AC_BITS[7] = 162  # all 8-bit codes
+_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the canonical JPEG assignment."""
+    out, code = {}, 0
+    k = 0
+    for i, n in enumerate(bits):
+        length = i + 1
+        for _ in range(n):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DC_ENC = _canonical_codes(_DC_BITS, _DC_VALS)
+_AC_ENC = _canonical_codes(_AC_BITS, _AC_VALS)
+
+
+def _dct_matrix():
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / 2.0 ** 0.5) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * cu * _cos((2 * x + 1) * u)
+    return m
+
+
+def _cos(k: int) -> float:
+    import math
+
+    return math.cos(k * math.pi / 16.0)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # 1-fill final byte
+        return bytes(self.buf)
+
+
+def _category(v: int) -> int:
+    n = 0
+    a = abs(v)
+    while a:
+        a >>= 1
+        n += 1
+    return n
+
+
+def _amplitude(v: int, n: int) -> int:
+    return v if v >= 0 else v + (1 << n) - 1
+
+
+def encode_jpeg_gray(arr) -> bytes:
+    """8-bit grayscale array → baseline sequential JPEG bytes."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape
+    bh, bw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.empty((bh, bw), dtype=np.float64)
+    padded[:h, :w] = a
+    padded[h:, :w] = a[-1:, :]  # edge replicate
+    padded[:, w:] = padded[:, w - 1 : w]
+    m = _dct_matrix()
+    q = np.array(QTABLE, dtype=np.float64).reshape(8, 8)
+
+    bits = _BitWriter()
+    prev_dc = 0
+    for by in range(0, bh, 8):
+        for bx in range(0, bw, 8):
+            f = padded[by : by + 8, bx : bx + 8] - 128.0
+            coef = m @ f @ m.T
+            sq = np.round(coef / q).astype(np.int64)
+            zz = [int(sq.flat[ZIGZAG[k]]) for k in range(64)]
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            n = _category(diff)
+            c, ln = _DC_ENC[n]
+            bits.write(c, ln)
+            if n:
+                bits.write(_amplitude(diff, n), n)
+            run = 0
+            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            for k in range(1, last_nz + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = _AC_ENC[0xF0]
+                    bits.write(c, ln)
+                    run -= 16
+                n = _category(zz[k])
+                c, ln = _AC_ENC[(run << 4) | n]
+                bits.write(c, ln)
+                bits.write(_amplitude(zz[k], n), n)
+                run = 0
+            if last_nz < 63:
+                c, ln = _AC_ENC[0x00]
+                bits.write(c, ln)
+    scan = bits.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT (stored in zigzag order per the spec)
+    zz_q = bytes(QTABLE[ZIGZAG[k]] for k in range(64))
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + zz_q
+    # SOF0: 8-bit, 1 component, no subsampling
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+    out += struct.pack(">BBB", 1, 0x11, 0)
+    # DHT: DC table 0, AC table 0
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(_DC_VALS), 0x00)
+    out += bytes(_DC_BITS) + bytes(_DC_VALS)
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(_AC_VALS), 0x10)
+    out += bytes(_AC_BITS) + bytes(_AC_VALS)
+    # SOS
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+    out += struct.pack(">BBBBB", 1, 0x00, 0, 63, 0)
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.buf):
+                raise EOFError("scan truncated")
+            b = self.buf[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.buf[self.pos] if self.pos < len(self.buf) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise EOFError("marker inside scan")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, count: int) -> int:
+        v = 0
+        for _ in range(count):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol."""
+    out, code, k = {}, 0, 0
+    for i, n in enumerate(bits):
+        for _ in range(n):
+            out[(i + 1, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _read_symbol(rd: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | rd.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, n: int) -> int:
+    return v if n == 0 or v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def decode_jpeg_gray(buf: bytes):
+    """Baseline single-component JPEG bytes → 2-D uint8 array, or None
+    when ``buf`` is not a JPEG this decoder handles (multi-component,
+    progressive, restart markers). Tables come from the bitstream."""
+    import numpy as np
+
+    if len(buf) < 4 or buf[:2] != b"\xff\xd8":
+        return None
+    qtables: dict[int, list[int]] = {}
+    htables: dict[int, dict[tuple[int, int], int]] = {}
+    h = w = 0
+    dc_id = ac_id = 0
+    pos = 2
+    try:
+        while pos + 4 <= len(buf):
+            if buf[pos] != 0xFF:
+                return None
+            marker = buf[pos + 1]
+            if marker == 0xD9:  # EOI without SOS
+                return None
+            seglen = struct.unpack_from(">H", buf, pos + 2)[0]
+            seg = buf[pos + 4 : pos + 2 + seglen]
+            if marker == 0xDB:  # DQT (possibly several tables)
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 0xF
+                    if pq != 0:
+                        return None  # 16-bit tables unsupported
+                    zz = seg[i + 1 : i + 65]
+                    nat = [0] * 64
+                    for k in range(64):
+                        nat[ZIGZAG[k]] = zz[k]
+                    qtables[tq] = nat
+                    i += 65
+            elif marker == 0xC0:  # SOF0 baseline
+                precision, h, w, nf = struct.unpack_from(">BHHB", seg, 0)
+                if precision != 8 or nf != 1:
+                    return None
+                # component spec: id seg[6], sampling seg[7], quant id seg[8]
+                comp_tq = seg[8]
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+                return None  # non-baseline frame types
+            elif marker == 0xC4:  # DHT (possibly several tables)
+                i = 0
+                while i < len(seg):
+                    tc_th = seg[i]
+                    bits = list(seg[i + 1 : i + 17])
+                    n = sum(bits)
+                    vals = list(seg[i + 17 : i + 17 + n])
+                    htables[tc_th] = _decode_table(bits, vals)
+                    i += 17 + n
+            elif marker == 0xDD:  # DRI restart interval
+                if struct.unpack_from(">H", seg, 0)[0] != 0:
+                    return None  # restart markers unsupported
+            elif marker == 0xDA:  # SOS → entropy-coded data follows
+                if seg[0] != 1:
+                    return None
+                td_ta = seg[2]
+                dc_id, ac_id = td_ta >> 4, td_ta & 0xF
+                pos = pos + 2 + seglen
+                break
+            pos = pos + 2 + seglen
+        else:
+            return None
+        if not h or not w or comp_tq not in qtables:
+            return None
+        dc_tab = htables.get(0x00 | dc_id)
+        ac_tab = htables.get(0x10 | ac_id)
+        if dc_tab is None or ac_tab is None:
+            return None
+
+        q = np.array(qtables[comp_tq], dtype=np.float64).reshape(8, 8)
+        m = _dct_matrix()
+        bh, bw = -(-h // 8), -(-w // 8)
+        out = np.empty((bh * 8, bw * 8), dtype=np.uint8)
+        rd = _BitReader(buf, pos)
+        prev_dc = 0
+        for by in range(bh):
+            for bx in range(bw):
+                zz = [0] * 64
+                n = _read_symbol(rd, dc_tab)
+                diff = _extend(rd.read_bits(n), n) if n else 0
+                prev_dc += diff
+                zz[0] = prev_dc
+                k = 1
+                while k < 64:
+                    sym = _read_symbol(rd, ac_tab)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0xF
+                    k += run
+                    if k > 63:
+                        return None
+                    zz[k] = _extend(rd.read_bits(size), size)
+                    k += 1
+                coef = np.zeros(64)
+                for k in range(64):
+                    coef[ZIGZAG[k]] = zz[k]
+                coef = coef.reshape(8, 8) * q
+                block = m.T @ coef @ m + 128.0
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.round(block), 0, 255
+                ).astype(np.uint8)
+        return out[:h, :w]
+    except (EOFError, ValueError, IndexError, struct.error):
+        return None

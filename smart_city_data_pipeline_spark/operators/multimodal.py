@@ -390,16 +390,24 @@ def _decode_frame(buf: bytes):
        (:func:`decode_bmp_gray`) — fully functional in this container;
     2. REAL pure-stdlib decode for non-interlaced 8-bit PNG payloads
        (:func:`decode_png`, zlib + the five scanline filters);
-    3. cv2 for the remaining compressed formats (JPEG) — absent here,
+    3. REAL pure-numpy decode for baseline single-component JPEG
+       (:mod:`jpeg_codec` — bitstream-driven Huffman + dequant + IDCT);
+    4. cv2 for what remains (color/progressive JPEG) — absent here,
        so that branch is the one remaining gated seam.
     """
     import numpy as np
+
+    from smart_city_data_pipeline_spark.operators.jpeg_codec import (
+        decode_jpeg_gray,
+    )
 
     if not buf:
         return None
     arr = decode_bmp_gray(buf)
     if arr is None:
         arr = decode_png(buf)
+    if arr is None:
+        arr = decode_jpeg_gray(buf)
     if arr is None:
         try:  # pragma: no cover - cv2 absent in this environment
             import cv2
@@ -585,6 +593,77 @@ def synth_png_frames(
     return docs.mapInPandas(run, out_schema)
 
 
+JPEG_W, JPEG_H = 32, 24
+
+
+def synth_jpeg_frames(
+    spark: SparkSession, sf_dir: str, every_k: int | None = None
+) -> DataFrame:
+    """Frame table whose payloads are REAL entropy-coded baseline JPEGs
+    (:mod:`jpeg_codec`) — the exact format the reference's camera
+    simulator ships over Kafka.
+
+    The synthetic image is BLOCK-constant (one value per 8×8 JPEG
+    block) with even offsets from 128, so quantization is lossless by
+    construction (module docstring of :mod:`jpeg_codec`) and the
+    decoded pixels equal the closed-form source — which is what lets a
+    LOSSY-format pipeline carry an exact SQL oracle. The Huffman/DCT
+    machinery still runs for real: per-block DC differentials, EOB
+    coding, byte stuffing, bitstream-table reconstruction.
+    """
+    import numpy as np
+
+    from smart_city_data_pipeline_spark.operators.jpeg_codec import (
+        encode_jpeg_gray,
+    )
+
+    docs = spread(
+        table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents"
+    ).select(
+        F.col("doc_id").alias("frame_id"), (F.col("doc_id") % 16).alias("camera_id")
+    )
+    if every_k is not None:
+        docs = docs.where((F.col("frame_id") % 30) % every_k == 0)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("frame_id", T.LongType()),
+            T.StructField("camera_id", T.LongType()),
+            T.StructField("meta", FRAME_META),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yy, xx = np.mgrid[0:JPEG_H, 0:JPEG_W]
+        bxg, byg = xx // 8, yy // 8
+        for pdf in batches:
+            payloads, metas = [], []
+            for fid in pdf["frame_id"]:
+                img = (64 + 2 * ((3 * bxg + 5 * byg + 7 * int(fid)) % 64)).astype(
+                    np.uint8
+                )
+                payloads.append(encode_jpeg_gray(img))
+                metas.append(
+                    {
+                        "width": JPEG_W,
+                        "height": JPEG_H,
+                        "format": "jpeg",
+                        "frame_no": int(fid) % 30,
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "frame_id": pdf["frame_id"],
+                    "camera_id": pdf["camera_id"],
+                    "meta": metas,
+                    "payload": payloads,
+                }
+            )
+
+    return docs.mapInPandas(run, out_schema)
+
+
 def camera_rollup(features: DataFrame) -> DataFrame:
     """Per-camera feature rollup — the vision job's windowed aggregate."""
     return features.groupBy("camera_id").agg(
@@ -733,11 +812,55 @@ def _resize_rollup_oracle(src_w: int, src_h: int, w: int, h: int) -> str:
     """
 
 
+def frames_features_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry exercising the REAL baseline JPEG decoder
+    (bitstream-built Huffman tables, dequant, IDCT) end-to-end under
+    the hash gate. The block-constant even-offset synthetic family
+    decodes bit-exactly (see :mod:`jpeg_codec`), so the oracle
+    recomputes the decoded pixel means in closed-form SQL — through an
+    actual lossy-format entropy-coded round trip."""
+    frames = sample_frames(
+        synth_jpeg_frames(spark, sf_dir, every_k=FRAME_SAMPLE_K),
+        every_k=FRAME_SAMPLE_K,
+    )
+    return camera_rollup_exact(extract_features(frames)).select(
+        "camera_id", "n_frames", "avg_intensity", "total_px"
+    )
+
+
+def _jpeg_rollup_oracle(w: int, h: int) -> str:
+    from smart_city_data_pipeline_spark.functions.rounding import pround_sql
+
+    avg = pround_sql("CAST(SUM(s) AS DOUBLE) / CAST(SUM(n_px) AS DOUBLE)")
+    px = "64 + 2 * ((3 * (x // 8) + 5 * (y // 8) + 7 * frame_id) % 64)"
+    return f"""
+        WITH f AS (
+            SELECT doc_id AS frame_id, doc_id % 16 AS camera_id
+            FROM documents WHERE (doc_id % 30) % {FRAME_SAMPLE_K} = 0
+        ),
+        grid AS (
+            SELECT gx.x AS x, gy.y AS y
+            FROM generate_series(0, {w - 1}) gx(x), generate_series(0, {h - 1}) gy(y)
+        ),
+        per AS (
+            SELECT frame_id, camera_id,
+                   SUM({px}) AS s,
+                   COUNT(*) AS n_px
+            FROM f, grid GROUP BY 1, 2
+        )
+        SELECT camera_id, COUNT(*) AS n_frames,
+               {avg} AS avg_intensity,
+               CAST(COUNT(*) * {w * h} AS BIGINT) AS total_px
+        FROM per GROUP BY camera_id
+    """
+
+
 QUERIES = {
     "frames_features": frames_features,
     "frames_features_bmp": frames_features_bmp,
     "frames_features_png": frames_features_png,
     "frames_resize_stats": frames_resize_stats,
+    "frames_features_jpeg": frames_features_jpeg,
 }
 
 ORACLES: dict[str, str] = {
@@ -750,4 +873,5 @@ ORACLES: dict[str, str] = {
     "frames_resize_stats": _resize_rollup_oracle(
         BMP_W, BMP_H, RESIZE_W, RESIZE_H
     ),
+    "frames_features_jpeg": _jpeg_rollup_oracle(JPEG_W, JPEG_H),
 }

@@ -173,3 +173,83 @@ def test_resize_bmp_real_path(spark, sf_dir):
     for r in rows:
         arr = decode_bmp_gray(bytes(r["payload"]))
         assert arr is not None and arr.shape == (6, 8)
+
+
+def test_jpeg_codec_block_constant_exact():
+    """The baseline JPEG codec round-trips the block-constant
+    even-offset family BIT-EXACTLY (quantization lossless by
+    construction: AC coefficients quantize to 0, the DC quant step 16
+    divides 8·(v−128)) — the property the analytic oracle relies on."""
+    import numpy as np
+
+    from smart_city_data_pipeline_spark.operators.jpeg_codec import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    bx, by = xx // 8, yy // 8
+    for fid in (0, 1, 7, 13, 29, 104):
+        img = (64 + 2 * ((3 * bx + 5 * by + 7 * fid) % 64)).astype(np.uint8)
+        back = decode_jpeg_gray(encode_jpeg_gray(img))
+        assert back is not None and np.array_equal(back, img), fid
+
+
+def test_jpeg_codec_lossy_bounded_and_robust():
+    """General images: decode(encode(x)) keeps shape, stays within the
+    quantization error envelope for smooth content, and the decoder
+    rejects garbage instead of raising."""
+    import numpy as np
+
+    from smart_city_data_pipeline_spark.operators.jpeg_codec import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    smooth = ((xx * 2 + yy * 3) % 256).astype(np.uint8)
+    back = decode_jpeg_gray(encode_jpeg_gray(smooth))
+    assert back.shape == smooth.shape
+    assert int(np.abs(back.astype(int) - smooth.astype(int)).max()) <= 16
+
+    odd = np.random.default_rng(7).integers(0, 256, (13, 21), dtype=np.uint8)
+    assert decode_jpeg_gray(encode_jpeg_gray(odd)).shape == (13, 21)
+
+    assert decode_jpeg_gray(b"not a jpeg") is None
+    assert decode_jpeg_gray(b"\xff\xd8\xff\xd9") is None
+    assert decode_jpeg_gray(b"\xff\xd8\xff\xdb\x00\x02") is None
+
+
+def test_jpeg_frames_decode_for_real(spark, sf_dir):
+    """frames_features_jpeg must flow through the REAL JPEG decoder:
+    the rolled-up mean equals the numpy ground truth of the
+    block-constant family (the byte-statistics fallback could never
+    match it on an entropy-coded payload)."""
+    import numpy as np
+
+    from smart_city_data_pipeline_spark.catalog import table
+    from smart_city_data_pipeline_spark.operators.multimodal import (
+        JPEG_H,
+        JPEG_W,
+        frames_features_jpeg,
+    )
+
+    rows = frames_features_jpeg(spark, sf_dir).collect()
+    assert len(rows) > 0
+    yy, xx = np.mgrid[0:JPEG_H, 0:JPEG_W]
+    bx, by = xx // 8, yy // 8
+
+    def true_mean(fid: int) -> float:
+        return float((64 + 2 * ((3 * bx + 5 * by + 7 * fid) % 64)).mean())
+
+    doc_ids = [
+        r["doc_id"]
+        for r in table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    want = {}
+    for fid in doc_ids:
+        if fid % 30 % 3 == 0:
+            want.setdefault(fid % 16, []).append(true_mean(fid))
+    for r in rows:
+        expect = round(sum(want[r["camera_id"]]) / len(want[r["camera_id"]]), 4)
+        assert abs(r["avg_intensity"] - expect) < 1e-6, (r, expect)

@@ -158,3 +158,39 @@ def test_srp_hyperplanes_deterministic():
     b = _srp_hyperplanes(4, 8)
     assert a == b
     assert all(-1000.0 <= x <= 1000.0 for row in a for x in row)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=33),
+    w=st.integers(min_value=1, max_value=33),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_roundtrip_never_crashes_and_bounds_error(h, w, seed):
+    """Baseline JPEG: any shape encodes to a decodable stream of the
+    right shape; per-pixel error is bounded by the worst-case
+    dequantization envelope (Σq/2 per block is loose; 200 is far above
+    any legal reconstruction error, so a codec bug still fails)."""
+    from smart_city_data_pipeline_spark.operators.jpeg_codec import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    img = np.random.default_rng(seed).integers(0, 256, size=(h, w), dtype=np.uint8)
+    back = decode_jpeg_gray(encode_jpeg_gray(img))
+    assert back is not None and back.shape == (h, w)
+    assert int(np.abs(back.astype(int) - img.astype(int)).max()) <= 200
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=300))
+def test_jpeg_decoder_survives_garbage(data):
+    """Untrusted-byte seam: arbitrary bytes (with and without a JPEG
+    SOI prefix) must yield None or an array — never an exception."""
+    from smart_city_data_pipeline_spark.operators.jpeg_codec import (
+        decode_jpeg_gray,
+    )
+
+    for buf in (data, b"\xff\xd8" + data):
+        out = decode_jpeg_gray(buf)
+        assert out is None or out.ndim == 2
