@@ -10,12 +10,14 @@ metadata and runs decode→detect over them. Spark-first re-expression:
 - decode/feature-extract runs in ``mapInPandas`` so payloads cross the
   Python boundary as Arrow record batches (zero-copy buffers), not
   pickled rows;
-- the codec is REAL for uncompressed frames: 8/24-bit BMP encode +
-  decode in pure struct/numpy (:func:`encode_bmp_gray` /
-  :func:`decode_bmp_gray`) — what an RTSP bridge shipping raw frames
-  produces. Compressed formats (JPEG/PNG) remain behind the cv2 seam
-  (absent in this container) with a deterministic payload-statistics
-  fallback, keeping schema / partitioning / batch plumbing honest.
+- the codecs are REAL: 8/24-bit BMP (pure struct/numpy,
+  :func:`encode_bmp_gray` / :func:`decode_bmp_gray`), non-interlaced
+  8-bit PNG (zlib + all five scanline filters, :func:`encode_png` /
+  :func:`decode_png`), and baseline single-component JPEG
+  (:mod:`jpeg_codec` — bitstream-driven Huffman + dequant + IDCT).
+  Only color/progressive JPEG remains behind the cv2 seam (absent in
+  this container) with a deterministic payload-statistics fallback,
+  keeping schema / partitioning / batch plumbing honest.
 
 Scale notes: binary payloads dominate bytes, so the pipeline projects
 metadata-only columns whenever the payload is not needed (column pruning
