@@ -67,7 +67,10 @@ _GATE_FIRST = [
     "langid_confusion",
     "acf_lags",  # new analytics additions (r5, fifth batch)
     "robust_zscore",
-    "sensor_uptime",
+    "frames_features_jpeg",  # real baseline-JPEG decode under the gate
+    # (took sensor_uptime's slot — the lowest-risk new entry, a single
+    # keyed aggregate; it sits first in the judge-covered rest and
+    # rotates into the r6 window)
     "prefix_dup_groups",  # new C-block additions (r5, sixth batch)
     "priority_dedup",
     "ann_range_search",
