@@ -74,6 +74,22 @@ def write_sorted_parquet(
     )
 
 
+def read_evolved_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet dataset whose batches were written under
+    EVOLVING schemas (sensors gain fields over firmware generations —
+    the reference's collectors append whatever the envelope carries).
+
+    ``mergeSchema`` makes Spark union the footer schemas of every file
+    instead of trusting the first one it samples, so columns added by
+    later batches surface as NULL in earlier batches' rows rather than
+    being silently dropped. The cost is one footer read per file at
+    planning time — bounded by file count, not data size; at 100 TB a
+    table registered in a metastore carries the merged schema already
+    and this flag is only needed for raw-path reads like this one.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
     """CSV read with explicit schema (no inference pass) + header."""
     return spark.read.schema(schema).option("header", "true").csv(path)

@@ -171,3 +171,40 @@ def test_sorted_parquet_export(spark, sf_dir, tmp_path):
                 assert prev_max < keys[0], "file key ranges overlap"
             prev_max = keys[-1]
     assert total == ev.count()
+
+
+def test_schema_evolution_merge(spark, sf_dir, tmp_path):
+    """Batches written under evolving schemas (a later firmware adds a
+    column) must read back as one table: old rows carry NULL for the
+    new column, nothing is dropped, and pushdown still prunes on the
+    shared columns."""
+    from smart_city_data_pipeline_spark.sources.writers import read_evolved_parquet
+
+    ev = table(spark, sf_dir, "events")
+    out = str(tmp_path / "evolved")
+    gen1 = ev.select("event_id", "ts", "user_id", "value").filter(
+        F.col("event_id") % 2 == 0
+    )
+    gen2 = ev.select(
+        "event_id", "ts", "user_id", "value",
+        F.lit("fw2").alias("firmware"),
+        (F.col("value") * 2).alias("value_calibrated"),
+    ).filter(F.col("event_id") % 2 == 1)
+    gen1.write.parquet(out + "/batch=1")
+    gen2.write.parquet(out + "/batch=2")
+
+    merged = read_evolved_parquet(spark, out)
+    assert {"event_id", "ts", "user_id", "value", "firmware", "value_calibrated"} <= set(
+        merged.columns
+    )
+    n_total = ev.count()
+    assert merged.count() == n_total
+    old = merged.filter(F.col("event_id") % 2 == 0)
+    assert old.filter(F.col("firmware").isNull()).count() == old.count()
+    new = merged.filter(F.col("event_id") % 2 == 1)
+    assert new.filter(F.col("firmware") == "fw2").count() == new.count()
+    # calibrated column is real data on new rows
+    bad = new.filter(
+        F.abs(F.col("value_calibrated") - 2 * F.col("value")) > 1e-9
+    ).count()
+    assert bad == 0
