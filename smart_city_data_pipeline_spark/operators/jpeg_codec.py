@@ -139,8 +139,13 @@ def _amplitude(v: int, n: int) -> int:
     return v if v >= 0 else v + (1 << n) - 1
 
 
-def encode_jpeg_gray(arr) -> bytes:
-    """8-bit grayscale array → baseline sequential JPEG bytes."""
+def encode_jpeg_gray(arr, restart_interval: int = 0) -> bytes:
+    """8-bit grayscale array → baseline sequential JPEG bytes.
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    N MCUs (byte-aligned, DC predictor reset) — the error-resilience
+    structure real camera firmware produces.
+    """
     import numpy as np
 
     a = np.asarray(arr, dtype=np.uint8)
@@ -155,8 +160,19 @@ def encode_jpeg_gray(arr) -> bytes:
 
     bits = _BitWriter()
     prev_dc = 0
+    mcu = 0
+    rst = 0
     for by in range(0, bh, 8):
         for bx in range(0, bw, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # byte-align (1-fill), emit RSTn, reset DC predictor
+                if bits.n:
+                    pad = 8 - bits.n
+                    bits.write((1 << pad) - 1, pad)
+                bits.buf += bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) & 7
+                prev_dc = 0
+            mcu += 1
             f = padded[by : by + 8, bx : bx + 8] - 128.0
             coef = m @ f @ m.T
             sq = np.round(coef / q).astype(np.int64)
@@ -192,6 +208,8 @@ def encode_jpeg_gray(arr) -> bytes:
     # DQT (stored in zigzag order per the spec)
     zz_q = bytes(QTABLE[ZIGZAG[k]] for k in range(64))
     out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + zz_q
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOF0: 8-bit, 1 component, no subsampling
     out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1)
     out += struct.pack(">BBB", 1, 0x11, 0)
@@ -238,6 +256,19 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def sync_restart(self) -> bool:
+        """Consume a byte-aligned RSTn marker; False if absent."""
+        self.acc = 0
+        self.n = 0  # discard pad bits to the byte boundary
+        if (
+            self.pos + 1 < len(self.buf)
+            and self.buf[self.pos] == 0xFF
+            and 0xD0 <= self.buf[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+            return True
+        return False
+
 
 def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
     """(length, code) -> symbol."""
@@ -269,7 +300,8 @@ def _extend(v: int, n: int) -> int:
 def decode_jpeg_gray(buf: bytes):
     """Baseline single-component JPEG bytes → 2-D uint8 array, or None
     when ``buf`` is not a JPEG this decoder handles (multi-component,
-    progressive, restart markers). Tables come from the bitstream."""
+    progressive). Restart markers (DRI/RSTn) are supported. Tables
+    come from the bitstream."""
     import numpy as np
 
     if len(buf) < 4 or buf[:2] != b"\xff\xd8":
@@ -278,6 +310,7 @@ def decode_jpeg_gray(buf: bytes):
     htables: dict[int, dict[tuple[int, int], int]] = {}
     h = w = 0
     dc_id = ac_id = 0
+    restart_interval = 0
     pos = 2
     try:
         while pos + 4 <= len(buf):
@@ -318,8 +351,7 @@ def decode_jpeg_gray(buf: bytes):
                     htables[tc_th] = _decode_table(bits, vals)
                     i += 17 + n
             elif marker == 0xDD:  # DRI restart interval
-                if struct.unpack_from(">H", seg, 0)[0] != 0:
-                    return None  # restart markers unsupported
+                restart_interval = struct.unpack_from(">H", seg, 0)[0]
             elif marker == 0xDA:  # SOS → entropy-coded data follows
                 if seg[0] != 1:
                     return None
@@ -343,8 +375,14 @@ def decode_jpeg_gray(buf: bytes):
         out = np.empty((bh * 8, bw * 8), dtype=np.uint8)
         rd = _BitReader(buf, pos)
         prev_dc = 0
+        mcu = 0
         for by in range(bh):
             for bx in range(bw):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    if not rd.sync_restart():
+                        return None
+                    prev_dc = 0
+                mcu += 1
                 zz = [0] * 64
                 n = _read_symbol(rd, dc_tab)
                 diff = _extend(rd.read_bits(n), n) if n else 0

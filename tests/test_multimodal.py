@@ -253,3 +253,32 @@ def test_jpeg_frames_decode_for_real(spark, sf_dir):
     for r in rows:
         expect = round(sum(want[r["camera_id"]]) / len(want[r["camera_id"]]), 4)
         assert abs(r["avg_intensity"] - expect) < 1e-6, (r, expect)
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn streams (the error-resilience structure real camera
+    firmware emits) decode identically to the unsegmented stream, and
+    the block-constant family stays bit-exact across intervals."""
+    import numpy as np
+
+    from smart_city_data_pipeline_spark.operators.jpeg_codec import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    bx, by = xx // 8, yy // 8
+    img = (64 + 2 * ((3 * bx + 5 * by + 7 * 11) % 64)).astype(np.uint8)
+    for ri in (1, 2, 5, 12, 100):
+        buf = encode_jpeg_gray(img, restart_interval=ri)
+        assert np.array_equal(decode_jpeg_gray(buf), img), ri
+        if ri <= 5:  # markers actually present for small intervals
+            assert any(
+                buf[i] == 0xFF and 0xD0 <= buf[i + 1] <= 0xD7
+                for i in range(2, len(buf) - 1)
+            ), ri
+    noisy = np.random.default_rng(9).integers(0, 256, (17, 29), dtype=np.uint8)
+    base = decode_jpeg_gray(encode_jpeg_gray(noisy))
+    for ri in (1, 4, 7):
+        seg = decode_jpeg_gray(encode_jpeg_gray(noisy, restart_interval=ri))
+        assert np.array_equal(seg, base), ri
