@@ -139,6 +139,53 @@ def _amplitude(v: int, n: int) -> int:
     return v if v >= 0 else v + (1 << n) - 1
 
 
+def _encode_block(bits: "_BitWriter", f, m, q, prev_dc: int) -> int:
+    """DCT → quantize → entropy-code one level-shifted 8×8 block;
+    returns the new DC predictor."""
+    import numpy as np
+
+    coef = m @ f @ m.T
+    sq = np.round(coef / q).astype(np.int64)
+    zz = [int(sq.flat[ZIGZAG[k]]) for k in range(64)]
+    diff = zz[0] - prev_dc
+    n = _category(diff)
+    c, ln = _DC_ENC[n]
+    bits.write(c, ln)
+    if n:
+        bits.write(_amplitude(diff, n), n)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, last_nz + 1):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = _AC_ENC[0xF0]
+            bits.write(c, ln)
+            run -= 16
+        n = _category(zz[k])
+        c, ln = _AC_ENC[(run << 4) | n]
+        bits.write(c, ln)
+        bits.write(_amplitude(zz[k], n), n)
+        run = 0
+    if last_nz < 63:
+        c, ln = _AC_ENC[0x00]
+        bits.write(c, ln)
+    return zz[0]
+
+
+def _pad_plane(a, h: int, w: int):
+    """Edge-replicate to 8-multiples, float64."""
+    import numpy as np
+
+    bh, bw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.empty((bh, bw), dtype=np.float64)
+    padded[:h, :w] = a
+    padded[h:, :w] = padded[h - 1 : h, :w]
+    padded[:, w:] = padded[:, w - 1 : w]
+    return padded
+
+
 def encode_jpeg_gray(arr, restart_interval: int = 0) -> bytes:
     """8-bit grayscale array → baseline sequential JPEG bytes.
 
@@ -150,77 +197,75 @@ def encode_jpeg_gray(arr, restart_interval: int = 0) -> bytes:
 
     a = np.asarray(arr, dtype=np.uint8)
     h, w = a.shape
-    bh, bw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = np.empty((bh, bw), dtype=np.float64)
-    padded[:h, :w] = a
-    padded[h:, :w] = a[-1:, :]  # edge replicate
-    padded[:, w:] = padded[:, w - 1 : w]
+    return _assemble_jpeg([_pad_plane(a, h, w)], h, w, restart_interval)
+
+
+def encode_jpeg_color(arr, restart_interval: int = 0) -> bytes:
+    """(h, w, 3) RGB uint8 array → baseline 4:4:4 YCbCr JPEG bytes
+    (BT.601 full-range JFIF transform, interleaved Y/Cb/Cr MCUs, all
+    components sharing the quant/Huffman tables — legal and simple)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8).astype(np.float64)
+    h, w = a.shape[:2]
+    r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    planes = [_pad_plane(p, h, w) for p in (y, cb, cr)]
+    return _assemble_jpeg(planes, h, w, restart_interval)
+
+
+def _assemble_jpeg(planes, h: int, w: int, restart_interval: int) -> bytes:
+    """Entropy-code padded float planes (1 = gray, 3 = YCbCr 4:4:4)
+    and wrap them in SOI/DQT/[DRI]/SOF0/DHT/SOS/EOI."""
+    import numpy as np
+
     m = _dct_matrix()
     q = np.array(QTABLE, dtype=np.float64).reshape(8, 8)
+    bh, bw = planes[0].shape
 
     bits = _BitWriter()
-    prev_dc = 0
+    prev = [0] * len(planes)
     mcu = 0
     rst = 0
     for by in range(0, bh, 8):
         for bx in range(0, bw, 8):
             if restart_interval and mcu and mcu % restart_interval == 0:
-                # byte-align (1-fill), emit RSTn, reset DC predictor
+                # byte-align (1-fill), emit RSTn, reset DC predictors
                 if bits.n:
                     pad = 8 - bits.n
                     bits.write((1 << pad) - 1, pad)
                 bits.buf += bytes((0xFF, 0xD0 + rst))
                 rst = (rst + 1) & 7
-                prev_dc = 0
+                prev = [0] * len(planes)
             mcu += 1
-            f = padded[by : by + 8, bx : bx + 8] - 128.0
-            coef = m @ f @ m.T
-            sq = np.round(coef / q).astype(np.int64)
-            zz = [int(sq.flat[ZIGZAG[k]]) for k in range(64)]
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            n = _category(diff)
-            c, ln = _DC_ENC[n]
-            bits.write(c, ln)
-            if n:
-                bits.write(_amplitude(diff, n), n)
-            run = 0
-            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
-            for k in range(1, last_nz + 1):
-                if zz[k] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    c, ln = _AC_ENC[0xF0]
-                    bits.write(c, ln)
-                    run -= 16
-                n = _category(zz[k])
-                c, ln = _AC_ENC[(run << 4) | n]
-                bits.write(c, ln)
-                bits.write(_amplitude(zz[k], n), n)
-                run = 0
-            if last_nz < 63:
-                c, ln = _AC_ENC[0x00]
-                bits.write(c, ln)
+            for ci, plane in enumerate(planes):
+                f = plane[by : by + 8, bx : bx + 8] - 128.0
+                prev[ci] = _encode_block(bits, f, m, q, prev[ci])
     scan = bits.flush()
 
+    nf = len(planes)
     out = bytearray(b"\xff\xd8")  # SOI
     # DQT (stored in zigzag order per the spec)
     zz_q = bytes(QTABLE[ZIGZAG[k]] for k in range(64))
     out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + zz_q
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    # SOF0: 8-bit, 1 component, no subsampling
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1)
-    out += struct.pack(">BBB", 1, 0x11, 0)
-    # DHT: DC table 0, AC table 0
+    # SOF0: 8-bit, nf components, no subsampling
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nf, 8, h, w, nf)
+    for cid in range(1, nf + 1):
+        out += struct.pack(">BBB", cid, 0x11, 0)
+    # DHT: DC table 0, AC table 0 (shared by all components)
     out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(_DC_VALS), 0x00)
     out += bytes(_DC_BITS) + bytes(_DC_VALS)
     out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(_AC_VALS), 0x10)
     out += bytes(_AC_BITS) + bytes(_AC_VALS)
     # SOS
-    out += b"\xff\xda" + struct.pack(">HB", 8, 1)
-    out += struct.pack(">BBBBB", 1, 0x00, 0, 63, 0)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nf, nf)
+    for cid in range(1, nf + 1):
+        out += struct.pack(">BB", cid, 0x00)
+    out += struct.pack(">BBB", 0, 63, 0)
     out += scan
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -297,11 +342,39 @@ def _extend(v: int, n: int) -> int:
     return v if n == 0 or v >= (1 << (n - 1)) else v - (1 << n) + 1
 
 
+def _decode_block(rd, dc_tab, ac_tab, prev_dc: int):
+    """One 8×8 block of zigzag coefficients; returns (zz, new_dc)."""
+    zz = [0] * 64
+    n = _read_symbol(rd, dc_tab)
+    diff = _extend(rd.read_bits(n), n) if n else 0
+    prev_dc += diff
+    zz[0] = prev_dc
+    k = 1
+    while k < 64:
+        sym = _read_symbol(rd, ac_tab)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, size = sym >> 4, sym & 0xF
+        k += run
+        if k > 63:
+            raise ValueError("AC index overrun")
+        zz[k] = _extend(rd.read_bits(size), size)
+        k += 1
+    return zz, prev_dc
+
+
 def decode_jpeg_gray(buf: bytes):
-    """Baseline single-component JPEG bytes → 2-D uint8 array, or None
-    when ``buf`` is not a JPEG this decoder handles (multi-component,
-    progressive). Restart markers (DRI/RSTn) are supported. Tables
-    come from the bitstream."""
+    """Baseline JPEG bytes → 2-D uint8 GRAY array, or None when ``buf``
+    is not a JPEG this decoder handles. Supported: single-component,
+    and 3-component 4:4:4 interleaved (YCbCr → BT.601 RGB → channel
+    mean, matching the 24-bit BMP path's gray convention). Restart
+    markers (DRI/RSTn) are supported. Unsupported (→ None, cv2 seam):
+    progressive/other frame types, chroma subsampling, 16-bit quant
+    tables. Tables come from the bitstream, not from this module's
+    encoder constants."""
     import numpy as np
 
     if len(buf) < 4 or buf[:2] != b"\xff\xd8":
@@ -309,7 +382,9 @@ def decode_jpeg_gray(buf: bytes):
     qtables: dict[int, list[int]] = {}
     htables: dict[int, dict[tuple[int, int], int]] = {}
     h = w = 0
-    dc_id = ac_id = 0
+    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    scan_tabs: dict[int, tuple[int, int]] = {}  # comp id -> (dc, ac)
+    scan_order: list[int] = []
     restart_interval = 0
     pos = 2
     try:
@@ -335,10 +410,14 @@ def decode_jpeg_gray(buf: bytes):
                     i += 65
             elif marker == 0xC0:  # SOF0 baseline
                 precision, h, w, nf = struct.unpack_from(">BHHB", seg, 0)
-                if precision != 8 or nf != 1:
+                if precision != 8 or nf not in (1, 3):
                     return None
-                # component spec: id seg[6], sampling seg[7], quant id seg[8]
-                comp_tq = seg[8]
+                comps = []
+                for ci in range(nf):
+                    cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                    if samp != 0x11:
+                        return None  # chroma subsampling unsupported
+                    comps.append((cid, tq))
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
                 return None  # non-baseline frame types
             elif marker == 0xC4:  # DHT (possibly several tables)
@@ -353,63 +432,71 @@ def decode_jpeg_gray(buf: bytes):
             elif marker == 0xDD:  # DRI restart interval
                 restart_interval = struct.unpack_from(">H", seg, 0)[0]
             elif marker == 0xDA:  # SOS → entropy-coded data follows
-                if seg[0] != 1:
+                ns = seg[0]
+                if ns != len(comps):
                     return None
-                td_ta = seg[2]
-                dc_id, ac_id = td_ta >> 4, td_ta & 0xF
+                for ci in range(ns):
+                    cid, td_ta = seg[1 + 2 * ci], seg[2 + 2 * ci]
+                    scan_tabs[cid] = (td_ta >> 4, td_ta & 0xF)
+                    scan_order.append(cid)
                 pos = pos + 2 + seglen
                 break
             pos = pos + 2 + seglen
         else:
             return None
-        if not h or not w or comp_tq not in qtables:
+        if not h or not w or not comps:
             return None
-        dc_tab = htables.get(0x00 | dc_id)
-        ac_tab = htables.get(0x10 | ac_id)
-        if dc_tab is None or ac_tab is None:
-            return None
+        plan = []  # per scan component: (q, dc_tab, ac_tab)
+        tq_by_id = dict(comps)
+        for cid in scan_order:
+            if cid not in tq_by_id or tq_by_id[cid] not in qtables:
+                return None
+            dc_id, ac_id = scan_tabs[cid]
+            dc_tab = htables.get(0x00 | dc_id)
+            ac_tab = htables.get(0x10 | ac_id)
+            if dc_tab is None or ac_tab is None:
+                return None
+            plan.append(
+                (
+                    np.array(qtables[tq_by_id[cid]], dtype=np.float64).reshape(8, 8),
+                    dc_tab,
+                    ac_tab,
+                )
+            )
 
-        q = np.array(qtables[comp_tq], dtype=np.float64).reshape(8, 8)
         m = _dct_matrix()
         bh, bw = -(-h // 8), -(-w // 8)
-        out = np.empty((bh * 8, bw * 8), dtype=np.uint8)
+        planes = [np.empty((bh * 8, bw * 8)) for _ in plan]
         rd = _BitReader(buf, pos)
-        prev_dc = 0
+        prev = [0] * len(plan)
         mcu = 0
         for by in range(bh):
             for bx in range(bw):
                 if restart_interval and mcu and mcu % restart_interval == 0:
                     if not rd.sync_restart():
                         return None
-                    prev_dc = 0
+                    prev = [0] * len(plan)
                 mcu += 1
-                zz = [0] * 64
-                n = _read_symbol(rd, dc_tab)
-                diff = _extend(rd.read_bits(n), n) if n else 0
-                prev_dc += diff
-                zz[0] = prev_dc
-                k = 1
-                while k < 64:
-                    sym = _read_symbol(rd, ac_tab)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0xF
-                    k += run
-                    if k > 63:
-                        return None
-                    zz[k] = _extend(rd.read_bits(size), size)
-                    k += 1
-                coef = np.zeros(64)
-                for k in range(64):
-                    coef[ZIGZAG[k]] = zz[k]
-                coef = coef.reshape(8, 8) * q
-                block = m.T @ coef @ m + 128.0
-                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                    np.round(block), 0, 255
-                ).astype(np.uint8)
-        return out[:h, :w]
+                for ci, (q, dc_tab, ac_tab) in enumerate(plan):
+                    zz, prev[ci] = _decode_block(rd, dc_tab, ac_tab, prev[ci])
+                    coef = np.zeros(64)
+                    for k in range(64):
+                        coef[ZIGZAG[k]] = zz[k]
+                    coef = coef.reshape(8, 8) * q
+                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        m.T @ coef @ m + 128.0
+                    )
+        if len(planes) == 1:
+            out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+            return out[:h, :w]
+        # 4:4:4 YCbCr → BT.601 full-range RGB → channel-mean gray
+        y, cb, cr = (p[:h, :w] for p in planes)
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack(
+            [np.clip(np.round(c), 0, 255) for c in (r, g, b)], axis=2
+        )
+        return rgb.mean(axis=2).astype(np.uint8)
     except (EOFError, ValueError, IndexError, struct.error):
         return None

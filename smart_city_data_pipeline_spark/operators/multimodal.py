@@ -13,10 +13,11 @@ metadata and runs decode→detect over them. Spark-first re-expression:
 - the codecs are REAL: 8/24-bit BMP (pure struct/numpy,
   :func:`encode_bmp_gray` / :func:`decode_bmp_gray`), non-interlaced
   8-bit PNG (zlib + all five scanline filters, :func:`encode_png` /
-  :func:`decode_png`), and baseline single-component JPEG
-  (:mod:`jpeg_codec` — bitstream-driven Huffman + dequant + IDCT).
-  Only color/progressive JPEG remains behind the cv2 seam (absent in
-  this container) with a deterministic payload-statistics fallback,
+  :func:`decode_png`), and baseline JPEG — single-component AND
+  3-component 4:4:4 YCbCr, with restart markers (:mod:`jpeg_codec`,
+  bitstream-driven Huffman + dequant + IDCT). Only progressive /
+  chroma-subsampled JPEG remains behind the cv2 seam (absent in this
+  container) with a deterministic payload-statistics fallback,
   keeping schema / partitioning / batch plumbing honest.
 
 Scale notes: binary payloads dominate bytes, so the pipeline projects
@@ -392,10 +393,11 @@ def _decode_frame(buf: bytes):
        (:func:`decode_bmp_gray`) — fully functional in this container;
     2. REAL pure-stdlib decode for non-interlaced 8-bit PNG payloads
        (:func:`decode_png`, zlib + the five scanline filters);
-    3. REAL pure-numpy decode for baseline single-component JPEG
-       (:mod:`jpeg_codec` — bitstream-driven Huffman + dequant + IDCT);
-    4. cv2 for what remains (color/progressive JPEG) — absent here,
-       so that branch is the one remaining gated seam.
+    3. REAL pure-numpy decode for baseline JPEG — single-component
+       and 4:4:4 color (:mod:`jpeg_codec`, bitstream-driven Huffman +
+       dequant + IDCT + BT.601);
+    4. cv2 for what remains (progressive / chroma-subsampled JPEG) —
+       absent here, so that branch is the one remaining gated seam.
     """
     import numpy as np
 
@@ -599,7 +601,8 @@ JPEG_W, JPEG_H = 32, 24
 
 
 def synth_jpeg_frames(
-    spark: SparkSession, sf_dir: str, every_k: int | None = None
+    spark: SparkSession, sf_dir: str, every_k: int | None = None,
+    color: bool = False,
 ) -> DataFrame:
     """Frame table whose payloads are REAL entropy-coded baseline JPEGs
     (:mod:`jpeg_codec`) — the exact format the reference's camera
@@ -637,6 +640,10 @@ def synth_jpeg_frames(
     )
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from smart_city_data_pipeline_spark.operators.jpeg_codec import (
+            encode_jpeg_color,
+        )
+
         yy, xx = np.mgrid[0:JPEG_H, 0:JPEG_W]
         bxg, byg = xx // 8, yy // 8
         for pdf in batches:
@@ -645,7 +652,15 @@ def synth_jpeg_frames(
                 img = (64 + 2 * ((3 * bxg + 5 * byg + 7 * int(fid)) % 64)).astype(
                     np.uint8
                 )
-                payloads.append(encode_jpeg_gray(img))
+                if color:
+                    # gray-identical RGB: Y plane == img, chroma == 128 —
+                    # the color transform cancels exactly, so the decoded
+                    # gray equals the closed-form source through the
+                    # 3-component interleaved scan.
+                    buf = encode_jpeg_color(np.stack([img, img, img], axis=2))
+                else:
+                    buf = encode_jpeg_gray(img)
+                payloads.append(buf)
                 metas.append(
                     {
                         "width": JPEG_W,
@@ -857,12 +872,29 @@ def _jpeg_rollup_oracle(w: int, h: int) -> str:
     """
 
 
+def frames_features_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry exercising the 3-component 4:4:4 COLOR JPEG
+    decode (interleaved Y/Cb/Cr MCUs, per-component DC predictors,
+    YCbCr→RGB) under the hash gate: the synthetic frames are
+    gray-identical RGB, so the color transform cancels exactly and the
+    decoded gray equals the same closed-form source as the gray
+    entry."""
+    frames = sample_frames(
+        synth_jpeg_frames(spark, sf_dir, every_k=FRAME_SAMPLE_K, color=True),
+        every_k=FRAME_SAMPLE_K,
+    )
+    return camera_rollup_exact(extract_features(frames)).select(
+        "camera_id", "n_frames", "avg_intensity", "total_px"
+    )
+
+
 QUERIES = {
     "frames_features": frames_features,
     "frames_features_bmp": frames_features_bmp,
     "frames_features_png": frames_features_png,
     "frames_resize_stats": frames_resize_stats,
     "frames_features_jpeg": frames_features_jpeg,
+    "frames_features_jpeg_color": frames_features_jpeg_color,
 }
 
 ORACLES: dict[str, str] = {
@@ -876,4 +908,5 @@ ORACLES: dict[str, str] = {
         BMP_W, BMP_H, RESIZE_W, RESIZE_H
     ),
     "frames_features_jpeg": _jpeg_rollup_oracle(JPEG_W, JPEG_H),
+    "frames_features_jpeg_color": _jpeg_rollup_oracle(JPEG_W, JPEG_H),
 }

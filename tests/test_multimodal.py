@@ -282,3 +282,33 @@ def test_jpeg_restart_markers():
     for ri in (1, 4, 7):
         seg = decode_jpeg_gray(encode_jpeg_gray(noisy, restart_interval=ri))
         assert np.array_equal(seg, base), ri
+
+
+def test_jpeg_color_codec():
+    """4:4:4 color JPEG: gray-identical RGB round-trips EXACTLY (the
+    BT.601 transform cancels: Y == v, chroma == 128); true-color smooth
+    gradients decode within the quantization envelope; random color
+    shapes survive."""
+    import numpy as np
+
+    from smart_city_data_pipeline_spark.operators.jpeg_codec import (
+        decode_jpeg_gray,
+        encode_jpeg_color,
+    )
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    bx, by = xx // 8, yy // 8
+    img = (64 + 2 * ((3 * bx + 5 * by + 7 * 11) % 64)).astype(np.uint8)
+    rgb = np.stack([img, img, img], axis=2)
+    for ri in (0, 3):
+        out = decode_jpeg_gray(encode_jpeg_color(rgb, restart_interval=ri))
+        assert np.array_equal(out, img), ri
+
+    r, g, b = (xx * 2) % 256, (yy * 3) % 256, (xx + yy) % 256
+    rgb2 = np.stack([r, g, b], axis=2).astype(np.uint8)
+    ref = np.stack([r, g, b], axis=2).mean(axis=2)
+    d2 = decode_jpeg_gray(encode_jpeg_color(rgb2)).astype(float)
+    assert float(np.abs(d2 - ref).max()) <= 20
+
+    rc = np.random.default_rng(5).integers(0, 256, (13, 21, 3), dtype=np.uint8)
+    assert decode_jpeg_gray(encode_jpeg_color(rc)).shape == (13, 21)
