@@ -174,16 +174,20 @@ def _encode_block(bits: "_BitWriter", f, m, q, prev_dc: int) -> int:
     return zz[0]
 
 
-def _pad_plane(a, h: int, w: int):
-    """Edge-replicate to 8-multiples, float64."""
+def _pad_to(a, h: int, w: int, th: int, tw: int):
+    """Edge-replicate an (h, w) plane to (th, tw), float64."""
     import numpy as np
 
-    bh, bw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = np.empty((bh, bw), dtype=np.float64)
+    padded = np.empty((th, tw), dtype=np.float64)
     padded[:h, :w] = a
     padded[h:, :w] = padded[h - 1 : h, :w]
     padded[:, w:] = padded[:, w - 1 : w]
     return padded
+
+
+def _pad_plane(a, h: int, w: int):
+    """Edge-replicate to 8-multiples, float64."""
+    return _pad_to(a, h, w, -(-h // 8) * 8, -(-w // 8) * 8)
 
 
 def encode_jpeg_gray(arr, restart_interval: int = 0) -> bytes:
@@ -197,13 +201,15 @@ def encode_jpeg_gray(arr, restart_interval: int = 0) -> bytes:
 
     a = np.asarray(arr, dtype=np.uint8)
     h, w = a.shape
-    return _assemble_jpeg([_pad_plane(a, h, w)], h, w, restart_interval)
+    return _assemble_jpeg([_pad_plane(a, h, w)], [(1, 1)], h, w, restart_interval)
 
 
-def encode_jpeg_color(arr, restart_interval: int = 0) -> bytes:
-    """(h, w, 3) RGB uint8 array → baseline 4:4:4 YCbCr JPEG bytes
-    (BT.601 full-range JFIF transform, interleaved Y/Cb/Cr MCUs, all
-    components sharing the quant/Huffman tables — legal and simple)."""
+def encode_jpeg_color(arr, restart_interval: int = 0, subsample: bool = False) -> bytes:
+    """(h, w, 3) RGB uint8 array → baseline YCbCr JPEG bytes (BT.601
+    full-range JFIF transform; all components share the quant/Huffman
+    tables — legal and simple). ``subsample=True`` produces 4:2:0 (the
+    dominant real-world layout: Y at 2×2 sampling, chroma 2×2-mean
+    downsampled, MCU = 4 Y + Cb + Cr blocks); default is 4:4:4."""
     import numpy as np
 
     a = np.asarray(arr, dtype=np.uint8).astype(np.float64)
@@ -212,25 +218,40 @@ def encode_jpeg_color(arr, restart_interval: int = 0) -> bytes:
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
     cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-    planes = [_pad_plane(p, h, w) for p in (y, cb, cr)]
-    return _assemble_jpeg(planes, h, w, restart_interval)
+    if not subsample:
+        planes = [_pad_plane(p, h, w) for p in (y, cb, cr)]
+        return _assemble_jpeg(planes, [(1, 1)] * 3, h, w, restart_interval)
+    my, mx = -(-h // 16), -(-w // 16)
+    ypad = _pad_to(y, h, w, my * 16, mx * 16)
+    planes = [ypad]
+    for p in (cb, cr):
+        fullp = _pad_to(p, h, w, my * 16, mx * 16)
+        planes.append(fullp.reshape(my * 8, 2, mx * 8, 2).mean(axis=(1, 3)))
+    return _assemble_jpeg(
+        planes, [(2, 2), (1, 1), (1, 1)], h, w, restart_interval
+    )
 
 
-def _assemble_jpeg(planes, h: int, w: int, restart_interval: int) -> bytes:
-    """Entropy-code padded float planes (1 = gray, 3 = YCbCr 4:4:4)
-    and wrap them in SOI/DQT/[DRI]/SOF0/DHT/SOS/EOI."""
+def _assemble_jpeg(planes, samps, h: int, w: int, restart_interval: int) -> bytes:
+    """Entropy-code padded float planes (gray, 4:4:4, or 4:2:0 per
+    ``samps`` sampling factors) and wrap them in
+    SOI/DQT/[DRI]/SOF0/DHT/SOS/EOI. ``planes[i]`` must measure
+    (mcus_y·8·vs, mcus_x·8·hs)."""
     import numpy as np
 
     m = _dct_matrix()
     q = np.array(QTABLE, dtype=np.float64).reshape(8, 8)
-    bh, bw = planes[0].shape
+    hmax = max(hs for hs, _ in samps)
+    vmax = max(vs for _, vs in samps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
 
     bits = _BitWriter()
     prev = [0] * len(planes)
     mcu = 0
     rst = 0
-    for by in range(0, bh, 8):
-        for bx in range(0, bw, 8):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 # byte-align (1-fill), emit RSTn, reset DC predictors
                 if bits.n:
@@ -240,9 +261,13 @@ def _assemble_jpeg(planes, h: int, w: int, restart_interval: int) -> bytes:
                 rst = (rst + 1) & 7
                 prev = [0] * len(planes)
             mcu += 1
-            for ci, plane in enumerate(planes):
-                f = plane[by : by + 8, bx : bx + 8] - 128.0
-                prev[ci] = _encode_block(bits, f, m, q, prev[ci])
+            for ci, (plane, (hs, vs)) in enumerate(zip(planes, samps)):
+                for v in range(vs):
+                    for u in range(hs):
+                        py = (my * vs + v) * 8
+                        px = (mx * hs + u) * 8
+                        f = plane[py : py + 8, px : px + 8] - 128.0
+                        prev[ci] = _encode_block(bits, f, m, q, prev[ci])
     scan = bits.flush()
 
     nf = len(planes)
@@ -252,10 +277,11 @@ def _assemble_jpeg(planes, h: int, w: int, restart_interval: int) -> bytes:
     out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + zz_q
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    # SOF0: 8-bit, nf components, no subsampling
+    # SOF0: 8-bit, nf components with their sampling factors
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nf, 8, h, w, nf)
     for cid in range(1, nf + 1):
-        out += struct.pack(">BBB", cid, 0x11, 0)
+        hs, vs = samps[cid - 1]
+        out += struct.pack(">BBB", cid, (hs << 4) | vs, 0)
     # DHT: DC table 0, AC table 0 (shared by all components)
     out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(_DC_VALS), 0x00)
     out += bytes(_DC_BITS) + bytes(_DC_VALS)
@@ -415,9 +441,10 @@ def decode_jpeg_gray(buf: bytes):
                 comps = []
                 for ci in range(nf):
                     cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
-                    if samp != 0x11:
-                        return None  # chroma subsampling unsupported
-                    comps.append((cid, tq))
+                    hs, vs = samp >> 4, samp & 0xF
+                    if hs not in (1, 2) or vs not in (1, 2):
+                        return None  # sampling factors beyond 2 unsupported
+                    comps.append((cid, tq, hs, vs))
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
                 return None  # non-baseline frame types
             elif marker == 0xC4:  # DHT (possibly several tables)
@@ -446,11 +473,14 @@ def decode_jpeg_gray(buf: bytes):
             return None
         if not h or not w or not comps:
             return None
-        plan = []  # per scan component: (q, dc_tab, ac_tab)
-        tq_by_id = dict(comps)
+        spec_by_id = {cid: (tq, hs, vs) for cid, tq, hs, vs in comps}
+        hmax = max(hs for _, _, hs, _ in comps)
+        vmax = max(vs for _, _, _, vs in comps)
+        plan = []  # per scan component: (q, dc_tab, ac_tab, hs, vs)
         for cid in scan_order:
-            if cid not in tq_by_id or tq_by_id[cid] not in qtables:
+            if cid not in spec_by_id or spec_by_id[cid][0] not in qtables:
                 return None
+            tq, hs, vs = spec_by_id[cid]
             dc_id, ac_id = scan_tabs[cid]
             dc_tab = htables.get(0x00 | dc_id)
             ac_tab = htables.get(0x10 | ac_id)
@@ -458,38 +488,62 @@ def decode_jpeg_gray(buf: bytes):
                 return None
             plan.append(
                 (
-                    np.array(qtables[tq_by_id[cid]], dtype=np.float64).reshape(8, 8),
+                    np.array(qtables[tq], dtype=np.float64).reshape(8, 8),
                     dc_tab,
                     ac_tab,
+                    hs,
+                    vs,
                 )
             )
 
         m = _dct_matrix()
-        bh, bw = -(-h // 8), -(-w // 8)
-        planes = [np.empty((bh * 8, bw * 8)) for _ in plan]
+        # MCU grid: each MCU covers (8·hmax × 8·vmax) image pixels and
+        # carries hs·vs blocks per component.
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-h // (8 * vmax))
+        planes = [
+            np.empty((mcus_y * 8 * vs, mcus_x * 8 * hs))
+            for (_, _, _, hs, vs) in plan
+        ]
         rd = _BitReader(buf, pos)
         prev = [0] * len(plan)
         mcu = 0
-        for by in range(bh):
-            for bx in range(bw):
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
                 if restart_interval and mcu and mcu % restart_interval == 0:
                     if not rd.sync_restart():
                         return None
                     prev = [0] * len(plan)
                 mcu += 1
-                for ci, (q, dc_tab, ac_tab) in enumerate(plan):
-                    zz, prev[ci] = _decode_block(rd, dc_tab, ac_tab, prev[ci])
-                    coef = np.zeros(64)
-                    for k in range(64):
-                        coef[ZIGZAG[k]] = zz[k]
-                    coef = coef.reshape(8, 8) * q
-                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                        m.T @ coef @ m + 128.0
-                    )
+                for ci, (q, dc_tab, ac_tab, hs, vs) in enumerate(plan):
+                    for v in range(vs):
+                        for u in range(hs):
+                            zz, prev[ci] = _decode_block(
+                                rd, dc_tab, ac_tab, prev[ci]
+                            )
+                            coef = np.zeros(64)
+                            for k in range(64):
+                                coef[ZIGZAG[k]] = zz[k]
+                            coef = coef.reshape(8, 8) * q
+                            py = (my * vs + v) * 8
+                            px = (mx * hs + u) * 8
+                            planes[ci][py : py + 8, px : px + 8] = (
+                                m.T @ coef @ m + 128.0
+                            )
+        # Upsample subsampled components to full resolution (nearest,
+        # the block-replication inverse of the encoder's 2×2 mean).
+        full = []
+        for p, (_, _, _, hs, vs) in zip(planes, plan):
+            if hs != hmax:
+                p = np.repeat(p, hmax // hs, axis=1)
+            if vs != vmax:
+                p = np.repeat(p, vmax // vs, axis=0)
+            full.append(p[: mcus_y * 8 * vmax, : mcus_x * 8 * hmax])
+        planes = full
         if len(planes) == 1:
             out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
             return out[:h, :w]
-        # 4:4:4 YCbCr → BT.601 full-range RGB → channel-mean gray
+        # YCbCr → BT.601 full-range RGB → channel-mean gray
         y, cb, cr = (p[:h, :w] for p in planes)
         r = y + 1.402 * (cr - 128.0)
         g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)

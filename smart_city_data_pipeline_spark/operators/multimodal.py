@@ -13,10 +13,10 @@ metadata and runs decode→detect over them. Spark-first re-expression:
 - the codecs are REAL: 8/24-bit BMP (pure struct/numpy,
   :func:`encode_bmp_gray` / :func:`decode_bmp_gray`), non-interlaced
   8-bit PNG (zlib + all five scanline filters, :func:`encode_png` /
-  :func:`decode_png`), and baseline JPEG — single-component AND
-  3-component 4:4:4 YCbCr, with restart markers (:mod:`jpeg_codec`,
-  bitstream-driven Huffman + dequant + IDCT). Only progressive /
-  chroma-subsampled JPEG remains behind the cv2 seam (absent in this
+  :func:`decode_png`), and baseline JPEG — single-component, 4:4:4
+  color, AND 4:2:0 chroma-subsampled, with restart markers
+  (:mod:`jpeg_codec`, bitstream-driven Huffman + dequant + IDCT).
+  Only progressive JPEG remains behind the cv2 seam (absent in this
   container) with a deterministic payload-statistics fallback,
   keeping schema / partitioning / batch plumbing honest.
 
@@ -393,11 +393,11 @@ def _decode_frame(buf: bytes):
        (:func:`decode_bmp_gray`) — fully functional in this container;
     2. REAL pure-stdlib decode for non-interlaced 8-bit PNG payloads
        (:func:`decode_png`, zlib + the five scanline filters);
-    3. REAL pure-numpy decode for baseline JPEG — single-component
-       and 4:4:4 color (:mod:`jpeg_codec`, bitstream-driven Huffman +
-       dequant + IDCT + BT.601);
-    4. cv2 for what remains (progressive / chroma-subsampled JPEG) —
-       absent here, so that branch is the one remaining gated seam.
+    3. REAL pure-numpy decode for baseline JPEG — single-component,
+       4:4:4 color, and 4:2:0 subsampled (:mod:`jpeg_codec`,
+       bitstream-driven Huffman + dequant + IDCT + BT.601);
+    4. cv2 for what remains (progressive JPEG) — absent here, so that
+       branch is the one remaining gated seam.
     """
     import numpy as np
 
@@ -602,7 +602,7 @@ JPEG_W, JPEG_H = 32, 24
 
 def synth_jpeg_frames(
     spark: SparkSession, sf_dir: str, every_k: int | None = None,
-    color: bool = False,
+    color: bool = False, subsample: bool = False,
 ) -> DataFrame:
     """Frame table whose payloads are REAL entropy-coded baseline JPEGs
     (:mod:`jpeg_codec`) — the exact format the reference's camera
@@ -656,8 +656,12 @@ def synth_jpeg_frames(
                     # gray-identical RGB: Y plane == img, chroma == 128 —
                     # the color transform cancels exactly, so the decoded
                     # gray equals the closed-form source through the
-                    # 3-component interleaved scan.
-                    buf = encode_jpeg_color(np.stack([img, img, img], axis=2))
+                    # 3-component interleaved scan (with subsample=True,
+                    # through the 4:2:0 MCU structure: constant chroma
+                    # survives the 2×2 mean and the replication upsample).
+                    buf = encode_jpeg_color(
+                        np.stack([img, img, img], axis=2), subsample=subsample
+                    )
                 else:
                     buf = encode_jpeg_gray(img)
                 payloads.append(buf)
@@ -888,6 +892,23 @@ def frames_features_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def frames_features_jpeg420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry exercising the 4:2:0 chroma-subsampled JPEG
+    decode — the dominant real-camera layout (16×16 MCUs, 4 Y + Cb +
+    Cr blocks, chroma upsample) — under the hash gate, with the same
+    closed-form oracle: constant chroma survives the 2×2-mean
+    downsample and the replication upsample exactly."""
+    frames = sample_frames(
+        synth_jpeg_frames(
+            spark, sf_dir, every_k=FRAME_SAMPLE_K, color=True, subsample=True
+        ),
+        every_k=FRAME_SAMPLE_K,
+    )
+    return camera_rollup_exact(extract_features(frames)).select(
+        "camera_id", "n_frames", "avg_intensity", "total_px"
+    )
+
+
 QUERIES = {
     "frames_features": frames_features,
     "frames_features_bmp": frames_features_bmp,
@@ -895,6 +916,7 @@ QUERIES = {
     "frames_resize_stats": frames_resize_stats,
     "frames_features_jpeg": frames_features_jpeg,
     "frames_features_jpeg_color": frames_features_jpeg_color,
+    "frames_features_jpeg420": frames_features_jpeg420,
 }
 
 ORACLES: dict[str, str] = {
@@ -909,4 +931,5 @@ ORACLES: dict[str, str] = {
     ),
     "frames_features_jpeg": _jpeg_rollup_oracle(JPEG_W, JPEG_H),
     "frames_features_jpeg_color": _jpeg_rollup_oracle(JPEG_W, JPEG_H),
+    "frames_features_jpeg420": _jpeg_rollup_oracle(JPEG_W, JPEG_H),
 }

@@ -312,3 +312,36 @@ def test_jpeg_color_codec():
 
     rc = np.random.default_rng(5).integers(0, 256, (13, 21, 3), dtype=np.uint8)
     assert decode_jpeg_gray(encode_jpeg_color(rc)).shape == (13, 21)
+
+
+def test_jpeg_420_subsampling():
+    """4:2:0 (the dominant real-camera layout): gray-identical
+    block-constant RGB round-trips EXACTLY through the 16x16 MCU
+    structure (constant chroma survives the 2x2-mean downsample and
+    replication upsample); smooth true color stays within the
+    envelope; odd sizes cross the MCU grid correctly."""
+    import numpy as np
+
+    from smart_city_data_pipeline_spark.operators.jpeg_codec import (
+        decode_jpeg_gray,
+        encode_jpeg_color,
+    )
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    bx, by = xx // 8, yy // 8
+    img = (64 + 2 * ((3 * bx + 5 * by + 7 * 11) % 64)).astype(np.uint8)
+    rgb = np.stack([img] * 3, axis=2)
+    for ri in (0, 2):
+        d = decode_jpeg_gray(
+            encode_jpeg_color(rgb, restart_interval=ri, subsample=True)
+        )
+        assert np.array_equal(d, img), ri
+
+    r, g, b = (xx * 2) % 256, (yy * 3) % 256, (xx + yy) % 256
+    rgb2 = np.stack([r, g, b], axis=2).astype(np.uint8)
+    ref = np.stack([r, g, b], axis=2).mean(axis=2)
+    d2 = decode_jpeg_gray(encode_jpeg_color(rgb2, subsample=True)).astype(float)
+    assert float(np.abs(d2 - ref).max()) <= 30
+
+    rc = np.random.default_rng(5).integers(0, 256, (19, 23, 3), dtype=np.uint8)
+    assert decode_jpeg_gray(encode_jpeg_color(rc, subsample=True)).shape == (19, 23)
