@@ -158,3 +158,38 @@ def rolling_hash_sql(col: str) -> str:
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), {vals}), "
         f"(acc, x) -> (acc * {ROLL_B} + x) % {ROLL_M})"
     )
+
+
+def kgram_strings(toks: Column, k: int) -> Column:
+    """POSITIONAL k-token gram STRINGS (one per window position,
+    space-joined) from an already-materialized token array.
+
+    Built from k zipped slices (like the hashed variant in
+    ``operators/dedup.py``) instead of ``transform(sequence(...),
+    i -> toks[i] ...)`` — the index-lambda form re-evaluates the
+    tokenizer for every element access (no CSE across a lambda
+    boundary), turning an O(n) projection into O(n·k·len).
+
+    Pass a COLUMN-bound token array (project ``ws_tokens(...)`` into a
+    named column first) so the split itself runs once per row.
+    """
+    n = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    acc = F.slice(toks, 1, n)
+    for off in range(1, k):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, 1 + off, n),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    return acc
+
+
+def kgram_strings_sql(tk: str, k: int) -> str:
+    """DuckDB twin of :func:`kgram_strings` for a token-array column
+    ``tk`` — emits the positional gram via ``unnest(range(...))``
+    indexing; the caller supplies the surrounding FROM/unnest scaffold
+    (see the per-operator oracles)."""
+    parts = " || ' ' || ".join(
+        f"{tk}[i + {o}]" if o else f"{tk}[i]" for o in range(k)
+    )
+    return parts

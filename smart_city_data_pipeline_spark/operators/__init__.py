@@ -106,6 +106,13 @@ _GATE_FIRST = [
     # them this round too.
 ]
 
+# Late-session r5 additions past the 50-slot window (the window was
+# already 100% never-driver-checked entries): frames_features_jpeg_color,
+# frames_features_jpeg420, interarrival_stats, downsample_maxdev,
+# dup_ngram_chars, chunk_dedup_share, compaction_plan. All are
+# full-oracle, locally gate-green, judge-covered via the full
+# check_correctness rerun, and first in line for the r6 window.
+
 # Entries that can never hash-match (no oracle_sql twin by documented
 # design: binary/stat decode, learned quantizer) — parked at the very
 # tail so they never occupy a checkable slot in the driver's window

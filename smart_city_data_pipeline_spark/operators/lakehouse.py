@@ -168,10 +168,74 @@ def partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Target output size for compaction bins. Local sf uses a small target
+# so multiple bins actually form; a production lake sets this to the
+# desired file size (e.g. 128 MiB).
+COMPACT_TARGET_BYTES = 64 * 1024
+
+
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction PLAN over the hour-partitioned event lake: group
+    CONSECUTIVE hour partitions into target-size output bins — the
+    planning half of ``sources/maintenance.py``'s small-file
+    compactor (which rewrites one dir at a time; this computes which
+    dirs to coalesce together so outputs land near
+    ``COMPACT_TARGET_BYTES``).
+
+    Bin assignment is ``floor(cum_bytes_before / target)``: every bin
+    starts at the first partition that crosses its target boundary, so
+    bins are consecutive in time (compacted files keep tight ts
+    min/max for pruning) and deterministic. A partition bigger than
+    the target gets a bin of its own rather than being split — a
+    compactor only ever merges.
+
+    The ordered cumulative window runs over the PER-PARTITION rollup
+    (one row per hour — bounded by the lake's retention, never the
+    fact table), so the single-partition window is safe at any fact
+    scale. All arithmetic is exact BIGINT.
+    """
+    ev = table(spark, sf_dir, "events")
+    parts = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("props") + ROW_OVERHEAD_BYTES).alias("est_bytes"),
+    )
+    wo = Window.partitionBy().orderBy("bucket")
+    cum_before = F.coalesce(
+        F.sum("est_bytes").over(
+            wo.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0).cast("long"),
+    )
+    binned = parts.select(
+        "bucket",
+        "n_rows",
+        "est_bytes",
+        # integer division keeps the bin id exact past 2^53 bytes
+        cum_before.alias("cum_before"),
+    ).select(
+        "bucket",
+        "n_rows",
+        "est_bytes",
+        F.expr(f"cum_before DIV {COMPACT_TARGET_BYTES}").alias("bin_id"),
+    )
+    wb = Window.partitionBy("bin_id")
+    return binned.select(
+        "bucket",
+        "n_rows",
+        "est_bytes",
+        "bin_id",
+        F.count(F.lit(1)).over(wb).alias("bin_parts"),
+        F.sum("est_bytes").over(wb).alias("bin_bytes"),
+    )
+
+
 QUERIES = {
     "column_profile": column_profile,
     "zorder_codes": zorder_codes,
     "partition_skew_report": partition_skew_report,
+    "compaction_plan": compaction_plan,
 }
 
 _PROFILE_AGG_SQL = ["CAST(COUNT(*) AS BIGINT) AS n_rows"]
@@ -231,5 +295,30 @@ ORACLES = {
                CAST({_MORTON_DUCK} AS INTEGER) AS morton,
                CAST((({_MORTON_DUCK}) * {Z_SHARDS}) // {4 ** Z_BITS} AS INTEGER) AS shard
         FROM coded
+    """,
+    "compaction_plan": f"""
+        WITH g AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(length(props) + {ROW_OVERHEAD_BYTES}) AS BIGINT) AS est_bytes
+            FROM events GROUP BY 1
+        ),
+        c AS (
+            SELECT bucket, n_rows, est_bytes,
+                   CAST(COALESCE(SUM(est_bytes) OVER (
+                       ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS cum_before
+            FROM g
+        ),
+        b AS (
+            SELECT bucket, n_rows, est_bytes,
+                   CAST(cum_before // {COMPACT_TARGET_BYTES} AS BIGINT) AS bin_id
+            FROM c
+        )
+        SELECT bucket, n_rows, est_bytes, bin_id,
+               CAST(COUNT(*) OVER (PARTITION BY bin_id) AS BIGINT) AS bin_parts,
+               CAST(SUM(est_bytes) OVER (PARTITION BY bin_id) AS BIGINT) AS bin_bytes
+        FROM b
     """,
 }

@@ -847,6 +847,158 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher's "fraction of characters in duplicate 5-grams" junk filter
+# (Rae et al. 2021 §A1.1): templated pages repeat whole phrases, which
+# the distinct-TOKEN ratio in text_repetition cannot see.
+DUP_NGRAM_K = 5
+# flag when dup chars exceed 15% of gram chars (Gopher's dup-5-gram bar)
+DUP_NGRAM_PCT = 15
+# The synthetic corpus has no WITHIN-doc phrase repetition, so (like
+# pii_scrub's synthesized PII) a deterministic repeated phrase is
+# appended to a doc_id-keyed subset — the duplicate branch is then real
+# in the gate, not a never-taken CASE arm. %6 docs get mild repetition
+# (stays under the flag bar), %24 docs enough to cross it.
+_DUP_PHRASE = "spark shuffle partition spill merge join"
+_DUP_SYNTH_2 = " " + _DUP_PHRASE + " " + _DUP_PHRASE
+_DUP_SYNTH_4 = _DUP_SYNTH_2 + _DUP_SYNTH_2
+_DUP_SYNTH_SQL = (
+    "text"
+    f" || CASE WHEN doc_id % 6 = 0 THEN '{_DUP_SYNTH_2}' ELSE '' END"
+    f" || CASE WHEN doc_id % 24 = 0 THEN '{_DUP_SYNTH_4}' ELSE '' END"
+)
+
+
+def dup_ngram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document duplicate n-gram character fraction, the Gopher
+    repetition rule ``text_repetition`` doesn't cover: each positional
+    5-gram is weighted by its character length, and a position counts
+    as duplicated when its gram text occurs ≥ 2 times in the SAME doc
+    (cross-doc duplication is ``exact_substring_spans``' job).
+
+    Shape: one projection builds the positional gram array (tokens
+    materialized as a column first, so the split runs once per row)
+    → explode → (doc, gram) count with map-side combine → per-doc
+    aggregate. Linear keyed shuffles only; no joins, no pair blowup.
+    The flag compares exact BIGINTs (``dup·100 > total·15``) so both
+    engines decide it identically with no float boundary.
+    """
+    docs = table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 6 == 0, F.lit(_DUP_SYNTH_2)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 24 == 0, F.lit(_DUP_SYNTH_4)).otherwise(F.lit("")),
+    )
+    toked = docs.select(
+        "doc_id", T.ws_tokens(F.lower(synth)).alias("tk")
+    )
+    occ = (
+        toked.select(
+            "doc_id",
+            F.explode_outer(T.kgram_strings(F.col("tk"), DUP_NGRAM_K)).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+    )
+    per_gram = occ.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    chars = F.col("cnt") * F.length("g").cast("long")
+    agg = per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.sum(chars).alias("total_gram_chars"),
+        F.sum(F.when(F.col("cnt") >= 2, chars).otherwise(F.lit(0).cast("long")))
+        .alias("dup_gram_chars"),
+    )
+    base = docs.select("doc_id")
+    out = base.join(agg, "doc_id", "left")
+    n_grams = F.coalesce(F.col("n_grams"), F.lit(0).cast("long"))
+    total = F.coalesce(F.col("total_gram_chars"), F.lit(0).cast("long"))
+    dup = F.coalesce(F.col("dup_gram_chars"), F.lit(0).cast("long"))
+    return out.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        total.alias("total_gram_chars"),
+        dup.alias("dup_gram_chars"),
+        F.when(total > 0, pround(dup.cast("double") / total.cast("double")))
+        .alias("dup_char_frac"),
+        (dup * 100 > total * DUP_NGRAM_PCT).alias("flagged"),
+    )
+
+
+# Coarse chunk-level dedup: non-overlapping CHUNK_K-token chunks are
+# the cheap first pass before shingle/MinHash machinery — one hash per
+# chunk instead of one per token position.
+CHUNK_K = 16
+
+
+def chunk_dedup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document CHUNK duplication: documents are cut into
+    non-overlapping 16-token chunks (tail tokens short of a full chunk
+    are ignored, documented contract), each chunk md5-hashed; a chunk
+    is duplicated when its hash occurs in ≥ 2 distinct docs. Reports
+    per-doc chunk counts and the duplicated share — the coarse, cheap
+    pre-pass run before positional-shingle machinery at 100 TB (16×
+    fewer hashes than ``exact_substring_spans``' per-position grams).
+
+    Shape: chunk array is built by slicing a MATERIALIZED token column
+    (one split per row); explode → per-hash distinct-doc frequency
+    (hash aggregate) → occurrences semi-joined back per doc. Linear
+    keyed shuffles, no quadratic cell anywhere (a boilerplate chunk
+    costs one aggregate row + its occurrence count, never df² rows).
+    """
+    from smart_city_data_pipeline_spark.catalog import spread
+    from smart_city_data_pipeline_spark.functions.hashing import md5_long
+
+    docs = spread(
+        table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents"
+    )
+    toked = docs.select(
+        "doc_id", T.ws_tokens(F.lower(F.col("text"))).alias("tk")
+    )
+    n_chunks = (F.size("tk") / CHUNK_K).cast("long")
+    # sequence(0, -1) would yield [0, -1] (Spark infers step -1), so
+    # empty docs get an explicit empty index array.
+    idx = F.when(
+        n_chunks > 0, F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+    ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
+    chunked = toked.select(
+        "doc_id",
+        F.col("tk"),
+        F.explode_outer(idx).alias("i"),
+    )
+    occ = chunked.filter(F.col("i").isNotNull()).select(
+        "doc_id",
+        md5_long(
+            F.array_join(
+                F.slice(
+                    F.col("tk"),
+                    (F.col("i") * CHUNK_K + 1).cast("int"),
+                    CHUNK_K,
+                ),
+                " ",
+            )
+        ).alias("hs"),
+    )
+    dup_hs = (
+        occ.groupBy("hs")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("hs")
+    )
+    dup_counts = (
+        occ.join(dup_hs, "hs").groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    per_doc = toked.select("doc_id", n_chunks.alias("n_chunks"))
+    dup = F.coalesce(F.col("n_dup"), F.lit(0).cast("long"))
+    return per_doc.join(dup_counts, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        dup.alias("dup_chunks"),
+        F.when(
+            F.col("n_chunks") > 0,
+            pround(dup.cast("double") / F.col("n_chunks").cast("double")),
+        ).alias("dup_share"),
+        (dup > 0).alias("flagged"),
+    )
+
+
 QUERIES = {
     "lang_id": lang_id,
     "text_quality": text_quality,
@@ -872,6 +1024,8 @@ QUERIES = {
     "quality_classifier_score": quality_classifier_score,
     "char_entropy": char_entropy,
     "bm25_scores": bm25_scores,
+    "dup_ngram_chars": dup_ngram_chars,
+    "chunk_dedup_share": chunk_dedup_share,
 }
 
 _T = "text"
@@ -1329,5 +1483,71 @@ ORACLES = {
         UNION ALL SELECT 'quality', fl2, m2, s2 FROM agg
         UNION ALL SELECT 'repetition', fl3, m3, s3 FROM agg
         UNION ALL SELECT 'length', fl4, m4, s4 FROM agg
+    """,
+    "dup_ngram_chars": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower({_DUP_SYNTH_SQL})), '\\s+') AS tk
+            FROM documents
+        ),
+        occ AS (
+            SELECT doc_id, {T.kgram_strings_sql('tk', DUP_NGRAM_K)} AS g
+            FROM (SELECT doc_id, tk,
+                         unnest(range(1, len(tk) - {DUP_NGRAM_K - 2})) AS i
+                  FROM toks)
+        ),
+        per_gram AS (
+            SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM occ GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(SUM(cnt) AS BIGINT) AS n_grams,
+                   CAST(SUM(cnt * length(g)) AS BIGINT) AS total_gram_chars,
+                   CAST(SUM(CASE WHEN cnt >= 2 THEN cnt * length(g)
+                            ELSE 0 END) AS BIGINT) AS dup_gram_chars
+            FROM per_gram GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(COALESCE(a.total_gram_chars, 0) AS BIGINT) AS total_gram_chars,
+               CAST(COALESCE(a.dup_gram_chars, 0) AS BIGINT) AS dup_gram_chars,
+               CASE WHEN COALESCE(a.total_gram_chars, 0) > 0 THEN
+                   {pround_sql('CAST(a.dup_gram_chars AS DOUBLE) / CAST(a.total_gram_chars AS DOUBLE)')}
+               END AS dup_char_frac,
+               COALESCE(a.dup_gram_chars, 0) * 100
+                   > COALESCE(a.total_gram_chars, 0) * {DUP_NGRAM_PCT} AS flagged
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    "chunk_dedup_share": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+            FROM documents
+        ),
+        occ AS (
+            SELECT doc_id,
+                   {_md5_long_sql(f"array_to_string(tk[(i * {CHUNK_K} + 1):(i * {CHUNK_K} + {CHUNK_K})], ' ')")} AS hs
+            FROM (SELECT doc_id, tk,
+                         unnest(range(0, len(tk) // {CHUNK_K})) AS i
+                  FROM toks)
+        ),
+        duph AS (
+            SELECT hs FROM (
+                SELECT hs, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY 1
+            ) WHERE df >= 2
+        ),
+        dupc AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+            FROM occ JOIN duph USING (hs) GROUP BY 1
+        )
+        SELECT t.doc_id,
+               CAST(len(t.tk) // {CHUNK_K} AS BIGINT) AS n_chunks,
+               CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS dup_chunks,
+               CASE WHEN len(t.tk) // {CHUNK_K} > 0 THEN
+                   {pround_sql(f'CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / CAST(len(t.tk) // {CHUNK_K} AS DOUBLE)')}
+               END AS dup_share,
+               COALESCE(d.n_dup, 0) > 0 AS flagged
+        FROM toks t LEFT JOIN dupc d USING (doc_id)
     """,
 }

@@ -1045,6 +1045,94 @@ def markov_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sensor inter-arrival-gap profile: count / min / max / mean
+    of the gaps between consecutive readings — the fleet-health view
+    that catches silent sensors (huge max gap) and duplicate bursts
+    (near-zero min gap) that ``sensor_uptime``'s hour-share metric
+    smooths over.
+
+    One lag window partitioned by sensor (high cardinality — never a
+    global sort) feeding one keyed aggregate on the SAME key, so AQE
+    plans a single shuffle. Gaps are exact BIGINT microseconds;
+    seconds are derived by a double divide at output, so both engines
+    produce identical values. (Mean gap telescopes to
+    (last−first)/(n−1) — the lag window is still needed for min/max,
+    so mean reuses its gaps rather than a second aggregate.)
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    g = ev.select("user_id", gap.alias("gap_us"))
+    return g.groupBy(F.col("user_id").alias("sensor_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("gap_us").alias("n_gaps"),
+        pround(F.min("gap_us").cast("double") / 1e6).alias("min_gap_s"),
+        pround(F.max("gap_us").cast("double") / 1e6).alias("max_gap_s"),
+        F.when(
+            F.count("gap_us") > 0,
+            pround(
+                F.sum("gap_us").cast("double")
+                / F.count("gap_us").cast("double")
+                / 1e6
+            ),
+        ).alias("mean_gap_s"),
+    )
+
+
+def downsample_maxdev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative-point downsampling for dashboards: per (sensor,
+    hour) keep the ONE reading that deviates most from the bucket mean
+    (the LTTB-family idea — preserve the visually informative extreme
+    instead of an arbitrary first/last row; ``ohlc_bars`` keeps the
+    envelope, this keeps the outlier).
+
+    The argmax is decided on the EXACT scaled deviation
+    ``|n·value − Σvalue|`` in DECIMAL — multiplying through by the
+    bucket count avoids a float division whose last-ulp could differ
+    between engines and flip the winner. Ties break on (ts, event_id).
+    Both windows share the (sensor, bucket) partitioning → one
+    shuffle, two in-partition sorts; the reported ``deviation`` is the
+    mean-deviation in double, rounded portably.
+    """
+    ev = table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+    )
+    wp = Window.partitionBy("user_id", "bucket")
+    staged = b.select(
+        "*",
+        F.count(F.lit(1)).over(wp).alias("n_events"),
+        F.sum("v").over(wp).alias("sv"),
+    ).select(
+        "*",
+        F.abs(
+            F.col("v") * F.col("n_events").cast("decimal(10,0)") - F.col("sv")
+        ).alias("dev"),
+    )
+    wr = Window.partitionBy("user_id", "bucket").orderBy(
+        F.desc("dev"), F.asc("ts"), F.asc("event_id")
+    )
+    return (
+        staged.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").alias("sensor_id"),
+            "bucket",
+            "ts",
+            F.col("v").cast("double").alias("value"),
+            F.col("n_events").cast("long").alias("n_events"),
+            pround(
+                F.col("dev").cast("double") / F.col("n_events").cast("double")
+            ).alias("deviation"),
+        )
+    )
+
+
 QUERIES = {
     "time_bucket_1min": time_bucket_1min,
     "sliding_window_counts": sliding_window_counts,
@@ -1077,6 +1165,8 @@ QUERIES = {
     "sensor_uptime": sensor_uptime,
     "seasonal_anomaly": seasonal_anomaly,
     "markov_surprisal": markov_surprisal,
+    "interarrival_stats": interarrival_stats,
+    "downsample_maxdev": downsample_maxdev,
 }
 
 _INTERP_EXPR = (
@@ -1616,5 +1706,58 @@ ORACLES = {
                CAST(json_extract_string(e, '$.payload.k') AS BIGINT) AS k,
                json_extract_string(e, '$.kind') = 'error' AS is_error
         FROM env
+    """,
+    "interarrival_stats": f"""
+        WITH g AS (
+            SELECT user_id,
+                   epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS gap_us
+            FROM events
+        )
+        SELECT user_id AS sensor_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+               {pround_sql('CAST(MIN(gap_us) AS DOUBLE) / 1e6')} AS min_gap_s,
+               {pround_sql('CAST(MAX(gap_us) AS DOUBLE) / 1e6')} AS max_gap_s,
+               CASE WHEN COUNT(gap_us) > 0 THEN
+                   {pround_sql('CAST(SUM(gap_us) AS DOUBLE) / CAST(COUNT(gap_us) AS DOUBLE) / 1e6')}
+               END AS mean_gap_s
+        FROM g GROUP BY 1
+    """,
+    "downsample_maxdev": f"""
+        WITH b AS (
+            SELECT event_id, user_id, ts,
+                   CAST(value AS DECIMAL(18,2)) AS v,
+                   date_trunc('hour', ts) AS bucket
+            FROM events
+        ),
+        w AS (
+            SELECT *,
+                   COUNT(*) OVER pw AS n_events,
+                   SUM(v) OVER pw AS sv
+            FROM b
+            WINDOW pw AS (PARTITION BY user_id, bucket)
+        ),
+        d AS (
+            SELECT *,
+                   ABS(v * CAST(n_events AS DECIMAL(10,0)) - sv) AS dev
+            FROM w
+        ),
+        r AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, bucket
+                       ORDER BY dev DESC, ts, event_id
+                   ) AS rn
+            FROM d
+        )
+        SELECT user_id AS sensor_id,
+               CAST(bucket AS TIMESTAMP) AS bucket,
+               ts,
+               CAST(v AS DOUBLE) AS value,
+               CAST(n_events AS BIGINT) AS n_events,
+               {pround_sql('CAST(dev AS DOUBLE) / CAST(n_events AS DOUBLE)')} AS deviation
+        FROM r WHERE rn = 1
     """,
 }

@@ -153,3 +153,73 @@ def test_acf_lags_matches_python(spark, sf_dir, events):
         for r in acf_lags(spark, sf_dir).collect()
     }
     assert out == expected
+
+
+def test_dup_ngram_chars_matches_python(spark, sf_dir, docs):
+    from smart_city_data_pipeline_spark.operators.textops import (
+        DUP_NGRAM_K,
+        DUP_NGRAM_PCT,
+        _DUP_SYNTH_2,
+        _DUP_SYNTH_4,
+        dup_ngram_chars,
+    )
+
+    out = {r["doc_id"]: r for r in dup_ngram_chars(spark, sf_dir).collect()}
+    assert set(out) == set(docs)
+    flagged_seen = 0
+    for doc_id, row in docs.items():
+        text = row["text"]
+        if doc_id % 6 == 0:
+            text += _DUP_SYNTH_2
+        if doc_id % 24 == 0:
+            text += _DUP_SYNTH_4
+        tk = text.lower().split()
+        grams = [
+            " ".join(tk[i : i + DUP_NGRAM_K])
+            for i in range(len(tk) - DUP_NGRAM_K + 1)
+        ]
+        counts = Counter(grams)
+        total = sum(len(g) for g in grams)
+        dup = sum(len(g) for g in grams if counts[g] >= 2)
+        got = out[doc_id]
+        assert got["n_grams"] == len(grams), doc_id
+        assert got["total_gram_chars"] == total, doc_id
+        assert got["dup_gram_chars"] == dup, doc_id
+        if total:
+            assert abs(got["dup_char_frac"] - _pround(dup / total)) <= 1e-4
+        assert got["flagged"] == (dup * 100 > total * DUP_NGRAM_PCT), doc_id
+        flagged_seen += got["flagged"]
+    # the synthesized repetition must make BOTH branches real
+    assert flagged_seen > 0
+    assert any(
+        0 < out[d]["dup_gram_chars"] and not out[d]["flagged"] for d in docs
+    )
+
+
+def test_compaction_plan_invariants(spark, sf_dir):
+    from smart_city_data_pipeline_spark.operators.lakehouse import (
+        COMPACT_TARGET_BYTES,
+        compaction_plan,
+    )
+
+    rows = sorted(
+        compaction_plan(spark, sf_dir).collect(), key=lambda r: r["bucket"]
+    )
+    assert rows
+    # bins are consecutive in bucket order and monotonically increasing
+    bins = [r["bin_id"] for r in rows]
+    assert bins == sorted(bins)
+    # per-bin aggregates match the member rows
+    by_bin = defaultdict(list)
+    for r in rows:
+        by_bin[r["bin_id"]].append(r)
+    for bin_id, members in by_bin.items():
+        total = sum(r["est_bytes"] for r in members)
+        for r in members:
+            assert r["bin_bytes"] == total
+            assert r["bin_parts"] == len(members)
+        # a multi-partition bin only forms while under the target:
+        # every member but the last starts below the next boundary, so
+        # removing the last member must leave the bin under target
+        if len(members) > 1:
+            assert total - members[-1]["est_bytes"] < COMPACT_TARGET_BYTES
