@@ -114,14 +114,13 @@ _GATE_FIRST = [
 # check_correctness rerun, and first in line for the r6 window.
 
 # Entries that can never hash-match (no oracle_sql twin by documented
-# design: binary/stat decode, learned quantizer) — parked at the very
-# tail so they never occupy a checkable slot in the driver's window
-# (VERDICT r4 item 3: ann_ivf_kmeans burned a slot as `err: no_oracle`
-# in r4; it has had its window appearance, rows-only coverage is via
-# pytest recall tests).
+# design: cv2-gated binary decode) — parked at the very tail so they
+# never occupy a checkable slot in the driver's window (VERDICT r4
+# item 3). ann_ivf_kmeans left this list in r5: its k-means now trains
+# on the 2^16 integer grid (engine-exact), so the quantizer is
+# re-learned by the DuckDB oracle and the entry is fully hash-checked.
 _GATE_LAST = [
     "frames_features",
-    "ann_ivf_kmeans",
 ]
 
 

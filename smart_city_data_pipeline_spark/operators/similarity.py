@@ -91,102 +91,119 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_KMEANS_K = 16
 ANN_KMEANS_ITERS = 2
 ANN_KMEANS_NPROBE = 2
+KMEANS_SCALE = 65536.0  # 2^16 integer grid — see _qvec
 
 # Trained centroids per (dataset fingerprint, k, iters): training is a
-# bounded driver loop (collects only k×dim means per round), paid once
+# bounded driver loop (collects only k×dim sums per round), paid once
 # per process and invalidated if the backing parquet is rewritten; the
-# normalized literal Column is cached separately (:func:`_norm_cents_col`).
+# centroid literal Column is cached separately (:func:`_cents_col`).
 _KMEANS_CACHE: dict[tuple, list] = {}
 
 
-def _cell_scores(emb_col, cents_col):
-    """array<double> of dot(emb, centroid) for every centroid.
-
-    Centroid literals are L2-NORMALIZED at build time
-    (:func:`_unit`), so argmax(dot) ≡ argmax(cosine): the row's own
-    norm is constant across centroids and cannot change the argmax,
-    and the centroid norm is folded into the literal. That removes the
-    2×16 redundant 64-element norm folds per row that a naive
-    per-centroid cosine would evaluate.
-    """
-    return F.transform(cents_col, lambda c: dot(emb_col, c))
-
-
-def _unit(vec: list[float]) -> list[float]:
-    n = sum(x * x for x in vec) ** 0.5 or 1.0
-    return [round(x / n, 9) for x in vec]
+def _qvec(col) -> "F.Column":
+    """Embedding quantized onto the 2¹⁶ integer grid as integer-valued
+    DOUBLES: floor(x·2¹⁶ + 0.5) per component. Every downstream
+    training quantity (dot products, squared norms, per-cell sums) is
+    then an exact integer far below 2⁵³, where IEEE double arithmetic
+    is EXACT and summation-order-independent — the property that makes
+    the LEARNED quantizer bit-identical across Spark partial-agg
+    orders AND across engines, i.e. oracle-checkable. Quantization
+    bias (≤ 2⁻¹⁷/component) is orders below the inter-centroid
+    distances that matter for IVF routing."""
+    return F.transform(
+        col.cast("array<double>"),
+        lambda x: F.floor(x * KMEANS_SCALE + 0.5).cast("double"),
+    )
 
 
-@functools.lru_cache(maxsize=8)
-def _norm_cents_col(cents_key: tuple) -> "F.Column":
-    """Normalized-centroid literal, built once per distinct quantizer
-    (a 16×64 nested F.lit costs ~0.5 s of py4j transport per call)."""
-    return F.lit([_unit(list(c)) for c in cents_key])
+@functools.lru_cache(maxsize=32)
+def _cents_col(cents_key: tuple) -> "F.Column":
+    """Centroid literal, built once per distinct quantizer round (a
+    16×64 nested F.lit costs ~0.5 s of py4j transport per call)."""
+    return F.lit([list(c) for c in cents_key])
+
+
+def _l2_dists(q_col, cents: list) -> "F.Column":
+    """array<double> of |c|² − 2·q·c per centroid — the L2 distance
+    ||q − c||² minus the |q|² term, which is constant across cells and
+    cannot change the argmin. All values are exact integers (see
+    :func:`_qvec`), so the argmin and its ties are deterministic."""
+    cc = _cents_col(tuple(tuple(c) for c in cents))
+    c2 = F.lit([float(sum(v * v for v in c)) for c in cents])
+    dots = F.transform(cc, lambda c: dot(q_col, c))
+    return F.zip_with(c2, dots, lambda a, b: a - 2.0 * b)
 
 
 def _train_kmeans(emb: DataFrame, k: int, iters: int):
-    """Lloyd's k-means as ``iters`` DataFrame rounds (no MLlib).
+    """L2 (Euclidean) Lloyd k-means as ``iters`` DataFrame rounds (no
+    MLlib) — the FAISS ``IndexIVFFlat`` coarse-quantizer form, run on
+    the 2¹⁶ integer grid so the whole loop is ENGINE-EXACT: the
+    ``ann_ivf_kmeans`` oracle re-trains the identical quantizer in
+    DuckDB by unrolling these rounds as CTEs.
 
-    Init is deterministic: the k vectors with the smallest
-    md5(vec_id) — a public, seed-free shuffle of the corpus. Each
-    round assigns every vector to its max-cosine centroid (JVM-side
-    transform/argmax over a single broadcast literal) and recomputes
-    element-wise means via posexplode → (cell, pos) avg — a keyed,
-    map-side-combinable aggregate that scales to any corpus; only the
-    k×dim means ever reach the driver. Means are rounded to 6 dp so
-    the trained quantizer is bit-stable across partial-agg orderings.
-    At 100 TB you would train on a stratified sample
-    (:func:`textops.stratified_sample` is the template) — the index
-    ASSIGNMENT pass is the full-scan part, and it is one projection.
+    Init is deterministic and public: the k vectors with the smallest
+    md5(vec_id). Assignment is argmin over |c|² − 2·q·c (exact
+    integer-valued doubles; ties → lowest cell id via
+    first-occurrence array_position — the SQL twin's
+    ``ORDER BY dist, cell`` row_number). Update: per-(cell, pos)
+    integer sums via posexplode — a keyed, map-side-combinable
+    aggregate; only k×dim (sum, count) pairs reach the driver, where
+    the new component is floor(s/n + 0.5) — the same IEEE double
+    division both engines evaluate on the same exact integers. Empty
+    cells keep their centroid. At 100 TB you would train on a
+    stratified sample (:func:`textops.stratified_sample` is the
+    template) — the index ASSIGNMENT pass is the full-scan part, and
+    it is one projection.
     """
-    seed_rows = (
-        emb.select("vec_id", "embedding")
-        .orderBy(F.md5(F.col("vec_id").cast("string")))
-        .limit(k)
-        .collect()
-    )
-    cents = [[round(float(x), 6) for x in r["embedding"]] for r in seed_rows]
+    import math
+
+    q = emb.select("vec_id", _qvec(F.col("embedding")).alias("q"))
+    seeds = q.orderBy(F.md5(F.col("vec_id").cast("string"))).limit(k).collect()
+    cents = [[float(x) for x in r["q"]] for r in seeds]
     for _ in range(iters):
-        cc = F.lit([_unit(c) for c in cents])  # assignment by dot ≡ cosine
-        scores = _cell_scores(F.col("embedding").cast("array<double>"), cc)
-        assigned = emb.select(
-            (F.array_position(scores, F.array_max(scores)) - 1).alias("cell"),
-            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+        dists = _l2_dists(F.col("q"), cents)
+        cell = F.array_position(dists, F.array_min(dists)) - 1
+        assigned = q.select(
+            cell.alias("cell"), F.posexplode(F.col("q")).alias("pos", "x")
         )
-        means = assigned.groupBy("cell", "pos").agg(F.avg("x").alias("m")).collect()
-        new_cents = [list(c) for c in cents]  # empty cells keep their centroid
-        for r in means:
-            new_cents[int(r["cell"])][int(r["pos"])] = round(float(r["m"]), 6)
+        stats = (
+            assigned.groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]  # empty cells keep theirs
+        for r in stats:
+            new_cents[int(r["cell"])][int(r["pos"])] = float(
+                math.floor(r["s"] / r["n"] + 0.5)
+            )
         cents = new_cents
     return cents
 
 
 def kmeans_ivf_topk(emb: DataFrame, cents: list, n_probe: int) -> DataFrame:
-    """Query an embeddings DataFrame through trained centroids:
-    assign cells (dot against the L2-normalized centroid literal),
-    explode each probe to its ``n_probe`` nearest cells,
-    candidate-join on cell id, exact-cosine rank."""
-    cc = _norm_cents_col(tuple(tuple(c) for c in cents))
-    scores = _cell_scores(F.col("embedding").cast("array<double>"), cc)
-    assigned = emb.select(
-        "vec_id", "embedding", (F.array_position(scores, F.array_max(scores)) - 1).alias("cell")
+    """Query an embeddings DataFrame through trained integer-grid
+    centroids: assign cells by exact L2 argmin, explode each probe to
+    its ``n_probe`` nearest cells, candidate-join on cell id,
+    exact-cosine rank on the ORIGINAL float vectors."""
+    qe = emb.select(
+        "vec_id", "embedding", _qvec(F.col("embedding")).alias("q")
     )
-    psc = _cell_scores(F.col("probe_emb").cast("array<double>"), cc)
-    first = F.array_position(psc, F.array_max(psc)) - 1
-    # Mask with -inf, not a finite sentinel: embeddings are NOT
-    # normalized, so dot(embedding, unit-centroid) has no lower bound
-    # a fixed constant can stay under — a vector with norm > 2 facing
-    # away from every centroid would make a -2.0 sentinel the argmax
-    # and silently collapse n_probe=2 to one probed cell.
+    dists = _l2_dists(F.col("q"), cents)
+    first = F.array_position(dists, F.array_min(dists)) - 1
+    assigned = qe.select("vec_id", "embedding", first.alias("cell"))
+    # Probe's second cell: mask the winner with +inf and re-argmin.
+    # With exact integer distances this is precisely the SQL twin's
+    # row_number() OVER (ORDER BY dist, cell) ≤ 2: ties resolve to the
+    # lowest unmasked index in both forms.
     masked = F.transform(
-        psc, lambda v, i: F.when(i == first, F.lit(float("-inf"))).otherwise(v)
+        dists, lambda v, i: F.when(i == first, F.lit(float("inf"))).otherwise(v)
     )
-    second = F.array_position(masked, F.array_max(masked)) - 1
+    second = F.array_position(masked, F.array_min(masked)) - 1
     cells = F.array_distinct(F.slice(F.array(first, second), 1, n_probe))
-    probes = (
-        emb.filter(F.col("vec_id") < N_PROBES)
-        .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb"))
-        .select("probe_id", "probe_emb", F.explode(cells).alias("cell"))
+    probes = qe.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_emb"),
+        F.explode(cells).alias("cell"),
     )
     cos = cosine(F.col("probe_emb"), F.col("embedding"))
     scored = assigned.join(
@@ -213,16 +230,19 @@ def ann_ivf_kmeans(
     iters: int = ANN_KMEANS_ITERS,
     n_probe: int = ANN_KMEANS_NPROBE,
 ) -> DataFrame:
-    """True-IVF ANN: a LEARNED coarse quantizer (k-means centroids)
+    """True-IVF ANN: a LEARNED coarse quantizer (L2 k-means centroids)
     replaces the label column, and each probe scans only its
     ``n_probe`` nearest cells — the FAISS-IVF shape for a corpus with
     no natural partition. Candidates are an equi-join on cell id
     (bounded buckets, no O(n²)); the centroid table is a broadcast
     literal.
 
-    Checks: rows-only driver gate by design — the quantizer is
-    learned, so there is no portable SQL twin. The recall ≥ 0.9 bound
-    vs the exact scan is pytest-asserted on a CLUSTERED corpus
+    Checks: FULL oracle — training runs on the 2¹⁶ integer grid
+    (:func:`_qvec`), so every Lloyd round is engine-exact and the
+    DuckDB twin re-learns the IDENTICAL quantizer by unrolling the
+    rounds as CTEs; the one float leg (the final exact-cosine rank) is
+    guarded by ``pround`` like every ANN entry here. The recall ≥ 0.9
+    bound vs the exact scan is pytest-asserted on a CLUSTERED corpus
     (tests/test_ann_kmeans.py): cell pruning is only meaningful where
     cluster structure exists — on this repo's synthetic ``embeddings``
     table the vectors are near-uniform (the true top-5 of a probe
@@ -587,3 +607,112 @@ ORACLES = {
         ) WHERE rank <= {TOP_K}
     """,
 }
+
+
+def _kmeans_asn_sql(out: str, cents: str, cols: str) -> str:
+    """One exact L2 assignment pass against centroid table ``cents``:
+    row_number over (|c|² − 2·q·c, cell) — first place ties with the
+    Spark side's first-occurrence array_position argmin."""
+    return f"""
+        {out} AS (
+            SELECT {cols}, cell FROM (
+                SELECT v.*, c.cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY c.c2 - 2 * list_dot_product(v.q, c.cvec),
+                                    c.cell
+                       ) AS rn
+                FROM qv v CROSS JOIN {cents} c
+            ) WHERE rn = 1
+        )"""
+
+
+def _kmeans_round_sql(i: int, prev: str) -> str:
+    """One unrolled Lloyd round: assignment against ``prev``, then the
+    centroid update floor(sum/count + 0.5) per (cell, pos) — the same
+    IEEE division the Spark driver loop performs on the same exact
+    integers. Empty cells keep the previous centroid (LEFT JOIN)."""
+    return f"""{_kmeans_asn_sql(f"asn{i}", prev, "vec_id, q")},
+        upd{i} AS (
+            SELECT cell,
+                   list(CAST(FLOOR(s / CAST(n AS DOUBLE) + 0.5) AS DOUBLE)
+                        ORDER BY pos) AS cvec
+            FROM (
+                SELECT cell, pos, SUM(x) AS s, CAST(COUNT(*) AS BIGINT) AS n
+                FROM (
+                    SELECT cell,
+                           unnest(range(1, len(q) + 1)) AS pos,
+                           unnest(q) AS x
+                    FROM asn{i}
+                ) GROUP BY 1, 2
+            ) GROUP BY cell
+        ),
+        cent{i} AS (
+            SELECT p.cell,
+                   COALESCE(u.cvec, p.cvec) AS cvec,
+                   list_dot_product(COALESCE(u.cvec, p.cvec),
+                                    COALESCE(u.cvec, p.cvec)) AS c2
+            FROM {prev} p LEFT JOIN upd{i} u USING (cell)
+        )"""
+
+
+def _kmeans_oracle_sql() -> str:
+    """DuckDB twin of the FULL learned-quantizer path: re-trains the
+    identical integer-grid k-means (init + unrolled Lloyd rounds),
+    re-assigns the corpus, probes n_probe cells, exact-cosine ranks.
+    Engine-exact end to end except the final cosine, which is pround-
+    guarded exactly like the other ANN oracles."""
+    rounds = ",".join(
+        _kmeans_round_sql(i + 1, f"cent{i}") for i in range(ANN_KMEANS_ITERS)
+    )
+    final = f"cent{ANN_KMEANS_ITERS}"
+    cos = cosine_sql("p.probe_emb", "a.e")
+    return f"""
+        WITH qv AS (
+            SELECT vec_id,
+                   CAST(embedding AS DOUBLE[]) AS e,
+                   list_transform(
+                       CAST(embedding AS DOUBLE[]),
+                       x -> CAST(FLOOR(x * {KMEANS_SCALE} + 0.5) AS DOUBLE)
+                   ) AS q
+            FROM embeddings
+        ),
+        cent0 AS (
+            SELECT ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell,
+                   q AS cvec,
+                   list_dot_product(q, q) AS c2
+            FROM (SELECT vec_id, q FROM qv
+                  ORDER BY md5(CAST(vec_id AS VARCHAR))
+                  LIMIT {ANN_KMEANS_K})
+        ),
+        {rounds},
+        {_kmeans_asn_sql("asnf", final, "vec_id, e")},
+        pcells AS (
+            SELECT probe_id, probe_emb, cell FROM (
+                SELECT p.vec_id AS probe_id, p.e AS probe_emb, c.cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY p.vec_id
+                           ORDER BY c.c2 - 2 * list_dot_product(p.q, c.cvec),
+                                    c.cell
+                       ) AS rn
+                FROM (SELECT * FROM qv WHERE vec_id < {N_PROBES}) p
+                CROSS JOIN {final} c
+            ) WHERE rn <= {ANN_KMEANS_NPROBE}
+        ),
+        scored AS (
+            SELECT p.probe_id, a.vec_id AS neighbor_id,
+                   (FLOOR(CAST(({cos}) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS cos_sim
+            FROM pcells p JOIN asnf a USING (cell)
+            WHERE a.vec_id <> p.probe_id
+        )
+        SELECT probe_id, CAST(rank AS INT) AS rank, neighbor_id, cos_sim
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
+    """
+
+
+ORACLES["ann_ivf_kmeans"] = _kmeans_oracle_sql()

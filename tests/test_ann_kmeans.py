@@ -77,13 +77,11 @@ def test_kmeans_cells_partition_the_corpus(spark, clustered):
     must be within range."""
     df, _ = clustered
     cents = _train_kmeans(df, k=N_CENTERS, iters=3)
-    from smart_city_data_pipeline_spark.operators.similarity import _cell_scores, _unit
+    from smart_city_data_pipeline_spark.operators.similarity import _l2_dists, _qvec
 
-    scores = _cell_scores(
-        F.col("embedding").cast("array<double>"), F.lit([_unit(c) for c in cents])
-    )
+    dists = _l2_dists(_qvec(F.col("embedding")), cents)
     cells = (
-        df.select((F.array_position(scores, F.array_max(scores)) - 1).alias("cell"))
+        df.select((F.array_position(dists, F.array_min(dists)) - 1).alias("cell"))
         .groupBy("cell")
         .count()
         .collect()
@@ -91,3 +89,16 @@ def test_kmeans_cells_partition_the_corpus(spark, clustered):
     ids = {int(r["cell"]) for r in cells}
     assert len(ids) >= N_CENTERS // 2
     assert all(0 <= i < N_CENTERS for i in ids)
+
+
+def test_kmeans_training_is_integer_exact(spark, clustered):
+    """Every trained centroid component must sit on the 2^16 integer
+    grid (an integer-valued float) — the property the DuckDB oracle's
+    unrolled re-training relies on."""
+    df, _ = clustered
+    cents = _train_kmeans(df, k=N_CENTERS, iters=3)
+    for c in cents:
+        for v in c:
+            assert float(v).is_integer(), v
+    # training twice yields the identical quantizer (determinism)
+    assert cents == _train_kmeans(df, k=N_CENTERS, iters=3)

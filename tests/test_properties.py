@@ -20,7 +20,7 @@ from smart_city_data_pipeline_spark.operators.multimodal import (
     encode_bmp_gray,
     encode_png,
 )
-from smart_city_data_pipeline_spark.operators.similarity import _unit
+from smart_city_data_pipeline_spark.operators.similarity import KMEANS_SCALE
 
 
 @settings(max_examples=60, deadline=None)
@@ -136,19 +136,23 @@ def test_bmp_24bpp_decode_path():
 @settings(max_examples=80, deadline=None)
 @given(
     vec=st.lists(
-        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=64
+        st.floats(min_value=-100.0, max_value=100.0, allow_nan=False),
+        min_size=1,
+        max_size=64,
     )
 )
-def test_unit_normalizer_properties(vec):
-    """_unit never raises (incl. the all-zero vector), returns finite
-    values, and is idempotent up to its own rounding."""
-    u = _unit(vec)
-    assert len(u) == len(vec)
-    assert all(np.isfinite(u))
-    n = float(np.linalg.norm(u))
-    assert n == 0.0 or 0.99 <= n <= 1.01
-    again = _unit(u)
-    assert np.allclose(u, again, atol=1e-6)
+def test_kmeans_grid_quantization_properties(vec):
+    """The 2^16 integer-grid quantization the learned quantizer trains
+    on (python twin of _qvec's floor(x·scale + 0.5)): integer-valued,
+    within half a grid step of the input, and exactly representable as
+    a double for any realistic embedding magnitude."""
+    import math
+
+    q = [float(math.floor(x * KMEANS_SCALE + 0.5)) for x in vec]
+    assert all(v.is_integer() for v in q)
+    assert all(abs(v / KMEANS_SCALE - x) <= 0.5 / KMEANS_SCALE + 1e-12
+               for v, x in zip(q, vec))
+    assert all(abs(v) < 2**53 for v in q)
 
 
 def test_srp_hyperplanes_deterministic():
