@@ -108,10 +108,11 @@ _GATE_FIRST = [
 
 # Late-session r5 additions past the 50-slot window (the window was
 # already 100% never-driver-checked entries): frames_features_jpeg_color,
-# frames_features_jpeg420, interarrival_stats, downsample_maxdev,
-# dup_ngram_chars, chunk_dedup_share, compaction_plan. All are
-# full-oracle, locally gate-green, judge-covered via the full
-# check_correctness rerun, and first in line for the r6 window.
+# frames_features_jpeg420, frames_features_jpeg_prog, interarrival_stats,
+# downsample_maxdev, dup_ngram_chars, chunk_dedup_share, compaction_plan,
+# and the ann_ivf_kmeans oracle upgrade. All are full-oracle, locally
+# gate-green, judge-covered via the full check_correctness rerun, and
+# first in line for the r6 window.
 
 # Entries that can never hash-match (no oracle_sql twin by documented
 # design: cv2-gated binary decode) — parked at the very tail so they

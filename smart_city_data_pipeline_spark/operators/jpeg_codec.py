@@ -1,14 +1,18 @@
-"""Pure struct/numpy baseline JPEG codec (8-bit grayscale, sequential
-DCT, one Huffman/quant table pair) — the last compressed-frame format
+"""Pure struct/numpy JPEG codec — the last compressed-frame format
 the reference's cameras ship (``data-simulators/camera-analytics/
 camera_simulator.py`` sends JPEG frames over Kafka) that previously
 sat behind the gated cv2 seam.
 
-Scope: ITU-T T.81 baseline, single component. The DECODER is driven
-entirely by the bitstream (it builds its Huffman/quant tables from the
-file's DHT/DQT segments), so it decodes any conforming single-
-component baseline JPEG, not just this encoder's output. The ENCODER
-exists to synthesize test/bench payloads; it uses the standard Annex K
+Scope: ITU-T T.81 baseline (gray, 4:4:4 and 4:2:0 YCbCr color,
+restart markers) AND progressive (SOF2) spectral selection
+(multi-scan encode; decode additionally handles general EOBn runs,
+any scan script, and DC successive-approximation refinement). The
+DECODERS are driven entirely by the bitstream (they build their
+Huffman/quant tables, scan scripts, and MCU geometry from the file's
+DHT/DQT/SOF/SOS segments), so they decode conforming streams, not
+just this encoder's output; AC successive-approximation refinement is
+the one progressive leg left to the cv2 seam. The ENCODERS exist to
+synthesize test/bench payloads; they use the standard Annex K
 luminance quant table and a deliberately simple — but perfectly valid —
 canonical Huffman geometry (all 12 DC categories at 4 bits, all 162 AC
 symbols at 8 bits; Kraft sums 12/16 and 162/256, all-ones codes
@@ -393,14 +397,16 @@ def _decode_block(rd, dc_tab, ac_tab, prev_dc: int):
 
 
 def decode_jpeg_gray(buf: bytes):
-    """Baseline JPEG bytes → 2-D uint8 GRAY array, or None when ``buf``
-    is not a JPEG this decoder handles. Supported: single-component,
-    and 3-component 4:4:4 interleaved (YCbCr → BT.601 RGB → channel
-    mean, matching the 24-bit BMP path's gray convention). Restart
-    markers (DRI/RSTn) are supported. Unsupported (→ None, cv2 seam):
-    progressive/other frame types, chroma subsampling, 16-bit quant
-    tables. Tables come from the bitstream, not from this module's
-    encoder constants."""
+    """JPEG bytes → 2-D uint8 GRAY array, or None when ``buf`` is not
+    a JPEG this decoder handles. Supported: single-component and
+    3-component interleaved baseline (YCbCr → BT.601 RGB → channel
+    mean, matching the 24-bit BMP path's gray convention), 2×
+    chroma subsampling, restart markers (DRI/RSTn), and PROGRESSIVE
+    (SOF2) spectral-selection streams (dispatched to
+    :func:`_decode_progressive`). Unsupported (→ None, cv2 seam):
+    AC successive-approximation refinement, other frame types
+    (lossless/arithmetic/12-bit), 16-bit quant tables. Tables come
+    from the bitstream, not from this module's encoder constants."""
     import numpy as np
 
     if len(buf) < 4 or buf[:2] != b"\xff\xd8":
@@ -445,8 +451,10 @@ def decode_jpeg_gray(buf: bytes):
                     if hs not in (1, 2) or vs not in (1, 2):
                         return None  # sampling factors beyond 2 unsupported
                     comps.append((cid, tq, hs, vs))
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
-                return None  # non-baseline frame types
+            elif marker == 0xC2:  # progressive — dedicated scan-script path
+                return _decode_progressive(buf)
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
+                return None  # other non-baseline frame types
             elif marker == 0xC4:  # DHT (possibly several tables)
                 i = 0
                 while i < len(seg):
@@ -544,6 +552,381 @@ def decode_jpeg_gray(buf: bytes):
             out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
             return out[:h, :w]
         # YCbCr → BT.601 full-range RGB → channel-mean gray
+        y, cb, cr = (p[:h, :w] for p in planes)
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack(
+            [np.clip(np.round(c), 0, 255) for c in (r, g, b)], axis=2
+        )
+        return rgb.mean(axis=2).astype(np.uint8)
+    except (EOFError, ValueError, IndexError, struct.error):
+        return None
+
+
+# ------------------------------------------------------------------
+# Progressive (SOF2), spectral-selection mode.
+
+
+def encode_jpeg_progressive(arr) -> bytes:
+    """8-bit gray (h, w) or RGB (h, w, 3) array → PROGRESSIVE JPEG
+    bytes (SOF2) with a spectral-selection scan script: one
+    interleaved DC scan (Ss=Se=0) followed by one full-band AC scan
+    per component (Ss=1, Se=63) — a real multi-scan progressive
+    bitstream. No successive approximation (Ah=Al=0 throughout) and no
+    subsampling (gray / 4:4:4): enough to drive the progressive
+    decoder's scan machinery end-to-end under the hash gate. Every
+    block ends with an immediate EOB (EOBRUN = 1), so the Annex-K-
+    shaped AC table — which has no EOBn>1 symbols — suffices; the
+    DECODER still handles general EOB runs.
+    """
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        h, w = a.shape
+        planes = [_pad_plane(a.astype(np.float64), h, w)]
+    else:
+        h, w = a.shape[:2]
+        af = a.astype(np.float64)
+        r, g, b = af[:, :, 0], af[:, :, 1], af[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [_pad_plane(p, h, w) for p in (y, cb, cr)]
+    m = _dct_matrix()
+    q = np.array(QTABLE, dtype=np.float64).reshape(8, 8)
+    # Quantized zigzag coefficients per component block grid.
+    comps = []
+    for plane in planes:
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        rows = []
+        for byi in range(bh):
+            row = []
+            for bxi in range(bw):
+                f = plane[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] - 128.0
+                sq = np.round((m @ f @ m.T) / q).astype(np.int64)
+                row.append([int(sq.flat[ZIGZAG[k]]) for k in range(64)])
+            rows.append(row)
+        comps.append(rows)
+    nf = len(comps)
+
+    out = bytearray(b"\xff\xd8")
+    zz_q = bytes(QTABLE[ZIGZAG[k]] for k in range(64))
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + zz_q
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nf, 8, h, w, nf)
+    for cid in range(1, nf + 1):
+        out += struct.pack(">BBB", cid, 0x11, 0)
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(_DC_VALS), 0x00)
+    out += bytes(_DC_BITS) + bytes(_DC_VALS)
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(_AC_VALS), 0x10)
+    out += bytes(_AC_BITS) + bytes(_AC_VALS)
+
+    # Scan 1: DC of all components, interleaved (4:4:4 MCU = one block
+    # per component).
+    bits = _BitWriter()
+    prev = [0] * nf
+    bh0, bw0 = len(comps[0]), len(comps[0][0])
+    for byi in range(bh0):
+        for bxi in range(bw0):
+            for ci in range(nf):
+                dc = comps[ci][byi][bxi][0]
+                diff = dc - prev[ci]
+                prev[ci] = dc
+                n = _category(diff)
+                c, ln = _DC_ENC[n]
+                bits.write(c, ln)
+                if n:
+                    bits.write(_amplitude(diff, n), n)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nf, nf)
+    for cid in range(1, nf + 1):
+        out += struct.pack(">BB", cid, 0x00)
+    out += struct.pack(">BBB", 0, 0, 0)
+    out += bits.flush()
+
+    # Scans 2..: full AC band per component, non-interleaved.
+    for ci in range(nf):
+        bits = _BitWriter()
+        for row in comps[ci]:
+            for zz in row:
+                run = 0
+                last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+                for k in range(1, last_nz + 1):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        c, ln = _AC_ENC[0xF0]
+                        bits.write(c, ln)
+                        run -= 16
+                    n = _category(zz[k])
+                    c, ln = _AC_ENC[(run << 4) | n]
+                    bits.write(c, ln)
+                    bits.write(_amplitude(zz[k], n), n)
+                    run = 0
+                if last_nz < 63:
+                    c, ln = _AC_ENC[0x00]
+                    bits.write(c, ln)
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2, 1)
+        out += struct.pack(">BB", ci + 1, 0x00)
+        out += struct.pack(">BBB", 1, 63, 0)
+        out += bits.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_prog_scan(
+    rd, coefs, comps, sel, htables, ss, se, ah, al, h, w, restart_interval
+):
+    """Decode one progressive scan's entropy data into the zigzag
+    coefficient store. Returns False on any unsupported/invalid
+    geometry. Supported: DC scans (interleaved or single-component,
+    first pass Ah=0 and refinement Ah>0), AC FIRST scans (Ah=0,
+    single-component per T.81, general EOBn runs, ZRL), restart
+    markers. AC refinement (Ah>0, Ss≥1) is NOT supported — that is the
+    successive-approximation leg left behind the cv2 seam."""
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    if ss == 0:
+        if se != 0:
+            return False
+        dc_tabs = []
+        if ah == 0:
+            for _, td, _ in sel:
+                t = htables.get(0x00 | td)
+                if t is None:
+                    return False
+                dc_tabs.append(t)
+        prev = [0] * len(sel)
+        if len(sel) > 1:
+            # interleaved MCU order over all scan components
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            unit = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        if not rd.sync_restart():
+                            return False
+                        prev = [0] * len(sel)
+                    unit += 1
+                    for si, (idx, _, _) in enumerate(sel):
+                        _, _, hs, vs = comps[idx]
+                        for v in range(vs):
+                            for u in range(hs):
+                                byi, bxi = my * vs + v, mx * hs + u
+                                if ah == 0:
+                                    n = _read_symbol(rd, dc_tabs[si])
+                                    diff = _extend(rd.read_bits(n), n) if n else 0
+                                    prev[si] += diff
+                                    coefs[idx][byi, bxi, 0] = prev[si] << al
+                                elif rd.read_bit():
+                                    coefs[idx][byi, bxi, 0] |= 1 << al
+        else:
+            idx = sel[0][0]
+            _, _, hs, vs = comps[idx]
+            bw = -(-(w * hs) // (8 * hmax))
+            bh = -(-(h * vs) // (8 * vmax))
+            unit = 0
+            for byi in range(bh):
+                for bxi in range(bw):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        if not rd.sync_restart():
+                            return False
+                        prev = [0]
+                    unit += 1
+                    if ah == 0:
+                        n = _read_symbol(rd, dc_tabs[0])
+                        diff = _extend(rd.read_bits(n), n) if n else 0
+                        prev[0] += diff
+                        coefs[idx][byi, bxi, 0] = prev[0] << al
+                    elif rd.read_bit():
+                        coefs[idx][byi, bxi, 0] |= 1 << al
+        return True
+    # AC scan: single component, first pass only.
+    if len(sel) != 1 or se < ss or se > 63 or ah != 0:
+        return False
+    idx, _, ta = sel[0]
+    ac_tab = htables.get(0x10 | ta)
+    if ac_tab is None:
+        return False
+    _, _, hs, vs = comps[idx]
+    bw = -(-(w * hs) // (8 * hmax))
+    bh = -(-(h * vs) // (8 * vmax))
+    eobrun = 0
+    unit = 0
+    for byi in range(bh):
+        for bxi in range(bw):
+            if restart_interval and unit and unit % restart_interval == 0:
+                if not rd.sync_restart():
+                    return False
+                eobrun = 0
+            unit += 1
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _read_symbol(rd, ac_tab)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL: 16 zero coefficients
+                        continue
+                    # EOBn: run of 2^r + (r extra bits) all-zero bands,
+                    # INCLUDING this block
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += rd.read_bits(r)
+                    break
+                k += r
+                if k > se:
+                    return False
+                coefs[idx][byi, bxi, k] = _extend(rd.read_bits(s), s) << al
+                k += 1
+    return True
+
+
+def _decode_progressive(buf: bytes):
+    """Progressive (SOF2) JPEG bytes → 2-D uint8 GRAY array, or None
+    when unsupported. Driven entirely by the bitstream: scan script,
+    spectral bands, Huffman/quant tables, and MCU geometry all come
+    from the file. Supported: spectral selection with any script, DC
+    successive-approximation refinement, general EOB runs, restart
+    markers, gray / 4:4:4 / 2×-subsampled color. Unsupported (→ None,
+    the cv2 seam): AC successive-approximation refinement, 16-bit
+    quant tables."""
+    import numpy as np
+
+    qtables: dict[int, list[int]] = {}
+    htables: dict[int, dict[tuple[int, int], int]] = {}
+    h = w = 0
+    comps: list[tuple[int, int, int, int]] = []
+    coefs = None
+    restart_interval = 0
+    pos = 2
+    try:
+        while pos + 2 <= len(buf):
+            if buf[pos] != 0xFF:
+                return None
+            marker = buf[pos + 1]
+            if marker == 0xD9:  # EOI
+                break
+            if pos + 4 > len(buf):
+                return None
+            seglen = struct.unpack_from(">H", buf, pos + 2)[0]
+            seg = buf[pos + 4 : pos + 2 + seglen]
+            if marker == 0xDB:
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 0xF
+                    if pq != 0:
+                        return None
+                    zz = seg[i + 1 : i + 65]
+                    nat = [0] * 64
+                    for k in range(64):
+                        nat[ZIGZAG[k]] = zz[k]
+                    qtables[tq] = nat
+                    i += 65
+            elif marker == 0xC2:
+                precision, h, w, nf = struct.unpack_from(">BHHB", seg, 0)
+                if precision != 8 or nf not in (1, 3):
+                    return None
+                comps = []
+                for ci in range(nf):
+                    cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                    hs, vs = samp >> 4, samp & 0xF
+                    if hs not in (1, 2) or vs not in (1, 2):
+                        return None
+                    comps.append((cid, tq, hs, vs))
+                hmax = max(c[2] for c in comps)
+                vmax = max(c[3] for c in comps)
+                mcus_x = -(-w // (8 * hmax))
+                mcus_y = -(-h // (8 * vmax))
+                coefs = [
+                    np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int64)
+                    for (_, _, hs, vs) in comps
+                ]
+            elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
+                return None  # not a (single-frame) progressive stream
+            elif marker == 0xC4:
+                i = 0
+                while i < len(seg):
+                    tc_th = seg[i]
+                    bits = list(seg[i + 1 : i + 17])
+                    n = sum(bits)
+                    vals = list(seg[i + 17 : i + 17 + n])
+                    htables[tc_th] = _decode_table(bits, vals)
+                    i += 17 + n
+            elif marker == 0xDD:
+                restart_interval = struct.unpack_from(">H", seg, 0)[0]
+            elif marker == 0xDA:
+                if coefs is None:
+                    return None
+                ns = seg[0]
+                sel = []
+                for i in range(ns):
+                    cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                    idx = next(
+                        (j for j, c in enumerate(comps) if c[0] == cid), None
+                    )
+                    if idx is None:
+                        return None
+                    sel.append((idx, tt >> 4, tt & 0xF))
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                rd = _BitReader(buf, pos + 2 + seglen)
+                ok = _decode_prog_scan(
+                    rd, coefs, comps, sel, htables,
+                    ss, se, ahal >> 4, ahal & 0xF, h, w, restart_interval,
+                )
+                if not ok:
+                    return None
+                # skip to the next true marker (stuffed 0xFF00 and RSTn
+                # bytes belong to the scan)
+                p = rd.pos
+                while p + 1 < len(buf):
+                    if (
+                        buf[p] == 0xFF
+                        and buf[p + 1] != 0x00
+                        and not (0xD0 <= buf[p + 1] <= 0xD7)
+                    ):
+                        break
+                    p += 1
+                pos = p
+                continue
+            pos += 2 + seglen
+        if coefs is None or not h or not w:
+            return None
+        m = _dct_matrix()
+        hmax = max(c[2] for c in comps)
+        vmax = max(c[3] for c in comps)
+        planes = []
+        for (cid, tq, hs, vs), cf in zip(comps, coefs):
+            if tq not in qtables:
+                return None
+            qn = np.array(qtables[tq], dtype=np.float64).reshape(8, 8)
+            bh, bw = cf.shape[0], cf.shape[1]
+            plane = np.empty((bh * 8, bw * 8))
+            for byi in range(bh):
+                for bxi in range(bw):
+                    coef = np.zeros(64)
+                    zz = cf[byi, bxi]
+                    for k in range(64):
+                        coef[ZIGZAG[k]] = zz[k]
+                    coef = coef.reshape(8, 8) * qn
+                    plane[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] = (
+                        m.T @ coef @ m + 128.0
+                    )
+            if hs != hmax:
+                plane = np.repeat(plane, hmax // hs, axis=1)
+            if vs != vmax:
+                plane = np.repeat(plane, vmax // vs, axis=0)
+            planes.append(plane)
+        if len(planes) == 1:
+            out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+            return out[:h, :w]
         y, cb, cr = (p[:h, :w] for p in planes)
         r = y + 1.402 * (cr - 128.0)
         g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)

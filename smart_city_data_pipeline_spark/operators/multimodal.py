@@ -602,7 +602,7 @@ JPEG_W, JPEG_H = 32, 24
 
 def synth_jpeg_frames(
     spark: SparkSession, sf_dir: str, every_k: int | None = None,
-    color: bool = False, subsample: bool = False,
+    color: bool = False, subsample: bool = False, progressive: bool = False,
 ) -> DataFrame:
     """Frame table whose payloads are REAL entropy-coded baseline JPEGs
     (:mod:`jpeg_codec`) — the exact format the reference's camera
@@ -642,6 +642,7 @@ def synth_jpeg_frames(
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from smart_city_data_pipeline_spark.operators.jpeg_codec import (
             encode_jpeg_color,
+            encode_jpeg_progressive,
         )
 
         yy, xx = np.mgrid[0:JPEG_H, 0:JPEG_W]
@@ -652,7 +653,14 @@ def synth_jpeg_frames(
                 img = (64 + 2 * ((3 * bxg + 5 * byg + 7 * int(fid)) % 64)).astype(
                     np.uint8
                 )
-                if color:
+                if progressive:
+                    # SOF2 spectral-selection scan script (DC scan +
+                    # per-component AC scans); gray-identical RGB as in
+                    # the color path below.
+                    buf = encode_jpeg_progressive(
+                        np.stack([img, img, img], axis=2) if color else img
+                    )
+                elif color:
                     # gray-identical RGB: Y plane == img, chroma == 128 —
                     # the color transform cancels exactly, so the decoded
                     # gray equals the closed-form source through the
@@ -909,6 +917,26 @@ def frames_features_jpeg420(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def frames_features_jpeg_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry exercising the PROGRESSIVE (SOF2) JPEG decoder
+    under the hash gate: a real multi-scan spectral-selection
+    bitstream (interleaved 3-component DC scan, then one full-band AC
+    scan per component with EOB-run semantics) accumulated into the
+    coefficient store and reconstructed — the scan-script machinery
+    sequential decode never touches. Same closed-form oracle: the
+    frame family is lossless by construction and gray-identical RGB
+    cancels the color transform exactly."""
+    frames = sample_frames(
+        synth_jpeg_frames(
+            spark, sf_dir, every_k=FRAME_SAMPLE_K, color=True, progressive=True
+        ),
+        every_k=FRAME_SAMPLE_K,
+    )
+    return camera_rollup_exact(extract_features(frames)).select(
+        "camera_id", "n_frames", "avg_intensity", "total_px"
+    )
+
+
 QUERIES = {
     "frames_features": frames_features,
     "frames_features_bmp": frames_features_bmp,
@@ -917,6 +945,7 @@ QUERIES = {
     "frames_features_jpeg": frames_features_jpeg,
     "frames_features_jpeg_color": frames_features_jpeg_color,
     "frames_features_jpeg420": frames_features_jpeg420,
+    "frames_features_jpeg_prog": frames_features_jpeg_prog,
 }
 
 ORACLES: dict[str, str] = {
@@ -932,4 +961,5 @@ ORACLES: dict[str, str] = {
     "frames_features_jpeg": _jpeg_rollup_oracle(JPEG_W, JPEG_H),
     "frames_features_jpeg_color": _jpeg_rollup_oracle(JPEG_W, JPEG_H),
     "frames_features_jpeg420": _jpeg_rollup_oracle(JPEG_W, JPEG_H),
+    "frames_features_jpeg_prog": _jpeg_rollup_oracle(JPEG_W, JPEG_H),
 }

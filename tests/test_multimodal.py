@@ -345,3 +345,85 @@ def test_jpeg_420_subsampling():
 
     rc = np.random.default_rng(5).integers(0, 256, (19, 23, 3), dtype=np.uint8)
     assert decode_jpeg_gray(encode_jpeg_color(rc, subsample=True)).shape == (19, 23)
+
+
+def test_jpeg_progressive_codec():
+    """Progressive (SOF2) spectral-selection round trip: bit-exact on
+    the block-constant even-offset family (gray AND gray-identical
+    RGB), and on arbitrary images the progressive decode must equal
+    the BASELINE decode of the same pixels — the two scan structures
+    carry identical quantized coefficients, so any difference is a
+    scan-machinery bug."""
+    import numpy as np
+
+    from smart_city_data_pipeline_spark.operators.jpeg_codec import (
+        _decode_progressive,
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+    )
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    for fid in (0, 3, 11):
+        img = (64 + 2 * ((3 * (xx // 8) + 5 * (yy // 8) + 7 * fid) % 64)).astype(
+            np.uint8
+        )
+        buf = encode_jpeg_progressive(img)
+        assert buf[:4] == b"\xff\xd8\xff\xdb" and b"\xff\xc2" in buf
+        assert np.array_equal(decode_jpeg_gray(buf), img), fid
+        rgb = np.stack([img, img, img], axis=2)
+        assert np.array_equal(decode_jpeg_gray(encode_jpeg_progressive(rgb)), img)
+    rng = np.random.default_rng(11)
+    for h, w in ((41, 53), (8, 8), (17, 9)):
+        noisy = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        prog = decode_jpeg_gray(encode_jpeg_progressive(noisy))
+        base = decode_jpeg_gray(encode_jpeg_gray(noisy))
+        assert prog is not None and np.array_equal(prog, base), (h, w)
+    # successive-approximation AC refinement stays behind the seam
+    assert _decode_progressive(b"\xff\xd8\xff\xd9") is None
+
+
+def test_jpeg_progressive_eob_runs():
+    """The progressive decoder must handle GENERAL EOBn runs (runs of
+    all-zero-band blocks longer than one), which this repo's encoder
+    never emits (it flushes EOB per block): hand-assemble an AC scan
+    whose first block ends in EOB4 covering the remaining three blocks,
+    using a custom Huffman table that actually contains the EOBn
+    symbol."""
+    import numpy as np
+
+    from smart_city_data_pipeline_spark.operators.jpeg_codec import (
+        _BitReader,
+        _BitWriter,
+        _canonical_codes,
+        _decode_prog_scan,
+        _decode_table,
+    )
+
+    # symbols: 0x02 = (run 0, size 2) coefficient, 0x20 = EOB4 (r=2)
+    bits = [0] * 16
+    bits[2] = 2  # two 3-bit codes
+    vals = [0x02, 0x20]
+    enc = _canonical_codes(bits, vals)
+    dec = _decode_table(bits, vals)
+
+    wtr = _BitWriter()
+    c, ln = enc[0x02]
+    wtr.write(c, ln)
+    wtr.write(3, 2)  # coefficient +3 at k=1 of block 0
+    c, ln = enc[0x20]
+    wtr.write(c, ln)
+    wtr.write(0, 2)  # EOB run = 2^2 - 1 + 0 + this block = 4 blocks
+    data = wtr.flush() + b"\xff\xd9"
+
+    comps = [(1, 0, 1, 1)]
+    coefs = [np.zeros((1, 4, 64), dtype=np.int64)]
+    rd = _BitReader(data, 0)
+    ok = _decode_prog_scan(
+        rd, coefs, comps, [(0, 0, 0)], {0x10: dec},
+        1, 63, 0, 0, 8, 32, 0,
+    )
+    assert ok
+    want = np.zeros((1, 4, 64), dtype=np.int64)
+    want[0, 0, 1] = 3
+    assert np.array_equal(coefs[0], want)

@@ -198,3 +198,44 @@ def test_jpeg_decoder_survives_garbage(data):
     for buf in (data, b"\xff\xd8" + data):
         out = decode_jpeg_gray(buf)
         assert out is None or out.ndim == 2
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=33),
+    w=st.integers(min_value=1, max_value=33),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_progressive_equals_baseline_decode(h, w, seed):
+    """Progressive (SOF2) spectral-selection streams carry the SAME
+    quantized coefficients as the baseline encoding of the same
+    pixels, just in a different scan structure — so for any shape the
+    progressive decode must equal the baseline decode exactly. Any
+    divergence is a scan-machinery bug (DC interleave, EOB handling,
+    band bounds), not quantization loss."""
+    from smart_city_data_pipeline_spark.operators.jpeg_codec import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+    )
+
+    img = np.random.default_rng(seed).integers(0, 256, size=(h, w), dtype=np.uint8)
+    prog = decode_jpeg_gray(encode_jpeg_progressive(img))
+    base = decode_jpeg_gray(encode_jpeg_gray(img))
+    assert prog is not None and prog.shape == (h, w)
+    assert np.array_equal(prog, base)
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=300))
+def test_jpeg_progressive_decoder_survives_garbage(data):
+    """Untrusted-byte seam for the SOF2 path: arbitrary bytes after a
+    progressive-looking prefix must yield None or an array — never an
+    exception."""
+    from smart_city_data_pipeline_spark.operators.jpeg_codec import (
+        _decode_progressive,
+    )
+
+    for buf in (data, b"\xff\xd8" + data, b"\xff\xd8\xff\xc2" + data):
+        out = _decode_progressive(buf)
+        assert out is None or out.ndim == 2
