@@ -4,14 +4,14 @@ camera_simulator.py`` sends JPEG frames over Kafka) that previously
 sat behind the gated cv2 seam.
 
 Scope: ITU-T T.81 baseline (gray, 4:4:4 and 4:2:0 YCbCr color,
-restart markers) AND progressive (SOF2) spectral selection
-(multi-scan encode; decode additionally handles general EOBn runs,
-any scan script, and DC successive-approximation refinement). The
+restart markers) AND progressive (SOF2) with BOTH spectral selection
+and successive approximation (multi-scan encode incl. the libjpeg-
+style two-level script; decode handles any scan script, general EOBn
+runs, and DC/AC refinement with correction-bit semantics). The
 DECODERS are driven entirely by the bitstream (they build their
 Huffman/quant tables, scan scripts, and MCU geometry from the file's
 DHT/DQT/SOF/SOS segments), so they decode conforming streams, not
-just this encoder's output; AC successive-approximation refinement is
-the one progressive leg left to the cv2 seam. The ENCODERS exist to
+just this encoder's output. The ENCODERS exist to
 synthesize test/bench payloads; they use the standard Annex K
 luminance quant table and a deliberately simple — but perfectly valid —
 canonical Huffman geometry (all 12 DC categories at 4 bits, all 162 AC
@@ -402,9 +402,9 @@ def decode_jpeg_gray(buf: bytes):
     3-component interleaved baseline (YCbCr → BT.601 RGB → channel
     mean, matching the 24-bit BMP path's gray convention), 2×
     chroma subsampling, restart markers (DRI/RSTn), and PROGRESSIVE
-    (SOF2) spectral-selection streams (dispatched to
-    :func:`_decode_progressive`). Unsupported (→ None, cv2 seam):
-    AC successive-approximation refinement, other frame types
+    (SOF2) streams with spectral selection AND successive
+    approximation (dispatched to :func:`_decode_progressive`).
+    Unsupported (→ None, cv2 seam): other frame types
     (lossless/arithmetic/12-bit), 16-bit quant tables. Tables come
     from the bitstream, not from this module's encoder constants."""
     import numpy as np
@@ -568,17 +568,144 @@ def decode_jpeg_gray(buf: bytes):
 # Progressive (SOF2), spectral-selection mode.
 
 
-def encode_jpeg_progressive(arr) -> bytes:
+def _emit_dc_scan(out: bytearray, comps: list, ah: int, al: int) -> None:
+    """Interleaved DC scan over all components. ``ah == 0``: first
+    pass — Huffman-coded diffs of the point-transformed (arithmetic
+    ``>> al``) DC values. ``ah > 0``: successive-approximation
+    refinement — one raw bit (bit ``al`` of the signed DC) per block."""
+    nf = len(comps)
+    bits = _BitWriter()
+    bh0, bw0 = len(comps[0]), len(comps[0][0])
+    if ah == 0:
+        prev = [0] * nf
+        for byi in range(bh0):
+            for bxi in range(bw0):
+                for ci in range(nf):
+                    dc = comps[ci][byi][bxi][0] >> al
+                    diff = dc - prev[ci]
+                    prev[ci] = dc
+                    n = _category(diff)
+                    c, ln = _DC_ENC[n]
+                    bits.write(c, ln)
+                    if n:
+                        bits.write(_amplitude(diff, n), n)
+    else:
+        for byi in range(bh0):
+            for bxi in range(bw0):
+                for ci in range(nf):
+                    bits.write((comps[ci][byi][bxi][0] >> al) & 1, 1)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nf, nf)
+    for cid in range(1, nf + 1):
+        out += struct.pack(">BB", cid, 0x00)
+    out += struct.pack(">BBB", 0, 0, (ah << 4) | al)
+    out += bits.flush()
+
+
+def _emit_ac_first_scan(out: bytearray, blocks: list, cid: int, al: int) -> None:
+    """Single-component AC first scan (Ss=1, Se=63, Ah=0): baseline
+    run/size coding of the point-transformed magnitudes
+    ``sign·(|coef| >> al)``; every block ends with an immediate EOB
+    (EOBRUN = 1), so the Annex-K-shaped AC table — which has no EOBn>1
+    symbols — suffices. The DECODER still handles general EOB runs."""
+    bits = _BitWriter()
+    for row in blocks:
+        for zz in row:
+            vals = [
+                (abs(zz[k]) >> al) * (1 if zz[k] > 0 else -1)
+                for k in range(64)
+            ]
+            run = 0
+            last_nz = max((k for k in range(1, 64) if vals[k]), default=0)
+            for k in range(1, last_nz + 1):
+                if vals[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = _AC_ENC[0xF0]
+                    bits.write(c, ln)
+                    run -= 16
+                n = _category(vals[k])
+                c, ln = _AC_ENC[(run << 4) | n]
+                bits.write(c, ln)
+                bits.write(_amplitude(vals[k], n), n)
+                run = 0
+            if last_nz < 63:
+                c, ln = _AC_ENC[0x00]
+                bits.write(c, ln)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2, 1)
+    out += struct.pack(">BB", cid, 0x00)
+    out += struct.pack(">BBB", 1, 63, al)
+    out += bits.flush()
+
+
+def _emit_ac_refine_scan(
+    out: bytearray, blocks: list, cid: int, ah: int, al: int
+) -> None:
+    """Single-component AC successive-approximation refinement scan
+    (T.81 G.1.2.3): newly-nonzero coefficients (zero at precision
+    ``ah``, nonzero at ``al``) are coded as (run, 1) symbols plus a
+    sign bit, where the run counts only STILL-ZERO positions;
+    already-nonzero coefficients contribute one correction bit (bit
+    ``al`` of the magnitude) each, BUFFERED and appended after the
+    next emitted symbol — mirroring the decoder, which consumes them
+    while advancing between symbols. A trailing EOB (followed by the
+    remaining buffered correction bits) closes each block."""
+    bits = _BitWriter()
+    for row in blocks:
+        for zz in row:
+            run = 0
+            pending: list[int] = []
+            for k in range(1, 64):
+                mag = abs(zz[k])
+                if (mag >> al) == 0:
+                    run += 1
+                    continue
+                # The ZRL flush must happen at EVERY nonzero coefficient
+                # — before the newly/already branch — so every buffered
+                # correction bit precedes the 16 zeros each ZRL skips
+                # (the decoder consumes corrections interleaved while
+                # advancing; flushing only at newly-nonzero positions
+                # would emit a later coefficient's correction under an
+                # earlier ZRL and desync the stream).
+                while run > 15:
+                    c, ln = _AC_ENC[0xF0]
+                    bits.write(c, ln)
+                    for b in pending:
+                        bits.write(b, 1)
+                    pending = []
+                    run -= 16
+                if (mag >> ah) == 0:  # newly nonzero at this precision
+                    c, ln = _AC_ENC[(run << 4) | 1]
+                    bits.write(c, ln)
+                    bits.write(1 if zz[k] > 0 else 0, 1)
+                    for b in pending:
+                        bits.write(b, 1)
+                    pending = []
+                    run = 0
+                else:  # already nonzero: correction bit
+                    pending.append((mag >> al) & 1)
+            if run > 0 or pending:
+                c, ln = _AC_ENC[0x00]
+                bits.write(c, ln)
+                for b in pending:
+                    bits.write(b, 1)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2, 1)
+    out += struct.pack(">BB", cid, 0x00)
+    out += struct.pack(">BBB", 1, 63, (ah << 4) | al)
+    out += bits.flush()
+
+
+def encode_jpeg_progressive(arr, successive: bool = False) -> bytes:
     """8-bit gray (h, w) or RGB (h, w, 3) array → PROGRESSIVE JPEG
-    bytes (SOF2) with a spectral-selection scan script: one
+    bytes (SOF2). Default scan script is pure spectral selection: one
     interleaved DC scan (Ss=Se=0) followed by one full-band AC scan
-    per component (Ss=1, Se=63) — a real multi-scan progressive
-    bitstream. No successive approximation (Ah=Al=0 throughout) and no
-    subsampling (gray / 4:4:4): enough to drive the progressive
-    decoder's scan machinery end-to-end under the hash gate. Every
-    block ends with an immediate EOB (EOBRUN = 1), so the Annex-K-
-    shaped AC table — which has no EOBn>1 symbols — suffices; the
-    DECODER still handles general EOB runs.
+    per component (Ss=1, Se=63), Ah=Al=0 throughout.
+    ``successive=True`` adds SUCCESSIVE APPROXIMATION — the libjpeg-
+    style two-level script: DC first at Al=1, AC first per component
+    at Al=1, DC refinement (Ah=1), AC refinement per component (Ah=1,
+    Al=0) — a real four-stage progressive bitstream whose refinement
+    scans reassemble the exact quantized coefficients. No subsampling
+    (gray / 4:4:4).
     """
     import numpy as np
 
@@ -622,55 +749,20 @@ def encode_jpeg_progressive(arr) -> bytes:
     out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(_AC_VALS), 0x10)
     out += bytes(_AC_BITS) + bytes(_AC_VALS)
 
-    # Scan 1: DC of all components, interleaved (4:4:4 MCU = one block
-    # per component).
-    bits = _BitWriter()
-    prev = [0] * nf
-    bh0, bw0 = len(comps[0]), len(comps[0][0])
-    for byi in range(bh0):
-        for bxi in range(bw0):
-            for ci in range(nf):
-                dc = comps[ci][byi][bxi][0]
-                diff = dc - prev[ci]
-                prev[ci] = dc
-                n = _category(diff)
-                c, ln = _DC_ENC[n]
-                bits.write(c, ln)
-                if n:
-                    bits.write(_amplitude(diff, n), n)
-    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nf, nf)
-    for cid in range(1, nf + 1):
-        out += struct.pack(">BB", cid, 0x00)
-    out += struct.pack(">BBB", 0, 0, 0)
-    out += bits.flush()
-
-    # Scans 2..: full AC band per component, non-interleaved.
-    for ci in range(nf):
-        bits = _BitWriter()
-        for row in comps[ci]:
-            for zz in row:
-                run = 0
-                last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
-                for k in range(1, last_nz + 1):
-                    if zz[k] == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        c, ln = _AC_ENC[0xF0]
-                        bits.write(c, ln)
-                        run -= 16
-                    n = _category(zz[k])
-                    c, ln = _AC_ENC[(run << 4) | n]
-                    bits.write(c, ln)
-                    bits.write(_amplitude(zz[k], n), n)
-                    run = 0
-                if last_nz < 63:
-                    c, ln = _AC_ENC[0x00]
-                    bits.write(c, ln)
-        out += b"\xff\xda" + struct.pack(">HB", 6 + 2, 1)
-        out += struct.pack(">BB", ci + 1, 0x00)
-        out += struct.pack(">BBB", 1, 63, 0)
-        out += bits.flush()
+    if not successive:
+        # Spectral selection only: DC scan, then full AC band per comp.
+        _emit_dc_scan(out, comps, 0, 0)
+        for ci in range(nf):
+            _emit_ac_first_scan(out, comps[ci], ci + 1, 0)
+    else:
+        # Two-level successive approximation: coarse first passes at
+        # Al=1, then the refinement scans that restore bit 0.
+        _emit_dc_scan(out, comps, 0, 1)
+        for ci in range(nf):
+            _emit_ac_first_scan(out, comps[ci], ci + 1, 1)
+        _emit_dc_scan(out, comps, 1, 0)
+        for ci in range(nf):
+            _emit_ac_refine_scan(out, comps[ci], ci + 1, 1, 0)
 
     out += b"\xff\xd9"
     return bytes(out)
@@ -683,9 +775,10 @@ def _decode_prog_scan(
     coefficient store. Returns False on any unsupported/invalid
     geometry. Supported: DC scans (interleaved or single-component,
     first pass Ah=0 and refinement Ah>0), AC FIRST scans (Ah=0,
-    single-component per T.81, general EOBn runs, ZRL), restart
-    markers. AC refinement (Ah>0, Ss≥1) is NOT supported — that is the
-    successive-approximation leg left behind the cv2 seam."""
+    single-component per T.81, general EOBn runs, ZRL), AC
+    successive-approximation REFINEMENT scans (Ah>0: (run, 1) symbols
+    counting still-zero positions, interleaved correction bits,
+    EOB-run correction sweeps), and restart markers."""
     hmax = max(c[2] for c in comps)
     vmax = max(c[3] for c in comps)
     if ss == 0:
@@ -744,8 +837,8 @@ def _decode_prog_scan(
                     elif rd.read_bit():
                         coefs[idx][byi, bxi, 0] |= 1 << al
         return True
-    # AC scan: single component, first pass only.
-    if len(sel) != 1 or se < ss or se > 63 or ah != 0:
+    # AC scan: single component per T.81.
+    if len(sel) != 1 or se < ss or se > 63:
         return False
     idx, _, ta = sel[0]
     ac_tab = htables.get(0x10 | ta)
@@ -756,6 +849,50 @@ def _decode_prog_scan(
     bh = -(-(h * vs) // (8 * vmax))
     eobrun = 0
     unit = 0
+    if ah == 0:
+        # First pass: run/size coding of point-transformed magnitudes.
+        for byi in range(bh):
+            for bxi in range(bw):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    if not rd.sync_restart():
+                        return False
+                    eobrun = 0
+                unit += 1
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _read_symbol(rd, ac_tab)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL: 16 zero coefficients
+                            continue
+                        # EOBn: run of 2^r + (r extra bits) all-zero
+                        # bands, INCLUDING this block
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += rd.read_bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        return False
+                    coefs[idx][byi, bxi, k] = _extend(rd.read_bits(s), s) << al
+                    k += 1
+        return True
+    # Successive-approximation refinement (T.81 G.2): newly-nonzero
+    # coefficients arrive as (run, 1) symbols + sign, where the run
+    # counts only STILL-ZERO positions; every already-nonzero
+    # coefficient passed over consumes one correction bit. Blocks
+    # inside an EOB run (and the band remainder after an EOB symbol)
+    # still consume correction bits for their nonzero coefficients.
+    p1 = 1 << al
+
+    def refine_nz(cf, k):
+        if rd.read_bit() and not (int(cf[k]) & p1):
+            cf[k] += p1 if cf[k] > 0 else -p1
+
     for byi in range(bh):
         for bxi in range(bw):
             if restart_interval and unit and unit % restart_interval == 0:
@@ -763,28 +900,47 @@ def _decode_prog_scan(
                     return False
                 eobrun = 0
             unit += 1
+            cf = coefs[idx][byi, bxi]
             if eobrun:
                 eobrun -= 1
+                for k in range(ss, se + 1):
+                    if cf[k]:
+                        refine_nz(cf, k)
                 continue
             k = ss
+            hit_eob = False
             while k <= se:
                 rs = _read_symbol(rd, ac_tab)
                 r, s = rs >> 4, rs & 0xF
+                val = 0
                 if s == 0:
-                    if r == 15:
-                        k += 16  # ZRL: 16 zero coefficients
-                        continue
-                    # EOBn: run of 2^r + (r extra bits) all-zero bands,
-                    # INCLUDING this block
-                    eobrun = (1 << r) - 1
-                    if r:
-                        eobrun += rd.read_bits(r)
-                    break
-                k += r
-                if k > se:
-                    return False
-                coefs[idx][byi, bxi, k] = _extend(rd.read_bits(s), s) << al
+                    if r != 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += rd.read_bits(r)
+                        hit_eob = True
+                        break
+                    # r == 15: ZRL — skip 16 still-zero positions
+                else:
+                    if s != 1:
+                        return False
+                    val = p1 if rd.read_bit() else -p1
+                while k <= se:
+                    if cf[k]:
+                        refine_nz(cf, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if s and k <= se:
+                    cf[k] = val
                 k += 1
+            if hit_eob:
+                while k <= se:
+                    if cf[k]:
+                        refine_nz(cf, k)
+                    k += 1
     return True
 
 
@@ -792,11 +948,10 @@ def _decode_progressive(buf: bytes):
     """Progressive (SOF2) JPEG bytes → 2-D uint8 GRAY array, or None
     when unsupported. Driven entirely by the bitstream: scan script,
     spectral bands, Huffman/quant tables, and MCU geometry all come
-    from the file. Supported: spectral selection with any script, DC
-    successive-approximation refinement, general EOB runs, restart
-    markers, gray / 4:4:4 / 2×-subsampled color. Unsupported (→ None,
-    the cv2 seam): AC successive-approximation refinement, 16-bit
-    quant tables."""
+    from the file. Supported: spectral selection with any script,
+    successive approximation (DC and AC refinement), general EOB
+    runs, restart markers, gray / 4:4:4 / 2×-subsampled color.
+    Unsupported (→ None, the cv2 seam): 16-bit quant tables."""
     import numpy as np
 
     qtables: dict[int, list[int]] = {}

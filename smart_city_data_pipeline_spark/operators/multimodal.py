@@ -654,11 +654,14 @@ def synth_jpeg_frames(
                     np.uint8
                 )
                 if progressive:
-                    # SOF2 spectral-selection scan script (DC scan +
-                    # per-component AC scans); gray-identical RGB as in
+                    # SOF2 successive-approximation scan script (coarse
+                    # DC+AC first passes at Al=1, then the refinement
+                    # scans restoring bit 0 — the full four-stage
+                    # progressive pipeline); gray-identical RGB as in
                     # the color path below.
                     buf = encode_jpeg_progressive(
-                        np.stack([img, img, img], axis=2) if color else img
+                        np.stack([img, img, img], axis=2) if color else img,
+                        successive=True,
                     )
                 elif color:
                     # gray-identical RGB: Y plane == img, chroma == 128 —
@@ -919,13 +922,15 @@ def frames_features_jpeg420(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def frames_features_jpeg_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """queries() entry exercising the PROGRESSIVE (SOF2) JPEG decoder
-    under the hash gate: a real multi-scan spectral-selection
-    bitstream (interleaved 3-component DC scan, then one full-band AC
-    scan per component with EOB-run semantics) accumulated into the
-    coefficient store and reconstructed — the scan-script machinery
-    sequential decode never touches. Same closed-form oracle: the
-    frame family is lossless by construction and gray-identical RGB
-    cancels the color transform exactly."""
+    under the hash gate: a real four-stage successive-approximation
+    bitstream (interleaved DC scan at Al=1, per-component AC first
+    scans at Al=1, DC refinement, per-component AC refinement with
+    correction-bit semantics) accumulated into the coefficient store
+    and reconstructed — the scan-script machinery sequential decode
+    never touches. Same closed-form oracle: the refinement scans
+    reassemble the exact quantized coefficients, the frame family is
+    lossless by construction, and gray-identical RGB cancels the color
+    transform exactly."""
     frames = sample_frames(
         synth_jpeg_frames(
             spark, sf_dir, every_k=FRAME_SAMPLE_K, color=True, progressive=True

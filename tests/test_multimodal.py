@@ -379,8 +379,41 @@ def test_jpeg_progressive_codec():
         prog = decode_jpeg_gray(encode_jpeg_progressive(noisy))
         base = decode_jpeg_gray(encode_jpeg_gray(noisy))
         assert prog is not None and np.array_equal(prog, base), (h, w)
-    # successive-approximation AC refinement stays behind the seam
     assert _decode_progressive(b"\xff\xd8\xff\xd9") is None
+
+
+def test_jpeg_progressive_successive_approximation():
+    """The four-stage successive-approximation script (DC+AC first
+    passes at Al=1, then DC/AC refinement restoring bit 0) must
+    reassemble the exact quantized coefficients: decode equals the
+    BASELINE decode of the same pixels on arbitrary images, and is
+    bit-exact on the lossless block-constant family (gray and
+    gray-identical RGB)."""
+    import numpy as np
+
+    from smart_city_data_pipeline_spark.operators.jpeg_codec import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+    )
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    img = (64 + 2 * ((3 * (xx // 8) + 5 * (yy // 8) + 7 * 9) % 64)).astype(
+        np.uint8
+    )
+    buf = encode_jpeg_progressive(img, successive=True)
+    assert buf.count(b"\xff\xda") >= 4  # DC first, AC first, 2 refinements
+    assert np.array_equal(decode_jpeg_gray(buf), img)
+    rgb = np.stack([img, img, img], axis=2)
+    assert np.array_equal(
+        decode_jpeg_gray(encode_jpeg_progressive(rgb, successive=True)), img
+    )
+    rng = np.random.default_rng(23)
+    for h, w in ((41, 53), (9, 40), (1, 16), (12, 1), (17, 18)):
+        noisy = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        sa = decode_jpeg_gray(encode_jpeg_progressive(noisy, successive=True))
+        base = decode_jpeg_gray(encode_jpeg_gray(noisy))
+        assert sa is not None and np.array_equal(sa, base), (h, w)
 
 
 def test_jpeg_progressive_eob_runs():

@@ -220,10 +220,11 @@ def test_jpeg_progressive_equals_baseline_decode(h, w, seed):
     )
 
     img = np.random.default_rng(seed).integers(0, 256, size=(h, w), dtype=np.uint8)
-    prog = decode_jpeg_gray(encode_jpeg_progressive(img))
     base = decode_jpeg_gray(encode_jpeg_gray(img))
-    assert prog is not None and prog.shape == (h, w)
-    assert np.array_equal(prog, base)
+    for successive in (False, True):
+        prog = decode_jpeg_gray(encode_jpeg_progressive(img, successive=successive))
+        assert prog is not None and prog.shape == (h, w)
+        assert np.array_equal(prog, base), successive
 
 
 @settings(max_examples=60, deadline=None)
