@@ -1055,19 +1055,12 @@ SPAN_K = 8  # tokens per exact-substring shingle
 
 def _kgram_hashes(text: Column, k: int) -> Column:
     """POSITIONAL k-token shingle hashes (non-distinct, one per window
-    position) — built from k zipped slices like :func:`_shingles`, for
-    the same CSE reason (index-lambda forms re-evaluate ``split()`` per
-    element)."""
-    toks = _ws_tokens(text)
-    n = F.greatest(F.size(toks) - (k - 1), F.lit(0))
-    acc = F.slice(toks, 1, n)
-    for off in range(1, k):
-        acc = F.zip_with(
-            acc,
-            F.slice(toks, 1 + off, n),
-            lambda x, y: F.concat(x, F.lit(" "), y),
-        )
-    return F.transform(acc, md5_long)
+    position): md5 over the shared zipped-slice gram strings
+    (:func:`functions.text.kgram_strings` — one construction for both
+    the hashed and string forms)."""
+    from smart_city_data_pipeline_spark.functions.text import kgram_strings
+
+    return F.transform(kgram_strings(_ws_tokens(text), k), md5_long)
 
 
 def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -140,6 +140,19 @@ SMALL_PART_ROWS = 100   # below this, an hour partition is a small-file risk
 ROW_OVERHEAD_BYTES = 28  # fixed per-row envelope estimate
 
 
+def _hour_partition_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour-partition (bucket, n_rows, est_bytes) rollup — the one
+    shared aggregate behind both the skew report and the compaction
+    plan, so the byte-estimate formula lives in exactly one place."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("props") + ROW_OVERHEAD_BYTES).alias("est_bytes"),
+    )
+
+
 def partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-partition health report over the event lake: per-partition
     row count, estimated bytes, share of the largest partition, and a
@@ -150,13 +163,7 @@ def partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     One keyed aggregate over facts; the share-of-max window runs over
     the tiny per-hour rollup (one row per partition), never the facts.
     """
-    ev = table(spark, sf_dir, "events")
-    g = ev.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("bucket")
-    ).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.length("props") + ROW_OVERHEAD_BYTES).alias("est_bytes"),
-    )
+    g = _hour_partition_rollup(spark, sf_dir)
     w = Window.partitionBy()
     share = F.col("n_rows").cast("double") / F.max("n_rows").over(w).cast("double")
     return g.select(
@@ -194,13 +201,7 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact table), so the single-partition window is safe at any fact
     scale. All arithmetic is exact BIGINT.
     """
-    ev = table(spark, sf_dir, "events")
-    parts = ev.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("bucket")
-    ).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.length("props") + ROW_OVERHEAD_BYTES).alias("est_bytes"),
-    )
+    parts = _hour_partition_rollup(spark, sf_dir)
     wo = Window.partitionBy().orderBy("bucket")
     cum_before = F.coalesce(
         F.sum("est_bytes").over(

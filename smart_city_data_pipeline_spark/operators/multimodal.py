@@ -622,6 +622,12 @@ def synth_jpeg_frames(
         encode_jpeg_gray,
     )
 
+    if progressive and subsample:
+        raise ValueError(
+            "progressive encoding has no 4:2:0 support — refusing to "
+            "silently emit 4:4:4 frames under a subsample=True request"
+        )
+
     docs = spread(
         table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents"
     ).select(

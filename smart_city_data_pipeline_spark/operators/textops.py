@@ -952,7 +952,11 @@ def chunk_dedup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = docs.select(
         "doc_id", T.ws_tokens(F.lower(F.col("text"))).alias("tk")
     )
-    n_chunks = (F.size("tk") / CHUNK_K).cast("long")
+    # integer DIV (not a double divide + cast) so the count matches the
+    # oracle's `len(tk) // CHUNK_K` exactly for ANY future CHUNK_K, not
+    # just power-of-two values where the float quotient happens to be
+    # exact
+    n_chunks = F.expr(f"size(tk) DIV {CHUNK_K}")
     # sequence(0, -1) would yield [0, -1] (Spark infers step -1), so
     # empty docs get an explicit empty index array.
     idx = F.when(
