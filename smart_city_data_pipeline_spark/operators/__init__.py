@@ -110,7 +110,8 @@ _GATE_FIRST = [
 # already 100% never-driver-checked entries): frames_features_jpeg_color,
 # frames_features_jpeg420, frames_features_jpeg_prog, interarrival_stats,
 # downsample_maxdev, dup_ngram_chars, chunk_dedup_share, compaction_plan,
-# and the ann_ivf_kmeans oracle upgrade. All are full-oracle, locally
+# gopher_word_stats, and the ann_ivf_kmeans oracle upgrade. All are
+# full-oracle, locally
 # gate-green, judge-covered via the full check_correctness rerun, and
 # first in line for the r6 window.
 

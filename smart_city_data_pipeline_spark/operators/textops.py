@@ -1003,6 +1003,74 @@ def chunk_dedup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher word-statistics bounds (Rae et al. 2021 §A1.1): mean word
+# length outside [3, 10] marks OCR junk / symbol soup / whitespace-
+# mangled text.
+WORD_LEN_MIN = 3
+WORD_LEN_MAX = 10
+# The synthetic corpus's mean word lengths all sit inside [3, 10], so
+# (pii_scrub / dup_ngram_chars precedent) doc_id-keyed outliers are
+# synthesized: %9 docs get one 3000-char token (OCR-garbage shape,
+# mean ≫ 10), %13 docs get 40 single-char tokens (mangled-whitespace
+# shape, mean < 3) — both flag branches are then real in the gate.
+_WLEN_LONG = " " + "x" * 3000
+_WLEN_SHORT = " a" * 40
+_WLEN_SYNTH_SQL = (
+    "text"
+    f" || CASE WHEN doc_id % 9 = 0 THEN '{_WLEN_LONG}' ELSE '' END"
+    f" || CASE WHEN doc_id % 13 = 0 THEN '{_WLEN_SHORT}' ELSE '' END"
+)
+
+
+def gopher_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher word-statistics rule: per-document token count, total
+    word characters, mean and max word length, and the out-of-bounds
+    flag (mean outside [3, 10]) — the length-shape junk filter
+    ``text_quality``'s punctuation/stopword score doesn't cover.
+
+    Pure zero-shuffle projection: token lengths come from one
+    ``transform`` over the materialized token array, the total from an
+    ``aggregate`` fold, the max from ``array_max`` — all JVM-side. The
+    flag compares exact BIGINTs (``total < 3·n`` / ``total > 10·n``),
+    so both engines decide it identically with no float boundary.
+    """
+    docs = table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 9 == 0, F.lit(_WLEN_LONG)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(_WLEN_SHORT)).otherwise(F.lit("")),
+    )
+    toked = docs.select(
+        "doc_id", T.ws_tokens(F.lower(synth)).alias("tk")
+    )
+    lens = F.transform(F.col("tk"), lambda t: F.length(t).cast("long"))
+    staged = toked.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.aggregate(
+            lens, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("total_word_chars"),
+        F.array_max(lens).alias("max_word_len"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        "total_word_chars",
+        "max_word_len",
+        F.when(
+            F.col("n_tokens") > 0,
+            pround(
+                F.col("total_word_chars").cast("double")
+                / F.col("n_tokens").cast("double")
+            ),
+        ).alias("mean_word_len"),
+        (
+            (F.col("total_word_chars") < WORD_LEN_MIN * F.col("n_tokens"))
+            | (F.col("total_word_chars") > WORD_LEN_MAX * F.col("n_tokens"))
+        ).alias("flagged"),
+    )
+
+
 QUERIES = {
     "lang_id": lang_id,
     "text_quality": text_quality,
@@ -1030,6 +1098,7 @@ QUERIES = {
     "bm25_scores": bm25_scores,
     "dup_ngram_chars": dup_ngram_chars,
     "chunk_dedup_share": chunk_dedup_share,
+    "gopher_word_stats": gopher_word_stats,
 }
 
 _T = "text"
@@ -1553,5 +1622,29 @@ ORACLES = {
                END AS dup_share,
                COALESCE(d.n_dup, 0) > 0 AS flagged
         FROM toks t LEFT JOIN dupc d USING (doc_id)
+    """,
+    "gopher_word_stats": f"""
+        WITH toked AS (
+            SELECT doc_id,
+                   list_transform(
+                       regexp_split_to_array(trim(lower({_WLEN_SYNTH_SQL})), '\\s+'),
+                       t -> CAST(length(t) AS BIGINT)
+                   ) AS lens
+            FROM documents
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(len(lens) AS BIGINT) AS n_tokens,
+                   CAST(list_aggregate(lens, 'sum') AS BIGINT) AS total_word_chars,
+                   CAST(list_aggregate(lens, 'max') AS BIGINT) AS max_word_len
+            FROM toked
+        )
+        SELECT doc_id, n_tokens, total_word_chars, max_word_len,
+               CASE WHEN n_tokens > 0 THEN
+                   {pround_sql('CAST(total_word_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)')}
+               END AS mean_word_len,
+               (total_word_chars < {WORD_LEN_MIN} * n_tokens
+                OR total_word_chars > {WORD_LEN_MAX} * n_tokens) AS flagged
+        FROM agg
     """,
 }

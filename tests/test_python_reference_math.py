@@ -223,3 +223,38 @@ def test_compaction_plan_invariants(spark, sf_dir):
         # removing the last member must leave the bin under target
         if len(members) > 1:
             assert total - members[-1]["est_bytes"] < COMPACT_TARGET_BYTES
+
+
+def test_gopher_word_stats_matches_python(spark, sf_dir, docs):
+    from smart_city_data_pipeline_spark.operators.textops import (
+        WORD_LEN_MAX,
+        WORD_LEN_MIN,
+        _WLEN_LONG,
+        _WLEN_SHORT,
+        gopher_word_stats,
+    )
+
+    out = {r["doc_id"]: r for r in gopher_word_stats(spark, sf_dir).collect()}
+    assert set(out) == set(docs)
+    hi = lo = 0
+    for doc_id, row in docs.items():
+        text = row["text"]
+        if doc_id % 9 == 0:
+            text += _WLEN_LONG
+        if doc_id % 13 == 0:
+            text += _WLEN_SHORT
+        lens = [len(t) for t in text.lower().split()]
+        total = sum(lens)
+        got = out[doc_id]
+        assert got["n_tokens"] == len(lens)
+        assert got["total_word_chars"] == total
+        assert got["max_word_len"] == max(lens)
+        assert abs(got["mean_word_len"] - _pround(total / len(lens))) <= 1e-4
+        want_flag = (
+            total < WORD_LEN_MIN * len(lens) or total > WORD_LEN_MAX * len(lens)
+        )
+        assert got["flagged"] == want_flag, doc_id
+        hi += total > WORD_LEN_MAX * len(lens)
+        lo += total < WORD_LEN_MIN * len(lens)
+    # the synthesized outliers must make BOTH flag branches real
+    assert hi > 0 and lo > 0
