@@ -21,99 +21,61 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Round-5 rotation (VERDICT r4 item 3): entries that are new or
-# changed this round, plus the 29 oracle entries that sat out the r4
-# driver window (judge-verified there, but due a driver-green pass) —
-# these MUST be inside the driver's 50-entry gate window. Entries
-# driver-green in r4 fall into the middle (``rest``) and fill the
-# remaining window slots in module order; whichever sit past slot 50
-# are covered by the judge's full rerun and rotate back in r6.
+# Round-6 rotation (VERDICT r5 item 1): the 11 full-oracle entries
+# that have NEVER been inside a driver gate window lead; entries new
+# or changed in round 6 follow; the remaining slots are back-filled by
+# the longest-displaced r3/r4 driver-greens (each judge-green in the
+# r5 full check_correctness rerun and unchanged since). Entries
+# driver-green in r5 fall into the middle (``rest``) and rotate back
+# in r7.
 _GATE_FIRST = [
-    # new or changed in round 5
-    "pack_sequences",  # oracle int-width fix (r4's one red row)
-    "dedup_containment",  # df_cap knob now on by default
-    "frames_features_bmp",  # upgraded rows-only -> full analytic oracle
-    "frames_features_png",  # new: real PNG decode under the hash gate
-    "minute_rollup_batch",  # new: continuous-aggregate batch twin
-    "q6_forecast_revenue",  # new TPC-H additions (r5)
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_ship_delay_priority",
-    "q15_top_supplier",
-    "q16_supplier_part_variety",
-    "ohlc_bars",  # new analytics additions (r5, second batch)
-    "interp_linear",
-    "cusum_drift",
-    "type_corr_matrix",
-    "ewma_batch",
-    "type_transition_matrix",
-    "pii_scrub",
-    "global_shuffle_shards",
-    "seq_len_histogram",
-    "exact_substring_spans",
-    # new or changed in round 5, third batch — NEVER driver-checked, so
-    # they outrank twice-green rotation entries for window slots
-    "peak_detection",
-    "vocab_coverage",
-    "ngram_novelty",
-    "source_ngram_overlap",
-    "embedding_centroids",
-    "embedding_pq_codes",
-    "knn_graph",
-    "frames_resize_stats",
-    "corpus_filter",  # re-implemented (single-pass window) this round
-    "lsh_quality_report",  # new evaluation entries (r5, fourth batch)
-    "langid_confusion",
-    "acf_lags",  # new analytics additions (r5, fifth batch)
-    "robust_zscore",
-    "frames_features_jpeg",  # real baseline-JPEG decode under the gate
-    # (took sensor_uptime's slot — the lowest-risk new entry, a single
-    # keyed aggregate; it sits first in the judge-covered rest and
-    # rotates into the r6 window)
-    "prefix_dup_groups",  # new C-block additions (r5, sixth batch)
-    "priority_dedup",
-    "ann_range_search",
-    "quality_classifier_score",
-    "column_profile",  # new lakehouse additions (r5, seventh batch)
-    "zorder_codes",
-    "seasonal_anomaly",  # new additions (r5, eighth batch)
-    "char_entropy",
-    "embedding_qc",
-    "cohort_retention",  # new additions (r5, ninth batch)
-    "basket_affinity",
-    "markov_surprisal",
-    "bm25_scores",
-    "partition_skew_report",
-    # sat outside the r4 window — rotate back in front. The r5 entry
-    # wave displaced the TEN entries listed at the bottom of this
-    # comment block into the judge-covered rest (each is driver-r3
-    # green AND judge-r4 green AND unchanged since — strictly lower
-    # risk than a never-checked new entry); they rotate back in r6:
-    # dataset_summary, zone_value_histogram, range_pair_counts,
-    # asof_enrich, congestion_streaks, anomaly_zscore, latest_metrics,
-    # time_bucket_1min, sliding_window_counts, gap_fill_hourly,
-    # daily_type_pivot, top_sensors_per_zone, and (fifth/sixth-batch
-    # waves) zone_dow_rollup, late_supplier_blame,
-    # q19_discounted_revenue, big_spender_orders, ann_ivf_topk,
-    # ann_topk_cosine, dedup_levenshtein, detections_explode,
-    # camera_object_stats, zone_sketch_stats, camera_dwell_stats,
-    # props_unwrap_typed, salted_zone_sensors, text_repetition,
-    # dedup_incremental, stratified_sample, tfidf_top_terms. With the
-    # ninth batch the window is 100% never-driver-checked r5 entries;
-    # every displaced entry is driver-r3-green AND judge-r4-green and
-    # unchanged, and the judge's full check_correctness rerun covers
-    # them this round too.
+    # never driver-checked (late-session r5 additions; judge-r5 green)
+    "frames_features_jpeg_color",
+    "frames_features_jpeg420",
+    "frames_features_jpeg_prog",
+    "interarrival_stats",
+    "downsample_maxdev",
+    "dup_ngram_chars",
+    "chunk_dedup_share",
+    "compaction_plan",
+    "gopher_word_stats",
+    "sensor_uptime",
+    "ann_ivf_kmeans",
+    # new or changed in round 6 (grown as the round progresses; the
+    # rotate-back wave below shrinks to keep the total <= 50)
+    "ewma_batch",  # re-implemented: linear-recurrence block fold
+    # rotate-back wave: displaced in r5, driver-r3/r4 green, judge-r5
+    # green, unchanged since — longest-out-of-window first
+    "dataset_summary",
+    "zone_value_histogram",
+    "range_pair_counts",
+    "asof_enrich",
+    "congestion_streaks",
+    "anomaly_zscore",
+    "latest_metrics",
+    "time_bucket_1min",
+    "sliding_window_counts",
+    "gap_fill_hourly",
+    "daily_type_pivot",
+    "top_sensors_per_zone",
+    "zone_dow_rollup",
+    "late_supplier_blame",
+    "q19_discounted_revenue",
+    "big_spender_orders",
+    "ann_ivf_topk",
+    "ann_topk_cosine",
+    "dedup_levenshtein",
+    "detections_explode",
+    "camera_object_stats",
+    "zone_sketch_stats",
+    "camera_dwell_stats",
+    "props_unwrap_typed",
+    "salted_zone_sensors",
+    "text_repetition",
+    "dedup_incremental",
+    "stratified_sample",
+    "tfidf_top_terms",
 ]
-
-# Late-session r5 additions past the 50-slot window (the window was
-# already 100% never-driver-checked entries): frames_features_jpeg_color,
-# frames_features_jpeg420, frames_features_jpeg_prog, interarrival_stats,
-# downsample_maxdev, dup_ngram_chars, chunk_dedup_share, compaction_plan,
-# gopher_word_stats, and the ann_ivf_kmeans oracle upgrade. All are
-# full-oracle, locally
-# gate-green, judge-covered via the full check_correctness rerun, and
-# first in line for the r6 window.
 
 # Entries that can never hash-match (no oracle_sql twin by documented
 # design: cv2-gated binary decode) — parked at the very tail so they
