@@ -1,4 +1,5 @@
-"""Batch sinks: partitioned parquet, CSV, and gated JDBC/Kafka.
+"""Batch sinks: partitioned parquet, CSV, JDBC (live, via the bundled
+Derby embedded driver), and gated Kafka.
 
 Reference sinks:
 - partitioned parquet: ``pipline2/spark-jobs/traffic_batch_processing.py:100``
@@ -10,8 +11,8 @@ Reference sinks:
 Scale notes: partitioned writes repartition by the partition columns first
 so each task writes few files (without it, every task writes a file per
 partition value → small-file explosion at 1000 executors). JDBC writes
-bound per-connection batches; Kafka writes serialize JVM-side via
-``to_json``.
+bound per-connection batches and connection counts; Kafka writes
+serialize JVM-side via ``to_json``.
 """
 
 from __future__ import annotations
@@ -99,6 +100,21 @@ def write_csv(df: DataFrame, path: str) -> None:
     df.write.option("header", "true").mode("overwrite").csv(path)
 
 
+def derby_url(db_dir: str, create: bool = True) -> str:
+    """JDBC URL for the Derby embedded driver that ships inside
+    ``pyspark/jars`` (``derby-10.16.1.1.jar``) — a zero-infrastructure
+    warehouse target that exercises the REAL Spark JDBC write/read
+    path (driver lookup, dialect type mapping, batched inserts) in
+    this sandbox. Production swaps the URL/driver for Postgres
+    (reference: ``traffic_batch_processing.py:117``); the writer code
+    is identical.
+    """
+    return f"jdbc:derby:{db_dir}" + (";create=true" if create else "")
+
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,
@@ -106,28 +122,60 @@ def write_jdbc(
     mode: str = "append",
     properties: dict[str, str] | None = None,
     batchsize: int = 10_000,
+    num_partitions: int | None = None,
 ) -> None:
     """JDBC sink (reference: ``traffic_batch_processing.py:117``).
 
-    Gated: this environment ships no JDBC driver jar, so the call will
-    raise from Spark's driver-class lookup; the plan construction and
-    options are the production path (bounded batch size, rewrite to
-    multi-row INSERTs is driver-side config).
+    Verified end-to-end in this sandbox against the Derby embedded
+    driver bundled with pyspark (see ``derby_url``); the Postgres path
+    differs only in URL/driver (the ``org.postgresql`` jar is absent
+    here and Maven Central is unreachable — probe recorded round 4).
 
-    Runtime-provisioning probe (round 4): a fresh session configured
-    with ``spark.jars.packages = org.postgresql:postgresql:42.7.4``
-    fails ivy resolution with ``unresolved dependency: not found`` —
-    Maven Central is unreachable from this sandbox (HTTP 000), so the
-    jar cannot be fetched at runtime either. On any network-connected
-    cluster that exact coordinate resolves and this writer round-trips
-    unchanged.
+    Scale posture: ``batchsize`` bounds rows per INSERT batch;
+    ``num_partitions`` coalesces the write so at most that many
+    concurrent connections hit the database — at 1000 executors an
+    uncoalesced write would open 1000 connections and fall over long
+    before Spark does. Coalesce (no shuffle) rather than repartition:
+    the write is connection-bound, not CPU-bound.
     """
+    if num_partitions is not None:
+        df = df.coalesce(num_partitions)
     writer = df.write.format("jdbc").option("url", url).option("dbtable", table).option(
         "batchsize", str(batchsize)
     )
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.mode(mode).save()
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """JDBC source. With a numeric ``partition_column`` + bounds the
+    read is split into ``num_partitions`` parallel range queries
+    (``WHERE col >= lo AND col < hi``) — the only way a JDBC scan
+    parallelizes; without it the whole table arrives through one
+    connection on one task, which is fine for dimension tables and
+    wrong for facts.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 4))
+        )
+    return reader.load()
 
 
 def write_kafka(df: DataFrame, bootstrap: str, topic: str, key_col: str | None = None) -> None:

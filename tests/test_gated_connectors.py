@@ -1,22 +1,15 @@
-"""Gated JDBC/Kafka connectors: the plan construction must execute all
-the way to the missing-driver/package boundary (proves the plumbing is
-real, not a stub that would also fail on a provisioned cluster)."""
+"""Gated Kafka connector: the plan construction must execute all the
+way to the missing-package boundary (proves the plumbing is real, not
+a stub that would also fail on a provisioned cluster). JDBC left this
+file in round 6 — the bundled Derby embedded driver gives it a REAL
+round-trip suite (tests/test_jdbc_roundtrip.py)."""
 
 from __future__ import annotations
 
 import pytest
 
 from smart_city_data_pipeline_spark.catalog import table
-from smart_city_data_pipeline_spark.sources.writers import write_jdbc, write_kafka
-
-
-def test_jdbc_sink_reaches_driver_lookup(spark, sf_dir):
-    df = table(spark, sf_dir, "nation")
-    with pytest.raises(Exception) as exc:
-        write_jdbc(df, "jdbc:postgresql://localhost:5432/smartcity", "nation_sink")
-    # Fails at the JDBC layer (no driver jar here), not in our plumbing.
-    msg = str(exc.value)
-    assert "driver" in msg.lower() or "jdbc" in msg.lower()
+from smart_city_data_pipeline_spark.sources.writers import write_kafka
 
 
 def test_kafka_sink_reaches_datasource_lookup(spark, sf_dir):
