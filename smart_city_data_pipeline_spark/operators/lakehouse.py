@@ -192,9 +192,12 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bin assignment is ``floor(cum_bytes_before / target)``: every bin
     starts at the first partition that crosses its target boundary, so
     bins are consecutive in time (compacted files keep tight ts
-    min/max for pruning) and deterministic. A partition bigger than
-    the target gets a bin of its own rather than being split — a
-    compactor only ever merges.
+    min/max for pruning) and deterministic. A partition is never SPLIT
+    — a compactor only ever merges — but an oversized partition may
+    absorb the small partitions preceding it in its bin (it gets a bin
+    of its own only when it starts exactly on a bin boundary); its own
+    bulk then pushes ``cum_before`` past the next boundaries, so the
+    partitions after it start a fresh bin.
 
     The ordered cumulative window runs over the PER-PARTITION rollup
     (one row per hour — bounded by the lake's retention, never the

@@ -9,12 +9,23 @@ robust_zscore, and acf_lags from the raw parquet in plain Python
 from __future__ import annotations
 
 import math
+import re
 from collections import Counter, defaultdict
 
 import pyarrow.parquet as pq
 import pytest
 
 from tests.conftest import SF_DIR
+
+
+def _ascii_tokens(text: str) -> list[str]:
+    """Model the PRODUCT tokenizer exactly (ADVICE r5): Spark/DuckDB
+    split ``trim(lower(text))`` on the ASCII-only ``\s+`` — Java/RE2
+    ``\s`` never matches Unicode whitespace, ``trim`` strips spaces
+    only, and a whitespace-only doc yields the single empty token
+    (``max_word_len`` 0), unlike ``str.split()`` which is
+    Unicode-aware and drops empties."""
+    return re.split(r"\s+", text.lower().strip(" "), flags=re.ASCII)
 
 
 def _pround(x: float) -> float:
@@ -55,7 +66,7 @@ def test_bm25_matches_python(spark, sf_dir, docs):
         bm25_scores,
     )
 
-    toks = {d: r["text"].lower().split() for d, r in docs.items()}
+    toks = {d: _ascii_tokens(r["text"]) for d, r in docs.items()}
     dl = {d: len(t) for d, t in toks.items()}
     n_docs = len(docs)
     avgdl = sum(dl.values()) / n_docs
@@ -173,7 +184,7 @@ def test_dup_ngram_chars_matches_python(spark, sf_dir, docs):
             text += _DUP_SYNTH_2
         if doc_id % 24 == 0:
             text += _DUP_SYNTH_4
-        tk = text.lower().split()
+        tk = _ascii_tokens(text)
         grams = [
             " ".join(tk[i : i + DUP_NGRAM_K])
             for i in range(len(tk) - DUP_NGRAM_K + 1)
@@ -243,7 +254,7 @@ def test_gopher_word_stats_matches_python(spark, sf_dir, docs):
             text += _WLEN_LONG
         if doc_id % 13 == 0:
             text += _WLEN_SHORT
-        lens = [len(t) for t in text.lower().split()]
+        lens = [len(t) for t in _ascii_tokens(text)]
         total = sum(lens)
         got = out[doc_id]
         assert got["n_tokens"] == len(lens)
