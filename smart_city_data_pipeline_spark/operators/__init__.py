@@ -44,6 +44,7 @@ _GATE_FIRST = [
     # new or changed in round 6 (grown as the round progresses; the
     # rotate-back wave below shrinks to keep the total <= 50)
     "ewma_batch",  # re-implemented: linear-recurrence block fold
+    "semantic_dedup",  # new: SemDeDup-style paraphrase dedup
     # rotate-back wave: displaced in r5, driver-r3/r4 green, judge-r5
     # green, unchanged since — longest-out-of-window first
     "dataset_summary",

@@ -260,6 +260,87 @@ def ann_ivf_kmeans(
     return kmeans_ivf_topk(emb, _KMEANS_CACHE[key], n_probe)
 
 
+SEMDEDUP_T = 0.3  # cosine threshold (= dedup.COSINE_NEARDUP_THRESHOLD)
+
+
+def semantic_dedup_frame(
+    emb: DataFrame, cents: list, threshold: float = SEMDEDUP_T
+) -> DataFrame:
+    """SemDeDup core over an embeddings frame (``vec_id``,
+    ``embedding``) with trained integer-grid centroids: assign each
+    vector to its exact-L2 cell, form within-cell pairs, and drop
+    every vector that has a HIGHER-PRIORITY (lower ``vec_id``)
+    neighbor at ``pround``-cosine ≥ threshold. One representative per
+    near-dup neighborhood survives — the greedy canonical pick of
+    ``priority_dedup``, keyed here by semantic distance instead of
+    content hash."""
+    qe = emb.select("vec_id", "embedding", _qvec(F.col("embedding")).alias("q"))
+    dists = _l2_dists(F.col("q"), cents)
+    cell = F.array_position(dists, F.array_min(dists)) - 1
+    assigned = qe.select("vec_id", "embedding", cell.cast("int").alias("cell"))
+    a = assigned.select("vec_id", "cell", F.col("embedding").alias("va"))
+    b = assigned.select(
+        F.col("vec_id").alias("dup_id"), "cell", F.col("embedding").alias("vb")
+    )
+    sim = pround(cosine(F.col("va"), F.col("vb")))
+    dom = (
+        a.join(b, "cell")
+        .filter(F.col("dup_id") < F.col("vec_id"))
+        .select("vec_id", "dup_id", sim.alias("s"))
+        .filter(F.col("s") >= F.lit(threshold))
+        .groupBy("vec_id")
+        .agg(
+            F.min("dup_id").alias("dominated_by"),
+            F.count(F.lit(1)).alias("n_near"),
+            F.max("s").alias("max_sim"),
+        )
+    )
+    # sentinels instead of NULLs (-1 / 0.0) keep every column sortable
+    # and hash-stable in the gate's order-insensitive compare
+    return assigned.join(dom, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.col("dominated_by").isNull().alias("kept"),
+        F.coalesce(F.col("dominated_by"), F.lit(-1).cast("long")).alias(
+            "dominated_by"
+        ),
+        F.coalesce(F.col("n_near"), F.lit(0).cast("long")).alias("n_near"),
+        F.coalesce(F.col("max_sim"), F.lit(0.0)).alias("max_sim"),
+    )
+
+
+def semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = ANN_KMEANS_K,
+    iters: int = ANN_KMEANS_ITERS,
+) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): near-duplicate MEANINGS (paraphrases, re-renders)
+    rather than near-duplicate tokens — the one major LLM-pipeline
+    dedup family the token-level operators (minhash/simhash/n-gram)
+    cannot see. Cluster with the learned coarse quantizer, then keep
+    one representative per within-cluster cosine neighborhood.
+
+    Scale shape (the paper's own): the candidate-pair join is keyed on
+    the k-means cell, so pair cost is Σ|cell|² — bounded by the
+    cluster count k, never global-quadratic (SemDeDup ran 11k clusters
+    over LAION-440M; k scales with corpus size, and the quantizer
+    trains on a stratified sample exactly like ``ann_ivf_kmeans``).
+    Checks: FULL oracle — the DuckDB twin re-learns the identical
+    integer-grid quantizer (unrolled Lloyd CTEs) and replays the same
+    pround-guarded cosine threshold, so kept/dropped is hash-checked;
+    pytest plants paraphrase clusters and asserts exactly one
+    survivor per cluster (tests/test_semantic_dedup.py).
+    """
+    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings")
+    key = (dataset_fingerprint(sf_dir, "embeddings"), k, iters)
+    if key not in _KMEANS_CACHE:
+        _KMEANS_CACHE[key] = _train_kmeans(emb, k, iters)
+    return semantic_dedup_frame(emb, _KMEANS_CACHE[key])
+
+
 CENTROID_Q = 1 << 16  # quantization scale — see embedding_centroids
 
 
@@ -493,6 +574,7 @@ QUERIES = {
     "embedding_pq_codes": embedding_pq_codes,
     "ann_range_search": ann_range_search,
     "embedding_qc": embedding_qc,
+    "semantic_dedup": semantic_dedup,
 }
 
 _COS = cosine_sql("p.probe_emb", "e.embedding")
@@ -716,3 +798,60 @@ def _kmeans_oracle_sql() -> str:
 
 
 ORACLES["ann_ivf_kmeans"] = _kmeans_oracle_sql()
+
+
+def _semantic_dedup_oracle_sql() -> str:
+    """DuckDB twin of :func:`semantic_dedup`: re-learns the identical
+    integer-grid quantizer (same unrolled Lloyd CTEs as the
+    ``ann_ivf_kmeans`` oracle), re-assigns the corpus, then replays
+    the within-cell pround-cosine threshold and the lowest-id
+    canonical pick."""
+    rounds = ",".join(
+        _kmeans_round_sql(i + 1, f"cent{i}") for i in range(ANN_KMEANS_ITERS)
+    )
+    final = f"cent{ANN_KMEANS_ITERS}"
+    cos = cosine_sql("a.e", "b.e")
+    return f"""
+        WITH qv AS (
+            SELECT vec_id,
+                   CAST(embedding AS DOUBLE[]) AS e,
+                   list_transform(
+                       CAST(embedding AS DOUBLE[]),
+                       x -> CAST(FLOOR(x * {KMEANS_SCALE} + 0.5) AS DOUBLE)
+                   ) AS q
+            FROM embeddings
+        ),
+        cent0 AS (
+            SELECT ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell,
+                   q AS cvec,
+                   list_dot_product(q, q) AS c2
+            FROM (SELECT vec_id, q FROM qv
+                  ORDER BY md5(CAST(vec_id AS VARCHAR))
+                  LIMIT {ANN_KMEANS_K})
+        ),
+        {rounds},
+        {_kmeans_asn_sql("asnf", final, "vec_id, e")},
+        dom AS (
+            SELECT vec_id, MIN(dup_id) AS dominated_by,
+                   CAST(COUNT(*) AS BIGINT) AS n_near,
+                   MAX(s) AS max_sim
+            FROM (
+                SELECT a.vec_id, b.vec_id AS dup_id,
+                       (FLOOR(CAST(({cos}) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS s
+                FROM asnf a JOIN asnf b USING (cell)
+                WHERE b.vec_id < a.vec_id
+            )
+            WHERE s >= {SEMDEDUP_T}
+            GROUP BY 1
+        )
+        SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
+               d.dominated_by IS NULL AS kept,
+               CAST(COALESCE(d.dominated_by, -1) AS BIGINT) AS dominated_by,
+               CAST(COALESCE(d.n_near, 0) AS BIGINT) AS n_near,
+               COALESCE(d.max_sim, 0.0) AS max_sim
+        FROM asnf a LEFT JOIN dom d USING (vec_id)
+    """
+
+
+ORACLES["semantic_dedup"] = _semantic_dedup_oracle_sql()
