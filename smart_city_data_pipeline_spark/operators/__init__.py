@@ -45,6 +45,7 @@ _GATE_FIRST = [
     # rotate-back wave below shrinks to keep the total <= 50)
     "ewma_batch",  # re-implemented: linear-recurrence block fold
     "semantic_dedup",  # new: SemDeDup-style paraphrase dedup
+    "bpe_merge_counts",  # new: BPE tokenizer-training pair counts
     # rotate-back wave: displaced in r5, driver-r3/r4 green, judge-r5
     # green, unchanged since — longest-out-of-window first
     "dataset_summary",

@@ -1071,6 +1071,88 @@ def gopher_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TOP = 50  # merge candidates reported per counting pass
+
+
+def bpe_pair_counts_frame(symdf: DataFrame) -> DataFrame:
+    """Adjacent-symbol-pair counting over a weighted symbol-sequence
+    frame (``syms array<string>``, ``wn`` word frequency) — the inner
+    loop of BPE/WordPiece training. Pairs come from zipping the
+    sequence against itself shifted by one (two slices, no index
+    lambda), each occurrence weighted by the word's corpus frequency;
+    one map-side-combinable keyed count follows."""
+    n1 = F.greatest(F.size("syms") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(F.col("syms"), 1, n1),
+        F.slice(F.col("syms"), 2, n1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        symdf.select("wn", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("wn").alias("n_pairs"))
+    )
+
+
+def bpe_apply_merge(symdf: DataFrame, a: str, b: str) -> DataFrame:
+    """One BPE merge: rewrite every symbol sequence replacing adjacent
+    ``(a, b)`` with the fused symbol, leftmost-first (after a fuse the
+    new symbol can't chain into another ``a``·``b`` overlap — the
+    greedy rule reference BPE uses). An ``aggregate`` fold rebuilds
+    the array JVM-side; cost is per-word-length over the DISTINCT word
+    vocabulary, not the corpus."""
+    fused = a + b
+    step = lambda acc, x: F.when(  # noqa: E731
+        (F.size(acc) > 0)
+        & (F.element_at(acc, -1) == F.lit(a))
+        & (x == F.lit(b)),
+        F.concat(
+            F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(fused))
+        ),
+    ).otherwise(F.concat(acc, F.array(x)))
+    return symdf.withColumn(
+        "syms",
+        F.aggregate(
+            F.col("syms"), F.array().cast("array<string>"), step
+        ),
+    )
+
+
+def bpe_word_symbols(docs: DataFrame) -> DataFrame:
+    """Distinct-word symbol table: lowercased whitespace words with
+    corpus frequencies, each split to its character sequence — BPE
+    training's working set. Counting over the distinct VOCABULARY
+    (weighted by frequency) instead of raw tokens is the classic
+    Sennrich trick: the explode is vocab-sized, not corpus-sized."""
+    words = docs.select(
+        F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("w")
+    ).filter(F.col("w") != "")
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("wn"))
+    return wc.select(F.split("w", "").alias("syms"), "wn")
+
+
+def bpe_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-TRAINING pair statistics (Sennrich et al. 2016):
+    the first counting pass — corpus-frequency-weighted adjacent
+    character-pair counts over the distinct word vocabulary, ranked;
+    the top row is BPE's first merge. Completes the tokenizer leg next
+    to the sizing ops (``vocab_coverage``/``seq_len_histogram``).
+
+    Scale: explode + keyed count over the word VOCABULARY (not the
+    corpus — frequencies weight instead). The rank window runs over
+    the pair aggregate, bounded by the character-bigram vocabulary
+    (≈ charset², hundreds of rows), never row count.
+    """
+    docs = table(spark, sf_dir, "documents")
+    counts = bpe_pair_counts_frame(bpe_word_symbols(docs))
+    w = Window.orderBy(F.col("n_pairs").desc(), F.col("pair").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= BPE_TOP)
+        .select("rank", "pair", "n_pairs")
+    )
+
+
 QUERIES = {
     "lang_id": lang_id,
     "text_quality": text_quality,
@@ -1099,6 +1181,7 @@ QUERIES = {
     "dup_ngram_chars": dup_ngram_chars,
     "chunk_dedup_share": chunk_dedup_share,
     "gopher_word_stats": gopher_word_stats,
+    "bpe_merge_counts": bpe_merge_counts,
 }
 
 _T = "text"
@@ -1646,5 +1729,29 @@ ORACLES = {
                (total_word_chars < {WORD_LEN_MIN} * n_tokens
                 OR total_word_chars > {WORD_LEN_MAX} * n_tokens) AS flagged
         FROM agg
+    """,
+    "bpe_merge_counts": f"""
+        WITH words AS (
+            SELECT token AS w FROM (
+                SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+                FROM documents
+            ) WHERE token <> ''
+        ),
+        wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wn FROM words GROUP BY 1),
+        sy AS (SELECT string_split(w, '') AS syms, wn FROM wc),
+        pairs AS (
+            SELECT syms[i] || ' ' || syms[i + 1] AS pair, wn
+            FROM (SELECT syms, wn, unnest(range(1, len(syms))) AS i FROM sy)
+        ),
+        agg AS (
+            SELECT pair, CAST(SUM(wn) AS BIGINT) AS n_pairs
+            FROM pairs GROUP BY 1
+        )
+        SELECT rank, pair, n_pairs FROM (
+            SELECT CAST(ROW_NUMBER() OVER (
+                       ORDER BY n_pairs DESC, pair ASC) AS INTEGER) AS rank,
+                   pair, n_pairs
+            FROM agg
+        ) WHERE rank <= {BPE_TOP}
     """,
 }
