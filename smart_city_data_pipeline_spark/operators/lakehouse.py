@@ -235,11 +235,99 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SCD2_HIGH_TS = "9999-12-31 00:00:00"  # open-interval sentinel (no NULLs)
+
+
+def scd2_build_frame(
+    changes: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    tie_cols: tuple = ("event_id",),
+) -> DataFrame:
+    """Type-2 slowly-changing dimension from a change-event stream:
+    collapse consecutive identical attribute values, then assign each
+    surviving change its validity interval ``[valid_from, valid_to)``
+    via the per-key lead window, with ``is_current`` / ``version``
+    bookkeeping and the classic high-date sentinel for open intervals.
+
+    This is the historized twin of ``latest_metrics`` / the
+    latest-wins lake upsert — what the reference's Postgres warehouse
+    implies when dashboards need 'state as of ts', not just current
+    state (``init-db.sql`` dimensions + ``traffic_batch_processing``
+    writes). Scale: two windows and one filter, all partitioned by the
+    dimension key (high cardinality, spillable sort) — no global
+    window, no self-join.
+    """
+    order = [F.col(ts_col), *[F.col(c) for c in tie_cols]]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    chg = (
+        changes.select(key_col, attr_col, ts_col, *tie_cols)
+        .withColumn("_prev", F.lag(attr_col).over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col(attr_col)))
+    )
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    nxt = F.lead(ts_col).over(w2)
+    return chg.select(
+        F.col(key_col).alias("entity_id"),
+        F.col(attr_col).alias("attr_value"),
+        F.col(ts_col).alias("valid_from"),
+        F.coalesce(nxt, F.lit(SCD2_HIGH_TS).cast("timestamp")).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        F.row_number().over(w2).cast("int").alias("version"),
+    )
+
+
+def scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension over the event stream: each sensor's
+    ``event_type`` history as non-overlapping validity intervals."""
+    return scd2_build_frame(table(spark, sf_dir, "events"))
+
+
+def scd2_merge(
+    dim: DataFrame,
+    new_changes: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    tie_cols: tuple = ("event_id",),
+) -> DataFrame:
+    """Maintenance path: fold a new batch of change events into an
+    existing SCD2 dimension. The dimension's own rows ARE its change
+    log (one change per ``valid_from``), so the merge is: replay
+    history ∪ new batch through the same build — consecutive-identical
+    collapse absorbs a batch that re-asserts the current value
+    (idempotent re-delivery), open intervals re-close when a newer
+    change lands, and the result is bit-identical to building from the
+    full history (pytest-asserted). Incremental form at scale: restrict
+    both sides to the keys present in the batch and union the
+    untouched keys' rows through unchanged.
+
+    Exactness boundary: the dimension stores only COLLAPSED changes,
+    so the merge is bit-equal to a full rebuild when batch rows land
+    at-or-after each key's latest ``valid_from`` (the warehouse-append
+    case). A LATE row interleaving an already-collapsed identical run
+    can't resurrect the collapsed re-assertion — replay from the raw
+    lake (``scd2_dim``) for out-of-order backfills.
+    """
+    hist = dim.select(
+        F.col("entity_id").alias(key_col),
+        F.col("attr_value").alias(attr_col),
+        F.col("valid_from").alias(ts_col),
+        *[F.lit(None).cast("long").alias(c) for c in tie_cols],
+    )
+    batch = new_changes.select(key_col, attr_col, ts_col, *tie_cols)
+    return scd2_build_frame(
+        hist.unionByName(batch), key_col, attr_col, ts_col, tie_cols
+    )
+
+
 QUERIES = {
     "column_profile": column_profile,
     "zorder_codes": zorder_codes,
     "partition_skew_report": partition_skew_report,
     "compaction_plan": compaction_plan,
+    "scd2_dim": scd2_dim,
 }
 
 _PROFILE_AGG_SQL = ["CAST(COUNT(*) AS BIGINT) AS n_rows"]
@@ -324,5 +412,25 @@ ORACLES = {
                CAST(COUNT(*) OVER (PARTITION BY bin_id) AS BIGINT) AS bin_parts,
                CAST(SUM(est_bytes) OVER (PARTITION BY bin_id) AS BIGINT) AS bin_bytes
         FROM b
+    """,
+    "scd2_dim": f"""
+        WITH ch AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+        ),
+        chg AS (
+            SELECT user_id, event_type, ts, event_id
+            FROM ch WHERE prev IS NULL OR prev <> event_type
+        )
+        SELECT user_id AS entity_id, event_type AS attr_value,
+               ts AS valid_from,
+               COALESCE(lead(ts) OVER w,
+                        TIMESTAMP '{SCD2_HIGH_TS}') AS valid_to,
+               lead(ts) OVER w IS NULL AS is_current,
+               CAST(ROW_NUMBER() OVER w AS INTEGER) AS version
+        FROM chg
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
 }
