@@ -47,6 +47,53 @@ def correlate_streams(
     ).select("l_user", "l_event_id", "l_ts", "r_ts", "r_value")
 
 
+def correlate_streams_outer(
+    left: DataFrame,
+    right: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """LEFT OUTER stream-stream correlation: like
+    :func:`correlate_streams`, but a left event that finds no right
+    match is still emitted — with NULL right columns — once the
+    watermark guarantees no match can arrive anymore.
+
+    This is the semantically hard streaming-join class: the no-match
+    row must be emitted EXACTLY ONCE, and only when the GLOBAL
+    watermark (the min across both inputs' event-time watermarks)
+    passes ``l_ts + window`` and evicts the left row from state. Until
+    then the row waits in state; Spark can only prove "no match" at
+    eviction time. Same bounded-state story as the inner form — the
+    range condition sizes retention to O(window + watermark) — plus
+    the null-emission contract pytest-asserted phase by phase
+    (tests/test_streaming.py): no null row before the watermark
+    passes, exactly one after, matched subset ≡ the batch inner join.
+    """
+    l = (
+        left.select(
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("l_ts"),
+            F.col("event_id").alias("l_event_id"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    r = (
+        right.select(
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+            F.col("value").alias("r_value"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    return l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {window}")),
+        "left_outer",
+    ).select("l_user", "l_event_id", "l_ts", "r_ts", "r_value")
+
+
 def batch_equivalent_correlate(left: DataFrame, right: DataFrame, window: str = "10 minutes") -> DataFrame:
     """The same correlation in batch — the streaming test's oracle."""
     l = left.select(
