@@ -47,6 +47,7 @@ _GATE_FIRST = [
     "semantic_dedup",  # new: SemDeDup-style paraphrase dedup
     "bpe_merge_counts",  # new: BPE tokenizer-training pair counts
     "scd2_dim",  # new: SCD2 historized dimension build
+    "q8_market_share",  # plan change: (year, suppkey) pre-aggregation
     # rotate-back wave: displaced in r5, driver-r3/r4 green, judge-r5
     # green, unchanged since — longest-out-of-window first
     "dataset_summary",
