@@ -396,6 +396,88 @@ def _decode_block(rd, dc_tab, ac_tab, prev_dc: int):
     return zz, prev_dc
 
 
+# Shared segment parsers for the two marker walks (baseline walk in
+# :func:`decode_jpeg_gray`, multi-scan walk in :func:`_decode_progressive`
+# — the WALKS differ in control flow, the SEGMENTS do not).
+
+
+def _parse_dqt(seg: bytes, qtables: dict) -> bool:
+    """DQT segment (possibly several tables) → natural-order tables.
+    False = 16-bit precision table (unsupported, cv2 seam)."""
+    i = 0
+    while i < len(seg):
+        pq, tq = seg[i] >> 4, seg[i] & 0xF
+        if pq != 0:
+            return False
+        zz = seg[i + 1 : i + 65]
+        nat = [0] * 64
+        for k in range(64):
+            nat[ZIGZAG[k]] = zz[k]
+        qtables[tq] = nat
+        i += 65
+    return True
+
+
+def _parse_sof_comps(seg: bytes):
+    """SOF frame header → (h, w, comps) with comps = [(component id,
+    quant table id, h-sampling, v-sampling)]; None when the frame is
+    outside the supported envelope (8-bit, 1 or 3 components,
+    sampling factors 1-2)."""
+    precision, h, w, nf = struct.unpack_from(">BHHB", seg, 0)
+    if precision != 8 or nf not in (1, 3):
+        return None
+    comps = []
+    for ci in range(nf):
+        cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+        hs, vs = samp >> 4, samp & 0xF
+        if hs not in (1, 2) or vs not in (1, 2):
+            return None
+        comps.append((cid, tq, hs, vs))
+    return h, w, comps
+
+
+def _parse_dht(seg: bytes, htables: dict) -> None:
+    """DHT segment (possibly several tables) → decode tables."""
+    i = 0
+    while i < len(seg):
+        tc_th = seg[i]
+        bits = list(seg[i + 1 : i + 17])
+        n = sum(bits)
+        vals = list(seg[i + 17 : i + 17 + n])
+        htables[tc_th] = _decode_table(bits, vals)
+        i += 17 + n
+
+
+def _dequant_idct_block(zz, qn, m):
+    """Zigzag coefficient vector → spatial 8×8 block (+128 level
+    shift): dequantize in natural order, 2-D IDCT via the separable
+    DCT matrix."""
+    import numpy as np
+
+    coef = np.zeros(64)
+    for k in range(64):
+        coef[ZIGZAG[k]] = zz[k]
+    coef = coef.reshape(8, 8) * qn
+    return m.T @ coef @ m + 128.0
+
+
+def _planes_to_gray(planes, h: int, w: int):
+    """Decoded component planes → uint8 gray: single component clips
+    directly; three components are YCbCr → BT.601 full-range RGB →
+    channel-mean gray (the 24-bit BMP path's gray convention)."""
+    import numpy as np
+
+    if len(planes) == 1:
+        out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return out[:h, :w]
+    y, cb, cr = (p[:h, :w] for p in planes)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([np.clip(np.round(c), 0, 255) for c in (r, g, b)], axis=2)
+    return rgb.mean(axis=2).astype(np.uint8)
+
+
 def decode_jpeg_gray(buf: bytes):
     """JPEG bytes → 2-D uint8 GRAY array, or None when ``buf`` is not
     a JPEG this decoder handles. Supported: single-component and
@@ -428,42 +510,20 @@ def decode_jpeg_gray(buf: bytes):
                 return None
             seglen = struct.unpack_from(">H", buf, pos + 2)[0]
             seg = buf[pos + 4 : pos + 2 + seglen]
-            if marker == 0xDB:  # DQT (possibly several tables)
-                i = 0
-                while i < len(seg):
-                    pq, tq = seg[i] >> 4, seg[i] & 0xF
-                    if pq != 0:
-                        return None  # 16-bit tables unsupported
-                    zz = seg[i + 1 : i + 65]
-                    nat = [0] * 64
-                    for k in range(64):
-                        nat[ZIGZAG[k]] = zz[k]
-                    qtables[tq] = nat
-                    i += 65
+            if marker == 0xDB:  # DQT
+                if not _parse_dqt(seg, qtables):
+                    return None  # 16-bit tables unsupported
             elif marker == 0xC0:  # SOF0 baseline
-                precision, h, w, nf = struct.unpack_from(">BHHB", seg, 0)
-                if precision != 8 or nf not in (1, 3):
+                sof = _parse_sof_comps(seg)
+                if sof is None:
                     return None
-                comps = []
-                for ci in range(nf):
-                    cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
-                    hs, vs = samp >> 4, samp & 0xF
-                    if hs not in (1, 2) or vs not in (1, 2):
-                        return None  # sampling factors beyond 2 unsupported
-                    comps.append((cid, tq, hs, vs))
+                h, w, comps = sof
             elif marker == 0xC2:  # progressive — dedicated scan-script path
                 return _decode_progressive(buf)
             elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
                 return None  # other non-baseline frame types
-            elif marker == 0xC4:  # DHT (possibly several tables)
-                i = 0
-                while i < len(seg):
-                    tc_th = seg[i]
-                    bits = list(seg[i + 1 : i + 17])
-                    n = sum(bits)
-                    vals = list(seg[i + 17 : i + 17 + n])
-                    htables[tc_th] = _decode_table(bits, vals)
-                    i += 17 + n
+            elif marker == 0xC4:  # DHT
+                _parse_dht(seg, htables)
             elif marker == 0xDD:  # DRI restart interval
                 restart_interval = struct.unpack_from(">H", seg, 0)[0]
             elif marker == 0xDA:  # SOS → entropy-coded data follows
@@ -529,14 +589,10 @@ def decode_jpeg_gray(buf: bytes):
                             zz, prev[ci] = _decode_block(
                                 rd, dc_tab, ac_tab, prev[ci]
                             )
-                            coef = np.zeros(64)
-                            for k in range(64):
-                                coef[ZIGZAG[k]] = zz[k]
-                            coef = coef.reshape(8, 8) * q
                             py = (my * vs + v) * 8
                             px = (mx * hs + u) * 8
                             planes[ci][py : py + 8, px : px + 8] = (
-                                m.T @ coef @ m + 128.0
+                                _dequant_idct_block(zz, q, m)
                             )
         # Upsample subsampled components to full resolution (nearest,
         # the block-replication inverse of the encoder's 2×2 mean).
@@ -547,19 +603,7 @@ def decode_jpeg_gray(buf: bytes):
             if vs != vmax:
                 p = np.repeat(p, vmax // vs, axis=0)
             full.append(p[: mcus_y * 8 * vmax, : mcus_x * 8 * hmax])
-        planes = full
-        if len(planes) == 1:
-            out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
-            return out[:h, :w]
-        # YCbCr → BT.601 full-range RGB → channel-mean gray
-        y, cb, cr = (p[:h, :w] for p in planes)
-        r = y + 1.402 * (cr - 128.0)
-        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        b = y + 1.772 * (cb - 128.0)
-        rgb = np.stack(
-            [np.clip(np.round(c), 0, 255) for c in (r, g, b)], axis=2
-        )
-        return rgb.mean(axis=2).astype(np.uint8)
+        return _planes_to_gray(full, h, w)
     except (EOFError, ValueError, IndexError, struct.error):
         return None
 
@@ -973,28 +1017,13 @@ def _decode_progressive(buf: bytes):
             seglen = struct.unpack_from(">H", buf, pos + 2)[0]
             seg = buf[pos + 4 : pos + 2 + seglen]
             if marker == 0xDB:
-                i = 0
-                while i < len(seg):
-                    pq, tq = seg[i] >> 4, seg[i] & 0xF
-                    if pq != 0:
-                        return None
-                    zz = seg[i + 1 : i + 65]
-                    nat = [0] * 64
-                    for k in range(64):
-                        nat[ZIGZAG[k]] = zz[k]
-                    qtables[tq] = nat
-                    i += 65
-            elif marker == 0xC2:
-                precision, h, w, nf = struct.unpack_from(">BHHB", seg, 0)
-                if precision != 8 or nf not in (1, 3):
+                if not _parse_dqt(seg, qtables):
                     return None
-                comps = []
-                for ci in range(nf):
-                    cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
-                    hs, vs = samp >> 4, samp & 0xF
-                    if hs not in (1, 2) or vs not in (1, 2):
-                        return None
-                    comps.append((cid, tq, hs, vs))
+            elif marker == 0xC2:
+                sof = _parse_sof_comps(seg)
+                if sof is None:
+                    return None
+                h, w, comps = sof
                 hmax = max(c[2] for c in comps)
                 vmax = max(c[3] for c in comps)
                 mcus_x = -(-w // (8 * hmax))
@@ -1006,14 +1035,7 @@ def _decode_progressive(buf: bytes):
             elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
                 return None  # not a (single-frame) progressive stream
             elif marker == 0xC4:
-                i = 0
-                while i < len(seg):
-                    tc_th = seg[i]
-                    bits = list(seg[i + 1 : i + 17])
-                    n = sum(bits)
-                    vals = list(seg[i + 17 : i + 17 + n])
-                    htables[tc_th] = _decode_table(bits, vals)
-                    i += 17 + n
+                _parse_dht(seg, htables)
             elif marker == 0xDD:
                 restart_interval = struct.unpack_from(">H", seg, 0)[0]
             elif marker == 0xDA:
@@ -1066,29 +1088,14 @@ def _decode_progressive(buf: bytes):
             plane = np.empty((bh * 8, bw * 8))
             for byi in range(bh):
                 for bxi in range(bw):
-                    coef = np.zeros(64)
-                    zz = cf[byi, bxi]
-                    for k in range(64):
-                        coef[ZIGZAG[k]] = zz[k]
-                    coef = coef.reshape(8, 8) * qn
                     plane[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] = (
-                        m.T @ coef @ m + 128.0
+                        _dequant_idct_block(cf[byi, bxi], qn, m)
                     )
             if hs != hmax:
                 plane = np.repeat(plane, hmax // hs, axis=1)
             if vs != vmax:
                 plane = np.repeat(plane, vmax // vs, axis=0)
             planes.append(plane)
-        if len(planes) == 1:
-            out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
-            return out[:h, :w]
-        y, cb, cr = (p[:h, :w] for p in planes)
-        r = y + 1.402 * (cr - 128.0)
-        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        b = y + 1.772 * (cb - 128.0)
-        rgb = np.stack(
-            [np.clip(np.round(c), 0, 255) for c in (r, g, b)], axis=2
-        )
-        return rgb.mean(axis=2).astype(np.uint8)
+        return _planes_to_gray(planes, h, w)
     except (EOFError, ValueError, IndexError, struct.error):
         return None
