@@ -48,6 +48,10 @@ _GATE_FIRST = [
     "bpe_merge_counts",  # new: BPE tokenizer-training pair counts
     "scd2_dim",  # new: SCD2 historized dimension build
     "q8_market_share",  # plan change: (year, suppkey) pre-aggregation
+    "ccnet_perplexity_buckets",  # new: CCNet head/middle/tail tiers
+    "tokenizer_fertility",  # new: subword-per-word by language
+    "rolling_quantile",  # new: exact rolling median (lag-tap array)
+    "holt_linear",  # new: bounded Holt level+trend fold
     # rotate-back wave: displaced in r5, driver-r3/r4 green, judge-r5
     # green, unchanged since — longest-out-of-window first
     "dataset_summary",

@@ -1153,6 +1153,75 @@ def bpe_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): score every
+    document with the cheap LM proxy (mean unigram negative
+    log-probability, the ``unigram_logprob_score`` statistic), then
+    split EACH LANGUAGE into head/middle/tail terciles by score — the
+    curation scheme CCNet used to tier CommonCrawl for LLM training
+    (head = most in-distribution text).
+
+    No global sort: scores land on the pround 1e-4 grid, so the
+    tercile cutoffs come from a cumulative window over the (lang ×
+    distinct score level) table — bounded by the score grid, not the
+    corpus — and bucket boundaries compare exact integers
+    (``cum·3 ≤ total``), so both engines tier identically.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("n_total"))
+    neg_lp = -F.log(F.col("tf").cast("double") / F.col("n_total"))
+    scored = (
+        tok.join(vocab, "token")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(pround(F.avg(neg_lp)).alias("score"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    levels = scored.groupBy("lang", "score").agg(F.count(F.lit(1)).alias("n"))
+    wl = Window.partitionBy("lang").orderBy("score")
+    cum = F.sum("n").over(wl.rowsBetween(Window.unboundedPreceding, 0))
+    tot = F.sum("n").over(Window.partitionBy("lang"))
+    lev = levels.select(
+        "lang",
+        "score",
+        F.when(cum * 3 <= tot, F.lit("head"))
+        .when(cum * 3 <= tot * 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    return scored.join(lev, ["lang", "score"]).select(
+        "doc_id", "lang", "score", "bucket"
+    )
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: subword (BPE-ish lexer)
+    tokens emitted per whitespace word — THE comparative metric for
+    how expensive a language is to tokenize (fertility ≈ 1 for
+    English-like text with an English-centric vocab, ≫ 1 for
+    underrepresented scripts). Exact integer sums per language; one
+    keyed aggregate, output bounded by language cardinality."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    per = docs.select(
+        "lang",
+        T.ws_token_count(t).cast("long").alias("ws"),
+        T.regex_token_count(t).cast("long").alias("sub"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws").alias("ws_tokens"),
+        F.sum("sub").alias("subword_tokens"),
+        pround(
+            F.sum("sub").cast("double") / F.sum("ws").cast("double")
+        ).alias("fertility"),
+    )
+
+
 QUERIES = {
     "lang_id": lang_id,
     "text_quality": text_quality,
@@ -1182,6 +1251,8 @@ QUERIES = {
     "chunk_dedup_share": chunk_dedup_share,
     "gopher_word_stats": gopher_word_stats,
     "bpe_merge_counts": bpe_merge_counts,
+    "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
+    "tokenizer_fertility": tokenizer_fertility,
 }
 
 _T = "text"
@@ -1729,6 +1800,55 @@ ORACLES = {
                (total_word_chars < {WORD_LEN_MIN} * n_tokens
                 OR total_word_chars > {WORD_LEN_MAX} * n_tokens) AS flagged
         FROM agg
+    """,
+    "ccnet_perplexity_buckets": """
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+            FROM documents
+        ),
+        vocab AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY 1),
+        tot AS (SELECT SUM(tf) AS n_total FROM vocab),
+        scored AS (
+            SELECT t.doc_id, d.lang,
+                   (FLOOR(CAST((AVG(-ln(CAST(tf AS DOUBLE) / n_total))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS score
+            FROM tok t JOIN vocab USING (token), tot, documents d
+            WHERE d.doc_id = t.doc_id
+            GROUP BY 1, 2
+        ),
+        levels AS (
+            SELECT lang, score, CAST(COUNT(*) AS BIGINT) AS n
+            FROM scored GROUP BY 1, 2
+        ),
+        lev AS (
+            SELECT lang, score,
+                   CASE WHEN cum * 3 <= tot THEN 'head'
+                        WHEN cum * 3 <= tot * 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM (
+                SELECT lang, score,
+                       CAST(SUM(n) OVER (PARTITION BY lang ORDER BY score
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                       CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS tot
+                FROM levels
+            )
+        )
+        SELECT s.doc_id, s.lang, s.score, l.bucket
+        FROM scored s JOIN lev l ON s.lang = l.lang AND s.score = l.score
+    """,
+    "tokenizer_fertility": f"""
+        WITH per AS (
+            SELECT lang,
+                   CAST({T.ws_token_count_sql(_T)} AS BIGINT) AS ws,
+                   CAST({T.regex_token_count_sql(_T)} AS BIGINT) AS sub
+            FROM documents
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+               CAST(SUM(sub) AS BIGINT) AS subword_tokens,
+               {pround_sql('CAST(SUM(sub) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE)')} AS fertility
+        FROM per GROUP BY 1
     """,
     "bpe_merge_counts": f"""
         WITH words AS (

@@ -1174,6 +1174,100 @@ def downsample_maxdev(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROLL_Q_K = 5  # trailing readings per rolling-median window
+
+
+def rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sensor rolling MEDIAN over the trailing ``ROLL_Q_K``
+    readings — the robust smoother dashboards use where a moving mean
+    chases spikes (the median-filter sibling of ``moving_avg``).
+
+    Exact, not approximate: the trailing window materializes as a
+    ≤K-element array (``lag`` taps, nulls filtered at the series
+    head), is sorted JVM-side, and the lower median is one element
+    pick — integer index arithmetic, no float path at all, so both
+    engines agree bit-for-bit. Scale: one per-sensor window pass,
+    state bounded by K; the plan is a single sort-based window over
+    the key partition, spillable at any history length.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "value")
+    taps = F.array(
+        F.col("value"), *[F.lag("value", i).over(w) for i in range(1, ROLL_Q_K)]
+    )
+    arr = F.sort_array(F.filter(taps, lambda x: x.isNotNull()))
+    n = F.size(arr)
+    return ev.select(
+        F.col("user_id").alias("sensor_id"),
+        "ts",
+        "value",
+        F.element_at(arr, ((n + 1) / 2).cast("int")).alias("roll_median"),
+        n.alias("n_window"),
+    )
+
+
+HOLT_ALPHA = 0.5  # level smoothing
+HOLT_BETA = 0.3   # trend smoothing
+HOLT_N = 256      # trailing readings folded (bounded by design)
+
+
+def holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per sensor —
+    the one-step forecaster behind capacity dashboards (level + trend,
+    forecast = level + trend). Convention: seed ``l = x_1, b = 0``,
+    recurrence from the second reading (documented; variants differ
+    only in warm-up).
+
+    Bounded BY DESIGN (the ``ewma_batch`` lesson applied up front):
+    only the trailing ``HOLT_N`` readings fold (windowed row_number
+    filter before the collect), so per-sensor state is capped no
+    matter how long the history — trend estimates older than that are
+    stale anyway. The fold is the identical double sequence in both
+    engines (struct accumulator, same literals, same order); outputs
+    round through pround at the output contract only.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    wd = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("value"))
+    ev = (
+        ev.withColumn("_rn", F.row_number().over(wd))
+        .filter(F.col("_rn") <= HOLT_N)
+        .drop("_rn")
+    )
+    per = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "value"))).alias("seq"),
+        F.count(F.lit(1)).alias("n_used"),
+        F.max("ts").alias("last_ts"),
+    )
+    ms = F.transform(
+        F.col("seq"),
+        lambda s: F.struct(
+            s["value"].cast("double").alias("l"), F.lit(0.0).alias("b")
+        ),
+    )
+    a, b1 = F.lit(HOLT_ALPHA), F.lit(1.0 - HOLT_ALPHA)
+    g, g1 = F.lit(HOLT_BETA), F.lit(1.0 - HOLT_BETA)
+
+    def step(acc, m):
+        l_new = a * m["l"] + b1 * (acc["l"] + acc["b"])
+        return F.struct(
+            l_new.alias("l"), (g * (l_new - acc["l"]) + g1 * acc["b"]).alias("b")
+        )
+
+    folded = F.aggregate(
+        F.slice(ms, F.lit(2), F.greatest(F.size(ms) - 1, F.lit(0))),
+        F.element_at(ms, 1),
+        step,
+    )
+    return per.select(
+        F.col("user_id").alias("sensor_id"),
+        pround(folded["l"]).alias("level"),
+        pround(folded["b"]).alias("trend"),
+        pround(folded["l"] + folded["b"]).alias("forecast_1"),
+        "n_used",
+        "last_ts",
+    )
+
+
 QUERIES = {
     "time_bucket_1min": time_bucket_1min,
     "sliding_window_counts": sliding_window_counts,
@@ -1208,6 +1302,8 @@ QUERIES = {
     "markov_surprisal": markov_surprisal,
     "interarrival_stats": interarrival_stats,
     "downsample_maxdev": downsample_maxdev,
+    "rolling_quantile": rolling_quantile,
+    "holt_linear": holt_linear,
 }
 
 _INTERP_EXPR = (
@@ -1823,5 +1919,53 @@ ORACLES = {
                CAST(n_events AS BIGINT) AS n_events,
                {pround_sql('CAST(dev AS DOUBLE) / CAST(n_events AS DOUBLE)')} AS deviation
         FROM r WHERE rn = 1
+    """,
+    "rolling_quantile": f"""
+        WITH w AS (
+            SELECT user_id AS sensor_id, ts, value,
+                   list_sort(list_filter(
+                       [{", ".join(["value"] + [f"lag(value, {i}) OVER win" for i in range(1, 5)])}],
+                       x -> x IS NOT NULL)) AS arr
+            FROM events
+            WINDOW win AS (PARTITION BY user_id ORDER BY ts, value)
+        )
+        SELECT sensor_id, ts, value,
+               arr[CAST((len(arr) + 1) // 2 AS INTEGER)] AS roll_median,
+               CAST(len(arr) AS INTEGER) AS n_window
+        FROM w
+    """,
+    "holt_linear": f"""
+        WITH rn AS (
+            SELECT user_id, ts, value,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, value DESC) AS rn
+            FROM events
+        ),
+        per AS (
+            SELECT user_id,
+                   -- [level, trend] list accumulator: DuckDB 1.0's
+                   -- list_reduce mutates a STRUCT accumulator field-
+                   -- by-field (later fields see the new values), so
+                   -- the state rides in a 2-element list instead
+                   list([CAST(value AS DOUBLE), CAST(0.0 AS DOUBLE)]
+                        ORDER BY ts, value) AS ms,
+                   CAST(COUNT(*) AS BIGINT) AS n_used,
+                   MAX(ts) AS last_ts
+            FROM rn WHERE rn <= 256 GROUP BY 1
+        ),
+        f AS (
+            SELECT user_id, n_used, last_ts,
+                   list_reduce(ms, (acc, m) ->
+                       [0.5 * m[1] + 0.5 * (acc[1] + acc[2]),
+                        0.3 * ((0.5 * m[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+                            + 0.7 * acc[2]]) AS s
+            FROM per
+        )
+        SELECT user_id AS sensor_id,
+               {pround_sql('s[1]')} AS level,
+               {pround_sql('s[2]')} AS trend,
+               {pround_sql('s[1] + s[2]')} AS forecast_1,
+               n_used, last_ts
+        FROM f
     """,
 }

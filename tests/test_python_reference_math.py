@@ -269,3 +269,55 @@ def test_gopher_word_stats_matches_python(spark, sf_dir, docs):
         lo += total < WORD_LEN_MIN * len(lens)
     # the synthesized outliers must make BOTH flag branches real
     assert hi > 0 and lo > 0
+
+
+def test_holt_linear_matches_python(spark, sf_dir, events):
+    from smart_city_data_pipeline_spark.operators.timeseries import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        HOLT_N,
+        holt_linear,
+    )
+
+    got = {r["sensor_id"]: r for r in holt_linear(spark, sf_dir).collect()}
+    series = defaultdict(list)
+    for e in events:
+        series[e["user_id"]].append((e["ts"], e["value"]))
+    assert set(got) == set(series)
+    for uid, pts in series.items():
+        pts.sort()
+        pts = pts[-HOLT_N:]
+        l, b = float(pts[0][1]), 0.0
+        for _, x in pts[1:]:
+            ln = HOLT_ALPHA * float(x) + (1 - HOLT_ALPHA) * (l + b)
+            b = HOLT_BETA * (ln - l) + (1 - HOLT_BETA) * b
+            l = ln
+        g = got[uid]
+        assert g["n_used"] == len(pts)
+        assert abs(g["level"] - _pround(l)) <= 1e-9, uid
+        assert abs(g["trend"] - _pround(b)) <= 1e-9, uid
+        assert abs(g["forecast_1"] - _pround(l + b)) <= 1e-9, uid
+
+
+def test_rolling_quantile_matches_python(spark, sf_dir, events):
+    from smart_city_data_pipeline_spark.operators.timeseries import (
+        ROLL_Q_K,
+        rolling_quantile,
+    )
+
+    out = rolling_quantile(spark, sf_dir).collect()
+    series = defaultdict(list)
+    for e in events:
+        series[e["user_id"]].append((e["ts"], e["value"]))
+    want = defaultdict(list)  # sensor -> multiset of (median, n) per row
+    for uid, pts in series.items():
+        pts.sort()
+        vals = [float(v) for _, v in pts]
+        for i in range(len(vals)):
+            win = sorted(vals[max(0, i - ROLL_Q_K + 1) : i + 1])
+            want[uid].append((win[(len(win) + 1) // 2 - 1], len(win)))
+    got = defaultdict(list)
+    for r in out:
+        got[r["sensor_id"]].append((r["roll_median"], r["n_window"]))
+    for uid in want:
+        assert sorted(got[uid]) == sorted(want[uid]), uid
