@@ -52,6 +52,7 @@ _GATE_FIRST = [
     "tokenizer_fertility",  # new: subword-per-word by language
     "rolling_quantile",  # new: exact rolling median (lag-tap array)
     "holt_linear",  # new: bounded Holt level+trend fold
+    "doc_outlier_mahalanobis",  # new: diagonal Mahalanobis embedding QC
     # rotate-back wave: displaced in r5, driver-r3/r4 green, judge-r5
     # green, unchanged since — longest-out-of-window first
     "dataset_summary",

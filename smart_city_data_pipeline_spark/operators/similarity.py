@@ -383,6 +383,74 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAHA_FLAG = 70.0  # ≈ corpus p99 (d² concentrates near dim=64); tune per corpus
+
+
+def doc_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-embedding DIAGONAL Mahalanobis outlier score against its
+    label's distribution — the embedding-space QC sweep that catches
+    mis-encoded / off-manifold vectors BEFORE they enter dedup or ANN
+    indexes (the multivariate sibling of ``embedding_qc``'s norm
+    profile).
+
+    Engine-exact construction: components quantize to the 2¹⁶ grid,
+    per-(label, pos) moments are exact BIGINTs, and each position's
+    term is the integer ratio ``(q·n − s)² / (n·ssq − s²)`` (the
+    algebraic form of ``(q−μ)²/σ²`` cleared of divisions) — evaluated
+    as one double division of two exact integers. The per-vector sum
+    folds the 64 terms IN POSITION ORDER (sorted bounded array), so
+    partial-agg order can't perturb the double sum. Integer headroom:
+    the products stay < 2⁵³ up to ~10⁷ rows per label; past that the
+    moments would quantize coarser (documented knob), the shape is
+    unchanged. Zero-variance positions contribute 0 by definition.
+
+    Shape: posexplode → keyed moment aggregate (64·labels rows,
+    broadcast back) → one keyed fold per vector. No window over facts.
+    """
+    emb = spread(
+        table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings"
+    )
+    comp = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.floor(F.col("x").cast("double") * CENTROID_Q + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    stats = comp.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("s"),
+        F.sum(F.col("q") * F.col("q")).alias("ssq"),
+    )
+    num = (F.col("q") * F.col("n") - F.col("s")) * (
+        F.col("q") * F.col("n") - F.col("s")
+    )
+    den = F.col("n") * F.col("ssq") - F.col("s") * F.col("s")
+    term = F.when(
+        den > 0, num.cast("double") / den.cast("double")
+    ).otherwise(F.lit(0.0))
+    per = (
+        comp.join(F.broadcast(stats), ["label", "pos"])
+        .select("vec_id", "label", F.struct("pos", term.alias("t")).alias("pt"))
+        .groupBy("vec_id", "label")
+        .agg(F.sort_array(F.collect_list("pt")).alias("pts"))
+    )
+    d2 = F.aggregate(
+        F.transform(F.col("pts"), lambda s: s["t"]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return per.select(
+        "vec_id",
+        "label",
+        pround(d2).alias("maha_d2"),
+        (d2 > F.lit(MAHA_FLAG)).alias("outlier"),
+    )
+
+
 PQ_S = 8  # subspaces
 PQ_SUBDIM = 8  # dims per subspace (corpus embeddings are 64-dim)
 PQ_K = 16  # codes per subspace
@@ -575,6 +643,7 @@ QUERIES = {
     "ann_range_search": ann_range_search,
     "embedding_qc": embedding_qc,
     "semantic_dedup": semantic_dedup,
+    "doc_outlier_mahalanobis": doc_outlier_mahalanobis,
 }
 
 _COS = cosine_sql("p.probe_emb", "e.embedding")
@@ -652,6 +721,40 @@ ORACLES = {
                (FLOOR(CAST((CAST(SUM(q) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * {float(CENTROID_Q)})) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS centroid
         FROM comp
         GROUP BY 1, 2
+    """,
+    "doc_outlier_mahalanobis": f"""
+        WITH comp AS (
+            SELECT vec_id, label,
+                   CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+                   CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {CENTROID_Q} + 0.5) AS BIGINT) AS q
+            FROM embeddings
+        ),
+        stats AS (
+            SELECT label, pos,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(q) AS BIGINT) AS s,
+                   CAST(SUM(q * q) AS BIGINT) AS ssq
+            FROM comp GROUP BY 1, 2
+        ),
+        terms AS (
+            SELECT c.vec_id, c.label, c.pos,
+                   CASE WHEN t.n * t.ssq - t.s * t.s > 0 THEN
+                       CAST((c.q * t.n - t.s) * (c.q * t.n - t.s) AS DOUBLE)
+                       / CAST(t.n * t.ssq - t.s * t.s AS DOUBLE)
+                   ELSE 0.0 END AS t
+            FROM comp c JOIN stats t USING (label, pos)
+        ),
+        per AS (
+            SELECT vec_id, label,
+                   list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE), list(t ORDER BY pos)),
+                       (acc, x) -> acc + x) AS d2
+            FROM terms GROUP BY 1, 2
+        )
+        SELECT vec_id, label,
+               {pround_sql('d2')} AS maha_d2,
+               d2 > {MAHA_FLAG} AS outlier
+        FROM per
     """,
     "ann_topk_cosine": f"""
         WITH probes AS (
