@@ -1174,6 +1174,67 @@ def downsample_maxdev(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_WINDOW = "INTERVAL 1 DAY"  # stage-completion window from stage 1
+FUNNEL_HIGH_TS = "9999-12-31 00:00:00"  # unreached-stage sentinel
+
+
+def window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order window funnel (the ClickHouse ``windowFunnel``
+    semantic): per user, stage k counts only if its FIRST qualifying
+    event is strictly after stage k−1's time AND within the window
+    anchored at stage 1 — signup → click → purchase here. The strict
+    form is what product funnels need (``event_funnel`` is the loose
+    2-stage conversion summary; this is ordered, windowed, per-user).
+
+    Scale shape: one filtered keyed aggregate per stage, each joined
+    to the previous stage's per-user scalar (bounded by user count) —
+    no sorted per-user array, no window over facts, state O(users).
+    Unreached stages carry the high-date sentinel (sortable, no
+    NULLs).
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    win = F.expr(FUNNEL_WINDOW)
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    users = ev.select("user_id").distinct()
+    high = F.lit(FUNNEL_HIGH_TS).cast("timestamp")
+    out = (
+        users.join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+    )
+    stage = (
+        F.col("t1").isNotNull().cast("int")
+        + F.col("t2").isNotNull().cast("int")
+        + F.col("t3").isNotNull().cast("int")
+    )
+    return out.select(
+        "user_id",
+        stage.alias("funnel_stage"),
+        F.coalesce("t1", high).alias("t_signup"),
+        F.coalesce("t2", high).alias("t_click"),
+        F.coalesce("t3", high).alias("t_purchase"),
+    )
+
+
 ROLL_Q_K = 5  # trailing readings per rolling-median window
 
 
@@ -1304,6 +1365,7 @@ QUERIES = {
     "downsample_maxdev": downsample_maxdev,
     "rolling_quantile": rolling_quantile,
     "holt_linear": holt_linear,
+    "window_funnel_strict": window_funnel_strict,
 }
 
 _INTERP_EXPR = (
@@ -1919,6 +1981,30 @@ ORACLES = {
                CAST(n_events AS BIGINT) AS n_events,
                {pround_sql('CAST(dev AS DOUBLE) / CAST(n_events AS DOUBLE)')} AS deviation
         FROM r WHERE rn = 1
+    """,
+    "window_funnel_strict": f"""
+        WITH ev AS (SELECT user_id, event_type, ts FROM events),
+        s1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev
+               WHERE event_type = 'signup' GROUP BY 1),
+        s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+               FROM ev e JOIN s1 USING (user_id)
+               WHERE e.event_type = 'click'
+                 AND e.ts > t1 AND e.ts <= t1 + {FUNNEL_WINDOW} GROUP BY 1),
+        s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+               FROM ev e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+               WHERE e.event_type = 'purchase'
+                 AND e.ts > t2 AND e.ts <= t1 + {FUNNEL_WINDOW} GROUP BY 1),
+        users AS (SELECT DISTINCT user_id FROM ev)
+        SELECT u.user_id,
+               CAST((t1 IS NOT NULL)::INT + (t2 IS NOT NULL)::INT
+                    + (t3 IS NOT NULL)::INT AS INTEGER) AS funnel_stage,
+               COALESCE(t1, TIMESTAMP '{FUNNEL_HIGH_TS}') AS t_signup,
+               COALESCE(t2, TIMESTAMP '{FUNNEL_HIGH_TS}') AS t_click,
+               COALESCE(t3, TIMESTAMP '{FUNNEL_HIGH_TS}') AS t_purchase
+        FROM users u
+        LEFT JOIN s1 USING (user_id)
+        LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)
     """,
     "rolling_quantile": f"""
         WITH w AS (
