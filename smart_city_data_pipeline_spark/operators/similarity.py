@@ -324,10 +324,16 @@ def semantic_dedup(
     one representative per within-cluster cosine neighborhood.
 
     Scale shape (the paper's own): the candidate-pair join is keyed on
-    the k-means cell, so pair cost is Σ|cell|² — bounded by the
-    cluster count k, never global-quadratic (SemDeDup ran 11k clusters
-    over LAION-440M; k scales with corpus size, and the quantizer
-    trains on a stratified sample exactly like ``ann_ivf_kmeans``).
+    the k-means cell, so pair cost is Σ|cell|² ≈ N²/k. That is only
+    sub-quadratic if k GROWS with the corpus: the ``k`` default here
+    (``ANN_KMEANS_K`` = 16) is a TEST-SCALE constant chosen so the
+    DuckDB oracle can re-learn the quantizer in unrolled Lloyd CTEs —
+    at production scale the caller MUST set ``k ≈ rows /
+    target_cell_size`` (SemDeDup used 11k clusters for LAION-440M,
+    i.e. ~40k vectors per cell; k ~ √N is a sane default), and the
+    quantizer trains on a stratified sample exactly like
+    ``ann_ivf_kmeans``. With that contract the pair join stays
+    cell-keyed and per-cell-bounded at any N.
     Checks: FULL oracle — the DuckDB twin re-learns the identical
     integer-grid quantizer (unrolled Lloyd CTEs) and replays the same
     pround-guarded cosine threshold, so kept/dropped is hash-checked;
@@ -400,9 +406,14 @@ def doc_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
     as one double division of two exact integers. The per-vector sum
     folds the 64 terms IN POSITION ORDER (sorted bounded array), so
     partial-agg order can't perturb the double sum. Integer headroom:
-    the products stay < 2⁵³ up to ~10⁷ rows per label; past that the
-    moments would quantize coarser (documented knob), the shape is
-    unchanged. Zero-variance positions contribute 0 by definition.
+    the raw moments (``s``, ``ssq``) are exact BIGINTs to ~2³¹ rows
+    per label, but the PRODUCTS ``n·ssq − s²`` and ``(q·n − s)²``
+    grow like n²·2³² — past ~4·10⁴ rows per label they exceed 2⁶³,
+    so both are evaluated in 128-bit exact integer arithmetic
+    (``decimal(38,0)`` on Spark, ``HUGEINT`` in the oracle), which
+    holds to ~10⁹ rows per label; past that the grid would quantize
+    coarser (documented knob), the shape is unchanged. Zero-variance
+    positions contribute 0 by definition.
 
     Shape: posexplode → keyed moment aggregate (64·labels rows,
     broadcast back) → one keyed fold per vector. No window over facts.
@@ -425,15 +436,23 @@ def doc_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("q").alias("s"),
         F.sum(F.col("q") * F.col("q")).alias("ssq"),
     )
-    num = (F.col("q") * F.col("n") - F.col("s")) * (
-        F.col("q") * F.col("n") - F.col("s")
-    )
-    den = F.col("n") * F.col("ssq") - F.col("s") * F.col("s")
+    # 128-bit exact products: BIGINT would wrap silently past ~4e4
+    # rows per label (n²·2³² > 2⁶³); decimal(38,0) is exact to ~1e9.
+    qD = F.col("q").cast("decimal(38,0)")
+    nD = F.col("n").cast("decimal(38,0)")
+    sD = F.col("s").cast("decimal(38,0)")
+    ssqD = F.col("ssq").cast("decimal(38,0)")
+    num = (qD * nD - sD) * (qD * nD - sD)
+    den = nD * ssqD - sD * sD
     term = F.when(
         den > 0, num.cast("double") / den.cast("double")
     ).otherwise(F.lit(0.0))
     per = (
-        comp.join(F.broadcast(stats), ["label", "pos"])
+        # No broadcast hint: `stats` is bounded (labels × dims rows)
+        # but derives from the sf-scaled embeddings table, so the
+        # broadcast-policy checker can't prove boundedness through
+        # lineage. AQE broadcasts the tiny post-agg side at runtime.
+        comp.join(stats, ["label", "pos"])
         .select("vec_id", "label", F.struct("pos", term.alias("t")).alias("pt"))
         .groupBy("vec_id", "label")
         .agg(F.sort_array(F.collect_list("pt")).alias("pts"))
@@ -737,10 +756,16 @@ ORACLES = {
             FROM comp GROUP BY 1, 2
         ),
         terms AS (
+            -- HUGEINT products: BIGINT n*ssq - s*s wraps/raises past
+            -- ~4e4 rows per label; int128 is exact to ~1e9 (matches
+            -- the Spark side's decimal(38,0)).
             SELECT c.vec_id, c.label, c.pos,
-                   CASE WHEN t.n * t.ssq - t.s * t.s > 0 THEN
-                       CAST((c.q * t.n - t.s) * (c.q * t.n - t.s) AS DOUBLE)
-                       / CAST(t.n * t.ssq - t.s * t.s AS DOUBLE)
+                   CASE WHEN CAST(t.n AS HUGEINT) * t.ssq
+                             - CAST(t.s AS HUGEINT) * t.s > 0 THEN
+                       CAST((CAST(c.q AS HUGEINT) * t.n - t.s)
+                            * (CAST(c.q AS HUGEINT) * t.n - t.s) AS DOUBLE)
+                       / CAST(CAST(t.n AS HUGEINT) * t.ssq
+                              - CAST(t.s AS HUGEINT) * t.s AS DOUBLE)
                    ELSE 0.0 END AS t
             FROM comp c JOIN stats t USING (label, pos)
         ),

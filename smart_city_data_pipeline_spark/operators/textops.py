@@ -1153,6 +1153,9 @@ def bpe_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CCNET_Q = 1 << 20  # per-token neg-logprob quantization grid
+
+
 def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style quality bucketing (Wenzek et al. 2020): score every
     document with the cheap LM proxy (mean unigram negative
@@ -1166,6 +1169,14 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct score level) table — bounded by the score grid, not the
     corpus — and bucket boundaries compare exact integers
     (``cum·3 ≤ total``), so both engines tier identically.
+
+    Determinism: each token's neg-logprob quantizes to the 2²⁰
+    integer grid BEFORE the per-doc aggregate, so the doc score is an
+    exact integer sum (order-independent under Spark's partial
+    aggregation) divided once — never ``avg`` over raw doubles, whose
+    partial-fold order could flip a last ulp at a pround boundary.
+    Headroom: neg-logprob ≤ ln(corpus tokens) ≈ 40 ⇒ per-token q ≤
+    4·10⁷; the per-doc sum stays < 2⁵³ to ~10⁸ tokens per document.
     """
     docs = table(spark, sf_dir, "documents")
     tok = docs.select(
@@ -1174,11 +1185,17 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
     total = vocab.agg(F.sum("tf").alias("n_total"))
     neg_lp = -F.log(F.col("tf").cast("double") / F.col("n_total"))
+    q_neg_lp = F.floor(neg_lp * F.lit(float(CCNET_Q)) + F.lit(0.5)).cast("long")
     scored = (
         tok.join(vocab, "token")
         .join(F.broadcast(total))
         .groupBy("doc_id")
-        .agg(pround(F.avg(neg_lp)).alias("score"))
+        .agg(
+            pround(
+                F.sum(q_neg_lp).cast("double")
+                / (F.count(F.lit(1)) * F.lit(CCNET_Q)).cast("double")
+            ).alias("score")
+        )
         .join(docs.select("doc_id", "lang"), "doc_id")
     )
     levels = scored.groupBy("lang", "score").agg(F.count(F.lit(1)).alias("n"))
@@ -1801,7 +1818,7 @@ ORACLES = {
                 OR total_word_chars > {WORD_LEN_MAX} * n_tokens) AS flagged
         FROM agg
     """,
-    "ccnet_perplexity_buckets": """
+    "ccnet_perplexity_buckets": f"""
         WITH tok AS (
             SELECT doc_id,
                    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
@@ -1810,8 +1827,14 @@ ORACLES = {
         vocab AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY 1),
         tot AS (SELECT SUM(tf) AS n_total FROM vocab),
         scored AS (
+            -- per-token neg-logprob quantized to the 2^20 grid, then
+            -- an exact integer sum (order-independent) / one division
             SELECT t.doc_id, d.lang,
-                   (FLOOR(CAST((AVG(-ln(CAST(tf AS DOUBLE) / n_total))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS score
+                   {pround_sql(
+                       'CAST(SUM(CAST(FLOOR(-ln(CAST(tf AS DOUBLE) / n_total)'
+                       f' * {float(CCNET_Q)} + 0.5) AS BIGINT)) AS DOUBLE)'
+                       f' / CAST(COUNT(*) * {CCNET_Q} AS DOUBLE)'
+                   )} AS score
             FROM tok t JOIN vocab USING (token), tot, documents d
             WHERE d.doc_id = t.doc_id
             GROUP BY 1, 2

@@ -1175,7 +1175,9 @@ def downsample_maxdev(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FUNNEL_WINDOW = "INTERVAL 1 DAY"  # stage-completion window from stage 1
-FUNNEL_HIGH_TS = "9999-12-31 00:00:00"  # unreached-stage sentinel
+# Unreached-stage sentinel: pandas-ns-safe high date (not 9999-12-31,
+# which overflows the driver harness's datetime64[ns] comparison path).
+FUNNEL_HIGH_TS = "2260-12-31 00:00:00"
 
 
 def window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -78,6 +78,7 @@ BNLJ_ALLOWED = {
     # vector) pair by design, bounded probe side broadcast
     "bm25_scores",  # 1-row corpus-stats (n_docs, sum_dl) broadcast
     "basket_affinity",  # 1-row total-order-count broadcast
+    "ccnet_perplexity_buckets",  # 1-row corpus-total broadcast
 }
 
 
