@@ -21,69 +21,70 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Round-6 rotation (VERDICT r5 item 1): the 11 full-oracle entries
-# that have NEVER been inside a driver gate window lead; entries new
-# or changed in round 6 follow; the remaining slots are back-filled by
-# the longest-displaced r3/r4 driver-greens (each judge-green in the
-# r5 full check_correctness rerun and unchanged since). Entries
-# driver-green in r5 fall into the middle (``rest``) and rotate back
-# in r7.
+# Round-7 rotation (VERDICT r6 items 1-3): never-driver-checked and
+# red-in-r6 entries lead, entries whose BEHAVIOR changed this round
+# follow (they must re-earn driver-green), then entries new in round 7
+# (grown as the round progresses), then the rotate-back wave — every
+# key whose last driver check was round 4 (checked r7 keeps its
+# gap-since-last-check <= 2 rounds; the 48 r5-greens rotate back in
+# r8). New r7 entries displace the TAIL of the rotate-back wave; the
+# displaced keys lead r8.
 _GATE_FIRST = [
-    # never driver-checked (late-session r5 additions; judge-r5 green)
-    "frames_features_jpeg_color",
-    "frames_features_jpeg420",
-    "frames_features_jpeg_prog",
-    "interarrival_stats",
-    "downsample_maxdev",
-    "dup_ngram_chars",
-    "chunk_dedup_share",
-    "compaction_plan",
-    "gopher_word_stats",
-    "sensor_uptime",
-    "ann_ivf_kmeans",
-    # new or changed in round 6 (grown as the round progresses; the
-    # rotate-back wave below shrinks to keep the total <= 50)
-    "ewma_batch",  # re-implemented: linear-recurrence block fold
-    "semantic_dedup",  # new: SemDeDup-style paraphrase dedup
-    "bpe_merge_counts",  # new: BPE tokenizer-training pair counts
-    "scd2_dim",  # new: SCD2 historized dimension build
-    "q8_market_share",  # plan change: (year, suppkey) pre-aggregation
-    "ccnet_perplexity_buckets",  # new: CCNet head/middle/tail tiers
-    "tokenizer_fertility",  # new: subword-per-word by language
-    "rolling_quantile",  # new: exact rolling median (lag-tap array)
-    "holt_linear",  # new: bounded Holt level+trend fold
-    "doc_outlier_mahalanobis",  # new: diagonal Mahalanobis embedding QC
-    # rotate-back wave: displaced in r5, driver-r3/r4 green, judge-r5
-    # green, unchanged since — longest-out-of-window first
-    "dataset_summary",
-    "zone_value_histogram",
-    "range_pair_counts",
-    "asof_enrich",
-    "congestion_streaks",
-    "anomaly_zscore",
-    "latest_metrics",
-    "time_bucket_1min",
-    "sliding_window_counts",
-    "gap_fill_hourly",
-    "daily_type_pivot",
-    "top_sensors_per_zone",
-    "zone_dow_rollup",
-    "late_supplier_blame",
-    "q19_discounted_revenue",
-    "big_spender_orders",
-    "ann_ivf_topk",
-    "ann_topk_cosine",
-    "dedup_levenshtein",
-    "detections_explode",
-    "camera_object_stats",
-    "zone_sketch_stats",
-    "camera_dwell_stats",
-    "props_unwrap_typed",
-    "salted_zone_sensors",
-    "text_repetition",
-    "dedup_incremental",
-    "stratified_sample",
-    "tfidf_top_terms",
+    # never driver-checked / red in r6
+    "window_funnel_strict",  # added late in r6, never gated
+    "scd2_dim",  # r6 red row (harness sentinel overflow) — re-check
+    # behavior changed in round 7 (sentinel / exactness fixes)
+    "ccnet_perplexity_buckets",  # integer-grid per-token scoring
+    "doc_outlier_mahalanobis",  # decimal(38,0)/HUGEINT moment products
+    # new in round 7 (append as built; shrink the wave below)
+    # rotate-back wave: last driver-checked in round 4, judge-r6
+    # green, unchanged since — due this round
+    "congestion_classify",
+    "zone_analytics",
+    "road_type_analytics",
+    "hourly_stats",
+    "aqi_compute",
+    "air_quality_zone",
+    "parking_status",
+    "retention_filter",
+    "sessionize",
+    "moving_avg",
+    "top_k",
+    "event_funnel",
+    "melt_type_counts",
+    "props_extract",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "revenue_by_nation",
+    "promo_revenue",
+    "order_priority_count",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q22_global_sales_opportunity",
+    "q20_surplus_suppliers",
+    "q2_min_cost_supplier",
+    "lang_id",
+    "text_quality",
+    "token_count",
+    "doc_fingerprint",
+    "rolling_fingerprint",
+    "token_explode_count",
+    "source_token_rebalance",
+    "unigram_logprob_score",
+    "length_outlier_filter",
+    "bigram_logprob_score",
+    "filter_funnel_report",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_neardup",
+    "embedding_srp_lsh",
+    "dedup_clusters",
+    "decontaminate_ngram",
 ]
 
 # Entries that can never hash-match (no oracle_sql twin by documented

@@ -1180,6 +1180,69 @@ FUNNEL_WINDOW = "INTERVAL 1 DAY"  # stage-completion window from stage 1
 FUNNEL_HIGH_TS = "2260-12-31 00:00:00"
 
 
+FUNNEL_STAGES = ("signup", "click", "purchase")
+
+
+def window_funnel_frame(
+    ev: DataFrame,
+    stages: tuple = FUNNEL_STAGES,
+    window: str = FUNNEL_WINDOW,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Frame-level strict-order window funnel over any stage chain:
+    stage k counts only if its FIRST qualifying event is strictly
+    after stage k−1's matched time AND within ``window`` anchored at
+    stage 1's first event. Greedy-earliest matching (each stage takes
+    its minimal qualifying timestamp) — the ClickHouse
+    ``windowFunnel(strict_order)`` semantic.
+
+    Scale shape: one filtered keyed aggregate per stage (len(stages)
+    passes, each a map-side-combinable min), joined on the user key —
+    state O(users), no sorted per-user array, no window over facts.
+    """
+    win = F.expr(window)
+    first = None
+    prev = None
+    stage_mins = []
+    for i, _stage in enumerate(stages, start=1):
+        e = ev.filter(F.col(type_col) == _stage)
+        if i == 1:
+            s = e.groupBy(user_col).agg(F.min(ts_col).alias("t1"))
+            first = s
+        else:
+            j = e.join(first, user_col)
+            if i > 2:
+                j = j.join(prev, user_col)
+            s = (
+                j.filter(
+                    (F.col(ts_col) > F.col(f"t{i - 1}"))
+                    & (F.col(ts_col) <= F.col("t1") + win)
+                )
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias(f"t{i}"))
+            )
+        stage_mins.append(s)
+        prev = s
+    out = ev.select(user_col).distinct()
+    for s in stage_mins:
+        out = out.join(s, user_col, "left")
+    high = F.lit(FUNNEL_HIGH_TS).cast("timestamp")
+    reached = None
+    for i in range(1, len(stages) + 1):
+        c = F.col(f"t{i}").isNotNull().cast("int")
+        reached = c if reached is None else reached + c
+    return out.select(
+        user_col,
+        reached.alias("funnel_stage"),
+        *[
+            F.coalesce(f"t{i}", high).alias(f"t_{stage}")
+            for i, stage in enumerate(stages, start=1)
+        ],
+    )
+
+
 def window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict-order window funnel (the ClickHouse ``windowFunnel``
     semantic): per user, stage k counts only if its FIRST qualifying
@@ -1192,49 +1255,13 @@ def window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the previous stage's per-user scalar (bounded by user count) —
     no sorted per-user array, no window over facts, state O(users).
     Unreached stages carry the high-date sentinel (sortable, no
-    NULLs).
+    NULLs). Edge semantics pytest-pinned vs a python reference funnel
+    (tests/test_window_funnel.py): same-timestamp stage events do NOT
+    advance (strict ``>``), the window boundary is inclusive
+    (``<= t1 + window``), and pre-stage-1 events never count.
     """
     ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    win = F.expr(FUNNEL_WINDOW)
-    s1 = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    s2 = (
-        ev.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    s3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(s1, "user_id")
-        .join(s2, "user_id")
-        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t1") + win))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    users = ev.select("user_id").distinct()
-    high = F.lit(FUNNEL_HIGH_TS).cast("timestamp")
-    out = (
-        users.join(s1, "user_id", "left")
-        .join(s2, "user_id", "left")
-        .join(s3, "user_id", "left")
-    )
-    stage = (
-        F.col("t1").isNotNull().cast("int")
-        + F.col("t2").isNotNull().cast("int")
-        + F.col("t3").isNotNull().cast("int")
-    )
-    return out.select(
-        "user_id",
-        stage.alias("funnel_stage"),
-        F.coalesce("t1", high).alias("t_signup"),
-        F.coalesce("t2", high).alias("t_click"),
-        F.coalesce("t3", high).alias("t_purchase"),
-    )
+    return window_funnel_frame(ev)
 
 
 ROLL_Q_K = 5  # trailing readings per rolling-median window
