@@ -37,6 +37,7 @@ _GATE_FIRST = [
     "ccnet_perplexity_buckets",  # integer-grid per-token scoring
     "doc_outlier_mahalanobis",  # decimal(38,0)/HUGEINT moment products
     # new in round 7 (append as built; shrink the wave below)
+    "centroid_tracks",  # new: greedy nearest-centroid frame tracker
     # rotate-back wave: last driver-checked in round 4, judge-r6
     # green, unchanged since — due this round
     "congestion_classify",
@@ -84,7 +85,7 @@ _GATE_FIRST = [
     "embedding_neardup",
     "embedding_srp_lsh",
     "dedup_clusters",
-    "decontaminate_ngram",
+    # displaced to r8 head by r7 additions: decontaminate_ngram
 ]
 
 # Entries that can never hash-match (no oracle_sql twin by documented

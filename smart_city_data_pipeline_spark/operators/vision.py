@@ -33,6 +33,7 @@ import functools
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from smart_city_data_pipeline_spark.catalog import table
 from smart_city_data_pipeline_spark.functions.rounding import avg_exact, avg_exact_sql, pround
@@ -176,6 +177,177 @@ def camera_dwell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Centroid-association tracker (batch twin) -----------------------
+#
+# The reference's Flink vision job assigns object identity across
+# frames with a greedy nearest-centroid tracker
+# (flink_vision_job_proper.py:37-128, SimpleTracker.update): distance
+# matrix between tracked centroids and the frame's detections, rows
+# (tracks) processed in ascending order of their minimum distance, each
+# row attempting ONLY its own argmin column, a 50 px max-distance gate,
+# miss-count expiry past max_disappeared, and new tracks registered for
+# unmatched detections.
+#
+# Closed form (what makes this oracle-expressible): because a row only
+# ever attempts its own argmin column, a column's winner is simply the
+# MINIMUM (dist², track_id) over tracks whose argmin is that column —
+# rows losing that minimum are skipped outright (the reference does not
+# re-match them to their second choice), so the sequential greedy loop
+# collapses to two argmins. Ties resolve exactly like numpy's stable
+# argsort/argmin: (dist², track_id) across rows, lowest column index
+# within a row. Only the FRAME-TO-FRAME fold is sequential; it runs per
+# camera over a bounded block of TRACK_FRAMES frames (the ewma_batch
+# bounded-fold discipline).
+#
+# Tracker input is a synthesized trajectory lake (deterministic integer
+# functions of (camera, frame, slot), reproduced verbatim by the DuckDB
+# oracle): three object slots per camera move linearly with per-slot
+# velocity in [-25, 25] px/frame (consecutive-frame step ≤ 36 px < the
+# 50 px gate → matches), wrap around the 1920×1080 screen (jump ≫ gate
+# → miss-expiry + re-registration), and blink out for two consecutive
+# frames every 17 (miss counter exercises WITHOUT expiry at
+# TRACK_MAX_MISS = 2). Crossing trajectories exercise the greedy
+# conflict rule. All coordinates are exact integers, so both engines
+# agree bit-for-bit.
+#
+# Scale: one row_number shuffle keyed by camera, then applyInPandas per
+# camera (Arrow-batched; group size ≤ TRACK_FRAMES·3 rows by
+# construction — at 100 TB the key would be (camera, day) and the
+# tracker state is O(active tracks), never O(history)).
+
+TRACK_FRAMES = 128  # bounded per-camera frame block
+TRACK_GATE = 50  # reference max-distance gate, px
+TRACK_GATE2 = TRACK_GATE * TRACK_GATE
+TRACK_MAX_MISS = 2  # expire when miss count EXCEEDS this
+
+TRACKER_OUT_SCHEMA = (
+    "camera_id long, track_id int, first_frame int, last_frame int, "
+    "n_matched int, expired boolean, final_cx int, final_cy int"
+)
+
+
+def tracker_update(tracks: list, next_id: int, f: int, dets: list) -> int:
+    """One frame of the closed-form greedy centroid association.
+
+    ``tracks`` is mutated in place (dicts with tid/cx/cy/miss/first_f/
+    last_f/n_match/expired); ``dets`` is ``[(col, x, y), ...]`` in
+    column order. Returns the advanced ``next_id``. Equivalence with
+    the reference's sequential greedy loop is pytest-pinned
+    (tests/test_centroid_tracker.py vs a literal-semantics greedy).
+    """
+    best = {}
+    for t in tracks:
+        if t["expired"]:
+            continue
+        b = None
+        for c, x, y in dets:
+            d2 = (t["cx"] - x) ** 2 + (t["cy"] - y) ** 2
+            if b is None or d2 < b[0]:
+                b = (d2, c)
+        if b is not None:
+            best[t["tid"]] = b
+    winner = {}  # col -> (d2, tid)
+    for t in tracks:
+        if t["expired"] or t["tid"] not in best:
+            continue
+        d2, c = best[t["tid"]]
+        if d2 <= TRACK_GATE2:
+            w = winner.get(c)
+            if w is None or (d2, t["tid"]) < w:
+                winner[c] = (d2, t["tid"])
+    won = {tid: c for c, (_, tid) in winner.items()}
+    xy = {c: (x, y) for c, x, y in dets}
+    for t in tracks:
+        if t["expired"]:
+            continue
+        if t["tid"] in won:
+            t["cx"], t["cy"] = xy[won[t["tid"]]]
+            t["miss"] = 0
+            t["last_f"] = f
+            t["n_match"] += 1
+        else:
+            t["miss"] += 1
+            if t["miss"] > TRACK_MAX_MISS:
+                t["expired"] = True
+    for c, x, y in dets:
+        if c not in winner:
+            tracks.append(
+                dict(
+                    tid=next_id, cx=x, cy=y, miss=0,
+                    first_f=f, last_f=f, n_match=0, expired=False,
+                )
+            )
+            next_id += 1
+    return next_id
+
+
+def _fold_camera(pdf):
+    import pandas as pd
+
+    pdf = pdf.sort_values(["f", "s"])
+    tracks: list = []
+    nid = 0
+    for f, grp in pdf.groupby("f", sort=True):
+        dets = [
+            (c, int(x), int(y))
+            for c, (x, y) in enumerate(zip(grp["cx"], grp["cy"]))
+        ]
+        nid = tracker_update(tracks, nid, int(f), dets)
+    cam = int(pdf["camera_id"].iloc[0])
+    return pd.DataFrame(
+        [
+            (cam, t["tid"], t["first_f"], t["last_f"], t["n_match"],
+             t["expired"], t["cx"], t["cy"])
+            for t in tracks
+        ],
+        columns=[
+            "camera_id", "track_id", "first_frame", "last_frame",
+            "n_matched", "expired", "final_cx", "final_cy",
+        ],
+    )
+
+
+def tracker_detections(ev: DataFrame) -> DataFrame:
+    """Synthesized trajectory detections: (camera_id, f, s, cx, cy)."""
+    w = Window.partitionBy("camera_id").orderBy("ts", "event_id")
+    frames = (
+        ev.select(F.col("user_id").alias("camera_id"), "ts", "event_id")
+        .withColumn("f", F.row_number().over(w).cast("long"))
+        .filter(F.col("f") <= TRACK_FRAMES)
+    )
+    base = frames.select(
+        "camera_id",
+        "f",
+        F.explode(F.array(*[F.lit(i).cast("long") for i in (1, 2, 3)])).alias("s"),
+    )
+    c, fr, s = F.col("camera_id"), F.col("f"), F.col("s")
+    vx = (c * 5 + s * 7) % 51 - 25
+    vy = (c * 11 + s * 13) % 51 - 25
+    cx = ((c * 37 + s * 101 + vx * fr) % 1920 + 1920) % 1920
+    cy = ((c * 53 + s * 71 + vy * fr) % 1080 + 1080) % 1080
+    return base.filter((c * 3 + fr + s * 3) % 17 >= 2).select(
+        "camera_id",
+        F.col("f").cast("int").alias("f"),
+        F.col("s").cast("int").alias("s"),
+        cx.cast("int").alias("cx"),
+        cy.cast("int").alias("cy"),
+    )
+
+
+def centroid_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy nearest-centroid tracking over per-camera frame
+    sequences — the batch twin of the reference's Flink vision
+    tracker (flink_vision_job_proper.py:37-128): stable track ids
+    across frames, 50 px association gate, expiry after
+    ``TRACK_MAX_MISS`` consecutive misses, new tracks for unmatched
+    detections. One output row per track ever registered (expired
+    tracks kept, flagged)."""
+    dets = tracker_detections(table(spark, sf_dir, "events"))
+    return dets.groupBy("camera_id").applyInPandas(
+        _fold_camera, TRACKER_OUT_SCHEMA
+    )
+
+
 _DET_BASE_SQL = """
     SELECT event_id, user_id AS camera_id, ts,
            user_id * 1000 + (event_id * 7 + i) % 50 AS object_id,
@@ -194,6 +366,7 @@ QUERIES = {
     "detections_explode": detections_explode,
     "camera_object_stats": camera_object_stats,
     "camera_dwell_stats": camera_dwell_stats,
+    "centroid_tracks": centroid_tracks,
 }
 
 ORACLES = {
@@ -231,5 +404,116 @@ ORACLES = {
                CAST(SUM(n_sightings) AS BIGINT) AS total_sightings
         FROM per_obj
         GROUP BY 1
+    """,
+    # Sequential per-camera greedy tracking replayed as a recursive CTE:
+    # each recursion step advances every camera one frame, computing the
+    # closed-form greedy update (per-track argmin, per-column winner by
+    # min (d2, tid)) with list lambdas over the bounded track list.
+    # Recursion depth = max frames per camera (<= TRACK_FRAMES).
+    "centroid_tracks": f"""
+        WITH RECURSIVE
+        frames AS (
+            SELECT user_id AS camera_id, rn AS f FROM (
+                SELECT user_id, row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                FROM events)
+            WHERE rn <= {TRACK_FRAMES}
+        ),
+        dets0 AS (
+            SELECT camera_id, CAST(f AS INTEGER) AS f,
+                   CAST(row_number() OVER (PARTITION BY camera_id, f ORDER BY s) - 1 AS INTEGER) AS col,
+                   CAST(((camera_id*37 + s*101 + ((camera_id*5 + s*7) % 51 - 25)*f) % 1920 + 1920) % 1920 AS INTEGER) AS cx,
+                   CAST(((camera_id*53 + s*71 + ((camera_id*11 + s*13) % 51 - 25)*f) % 1080 + 1080) % 1080 AS INTEGER) AS cy
+            FROM frames, (SELECT unnest([1, 2, 3]) AS s)
+            WHERE (camera_id*3 + f + s*3) % 17 >= 2
+        ),
+        fdets AS (
+            SELECT camera_id, f,
+                   list(struct_pack(col := col, x := cx, y := cy) ORDER BY col) AS ds
+            FROM dets0 GROUP BY 1, 2
+        ),
+        maxf AS (SELECT camera_id, CAST(MAX(f) AS INTEGER) AS fmax FROM frames GROUP BY 1),
+        st AS (
+            SELECT camera_id, 0 AS f,
+                   CAST([] AS STRUCT(tid INTEGER, cx INTEGER, cy INTEGER, miss INTEGER,
+                                     first_f INTEGER, last_f INTEGER, n_match INTEGER,
+                                     expired BOOLEAN)[]) AS tracks,
+                   0 AS nid
+            FROM maxf
+            UNION ALL
+            SELECT camera_id, f, tracks2 AS tracks, nid + len(newcols) AS nid
+            FROM (
+                SELECT s.camera_id, s.f + 1 AS f, s.nid,
+                       list_transform(
+                           list_filter(s.tracks, t -> NOT t.expired),
+                           t -> struct_pack(
+                               t := t,
+                               b := CASE WHEN len(ds) = 0 THEN NULL ELSE
+                                   list_reduce(
+                                       list_transform(ds, d -> struct_pack(
+                                           d2 := (t.cx - d.x)*(t.cx - d.x)
+                                                 + (t.cy - d.y)*(t.cy - d.y),
+                                           col := d.col)),
+                                       (a, b) -> CASE WHEN b.d2 < a.d2 THEN b ELSE a END)
+                               END)) AS tb,
+                       COALESCE(d.ds, CAST([] AS STRUCT(col INTEGER, x INTEGER, y INTEGER)[])) AS ds,
+                       s.tracks AS oldtracks
+                FROM st s
+                JOIN maxf m USING (camera_id)
+                LEFT JOIN fdets d ON d.camera_id = s.camera_id AND d.f = s.f + 1
+                WHERE s.f < m.fmax
+            ),
+            LATERAL (
+                SELECT
+                    list_transform(ds, d -> struct_pack(
+                        col := d.col, x := d.x, y := d.y,
+                        wtid := CASE WHEN len(list_filter(tb,
+                                    z -> z.b IS NOT NULL AND z.b.col = d.col
+                                         AND z.b.d2 <= {TRACK_GATE2})) = 0
+                                THEN NULL ELSE
+                                list_reduce(
+                                    list_transform(
+                                        list_filter(tb,
+                                            z -> z.b IS NOT NULL AND z.b.col = d.col
+                                                 AND z.b.d2 <= {TRACK_GATE2}),
+                                        z -> struct_pack(d2 := z.b.d2, tid := z.t.tid)),
+                                    (a, b) -> CASE WHEN b.d2 < a.d2
+                                                   OR (b.d2 = a.d2 AND b.tid < a.tid)
+                                              THEN b ELSE a END).tid
+                                END)) AS wmap
+            ),
+            LATERAL (
+                SELECT
+                    list_filter(wmap, w -> w.wtid IS NULL) AS newcols,
+                    list_concat(
+                        list_transform(oldtracks, t -> CASE
+                            WHEN t.expired THEN t
+                            WHEN len(list_filter(wmap, w -> w.wtid = t.tid)) > 0 THEN
+                                struct_pack(
+                                    tid := t.tid,
+                                    cx := list_filter(wmap, w -> w.wtid = t.tid)[1].x,
+                                    cy := list_filter(wmap, w -> w.wtid = t.tid)[1].y,
+                                    miss := 0, first_f := t.first_f, last_f := f,
+                                    n_match := t.n_match + 1, expired := false)
+                            ELSE
+                                struct_pack(
+                                    tid := t.tid, cx := t.cx, cy := t.cy,
+                                    miss := t.miss + 1, first_f := t.first_f,
+                                    last_f := t.last_f, n_match := t.n_match,
+                                    expired := t.miss + 1 > {TRACK_MAX_MISS})
+                            END),
+                        list_transform(list_filter(wmap, w -> w.wtid IS NULL),
+                            (w, i) -> struct_pack(
+                                tid := nid + CAST(i AS INTEGER) - 1, cx := w.x, cy := w.y,
+                                miss := 0, first_f := f, last_f := f,
+                                n_match := 0, expired := false))
+                    ) AS tracks2
+            )
+        )
+        SELECT s.camera_id, t.tid AS track_id, t.first_f AS first_frame,
+               t.last_f AS last_frame, t.n_match AS n_matched,
+               t.expired AS expired, t.cx AS final_cx, t.cy AS final_cy
+        FROM (SELECT camera_id, f, unnest(tracks) AS t
+              FROM st JOIN maxf USING (camera_id) WHERE f = fmax) s(camera_id, f, t)
     """,
 }
