@@ -38,6 +38,7 @@ _GATE_FIRST = [
     "doc_outlier_mahalanobis",  # decimal(38,0)/HUGEINT moment products
     # new in round 7 (append as built; shrink the wave below)
     "centroid_tracks",  # new: greedy nearest-centroid frame tracker
+    "gopher_repetition_full",  # new: remaining Gopher §A1.1 rows
     # rotate-back wave: last driver-checked in round 4, judge-r6
     # green, unchanged since — due this round
     "congestion_classify",
@@ -84,8 +85,8 @@ _GATE_FIRST = [
     "dedup_simhash",
     "embedding_neardup",
     "embedding_srp_lsh",
-    "dedup_clusters",
-    # displaced to r8 head by r7 additions: decontaminate_ngram
+    # displaced to r8 head by r7 additions: dedup_clusters,
+    # decontaminate_ngram
 ]
 
 # Entries that can never hash-match (no oracle_sql twin by documented

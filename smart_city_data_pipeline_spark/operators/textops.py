@@ -12,7 +12,9 @@ the canonical scalable wordcount. No Python UDFs anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+import functools
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from smart_city_data_pipeline_spark.catalog import table
@@ -922,6 +924,119 @@ def dup_ngram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The REMAINING Gopher repetition rows (Rae et al. 2021 §A1.1) beyond
+# text_repetition (top token) and dup_ngram_chars (dup 5-gram): top
+# n-gram character share for n ∈ {2,3,4} and duplicate n-gram character
+# fraction for n ∈ {6,8,10}, with the paper's per-n flag thresholds
+# (×100 exact-integer compares).
+GOPHER_NS = (2, 3, 4, 6, 8, 10)
+GOPHER_PCT = {2: 20, 3: 18, 4: 16, 6: 14, 8: 12, 10: 10}
+
+
+def gopher_repetition_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition panel, completed: per document, the fraction
+    of n-gram characters claimed by the single most frequent n-gram
+    (n = 2, 3, 4) and by all duplicated n-grams (n = 6, 8, 10), each
+    with the Gopher flag threshold, plus the any-rule ``flagged``.
+
+    Same weighting contract as ``dup_ngram_chars``: shares are
+    relative to that n's total gram characters (cnt·len sums of exact
+    BIGINTs — Gopher's no-double-count span union is approximated by
+    occurrence weighting, documented deviation). The top gram is the
+    max by (count, gram char length) — the tie rule only has to be
+    deterministic, and comparing two BIGINTs needs no string collation
+    agreement between engines. Branch coverage: the ``dup_ngram_chars``
+    doc_id-keyed synthetic phrase repetitions make the dup-6/8/10 and
+    flag branches real (%6 docs repeat a 6-token phrase twice → dup-6
+    fires; %24 docs carry 6 copies → dup-8/10 and the flags fire).
+
+    Shape: ONE tokenize + one tagged explode (all six gram streams in
+    a single generator) → (doc, n, gram) count with map-side combine →
+    per-(doc, n) aggregate → conditional-aggregate pivot to one row
+    per doc. Linear keyed shuffles; gram streams are consumed map-side.
+    """
+    docs = table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 6 == 0, F.lit(_DUP_SYNTH_2)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 24 == 0, F.lit(_DUP_SYNTH_4)).otherwise(F.lit("")),
+    )
+    toked = docs.select("doc_id", T.ws_tokens(F.lower(synth)).alias("tk"))
+    # single-arg closure per n: a 2-arg lambda would make F.transform
+    # pass the ARRAY INDEX as the second argument, clobbering a bound
+    # `n=n` default
+    def _tag(n: int):
+        return lambda g: F.struct(F.lit(n).cast("int").alias("n"), g.alias("g"))
+
+    tagged = F.flatten(
+        F.array(
+            *[
+                F.transform(T.kgram_strings(F.col("tk"), n), _tag(n))
+                for n in GOPHER_NS
+            ]
+        )
+    )
+    occ = (
+        toked.select("doc_id", F.explode_outer(tagged).alias("e"))
+        .filter(F.col("e").isNotNull())
+        .select("doc_id", F.col("e.n").alias("n"), F.col("e.g").alias("g"))
+    )
+    clen = F.length("g").cast("long")
+    per_gram = occ.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    per_n = per_gram.groupBy("doc_id", "n").agg(
+        F.sum(F.col("cnt") * clen).alias("total_chars"),
+        F.sum(
+            F.when(F.col("cnt") >= 2, F.col("cnt") * clen).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("dup_chars"),
+        F.max(F.struct(F.col("cnt").alias("cnt"), clen.alias("clen"))).alias("top"),
+    )
+    sel = per_n.select(
+        "doc_id",
+        "n",
+        "total_chars",
+        "dup_chars",
+        (F.col("top.cnt") * F.col("top.clen")).alias("top_chars"),
+    )
+
+    def pick(n: int, col: str) -> Column:
+        return F.max(F.when(F.col("n") == n, F.col(col)))
+
+    agg = sel.groupBy("doc_id").agg(
+        *[pick(n, "total_chars").alias(f"tot{n}") for n in GOPHER_NS],
+        *[pick(n, "dup_chars").alias(f"dup{n}") for n in (6, 8, 10)],
+        *[pick(n, "top_chars").alias(f"top{n}") for n in (2, 3, 4)],
+    )
+    out = docs.select("doc_id").join(agg, "doc_id", "left")
+    cols = [F.col("doc_id")]
+    flag_exprs = []
+    for n in (2, 3, 4):
+        tot = F.coalesce(F.col(f"tot{n}"), F.lit(0).cast("long"))
+        top = F.coalesce(F.col(f"top{n}"), F.lit(0).cast("long"))
+        cols.append(
+            F.when(tot > 0, pround(top.cast("double") / tot.cast("double")))
+            .otherwise(F.lit(0.0))
+            .alias(f"top{n}_share")
+        )
+        flag_exprs.append((top * 100 > tot * GOPHER_PCT[n], f"top{n}_flag"))
+    for n in (6, 8, 10):
+        tot = F.coalesce(F.col(f"tot{n}"), F.lit(0).cast("long"))
+        dup = F.coalesce(F.col(f"dup{n}"), F.lit(0).cast("long"))
+        cols.append(
+            F.when(tot > 0, pround(dup.cast("double") / tot.cast("double")))
+            .otherwise(F.lit(0.0))
+            .alias(f"dup{n}_frac")
+        )
+        flag_exprs.append((dup * 100 > tot * GOPHER_PCT[n], f"dup{n}_flag"))
+    any_flag = functools.reduce(lambda a, b: a | b, [e for e, _ in flag_exprs])
+    return out.select(
+        *cols,
+        *[e.alias(name) for e, name in flag_exprs],
+        any_flag.alias("flagged"),
+    )
+
+
 # Coarse chunk-level dedup: non-overlapping CHUNK_K-token chunks are
 # the cheap first pass before shingle/MinHash machinery — one hash per
 # chunk instead of one per token position.
@@ -1265,6 +1380,7 @@ QUERIES = {
     "char_entropy": char_entropy,
     "bm25_scores": bm25_scores,
     "dup_ngram_chars": dup_ngram_chars,
+    "gopher_repetition_full": gopher_repetition_full,
     "chunk_dedup_share": chunk_dedup_share,
     "gopher_word_stats": gopher_word_stats,
     "bpe_merge_counts": bpe_merge_counts,
@@ -1762,6 +1878,84 @@ ORACLES = {
                COALESCE(a.dup_gram_chars, 0) * 100
                    > COALESCE(a.total_gram_chars, 0) * {DUP_NGRAM_PCT} AS flagged
         FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    "gopher_repetition_full": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower({_DUP_SYNTH_SQL})), '\\s+') AS tk
+            FROM documents
+        ),
+        occ AS (
+            {" UNION ALL ".join(
+                f'''SELECT doc_id, {n} AS n, {T.kgram_strings_sql("tk", n)} AS g
+                FROM (SELECT doc_id, tk,
+                             unnest(range(1, len(tk) - {n - 2})) AS i
+                      FROM toks)'''
+                for n in GOPHER_NS
+            )}
+        ),
+        per_gram AS (
+            SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM occ GROUP BY 1, 2, 3
+        ),
+        per_n AS (
+            SELECT doc_id, n,
+                   CAST(SUM(cnt * length(g)) AS BIGINT) AS total_chars,
+                   CAST(SUM(CASE WHEN cnt >= 2 THEN cnt * length(g)
+                            ELSE 0 END) AS BIGINT) AS dup_chars,
+                   max(struct_pack(cnt := cnt,
+                                   clen := CAST(length(g) AS BIGINT))) AS top
+            FROM per_gram GROUP BY 1, 2
+        ),
+        sel AS (
+            SELECT doc_id, n, total_chars, dup_chars,
+                   CAST(top.cnt * top.clen AS BIGINT) AS top_chars
+            FROM per_n
+        ),
+        agg AS (
+            SELECT doc_id,
+                   {", ".join(
+                       f"MAX(CASE WHEN n = {n} THEN total_chars END) AS tot{n}"
+                       for n in GOPHER_NS
+                   )},
+                   {", ".join(
+                       f"MAX(CASE WHEN n = {n} THEN dup_chars END) AS dup{n}"
+                       for n in (6, 8, 10)
+                   )},
+                   {", ".join(
+                       f"MAX(CASE WHEN n = {n} THEN top_chars END) AS top{n}"
+                       for n in (2, 3, 4)
+                   )}
+            FROM sel GROUP BY 1
+        )
+        SELECT d.doc_id,
+               {", ".join(
+                   f'''CASE WHEN COALESCE(tot{n}, 0) > 0 THEN
+                       {pround_sql(f"CAST(top{n} AS DOUBLE) / CAST(tot{n} AS DOUBLE)")}
+                   ELSE 0.0 END AS top{n}_share'''
+                   for n in (2, 3, 4)
+               )},
+               {", ".join(
+                   f'''CASE WHEN COALESCE(tot{n}, 0) > 0 THEN
+                       {pround_sql(f"CAST(dup{n} AS DOUBLE) / CAST(tot{n} AS DOUBLE)")}
+                   ELSE 0.0 END AS dup{n}_frac'''
+                   for n in (6, 8, 10)
+               )},
+               {", ".join(
+                   f"COALESCE(top{n}, 0) * 100 > COALESCE(tot{n}, 0) * {GOPHER_PCT[n]} AS top{n}_flag"
+                   for n in (2, 3, 4)
+               )},
+               {", ".join(
+                   f"COALESCE(dup{n}, 0) * 100 > COALESCE(tot{n}, 0) * {GOPHER_PCT[n]} AS dup{n}_flag"
+                   for n in (6, 8, 10)
+               )},
+               ({" OR ".join(
+                   [f"COALESCE(top{n}, 0) * 100 > COALESCE(tot{n}, 0) * {GOPHER_PCT[n]}"
+                    for n in (2, 3, 4)]
+                   + [f"COALESCE(dup{n}, 0) * 100 > COALESCE(tot{n}, 0) * {GOPHER_PCT[n]}"
+                      for n in (6, 8, 10)]
+               )}) AS flagged
+        FROM documents d LEFT JOIN agg USING (doc_id)
     """,
     "chunk_dedup_share": f"""
         WITH toks AS (
