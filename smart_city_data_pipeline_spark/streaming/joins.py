@@ -94,6 +94,57 @@ def correlate_streams_outer(
     ).select("l_user", "l_event_id", "l_ts", "r_ts", "r_value")
 
 
+def correlate_streams_full_outer(
+    left: DataFrame,
+    right: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """FULL OUTER stream-stream correlation — completes the join-class
+    matrix next to :func:`correlate_streams` (inner) and
+    :func:`correlate_streams_outer` (left): no-match rows from BOTH
+    sides are emitted null-padded, each exactly once, when the global
+    watermark evicts them from state.
+
+    Eviction timing differs per side: a left row can be declared
+    matchless once the watermark passes ``l_ts + window`` (no right
+    row in its forward window can still arrive); a right row once the
+    watermark passes ``r_ts`` itself plus the left-retention bound
+    Spark derives from the range condition (a matching left row must
+    satisfy ``l_ts >= r_ts - window``). State stays O(window +
+    watermark) on both sides. The right-outer variant is this join
+    with the left side's null rows filtered — Spark accepts
+    ``right_outer`` directly, but full-outer exercises both eviction
+    paths at once, which is what the phased pytest pins
+    (tests/test_stream_outer_join.py::test_full_outer_*).
+    """
+    l = (
+        left.select(
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("l_ts"),
+            F.col("event_id").alias("l_event_id"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    r = (
+        right.select(
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+            F.col("value").alias("r_value"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    return l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {window}")),
+        "full_outer",
+    ).select(
+        "l_user", "l_event_id", "l_ts", "r_user", "r_ts", "r_value"
+    )
+
+
 def batch_equivalent_correlate(left: DataFrame, right: DataFrame, window: str = "10 minutes") -> DataFrame:
     """The same correlation in batch — the streaming test's oracle."""
     l = left.select(

@@ -150,3 +150,74 @@ def test_outer_matched_subset_equals_batch_inner(spark, tmp_path):
     assert sorted(seen) == [1, 1, 2, 3, 4]
     nulls = {r["l_event_id"] for r in got if r["r_value"] is None}
     assert {3, 4} <= nulls  # user 2's right is +25min away; user 3 has none
+
+
+def test_full_outer_emits_both_sides_nulls_exactly_once(spark, tmp_path):
+    """FULL outer: l1 (no right match) AND r1 (no left match) each
+    emit one null-padded row after the global watermark evicts them
+    (VERDICT r6 item 7)."""
+    from smart_city_data_pipeline_spark.streaming.joins import (
+        correlate_streams_full_outer,
+    )
+
+    ldir, rdir = str(tmp_path / "lf"), str(tmp_path / "rf")
+    # l0@00:00 matches r0@00:02; l1@00:30 has no right in [l1, l1+10m];
+    # r1@00:50 has no left in [r1-10m, r1]
+    spark.createDataFrame(
+        [(1, _t(0, 0), 100), (1, _t(0, 30), 101)], L_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(ldir)
+    spark.createDataFrame(
+        [(1, _t(0, 2), 7.5), (1, _t(0, 50), 8.5)], R_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(rdir)
+
+    lstream = spark.readStream.schema(L_SCHEMA).parquet(ldir)
+    rstream = spark.readStream.schema(R_SCHEMA).parquet(rdir)
+    q = (
+        correlate_streams_full_outer(lstream, rstream)
+        .writeStream.format("memory")
+        .queryName("full_outer_join")
+        .option("checkpointLocation", str(tmp_path / "ckptf"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.table("full_outer_join").collect()
+        # no eviction possible yet -> no null-padded rows
+        assert all(
+            r["r_value"] is not None and r["l_event_id"] is not None
+            for r in rows
+        )
+
+        # two watermark-advancing waves on BOTH sides (the global
+        # watermark is the min of the two; eviction lands the batch
+        # after the advance)
+        for h, uid, eid in ((3, 99, 900), (4, 98, 901)):
+            spark.createDataFrame([(uid, _t(h), eid)], L_SCHEMA).coalesce(
+                1
+            ).write.mode("append").parquet(ldir)
+            spark.createDataFrame([(uid, _t(h), 0.0)], R_SCHEMA).coalesce(
+                1
+            ).write.mode("append").parquet(rdir)
+            q.processAllAvailable()
+        rows = spark.table("full_outer_join").collect()
+    finally:
+        q.stop()
+
+    left_nulls = [r for r in rows if r["r_value"] is None]
+    right_nulls = [r for r in rows if r["l_event_id"] is None]
+    matched = [
+        r for r in rows
+        if r["r_value"] is not None and r["l_event_id"] is not None
+    ]
+    # l1's no-match row exactly once, right side null-padded
+    assert [(r["l_user"], r["l_event_id"]) for r in left_nulls].count((1, 101)) == 1
+    assert all(r["r_ts"] is None and r["r_user"] is None for r in left_nulls)
+    # r1's no-match row exactly once, left side null-padded
+    assert [(r["r_user"], r["r_value"]) for r in right_nulls].count((1, 8.5)) == 1
+    assert all(r["l_ts"] is None and r["l_user"] is None for r in right_nulls)
+    # matched pair present on the matched side only; dummies match
+    assert {(r["l_event_id"], r["r_value"]) for r in matched} >= {
+        (100, 7.5), (900, 0.0), (901, 0.0)
+    }
+    assert len(left_nulls) == 1 and len(right_nulls) == 1
