@@ -39,6 +39,7 @@ _GATE_FIRST = [
     # new in round 7 (append as built; shrink the wave below)
     "centroid_tracks",  # new: greedy nearest-centroid frame tracker
     "gopher_repetition_full",  # new: remaining Gopher §A1.1 rows
+    "ann_ivfpq_topk",  # new: IVF-PQ asymmetric-distance search
     # rotate-back wave: last driver-checked in round 4, judge-r6
     # green, unchanged since — due this round
     "congestion_classify",
@@ -84,9 +85,8 @@ _GATE_FIRST = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "embedding_neardup",
-    "embedding_srp_lsh",
-    # displaced to r8 head by r7 additions: dedup_clusters,
-    # decontaminate_ngram
+    # displaced to r8 head by r7 additions: embedding_srp_lsh,
+    # dedup_clusters, decontaminate_ngram
 ]
 
 # Entries that can never hash-match (no oracle_sql twin by documented

@@ -559,13 +559,109 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_dist_sql(s_expr: str) -> str:
+def _pq_dist_sql(
+    s_expr: str, left: str = "e.embedding", right: str = "c.embedding"
+) -> str:
     terms = []
     for i in range(PQ_SUBDIM):
-        a = f"CAST(e.embedding[{s_expr} * {PQ_SUBDIM} + {i + 1}] AS DOUBLE)"
-        b = f"CAST(c.embedding[{s_expr} * {PQ_SUBDIM} + {i + 1}] AS DOUBLE)"
+        a = f"CAST({left}[{s_expr} * {PQ_SUBDIM} + {i + 1}] AS DOUBLE)"
+        b = f"CAST({right}[{s_expr} * {PQ_SUBDIM} + {i + 1}] AS DOUBLE)"
         terms.append(f"(({a}) - ({b})) * (({a}) - ({b}))")
     return " + ".join(terms)
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ asymmetric-distance top-k — the standard billion-scale
+    retrieval composition (Jégou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search"): IVF routes each probe to its cell,
+    PQ codes stand in for the database vectors, and the probe stays
+    EXACT — distance is the ADC sum of per-subspace lookup-table
+    entries ``Σ_s ‖q_s − c_{s, code_s(x)}‖²``.
+
+    Shape: the LUT is probes × PQ_S × PQ_K rows (hundreds — built
+    from the bounded probe set and the driver codebook, broadcast);
+    each database vector contributes its PQ_S code rows, which
+    equi-join the LUT on (cell label, subspace, code) — a broadcast
+    hash join keyed by the compressed representation, never touching
+    the raw vectors of the scanned side. That is the 100 TB point of
+    PQ: the scan reads 1-byte codes, not float arrays. The per-pair
+    ADC folds its PQ_S terms in subspace order (sorted bounded array,
+    identical left-associated chain in both engines), so ranking is
+    deterministic and the oracle hash-matches; ties break on
+    neighbor_id.
+    """
+    emb = spread(
+        table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings"
+    )
+    codes = embedding_pq_codes(spark, sf_dir)
+    cb = _pq_codebook(emb)
+    cb_rows = [
+        (s, k, [float(cb[k][s * PQ_SUBDIM + i]) for i in range(PQ_SUBDIM)])
+        for s in range(PQ_S)
+        for k in range(PQ_K)
+    ]
+    cbdf = spark.createDataFrame(cb_rows, "subspace int, k int, cv array<double>")
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("probe_label"),
+        F.col("embedding").alias("probe_emb"),
+    )
+    qsubs = probes.select(
+        "probe_id",
+        "probe_label",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("subspace"),
+                        F.slice(
+                            F.col("probe_emb").cast("array<double>"),
+                            s * PQ_SUBDIM + 1,
+                            PQ_SUBDIM,
+                        ).alias("qv"),
+                    )
+                    for s in range(PQ_S)
+                ]
+            )
+        ).alias("e"),
+    ).select("probe_id", "probe_label", "e.subspace", "e.qv")
+    t = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = qsubs.join(F.broadcast(cbdf), "subspace").select(
+        "probe_id", "probe_label", "subspace", "k", t.alias("t")
+    )
+    cand = codes.join(emb.select("vec_id", "label"), "vec_id")
+    joined = cand.join(
+        F.broadcast(lut),
+        (F.col("label") == F.col("probe_label"))
+        & (cand["subspace"] == lut["subspace"])
+        & (F.col("code") == F.col("k"))
+        & (F.col("vec_id") != F.col("probe_id")),
+    )
+    per = joined.groupBy("probe_id", "vec_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(cand["subspace"].alias("s"), F.col("t")))
+        ).alias("ts")
+    )
+    adc = F.aggregate(
+        F.transform(F.col("ts"), lambda s: s["t"]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sel = per.select(
+        "probe_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sel.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("probe_id", "rank", "neighbor_id", pround(F.col("adc")).alias("adc_dist"))
+    )
 
 
 RANGE_SEARCH_T = 0.25  # cosine threshold (≈P98 of the clustered-corpus pair distribution)
@@ -659,6 +755,7 @@ QUERIES = {
     "ann_ivf_kmeans": ann_ivf_kmeans,
     "embedding_centroids": embedding_centroids,
     "embedding_pq_codes": embedding_pq_codes,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_range_search": ann_range_search,
     "embedding_qc": embedding_qc,
     "semantic_dedup": semantic_dedup,
@@ -727,6 +824,64 @@ ORACLES = {
         SELECT vec_id, CAST(subspace AS INTEGER) AS subspace,
                CAST(k AS INTEGER) AS code
         FROM r WHERE rn = 1
+    """,
+    "ann_ivfpq_topk": f"""
+        WITH seeds AS (
+            SELECT embedding,
+                   ROW_NUMBER() OVER (
+                       ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR))) - 1 AS k
+            FROM embeddings
+            ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR))
+            LIMIT {PQ_K}
+        ),
+        grid AS (SELECT unnest(range(0, {PQ_S})) AS s),
+        dists AS (
+            SELECT e.vec_id, g.s AS subspace, c.k,
+                   {_pq_dist_sql('g.s')} AS d
+            FROM embeddings e CROSS JOIN grid g CROSS JOIN seeds c
+        ),
+        codes AS (
+            SELECT vec_id, subspace, k AS code FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id, subspace ORDER BY d, k) AS rn
+                FROM dists
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS probe_id, label AS probe_label,
+                   embedding AS probe_emb
+            FROM embeddings WHERE vec_id < {N_PROBES}
+        ),
+        lut AS (
+            SELECT p.probe_id, p.probe_label, g.s AS subspace, c.k,
+                   {_pq_dist_sql('g.s', left='p.probe_emb')} AS t
+            FROM probes p CROSS JOIN grid g CROSS JOIN seeds c
+        ),
+        cand AS (
+            SELECT c.vec_id, e.label, c.subspace, c.code
+            FROM codes c JOIN embeddings e USING (vec_id)
+        ),
+        terms AS (
+            SELECT l.probe_id, c.vec_id AS neighbor_id, c.subspace, l.t
+            FROM cand c JOIN lut l
+              ON c.label = l.probe_label AND c.subspace = l.subspace
+                 AND c.code = l.k AND c.vec_id <> l.probe_id
+        ),
+        adc AS (
+            SELECT probe_id, neighbor_id,
+                   list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                                    list(t ORDER BY subspace)),
+                       (a, x) -> a + x) AS adc
+            FROM terms GROUP BY 1, 2
+        )
+        SELECT probe_id, CAST(rank AS INT) AS rank, neighbor_id,
+               {pround_sql('adc')} AS adc_dist
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY probe_id ORDER BY adc, neighbor_id) AS rank
+            FROM adc
+        ) WHERE rank <= {TOP_K}
     """,
     "embedding_centroids": f"""
         WITH comp AS (
