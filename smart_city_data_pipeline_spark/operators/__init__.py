@@ -40,6 +40,8 @@ _GATE_FIRST = [
     "centroid_tracks",  # new: greedy nearest-centroid frame tracker
     "gopher_repetition_full",  # new: remaining Gopher §A1.1 rows
     "ann_ivfpq_topk",  # new: IVF-PQ asymmetric-distance search
+    "cdc_apply",  # new: CDC I/U/D change-feed application
+    "state_as_of",  # new: SCD2 time-travel read
     # rotate-back wave: last driver-checked in round 4, judge-r6
     # green, unchanged since — due this round
     "congestion_classify",
@@ -83,10 +85,9 @@ _GATE_FIRST = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "embedding_neardup",
-    # displaced to r8 head by r7 additions: embedding_srp_lsh,
-    # dedup_clusters, decontaminate_ngram
+    # displaced to r8 head by r7 additions: dedup_simhash,
+    # embedding_neardup, embedding_srp_lsh, dedup_clusters,
+    # decontaminate_ngram
 ]
 
 # Entries that can never hash-match (no oracle_sql twin by documented

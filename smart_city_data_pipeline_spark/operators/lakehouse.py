@@ -326,12 +326,87 @@ def scd2_merge(
     )
 
 
+# CDC op-code synthesis: the event stream reinterpreted as a change
+# feed (the Debezium/Delta-CDF shape a warehouse MERGE consumes).
+# Deterministic on event_id so both engines see the identical feed:
+# %10==0 → DELETE, %10 in {1,2} → INSERT, else UPDATE.
+CDC_OP = "CASE WHEN event_id % 10 = 0 THEN 'D' WHEN event_id % 10 <= 2 THEN 'I' ELSE 'U' END"
+
+
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC change feed (insert/update/delete op codes) to
+    produce final table state — the batch MERGE INTO every lakehouse
+    sink runs on a Debezium-style stream. Last-writer-wins per key in
+    (ts, event_id) order; a key whose LAST op is a delete is tombstoned
+    (``is_live = false``, value nulled) but reported with its op
+    counts — the audit shape a CDC reconciliation job wants.
+
+    Scale: one per-key window (row_number on the change order) merged
+    with one keyed count aggregate — the same single-shuffle plan as
+    ``latest_metrics``; no join against existing state (pure replay;
+    the incremental form would key the MERGE on the batch's touched
+    keys exactly like ``scd2_merge``).
+    """
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("entity_id"),
+        "ts",
+        "event_id",
+        "value",
+        F.expr(CDC_OP).alias("op"),
+    )
+    w = Window.partitionBy("entity_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "entity_id",
+            F.col("op").alias("last_op"),
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        )
+    )
+    counts = ev.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_ops"),
+        F.sum((F.col("op") == "D").cast("long")).alias("n_deletes"),
+    )
+    live = F.col("last_op") != "D"
+    return last.join(counts, "entity_id").select(
+        "entity_id",
+        "last_op",
+        "last_ts",
+        F.when(live, F.col("last_value")).alias("last_value"),
+        "n_ops",
+        "n_deletes",
+        live.alias("is_live"),
+    )
+
+
+STATE_AS_OF_TS = "2024-01-15 12:00:00"  # mid-corpus time-travel point
+
+
+def state_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the SCD2 dimension: each entity's attribute
+    value valid AT ``STATE_AS_OF_TS`` — the 'state as of ts' read the
+    historized dimension exists to serve (one interval filter, no
+    window at read time: ``valid_from <= T < valid_to``). Entities
+    whose history starts after T are absent by definition."""
+    t = F.lit(STATE_AS_OF_TS).cast("timestamp")
+    dim = scd2_dim(spark, sf_dir)
+    return dim.filter((F.col("valid_from") <= t) & (F.col("valid_to") > t)).select(
+        "entity_id", "attr_value", "valid_from", "valid_to", "version"
+    )
+
+
 QUERIES = {
     "column_profile": column_profile,
     "zorder_codes": zorder_codes,
     "partition_skew_report": partition_skew_report,
     "compaction_plan": compaction_plan,
     "scd2_dim": scd2_dim,
+    "cdc_apply": cdc_apply,
+    "state_as_of": state_as_of,
 }
 
 _PROFILE_AGG_SQL = ["CAST(COUNT(*) AS BIGINT) AS n_rows"]
@@ -436,5 +511,56 @@ ORACLES = {
                CAST(ROW_NUMBER() OVER w AS INTEGER) AS version
         FROM chg
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "cdc_apply": f"""
+        WITH ev AS (
+            SELECT user_id AS entity_id, ts, event_id, value,
+                   {CDC_OP} AS op
+            FROM events
+        ),
+        last AS (
+            SELECT entity_id, op AS last_op, ts AS last_ts,
+                   value AS last_value
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY entity_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM ev)
+            WHERE rn = 1
+        ),
+        counts AS (
+            SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_ops,
+                   CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_deletes
+            FROM ev GROUP BY 1
+        )
+        SELECT l.entity_id, l.last_op, l.last_ts,
+               CASE WHEN l.last_op <> 'D' THEN l.last_value END AS last_value,
+               c.n_ops, c.n_deletes, l.last_op <> 'D' AS is_live
+        FROM last l JOIN counts c USING (entity_id)
+    """,
+    "state_as_of": f"""
+        WITH ch AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+        ),
+        chg AS (
+            SELECT user_id, event_type, ts, event_id
+            FROM ch WHERE prev IS NULL OR prev <> event_type
+        ),
+        dim AS (
+            SELECT user_id AS entity_id, event_type AS attr_value,
+                   ts AS valid_from,
+                   COALESCE(lead(ts) OVER w,
+                            TIMESTAMP '{SCD2_HIGH_TS}') AS valid_to,
+                   CAST(ROW_NUMBER() OVER w AS INTEGER) AS version
+            FROM chg
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT entity_id, attr_value, valid_from, valid_to, version
+        FROM dim
+        WHERE valid_from <= TIMESTAMP '{STATE_AS_OF_TS}'
+          AND valid_to > TIMESTAMP '{STATE_AS_OF_TS}'
     """,
 }
