@@ -42,6 +42,7 @@ _GATE_FIRST = [
     "ann_ivfpq_topk",  # new: IVF-PQ asymmetric-distance search
     "cdc_apply",  # new: CDC I/U/D change-feed application
     "state_as_of",  # new: SCD2 time-travel read
+    "audio_features_wav",  # new: real RIFF/WAV decode, closed-form oracle
     # rotate-back wave: last driver-checked in round 4, judge-r6
     # green, unchanged since — due this round
     "congestion_classify",
@@ -84,8 +85,8 @@ _GATE_FIRST = [
     "filter_funnel_report",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    # displaced to r8 head by r7 additions: dedup_simhash,
+    # displaced to r8 head by r7 additions: dedup_minhash_lsh,
+    # dedup_simhash,
     # embedding_neardup, embedding_srp_lsh, dedup_clusters,
     # decontaminate_ngram
 ]

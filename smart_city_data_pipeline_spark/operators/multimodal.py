@@ -948,6 +948,175 @@ def frames_features_jpeg_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Audio modality: real RIFF/WAV plumbing ---------------------------
+#
+# The multimodal brief's audio leg, built like the image codec family:
+# payloads are REAL RIFF/WAVE files (PCM 16-bit mono) synthesized from
+# a closed-form integer signal, the decoder is a real chunk-walking
+# RIFF parser (numpy, no audio libs — none are in the container), and
+# every extracted feature is an exact integer with an arithmetic
+# closed form, so the DuckDB oracle needs no decode at all.
+#
+# Signal: a two-level square wave — ``s[i] = +A`` for the first half of
+# each period, ``-B`` (B = A//2) for the second — parameterized per
+# clip by clip_id. Closed forms (H = P//2):
+#   n_hi  = (N // P)·H + min(N mod P, H)         # +A samples
+#   zc    = (N − 1) // H                         # sign flips
+#   sums  = n_hi·A − (N − n_hi)·B, n_hi·A² + (N − n_hi)·B²
+# All < 2⁵³ by construction (A ≤ 8000, N ≤ 2368).
+
+AUDIO_SR = 8000  # sample rate stamped in the fmt chunk
+
+
+def _wav_params(clip_id: int) -> tuple[int, int, int]:
+    """(n_samples, amp_hi, period) — deterministic per clip."""
+    n = 1600 + (clip_id % 5) * 160
+    a = 1000 + (clip_id % 8) * 1000
+    p = 8 + (clip_id % 13) * 4
+    return n, a, p
+
+
+def encode_wav_pcm16(samples, rate: int = AUDIO_SR) -> bytes:
+    """Minimal canonical RIFF/WAVE container: fmt chunk (PCM, mono,
+    16-bit) + data chunk, little-endian throughout."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_pcm16(buf: bytes):
+    """Real chunk-walking RIFF parser: verifies the RIFF/WAVE
+    signature, iterates chunks (skipping unknown ones, honoring the
+    odd-length pad byte), reads the fmt chunk (PCM mono 16-bit only),
+    and returns (rate, int16 numpy array). Raises ValueError on
+    malformed containers — pytest feeds it truncated and misdeclared
+    files (tests/test_audio_wav.py)."""
+    import struct
+
+    import numpy as np
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    declared = struct.unpack("<I", buf[4:8])[0]
+    if declared + 8 > len(buf):
+        raise ValueError("truncated RIFF payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= declared + 8:
+        cid = buf[pos : pos + 4]
+        (clen,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        chunk = buf[pos + 8 : pos + 8 + clen]
+        if len(chunk) < clen:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            afmt, nch, rate, _, _, bits = struct.unpack("<HHIIHH", chunk[:16])
+            if (afmt, nch, bits) != (1, 1, 16):
+                raise ValueError("only PCM mono 16-bit supported")
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + clen + (clen & 1)  # odd chunks are padded
+    if rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+AUDIO_OUT = T.StructType(
+    [
+        T.StructField("clip_id", T.LongType()),
+        T.StructField("device_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("trough", T.LongType()),
+        T.StructField("sum_amp", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def synth_wav_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip table with REAL WAV payloads (one per document row)."""
+    import numpy as np
+
+    docs = spread(
+        table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents"
+    ).select(F.col("doc_id").alias("clip_id"), (F.col("doc_id") % 16).alias("device_id"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("clip_id", T.LongType()),
+            T.StructField("device_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for cid in pdf["clip_id"]:
+                n, a, p = _wav_params(int(cid))
+                i = np.arange(n)
+                s = np.where(i % p < p // 2, a, -(a // 2)).astype("<i2")
+                payloads.append(encode_wav_pcm16(s))
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"],
+                    "device_id": pdf["device_id"],
+                    "payload": payloads,
+                }
+            )
+
+    return docs.mapInPandas(run, out_schema)
+
+
+def audio_features_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry exercising the REAL WAV decoder end-to-end:
+    synth RIFF clips → chunk-walk decode → exact integer features per
+    clip (peak/trough, amplitude and energy sums, zero crossings).
+
+    FULL DuckDB oracle with NO decode: every feature has an arithmetic
+    closed form in the synthesis parameters (module comment above), so
+    the gate hash-checks that the real parser reproduces the
+    generative signal bit-exactly. Scale shape: mapInPandas is
+    Arrow-batched and embarrassingly parallel per clip; features are
+    integers, the rollup (if any) is a keyed aggregate."""
+    import numpy as np
+
+    clips = synth_wav_clips(spark, sf_dir)
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid, dev, buf in zip(
+                pdf["clip_id"], pdf["device_id"], pdf["payload"]
+            ):
+                rate, s = decode_wav_pcm16(bytes(buf))
+                s64 = s.astype(np.int64)
+                zc = int(np.count_nonzero(s64[1:] * s64[:-1] < 0))
+                rows.append(
+                    (
+                        int(cid), int(dev), int(rate), int(s64.size),
+                        int(s64.max()), int(s64.min()),
+                        int(s64.sum()), int((s64 * s64).sum()), zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "clip_id", "device_id", "sample_rate", "n_samples",
+                    "peak", "trough", "sum_amp", "sum_sq", "zero_crossings",
+                ],
+            )
+
+    return clips.mapInPandas(run, AUDIO_OUT)
+
+
 QUERIES = {
     "frames_features": frames_features,
     "frames_features_bmp": frames_features_bmp,
@@ -957,9 +1126,37 @@ QUERIES = {
     "frames_features_jpeg_color": frames_features_jpeg_color,
     "frames_features_jpeg420": frames_features_jpeg420,
     "frames_features_jpeg_prog": frames_features_jpeg_prog,
+    "audio_features_wav": audio_features_wav,
 }
 
 ORACLES: dict[str, str] = {
+    # closed-form integer features of the two-level square wave — no
+    # decode in SQL; hash-match proves the real RIFF parse reproduces
+    # the generative signal exactly
+    "audio_features_wav": f"""
+        WITH p AS (
+            SELECT doc_id AS clip_id, doc_id % 16 AS device_id,
+                   1600 + (doc_id % 5) * 160 AS n,
+                   1000 + (doc_id % 8) * 1000 AS a,
+                   8 + (doc_id % 13) * 4 AS per
+            FROM documents
+        ),
+        d AS (
+            SELECT clip_id, device_id, n, a, a // 2 AS b, per, per // 2 AS h,
+                   (n // per) * (per // 2)
+                       + LEAST(n % per, per // 2) AS n_hi
+            FROM p
+        )
+        SELECT clip_id, device_id,
+               CAST({AUDIO_SR} AS INTEGER) AS sample_rate,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(a AS BIGINT) AS peak,
+               CAST(-b AS BIGINT) AS trough,
+               CAST(n_hi * a - (n - n_hi) * b AS BIGINT) AS sum_amp,
+               CAST(n_hi * a * a + (n - n_hi) * b * b AS BIGINT) AS sum_sq,
+               CAST((n - 1) // h AS BIGINT) AS zero_crossings
+        FROM d
+    """,
     "frames_features_bmp": _grid_rollup_oracle(
         BMP_W, BMP_H, f"CAST(COUNT(*) * {_BMP_PAYLOAD_BYTES} AS BIGINT) AS total_bytes"
     ),
