@@ -43,6 +43,8 @@ _GATE_FIRST = [
     "cdc_apply",  # new: CDC I/U/D change-feed application
     "state_as_of",  # new: SCD2 time-travel read
     "audio_features_wav",  # new: real RIFF/WAV decode, closed-form oracle
+    "value_quantiles",  # new: exact percentile panel, no global sort
+    "bloom_prefilter_report",  # new: Bloom semi-join reduction audit
     # rotate-back wave: last driver-checked in round 4, judge-r6
     # green, unchanged since — due this round
     "congestion_classify",
@@ -83,9 +85,8 @@ _GATE_FIRST = [
     "length_outlier_filter",
     "bigram_logprob_score",
     "filter_funnel_report",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    # displaced to r8 head by r7 additions: dedup_minhash_lsh,
+    # displaced to r8 head by r7 additions: dedup_exact,
+    # dedup_ngram_jaccard, dedup_minhash_lsh,
     # dedup_simhash,
     # embedding_neardup, embedding_srp_lsh, dedup_clusters,
     # decontaminate_ngram

@@ -1358,6 +1358,66 @@ def holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUANTILE_QS = (25, 50, 90, 99)  # percentile panel points
+
+
+def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-type percentile panel (p25/p50/p90/p99) — the fleet
+    SLO report (`approx_percentile` is the built-in; dashboards that
+    alert on p99 drift want the exact answer, reproducibly).
+
+    No global sort (the ``robust_zscore`` histogram trick,
+    generalized): readings quantize to integer cents, one (type,
+    cents) count aggregate + a cumulative window over DISTINCT cents
+    (bounded by the physical reading scale, not row count), then each
+    percentile is `min cents where cum ≥ ceil(q·n)` — all four picked
+    in ONE conditional aggregate over the ranked histogram. Positions
+    are exact integer arithmetic (`(n·q + 99) DIV 100`), so both
+    engines select identical grid points at any scale.
+    """
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    cnt = (
+        ev.select("event_type", cents.alias("c"))
+        .groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    tot = F.sum("n").over(wt)
+    ranked = cnt.select(
+        "event_type",
+        "c",
+        F.sum("n").over(wc).alias("cum"),
+        tot.alias("n_total"),
+    )
+    picks = [
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.expr(f"(n_total * {q} + 99) DIV 100"),
+                F.col("c"),
+            )
+        ).alias(f"c{q}")
+        for q in QUANTILE_QS
+    ]
+    agg = ranked.groupBy("event_type").agg(
+        F.max("n_total").alias("n"), *picks
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        *[
+            pround(F.col(f"c{q}").cast("double") / 100.0).alias(f"p{q}")
+            for q in QUANTILE_QS
+        ],
+    )
+
+
 QUERIES = {
     "time_bucket_1min": time_bucket_1min,
     "sliding_window_counts": sliding_window_counts,
@@ -1392,6 +1452,7 @@ QUERIES = {
     "markov_surprisal": markov_surprisal,
     "interarrival_stats": interarrival_stats,
     "downsample_maxdev": downsample_maxdev,
+    "value_quantiles": value_quantiles,
     "rolling_quantile": rolling_quantile,
     "holt_linear": holt_linear,
     "window_funnel_strict": window_funnel_strict,
@@ -1432,6 +1493,31 @@ _SEASONAL_SIGMA_SQL = "sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1))"
 _SEASONAL_Z_SQL = f"(e.value - s.s1 / s.n) / {_SEASONAL_SIGMA_SQL}"
 
 ORACLES = {
+    "value_quantiles": f"""
+        WITH cnt AS (
+            SELECT event_type,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT event_type, c,
+                   CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY c
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                   CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS n_total
+            FROM cnt
+        )
+        SELECT event_type,
+               CAST(MAX(n_total) AS BIGINT) AS n,
+               {", ".join(
+                   pround_sql(
+                       f"CAST(MIN(CASE WHEN cum >= (n_total * {q} + 99) // 100"
+                       " THEN c END) AS DOUBLE) / 100.0"
+                   ) + f" AS p{q}"
+                   for q in QUANTILE_QS
+               )}
+        FROM ranked GROUP BY event_type
+    """,
     "markov_surprisal": f"""
         WITH pairs AS (
             SELECT user_id AS sensor_id,

@@ -26,7 +26,13 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from smart_city_data_pipeline_spark.catalog import spread, table
-from smart_city_data_pipeline_spark.functions.rounding import pround, sum_exact, sum_exact_sql
+from smart_city_data_pipeline_spark.functions.hashing import md5_long_sql
+from smart_city_data_pipeline_spark.functions.rounding import (
+    pround,
+    pround_sql,
+    sum_exact,
+    sum_exact_sql,
+)
 
 
 def _dec(c: str) -> Column:
@@ -800,6 +806,124 @@ def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bloom runtime-filter parameters. M deliberately small for the test
+# corpus so the false-positive branch FIRES under the hash gate (fill
+# ≈ 55% at 270 build keys × 3 hashes → fp ≈ 16%); production sizes
+# m ≈ 10·n_keys bits for ~1% fp. Hashes are the repo's portable
+# md5-integer family, so both engines compute identical bit positions.
+BLOOM_M = 1024
+BLOOM_K = 3
+BLOOM_SEL = 490000.0  # build-side predicate: o_totalprice above this
+
+
+def bloom_prefilter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction — the runtime-filter primitive
+    (Spark's own bloom runtime filters / Iceberg bloom columns) made
+    inspectable: build a Bloom filter over the distinct high-value
+    o_custkeys, pre-filter the customer probe side with it, and report
+    the reduction plus the exact false-positive accounting (members
+    never fail — the no-false-negative guarantee is part of the hash
+    gate, not just a docstring).
+
+    100 TB story: a probe-side scan consults an m-bit bitmap BEFORE
+    shuffling toward the join — rows rejected by the bloom never enter
+    the exchange. Here the bitmap lives as a ≤m-row distinct-bits
+    table (AQE broadcasts it); the pass test is 'all k of the key's
+    DISTINCT bit positions present' (distinct first, so two hashes
+    colliding on one bit can't double-count), and membership truth is
+    the exact semi join for the audit columns. One row out.
+    """
+    from smart_city_data_pipeline_spark.functions.hashing import md5_long
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    build = (
+        orders.filter(F.col("o_totalprice") > BLOOM_SEL)
+        .select("o_custkey")
+        .distinct()
+    )
+
+    def bits(df: DataFrame, keycol: str) -> DataFrame:
+        return df.select(
+            F.col(keycol).alias("key"),
+            F.explode(
+                F.array(
+                    *[
+                        (
+                            md5_long(
+                                F.concat(
+                                    F.lit(f"bl{j}:"),
+                                    F.col(keycol).cast("string"),
+                                )
+                            )
+                            % BLOOM_M
+                        )
+                        for j in range(BLOOM_K)
+                    ]
+                )
+            ).alias("bit"),
+        )
+
+    set_bits = bits(build, "o_custkey").select("bit").distinct()
+    pb = bits(cust, "c_custkey").distinct()
+    nb = pb.groupBy("key").agg(F.count(F.lit(1)).alias("nb"))
+    nh = (
+        pb.join(set_bits, "bit")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("nh"))
+    )
+    member = (
+        cust.select(F.col("c_custkey").alias("key"))
+        .join(
+            build.select(F.col("o_custkey").alias("key"), F.lit(1).alias("m")),
+            "key",
+            "left",
+        )
+        .select("key", F.col("m").isNotNull().alias("is_member"))
+    )
+    per_key = (
+        nb.join(nh, "key", "left")
+        .join(member, "key")
+        .select(
+            "key",
+            (F.coalesce(F.col("nh"), F.lit(0)) == F.col("nb")).alias("passed"),
+            "is_member",
+        )
+    )
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum(F.col("passed").cast("long")).alias("n_pass"),
+        F.sum(F.col("is_member").cast("long")).alias("n_members"),
+        F.sum((F.col("passed") & ~F.col("is_member")).cast("long")).alias(
+            "n_false_pos"
+        ),
+        F.sum((F.col("is_member") & ~F.col("passed")).cast("long")).alias(
+            "n_false_neg"
+        ),
+    )
+    sizes = build.agg(F.count(F.lit(1)).alias("n_build_keys")).join(
+        set_bits.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    )
+    non_members = F.col("n_probe") - F.col("n_members")
+    return stats.join(sizes).select(
+        "n_build_keys",
+        "n_bits_set",
+        "n_probe",
+        "n_pass",
+        "n_members",
+        "n_false_pos",
+        "n_false_neg",
+        F.when(
+            non_members > 0,
+            pround(
+                F.col("n_false_pos").cast("double") / non_members.cast("double")
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("fp_rate"),
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -826,9 +950,64 @@ QUERIES = {
     "q16_supplier_part_variety": q16_supplier_part_variety,
     "cohort_retention": cohort_retention,
     "basket_affinity": basket_affinity,
+    "bloom_prefilter_report": bloom_prefilter_report,
 }
 
+_BLOOM_BBITS_SQL = " UNION ALL ".join(
+    "SELECT "
+    + md5_long_sql(f"'bl{j}:' || CAST(key AS VARCHAR)")
+    + f" % {BLOOM_M} AS bit FROM build"
+    for j in range(BLOOM_K)
+)
+_BLOOM_PB_SQL = " UNION ALL ".join(
+    "SELECT c_custkey AS key, "
+    + md5_long_sql(f"'bl{j}:' || CAST(c_custkey AS VARCHAR)")
+    + f" % {BLOOM_M} AS bit FROM customer"
+    for j in range(BLOOM_K)
+)
+
 ORACLES = {
+    "bloom_prefilter_report": f"""
+        WITH build AS (
+            SELECT DISTINCT o_custkey AS key FROM orders
+            WHERE o_totalprice > {BLOOM_SEL}
+        ),
+        bbits AS (
+            SELECT DISTINCT bit FROM ({_BLOOM_BBITS_SQL})
+        ),
+        pb AS (
+            SELECT DISTINCT key, bit FROM ({_BLOOM_PB_SQL})
+        ),
+        nb AS (SELECT key, COUNT(*) AS nb FROM pb GROUP BY 1),
+        nh AS (SELECT key, COUNT(*) AS nh
+               FROM pb JOIN bbits USING (bit) GROUP BY 1),
+        member AS (
+            SELECT c.c_custkey AS key, b.key IS NOT NULL AS is_member
+            FROM customer c LEFT JOIN build b ON b.key = c.c_custkey
+        ),
+        per AS (
+            SELECT m.key, COALESCE(h.nh, 0) = n.nb AS passed, m.is_member
+            FROM nb n JOIN member m USING (key) LEFT JOIN nh h USING (key)
+        ),
+        stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
+                   CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+                   CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+                   CAST(SUM(CASE WHEN passed AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+                   CAST(SUM(CASE WHEN is_member AND NOT passed THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
+            FROM per
+        ),
+        sizes AS (
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM build) AS n_build_keys,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM bbits) AS n_bits_set
+        )
+        SELECT n_build_keys, n_bits_set, n_probe, n_pass, n_members,
+               n_false_pos, n_false_neg,
+               CASE WHEN n_probe - n_members > 0 THEN
+                   {pround_sql('CAST(n_false_pos AS DOUBLE) / CAST(n_probe - n_members AS DOUBLE)')}
+               ELSE 0.0 END AS fp_rate
+        FROM stats, sizes
+    """,
     "cohort_retention": """
         WITH act AS (
             SELECT DISTINCT o_custkey AS custkey,

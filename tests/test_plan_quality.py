@@ -79,6 +79,7 @@ BNLJ_ALLOWED = {
     "bm25_scores",  # 1-row corpus-stats (n_docs, sum_dl) broadcast
     "basket_affinity",  # 1-row total-order-count broadcast
     "ccnet_perplexity_buckets",  # 1-row corpus-total broadcast
+    "bloom_prefilter_report",  # 1-row stats × sizes summary joins
 }
 
 
