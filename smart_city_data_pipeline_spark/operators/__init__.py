@@ -45,6 +45,8 @@ _GATE_FIRST = [
     "audio_features_wav",  # new: real RIFF/WAV decode, closed-form oracle
     "value_quantiles",  # new: exact percentile panel, no global sort
     "bloom_prefilter_report",  # new: Bloom semi-join reduction audit
+    "audio_resample_stats",  # new: decimate->re-encode->decode roundtrip
+    "nearest_station_rollup",  # new: spatial argmin zone assignment
     # rotate-back wave: last driver-checked in round 4, judge-r6
     # green, unchanged since — due this round
     "congestion_classify",
@@ -83,9 +85,8 @@ _GATE_FIRST = [
     "source_token_rebalance",
     "unigram_logprob_score",
     "length_outlier_filter",
-    "bigram_logprob_score",
-    "filter_funnel_report",
-    # displaced to r8 head by r7 additions: dedup_exact,
+    # displaced to r8 head by r7 additions: bigram_logprob_score,
+    # filter_funnel_report, dedup_exact,
     # dedup_ngram_jaccard, dedup_minhash_lsh,
     # dedup_simhash,
     # embedding_neardup, embedding_srp_lsh, dedup_clusters,

@@ -1117,6 +1117,51 @@ def audio_features_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clips.mapInPandas(run, AUDIO_OUT)
 
 
+def audio_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry proving the audio TRANSFORM path end-to-end
+    under the hash gate (the ``frames_resize_stats`` pattern): decode
+    the real WAV → decimate by 2 (naive every-other-sample downsample,
+    documented aliasing contract — the anti-alias filter is a real
+    DSP dependency this container doesn't carry) → re-encode at half
+    the rate → decode AGAIN → exact integer features.
+
+    Oracle with no decode: the decimated two-level square wave has the
+    same closed forms with ``M = (N+1)//2`` samples and quarter-period
+    ``r = P//4`` (``s[2j]`` hits the hi level iff ``j mod P/2 <
+    P/4``; P ≡ 0 mod 4 by construction)."""
+    import numpy as np
+
+    clips = synth_wav_clips(spark, sf_dir)
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid, dev, buf in zip(
+                pdf["clip_id"], pdf["device_id"], pdf["payload"]
+            ):
+                rate, s = decode_wav_pcm16(bytes(buf))
+                re_buf = encode_wav_pcm16(s[::2], rate // 2)
+                rate2, d = decode_wav_pcm16(re_buf)
+                d64 = d.astype(np.int64)
+                zc = int(np.count_nonzero(d64[1:] * d64[:-1] < 0))
+                rows.append(
+                    (
+                        int(cid), int(dev), int(rate2), int(d64.size),
+                        int(d64.max()), int(d64.min()),
+                        int(d64.sum()), int((d64 * d64).sum()), zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "clip_id", "device_id", "sample_rate", "n_samples",
+                    "peak", "trough", "sum_amp", "sum_sq", "zero_crossings",
+                ],
+            )
+
+    return clips.mapInPandas(run, AUDIO_OUT)
+
+
 QUERIES = {
     "frames_features": frames_features,
     "frames_features_bmp": frames_features_bmp,
@@ -1127,6 +1172,7 @@ QUERIES = {
     "frames_features_jpeg420": frames_features_jpeg420,
     "frames_features_jpeg_prog": frames_features_jpeg_prog,
     "audio_features_wav": audio_features_wav,
+    "audio_resample_stats": audio_resample_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -1155,6 +1201,31 @@ ORACLES: dict[str, str] = {
                CAST(n_hi * a - (n - n_hi) * b AS BIGINT) AS sum_amp,
                CAST(n_hi * a * a + (n - n_hi) * b * b AS BIGINT) AS sum_sq,
                CAST((n - 1) // h AS BIGINT) AS zero_crossings
+        FROM d
+    """,
+    # decimated closed forms: M=(N+1)//2 samples, quarter-period r=P//4
+    "audio_resample_stats": f"""
+        WITH p AS (
+            SELECT doc_id AS clip_id, doc_id % 16 AS device_id,
+                   (1600 + (doc_id % 5) * 160 + 1) // 2 AS m,
+                   1000 + (doc_id % 8) * 1000 AS a,
+                   (8 + (doc_id % 13) * 4) // 2 AS q,
+                   (8 + (doc_id % 13) * 4) // 4 AS r
+            FROM documents
+        ),
+        d AS (
+            SELECT clip_id, device_id, m, a, a // 2 AS b, q, r,
+                   (m // q) * r + LEAST(m % q, r) AS n_hi
+            FROM p
+        )
+        SELECT clip_id, device_id,
+               CAST({AUDIO_SR // 2} AS INTEGER) AS sample_rate,
+               CAST(m AS BIGINT) AS n_samples,
+               CAST(a AS BIGINT) AS peak,
+               CAST(-b AS BIGINT) AS trough,
+               CAST(n_hi * a - (m - n_hi) * b AS BIGINT) AS sum_amp,
+               CAST(n_hi * a * a + (m - n_hi) * b * b AS BIGINT) AS sum_sq,
+               CAST((m - 1) // r AS BIGINT) AS zero_crossings
         FROM d
     """,
     "frames_features_bmp": _grid_rollup_oracle(

@@ -30,6 +30,7 @@ from smart_city_data_pipeline_spark.functions.rounding import (
     avg_exact,
     avg_exact_sql,
     pround,
+    pround_sql,
     sum_exact,
     sum_exact_sql,
 )
@@ -238,6 +239,62 @@ def dataset_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Spatial assignment: the reference's zone dimension made geometric.
+# Stations and sensor positions live on a deterministic integer grid
+# (exact squared distances, no trig — a haversine would drag libm
+# differences across engines), so the nearest-station argmin is
+# engine-exact.
+N_STATIONS = 12
+STATIONS = tuple(
+    (s, (s * 797) % 10000, (s * 1583) % 10000) for s in range(1, N_STATIONS + 1)
+)
+
+
+def nearest_station_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every sensor to its nearest monitoring station (squared
+    euclidean on the integer grid, ties to the lower station id) and
+    roll the event stream up per station — the spatial zone assignment
+    a city deployment runs when sensors outnumber stations and zones
+    are geometric, not labeled.
+
+    Spark-first shape: the station table is 12 LITERALS, so the argmin
+    is a pure PROJECTION — ``array_min`` over an inline array of
+    (dist², station) structs, zero joins before the single rollup
+    shuffle. At 100 TB the station list stays a broadcast literal (or
+    a broadcast dim for thousands of stations); the fact scan still
+    sees one projection + one keyed aggregate."""
+    ev = table(spark, sf_dir, "events")
+    px = (F.col("user_id") * 8191) % 10000
+    py = (F.col("user_id") * 524287) % 10000
+    cands = F.array(
+        *[
+            F.struct(
+                ((px - sx) * (px - sx) + (py - sy) * (py - sy)).alias("d2"),
+                F.lit(sid).alias("sid"),
+            )
+            for sid, sx, sy in STATIONS
+        ]
+    )
+    best = F.array_min(cands)
+    assigned = ev.select(
+        "user_id",
+        "value",
+        best["sid"].alias("station_id"),
+        best["d2"].alias("d2"),
+    )
+    return assigned.groupBy("station_id").agg(
+        F.countDistinct("user_id").alias("n_sensors"),
+        F.count(F.lit(1)).alias("n_readings"),
+        pround(avg_exact(F.col("value"))).alias("avg_value"),
+        F.max("d2").cast("long").alias("max_dist2"),
+    )
+
+
+_STATIONS_SQL = " UNION ALL ".join(
+    f"SELECT {sid} AS sid, {sx} AS sx, {sy} AS sy" for sid, sx, sy in STATIONS
+)
+
+
 QUERIES = {
     "congestion_classify": congestion_classify,
     "zone_analytics": zone_analytics,
@@ -249,9 +306,39 @@ QUERIES = {
     "zone_sketch_stats": zone_sketch_stats,
     "zone_value_histogram": zone_value_histogram,
     "dataset_summary": dataset_summary,
+    "nearest_station_rollup": nearest_station_rollup,
 }
 
 ORACLES = {
+    "nearest_station_rollup": f"""
+        WITH sensors AS (
+            SELECT DISTINCT user_id,
+                   (user_id * 8191) % 10000 AS px,
+                   (user_id * 524287) % 10000 AS py
+            FROM events
+        ),
+        st AS ({_STATIONS_SQL}),
+        assign AS (
+            SELECT user_id, sid AS station_id, d2 FROM (
+                SELECT s.user_id, t.sid,
+                       (s.px - t.sx) * (s.px - t.sx)
+                           + (s.py - t.sy) * (s.py - t.sy) AS d2,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.user_id
+                           ORDER BY (s.px - t.sx) * (s.px - t.sx)
+                                    + (s.py - t.sy) * (s.py - t.sy),
+                                    t.sid) AS rn
+                FROM sensors s CROSS JOIN st t
+            ) WHERE rn = 1
+        )
+        SELECT a.station_id,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_sensors,
+               CAST(COUNT(*) AS BIGINT) AS n_readings,
+               {pround_sql(avg_exact_sql("e.value"))} AS avg_value,
+               CAST(MAX(a.d2) AS BIGINT) AS max_dist2
+        FROM events e JOIN assign a USING (user_id)
+        GROUP BY 1
+    """,
     "congestion_classify": """
         SELECT event_id,
                user_id AS sensor_id,
