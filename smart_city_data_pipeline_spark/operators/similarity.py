@@ -58,6 +58,41 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hardest negatives per probe: the top-k most similar vectors
+    with a DIFFERENT label — the contrastive-training mining pass
+    (triplet/InfoNCE batches want near-miss negatives, not random
+    ones). The complement of :func:`ann_ivf_topk`'s same-cell search:
+    the join predicate keeps only cross-label pairs, so at scale this
+    rides the same bounded-probe broadcast and the per-probe heap is
+    the only state. Ties break on neighbor_id."""
+    emb = spread(
+        table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings"
+    )
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("probe_label"),
+        F.col("embedding").alias("probe_emb"),
+    )
+    cos = cosine(F.col("probe_emb"), F.col("embedding"))
+    scored = emb.join(
+        F.broadcast(probes), F.col("label") != F.col("probe_label")
+    ).select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neg_label"),
+        pround(cos).alias("cos_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("probe_id", "rank", "neighbor_id", "neg_label", "cos_sim")
+    )
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-pruned top-k: probes only scan their own label cell."""
     emb = spread(table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings")
@@ -756,6 +791,7 @@ QUERIES = {
     "embedding_centroids": embedding_centroids,
     "embedding_pq_codes": embedding_pq_codes,
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    "hard_negative_mining": hard_negative_mining,
     "ann_range_search": ann_range_search,
     "embedding_qc": embedding_qc,
     "semantic_dedup": semantic_dedup,
@@ -947,6 +983,26 @@ ORACLES = {
             FROM embeddings e JOIN probes p ON e.vec_id <> p.probe_id
         )
         SELECT probe_id, CAST(rank AS INT) AS rank, neighbor_id, cos_sim
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
+    """,
+    "hard_negative_mining": f"""
+        WITH probes AS (
+            SELECT vec_id AS probe_id, label AS probe_label,
+                   embedding AS probe_emb
+            FROM embeddings WHERE vec_id < {N_PROBES}
+        ),
+        scored AS (
+            SELECT p.probe_id, e.vec_id AS neighbor_id,
+                   e.label AS neg_label,
+                   (FLOOR(CAST(({_COS}) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS cos_sim
+            FROM embeddings e JOIN probes p ON e.label <> p.probe_label
+        )
+        SELECT probe_id, CAST(rank AS INT) AS rank, neighbor_id,
+               neg_label, cos_sim
         FROM (
             SELECT *, ROW_NUMBER() OVER (
                 PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank

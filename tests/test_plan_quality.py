@@ -80,6 +80,8 @@ BNLJ_ALLOWED = {
     "basket_affinity",  # 1-row total-order-count broadcast
     "ccnet_perplexity_buckets",  # 1-row corpus-total broadcast
     "bloom_prefilter_report",  # 1-row stats × sizes summary joins
+    "hard_negative_mining",  # cross-label mining: bounded probe side
+    # broadcast, non-equi (label <>) by design like ann_topk_cosine
 }
 
 
