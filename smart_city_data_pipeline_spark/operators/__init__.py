@@ -48,6 +48,7 @@ _GATE_FIRST = [
     "audio_resample_stats",  # new: decimate->re-encode->decode roundtrip
     "nearest_station_rollup",  # new: spatial argmin zone assignment
     "hard_negative_mining",  # new: contrastive cross-label top-k
+    "bpe_train_merges",  # new: full BPE training loop, unrolled oracle
     # rotate-back wave: last driver-checked in round 4, judge-r6
     # green, unchanged since — due this round
     "congestion_classify",
@@ -84,8 +85,8 @@ _GATE_FIRST = [
     "rolling_fingerprint",
     "token_explode_count",
     "source_token_rebalance",
-    "unigram_logprob_score",
-    # displaced to r8 head by r7 additions: length_outlier_filter,
+    # displaced to r8 head by r7 additions: unigram_logprob_score,
+    # length_outlier_filter,
     # bigram_logprob_score,
     # filter_funnel_report, dedup_exact,
     # dedup_ngram_jaccard, dedup_minhash_lsh,

@@ -1268,6 +1268,95 @@ def bpe_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TRAIN_ITERS = 6  # full training iterations for bpe_train_merges
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, end to end for ``BPE_TRAIN_ITERS``
+    iterations (Sennrich et al. 2016's actual loop, not just the first
+    counting pass): count weighted adjacent pairs over the vocabulary
+    → take the argmax pair (ties to the lexicographically smaller) →
+    fuse it everywhere (leftmost-greedy) → repeat. Emits the learned
+    merge table — the artifact a tokenizer ships.
+
+    Scale shape: each iteration is one vocab-sized keyed count plus a
+    1-ROW driver collect (the argmax pair — bounded, the same posture
+    as the k-means Lloyd loop); the merge rewrite is a JVM-side
+    ``aggregate`` fold over the DISTINCT vocabulary, never the corpus.
+    Oracle: the DuckDB twin unrolls the same six stages; the merge
+    rewrite uses a bracket-delimited symbol string (``[a][b]`` →
+    ``[ab]``) whose sequential left-to-right ``replace`` provably
+    equals the greedy fold — each symbol owns its brackets, so
+    adjacent matches never share characters (the ``|``-separator
+    encoding fails exactly there) and a fused symbol can never be the
+    left element of a later match in the same pass (mirroring the
+    fold, where fused ≠ left unless b were empty).
+    """
+    docs = table(spark, sf_dir, "documents")
+    sym = bpe_word_symbols(docs)
+    rows = []
+    for it in range(1, BPE_TRAIN_ITERS + 1):
+        top = (
+            bpe_pair_counts_frame(sym)
+            .orderBy(F.col("n_pairs").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )[0]
+        rows.append((it, top["pair"], int(top["n_pairs"])))
+        a, b = top["pair"].split(" ")
+        sym = bpe_apply_merge(sym, a, b)
+    return spark.createDataFrame(
+        rows, "iteration int, pair string, n_pairs long"
+    )
+
+
+def _bpe_train_oracle(iters: int) -> str:
+    stages = []
+    outs = []
+    for k in range(1, iters + 1):
+        prev = f"w{k - 1}"
+        stages.append(f"""
+        sy{k} AS (
+            SELECT string_split(substr(s, 2, len(s) - 2), '][') AS syms, wn
+            FROM {prev} WHERE len(s) > 0
+        ),
+        p{k} AS (
+            SELECT syms[i] || ' ' || syms[i + 1] AS pair,
+                   CAST(SUM(wn) AS BIGINT) AS n_pairs
+            FROM (SELECT syms, wn, unnest(range(1, len(syms))) AS i FROM sy{k})
+            GROUP BY 1
+        ),
+        m{k} AS (SELECT pair, n_pairs FROM p{k}
+                 ORDER BY n_pairs DESC, pair ASC LIMIT 1),
+        w{k} AS (
+            SELECT replace(s,
+                (SELECT '[' || replace(pair, ' ', '][') || ']' FROM m{k}),
+                (SELECT '[' || replace(pair, ' ', '') || ']' FROM m{k})) AS s,
+                wn
+            FROM {prev}
+        )""")
+        outs.append(
+            f"SELECT CAST({k} AS INTEGER) AS iteration, pair, n_pairs FROM m{k}"
+        )
+    return f"""
+        WITH words AS (
+            SELECT token AS w FROM (
+                SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+                FROM documents
+            ) WHERE token <> ''
+        ),
+        wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wn FROM words GROUP BY 1),
+        w0 AS (
+            SELECT array_to_string(
+                       list_transform(string_split(w, ''), c -> '[' || c || ']'),
+                       '') AS s,
+                   wn
+            FROM wc
+        ),{",".join(stages)}
+        {" UNION ALL ".join(outs)}
+    """
+
+
 CCNET_Q = 1 << 20  # per-token neg-logprob quantization grid
 
 
@@ -1384,6 +1473,7 @@ QUERIES = {
     "chunk_dedup_share": chunk_dedup_share,
     "gopher_word_stats": gopher_word_stats,
     "bpe_merge_counts": bpe_merge_counts,
+    "bpe_train_merges": bpe_train_merges,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "tokenizer_fertility": tokenizer_fertility,
 }
@@ -2067,6 +2157,7 @@ ORACLES = {
                {pround_sql('CAST(SUM(sub) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE)')} AS fertility
         FROM per GROUP BY 1
     """,
+    "bpe_train_merges": _bpe_train_oracle(BPE_TRAIN_ITERS),
     "bpe_merge_counts": f"""
         WITH words AS (
             SELECT token AS w FROM (

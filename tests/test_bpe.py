@@ -96,3 +96,34 @@ def test_graded_entry_rank_contract(spark, sf_dir):
     ordered = sorted(rows, key=lambda r: r["rank"])
     for prev, cur in zip(ordered, ordered[1:]):
         assert (prev["n_pairs"], cur["pair"]) >= (cur["n_pairs"], prev["pair"])
+
+
+def test_full_training_loop_matches_reference(docs_df):
+    """bpe_train_merges' end-to-end loop (count → argmax → fuse ×6)
+    emits the same merge table as the python reference trainer."""
+    from smart_city_data_pipeline_spark.operators.textops import (
+        BPE_TRAIN_ITERS,
+        bpe_train_merges,
+    )
+
+    vocab = _ref_vocab(CORPUS)
+    want = []
+    for it in range(1, BPE_TRAIN_ITERS + 1):
+        pairs = _ref_pairs(vocab)
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((it, f"{a} {b}", n))
+        vocab = _ref_merge(vocab, a, b)
+
+    spark = docs_df.sparkSession
+    import smart_city_data_pipeline_spark.operators.textops as tx
+
+    real_table = tx.table
+    tx.table = lambda _s, _d, _n: docs_df  # train on the tiny corpus
+    try:
+        got = sorted(
+            (r["iteration"], r["pair"], r["n_pairs"])
+            for r in bpe_train_merges(spark, "ignored").collect()
+        )
+    finally:
+        tx.table = real_table
+    assert got == want
