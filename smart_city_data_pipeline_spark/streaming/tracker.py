@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
-from smart_city_data_pipeline_spark.operators.vision import tracker_update
+from smart_city_data_pipeline_spark.operators.vision import _tracker_step
 
 TRACKER_OUTPUT_SCHEMA = T.StructType(
     [
@@ -78,6 +78,8 @@ def _track_fn(
         ]
     else:
         tracks, nid = [], 0
+    active = [t for t in tracks if not t["expired"]]
+    done = [t for t in tracks if t["expired"]]
     chunks = [pdf for pdf in pdfs]
     if chunks:
         pdf = pd.concat(chunks).sort_values(["f", "s"], kind="stable")
@@ -86,7 +88,8 @@ def _track_fn(
                 (c, int(x), int(y))
                 for c, (x, y) in enumerate(zip(grp["cx"], grp["cy"]))
             ]
-            nid = tracker_update(tracks, nid, int(f), dets)
+            nid = _tracker_step(active, done, nid, int(f), dets)
+    tracks = sorted(done + active, key=lambda t: t["tid"])
     state.update(
         tuple([int(t[f]) for t in tracks] for f in _FIELDS) + (nid,)
     )
