@@ -49,6 +49,8 @@ _GATE_FIRST = [
     "nearest_station_rollup",  # new: spatial argmin zone assignment
     "hard_negative_mining",  # new: contrastive cross-label top-k
     "bpe_train_merges",  # new: full BPE training loop, unrolled oracle
+    "time_weighted_avg",  # new: LOCF time-weighted average
+    "counter_rate",  # new: reset-aware counter deltas
     # rotate-back wave: last driver-checked in round 4, judge-r6
     # green, unchanged since — due this round
     "congestion_classify",
@@ -83,9 +85,8 @@ _GATE_FIRST = [
     "token_count",
     "doc_fingerprint",
     "rolling_fingerprint",
-    "token_explode_count",
-    "source_token_rebalance",
-    # displaced to r8 head by r7 additions: unigram_logprob_score,
+    # displaced to r8 head by r7 additions: token_explode_count,
+    # source_token_rebalance, unigram_logprob_score,
     # length_outlier_filter,
     # bigram_logprob_score,
     # filter_funnel_report, dedup_exact,

@@ -1358,6 +1358,98 @@ def holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sensor TIME-weighted average under last-observation-
+    carried-forward — the TimescaleDB toolkit ``time_weight('LOCF')``
+    semantic (``init-timescaledb.sql`` hypertables imply it): each
+    reading holds until the next one, so its weight is the µs gap to
+    the successor, and the average is Σ value·gap / Σ gap. The plain
+    ``avg`` this corrects is sampling-rate-biased — a sensor that
+    bursts reports for one minute shouldn't dominate its hour.
+
+    Engine-exact: value quantizes to integer cents and gaps are exact
+    BIGINT micros, so the weighted sum is one exact integer product
+    sum (< 2⁶³ to ~10⁶ sensor-years at cents·µs scale) and the final
+    division is the only double op. One per-sensor lead window — the
+    ``latest_metrics`` single-shuffle shape."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    nxt_us = F.unix_micros(F.lead("ts").over(w))
+    cur_us = F.unix_micros(F.col("ts"))
+    seg = (
+        ev.select("user_id", "ts", "event_id", cents.alias("c"))
+        .withColumn("gap_us", nxt_us - cur_us)
+        .filter(F.col("gap_us").isNotNull())
+    )
+    agg = seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("gap_us").alias("span_us"),
+        F.sum(F.col("c") * F.col("gap_us")).alias("wsum"),
+    )
+    return agg.select(
+        F.col("user_id").alias("sensor_id"),
+        "n_segments",
+        "span_us",
+        pround(
+            F.col("wsum").cast("double")
+            / F.col("span_us").cast("double")
+            / 100.0
+        ).alias("tw_avg"),
+    )
+
+
+def counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset-aware counter delta per sensor — the TimescaleDB
+    ``counter_agg`` semantic for monotonic counters that occasionally
+    reset (network bytes, battery cycles): a negative step means the
+    counter restarted, so the true delta of that step is the new value
+    itself, not the (negative) difference. The synthetic reading
+    stream is not monotonic, which makes it a dense reset-case
+    torture test — both branches fire constantly and are hash-checked.
+
+    Exact integer cents throughout: per-step ``delta = v_i − v_{i−1}``
+    if ≥ 0 else ``v_i`` (counter restarted at v_i); reports total
+    accumulated delta, reset count, and the per-hour rate over the
+    observed span (one double division at the end). One per-sensor lag
+    window + one keyed aggregate."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    base = ev.select(
+        "user_id", "ts", "event_id", cents.alias("c")
+    ).withColumn("prev", F.lag("c").over(w))
+    step = base.filter(F.col("prev").isNotNull()).select(
+        "user_id",
+        "ts",
+        F.when(F.col("c") >= F.col("prev"), F.col("c") - F.col("prev"))
+        .otherwise(F.col("c"))
+        .alias("delta"),
+        (F.col("c") < F.col("prev")).cast("long").alias("is_reset"),
+    )
+    spans = ev.groupBy("user_id").agg(
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "span_us"
+        )
+    )
+    agg = step.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_steps"),
+        F.sum("delta").alias("total_delta_cents"),
+        F.sum("is_reset").alias("n_resets"),
+    )
+    return agg.join(spans, "user_id").filter(F.col("span_us") > 0).select(
+        F.col("user_id").alias("sensor_id"),
+        "n_steps",
+        "total_delta_cents",
+        "n_resets",
+        pround(
+            F.col("total_delta_cents").cast("double")
+            / 100.0
+            / (F.col("span_us").cast("double") / 3.6e9)
+        ).alias("rate_per_hour"),
+    )
+
+
 QUANTILE_QS = (25, 50, 90, 99)  # percentile panel points
 
 
@@ -1453,6 +1545,8 @@ QUERIES = {
     "interarrival_stats": interarrival_stats,
     "downsample_maxdev": downsample_maxdev,
     "value_quantiles": value_quantiles,
+    "time_weighted_avg": time_weighted_avg,
+    "counter_rate": counter_rate,
     "rolling_quantile": rolling_quantile,
     "holt_linear": holt_linear,
     "window_funnel_strict": window_funnel_strict,
@@ -1493,6 +1587,60 @@ _SEASONAL_SIGMA_SQL = "sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1))"
 _SEASONAL_Z_SQL = f"(e.value - s.s1 / s.n) / {_SEASONAL_SIGMA_SQL}"
 
 ORACLES = {
+    "time_weighted_avg": f"""
+        WITH seg AS (
+            SELECT user_id,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+                   epoch_us(lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id))
+                       - epoch_us(ts) AS gap_us
+            FROM events
+        )
+        SELECT user_id AS sensor_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(SUM(gap_us) AS BIGINT) AS span_us,
+               {pround_sql(
+                   'CAST(SUM(c * gap_us) AS DOUBLE)'
+                   ' / CAST(SUM(gap_us) AS DOUBLE) / 100.0'
+               )} AS tw_avg
+        FROM seg WHERE gap_us IS NOT NULL
+        GROUP BY 1
+    """,
+    "counter_rate": f"""
+        WITH base AS (
+            SELECT user_id, ts,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+                   lag(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+        ),
+        step AS (
+            SELECT user_id,
+                   CASE WHEN c >= prev THEN c - prev ELSE c END AS delta,
+                   CASE WHEN c < prev THEN 1 ELSE 0 END AS is_reset
+            FROM base WHERE prev IS NOT NULL
+        ),
+        spans AS (
+            SELECT user_id,
+                   epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS span_us
+            FROM events GROUP BY 1
+        ),
+        agg AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_steps,
+                   CAST(SUM(delta) AS BIGINT) AS total_delta_cents,
+                   CAST(SUM(is_reset) AS BIGINT) AS n_resets
+            FROM step GROUP BY 1
+        )
+        SELECT a.user_id AS sensor_id, a.n_steps, a.total_delta_cents,
+               a.n_resets,
+               {pround_sql(
+                   'CAST(a.total_delta_cents AS DOUBLE) / 100.0'
+                   ' / (CAST(s.span_us AS DOUBLE) / 3.6e9)'
+               )} AS rate_per_hour
+        FROM agg a JOIN spans s USING (user_id)
+        WHERE s.span_us > 0
+    """,
     "value_quantiles": f"""
         WITH cnt AS (
             SELECT event_type,
