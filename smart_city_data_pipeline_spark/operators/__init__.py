@@ -51,6 +51,7 @@ _GATE_FIRST = [
     "bpe_train_merges",  # new: full BPE training loop, unrolled oracle
     "time_weighted_avg",  # new: LOCF time-weighted average
     "counter_rate",  # new: reset-aware counter deltas
+    "cms_error_report",  # new: count-min sketch w/ exact error audit
     # rotate-back wave: last driver-checked in round 4, judge-r6
     # green, unchanged since — due this round
     "congestion_classify",
@@ -84,8 +85,8 @@ _GATE_FIRST = [
     "text_quality",
     "token_count",
     "doc_fingerprint",
-    "rolling_fingerprint",
-    # displaced to r8 head by r7 additions: token_explode_count,
+    # displaced to r8 head by r7 additions: rolling_fingerprint,
+    # token_explode_count,
     # source_token_rebalance, unigram_logprob_score,
     # length_outlier_filter,
     # bigram_logprob_score,

@@ -239,6 +239,73 @@ def dataset_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Count-min sketch geometry: 4 hash rows × 256 cells — deliberately
+# small so collisions (overestimates) are REAL at test scale and the
+# error accounting is hash-checked, not a never-taken branch.
+# Production sizes W ≈ e/ε for additive error ε·N.
+CMS_D = 4
+CMS_W = 256
+
+
+def cms_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation with exact error
+    accounting — the OTHER workhorse sketch next to GK quantiles
+    (``zone_sketch_stats``) and HLL: per-sensor event counts estimated
+    from a fixed 4×256-cell table, compared against the exact counts.
+    CMS never underestimates (``cms_n ≥ exact_n`` is part of the
+    hashed result), and the md5 hash family makes every cell value
+    engine-exact.
+
+    100 TB story: the sketch is ONE map-side-combinable aggregate into
+    1024 mergeable cells — frequency queries then cost a join against
+    a kilobyte, not a rescan. Here the estimate join is keyed on
+    (row, cell); AQE broadcasts the tiny sketch at runtime."""
+    from smart_city_data_pipeline_spark.functions.hashing import md5_long
+
+    ev = table(spark, sf_dir, "events").select("user_id")
+
+    def cells_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            *df.columns,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            (
+                                md5_long(
+                                    F.concat(
+                                        F.lit(f"cms{d}:"),
+                                        F.col("user_id").cast("string"),
+                                    )
+                                )
+                                % CMS_W
+                            ).alias("cell"),
+                        )
+                        for d in range(CMS_D)
+                    ]
+                )
+            ).alias("e"),
+        ).select(*df.columns, F.col("e.d").alias("d"), F.col("e.cell").alias("cell"))
+
+    sketch = cells_of(ev).groupBy("d", "cell").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    keys = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = (
+        cells_of(keys)
+        .join(sketch, ["d", "cell"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").alias("cms_n"))
+    )
+    return est.select(
+        F.col("user_id").alias("sensor_id"),
+        "exact_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("exact_n")).alias("overestimate"),
+    )
+
+
 # Spatial assignment: the reference's zone dimension made geometric.
 # Stations and sensor positions live on a deterministic integer grid
 # (exact squared distances, no trig — a haversine would drag libm
@@ -307,9 +374,39 @@ QUERIES = {
     "zone_value_histogram": zone_value_histogram,
     "dataset_summary": dataset_summary,
     "nearest_station_rollup": nearest_station_rollup,
+    "cms_error_report": cms_error_report,
 }
 
+_CMS_HASH = (
+    "CAST(('0x' || substr(md5('cms' || CAST(g.d AS VARCHAR) || ':' "
+    "|| CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
 ORACLES = {
+    "cms_error_report": f"""
+        WITH grid AS (SELECT unnest(range(0, {CMS_D})) AS d),
+        cells AS (
+            SELECT user_id, g.d, {_CMS_HASH} % {CMS_W} AS cell
+            FROM events, grid g
+        ),
+        sketch AS (
+            SELECT d, cell, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM cells GROUP BY 1, 2
+        ),
+        keys AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+            FROM events GROUP BY 1
+        ),
+        kcells AS (
+            SELECT user_id, exact_n, g.d, {_CMS_HASH} % {CMS_W} AS cell
+            FROM keys, grid g
+        )
+        SELECT k.user_id AS sensor_id, k.exact_n,
+               CAST(MIN(s.cnt) AS BIGINT) AS cms_n,
+               CAST(MIN(s.cnt) - k.exact_n AS BIGINT) AS overestimate
+        FROM kcells k JOIN sketch s ON k.d = s.d AND k.cell = s.cell
+        GROUP BY 1, 2
+    """,
     "nearest_station_rollup": f"""
         WITH sensors AS (
             SELECT DISTINCT user_id,
