@@ -52,6 +52,8 @@ _GATE_FIRST = [
     "time_weighted_avg",  # new: LOCF time-weighted average
     "counter_rate",  # new: reset-aware counter deltas
     "cms_error_report",  # new: count-min sketch w/ exact error audit
+    "dataset_split_assign",  # new: stratified train/val/test audit
+    "embedding_sq8",  # new: int8 scalar quantization audit
     # rotate-back wave: last driver-checked in round 4, judge-r6
     # green, unchanged since — due this round
     "congestion_classify",
@@ -83,9 +85,8 @@ _GATE_FIRST = [
     "q2_min_cost_supplier",
     "lang_id",
     "text_quality",
-    "token_count",
-    "doc_fingerprint",
-    # displaced to r8 head by r7 additions: rolling_fingerprint,
+    # displaced to r8 head by r7 additions: token_count,
+    # doc_fingerprint, rolling_fingerprint,
     # token_explode_count,
     # source_token_rebalance, unigram_logprob_score,
     # length_outlier_filter,

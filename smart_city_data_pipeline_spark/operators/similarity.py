@@ -699,6 +699,53 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (int8) quantization of the embedding store — the
+    compression leg every vector database ships next to PQ: per-DIM
+    affine codes ``round((x − min_d)·255 / (max_d − min_d))`` against
+    corpus min/max, with a per-vector quality audit (max absolute
+    reconstruction error + saturated-code count).
+
+    Determinism: min/max of doubles and MAX of per-component errors
+    are order-independent aggregates (no float SUM anywhere), and the
+    code/recon expressions are the same IEEE double chain in both
+    engines, so the audit hash-matches exactly. Shape: posexplode →
+    64-row per-dim stats (AQE broadcasts back) → one keyed max/count
+    aggregate per vector; constant dims quantize to code 0 by guard."""
+    emb = spread(
+        table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings"
+    )
+    comp = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "x"),
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "x")
+    stats = comp.groupBy("pos").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    j = comp.join(stats, "pos")
+    code = F.when(
+        F.col("mx") > F.col("mn"),
+        F.floor(
+            (F.col("x") - F.col("mn")) * 255.0 / (F.col("mx") - F.col("mn"))
+            + 0.5
+        ),
+    ).otherwise(F.lit(0)).cast("long")
+    recon = F.col("mn") + code.cast("double") * (
+        (F.col("mx") - F.col("mn")) / 255.0
+    )
+    err = F.abs(recon - F.col("x"))
+    sat = ((code == 0) | (code == 255)).cast("long")
+    return (
+        j.select("vec_id", "label", err.alias("err"), sat.alias("sat"))
+        .groupBy("vec_id", "label")
+        .agg(
+            pround(F.max("err")).alias("max_abs_err"),
+            F.sum("sat").alias("n_saturated"),
+        )
+    )
+
+
 RANGE_SEARCH_T = 0.25  # cosine threshold (≈P98 of the clustered-corpus pair distribution)
 
 
@@ -792,6 +839,7 @@ QUERIES = {
     "embedding_pq_codes": embedding_pq_codes,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "hard_negative_mining": hard_negative_mining,
+    "embedding_sq8": embedding_sq8,
     "ann_range_search": ann_range_search,
     "embedding_qc": embedding_qc,
     "semantic_dedup": semantic_dedup,
@@ -988,6 +1036,35 @@ ORACLES = {
                 PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
             FROM scored
         ) WHERE rank <= {TOP_K}
+    """,
+    "embedding_sq8": f"""
+        WITH comp AS (
+            SELECT vec_id, label,
+                   CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        ),
+        stats AS (
+            SELECT pos, MIN(x) AS mn, MAX(x) AS mx
+            FROM comp GROUP BY 1
+        ),
+        j AS (
+            SELECT c.vec_id, c.label, c.x, s.mn, s.mx,
+                   CASE WHEN s.mx > s.mn THEN
+                       CAST(FLOOR((c.x - s.mn) * 255.0 / (s.mx - s.mn) + 0.5) AS BIGINT)
+                   ELSE 0 END AS code
+            FROM comp c JOIN stats s USING (pos)
+        ),
+        e AS (
+            SELECT vec_id, label,
+                   abs(mn + CAST(code AS DOUBLE) * ((mx - mn) / 255.0) - x) AS err,
+                   CASE WHEN code = 0 OR code = 255 THEN 1 ELSE 0 END AS sat
+            FROM j
+        )
+        SELECT vec_id, label,
+               {pround_sql('MAX(err)')} AS max_abs_err,
+               CAST(SUM(sat) AS BIGINT) AS n_saturated
+        FROM e GROUP BY 1, 2
     """,
     "hard_negative_mining": f"""
         WITH probes AS (

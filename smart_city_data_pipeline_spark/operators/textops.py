@@ -1268,6 +1268,46 @@ def bpe_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# train/val/test cut points over the md5 permille bucket (80/10/10)
+SPLIT_TRAIN_PM = 800
+SPLIT_VAL_PM = 900
+
+
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment + stratification audit:
+    every doc lands in a stable split via md5(doc_id) permille (never
+    ``rand()`` — re-runs, retries, and engines must agree doc-by-doc
+    or training data leaks across splits between pipeline versions),
+    and the report shows the per-(source, lang) split counts with the
+    realized fraction — the check that hash splitting didn't skew any
+    stratum. Assignment is a pure per-row projection (composes with
+    pushdown, no shuffle); the audit is one keyed count.
+    """
+    from smart_city_data_pipeline_spark.functions.hashing import md5_long
+
+    docs = table(spark, sf_dir, "documents")
+    pm = md5_long(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 1000
+    split = (
+        F.when(pm < SPLIT_TRAIN_PM, "train")
+        .when(pm < SPLIT_VAL_PM, "val")
+        .otherwise("test")
+    )
+    assigned = docs.select("doc_id", "source", "lang", split.alias("split"))
+    per = assigned.groupBy("source", "lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    wt = Window.partitionBy("source", "lang")
+    return per.select(
+        "source",
+        "lang",
+        "split",
+        "n_docs",
+        pround(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(wt)
+        ).alias("share"),
+    )
+
+
 BPE_TRAIN_ITERS = 6  # full training iterations for bpe_train_merges
 
 
@@ -1474,6 +1514,7 @@ QUERIES = {
     "gopher_word_stats": gopher_word_stats,
     "bpe_merge_counts": bpe_merge_counts,
     "bpe_train_merges": bpe_train_merges,
+    "dataset_split_assign": dataset_split_assign,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "tokenizer_fertility": tokenizer_fertility,
 }
@@ -1483,6 +1524,7 @@ _T = "text"
 from smart_city_data_pipeline_spark.functions.hashing import md5_long_sql as _md5_long_sql  # noqa: E402
 
 _SAMPLE_BUCKET_SQL = f"{_md5_long_sql('CAST(doc_id AS VARCHAR)')} % {SAMPLE_BUCKETS}"
+_md5_split = _md5_long_sql("'split:' || CAST(doc_id AS VARCHAR)") + " % 1000"
 _SAMPLE_CASE_SQL = " ".join(
     f"WHEN lang_pred = '{lg}' THEN {r}" for lg, r in SAMPLE_RATES.items()
 )
@@ -2158,6 +2200,25 @@ ORACLES = {
         FROM per GROUP BY 1
     """,
     "bpe_train_merges": _bpe_train_oracle(BPE_TRAIN_ITERS),
+    "dataset_split_assign": f"""
+        WITH a AS (
+            SELECT source, lang,
+                   CASE WHEN {_md5_split} < {SPLIT_TRAIN_PM} THEN 'train'
+                        WHEN {_md5_split} < {SPLIT_VAL_PM} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        ),
+        per AS (
+            SELECT source, lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM a GROUP BY 1, 2, 3
+        )
+        SELECT source, lang, split, n_docs,
+               {pround_sql(
+                   'CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER '
+                   '(PARTITION BY source, lang) AS DOUBLE)'
+               )} AS share
+        FROM per
+    """,
     "bpe_merge_counts": f"""
         WITH words AS (
             SELECT token AS w FROM (
