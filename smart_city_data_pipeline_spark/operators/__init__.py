@@ -54,6 +54,7 @@ _GATE_FIRST = [
     "cms_error_report",  # new: count-min sketch w/ exact error audit
     "dataset_split_assign",  # new: stratified train/val/test audit
     "embedding_sq8",  # new: int8 scalar quantization audit
+    "zorder_prune_report",  # new: z-order file-skipping audit
     # rotate-back wave: last driver-checked in round 4, judge-r6
     # green, unchanged since — due this round
     "congestion_classify",
@@ -84,8 +85,8 @@ _GATE_FIRST = [
     "q20_surplus_suppliers",
     "q2_min_cost_supplier",
     "lang_id",
-    "text_quality",
-    # displaced to r8 head by r7 additions: token_count,
+    # displaced to r8 head by r7 additions: text_quality,
+    # token_count,
     # doc_fingerprint, rolling_fingerprint,
     # token_explode_count,
     # source_token_rebalance, unigram_logprob_score,

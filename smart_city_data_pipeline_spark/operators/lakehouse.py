@@ -136,6 +136,47 @@ def zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coded.select("event_id", "bx", "by", "morton", shard.alias("shard"))
 
 
+# probe ranges for the prune report: a narrow window on each clustered
+# dimension (sensor bucket / hour bucket)
+PRUNE_X = (32, 47)
+PRUNE_Y = (100, 115)
+
+
+def zorder_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping audit for the Z-order layout — the claim
+    ``zorder_codes`` exists to earn, measured: per range shard (= one
+    output file of the clustered rewrite), the min/max box on BOTH
+    clustered dimensions and whether a narrow range predicate on
+    EITHER dimension overlaps it. A linear (single-dim) sort gives
+    tight boxes on one dimension and full-width boxes on the other;
+    Morton interleaving keeps both tight, so most shards report
+    ``overlap = false`` for both probes — the fraction a real scan
+    would skip via file stats, visible in the hashed result.
+
+    One keyed aggregate over the per-row codes (min/max/count — all
+    map-side-combinable); the probes are compile-time constants."""
+    codes = zorder_codes(spark, sf_dir)
+    agg = codes.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("bx").alias("bx_min"),
+        F.max("bx").alias("bx_max"),
+        F.min("by").alias("by_min"),
+        F.max("by").alias("by_max"),
+    )
+    ox = ~((F.col("bx_max") < PRUNE_X[0]) | (F.col("bx_min") > PRUNE_X[1]))
+    oy = ~((F.col("by_max") < PRUNE_Y[0]) | (F.col("by_min") > PRUNE_Y[1]))
+    return agg.select(
+        "shard",
+        "n_rows",
+        "bx_min",
+        "bx_max",
+        "by_min",
+        "by_max",
+        ox.alias("overlaps_x_probe"),
+        oy.alias("overlaps_y_probe"),
+    )
+
+
 SMALL_PART_ROWS = 100   # below this, an hour partition is a small-file risk
 ROW_OVERHEAD_BYTES = 28  # fixed per-row envelope estimate
 
@@ -407,6 +448,7 @@ QUERIES = {
     "scd2_dim": scd2_dim,
     "cdc_apply": cdc_apply,
     "state_as_of": state_as_of,
+    "zorder_prune_report": zorder_prune_report,
 }
 
 _PROFILE_AGG_SQL = ["CAST(COUNT(*) AS BIGINT) AS n_rows"]
@@ -466,6 +508,29 @@ ORACLES = {
                CAST({_MORTON_DUCK} AS INTEGER) AS morton,
                CAST((({_MORTON_DUCK}) * {Z_SHARDS}) // {4 ** Z_BITS} AS INTEGER) AS shard
         FROM coded
+    """,
+    "zorder_prune_report": f"""
+        WITH coded AS (
+            SELECT event_id,
+                   CAST(user_id % 256 AS INTEGER) AS bx,
+                   CAST((CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600) % 256 AS INTEGER) AS by
+            FROM events
+        ),
+        sh AS (
+            SELECT bx, by,
+                   CAST((({_MORTON_DUCK}) * {Z_SHARDS}) // {4 ** Z_BITS} AS INTEGER) AS shard
+            FROM coded
+        ),
+        agg AS (
+            SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   MIN(bx) AS bx_min, MAX(bx) AS bx_max,
+                   MIN(by) AS by_min, MAX(by) AS by_max
+            FROM sh GROUP BY 1
+        )
+        SELECT shard, n_rows, bx_min, bx_max, by_min, by_max,
+               NOT (bx_max < {PRUNE_X[0]} OR bx_min > {PRUNE_X[1]}) AS overlaps_x_probe,
+               NOT (by_max < {PRUNE_Y[0]} OR by_min > {PRUNE_Y[1]}) AS overlaps_y_probe
+        FROM agg
     """,
     "compaction_plan": f"""
         WITH g AS (
