@@ -55,6 +55,8 @@ _GATE_FIRST = [
     "dataset_split_assign",  # new: stratified train/val/test audit
     "embedding_sq8",  # new: int8 scalar quantization audit
     "zorder_prune_report",  # new: z-order file-skipping audit
+    "zone_hour_cube",  # new: CUBE grouping sets (both margins)
+    "type_cooccurrence",  # new: sensor co-occurrence matrix
     # rotate-back wave: last driver-checked in round 4, judge-r6
     # green, unchanged since — due this round
     "congestion_classify",
@@ -83,9 +85,8 @@ _GATE_FIRST = [
     "q17_small_quantity_revenue",
     "q22_global_sales_opportunity",
     "q20_surplus_suppliers",
-    "q2_min_cost_supplier",
-    "lang_id",
-    # displaced to r8 head by r7 additions: text_quality,
+    # displaced to r8 head by r7 additions: q2_min_cost_supplier,
+    # lang_id, text_quality,
     # token_count,
     # doc_fingerprint, rolling_fingerprint,
     # token_explode_count,

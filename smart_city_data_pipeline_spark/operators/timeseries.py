@@ -429,6 +429,53 @@ def zone_dow_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zone_hour_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (zone, hour-of-day): detail + BOTH
+    one-dimension margins + grand total in one aggregate pass — the
+    grouping-set shape ``zone_dow_rollup``'s ROLLUP can't produce (a
+    rollup never emits the (ALL, hour) margin). Same Expand-node
+    economics: one extra partial-agg row per grouping set, no extra
+    scans; sentinel labels keep the output orderable."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.col("event_type").alias("zone"),
+            F.hour("ts").alias("hod"),
+            "value",
+        )
+        .cube("zone", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(avg_exact(F.col("value"))).alias("avg_value"),
+        )
+        .select(
+            F.coalesce("zone", F.lit("ALL")).alias("zone"),
+            F.coalesce(F.col("hod").cast("string"), F.lit("ALL")).alias("hod"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensor co-occurrence matrix between event types: for each type
+    pair, how many sensors emit BOTH — the bitmap-index intersection
+    query (which zones/feeds share hardware). Distinct (sensor, type)
+    first, then a self-join keyed on the sensor — cell size = types
+    per sensor (≤ 5), so the pair explosion is bounded by the type
+    vocabulary, never sensor-count-quadratic."""
+    ev = table(spark, sf_dir, "events")
+    st = ev.select("user_id", "event_type").distinct()
+    a = st.select("user_id", F.col("event_type").alias("type_a"))
+    b = st.select("user_id", F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_sensors"))
+    )
+
+
 def melt_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT (melt): the day × type matrix back to long form —
     `stack()` is a generator expression, so the wide→long reshape is a
@@ -1547,6 +1594,8 @@ QUERIES = {
     "value_quantiles": value_quantiles,
     "time_weighted_avg": time_weighted_avg,
     "counter_rate": counter_rate,
+    "zone_hour_cube": zone_hour_cube,
+    "type_cooccurrence": type_cooccurrence,
     "rolling_quantile": rolling_quantile,
     "holt_linear": holt_linear,
     "window_funnel_strict": window_funnel_strict,
@@ -1587,6 +1636,26 @@ _SEASONAL_SIGMA_SQL = "sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1))"
 _SEASONAL_Z_SQL = f"(e.value - s.s1 / s.n) / {_SEASONAL_SIGMA_SQL}"
 
 ORACLES = {
+    "zone_hour_cube": f"""
+        SELECT COALESCE(zone, 'ALL') AS zone,
+               COALESCE(CAST(hod AS VARCHAR), 'ALL') AS hod,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {pround_sql(avg_exact_sql("value"))} AS avg_value
+        FROM (
+            SELECT event_type AS zone,
+                   CAST(hour(ts) AS INTEGER) AS hod, value
+            FROM events
+        )
+        GROUP BY CUBE (zone, hod)
+    """,
+    "type_cooccurrence": """
+        WITH st AS (SELECT DISTINCT user_id, event_type FROM events)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_sensors
+        FROM st a JOIN st b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    """,
     "time_weighted_avg": f"""
         WITH seg AS (
             SELECT user_id,
