@@ -57,6 +57,8 @@ _GATE_FIRST = [
     "zorder_prune_report",  # new: z-order file-skipping audit
     "zone_hour_cube",  # new: CUBE grouping sets (both margins)
     "type_cooccurrence",  # new: sensor co-occurrence matrix
+    "gorilla_compression_estimate",  # new: TSDB bit-cost planning
+    "lateness_audit",  # new: watermark-delay sizing
     # rotate-back wave: last driver-checked in round 4, judge-r6
     # green, unchanged since — due this round
     "congestion_classify",
@@ -83,9 +85,9 @@ _GATE_FIRST = [
     "q10_returned_items",
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
-    "q22_global_sales_opportunity",
-    "q20_surplus_suppliers",
-    # displaced to r8 head by r7 additions: q2_min_cost_supplier,
+    # displaced to r8 head by r7 additions:
+    # q22_global_sales_opportunity, q20_surplus_suppliers,
+    # q2_min_cost_supplier,
     # lang_id, text_quality,
     # token_count,
     # doc_fingerprint, rolling_fingerprint,

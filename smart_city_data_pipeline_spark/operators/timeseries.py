@@ -1497,6 +1497,107 @@ def counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gorilla timestamp-compression bucket classes (Pelkonen et al. 2015,
+# "Gorilla: A Fast, Scalable, In-Memory Time Series Database" §4.1.1):
+# delta-of-delta 0 → 1 bit; [-63,64] → 2+7; [-255,256] → 3+9;
+# [-2047,2048] → 4+12; else → 4+32 control+payload bits.
+GORILLA_CLASSES = ((0, 0, 1), (-63, 64, 9), (-255, 256, 12), (-2047, 2048, 16))
+GORILLA_WIDE_BITS = 36
+
+
+def gorilla_compression_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage planning for the sensor lake: per-sensor bit cost of
+    Gorilla delta-of-delta encoding the reading stream's SECOND
+    timestamps, vs 64-bit raw — the estimate that sizes a TSDB chunk
+    store before committing to a layout. Exact integer arithmetic end
+    to end: second-resolution deltas, the paper's fixed bucket classes
+    as integer range compares, one keyed sum.
+
+    Shape: two lag taps per sensor (one window pass) → per-row bit
+    class → keyed aggregate. The first point costs 64 raw bits, the
+    second one delta at the widest class (the paper's block header
+    economics, simplified to a constant)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts")
+    base = ev.select("user_id", "ts", "event_id").select(
+        "user_id",
+        sec.alias("t"),
+        F.lag(sec).over(w).alias("t1"),
+        F.lag(sec, 2).over(w).alias("t2"),
+    )
+    dod = (F.col("t") - F.col("t1")) - (F.col("t1") - F.col("t2"))
+    bits = F.when(F.col("t1").isNull(), F.lit(64)).when(
+        F.col("t2").isNull(), F.lit(GORILLA_WIDE_BITS)
+    )
+    for lo, hi, b in GORILLA_CLASSES:
+        bits = bits.when((dod >= lo) & (dod <= hi), F.lit(b))
+    bits = bits.otherwise(F.lit(GORILLA_WIDE_BITS))
+    agg = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(bits.cast("long")).alias("total_bits"),
+    )
+    return agg.select(
+        F.col("user_id").alias("sensor_id"),
+        "n_points",
+        "total_bits",
+        pround(
+            F.col("total_bits").cast("double") / F.col("n_points").cast("double")
+        ).alias("bits_per_point"),
+        pround(
+            (F.col("n_points") * 64).cast("double")
+            / F.col("total_bits").cast("double")
+        ).alias("compression_ratio"),
+    )
+
+
+def lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay sizing: per sensor, how out-of-order the stream
+    actually is — an event is LATE when its event time precedes the
+    running maximum seen so far (arrival order = (ts, event_id) is the
+    lake's write order here; in production this keys on ingest time).
+    The late fraction and worst lateness are exactly what picks the
+    ``withWatermark`` delay for every streaming operator in this repo
+    — too short drops data, too long bloats state.
+
+    One running-max window per sensor (exact µs BIGINTs), one keyed
+    aggregate. The lake itself is written in order, so arrival order
+    is SYNTHESIZED deterministically (the ``pii_scrub`` precedent):
+    every 17th event is delayed 400 id slots (~2-3 same-sensor positions) in the arrival sequence,
+    making the late branch real and hash-checked, not a zero column."""
+    ev = table(spark, sf_dir, "events")
+    arrival = F.col("event_id") + F.when(
+        F.col("event_id") % 17 == 0, F.lit(400)
+    ).otherwise(F.lit(0))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("arrival_seq", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = F.unix_micros(F.col("ts"))
+    base = ev.select(
+        "user_id", "event_id", us.alias("t_us"), arrival.alias("arrival_seq")
+    ).withColumn("hwm", F.max("t_us").over(w))
+    late_by = F.when(
+        F.col("hwm").isNotNull() & (F.col("hwm") > F.col("t_us")),
+        F.col("hwm") - F.col("t_us"),
+    ).otherwise(F.lit(0).cast("long"))
+    agg = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((late_by > 0).cast("long")).alias("n_late"),
+        F.max(late_by).alias("max_late_us"),
+    )
+    return agg.select(
+        F.col("user_id").alias("sensor_id"),
+        "n_events",
+        "n_late",
+        "max_late_us",
+        pround(
+            F.col("n_late").cast("double") / F.col("n_events").cast("double")
+        ).alias("late_frac"),
+    )
+
+
 QUANTILE_QS = (25, 50, 90, 99)  # percentile panel points
 
 
@@ -1596,6 +1697,8 @@ QUERIES = {
     "counter_rate": counter_rate,
     "zone_hour_cube": zone_hour_cube,
     "type_cooccurrence": type_cooccurrence,
+    "gorilla_compression_estimate": gorilla_compression_estimate,
+    "lateness_audit": lateness_audit,
     "rolling_quantile": rolling_quantile,
     "holt_linear": holt_linear,
     "window_funnel_strict": window_funnel_strict,
@@ -1636,6 +1739,66 @@ _SEASONAL_SIGMA_SQL = "sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1))"
 _SEASONAL_Z_SQL = f"(e.value - s.s1 / s.n) / {_SEASONAL_SIGMA_SQL}"
 
 ORACLES = {
+    "gorilla_compression_estimate": f"""
+        WITH base AS (
+            SELECT user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                   lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS t1,
+                   lag(CAST(floor(epoch(ts)) AS BIGINT), 2) OVER w AS t2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        b AS (
+            SELECT user_id,
+                   CASE WHEN t1 IS NULL THEN 64
+                        WHEN t2 IS NULL THEN {GORILLA_WIDE_BITS}
+                        {" ".join(
+                            f"WHEN (t - t1) - (t1 - t2) >= {lo}"
+                            f" AND (t - t1) - (t1 - t2) <= {hi} THEN {bb}"
+                            for lo, hi, bb in GORILLA_CLASSES
+                        )}
+                        ELSE {GORILLA_WIDE_BITS} END AS bits
+            FROM base
+        ),
+        agg AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+                   CAST(SUM(bits) AS BIGINT) AS total_bits
+            FROM b GROUP BY 1
+        )
+        SELECT user_id AS sensor_id, n_points, total_bits,
+               {pround_sql('CAST(total_bits AS DOUBLE) / CAST(n_points AS DOUBLE)')} AS bits_per_point,
+               {pround_sql('CAST(n_points * 64 AS DOUBLE) / CAST(total_bits AS DOUBLE)')} AS compression_ratio
+        FROM agg
+    """,
+    "lateness_audit": f"""
+        WITH base AS (
+            SELECT user_id,
+                   epoch_us(ts) AS t_us,
+                   MAX(epoch_us(ts)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY event_id + CASE WHEN event_id % 17 = 0
+                                                THEN 400 ELSE 0 END,
+                                event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS hwm
+            FROM events
+        ),
+        l AS (
+            SELECT user_id,
+                   CASE WHEN hwm IS NOT NULL AND hwm > t_us
+                        THEN hwm - t_us ELSE 0 END AS late_by
+            FROM base
+        ),
+        agg AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN late_by > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+                   CAST(MAX(late_by) AS BIGINT) AS max_late_us
+            FROM l GROUP BY 1
+        )
+        SELECT user_id AS sensor_id, n_events, n_late, max_late_us,
+               {pround_sql('CAST(n_late AS DOUBLE) / CAST(n_events AS DOUBLE)')} AS late_frac
+        FROM agg
+    """,
     "zone_hour_cube": f"""
         SELECT COALESCE(zone, 'ALL') AS zone,
                COALESCE(CAST(hod AS VARCHAR), 'ALL') AS hod,
