@@ -1268,6 +1268,41 @@ def bpe_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# C4-style blocklist (Raffel et al. 2020 §2.2 "bad words" rule: drop a
+# page if ANY listed token appears). Tokens chosen to occur in the
+# word-soup corpus so both branches are hash-checked.
+C4_BADWORDS = ("slow", "dup")
+
+
+def c4_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 blocklist filter: per document, occurrences and distinct
+    hits from a fixed token blocklist, and the drop verdict (ANY hit
+    blocks — the paper's rule, deliberately blunt). Pure
+    explode → isin filter → keyed count; the blocklist is a literal
+    IN-list the scan evaluates pre-shuffle, so at 100 TB only hit rows
+    ever leave the mapper."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("token")
+    )
+    hits = (
+        tok.filter(F.col("token").isin(*C4_BADWORDS))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bad_tokens"),
+            F.countDistinct("token").alias("n_distinct_bad"),
+        )
+    )
+    return docs.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bad_tokens", F.lit(0).cast("long")).alias("n_bad_tokens"),
+        F.coalesce("n_distinct_bad", F.lit(0).cast("long")).alias(
+            "n_distinct_bad"
+        ),
+        (F.coalesce("n_bad_tokens", F.lit(0).cast("long")) > 0).alias("blocked"),
+    )
+
+
 # train/val/test cut points over the md5 permille bucket (80/10/10)
 SPLIT_TRAIN_PM = 800
 SPLIT_VAL_PM = 900
@@ -1515,6 +1550,7 @@ QUERIES = {
     "bpe_merge_counts": bpe_merge_counts,
     "bpe_train_merges": bpe_train_merges,
     "dataset_split_assign": dataset_split_assign,
+    "c4_badwords_filter": c4_badwords_filter,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "tokenizer_fertility": tokenizer_fertility,
 }
@@ -2200,6 +2236,26 @@ ORACLES = {
         FROM per GROUP BY 1
     """,
     "bpe_train_merges": _bpe_train_oracle(BPE_TRAIN_ITERS),
+    "c4_badwords_filter": f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+            FROM documents
+        ),
+        hits AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bad_tokens,
+                   CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct_bad
+            FROM tok
+            WHERE token IN ({", ".join("'" + w + "'" for w in C4_BADWORDS)})
+            GROUP BY 1
+        )
+        SELECT d.doc_id,
+               COALESCE(h.n_bad_tokens, 0) AS n_bad_tokens,
+               COALESCE(h.n_distinct_bad, 0) AS n_distinct_bad,
+               COALESCE(h.n_bad_tokens, 0) > 0 AS blocked
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
     "dataset_split_assign": f"""
         WITH a AS (
             SELECT source, lang,
