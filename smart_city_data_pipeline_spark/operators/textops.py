@@ -1370,16 +1370,26 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     sym = bpe_word_symbols(docs)
     rows = []
-    for it in range(1, BPE_TRAIN_ITERS + 1):
-        top = (
-            bpe_pair_counts_frame(sym)
-            .orderBy(F.col("n_pairs").desc(), F.col("pair").asc())
-            .limit(1)
-            .collect()
-        )[0]
-        rows.append((it, top["pair"], int(top["n_pairs"])))
-        a, b = top["pair"].split(" ")
-        sym = bpe_apply_merge(sym, a, b)
+    cached = []
+    try:
+        for it in range(1, BPE_TRAIN_ITERS + 1):
+            # cache the (vocab-sized) symbol table: without it every
+            # iteration's action re-scans the CORPUS through the whole
+            # merge lineage — 6 full scans instead of one
+            sym = sym.persist()
+            cached.append(sym)
+            top = (
+                bpe_pair_counts_frame(sym)
+                .orderBy(F.col("n_pairs").desc(), F.col("pair").asc())
+                .limit(1)
+                .collect()
+            )[0]
+            rows.append((it, top["pair"], int(top["n_pairs"])))
+            a, b = top["pair"].split(" ")
+            sym = bpe_apply_merge(sym, a, b)
+    finally:
+        for df in cached:
+            df.unpersist()
     return spark.createDataFrame(
         rows, "iteration int, pair string, n_pairs long"
     )
