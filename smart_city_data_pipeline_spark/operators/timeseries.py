@@ -1598,6 +1598,44 @@ def lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STATE_WINDOW_S = 1800  # retention horizon: join window + watermark
+
+
+def stream_state_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-state capacity planning: for each sensor, the peak
+    and mean number of events simultaneously inside a 30-minute
+    retention horizon (the stream-stream join window + watermark from
+    ``streaming/joins.py``) — the row count the state store must hold
+    per key, measured on the real stream instead of guessed. Sizes
+    executor memory and state-store config before a deploy.
+
+    One RANGE-frame window per sensor on exact epoch seconds (count
+    over ``[t−1800 s, t]``), then a keyed max/sum — integer
+    arithmetic until the final mean division."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(-STATE_WINDOW_S, 0)
+    )
+    base = ev.select(
+        "user_id", F.unix_timestamp("ts").alias("t")
+    ).withColumn("in_state", F.count(F.lit(1)).over(w))
+    agg = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("in_state").alias("peak_state_rows"),
+        F.sum("in_state").alias("sum_state"),
+    )
+    return agg.select(
+        F.col("user_id").alias("sensor_id"),
+        "n_events",
+        "peak_state_rows",
+        pround(
+            F.col("sum_state").cast("double") / F.col("n_events").cast("double")
+        ).alias("mean_state_rows"),
+    )
+
+
 QUANTILE_QS = (25, 50, 90, 99)  # percentile panel points
 
 
@@ -1699,6 +1737,7 @@ QUERIES = {
     "type_cooccurrence": type_cooccurrence,
     "gorilla_compression_estimate": gorilla_compression_estimate,
     "lateness_audit": lateness_audit,
+    "stream_state_estimate": stream_state_estimate,
     "rolling_quantile": rolling_quantile,
     "holt_linear": holt_linear,
     "window_funnel_strict": window_funnel_strict,
@@ -1739,6 +1778,27 @@ _SEASONAL_SIGMA_SQL = "sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1))"
 _SEASONAL_Z_SQL = f"(e.value - s.s1 / s.n) / {_SEASONAL_SIGMA_SQL}"
 
 ORACLES = {
+    "stream_state_estimate": f"""
+        WITH base AS (
+            SELECT user_id,
+                   COUNT(*) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                       RANGE BETWEEN {STATE_WINDOW_S} PRECEDING AND CURRENT ROW
+                   ) AS in_state
+            FROM events
+        ),
+        agg AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(MAX(in_state) AS BIGINT) AS peak_state_rows,
+                   CAST(SUM(in_state) AS BIGINT) AS sum_state
+            FROM base GROUP BY 1
+        )
+        SELECT user_id AS sensor_id, n_events, peak_state_rows,
+               {pround_sql('CAST(sum_state AS DOUBLE) / CAST(n_events AS DOUBLE)')} AS mean_state_rows
+        FROM agg
+    """,
     "gorilla_compression_estimate": f"""
         WITH base AS (
             SELECT user_id,
