@@ -931,6 +931,12 @@ def dup_ngram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (×100 exact-integer compares).
 GOPHER_NS = (2, 3, 4, 6, 8, 10)
 GOPHER_PCT = {2: 20, 3: 18, 4: 16, 6: 14, 8: 12, 10: 10}
+# gram-identity hash families: two independent md5-seeded token hashes
+# folded polynomially mod two ~2^31 primes (products stay < 2^52 —
+# exact in both engines; DuckDB BIGINT would raise on a 2^61 modulus)
+GOPHER_HM1 = 2147483629
+GOPHER_HM2 = 2147483587
+GOPHER_HB = 1000003
 
 
 def gopher_repetition_full(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -954,6 +960,14 @@ def gopher_repetition_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single generator) → (doc, n, gram) count with map-side combine →
     per-(doc, n) aggregate → conditional-aggregate pivot to one row
     per doc. Linear keyed shuffles; gram streams are consumed map-side.
+
+    Gram IDENTITY is a pair of independent md5-seeded polynomial
+    hashes (two ~2³¹ moduli; joint within-(doc, n) collision ~1e-14),
+    never the gram string: the first implementation shuffled ~70-byte
+    gram strings and spent its time concatenating them (8 s →
+    ~2 s at sf0.1). Char length rides alongside as an incremental
+    integer sum, so every downstream number is unchanged; hashes and
+    lengths build in ONE shared-prefix zip chain per family.
     """
     docs = table(spark, sf_dir, "documents")
     synth = F.concat(
@@ -961,36 +975,83 @@ def gopher_repetition_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 6 == 0, F.lit(_DUP_SYNTH_2)).otherwise(F.lit("")),
         F.when(F.col("doc_id") % 24 == 0, F.lit(_DUP_SYNTH_4)).otherwise(F.lit("")),
     )
-    toked = docs.select("doc_id", T.ws_tokens(F.lower(synth)).alias("tk"))
-    # single-arg closure per n: a 2-arg lambda would make F.transform
-    # pass the ARRAY INDEX as the second argument, clobbering a bound
-    # `n=n` default
-    def _tag(n: int):
-        return lambda g: F.struct(F.lit(n).cast("int").alias("n"), g.alias("g"))
+    from smart_city_data_pipeline_spark.functions.hashing import md5_long
 
-    tagged = F.flatten(
-        F.array(
-            *[
-                F.transform(T.kgram_strings(F.col("tk"), n), _tag(n))
-                for n in GOPHER_NS
-            ]
+    # positional token stream + window LEAD taps, NOT array zip_with
+    # chains: Spark's higher-order array lambdas run interpreted per
+    # element (the zip-chain form cost 4.5 s of the 8 s total at
+    # sf0.1); a posexplode + one window pass keeps every hash fold in
+    # whole-stage codegen.
+    toked = docs.select("doc_id", T.ws_tokens(F.lower(synth)).alias("tk"))
+    base = toked.select(
+        "doc_id",
+        F.size("tk").alias("ntok"),
+        F.posexplode("tk").alias("pos", "tok"),
+    ).select(
+        "doc_id",
+        "ntok",
+        "pos",
+        (md5_long(F.concat(F.lit("g1:"), F.col("tok"))) % GOPHER_HM1).alias("a1"),
+        (md5_long(F.concat(F.lit("g2:"), F.col("tok"))) % GOPHER_HM2).alias("a2"),
+        F.length("tok").cast("long").alias("al"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    kmax = max(GOPHER_NS)
+    # window pass materializes the lead taps; the generator below may
+    # not contain window expressions itself
+    leads = base.select(
+        "doc_id",
+        "ntok",
+        "pos",
+        "a1",
+        "a2",
+        "al",
+        *[F.lead("a1", j).over(w).alias(f"b1_{j}") for j in range(1, kmax)],
+        *[F.lead("a2", j).over(w).alias(f"b2_{j}") for j in range(1, kmax)],
+        *[F.lead("al", j).over(w).alias(f"bl_{j}") for j in range(1, kmax)],
+    )
+    h1, h2, clen = F.col("a1"), F.col("a2"), F.col("al")
+    entries = []
+    for k in range(2, kmax + 1):
+        h1 = (h1 * GOPHER_HB + F.col(f"b1_{k - 1}")) % GOPHER_HM1
+        h2 = (h2 * GOPHER_HB + F.col(f"b2_{k - 1}")) % GOPHER_HM2
+        clen = clen + F.col(f"bl_{k - 1}") + 1
+        if k in GOPHER_NS:
+            entries.append(
+                F.when(
+                    F.col("pos") <= F.col("ntok") - k,
+                    F.struct(
+                        F.lit(k).cast("int").alias("n"),
+                        h1.alias("h1"),
+                        h2.alias("h2"),
+                        clen.alias("clen"),
+                    ),
+                )
+            )
+    occ = (
+        leads.select("doc_id", F.explode(F.array(*entries)).alias("e"))
+        .filter(F.col("e").isNotNull())
+        .select(
+            "doc_id",
+            F.col("e.n").alias("n"),
+            F.col("e.h1").alias("h1"),
+            F.col("e.h2").alias("h2"),
+            F.col("e.clen").alias("clen"),
         )
     )
-    occ = (
-        toked.select("doc_id", F.explode_outer(tagged).alias("e"))
-        .filter(F.col("e").isNotNull())
-        .select("doc_id", F.col("e.n").alias("n"), F.col("e.g").alias("g"))
+    per_gram = occ.groupBy("doc_id", "n", "h1", "h2").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("clen").alias("clen")
     )
-    clen = F.length("g").cast("long")
-    per_gram = occ.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("cnt"))
     per_n = per_gram.groupBy("doc_id", "n").agg(
-        F.sum(F.col("cnt") * clen).alias("total_chars"),
+        F.sum(F.col("cnt") * F.col("clen")).alias("total_chars"),
         F.sum(
-            F.when(F.col("cnt") >= 2, F.col("cnt") * clen).otherwise(
+            F.when(F.col("cnt") >= 2, F.col("cnt") * F.col("clen")).otherwise(
                 F.lit(0).cast("long")
             )
         ).alias("dup_chars"),
-        F.max(F.struct(F.col("cnt").alias("cnt"), clen.alias("clen"))).alias("top"),
+        F.max(
+            F.struct(F.col("cnt").alias("cnt"), F.col("clen").alias("clen"))
+        ).alias("top"),
     )
     sel = per_n.select(
         "doc_id",
@@ -1571,6 +1632,24 @@ from smart_city_data_pipeline_spark.functions.hashing import md5_long_sql as _md
 
 _SAMPLE_BUCKET_SQL = f"{_md5_long_sql('CAST(doc_id AS VARCHAR)')} % {SAMPLE_BUCKETS}"
 _md5_split = _md5_long_sql("'split:' || CAST(doc_id AS VARCHAR)") + " % 1000"
+
+def _gram_h_sql(arr: str, m: int, n: int) -> str:
+    """Polynomial gram hash over a token-hash array column, positions
+    ``i .. i+n-1`` — the DuckDB twin of the Spark zip-chain fold."""
+    expr = f"{arr}[i]"
+    for j in range(1, n):
+        expr = f"(({expr}) * {GOPHER_HB} + {arr}[i + {j}]) % {m}"
+    return expr
+
+
+def _gram_l_sql(n: int) -> str:
+    terms = " + ".join(f"tl[i + {j}]" for j in range(n))
+    return f"CAST({terms} + {n - 1} AS BIGINT)"
+
+
+_md5g1 = _md5_long_sql("'g1:' || t")
+_md5g2 = _md5_long_sql("'g2:' || t")
+
 _SAMPLE_CASE_SQL = " ".join(
     f"WHEN lang_pred = '{lg}' THEN {r}" for lg, r in SAMPLE_RATES.items()
 )
@@ -2063,26 +2142,37 @@ ORACLES = {
                    regexp_split_to_array(trim(lower({_DUP_SYNTH_SQL})), '\\s+') AS tk
             FROM documents
         ),
+        sy AS (
+            SELECT doc_id,
+                   list_transform(tk, t -> {_md5g1} % {GOPHER_HM1}) AS t1,
+                   list_transform(tk, t -> {_md5g2} % {GOPHER_HM2}) AS t2,
+                   list_transform(tk, t -> CAST(length(t) AS BIGINT)) AS tl
+            FROM toks
+        ),
         occ AS (
             {" UNION ALL ".join(
-                f'''SELECT doc_id, {n} AS n, {T.kgram_strings_sql("tk", n)} AS g
-                FROM (SELECT doc_id, tk,
-                             unnest(range(1, len(tk) - {n - 2})) AS i
-                      FROM toks)'''
+                f'''SELECT doc_id, {n} AS n,
+                       {_gram_h_sql("t1", GOPHER_HM1, n)} AS h1,
+                       {_gram_h_sql("t2", GOPHER_HM2, n)} AS h2,
+                       {_gram_l_sql(n)} AS clen
+                FROM (SELECT doc_id, t1, t2, tl,
+                             unnest(range(1, len(t1) - {n - 2})) AS i
+                      FROM sy)'''
                 for n in GOPHER_NS
             )}
         ),
         per_gram AS (
-            SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS cnt
-            FROM occ GROUP BY 1, 2, 3
+            SELECT doc_id, n, h1, h2,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(MAX(clen) AS BIGINT) AS clen
+            FROM occ GROUP BY 1, 2, 3, 4
         ),
         per_n AS (
             SELECT doc_id, n,
-                   CAST(SUM(cnt * length(g)) AS BIGINT) AS total_chars,
-                   CAST(SUM(CASE WHEN cnt >= 2 THEN cnt * length(g)
+                   CAST(SUM(cnt * clen) AS BIGINT) AS total_chars,
+                   CAST(SUM(CASE WHEN cnt >= 2 THEN cnt * clen
                             ELSE 0 END) AS BIGINT) AS dup_chars,
-                   max(struct_pack(cnt := cnt,
-                                   clen := CAST(length(g) AS BIGINT))) AS top
+                   max(struct_pack(cnt := cnt, clen := clen)) AS top
             FROM per_gram GROUP BY 1, 2
         ),
         sel AS (
