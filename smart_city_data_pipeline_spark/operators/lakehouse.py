@@ -177,6 +177,54 @@ def zorder_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RECON_MOD = 1 << 40  # additive-checksum modulus (sums stay < 2^63)
+
+
+def layer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bronze→silver reconciliation audit: per hour partition, row
+    count and an order-independent md5-additive checksum for the raw
+    events layer and for the silver layer (a 21-day retention policy,
+    the ``retention_filter`` idiom), with the expected-drop accounting —
+    the integrity check a lakehouse runs after every pipeline hop so a
+    lost file or double-applied batch is caught the hour it happens.
+
+    The checksum is Σ (md5(event_id) mod 2⁴⁰) mod 2⁴⁰ — commutative, so it is
+    map-side-combinable and partition-order-independent, and content-
+    sensitive where a bare count is blind (same count + different rows
+    ⇒ different sum). Two keyed aggregates over the same scan shape,
+    one join on the hour key."""
+    from smart_city_data_pipeline_spark.functions.hashing import md5_long
+
+    ev = table(spark, sf_dir, "events")
+    sig = md5_long(F.col("event_id").cast("string")) % RECON_MOD
+    hour = F.date_trunc("hour", F.col("ts"))
+
+    def layer(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy(hour.alias("bucket")).agg(
+            F.count(F.lit(1)).alias(f"{tag}_rows"),
+            (F.sum(sig) % RECON_MOD).alias(f"{tag}_checksum"),
+        )
+
+    cutoff = ev.agg(F.max("ts").alias("m"))
+    silver = ev.join(F.broadcast(cutoff)).filter(
+        F.col("ts") >= F.col("m") - F.expr("INTERVAL 21 DAYS")
+    )
+    bronze_agg = layer(ev, "bronze")
+    silver_agg = layer(silver, "silver")
+    j = bronze_agg.join(silver_agg, "bucket", "left")
+    s_rows = F.coalesce(F.col("silver_rows"), F.lit(0).cast("long"))
+    s_sum = F.coalesce(F.col("silver_checksum"), F.lit(0).cast("long"))
+    return j.select(
+        "bucket",
+        "bronze_rows",
+        s_rows.alias("silver_rows"),
+        (F.col("bronze_rows") - s_rows).alias("dropped_rows"),
+        "bronze_checksum",
+        s_sum.alias("silver_checksum"),
+        (F.col("bronze_checksum") == s_sum).alias("checksums_match"),
+    )
+
+
 SMALL_PART_ROWS = 100   # below this, an hour partition is a small-file risk
 ROW_OVERHEAD_BYTES = 28  # fixed per-row envelope estimate
 
@@ -449,6 +497,7 @@ QUERIES = {
     "cdc_apply": cdc_apply,
     "state_as_of": state_as_of,
     "zorder_prune_report": zorder_prune_report,
+    "layer_reconciliation": layer_reconciliation,
 }
 
 _PROFILE_AGG_SQL = ["CAST(COUNT(*) AS BIGINT) AS n_rows"]
@@ -508,6 +557,35 @@ ORACLES = {
                CAST({_MORTON_DUCK} AS INTEGER) AS morton,
                CAST((({_MORTON_DUCK}) * {Z_SHARDS}) // {4 ** Z_BITS} AS INTEGER) AS shard
         FROM coded
+    """,
+    "layer_reconciliation": f"""
+        WITH sigd AS (
+            SELECT date_trunc('hour', ts) AS bucket, ts,
+                   CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % {RECON_MOD} AS sig
+            FROM events
+        ),
+        cutoff AS (SELECT MAX(ts) AS m FROM events),
+        bronze AS (
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS bronze_rows,
+                   CAST(SUM(sig) % {RECON_MOD} AS BIGINT) AS bronze_checksum
+            FROM sigd GROUP BY 1
+        ),
+        silver AS (
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS silver_rows,
+                   CAST(SUM(sig) % {RECON_MOD} AS BIGINT) AS silver_checksum
+            FROM sigd, cutoff
+            WHERE ts >= m - INTERVAL 21 DAYS
+            GROUP BY 1
+        )
+        SELECT CAST(b.bucket AS TIMESTAMP) AS bucket,
+               b.bronze_rows,
+               COALESCE(s.silver_rows, 0) AS silver_rows,
+               b.bronze_rows - COALESCE(s.silver_rows, 0) AS dropped_rows,
+               b.bronze_checksum,
+               COALESCE(s.silver_checksum, 0) AS silver_checksum,
+               b.bronze_checksum = COALESCE(s.silver_checksum, 0) AS checksums_match
+        FROM bronze b LEFT JOIN silver s USING (bucket)
     """,
     "zorder_prune_report": f"""
         WITH coded AS (

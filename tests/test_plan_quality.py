@@ -82,6 +82,7 @@ BNLJ_ALLOWED = {
     "bloom_prefilter_report",  # 1-row stats × sizes summary joins
     "hard_negative_mining",  # cross-label mining: bounded probe side
     # broadcast, non-equi (label <>) by design like ann_topk_cosine
+    "layer_reconciliation",  # 1-row retention-cutoff broadcast
 }
 
 
