@@ -62,6 +62,7 @@ _GATE_FIRST = [
     "c4_badwords_filter",  # new: C4 blocklist rule
     "stream_state_estimate",  # new: join-state capacity planning
     "layer_reconciliation",  # new: bronze/silver checksum audit
+    "burstiness",  # new: per-sensor Fano factor
     # rotate-back wave: last driver-checked in round 4, judge-r6
     # green, unchanged since — due this round
     "congestion_classify",
@@ -84,8 +85,8 @@ _GATE_FIRST = [
     "revenue_by_nation",
     "promo_revenue",
     "order_priority_count",
-    "q7_volume_shipping",
-    # displaced to r8 head by r7 additions: q10_returned_items,
+    # displaced to r8 head by r7 additions: q7_volume_shipping,
+    # q10_returned_items,
     # q13_customer_distribution,
     # q17_small_quantity_revenue,
     # q22_global_sales_opportunity, q20_surplus_suppliers,

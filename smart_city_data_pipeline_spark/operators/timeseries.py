@@ -1598,6 +1598,37 @@ def lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sensor traffic burstiness: the Fano factor (variance/mean)
+    of hourly event counts over the sensor's ACTIVE hours — ≈1 for
+    Poisson-like arrivals, ≫1 for bursty feeds (the signal that
+    decides batch sizing and rate-limit budgets per device class).
+
+    Exact everywhere: hourly counts are integers, so mean and variance
+    come from integer Σc and Σc² via the n·Σc² − (Σc)² form — one
+    double division at the end, order-independent. Two keyed
+    aggregates ((sensor, hour) then sensor), map-side-combinable."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    agg = hourly.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ssq"),
+    )
+    n, s, ssq = F.col("n_hours"), F.col("s"), F.col("ssq")
+    var_num = n * ssq - s * s  # n^2 * variance
+    return agg.filter(s > 0).select(
+        F.col("user_id").alias("sensor_id"),
+        "n_hours",
+        s.alias("n_events"),
+        pround(s.cast("double") / n.cast("double")).alias("mean_hourly"),
+        # fano = var/mean = (n*ssq - s*s) / (n*s)
+        pround(var_num.cast("double") / (n * s).cast("double")).alias("fano"),
+    )
+
+
 STATE_WINDOW_S = 1800  # retention horizon: join window + watermark
 
 
@@ -1738,6 +1769,7 @@ QUERIES = {
     "gorilla_compression_estimate": gorilla_compression_estimate,
     "lateness_audit": lateness_audit,
     "stream_state_estimate": stream_state_estimate,
+    "burstiness": burstiness,
     "rolling_quantile": rolling_quantile,
     "holt_linear": holt_linear,
     "window_funnel_strict": window_funnel_strict,
@@ -1778,6 +1810,27 @@ _SEASONAL_SIGMA_SQL = "sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1))"
 _SEASONAL_Z_SQL = f"(e.value - s.s1 / s.n) / {_SEASONAL_SIGMA_SQL}"
 
 ORACLES = {
+    "burstiness": f"""
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_hours,
+                   CAST(SUM(c) AS BIGINT) AS s,
+                   CAST(SUM(c * c) AS BIGINT) AS ssq
+            FROM hourly GROUP BY 1
+        )
+        SELECT user_id AS sensor_id, n_hours, s AS n_events,
+               {pround_sql('CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE)')} AS mean_hourly,
+               {pround_sql(
+                   'CAST(n_hours * ssq - s * s AS DOUBLE)'
+                   ' / CAST(n_hours * s AS DOUBLE)'
+               )} AS fano
+        FROM agg WHERE s > 0
+    """,
     "stream_state_estimate": f"""
         WITH base AS (
             SELECT user_id,
