@@ -63,6 +63,7 @@ _GATE_FIRST = [
     "stream_state_estimate",  # new: join-state capacity planning
     "layer_reconciliation",  # new: bronze/silver checksum audit
     "burstiness",  # new: per-sensor Fano factor
+    "zipf_fit",  # new: vocabulary power-law slope
     # rotate-back wave: last driver-checked in round 4, judge-r6
     # green, unchanged since — due this round
     "congestion_classify",
@@ -84,8 +85,8 @@ _GATE_FIRST = [
     "q5_local_supplier",
     "revenue_by_nation",
     "promo_revenue",
-    "order_priority_count",
-    # displaced to r8 head by r7 additions: q7_volume_shipping,
+    # displaced to r8 head by r7 additions: order_priority_count,
+    # q7_volume_shipping,
     # q10_returned_items,
     # q13_customer_distribution,
     # q17_small_quantity_revenue,

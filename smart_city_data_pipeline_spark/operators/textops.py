@@ -1329,6 +1329,57 @@ def bpe_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZIPF_TOP_R = 1000  # vocabulary ranks used for the fit
+ZIPF_Q = 1 << 14  # log grid: keeps n*Sxy < 2^63 at R=1000 ranks
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary Zipf-law fit: least-squares slope of ln(freq) vs
+    ln(rank) over the top ``ZIPF_TOP_R`` vocabulary ranks — the
+    corpus-health check (natural text sits near −1; templated or
+    synthetic corpora drift off; this word-soup corpus reads nearly
+    flat, which is itself the diagnostic).
+
+    Determinism: both log coordinates quantize to the 2¹⁴ integer
+    grid before the regression sums (sized so n·Σxy stays under 2⁶³), so Σx, Σy, Σxy, Σx² are exact
+    integers under any partial-agg order and the slope/intercept are
+    single double divisions. Shape: one corpus-keyed vocab count, a
+    rank window over the VOCABULARY (bounded), then one global
+    aggregate of four integer sums."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("t"))
+    vocab = tok.filter(F.col("t") != "").groupBy("t").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("t").asc())
+    ranked = (
+        vocab.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= ZIPF_TOP_R)
+    )
+    qx = F.floor(F.log(F.col("r").cast("double")) * ZIPF_Q + 0.5).cast("long")
+    qy = F.floor(F.log(F.col("tf").cast("double")) * ZIPF_Q + 0.5).cast("long")
+    pts = ranked.select(qx.alias("x"), qy.alias("y"))
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    den = (n * F.col("sxx") - sx * sx).cast("double")
+    slope = num / den
+    intercept = (sy.cast("double") - slope * sx.cast("double")) / (
+        n.cast("double") * F.lit(float(ZIPF_Q))
+    )
+    return agg.select(
+        n.cast("long").alias("n_points"),
+        pround(slope).alias("slope"),
+        pround(intercept).alias("intercept"),
+    )
+
+
 # C4-style blocklist (Raffel et al. 2020 §2.2 "bad words" rule: drop a
 # page if ANY listed token appears). Tokens chosen to occur in the
 # word-soup corpus so both branches are hash-checked.
@@ -1622,6 +1673,7 @@ QUERIES = {
     "bpe_train_merges": bpe_train_merges,
     "dataset_split_assign": dataset_split_assign,
     "c4_badwords_filter": c4_badwords_filter,
+    "zipf_fit": zipf_fit,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "tokenizer_fertility": tokenizer_fertility,
 }
@@ -2336,6 +2388,41 @@ ORACLES = {
         FROM per GROUP BY 1
     """,
     "bpe_train_merges": _bpe_train_oracle(BPE_TRAIN_ITERS),
+    "zipf_fit": f"""
+        WITH vocab AS (
+            SELECT token AS t, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+                SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+                FROM documents
+            ) WHERE token <> '' GROUP BY 1
+        ),
+        ranked AS (
+            SELECT tf, ROW_NUMBER() OVER (ORDER BY tf DESC, t ASC) AS r
+            FROM vocab QUALIFY r <= {ZIPF_TOP_R}
+        ),
+        pts AS (
+            SELECT CAST(FLOOR(ln(CAST(r AS DOUBLE)) * {ZIPF_Q} + 0.5) AS BIGINT) AS x,
+                   CAST(FLOOR(ln(CAST(tf AS DOUBLE)) * {ZIPF_Q} + 0.5) AS BIGINT) AS y
+            FROM ranked
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx
+            FROM pts
+        )
+        SELECT n AS n_points,
+               {pround_sql(
+                   'CAST(n * sxy - sx * sy AS DOUBLE)'
+                   ' / CAST(n * sxx - sx * sx AS DOUBLE)'
+               )} AS slope,
+               {pround_sql(
+                   '(CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)'
+                   ' / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))'
+                   f' / (CAST(n AS DOUBLE) * {float(ZIPF_Q)})'
+               )} AS intercept
+        FROM agg
+    """,
     "c4_badwords_filter": f"""
         WITH tok AS (
             SELECT doc_id,
