@@ -64,6 +64,8 @@ _GATE_FIRST = [
     "layer_reconciliation",  # new: bronze/silver checksum audit
     "burstiness",  # new: per-sensor Fano factor
     "zipf_fit",  # new: vocabulary power-law slope
+    "dup_cluster_histogram",  # new: dedup cluster-size report
+    "week_over_week",  # new: weekly delta dashboard
     # rotate-back wave: last driver-checked in round 4, judge-r6
     # green, unchanged since — due this round
     "congestion_classify",
@@ -83,9 +85,8 @@ _GATE_FIRST = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
-    "revenue_by_nation",
-    "promo_revenue",
-    # displaced to r8 head by r7 additions: order_priority_count,
+    # displaced to r8 head by r7 additions: revenue_by_nation,
+    # promo_revenue, order_priority_count,
     # q7_volume_shipping,
     # q10_returned_items,
     # q13_customer_distribution,

@@ -133,6 +133,42 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the one-table summary
+    every dedup report leads with (how much of the corpus is unique,
+    pairs, 3+ clusters): exact-text clusters by md5, then a histogram
+    over cluster sizes. Two keyed counts, both map-side-combinable;
+    the histogram is bounded by the largest cluster size, not the
+    corpus.
+
+    The synthetic corpus has NO exact duplicates, so (the
+    ``pii_scrub``/``dup_ngram_chars`` precedent) every 31st doc's text
+    is replaced with boilerplate shared within its doc_id÷93 bucket —
+    clusters of size 2-3 exist and the multi-copy rows are
+    hash-checked, not a single never-exercised row."""
+    docs = spread(
+        table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents"
+    )
+    synth_text = F.when(
+        F.col("doc_id") % 31 == 0,
+        F.concat(
+            F.lit("duplicate boilerplate page "),
+            F.expr("doc_id DIV 93").cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    sizes = docs.groupBy(F.md5(synth_text).alias("h")).agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("sz")).alias("n_docs"),
+    ).select(
+        "cluster_size",
+        "n_clusters",
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
 def dedup_ngram_jaccard(
     spark: SparkSession, sf_dir: str, df_cap: int | None = None
 ) -> DataFrame:
@@ -1319,6 +1355,7 @@ def priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dup_cluster_histogram": dup_cluster_histogram,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -1343,6 +1380,19 @@ _KGRAM_SQL = " || ' ' || ".join(f"tk[i + {o}]" for o in range(SPAN_K)).replace(
 )
 
 ORACLES = {
+    "dup_cluster_histogram": """
+        WITH sizes AS (
+            SELECT md5(CASE WHEN doc_id % 31 = 0
+                       THEN 'duplicate boilerplate page ' || CAST(doc_id // 93 AS VARCHAR)
+                       ELSE text END) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS sz
+            FROM documents GROUP BY 1
+        )
+        SELECT sz AS cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(COUNT(*) * sz AS BIGINT) AS n_docs
+        FROM sizes GROUP BY 1
+    """,
     "prefix_dup_groups": f"""
         WITH hashed AS (
             SELECT doc_id, source,

@@ -1598,6 +1598,40 @@ def lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week delta per event type — the dashboard's headline
+    number: weekly event counts and exact-decimal reading sums next to
+    the prior week's, with the percent change. Both engines truncate
+    to ISO Monday weeks; the change is a single division of exact
+    integers (NULL for the first week, no fake zero). One tiny weekly
+    rollup, one lag window over it (bounded by types × weeks)."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    weekly = ev.groupBy(
+        "event_type", F.date_trunc("week", F.col("ts")).alias("week")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents).alias("sum_cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev_n = F.lag("n_events").over(w)
+    return weekly.select(
+        "event_type",
+        "week",
+        "n_events",
+        pround(F.col("sum_cents").cast("double") / 100.0).alias("total_value"),
+        prev_n.alias("prev_n_events"),
+        F.when(
+            prev_n > 0,
+            pround(
+                (F.col("n_events") - prev_n).cast("double")
+                / prev_n.cast("double")
+                * 100.0
+            ),
+        ).alias("pct_change"),
+    )
+
+
 def burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sensor traffic burstiness: the Fano factor (variance/mean)
     of hourly event counts over the sensor's ACTIVE hours — ≈1 for
@@ -1770,6 +1804,7 @@ QUERIES = {
     "lateness_audit": lateness_audit,
     "stream_state_estimate": stream_state_estimate,
     "burstiness": burstiness,
+    "week_over_week": week_over_week,
     "rolling_quantile": rolling_quantile,
     "holt_linear": holt_linear,
     "window_funnel_strict": window_funnel_strict,
@@ -1810,6 +1845,26 @@ _SEASONAL_SIGMA_SQL = "sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1))"
 _SEASONAL_Z_SQL = f"(e.value - s.s1 / s.n) / {_SEASONAL_SIGMA_SQL}"
 
 ORACLES = {
+    "week_over_week": f"""
+        WITH weekly AS (
+            SELECT event_type,
+                   CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, week, n_events,
+               {pround_sql('CAST(sum_cents AS DOUBLE) / 100.0')} AS total_value,
+               lag(n_events) OVER w AS prev_n_events,
+               CASE WHEN lag(n_events) OVER w > 0 THEN
+                   {pround_sql(
+                       'CAST(n_events - lag(n_events) OVER w AS DOUBLE)'
+                       ' / CAST(lag(n_events) OVER w AS DOUBLE) * 100.0'
+                   )}
+               END AS pct_change
+        FROM weekly
+        WINDOW w AS (PARTITION BY event_type ORDER BY week)
+    """,
     "burstiness": f"""
         WITH hourly AS (
             SELECT user_id, date_trunc('hour', ts) AS bucket,
