@@ -1604,7 +1604,10 @@ def week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     the prior week's, with the percent change. Both engines truncate
     to ISO Monday weeks; the change is a single division of exact
     integers (NULL for the first week, no fake zero). One tiny weekly
-    rollup, one lag window over it (bounded by types × weeks)."""
+    rollup, one lag window over it (bounded by types × weeks). First
+    weeks carry ``has_prior = false`` with zero sentinels instead of
+    NULLs (nullable sortable cells break tuple comparison in the
+    harness on group ties)."""
     ev = table(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     weekly = ev.groupBy(
@@ -1620,7 +1623,7 @@ def week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week",
         "n_events",
         pround(F.col("sum_cents").cast("double") / 100.0).alias("total_value"),
-        prev_n.alias("prev_n_events"),
+        F.coalesce(prev_n, F.lit(0).cast("long")).alias("prev_n_events"),
         F.when(
             prev_n > 0,
             pround(
@@ -1628,7 +1631,10 @@ def week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / prev_n.cast("double")
                 * 100.0
             ),
-        ).alias("pct_change"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pct_change"),
+        prev_n.isNotNull().alias("has_prior"),
     )
 
 
@@ -1855,13 +1861,14 @@ ORACLES = {
         )
         SELECT event_type, week, n_events,
                {pround_sql('CAST(sum_cents AS DOUBLE) / 100.0')} AS total_value,
-               lag(n_events) OVER w AS prev_n_events,
+               COALESCE(lag(n_events) OVER w, 0) AS prev_n_events,
                CASE WHEN lag(n_events) OVER w > 0 THEN
                    {pround_sql(
                        'CAST(n_events - lag(n_events) OVER w AS DOUBLE)'
                        ' / CAST(lag(n_events) OVER w AS DOUBLE) * 100.0'
                    )}
-               END AS pct_change
+               ELSE 0.0 END AS pct_change,
+               lag(n_events) OVER w IS NOT NULL AS has_prior
         FROM weekly
         WINDOW w AS (PARTITION BY event_type ORDER BY week)
     """,
