@@ -66,6 +66,9 @@ _GATE_FIRST = [
     "zipf_fit",  # new: vocabulary power-law slope
     "dup_cluster_histogram",  # new: dedup cluster-size report
     "week_over_week",  # new: weekly delta dashboard
+    "dq_expectations",  # new: data-quality expectation suite
+    "theil_sen_slope",  # new: robust pairwise-median trend
+    "hampel_filter",  # new: rolling median-MAD despike/repair
     # rotate-back wave: last driver-checked in round 4, judge-r6
     # green, unchanged since — due this round
     "congestion_classify",
@@ -82,10 +85,8 @@ _GATE_FIRST = [
     "event_funnel",
     "melt_type_counts",
     "props_extract",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    # displaced to r8 head by r7 additions: revenue_by_nation,
+    # displaced to r8 head by r7 additions: q1_pricing_summary,
+    # q3_shipping_priority, q5_local_supplier, revenue_by_nation,
     # promo_revenue, order_priority_count,
     # q7_volume_shipping,
     # q10_returned_items,
@@ -123,6 +124,7 @@ def _modules():
         dedup,
         lakehouse,
         multimodal,
+        quality,
         similarity,
         skew,
         textops,
@@ -145,6 +147,7 @@ def _modules():
         skew,
         cont_agg,
         lakehouse,
+        quality,
     )
 
 

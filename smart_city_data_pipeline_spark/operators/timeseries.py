@@ -1767,6 +1767,149 @@ def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+THEIL_K = 32  # trailing points per sensor entering the pair set
+
+
+def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sensor robust trend: the Theil–Sen estimator (median of
+    pairwise slopes) over each sensor's ``THEIL_K`` most recent
+    readings — the slope a single spiking reading cannot drag, used
+    to flag drifting sensors where ``moving_avg`` reacts to every
+    outlier (Theil & Sen 1950/1968; the classic robust alternative to
+    least squares).
+
+    Scale shape: row_number window takes the trailing K per sensor
+    FIRST, so the pair self-join is keyed on sensor_id with a hard
+    K(K−1)/2 = {pairs} cell bound per key — never data-quadratic. The
+    median is the LOWER median picked by row_number over (slope,
+    i, j), not an interpolating percentile, so both engines select
+    the identical stored element.
+
+    Exactness: slopes are ``Δcents · 10⁶ / Δµs`` — both operands
+    exact integers (< 2⁵³), one correctly-rounded IEEE division →
+    bit-identical doubles in any engine; ordering and the picked
+    element follow.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("t").desc(), F.col("event_id").desc()
+    )
+    recent = (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("t"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        )
+        .withColumn("i", F.row_number().over(w))
+        .filter(F.col("i") <= THEIL_K)
+    )
+    a, b = recent.alias("a"), recent.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.i") < F.col("b.i"))
+        & (F.col("a.t") != F.col("b.t")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.i").alias("i"),
+        F.col("b.i").alias("j"),
+        (
+            (F.col("a.c") - F.col("b.c")).cast("double")
+            * F.lit(1000000.0)
+            / (F.col("a.t") - F.col("b.t")).cast("double")
+        ).alias("slope"),
+    )
+    wm = Window.partitionBy("user_id").orderBy("slope", "i", "j")
+    wn = Window.partitionBy("user_id")
+    ranked = pairs.select(
+        "user_id",
+        "slope",
+        F.row_number().over(wm).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n_pairs"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(n_pairs + 1) DIV 2")
+    ).select(
+        F.col("user_id").alias("sensor_id"),
+        F.col("n_pairs"),
+        pround(F.col("slope")).alias("slope_cents_per_s"),
+    )
+
+
+theil_sen_slope.__doc__ = theil_sen_slope.__doc__.format(
+    pairs=THEIL_K * (THEIL_K - 1) // 2
+)
+
+HAMPEL_W = 3  # half-window: rolling window of 2*W+1 readings
+HAMPEL_NSIG = 3.0  # repair threshold in scaled-MAD units
+
+
+def hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel identifier per sensor: each reading is compared to the
+    median of its ±``HAMPEL_W`` rolling window; a point farther than
+    ``HAMPEL_NSIG``·(1.4826·MAD) from the window median is an outlier
+    and is REPAIRED to that median — the standard despike pass run
+    before any trend/forecast operator (Hampel 1974; Pearson 2002).
+    ``robust_zscore`` scores against the sensor's GLOBAL median; this
+    is its local windowed twin, and it emits the cleaned series.
+
+    Scale shape: one collect over a bounded rows-frame window (2W+1 =
+    7 elements per row) per sensor — state is constant per row, the
+    window shuffle is the only exchange, no self-join. Exactness:
+    readings quantize to integer cents; window median and MAD are
+    exact-integer array picks (lower median of ≤7 sorted BIGINTs), so
+    the outlier decision compares exact integers in both engines
+    (|x−med|·10000 vs NSIG·14826·mad, all integer products < 2⁵³).
+    """
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("sensor_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-HAMPEL_W, HAMPEL_W)
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    base = ev.select(
+        "event_id",
+        F.col("user_id").alias("sensor_id"),
+        "ts",
+        cents.alias("c"),
+    ).withColumn("win", F.sort_array(F.collect_list("c").over(w)))
+    # lower median of the sorted window: element at (n+1) DIV 2 (1-based)
+    med = F.element_at(
+        F.col("win"), ((F.size("win") + 1) / 2).cast("int")
+    )
+    devs = F.sort_array(
+        F.transform("win", lambda v: F.abs(v - F.col("med")))
+    )
+    mad = F.element_at(
+        F.col("devs"), ((F.size("devs") + 1) / 2).cast("int")
+    )
+    # outlier iff |x - med| * 10000 > NSIG * 1.4826e4 * mad, exact ints
+    scaled_dev = F.abs(F.col("c") - F.col("med")) * 10000
+    thresh = F.lit(int(HAMPEL_NSIG * 14826)) * F.col("mad")
+    stage = (
+        base.withColumn("med", med)
+        .withColumn("devs", devs)
+        .withColumn("mad", mad)
+        .withColumn("is_outlier", scaled_dev > thresh)
+    )
+    return stage.select(
+        "event_id",
+        "sensor_id",
+        "ts",
+        pround(F.col("c").cast("double") / 100.0).alias("value"),
+        pround(F.col("med").cast("double") / 100.0).alias("window_median"),
+        "is_outlier",
+        pround(
+            F.when(F.col("is_outlier"), F.col("med"))
+            .otherwise(F.col("c"))
+            .cast("double")
+            / 100.0
+        ).alias("repaired"),
+    )
+
+
 QUERIES = {
     "time_bucket_1min": time_bucket_1min,
     "sliding_window_counts": sliding_window_counts,
@@ -1811,6 +1954,8 @@ QUERIES = {
     "stream_state_estimate": stream_state_estimate,
     "burstiness": burstiness,
     "week_over_week": week_over_week,
+    "theil_sen_slope": theil_sen_slope,
+    "hampel_filter": hampel_filter,
     "rolling_quantile": rolling_quantile,
     "holt_linear": holt_linear,
     "window_funnel_strict": window_funnel_strict,
@@ -2723,5 +2868,70 @@ ORACLES = {
                {pround_sql('s[1] + s[2]')} AS forecast_1,
                n_used, last_ts
         FROM f
+    """,
+    "theil_sen_slope": f"""
+        WITH recent AS (
+            SELECT user_id, event_id,
+                   epoch_us(ts) AS t,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS i
+            FROM events
+        ),
+        trail AS (SELECT * FROM recent WHERE i <= {THEIL_K}),
+        pairs AS (
+            SELECT a.user_id, a.i AS i, b.i AS j,
+                   CAST(a.c - b.c AS DOUBLE) * 1000000.0
+                       / CAST(a.t - b.t AS DOUBLE) AS slope
+            FROM trail a JOIN trail b
+              ON a.user_id = b.user_id AND a.i < b.i AND a.t <> b.t
+        ),
+        ranked AS (
+            SELECT user_id, slope,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY slope, i, j) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT)
+                       AS n_pairs
+            FROM pairs
+        )
+        SELECT user_id AS sensor_id, n_pairs,
+               {pround_sql('slope')} AS slope_cents_per_s
+        FROM ranked WHERE rn = (n_pairs + 1) // 2
+    """,
+    "hampel_filter": f"""
+        WITH base AS (
+            SELECT event_id, user_id AS sensor_id, ts,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+                   list_sort(list(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN {HAMPEL_W} PRECEDING
+                                      AND {HAMPEL_W} FOLLOWING)) AS win
+            FROM events
+        ),
+        m AS (
+            SELECT *, win[CAST((len(win) + 1) // 2 AS INT)] AS med
+            FROM base
+        ),
+        d AS (
+            SELECT *, list_sort(
+                       list_transform(win, x -> abs(x - med))) AS devs
+            FROM m
+        ),
+        x AS (
+            SELECT *, devs[CAST((len(devs) + 1) // 2 AS INT)] AS mad
+            FROM d
+        )
+        SELECT event_id, sensor_id, ts,
+               {pround_sql('CAST(c AS DOUBLE) / 100.0')} AS value,
+               {pround_sql('CAST(med AS DOUBLE) / 100.0')} AS window_median,
+               (abs(c - med) * 10000 > {int(HAMPEL_NSIG * 14826)} * mad)
+                   AS is_outlier,
+               {pround_sql(
+                   'CAST(CASE WHEN abs(c - med) * 10000 > '
+                   + str(int(HAMPEL_NSIG * 14826))
+                   + ' * mad THEN med ELSE c END AS DOUBLE) / 100.0'
+               )} AS repaired
+        FROM x
     """,
 }
