@@ -10,10 +10,10 @@ suite costs a single map-side-combinable pass at 100 TB — adding a
 rule adds a column to the aggregate, not a scan.
 
 Rules that need context beyond the row (referential integrity,
-uniqueness) stay in the same pass: the registry check is a broadcast
-LEFT join (dimension side is small by definition), and uniqueness is
-a count-distinct inside the same aggregate. Nothing here shuffles the
-fact table more than once.
+uniqueness) stay in the same pass: the registry check is a LEFT join
+against the projected key column (AQE broadcasts it at runtime when
+small), and uniqueness is a count-distinct inside the same aggregate.
+Nothing here shuffles the fact table more than once.
 """
 
 from __future__ import annotations
@@ -46,8 +46,9 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     per rule: rows checked, violations, violation percentage, and the
     pass verdict against the rule's tolerance.
 
-    Plan shape: events LEFT-joins the supplier registry (broadcast —
-    the dimension is tiny at every SF), then ONE aggregate computes
+    Plan shape: events LEFT-joins the supplier registry's projected
+    key column (AQE picks broadcast at runtime — no forced hint, the
+    registry is SF-scaled), then ONE aggregate computes
     every rule's violation count as a conditional sum plus the
     uniqueness count-distinct; the single result row is exploded into
     the per-rule report. One fact scan, one broadcast join, one
@@ -61,9 +62,10 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("reg_key")
     )
-    joined = ev.join(
-        F.broadcast(reg), ev["user_id"] == reg["reg_key"], "left"
-    )
+    # No forced broadcast: supplier is SF-scaled, so the hint is not
+    # provably safe at 100 TB — AQE broadcasts the projected key column
+    # at runtime when it is small (the doc_outlier_mahalanobis rule).
+    joined = ev.join(reg, ev["user_id"] == reg["reg_key"], "left")
 
     def viol(cond) -> F.Column:
         return F.sum(F.when(cond, 1).otherwise(0)).cast("long")

@@ -831,6 +831,136 @@ def embedding_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RECALL_NPROBES = (1, 2, 4)
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the learned-quantizer IVF index: for each
+    probe and each ``nprobe`` ∈ {1, 2, 4}, how many of the exact
+    full-scan top-k survive cell pruning, and how many candidates the
+    pruned search actually scanned — the recall/cost curve that picks
+    the production ``nprobe`` (the FAISS tuning loop, run as a query).
+    The LSH twin of this audit is ``lsh_quality_report``; this one
+    grades the IVF dial instead of the band geometry.
+
+    Shares the trained integer-grid quantizer (and its cache) with
+    :func:`ann_ivf_kmeans`, so training cost is paid once per
+    process/dataset. Scale shape: probes are a literal-bounded filter
+    (broadcast); the exact leg is the probe×corpus scan every recall
+    measurement needs ONCE (the ground truth, amortized across
+    nprobe levels); the IVF leg joins probes to cells on cell id —
+    bounded buckets. Recall and candidate counts are exact integers;
+    the one float leg (cosine ranking) is pround-guarded like every
+    ANN entry here.
+    """
+    emb = spread(
+        table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings"
+    )
+    key = (
+        dataset_fingerprint(sf_dir, "embeddings"),
+        ANN_KMEANS_K,
+        ANN_KMEANS_ITERS,
+    )
+    if key not in _KMEANS_CACHE:
+        _KMEANS_CACHE[key] = _train_kmeans(emb, ANN_KMEANS_K, ANN_KMEANS_ITERS)
+    cents = _KMEANS_CACHE[key]
+
+    qe = emb.select(
+        "vec_id", "embedding", _qvec(F.col("embedding")).alias("q")
+    )
+    dists = _l2_dists(F.col("q"), cents)
+    first = F.array_position(dists, F.array_min(dists)) - 1
+    assigned = qe.select("vec_id", "embedding", first.alias("cell"))
+
+    # probe -> ranked cell list via (dist, cell) row_number — the
+    # generic-nprobe form of kmeans_ivf_topk's mask-and-re-argmin
+    max_np = max(RECALL_NPROBES)
+    wp = Window.partitionBy("probe_id").orderBy("dist", "cell")
+    pcells = (
+        qe.filter(F.col("vec_id") < N_PROBES)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("probe_emb"),
+            F.posexplode(dists).alias("cell", "dist"),
+        )
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= max_np)
+        .drop("dist")
+    )
+
+    # exact ground truth: full-scan top-k per probe (= ann_topk_cosine)
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_emb"),
+    )
+    cos = cosine(F.col("probe_emb"), F.col("embedding"))
+    wk = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        emb.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            pround(cos).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= TOP_K)
+        .select("probe_id", "neighbor_id")
+    )
+
+    # IVF candidates per nprobe level: same pcells rows reused for
+    # every level that admits them (rn <= np)
+    levels = F.explode(
+        F.array(*[F.lit(n) for n in RECALL_NPROBES])
+    ).alias("nprobe")
+    plevel = pcells.select("probe_id", "probe_emb", "cell", "rn", levels).filter(
+        F.col("rn") <= F.col("nprobe")
+    )
+    cand = (
+        assigned.join(
+            F.broadcast(plevel), assigned.cell == plevel.cell
+        )
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "nprobe",
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            pround(cosine(F.col("probe_emb"), F.col("embedding"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    wkl = Window.partitionBy("nprobe", "probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    approx = cand.withColumn("rank", F.row_number().over(wkl))
+    n_cand = approx.groupBy("nprobe", "probe_id").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    hits = (
+        approx.filter(F.col("rank") <= TOP_K)
+        .join(exact, ["probe_id", "neighbor_id"], "left_semi")
+        .groupBy("nprobe", "probe_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        n_cand.join(hits, ["nprobe", "probe_id"], "left")
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            "probe_id",
+            "n_candidates",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+            pround(
+                F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).cast(
+                    "double"
+                )
+                / F.lit(float(TOP_K))
+            ).alias("recall_at_k"),
+        )
+    )
+
+
 QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "ann_ivf_topk": ann_ivf_topk,
@@ -844,6 +974,7 @@ QUERIES = {
     "embedding_qc": embedding_qc,
     "semantic_dedup": semantic_dedup,
     "doc_outlier_mahalanobis": doc_outlier_mahalanobis,
+    "ann_recall_report": ann_recall_report,
 }
 
 _COS = cosine_sql("p.probe_emb", "e.embedding")
@@ -1271,3 +1402,98 @@ def _semantic_dedup_oracle_sql() -> str:
 
 
 ORACLES["semantic_dedup"] = _semantic_dedup_oracle_sql()
+
+
+def _ann_recall_oracle_sql() -> str:
+    """DuckDB twin of :func:`ann_recall_report`: re-learns the
+    identical quantizer (shared unrolled-Lloyd CTEs), replays the
+    exact full-scan top-k and the per-nprobe pruned search, and
+    counts the overlap."""
+    rounds = ",".join(
+        _kmeans_round_sql(i + 1, f"cent{i}") for i in range(ANN_KMEANS_ITERS)
+    )
+    final = f"cent{ANN_KMEANS_ITERS}"
+    cos_exact = cosine_sql("p.e", "e.e")
+    cos_cand = cosine_sql("p.probe_emb", "a.e")
+    levels = ", ".join(str(n) for n in RECALL_NPROBES)
+    return f"""
+        WITH qv AS (
+            SELECT vec_id,
+                   CAST(embedding AS DOUBLE[]) AS e,
+                   list_transform(
+                       CAST(embedding AS DOUBLE[]),
+                       x -> CAST(FLOOR(x * {KMEANS_SCALE} + 0.5) AS DOUBLE)
+                   ) AS q
+            FROM embeddings
+        ),
+        cent0 AS (
+            SELECT ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell,
+                   q AS cvec,
+                   list_dot_product(q, q) AS c2
+            FROM (SELECT vec_id, q FROM qv
+                  ORDER BY md5(CAST(vec_id AS VARCHAR))
+                  LIMIT {ANN_KMEANS_K})
+        ),
+        {rounds},
+        {_kmeans_asn_sql("asnf", final, "vec_id, e")},
+        exact AS (
+            SELECT probe_id, neighbor_id FROM (
+                SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY p.vec_id
+                           ORDER BY (FLOOR(CAST(({cos_exact}) AS DOUBLE)
+                                     * 10000.0 + 0.5) / 10000.0) DESC,
+                                    e.vec_id ASC) AS rank
+                FROM (SELECT * FROM qv WHERE vec_id < {N_PROBES}) p
+                JOIN qv e ON e.vec_id <> p.vec_id
+            ) WHERE rank <= {TOP_K}
+        ),
+        pcells AS (
+            SELECT probe_id, probe_emb, cell, rn FROM (
+                SELECT p.vec_id AS probe_id, p.e AS probe_emb, c.cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY p.vec_id
+                           ORDER BY c.c2 - 2 * list_dot_product(p.q, c.cvec),
+                                    c.cell
+                       ) AS rn
+                FROM (SELECT * FROM qv WHERE vec_id < {N_PROBES}) p
+                CROSS JOIN {final} c
+            ) WHERE rn <= {max(RECALL_NPROBES)}
+        ),
+        cand AS (
+            SELECT l.np AS nprobe, p.probe_id, a.vec_id AS neighbor_id,
+                   (FLOOR(CAST(({cos_cand}) AS DOUBLE) * 10000.0 + 0.5)
+                        / 10000.0) AS cos_sim
+            FROM (SELECT unnest([{levels}]) AS np) l
+            JOIN pcells p ON p.rn <= l.np
+            JOIN asnf a USING (cell)
+            WHERE a.vec_id <> p.probe_id
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY nprobe, probe_id
+                ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+            FROM cand
+        ),
+        n_cand AS (
+            SELECT nprobe, probe_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+            FROM cand GROUP BY 1, 2
+        ),
+        hits AS (
+            SELECT r.nprobe, r.probe_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM ranked r JOIN exact x
+              ON r.probe_id = x.probe_id AND r.neighbor_id = x.neighbor_id
+            WHERE r.rank <= {TOP_K}
+            GROUP BY 1, 2
+        )
+        SELECT CAST(c.nprobe AS INT) AS nprobe, c.probe_id, c.n_candidates,
+               CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               {pround_sql(f'CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {float(TOP_K)}')}
+                   AS recall_at_k
+        FROM n_cand c LEFT JOIN hits h
+          ON c.nprobe = h.nprobe AND c.probe_id = h.probe_id
+    """
+
+
+ORACLES["ann_recall_report"] = _ann_recall_oracle_sql()

@@ -83,6 +83,8 @@ BNLJ_ALLOWED = {
     "hard_negative_mining",  # cross-label mining: bounded probe side
     # broadcast, non-equi (label <>) by design like ann_topk_cosine
     "layer_reconciliation",  # 1-row retention-cutoff broadcast
+    "ann_recall_report",  # exact-recall ground truth: bounded probe
+    # side broadcast, non-equi (vec_id <>) by design like ann_topk_cosine
 }
 
 
