@@ -69,6 +69,8 @@ _GATE_FIRST = [
     "dq_expectations",  # new: data-quality expectation suite
     "theil_sen_slope",  # new: robust pairwise-median trend
     "hampel_filter",  # new: rolling median-MAD despike/repair
+    "ann_recall_report",  # new: IVF recall/cost audit per nprobe
+    "pagerank_types",  # new: integer-grid weighted PageRank
     # rotate-back wave: last driver-checked in round 4, judge-r6
     # green, unchanged since — due this round
     "congestion_classify",
@@ -83,9 +85,8 @@ _GATE_FIRST = [
     "moving_avg",
     "top_k",
     "event_funnel",
-    "melt_type_counts",
-    "props_extract",
-    # displaced to r8 head by r7 additions: q1_pricing_summary,
+    # displaced to r8 head by r7 additions: melt_type_counts,
+    # props_extract, q1_pricing_summary,
     # q3_shipping_priority, q5_local_supplier, revenue_by_nation,
     # promo_revenue, order_priority_count,
     # q7_volume_shipping,

@@ -33,7 +33,9 @@ DQ_RULES: list[tuple[str, float]] = [
     ("ts_in_range", 0.0),
     ("value_non_negative", 0.0),
     ("value_below_250", 30.0),
-    ("event_type_allowed", 25.0),
+    # 10 % tolerance is BELOW the corpus's ~20 % 'error' share, so the
+    # failing-rule branch is exercised (and hash-checked), not dead code
+    ("event_type_allowed", 10.0),
     ("sensor_registered", 40.0),
     ("props_k_below_64", 40.0),
 ]

@@ -1910,6 +1910,94 @@ def hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAGERANK_ITERS = 8
+PAGERANK_SCALE = 1 << 20  # transition-probability quantization grid
+PAGERANK_R0 = 10**9  # total rank mass in integer micro-units
+
+
+def pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the event-type transition graph (damping
+    0.85, ``PAGERANK_ITERS`` power iterations) — which state of the
+    sensor state machine absorbs the flow, the graph-centrality twin
+    of ``type_transition_matrix``'s local probabilities.
+
+    Engine-exact by an integer recurrence, not float iteration: edge
+    probabilities quantize to ``n·2²⁰ DIV out_total``; rank mass is
+    ``PAGERANK_R0`` integer units; each iteration is per-edge
+    ``r·p_q DIV 2²⁰`` (floored per edge, THEN integer-summed — order-
+    independent) plus the teleport term ``(15·R0 DIV 100) DIV N``.
+    All products stay < 2⁶³ (r ≤ 10⁹, p_q ≤ 2²⁰); the oracle unrolls
+    the identical iterations as CTEs. The documented deviation from
+    textbook PageRank is the per-edge floor (≤ N·2⁻²⁰ relative mass
+    loss per round).
+
+    Scale shape: the heavy leg is the ONE keyed aggregate collapsing
+    the fact table to the ≤|vocab|² edge list; every power iteration
+    then joins vocabulary-bounded frames (the same shape scales to
+    million-node graphs: per-iteration shuffle keyed on dst). The
+    driver sees only the bounded node count.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("src"),
+        F.col("event_type").alias("dst"),
+    ).filter(F.col("src").isNotNull())
+    wt = Window.partitionBy("src")
+    edges = (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("out_tot", F.sum("n").over(wt))
+        .withColumn(
+            "p_q", F.expr(f"n * {PAGERANK_SCALE} DIV out_tot").cast("long")
+        )
+        .select("src", "dst", "n", "out_tot", "p_q")
+    )
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    n_nodes = nodes.count()  # bounded: closed event-type vocabulary
+    teleport = (15 * PAGERANK_R0 // 100) // n_nodes
+    r = nodes.select(
+        "node", F.lit(PAGERANK_R0 // n_nodes).cast("long").alias("r")
+    )
+    for _ in range(PAGERANK_ITERS):
+        inflow = (
+            edges.join(r, edges["src"] == r["node"])
+            .select(
+                F.col("dst"),
+                F.expr(f"r * p_q DIV {PAGERANK_SCALE}").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        r = (
+            nodes.join(inflow, nodes["node"] == inflow["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr("85 * coalesce(inflow, 0) DIV 100")
+                ).cast("long").alias("r"),
+            )
+        )
+    deg = edges.groupBy("src").agg(
+        F.max("out_tot").alias("n_out"), F.count(F.lit(1)).alias("n_edges")
+    )
+    return (
+        r.join(deg, r["node"] == deg["src"], "left")
+        .select(
+            F.col("node").alias("event_type"),
+            F.coalesce(F.col("n_out"), F.lit(0).cast("long")).alias("n_out"),
+            F.coalesce(F.col("n_edges"), F.lit(0).cast("long")).alias(
+                "n_edges"
+            ),
+            F.col("r").alias("rank_q"),
+            pround(
+                F.col("r").cast("double") / F.lit(float(PAGERANK_R0))
+            ).alias("rank"),
+        )
+    )
+
+
 QUERIES = {
     "time_bucket_1min": time_bucket_1min,
     "sliding_window_counts": sliding_window_counts,
@@ -1956,6 +2044,7 @@ QUERIES = {
     "week_over_week": week_over_week,
     "theil_sen_slope": theil_sen_slope,
     "hampel_filter": hampel_filter,
+    "pagerank_types": pagerank_types,
     "rolling_quantile": rolling_quantile,
     "holt_linear": holt_linear,
     "window_funnel_strict": window_funnel_strict,
@@ -2935,3 +3024,62 @@ ORACLES = {
         FROM x
     """,
 }
+
+
+def _pagerank_oracle_sql() -> str:
+    """DuckDB twin of :func:`pagerank_types`: identical integer
+    recurrence with the power iterations unrolled as CTEs."""
+    tele = 15 * PAGERANK_R0 // 100
+    iters = []
+    for i in range(1, PAGERANK_ITERS + 1):
+        iters.append(f"""
+        r{i} AS (
+            SELECT n.node,
+                   (({tele} // nn.n_nodes)
+                    + 85 * COALESCE(i.inflow, 0) // 100) AS r
+            FROM nodes n CROSS JOIN nn LEFT JOIN (
+                SELECT e.dst, SUM((p.r * e.p_q) // {PAGERANK_SCALE}) AS inflow
+                FROM edges2 e JOIN r{i - 1} p ON p.node = e.src
+                GROUP BY 1
+            ) i ON i.dst = n.node
+        )""")
+    return f"""
+        WITH pairs AS (
+            SELECT lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts) AS src,
+                   event_type AS dst
+            FROM events
+        ),
+        edges AS (
+            SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+            FROM pairs WHERE src IS NOT NULL GROUP BY 1, 2
+        ),
+        edges2 AS (
+            SELECT src, dst, n,
+                   SUM(n) OVER (PARTITION BY src) AS out_tot,
+                   (n * {PAGERANK_SCALE}) // SUM(n) OVER (PARTITION BY src)
+                       AS p_q
+            FROM edges
+        ),
+        nodes AS (SELECT DISTINCT event_type AS node FROM events),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes),
+        r0 AS (
+            SELECT node, ({PAGERANK_R0} // n_nodes) AS r FROM nodes, nn
+        ),
+        {",".join(iters)},
+        deg AS (
+            SELECT src, CAST(MAX(out_tot) AS BIGINT) AS n_out,
+                   CAST(COUNT(*) AS BIGINT) AS n_edges
+            FROM edges2 GROUP BY 1
+        )
+        SELECT r.node AS event_type,
+               CAST(COALESCE(d.n_out, 0) AS BIGINT) AS n_out,
+               CAST(COALESCE(d.n_edges, 0) AS BIGINT) AS n_edges,
+               CAST(r.r AS BIGINT) AS rank_q,
+               {pround_sql(f'CAST(r.r AS DOUBLE) / {float(PAGERANK_R0)}')}
+                   AS rank
+        FROM r{PAGERANK_ITERS} r LEFT JOIN deg d ON d.src = r.node
+    """
+
+
+ORACLES["pagerank_types"] = _pagerank_oracle_sql()

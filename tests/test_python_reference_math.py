@@ -321,3 +321,202 @@ def test_rolling_quantile_matches_python(spark, sf_dir, events):
         got[r["sensor_id"]].append((r["roll_median"], r["n_window"]))
     for uid in want:
         assert sorted(got[uid]) == sorted(want[uid]), uid
+
+
+def _epoch_us(ts) -> int:
+    from datetime import datetime
+
+    td = ts - datetime(1970, 1, 1)
+    return (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
+
+
+def test_theil_sen_matches_python(spark, sf_dir, events):
+    from smart_city_data_pipeline_spark.operators.timeseries import (
+        THEIL_K,
+        theil_sen_slope,
+    )
+
+    series = defaultdict(list)
+    for e in events:
+        c = math.floor(e["value"] * 100 + 0.5)
+        series[e["user_id"]].append((_epoch_us(e["ts"]), e["event_id"], c))
+    expected = {}
+    for uid, pts in series.items():
+        pts.sort(key=lambda p: (p[0], p[1]), reverse=True)
+        trail = pts[:THEIL_K]
+        slopes = []
+        for i in range(len(trail)):
+            for j in range(i + 1, len(trail)):
+                ti, _, ci = trail[i]
+                tj, _, cj = trail[j]
+                if ti == tj:
+                    continue
+                slopes.append(((ci - cj) * 1000000.0 / (ti - tj), i + 1, j + 1))
+        if not slopes:
+            continue
+        slopes.sort()
+        med = slopes[(len(slopes) + 1) // 2 - 1][0]
+        expected[uid] = (len(slopes), _pround(med))
+    out = {
+        r["sensor_id"]: (r["n_pairs"], r["slope_cents_per_s"])
+        for r in theil_sen_slope(spark, sf_dir).collect()
+    }
+    assert out == expected
+
+
+def test_hampel_matches_python(spark, sf_dir, events):
+    from smart_city_data_pipeline_spark.operators.timeseries import (
+        HAMPEL_NSIG,
+        HAMPEL_W,
+        hampel_filter,
+    )
+
+    series = defaultdict(list)
+    for e in events:
+        c = math.floor(e["value"] * 100 + 0.5)
+        series[e["user_id"]].append((_epoch_us(e["ts"]), e["event_id"], c))
+    expected = {}
+    n_outliers = 0
+    for uid, pts in series.items():
+        pts.sort(key=lambda p: (p[0], p[1]))
+        cs = [c for _, _, c in pts]
+        for k, (_, eid, c) in enumerate(pts):
+            win = sorted(cs[max(0, k - HAMPEL_W) : k + HAMPEL_W + 1])
+            med = win[(len(win) + 1) // 2 - 1]
+            devs = sorted(abs(v - med) for v in win)
+            mad = devs[(len(devs) + 1) // 2 - 1]
+            out = abs(c - med) * 10000 > int(HAMPEL_NSIG * 14826) * mad
+            n_outliers += out
+            rep = med if out else c
+            expected[eid] = (
+                _pround(c / 100.0),
+                _pround(med / 100.0),
+                out,
+                _pround(rep / 100.0),
+            )
+    assert n_outliers > 0, "hampel outlier branch must fire on this corpus"
+    got = {
+        r["event_id"]: (
+            r["value"],
+            r["window_median"],
+            r["is_outlier"],
+            r["repaired"],
+        )
+        for r in hampel_filter(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_pagerank_types_matches_python(spark, sf_dir, events):
+    from collections import Counter
+
+    from smart_city_data_pipeline_spark.operators.timeseries import (
+        PAGERANK_ITERS,
+        PAGERANK_R0,
+        PAGERANK_SCALE,
+        pagerank_types,
+    )
+
+    series = defaultdict(list)
+    for e in events:
+        series[e["user_id"]].append((e["ts"], e["event_type"]))
+    # the lag window orders by ts alone — require unique (user, ts)
+    for uid, pts in series.items():
+        assert len({t for t, _ in pts}) == len(pts), uid
+    trans = Counter()
+    for uid, pts in series.items():
+        pts.sort()
+        for (_, a), (_, b) in zip(pts, pts[1:]):
+            trans[(a, b)] += 1
+    out_tot = Counter()
+    for (a, _), n in trans.items():
+        out_tot[a] += n
+    p_q = {e: n * PAGERANK_SCALE // out_tot[e[0]] for e, n in trans.items()}
+    nodes = sorted({e["event_type"] for e in events})
+    n_nodes = len(nodes)
+    tele = (15 * PAGERANK_R0 // 100) // n_nodes
+    r = {v: PAGERANK_R0 // n_nodes for v in nodes}
+    for _ in range(PAGERANK_ITERS):
+        inflow = Counter()
+        for (a, b), pq_ in p_q.items():
+            inflow[b] += r[a] * pq_ // PAGERANK_SCALE
+        r = {v: tele + 85 * inflow[v] // 100 for v in nodes}
+    got = {row["event_type"]: row for row in pagerank_types(spark, sf_dir).collect()}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert got[v]["rank_q"] == r[v], v
+        assert got[v]["n_out"] == out_tot[v]
+        assert got[v]["rank"] == _pround(r[v] / float(PAGERANK_R0))
+
+
+def test_dq_expectations_matches_python(spark, sf_dir, events):
+    import json
+
+    from smart_city_data_pipeline_spark.operators.quality import (
+        DQ_RULES,
+        dq_expectations,
+    )
+
+    sup = {
+        r["s_suppkey"]
+        for r in pq.read_table(f"{SF_DIR}/supplier.parquet").to_pylist()
+    }
+    allowed = {"click", "view", "purchase", "signup"}
+    n = len(events)
+    viols = Counter()
+    seen_ids = set()
+    for e in events:
+        if e["event_id"] is None:
+            viols["event_id_not_null"] += 1
+        elif e["event_id"] in seen_ids:
+            viols["event_id_unique"] += 1
+        else:
+            seen_ids.add(e["event_id"])
+        ts = e["ts"]
+        if ts is None or not ("2024-01-01" <= ts.isoformat() <= "2026-01-01"):
+            viols["ts_in_range"] += 1
+        if e["value"] < 0:
+            viols["value_non_negative"] += 1
+        if e["value"] > 250:
+            viols["value_below_250"] += 1
+        if e["event_type"] not in allowed:
+            viols["event_type_allowed"] += 1
+        if e["user_id"] not in sup:
+            viols["sensor_registered"] += 1
+        try:
+            k = int(json.loads(e["props"])["k"])
+            if k >= 64:
+                viols["props_k_below_64"] += 1
+        except Exception:
+            viols["props_k_below_64"] += 1
+    got = {r["rule"]: r for r in dq_expectations(spark, sf_dir).collect()}
+    assert set(got) == {rule for rule, _ in DQ_RULES}
+    failing = 0
+    for rule, tol in DQ_RULES:
+        row = got[rule]
+        assert row["n_checked"] == n
+        assert row["n_violations"] == viols[rule], rule
+        pct = viols[rule] * 100.0 / n
+        assert row["violation_pct"] == _pround(pct)
+        assert row["passed"] == (pct <= tol)
+        failing += not row["passed"]
+    assert failing > 0, "the failing-rule branch must fire on this corpus"
+
+
+def test_ann_recall_monotone_in_nprobe(spark, sf_dir):
+    from smart_city_data_pipeline_spark.operators.similarity import (
+        RECALL_NPROBES,
+        ann_recall_report,
+    )
+
+    rows = ann_recall_report(spark, sf_dir).collect()
+    by_probe = defaultdict(dict)
+    for r in rows:
+        by_probe[r["probe_id"]][r["nprobe"]] = r
+    for probe_id, levels in by_probe.items():
+        assert sorted(levels) == sorted(RECALL_NPROBES)
+        nps = sorted(levels)
+        for a, b in zip(nps, nps[1:]):
+            # probing more cells can only add candidates and recall
+            assert levels[a]["n_candidates"] <= levels[b]["n_candidates"]
+            assert levels[a]["recall_at_k"] <= levels[b]["recall_at_k"]
