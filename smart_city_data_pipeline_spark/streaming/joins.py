@@ -145,6 +145,50 @@ def correlate_streams_full_outer(
     )
 
 
+def correlate_streams_right_outer(
+    left: DataFrame,
+    right: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """RIGHT OUTER stream-stream correlation — the last cell of the
+    join-class matrix (inner / left / full / right): a right event
+    with no left partner in its backward window ``[r_ts − window,
+    r_ts]`` is emitted null-padded exactly once at eviction. The
+    mirror of :func:`correlate_streams_outer`'s contract with the
+    eviction clock on the RIGHT row: Spark can prove "no left match"
+    once the global watermark passes ``r_ts`` plus the left-retention
+    bound derived from the range condition. State stays O(window +
+    watermark) on both sides; the null-emission contract is pinned
+    phase by phase in tests/test_stream_outer_join.py::
+    test_right_outer_emits_right_nulls_exactly_once."""
+    l = (
+        left.select(
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("l_ts"),
+            F.col("event_id").alias("l_event_id"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    r = (
+        right.select(
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+            F.col("value").alias("r_value"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    return l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {window}")),
+        "right_outer",
+    ).select(
+        "l_user", "l_event_id", "l_ts", "r_user", "r_ts", "r_value"
+    )
+
+
 def batch_equivalent_correlate(left: DataFrame, right: DataFrame, window: str = "10 minutes") -> DataFrame:
     """The same correlation in batch — the streaming test's oracle."""
     l = left.select(

@@ -221,3 +221,65 @@ def test_full_outer_emits_both_sides_nulls_exactly_once(spark, tmp_path):
         (100, 7.5), (900, 0.0), (901, 0.0)
     }
     assert len(left_nulls) == 1 and len(right_nulls) == 1
+
+
+def test_right_outer_emits_right_nulls_exactly_once(spark, tmp_path):
+    """Mirror of the left-outer phased contract: a right event with no
+    left partner in its backward window is emitted null-padded on the
+    LEFT columns, exactly once, only after the global watermark evicts
+    it — and matched rows never reappear as nulls."""
+    from smart_city_data_pipeline_spark.streaming.joins import (
+        correlate_streams_right_outer,
+    )
+
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    # phase 1: r0 (00:02) matches l0 (00:00) inside the 10-min forward
+    # window; r1 (00:30) has no left row in [00:20, 00:30] — matchless
+    spark.createDataFrame([(1, _t(0, 0), 100)], L_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(ldir)
+    spark.createDataFrame(
+        [(1, _t(0, 2), 7.5), (1, _t(0, 30), 9.9)], R_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(rdir)
+
+    lstream = spark.readStream.schema(L_SCHEMA).parquet(ldir)
+    rstream = spark.readStream.schema(R_SCHEMA).parquet(rdir)
+    q = (
+        correlate_streams_right_outer(lstream, rstream)
+        .writeStream.format("memory")
+        .queryName("right_outer_join")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.table("right_outer_join").collect()
+        # no eviction yet → no null-padded row
+        assert all(r["l_event_id"] is not None for r in rows)
+
+        # advance the GLOBAL watermark on both sides, then once more so
+        # the eviction batch actually runs
+        for h in (2, 3):
+            spark.createDataFrame([(99, _t(h), 900 + h)], L_SCHEMA).coalesce(
+                1
+            ).write.mode("append").parquet(ldir)
+            spark.createDataFrame([(99, _t(h), 0.0)], R_SCHEMA).coalesce(
+                1
+            ).write.mode("append").parquet(rdir)
+            q.processAllAvailable()
+
+        rows = spark.table("right_outer_join").collect()
+    finally:
+        q.stop()
+
+    nulls = [r for r in rows if r["l_event_id"] is None]
+    matched = [r for r in rows if r["l_event_id"] is not None]
+    # r1's no-match row emitted exactly once, left columns null
+    assert [(r["r_user"], r["r_value"]) for r in nulls].count((1, 9.9)) == 1
+    r1 = next(r for r in nulls if r["r_value"] == 9.9)
+    assert r1["l_user"] is None and r1["l_ts"] is None
+    assert len(nulls) == 1
+    # r0 matched l0 and never null-pads
+    assert {(r["l_event_id"], r["r_value"]) for r in matched} >= {(100, 7.5)}
+    assert all(r["r_value"] != 7.5 for r in nulls)
