@@ -71,6 +71,8 @@ _GATE_FIRST = [
     "hampel_filter",  # new: rolling median-MAD despike/repair
     "ann_recall_report",  # new: IVF recall/cost audit per nprobe
     "pagerank_types",  # new: integer-grid weighted PageRank
+    "hll_distinct_report",  # new: HLL sketch w/ exact error audit
+    "downsample_lttb",  # new: sequential LTTB, recursive-CTE oracle
     # rotate-back wave: last driver-checked in round 4, judge-r6
     # green, unchanged since — due this round
     "congestion_classify",
@@ -83,9 +85,8 @@ _GATE_FIRST = [
     "retention_filter",
     "sessionize",
     "moving_avg",
-    "top_k",
-    "event_funnel",
-    # displaced to r8 head by r7 additions: melt_type_counts,
+    # displaced to r8 head by r7 additions: top_k, event_funnel,
+    # melt_type_counts,
     # props_extract, q1_pricing_summary,
     # q3_shipping_priority, q5_local_supplier, revenue_by_nation,
     # promo_revenue, order_priority_count,

@@ -362,6 +362,86 @@ _STATIONS_SQL = " UNION ALL ".join(
 )
 
 
+HLL_M = 64  # registers (2^6)
+HLL_IDX_BITS = 6
+HLL_W_BITS = 60 - HLL_IDX_BITS  # md5_long yields 60-bit hashes
+HLL_ALPHA = 0.709  # Flajolet et al. 2007 constant for m = 64
+
+
+def hll_distinct_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count estimation with exact error
+    accounting — the third workhorse sketch next to CMS
+    (``cms_error_report``) and GK quantiles (``zone_sketch_stats``):
+    per event type, distinct sensors estimated from 64 mergeable
+    registers, next to the exact count and the relative error. The
+    RAW HLL estimator (Flajolet et al. 2007 §3, no small/large-range
+    corrections — ln() is engine-divergent; the empty-register count
+    ``v_zero`` is reported so a caller can apply linear counting).
+
+    Engine-exact throughout: register index and rank come from the
+    md5 hash (rank = 54 − msb(w) + 1 via binary-string length — no
+    float log2); registers merge with MAX (order-independent — the
+    property that makes HLL mergeable across 1000 executors, and the
+    whole 100 TB story: one map-side-combinable aggregate into
+    m·|vocab| cells); the harmonic sum is computed as exact BIGINT
+    ``Σ 2^(Mmax−Mj)`` (≤ 64·2⁵⁵ < 2⁶³), so the one float step is the
+    final literal-constant multiply/divide, identical in both
+    engines."""
+    from smart_city_data_pipeline_spark.functions.hashing import md5_long
+
+    ev = table(spark, sf_dir, "events")
+    h = md5_long(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
+    base = ev.select(
+        "event_type",
+        "user_id",
+        (h % HLL_M).alias("idx"),
+        h.alias("h"),
+    ).withColumn("w", F.expr(f"h DIV {HLL_M}"))
+    # rank of first set bit from the top of the W-bit field: binary
+    # string length gives msb position exactly (no float log2)
+    rho = F.when(F.col("w") == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS) - F.length(F.conv(F.col("w"), 10, 2)) + 1
+    )
+    regs = base.select("event_type", "idx", rho.alias("rho")).groupBy(
+        "event_type", "idx"
+    ).agg(F.max("rho").alias("m_j"))
+    per_type = regs.groupBy("event_type").agg(
+        F.max("m_j").alias("m_max"),
+        F.count(F.lit(1)).alias("n_filled"),
+        F.collect_list("m_j").alias("ms"),
+    )
+    # Σ 2^(Mmax−Mj) over filled registers + empty registers at Mj=0
+    # 2^(m_max−m) via pow: powers of two are exact doubles; the long
+    # cast keeps the running sum integer-exact (F.shiftleft would be
+    # the natural form but only takes a literal shift count)
+    pow2 = lambda e: F.pow(F.lit(2.0), e.cast("double")).cast("long")  # noqa: E731
+    ssum = F.aggregate(
+        F.col("ms"),
+        F.lit(0).cast("long"),
+        lambda acc, m: acc + pow2(F.col("m_max") - m),
+    ) + (F.lit(HLL_M) - F.col("n_filled")).cast("long") * pow2(F.col("m_max"))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    est = F.lit(HLL_ALPHA * HLL_M * HLL_M) * F.pow(
+        F.lit(2.0), F.col("m_max").cast("double")
+    ) / F.col("s").cast("double")
+    return (
+        per_type.withColumn("s", ssum)
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            (F.lit(HLL_M) - F.col("n_filled")).cast("long").alias("v_zero"),
+            pround(est).alias("hll_estimate"),
+            pround(
+                (est - F.col("exact_distinct").cast("double"))
+                / F.col("exact_distinct").cast("double")
+            ).alias("rel_err"),
+        )
+    )
+
+
 QUERIES = {
     "congestion_classify": congestion_classify,
     "zone_analytics": zone_analytics,
@@ -375,6 +455,7 @@ QUERIES = {
     "dataset_summary": dataset_summary,
     "nearest_station_rollup": nearest_station_rollup,
     "cms_error_report": cms_error_report,
+    "hll_distinct_report": hll_distinct_report,
 }
 
 _CMS_HASH = (
@@ -528,5 +609,61 @@ ORACLES = {
                     ELSE 'low' END AS status,
                (FLOOR(CAST((2.5 * (1.0 + LEAST(value / 200.0, 1.0) * 0.5)) AS DOUBLE) * 100.0 + 0.5) / 100.0) AS rate_per_hour
         FROM events
+    """,
+    "hll_distinct_report": f"""
+        WITH base AS (
+            SELECT event_type,
+                   h % {HLL_M} AS idx,
+                   h // {HLL_M} AS w
+            FROM (
+                SELECT event_type,
+                       CAST(('0x' || substr(md5(
+                           'hll:' || CAST(user_id AS VARCHAR)), 1, 15))
+                           AS BIGINT) AS h
+                FROM events
+            )
+        ),
+        regs AS (
+            SELECT event_type, idx,
+                   MAX(CASE WHEN w = 0 THEN {HLL_W_BITS + 1}
+                       ELSE {HLL_W_BITS} - length(bin(w)) + 1 END) AS m_j
+            FROM base GROUP BY 1, 2
+        ),
+        wm AS (
+            SELECT *, MAX(m_j) OVER (PARTITION BY event_type) AS m_max
+            FROM regs
+        ),
+        pt AS (
+            SELECT event_type, m_max,
+                   CAST(COUNT(*) AS BIGINT) AS n_filled,
+                   SUM(CAST(1 AS BIGINT) << (m_max - m_j)) AS fsum
+            FROM wm GROUP BY 1, 2
+        ),
+        st AS (
+            SELECT event_type, m_max, n_filled,
+                   fsum + ({HLL_M} - n_filled)
+                       * (CAST(1 AS BIGINT) << m_max) AS s
+            FROM pt
+        ),
+        exact AS (
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+            FROM events GROUP BY 1
+        )
+        SELECT st.event_type, exact.exact_distinct,
+               CAST({HLL_M} - st.n_filled AS BIGINT) AS v_zero,
+               {pround_sql(
+                   f'{HLL_ALPHA * HLL_M * HLL_M!r}'
+                   ' * pow(2.0, CAST(st.m_max AS DOUBLE))'
+                   ' / CAST(st.s AS DOUBLE)'
+               )} AS hll_estimate,
+               {pround_sql(
+                   f'({HLL_ALPHA * HLL_M * HLL_M!r}'
+                   ' * pow(2.0, CAST(st.m_max AS DOUBLE))'
+                   ' / CAST(st.s AS DOUBLE)'
+                   ' - CAST(exact.exact_distinct AS DOUBLE))'
+                   ' / CAST(exact.exact_distinct AS DOUBLE)'
+               )} AS rel_err
+        FROM st JOIN exact USING (event_type)
     """,
 }
