@@ -73,6 +73,9 @@ _GATE_FIRST = [
     "pagerank_types",  # new: integer-grid weighted PageRank
     "hll_distinct_report",  # new: HLL sketch w/ exact error audit
     "downsample_lttb",  # new: sequential LTTB, recursive-CTE oracle
+    "track_lifetimes",  # new: tracker-population rollup
+    "token_gini_by_source",  # new: length-inequality audit
+    "source_divergence_chi2",  # new: domain-mix drift audit
     # rotate-back wave: last driver-checked in round 4, judge-r6
     # green, unchanged since — due this round
     "congestion_classify",
@@ -82,10 +85,8 @@ _GATE_FIRST = [
     "aqi_compute",
     "air_quality_zone",
     "parking_status",
-    "retention_filter",
-    "sessionize",
-    "moving_avg",
-    # displaced to r8 head by r7 additions: top_k, event_funnel,
+    # displaced to r8 head by r7 additions: retention_filter,
+    # sessionize, moving_avg, top_k, event_funnel,
     # melt_type_counts,
     # props_extract, q1_pricing_summary,
     # q3_shipping_priority, q5_local_supplier, revenue_by_nation,

@@ -1640,6 +1640,108 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count inequality per source: the Gini coefficient of
+    per-document lengths — the mix-balancing diagnostic next to
+    ``seq_len_histogram`` (0 = every doc the same length, →1 = a few
+    giants hold all the tokens; a high-Gini source needs length-aware
+    sampling before packing).
+
+    Exact by the rank formula ``Σ(2i−n−1)·x_(i) / (n·Σx)`` (x sorted
+    ascending; tie order cannot change the value — a tied block's
+    coefficient sum is order-invariant): the numerator accumulates in
+    DECIMAL(38,0) (HUGEINT twin) so it is exact far past BIGINT-scale
+    corpora, and the one float step is the final division. Shape: one
+    per-doc projection, one rank window per source (a bounded
+    vocabulary), one keyed aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        T.ws_token_count(F.col("text")).cast("long").alias("x"),
+    )
+    wr = Window.partitionBy("source").orderBy("x", "doc_id")
+    wn = Window.partitionBy("source")
+    ranked = base.select(
+        "source",
+        "x",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.sum("x").over(wn).alias("sx"),
+    )
+    term = (
+        (2 * F.col("i") - F.col("n") - 1) * F.col("x")
+    ).cast("decimal(38,0)")
+    agg = ranked.groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        F.max("sx").alias("total_tokens"),
+        F.sum(term).alias("num"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        pround(
+            F.col("num").cast("double")
+            / (F.col("n_docs") * F.col("total_tokens")).cast("double")
+        ).alias("gini"),
+    )
+
+
+SRC_DIV_SCALE = 1 << 20
+
+
+def source_divergence_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix drift per source: the χ² divergence between each
+    source's token distribution and the corpus distribution, summed
+    over the tokens the source actually uses (documented partial-sum
+    contract — the absent-token mass is the complement of covered
+    corpus mass and needs no per-token work). The audit that catches
+    a crawl slice drifting off-distribution BEFORE a model trains on
+    it; χ², unlike KL, needs no ln() — every term is polynomial in
+    exact integer counts, so the score is engine-exact under the
+    quantize-then-sum rule (each term snaps to the 2²⁰ grid, the
+    per-source sum is integer arithmetic in DECIMAL(38,0)).
+
+    Shape: one explode feeds the (source, token) and token aggregates;
+    the vocabulary join is an equi-join on token; the corpus total is
+    the allowlisted 1-row broadcast; per-source token totals ride a
+    window over the (source, token) aggregate, never the raw stream.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("token")
+    )
+    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c_ws"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c_w"))
+    total = vocab.agg(F.sum("c_w").alias("n_tot"))
+    ws = Window.partitionBy("source")
+    joined = (
+        st.withColumn("n_s", F.sum("c_ws").over(ws))
+        .join(vocab, "token")
+        .join(F.broadcast(total))
+    )
+    p = F.col("c_ws").cast("double") / F.col("n_s").cast("double")
+    q = F.col("c_w").cast("double") / F.col("n_tot").cast("double")
+    term = (p - q) * (p - q) / q
+    tq = F.floor(term * F.lit(float(SRC_DIV_SCALE)) + 0.5).cast(
+        "decimal(38,0)"
+    )
+    agg = joined.groupBy("source").agg(
+        F.max("n_s").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_used"),
+        F.sum(tq).alias("sq"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "vocab_used",
+        pround(
+            F.col("sq").cast("double") / F.lit(float(SRC_DIV_SCALE))
+        ).alias("chi2"),
+    )
+
+
 QUERIES = {
     "lang_id": lang_id,
     "text_quality": text_quality,
@@ -1676,6 +1778,8 @@ QUERIES = {
     "zipf_fit": zipf_fit,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "tokenizer_fertility": tokenizer_fertility,
+    "token_gini_by_source": token_gini_by_source,
+    "source_divergence_chi2": source_divergence_chi2,
 }
 
 _T = "text"
@@ -2487,3 +2591,74 @@ ORACLES = {
         ) WHERE rank <= {BPE_TOP}
     """,
 }
+
+
+ORACLES["token_gini_by_source"] = f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               CAST({T.ws_token_count_sql('text')} AS BIGINT) AS x
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, x,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY x, doc_id) AS i,
+               COUNT(*) OVER (PARTITION BY source) AS n,
+               SUM(x) OVER (PARTITION BY source) AS sx
+        FROM base
+    ),
+    agg AS (
+        SELECT source,
+               CAST(MAX(n) AS BIGINT) AS n_docs,
+               CAST(MAX(sx) AS BIGINT) AS total_tokens,
+               SUM(CAST((2 * i - n - 1) * x AS HUGEINT)) AS num
+        FROM ranked GROUP BY 1
+    )
+    SELECT source, n_docs, total_tokens,
+           {pround_sql(
+               'CAST(num AS DOUBLE)'
+               ' / CAST(n_docs * total_tokens AS DOUBLE)'
+           )} AS gini
+    FROM agg
+"""
+
+ORACLES["source_divergence_chi2"] = f"""
+    WITH tok AS (
+        SELECT source, unnest(
+            regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+        FROM documents
+    ),
+    st AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c_ws
+        FROM tok GROUP BY 1, 2
+    ),
+    vocab AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS c_w
+        FROM tok GROUP BY 1
+    ),
+    total AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_tot FROM vocab),
+    joined AS (
+        SELECT st.source, st.c_ws,
+               SUM(st.c_ws) OVER (PARTITION BY st.source) AS n_s,
+               v.c_w, t.n_tot
+        FROM st JOIN vocab v USING (token) CROSS JOIN total t
+    ),
+    terms AS (
+        SELECT source, n_s,
+               CAST(FLOOR(
+                   (CAST(c_ws AS DOUBLE) / CAST(n_s AS DOUBLE)
+                    - CAST(c_w AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                   * (CAST(c_ws AS DOUBLE) / CAST(n_s AS DOUBLE)
+                      - CAST(c_w AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                   / (CAST(c_w AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                   * {float(SRC_DIV_SCALE)} + 0.5) AS HUGEINT) AS tq
+        FROM joined
+    )
+    SELECT source,
+           CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_used,
+           {pround_sql(
+               f'CAST(SUM(tq) AS DOUBLE) / {float(SRC_DIV_SCALE)}'
+           )} AS chi2
+    FROM terms GROUP BY 1
+"""

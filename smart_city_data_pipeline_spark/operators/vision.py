@@ -390,6 +390,39 @@ def centroid_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dets.mapInPandas(_fold_partition, TRACKER_OUT_SCHEMA)
 
 
+def track_lifetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-camera track-population report over :func:`centroid_tracks`
+    output — the dashboard the reference's Flink tracker feeds
+    (flink_vision_job_proper.py:122-128 logs per-frame track counts):
+    how many identities each camera registered, how many expired vs
+    survived, and how long tracks lived (frames) / how often they
+    re-matched. One keyed aggregate over the tracker output (rows are
+    already one-per-track, bounded by detections); all stats are
+    exact-integer sums with single final divisions."""
+    tr = centroid_tracks(spark, sf_dir)
+    life = F.col("last_frame") - F.col("first_frame") + 1
+    agg = tr.groupBy("camera_id").agg(
+        F.count(F.lit(1)).alias("n_tracks"),
+        F.sum(F.col("expired").cast("long")).alias("n_expired"),
+        F.sum(life.cast("long")).alias("sum_life"),
+        F.max(life).cast("int").alias("max_life"),
+        F.sum(F.col("n_matched").cast("long")).alias("sum_matched"),
+    )
+    return agg.select(
+        "camera_id",
+        "n_tracks",
+        "n_expired",
+        pround(
+            F.col("sum_life").cast("double") / F.col("n_tracks").cast("double")
+        ).alias("avg_life_frames"),
+        "max_life",
+        pround(
+            F.col("sum_matched").cast("double")
+            / F.col("n_tracks").cast("double")
+        ).alias("avg_rematches"),
+    )
+
+
 _DET_BASE_SQL = """
     SELECT event_id, user_id AS camera_id, ts,
            user_id * 1000 + (event_id * 7 + i) % 50 AS object_id,
@@ -409,6 +442,7 @@ QUERIES = {
     "camera_object_stats": camera_object_stats,
     "camera_dwell_stats": camera_dwell_stats,
     "centroid_tracks": centroid_tracks,
+    "track_lifetimes": track_lifetimes,
 }
 
 ORACLES = {
@@ -559,3 +593,25 @@ ORACLES = {
               FROM st JOIN maxf USING (camera_id) WHERE f = fmax) s(camera_id, f, t)
     """,
 }
+
+from smart_city_data_pipeline_spark.functions.rounding import pround_sql  # noqa: E402
+
+# Aggregates the centroid_tracks oracle (nested as a derived table —
+# DuckDB allows the inner WITH RECURSIVE there) so both legs replay
+# the identical tracker before the per-camera rollup.
+ORACLES["track_lifetimes"] = f"""
+    SELECT camera_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tracks,
+           CAST(SUM(CASE WHEN expired THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_expired,
+           {pround_sql(
+               'CAST(SUM(last_frame - first_frame + 1) AS DOUBLE)'
+               ' / CAST(COUNT(*) AS DOUBLE)'
+           )} AS avg_life_frames,
+           CAST(MAX(last_frame - first_frame + 1) AS INT) AS max_life,
+           {pround_sql(
+               'CAST(SUM(n_matched) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)'
+           )} AS avg_rematches
+    FROM ({ORACLES['centroid_tracks']})
+    GROUP BY 1
+"""

@@ -85,6 +85,7 @@ BNLJ_ALLOWED = {
     "layer_reconciliation",  # 1-row retention-cutoff broadcast
     "ann_recall_report",  # exact-recall ground truth: bounded probe
     # side broadcast, non-equi (vec_id <>) by design like ann_topk_cosine
+    "source_divergence_chi2",  # 1-row corpus-token-total broadcast
 }
 
 
