@@ -43,6 +43,29 @@ DQ_RULES: list[tuple[str, float]] = [
 _DQ_ALLOWED_TYPES = ("click", "view", "purchase", "signup")
 
 
+def row_rule_conditions() -> list[tuple[str, "F.Column"]]:
+    """The ROW-LOCAL rule conditions (violation predicates), shared by
+    the batch suite and the streaming monitor
+    (streaming/dq_monitor.py). Excludes ``event_id_unique`` — a
+    corpus-global rule: batch computes it as a count-distinct in the
+    same aggregate; streaming delegates it to the dedup stream.
+    Expects the registry key joined in as ``reg_key``."""
+    k_val = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return [
+        ("event_id_not_null", F.col("event_id").isNull()),
+        (
+            "ts_in_range",
+            ~F.col("ts").between("2024-01-01", "2026-01-01")
+            | F.col("ts").isNull(),
+        ),
+        ("value_non_negative", F.col("value") < 0),
+        ("value_below_250", F.col("value") > 250),
+        ("event_type_allowed", ~F.col("event_type").isin(*_DQ_ALLOWED_TYPES)),
+        ("sensor_registered", F.col("reg_key").isNull()),
+        ("props_k_below_64", k_val.isNull() | (k_val >= 64)),
+    ]
+
+
 def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the expectation suite against ``events`` and emit one row
     per rule: rows checked, violations, violation percentage, and the
@@ -72,25 +95,17 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     def viol(cond) -> F.Column:
         return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
 
-    k_val = F.get_json_object(F.col("props"), "$.k").cast("long")
     agg = joined.agg(
         F.count(F.lit(1)).alias("n"),
-        viol(F.col("event_id").isNull()).alias("v_null"),
-        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("v_dupe"),
-        viol(
-            ~F.col("ts").between("2024-01-01", "2026-01-01")
-            | F.col("ts").isNull()
-        ).alias("v_ts"),
-        viol(F.col("value") < 0).alias("v_neg"),
-        viol(F.col("value") > 250).alias("v_range"),
-        viol(~F.col("event_type").isin(*_DQ_ALLOWED_TYPES)).alias("v_type"),
-        viol(F.col("reg_key").isNull()).alias("v_reg"),
-        viol(k_val.isNull() | (k_val >= 64)).alias("v_props"),
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias(
+            "v_event_id_unique"
+        ),
+        *[
+            viol(cond).alias(f"v_{rule}")
+            for rule, cond in row_rule_conditions()
+        ],
     )
-    viol_cols = [
-        "v_null", "v_dupe", "v_ts", "v_neg",
-        "v_range", "v_type", "v_reg", "v_props",
-    ]
+    viol_cols = [f"v_{rule}" for rule, _ in DQ_RULES]
     rows = F.array(
         *[
             F.struct(
