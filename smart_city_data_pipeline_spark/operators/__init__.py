@@ -76,6 +76,7 @@ _GATE_FIRST = [
     "track_lifetimes",  # new: tracker-population rollup
     "token_gini_by_source",  # new: length-inequality audit
     "source_divergence_chi2",  # new: domain-mix drift audit
+    "triangle_count",  # new: near-dup graph triangle census
     # rotate-back wave: last driver-checked in round 4, judge-r6
     # green, unchanged since — due this round
     "congestion_classify",
@@ -84,8 +85,8 @@ _GATE_FIRST = [
     "hourly_stats",
     "aqi_compute",
     "air_quality_zone",
-    "parking_status",
-    # displaced to r8 head by r7 additions: retention_filter,
+    # displaced to r8 head by r7 additions: parking_status,
+    # retention_filter,
     # sessionize, moving_avg, top_k, event_funnel,
     # melt_type_counts,
     # props_extract, q1_pricing_summary,

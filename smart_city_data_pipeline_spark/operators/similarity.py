@@ -961,6 +961,143 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting over the cosine near-dup graph —
+    per label: nodes, edges, wedges, triangles, and transitivity
+    (3·triangles / wedges), the cluster-cohesion signal that tells a
+    dedup pipeline whether a near-dup neighborhood is one tight clique
+    (safe to keep a single canonical doc) or a loose chain of pairwise
+    matches (transitive dedup would over-delete).
+
+    Spark-first shape — the compact-forward algorithm as three keyed
+    equi-joins, no driver state:
+
+    1. Edges are the within-label cosine pairs from
+       :func:`dedup.embedding_neardup` (which carries its own skew
+       guard: oversized cells fall back to SRP bands, so the edge
+       builder is never all-pairs-unbounded).
+    2. Each undirected edge is ORIENTED from its lower-(degree, id)
+       endpoint to the higher — the classic trick that caps every
+       node's out-degree at O(√m), so the wedge join below never
+       explodes on a hub node (a popularity-skewed near-dup cluster).
+    3. Wedges: out-edges self-joined on their source; the closing
+       third edge is a keyed equi-join on (v, w). Every join is an
+       equi-join on graph keys — shuffle volume is O(Σ out-deg²) ≤
+       O(m^1.5), the provably-optimal bound for triangle enumeration.
+
+    Counts are integers end-to-end; the only float is the final
+    transitivity ratio (two exact integers divided — IEEE-deterministic
+    in both engines, then ``pround``). The DuckDB oracle re-runs the
+    identical orientation, so engines agree exactly.
+    """
+    from smart_city_data_pipeline_spark.operators.dedup import (
+        embedding_neardup,
+    )
+
+    edges = embedding_neardup(spark, sf_dir).select(
+        "label", F.col("vec_a").alias("u"), F.col("vec_b").alias("v")
+    )
+    ends = edges.select("label", F.col("u").alias("node")).unionAll(
+        edges.select("label", F.col("v").alias("node"))
+    )
+    deg = ends.groupBy("label", "node").agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    # attach endpoint degrees, orient low-(d, id) -> high-(d, id)
+    e = (
+        edges.join(
+            deg.select(
+                "label", F.col("node").alias("u"), F.col("d").alias("du")
+            ),
+            ["label", "u"],
+        )
+        .join(
+            deg.select(
+                "label", F.col("node").alias("v"), F.col("d").alias("dv")
+            ),
+            ["label", "v"],
+        )
+    )
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    out = e.select(
+        "label",
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+    )
+    e1, e2 = out.alias("e1"), out.alias("e2")
+    # wedge (src; dst1 < dst2 in the same (deg, id) rank order), then
+    # close with the oriented third edge dst1 -> dst2
+    wedge = e1.join(
+        e2,
+        (F.col("e1.label") == F.col("e2.label"))
+        & (F.col("e1.src") == F.col("e2.src"))
+        & (
+            (F.col("e1.dd") < F.col("e2.dd"))
+            | (
+                (F.col("e1.dd") == F.col("e2.dd"))
+                & (F.col("e1.dst") < F.col("e2.dst"))
+            )
+        ),
+    ).select(
+        F.col("e1.label").alias("label"),
+        F.col("e1.dst").alias("w_src"),
+        F.col("e2.dst").alias("w_dst"),
+    )
+    tri = (
+        wedge.join(
+            out.select(
+                "label",
+                F.col("src").alias("w_src"),
+                F.col("dst").alias("w_dst"),
+            ),
+            ["label", "w_src", "w_dst"],
+            "left_semi",
+        )
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    base = (
+        deg.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            (F.sum(F.col("d") * (F.col("d") - 1)) / F.lit(2))
+            .cast("long")
+            .alias("n_wedges"),
+        )
+        .join(
+            edges.groupBy("label").agg(
+                F.count(F.lit(1)).cast("long").alias("n_edges")
+            ),
+            ["label"],
+        )
+    )
+    return (
+        base.join(tri, ["label"], "left")
+        .select(
+            "label",
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            F.coalesce(F.col("n_triangles"), F.lit(0).cast("long")).alias(
+                "n_triangles"
+            ),
+            pround(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    F.lit(3.0)
+                    * F.coalesce(F.col("n_triangles"), F.lit(0)).cast(
+                        "double"
+                    )
+                    / F.col("n_wedges").cast("double"),
+                ).otherwise(F.lit(0.0))
+            ).alias("transitivity"),
+        )
+    )
+
+
 QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "ann_ivf_topk": ann_ivf_topk,
@@ -975,6 +1112,7 @@ QUERIES = {
     "semantic_dedup": semantic_dedup,
     "doc_outlier_mahalanobis": doc_outlier_mahalanobis,
     "ann_recall_report": ann_recall_report,
+    "triangle_count": triangle_count,
 }
 
 _COS = cosine_sql("p.probe_emb", "e.embedding")
@@ -1497,3 +1635,77 @@ def _ann_recall_oracle_sql() -> str:
 
 
 ORACLES["ann_recall_report"] = _ann_recall_oracle_sql()
+
+
+def _triangle_count_oracle_sql() -> str:
+    from smart_city_data_pipeline_spark.operators.dedup import (
+        COSINE_NEARDUP_THRESHOLD,
+    )
+
+    return f"""
+        WITH emb AS (
+            SELECT vec_id, label, embedding,
+                   sqrt({dot_sql('embedding', 'embedding')}) AS nrm
+            FROM embeddings
+        ),
+        edges AS (
+            SELECT a.label, a.vec_id AS u, b.vec_id AS v
+            FROM emb a
+            JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE {dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+                  >= {COSINE_NEARDUP_THRESHOLD}
+        ),
+        deg AS (
+            SELECT label, node, COUNT(*) AS d
+            FROM (
+                SELECT label, u AS node FROM edges
+                UNION ALL
+                SELECT label, v AS node FROM edges
+            ) GROUP BY 1, 2
+        ),
+        oriented AS (
+            SELECT e.label,
+                   CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                        THEN e.u ELSE e.v END AS src,
+                   CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                        THEN e.v ELSE e.u END AS dst,
+                   CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                        THEN dv.d ELSE du.d END AS dd
+            FROM edges e
+            JOIN deg du ON du.label = e.label AND du.node = e.u
+            JOIN deg dv ON dv.label = e.label AND dv.node = e.v
+        ),
+        tri AS (
+            SELECT e1.label, CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM oriented e1
+            JOIN oriented e2
+              ON e1.label = e2.label AND e1.src = e2.src
+             AND (e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst))
+            JOIN oriented e3
+              ON e3.label = e1.label AND e3.src = e1.dst AND e3.dst = e2.dst
+            GROUP BY 1
+        ),
+        base AS (
+            SELECT d.label,
+                   CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                   CAST(SUM(d.d * (d.d - 1)) / 2 AS BIGINT) AS n_wedges
+            FROM deg d GROUP BY 1
+        ),
+        ec AS (
+            SELECT label, CAST(COUNT(*) AS BIGINT) AS n_edges
+            FROM edges GROUP BY 1
+        )
+        SELECT base.label, n_nodes, n_edges, n_wedges,
+               CAST(COALESCE(tri.n_triangles, 0) AS BIGINT) AS n_triangles,
+               {pround_sql(
+                   "CASE WHEN n_wedges > 0 THEN 3.0 * "
+                   "CAST(COALESCE(tri.n_triangles, 0) AS DOUBLE) "
+                   "/ CAST(n_wedges AS DOUBLE) ELSE 0.0 END"
+               )} AS transitivity
+        FROM base
+        JOIN ec ON ec.label = base.label
+        LEFT JOIN tri ON tri.label = base.label
+    """
+
+
+ORACLES["triangle_count"] = _triangle_count_oracle_sql()

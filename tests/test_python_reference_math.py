@@ -520,3 +520,65 @@ def test_ann_recall_monotone_in_nprobe(spark, sf_dir):
             # probing more cells can only add candidates and recall
             assert levels[a]["n_candidates"] <= levels[b]["n_candidates"]
             assert levels[a]["recall_at_k"] <= levels[b]["recall_at_k"]
+
+
+def test_triangle_count_matches_python(spark, sf_dir):
+    """Brute-force python triangle/wedge census over the same cosine
+    edge set — validates the oriented wedge-join enumeration (each
+    triangle exactly once, hub-node skew notwithstanding)."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    import duckdb
+
+    from smart_city_data_pipeline_spark.operators.dedup import (
+        COSINE_NEARDUP_THRESHOLD,
+    )
+    from smart_city_data_pipeline_spark.operators.similarity import (
+        triangle_count,
+    )
+
+    con = duckdb.connect()
+    vecs = con.execute(
+        f"SELECT vec_id, label, CAST(embedding AS DOUBLE[]) "
+        f"FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    by_label = defaultdict(list)
+    for vid, lab, emb in vecs:
+        by_label[lab].append((vid, emb))
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return d / (na * nb)
+
+    expected = {}
+    for lab, members in by_label.items():
+        adj = defaultdict(set)
+        n_edges = 0
+        for (ua, ea), (ub, eb) in combinations(sorted(members), 2):
+            if cos(ea, eb) >= COSINE_NEARDUP_THRESHOLD:
+                adj[ua].add(ub)
+                adj[ub].add(ua)
+                n_edges += 1
+        if not n_edges:
+            continue
+        wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+        tris = 0
+        for u in adj:
+            for v, w in combinations(sorted(adj[u]), 2):
+                if u < v and w in adj[v]:
+                    tris += 1
+        expected[lab] = (len(adj), n_edges, wedges, tris)
+
+    got = {
+        r["label"]: (
+            r["n_nodes"],
+            r["n_edges"],
+            r["n_wedges"],
+            r["n_triangles"],
+        )
+        for r in triangle_count(spark, sf_dir).collect()
+    }
+    assert got == expected
