@@ -77,6 +77,7 @@ _GATE_FIRST = [
     "token_gini_by_source",  # new: length-inequality audit
     "source_divergence_chi2",  # new: domain-mix drift audit
     "triangle_count",  # new: near-dup graph triangle census
+    "benford_digit_test",  # new: Benford first-digit fraud audit
     # rotate-back wave: last driver-checked in round 4, judge-r6
     # green, unchanged since — due this round
     "congestion_classify",
@@ -84,8 +85,8 @@ _GATE_FIRST = [
     "road_type_analytics",
     "hourly_stats",
     "aqi_compute",
-    "air_quality_zone",
-    # displaced to r8 head by r7 additions: parking_status,
+    # displaced to r8 head by r7 additions: air_quality_zone,
+    # parking_status,
     # retention_filter,
     # sessionize, moving_avg, top_k, event_funnel,
     # melt_type_counts,

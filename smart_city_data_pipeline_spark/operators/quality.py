@@ -182,10 +182,165 @@ def _dq_oracle() -> str:
     """
 
 
+# Benford first-digit probabilities log10(1 + 1/d), as repr'd python
+# doubles so the IDENTICAL binary64 literal lands in the Spark plan and
+# the DuckDB oracle text.
+BENFORD_P: dict[int, float] = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+BENFORD_CHI2_CRIT = 20.09  # chi-square df=8, alpha=0.01
+_CHI2_Q = 65536.0  # 2^16 contribution grid (order-free exact sum)
+
+
+def benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit conformance per zone — the
+    classic tampered-meter / fabricated-reading detector (a sensor
+    whose readings are invented tends to flat or round-number digit
+    distributions; organic multi-scale measurements follow Benford).
+
+    One row per (zone, digit 1-9): observed count, observed share,
+    Benford expectation, and the ZONE-level chi-square replicated onto
+    each row plus the violation flag (df=8, alpha=0.01).
+
+    Spark-first / engine-exact shape: the fact scans once into a
+    (zone, digit) count aggregate — map-side combinable, 9·|zones|
+    result rows. The first digit comes from INTEGER math (leading
+    char of floor(value·100 + 0.5), never log10, whose engine
+    rounding at decade boundaries could flip a digit). Each digit's
+    chi-square contribution ((obs − n·p)² / (n·p), binary64-identical
+    in both engines given the shared literals) is quantized to a 2^16
+    integer grid; the zone chi2 is the exact integer window sum — no
+    float-accumulation order sensitivity.
+    """
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    obs = (
+        ev.select(
+            F.col("event_type").alias("zone"), cents.alias("cents")
+        )
+        .filter(F.col("cents") > 0)
+        .select(
+            "zone",
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit"),
+        )
+        .groupBy("zone", "digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    grid = (
+        obs.select("zone")
+        .distinct()
+        .crossJoin(
+            spark.createDataFrame(
+                [(d,) for d in range(1, 10)], "digit int"
+            )
+        )
+    )
+    full = grid.join(obs, ["zone", "digit"], "left").select(
+        "zone",
+        "digit",
+        F.coalesce(F.col("n_obs"), F.lit(0).cast("long")).alias("n_obs"),
+    )
+    from pyspark.sql import Window
+
+    wz = Window.partitionBy("zone")
+    p = F.element_at(
+        F.create_map(
+            *[
+                c
+                for d in range(1, 10)
+                for c in (F.lit(d), F.lit(BENFORD_P[d]))
+            ]
+        ),
+        F.col("digit"),
+    )
+    n = F.sum("n_obs").over(wz).cast("double")
+    exp_n = n * p
+    contrib = (F.col("n_obs").cast("double") - exp_n) * (
+        F.col("n_obs").cast("double") - exp_n
+    ) / exp_n
+    contrib_q = F.floor(contrib * F.lit(_CHI2_Q) + F.lit(0.5)).cast("long")
+    chi2 = F.sum(contrib_q).over(wz).cast("double") / F.lit(_CHI2_Q)
+    return full.select(
+        "zone",
+        "digit",
+        "n_obs",
+        pround(F.col("n_obs").cast("double") / n).alias("obs_share"),
+        pround(p).alias("benford_p"),
+        pround(chi2).alias("chi2_zone"),
+        (chi2 > F.lit(BENFORD_CHI2_CRIT)).alias("benford_violated"),
+    )
+
+
+def _benford_oracle() -> str:
+    p_case = " ".join(
+        f"WHEN {d} THEN {BENFORD_P[d]!r}" for d in range(1, 10)
+    )
+    return f"""
+        WITH obs AS (
+            SELECT event_type AS zone,
+                   CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+                       AS digit,
+                   CAST(COUNT(*) AS BIGINT) AS n_obs
+            FROM (
+                SELECT event_type,
+                       CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+                FROM events
+            ) WHERE cents > 0
+            GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT z.zone, d.digit
+            FROM (SELECT DISTINCT zone FROM obs) z,
+                 (SELECT UNNEST(range(1, 10)) AS digit) d
+        ),
+        filled AS (
+            SELECT g.zone, g.digit,
+                   CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+                   CAST(CASE g.digit {p_case} END AS DOUBLE) AS p
+            FROM grid g LEFT JOIN obs o
+              ON o.zone = g.zone AND o.digit = g.digit
+        ),
+        scored AS (
+            SELECT *,
+                   CAST(SUM(n_obs) OVER (PARTITION BY zone) AS DOUBLE) AS n,
+                   CAST(FLOOR(
+                       (CAST(n_obs AS DOUBLE)
+                        - CAST(SUM(n_obs) OVER (PARTITION BY zone) AS DOUBLE) * p)
+                       * (CAST(n_obs AS DOUBLE)
+                        - CAST(SUM(n_obs) OVER (PARTITION BY zone) AS DOUBLE) * p)
+                       / (CAST(SUM(n_obs) OVER (PARTITION BY zone) AS DOUBLE) * p)
+                       * {_CHI2_Q} + 0.5) AS BIGINT) AS contrib_q
+            FROM filled
+        )
+        SELECT zone, digit, n_obs,
+               {pround_sql('CAST(n_obs AS DOUBLE) / n')} AS obs_share,
+               {pround_sql('p')} AS benford_p,
+               {pround_sql(
+                   'CAST(SUM(contrib_q) OVER (PARTITION BY zone) AS DOUBLE)'
+                   f' / {_CHI2_Q}'
+               )} AS chi2_zone,
+               (CAST(SUM(contrib_q) OVER (PARTITION BY zone) AS DOUBLE)
+                / {_CHI2_Q} > {BENFORD_CHI2_CRIT}) AS benford_violated
+        FROM scored
+    """
+
+
 QUERIES = {
     "dq_expectations": dq_expectations,
+    "benford_digit_test": benford_digit_test,
 }
 
 ORACLES = {
     "dq_expectations": _dq_oracle(),
+    "benford_digit_test": _benford_oracle(),
 }

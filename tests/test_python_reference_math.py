@@ -582,3 +582,48 @@ def test_triangle_count_matches_python(spark, sf_dir):
         for r in triangle_count(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_benford_digit_test_matches_python(spark, sf_dir):
+    """Python recomputation of the per-zone Benford chi-square from raw
+    parquet (integer first digits, quantized contribution grid)."""
+    from collections import Counter
+
+    import duckdb
+
+    from smart_city_data_pipeline_spark.operators.quality import (
+        BENFORD_CHI2_CRIT,
+        BENFORD_P,
+        _CHI2_Q,
+        benford_digit_test,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT event_type, value "
+        f"FROM read_parquet('{sf_dir}/events.parquet') WHERE value IS NOT NULL"
+    ).fetchall()
+    counts = Counter()
+    for zone, value in rows:
+        cents = int((value * 100.0 + 0.5) // 1)
+        if cents > 0:
+            counts[(zone, int(str(cents)[0]))] += 1
+
+    zones = {z for z, _ in counts}
+    expected = {}
+    for z in zones:
+        n = float(sum(counts[(z, d)] for d in range(1, 10)))
+        q_sum = 0
+        for d in range(1, 10):
+            obs = float(counts[(z, d)])
+            exp_n = n * BENFORD_P[d]
+            q_sum += int((obs - exp_n) * (obs - exp_n) / exp_n * _CHI2_Q + 0.5)
+        chi2 = q_sum / _CHI2_Q
+        for d in range(1, 10):
+            expected[(z, d)] = (counts[(z, d)], chi2 > BENFORD_CHI2_CRIT)
+
+    got = {
+        (r["zone"], r["digit"]): (r["n_obs"], r["benford_violated"])
+        for r in benford_digit_test(spark, sf_dir).collect()
+    }
+    assert got == expected
