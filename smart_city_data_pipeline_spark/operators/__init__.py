@@ -78,14 +78,15 @@ _GATE_FIRST = [
     "source_divergence_chi2",  # new: domain-mix drift audit
     "triangle_count",  # new: near-dup graph triangle census
     "benford_digit_test",  # new: Benford first-digit fraud audit
+    "walsh_energy",  # new: exact-integer Walsh-Hadamard bands
     # rotate-back wave: last driver-checked in round 4, judge-r6
     # green, unchanged since — due this round
     "congestion_classify",
     "zone_analytics",
     "road_type_analytics",
     "hourly_stats",
-    "aqi_compute",
-    # displaced to r8 head by r7 additions: air_quality_zone,
+    # displaced to r8 head by r7 additions: aqi_compute,
+    # air_quality_zone,
     # parking_status,
     # retention_filter,
     # sessionize, moving_avg, top_k, event_funnel,

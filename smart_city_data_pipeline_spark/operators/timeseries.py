@@ -2105,7 +2105,88 @@ def pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WALSH_N = 64  # series length (power of two)
+WALSH_K = 8  # sequency coefficients emitted per sensor
+
+
+def walsh_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walsh–Hadamard spectral signature per sensor: the first
+    ``WALSH_K`` sequency coefficients over the sensor's first
+    ``WALSH_N`` hourly points, with per-band energy and energy share —
+    the Fourier-style periodicity fingerprint (flat vs diurnal vs
+    bursty) WITHOUT transcendental basis functions.
+
+    Why Walsh and not DFT: the WHT basis is ±1, and the sign of basis
+    k at index n is ``(-1)^popcount(k AND n)`` — pure integer bit math
+    (``bit_count``), so the whole transform is exact-integer in BOTH
+    engines; a cos/sin basis would hinge on last-ulp libm agreement at
+    grid boundaries, exactly the nondeterminism the repo's rounding
+    policy exists to exclude.
+
+    Plan shape: one map-side-combinable hourly rollup of the fact
+    (same `(s*128) DIV n` integer points as :func:`acf_lags`), a
+    row_number window bounded to 64 rows per sensor, an 8-way
+    literal-array explode, and one keyed aggregate — Σ per-sensor work
+    is O(64·8), the fact shuffles once. Coefficients ≤ 64·(25 000·128)
+    so energies stay < 2^53 (exact doubles) at any corpus size.
+    """
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hourly = (
+        ev.groupBy(
+            F.col("user_id").alias("sensor_id"),
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+            .cast("long")
+            .alias("he"),
+        )
+        .agg(F.sum(cents).alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("sensor_id", "he", F.expr("(s * 128) DIV n").alias("v"))
+    )
+    w = Window.partitionBy("sensor_id").orderBy("he")
+    pts = (
+        hourly.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= WALSH_N)
+        .select("sensor_id", (F.col("rn") - 1).alias("idx"), "v")
+    )
+    ks = pts.select(
+        "sensor_id",
+        "idx",
+        "v",
+        F.explode(
+            F.array(*[F.lit(k) for k in range(WALSH_K)])
+        ).alias("k"),
+    )
+    sign = 1 - 2 * (
+        F.bit_count(F.col("k").cast("long").bitwiseAND(F.col("idx"))) % 2
+    )
+    coef = ks.groupBy("sensor_id", "k").agg(
+        F.sum(F.col("v") * sign.cast("long")).cast("long").alias("coef"),
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+    )
+    wtot = Window.partitionBy("sensor_id")
+    energy = (F.col("coef") * F.col("coef")).cast("long")
+    return (
+        coef.withColumn("energy", energy)
+        .withColumn("tot", F.sum("energy").over(wtot))
+        .select(
+            "sensor_id",
+            "k",
+            "n_points",
+            "coef",
+            "energy",
+            pround(
+                F.when(
+                    F.col("tot") > 0,
+                    F.col("energy").cast("double")
+                    / F.col("tot").cast("double"),
+                ).otherwise(F.lit(0.0))
+            ).alias("energy_share"),
+        )
+    )
+
+
 QUERIES = {
+    "walsh_energy": walsh_energy,
     "time_bucket_1min": time_bucket_1min,
     "sliding_window_counts": sliding_window_counts,
     "latest_metrics": latest_metrics,
@@ -3274,3 +3355,47 @@ def _lttb_oracle_sql() -> str:
 
 
 ORACLES["downsample_lttb"] = _lttb_oracle_sql()
+
+
+def _walsh_oracle_sql() -> str:
+    return f"""
+        WITH hourly AS (
+            SELECT user_id AS sensor_id,
+                   CAST(FLOOR(epoch(date_trunc('hour', ts)) / 3600)
+                        AS BIGINT) AS he,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) * 128
+                        // COUNT(*) AS BIGINT) AS v
+            FROM events
+            GROUP BY 1, 2
+        ),
+        pts AS (
+            SELECT sensor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY sensor_id ORDER BY he
+                   ) - 1 AS idx,
+                   v
+            FROM hourly
+            QUALIFY idx < {WALSH_N}
+        ),
+        coefs AS (
+            SELECT p.sensor_id, k.k,
+                   CAST(COUNT(*) AS BIGINT) AS n_points,
+                   CAST(SUM(p.v * (1 - 2 * (bit_count(
+                        CAST(k.k AS BIGINT) & CAST(p.idx AS BIGINT)
+                   ) % 2))) AS BIGINT) AS coef
+            FROM pts p, (SELECT UNNEST(range(0, {WALSH_K})) AS k) k
+            GROUP BY 1, 2
+        )
+        SELECT sensor_id, CAST(k AS INTEGER) AS k, n_points, coef,
+               CAST(coef * coef AS BIGINT) AS energy,
+               {pround_sql(
+                   'CASE WHEN SUM(coef * coef) OVER (PARTITION BY sensor_id)'
+                   ' > 0 THEN CAST(coef * coef AS DOUBLE)'
+                   ' / CAST(SUM(coef * coef) OVER (PARTITION BY sensor_id)'
+                   ' AS DOUBLE) ELSE 0.0 END'
+               )} AS energy_share
+        FROM coefs
+    """
+
+
+ORACLES["walsh_energy"] = _walsh_oracle_sql()

@@ -627,3 +627,53 @@ def test_benford_digit_test_matches_python(spark, sf_dir):
         for r in benford_digit_test(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_walsh_energy_matches_python(spark, sf_dir):
+    """Python Walsh–Hadamard recomputation over the same integer hourly
+    points — validates the bit_count sign convention and the 64-point
+    truncation."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from smart_city_data_pipeline_spark.operators.timeseries import (
+        WALSH_K,
+        WALSH_N,
+        walsh_energy,
+    )
+
+    con = duckdb.connect()
+    hourly = con.execute(
+        f"""
+        SELECT user_id, CAST(FLOOR(epoch(date_trunc('hour', ts)) / 3600)
+               AS BIGINT) AS he,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) * 128
+                    // COUNT(*) AS BIGINT) AS v
+        FROM read_parquet('{sf_dir}/events.parquet')
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    series = defaultdict(list)
+    for sid, _, v in hourly:
+        if len(series[sid]) < WALSH_N:
+            series[sid].append(v)
+
+    expected = {}
+    for sid, vs in series.items():
+        coefs = [
+            sum(
+                v * (1 - 2 * (bin(k & n).count("1") % 2))
+                for n, v in enumerate(vs)
+            )
+            for k in range(WALSH_K)
+        ]
+        tot = sum(c * c for c in coefs)
+        for k, c in enumerate(coefs):
+            expected[(sid, k)] = (len(vs), c, c * c)
+
+    got = {
+        (r["sensor_id"], r["k"]): (r["n_points"], r["coef"], r["energy"])
+        for r in walsh_energy(spark, sf_dir).collect()
+    }
+    assert got == expected
