@@ -79,13 +79,14 @@ _GATE_FIRST = [
     "triangle_count",  # new: near-dup graph triangle census
     "benford_digit_test",  # new: Benford first-digit fraud audit
     "walsh_energy",  # new: exact-integer Walsh-Hadamard bands
+    "forecast_backtest",  # new: naive-vs-snaive rolling-origin audit
     # rotate-back wave: last driver-checked in round 4, judge-r6
     # green, unchanged since — due this round
     "congestion_classify",
     "zone_analytics",
     "road_type_analytics",
-    "hourly_stats",
-    # displaced to r8 head by r7 additions: aqi_compute,
+    # displaced to r8 head by r7 additions: hourly_stats,
+    # aqi_compute,
     # air_quality_zone,
     # parking_status,
     # retention_filter,

@@ -2185,8 +2185,84 @@ def walsh_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the two standard no-parameter
+    forecasters over each sensor's hourly series: NAIVE (last hour
+    persists) vs SEASONAL-NAIVE (same hour yesterday persists) — the
+    baseline every forecasting deployment must beat (Hyndman & A.,
+    "Forecasting: Principles and Practice" §5.2), run as a query so a
+    fleet-wide "is this series diurnal enough for snaive?" audit is one
+    scan, not a model-server loop.
+
+    Per sensor: evaluation points are hours having BOTH a t−1 and a
+    t−24 point (pairwise-complete, holes pair nothing — the
+    :func:`acf_lags` convention), errors are exact-integer |Δ| sums on
+    the `(s*128) DIV n` grid, and the output is MAE for both
+    forecasters plus the skill ratio (snaive/naive < 1 ⟹ diurnal
+    structure dominates drift).
+
+    Plan: ONE map-side hourly rollup of the fact, then two keyed
+    equi-joins of the tiny per-(sensor, hour) aggregate against itself
+    (no window over raw facts, no global sort). Everything after the
+    rollup runs on |sensors|·|hours| rows.
+    """
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hourly = (
+        ev.groupBy(
+            F.col("user_id").alias("sensor_id"),
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+            .cast("long")
+            .alias("he"),
+        )
+        .agg(F.sum(cents).alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("sensor_id", "he", F.expr("(s * 128) DIV n").alias("v"))
+    )
+    cur = hourly.alias("c")
+    l1 = hourly.select(
+        F.col("sensor_id").alias("s1"),
+        F.col("he").alias("h1"),
+        F.col("v").alias("v1"),
+    )
+    l24 = hourly.select(
+        F.col("sensor_id").alias("s24"),
+        F.col("he").alias("h24"),
+        F.col("v").alias("v24"),
+    )
+    joined = cur.join(
+        l1,
+        (F.col("c.sensor_id") == F.col("s1"))
+        & (F.col("h1") == F.col("c.he") - 1),
+    ).join(
+        l24,
+        (F.col("c.sensor_id") == F.col("s24"))
+        & (F.col("h24") == F.col("c.he") - 24),
+    )
+    g = joined.groupBy(F.col("c.sensor_id").alias("sensor_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(F.abs(F.col("c.v") - F.col("v1"))).cast("long").alias("ae1"),
+        F.sum(F.abs(F.col("c.v") - F.col("v24"))).cast("long").alias("ae24"),
+    )
+    d = F.lit(12800.0)  # back to reading units: 100 cents x 128 grid
+    mae_n = F.col("ae1").cast("double") / F.col("n_eval").cast("double") / d
+    mae_s = F.col("ae24").cast("double") / F.col("n_eval").cast("double") / d
+    return g.select(
+        "sensor_id",
+        "n_eval",
+        pround(mae_n).alias("mae_naive"),
+        pround(mae_s).alias("mae_snaive"),
+        pround(
+            F.when(
+                F.col("ae1") > 0,
+                F.col("ae24").cast("double") / F.col("ae1").cast("double"),
+            ).otherwise(F.lit(0.0))
+        ).alias("skill_ratio"),
+    )
+
+
 QUERIES = {
     "walsh_energy": walsh_energy,
+    "forecast_backtest": forecast_backtest,
     "time_bucket_1min": time_bucket_1min,
     "sliding_window_counts": sliding_window_counts,
     "latest_metrics": latest_metrics,
@@ -3399,3 +3475,44 @@ def _walsh_oracle_sql() -> str:
 
 
 ORACLES["walsh_energy"] = _walsh_oracle_sql()
+
+
+def _forecast_backtest_oracle_sql() -> str:
+    return f"""
+        WITH hourly AS (
+            SELECT user_id AS sensor_id,
+                   CAST(FLOOR(epoch(date_trunc('hour', ts)) / 3600)
+                        AS BIGINT) AS he,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) * 128
+                        // COUNT(*) AS BIGINT) AS v
+            FROM events
+            GROUP BY 1, 2
+        ),
+        g AS (
+            SELECT c.sensor_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_eval,
+                   CAST(SUM(ABS(c.v - l1.v)) AS BIGINT) AS ae1,
+                   CAST(SUM(ABS(c.v - l24.v)) AS BIGINT) AS ae24
+            FROM hourly c
+            JOIN hourly l1
+              ON l1.sensor_id = c.sensor_id AND l1.he = c.he - 1
+            JOIN hourly l24
+              ON l24.sensor_id = c.sensor_id AND l24.he = c.he - 24
+            GROUP BY 1
+        )
+        SELECT sensor_id, n_eval,
+               {pround_sql(
+                   'CAST(ae1 AS DOUBLE) / CAST(n_eval AS DOUBLE) / 12800.0'
+               )} AS mae_naive,
+               {pround_sql(
+                   'CAST(ae24 AS DOUBLE) / CAST(n_eval AS DOUBLE) / 12800.0'
+               )} AS mae_snaive,
+               {pround_sql(
+                   'CASE WHEN ae1 > 0 THEN CAST(ae24 AS DOUBLE)'
+                   ' / CAST(ae1 AS DOUBLE) ELSE 0.0 END'
+               )} AS skill_ratio
+        FROM g
+    """
+
+
+ORACLES["forecast_backtest"] = _forecast_backtest_oracle_sql()

@@ -677,3 +677,52 @@ def test_walsh_energy_matches_python(spark, sf_dir):
         for r in walsh_energy(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_forecast_backtest_diurnal_series(spark, tmp_path):
+    """Planted diurnal series: a clean 24h-periodic sensor must show
+    snaive MAE 0 (skill 0), while a drifting sensor must favor naive —
+    pins the lag directions (t-1 vs t-24) and the pairwise-complete
+    evaluation set."""
+    import shutil
+
+    from smart_city_data_pipeline_spark.operators.timeseries import (
+        forecast_backtest,
+    )
+
+    rows = []
+    eid = 0
+    for h in range(72):  # 3 days, hourly
+        ts = f"2025-03-0{1 + h // 24} {h % 24:02d}:30:00"
+        # sensor 1: pure diurnal sawtooth, period 24
+        rows.append((eid, ts, 1, "click", float(10 + (h % 24)), "{}"))
+        eid += 1
+        # sensor 2: pure linear drift (naive error 1, snaive error 24)
+        rows.append((eid, ts, 2, "click", float(h), "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F_ts("ts"))
+    d = str(tmp_path / "sfx")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    got = {
+        r["sensor_id"]: r for r in forecast_backtest(spark, d).collect()
+    }
+    # 48 evaluable hours each (hours 24..71)
+    assert got[1]["n_eval"] == 48 and got[2]["n_eval"] == 48
+    assert got[1]["mae_snaive"] == 0.0  # perfect seasonal repeat
+    assert got[1]["skill_ratio"] == 0.0
+    assert got[2]["mae_naive"] == 1.0 and got[2]["mae_snaive"] == 24.0
+    assert got[2]["skill_ratio"] == 24.0
+
+
+def F_ts(col):
+    from pyspark.sql import functions as F
+
+    return F.to_timestamp(col)
