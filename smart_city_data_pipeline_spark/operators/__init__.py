@@ -80,12 +80,13 @@ _GATE_FIRST = [
     "benford_digit_test",  # new: Benford first-digit fraud audit
     "walsh_energy",  # new: exact-integer Walsh-Hadamard bands
     "forecast_backtest",  # new: naive-vs-snaive rolling-origin audit
+    "k_anonymity_audit",  # new: pre-export privacy compliance curve
     # rotate-back wave: last driver-checked in round 4, judge-r6
     # green, unchanged since — due this round
     "congestion_classify",
     "zone_analytics",
-    "road_type_analytics",
-    # displaced to r8 head by r7 additions: hourly_stats,
+    # displaced to r8 head by r7 additions: road_type_analytics,
+    # hourly_stats,
     # aqi_compute,
     # air_quality_zone,
     # parking_status,

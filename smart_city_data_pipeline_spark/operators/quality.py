@@ -335,12 +335,111 @@ def _benford_oracle() -> str:
     """
 
 
+K_ANON_THRESHOLDS = (2, 5, 10, 20)
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the events table under release quasi-
+    identifiers — the compliance question asked before any analytics
+    export: "if we publish (zone, hour-of-day, reading bucket), how
+    many rows are re-identifiable?"
+
+    Quasi-identifier = (event_type, hour-of-day, 25-unit reading
+    bucket). One row per k ∈ {2, 5, 10, 20}: equivalence classes,
+    classes smaller than k, rows living in those classes, and the
+    at-risk share — the k-anonymity curve an anonymization pipeline
+    tunes its generalization hierarchy against (Sweeney 2002).
+
+    Plan: ONE map-side-combinable groupBy of the fact into
+    equivalence-class sizes (bounded by the QI grid: |zones|·24·11
+    cells), then the tiny class-size table is cross-joined with the
+    4-row threshold literal and aggregated — the fact scans once, the
+    k-curve costs nothing more. Exact integer counts; one final
+    double division.
+    """
+    ev = table(spark, sf_dir, "events")
+    classes = (
+        ev.groupBy(
+            F.col("event_type").alias("zone"),
+            F.hour(F.col("ts")).alias("hod"),
+            F.floor(F.col("value") / 25.0).cast("long").alias("vbucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    )
+    ks = spark.createDataFrame(
+        [(k,) for k in K_ANON_THRESHOLDS], "k int"
+    )
+    return (
+        classes.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum(F.when(F.col("sz") < F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_small_classes"),
+            F.sum(F.when(F.col("sz") < F.col("k"), F.col("sz")).otherwise(0))
+            .cast("long")
+            .alias("rows_at_risk"),
+            F.sum("sz").cast("long").alias("n_rows"),
+            F.min("sz").cast("long").alias("min_class_size"),
+        )
+        .select(
+            "k",
+            "n_classes",
+            "n_small_classes",
+            "rows_at_risk",
+            "min_class_size",
+            (F.col("min_class_size") >= F.col("k")).alias("k_anonymous"),
+            pround(
+                F.col("rows_at_risk").cast("double")
+                / F.col("n_rows").cast("double")
+            ).alias("risk_share"),
+        )
+    )
+
+
+def _k_anonymity_oracle() -> str:
+    ks = ", ".join(f"({k})" for k in K_ANON_THRESHOLDS)
+    return f"""
+        WITH classes AS (
+            SELECT event_type AS zone,
+                   EXTRACT(hour FROM ts) AS hod,
+                   CAST(FLOOR(value / 25.0) AS BIGINT) AS vbucket,
+                   CAST(COUNT(*) AS BIGINT) AS sz
+            FROM events
+            GROUP BY 1, 2, 3
+        ),
+        ks(k) AS (VALUES {ks}),
+        g AS (
+            SELECT k,
+                   CAST(COUNT(*) AS BIGINT) AS n_classes,
+                   CAST(SUM(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_small_classes,
+                   CAST(SUM(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+                       AS rows_at_risk,
+                   CAST(SUM(sz) AS BIGINT) AS n_rows,
+                   CAST(MIN(sz) AS BIGINT) AS min_class_size
+            FROM classes, ks
+            GROUP BY k
+        )
+        SELECT CAST(k AS INTEGER) AS k, n_classes, n_small_classes,
+               rows_at_risk, min_class_size,
+               (min_class_size >= k) AS k_anonymous,
+               {pround_sql(
+                   'CAST(rows_at_risk AS DOUBLE) / CAST(n_rows AS DOUBLE)'
+               )} AS risk_share
+        FROM g
+    """
+
+
 QUERIES = {
     "dq_expectations": dq_expectations,
     "benford_digit_test": benford_digit_test,
+    "k_anonymity_audit": k_anonymity_audit,
 }
 
 ORACLES = {
     "dq_expectations": _dq_oracle(),
     "benford_digit_test": _benford_oracle(),
+    "k_anonymity_audit": _k_anonymity_oracle(),
 }

@@ -726,3 +726,24 @@ def F_ts(col):
     from pyspark.sql import functions as F
 
     return F.to_timestamp(col)
+
+
+def test_k_anonymity_monotone_in_k(spark, sf_dir):
+    """The k-anonymity curve is monotone: raising k can only grow the
+    small-class set; min class size is k-independent."""
+    from smart_city_data_pipeline_spark.operators.quality import (
+        k_anonymity_audit,
+    )
+
+    rows = sorted(
+        k_anonymity_audit(spark, sf_dir).collect(), key=lambda r: r["k"]
+    )
+    assert [r["k"] for r in rows] == [2, 5, 10, 20]
+    assert len({r["n_classes"] for r in rows}) == 1
+    assert len({r["min_class_size"] for r in rows}) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_small_classes"] <= b["n_small_classes"]
+        assert a["rows_at_risk"] <= b["rows_at_risk"]
+        assert a["risk_share"] <= b["risk_share"]
+    for r in rows:
+        assert r["k_anonymous"] == (r["min_class_size"] >= r["k"])
