@@ -81,11 +81,12 @@ _GATE_FIRST = [
     "walsh_energy",  # new: exact-integer Walsh-Hadamard bands
     "forecast_backtest",  # new: naive-vs-snaive rolling-origin audit
     "k_anonymity_audit",  # new: pre-export privacy compliance curve
+    "changepoint_detect",  # new: binseg first-split regime change
     # rotate-back wave: last driver-checked in round 4, judge-r6
     # green, unchanged since — due this round
     "congestion_classify",
-    "zone_analytics",
-    # displaced to r8 head by r7 additions: road_type_analytics,
+    # displaced to r8 head by r7 additions: zone_analytics,
+    # road_type_analytics,
     # hourly_stats,
     # aqi_compute,
     # air_quality_zone,

@@ -2260,9 +2260,100 @@ def forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def changepoint_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrospective changepoint detection per sensor — binary
+    segmentation's first split (the root of the PELT/binseg family):
+    the hour k maximizing the unnormalized CUSUM deviation
+    ``D_k = |n·prefix_k − k·total|`` over the sensor's hourly series,
+    with the level before/after the split. Complements
+    :func:`cusum_drift` (online drift alarm) with the OFFLINE "when
+    did the regime change?" answer an incident review asks.
+
+    Exactness: hourly points on the `(s*128) DIV n` integer grid,
+    prefix sums and ``D_k`` computed in pure BIGINT (no float
+    accumulation at all); argmax ties break to the EARLIEST hour in
+    both engines. The only doubles are the two segment means at the
+    end.
+
+    Plan: one map-side hourly rollup, one per-sensor ordered window
+    pass (running prefix — bounded by hours-per-sensor), one keyed
+    argmax aggregate. No global sort, no driver state.
+    """
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hourly = (
+        ev.groupBy(
+            F.col("user_id").alias("sensor_id"),
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+            .cast("long")
+            .alias("he"),
+        )
+        .agg(F.sum(cents).alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("sensor_id", "he", F.expr("(s * 128) DIV n").alias("v"))
+    )
+    wseq = (
+        Window.partitionBy("sensor_id")
+        .orderBy("he")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("sensor_id")
+    scored = (
+        hourly.select(
+            "sensor_id",
+            "he",
+            "v",
+            F.row_number()
+            .over(Window.partitionBy("sensor_id").orderBy("he"))
+            .alias("k"),
+            F.sum("v").over(wseq).alias("prefix"),
+        )
+        .withColumn("n_points", F.count(F.lit(1)).over(wall))
+        .withColumn("total", F.sum("v").over(wall))
+        .filter(F.col("k") < F.col("n_points"))
+        .withColumn(
+            "d",
+            F.abs(
+                F.col("n_points") * F.col("prefix")
+                - F.col("k") * F.col("total")
+            ),
+        )
+    )
+    best = scored.groupBy("sensor_id").agg(
+        F.max(
+            F.struct(
+                F.col("d").alias("d"),
+                (-F.col("k")).alias("nk"),
+                F.col("k").alias("k"),
+                F.col("he").alias("he"),
+                F.col("prefix").alias("prefix"),
+                F.col("n_points").alias("n_points"),
+                F.col("total").alias("total"),
+            )
+        ).alias("b")
+    )
+    b = F.col("b")
+    mean_l = b["prefix"].cast("double") / b["k"].cast("double") / 12800.0
+    mean_r = (
+        (b["total"] - b["prefix"]).cast("double")
+        / (b["n_points"] - b["k"]).cast("double")
+        / 12800.0
+    )
+    return best.select(
+        "sensor_id",
+        b["n_points"].cast("long").alias("n_points"),
+        b["k"].cast("long").alias("split_idx"),
+        b["he"].cast("long").alias("split_he"),
+        b["d"].cast("long").alias("d_max"),
+        pround(mean_l).alias("mean_before"),
+        pround(mean_r).alias("mean_after"),
+        pround(mean_r - mean_l).alias("level_shift"),
+    )
+
+
 QUERIES = {
     "walsh_energy": walsh_energy,
     "forecast_backtest": forecast_backtest,
+    "changepoint_detect": changepoint_detect,
     "time_bucket_1min": time_bucket_1min,
     "sliding_window_counts": sliding_window_counts,
     "latest_metrics": latest_metrics,
@@ -3516,3 +3607,62 @@ def _forecast_backtest_oracle_sql() -> str:
 
 
 ORACLES["forecast_backtest"] = _forecast_backtest_oracle_sql()
+
+
+def _changepoint_oracle_sql() -> str:
+    return f"""
+        WITH hourly AS (
+            SELECT user_id AS sensor_id,
+                   CAST(FLOOR(epoch(date_trunc('hour', ts)) / 3600)
+                        AS BIGINT) AS he,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) * 128
+                        // COUNT(*) AS BIGINT) AS v
+            FROM events
+            GROUP BY 1, 2
+        ),
+        seq AS (
+            SELECT sensor_id, he, v,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS k,
+                   CAST(SUM(v) OVER w AS BIGINT) AS prefix,
+                   CAST(COUNT(*) OVER (PARTITION BY sensor_id) AS BIGINT)
+                       AS n_points,
+                   CAST(SUM(v) OVER (PARTITION BY sensor_id) AS BIGINT)
+                       AS total
+            FROM hourly
+            WINDOW w AS (
+                PARTITION BY sensor_id ORDER BY he
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            )
+        ),
+        scored AS (
+            SELECT *, ABS(n_points * prefix - k * total) AS d
+            FROM seq WHERE k < n_points
+        ),
+        best AS (
+            SELECT * FROM scored
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY sensor_id ORDER BY d DESC, k ASC
+            ) = 1
+        )
+        SELECT sensor_id,
+               n_points,
+               k AS split_idx,
+               he AS split_he,
+               CAST(d AS BIGINT) AS d_max,
+               {pround_sql(
+                   'CAST(prefix AS DOUBLE) / CAST(k AS DOUBLE) / 12800.0'
+               )} AS mean_before,
+               {pround_sql(
+                   'CAST(total - prefix AS DOUBLE)'
+                   ' / CAST(n_points - k AS DOUBLE) / 12800.0'
+               )} AS mean_after,
+               {pround_sql(
+                   'CAST(total - prefix AS DOUBLE)'
+                   ' / CAST(n_points - k AS DOUBLE) / 12800.0'
+                   ' - CAST(prefix AS DOUBLE) / CAST(k AS DOUBLE) / 12800.0'
+               )} AS level_shift
+        FROM best
+    """
+
+
+ORACLES["changepoint_detect"] = _changepoint_oracle_sql()

@@ -747,3 +747,39 @@ def test_k_anonymity_monotone_in_k(spark, sf_dir):
         assert a["risk_share"] <= b["risk_share"]
     for r in rows:
         assert r["k_anonymous"] == (r["min_class_size"] >= r["k"])
+
+
+def test_changepoint_detect_planted_shift(spark, tmp_path):
+    """Planted level shift: 30 hours at 10.0 then 30 hours at 20.0 —
+    the best split must land exactly on the boundary, with the two
+    segment means recovered."""
+    from smart_city_data_pipeline_spark.operators.timeseries import (
+        changepoint_detect,
+    )
+
+    rows = []
+    for h in range(60):
+        ts = f"2025-03-0{1 + h // 24} {h % 24:02d}:15:00"
+        rows.append((h, ts, 7, "click", 10.0 if h < 30 else 20.0, "{}"))
+    df = (
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        )
+        .selectExpr(
+            "event_id", "to_timestamp(ts) AS ts", "user_id",
+            "event_type", "value", "props",
+        )
+    )
+    d = str(tmp_path / "sfc")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    got = changepoint_detect(spark, d).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_points"] == 60
+    assert r["split_idx"] == 30  # last index of the low regime
+    assert r["mean_before"] == 10.0
+    assert r["mean_after"] == 20.0
+    assert r["level_shift"] == 10.0
