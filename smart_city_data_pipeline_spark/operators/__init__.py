@@ -82,10 +82,9 @@ _GATE_FIRST = [
     "forecast_backtest",  # new: naive-vs-snaive rolling-origin audit
     "k_anonymity_audit",  # new: pre-export privacy compliance curve
     "changepoint_detect",  # new: binseg first-split regime change
-    # rotate-back wave: last driver-checked in round 4, judge-r6
-    # green, unchanged since — due this round
-    "congestion_classify",
-    # displaced to r8 head by r7 additions: zone_analytics,
+    "hilbert_codes",  # new: Hilbert clustering key (vs zorder)
+    # rotate-back wave: every remaining r4 key was displaced to the
+    # r8 head by r7 additions: congestion_classify, zone_analytics,
     # road_type_analytics,
     # hourly_stats,
     # aqi_compute,

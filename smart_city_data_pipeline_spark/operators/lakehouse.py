@@ -488,7 +488,105 @@ def state_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hilbert_step_exprs(i: int) -> dict[str, str]:
+    """One iteration of the classic Hilbert xy→d fold (Wikipedia
+    'Hilbert curve' / Hamilton's compact algorithm) as engine-shared
+    SQL text: quadrant digit into ``d``, then flip+swap the frame.
+    ``rx XOR``-free: the 4 quadrant codes are enumerated by CASE so no
+    engine XOR-operator differences can bite. Pure integer CASE/&/*
+    arithmetic — valid verbatim in Spark SQL and DuckDB."""
+    s_val = 1 << (Z_BITS - 1 - i)
+    x, y, d = f"hx{i}", f"hy{i}", f"hd{i}"
+    rx = f"(CASE WHEN ({x} & {s_val}) > 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN ({y} & {s_val}) > 0 THEN 1 ELSE 0 END)"
+    quad = (
+        f"(CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0 "
+        f"WHEN {rx} = 0 THEN 1 WHEN {ry} = 0 THEN 3 ELSE 2 END)"
+    )
+    return {
+        f"hd{i + 1}": f"{d} + {s_val * s_val} * {quad}",
+        f"hx{i + 1}": (
+            f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+            f"THEN {s_val - 1} - {y} ELSE {y} END) ELSE {x} END"
+        ),
+        f"hy{i + 1}": (
+            f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+            f"THEN {s_val - 1} - {x} ELSE {x} END) ELSE {y} END"
+        ),
+    }
+
+
+def hilbert_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key over the same (sensor bucket,
+    hour bucket) grid as :func:`zorder_codes` — the strictly-better
+    space-filling curve (every consecutive pair of codes is an
+    ADJACENT grid cell, so range shards get tighter min/max boxes than
+    Morton's quadrant jumps; this is what liquid-clustering layouts
+    use over classic Z-order).
+
+    The xy→d fold is 8 unrolled integer CASE steps (one per bit,
+    generated by :func:`_hilbert_step_exprs` and shared VERBATIM with
+    the DuckDB oracle — no float, no XOR, engine-exact by
+    construction). Per-row projection in whole-stage codegen, zero
+    shuffle; the clustered rewrite is ``repartitionByRange(shard)``
+    exactly as for Z-order.
+    """
+    ev = table(spark, sf_dir, "events")
+    he = (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600).cast("long")
+    df = ev.select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(256)).cast("int").alias("bx"),
+        F.pmod(he, F.lit(256)).cast("int").alias("by"),
+    ).selectExpr(
+        "event_id", "bx", "by",
+        "bx AS hx0", "by AS hy0", "0 AS hd0",
+    )
+    for i in range(Z_BITS):
+        for col, expr in _hilbert_step_exprs(i).items():
+            df = df.withColumn(col, F.expr(expr))
+    shard = F.expr(
+        f"(hd{Z_BITS} * {Z_SHARDS}) DIV {4 ** Z_BITS}"
+    ).cast("int")
+    return df.select(
+        "event_id",
+        "bx",
+        "by",
+        F.col(f"hd{Z_BITS}").cast("int").alias("hilbert"),
+        shard.alias("shard"),
+    )
+
+
+def _hilbert_oracle_sql() -> str:
+    ctes = ["step0 AS (SELECT event_id, bx, by, bx AS hx0, by AS hy0, "
+            "0 AS hd0 FROM base)"]
+    for i in range(Z_BITS):
+        items = ", ".join(
+            f"{expr} AS {col}"
+            for col, expr in _hilbert_step_exprs(i).items()
+        )
+        ctes.append(
+            f"step{i + 1} AS (SELECT event_id, bx, by, {items} "
+            f"FROM step{i})"
+        )
+    return f"""
+        WITH base AS (
+            SELECT event_id,
+                   CAST(user_id % 256 AS INTEGER) AS bx,
+                   CAST(CAST(FLOOR(epoch(date_trunc('hour', ts)) / 3600)
+                        AS BIGINT) % 256 AS INTEGER) AS by
+            FROM events
+        ),
+        {", ".join(ctes)}
+        SELECT event_id, bx, by,
+               CAST(hd{Z_BITS} AS INTEGER) AS hilbert,
+               CAST(hd{Z_BITS} * {Z_SHARDS} // {4 ** Z_BITS} AS INTEGER)
+                   AS shard
+        FROM step{Z_BITS}
+    """
+
+
 QUERIES = {
+    "hilbert_codes": hilbert_codes,
     "column_profile": column_profile,
     "zorder_codes": zorder_codes,
     "partition_skew_report": partition_skew_report,
@@ -530,6 +628,7 @@ _PROFILE_ROWS_SQL = " UNION ALL ".join(
 )
 
 ORACLES = {
+    "hilbert_codes": _hilbert_oracle_sql(),
     "partition_skew_report": f"""
         WITH g AS (
             SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,

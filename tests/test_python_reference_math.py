@@ -783,3 +783,63 @@ def test_changepoint_detect_planted_shift(spark, tmp_path):
     assert r["mean_before"] == 10.0
     assert r["mean_after"] == 20.0
     assert r["level_shift"] == 10.0
+
+
+def test_hilbert_codes_match_classic_algorithm():
+    """The unrolled CASE chain (shared verbatim by Spark and the
+    oracle) must equal the classic iterative xy→d algorithm on the
+    full 256×256 grid, be a bijection, and have the defining Hilbert
+    property: consecutive codes are ADJACENT cells (|Δx|+|Δy| = 1) —
+    the locality guarantee Z-order lacks."""
+    import duckdb
+
+    from smart_city_data_pipeline_spark.operators.lakehouse import (
+        Z_BITS,
+        _hilbert_step_exprs,
+    )
+
+    n = 1 << Z_BITS
+
+    def xy2d(x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    ctes = [
+        "base AS (SELECT x AS bx, y AS by FROM "
+        f"(SELECT UNNEST(range(0, {n})) AS x), "
+        f"(SELECT UNNEST(range(0, {n})) AS y))",
+        "step0 AS (SELECT bx, by, bx AS hx0, by AS hy0, 0 AS hd0 "
+        "FROM base)",
+    ]
+    for i in range(Z_BITS):
+        items = ", ".join(
+            f"{expr} AS {col}"
+            for col, expr in _hilbert_step_exprs(i).items()
+        )
+        ctes.append(
+            f"step{i + 1} AS (SELECT bx, by, {items} FROM step{i})"
+        )
+    rows = duckdb.connect().execute(
+        f"WITH {', '.join(ctes)} "
+        f"SELECT bx, by, hd{Z_BITS} FROM step{Z_BITS}"
+    ).fetchall()
+    got = {(x, y): d for x, y, d in rows}
+    assert len(got) == n * n
+    assert sorted(got.values()) == list(range(n * n))  # bijection
+    for (x, y), d in list(got.items())[:4096]:
+        assert d == xy2d(x, y)
+    # adjacency along the whole curve
+    by_d = {d: xy for xy, d in got.items()}
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
