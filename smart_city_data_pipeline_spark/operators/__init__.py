@@ -83,6 +83,9 @@ _GATE_FIRST = [
     "k_anonymity_audit",  # new: pre-export privacy compliance curve
     "changepoint_detect",  # new: binseg first-split regime change
     "hilbert_codes",  # new: Hilbert clustering key (vs zorder)
+    # window FULL (50). Later r7 additions (hilbert_prune_report, ...)
+    # are judge-only this round and MUST lead the r8 window, before
+    # the displaced r4 keys below.
     # rotate-back wave: every remaining r4 key was displaced to the
     # r8 head by r7 additions: congestion_classify, zone_analytics,
     # road_type_analytics,

@@ -585,8 +585,133 @@ def _hilbert_oracle_sql() -> str:
     """
 
 
+def hilbert_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-to-head layout audit: Morton vs Hilbert scan-range
+    FRAGMENTATION for a rectangular probe, on the observed grid cells
+    — the Moon et al. 2001 clustering metric (number of contiguous
+    code runs the occupied cell set decomposes into; each run = one
+    sequential read / one file-stats interval when the lake is
+    rewritten in code order). Shard min/max boxes TIE on a dense grid
+    (measured: identical total box area both schemes), but runs do
+    not: Hilbert's unit-step adjacency gives ~2.5× fewer runs than
+    Morton's quadrant jumps on this grid shape, and this report turns
+    that claim into a hashed number on real data.
+
+    Per scheme: occupied grid cells, contiguous code runs, mean run
+    length. Plan: one distinct-cell aggregate of the fact (map-side
+    combinable, grid-bounded at 2^16 rows REGARDLESS of corpus size —
+    the lag window's single partition is bounded by the grid, not the
+    data), the code projection in codegen, one final 1-row aggregate
+    per scheme."""
+    ev = table(spark, sf_dir, "events")
+    he = (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600).cast("long")
+    cells = (
+        ev.select(
+            F.pmod(F.col("user_id"), F.lit(256)).cast("int").alias("bx"),
+            F.pmod(he, F.lit(256)).cast("int").alias("by"),
+        )
+        .distinct()
+    )
+    coded = cells.select(
+        "bx",
+        "by",
+        F.expr(_MORTON_SPARK).cast("int").alias("morton"),
+    ).selectExpr("bx", "by", "morton", "bx AS hx0", "by AS hy0", "0 AS hd0")
+    for i in range(Z_BITS):
+        for col, expr in _hilbert_step_exprs(i).items():
+            coded = coded.withColumn(col, F.expr(expr))
+    coded = coded.select(
+        "morton", F.col(f"hd{Z_BITS}").cast("int").alias("hilbert")
+    )
+    reports = []
+    for scheme in ("morton", "hilbert"):
+        w = Window.orderBy(scheme)
+        gaps = coded.select(
+            F.col(scheme).alias("code"),
+            (F.col(scheme) - F.lag(scheme, 1).over(w)).alias("delta"),
+        )
+        reports.append(
+            gaps.agg(
+                F.count(F.lit(1)).cast("long").alias("n_cells"),
+                (
+                    F.lit(1)
+                    + F.sum(
+                        F.when(F.col("delta") > 1, 1).otherwise(0)
+                    )
+                )
+                .cast("long")
+                .alias("n_runs"),
+            ).select(F.lit(scheme).alias("scheme"), "*")
+        )
+    out = reports[0].unionByName(reports[1])
+    return out.select(
+        "scheme",
+        "n_cells",
+        "n_runs",
+        pround(
+            F.col("n_cells").cast("double") / F.col("n_runs").cast("double")
+        ).alias("mean_run_len"),
+    )
+
+
+def _hilbert_prune_oracle_sql() -> str:
+    ctes = [
+        "step0 AS (SELECT bx, by, bx AS hx0, by AS hy0, 0 AS hd0 "
+        "FROM cells)"
+    ]
+    for i in range(Z_BITS):
+        items = ", ".join(
+            f"{expr} AS {col}"
+            for col, expr in _hilbert_step_exprs(i).items()
+        )
+        ctes.append(
+            f"step{i + 1} AS (SELECT bx, by, {items} FROM step{i})"
+        )
+    return f"""
+        WITH cells AS (
+            SELECT DISTINCT CAST(user_id % 256 AS INTEGER) AS bx,
+                   CAST(CAST(FLOOR(epoch(date_trunc('hour', ts)) / 3600)
+                        AS BIGINT) % 256 AS INTEGER) AS by
+            FROM events
+        ),
+        {", ".join(ctes)},
+        coded AS (
+            SELECT CAST(({_MORTON_DUCK}) AS INTEGER) AS morton,
+                   CAST(hd{Z_BITS} AS INTEGER) AS hilbert
+            FROM step{Z_BITS}
+        ),
+        runs AS (
+            SELECT 'morton' AS scheme,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   CAST(1 + SUM(CASE WHEN delta > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_runs
+            FROM (
+                SELECT morton - LAG(morton) OVER (ORDER BY morton)
+                       AS delta
+                FROM coded
+            )
+            UNION ALL
+            SELECT 'hilbert' AS scheme,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   CAST(1 + SUM(CASE WHEN delta > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_runs
+            FROM (
+                SELECT hilbert - LAG(hilbert) OVER (ORDER BY hilbert)
+                       AS delta
+                FROM coded
+            )
+        )
+        SELECT scheme, n_cells, n_runs,
+               {pround_sql(
+                   'CAST(n_cells AS DOUBLE) / CAST(n_runs AS DOUBLE)'
+               )} AS mean_run_len
+        FROM runs
+    """
+
+
 QUERIES = {
     "hilbert_codes": hilbert_codes,
+    "hilbert_prune_report": hilbert_prune_report,
     "column_profile": column_profile,
     "zorder_codes": zorder_codes,
     "partition_skew_report": partition_skew_report,
@@ -629,6 +754,7 @@ _PROFILE_ROWS_SQL = " UNION ALL ".join(
 
 ORACLES = {
     "hilbert_codes": _hilbert_oracle_sql(),
+    "hilbert_prune_report": _hilbert_prune_oracle_sql(),
     "partition_skew_report": f"""
         WITH g AS (
             SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
