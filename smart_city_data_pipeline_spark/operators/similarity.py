@@ -1098,6 +1098,115 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PCA_Q = 256.0  # 2^8 per-component grid for the covariance pass
+PCA_XQ = 4096  # 2^12 eigenvector grid inside the power iteration
+PCA_ITERS = 64  # the corpus spectrum is nearly flat; 0.94^64 ~ convergence
+
+
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the embedding corpus — the
+    standard embedding-QC projection (anisotropy check / "all vectors
+    share one rogue direction" detection, and the first step of
+    mean-centering + dominant-direction removal à la
+    all-but-the-top).
+
+    Engine-exact learned linear algebra, the ``ann_ivf_kmeans``
+    discipline applied to PCA: components quantize to the 2⁸ integer
+    grid, the mean is the INTEGER floor mean, the 64×64 scatter matrix
+    ``C = Σ c·cᵀ`` accumulates in int64 (exact), and the 64 power
+    iterations renormalize onto a 2¹² integer grid — every number both
+    engines touch is an exact integer or an IEEE-deterministic
+    division of two, so the DuckDB oracle re-learns the identical
+    eigenvector by unrolling the same iterations as CTEs.
+
+    Plan shape: one positional-aggregate pass for the mean (map-side
+    combinable), one ``mapInPandas`` pass accumulating per-partition
+    int64 outer products (64×64 numpy matmul per Arrow batch — the
+    only Python in the operator, and it reduces each partition to ONE
+    4096-cell row), a bounded driver fold of the ≤|partitions|
+    partials, and a driver-side 64×64 iteration loop (Lloyd-loop
+    precedent). The fact scans twice, shuffles never. Exactness bound:
+    |y|∞ ≤ dim·max|C|·2¹² must stay under 2⁵³ — holds to ~10⁵ vectors
+    per corpus at these grids; past that the moment products need
+    decimal(38,0)/HUGEINT (the ``doc_outlier_mahalanobis`` treatment)
+    or a sampled training set (the documented IVF posture at 100 TB).
+    """
+    emb = spread(
+        table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings"
+    )
+    q = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * F.lit(PCA_Q) + F.lit(0.5)).cast("long"),
+    )
+    qdf = emb.select(q.alias("q"))
+    dim = qdf.select(F.size("q")).first()[0]
+    means = (
+        qdf.select(F.posexplode("q").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    n_vecs = means[0]["n"]
+    m = [0] * dim
+    for r in means:
+        m[r["pos"]] = int(__import__("math").floor(r["s"] / r["n"]))
+
+    def partials(it):
+        import numpy as np
+        import pandas as pd
+
+        tot = np.zeros((dim, dim), dtype=np.int64)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            a = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            c = a - np.array(m, dtype=np.int64)
+            tot += c.T @ c
+        yield pd.DataFrame({"c": [tot.flatten().tolist()]})
+
+    parts = qdf.mapInPandas(partials, "c array<long>").collect()
+    C = [[0] * dim for _ in range(dim)]
+    for row in parts:
+        flat = row["c"]
+        for j in range(dim):
+            for k in range(dim):
+                C[j][k] += flat[j * dim + k]
+
+    x = [PCA_XQ] * dim
+    mx = 0
+    for _ in range(PCA_ITERS):
+        y = [sum(C[j][k] * x[k] for k in range(dim)) for j in range(dim)]
+        mx = max(abs(v) for v in y)
+        denom = mx if mx > 0 else 1
+        x = [
+            int(__import__("math").floor(v / denom * PCA_XQ + 0.5))
+            for v in y
+        ]
+    trace = sum(C[j][j] for j in range(dim))
+    lam = mx / PCA_XQ  # |y|inf / |x|inf — C-unit eigenvalue estimate
+    var_top = lam / n_vecs / (PCA_Q * PCA_Q)
+    var_share = lam / trace if trace > 0 else 0.0
+
+    def p4(v: float) -> float:
+        return __import__("math").floor(v * 10000.0 + 0.5) / 10000.0
+
+    rows = [
+        (
+            j + 1,
+            int(x[j]),
+            p4(x[j] / PCA_XQ),
+            p4(var_top),
+            p4(var_share),
+        )
+        for j in range(dim)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "dim int, loading_q long, loading double, "
+        "var_top double, var_share double",
+    )
+
+
 QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "ann_ivf_topk": ann_ivf_topk,
@@ -1113,6 +1222,7 @@ QUERIES = {
     "doc_outlier_mahalanobis": doc_outlier_mahalanobis,
     "ann_recall_report": ann_recall_report,
     "triangle_count": triangle_count,
+    "embedding_pca_power": embedding_pca_power,
 }
 
 _COS = cosine_sql("p.probe_emb", "e.embedding")
@@ -1709,3 +1819,74 @@ def _triangle_count_oracle_sql() -> str:
 
 
 ORACLES["triangle_count"] = _triangle_count_oracle_sql()
+
+
+def _pca_oracle_sql() -> str:
+    iters = []
+    for i in range(1, PCA_ITERS + 1):
+        iters.append(f"""
+        y{i} AS MATERIALIZED (
+            SELECT c.j, CAST(SUM(c.cv * x.xv) AS BIGINT) AS yv
+            FROM cmat c JOIN x{i - 1} x ON c.k = x.j
+            GROUP BY c.j
+        ),
+        mx{i} AS MATERIALIZED (
+            SELECT CASE WHEN MAX(ABS(yv)) > 0 THEN MAX(ABS(yv))
+                   ELSE 1 END AS m
+            FROM y{i}
+        ),
+        x{i} AS MATERIALIZED (
+            SELECT j, CAST(FLOOR(CAST(yv AS DOUBLE) / CAST(m AS DOUBLE)
+                        * {PCA_XQ} + 0.5) AS BIGINT) AS xv
+            FROM y{i}, mx{i}
+        )""")
+    return f"""
+        WITH comp AS (
+            SELECT vec_id,
+                   CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+                   CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                        * {PCA_Q} + 0.5) AS BIGINT) AS q
+            FROM embeddings
+        ),
+        means AS (
+            SELECT pos,
+                   CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                       AS m,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM comp GROUP BY pos
+        ),
+        cent AS (
+            SELECT c.vec_id, c.pos, c.q - m.m AS c
+            FROM comp c JOIN means m USING (pos)
+        ),
+        cmat AS MATERIALIZED (
+            SELECT a.pos AS j, b.pos AS k,
+                   CAST(SUM(a.c * b.c) AS BIGINT) AS cv
+            FROM cent a JOIN cent b USING (vec_id)
+            GROUP BY 1, 2
+        ),
+        x0 AS (
+            SELECT DISTINCT pos AS j, CAST({PCA_XQ} AS BIGINT) AS xv
+            FROM comp
+        ),{",".join(iters)},
+        scalars AS (
+            SELECT (SELECT CAST(m AS DOUBLE) FROM mx{PCA_ITERS})
+                       / {PCA_XQ} AS lam,
+                   (SELECT CAST(SUM(cv) AS DOUBLE) FROM cmat WHERE j = k)
+                       AS trace,
+                   (SELECT MAX(n) FROM means) AS n_vecs
+        )
+        SELECT CAST(x.j AS INTEGER) AS dim,
+               x.xv AS loading_q,
+               {pround_sql(f'CAST(x.xv AS DOUBLE) / {PCA_XQ}')} AS loading,
+               {pround_sql(
+                   f'lam / n_vecs / ({PCA_Q} * {PCA_Q})'
+               )} AS var_top,
+               {pround_sql(
+                   'CASE WHEN trace > 0 THEN lam / trace ELSE 0.0 END'
+               )} AS var_share
+        FROM x{PCA_ITERS} x, scalars
+    """
+
+
+ORACLES["embedding_pca_power"] = _pca_oracle_sql()

@@ -859,3 +859,44 @@ def test_hilbert_prune_report_hilbert_wins(spark, sf_dir):
     assert got["morton"]["n_cells"] == got["hilbert"]["n_cells"]
     assert got["hilbert"]["n_runs"] < got["morton"]["n_runs"]
     assert got["hilbert"]["mean_run_len"] > got["morton"]["mean_run_len"]
+
+
+def test_embedding_pca_power_matches_numpy(spark, sf_dir):
+    """The integer-grid power iteration must agree with numpy's exact
+    eigendecomposition of the same centered scatter matrix: cosine of
+    the loading vs the true top eigenvector ≈ ±1, eigenvalue within
+    the power-iteration tolerance."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    from smart_city_data_pipeline_spark.operators.similarity import (
+        PCA_Q,
+        PCA_XQ,
+        embedding_pca_power,
+    )
+
+    con = duckdb.connect()
+    vecs = con.execute(
+        f"SELECT CAST(embedding AS DOUBLE[]) "
+        f"FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    a = np.array([v[0] for v in vecs])
+    q = np.floor(a * PCA_Q + 0.5).astype(np.int64)
+    m = np.floor(q.sum(axis=0) / len(q)).astype(np.int64)
+    c = q - m
+    C = (c.T @ c).astype(np.float64)
+    evals, evecs = np.linalg.eigh(C)
+    top_vec, top_val = evecs[:, -1], evals[-1]
+
+    rows = sorted(
+        embedding_pca_power(spark, sf_dir).collect(), key=lambda r: r["dim"]
+    )
+    x = np.array([r["loading_q"] for r in rows], dtype=np.float64)
+    cos = abs(x @ top_vec) / (np.linalg.norm(x) * np.linalg.norm(top_vec))
+    assert cos > 0.999, cos
+    lam = rows[0]["var_top"] * len(q) * PCA_Q * PCA_Q
+    assert math.isclose(lam, top_val, rel_tol=0.01), (lam, top_val)
+    share = rows[0]["var_share"]
+    assert math.isclose(share, top_val / np.trace(C), rel_tol=0.01)
