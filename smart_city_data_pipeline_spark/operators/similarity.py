@@ -994,8 +994,18 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_neardup,
     )
 
-    edges = embedding_neardup(spark, sf_dir).select(
-        "label", F.col("vec_a").alias("u"), F.col("vec_b").alias("v")
+    # The edge list feeds FOUR consumers (degrees, orientation, edge
+    # count) and the oriented list three more (both wedge sides + the
+    # closing semi-join) — without materialization Spark re-derives
+    # the whole near-dup pair join per consumer (72 scans in the
+    # un-checkpointed plan). localCheckpoint truncates the lineage so
+    # each relation is computed ONCE (the dedup_clusters precedent,
+    # incl. its durability note: on a real cluster use a reliable
+    # checkpoint dir).
+    edges = (
+        embedding_neardup(spark, sf_dir)
+        .select("label", F.col("vec_a").alias("u"), F.col("vec_b").alias("v"))
+        .localCheckpoint(eager=False)
     )
     ends = edges.select("label", F.col("u").alias("node")).unionAll(
         edges.select("label", F.col("v").alias("node"))
@@ -1026,7 +1036,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("dd"),
-    )
+    ).localCheckpoint(eager=False)
     e1, e2 = out.alias("e1"), out.alias("e2")
     # wedge (src; dst1 < dst2 in the same (deg, id) rank order), then
     # close with the oriented third edge dst1 -> dst2

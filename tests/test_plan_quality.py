@@ -83,6 +83,10 @@ BNLJ_ALLOWED = {
     "hard_negative_mining",  # cross-label mining: bounded probe side
     # broadcast, non-equi (label <>) by design like ann_topk_cosine
     "layer_reconciliation",  # 1-row retention-cutoff broadcast
+    "benford_digit_test",  # 9-row digit-grid literal broadcast (the
+    # zone × digit completion join; constant cost at any scale)
+    "k_anonymity_audit",  # 4-row k-threshold literal broadcast over
+    # the grid-bounded class table
     "ann_recall_report",  # exact-recall ground truth: bounded probe
     # side broadcast, non-equi (vec_id <>) by design like ann_topk_cosine
     "source_divergence_chi2",  # 1-row corpus-token-total broadcast
