@@ -1742,7 +1742,106 @@ def source_divergence_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CDC_MOD = 8  # boundary gate: md5(token) % MOD == 0 => ~8-token expected chunks
+# (the corpus vocabulary is ~30 words and docs ~100 tokens; mod 16 gates on
+# a single vocab word => 3 chunks/doc. mod 8 keeps chunks near the fixed
+# grid's 16-token scale while giving boundaries enough density to re-align)
+
+
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document chunk duplication under CONTENT-DEFINED chunking
+    — the FastCDC/LBFS trick fixed-grid chunking (:func:`chunk_dedup_share`)
+    lacks: a chunk boundary falls AFTER any token whose hash gates to
+    zero (``md5(token) % CDC_MOD == 0``), so boundaries move WITH the
+    content. Insert one token at the head of a document and a fixed
+    16-token grid re-cuts every chunk downstream (dup share collapses
+    to ~0 against the original); CDC boundaries re-align after the
+    edit and the shared chunks keep matching — the property that makes
+    CDC the production dedup layout for near-identical documents.
+
+    Per doc: chunk count, duplicated-chunk count (hash seen in ≥ 2
+    docs), dup share, mean chunk length (CDC also covers the tail that
+    the fixed grid drops).
+
+    Plan shape, all linear keyed operations: posexplode tokens → gate
+    flag in codegen → chunk id = per-doc prefix sum of the flag (ONE
+    bounded window pass) → per-(doc, chunk) ordered re-assembly →
+    chunk-hash frequency aggregate → semi-join back. A boilerplate
+    chunk costs one aggregate row however many docs share it — never
+    df² rows.
+    """
+    from smart_city_data_pipeline_spark.catalog import spread
+    from smart_city_data_pipeline_spark.functions.hashing import md5_long
+
+    docs = spread(
+        table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents"
+    )
+    toked = docs.select(
+        "doc_id", T.ws_tokens(F.lower(F.col("text"))).alias("tk")
+    )
+    pos = toked.select(
+        "doc_id", F.posexplode("tk").alias("pos", "tok")
+    ).withColumn(
+        "bflag",
+        F.when((md5_long(F.col("tok")) % CDC_MOD) == 0, 1).otherwise(0),
+    )
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = pos.withColumn(
+        "chunk_id",
+        F.coalesce(F.sum("bflag").over(wprev), F.lit(0)).cast("long"),
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).cast("long").alias("clen"),
+        md5_long(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            )
+        ).alias("hs"),
+    )
+    dup_hs = (
+        chunks.groupBy("hs")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("hs")
+    )
+    dupc = (
+        chunks.join(dup_hs, "hs", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup"))
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("clen").cast("long").alias("n_tokens"),
+    )
+    j = per_doc.join(dupc, "doc_id", "left")
+    n_dup = F.coalesce(F.col("n_dup"), F.lit(0).cast("long"))
+    return j.select(
+        "doc_id",
+        "n_chunks",
+        n_dup.alias("dup_chunks"),
+        pround(
+            n_dup.cast("double") / F.col("n_chunks").cast("double")
+        ).alias("dup_share"),
+        pround(
+            F.col("n_tokens").cast("double")
+            / F.col("n_chunks").cast("double")
+        ).alias("mean_chunk_len"),
+        (n_dup > 0).alias("flagged"),
+    )
+
+
 QUERIES = {
+    "cdc_chunk_dedup": cdc_chunk_dedup,
     "lang_id": lang_id,
     "text_quality": text_quality,
     "token_count": token_count,
@@ -2661,4 +2760,60 @@ ORACLES["source_divergence_chi2"] = f"""
                f'CAST(SUM(tq) AS DOUBLE) / {float(SRC_DIV_SCALE)}'
            )} AS chi2
     FROM terms GROUP BY 1
+"""
+
+
+ORACLES["cdc_chunk_dedup"] = f"""
+    WITH pos AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(tk, 1) AS BIGINT) AS pos,
+               unnest(tk) AS tok
+        FROM (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+            FROM documents
+        )
+    ),
+    flagged AS (
+        SELECT doc_id, pos, tok,
+               CASE WHEN {_md5_long_sql('tok')} % {CDC_MOD} = 0
+                    THEN 1 ELSE 0 END AS bflag
+        FROM pos
+    ),
+    chunked AS (
+        SELECT doc_id, pos, tok,
+               CAST(COALESCE(SUM(bflag) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS chunk_id
+        FROM flagged
+    ),
+    chunks AS (
+        SELECT doc_id, chunk_id,
+               CAST(COUNT(*) AS BIGINT) AS clen,
+               {_md5_long_sql("string_agg(tok, ' ' ORDER BY pos)")} AS hs
+        FROM chunked
+        GROUP BY 1, 2
+    ),
+    duph AS (
+        SELECT hs FROM (
+            SELECT hs, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY 1
+        ) WHERE df >= 2
+    ),
+    dupc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+        FROM chunks JOIN duph USING (hs) GROUP BY 1
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(clen) AS BIGINT) AS n_tokens
+        FROM chunks GROUP BY 1
+    )
+    SELECT p.doc_id, p.n_chunks,
+           CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS dup_chunks,
+           {pround_sql('CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / CAST(p.n_chunks AS DOUBLE)')} AS dup_share,
+           {pround_sql('CAST(p.n_tokens AS DOUBLE) / CAST(p.n_chunks AS DOUBLE)')} AS mean_chunk_len,
+           COALESCE(d.n_dup, 0) > 0 AS flagged
+    FROM per_doc p LEFT JOIN dupc d USING (doc_id)
 """

@@ -900,3 +900,35 @@ def test_embedding_pca_power_matches_numpy(spark, sf_dir):
     assert math.isclose(lam, top_val, rel_tol=0.01), (lam, top_val)
     share = rows[0]["var_share"]
     assert math.isclose(share, top_val / np.trace(C), rel_tol=0.01)
+
+
+def test_cdc_chunking_survives_head_insertion(spark, tmp_path):
+    """The CDC property itself: prepend ONE token to a long document
+    and the content-defined chunks re-align (most chunks still match
+    the original), while the fixed 16-token grid re-cuts everything
+    downstream (near-zero shared chunks)."""
+    from smart_city_data_pipeline_spark.operators.textops import (
+        cdc_chunk_dedup,
+        chunk_dedup_share,
+    )
+
+    # synthetic doc with a rich vocabulary so the gate density matches
+    # the expected 1/CDC_MOD (the corpus's ~30-word vocab is too coarse
+    # to exercise re-alignment inside one short doc)
+    base = " ".join(f"w{(i * 37) % 211}x{i % 53}" for i in range(400))
+    shifted = "inserted " + base
+    df = spark.createDataFrame(
+        [(0, base, "en", "src0", len(base)),
+         (1, shifted, "en", "src0", len(shifted))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "sfd")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    cdc = {r["doc_id"]: r for r in cdc_chunk_dedup(spark, d).collect()}
+    fixed = {r["doc_id"]: r for r in chunk_dedup_share(spark, d).collect()}
+    # fixed grid: the one-token shift desynchronizes every chunk
+    assert fixed[0]["dup_share"] < 0.2
+    # CDC: boundaries re-align after the first gated token
+    assert cdc[0]["dup_share"] > 0.8
+    assert cdc[0]["dup_share"] > fixed[0]["dup_share"] + 0.5
