@@ -1182,23 +1182,31 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(dim):
                 C[j][k] += flat[j * dim + k]
 
+    return pca_finish(spark, C, n_vecs, dim)
+
+
+def pca_finish(spark, C, n_vecs: int, dim: int) -> DataFrame:
+    """Driver-side power iteration + result assembly over an exact
+    integer scatter matrix — the shared finisher of the batch operator
+    and the streaming incremental-moments twin
+    (streaming/incremental_pca.py), so the two paths can never drift:
+    identical C ⟹ identical rows."""
+    import math
+
     x = [PCA_XQ] * dim
     mx = 0
     for _ in range(PCA_ITERS):
         y = [sum(C[j][k] * x[k] for k in range(dim)) for j in range(dim)]
         mx = max(abs(v) for v in y)
         denom = mx if mx > 0 else 1
-        x = [
-            int(__import__("math").floor(v / denom * PCA_XQ + 0.5))
-            for v in y
-        ]
+        x = [int(math.floor(v / denom * PCA_XQ + 0.5)) for v in y]
     trace = sum(C[j][j] for j in range(dim))
     lam = mx / PCA_XQ  # |y|inf / |x|inf — C-unit eigenvalue estimate
     var_top = lam / n_vecs / (PCA_Q * PCA_Q)
     var_share = lam / trace if trace > 0 else 0.0
 
     def p4(v: float) -> float:
-        return __import__("math").floor(v * 10000.0 + 0.5) / 10000.0
+        return math.floor(v * 10000.0 + 0.5) / 10000.0
 
     rows = [
         (
