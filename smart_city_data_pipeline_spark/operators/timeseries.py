@@ -2350,8 +2350,62 @@ def changepoint_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical continuous-aggregate cascade — the TimescaleDB
+    multi-level rollup (`init-timescaledb.sql:50` keeps a 1-minute
+    continuous aggregate; production hierarchies derive hourly from
+    the MINUTE rollup and daily from the HOURLY one, never re-reading
+    the hypertable). Emitted level: per-(zone, day) counts, exact
+    total, peak, average — computed through the full
+    minute→hour→day cascade.
+
+    The query exists to prove (and hash-check) the mergeability
+    contract: every carried statistic is a monoid (count-sum,
+    DECIMAL(18,2)-sum, max), so cascade ≡ direct — the oracle computes
+    the SAME numbers straight from the facts, and any non-mergeable
+    statistic smuggled into a level (an avg, a distinct) breaks the
+    gate. At 100 TB the hour level reads |zones|·minutes rows and the
+    day level |zones|·hours — the facts are scanned exactly once, by
+    the minute level.
+    """
+    ev = table(spark, sf_dir, "events")
+    minute = ev.groupBy(
+        F.col("event_type").alias("zone"),
+        F.date_trunc("minute", F.col("ts")).alias("minute"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+        F.max("value").alias("mx"),
+    )
+    hour = minute.groupBy(
+        "zone", F.date_trunc("hour", F.col("minute")).alias("hour")
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("sv").cast("decimal(18,2)").alias("sv"),
+        F.max("mx").alias("mx"),
+    )
+    day = hour.groupBy(
+        "zone", F.date_trunc("day", F.col("hour")).alias("day")
+    ).agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum("sv").cast("decimal(18,2)").alias("sv"),
+        F.max("mx").alias("peak_value"),
+    )
+    return day.select(
+        "zone",
+        "day",
+        "n_events",
+        F.col("sv").cast("double").alias("total_value"),
+        "peak_value",
+        pround(
+            F.col("sv").cast("double") / F.col("n_events").cast("double")
+        ).alias("avg_value"),
+    )
+
+
 QUERIES = {
     "walsh_energy": walsh_energy,
+    "rollup_cascade": rollup_cascade,
     "forecast_backtest": forecast_backtest,
     "changepoint_detect": changepoint_detect,
     "time_bucket_1min": time_bucket_1min,
@@ -3666,3 +3720,18 @@ def _changepoint_oracle_sql() -> str:
 
 
 ORACLES["changepoint_detect"] = _changepoint_oracle_sql()
+
+
+# rollup_cascade's oracle is deliberately the DIRECT single-level
+# aggregate over the facts: equality with the Spark cascade is the
+# mergeability proof.
+ORACLES["rollup_cascade"] = f"""
+    SELECT event_type AS zone,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sum_exact_sql('value')} AS total_value,
+           MAX(value) AS peak_value,
+           {pround_sql(f"{sum_exact_sql('value')} / COUNT(*)")} AS avg_value
+    FROM events
+    GROUP BY 1, 2
+"""
