@@ -1840,8 +1840,62 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CODE_KEYWORDS = (
+    "def", "return", "import", "class", "function", "var", "const",
+    "if", "else", "for", "while", "print",
+)
+CODE_SYMBOL_CLASS = "[{}();=<>]"
+
+
+def code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose corpus splitting — The-Stack-style routing: a
+    pretraining mix wants code shards tokenized/weighted separately
+    from prose. Heuristic features per doc: code-symbol density
+    (braces/parens/semicolons/operators) and code-keyword token hits;
+    the verdict is a transparent threshold rule, not a model.
+
+    The word-soup corpus has no code, so a deterministic code fragment
+    is appended for doc_id % 13 == 0 (identically in the oracle — the
+    ``pii_scrub`` synthesis pattern), so BOTH branches of the verdict
+    are hash-checked. Symbol counting is the portable length-diff
+    trick (length − length(strip(symbols))), keyword hits a token-set
+    filter — pure Column expressions, one narrow projection, no
+    shuffle.
+    """
+    docs = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    synth = F.concat(
+        F.col("text"),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" def fn"),
+                did.cast("string"),
+                F.lit("(x): return {x + 1}; import sys; while (x == 1);"),
+            ),
+        ).otherwise(""),
+    )
+    t = synth
+    symbol_hits = F.length(t) - F.length(
+        F.regexp_replace(t, CODE_SYMBOL_CLASS, "")
+    )
+    toks = F.split(F.trim(F.lower(t)), r"\s+")
+    kw = F.size(
+        F.filter(toks, lambda x: x.isin(*CODE_KEYWORDS))
+    ).cast("long")
+    ratio = symbol_hits.cast("double") / F.length(t).cast("double")
+    return docs.select(
+        "doc_id",
+        symbol_hits.cast("long").alias("symbol_hits"),
+        kw.alias("keyword_hits"),
+        pround(ratio).alias("symbol_ratio"),
+        ((symbol_hits >= 3) & (kw >= 2)).alias("is_code"),
+    )
+
+
 QUERIES = {
     "cdc_chunk_dedup": cdc_chunk_dedup,
+    "code_detect": code_detect,
     "lang_id": lang_id,
     "text_quality": text_quality,
     "token_count": token_count,
@@ -2816,4 +2870,34 @@ ORACLES["cdc_chunk_dedup"] = f"""
            {pround_sql('CAST(p.n_tokens AS DOUBLE) / CAST(p.n_chunks AS DOUBLE)')} AS mean_chunk_len,
            COALESCE(d.n_dup, 0) > 0 AS flagged
     FROM per_doc p LEFT JOIN dupc d USING (doc_id)
+"""
+
+
+_CODE_KW_SQL = "(" + ", ".join(f"'{w}'" for w in CODE_KEYWORDS) + ")"
+
+ORACLES["code_detect"] = f"""
+    WITH synth AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 13 = 0 THEN
+                   ' def fn' || CAST(doc_id AS VARCHAR)
+                   || '(x): return {{x + 1}}; import sys; while (x == 1);'
+               ELSE '' END AS t
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+               CAST(length(t) - length(regexp_replace(t,
+                    '{CODE_SYMBOL_CLASS}', '', 'g')) AS BIGINT)
+                   AS symbol_hits,
+               CAST(len(list_filter(
+                    regexp_split_to_array(trim(lower(t)), '\\s+'),
+                    x -> x IN {_CODE_KW_SQL})) AS BIGINT) AS keyword_hits,
+               CAST(length(t) AS BIGINT) AS n
+        FROM synth
+    )
+    SELECT doc_id, symbol_hits, keyword_hits,
+           {pround_sql('CAST(symbol_hits AS DOUBLE) / CAST(n AS DOUBLE)')}
+               AS symbol_ratio,
+           (symbol_hits >= 3 AND keyword_hits >= 2) AS is_code
+    FROM feats
 """
