@@ -100,6 +100,29 @@ def write_csv(df: DataFrame, path: str) -> None:
     df.write.option("header", "true").mode("overwrite").csv(path)
 
 
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC write — the Hive-native columnar twin of the parquet path
+    (the reference's Hive DDL, ``setup_smart_city_hive.hql``, targets
+    ORC-capable external tables). Spark bundles the ORC data source;
+    predicate pushdown and column pruning apply exactly as for
+    parquet."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def write_avro(df: DataFrame, path: str) -> None:
+    """Avro write — the Kafka-ecosystem row format. The ``avro`` data
+    source is an EXTERNAL module (spark-avro jar, not bundled in
+    pyspark/jars); in this sandbox the call is expected to fail at
+    datasource lookup — the gated-connector pytest drives it to that
+    boundary, Kafka-style. On a provisioned cluster the same call
+    works unchanged."""
+    df.write.format("avro").mode("overwrite").save(path)
+
+
 def derby_url(db_dir: str, create: bool = True) -> str:
     """JDBC URL for the Derby embedded driver that ships inside
     ``pyspark/jars`` (``derby-10.16.1.1.jar``) — a zero-infrastructure

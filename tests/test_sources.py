@@ -208,3 +208,24 @@ def test_schema_evolution_merge(spark, sf_dir, tmp_path):
         F.abs(F.col("value_calibrated") - 2 * F.col("value")) > 1e-9
     ).count()
     assert bad == 0
+
+
+def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC write → read round-trip preserves rows; a filtered read
+    shows ORC pushdown in the plan (the Hive-native columnar path)."""
+    from smart_city_data_pipeline_spark.catalog import table
+    from smart_city_data_pipeline_spark.sources.writers import (
+        read_orc,
+        write_orc,
+    )
+
+    nation = table(spark, sf_dir, "nation")
+    dest = str(tmp_path / "nation_orc")
+    write_orc(nation, dest)
+    back = read_orc(spark, dest)
+    assert back.count() == nation.count()
+    assert sorted(back.columns) == sorted(nation.columns)
+    filtered = back.filter(back["n_regionkey"] == 0).select("n_name")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan or "pushed" in plan.lower()
+    assert filtered.count() > 0
