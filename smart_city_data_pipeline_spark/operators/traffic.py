@@ -22,7 +22,7 @@ shuffle partition count, handled by AQE coalescing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from smart_city_data_pipeline_spark.catalog import table
@@ -442,7 +442,60 @@ def hll_distinct_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin→destination transition matrix between zones — the
+    traffic-flow question every smart-city dashboard asks ("how do
+    vehicles move between districts, and how long does the hop
+    take?"): for each sensor's consecutive event pair in DIFFERENT
+    zones, one transition; per ordered (from, to) pair the trip count
+    and transit-time stats.
+
+    Plan: ONE per-sensor ordered window pass (lag on the (ts,
+    event_id) total order — the deterministic tie-break both engines
+    share), then a vocabulary-bounded keyed aggregate (≤ |zones|²
+    rows). Transit seconds are exact BIGINT epoch differences; the
+    only double is the final mean.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type").alias("to_zone"),
+        F.lag("event_type").over(w).alias("from_zone"),
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+        ).cast("long").alias("dt_s"),
+    ).filter(
+        F.col("from_zone").isNotNull()
+        & (F.col("from_zone") != F.col("to_zone"))
+    )
+    return (
+        seq.groupBy("from_zone", "to_zone")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trips"),
+            F.sum("dt_s").cast("long").alias("total_transit_s"),
+            F.min("dt_s").cast("long").alias("min_transit_s"),
+            F.max("dt_s").cast("long").alias("max_transit_s"),
+        )
+        .select(
+            "from_zone",
+            "to_zone",
+            "n_trips",
+            "min_transit_s",
+            "max_transit_s",
+            pround(
+                F.col("total_transit_s").cast("double")
+                / F.col("n_trips").cast("double")
+            ).alias("mean_transit_s"),
+        )
+    )
+
+
 QUERIES = {
+    "od_matrix": od_matrix,
     "congestion_classify": congestion_classify,
     "zone_analytics": zone_analytics,
     "road_type_analytics": road_type_analytics,
@@ -667,3 +720,25 @@ ORACLES = {
         FROM st JOIN exact USING (event_type)
     """,
 }
+
+
+ORACLES["od_matrix"] = f"""
+    WITH seq AS (
+        SELECT event_type AS to_zone,
+               LAG(event_type) OVER w AS from_zone,
+               -- epoch_us // 1e6 floors like Spark's unix_timestamp;
+               -- CAST(epoch() AS BIGINT) would ROUND the fraction
+               (epoch_us(ts) // 1000000)
+                   - (epoch_us(LAG(ts) OVER w) // 1000000) AS dt_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT from_zone, to_zone,
+           CAST(COUNT(*) AS BIGINT) AS n_trips,
+           CAST(MIN(dt_s) AS BIGINT) AS min_transit_s,
+           CAST(MAX(dt_s) AS BIGINT) AS max_transit_s,
+           {pround_sql('CAST(SUM(dt_s) AS DOUBLE) / COUNT(*)')} AS mean_transit_s
+    FROM seq
+    WHERE from_zone IS NOT NULL AND from_zone <> to_zone
+    GROUP BY 1, 2
+"""
