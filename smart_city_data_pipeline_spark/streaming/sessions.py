@@ -65,3 +65,62 @@ def batch_equivalent_sessions(df: DataFrame, gap: str = SESSION_GAP) -> DataFram
             "total_value",
         )
     )
+
+
+# Dynamic per-row gap: interactive zones close sessions quickly, error
+# streams idle longer before the session is considered over — the
+# expression-valued session_window gap (Spark 3.2+), which a fixed-gap
+# formulation can only approximate with the worst-case gap (inflating
+# state retention for EVERY key).
+DYNAMIC_GAPS = {"error": "45 minutes", "purchase": "10 minutes"}
+DYNAMIC_GAP_DEFAULT = "30 minutes"
+
+
+def dynamic_gap() -> F.Column:
+    gap = F.lit(DYNAMIC_GAP_DEFAULT)
+    for etype, g in DYNAMIC_GAPS.items():
+        gap = F.when(F.col("event_type") == etype, F.lit(g)).otherwise(gap)
+    return gap
+
+
+def session_stats_dynamic(
+    stream: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-(user, event_type) session rollup with a PER-ROW gap
+    expression — state eviction follows each type's own idle budget."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.col("user_id"),
+            F.col("event_type"),
+            F.session_window("ts", dynamic_gap()),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def batch_equivalent_sessions_dynamic(df: DataFrame) -> DataFrame:
+    """Batch twin of the dynamic-gap rollup (the streaming test's
+    oracle)."""
+    return (
+        df.groupBy(
+            F.col("user_id"),
+            F.col("event_type"),
+            F.session_window("ts", dynamic_gap()),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

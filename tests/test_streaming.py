@@ -431,3 +431,64 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
     assert norm(got) == norm(want)
     hits = got.filter(F.col("zone").isNotNull()).count()
     assert 0 < hits < got.count()  # both the hit and miss paths ran
+
+
+def test_dynamic_gap_sessions_match_batch(spark, sf_dir, tmp_path):
+    """Expression-valued (per-row) session gaps: the streaming drain
+    must equal the batch twin session-for-session, and the per-type
+    gaps must actually differ (an error session tolerates a 40-min
+    idle that closes a purchase session)."""
+    from smart_city_data_pipeline_spark.streaming.sessions import (
+        batch_equivalent_sessions_dynamic,
+        session_stats_dynamic,
+    )
+
+    ev, stream = _events_stream(spark, sf_dir, tmp_path)
+    q = (
+        session_stats_dynamic(stream)
+        .writeStream.format("memory")
+        .queryName("sess_dynamic")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not drain in time"
+
+    def norm(df):
+        return sorted(
+            (r["user_id"], r["event_type"], str(r["session_start"]),
+             str(r["session_end"]), r["n_events"])
+            for r in df.collect()
+        )
+
+    got = norm(spark.table("sess_dynamic"))
+    want = norm(batch_equivalent_sessions_dynamic(ev))
+    assert len(got) > 0
+    assert got == want
+
+
+def test_dynamic_gap_differs_by_type(spark):
+    """Two identical event sequences, 20 min apart: one session under
+    the 45-min 'error' gap, two sessions under the 10-min 'purchase'
+    gap — the per-row expression is load-bearing, not decorative."""
+    from datetime import datetime
+
+    from smart_city_data_pipeline_spark.streaming.sessions import (
+        batch_equivalent_sessions_dynamic,
+    )
+
+    rows = []
+    for etype in ("error", "purchase"):
+        rows += [
+            (1, datetime(2025, 6, 1, 0, 0), etype, 1.0),
+            (1, datetime(2025, 6, 1, 0, 20), etype, 1.0),
+        ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double"
+    )
+    got = batch_equivalent_sessions_dynamic(df).collect()
+    by_type = {}
+    for r in got:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert len(by_type["error"]) == 1  # 20-min idle < 45-min gap
+    assert len(by_type["purchase"]) == 2  # 20-min idle > 10-min gap
