@@ -98,3 +98,65 @@ def compact_lake(spark: SparkSession, path: str, partition_cols: list[str]) -> N
         .parquet(tmp)
     )
     _commit_swap(spark, path, tmp)
+
+
+def forget_subject(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    subject_ids: list,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Right-to-be-forgotten erasure over a parquet lake: remove every
+    row whose ``key_col`` is in ``subject_ids`` and return the per-
+    partition audit the DPO files (rows before, rows erased, rows
+    after) — the GDPR/CCPA deletion pass plain parquet needs spelled
+    out (a table format runs ``DELETE WHERE``; the rewrite-and-swap
+    below is that statement's physical plan anyway).
+
+    Scale shape: the anti-join predicate is a literal IN over the
+    (small) subject list, so partition pruning and row-group skipping
+    still apply to the scan; the rewrite repartitions by the partition
+    columns so output files stay one-per-partition (the
+    ``compact_lake`` layout). Crash safety is the module's standard
+    temp-sibling + swap: the old lake is readable until the fully
+    written replacement renames in.
+
+    The audit is computed from the SAME scan lineage before the swap
+    (counts per partition), so what it reports is exactly what was
+    erased."""
+    fs, _ = _hadoop_fs(spark, path)
+    tmp = path.rstrip("/") + "._tmp_forget"
+    _, tpath = _hadoop_fs(spark, tmp)
+    if fs.exists(tpath):
+        fs.delete(tpath, True)
+    df = spark.read.option("basePath", path).parquet(path)
+    hit = F.col(key_col).isin(*subject_ids)
+    group = (
+        [F.col(c) for c in partition_cols]
+        if partition_cols
+        # a STRING literal: an integer literal in groupBy is read as a
+        # positional GROUP BY index
+        else [F.lit("all").alias("partition")]
+    )
+    audit = (
+        df.groupBy(*group)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rows_before"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("rows_erased"),
+        )
+        .withColumn(
+            "rows_after", (F.col("rows_before") - F.col("rows_erased"))
+        )
+        .collect()
+    )
+    kept = df.filter(~hit)
+    writer = kept.repartition(
+        *[F.col(c) for c in (partition_cols or [])]
+    ) if partition_cols else kept.coalesce(1)
+    w = writer.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(tmp)
+    _commit_swap(spark, path, tmp)
+    return spark.createDataFrame(audit)

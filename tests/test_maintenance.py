@@ -128,3 +128,57 @@ def test_compact_crash_before_swap_leaves_lake_intact(spark, sf_dir, tmp_path, m
         sorted(map(tuple, spark.read.parquet(path).drop("day").collect()))
         == rows_before
     )
+
+
+def test_forget_subject_erases_and_audits(spark, sf_dir, tmp_path):
+    """GDPR erasure: the subject's rows are gone, everyone else's rows
+    survive byte-identically, and the audit accounts for exactly the
+    erased rows per partition."""
+    from smart_city_data_pipeline_spark.catalog import table
+    from smart_city_data_pipeline_spark.sources.maintenance import (
+        forget_subject,
+    )
+    from pyspark.sql import functions as F
+
+    lake = str(tmp_path / "lake")
+    ev = table(spark, sf_dir, "events").withColumn(
+        "zone", F.col("event_type")
+    )
+    ev.write.partitionBy("zone").parquet(lake)
+    subject = ev.select("user_id").first()[0]
+    before_subject = ev.filter(F.col("user_id") == subject).count()
+    before_total = ev.count()
+    assert before_subject > 0
+
+    audit = forget_subject(
+        spark, lake, "user_id", [subject], ["zone"]
+    ).collect()
+    back = spark.read.option("basePath", lake).parquet(lake)
+    assert back.filter(F.col("user_id") == subject).count() == 0
+    assert back.count() == before_total - before_subject
+    assert sum(r["rows_erased"] for r in audit) == before_subject
+    for r in audit:
+        assert r["rows_after"] == r["rows_before"] - r["rows_erased"]
+
+
+def test_forget_subject_crash_leaves_lake_intact(spark, sf_dir, tmp_path, monkeypatch):
+    """Fault injection: a crash between the temp write and the swap
+    must leave the original lake fully readable (standard temp-sibling
+    discipline)."""
+    from smart_city_data_pipeline_spark.catalog import table
+    from smart_city_data_pipeline_spark.sources import maintenance
+
+    lake = str(tmp_path / "lake2")
+    ev = table(spark, sf_dir, "events")
+    ev.limit(200).write.parquet(lake)
+    n0 = spark.read.parquet(lake).count()
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before swap")
+
+    monkeypatch.setattr(maintenance, "_commit_swap", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        maintenance.forget_subject(spark, lake, "user_id", [1], None)
+    assert spark.read.parquet(lake).count() == n0
