@@ -494,8 +494,59 @@ def od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto dominance) per zone: which sensors are
+    undominated on (event volume, average reading)? — the multi-
+    criteria "best sensors" query a ranking can't answer (no single
+    score orders a trade-off frontier). A dominates B iff A ≥ B on
+    both axes and > on at least one.
+
+    Spark-first shape: NO pairwise self-join — the classic sort-based
+    skyline as two window frames per zone: a RANGE frame over the
+    integer volume axis (``max(avg) among strictly-higher-volume
+    sensors``) plus a same-volume partition max; a sensor is on the
+    front iff neither beats its average. O(n log n) per zone instead
+    of the O(n²) dominance join, and both frames are exact-integer
+    comparisons (averages on the `(s*128) DIV n` grid).
+    """
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    per = (
+        ev.groupBy(
+            F.col("event_type").alias("zone"),
+            F.col("user_id").alias("sensor_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents).alias("s"))
+        .select(
+            "zone",
+            "sensor_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.expr("(s * 128) DIV n_events").alias("q"),
+        )
+    )
+    w_higher = (
+        Window.partitionBy("zone")
+        .orderBy(F.col("n_events"))
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    w_same = Window.partitionBy("zone", "n_events")
+    best_higher = F.max("q").over(w_higher)
+    best_same = F.max("q").over(w_same)
+    dominated = (
+        F.coalesce(best_higher >= F.col("q"), F.lit(False))
+    ) | (best_same > F.col("q"))
+    return per.select(
+        "zone",
+        "sensor_id",
+        "n_events",
+        pround(F.col("q").cast("double") / 12800.0).alias("avg_value"),
+        (~dominated).alias("on_front"),
+    )
+
+
 QUERIES = {
     "od_matrix": od_matrix,
+    "pareto_front": pareto_front,
     "congestion_classify": congestion_classify,
     "zone_analytics": zone_analytics,
     "road_type_analytics": road_type_analytics,
@@ -741,4 +792,31 @@ ORACLES["od_matrix"] = f"""
     FROM seq
     WHERE from_zone IS NOT NULL AND from_zone <> to_zone
     GROUP BY 1, 2
+"""
+
+
+ORACLES["pareto_front"] = f"""
+    WITH per AS (
+        SELECT event_type AS zone,
+               user_id AS sensor_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) * 128
+                    // COUNT(*) AS BIGINT) AS q
+        FROM events
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT *,
+               MAX(q) OVER (
+                   PARTITION BY zone ORDER BY n_events
+                   RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+               ) AS best_higher,
+               MAX(q) OVER (PARTITION BY zone, n_events) AS best_same
+        FROM per
+    )
+    SELECT zone, sensor_id, n_events,
+           {pround_sql('CAST(q AS DOUBLE) / 12800.0')} AS avg_value,
+           NOT (COALESCE(best_higher >= q, FALSE) OR best_same > q)
+               AS on_front
+    FROM scored
 """

@@ -932,3 +932,46 @@ def test_cdc_chunking_survives_head_insertion(spark, tmp_path):
     # CDC: boundaries re-align after the first gated token
     assert cdc[0]["dup_share"] > 0.8
     assert cdc[0]["dup_share"] > fixed[0]["dup_share"] + 0.5
+
+
+def test_pareto_front_matches_bruteforce(spark, sf_dir):
+    """Brute-force O(n²) dominance check over the same integer grid —
+    validates the sort-based two-frame skyline, ties included."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from smart_city_data_pipeline_spark.operators.traffic import (
+        pareto_front,
+    )
+
+    con = duckdb.connect()
+    per = con.execute(
+        f"""
+        SELECT event_type, user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) * 128
+                    // COUNT(*) AS BIGINT) AS q
+        FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2
+        """
+    ).fetchall()
+    by_zone = defaultdict(list)
+    for zone, sid, n, q in per:
+        by_zone[zone].append((sid, n, q))
+
+    expected = {}
+    for zone, pts in by_zone.items():
+        for sid, n, q in pts:
+            dominated = any(
+                (n2 >= n and q2 >= q and (n2 > n or q2 > q))
+                for sid2, n2, q2 in pts
+                if sid2 != sid
+            )
+            expected[(zone, sid)] = not dominated
+
+    got = {
+        (r["zone"], r["sensor_id"]): r["on_front"]
+        for r in pareto_front(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert any(got.values()) and not all(got.values())
