@@ -924,7 +924,74 @@ def bloom_prefilter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic warehouse marketing
+    rollup (recency / frequency / monetary quintiles + a named
+    segment), run over orders.
+
+    Determinism: quintiles are ``ntile(5)`` on a TOTAL order (metric,
+    then custkey) so ties split identically in both engines; monetary
+    sums are DECIMAL(18,2)-exact. Recency counts days from the
+    corpus's max order date (a 1-row broadcast).
+
+    Scale note: global ntile is a single-partition window by
+    definition — fine for the |customers|-sized rollup (already
+    aggregated), and at larger |customers| the same scores come from
+    broadcast quantile CUTOFFS (the ``value_quantiles`` panel) instead
+    of a global sort; the segmentation logic is unchanged.
+    """
+    orders = table(spark, sf_dir, "orders")
+    per = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("m"),
+    )
+    mx = orders.agg(F.max("o_orderdate").alias("max_date"))
+    j = per.join(F.broadcast(mx))
+    base = j.select(
+        "custkey",
+        F.datediff(F.col("max_date"), F.col("last_order"))
+        .cast("long")
+        .alias("r_days"),
+        "frequency",
+        F.col("m").cast("double").alias("monetary"),
+    )
+    # lower r_days = better recency => r_score 5 for the most recent
+    w_r = Window.orderBy(F.col("r_days").desc(), F.col("custkey"))
+    w_f = Window.orderBy(F.col("frequency").asc(), F.col("custkey"))
+    w_m = Window.orderBy(F.col("monetary").asc(), F.col("custkey"))
+    scored = base.select(
+        "custkey",
+        "r_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(w_r).alias("r_score"),
+        F.ntile(5).over(w_f).alias("f_score"),
+        F.ntile(5).over(w_m).alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion"
+        )
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "lost")
+        .otherwise("regular")
+    )
+    return scored.select(
+        "custkey",
+        "r_days",
+        "frequency",
+        pround(F.col("monetary")).alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        seg.alias("segment"),
+    )
+
+
 QUERIES = {
+    "rfm_segments": rfm_segments,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
@@ -1389,3 +1456,43 @@ ORACLES = {
         LIMIT 40
     """,
 }
+
+
+ORACLES["rfm_segments"] = f"""
+    WITH per AS (
+        SELECT o_custkey AS custkey,
+               MAX(o_orderdate) AS last_order,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS monetary
+        FROM orders GROUP BY 1
+    ),
+    mx AS (SELECT MAX(o_orderdate) AS max_date FROM orders),
+    base AS (
+        SELECT custkey,
+               CAST(date_diff('day', last_order, max_date) AS BIGINT)
+                   AS r_days,
+               frequency, monetary
+        FROM per, mx
+    ),
+    scored AS (
+        SELECT *,
+               NTILE(5) OVER (ORDER BY r_days DESC, custkey) AS r_score,
+               NTILE(5) OVER (ORDER BY frequency ASC, custkey) AS f_score,
+               NTILE(5) OVER (ORDER BY monetary ASC, custkey) AS m_score
+        FROM base
+    )
+    SELECT custkey, r_days, frequency,
+           {pround_sql('monetary')} AS monetary,
+           CAST(r_score AS INTEGER) AS r_score,
+           CAST(f_score AS INTEGER) AS f_score,
+           CAST(m_score AS INTEGER) AS m_score,
+           CASE
+               WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+               WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+               WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+               WHEN r_score <= 2 AND f_score <= 2 THEN 'lost'
+               ELSE 'regular'
+           END AS segment
+    FROM scored
+"""
