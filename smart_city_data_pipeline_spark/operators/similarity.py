@@ -1141,6 +1141,21 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal(38,0)/HUGEINT (the ``doc_outlier_mahalanobis`` treatment)
     or a sampled training set (the documented IVF posture at 100 TB).
     """
+    dim, n_vecs, _m, C = _train_pca(spark, sf_dir)
+    return pca_finish(spark, C, n_vecs, dim)
+
+
+# Trained PCA moments per dataset fingerprint (the _KMEANS_CACHE
+# discipline): the two embedding passes are paid once per process and
+# shared by embedding_pca_power and embedding_abtt_qc.
+_PCA_CACHE: dict = {}
+
+
+def _train_pca(spark: SparkSession, sf_dir: str):
+    """(dim, n_vecs, integer mean, exact int scatter C) for the corpus."""
+    key = dataset_fingerprint(sf_dir, "embeddings")
+    if key in _PCA_CACHE:
+        return _PCA_CACHE[key]
     emb = spread(
         table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings"
     )
@@ -1181,8 +1196,22 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(dim):
             for k in range(dim):
                 C[j][k] += flat[j * dim + k]
+    _PCA_CACHE[key] = (dim, n_vecs, m, C)
+    return _PCA_CACHE[key]
 
-    return pca_finish(spark, C, n_vecs, dim)
+
+def pca_top_vector(C, dim: int) -> list[int]:
+    """The 2¹²-grid dominant eigenvector alone (the power-iteration
+    core of :func:`pca_finish`, shared with the ABTT applier)."""
+    import math
+
+    x = [PCA_XQ] * dim
+    for _ in range(PCA_ITERS):
+        y = [sum(C[j][k] * x[k] for k in range(dim)) for j in range(dim)]
+        mx = max(abs(v) for v in y)
+        denom = mx if mx > 0 else 1
+        x = [int(math.floor(v / denom * PCA_XQ + 0.5)) for v in y]
+    return x
 
 
 def pca_finish(spark, C, n_vecs: int, dim: int) -> DataFrame:
@@ -1225,8 +1254,100 @@ def pca_finish(spark, C, n_vecs: int, dim: int) -> DataFrame:
     )
 
 
+ABTT_NQ = 65536.0  # per-vector norm quantization grid
+
+
+def embedding_abtt_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top applied, with exact accounting — the standard
+    embedding post-process (Mu & Viswanath 2018: subtract the mean,
+    remove the dominant principal direction) as a QC report: per
+    label, how much vector norm lives in the rogue common direction?
+    A high reduction share means the raw embeddings are anisotropic
+    and cosine similarities are inflated by the shared component.
+
+    Exactness: reuses the cached integer-grid PCA training
+    (:func:`_train_pca` — mean m and top direction x are exact-integer
+    literals embedded in the plan). Per vector the residual norm uses
+    the identity |c − (c·x̂)x̂|²·|x|² = |c|²|x|² − (c·x)² — every term
+    an exact int64 (bounds in the PCA docstring), and the only
+    non-integer steps are one int64→double cast (IEEE-defined) and
+    ``sqrt`` (correctly rounded by IEEE 754 in BOTH engines — safe
+    where exp/log are not). Norms quantize to a 2¹⁶ grid before the
+    order-free integer sum. The oracle re-learns m and x through the
+    same unrolled CTEs and replays the identity.
+    """
+    dim, _n, m, C = _train_pca(spark, sf_dir)
+    x = pca_top_vector(C, dim)
+    n2x = sum(v * v for v in x)
+    emb = spread(
+        table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings"
+    )
+    qv = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda v: F.floor(v * F.lit(PCA_Q) + F.lit(0.5)).cast("long"),
+    )
+    c = F.zip_with(qv, F.lit(m), lambda a, b: a - b)
+    zero = F.lit(0).cast("long")
+    d = F.aggregate(
+        F.zip_with(c, F.lit(x), lambda a, b: a * b), zero, lambda acc, v: acc + v
+    )
+    n2v = F.aggregate(
+        F.transform(c, lambda v: v * v), zero, lambda acc, v: acc + v
+    )
+    per = emb.select(
+        "label",
+        d.alias("d"),
+        n2v.alias("n2v"),
+    ).select(
+        "label",
+        F.floor(
+            F.sqrt(F.col("n2v").cast("double")) / F.lit(PCA_Q) * F.lit(ABTT_NQ)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("nb_q"),
+        F.floor(
+            F.sqrt(
+                (
+                    F.col("n2v") * F.lit(n2x) - F.col("d") * F.col("d")
+                ).cast("double")
+                / F.lit(float(n2x))
+            )
+            / F.lit(PCA_Q)
+            * F.lit(ABTT_NQ)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("na_q"),
+    )
+    g = per.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("nb_q").cast("long").alias("snb"),
+        F.sum("na_q").cast("long").alias("sna"),
+    )
+    return g.select(
+        "label",
+        "n_vecs",
+        pround(
+            F.col("snb").cast("double")
+            / F.col("n_vecs").cast("double")
+            / F.lit(ABTT_NQ)
+        ).alias("mean_norm_before"),
+        pround(
+            F.col("sna").cast("double")
+            / F.col("n_vecs").cast("double")
+            / F.lit(ABTT_NQ)
+        ).alias("mean_norm_after"),
+        pround(
+            F.lit(1.0)
+            - F.col("sna").cast("double") / F.col("snb").cast("double")
+        ).alias("norm_reduction_share"),
+    )
+
+
 QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
+    "embedding_abtt_qc": embedding_abtt_qc,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_kmeans": ann_ivf_kmeans,
     "embedding_centroids": embedding_centroids,
@@ -1908,3 +2029,55 @@ def _pca_oracle_sql() -> str:
 
 
 ORACLES["embedding_pca_power"] = _pca_oracle_sql()
+
+
+def _abtt_oracle_sql() -> str:
+    # reuse the PCA CTE chain (comp/means/cent/cmat/x0..xN), then apply
+    # the residual-norm identity per vector
+    pca = _pca_oracle_sql()
+    chain = pca[pca.index("WITH") + 4 : pca.index(",\n        scalars AS")]
+    return f"""
+        WITH {chain},
+        n2x AS (
+            SELECT CAST(SUM(xv * xv) AS BIGINT) AS v FROM x{PCA_ITERS}
+        ),
+        per AS (
+            SELECT c.vec_id,
+                   CAST(SUM(c.c * x.xv) AS BIGINT) AS d,
+                   CAST(SUM(c.c * c.c) AS BIGINT) AS n2v
+            FROM cent c JOIN x{PCA_ITERS} x ON x.j = c.pos
+            GROUP BY 1
+        ),
+        qn AS (
+            SELECT e.label,
+                   CAST(FLOOR(sqrt(CAST(p.n2v AS DOUBLE)) / {PCA_Q}
+                        * {ABTT_NQ} + 0.5) AS BIGINT) AS nb_q,
+                   CAST(FLOOR(sqrt(
+                        CAST(p.n2v * n2x.v - p.d * p.d AS DOUBLE)
+                        / CAST(n2x.v AS DOUBLE)
+                   ) / {PCA_Q} * {ABTT_NQ} + 0.5) AS BIGINT) AS na_q
+            FROM per p
+            JOIN embeddings e ON e.vec_id = p.vec_id, n2x
+        ),
+        g AS (
+            SELECT label,
+                   CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                   CAST(SUM(nb_q) AS BIGINT) AS snb,
+                   CAST(SUM(na_q) AS BIGINT) AS sna
+            FROM qn GROUP BY 1
+        )
+        SELECT label, n_vecs,
+               {pround_sql(
+                   f'CAST(snb AS DOUBLE) / CAST(n_vecs AS DOUBLE) / {ABTT_NQ}'
+               )} AS mean_norm_before,
+               {pround_sql(
+                   f'CAST(sna AS DOUBLE) / CAST(n_vecs AS DOUBLE) / {ABTT_NQ}'
+               )} AS mean_norm_after,
+               {pround_sql(
+                   '1.0 - CAST(sna AS DOUBLE) / CAST(snb AS DOUBLE)'
+               )} AS norm_reduction_share
+        FROM g
+    """
+
+
+ORACLES["embedding_abtt_qc"] = _abtt_oracle_sql()

@@ -975,3 +975,39 @@ def test_pareto_front_matches_bruteforce(spark, sf_dir):
     }
     assert got == expected
     assert any(got.values()) and not all(got.values())
+
+
+def test_abtt_residual_matches_numpy_projection(spark, sf_dir):
+    """The integer-identity residual norm |c|²|x|² − (c·x)² must match
+    numpy's explicit remove-projection norm, and removing the learned
+    direction must shrink norms (reduction share in (0, 1))."""
+    import duckdb
+    import numpy as np
+
+    from smart_city_data_pipeline_spark.operators.similarity import (
+        PCA_Q,
+        _train_pca,
+        embedding_abtt_qc,
+        pca_top_vector,
+    )
+
+    dim, _n, m, C = _train_pca(spark, sf_dir)
+    x = np.array(pca_top_vector(C, dim), dtype=np.float64)
+    xhat = x / np.linalg.norm(x)
+    con = duckdb.connect()
+    vecs = con.execute(
+        f"SELECT label, CAST(embedding AS DOUBLE[]) "
+        f"FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    q = np.floor(
+        np.array([v[1] for v in vecs]) * PCA_Q + 0.5
+    ) - np.array(m)
+    resid = q - np.outer(q @ xhat, xhat)
+    np_after = np.linalg.norm(resid, axis=1) / PCA_Q
+
+    rows = embedding_abtt_qc(spark, sf_dir).collect()
+    labels = np.array([v[0] for v in vecs])
+    for r in rows:
+        mask = labels == r["label"]
+        assert abs(r["mean_norm_after"] - np_after[mask].mean()) < 1e-3
+        assert 0.0 < r["norm_reduction_share"] < 1.0
