@@ -83,7 +83,10 @@ _GATE_FIRST = [
     "k_anonymity_audit",  # new: pre-export privacy compliance curve
     "changepoint_detect",  # new: binseg first-split regime change
     "hilbert_codes",  # new: Hilbert clustering key (vs zorder)
-    # window FULL (50). Later r7 additions (hilbert_prune_report, ...)
+    # window FULL (50). Later r7 additions (hilbert_prune_report,
+    # embedding_pca_power, cdc_chunk_dedup, rollup_cascade, code_detect,
+    # od_matrix, forget_subject, pareto_front, rfm_segments,
+    # embedding_abtt_qc, stl_decompose_lite, ols_trend, ...)
     # are judge-only this round and MUST lead the r8 window, before
     # the displaced r4 keys below.
     # rotate-back wave: every remaining r4 key was displaced to the

@@ -3735,3 +3735,251 @@ ORACLES["rollup_cascade"] = f"""
     FROM events
     GROUP BY 1, 2
 """
+
+
+STL_Q = 16384.0  # 2^14 hourly-average grid (exact-integer decomposition)
+STL_SCALE = 24.0 * STL_Q  # detrended values carry a x24 denominator
+
+
+def stl_decompose_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal–trend decomposition (STL-lite) of each zone's hourly
+    series: trend = centered 24-slot moving average, seasonal = the
+    per-hour-of-day mean of the detrended series, remainder = what is
+    left — the classic Cleveland et al. (1990) STL shape with the
+    loess smoothers replaced by exact moving/grouped means, which is
+    the decomposition every monitoring dashboard actually draws.
+    ``seasonal_anomaly`` judges single readings against an
+    (hour-of-day) profile; this emits the full additive decomposition
+    per (zone, hour) so downstream forecasting/anomaly operators can
+    consume trend and season separately.
+
+    Scale shape: one fact scan into an hourly pre-aggregate (the same
+    first stage as ``rollup_cascade``), then a 24-row ROWS-frame
+    window per zone (constant state), a tiny (zone × 24) seasonal
+    aggregate joined back (AQE broadcasts it at runtime — no forced
+    hint, the grouping key derives from the sf-scaled facts), and a
+    projection. No self-joins, no global sort; the window shuffle on
+    the zone key is the only wide exchange over the pre-aggregate.
+
+    Exactness: hourly averages quantize to a 2^14 integer grid;
+    trend/detrended values are exact integer window sums over that
+    grid (a ROWS frame of exactly 24 slots — edge rows without the
+    full frame are excluded rather than decomposed against a
+    truncated window); the seasonal mean and final unscaling are
+    single IEEE divisions of exact integers, bit-identical in any
+    engine.
+    """
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+        )
+        .agg(avg_exact(F.col("value")).alias("avg_v"))
+        .select(
+            "event_type",
+            "hour_ts",
+            F.floor(F.col("avg_v") * F.lit(STL_Q) + F.lit(0.5))
+            .cast("long")
+            .alias("avg_q"),
+        )
+    )
+    wt = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(-11, 12)
+    )
+    trended = (
+        hourly.select(
+            "event_type",
+            "hour_ts",
+            "avg_q",
+            F.sum("avg_q").over(wt).alias("sum24"),
+            F.count(F.lit(1)).over(wt).alias("c24"),
+        )
+        .filter(F.col("c24") == 24)
+        .withColumn(
+            "detr_q", F.lit(24) * F.col("avg_q") - F.col("sum24")
+        )
+        .withColumn("hod", F.hour("hour_ts"))
+    )
+    seas = trended.groupBy("event_type", "hod").agg(
+        F.sum("detr_q").cast("long").alias("sum_d"),
+        F.count(F.lit(1)).cast("double").alias("n_d"),
+    )
+    # seas is <= zones x 24 rows by semantics, but its grouping key
+    # derives from the sf-scaled facts — no forced broadcast; AQE
+    # size-gates the join at runtime.
+    seas_units = F.col("sum_d").cast("double") / F.col("n_d")
+    return (
+        trended.join(seas, ["event_type", "hod"])
+        .select(
+            "event_type",
+            "hour_ts",
+            pround(F.col("avg_q").cast("double") / F.lit(STL_Q)).alias(
+                "hourly_avg"
+            ),
+            pround(
+                F.col("sum24").cast("double") / F.lit(STL_SCALE)
+            ).alias("trend"),
+            pround(seas_units / F.lit(STL_SCALE)).alias("seasonal"),
+            pround(
+                (F.col("detr_q").cast("double") - seas_units)
+                / F.lit(STL_SCALE)
+            ).alias("remainder"),
+        )
+    )
+
+
+QUERIES["stl_decompose_lite"] = stl_decompose_lite
+
+ORACLES["stl_decompose_lite"] = f"""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+               CAST(FLOOR(({avg_exact_sql('value')}) * 16384.0 + 0.5)
+                    AS BIGINT) AS avg_q
+        FROM events
+        GROUP BY 1, 2
+    ),
+    trended AS (
+        SELECT *,
+               CAST(SUM(avg_q) OVER w AS BIGINT) AS sum24,
+               CAST(COUNT(*) OVER w AS BIGINT) AS c24
+        FROM hourly
+        WINDOW w AS (
+            PARTITION BY event_type ORDER BY hour_ts
+            ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING
+        )
+    ),
+    detr AS (
+        SELECT *,
+               24 * avg_q - sum24 AS detr_q,
+               CAST(EXTRACT(hour FROM hour_ts) AS INTEGER) AS hod
+        FROM trended WHERE c24 = 24
+    ),
+    seas AS (
+        SELECT event_type, hod,
+               CAST(SUM(detr_q) AS BIGINT) AS sum_d,
+               CAST(COUNT(*) AS DOUBLE) AS n_d
+        FROM detr GROUP BY 1, 2
+    )
+    SELECT d.event_type,
+           d.hour_ts,
+           {pround_sql('CAST(avg_q AS DOUBLE) / 16384.0')} AS hourly_avg,
+           {pround_sql('CAST(sum24 AS DOUBLE) / 393216.0')} AS trend,
+           {pround_sql(
+               '(CAST(sum_d AS DOUBLE) / n_d) / 393216.0'
+           )} AS seasonal,
+           {pround_sql(
+               '(CAST(detr_q AS DOUBLE)'
+               ' - CAST(sum_d AS DOUBLE) / n_d) / 393216.0'
+           )} AS remainder
+    FROM detr d JOIN seas s USING (event_type, hod)
+"""
+
+
+OLS_MIN_N = 3  # below this the fit is degenerate
+
+
+def ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sensor ordinary-least-squares trend line: slope (cents per
+    hour), intercept, and R² of each sensor's readings against the
+    wall-clock hour index — the parametric twin of
+    ``theil_sen_slope`` (which takes the pairwise-median slope over a
+    trailing sample). OLS uses EVERY reading and also reports fit
+    quality, so fleets sort by |slope| for drift and by R² to tell
+    steady drift from noise.
+
+    Scale shape: ONE map-side-combinable aggregate over one fact scan
+    — the five Gauss moments (n, Σx, Σy, Σxy, Σx², Σy²) per sensor;
+    no window, no join, no self-pairing (contrast Theil–Sen's K²/2
+    bounded pair join). The moment sums are exact DECIMAL(38,0)
+    (Spark) / HUGEINT (DuckDB) over integer hour-index × integer
+    cents — the doc_outlier_mahalanobis int128 discipline, exact to
+    ~1e9 rows per sensor where BIGINT would wrap silently.
+
+    Exactness: slope/intercept/R² are single IEEE ops over the
+    nearest-doubles of identical exact integers, bit-identical in
+    both engines; degenerate keys (constant x or fewer than
+    ``OLS_MIN_N`` points) are excluded, zero-variance y reports
+    R² = NULL rather than 0/0.
+    """
+    ev = table(spark, sf_dir, "events")
+    x = F.expr("unix_micros(ts) div 3600000000")
+    y = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    pts = ev.select(
+        F.col("user_id").alias("sensor_id"),
+        x.alias("x"),
+        y.alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    m = pts.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).alias("syy"),
+    )
+    nd = F.col("n").cast(d38)
+    num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / dx
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    r2 = F.when(dy > 0, (num * num) / (dx * dy))
+    return (
+        m.filter((F.col("n") >= OLS_MIN_N) & (dx > 0))
+        .select(
+            "sensor_id",
+            "n",
+            pround(slope / F.lit(100.0)).alias("slope_per_hour"),
+            pround(intercept / F.lit(100.0)).alias("intercept"),
+            pround(r2).alias("r2"),
+        )
+    )
+
+
+QUERIES["ols_trend"] = ols_trend
+
+ORACLES["ols_trend"] = f"""
+    WITH pts AS (
+        SELECT user_id AS sensor_id,
+               epoch_us(ts) // 3600000000 AS x,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+        FROM events
+    ),
+    m AS (
+        SELECT sensor_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(x AS HUGEINT)) AS sx,
+               SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+               SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+               SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+        FROM pts GROUP BY 1
+    ),
+    d AS (
+        SELECT sensor_id, n,
+               CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) AS num,
+               CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS dx,
+               CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE) AS dy,
+               CAST(sx AS DOUBLE) AS sxd,
+               CAST(sy AS DOUBLE) AS syd
+        FROM m
+    )
+    SELECT sensor_id,
+           n,
+           {pround_sql('(num / dx) / 100.0')} AS slope_per_hour,
+           {pround_sql(
+               '((syd - (num / dx) * sxd) / CAST(n AS DOUBLE)) / 100.0'
+           )} AS intercept,
+           {pround_sql(
+               'CASE WHEN dy > 0 THEN (num * num) / (dx * dy) END'
+           )} AS r2
+    FROM d
+    WHERE n >= {OLS_MIN_N} AND dx > 0
+"""
