@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from smart_city_data_pipeline_spark.catalog import dataset_fingerprint, spread, table
 from smart_city_data_pipeline_spark.functions.hashing import md5_long, md5_long_sql
-from smart_city_data_pipeline_spark.functions.rounding import pround
+from smart_city_data_pipeline_spark.functions.rounding import pround, pround_sql
 from smart_city_data_pipeline_spark.functions.vector import dot, dot_sql
 
 N_MINHASH = 16
@@ -1821,3 +1821,85 @@ ORACLES = {
         WHERE levenshtein(a.norm, b.norm) <= 20
     """,
 }
+
+
+SOFT_DF_CUT = 3.0  # mean doc-frequency above which a doc is down-weighted
+
+
+def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication by reweighting instead of removal (the
+    SoftDeDup idea, He et al. 2024): each document keeps a SAMPLING
+    WEIGHT inversely proportional to the commonness of its content —
+    training sees duplicated text less often without the cliff-edge
+    information loss of hard dedup. Commonness here is the mean
+    document frequency of the doc's distinct 3-token shingles (the
+    same shingle stream every hard-dedup operator in this module
+    consumes); ``soft_weight = 1 / commonness`` so a fully unique doc
+    keeps weight 1.0 and a doc whose shingles each appear in d docs
+    is sampled 1/d as often.
+
+    Scale shape: this is the CHEAP alternative to pairwise dedup — no
+    pair join at all. One shingle explode, one keyed df aggregate,
+    one shuffle join back on the shingle hash, one per-doc aggregate;
+    every stage is map-side combinable and keyed on high-cardinality
+    hashes. At 100 TB this costs two shuffles of the shingle stream,
+    vs LSH's candidate-pair materialization.
+
+    Exactness: df counts and per-doc sums are exact BIGINTs;
+    ``mean_df``/``soft_weight`` are one IEEE division each
+    (``soft_weight`` is n/Σdf directly — never 1/(Σdf/n), whose extra
+    rounding step could diverge between engines); the down-weight
+    flag compares the identical quotient double to the shared
+    literal. Docs shorter than 3 tokens have no shingles and are
+    excluded by construction (nothing to weight against).
+    """
+    sh = _hashed_shingles(spark, sf_dir)
+    dfreq = sh.groupBy("hs").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    # dfreq has one row per distinct shingle — corpus-scaled, no hint.
+    agg = (
+        sh.join(dfreq, "hs")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum("df").cast("long").alias("sum_df"),
+        )
+    )
+    n_d = F.col("n_shingles").cast("double")
+    s_d = F.col("sum_df").cast("double")
+    return agg.select(
+        "doc_id",
+        "n_shingles",
+        pround(s_d / n_d).alias("mean_df"),
+        pround(n_d / s_d).alias("soft_weight"),
+        (s_d / n_d > F.lit(SOFT_DF_CUT)).alias("downweighted"),
+    )
+
+
+QUERIES["soft_dedup_weights"] = soft_dedup_weights
+
+ORACLES["soft_dedup_weights"] = f"""
+    WITH sh AS ({_HASHED_SHINGLES_SQL}),
+    dfreq AS (
+        SELECT hs, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY 1
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(df) AS BIGINT) AS sum_df
+        FROM sh JOIN dfreq USING (hs)
+        GROUP BY 1
+    )
+    SELECT doc_id,
+           n_shingles,
+           {pround_sql(
+               'CAST(sum_df AS DOUBLE) / CAST(n_shingles AS DOUBLE)'
+           )} AS mean_df,
+           {pround_sql(
+               'CAST(n_shingles AS DOUBLE) / CAST(sum_df AS DOUBLE)'
+           )} AS soft_weight,
+           (CAST(sum_df AS DOUBLE) / CAST(n_shingles AS DOUBLE))
+               > {SOFT_DF_CUT} AS downweighted
+    FROM agg
+"""

@@ -932,3 +932,124 @@ ORACLES = {
           AND valid_to > TIMESTAMP '{STATE_AS_OF_TS}'
     """,
 }
+
+
+SNAP_T1 = "2024-01-01 06:00:00"  # early snapshot: fleet still onboarding
+SNAP_T2 = "2024-01-10 00:00:00"  # later snapshot: fleet complete
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel diff between two snapshots of the SCD2 dimension:
+    what changed between the state as of ``SNAP_T1`` and as of
+    ``SNAP_T2`` — the audit/debug read every versioned lakehouse
+    exposes (Delta's ``DESCRIBE HISTORY`` + CDF between versions,
+    Iceberg's snapshot diff) expressed over the historized dimension
+    itself. Entities first seen between the snapshots report
+    ``added``; entities whose attribute differs report ``changed``
+    with both values and how many versions they jumped; unchanged
+    entities are excluded (a diff, not a join dump). ``removed``
+    cannot occur over an open-interval SCD2 (the current interval
+    extends to the sentinel), so it is intentionally absent.
+
+    Scale shape: ONE pass over the dimension — filter to the rows
+    covering either snapshot instant (partition-prunable predicate on
+    ``valid_from``/``valid_to``), then one conditional aggregate per
+    entity pivots both states out; no dimension self-join, no second
+    window. Cost at 100 TB ≈ the scd2 build plus one keyed aggregate
+    over ≤ 2 rows per entity.
+    """
+    t1 = F.lit(SNAP_T1).cast("timestamp")
+    t2 = F.lit(SNAP_T2).cast("timestamp")
+    d = scd2_dim(spark, sf_dir)
+    cov1 = (F.col("valid_from") <= t1) & (F.col("valid_to") > t1)
+    cov2 = (F.col("valid_from") <= t2) & (F.col("valid_to") > t2)
+    per = (
+        d.filter(cov1 | cov2)
+        .groupBy("entity_id")
+        .agg(
+            F.max(F.when(cov1, F.col("attr_value"))).alias("old_value"),
+            F.max(F.when(cov1, F.col("version"))).alias("old_version"),
+            F.max(F.when(cov2, F.col("attr_value"))).alias("new_value"),
+            F.max(F.when(cov2, F.col("version"))).alias("new_version"),
+        )
+    )
+    kind = F.when(F.col("old_value").isNull(), F.lit("added")).otherwise(
+        F.lit("changed")
+    )
+    return (
+        per.filter(
+            F.col("old_value").isNull()
+            | (F.col("old_value") != F.col("new_value"))
+        )
+        .select(
+            "entity_id",
+            kind.alias("change_kind"),
+            "old_value",
+            "new_value",
+            F.col("old_version").cast("int").alias("old_version"),
+            F.col("new_version").cast("int").alias("new_version"),
+            (
+                F.col("new_version")
+                - F.coalesce(F.col("old_version"), F.lit(0))
+            )
+            .cast("int")
+            .alias("versions_jumped"),
+        )
+    )
+
+
+QUERIES["snapshot_diff"] = snapshot_diff
+
+ORACLES["snapshot_diff"] = f"""
+    WITH ch AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    chg AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM ch WHERE prev IS NULL OR prev <> event_type
+    ),
+    dim AS (
+        SELECT user_id AS entity_id, event_type AS attr_value,
+               ts AS valid_from,
+               COALESCE(lead(ts) OVER w,
+                        TIMESTAMP '{SCD2_HIGH_TS}') AS valid_to,
+               CAST(ROW_NUMBER() OVER w AS INTEGER) AS version
+        FROM chg
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    per AS (
+        SELECT entity_id,
+               MAX(CASE WHEN valid_from <= TIMESTAMP '{SNAP_T1}'
+                         AND valid_to > TIMESTAMP '{SNAP_T1}'
+                        THEN attr_value END) AS old_value,
+               MAX(CASE WHEN valid_from <= TIMESTAMP '{SNAP_T1}'
+                         AND valid_to > TIMESTAMP '{SNAP_T1}'
+                        THEN version END) AS old_version,
+               MAX(CASE WHEN valid_from <= TIMESTAMP '{SNAP_T2}'
+                         AND valid_to > TIMESTAMP '{SNAP_T2}'
+                        THEN attr_value END) AS new_value,
+               MAX(CASE WHEN valid_from <= TIMESTAMP '{SNAP_T2}'
+                         AND valid_to > TIMESTAMP '{SNAP_T2}'
+                        THEN version END) AS new_version
+        FROM dim
+        WHERE (valid_from <= TIMESTAMP '{SNAP_T1}'
+               AND valid_to > TIMESTAMP '{SNAP_T1}')
+           OR (valid_from <= TIMESTAMP '{SNAP_T2}'
+               AND valid_to > TIMESTAMP '{SNAP_T2}')
+        GROUP BY 1
+    )
+    SELECT entity_id,
+           CASE WHEN old_value IS NULL THEN 'added'
+                ELSE 'changed' END AS change_kind,
+           old_value,
+           new_value,
+           CAST(old_version AS INTEGER) AS old_version,
+           CAST(new_version AS INTEGER) AS new_version,
+           CAST(new_version - COALESCE(old_version, 0) AS INTEGER)
+               AS versions_jumped
+    FROM per
+    WHERE old_value IS NULL OR old_value <> new_value
+"""
