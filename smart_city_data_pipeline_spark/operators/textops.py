@@ -2901,3 +2901,172 @@ ORACLES["code_detect"] = f"""
            (symbol_hits >= 3 AND keyword_hits >= 2) AS is_code
     FROM feats
 """
+
+
+RAKE_STOPWORDS = ("a", "the")  # the corpus's function words
+RAKE_MAX_WORDS = 4  # discard longer candidate runs (standard RAKE cap)
+RAKE_TOP_K = 5  # phrases reported per source
+RAKE_Q = 1048576.0  # 2^20 word-score grid (degree/freq in [1, cap])
+
+
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) adapted to the
+    corpus level: candidate phrases are maximal stopword-free token
+    runs (capped at ``RAKE_MAX_WORDS`` words, the standard
+    implementation cap), each word scores degree/frequency over the
+    kept candidates, a phrase scores the sum of its word scores, and
+    the top ``RAKE_TOP_K`` phrases per source are reported with their
+    occurrence counts. Word statistics are corpus-global (the
+    pipeline-flavored adaptation — RAKE per 150-word synthetic doc
+    would rank phrases by length alone).
+
+    Scale shape: posexplode → per-doc cumulative-stopword window
+    (keyed by doc_id, spillable) → phrase assembly as ONE keyed
+    aggregate (sorted collect over ≤ doc-length structs) → word
+    explode of kept phrases → two corpus aggregates (freq/degree,
+    vocabulary-bounded) → join back and a per-source top-k window.
+    The only corpus-wide exchanges are keyed on doc_id, word, and
+    phrase text; no self-joins.
+
+    Exactness: freq/degree are exact BIGINTs; each word score is ONE
+    IEEE division quantized to the 2^20 grid, phrase scores are exact
+    integer sums of those grid values; the top-k window orders by
+    (grid score, phrase text) — a total order both engines resolve
+    identically.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    is_stop = F.col("tok").isin(*RAKE_STOPWORDS)
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    marked = toks.withColumn(
+        "run_id", F.sum(F.when(is_stop, 1).otherwise(0)).over(wd)
+    ).filter(~is_stop)
+    phrases = (
+        marked.groupBy("doc_id", "source", "run_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.tok,
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("phrase_len"),
+        )
+        .filter(F.col("phrase_len") <= RAKE_MAX_WORDS)
+    )
+    words = phrases.select(
+        "source",
+        "phrase",
+        "phrase_len",
+        F.explode(F.split(F.col("phrase"), " ")).alias("w"),
+    )
+    wstats = words.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("phrase_len").cast("long").alias("degree"),
+    )
+    # wstats is vocabulary-bounded but derived from the sf-scaled docs
+    # — no forced broadcast; AQE size-gates the join at runtime.
+    wscore_q = F.floor(
+        F.col("degree").cast("double")
+        / F.col("freq").cast("double")
+        * F.lit(RAKE_Q)
+        + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        words.join(wstats, "w")
+        .groupBy("source", "phrase")
+        .agg(
+            F.sum(wscore_q).cast("long").alias("score_q"),
+            # every occurrence of the phrase contributes phrase_len
+            # word rows; dividing restores the occurrence count
+            (F.count(F.lit(1)) / F.first(F.col("phrase_len")))
+            .cast("long")
+            .alias("n_occ"),
+        )
+    )
+    wtop = Window.partitionBy("source").orderBy(
+        F.col("score_q").desc(), F.col("phrase")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wtop))
+        .filter(F.col("rank") <= RAKE_TOP_K)
+        .select(
+            "source",
+            F.col("rank").cast("int").alias("rank"),
+            "phrase",
+            "n_occ",
+            pround(F.col("score_q").cast("double") / F.lit(RAKE_Q)).alias(
+                "rake_score"
+            ),
+        )
+    )
+
+
+QUERIES["rake_keywords"] = rake_keywords
+
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+
+ORACLES["rake_keywords"] = f"""
+    WITH toks AS (
+        SELECT doc_id, source, i AS pos, tk[i] AS tok
+        FROM (
+            SELECT doc_id, source,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+            FROM documents
+        ), unnest(range(1, len(tk) + 1)) t(i)
+    ),
+    marked AS (
+        SELECT doc_id, source, pos, tok,
+               SUM(CASE WHEN tok IN ({_RAKE_STOP_SQL}) THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+        FROM toks
+    ),
+    phrases AS (
+        SELECT doc_id, source, run_id,
+               string_agg(tok, ' ' ORDER BY pos) AS phrase,
+               CAST(COUNT(*) AS BIGINT) AS phrase_len
+        FROM marked
+        WHERE tok NOT IN ({_RAKE_STOP_SQL})
+        GROUP BY 1, 2, 3
+        HAVING COUNT(*) <= {RAKE_MAX_WORDS}
+    ),
+    words AS (
+        SELECT source, phrase, phrase_len,
+               unnest(string_split(phrase, ' ')) AS w
+        FROM phrases
+    ),
+    wstats AS (
+        SELECT w,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(phrase_len) AS BIGINT) AS degree
+        FROM words GROUP BY 1
+    ),
+    scored AS (
+        SELECT source, phrase,
+               CAST(SUM(CAST(FLOOR(
+                   CAST(degree AS DOUBLE) / CAST(freq AS DOUBLE)
+                   * {RAKE_Q} + 0.5) AS BIGINT)) AS BIGINT) AS score_q,
+               CAST(COUNT(*) // MIN(phrase_len) AS BIGINT) AS n_occ
+        FROM words JOIN wstats USING (w)
+        GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(rank AS INTEGER) AS rank,
+           phrase,
+           n_occ,
+           {pround_sql(f'CAST(score_q AS DOUBLE) / {RAKE_Q}')} AS rake_score
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY source ORDER BY score_q DESC, phrase
+        ) AS rank
+        FROM scored
+    )
+    WHERE rank <= {RAKE_TOP_K}
+"""
