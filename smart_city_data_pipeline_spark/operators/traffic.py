@@ -820,3 +820,211 @@ ORACLES["pareto_front"] = f"""
                AS on_front
     FROM scored
 """
+
+
+DBSCAN_CELL = 500  # grid cell side on the 10000x10000 layout plane
+DBSCAN_MINPTS = 2  # points for a cell to count as dense
+DBSCAN_MAX_ITERS = 64  # CC runaway guard (dense regions are shallow)
+
+
+def dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-cell density clustering of the sensor fleet — the
+    cell-based DBSCAN surrogate every distributed implementation uses
+    (GriDBSCAN / DBSCAN-on-Spark family): bucket points into
+    ``DBSCAN_CELL``-side cells, call a cell dense when it holds at
+    least ``DBSCAN_MINPTS`` points, union ADJACENT dense cells
+    (8-neighborhood) into clusters, and classify the remaining points
+    as border (sparse cell touching a dense cell — joins its smallest
+    neighboring cluster) or noise (the conventional label −1). Semantics are the grid
+    approximation, stated as such: density is judged per cell, not
+    per eps-ball — the standard scale trade, and the partitioning
+    step of the exact distributed algorithms.
+
+    Scale shape: density is ONE keyed aggregate over the point→cell
+    projection; dense-cell adjacency is an EQUI-join on shifted cell
+    keys (9 literal offsets exploded — never a pairwise distance
+    join); the components loop is iterative min-label propagation
+    over DENSE CELLS ONLY (the ``dedup_clusters`` discipline:
+    per-round localCheckpoint, driver-side scalar convergence probe,
+    O(region diameter) rounds) — the loop working set is occupied
+    cells, orders of magnitude below points. Border/noise assignment
+    is one more shifted-key join from the point side.
+
+    Exactness: cell coordinates, density counts, and labels are pure
+    integers; the min-label fixpoint equals min-reachable-id, which
+    the DuckDB oracle recomputes as a recursive-CTE transitive
+    closure — engine-exact with no float anywhere.
+    """
+    ev = table(spark, sf_dir, "events")
+    pts = ev.select(F.col("user_id").alias("sensor_id")).distinct()
+    px = (F.col("sensor_id") * 8191) % 10000
+    py = (F.col("sensor_id") * 524287) % 10000
+    pts = pts.select(
+        "sensor_id",
+        F.floor(px / DBSCAN_CELL).cast("long").alias("cx"),
+        F.floor(py / DBSCAN_CELL).cast("long").alias("cy"),
+    )
+    cells = pts.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pts")
+    )
+    lbl = (F.col("cx") * 1024 + F.col("cy")).cast("long")
+    dense = cells.filter(F.col("n_pts") >= DBSCAN_MINPTS).select(
+        "cx", "cy", lbl.alias("lbl")
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    shifted = dense.select(
+        F.col("lbl").alias("src"),
+        F.explode(offsets).alias("o"),
+        "cx",
+        "cy",
+    ).select(
+        "src",
+        (F.col("cx") + F.col("o.dx")).alias("nx"),
+        (F.col("cy") + F.col("o.dy")).alias("ny"),
+    )
+    nbr = dense.select(
+        F.col("cx").alias("nx"), F.col("cy").alias("ny"), F.col("lbl").alias("dst")
+    )
+    edges = shifted.join(nbr, ["nx", "ny"]).select("src", "dst")
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = dense.select(F.col("lbl").alias("node")).withColumn(
+        "comp", F.col("node")
+    )
+    for _ in range(DBSCAN_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("nbr_node"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_comp = F.least(
+            F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels.node == F.col("nbr_node"), "left")
+            .select(
+                "node",
+                new_comp.alias("comp"),
+                (new_comp != F.col("comp")).alias("_changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        converged = stepped.filter(F.col("_changed")).isEmpty()
+        labels = stepped.drop("_changed")
+        if converged:
+            break
+
+    dense_lbl = dense.join(
+        labels, dense.lbl == labels.node
+    ).select("cx", "cy", F.col("comp").alias("cluster_id"))
+
+    core = pts.join(dense_lbl, ["cx", "cy"]).select(
+        "sensor_id", "cx", "cy", F.lit("core").alias("role"), "cluster_id"
+    )
+    sparse_pts = pts.join(dense_lbl.select("cx", "cy"), ["cx", "cy"], "left_anti")
+    sp_shift = sparse_pts.select(
+        "sensor_id",
+        "cx",
+        "cy",
+        F.explode(offsets).alias("o"),
+    ).select(
+        "sensor_id",
+        "cx",
+        "cy",
+        (F.col("cx") + F.col("o.dx")).alias("nx"),
+        (F.col("cy") + F.col("o.dy")).alias("ny"),
+    )
+    dn = dense_lbl.select(
+        F.col("cx").alias("nx"), F.col("cy").alias("ny"), "cluster_id"
+    )
+    border = (
+        sp_shift.join(dn, ["nx", "ny"])
+        .groupBy("sensor_id", "cx", "cy")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+        .select(
+            "sensor_id", "cx", "cy", F.lit("border").alias("role"), "cluster_id"
+        )
+    )
+    noise = (
+        sparse_pts.join(border.select("sensor_id"), "sensor_id", "left_anti")
+        .select(
+            "sensor_id",
+            "cx",
+            "cy",
+            F.lit("noise").alias("role"),
+            F.lit(-1).cast("long").alias("cluster_id"),
+        )
+    )
+    return core.unionByName(border).unionByName(noise)
+
+
+QUERIES["dbscan_grid"] = dbscan_grid
+
+ORACLES["dbscan_grid"] = f"""
+    WITH RECURSIVE pts AS (
+        SELECT sensor_id,
+               (sensor_id * 8191) % 10000 // {DBSCAN_CELL} AS cx,
+               (sensor_id * 524287) % 10000 // {DBSCAN_CELL} AS cy
+        FROM (SELECT DISTINCT user_id AS sensor_id FROM events)
+    ),
+    cells AS (
+        SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n_pts
+        FROM pts GROUP BY 1, 2
+    ),
+    dense AS (
+        SELECT cx, cy, CAST(cx * 1024 + cy AS BIGINT) AS lbl
+        FROM cells WHERE n_pts >= {DBSCAN_MINPTS}
+    ),
+    edges AS (
+        SELECT a.lbl AS src, b.lbl AS dst
+        FROM dense a JOIN dense b
+          ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+    ),
+    reach(c, r) AS (
+        SELECT lbl, lbl FROM dense
+        UNION
+        SELECT reach.c, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    comp AS (
+        SELECT c AS lbl, MIN(r) AS cluster_id FROM reach GROUP BY 1
+    ),
+    dense_lbl AS (
+        SELECT d.cx, d.cy, comp.cluster_id
+        FROM dense d JOIN comp ON d.lbl = comp.lbl
+    ),
+    core AS (
+        SELECT p.sensor_id, p.cx, p.cy, 'core' AS role, dl.cluster_id
+        FROM pts p JOIN dense_lbl dl ON p.cx = dl.cx AND p.cy = dl.cy
+    ),
+    sparse AS (
+        SELECT p.* FROM pts p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM dense_lbl dl
+            WHERE dl.cx = p.cx AND dl.cy = p.cy
+        )
+    ),
+    border AS (
+        SELECT s.sensor_id, s.cx, s.cy, 'border' AS role,
+               MIN(dl.cluster_id) AS cluster_id
+        FROM sparse s JOIN dense_lbl dl
+          ON abs(s.cx - dl.cx) <= 1 AND abs(s.cy - dl.cy) <= 1
+        GROUP BY 1, 2, 3
+    ),
+    noise AS (
+        SELECT s.sensor_id, s.cx, s.cy, 'noise' AS role,
+               CAST(-1 AS BIGINT) AS cluster_id
+        FROM sparse s
+        WHERE NOT EXISTS (
+            SELECT 1 FROM border b WHERE b.sensor_id = s.sensor_id
+        )
+    )
+    SELECT * FROM core
+    UNION ALL SELECT * FROM border
+    UNION ALL SELECT * FROM noise
+"""

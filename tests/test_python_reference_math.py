@@ -1011,3 +1011,145 @@ def test_abtt_residual_matches_numpy_projection(spark, sf_dir):
         mask = labels == r["label"]
         assert abs(r["mean_norm_after"] - np_after[mask].mean()) < 1e-3
         assert 0.0 < r["norm_reduction_share"] < 1.0
+
+
+def test_dbscan_grid_matches_bfs_reference(spark, sf_dir):
+    """Pure-python BFS over the same dense-cell adjacency — validates
+    the iterative min-label loop (component = min reachable label),
+    border assignment, and noise classification."""
+    from collections import defaultdict, deque
+
+    import duckdb
+
+    from smart_city_data_pipeline_spark.operators.traffic import (
+        DBSCAN_CELL,
+        DBSCAN_MINPTS,
+        dbscan_grid,
+    )
+
+    con = duckdb.connect()
+    sensors = [
+        r[0]
+        for r in con.execute(
+            f"SELECT DISTINCT user_id FROM "
+            f"read_parquet('{sf_dir}/events.parquet')"
+        ).fetchall()
+    ]
+    cells = defaultdict(list)
+    for sid in sensors:
+        cx = (sid * 8191) % 10000 // DBSCAN_CELL
+        cy = (sid * 524287) % 10000 // DBSCAN_CELL
+        cells[(cx, cy)].append(sid)
+    dense = {c for c, pts in cells.items() if len(pts) >= DBSCAN_MINPTS}
+
+    # BFS components over 8-neighborhood; cluster id = min cell label
+    def lbl(c):
+        return c[0] * 1024 + c[1]
+
+    comp = {}
+    for start in dense:
+        if start in comp:
+            continue
+        seen = {start}
+        q = deque([start])
+        while q:
+            cx, cy = q.popleft()
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    nb = (cx + dx, cy + dy)
+                    if nb in dense and nb not in seen:
+                        seen.add(nb)
+                        q.append(nb)
+        cid = min(lbl(c) for c in seen)
+        for c in seen:
+            comp[c] = cid
+
+    expected = {}
+    for (cx, cy), pts in cells.items():
+        for sid in pts:
+            if (cx, cy) in dense:
+                expected[sid] = ("core", comp[(cx, cy)])
+            else:
+                nbrs = [
+                    comp[(cx + dx, cy + dy)]
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                    if (cx + dx, cy + dy) in dense
+                ]
+                expected[sid] = (
+                    ("border", min(nbrs)) if nbrs else ("noise", -1)
+                )
+
+    got = {
+        r["sensor_id"]: (r["role"], r["cluster_id"])
+        for r in dbscan_grid(spark, sf_dir).collect()
+    }
+    assert got == expected
+    roles = {v[0] for v in got.values()}
+    # at tiny sf every cell can be a singleton — the planted test
+    # below guarantees the core/border branches
+    if dense:
+        assert "core" in roles
+    assert "noise" in roles
+
+
+def test_dbscan_grid_planted_clusters(spark, tmp_path):
+    """Planted fleet: two adjacent dense cells merge into one
+    cluster, a neighbor point is border, a far point is noise."""
+    from pyspark.sql import functions as F
+
+    from smart_city_data_pipeline_spark.operators.traffic import (
+        DBSCAN_CELL,
+        dbscan_grid,
+    )
+
+    def cell(sid):
+        return (
+            (sid * 8191) % 10000 // DBSCAN_CELL,
+            (sid * 524287) % 10000 // DBSCAN_CELL,
+        )
+
+    by_cell = {}
+    for sid in range(1, 40000):
+        by_cell.setdefault(cell(sid), []).append(sid)
+    # two adjacent cells with >=2 points each, plus a sparse neighbor
+    # and a far singleton
+    a = next(
+        c
+        for c in by_cell
+        if len(by_cell[c]) >= 2
+        and len(by_cell.get((c[0] + 1, c[1]), [])) >= 2
+        and len(by_cell.get((c[0] - 1, c[1]), [])) >= 1
+    )
+    b = (a[0] + 1, a[1])
+    border_cell = (a[0] - 1, a[1])
+    far = next(
+        c
+        for c in by_cell
+        if abs(c[0] - a[0]) > 3 and abs(c[1] - a[1]) > 3
+    )
+    sids = (
+        by_cell[a][:2]
+        + by_cell[b][:2]
+        + by_cell[border_cell][:1]
+        + by_cell[far][:1]
+    )
+    rows = [
+        (i, "2024-01-01 00:00:00", sid, "click", 1.0, "{}")
+        for i, sid in enumerate(sids)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    d = str(tmp_path / "sfd")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    got = {
+        r["sensor_id"]: (r["role"], r["cluster_id"])
+        for r in dbscan_grid(spark, d).collect()
+    }
+    expected_cluster = min(a[0] * 1024 + a[1], b[0] * 1024 + b[1])
+    for sid in by_cell[a][:2] + by_cell[b][:2]:
+        assert got[sid] == ("core", expected_cluster)
+    assert got[by_cell[border_cell][0]] == ("border", expected_cluster)
+    assert got[by_cell[far][0]] == ("noise", -1)
