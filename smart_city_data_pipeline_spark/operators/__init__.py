@@ -87,7 +87,8 @@ _GATE_FIRST = [
     # embedding_pca_power, cdc_chunk_dedup, rollup_cascade, code_detect,
     # od_matrix, forget_subject, pareto_front, rfm_segments,
     # embedding_abtt_qc, stl_decompose_lite, ols_trend,
-    # soft_dedup_weights, snapshot_diff, rake_keywords, dbscan_grid, ...)
+    # soft_dedup_weights, snapshot_diff, rake_keywords, dbscan_grid,
+    # km_survival, ...)
     # are judge-only this round and MUST lead the r8 window, before
     # the displaced r4 keys below.
     # rotate-back wave: every remaining r4 key was displaced to the

@@ -3983,3 +3983,155 @@ ORACLES["ols_trend"] = f"""
     FROM d
     WHERE n >= {OLS_MIN_N} AND dx > 0
 """
+
+
+KM_BUCKET_S = 600  # 10-minute duration buckets bound the step table
+
+
+def km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of sensor silence durations: how
+    long does a quiet sensor stay quiet? Each closed inter-reading
+    gap is an observed event; each sensor's final open gap (last
+    reading → corpus end) is RIGHT-CENSORED — still silent when the
+    study window closed, exactly what the KM estimator (Kaplan &
+    Meier 1958) exists to handle and a naive gap histogram silently
+    drops. The curve feeds offline-sensor alerting thresholds
+    ("after how many minutes of silence is a sensor 95% likely
+    dead?").
+
+    Scale shape: gaps come from one per-sensor lead window; durations
+    bucket onto the ``KM_BUCKET_S`` grid, so the step table is
+    DURATION-RANGE-bounded, not data-bounded — every structure past
+    the first aggregate (suffix-sum at-risk window, sorted factor
+    array, running product) operates on that bounded table. The
+    corpus-end scalar and the factor array ride 1-row broadcasts
+    (the allowlisted pattern). The running product folds
+    left-to-right over the SORTED factor array — deterministic
+    order, one IEEE multiply per step, identical in both engines
+    (Spark ``aggregate`` ≡ DuckDB ``list_reduce`` with a prepended
+    1.0 init).
+
+    Exactness: durations/counters are exact integers; each step
+    factor is ONE division (n−d)/n of exact integers; survival is
+    the ordered product of those identical doubles.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cur = F.unix_micros(F.col("ts"))
+    g = ev.select(
+        "user_id",
+        cur.alias("cur_us"),
+        F.lead(cur).over(w).alias("nxt_us"),
+    )
+    end = ev.agg(F.max(cur).alias("end_us"))
+    # 1-row corpus-end broadcast (allowlisted idiom)
+    g = g.join(F.broadcast(end))
+    dur_s = F.when(
+        F.col("nxt_us").isNotNull(),
+        F.expr("(nxt_us - cur_us) div 1000000"),
+    ).otherwise(F.expr("(end_us - cur_us) div 1000000"))
+    buckets = g.select(
+        (dur_s / KM_BUCKET_S).cast("long").alias("t"),
+        F.col("nxt_us").isNotNull().alias("observed"),
+    )
+    per = buckets.groupBy("t").agg(
+        F.sum(F.when(F.col("observed"), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+        F.sum(F.when(F.col("observed"), 0).otherwise(1))
+        .cast("long")
+        .alias("c"),
+    )
+    w_risk = (
+        Window.orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the at-risk window runs over the BUCKET-bounded step table only
+    at_risk = per.select(
+        "t", "d", "c", F.sum(F.col("d") + F.col("c")).over(w_risk).alias("n_risk")
+    )
+    steps = at_risk.filter(F.col("d") > 0)
+    factor = (
+        (F.col("n_risk") - F.col("d")).cast("double")
+        / F.col("n_risk").cast("double")
+    )
+    wk = Window.orderBy("t")
+    steps = steps.select(
+        "t", "d", "c", "n_risk", factor.alias("factor")
+    ).withColumn("k", F.row_number().over(wk))
+    farr = steps.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("t", "factor"))),
+            lambda s: s.factor,
+        ).alias("farr")
+    )
+    # 1-row factor-array broadcast over the bounded step table
+    joined = steps.join(F.broadcast(farr))
+    surv = F.aggregate(
+        F.slice(F.col("farr"), F.lit(1), F.col("k").cast("int")),
+        F.lit(1.0),
+        lambda acc, x: acc * x,
+    )
+    return joined.select(
+        (F.col("t") * KM_BUCKET_S).alias("t_start_s"),
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        pround(surv).alias("survival"),
+    )
+
+
+QUERIES["km_survival"] = km_survival
+
+ORACLES["km_survival"] = f"""
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) AS cur_us,
+               lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS nxt_us
+        FROM events
+    ),
+    e AS (SELECT MAX(epoch_us(ts)) AS end_us FROM events),
+    buckets AS (
+        SELECT CAST(CASE WHEN nxt_us IS NOT NULL
+                    THEN (nxt_us - cur_us) // 1000000
+                    ELSE (end_us - cur_us) // 1000000 END
+                    // {KM_BUCKET_S} AS BIGINT) AS t,
+               nxt_us IS NOT NULL AS observed
+        FROM g, e
+    ),
+    per AS (
+        SELECT t,
+               CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS d,
+               CAST(SUM(CASE WHEN observed THEN 0 ELSE 1 END) AS BIGINT) AS c
+        FROM buckets GROUP BY 1
+    ),
+    at_risk AS (
+        SELECT t, d, c,
+               CAST(SUM(d + c) OVER (
+                   ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_risk
+        FROM per
+    ),
+    steps AS (
+        SELECT t, d, c, n_risk,
+               CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                   AS factor,
+               ROW_NUMBER() OVER (ORDER BY t) AS k
+        FROM at_risk WHERE d > 0
+    ),
+    farr AS (
+        SELECT list(factor ORDER BY t) AS l FROM steps
+    )
+    SELECT t * {KM_BUCKET_S} AS t_start_s,
+           n_risk,
+           d AS n_events,
+           c AS n_censored,
+           {pround_sql(
+               "list_reduce(list_prepend(CAST(1.0 AS DOUBLE),"
+               " l[1:k]), (acc, x) -> acc * x)"
+           )} AS survival
+    FROM steps, farr
+"""

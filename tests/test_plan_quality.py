@@ -91,6 +91,8 @@ BNLJ_ALLOWED = {
     "ann_recall_report",  # exact-recall ground truth: bounded probe
     # side broadcast, non-equi (vec_id <>) by design like ann_topk_cosine
     "source_divergence_chi2",  # 1-row corpus-token-total broadcast
+    "km_survival",  # 1-row corpus-end scalar + 1-row factor-array
+    # broadcast over the duration-bucket-bounded step table
 }
 
 
