@@ -1028,3 +1028,113 @@ ORACLES["dbscan_grid"] = f"""
     UNION ALL SELECT * FROM border
     UNION ALL SELECT * FROM noise
 """
+
+
+MI_Q = 1048576.0  # 2^20 per-cell PMI-contribution grid
+
+
+def zone_hod_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between zone and hour-of-day — does WHEN a
+    reading arrives tell you WHERE it came from? The
+    information-theoretic dependence audit that complements
+    ``source_divergence_chi2`` (frequency drift) and
+    ``type_cooccurrence`` (support overlap): MI ≈ 0 says the zone mix
+    is stationary across the day; rising MI is the canonical
+    symptom of a zone going silent at night or a collector batching
+    by region. One row per (zone, hour) cell with the joint count,
+    the independence expectation, the pointwise MI of the cell, and
+    the corpus MI total replicated per row (the ``benford_digit_test``
+    report shape).
+
+    Scale: one fact scan → (zone × 24)-bounded cell aggregate; the
+    marginals and the MI total are window sums OVER THE CELL TABLE,
+    never the raw stream. Exactness: counts are exact BIGINTs; each
+    cell's ln argument is one division of exact-integer products
+    (n·n_ij)/(n_i·n_j); the n·ln(ratio) contribution snaps to the
+    2^20 grid and the MI total is an exact integer sum of grid values
+    (the quantize-then-sum rule — ln is the only transcendental, its
+    last-ulp risk bounded exactly as in the logprob family).
+    """
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("zone"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    wz = Window.partitionBy("zone")
+    wh = Window.partitionBy("hod")
+    wall = Window.partitionBy()
+    withm = cells.select(
+        "zone",
+        "hod",
+        "n_obs",
+        F.sum("n_obs").over(wz).alias("n_z"),
+        F.sum("n_obs").over(wh).alias("n_h"),
+        F.sum("n_obs").over(wall).alias("n"),
+    )
+    # each count casts to double BEFORE the multiply: the BIGINT
+    # product n_obs*n wraps past ~3e18 (reachable at 100 TB row
+    # counts); double products are exact-input single IEEE ops
+    ratio = (
+        F.col("n_obs").cast("double") * F.col("n").cast("double")
+    ) / (F.col("n_z").cast("double") * F.col("n_h").cast("double"))
+    pmi = F.log(ratio)
+    contrib = F.col("n_obs").cast("double") * pmi
+    cq = F.floor(contrib * F.lit(MI_Q) + F.lit(0.5)).cast("long")
+    mi_total = (
+        F.sum(cq).over(wall).cast("double")
+        / F.lit(MI_Q)
+        / F.col("n").cast("double")
+    )
+    exp_n = (
+        F.col("n_z").cast("double") * F.col("n_h").cast("double")
+    ) / F.col("n").cast("double")
+    return withm.select(
+        "zone",
+        F.col("hod").cast("int").alias("hod"),
+        "n_obs",
+        pround(exp_n).alias("expected_n"),
+        pround(pmi).alias("pmi"),
+        pround(mi_total).alias("mi_nats"),
+    )
+
+
+QUERIES["zone_hod_mi"] = zone_hod_mi
+
+ORACLES["zone_hod_mi"] = f"""
+    WITH cells AS (
+        SELECT event_type AS zone,
+               CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT zone, hod, n_obs,
+               CAST(SUM(n_obs) OVER (PARTITION BY zone) AS BIGINT) AS n_z,
+               CAST(SUM(n_obs) OVER (PARTITION BY hod) AS BIGINT) AS n_h,
+               CAST(SUM(n_obs) OVER () AS BIGINT) AS n
+        FROM cells
+    ),
+    scored AS (
+        SELECT *,
+               ln((CAST(n_obs AS DOUBLE) * CAST(n AS DOUBLE))
+                  / (CAST(n_z AS DOUBLE) * CAST(n_h AS DOUBLE))) AS pmi,
+               CAST(FLOOR(CAST(n_obs AS DOUBLE)
+                   * ln((CAST(n_obs AS DOUBLE) * CAST(n AS DOUBLE))
+                        / (CAST(n_z AS DOUBLE) * CAST(n_h AS DOUBLE)))
+                   * {MI_Q} + 0.5) AS BIGINT) AS cq
+        FROM m
+    )
+    SELECT zone,
+           hod,
+           n_obs,
+           {pround_sql(
+               '(CAST(n_z AS DOUBLE) * CAST(n_h AS DOUBLE))'
+               ' / CAST(n AS DOUBLE)'
+           )} AS expected_n,
+           {pround_sql('pmi')} AS pmi,
+           {pround_sql(
+               'CAST(SUM(cq) OVER () AS DOUBLE)'
+               f' / {MI_Q} / CAST(n AS DOUBLE)'
+           )} AS mi_nats
+    FROM scored
+"""
