@@ -1903,3 +1903,224 @@ ORACLES["soft_dedup_weights"] = f"""
                > {SOFT_DF_CUT} AS downweighted
     FROM agg
 """
+
+
+GS_N_PROBES = 5  # vec_id < 5 are the query vectors (the ANN convention)
+GS_MAX_HOPS = 12  # strict-improvement walks terminate long before this
+
+
+def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy graph-based ANN search — the navigable-graph idea under
+    HNSW/NSG (Malkov & Yashunin 2018) expressed over this module's
+    :func:`knn_graph`: start each probe at a fixed entry vector and
+    repeatedly hop to the current node's best-cosine neighbor while
+    that STRICTLY improves, reporting where the walk settles and how
+    many hops it took. Strict improvement makes termination a
+    theorem (cosine increases every hop), and the settled node is the
+    walk's local optimum — the approximate answer whose gap to the
+    flat-scan truth ``ann_topk_cosine`` measures.
+
+    Scale shape: the move table (per (probe, node): its argmax-cosine
+    neighbor) is ONE pass over the k-bounded edge list — probes ride
+    the bounded-broadcast pattern of the other ANN operators, the
+    neighbor embeddings join is an equi-join on vec_id, and the
+    argmax is a keyed window over ≤ k rows per cell. The walk itself
+    is the iterative-loop discipline (``dedup_clusters``): per-round
+    localCheckpoint, driver-side scalar convergence probe, state = 1
+    row per probe. The edge list is checkpointed once so the LSH
+    pipeline does not re-run per hop.
+
+    Exactness: every move compares the SAME fold-ordered dot-product
+    doubles both engines compute (the knn_graph determinism
+    contract); ties on cosine stop the walk (strict >), so the
+    DuckDB recursive-CTE replay settles on the identical node.
+    """
+    emb = spread(
+        table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings"
+    )
+    vec = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    probes = vec.filter(F.col("vec_id") < GS_N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p_emb"),
+        F.col("nrm").alias("p_nrm"),
+    )
+    edges = (
+        knn_graph(spark, sf_dir)
+        .select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("nbr"))
+        .localCheckpoint(eager=True)
+    )
+    nbr_vec = vec.select(
+        F.col("vec_id").alias("nbr"),
+        F.col("embedding").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+    )
+    cos = dot(F.col("p_emb"), F.col("n_emb")) / (
+        F.col("p_nrm") * F.col("n_nrm")
+    )
+    # probes are a bounded broadcast (the ANN-operator pattern); the
+    # conditionless probe fan-out is the allowlisted BNLJ idiom
+    scored = (
+        edges.join(nbr_vec, "nbr")
+        .join(F.broadcast(probes))
+        .select("probe_id", "src", "nbr", cos.alias("cs"))
+    )
+    wbest = Window.partitionBy("probe_id", "src").orderBy(
+        F.col("cs").desc(), F.col("nbr").asc()
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(
+            "probe_id",
+            F.col("src").alias("cur"),
+            F.col("nbr").alias("best_nbr"),
+            F.col("cs").alias("best_cs"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    entry = vec.filter(F.col("vec_id") >= GS_N_PROBES).agg(
+        F.min("vec_id").alias("entry_id")
+    )
+    e_vec = vec.select(
+        F.col("vec_id").alias("entry_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+    )
+    # 1-row entry-point broadcast (allowlisted idiom)
+    state = (
+        probes.join(F.broadcast(entry))
+        .join(e_vec, "entry_id")
+        .select(
+            "probe_id",
+            "entry_id",
+            F.col("entry_id").alias("cur"),
+            cos.alias("cs"),
+            F.lit(0).alias("n_hops"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(GS_MAX_HOPS):
+        stepped = (
+            state.join(best, ["probe_id", "cur"], "left")
+            .select(
+                "probe_id",
+                "entry_id",
+                F.when(
+                    F.col("best_cs") > F.col("cs"), F.col("best_nbr")
+                )
+                .otherwise(F.col("cur"))
+                .alias("cur"),
+                F.when(F.col("best_cs") > F.col("cs"), F.col("best_cs"))
+                .otherwise(F.col("cs"))
+                .alias("cs"),
+                (
+                    F.col("n_hops")
+                    + F.when(F.col("best_cs") > F.col("cs"), 1).otherwise(0)
+                ).alias("n_hops"),
+                (F.col("best_cs") > F.col("cs")).alias("_moved"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        moved = not stepped.filter(F.col("_moved")).isEmpty()
+        state = stepped.drop("_moved")
+        if not moved:
+            break
+    return state.select(
+        "probe_id",
+        "entry_id",
+        F.col("cur").alias("neighbor_id"),
+        pround(F.col("cs")).alias("cos_sim"),
+        F.col("n_hops").cast("int").alias("n_hops"),
+    )
+
+
+QUERIES["ann_graph_search"] = ann_graph_search
+
+ORACLES["ann_graph_search"] = f"""
+    WITH RECURSIVE sig AS (
+        SELECT vec_id, embedding,
+               sqrt({dot_sql('embedding', 'embedding')}) AS nrm,
+               {{srp}} AS s
+        FROM embeddings
+    ),
+    bands AS (
+        SELECT vec_id, embedding, nrm,
+               substr(s, 1, 8) AS band0, substr(s, 9, 8) AS band1
+        FROM sig
+    ),
+    cand AS (
+        SELECT a.vec_id AS src, b.vec_id AS nbr
+        FROM bands a JOIN bands b
+          ON a.band0 = b.band0 AND a.vec_id <> b.vec_id
+        UNION
+        SELECT a.vec_id AS src, b.vec_id AS nbr
+        FROM bands a JOIN bands b
+          ON a.band1 = b.band1 AND a.vec_id <> b.vec_id
+    ),
+    kscored AS (
+        SELECT c.src, c.nbr,
+               {dot_sql('sa.embedding', 'sb.embedding')} / (sa.nrm * sb.nrm) AS cs
+        FROM cand c
+        JOIN bands sa ON c.src = sa.vec_id
+        JOIN bands sb ON c.nbr = sb.vec_id
+    ),
+    edges AS (
+        SELECT src, nbr FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY src ORDER BY cs DESC, nbr ASC) AS rank
+            FROM kscored
+        ) WHERE rank <= {{knn_k}}
+    ),
+    probes AS (
+        SELECT vec_id AS probe_id, embedding AS p_emb, nrm AS p_nrm
+        FROM bands WHERE vec_id < {{n_probes}}
+    ),
+    best AS (
+        SELECT probe_id, src AS cur, nbr AS best_nbr, cs AS best_cs
+        FROM (
+            SELECT p.probe_id, e.src, e.nbr,
+                   {dot_sql('p.p_emb', 'nv.embedding')} / (p.p_nrm * nv.nrm)
+                       AS cs,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.probe_id, e.src
+                       ORDER BY {dot_sql('p.p_emb', 'nv.embedding')}
+                                / (p.p_nrm * nv.nrm) DESC, e.nbr ASC
+                   ) AS rn
+            FROM edges e
+            JOIN bands nv ON e.nbr = nv.vec_id
+            CROSS JOIN probes p
+        ) WHERE rn = 1
+    ),
+    entry AS (
+        SELECT MIN(vec_id) AS entry_id FROM embeddings
+        WHERE vec_id >= {{n_probes}}
+    ),
+    walk(probe_id, entry_id, cur, cs, n_hops) AS (
+        SELECT p.probe_id, e.entry_id, e.entry_id,
+               {dot_sql('p.p_emb', 'ev.embedding')} / (p.p_nrm * ev.nrm),
+               0
+        FROM probes p, entry e
+        JOIN bands ev ON e.entry_id = ev.vec_id
+        UNION ALL
+        SELECT w.probe_id, w.entry_id, b.best_nbr, b.best_cs,
+               w.n_hops + 1
+        FROM walk w
+        JOIN best b ON b.probe_id = w.probe_id AND b.cur = w.cur
+        WHERE b.best_cs > w.cs AND w.n_hops < {{max_hops}}
+    )
+    SELECT probe_id, entry_id, cur AS neighbor_id,
+           {pround_sql('cs')} AS cos_sim,
+           CAST(n_hops AS INTEGER) AS n_hops
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY probe_id ORDER BY n_hops DESC) AS rn
+        FROM walk
+    ) WHERE rn = 1
+"""
+ORACLES["ann_graph_search"] = ORACLES["ann_graph_search"].format(
+    srp=_SRP_SIG_SQL, knn_k=KNN_K, n_probes=GS_N_PROBES, max_hops=GS_MAX_HOPS
+)

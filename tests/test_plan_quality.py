@@ -93,6 +93,8 @@ BNLJ_ALLOWED = {
     "source_divergence_chi2",  # 1-row corpus-token-total broadcast
     "km_survival",  # 1-row corpus-end scalar + 1-row factor-array
     # broadcast over the duration-bucket-bounded step table
+    "ann_graph_search",  # bounded probe-side fan-out + 1-row entry
+    # broadcast (the ann_topk_cosine pattern over the k-bounded graph)
 }
 
 
