@@ -2081,3 +2081,135 @@ def _abtt_oracle_sql() -> str:
 
 
 ORACLES["embedding_abtt_qc"] = _abtt_oracle_sql()
+
+
+KCENTER_K = 6  # coreset size (unrolled in the oracle — keep small)
+
+
+def kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    traversal — the 2-approximation every coreset/diversity-sampling
+    pipeline uses): seed with the lowest vec_id, then repeatedly add
+    the vector FARTHEST from the selected set, reporting each pick
+    with the coverage radius (max over the corpus of distance-to-
+    nearest-center) after it joins. Training-data curation uses the
+    picks as a diversity sample and the radius curve to choose k (the
+    knee where coverage stops improving).
+
+    Scale shape: k−1 rounds, each ONE corpus scan computing
+    d²(v, new_center) from the precomputed |v|² and a dot against the
+    center literal (dim-bounded), one running LEAST against the
+    carried min-distance column, and a 1-row argmax aggregate — the
+    driver holds only k centers (k × dim doubles, the Lloyd-loop
+    collect bound). The scan-per-round cost is the greedy algorithm's
+    inherent k passes; production posture at 100 TB is the documented
+    ``ann_ivf_kmeans`` sample-training stance.
+
+    Exactness: vectors snap to the 2^16 integer grid (``_qvec``), so
+    every d² is an exact integer below 2^53 — selection compares and
+    the radius reports exact integers; ties on distance break to the
+    lower vec_id in both engines.
+    """
+    emb = spread(
+        table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings"
+    )
+    qv = emb.select(
+        "vec_id", _qvec(F.col("embedding")).alias("q")
+    ).withColumn("v2", dot(F.col("q"), F.col("q")))
+    qv = qv.localCheckpoint(eager=True)
+
+    seed = qv.orderBy("vec_id").limit(1).collect()[0]
+    centers = [(1, int(seed["vec_id"]), list(seed["q"]), float(seed["v2"]))]
+
+    def d2_to(c_q: list, c_v2: float) -> "F.Column":
+        c_lit = F.lit(c_q).cast("array<double>")
+        return (
+            F.col("v2")
+            + F.lit(c_v2)
+            - F.lit(2.0) * dot(F.col("q"), c_lit)
+        )
+
+    state = qv.select(
+        "vec_id", "q", "v2", d2_to(centers[0][2], centers[0][3]).alias("md")
+    ).localCheckpoint(eager=True)
+    radii = []
+    for i in range(2, KCENTER_K + 1):
+        mx = state.agg(F.max("md").alias("mx")).collect()[0]["mx"]
+        radii.append(float(mx))
+        pick = (
+            state.filter(F.col("md") == F.lit(mx))
+            .agg(F.min("vec_id").alias("pick"))
+            .collect()[0]["pick"]
+        )
+        crow = state.filter(F.col("vec_id") == pick).collect()[0]
+        centers.append((i, int(pick), list(crow["q"]), float(crow["v2"])))
+        state = state.select(
+            "vec_id",
+            "q",
+            "v2",
+            F.least(
+                F.col("md"), d2_to(list(crow["q"]), float(crow["v2"]))
+            ).alias("md"),
+        ).localCheckpoint(eager=True)
+    radii.append(float(state.agg(F.max("md")).collect()[0][0]))
+    rows = [
+        (order, vid, int(radii[order - 1]))
+        for order, vid, _, _ in centers
+    ]
+    return spark.createDataFrame(
+        rows, "sel_order int, vec_id long, radius_d2 long"
+    )
+
+
+QUERIES["kcenter_sample"] = kcenter_sample
+
+
+def _kcenter_oracle_sql() -> str:
+    """Unrolled farthest-point traversal: m_i carries each vector's
+    min-d² to the first i centers; c_i picks the argmax (ties to the
+    lower vec_id); radius_i = max(md) AFTER center i joins."""
+    steps = []
+    sel = [
+        "SELECT 1 AS sel_order, vec_id,"
+        " CAST((SELECT MAX(md) FROM m1) AS BIGINT) AS radius_d2 FROM c1"
+    ]
+    steps.append(
+        "c1 AS (SELECT vec_id, q, v2 FROM qv ORDER BY vec_id LIMIT 1)"
+    )
+    steps.append(
+        "m1 AS (SELECT v.vec_id, v.q, v.v2,"
+        " v.v2 + c.v2 - 2 * list_dot_product(v.q, c.q) AS md"
+        " FROM qv v, c1 c)"
+    )
+    for i in range(2, KCENTER_K + 1):
+        steps.append(
+            f"c{i} AS (SELECT vec_id, q, v2 FROM m{i-1}"
+            f" ORDER BY md DESC, vec_id ASC LIMIT 1)"
+        )
+        steps.append(
+            f"m{i} AS (SELECT v.vec_id, v.q, v.v2,"
+            f" LEAST(v.md, v.v2 + c.v2"
+            f" - 2 * list_dot_product(v.q, c.q)) AS md"
+            f" FROM m{i-1} v, c{i} c)"
+        )
+        sel.append(
+            f"SELECT {i} AS sel_order, vec_id,"
+            f" CAST((SELECT MAX(md) FROM m{i}) AS BIGINT) AS radius_d2"
+            f" FROM c{i}"
+        )
+    qv = (
+        "qv AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),"
+        f" x -> CAST(FLOOR(x * {KMEANS_SCALE} + 0.5) AS DOUBLE)) AS q,"
+        " list_dot_product(list_transform(CAST(embedding AS DOUBLE[]),"
+        f" x -> CAST(FLOOR(x * {KMEANS_SCALE} + 0.5) AS DOUBLE)),"
+        " list_transform(CAST(embedding AS DOUBLE[]),"
+        f" x -> CAST(FLOOR(x * {KMEANS_SCALE} + 0.5) AS DOUBLE))) AS v2"
+        " FROM embeddings)"
+    )
+    return (
+        "WITH " + ",\n".join([qv] + steps) + "\n"
+        + " UNION ALL ".join(sel)
+    )
+
+
+ORACLES["kcenter_sample"] = _kcenter_oracle_sql()
