@@ -2124,3 +2124,168 @@ ORACLES["ann_graph_search"] = f"""
 ORACLES["ann_graph_search"] = ORACLES["ann_graph_search"].format(
     srp=_SRP_SIG_SQL, knn_k=KNN_K, n_probes=GS_N_PROBES, max_hops=GS_MAX_HOPS
 )
+
+
+LP_DEG_CAP = 64  # hub middles above this degree are skipped (df-cap twin)
+LP_CN_MIN = 2  # report pairs sharing at least this many neighbors
+LP_Q = 1048576.0  # 2^20 Adamic-Adar term grid
+
+
+def link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the near-dup graph: which vector pairs are
+    NOT yet knn-graph edges but share enough neighbors that they are
+    probably the same neighborhood? Scores are the three classics —
+    common-neighbor count, Jaccard over the degree union, and
+    Adamic–Adar (Σ 1/ln deg(m), rare shared neighbors weigh more;
+    Liben-Nowell & Kleinberg 2003). Dedup pipelines use this as the
+    recall-repair pass: a high-AA non-edge is a candidate the LSH
+    bands missed.
+
+    Scale shape: the graph symmetrizes to an undirected edge list
+    (out-degree k each way), candidate pairs come from the two-hop
+    self-join KEYED ON THE MIDDLE NODE — per-middle fan-out is
+    deg², and middles above ``LP_DEG_CAP`` are excluded (the
+    ``dedup_ngram_jaccard`` df-cap discipline: hubs add quadratic
+    candidates while their evidence value per pair vanishes — at this
+    corpus no middle reaches the cap, pytest-free by parity). The
+    existing-edge anti-join and degree joins are keyed equi-joins.
+
+    Exactness: CN and degrees are exact BIGINTs; Jaccard is one
+    division; each AA term is ln-then-reciprocal on the SAME small
+    integer in both engines, quantized to the 2^20 grid and summed
+    exactly (quantize-then-sum).
+    """
+    e = knn_graph(spark, sf_dir).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    und = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    mid = und.join(deg, "src").filter(F.col("deg") <= LP_DEG_CAP)
+    a, b = mid.alias("a"), mid.alias("b")
+    aa_term_q = F.floor(
+        F.lit(1.0) / F.log(F.col("a.deg").cast("double")) * F.lit(LP_Q)
+        + F.lit(0.5)
+    ).cast("long")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.src") == F.col("b.src"))
+            & (F.col("a.dst") < F.col("b.dst")),
+        )
+        .select(
+            F.col("a.dst").alias("node_a"),
+            F.col("b.dst").alias("node_b"),
+            aa_term_q.alias("aa_q"),
+        )
+    )
+    scored = cand.groupBy("node_a", "node_b").agg(
+        F.count(F.lit(1)).cast("long").alias("cn"),
+        F.sum("aa_q").cast("long").alias("aa_sum_q"),
+    )
+    existing = und.select(
+        F.col("src").alias("node_a"), F.col("dst").alias("node_b")
+    )
+    da = deg.select(F.col("src").alias("node_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("src").alias("node_b"), F.col("deg").alias("deg_b"))
+    jac = F.col("cn").cast("double") / (
+        F.col("deg_a") + F.col("deg_b") - F.col("cn")
+    ).cast("double")
+    return (
+        scored.filter(F.col("cn") >= LP_CN_MIN)
+        .join(existing, ["node_a", "node_b"], "left_anti")
+        .join(da, "node_a")
+        .join(db, "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            "cn",
+            pround(jac).alias("jaccard"),
+            pround(
+                F.col("aa_sum_q").cast("double") / F.lit(LP_Q)
+            ).alias("adamic_adar"),
+        )
+    )
+
+
+QUERIES["link_prediction_cn"] = link_prediction_cn
+
+ORACLES["link_prediction_cn"] = f"""
+    WITH sig AS (
+        SELECT vec_id, embedding,
+               sqrt({dot_sql('embedding', 'embedding')}) AS nrm,
+               {_SRP_SIG_SQL} AS s
+        FROM embeddings
+    ),
+    bands AS (
+        SELECT vec_id, embedding, nrm,
+               substr(s, 1, 8) AS band0, substr(s, 9, 8) AS band1
+        FROM sig
+    ),
+    cand0 AS (
+        SELECT a.vec_id AS src, b.vec_id AS nbr
+        FROM bands a JOIN bands b
+          ON a.band0 = b.band0 AND a.vec_id <> b.vec_id
+        UNION
+        SELECT a.vec_id AS src, b.vec_id AS nbr
+        FROM bands a JOIN bands b
+          ON a.band1 = b.band1 AND a.vec_id <> b.vec_id
+    ),
+    kscored AS (
+        SELECT c.src, c.nbr,
+               {dot_sql('sa.embedding', 'sb.embedding')} / (sa.nrm * sb.nrm) AS cs
+        FROM cand0 c
+        JOIN bands sa ON c.src = sa.vec_id
+        JOIN bands sb ON c.nbr = sb.vec_id
+    ),
+    kedges AS (
+        SELECT src, nbr AS dst FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY src ORDER BY cs DESC, nbr ASC) AS rank
+            FROM kscored
+        ) WHERE rank <= {KNN_K}
+    ),
+    und AS (
+        SELECT src, dst FROM kedges
+        UNION
+        SELECT dst AS src, src AS dst FROM kedges
+    ),
+    deg AS (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY 1
+    ),
+    mid AS (
+        SELECT u.src, u.dst, d.deg FROM und u JOIN deg d USING (src)
+        WHERE d.deg <= {LP_DEG_CAP}
+    ),
+    pairs AS (
+        SELECT a.dst AS node_a, b.dst AS node_b,
+               CAST(FLOOR(1.0 / ln(CAST(a.deg AS DOUBLE)) * {LP_Q} + 0.5)
+                    AS BIGINT) AS aa_q
+        FROM mid a JOIN mid b
+          ON a.src = b.src AND a.dst < b.dst
+    ),
+    scored AS (
+        SELECT node_a, node_b,
+               CAST(COUNT(*) AS BIGINT) AS cn,
+               CAST(SUM(aa_q) AS BIGINT) AS aa_sum_q
+        FROM pairs GROUP BY 1, 2
+    )
+    SELECT s.node_a, s.node_b, s.cn,
+           {pround_sql(
+               'CAST(s.cn AS DOUBLE)'
+               ' / CAST(da.deg + db.deg - s.cn AS DOUBLE)'
+           )} AS jaccard,
+           {pround_sql(f'CAST(s.aa_sum_q AS DOUBLE) / {LP_Q}')}
+               AS adamic_adar
+    FROM scored s
+    JOIN deg da ON s.node_a = da.src
+    JOIN deg db ON s.node_b = db.src
+    WHERE s.cn >= {LP_CN_MIN}
+      AND NOT EXISTS (
+          SELECT 1 FROM und u
+          WHERE u.src = s.node_a AND u.dst = s.node_b
+      )
+"""
