@@ -2134,15 +2134,18 @@ def kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     radii = []
     for i in range(2, KCENTER_K + 1):
-        mx = state.agg(F.max("md").alias("mx")).collect()[0]["mx"]
-        radii.append(float(mx))
-        pick = (
-            state.filter(F.col("md") == F.lit(mx))
-            .agg(F.min("vec_id").alias("pick"))
-            .collect()[0]["pick"]
+        # ONE TakeOrdered job per round: the argmax row (ties to the
+        # lower vec_id) carries the pick, its vector, AND the radius
+        # (its md IS max(md) by construction)
+        crow = (
+            state.orderBy(F.col("md").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()[0]
         )
-        crow = state.filter(F.col("vec_id") == pick).collect()[0]
-        centers.append((i, int(pick), list(crow["q"]), float(crow["v2"])))
+        radii.append(float(crow["md"]))
+        centers.append(
+            (i, int(crow["vec_id"]), list(crow["q"]), float(crow["v2"]))
+        )
         state = state.select(
             "vec_id",
             "q",

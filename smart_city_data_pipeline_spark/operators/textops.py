@@ -3070,3 +3070,83 @@ ORACLES["rake_keywords"] = f"""
     )
     WHERE rank <= {RAKE_TOP_K}
 """
+
+
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus datasheet in one pass — the 'datasheets for
+    datasets' headline numbers (Gebru et al. 2021) every training-set
+    release publishes: document/source/language counts, token and
+    character volume, mean document length, and the exact-duplicate
+    rate. The documents twin of ``dataset_summary`` (events).
+
+    Scale shape: ONE aggregate over one scan — every metric is a
+    conditional/distinct aggregate column (count-distincts included),
+    and the single result row explodes into the (metric, value)
+    report. Adding a metric adds a column, not a scan (the
+    ``dq_expectations`` discipline). Exactness: counts are exact
+    BIGINTs; the two ratios are single divisions.
+    """
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    agg = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.countDistinct("source").cast("double").alias("n_sources"),
+        F.countDistinct("lang").cast("double").alias("n_langs"),
+        F.sum(F.length(t)).cast("double").alias("total_chars"),
+        F.sum(T.ws_token_count(t)).cast("double").alias("total_tokens"),
+        F.countDistinct(F.md5(t)).cast("double").alias("n_distinct_texts"),
+    )
+    rows = F.array(
+        *[
+            F.struct(F.lit(name).alias("metric"), expr.alias("value"))
+            for name, expr in [
+                ("n_docs", F.col("n_docs")),
+                ("n_sources", F.col("n_sources")),
+                ("n_langs", F.col("n_langs")),
+                ("total_chars", F.col("total_chars")),
+                ("total_tokens", F.col("total_tokens")),
+                ("n_distinct_texts", F.col("n_distinct_texts")),
+                (
+                    "mean_doc_tokens",
+                    pround(F.col("total_tokens") / F.col("n_docs")),
+                ),
+                (
+                    "exact_dup_rate",
+                    pround(
+                        (F.col("n_docs") - F.col("n_distinct_texts"))
+                        / F.col("n_docs")
+                    ),
+                ),
+            ]
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select(
+        F.col("r.metric").alias("metric"), F.col("r.value").alias("value")
+    )
+
+
+QUERIES["corpus_datasheet"] = corpus_datasheet
+
+ORACLES["corpus_datasheet"] = f"""
+    WITH a AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               CAST(COUNT(DISTINCT source) AS DOUBLE) AS n_sources,
+               CAST(COUNT(DISTINCT lang) AS DOUBLE) AS n_langs,
+               CAST(SUM(length(text)) AS DOUBLE) AS total_chars,
+               CAST(SUM({T.ws_token_count_sql('text')}) AS DOUBLE)
+                   AS total_tokens,
+               CAST(COUNT(DISTINCT md5(text)) AS DOUBLE)
+                   AS n_distinct_texts
+        FROM documents
+    )
+    SELECT 'n_docs' AS metric, n_docs AS value FROM a
+    UNION ALL SELECT 'n_sources', n_sources FROM a
+    UNION ALL SELECT 'n_langs', n_langs FROM a
+    UNION ALL SELECT 'total_chars', total_chars FROM a
+    UNION ALL SELECT 'total_tokens', total_tokens FROM a
+    UNION ALL SELECT 'n_distinct_texts', n_distinct_texts FROM a
+    UNION ALL SELECT 'mean_doc_tokens',
+        {pround_sql('total_tokens / n_docs')} FROM a
+    UNION ALL SELECT 'exact_dup_rate',
+        {pround_sql('(n_docs - n_distinct_texts) / n_docs')} FROM a
+"""

@@ -825,6 +825,7 @@ ORACLES["pareto_front"] = f"""
 DBSCAN_CELL = 500  # grid cell side on the 10000x10000 layout plane
 DBSCAN_MINPTS = 2  # points for a cell to count as dense
 DBSCAN_MAX_ITERS = 64  # CC runaway guard (dense regions are shallow)
+DBSCAN_ROUNDS_PER_PROBE = 2  # doubled (propagate+jump) rounds per probe
 
 
 def dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -897,24 +898,50 @@ def dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = dense.select(F.col("lbl").alias("node")).withColumn(
         "comp", F.col("node")
     )
-    for _ in range(DBSCAN_MAX_ITERS):
-        nbr_min = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("nbr_node"))
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        new_comp = F.least(
-            F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-        )
-        stepped = (
-            labels.join(nbr_min, labels.node == F.col("nbr_node"), "left")
-            .select(
+    # Plain neighbor propagation needs O(component DIAMETER) rounds —
+    # a dense city grid is ONE wall-to-wall component (at sf0.1, 369
+    # of 395 cells are dense), so the diameter is the grid side, not
+    # a small constant. Each round therefore does BOTH a neighbor-min
+    # step and a POINTER JUMP (comp <- comp[comp], label-tree halving)
+    # — the classic doubling trick that converges in O(log diameter)
+    # rounds; two rounds run per checkpoint/convergence-probe so the
+    # fixed per-job cost is amortized too.
+    for _ in range(DBSCAN_MAX_ITERS // (2 * DBSCAN_ROUNDS_PER_PROBE)):
+        stepped = labels.withColumn("_changed", F.lit(False))
+        for _r in range(DBSCAN_ROUNDS_PER_PROBE):
+            nbr_min = (
+                edges.join(stepped, edges.src == stepped.node)
+                .groupBy(F.col("dst").alias("nbr_node"))
+                .agg(F.min("comp").alias("nbr_comp"))
+            )
+            new_comp = F.least(
+                F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+            )
+            stepped = stepped.join(
+                nbr_min, stepped.node == F.col("nbr_node"), "left"
+            ).select(
                 "node",
                 new_comp.alias("comp"),
-                (new_comp != F.col("comp")).alias("_changed"),
+                (F.col("_changed") | (new_comp != F.col("comp"))).alias(
+                    "_changed"
+                ),
             )
-            .localCheckpoint(eager=True)
-        )
+            parent = stepped.select(
+                F.col("node").alias("p_node"), F.col("comp").alias("p_comp")
+            )
+            jumped = F.least(
+                F.col("comp"), F.coalesce(F.col("p_comp"), F.col("comp"))
+            )
+            stepped = stepped.join(
+                parent, stepped.comp == parent.p_node, "left"
+            ).select(
+                "node",
+                jumped.alias("comp"),
+                (F.col("_changed") | (jumped != F.col("comp"))).alias(
+                    "_changed"
+                ),
+            )
+        stepped = stepped.localCheckpoint(eager=True)
         converged = stepped.filter(F.col("_changed")).isEmpty()
         labels = stepped.drop("_changed")
         if converged:
