@@ -89,7 +89,8 @@ _GATE_FIRST = [
     # embedding_abtt_qc, stl_decompose_lite, ols_trend,
     # soft_dedup_weights, snapshot_diff, rake_keywords, dbscan_grid,
     # km_survival, zone_hod_mi, ann_graph_search, kcenter_sample,
-    # link_prediction_cn, corpus_datasheet, ...)
+    # link_prediction_cn, corpus_datasheet, density_heatmap,
+    # quantile_normalize, ...)
     # are judge-only this round and MUST lead the r8 window, before
     # the displaced r4 keys below.
     # rotate-back wave: every remaining r4 key was displaced to the

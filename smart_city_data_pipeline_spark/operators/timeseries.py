@@ -4135,3 +4135,90 @@ ORACLES["km_survival"] = f"""
            )} AS survival
     FROM steps, farr
 """
+
+
+def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-zone quantile (rank-uniform) normalization of readings —
+    the ML-preprocessing staple that maps each value to its midrank
+    quantile in [0,1] so zones with different measurement scales
+    become comparable (and the first half of a quantile-normalize-
+    to-reference transform).
+
+    Scale-first formulation: NOT a per-row ranking window (ranking
+    partitions by a 5-value zone key → one giant sorted partition per
+    zone). Readings quantize to integer cents, so the entire CDF
+    lives in a (zone × distinct-cents)-BOUNDED table: cumulative
+    counts per bucket via a window over that bounded table, then ONE
+    keyed equi-join back to the facts on (zone, cents). Ties get the
+    exact midrank — (2·below + eq) / (2n) — a single division of
+    exact BIGINTs, identical in both engines; no float appears before
+    the final division.
+    """
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    facts = ev.select(
+        "event_id",
+        F.col("event_type").alias("zone"),
+        cents.alias("cents"),
+    )
+    cdf = facts.groupBy("zone", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("eq")
+    )
+    wz = (
+        Window.partitionBy("zone")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = Window.partitionBy("zone")
+    cdf = cdf.select(
+        "zone",
+        "cents",
+        "eq",
+        F.coalesce(F.sum("eq").over(wz), F.lit(0))
+        .cast("long")
+        .alias("below"),
+        F.sum("eq").over(wn).cast("long").alias("n"),
+    )
+    # cdf is (zone x value-grid)-bounded but derives from the facts —
+    # no forced broadcast; the join back is a keyed equi-join.
+    q = (F.lit(2) * F.col("below") + F.col("eq")).cast("double") / (
+        F.lit(2) * F.col("n")
+    ).cast("double")
+    return facts.join(cdf, ["zone", "cents"]).select(
+        "event_id",
+        "zone",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("value"),
+        pround(q).alias("quantile"),
+    )
+
+
+QUERIES["quantile_normalize"] = quantile_normalize
+
+ORACLES["quantile_normalize"] = f"""
+    WITH facts AS (
+        SELECT event_id, event_type AS zone,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    cdf AS (
+        SELECT zone, cents,
+               CAST(COUNT(*) AS BIGINT) AS eq
+        FROM facts GROUP BY 1, 2
+    ),
+    c2 AS (
+        SELECT zone, cents, eq,
+               CAST(COALESCE(SUM(eq) OVER (
+                   PARTITION BY zone ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS below,
+               CAST(SUM(eq) OVER (PARTITION BY zone) AS BIGINT) AS n
+        FROM cdf
+    )
+    SELECT f.event_id, f.zone,
+           CAST(f.cents AS DOUBLE) / 100.0 AS value,
+           {pround_sql(
+               'CAST(2 * c.below + c.eq AS DOUBLE)'
+               ' / CAST(2 * c.n AS DOUBLE)'
+           )} AS quantile
+    FROM facts f JOIN c2 c ON f.zone = c.zone AND f.cents = c.cents
+"""

@@ -1165,3 +1165,113 @@ ORACLES["zone_hod_mi"] = f"""
            )} AS mi_nats
     FROM scored
 """
+
+
+HEAT_KERNEL = (
+    (-1, -1, 1), (-1, 0, 2), (-1, 1, 1),
+    (0, -1, 2), (0, 0, 4), (0, 1, 2),
+    (1, -1, 1), (1, 0, 2), (1, 1, 1),
+)  # 3x3 integer binomial kernel, weight sum 16
+HEAT_HOT_FACTOR = 1.4  # hotspot = smoothed density > 1.4x the grid mean
+
+
+def density_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """City heat map: per grid cell, the raw reading count and a 3×3
+    binomial-kernel smoothed density with a hotspot flag (smoothed >
+    ``HEAT_HOT_FACTOR`` × grid mean — calibrated so the flag fires on the top decile of this layout, not never) — the dashboard heat layer, with
+    the kernel smoothing that keeps single-cell noise from flashing
+    red. Shares the ``dbscan_grid`` cell layout.
+
+    Scale shape: one fact scan → cell counts (grid-bounded table),
+    then the convolution as ONE explode of the 9 (offset, weight)
+    literals + a keyed re-aggregate on the SHIFTED cell key — never a
+    neighbor self-join; the grid-mean normalizer is a window over the
+    grid-bounded cell table. Exactness: kernel sums are exact
+    integers (weights 1/2/4, counts BIGINT); the mean and the
+    hotspot comparison are single IEEE ops on exact integers.
+    """
+    ev = table(spark, sf_dir, "events")
+    px = (F.col("user_id") * 8191) % 10000
+    py = (F.col("user_id") * 524287) % 10000
+    cells = (
+        ev.select(
+            F.floor(px / DBSCAN_CELL).cast("long").alias("cx"),
+            F.floor(py / DBSCAN_CELL).cast("long").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
+    )
+    kern = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                F.lit(w).alias("w"),
+            )
+            for dx, dy, w in HEAT_KERNEL
+        ]
+    )
+    spread_cells = cells.select(
+        "cx", "cy", "n_raw", F.explode(kern).alias("k")
+    ).select(
+        (F.col("cx") + F.col("k.dx")).alias("tx"),
+        (F.col("cy") + F.col("k.dy")).alias("ty"),
+        (F.col("n_raw") * F.col("k.w")).alias("contrib"),
+    )
+    smoothed = spread_cells.groupBy("tx", "ty").agg(
+        F.sum("contrib").cast("long").alias("smooth16")
+    )
+    joined = cells.join(
+        smoothed,
+        (F.col("cx") == F.col("tx")) & (F.col("cy") == F.col("ty")),
+    )
+    wall = Window.partitionBy()
+    mean16 = F.sum("smooth16").over(wall).cast("double") / F.count(
+        F.lit(1)
+    ).over(wall).cast("double")
+    smooth = F.col("smooth16").cast("double") / F.lit(16.0)
+    return joined.select(
+        "cx",
+        "cy",
+        "n_raw",
+        pround(smooth).alias("smooth_density"),
+        (
+            F.col("smooth16").cast("double")
+            > F.lit(HEAT_HOT_FACTOR) * mean16
+        ).alias("hotspot"),
+    )
+
+
+QUERIES["density_heatmap"] = density_heatmap
+
+_KERNEL_SQL = ", ".join(f"({dx}, {dy}, {w})" for dx, dy, w in HEAT_KERNEL)
+
+ORACLES["density_heatmap"] = f"""
+    WITH cells AS (
+        SELECT (user_id * 8191) % 10000 // {DBSCAN_CELL} AS cx,
+               (user_id * 524287) % 10000 // {DBSCAN_CELL} AS cy,
+               CAST(COUNT(*) AS BIGINT) AS n_raw
+        FROM events GROUP BY 1, 2
+    ),
+    kern(dx, dy, w) AS (VALUES {_KERNEL_SQL}),
+    spreadc AS (
+        SELECT c.cx + k.dx AS tx, c.cy + k.dy AS ty,
+               c.n_raw * k.w AS contrib
+        FROM cells c, kern k
+    ),
+    smoothed AS (
+        SELECT tx, ty, CAST(SUM(contrib) AS BIGINT) AS smooth16
+        FROM spreadc GROUP BY 1, 2
+    ),
+    joined AS (
+        SELECT c.cx, c.cy, c.n_raw, s.smooth16
+        FROM cells c JOIN smoothed s ON c.cx = s.tx AND c.cy = s.ty
+    )
+    SELECT cx, cy, n_raw,
+           {pround_sql('CAST(smooth16 AS DOUBLE) / 16.0')}
+               AS smooth_density,
+           (CAST(smooth16 AS DOUBLE) > {HEAT_HOT_FACTOR} *
+            (CAST(SUM(smooth16) OVER () AS DOUBLE)
+             / CAST(COUNT(*) OVER () AS DOUBLE))) AS hotspot
+    FROM joined
+"""
