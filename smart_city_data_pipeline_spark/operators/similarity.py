@@ -2216,3 +2216,187 @@ def _kcenter_oracle_sql() -> str:
 
 
 ORACLES["kcenter_sample"] = _kcenter_oracle_sql()
+
+
+NMI_Q = 1048576.0  # 2^20 entropy/MI contribution grid
+
+
+def cluster_label_nmi(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = ANN_KMEANS_K,
+    iters: int = ANN_KMEANS_ITERS,
+) -> DataFrame:
+    """Clustering-quality audit: normalized mutual information between
+    the LEARNED k-means cell and the ground-truth label — the
+    standard external clustering metric (NMI, arithmetic-mean
+    normalization). The ANN family trains the quantizer and measures
+    recall; this measures whether the cells mean anything: NMI ≈ 0
+    says the index partitions geometry orthogonal to labels (the
+    documented regime of this near-uniform corpus), NMI → 1 says
+    cells recover the labeling. One row per (cell, label) with the
+    contingency count, plus the corpus MI/H/NMI replicated per row
+    (the ``benford_digit_test`` report shape).
+
+    Scale shape: the trained centroids are the cached driver-side
+    quantizer (k×dim, the Lloyd collect bound); assignment is a pure
+    projection; everything after is windows over the (k × labels)-
+    BOUNDED contingency table — entropy terms attach to the first
+    row of each cell/label group (row_number flag) so no extra join
+    or 1-row broadcast appears. Exactness: counts exact; each
+    ln-term snaps to the 2^20 grid and sums exactly
+    (quantize-then-sum); divisions/normalization are the identical
+    expression tree in both engines.
+    """
+    emb = spread(
+        table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings"
+    )
+    key = (dataset_fingerprint(sf_dir, "embeddings"), k, iters)
+    if key not in _KMEANS_CACHE:
+        _KMEANS_CACHE[key] = _train_kmeans(emb, k, iters)
+    cents = _KMEANS_CACHE[key]
+    qe = emb.select("vec_id", "label", _qvec(F.col("embedding")).alias("q"))
+    dists = _l2_dists(F.col("q"), cents)
+    cell = F.array_position(dists, F.array_min(dists)) - 1
+    cont = (
+        qe.select(cell.cast("int").alias("cell"), "label")
+        .groupBy("cell", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    wall = Window.partitionBy()
+    wc = Window.partitionBy("cell")
+    wl = Window.partitionBy("label")
+    rn_c = F.row_number().over(Window.partitionBy("cell").orderBy("label"))
+    rn_l = F.row_number().over(Window.partitionBy("label").orderBy("cell"))
+    m = cont.select(
+        "cell",
+        "label",
+        "n_obs",
+        F.sum("n_obs").over(wc).alias("n_c"),
+        F.sum("n_obs").over(wl).alias("n_l"),
+        F.sum("n_obs").over(wall).alias("n"),
+        (rn_c == 1).alias("first_c"),
+        (rn_l == 1).alias("first_l"),
+    )
+    nd = F.col("n").cast("double")
+    mi_term = F.col("n_obs").cast("double") * F.log(
+        (F.col("n_obs").cast("double") * nd)
+        / (F.col("n_c").cast("double") * F.col("n_l").cast("double"))
+    )
+    hc_term = F.col("n_c").cast("double") * F.log(
+        F.col("n_c").cast("double") / nd
+    )
+    hl_term = F.col("n_l").cast("double") * F.log(
+        F.col("n_l").cast("double") / nd
+    )
+    qz = lambda c: F.floor(c * F.lit(NMI_Q) + F.lit(0.5)).cast("long")
+    scored = m.select(
+        "cell",
+        "label",
+        "n_obs",
+        "n",
+        qz(mi_term).alias("mi_q"),
+        F.when(F.col("first_c"), qz(hc_term)).otherwise(F.lit(0)).alias("hc_q"),
+        F.when(F.col("first_l"), qz(hl_term)).otherwise(F.lit(0)).alias("hl_q"),
+    )
+    mi = F.sum("mi_q").over(wall).cast("double") / F.lit(NMI_Q) / nd
+    hc = -(F.sum("hc_q").over(wall).cast("double") / F.lit(NMI_Q) / nd)
+    hl = -(F.sum("hl_q").over(wall).cast("double") / F.lit(NMI_Q) / nd)
+    nmi = (F.lit(2.0) * mi) / (hc + hl)
+    return scored.select(
+        "cell",
+        "label",
+        "n_obs",
+        pround(mi).alias("mi_nats"),
+        pround(hc).alias("h_cell"),
+        pround(hl).alias("h_label"),
+        pround(nmi).alias("nmi"),
+    )
+
+
+QUERIES["cluster_label_nmi"] = cluster_label_nmi
+
+
+def _cluster_label_nmi_oracle_sql() -> str:
+    """Re-learns the identical quantizer (shared unrolled-Lloyd CTEs),
+    re-assigns, then replays the windowed contingency arithmetic."""
+    rounds = ",".join(
+        _kmeans_round_sql(i + 1, f"cent{i}") for i in range(ANN_KMEANS_ITERS)
+    )
+    final = f"cent{ANN_KMEANS_ITERS}"
+    return f"""
+        WITH qv AS (
+            SELECT vec_id, label,
+                   list_transform(
+                       CAST(embedding AS DOUBLE[]),
+                       x -> CAST(FLOOR(x * {KMEANS_SCALE} + 0.5) AS DOUBLE)
+                   ) AS q
+            FROM embeddings
+        ),
+        cent0 AS (
+            SELECT ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell,
+                   q AS cvec,
+                   list_dot_product(q, q) AS c2
+            FROM (SELECT vec_id, q FROM qv
+                  ORDER BY md5(CAST(vec_id AS VARCHAR))
+                  LIMIT {ANN_KMEANS_K})
+        ),
+        {rounds},
+        {_kmeans_asn_sql("asnf", final, "vec_id, label")},
+        cont AS (
+            SELECT CAST(cell AS INTEGER) AS cell, label,
+                   CAST(COUNT(*) AS BIGINT) AS n_obs
+            FROM asnf GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT cell, label, n_obs,
+                   CAST(SUM(n_obs) OVER (PARTITION BY cell) AS BIGINT) AS n_c,
+                   CAST(SUM(n_obs) OVER (PARTITION BY label) AS BIGINT) AS n_l,
+                   CAST(SUM(n_obs) OVER () AS BIGINT) AS n,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cell ORDER BY label) = 1 AS first_c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY label ORDER BY cell) = 1 AS first_l
+            FROM cont
+        ),
+        scored AS (
+            SELECT cell, label, n_obs, n,
+                   CAST(FLOOR(CAST(n_obs AS DOUBLE)
+                       * ln((CAST(n_obs AS DOUBLE) * CAST(n AS DOUBLE))
+                            / (CAST(n_c AS DOUBLE) * CAST(n_l AS DOUBLE)))
+                       * {NMI_Q} + 0.5) AS BIGINT) AS mi_q,
+                   CASE WHEN first_c THEN CAST(FLOOR(CAST(n_c AS DOUBLE)
+                       * ln(CAST(n_c AS DOUBLE) / CAST(n AS DOUBLE))
+                       * {NMI_Q} + 0.5) AS BIGINT) ELSE 0 END AS hc_q,
+                   CASE WHEN first_l THEN CAST(FLOOR(CAST(n_l AS DOUBLE)
+                       * ln(CAST(n_l AS DOUBLE) / CAST(n AS DOUBLE))
+                       * {NMI_Q} + 0.5) AS BIGINT) ELSE 0 END AS hl_q
+            FROM m
+        )
+        SELECT cell, label, n_obs,
+               {pround_sql(
+                   f'CAST(SUM(mi_q) OVER () AS DOUBLE) / {NMI_Q}'
+                   ' / CAST(n AS DOUBLE)'
+               )} AS mi_nats,
+               {pround_sql(
+                   f'-(CAST(SUM(hc_q) OVER () AS DOUBLE) / {NMI_Q}'
+                   ' / CAST(n AS DOUBLE))'
+               )} AS h_cell,
+               {pround_sql(
+                   f'-(CAST(SUM(hl_q) OVER () AS DOUBLE) / {NMI_Q}'
+                   ' / CAST(n AS DOUBLE))'
+               )} AS h_label,
+               {pround_sql(
+                   f'(2.0 * (CAST(SUM(mi_q) OVER () AS DOUBLE) / {NMI_Q}'
+                   ' / CAST(n AS DOUBLE)))'
+                   f' / ((-(CAST(SUM(hc_q) OVER () AS DOUBLE) / {NMI_Q}'
+                   ' / CAST(n AS DOUBLE)))'
+                   f' + (-(CAST(SUM(hl_q) OVER () AS DOUBLE) / {NMI_Q}'
+                   ' / CAST(n AS DOUBLE))))'
+               )} AS nmi
+        FROM scored
+    """
+
+
+ORACLES["cluster_label_nmi"] = _cluster_label_nmi_oracle_sql()
