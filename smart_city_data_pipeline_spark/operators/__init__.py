@@ -90,7 +90,7 @@ _GATE_FIRST = [
     # soft_dedup_weights, snapshot_diff, rake_keywords, dbscan_grid,
     # km_survival, zone_hod_mi, ann_graph_search, kcenter_sample,
     # link_prediction_cn, corpus_datasheet, density_heatmap,
-    # quantile_normalize, cluster_label_nmi, ...)
+    # quantile_normalize, cluster_label_nmi, attribution_last_touch, ...)
     # are judge-only this round and MUST lead the r8 window, before
     # the displaced r4 keys below.
     # rotate-back wave: every remaining r4 key was displaced to the

@@ -4222,3 +4222,96 @@ ORACLES["quantile_normalize"] = f"""
            )} AS quantile
     FROM facts f JOIN c2 c ON f.zone = c.zone AND f.cents = c.cents
 """
+
+
+ATTR_LOOKBACK_S = 7 * 24 * 3600  # attribution lookback window
+
+
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: every ``purchase`` event is
+    attributed to the user's most recent ``click`` within the
+    ``ATTR_LOOKBACK_S`` lookback window (or reported unattributed) —
+    the standard marketing-funnel credit assignment, and the join
+    shape (most-recent-qualifying-event-before-T per key) that
+    as-of enrichment dashboards reuse.
+
+    Scale shape: ONE per-user window pass on the shared (ts,
+    event_id) total order — ``last(click_id, ignorenulls)`` over the
+    running frame carries the latest click forward, so there is no
+    purchases×clicks join at all (contrast the naive formulation:
+    range self-join per user). The lookback cut is a row-local filter
+    after the carry. Exactness: ids and epoch-second deltas are
+    exact BIGINTs; no floats anywhere.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    click_us = F.when(
+        F.col("event_type") == "click", F.unix_micros(F.col("ts"))
+    )
+    carried = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(click_id, ignorenulls=True).over(w).alias("last_click_id"),
+        F.last(click_us, ignorenulls=True).over(w).alias("last_click_us"),
+    )
+    gap_s = F.expr("(unix_micros(ts) - last_click_us) div 1000000")
+    in_window = F.col("last_click_us").isNotNull() & (
+        gap_s <= ATTR_LOOKBACK_S
+    )
+    return carried.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("user_id"),
+        F.when(in_window, F.col("last_click_id"))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("attributed_click_id"),
+        F.when(in_window, gap_s)
+        .otherwise(F.lit(None))
+        .cast("long")
+        .alias("time_to_convert_s"),
+        in_window.alias("attributed"),
+    )
+
+
+QUERIES["attribution_last_touch"] = attribution_last_touch
+
+ORACLES["attribution_last_touch"] = f"""
+    WITH carried AS (
+        SELECT event_id, user_id, ts, event_type,
+               last_value(CASE WHEN event_type = 'click'
+                               THEN event_id END IGNORE NULLS) OVER w
+                   AS last_click_id,
+               last_value(CASE WHEN event_type = 'click'
+                               THEN epoch_us(ts) END IGNORE NULLS) OVER w
+                   AS last_click_us
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        )
+    )
+    SELECT event_id AS purchase_id,
+           user_id,
+           CAST(CASE WHEN last_click_us IS NOT NULL
+                      AND (epoch_us(ts) - last_click_us) // 1000000
+                          <= {ATTR_LOOKBACK_S}
+                     THEN last_click_id ELSE -1 END AS BIGINT)
+               AS attributed_click_id,
+           CAST(CASE WHEN last_click_us IS NOT NULL
+                      AND (epoch_us(ts) - last_click_us) // 1000000
+                          <= {ATTR_LOOKBACK_S}
+                     THEN (epoch_us(ts) - last_click_us) // 1000000
+                END AS BIGINT) AS time_to_convert_s,
+           (last_click_us IS NOT NULL
+            AND (epoch_us(ts) - last_click_us) // 1000000
+                <= {ATTR_LOOKBACK_S}) AS attributed
+    FROM carried
+    WHERE event_type = 'purchase'
+"""
