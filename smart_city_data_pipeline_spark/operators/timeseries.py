@@ -4315,3 +4315,164 @@ ORACLES["attribution_last_touch"] = f"""
     FROM carried
     WHERE event_type = 'purchase'
 """
+
+
+HW_ALPHA = 0.5  # level gain — dyadic constants keep every smoothing
+HW_BETA = 0.25  # trend gain    multiply an EXACT IEEE operation on
+HW_GAMMA = 0.5  # season gain   both engines (0.5/0.25/0.75 are 2^-k)
+HW_M = 24  # hourly season length
+
+
+def holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt–Winters additive triple exponential smoothing per zone
+    (Winters 1960): level + trend + 24-hour additive seasonality fit
+    over the zone's hourly series, then a 24-hour-ahead forecast —
+    the classic ops-dashboard 'tomorrow' curve, completing the
+    forecasting ladder (naive/seasonal-naive backtest →
+    ``holt_linear`` → this).
+
+    Scale shape: the fold state is (level, trend, season[24]) per
+    zone and the series is the CALENDAR-bounded hourly pre-aggregate
+    (8 760 points/zone-year — bounded by time, not data volume), so
+    the per-zone sorted fold is bounded state exactly like
+    ``ewma_batch``'s blocks; everything before it is one fact scan +
+    hourly aggregate. Exactness: inputs are 2^14-grid integers; the
+    smoothing gains are DYADIC (2^-k), so every update step is a
+    sequence of exact-input IEEE ops with the IDENTICAL expression
+    tree in both engines (Spark ``aggregate`` ≡ DuckDB
+    ``list_reduce`` over the same sorted array; the seasonal slot
+    updates via an index-match transform, 0- vs 1-based handled).
+    Initialization: level = first observation, trend = 0, seasonals
+    = 0 (the first point seeds and is not folded) — stated contract,
+    identical both sides.
+    """
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.col("event_type").alias("zone"),
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+        )
+        .agg(avg_exact(F.col("value")).alias("avg_v"))
+        .select(
+            "zone",
+            "hour_ts",
+            F.hour("hour_ts").alias("hod"),
+            F.floor(F.col("avg_v") * F.lit(STL_Q) + F.lit(0.5))
+            .cast("double")
+            .alias("y"),
+        )
+    )
+    per = hourly.groupBy("zone").agg(
+        F.array_sort(
+            F.collect_list(F.struct("hour_ts", "hod", "y"))
+        ).alias("arr")
+    )
+    first = F.element_at(F.col("arr"), 1)
+    init = F.struct(
+        first["y"].alias("l"),
+        F.lit(0.0).alias("b"),
+        F.array_repeat(F.lit(0.0), HW_M).alias("s"),
+    )
+
+    def merge(acc, x):
+        sidx = F.element_at(acc["s"], (x["hod"] + 1).cast("int"))
+        lp = F.lit(HW_ALPHA) * (x["y"] - sidx) + F.lit(1 - HW_ALPHA) * (
+            acc["l"] + acc["b"]
+        )
+        bp = F.lit(HW_BETA) * (lp - acc["l"]) + F.lit(1 - HW_BETA) * acc["b"]
+        snew = F.lit(HW_GAMMA) * (x["y"] - lp) + F.lit(1 - HW_GAMMA) * sidx
+        return F.struct(
+            lp.alias("l"),
+            bp.alias("b"),
+            F.transform(
+                acc["s"],
+                lambda v, j: F.when(j == x["hod"], snew).otherwise(v),
+            ).alias("s"),
+        )
+
+    fitted = per.select(
+        "zone",
+        F.element_at(F.col("arr"), -1)["hod"].alias("last_hod"),
+        F.aggregate(
+            F.slice(F.col("arr"), 2, F.size(F.col("arr")) - 1), init, merge
+        ).alias("st"),
+    )
+    h = F.explode(F.sequence(F.lit(1), F.lit(HW_M))).alias("h")
+    fc = fitted.select("zone", "last_hod", "st", h)
+    fhod = (F.col("last_hod") + F.col("h")) % HW_M
+    fval = (
+        F.col("st")["l"]
+        + F.col("h").cast("double") * F.col("st")["b"]
+        + F.element_at(F.col("st")["s"], (fhod + 1).cast("int"))
+    )
+    return fc.select(
+        "zone",
+        F.col("h").cast("int").alias("horizon_h"),
+        pround(F.col("st")["l"] / F.lit(STL_Q)).alias("level"),
+        pround(F.col("st")["b"] / F.lit(STL_Q)).alias("trend"),
+        pround(fval / F.lit(STL_Q)).alias("forecast"),
+    )
+
+
+QUERIES["holt_winters_forecast"] = holt_winters_forecast
+
+ORACLES["holt_winters_forecast"] = """
+    WITH RECURSIVE hourly AS (
+        SELECT event_type AS zone,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+               CAST(EXTRACT(hour FROM date_trunc('hour', ts)) AS BIGINT)
+                   AS hod,
+               CAST(FLOOR((CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                    AS DOUBLE) / COUNT(*)) * 16384.0 + 0.5) AS DOUBLE) AS y
+        FROM events
+        GROUP BY 1, 2, 3
+    ),
+    per AS (
+        SELECT zone,
+               list(struct_pack(hod := hod, y := y)
+                    ORDER BY hour_ts) AS arr
+        FROM hourly GROUP BY 1
+    ),
+    -- DuckDB 1.0 list_reduce miscomputes struct-accumulator folds
+    -- (verified: the identical lambda body is correct applied once,
+    -- wrong inside the fold), so the oracle replays the recurrence as
+    -- a recursive CTE — the centroid_tracks precedent.
+    walk AS (
+        SELECT zone, 1 AS i, len(arr) AS n,
+               arr[1].y AS l,
+               CAST(0.0 AS DOUBLE) AS b,
+               list_transform(range(1, 25),
+                              v -> CAST(0.0 AS DOUBLE)) AS s
+        FROM per
+        UNION ALL
+        SELECT w.zone, w.i + 1, w.n,
+               (0.5 * (x.y - w.s[CAST(x.hod + 1 AS INTEGER)]) + 0.5 * (w.l + w.b)),
+               0.25 * ((0.5 * (x.y - w.s[CAST(x.hod + 1 AS INTEGER)]) + 0.5 * (w.l + w.b)) - w.l) + 0.75 * w.b,
+               list_transform(w.s, (v, j) ->
+                   CASE WHEN j = CAST(x.hod + 1 AS INTEGER)
+                        THEN 0.5 * (x.y - (0.5 * (x.y - w.s[CAST(x.hod + 1 AS INTEGER)]) + 0.5 * (w.l + w.b))) + 0.5 * v
+                        ELSE v END)
+        FROM walk w
+        JOIN per p ON p.zone = w.zone,
+        LATERAL (SELECT p.arr[w.i + 1].y AS y,
+                        p.arr[w.i + 1].hod AS hod) x
+        WHERE w.i < w.n
+    ),
+    fitted AS (
+        SELECT w.zone, w.l, w.b, w.s,
+               p.arr[w.n].hod AS last_hod
+        FROM walk w JOIN per p ON p.zone = w.zone
+        WHERE w.i = w.n
+    )
+    SELECT zone,
+           CAST(h AS INTEGER) AS horizon_h,
+           (FLOOR(CAST((l / 16384.0) AS DOUBLE) * 10000.0 + 0.5) / 10000.0)
+               AS level,
+           (FLOOR(CAST((b / 16384.0) AS DOUBLE) * 10000.0 + 0.5) / 10000.0)
+               AS trend,
+           (FLOOR(CAST(((l + CAST(h AS DOUBLE) * b
+                + s[CAST((last_hod + h) % 24 + 1 AS INTEGER)])
+                / 16384.0) AS DOUBLE) * 10000.0 + 0.5) / 10000.0)
+               AS forecast
+    FROM fitted, (SELECT unnest(range(1, 25)) AS h)
+"""

@@ -1153,3 +1153,70 @@ def test_dbscan_grid_planted_clusters(spark, tmp_path):
         assert got[sid] == ("core", expected_cluster)
     assert got[by_cell[border_cell][0]] == ("border", expected_cluster)
     assert got[by_cell[far][0]] == ("noise", -1)
+
+
+def test_holt_winters_matches_python_recurrence(spark, sf_dir):
+    """The Spark struct-fold must equal the exact HW recurrence run in
+    python (same dyadic gains, same IEEE ops) — bit-level agreement
+    surfaced through the pround guard."""
+    import duckdb
+
+    from smart_city_data_pipeline_spark.operators.timeseries import (
+        HW_ALPHA,
+        HW_BETA,
+        HW_GAMMA,
+        HW_M,
+        STL_Q,
+        holt_winters_forecast,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH hourly AS (
+          SELECT event_type AS zone,
+                 CAST(date_trunc('hour', ts) AS TIMESTAMP) hour_ts,
+                 CAST(EXTRACT(hour FROM date_trunc('hour', ts)) AS BIGINT)
+                     hod,
+                 CAST(FLOOR((CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                      AS DOUBLE) / COUNT(*)) * {STL_Q} + 0.5) AS DOUBLE) y
+          FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2, 3)
+        SELECT zone, hod, y FROM hourly ORDER BY zone, hour_ts
+        """
+    ).fetchall()
+    series = {}
+    for zone, hod, y in rows:
+        series.setdefault(zone, []).append((int(hod), float(y)))
+
+    def pr(x):
+        import math
+
+        return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+    expected = {}
+    for zone, pts in series.items():
+        l, b, s = pts[0][1], 0.0, [0.0] * HW_M
+        for hod, y in pts[1:]:
+            sidx = s[hod]
+            lp = HW_ALPHA * (y - sidx) + (1 - HW_ALPHA) * (l + b)
+            bp = HW_BETA * (lp - l) + (1 - HW_BETA) * b
+            s[hod] = HW_GAMMA * (y - lp) + (1 - HW_GAMMA) * sidx
+            l, b = lp, bp
+        last_hod = pts[-1][0]
+        for h in range(1, HW_M + 1):
+            f = l + h * b + s[(last_hod + h) % HW_M]
+            expected[(zone, h)] = (
+                pr(l / STL_Q),
+                pr(b / STL_Q),
+                pr(f / STL_Q),
+            )
+
+    got = {
+        (r["zone"], r["horizon_h"]): (
+            r["level"],
+            r["trend"],
+            r["forecast"],
+        )
+        for r in holt_winters_forecast(spark, sf_dir).collect()
+    }
+    assert got == expected
