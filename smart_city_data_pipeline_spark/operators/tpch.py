@@ -1496,3 +1496,90 @@ ORACLES["rfm_segments"] = f"""
            END AS segment
     FROM scored
 """
+
+
+IVM_DELTA_MOD = 20  # orders with o_orderkey % 20 == 0 form the delta batch
+
+
+def ivm_merge_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of a per-customer spend view: the
+    materialized view (orders before the batch) and the DELTA view
+    (the new batch alone) are both partial aggregates of the same
+    commutative monoid (count, exact-decimal sum, max), so applying
+    the batch is a MERGE — re-aggregate the union of the two partial
+    states, touching O(|delta| + |affected keys|) rows, never the
+    base fact table. This is the maintenance path every continuous
+    aggregate / materialized view engine runs on ingest
+    (``rollup_cascade`` proves the time-hierarchy version; this
+    proves the arbitrary-key IVM version).
+
+    The deterministic batch split (``o_orderkey % IVM_DELTA_MOD``)
+    stands in for the ingest boundary so both engines see the same
+    partition. The ORACLE AGGREGATES ALL ORDERS DIRECTLY — the hash
+    match IS the mergeability proof (merge(partial(base),
+    partial(delta)) ≡ full recompute), exactly the
+    ``rollup_cascade`` oracle discipline.
+
+    Scale shape: two keyed partial aggregates (in production the base
+    one is the STORED view — zero cost), one union re-aggregate keyed
+    on the customer key, one broadcast-size dim join for the name.
+    Exactness: counts BIGINT, money in DECIMAL(18,2) end to end.
+    """
+    orders = spread(table(spark, sf_dir, "orders"), "o_orderkey", key=f"{sf_dir}:orders")
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    base = orders.filter(
+        F.col("o_orderkey") % IVM_DELTA_MOD != 0
+    )
+    delta = orders.filter(
+        F.col("o_orderkey") % IVM_DELTA_MOD == 0
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "spent"
+            ),
+            F.max(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "max_order"
+            ),
+        )
+
+    merged = (
+        partial(base)
+        .unionByName(partial(delta))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("spent").cast("decimal(18,2)").alias("spent"),
+            F.max("max_order").cast("decimal(18,2)").alias("max_order"),
+        )
+    )
+    return merged.join(
+        cust, merged.o_custkey == cust.c_custkey
+    ).select(
+        "c_custkey",
+        "c_name",
+        "n_orders",
+        F.col("spent").cast("double").alias("total_spent"),
+        F.col("max_order").cast("double").alias("max_order"),
+    )
+
+
+QUERIES["ivm_merge_view"] = ivm_merge_view
+
+# The oracle deliberately aggregates ALL orders in one pass: equality
+# with the Spark merge path is the IVM mergeability proof.
+ORACLES["ivm_merge_view"] = """
+    SELECT c.c_custkey,
+           c.c_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_spent,
+           CAST(MAX(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS max_order
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+"""
