@@ -1275,3 +1275,139 @@ ORACLES["density_heatmap"] = f"""
              / CAST(COUNT(*) OVER () AS DOUBLE))) AS hotspot
     FROM joined
 """
+
+
+BIAS_MIN_COMMON_D = 14  # pairs need two weeks of common days to be judged
+BIAS_CENTS_CUT = 800.0  # |mean offset| above 8.00 units flags bias
+
+
+def colocated_bias_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration-drift screening between CO-LOCATED sensors: two
+    sensors in the same grid cell watch the same physical conditions,
+    so a persistent offset between their same-hour averages is
+    instrument bias, not environment — the classic redundant-sensor
+    cross-check a fleet runs before trusting any absolute threshold.
+    One row per co-located pair with enough common DAYS (this fleet
+    reads a few times a day, so daily averages are the densest common
+    grid): common-day count, mean signed offset, mean absolute
+    offset, and the bias flag.
+
+    Scale shape: hourly per-sensor averages first (keyed aggregate,
+    the rollup every other ts operator shares), then the pair join is
+    KEYED ON (cell, day) — fan-out per key is the cell's sensor
+    count squared, a layout property independent of data volume (the
+    ``dbscan_grid`` cell layout; the a<b guard halves it). No global
+    pair enumeration anywhere. Exactness: hourly averages snap to
+    integer cents; offsets and their sums are exact BIGINTs with one
+    final division each.
+    """
+    ev = table(spark, sf_dir, "events")
+    px = (F.col("user_id") * 8191) % 10000
+    py = (F.col("user_id") * 524287) % 10000
+    hourly = (
+        ev.groupBy(
+            F.col("user_id").alias("sensor_id"),
+            F.date_trunc("day", F.col("ts")).alias("day_ts"),
+        )
+        .agg(avg_exact(F.col("value")).alias("avg_v"))
+        .select(
+            "sensor_id",
+            "day_ts",
+            F.floor(F.col("avg_v") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    cells = hourly.select(
+        "sensor_id",
+        "day_ts",
+        "cents",
+        F.floor(((F.col("sensor_id") * 8191) % 10000) / DBSCAN_CELL)
+        .cast("long")
+        .alias("cx"),
+        F.floor(((F.col("sensor_id") * 524287) % 10000) / DBSCAN_CELL)
+        .cast("long")
+        .alias("cy"),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cx") == F.col("b.cx"))
+        & (F.col("a.cy") == F.col("b.cy"))
+        & (F.col("a.day_ts") == F.col("b.day_ts"))
+        & (F.col("a.sensor_id") < F.col("b.sensor_id")),
+    ).select(
+        F.col("a.sensor_id").alias("sensor_a"),
+        F.col("b.sensor_id").alias("sensor_b"),
+        F.col("a.cx").alias("cx"),
+        F.col("a.cy").alias("cy"),
+        (F.col("a.cents") - F.col("b.cents")).alias("diff"),
+    )
+    agg = pairs.groupBy("sensor_a", "sensor_b", "cx", "cy").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common_days"),
+        F.sum("diff").cast("long").alias("sum_diff"),
+        F.sum(F.abs(F.col("diff"))).cast("long").alias("sum_abs"),
+    )
+    mean_diff = F.col("sum_diff").cast("double") / F.col(
+        "n_common_days"
+    ).cast("double")
+    mean_abs = F.col("sum_abs").cast("double") / F.col(
+        "n_common_days"
+    ).cast("double")
+    return agg.filter(F.col("n_common_days") >= BIAS_MIN_COMMON_D).select(
+        "sensor_a",
+        "sensor_b",
+        "cx",
+        "cy",
+        "n_common_days",
+        pround(mean_diff / F.lit(100.0)).alias("mean_offset"),
+        pround(mean_abs / F.lit(100.0)).alias("mean_abs_offset"),
+        (F.abs(mean_diff) > F.lit(BIAS_CENTS_CUT)).alias("bias_suspect"),
+    )
+
+
+QUERIES["colocated_bias_pairs"] = colocated_bias_pairs
+
+ORACLES["colocated_bias_pairs"] = f"""
+    WITH hourly AS (
+        SELECT user_id AS sensor_id,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+               CAST(FLOOR(({avg_exact_sql('value')}) * 100 + 0.5)
+                    AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    cells AS (
+        SELECT sensor_id, day_ts, cents,
+               (sensor_id * 8191) % 10000 // {DBSCAN_CELL} AS cx,
+               (sensor_id * 524287) % 10000 // {DBSCAN_CELL} AS cy
+        FROM hourly
+    ),
+    pairs AS (
+        SELECT a.sensor_id AS sensor_a, b.sensor_id AS sensor_b,
+               a.cx, a.cy, a.cents - b.cents AS diff
+        FROM cells a JOIN cells b
+          ON a.cx = b.cx AND a.cy = b.cy AND a.day_ts = b.day_ts
+         AND a.sensor_id < b.sensor_id
+    ),
+    agg AS (
+        SELECT sensor_a, sensor_b, cx, cy,
+               CAST(COUNT(*) AS BIGINT) AS n_common_days,
+               CAST(SUM(diff) AS BIGINT) AS sum_diff,
+               CAST(SUM(ABS(diff)) AS BIGINT) AS sum_abs
+        FROM pairs GROUP BY 1, 2, 3, 4
+    )
+    SELECT sensor_a, sensor_b, cx, cy, n_common_days,
+           {pround_sql(
+               '(CAST(sum_diff AS DOUBLE)'
+               ' / CAST(n_common_days AS DOUBLE)) / 100.0'
+           )} AS mean_offset,
+           {pround_sql(
+               '(CAST(sum_abs AS DOUBLE)'
+               ' / CAST(n_common_days AS DOUBLE)) / 100.0'
+           )} AS mean_abs_offset,
+           (ABS(CAST(sum_diff AS DOUBLE)
+                / CAST(n_common_days AS DOUBLE))
+            > {BIAS_CENTS_CUT}) AS bias_suspect
+    FROM agg
+    WHERE n_common_days >= {BIAS_MIN_COMMON_D}
+"""
