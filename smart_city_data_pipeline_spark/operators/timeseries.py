@@ -4476,3 +4476,150 @@ ORACLES["holt_winters_forecast"] = """
                AS forecast
     FROM fitted, (SELECT unnest(range(1, 25)) AS h)
 """
+
+
+def funnel_conversion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel REPORT on top of :func:`window_funnel_frame`'s
+    per-user stage times: one row per stage with users reached,
+    conversion from the previous stage and from the top, and the
+    (lower) median seconds from stage 1 — the numbers the dashboard
+    actually plots, where ``window_funnel_strict`` emits the per-user
+    raw material.
+
+    Scale shape: the frame's per-stage keyed min-aggregates, then ONE
+    melt to (stage, user, delta) rows and windows over the
+    STAGE-bounded result (≤ |stages| × reached-users rows; the median
+    window partitions by stage — with a handful of stages the
+    per-stage sort is the classic percentile-per-small-group shape,
+    the same posture as ``value_quantiles``). Exactness: counts
+    BIGINT, deltas exact epoch-second integers, conversions single
+    divisions, the median an exact stored-element pick (row_number on
+    the (delta, user) total order — no interpolation).
+    """
+    ev = table(spark, sf_dir, "events")
+    f = window_funnel_frame(ev)
+    high = F.lit(FUNNEL_HIGH_TS).cast("timestamp")
+    stages = list(FUNNEL_STAGES)
+    melted = f.select(
+        "user_id",
+        "funnel_stage",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("stage_idx"),
+                        F.lit(stage).alias("stage"),
+                        F.when(
+                            F.col("funnel_stage") >= i,
+                            F.expr(
+                                f"(unix_micros(t_{stage})"
+                                " - unix_micros(t_signup))"
+                                " div 1000000"
+                            ),
+                        ).alias("delta_s"),
+                    )
+                    for i, stage in enumerate(stages, start=1)
+                ]
+            )
+        ).alias("r"),
+    ).select("user_id", "funnel_stage", "r.stage_idx", "r.stage", "r.delta_s")
+    reached = melted.filter(F.col("delta_s").isNotNull())
+    wm = Window.partitionBy("stage_idx").orderBy("delta_s", "user_id")
+    wn = Window.partitionBy("stage_idx")
+    med = (
+        reached.select(
+            "stage_idx",
+            "delta_s",
+            F.row_number().over(wm).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n_reached"),
+        )
+        .filter(F.col("rn") == F.expr("(n_reached + 1) DIV 2"))
+        .select(
+            "stage_idx",
+            F.col("n_reached").cast("long").alias("n_reached"),
+            F.col("delta_s").cast("long").alias("median_from_top_s"),
+        )
+    )
+    wlag = Window.orderBy("stage_idx")
+    names = F.create_map(
+        *[
+            c
+            for i, stage in enumerate(stages, start=1)
+            for c in (F.lit(i), F.lit(stage))
+        ]
+    )
+    # the lag window runs over the |stages|-bounded report table only
+    return med.select(
+        "stage_idx",
+        F.element_at(names, F.col("stage_idx")).alias("stage"),
+        "n_reached",
+        "median_from_top_s",
+        pround(
+            F.col("n_reached").cast("double")
+            / F.coalesce(
+                F.lag("n_reached").over(wlag), F.col("n_reached")
+            ).cast("double")
+        ).alias("conv_from_prev"),
+        pround(
+            F.col("n_reached").cast("double")
+            / F.first("n_reached").over(wlag).cast("double")
+        ).alias("conv_from_top"),
+    )
+
+
+QUERIES["funnel_conversion_report"] = funnel_conversion_report
+
+ORACLES["funnel_conversion_report"] = f"""
+    WITH ev AS (SELECT user_id, event_type, ts FROM events),
+    s1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev
+           WHERE event_type = 'signup' GROUP BY 1),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+           FROM ev e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click'
+             AND e.ts > t1 AND e.ts <= t1 + {FUNNEL_WINDOW} GROUP BY 1),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+           FROM ev e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase'
+             AND e.ts > t2 AND e.ts <= t1 + {FUNNEL_WINDOW} GROUP BY 1),
+    melted AS (
+        SELECT user_id, 1 AS stage_idx,
+               (epoch_us(t1) - epoch_us(t1)) // 1000000 AS delta_s
+        FROM s1
+        UNION ALL
+        SELECT s2.user_id, 2,
+               (epoch_us(t2) - epoch_us(t1)) // 1000000
+        FROM s2 JOIN s1 USING (user_id)
+        UNION ALL
+        SELECT s3.user_id, 3,
+               (epoch_us(t3) - epoch_us(t1)) // 1000000
+        FROM s3 JOIN s1 USING (user_id)
+    ),
+    med AS (
+        SELECT stage_idx,
+               CAST(n_reached AS BIGINT) AS n_reached,
+               CAST(delta_s AS BIGINT) AS median_from_top_s
+        FROM (
+            SELECT stage_idx, delta_s,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY stage_idx
+                       ORDER BY delta_s, user_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY stage_idx) AS n_reached
+            FROM melted
+        ) WHERE rn = (n_reached + 1) // 2
+    )
+    SELECT stage_idx,
+           CASE stage_idx WHEN 1 THEN 'signup' WHEN 2 THEN 'click'
+                WHEN 3 THEN 'purchase' END AS stage,
+           n_reached,
+           median_from_top_s,
+           {pround_sql(
+               'CAST(n_reached AS DOUBLE) / CAST(COALESCE('
+               'lag(n_reached) OVER (ORDER BY stage_idx), n_reached)'
+               ' AS DOUBLE)'
+           )} AS conv_from_prev,
+           {pround_sql(
+               'CAST(n_reached AS DOUBLE) / CAST(first_value(n_reached)'
+               ' OVER (ORDER BY stage_idx) AS DOUBLE)'
+           )} AS conv_from_top
+    FROM med
+"""
