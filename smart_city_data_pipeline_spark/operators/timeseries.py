@@ -4623,3 +4623,151 @@ ORACLES["funnel_conversion_report"] = f"""
            )} AS conv_from_top
     FROM med
 """
+
+
+XCORR_MAX_LAG_H = 6  # lead-lag horizon in hours
+
+
+def zone_xcorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between zone pairs: Pearson r of
+    zone A's hourly series against zone B's series shifted by 0..
+    ``XCORR_MAX_LAG_H`` hours — 'does congestion in A forecast B an
+    hour later?', the temporal-causality screen that ``type_corr_
+    matrix`` (lag 0 only) cannot answer. One row per ordered pair and
+    lag with the pairwise-complete hour count and r; the best lag per
+    pair (max |r|, ties to the smaller lag) is flagged.
+
+    Scale shape: one hourly pre-aggregate per zone (the shared
+    rollup), the B side exploded across the lag literals, ONE
+    equi-join keyed on the shifted hour, then a (zones² × lags)-
+    bounded moment aggregate — Gauss moments in DECIMAL(38,0)/
+    HUGEINT (the ``ols_trend`` discipline; BIGINT would wrap at
+    year-scale series). Exactness: r's numerator/denominators are
+    nearest-doubles of exact integers; sqrt is IEEE-correctly-rounded
+    (the abtt precedent), division single.
+    """
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.col("event_type").alias("zone"),
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+        )
+        .agg(avg_exact(F.col("value")).alias("avg_v"))
+        .select(
+            "zone",
+            "hour_ts",
+            F.floor(F.col("avg_v") * F.lit(STL_Q) + F.lit(0.5))
+            .cast("long")
+            .alias("yq"),
+        )
+    )
+    lags = F.explode(
+        F.array(*[F.lit(h) for h in range(XCORR_MAX_LAG_H + 1)])
+    ).alias("lag_h")
+    b = hourly.select(
+        F.col("zone").alias("zone_b"),
+        F.col("hour_ts").alias("hb"),
+        F.col("yq").alias("yb"),
+        lags,
+    ).withColumn(
+        "hour_ts", F.col("hb") - F.make_interval(hours=F.col("lag_h"))
+    )
+    j = (
+        hourly.select(
+            F.col("zone").alias("zone_a"), "hour_ts", F.col("yq").alias("ya")
+        )
+        .join(b, "hour_ts")
+        .filter(F.col("zone_a") != F.col("zone_b"))
+    )
+    d38 = "decimal(38,0)"
+    m = j.groupBy("zone_a", "zone_b", "lag_h").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum(F.col("ya").cast(d38)).alias("sx"),
+        F.sum(F.col("yb").cast(d38)).alias("sy"),
+        F.sum((F.col("ya") * F.col("yb")).cast(d38)).alias("sxy"),
+        F.sum((F.col("ya") * F.col("ya")).cast(d38)).alias("sxx"),
+        F.sum((F.col("yb") * F.col("yb")).cast(d38)).alias("syy"),
+    )
+    nd = F.col("n_hours").cast(d38)
+    num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    r = num / F.sqrt(dx * dy)
+    scored = m.filter((dx > 0) & (dy > 0)).select(
+        "zone_a",
+        "zone_b",
+        F.col("lag_h").cast("int").alias("lag_h"),
+        "n_hours",
+        pround(r).alias("r"),
+        r.alias("_r_raw"),
+    )
+    wbest = Window.partitionBy("zone_a", "zone_b").orderBy(
+        F.abs(F.col("_r_raw")).desc(), F.col("lag_h").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wbest))
+        .select(
+            "zone_a",
+            "zone_b",
+            "lag_h",
+            "n_hours",
+            "r",
+            (F.col("rn") == 1).alias("best_lag"),
+        )
+    )
+
+
+QUERIES["zone_xcorr_lags"] = zone_xcorr_lags
+
+ORACLES["zone_xcorr_lags"] = f"""
+    WITH hourly AS (
+        SELECT event_type AS zone,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+               CAST(FLOOR(({avg_exact_sql('value')}) * 16384.0 + 0.5)
+                    AS BIGINT) AS yq
+        FROM events GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT zone AS zone_b, hour_ts AS hb, yq AS yb, lag_h,
+               hour_ts - to_hours(lag_h) AS hour_ts
+        FROM hourly, (SELECT unnest(range(0, {XCORR_MAX_LAG_H + 1}))
+                      AS lag_h)
+    ),
+    j AS (
+        SELECT a.zone AS zone_a, b.zone_b, b.lag_h,
+               a.yq AS ya, b.yb
+        FROM hourly a JOIN b USING (hour_ts)
+        WHERE a.zone <> b.zone_b
+    ),
+    m AS (
+        SELECT zone_a, zone_b, lag_h,
+               CAST(COUNT(*) AS BIGINT) AS n_hours,
+               SUM(CAST(ya AS HUGEINT)) AS sx,
+               SUM(CAST(yb AS HUGEINT)) AS sy,
+               SUM(CAST(ya AS HUGEINT) * CAST(yb AS HUGEINT)) AS sxy,
+               SUM(CAST(ya AS HUGEINT) * CAST(ya AS HUGEINT)) AS sxx,
+               SUM(CAST(yb AS HUGEINT) * CAST(yb AS HUGEINT)) AS syy
+        FROM j GROUP BY 1, 2, 3
+    ),
+    d AS (
+        SELECT zone_a, zone_b, lag_h, n_hours,
+               CAST(CAST(n_hours AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                   AS num,
+               CAST(CAST(n_hours AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                   AS dx,
+               CAST(CAST(n_hours AS HUGEINT) * syy - sy * sy AS DOUBLE)
+                   AS dy
+        FROM m
+    ),
+    scored AS (
+        SELECT zone_a, zone_b, CAST(lag_h AS INTEGER) AS lag_h, n_hours,
+               num / sqrt(dx * dy) AS r_raw
+        FROM d WHERE dx > 0 AND dy > 0
+    )
+    SELECT zone_a, zone_b, lag_h, n_hours,
+           {pround_sql('r_raw')} AS r,
+           ROW_NUMBER() OVER (
+               PARTITION BY zone_a, zone_b
+               ORDER BY ABS(r_raw) DESC, lag_h ASC) = 1 AS best_lag
+    FROM scored
+"""
