@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from smart_city_data_pipeline_spark.catalog import spread, table
+from smart_city_data_pipeline_spark.functions.rounding import pround, pround_sql
 
 FRAME_META = T.StructType(
     [
@@ -717,7 +718,7 @@ def camera_rollup_exact(features: DataFrame) -> DataFrame:
     and partial-aggregation orders, so it can carry a hash-checked
     DuckDB oracle. Equal to the unweighted mean-of-means whenever all
     frames share one geometry (both synthetic tables do)."""
-    from smart_city_data_pipeline_spark.functions.rounding import pround
+    from smart_city_data_pipeline_spark.functions.rounding import pround, pround_sql
 
     return features.groupBy("camera_id").agg(
         F.count(F.lit(1)).alias("n_frames"),
@@ -1242,3 +1243,174 @@ ORACLES: dict[str, str] = {
     "frames_features_jpeg420": _jpeg_rollup_oracle(JPEG_W, JPEG_H),
     "frames_features_jpeg_prog": _jpeg_rollup_oracle(JPEG_W, JPEG_H),
 }
+
+
+def _gap_params(clip_id: int) -> tuple[int, int, int]:
+    """(n_samples, amp, block) for the gapped clips — deterministic."""
+    n = 1600 + (clip_id % 5) * 160
+    a = 1000 + (clip_id % 8) * 1000
+    b = 200 + (clip_id % 3) * 40
+    return n, a, b
+
+
+def synth_wav_gapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip table with REAL WAV payloads whose signal alternates
+    loud/SILENT blocks (loud first): block j of ``block`` samples is a
+    square wave of amplitude ±amp when j is even and exact zeros when
+    j is odd — the planted structure every silence statistic below
+    has a closed form over."""
+    import numpy as np
+
+    docs = spread(
+        table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents"
+    ).select(
+        F.col("doc_id").alias("clip_id"),
+        (F.col("doc_id") % 16).alias("device_id"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("clip_id", T.LongType()),
+            T.StructField("device_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for cid in pdf["clip_id"]:
+                n, a, b = _gap_params(int(cid))
+                i = np.arange(n)
+                loud = np.where(i % 8 < 4, a, -a)
+                s = np.where((i // b) % 2 == 0, loud, 0).astype("<i2")
+                payloads.append(encode_wav_pcm16(s))
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"],
+                    "device_id": pdf["device_id"],
+                    "payload": payloads,
+                }
+            )
+
+    return docs.mapInPandas(run, out_schema)
+
+
+SIL_T = 500  # |sample| below this counts as silence
+
+AUDIO_SIL_OUT = T.StructType(
+    [
+        T.StructField("clip_id", T.LongType()),
+        T.StructField("device_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_silent_runs", T.LongType()),
+        T.StructField("silent_samples", T.LongType()),
+        T.StructField("longest_silent_run", T.LongType()),
+        T.StructField("silent_fraction", T.DoubleType()),
+    ]
+)
+
+
+def audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence segmentation over REAL decoded audio — the VAD
+    primitive (run-length extraction under an amplitude gate) every
+    speech pipeline runs before transcription: per clip, the silent
+    run count, total silent samples, longest run, and silent
+    fraction (|sample| < ``SIL_T``).
+
+    FULL oracle with NO decode: the gapped synthesis alternates
+    loud/silent blocks, so every statistic is integer arithmetic in
+    (n, block) — full_blocks = n div B, silent blocks are the odd
+    ones, a trailing partial block is silent iff full_blocks is odd
+    (closed forms inline in the SQL). The hash match proves the real
+    RIFF parse + numpy run-length extraction reproduce the
+    generative structure bit-exactly (the ``audio_features_wav``
+    discipline). Scale: Arrow-batched mapInPandas, embarrassingly
+    parallel per clip; run-length is one vectorized diff per clip.
+    """
+    import numpy as np
+
+    clips = synth_wav_gapped(spark, sf_dir)
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid, dev, buf in zip(
+                pdf["clip_id"], pdf["device_id"], pdf["payload"]
+            ):
+                _rate, s = decode_wav_pcm16(bytes(buf))
+                sil = (np.abs(s.astype(np.int64)) < SIL_T).astype(np.int8)
+                # run boundaries via the padded diff trick
+                d = np.diff(np.concatenate(([0], sil, [0])))
+                starts = np.flatnonzero(d == 1)
+                ends = np.flatnonzero(d == -1)
+                lens = ends - starts
+                rows.append(
+                    (
+                        int(cid),
+                        int(dev),
+                        int(s.size),
+                        int(lens.size),
+                        int(lens.sum()),
+                        int(lens.max()) if lens.size else 0,
+                        float(lens.sum()) / float(s.size),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SIL_OUT])
+
+    out = clips.mapInPandas(run, AUDIO_SIL_OUT)
+    return out.select(
+        "clip_id",
+        "device_id",
+        "n_samples",
+        "n_silent_runs",
+        "silent_samples",
+        "longest_silent_run",
+        pround(F.col("silent_fraction")).alias("silent_fraction"),
+    )
+
+
+QUERIES["audio_silence_segments"] = audio_silence_segments
+
+# closed-form twin: n = 1600 + (id%5)*160, B = 200 + (id%3)*40;
+# blocks alternate loud/silent starting loud, so silent blocks are the
+# odd-indexed ones and a trailing partial block is silent iff
+# full_blocks is odd.
+ORACLES["audio_silence_segments"] = f"""
+    WITH p AS (
+        SELECT doc_id AS clip_id,
+               doc_id % 16 AS device_id,
+               1600 + (doc_id % 5) * 160 AS n,
+               200 + (doc_id % 3) * 40 AS b
+        FROM documents
+    ),
+    d AS (
+        SELECT clip_id, device_id, n, b,
+               n // b AS full_blocks,
+               n % b AS rem
+        FROM p
+    ),
+    s AS (
+        SELECT clip_id, device_id, n,
+               CAST(full_blocks // 2 AS BIGINT) AS n_full_silent,
+               CAST(CASE WHEN full_blocks % 2 = 1 AND rem > 0
+                         THEN rem ELSE 0 END AS BIGINT) AS partial_silent,
+               b
+        FROM d
+    )
+    SELECT clip_id,
+           device_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n_full_silent
+                + CASE WHEN partial_silent > 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_silent_runs,
+           CAST(n_full_silent * b + partial_silent AS BIGINT)
+               AS silent_samples,
+           CAST(CASE WHEN n_full_silent >= 1 THEN b
+                     ELSE partial_silent END AS BIGINT)
+               AS longest_silent_run,
+           {pround_sql(
+               'CAST(n_full_silent * b + partial_silent AS DOUBLE)'
+               ' / CAST(n AS DOUBLE)'
+           )} AS silent_fraction
+    FROM s
+"""
