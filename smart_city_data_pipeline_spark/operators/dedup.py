@@ -2289,3 +2289,205 @@ ORACLES["link_prediction_cn"] = f"""
           WHERE u.src = s.node_a AND u.dst = s.node_b
       )
 """
+
+
+MH_AUDIT_Q = 1048576.0  # 2^20 exact-jaccard grid for the audit moments
+
+
+def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of the MinHash Jaccard ESTIMATOR itself: for
+    every LSH candidate pair, the 16-slot signature estimate next to
+    the exact shingle-set Jaccard, with the absolute error — and the
+    corpus-level mean |error| and Pearson correlation between
+    estimate and truth replicated per row. ``lsh_quality_report``
+    grades the BANDING geometry (precision/recall of the candidate
+    step); this grades the ESTIMATOR the verify step trusts — the
+    Broder (1997) k-min sketch whose error you must know before
+    picking a verification threshold at 100 TB.
+
+    Scale shape: the audit rides the existing machinery — slim band
+    self-join for candidates, one hs-keyed intersection join
+    restricted to those pairs, sizes from the shared shingle
+    aggregate; the corpus moments are windows over the PAIR-bounded
+    audit table in DECIMAL(38,0) (the ``ols_trend`` discipline —
+    BIGINT n·Σxy wraps at production pair counts). Exactness:
+    slot-match counts (0..16) and intersection/union counts are
+    exact integers; the estimate and Jaccard are single divisions;
+    Pearson r = num/sqrt(dx·dy) on nearest-doubles of exact decimal
+    integers (x = n_eq, y = the 2^20-quantized Jaccard).
+    """
+    sig = _minhash_sig_wide(spark, sf_dir).select(
+        "doc_id", *[F.col(f"m{i}") for i in range(N_MINHASH)]
+    )
+    pairs = _band_pairs(sig)
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    n_eq = functools.reduce(
+        operator.add,
+        [
+            (F.col(f"sa.m{i}") == F.col(f"sb.m{i}")).cast("int")
+            for i in range(N_MINHASH)
+        ],
+    )
+    cand = (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", n_eq.alias("n_eq"))
+    )
+    sh = _hashed_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
+    )
+    ha, hb = sh.alias("ha"), sh.alias("hb")
+    inter = (
+        ha.join(
+            hb,
+            (F.col("ha.hs") == F.col("hb.hs"))
+            & (F.col("ha.doc_id") < F.col("hb.doc_id")),
+        )
+        .groupBy(
+            F.col("ha.doc_id").alias("doc_a"),
+            F.col("hb.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    j = (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_eq",
+            F.coalesce(F.col("n_inter"), F.lit(0)).cast("long").alias("ni"),
+            "na",
+            "nb",
+        )
+    )
+    est = F.col("n_eq").cast("double") / F.lit(float(N_MINHASH))
+    jac = F.col("ni").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("ni")
+    ).cast("double")
+    jq = F.floor(jac * F.lit(MH_AUDIT_Q) + F.lit(0.5)).cast("long")
+    errq = F.floor(
+        F.abs(est - jac) * F.lit(MH_AUDIT_Q) + F.lit(0.5)
+    ).cast("long")
+    scored = j.select(
+        "doc_a",
+        "doc_b",
+        "n_eq",
+        "ni",
+        jq.alias("jq"),
+        errq.alias("errq"),
+    )
+    wall = Window.partitionBy()
+    d38 = "decimal(38,0)"
+    n = F.count(F.lit(1)).over(wall).cast(d38)
+    sx = F.sum(F.col("n_eq").cast(d38)).over(wall)
+    sy = F.sum(F.col("jq").cast(d38)).over(wall)
+    sxy = F.sum((F.col("n_eq") * F.col("jq")).cast(d38)).over(wall)
+    sxx = F.sum((F.col("n_eq") * F.col("n_eq")).cast(d38)).over(wall)
+    syy = F.sum((F.col("jq") * F.col("jq")).cast(d38)).over(wall)
+    num = (n * sxy - sx * sy).cast("double")
+    dx = (n * sxx - sx * sx).cast("double")
+    dy = (n * syy - sy * sy).cast("double")
+    r = num / F.sqrt(dx * dy)
+    mean_err = (
+        F.sum("errq").over(wall).cast("double")
+        / F.lit(MH_AUDIT_Q)
+        / F.count(F.lit(1)).over(wall).cast("double")
+    )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        pround(F.col("n_eq").cast("double") / F.lit(float(N_MINHASH))).alias(
+            "est_sim"
+        ),
+        pround(F.col("jq").cast("double") / F.lit(MH_AUDIT_Q)).alias(
+            "exact_jac"
+        ),
+        pround(F.col("errq").cast("double") / F.lit(MH_AUDIT_Q)).alias(
+            "abs_err"
+        ),
+        pround(mean_err).alias("corpus_mean_abs_err"),
+        pround(r).alias("corpus_corr"),
+    )
+
+
+QUERIES["minhash_estimate_audit"] = minhash_estimate_audit
+
+ORACLES["minhash_estimate_audit"] = f"""
+    WITH sh AS ({_HASHED_SHINGLES_SQL}),
+    sigm AS (
+        SELECT doc_id,
+           {_SIG_COLS_SQL}
+        FROM sh GROUP BY 1
+    ),
+    sig AS (
+        SELECT *,
+           {_BAND_COLS_SQL}
+        FROM sigm
+    ),
+    cand AS (
+        SELECT doc_a, doc_b,
+               CAST(raw_sim * {float(N_MINHASH)} AS BIGINT) AS n_eq
+        FROM ({_CAND_UNION_SQL})
+    ),
+    sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS ni
+        FROM sh a JOIN sh b ON a.hs = b.hs AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT c.doc_a, c.doc_b, c.n_eq,
+               COALESCE(i.ni, 0) AS ni, za.n_sh AS na, zb.n_sh AS nb
+        FROM cand c
+        LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+        JOIN sizes za ON c.doc_a = za.doc_id
+        JOIN sizes zb ON c.doc_b = zb.doc_id
+    ),
+    scored AS (
+        SELECT doc_a, doc_b, n_eq, ni,
+               CAST(FLOOR((CAST(ni AS DOUBLE)
+                    / CAST(na + nb - ni AS DOUBLE)) * {MH_AUDIT_Q} + 0.5)
+                    AS BIGINT) AS jq,
+               CAST(FLOOR(ABS(CAST(n_eq AS DOUBLE) / {float(N_MINHASH)}
+                    - CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE))
+                    * {MH_AUDIT_Q} + 0.5) AS BIGINT) AS errq
+        FROM j
+    ),
+    m AS (
+        SELECT *,
+               CAST(COUNT(*) OVER () AS HUGEINT) AS n,
+               SUM(CAST(n_eq AS HUGEINT)) OVER () AS sx,
+               SUM(CAST(jq AS HUGEINT)) OVER () AS sy,
+               SUM(CAST(n_eq AS HUGEINT) * CAST(jq AS HUGEINT)) OVER ()
+                   AS sxy,
+               SUM(CAST(n_eq AS HUGEINT) * CAST(n_eq AS HUGEINT)) OVER ()
+                   AS sxx,
+               SUM(CAST(jq AS HUGEINT) * CAST(jq AS HUGEINT)) OVER ()
+                   AS syy,
+               CAST(SUM(errq) OVER () AS BIGINT) AS sum_err
+        FROM scored
+    )
+    SELECT doc_a, doc_b,
+           {pround_sql(f'CAST(n_eq AS DOUBLE) / {float(N_MINHASH)}')}
+               AS est_sim,
+           {pround_sql(f'CAST(jq AS DOUBLE) / {MH_AUDIT_Q}')} AS exact_jac,
+           {pround_sql(f'CAST(errq AS DOUBLE) / {MH_AUDIT_Q}')} AS abs_err,
+           {pround_sql(
+               f'CAST(sum_err AS DOUBLE) / {MH_AUDIT_Q}'
+               ' / CAST(n AS DOUBLE)'
+           )} AS corpus_mean_abs_err,
+           {pround_sql(
+               'CAST(n * sxy - sx * sy AS DOUBLE)'
+               ' / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)'
+               ' * CAST(n * syy - sy * sy AS DOUBLE))'
+           )} AS corpus_corr
+    FROM m
+"""
