@@ -2491,3 +2491,163 @@ ORACLES["minhash_estimate_audit"] = f"""
            )} AS corpus_corr
     FROM m
 """
+
+
+def dedup_cluster_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the dedup partition on its own near-dup
+    graph: Q = Σ_c (e_c/m − (d_c/2m)²) — the standard 'is this
+    clustering better than chance?' audit (Newman & Girvan 2004).
+    Connected components ALWAYS capture every edge (e_c sums to m),
+    so Q here reads as how concentrated the graph is: near 0 when
+    one giant component holds all edges, higher when duplicates form
+    many tight groups — the drift signal that a template flood has
+    fused unrelated documents into one mega-cluster (the failure
+    mode ``dup_cluster_histogram`` sizes and this scores). One row
+    per edge-bearing cluster with nodes/internal edges/degree mass
+    and the cluster's Q contribution; the corpus Q is replicated per
+    row (the report shape).
+
+    Scale shape: rides :func:`dedup_clusters` labels and the LSH pair
+    list — per-cluster aggregates are keyed on cluster id; the
+    corpus terms are windows over the CLUSTER-bounded table.
+    Exactness: edge counts and degree sums are exact integers; each
+    Q term is (e_c/m) − t·t with t one division — identical
+    expression trees both engines.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = dedup_clusters(spark, sf_dir).select(
+        F.col("doc_id").alias("doc_a"), F.col("cluster_id")
+    )
+    e = (
+        pairs.join(labels, "doc_a")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("e_c"))
+    )
+    und = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    deg = und.groupBy("doc_a").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    d = (
+        deg.join(labels, "doc_a")
+        .groupBy("cluster_id")
+        .agg(
+            F.sum("deg").cast("long").alias("d_c"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        )
+    )
+    per = d.join(e, "cluster_id")
+    wall = Window.partitionBy()
+    m = F.sum("e_c").over(wall).cast("double")
+    t = F.col("d_c").cast("double") / (F.lit(2.0) * m)
+    q_c = F.col("e_c").cast("double") / m - t * t
+    qq = F.floor(q_c * F.lit(MH_AUDIT_Q) + F.lit(0.5)).cast("long")
+    scored = per.select(
+        "cluster_id",
+        "n_nodes",
+        "e_c",
+        "d_c",
+        q_c.alias("_q"),
+        qq.alias("qq"),
+    )
+    q_total = (
+        F.sum("qq").over(wall).cast("double") / F.lit(MH_AUDIT_Q)
+    )
+    return scored.select(
+        "cluster_id",
+        "n_nodes",
+        "e_c",
+        "d_c",
+        pround(F.col("_q")).alias("q_contrib"),
+        pround(q_total).alias("modularity"),
+    )
+
+
+QUERIES["dedup_cluster_modularity"] = dedup_cluster_modularity
+
+ORACLES["dedup_cluster_modularity"] = f"""
+    WITH RECURSIVE sh AS ({_HASHED_SHINGLES_SQL}),
+    sigm AS (
+        SELECT doc_id,
+           {_SIG_COLS_SQL}
+        FROM sh GROUP BY 1
+    ),
+    sig AS (
+        SELECT *,
+           {_BAND_COLS_SQL}
+        FROM sigm
+    ),
+    cand AS (
+        -- subselect wrapper: under WITH RECURSIVE, DuckDB 1.0 runs a
+        -- CTE whose body is a top-level UNION as UNION ALL (no dedup)
+        -- even without self-reference; the wrapper restores set
+        -- semantics (probe-verified).
+        SELECT * FROM (
+        {_CAND_UNION_SQL}
+    )
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM cand
+        WHERE (FLOOR(CAST((raw_sim) AS DOUBLE) * 10000.0 + 0.5)
+               / 10000.0) >= {MINHASH_SIM_THRESHOLD}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, comp) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    labels AS (
+        SELECT node AS doc_a, MIN(comp) AS cluster_id
+        FROM reach GROUP BY node
+    ),
+    ec AS (
+        SELECT l.cluster_id, CAST(COUNT(*) AS BIGINT) AS e_c
+        FROM pairs p JOIN labels l ON p.doc_a = l.doc_a
+        GROUP BY 1
+    ),
+    deg AS (
+        SELECT src AS doc_a, CAST(COUNT(*) AS BIGINT) AS deg FROM edges
+        GROUP BY 1
+    ),
+    dc AS (
+        SELECT l.cluster_id,
+               CAST(SUM(d.deg) AS BIGINT) AS d_c,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM deg d JOIN labels l ON d.doc_a = l.doc_a
+        GROUP BY 1
+    ),
+    per AS (
+        SELECT dc.cluster_id, dc.n_nodes, dc.d_c, ec.e_c
+        FROM dc JOIN ec USING (cluster_id)
+    ),
+    scored AS (
+        SELECT *,
+               CAST(SUM(e_c) OVER () AS DOUBLE) AS m,
+               CAST(e_c AS DOUBLE) / CAST(SUM(e_c) OVER () AS DOUBLE)
+                   - (CAST(d_c AS DOUBLE)
+                      / (2.0 * CAST(SUM(e_c) OVER () AS DOUBLE)))
+                     * (CAST(d_c AS DOUBLE)
+                      / (2.0 * CAST(SUM(e_c) OVER () AS DOUBLE)))
+                   AS q_c,
+               CAST(FLOOR((CAST(e_c AS DOUBLE)
+                    / CAST(SUM(e_c) OVER () AS DOUBLE)
+                    - (CAST(d_c AS DOUBLE)
+                       / (2.0 * CAST(SUM(e_c) OVER () AS DOUBLE)))
+                      * (CAST(d_c AS DOUBLE)
+                       / (2.0 * CAST(SUM(e_c) OVER () AS DOUBLE))))
+                    * {MH_AUDIT_Q} + 0.5) AS BIGINT) AS qq
+        FROM per
+    )
+    SELECT cluster_id, n_nodes, e_c, d_c,
+           {pround_sql('q_c')} AS q_contrib,
+           {pround_sql(
+               f'CAST(SUM(qq) OVER () AS DOUBLE) / {MH_AUDIT_Q}'
+           )} AS modularity
+    FROM scored
+"""
