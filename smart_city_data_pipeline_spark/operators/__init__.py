@@ -93,7 +93,8 @@ _GATE_FIRST = [
     # quantile_normalize, cluster_label_nmi, attribution_last_touch,
     # holt_winters_forecast, ivm_merge_view, colocated_bias_pairs,
     # funnel_conversion_report, zone_xcorr_lags, audio_silence_segments,
-    # minhash_estimate_audit, dedup_cluster_modularity, ...)
+    # minhash_estimate_audit, dedup_cluster_modularity,
+    # text_embedding_agreement, ...)
     # are judge-only this round and MUST lead the r8 window, before
     # the displaced r4 keys below.
     # rotate-back wave: every remaining r4 key was displaced to the

@@ -2651,3 +2651,192 @@ ORACLES["dedup_cluster_modularity"] = f"""
            )} AS modularity
     FROM scored
 """
+
+
+def text_embedding_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal consistency audit: for every TEXT near-dup
+    candidate pair (LSH bands), the exact shingle Jaccard next to the
+    EMBEDDING cosine of the same documents, with the corpus Pearson
+    correlation between the two replicated per row — the health check
+    that catches a broken/stale embedding pipeline (text says
+    near-identical, vectors say unrelated → the embeddings aren't of
+    this corpus version; strong agreement → semantic dedup can trust
+    them). The text and vector corpora share ids (doc_id = vec_id).
+
+    Scale shape: everything rides existing machinery — slim-band
+    candidates, hs-keyed intersection for Jaccard, two vec_id-keyed
+    joins for the embedding legs; the correlation is DECIMAL(38,0)/
+    HUGEINT moment windows over the PAIR-bounded audit table (the
+    ``minhash_estimate_audit`` discipline). Exactness: Jaccard from
+    exact integers; cosine is the deterministic fold-ordered dot
+    (the knn_graph contract); both quantize to the 2^20 grid before
+    the moment sums.
+    """
+    pairs = _band_pairs(
+        _minhash_sig_wide(spark, sf_dir).select(
+            "doc_id", *[F.col(f"m{i}") for i in range(N_MINHASH)]
+        )
+    )
+    sh = _hashed_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
+    )
+    ha, hb = sh.alias("ha"), sh.alias("hb")
+    inter = (
+        ha.join(
+            hb,
+            (F.col("ha.hs") == F.col("hb.hs"))
+            & (F.col("ha.doc_id") < F.col("hb.doc_id")),
+        )
+        .groupBy(
+            F.col("ha.doc_id").alias("doc_a"),
+            F.col("hb.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    emb = spread(
+        table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings"
+    ).select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("doc_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("doc_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    cos = dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    j = (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce(F.col("n_inter"), F.lit(0)).cast("long").alias("ni"),
+            "na",
+            "nb",
+            cos.alias("cs"),
+        )
+    )
+    jac = F.col("ni").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("ni")
+    ).cast("double")
+    jq = F.floor(jac * F.lit(MH_AUDIT_Q) + F.lit(0.5)).cast("long")
+    cq = F.floor(F.col("cs") * F.lit(MH_AUDIT_Q) + F.lit(0.5)).cast("long")
+    scored = j.select("doc_a", "doc_b", jq.alias("jq"), cq.alias("cq"))
+    wall = Window.partitionBy()
+    d38 = "decimal(38,0)"
+    n = F.count(F.lit(1)).over(wall).cast(d38)
+    sx = F.sum(F.col("jq").cast(d38)).over(wall)
+    sy = F.sum(F.col("cq").cast(d38)).over(wall)
+    sxy = F.sum((F.col("jq") * F.col("cq")).cast(d38)).over(wall)
+    sxx = F.sum((F.col("jq") * F.col("jq")).cast(d38)).over(wall)
+    syy = F.sum((F.col("cq") * F.col("cq")).cast(d38)).over(wall)
+    num = (n * sxy - sx * sy).cast("double")
+    dx = (n * sxx - sx * sx).cast("double")
+    dy = (n * syy - sy * sy).cast("double")
+    r = F.when(
+        (dx > 0) & (dy > 0), num / F.sqrt(dx * dy)
+    ).otherwise(F.lit(0.0))
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        pround(F.col("jq").cast("double") / F.lit(MH_AUDIT_Q)).alias(
+            "text_jaccard"
+        ),
+        pround(F.col("cq").cast("double") / F.lit(MH_AUDIT_Q)).alias(
+            "emb_cosine"
+        ),
+        pround(r).alias("corpus_corr"),
+    )
+
+
+QUERIES["text_embedding_agreement"] = text_embedding_agreement
+
+ORACLES["text_embedding_agreement"] = f"""
+    WITH sh AS ({_HASHED_SHINGLES_SQL}),
+    sigm AS (
+        SELECT doc_id,
+           {_SIG_COLS_SQL}
+        FROM sh GROUP BY 1
+    ),
+    sig AS (
+        SELECT *,
+           {_BAND_COLS_SQL}
+        FROM sigm
+    ),
+    cand AS (
+        SELECT doc_a, doc_b FROM ({_CAND_UNION_SQL})
+    ),
+    sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS ni
+        FROM sh a JOIN sh b ON a.hs = b.hs AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    ev AS (
+        SELECT vec_id, embedding,
+               sqrt({dot_sql('embedding', 'embedding')}) AS nrm
+        FROM embeddings
+    ),
+    j AS (
+        SELECT c.doc_a, c.doc_b,
+               COALESCE(i.ni, 0) AS ni, za.n_sh AS na, zb.n_sh AS nb,
+               {dot_sql('ea.embedding', 'eb.embedding')}
+                   / (ea.nrm * eb.nrm) AS cs
+        FROM cand c
+        LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+        JOIN sizes za ON c.doc_a = za.doc_id
+        JOIN sizes zb ON c.doc_b = zb.doc_id
+        JOIN ev ea ON c.doc_a = ea.vec_id
+        JOIN ev eb ON c.doc_b = eb.vec_id
+    ),
+    scored AS (
+        SELECT doc_a, doc_b,
+               CAST(FLOOR((CAST(ni AS DOUBLE)
+                    / CAST(na + nb - ni AS DOUBLE)) * {MH_AUDIT_Q} + 0.5)
+                    AS BIGINT) AS jq,
+               CAST(FLOOR(cs * {MH_AUDIT_Q} + 0.5) AS BIGINT) AS cq
+        FROM j
+    ),
+    m AS (
+        SELECT *,
+               CAST(COUNT(*) OVER () AS HUGEINT) AS n,
+               SUM(CAST(jq AS HUGEINT)) OVER () AS sx,
+               SUM(CAST(cq AS HUGEINT)) OVER () AS sy,
+               SUM(CAST(jq AS HUGEINT) * CAST(cq AS HUGEINT)) OVER () AS sxy,
+               SUM(CAST(jq AS HUGEINT) * CAST(jq AS HUGEINT)) OVER () AS sxx,
+               SUM(CAST(cq AS HUGEINT) * CAST(cq AS HUGEINT)) OVER () AS syy
+        FROM scored
+    )
+    SELECT doc_a, doc_b,
+           {pround_sql(f'CAST(jq AS DOUBLE) / {MH_AUDIT_Q}')}
+               AS text_jaccard,
+           {pround_sql(f'CAST(cq AS DOUBLE) / {MH_AUDIT_Q}')}
+               AS emb_cosine,
+           {pround_sql(
+               'CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0'
+               ' AND CAST(n * syy - sy * sy AS DOUBLE) > 0'
+               ' THEN CAST(n * sxy - sx * sy AS DOUBLE)'
+               ' / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)'
+               ' * CAST(n * syy - sy * sy AS DOUBLE))'
+               ' ELSE 0.0 END'
+           )} AS corpus_corr
+    FROM m
+"""
