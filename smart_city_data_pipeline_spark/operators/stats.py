@@ -1,0 +1,301 @@
+"""Statistical drift / hypothesis-test audits over the corpus and the
+event stream — the monitoring layer a production pipeline runs between
+ingestion (reference ``pipline2/extract``) and training/serving:
+two-sample KS tests for distribution drift and PSI (population
+stability index) for scorecard-style bucket drift.
+
+Exactness discipline: every statistic reduces to integer counts first
+(one keyed aggregate over the raw stream), then the bounded
+per-bucket/per-value table carries the arithmetic — cross-multiplied
+BIGINT/DECIMAL comparisons for KS (no division until the final
+display value), quantize-then-sum on the 2^20 grid for PSI's ln()
+terms (the ``type_corr_matrix`` rule: floats are only compared after
+order-independent integer aggregation).
+
+Scale notes: the only full-stream work is the first groupBy; all
+subsequent joins/windows run on tables bounded by |value domain| ×
+|group count|, never by row count. Nothing here collects to the
+driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from smart_city_data_pipeline_spark.catalog import table
+from smart_city_data_pipeline_spark.functions.rounding import pround, pround_sql
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov drift test between language slices.
+# --------------------------------------------------------------------------
+
+# c(alpha=0.05)^2 scaled by 1e6: reject when D > 1.358 * sqrt((na+nb)/(na*nb))
+# <=> M^2 * 1e6 > 1844164 * (na+nb) * na * nb  with M = max|cumA*nb - cumB*na|
+# (all-integer — no sqrt, no division). DECIMAL(38,0)/HUGEINT keeps the
+# product exact to per-group counts ~3e10; beyond that, coarsen by sampling
+# (documented contract, same posture as ols_trend's moment bounds).
+KS_C2_1E6 = 1_844_164
+
+
+def ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise two-sample KS test of the document-length distribution
+    between every pair of languages — the distribution-drift audit a
+    corpus build runs when one slice (a new crawl, a new language
+    vertical) may have silently shifted lengths. Emits the exact KS
+    statistic D and the alpha=0.05 reject flag per (lang_a, lang_b).
+
+    Engine-exact construction: D = max_v |F_a(v) - F_b(v)| is computed
+    as integer cross-multiplication max|cum_a*n_b - cum_b*n_a| over the
+    DENSE value grid (distinct n_chars x langs, built by a broadcast
+    cross join so both ECDFs are evaluated at every jump point of
+    either sample), and the significance comparison squares that
+    integer against c^2*(na+nb)*na*nb in DECIMAL(38,0) — the whole
+    test is decided in integer arithmetic; doubles appear only in the
+    displayed D.
+
+    100 TB story: one keyed aggregate over the corpus, then every
+    relation is bounded by |distinct lengths| x |langs| (~thousands).
+    The langs dim is a broadcast literal-sized table; the pair join is
+    an equi-join on the value key with a lang inequality filter.
+    """
+    docs = table(spark, sf_dir, "documents").select("lang", "n_chars")
+    h = docs.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    vals = docs.select("n_chars").distinct()
+    langs = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    dense = (
+        vals.crossJoin(F.broadcast(langs.select("lang")))
+        .join(h, ["lang", "n_chars"], "left")
+        .select(
+            "lang", "n_chars", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+        )
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = dense.select("lang", "n_chars", F.sum("cnt").over(w).alias("cum"))
+    a, b = cum.alias("a"), cum.alias("b")
+    la = langs.select(F.col("lang").alias("lang_a"), F.col("n").alias("n_a"))
+    lb = langs.select(F.col("lang").alias("lang_b"), F.col("n").alias("n_b"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.n_chars") == F.col("b.n_chars"))
+            & (F.col("a.lang") < F.col("b.lang")),
+        )
+        .select(
+            F.col("a.lang").alias("lang_a"),
+            F.col("b.lang").alias("lang_b"),
+            F.col("a.cum").alias("ca"),
+            F.col("b.cum").alias("cb"),
+        )
+        .join(F.broadcast(la), "lang_a")
+        .join(F.broadcast(lb), "lang_b")
+    )
+    mx = (
+        pairs.select(
+            "lang_a",
+            "lang_b",
+            "n_a",
+            "n_b",
+            F.abs(
+                F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")
+            ).alias("diff"),
+        )
+        .groupBy("lang_a", "lang_b", "n_a", "n_b")
+        .agg(F.max("diff").alias("m"))
+    )
+
+    def dec(c: Column) -> Column:
+        return c.cast("decimal(38,0)")
+
+    return mx.select(
+        "lang_a",
+        "lang_b",
+        "n_a",
+        "n_b",
+        pround(
+            F.col("m").cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double")
+        ).alias("ks_d"),
+        (
+            dec(F.col("m")) * dec(F.col("m")) * F.lit(1_000_000).cast("decimal(38,0)")
+            > F.lit(KS_C2_1E6).cast("decimal(38,0)")
+            * dec(F.col("n_a") + F.col("n_b"))
+            * dec(F.col("n_a"))
+            * dec(F.col("n_b"))
+        ).alias("reject_05"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PSI (population stability index) week-over-week bucket drift.
+# --------------------------------------------------------------------------
+
+PSI_BUCKET_CENTS = 2500  # 25.00-wide value buckets (value domain ~[0, 500])
+PSI_SPLIT = "2024-01-16"  # expected = days 1-15, actual = days 16-30
+PSI_Q = 1048576.0  # 2^20 term grid (quantize-then-sum rule)
+
+
+def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index per event type: bucket the reading
+    value on a fixed cents grid, compare the first half-month
+    (expected) against the second (actual), and sum the classic
+    (p_a - p_e)*ln(p_a/p_e) contributions — the scorecard-monitoring
+    statistic risk/fraud teams run on every model input. Buckets that
+    are empty on either side are EXCLUDED from the sum and counted in
+    ``n_onesided`` instead (the standard epsilon-clamp made
+    deterministic: the report shows how much mass the clamp would have
+    touched rather than inventing an epsilon).
+
+    Stability classes decide on the INTEGER quantized sum (psi_q*10 <
+    2^20 <=> psi < 0.1), so the stable/moderate/shifted verdict can
+    never flip on a last-ulp disagreement.
+
+    Shape: one conditional aggregate over the stream (bucket key in
+    codegen, period split as two conditional SUMs — no second scan,
+    no join between periods); everything after is arithmetic on the
+    ~20-buckets-x-5-types table.
+    """
+    ev = table(spark, sf_dir, "events")
+    bucket = F.floor(
+        (F.col("value") * 100 + 0.5).cast("long") / F.lit(PSI_BUCKET_CENTS)
+    ).alias("bucket")
+    split = F.col("ts") < F.lit(PSI_SPLIT).cast("timestamp")
+    per = (
+        ev.select("event_type", bucket, split.alias("is_exp"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum(F.when(F.col("is_exp"), 1).otherwise(0)).alias("ce"),
+            F.sum(F.when(~F.col("is_exp"), 1).otherwise(0)).alias("ca"),
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    per = per.withColumn("ne", F.sum("ce").over(wt)).withColumn(
+        "na", F.sum("ca").over(wt)
+    )
+    both = (F.col("ce") > 0) & (F.col("ca") > 0)
+    pe = F.col("ce").cast("double") / F.col("ne").cast("double")
+    pa = F.col("ca").cast("double") / F.col("na").cast("double")
+    term = (pa - pe) * F.log(
+        (F.col("ca") * F.col("ne")).cast("double")
+        / (F.col("ce") * F.col("na")).cast("double")
+    )
+    tq = F.when(both, F.floor(term * F.lit(PSI_Q) + 0.5).cast("long")).otherwise(
+        F.lit(0)
+    )
+    agg = per.groupBy("event_type").agg(
+        F.max("ne").alias("n_expected"),
+        F.max("na").alias("n_actual"),
+        F.sum(F.when(both, 1).otherwise(0)).alias("n_buckets"),
+        F.sum(F.when(both, 0).otherwise(1)).alias("n_onesided"),
+        F.sum(tq).alias("psi_q"),
+    )
+    return agg.select(
+        "event_type",
+        "n_expected",
+        "n_actual",
+        "n_buckets",
+        "n_onesided",
+        pround(F.col("psi_q").cast("double") / F.lit(PSI_Q)).alias("psi"),
+        F.when(F.col("psi_q") * 10 < F.lit(int(PSI_Q)), "stable")
+        .when(F.col("psi_q") * 4 < F.lit(int(PSI_Q)), "moderate")
+        .otherwise("shifted")
+        .alias("stability"),
+    )
+
+
+QUERIES = {
+    "ks_length_drift": ks_length_drift,
+    "psi_drift_report": psi_drift_report,
+}
+
+ORACLES = {
+    "ks_length_drift": f"""
+        WITH h AS (
+            SELECT lang, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM documents GROUP BY 1, 2
+        ),
+        vals AS (SELECT DISTINCT n_chars FROM documents),
+        langs AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1
+        ),
+        dense AS (
+            SELECT l.lang, v.n_chars, COALESCE(h.cnt, 0) AS cnt
+            FROM vals v CROSS JOIN (SELECT lang FROM langs) l
+            LEFT JOIN h ON h.lang = l.lang AND h.n_chars = v.n_chars
+        ),
+        cum AS (
+            SELECT lang, n_chars,
+                   CAST(SUM(cnt) OVER (
+                       PARTITION BY lang ORDER BY n_chars
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum
+            FROM dense
+        ),
+        pairs AS (
+            SELECT a.lang AS lang_a, b.lang AS lang_b,
+                   la.n AS n_a, lb.n AS n_b,
+                   ABS(a.cum * lb.n - b.cum * la.n) AS diff
+            FROM cum a
+            JOIN cum b ON a.n_chars = b.n_chars AND a.lang < b.lang
+            JOIN langs la ON la.lang = a.lang
+            JOIN langs lb ON lb.lang = b.lang
+        ),
+        mx AS (
+            SELECT lang_a, lang_b, n_a, n_b, MAX(diff) AS m
+            FROM pairs GROUP BY 1, 2, 3, 4
+        )
+        SELECT lang_a, lang_b, n_a, n_b,
+               {pround_sql('CAST(m AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)')}
+                   AS ks_d,
+               (CAST(m AS HUGEINT) * m * 1000000
+                > CAST({KS_C2_1E6} AS HUGEINT) * (n_a + n_b) * n_a * n_b)
+                   AS reject_05
+        FROM mx
+    """,
+    "psi_drift_report": f"""
+        WITH per AS (
+            SELECT event_type,
+                   CAST(FLOOR(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                              / {PSI_BUCKET_CENTS}) AS BIGINT) AS bucket,
+                   CAST(SUM(CASE WHEN ts < TIMESTAMP '{PSI_SPLIT}'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS ce,
+                   CAST(SUM(CASE WHEN ts < TIMESTAMP '{PSI_SPLIT}'
+                            THEN 0 ELSE 1 END) AS BIGINT) AS ca
+            FROM events GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT *,
+                   CAST(SUM(ce) OVER (PARTITION BY event_type) AS BIGINT) AS ne,
+                   CAST(SUM(ca) OVER (PARTITION BY event_type) AS BIGINT) AS na
+            FROM per
+        ),
+        terms AS (
+            SELECT event_type, ne, na,
+                   CASE WHEN ce > 0 AND ca > 0 THEN 1 ELSE 0 END AS both_f,
+                   CASE WHEN ce > 0 AND ca > 0 THEN
+                       CAST(FLOOR(
+                           (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                            - CAST(ce AS DOUBLE) / CAST(ne AS DOUBLE))
+                           * LN(CAST(ca * ne AS DOUBLE)
+                                / CAST(ce * na AS DOUBLE))
+                           * {PSI_Q} + 0.5) AS BIGINT)
+                   ELSE 0 END AS tq
+            FROM tot
+        )
+        SELECT event_type,
+               CAST(MAX(ne) AS BIGINT) AS n_expected,
+               CAST(MAX(na) AS BIGINT) AS n_actual,
+               CAST(SUM(both_f) AS BIGINT) AS n_buckets,
+               CAST(SUM(1 - both_f) AS BIGINT) AS n_onesided,
+               {pround_sql(f'CAST(SUM(tq) AS DOUBLE) / {PSI_Q}')} AS psi,
+               CASE WHEN SUM(tq) * 10 < {int(PSI_Q)} THEN 'stable'
+                    WHEN SUM(tq) * 4 < {int(PSI_Q)} THEN 'moderate'
+                    ELSE 'shifted' END AS stability
+        FROM terms GROUP BY 1
+    """,
+}
