@@ -3150,3 +3150,132 @@ ORACLES["corpus_datasheet"] = f"""
     UNION ALL SELECT 'exact_dup_rate',
         {pround_sql('(n_docs - n_distinct_texts) / n_docs')} FROM a
 """
+
+
+# DSIR: Data Selection via Importance Resampling (Xie et al., NeurIPS
+# 2023). Hashed-feature importance weights log(p_target/p_raw) rank raw
+# documents by how target-like they are — the cheap pre-training data
+# selector between random sampling and a trained classifier.
+DSIR_BUCKETS = 256  # hashed unigram feature space
+DSIR_TARGET_LANG = "en"  # the "target domain" slice
+DSIR_Q = 1048576.0  # 2^20 per-token quantization grid
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: learn bag-of-hashed-unigram models for
+    the TARGET slice (``lang = 'en'``) and the RAW corpus, then score
+    every document by the summed per-token log-likelihood ratio
+    ``log p_tgt(f) - log p_raw(f)`` (Laplace +1 smoothing) — positive
+    means "resample me toward the target mix". The published
+    recipe (Xie et al. 2023 §2) with the n-gram order at 1 and the
+    feature hash at 256 buckets.
+
+    Engine exactness: the ratio is evaluated ONCE PER BUCKET (a
+    256-row table) as ``ln(((ct+1)·(nr+B)) / ((cr+1)·(nt+B)))`` with
+    counts cast to double BEFORE the products (BIGINT products wrap at
+    100 TB token counts), quantized to the 2^20 grid, and the per-doc
+    score is an INTEGER sum over tokens — order-independent under
+    partial aggregation.
+
+    Shape: one explode feeds both bucket aggregates; the bucket model
+    is a 256-row join (AQE broadcasts it); totals ride the allowlisted
+    1-row broadcast. Per-doc work is one keyed integer aggregate.
+    """
+    from smart_city_data_pipeline_spark.functions.hashing import md5_long
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("token"),
+    ).select(
+        "doc_id", "lang", (md5_long(F.col("token")) % DSIR_BUCKETS).alias("bucket")
+    )
+    raw = tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        tok.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    totals = tok.agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("nt"),
+    )
+    model = (
+        raw.join(tgt, "bucket", "left")
+        .select(
+            "bucket", "cr", F.coalesce(F.col("ct"), F.lit(0)).alias("ct")
+        )
+        .join(F.broadcast(totals))
+    )
+    ratio = (
+        (F.col("ct") + 1).cast("double")
+        * (F.col("nr") + DSIR_BUCKETS).cast("double")
+    ) / (
+        (F.col("cr") + 1).cast("double")
+        * (F.col("nt") + DSIR_BUCKETS).cast("double")
+    )
+    lq = model.select(
+        "bucket",
+        F.floor(F.log(ratio) * F.lit(DSIR_Q) + 0.5).cast("long").alias("lq"),
+    )
+    scored = (
+        tok.join(lq, "bucket")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lq").alias("wq"))
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        pround(F.col("wq").cast("double") / F.lit(DSIR_Q)).alias("log_weight"),
+        (F.col("wq") > 0).alias("selected"),
+    )
+
+
+QUERIES["dsir_importance_weights"] = dsir_importance_weights
+
+ORACLES["dsir_importance_weights"] = f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               {_md5_long_sql('t.token')} % {DSIR_BUCKETS} AS bucket
+        FROM (
+            SELECT doc_id, lang, unnest(
+                regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+            FROM documents
+        ) t
+    ),
+    raw AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr
+        FROM tok GROUP BY 1
+    ),
+    tgt AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct
+        FROM tok WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1
+    ),
+    totals AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nr,
+               CAST(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS nt
+        FROM tok
+    ),
+    model AS (
+        SELECT r.bucket,
+               CAST(FLOOR(LN(
+                   (CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE)
+                    * CAST(tt.nr + {DSIR_BUCKETS} AS DOUBLE))
+                   / (CAST(r.cr + 1 AS DOUBLE)
+                      * CAST(tt.nt + {DSIR_BUCKETS} AS DOUBLE))
+               ) * {DSIR_Q} + 0.5) AS BIGINT) AS lq
+        FROM raw r LEFT JOIN tgt t ON r.bucket = t.bucket
+        CROSS JOIN totals tt
+    )
+    SELECT tok.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           {pround_sql(f'CAST(SUM(m.lq) AS DOUBLE) / {DSIR_Q}')}
+               AS log_weight,
+           (SUM(m.lq) > 0) AS selected
+    FROM tok JOIN model m ON tok.bucket = m.bucket
+    GROUP BY 1
+"""
