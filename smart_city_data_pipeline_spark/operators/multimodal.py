@@ -1414,3 +1414,139 @@ ORACLES["audio_silence_segments"] = f"""
            )} AS silent_fraction
     FROM s
 """
+
+
+# Perceptual average-hash (aHash) geometry: decoded frame -> 8x8
+# nearest-neighbor thumbnail -> bit = pixel > frame mean. Split across
+# two BIGINT halves because bit 63 of a single hash would overflow
+# signed 64-bit SUMs in both engines.
+AHASH_SIDE = 8
+
+
+def ahash_features(frames: DataFrame) -> DataFrame:
+    """Decode + perceptual average-hash via mapInPandas: REAL decode
+    (:func:`_decode_frame`), nearest-neighbor 8x8 thumbnail (the
+    ``resize_frames`` index map), then bit_i = px_i*64 > sum(px) — the
+    strict integer comparison instead of a float mean, so the bit
+    pattern is engine-exact."""
+
+    schema = T.StructType(
+        [
+            T.StructField("frame_id", T.LongType()),
+            T.StructField("camera_id", T.LongType()),
+            T.StructField("ahash_hi", T.LongType()),
+            T.StructField("ahash_lo", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            his, los = [], []
+            for buf in pdf["payload"]:
+                raw = bytes(buf) if buf is not None else b""
+                arr = _decode_frame(raw)
+                if arr is None:
+                    his.append(-1)
+                    los.append(-1)
+                    continue
+                h, w = arr.shape
+                ys = (np.arange(AHASH_SIDE) * h) // AHASH_SIDE
+                xs = (np.arange(AHASH_SIDE) * w) // AHASH_SIDE
+                thumb = arr[np.ix_(ys, xs)].astype(np.int64)
+                s = int(thumb.sum())
+                bits = (thumb * (AHASH_SIDE * AHASH_SIDE) > s).flatten()
+                lo = sum(1 << i for i in range(32) if bits[i])
+                hi = sum(1 << (i - 32) for i in range(32, 64) if bits[i])
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "frame_id": pdf["frame_id"],
+                    "camera_id": pdf["camera_id"],
+                    "ahash_hi": his,
+                    "ahash_lo": los,
+                }
+            )
+
+    return frames.select("frame_id", "camera_id", "payload").mapInPandas(run, schema)
+
+
+def frames_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate detection over REAL decoded frames:
+    average-hash (8x8 thumbnail, mean-threshold bits — the classic
+    aHash of pHash-family dedup) computed through the actual BMP
+    decode path, then exact hash grouping. The multimodal twin of
+    ``dedup_exact``: frames whose CONTENT collides perceptually group
+    together however their payload bytes differ.
+
+    The synthetic gradient px=(3x+5y+7f)%256 makes the thumbnail a
+    closed form of ``f mod 256`` — the oracle recomputes every bit in
+    SQL (8x8 grid per sampled frame), so a decode/stride/threshold
+    defect hash-mismatches. Groups keyed on (hi, lo) halves; a single
+    64-bit key would overflow signed SUMs at bit 63.
+
+    100 TB story: the only Python is the Arrow-batched decode (already
+    the documented seam); the dedup itself is ONE map-side-combinable
+    keyed aggregate on a 64-bit key — no pair joins, no windows."""
+    frames = sample_frames(synth_bmp_frames(spark, sf_dir), every_k=FRAME_SAMPLE_K)
+    hashed = ahash_features(frames)
+    return (
+        hashed.groupBy("ahash_hi", "ahash_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.countDistinct("camera_id").alias("n_cameras"),
+            F.min("frame_id").alias("first_frame"),
+        )
+        .select(
+            "ahash_hi",
+            "ahash_lo",
+            "n_frames",
+            "n_cameras",
+            "first_frame",
+            (F.col("n_frames") > 1).alias("is_dup"),
+        )
+    )
+
+
+QUERIES["frames_ahash_dedup"] = frames_ahash_dedup
+
+# Thumbnail index map for the 32x24 BMP family: x=(X*32)//8=4X,
+# y=(Y*24)//8=3Y, so thumb px = (12X + 15Y + 7f) % 256.
+ORACLES["frames_ahash_dedup"] = f"""
+    WITH f AS (
+        SELECT doc_id AS frame_id, doc_id % 16 AS camera_id
+        FROM documents WHERE (doc_id % 30) % {FRAME_SAMPLE_K} = 0
+    ),
+    grid AS (
+        SELECT gx.x AS x, gy.y AS y
+        FROM generate_series(0, {AHASH_SIDE - 1}) gx(x),
+             generate_series(0, {AHASH_SIDE - 1}) gy(y)
+    ),
+    px AS (
+        SELECT frame_id, camera_id, x, y,
+               (12 * x + 15 * y + 7 * frame_id) % 256 AS v
+        FROM f, grid
+    ),
+    s AS (
+        SELECT frame_id, SUM(v) AS sv FROM px GROUP BY 1
+    ),
+    hashes AS (
+        SELECT px.frame_id, px.camera_id,
+               CAST(SUM(CASE WHEN px.v * 64 > s.sv AND px.y * 8 + px.x >= 32
+                        THEN CAST(1 AS BIGINT) << (px.y * 8 + px.x - 32)
+                        ELSE 0 END) AS BIGINT) AS ahash_hi,
+               CAST(SUM(CASE WHEN px.v * 64 > s.sv AND px.y * 8 + px.x < 32
+                        THEN CAST(1 AS BIGINT) << (px.y * 8 + px.x)
+                        ELSE 0 END) AS BIGINT) AS ahash_lo
+        FROM px JOIN s ON px.frame_id = s.frame_id
+        GROUP BY 1, 2
+    )
+    SELECT ahash_hi, ahash_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(COUNT(DISTINCT camera_id) AS BIGINT) AS n_cameras,
+           CAST(MIN(frame_id) AS BIGINT) AS first_frame,
+           (COUNT(*) > 1) AS is_dup
+    FROM hashes GROUP BY 1, 2
+"""
