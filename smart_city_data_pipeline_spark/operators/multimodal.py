@@ -1550,3 +1550,136 @@ ORACLES["frames_ahash_dedup"] = f"""
            (COUNT(*) > 1) AS is_dup
     FROM hashes GROUP BY 1, 2
 """
+
+
+# Walsh-Hadamard audio analysis window: first 64 samples of each clip.
+# The +/-1 Walsh basis from bit_count(k AND i) keeps every coefficient
+# an exact integer (the walsh_energy discipline applied to the AUDIO
+# modality), so band energies survive the hash gate through a REAL
+# RIFF decode.
+AWB_N = 64
+AWB_BANDS = ((0, 0, "dc"), (1, 7, "low"), (8, 31, "mid"), (32, 63, "high"))
+
+
+def audio_walsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequency-band spectral analysis of REAL decoded audio: decode
+    the RIFF/PCM payload, take the first 64 samples, compute the
+    Walsh-Hadamard transform W_k = sum_i s_i*(-1)^popcount(k&i), and
+    roll coefficient energies into four sequency bands (dc / low /
+    mid / high) — the integer-exact stand-in for the mel-band energies
+    a speech pipeline extracts per clip. A square wave of period p
+    concentrates energy in the band whose sequency matches 64/p, so
+    ``dominant_band`` varies across clips (both branches of the
+    comparison are live under the gate).
+
+    Exactness: PCM samples are int16, every W_k is an exact int64
+    (|W_k| <= 64*32767), band energies are exact integer sums of W_k^2
+    — no floats anywhere. The oracle replays the transform from the
+    synthesis closed form (i%p square wave) over a generate_series
+    grid, never touching the payload — the hash match proves the real
+    parser + transform reproduce the generative signal bit-exactly.
+
+    100 TB story: Arrow-batched decode per clip (the documented
+    multimodal seam), a 64x64 integer matmul per clip in numpy, then
+    plain columns — no shuffle at all until a consumer aggregates."""
+    import numpy as np
+
+    clips = synth_wav_clips(spark, sf_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("clip_id", T.LongType()),
+            T.StructField("device_id", T.LongType()),
+            T.StructField("e_dc", T.LongType()),
+            T.StructField("e_low", T.LongType()),
+            T.StructField("e_mid", T.LongType()),
+            T.StructField("e_high", T.LongType()),
+            T.StructField("dominant_band", T.StringType()),
+        ]
+    )
+
+    # +/-1 Walsh matrix (natural/Hadamard order), built once per worker.
+    ks = np.arange(AWB_N)
+    pop = np.zeros((AWB_N, AWB_N), dtype=np.int64)
+    for k in range(AWB_N):
+        for i in range(AWB_N):
+            pop[k, i] = bin(k & i).count("1") & 1
+    WALSH = 1 - 2 * pop  # (-1)^popcount(k&i)
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid, dev, buf in zip(
+                pdf["clip_id"], pdf["device_id"], pdf["payload"]
+            ):
+                rate, s = decode_wav_pcm16(bytes(buf))
+                w = WALSH @ s[:AWB_N].astype(np.int64)
+                e = w * w
+                bands = [int(e[lo : hi + 1].sum()) for lo, hi, _ in AWB_BANDS]
+                dom = max(zip(bands, [name for _, _, name in AWB_BANDS]))[1]
+                rows.append((int(cid), int(dev), *bands, dom))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "clip_id", "device_id",
+                    "e_dc", "e_low", "e_mid", "e_high", "dominant_band",
+                ],
+            )
+
+    return clips.mapInPandas(run, schema)
+
+
+QUERIES["audio_walsh_bands"] = audio_walsh_bands
+
+# Synthesis closed form (synth_wav_clips): s[i] = a if i%p < p//2 else
+# -(a//2) with n=1600+(id%5)*160 (>= 64 always), a=1000+(id%8)*1000,
+# p=8+(id%13)*4. Dominant-band tie-break = max (energy, name) pair,
+# mirrored with array_max over (e, name) structs.
+ORACLES["audio_walsh_bands"] = f"""
+    WITH clips AS (
+        SELECT doc_id AS clip_id, doc_id % 16 AS device_id,
+               1000 + (doc_id % 8) * 1000 AS a,
+               8 + (doc_id % 13) * 4 AS p
+        FROM documents
+    ),
+    grid AS (
+        SELECT gk.k AS k, gi.i AS i
+        FROM generate_series(0, {AWB_N - 1}) gk(k),
+             generate_series(0, {AWB_N - 1}) gi(i)
+    ),
+    coef AS (
+        SELECT c.clip_id, c.device_id, g.k,
+               SUM((CASE WHEN g.i % c.p < c.p // 2 THEN c.a
+                    ELSE -(c.a // 2) END)
+                   * (1 - 2 * (bit_count(CAST(g.k AS BIGINT)
+                                         & CAST(g.i AS BIGINT)) % 2))
+               ) AS w
+        FROM clips c, grid g
+        GROUP BY 1, 2, 3
+    ),
+    bands AS (
+        SELECT clip_id, device_id,
+               CAST(SUM(CASE WHEN k = 0 THEN w * w ELSE 0 END) AS BIGINT)
+                   AS e_dc,
+               CAST(SUM(CASE WHEN k BETWEEN 1 AND 7 THEN w * w ELSE 0 END)
+                   AS BIGINT) AS e_low,
+               CAST(SUM(CASE WHEN k BETWEEN 8 AND 31 THEN w * w ELSE 0 END)
+                   AS BIGINT) AS e_mid,
+               CAST(SUM(CASE WHEN k BETWEEN 32 AND 63 THEN w * w ELSE 0 END)
+                   AS BIGINT) AS e_high
+        FROM coef GROUP BY 1, 2
+    ),
+    expanded AS (
+        SELECT clip_id, unnest(ARRAY[
+            {{'e': e_dc, 'name': 'dc'}},
+            {{'e': e_low, 'name': 'low'}},
+            {{'e': e_mid, 'name': 'mid'}},
+            {{'e': e_high, 'name': 'high'}}
+        ]) AS b
+        FROM bands
+    ),
+    dom AS (SELECT clip_id, MAX(b) AS mb FROM expanded GROUP BY 1)
+    SELECT bands.clip_id, device_id, e_dc, e_low, e_mid, e_high,
+           struct_extract(dom.mb, 'name') AS dominant_band
+    FROM bands JOIN dom ON bands.clip_id = dom.clip_id
+"""
