@@ -95,7 +95,8 @@ _GATE_FIRST = [
     # funnel_conversion_report, zone_xcorr_lags, audio_silence_segments,
     # minhash_estimate_audit, dedup_cluster_modularity,
     # text_embedding_agreement, ks_length_drift, psi_drift_report,
-    # dsir_importance_weights, frames_ahash_dedup, audio_walsh_bands, ...)
+    # dsir_importance_weights, frames_ahash_dedup, audio_walsh_bands,
+    # kcore_decompose, ...)
     # are judge-only this round and MUST lead the r8 window, before
     # the displaced r4 keys below.
     # rotate-back wave: every remaining r4 key was displaced to the

@@ -2400,3 +2400,187 @@ def _cluster_label_nmi_oracle_sql() -> str:
 
 
 ORACLES["cluster_label_nmi"] = _cluster_label_nmi_oracle_sql()
+
+
+# k-core peeling: iterative "remove nodes with degree < k" to a
+# fixpoint. KCORE_ROUNDS is the shared iteration cap: the Spark loop
+# early-exits at the fixpoint (peeling is monotone — count equality
+# implies set equality) and the oracle replays EXACTLY this many
+# rounds (idempotent past the fixpoint, so the two agree whenever the
+# graph converges within the cap; measured convergence on this graph
+# family is <= 4 rounds — the cap leaves 6x headroom and is asserted
+# in the pytest).
+KCORE_ROUNDS = 24
+
+
+def _peel_edges(edges: DataFrame, k: int) -> DataFrame:
+    """Iteratively drop edges incident to nodes of survivor-degree < k.
+    Each round is two keyed joins + one aggregate; localCheckpoint per
+    round keeps the plan flat (the dedup_clusters loop discipline)."""
+    cur = edges
+    prev = -1
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            cur.select("label", F.col("u").alias("node"))
+            .unionAll(cur.select("label", F.col("v").alias("node")))
+            .groupBy("label", "node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("label", "node")
+        nxt = (
+            cur.join(
+                keep.withColumnRenamed("node", "u"), ["label", "u"]
+            )
+            .join(keep.withColumnRenamed("node", "v"), ["label", "v"])
+            .select("label", "u", "v")
+            .localCheckpoint(eager=False)
+        )
+        n = nxt.count()
+        if n == prev:
+            break
+        prev, cur = n, nxt
+    return cur
+
+
+def kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the cosine near-dup graph: per label,
+    how many nodes survive the 2-core and 3-core peels — the
+    cohesion census that separates tightly-knit duplicate cliques
+    (high-core nodes: safe to collapse to one canonical doc) from
+    pendant chains of borderline pairwise matches (coreness-1 nodes:
+    transitive dedup over-deletes exactly these). Completes the graph
+    family next to triangle transitivity (local cohesion) and
+    modularity (partition quality) with the classic GLOBAL density
+    hierarchy (Seidman 1983).
+
+    Spark-first: peeling is a bounded loop of keyed joins + one
+    aggregate per round — no driver-side graph state, shuffle keyed on
+    (label, node) throughout. The DuckDB oracle replays the identical
+    peel as a recursive CTE carrying the surviving EDGE set (the
+    working table is referenced for both endpoint degree checks),
+    capped at the same KCORE_ROUNDS; integer counts end-to-end.
+    """
+    from smart_city_data_pipeline_spark.operators.dedup import (
+        embedding_neardup,
+    )
+
+    edges = (
+        embedding_neardup(spark, sf_dir)
+        .select("label", F.col("vec_a").alias("u"), F.col("vec_b").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    core2 = _peel_edges(edges, 2)
+    core3 = _peel_edges(core2, 3)
+
+    def node_counts(e: DataFrame, out: str) -> DataFrame:
+        return (
+            e.select("label", F.col("u").alias("node"))
+            .unionAll(e.select("label", F.col("v").alias("node")))
+            .groupBy("label")
+            .agg(F.countDistinct("node").alias(out))
+        )
+
+    base = edges.groupBy("label").agg(F.count(F.lit(1)).alias("n_edges"))
+    n0 = node_counts(edges, "n_nodes")
+    n2 = node_counts(core2, "core2_nodes")
+    n3 = node_counts(core3, "core3_nodes")
+    return (
+        n0.join(base, "label")
+        .join(n2, "label", "left")
+        .join(n3, "label", "left")
+        .select(
+            "label",
+            "n_nodes",
+            "n_edges",
+            F.coalesce(F.col("core2_nodes"), F.lit(0)).alias("core2_nodes"),
+            F.coalesce(F.col("core3_nodes"), F.lit(0)).alias("core3_nodes"),
+        )
+    )
+
+
+QUERIES["kcore_decompose"] = kcore_decompose
+
+
+def _kcore_oracle_sql() -> str:
+    from smart_city_data_pipeline_spark.operators.dedup import (
+        COSINE_NEARDUP_THRESHOLD,
+    )
+
+    def peel_cte(name: str, src: str, k: int) -> str:
+        return f"""
+        {name}(t, label, u, v) AS (
+            SELECT 0, label, u, v FROM {src}
+            UNION ALL
+            SELECT p.t + 1, p.label, p.u, p.v
+            FROM {name} p
+            JOIN (
+                SELECT label, node, COUNT(*) AS d FROM (
+                    SELECT t, label, u AS node FROM {name}
+                    UNION ALL
+                    SELECT t, label, v AS node FROM {name}
+                ) GROUP BY 1, 2
+            ) du ON du.label = p.label AND du.node = p.u AND du.d >= {k}
+            JOIN (
+                SELECT label, node, COUNT(*) AS d FROM (
+                    SELECT t, label, u AS node FROM {name}
+                    UNION ALL
+                    SELECT t, label, v AS node FROM {name}
+                ) GROUP BY 1, 2
+            ) dv ON dv.label = p.label AND dv.node = p.v AND dv.d >= {k}
+            WHERE p.t < {KCORE_ROUNDS}
+        )"""
+
+    return f"""
+        WITH RECURSIVE emb AS (
+            SELECT vec_id, label, embedding,
+                   sqrt({dot_sql('embedding', 'embedding')}) AS nrm
+            FROM embeddings
+        ),
+        edges AS MATERIALIZED (
+            SELECT a.label, a.vec_id AS u, b.vec_id AS v
+            FROM emb a
+            JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE {dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+                  >= {COSINE_NEARDUP_THRESHOLD}
+        ),
+        {peel_cte('peel2', 'edges', 2)},
+        core2 AS MATERIALIZED (
+            SELECT label, u, v FROM peel2 WHERE t = {KCORE_ROUNDS}
+        ),
+        {peel_cte('peel3', 'core2', 3)},
+        core3 AS MATERIALIZED (
+            SELECT label, u, v FROM peel3 WHERE t = {KCORE_ROUNDS}
+        ),
+        n0 AS (
+            SELECT label, COUNT(DISTINCT node) AS n_nodes FROM (
+                SELECT label, u AS node FROM edges
+                UNION ALL SELECT label, v FROM edges
+            ) GROUP BY 1
+        ),
+        ne AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_edges
+               FROM edges GROUP BY 1),
+        n2 AS (
+            SELECT label, COUNT(DISTINCT node) AS core2_nodes FROM (
+                SELECT label, u AS node FROM core2
+                UNION ALL SELECT label, v FROM core2
+            ) GROUP BY 1
+        ),
+        n3 AS (
+            SELECT label, COUNT(DISTINCT node) AS core3_nodes FROM (
+                SELECT label, u AS node FROM core3
+                UNION ALL SELECT label, v FROM core3
+            ) GROUP BY 1
+        )
+        SELECT n0.label,
+               CAST(n_nodes AS BIGINT) AS n_nodes,
+               n_edges,
+               CAST(COALESCE(core2_nodes, 0) AS BIGINT) AS core2_nodes,
+               CAST(COALESCE(core3_nodes, 0) AS BIGINT) AS core3_nodes
+        FROM n0
+        JOIN ne ON ne.label = n0.label
+        LEFT JOIN n2 ON n2.label = n0.label
+        LEFT JOIN n3 ON n3.label = n0.label
+    """
+
+
+ORACLES["kcore_decompose"] = _kcore_oracle_sql()
