@@ -2584,3 +2584,187 @@ def _kcore_oracle_sql() -> str:
 
 
 ORACLES["kcore_decompose"] = _kcore_oracle_sql()
+
+
+def embedding_bq_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization recall audit: collapse each embedding to its
+    64 SIGN BITS (1-bit-per-dim binary quantization — the cheapest
+    vector compression tier below SQ8/PQ), search by Hamming distance,
+    and score recall@k against the exact cosine top-k — the standard
+    go/no-go check before switching an ANN tier to binary codes
+    (32x smaller index, bitwise distance).
+
+    Engine-exact: bits pack into two BIGINT halves (bit 63 of a single
+    word would overflow signed arithmetic) via one keyed aggregate over
+    posexploded dims; Hamming is bit_count(xor) per half — pure integer
+    codegen; both top-k ranks tie-break on neighbor_id; recall is an
+    integer overlap count divided once.
+
+    100 TB story: packing is one map-side-combinable aggregate; the
+    probe side is a broadcast (bounded probe set); the scan side reads
+    two BIGINTs per vector instead of 64 floats — the actual win
+    binary quantization buys at scale."""
+    emb = spread(
+        table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings"
+    )
+    comp = emb.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+    one = "CAST(1 AS BIGINT)"
+    packed = comp.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                (F.col("x") > 0) & (F.col("pos") < 32),
+                F.expr(f"shiftleft({one}, CAST(pos AS INT))"),
+            ).otherwise(F.lit(0))
+        ).alias("lo"),
+        F.sum(
+            F.when(
+                (F.col("x") > 0) & (F.col("pos") >= 32),
+                F.expr(f"shiftleft({one}, CAST(pos AS INT) - 32)"),
+            ).otherwise(F.lit(0))
+        ).alias("hi"),
+    )
+    probes_b = packed.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("lo").alias("plo"),
+        F.col("hi").alias("phi"),
+    )
+    ham = (
+        packed.join(F.broadcast(probes_b), F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.col("lo").bitwiseXOR(F.col("plo")))
+                + F.bit_count(F.col("hi").bitwiseXOR(F.col("phi")))
+            ).cast("long").alias("hamming"),
+        )
+    )
+    wb = Window.partitionBy("probe_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    bq_top = ham.withColumn("rank", F.row_number().over(wb)).filter(
+        F.col("rank") <= TOP_K
+    )
+    # exact cosine reference (the ann_topk_cosine construction)
+    probes_e = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
+    )
+    cos = cosine(F.col("probe_emb"), F.col("embedding"))
+    wc = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    cos_top = (
+        emb.join(F.broadcast(probes_e), F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            pround(cos).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(wc))
+        .filter(F.col("rank") <= TOP_K)
+    )
+    hit = bq_top.join(
+        cos_top.select("probe_id", "neighbor_id", F.lit(1).alias("in_cos")),
+        ["probe_id", "neighbor_id"],
+        "left",
+    )
+    agg = hit.groupBy("probe_id").agg(
+        F.sum(F.coalesce(F.col("in_cos"), F.lit(0))).alias("n_overlap"),
+        F.min("hamming").alias("min_hamming"),
+        F.min(F.when(F.col("rank") == 1, F.col("neighbor_id"))).alias("bq_top1"),
+    )
+    cos1 = cos_top.filter(F.col("rank") == 1).select(
+        "probe_id", F.col("neighbor_id").alias("cos_top1")
+    )
+    return agg.join(cos1, "probe_id").select(
+        "probe_id",
+        "n_overlap",
+        pround(F.col("n_overlap").cast("double") / F.lit(float(TOP_K))).alias(
+            "recall_at_k"
+        ),
+        "min_hamming",
+        (F.col("bq_top1") == F.col("cos_top1")).alias("top1_match"),
+    )
+
+
+QUERIES["embedding_bq_hamming"] = embedding_bq_hamming
+
+
+def _bq_hamming_oracle_sql() -> str:
+    return f"""
+        WITH comp AS (
+            SELECT vec_id,
+                   CAST(generate_subscripts(embedding, 1) AS INTEGER) - 1
+                       AS pos,
+                   unnest(embedding) AS x
+            FROM embeddings
+        ),
+        packed AS (
+            SELECT vec_id,
+                   CAST(SUM(CASE WHEN x > 0 AND pos < 32
+                        THEN CAST(1 AS BIGINT) << pos ELSE 0 END) AS BIGINT)
+                       AS lo,
+                   CAST(SUM(CASE WHEN x > 0 AND pos >= 32
+                        THEN CAST(1 AS BIGINT) << (pos - 32) ELSE 0 END)
+                        AS BIGINT) AS hi
+            FROM comp GROUP BY 1
+        ),
+        ham AS (
+            SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                   bit_count(xor(c.lo, p.lo)) + bit_count(xor(c.hi, p.hi))
+                       AS hamming
+            FROM packed c
+            JOIN packed p ON p.vec_id < {N_PROBES}
+                          AND c.vec_id <> p.vec_id
+        ),
+        bq_top AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY probe_id
+                ORDER BY hamming ASC, neighbor_id ASC) AS rank
+            FROM ham QUALIFY rank <= {TOP_K}
+        ),
+        emb AS (
+            SELECT vec_id, embedding,
+                   sqrt({dot_sql('embedding', 'embedding')}) AS nrm
+            FROM embeddings
+        ),
+        cos_top AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY probe_id
+                ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+            FROM (
+                SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                       {pround_sql(
+                           dot_sql('c.embedding', 'p.embedding')
+                           + ' / (c.nrm * p.nrm)'
+                       )} AS cos_sim
+                FROM emb c
+                JOIN emb p ON p.vec_id < {N_PROBES}
+                           AND c.vec_id <> p.vec_id
+            ) QUALIFY rank <= {TOP_K}
+        ),
+        agg AS (
+            SELECT b.probe_id,
+                   CAST(SUM(CASE WHEN c.neighbor_id IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+                   CAST(MIN(b.hamming) AS BIGINT) AS min_hamming,
+                   MIN(CASE WHEN b.rank = 1 THEN b.neighbor_id END)
+                       AS bq_top1
+            FROM bq_top b
+            LEFT JOIN cos_top c ON c.probe_id = b.probe_id
+                                AND c.neighbor_id = b.neighbor_id
+            GROUP BY 1
+        )
+        SELECT a.probe_id, a.n_overlap,
+               {pround_sql(
+                   f'CAST(a.n_overlap AS DOUBLE) / {float(TOP_K)}'
+               )} AS recall_at_k,
+               a.min_hamming,
+               (a.bq_top1 = c1.cos_top1) AS top1_match
+        FROM agg a
+        JOIN (SELECT probe_id, neighbor_id AS cos_top1 FROM cos_top
+              WHERE rank = 1) c1 ON c1.probe_id = a.probe_id
+    """
+
+
+ORACLES["embedding_bq_hamming"] = _bq_hamming_oracle_sql()
