@@ -4771,3 +4771,137 @@ ORACLES["zone_xcorr_lags"] = f"""
                ORDER BY ABS(r_raw) DESC, lag_h ASC) = 1 AS best_lag
     FROM scored
 """
+
+
+# SAX symbolization geometry: PAA windows of 8 consecutive readings,
+# a 4-letter alphabet on the sensor's own value range (range-SAX: the
+# classic Gaussian breakpoints assume z-normalized series and would
+# hinge on sqrt/std agreement across engines; range quartiles keep the
+# whole symbolization in exact integer cents), motif words of 3
+# consecutive symbols.
+SAX_W = 8
+SAX_ALPHA = 4
+SAX_WORD = 3
+
+
+def sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX motif census (Lin et al. 2003, the symbolization behind
+    motif/discord mining): per sensor, PAA-average consecutive
+    8-reading windows, map each window to a 4-letter symbol by where
+    its mean falls in the sensor's value RANGE, slide a 3-symbol word
+    over the windows, and count every word's occurrences corpus-wide —
+    the "which shapes recur" census dashboards build anomaly
+    grammars from.
+
+    Exactness: readings are cents integers; the symbol decision is the
+    integer cross-multiplication ``(wsum - W*min)*ALPHA vs k*W*range``
+    (floor + clamp), so symbols — and therefore words — are engine-
+    exact with zero float comparisons. Flat-range sensors (max = min)
+    symbolize to 'a' by documented convention.
+
+    Shape: one row_number window per sensor (ordered by the unique
+    (ts, event_id)), one keyed aggregate to PAA windows (full windows
+    only), two lead() taps for the word, one count aggregate. At
+    100 TB every stage is keyed on sensor_id — no global sort, no
+    explode amplification; the output is bounded by ALPHA^WORD = 64
+    rows."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    wrow = Window.partitionBy("sensor_id").orderBy("ts", "event_id")
+    rows = ev.select(
+        F.col("user_id").alias("sensor_id"), "ts", "event_id", cents.alias("c")
+    ).withColumn("rn", F.row_number().over(wrow) - 1)
+    paa = (
+        rows.withColumn("win", F.floor(F.col("rn") / SAX_W))
+        .groupBy("sensor_id", "win")
+        .agg(F.sum("c").alias("wsum"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") == SAX_W)
+    )
+    rng = rows.groupBy("sensor_id").agg(
+        F.min("c").alias("lo"), F.max("c").alias("hi")
+    )
+    sym = paa.join(rng, "sensor_id").select(
+        "sensor_id",
+        "win",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(SAX_ALPHA - 1),
+                F.floor(
+                    (F.col("wsum") - F.lit(SAX_W) * F.col("lo"))
+                    * SAX_ALPHA
+                    / (F.lit(SAX_W) * (F.col("hi") - F.col("lo")))
+                ),
+            )
+        )
+        .cast("int")
+        .alias("s"),
+    )
+    letter = F.element_at(
+        F.array(*[F.lit(chr(ord("a") + i)) for i in range(SAX_ALPHA)]),
+        F.col("s") + 1,
+    )
+    ws = Window.partitionBy("sensor_id").orderBy("win")
+    words = (
+        sym.select("sensor_id", "win", letter.alias("l0"))
+        .withColumn("l1", F.lead("l0", 1).over(ws))
+        .withColumn("l2", F.lead("l0", 2).over(ws))
+        .filter(F.col("l2").isNotNull())
+        .select(
+            "sensor_id", F.concat("l0", "l1", "l2").alias("word")
+        )
+    )
+    return words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("sensor_id").alias("n_sensors"),
+    )
+
+
+QUERIES["sax_symbols"] = sax_symbols
+
+ORACLES["sax_symbols"] = f"""
+    WITH rows_ AS (
+        SELECT user_id AS sensor_id, ts, event_id,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+        FROM events
+    ),
+    paa AS (
+        SELECT sensor_id, rn // {SAX_W} AS win,
+               SUM(c) AS wsum, COUNT(*) AS n
+        FROM rows_ GROUP BY 1, 2
+        HAVING COUNT(*) = {SAX_W}
+    ),
+    rng AS (
+        SELECT sensor_id, MIN(c) AS lo, MAX(c) AS hi
+        FROM rows_ GROUP BY 1
+    ),
+    sym AS (
+        SELECT p.sensor_id, p.win,
+               CASE WHEN r.hi = r.lo THEN 0
+                    ELSE LEAST({SAX_ALPHA - 1},
+                        CAST(FLOOR(
+                            CAST((p.wsum - {SAX_W} * r.lo)
+                                 * {SAX_ALPHA} AS DOUBLE)
+                            / CAST({SAX_W} * (r.hi - r.lo) AS DOUBLE)
+                        ) AS BIGINT))
+               END AS s
+        FROM paa p JOIN rng r ON p.sensor_id = r.sensor_id
+    ),
+    lettered AS (
+        SELECT sensor_id, win, chr(97 + CAST(s AS INTEGER)) AS l0
+        FROM sym
+    ),
+    words AS (
+        SELECT sensor_id,
+               l0 || LEAD(l0, 1) OVER w || LEAD(l0, 2) OVER w AS word
+        FROM lettered
+        WINDOW w AS (PARTITION BY sensor_id ORDER BY win)
+    )
+    SELECT word,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT sensor_id) AS BIGINT) AS n_sensors
+    FROM words WHERE word IS NOT NULL
+    GROUP BY 1
+"""
