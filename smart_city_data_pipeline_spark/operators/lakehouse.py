@@ -1053,3 +1053,107 @@ ORACLES["snapshot_diff"] = f"""
     FROM per
     WHERE old_value IS NULL OR old_value <> new_value
 """
+
+
+# Merge-on-read positional deletes (Iceberg v2 delete files / Delta
+# deletion vectors): a delete file records (data_file, row_position)
+# pairs; readers apply them as an anti-join WITHOUT rewriting data
+# files. File layout is modeled deterministically: 64 data files keyed
+# by event_id, position = write order within the file.
+PDEL_FILES = 64
+
+
+def positional_delete_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge-on-read READ path: apply a positional-delete file to
+    a lake table and report per-data-file live/deleted accounting —
+    what an Iceberg v2 / Delta-DV reader does on every scan of a table
+    with row-level deletes that have not been compacted yet (the
+    GDPR-scrub / late-correction workflow where rewriting 100 TB of
+    data files per delete batch is not an option).
+
+    The delete file is synthesized from a SEPARATE predicate lineage
+    ('error' events are scrubbed — the writer resolved them to
+    (file, pos) pairs when it committed the delete), so the apply is a
+    genuine (file_id, pos)-keyed LEFT ANTI join, not a filter in
+    disguise. ``n_live = n_rows - n_deletes`` per file is a structural
+    invariant the hash gate checks.
+
+    100 TB story: deletes join on the same (file, position) key the
+    data files are laid out by, so the anti-join co-partitions with
+    the scan; delete files are tiny relative to data (AQE broadcasts
+    them) and the reader never shuffles the fact table."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("file_id").orderBy("event_id")
+    facts = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.col("event_id") % PDEL_FILES).alias("file_id"),
+    ).withColumn("pos", F.row_number().over(w) - 1)
+    dels = facts.filter(F.col("event_type") == "error").select(
+        "file_id", "pos"
+    )
+    live = facts.join(dels, ["file_id", "pos"], "left_anti")
+    from smart_city_data_pipeline_spark.functions.rounding import (
+        sum_exact,
+    )
+
+    per_live = live.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_live"),
+        pround(sum_exact(F.col("value"))).alias("live_value_sum"),
+    )
+    per_all = facts.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "n_deletes"
+        ),
+    )
+    return per_all.join(per_live, "file_id", "left").select(
+        "file_id",
+        "n_rows",
+        "n_deletes",
+        F.coalesce(F.col("n_live"), F.lit(0)).alias("n_live"),
+        F.coalesce(F.col("live_value_sum"), F.lit(0.0)).alias(
+            "live_value_sum"
+        ),
+    )
+
+
+QUERIES["positional_delete_apply"] = positional_delete_apply
+
+ORACLES["positional_delete_apply"] = f"""
+    WITH facts AS (
+        SELECT event_id, event_type, value,
+               event_id % {PDEL_FILES} AS file_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_id % {PDEL_FILES}
+                   ORDER BY event_id) - 1 AS pos
+        FROM events
+    ),
+    dels AS (
+        SELECT file_id, pos FROM facts WHERE event_type = 'error'
+    ),
+    live AS (
+        SELECT f.* FROM facts f
+        ANTI JOIN dels d ON d.file_id = f.file_id AND d.pos = f.pos
+    ),
+    per_live AS (
+        SELECT file_id,
+               CAST(COUNT(*) AS BIGINT) AS n_live,
+               {pround_sql(
+                   'CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)'
+               )} AS live_value_sum
+        FROM live GROUP BY 1
+    ),
+    per_all AS (
+        SELECT file_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_deletes
+        FROM facts GROUP BY 1
+    )
+    SELECT a.file_id, a.n_rows, a.n_deletes,
+           COALESCE(l.n_live, 0) AS n_live,
+           COALESCE(l.live_value_sum, 0.0) AS live_value_sum
+    FROM per_all a LEFT JOIN per_live l ON l.file_id = a.file_id
+"""
