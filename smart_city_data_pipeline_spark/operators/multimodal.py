@@ -1683,3 +1683,104 @@ ORACLES["audio_walsh_bands"] = f"""
            struct_extract(dom.mb, 'name') AS dominant_band
     FROM bands JOIN dom ON bands.clip_id = dom.clip_id
 """
+
+
+# Scene-cut decision: mean intensity jump between CONSECUTIVE sampled
+# frames of a camera exceeding SCENE_CUT_TH gray levels. Compared as
+# |sum_t - sum_prev| > TH * n_px — pure integers (n_px is equal on
+# both sides of a pair by construction).
+SCENE_CUT_TH = 16
+
+
+def scene_cut_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over REAL decoded frames — the frame-
+    differencing keyframe detector every video ingestion pipeline runs
+    before expensive per-frame models (sample at cuts, not uniformly):
+    per camera, order sampled frames, flag jumps where the mean
+    intensity moves more than SCENE_CUT_TH gray levels between
+    consecutive frames.
+
+    All decisions are integer: the decode yields exact
+    ``sum_intensity``/``n_px`` (:func:`extract_features`), the jump
+    test cross-multiplies ``|sum_t - sum_prev| > TH*n_px``, and the
+    oracle recomputes every frame's pixel sum from the closed-form
+    gradient — a stride/palette/row-order decode bug shifts a sum and
+    flips a cut.
+
+    Shape: Arrow-batched decode (the documented seam), ONE lag window
+    per camera (keyed on camera_id, ordered by frame_id), one rollup.
+    At 100 TB the window state is one previous row per camera."""
+    from pyspark.sql import Window
+
+    frames = sample_frames(synth_bmp_frames(spark, sf_dir), every_k=FRAME_SAMPLE_K)
+    feats = extract_features(frames).select(
+        "camera_id", "frame_id", "sum_intensity", "n_px"
+    )
+    w = Window.partitionBy("camera_id").orderBy("frame_id")
+    diffs = feats.withColumn(
+        "jump", F.abs(F.col("sum_intensity") - F.lag("sum_intensity").over(w))
+    )
+    cut = (F.col("jump") > F.lit(SCENE_CUT_TH) * F.col("n_px")).cast("int")
+    per = diffs.select(
+        "camera_id",
+        "frame_id",
+        "jump",
+        "n_px",
+        F.when(F.col("jump").isNotNull(), cut).alias("is_cut"),
+    )
+    return per.groupBy("camera_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.coalesce(F.col("is_cut"), F.lit(0))).alias("n_cuts"),
+        F.max("jump").alias("max_jump"),
+        F.min(
+            F.when(F.col("is_cut") == 1, F.col("frame_id"))
+        ).alias("first_cut_frame"),
+        pround(
+            F.sum(F.coalesce(F.col("is_cut"), F.lit(0))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cut_rate"),
+    )
+
+
+QUERIES["scene_cut_detect"] = scene_cut_detect
+
+ORACLES["scene_cut_detect"] = f"""
+    WITH f AS (
+        SELECT doc_id AS frame_id, doc_id % 16 AS camera_id
+        FROM documents WHERE (doc_id % 30) % {FRAME_SAMPLE_K} = 0
+    ),
+    grid AS (
+        SELECT gx.x AS x, gy.y AS y
+        FROM generate_series(0, {BMP_W - 1}) gx(x),
+             generate_series(0, {BMP_H - 1}) gy(y)
+    ),
+    sums AS (
+        SELECT frame_id, camera_id,
+               SUM((3 * x + 5 * y + 7 * frame_id) % 256) AS s,
+               COUNT(*) AS n_px
+        FROM f, grid GROUP BY 1, 2
+    ),
+    diffs AS (
+        SELECT camera_id, frame_id, n_px,
+               ABS(s - LAG(s) OVER (
+                   PARTITION BY camera_id ORDER BY frame_id)) AS jump
+        FROM sums
+    ),
+    flagged AS (
+        SELECT camera_id, frame_id, jump,
+               CASE WHEN jump IS NULL THEN NULL
+                    WHEN jump > {SCENE_CUT_TH} * n_px THEN 1
+                    ELSE 0 END AS is_cut
+        FROM diffs
+    )
+    SELECT camera_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(COALESCE(is_cut, 0)) AS BIGINT) AS n_cuts,
+           CAST(MAX(jump) AS BIGINT) AS max_jump,
+           CAST(MIN(CASE WHEN is_cut = 1 THEN frame_id END) AS BIGINT)
+               AS first_cut_frame,
+           {pround_sql(
+               'CAST(SUM(COALESCE(is_cut, 0)) AS DOUBLE) / COUNT(*)'
+           )} AS cut_rate
+    FROM flagged GROUP BY 1
+"""
