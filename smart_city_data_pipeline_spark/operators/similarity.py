@@ -2768,3 +2768,140 @@ def _bq_hamming_oracle_sql() -> str:
 
 
 ORACLES["embedding_bq_hamming"] = _bq_hamming_oracle_sql()
+
+
+# Matryoshka truncation tiers: recall of prefix-dim cosine search vs
+# the full 64-dim exact top-k (MRL, Kusupati et al. 2022 — the check
+# that decides which truncation tier a serving stack can ship).
+MRL_DIMS = (8, 16, 32)
+
+
+def mrl_truncation_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation QC: for each prefix length d in
+    {8, 16, 32}, run the cosine top-k with only the FIRST d dims and
+    measure neighbor overlap against the full-dimension exact top-k —
+    per (trunc_dim, probe). A representation trained matryoshka-style
+    keeps recall high at small d (cheap first-stage retrieval); a
+    non-MRL embedding craters — this report is how you tell before
+    shipping a truncated index.
+
+    Engine exactness: prefix slices are ``slice()``/list-slice of the
+    same array in both engines; every cosine folds left-to-right over
+    DOUBLE (the shared vector-helper contract), ranks tie-break on
+    neighbor_id, overlap is an integer count.
+
+    Shape: per tier, the probe side is a broadcast and the candidate
+    scan reads d dims; ranks are one bounded window per (tier, probe).
+    At 100 TB the d=8 tier reads 1/8th of the vector bytes — the
+    actual matryoshka serving win, visible in the scan columns."""
+    emb = spread(
+        table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings"
+    )
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
+    )
+    pairs = emb.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+
+    def topk(scored: DataFrame) -> DataFrame:
+        w = Window.partitionBy("trunc_dim", "probe_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+        )
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= TOP_K
+        )
+
+    full = topk(
+        pairs.select(
+            F.lit(64).alias("trunc_dim"),
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            pround(cosine(F.col("probe_emb"), F.col("embedding"))).alias(
+                "cos_sim"
+            ),
+        )
+    ).select("probe_id", "neighbor_id")
+
+    tiers = []
+    for d in MRL_DIMS:
+        pe = F.slice(F.col("probe_emb"), 1, d)
+        ce = F.slice(F.col("embedding"), 1, d)
+        tiers.append(
+            pairs.select(
+                F.lit(d).alias("trunc_dim"),
+                "probe_id",
+                F.col("vec_id").alias("neighbor_id"),
+                pround(cosine(pe, ce)).alias("cos_sim"),
+            )
+        )
+    trunc = topk(tiers[0].unionAll(tiers[1]).unionAll(tiers[2]))
+    hit = trunc.join(
+        full.select(
+            "probe_id", "neighbor_id", F.lit(1).alias("in_full")
+        ),
+        ["probe_id", "neighbor_id"],
+        "left",
+    )
+    return (
+        hit.groupBy("trunc_dim", "probe_id")
+        .agg(F.sum(F.coalesce(F.col("in_full"), F.lit(0))).alias("n_overlap"))
+        .select(
+            "trunc_dim",
+            "probe_id",
+            "n_overlap",
+            pround(
+                F.col("n_overlap").cast("double") / F.lit(float(TOP_K))
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+QUERIES["mrl_truncation_qc"] = mrl_truncation_qc
+
+
+def _mrl_oracle_sql() -> str:
+    def scored(d: int | None) -> str:
+        sl = f"[1:{d}]" if d else ""
+        dim = d if d else 64
+        return f"""
+            SELECT {dim} AS trunc_dim, p.vec_id AS probe_id,
+                   c.vec_id AS neighbor_id,
+                   {pround_sql(
+                       f"{dot_sql(f'c.embedding{sl}', f'p.embedding{sl}')}"
+                       f" / (sqrt({dot_sql(f'c.embedding{sl}', f'c.embedding{sl}')})"
+                       f" * sqrt({dot_sql(f'p.embedding{sl}', f'p.embedding{sl}')}))"
+                   )} AS cos_sim
+            FROM embeddings c
+            JOIN embeddings p ON p.vec_id < {N_PROBES}
+                              AND c.vec_id <> p.vec_id"""
+
+    union = " UNION ALL ".join(scored(d) for d in MRL_DIMS)
+    return f"""
+        WITH ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY trunc_dim, probe_id
+                ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+            FROM ({union}) QUALIFY rank <= {TOP_K}
+        ),
+        full_k AS (
+            SELECT probe_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY probe_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+                FROM ({scored(None)})
+            ) WHERE rank <= {TOP_K}
+        )
+        SELECT r.trunc_dim, r.probe_id,
+               CAST(SUM(CASE WHEN f.neighbor_id IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+               {pround_sql(
+                   'CAST(SUM(CASE WHEN f.neighbor_id IS NOT NULL'
+                   f' THEN 1 ELSE 0 END) AS DOUBLE) / {float(TOP_K)}'
+               )} AS recall_at_k
+        FROM ranked r
+        LEFT JOIN full_k f ON f.probe_id = r.probe_id
+                           AND f.neighbor_id = r.neighbor_id
+        GROUP BY 1, 2
+    """
+
+
+ORACLES["mrl_truncation_qc"] = _mrl_oracle_sql()
