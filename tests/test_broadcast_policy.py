@@ -84,6 +84,7 @@ BOUNDED_GROUP_COLS = {
     "event_type",
     "label",
     "source",
+    "lang",  # documents language vocabulary: closed 5-entry enum
 }
 
 # The ANN probe set: a literal range filter caps it at 5 rows.

@@ -95,6 +95,13 @@ BNLJ_ALLOWED = {
     # broadcast over the duration-bucket-bounded step table
     "ann_graph_search",  # bounded probe-side fan-out + 1-row entry
     # broadcast (the ann_topk_cosine pattern over the k-bounded graph)
+    "dsir_importance_weights",  # 1-row corpus/target token-total broadcast
+    "embedding_bq_hamming",  # bounded probe side broadcast, non-equi
+    # (vec_id <>) by design like ann_topk_cosine
+    "mrl_truncation_qc",  # bounded probe side broadcast, non-equi
+    # (vec_id <>) by design like ann_topk_cosine
+    "ks_length_drift",  # |langs|-row dim broadcast cross join building
+    # the dense ECDF value grid (bounded by the language count)
 }
 
 
