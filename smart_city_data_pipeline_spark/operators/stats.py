@@ -299,3 +299,122 @@ ORACLES = {
         FROM terms GROUP BY 1
     """,
 }
+
+
+# --------------------------------------------------------------------------
+# HBOS: histogram-based outlier score (Goldstein & Dengel 2012).
+# --------------------------------------------------------------------------
+
+HBOS_BUCKET_CENTS = 2500  # value-histogram bin width (25.00)
+HBOS_Q = 1048576.0  # 2^20 per-bin quantization grid
+HBOS_TH = 9.0  # outlier threshold on the summed score (calibrated so
+# both verdict branches are live: the typical uniform-ish event scores
+# ~ln(20)+ln(24)+ln(5) ~ 7.8; sparse-bin events exceed 9)
+
+
+def hbos_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBOS unsupervised outlier scoring: three univariate histograms
+    (value bucket, hour-of-day, event type), per-event score =
+    sum_f ln(1/p_f) — the linear-time outlier detector that needs no
+    pair distances, which is exactly why it's the one that still runs
+    at 100 TB (each histogram is ONE map-side-combinable aggregate;
+    scoring is three equi-joins against bin tables bounded by bin
+    count, which AQE broadcasts).
+
+    Exactness: each bin's -ln(c/N) is quantized ONCE per bin (bounded
+    rows) to the 2^20 grid; a per-event score is the INTEGER sum of
+    three bin values; the outlier verdict compares integers
+    (score_q > TH*2^20). N rides a window sum over the bin table
+    itself, never a second scan of the stream."""
+    ev = table(spark, sf_dir, "events")
+    feats = ev.select(
+        "event_id",
+        F.floor(
+            F.floor(F.col("value") * 100 + 0.5).cast("long")
+            / F.lit(HBOS_BUCKET_CENTS)
+        ).alias("vb"),
+        F.hour("ts").alias("hr"),
+        "event_type",
+    )
+    wall = Window.partitionBy(F.lit(1))
+
+    def hist(col: str) -> DataFrame:
+        h = feats.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        return h.select(
+            col,
+            F.floor(
+                -F.log(
+                    F.col("c").cast("double")
+                    / F.sum("c").over(wall).cast("double")
+                )
+                * F.lit(HBOS_Q)
+                + 0.5
+            )
+            .cast("long")
+            .alias(f"lq_{col}"),
+        )
+
+    scored = (
+        feats.join(hist("vb"), "vb")
+        .join(hist("hr"), "hr")
+        .join(hist("event_type"), "event_type")
+        .select(
+            "event_id",
+            (F.col("lq_vb") + F.col("lq_hr") + F.col("lq_event_type")).alias(
+                "score_q"
+            ),
+        )
+    )
+    return scored.select(
+        "event_id",
+        pround(F.col("score_q").cast("double") / F.lit(HBOS_Q)).alias(
+            "hbos_score"
+        ),
+        (
+            F.col("score_q") > F.lit(int(HBOS_TH * HBOS_Q))
+        ).alias("is_outlier"),
+    )
+
+
+QUERIES["hbos_outlier_scores"] = hbos_outlier_scores
+
+ORACLES["hbos_outlier_scores"] = f"""
+    WITH feats AS (
+        SELECT event_id,
+               CAST(FLOOR(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                          / {HBOS_BUCKET_CENTS}) AS BIGINT) AS vb,
+               EXTRACT(HOUR FROM ts) AS hr,
+               event_type
+        FROM events
+    ),
+    hv AS (
+        SELECT vb, CAST(FLOOR(-LN(CAST(COUNT(*) AS DOUBLE)
+                   / CAST(SUM(COUNT(*)) OVER () AS DOUBLE))
+                   * {HBOS_Q} + 0.5) AS BIGINT) AS lq_vb
+        FROM feats GROUP BY vb
+    ),
+    hh AS (
+        SELECT hr, CAST(FLOOR(-LN(CAST(COUNT(*) AS DOUBLE)
+                   / CAST(SUM(COUNT(*)) OVER () AS DOUBLE))
+                   * {HBOS_Q} + 0.5) AS BIGINT) AS lq_hr
+        FROM feats GROUP BY hr
+    ),
+    ht AS (
+        SELECT event_type, CAST(FLOOR(-LN(CAST(COUNT(*) AS DOUBLE)
+                   / CAST(SUM(COUNT(*)) OVER () AS DOUBLE))
+                   * {HBOS_Q} + 0.5) AS BIGINT) AS lq_et
+        FROM feats GROUP BY event_type
+    ),
+    scored AS (
+        SELECT f.event_id, hv.lq_vb + hh.lq_hr + ht.lq_et AS score_q
+        FROM feats f
+        JOIN hv ON hv.vb = f.vb
+        JOIN hh ON hh.hr = f.hr
+        JOIN ht ON ht.event_type = f.event_type
+    )
+    SELECT event_id,
+           {pround_sql(f'CAST(score_q AS DOUBLE) / {HBOS_Q}')}
+               AS hbos_score,
+           (score_q > {int(HBOS_TH * HBOS_Q)}) AS is_outlier
+    FROM scored
+"""

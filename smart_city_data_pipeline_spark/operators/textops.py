@@ -3279,3 +3279,344 @@ ORACLES["dsir_importance_weights"] = f"""
     FROM tok JOIN model m ON tok.bucket = m.bucket
     GROUP BY 1
 """
+
+
+# PMI collocation mining: pointwise mutual information over adjacent
+# token pairs, minimum-support filtered (sparse pairs make PMI
+# degenerate — the classic Church & Hanks caveat).
+PMI_MIN_COUNT = 5
+PMI_Q = 1048576.0  # 2^20 quantization grid for the ln() score
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (Church & Hanks 1990): rank adjacent token
+    pairs by pointwise mutual information ``ln(c_ab*N / (c_a*c_b))``
+    — the corpus-linguistics primitive behind phrase detection and
+    tokenizer-merge candidates (a high-PMI pair is what BPE would
+    merge next; compare ``bpe_merge_counts``, which ranks by raw
+    frequency).
+
+    Engine exactness: PMI's ln() is evaluated on a ratio of exact
+    integer counts (cast to double before the products — BIGINT
+    c_ab*N wraps at 100 TB), quantized once per PAIR row (the
+    (a,b)-keyed aggregate is already unique — no summation of floats
+    anywhere). Min-support >= PMI_MIN_COUNT keeps the report to
+    genuinely attested pairs.
+
+    Shape: one posexplode feeds adjacent pairs via a per-doc lead
+    window; unigram counts come from the same stream; two equi-joins
+    on token against the vocabulary aggregate; the pair total is the
+    allowlisted 1-row broadcast."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(T.ws_tokens(F.lower(F.col("text")))).alias("pos", "tk"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        tok.withColumn("nxt", F.lead("tk").over(wd))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("tk").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_COUNT)
+    )
+    uni = tok.groupBy(F.col("tk").alias("token")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    total = pairs.agg(F.sum("c_ab").alias("n_pairs"))
+    joined = (
+        pairs.join(uni.select(F.col("token").alias("a"), F.col("c").alias("c_a")), "a")
+        .join(uni.select(F.col("token").alias("b"), F.col("c").alias("c_b")), "b")
+        .join(F.broadcast(total))
+    )
+    pmi_raw = F.log(
+        (F.col("c_ab").cast("double") * F.col("n_pairs").cast("double"))
+        / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+    )
+    pmi_q = F.floor(pmi_raw * F.lit(PMI_Q) + 0.5).cast("long")
+    return joined.select(
+        "a",
+        "b",
+        "c_ab",
+        "c_a",
+        "c_b",
+        pround(pmi_q.cast("double") / F.lit(PMI_Q)).alias("pmi"),
+        (pmi_q > 0).alias("attracted"),
+    )
+
+
+QUERIES["pmi_collocations"] = pmi_collocations
+
+ORACLES["pmi_collocations"] = f"""
+    WITH tok AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(tk, 1) AS BIGINT) AS pos,
+               unnest(tk) AS tk
+        FROM (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+            FROM documents
+        )
+    ),
+    pairs AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+        FROM (
+            SELECT tk AS a,
+                   LEAD(tk) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+            FROM tok
+        ) WHERE b IS NOT NULL
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {PMI_MIN_COUNT}
+    ),
+    uni AS (
+        SELECT tk AS token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1
+    ),
+    total AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_pairs FROM pairs),
+    scored AS (
+        SELECT p.a, p.b, p.c_ab, ua.c AS c_a, ub.c AS c_b,
+               CAST(FLOOR(LN(
+                   (CAST(p.c_ab AS DOUBLE) * CAST(t.n_pairs AS DOUBLE))
+                   / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))
+               ) * {PMI_Q} + 0.5) AS BIGINT) AS pmi_q
+        FROM pairs p
+        JOIN uni ua ON ua.token = p.a
+        JOIN uni ub ON ub.token = p.b
+        CROSS JOIN total t
+    )
+    SELECT a, b, c_ab, c_a, c_b,
+           {pround_sql(f'CAST(pmi_q AS DOUBLE) / {PMI_Q}')} AS pmi,
+           (pmi_q > 0) AS attracted
+    FROM scored
+"""
+
+
+# Stupid Backoff (Brants et al. 2007 "Large Language Models in Machine
+# Translation"): the full recursive chain S(c|ab) = c(abc)/c(ab.) if
+# the TRAIN trigram was seen, else 0.4*S(c|b); S(c|b) = c(bc)/c(b.)
+# if seen, else 0.4*c(c)/N (OOV floors at c=1). An 80/20 md5 split
+# keeps train and eval disjoint — scoring the training corpus with
+# itself never exercises a backoff branch; with the split, the
+# trigram->bigram backoff fires constantly (trigram space >> corpus).
+SBO_ALPHA_NUM = 4  # backoff factor 0.4 carried as the exact ratio 4/10
+SBO_ALPHA_DEN = 10
+SBO_Q = 1048576.0
+
+
+def stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out trigram LM scoring with the Stupid Backoff chain — the
+    web-scale LM scoring rule (no discount mass to tune, trivially
+    distributed: every level is a count table) and the honest version
+    of corpus perplexity: the model trains on an 80% md5 split and
+    scores the OTHER 20%, so unseen trigrams actually occur and every
+    backoff level is load-bearing (``n_bigram_backoff`` /
+    ``n_unigram_backoff`` are hash-checked live columns).
+
+    Exactness: every score is -ln of a ratio of exact TRAIN counts
+    (backoff factors ride as exact x4/10, x16/100 inside the ln
+    argument), quantized per position to the 2^20 grid and summed as
+    integers per doc. Five LEFT equi-joins against count tables that
+    shrink with the n-gram order; the 1-row train total is the
+    allowlisted broadcast."""
+    from smart_city_data_pipeline_spark.functions.hashing import md5_long
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "is_train",
+        md5_long(F.concat(F.lit("sbo:"), F.col("doc_id").cast("string"))) % 10
+        < 8,
+    )
+    tok = docs.select(
+        "doc_id",
+        "is_train",
+        F.posexplode(T.ws_tokens(F.lower(F.col("text")))).alias("pos", "token"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    ctx = (
+        tok.withColumn("p1", F.lag("token", 1).over(w))
+        .withColumn("p2", F.lag("token", 2).over(w))
+        .filter(F.col("p2").isNotNull())
+        .select("doc_id", "is_train", "p2", "p1", "token")
+    )
+    train = ctx.filter("is_train")
+    tri = train.groupBy("p2", "p1", "token").agg(
+        F.count(F.lit(1)).alias("c3")
+    )
+    tripre = train.groupBy(
+        F.col("p2").alias("t2"), F.col("p1").alias("t1")
+    ).agg(F.count(F.lit(1)).alias("c3p"))
+    # bigram level counts over ALL adjacent train pairs (not just
+    # trigram-context pairs) — the level trains on its own stream.
+    prs = (
+        tok.withColumn("prev", F.lag("token").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("doc_id", "is_train", "prev", "token")
+    )
+    big = (
+        prs.filter("is_train")
+        .groupBy("prev", "token")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    bigpre = (
+        prs.filter("is_train")
+        .groupBy(F.col("prev").alias("b1"))
+        .agg(F.count(F.lit(1)).alias("c2p"))
+    )
+    uni = (
+        tok.filter("is_train")
+        .groupBy(F.col("token").alias("u"))
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    total = uni.agg(F.sum("cu").alias("n_tok"))
+    ev = (
+        ctx.filter(~F.col("is_train"))
+        .join(tri, ["p2", "p1", "token"], "left")
+        .join(
+            tripre,
+            (F.col("p2") == F.col("t2")) & (F.col("p1") == F.col("t1")),
+            "left",
+        )
+        .join(
+            big,
+            (F.col("p1") == big["prev"]) & (ctx["token"] == big["token"]),
+            "left",
+        )
+        .join(bigpre, F.col("p1") == F.col("b1"), "left")
+        .join(uni, ctx["token"] == F.col("u"), "left")
+        .join(F.broadcast(total))
+    )
+    a = F.lit(SBO_ALPHA_NUM)
+    d = F.lit(SBO_ALPHA_DEN)
+    tri_seen = F.col("c3").isNotNull()
+    big_seen = F.col("c2").isNotNull()
+    s = (
+        F.when(tri_seen, F.col("c3").cast("double") / F.col("c3p").cast("double"))
+        .when(
+            big_seen,
+            (a * F.col("c2")).cast("double") / (d * F.col("c2p")).cast("double"),
+        )
+        .otherwise(
+            (a * a * F.coalesce(F.col("cu"), F.lit(1))).cast("double")
+            / (d * d * F.col("n_tok")).cast("double")
+        )
+    )
+    q = F.floor(-F.log(s) * F.lit(SBO_Q) + 0.5).cast("long")
+    level = F.when(tri_seen, 0).when(big_seen, 1).otherwise(2)
+    return (
+        ev.select("doc_id", q.alias("q"), level.alias("lv"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum(F.when(F.col("lv") == 1, 1).otherwise(0)).alias(
+                "n_bigram_backoff"
+            ),
+            F.sum(F.when(F.col("lv") == 2, 1).otherwise(0)).alias(
+                "n_unigram_backoff"
+            ),
+            F.sum("q").alias("sq"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            "n_bigram_backoff",
+            "n_unigram_backoff",
+            pround(
+                F.col("sq").cast("double")
+                / F.col("n_trigrams")
+                / F.lit(SBO_Q)
+            ).alias("mean_neg_logscore"),
+        )
+    )
+
+
+QUERIES["stupid_backoff_score"] = stupid_backoff_score
+
+ORACLES["stupid_backoff_score"] = f"""
+    WITH d AS (
+        SELECT doc_id, text,
+               ({_md5_long_sql("'sbo:' || CAST(doc_id AS VARCHAR)")} % 10) < 8
+                   AS is_train
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, is_train,
+               CAST(generate_subscripts(tk, 1) AS BIGINT) AS pos,
+               unnest(tk) AS token
+        FROM (
+            SELECT doc_id, is_train,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+            FROM d
+        )
+    ),
+    ctx AS (
+        SELECT doc_id, is_train, p2, p1, token FROM (
+            SELECT doc_id, is_train, token,
+                   LAG(token, 1) OVER dw AS p1,
+                   LAG(token, 2) OVER dw AS p2
+            FROM tok
+            WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+        ) WHERE p2 IS NOT NULL
+    ),
+    tri AS (
+        SELECT p2, p1, token, CAST(COUNT(*) AS BIGINT) AS c3
+        FROM ctx WHERE is_train GROUP BY 1, 2, 3
+    ),
+    tripre AS (
+        SELECT p2 AS t2, p1 AS t1, CAST(COUNT(*) AS BIGINT) AS c3p
+        FROM ctx WHERE is_train GROUP BY 1, 2
+    ),
+    prs AS (
+        SELECT doc_id, is_train, prev, token FROM (
+            SELECT doc_id, is_train, token,
+                   LAG(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM tok
+        ) WHERE prev IS NOT NULL
+    ),
+    big AS (
+        SELECT prev, token, CAST(COUNT(*) AS BIGINT) AS c2
+        FROM prs WHERE is_train GROUP BY 1, 2
+    ),
+    bigpre AS (
+        SELECT prev AS b1, CAST(COUNT(*) AS BIGINT) AS c2p
+        FROM prs WHERE is_train GROUP BY 1
+    ),
+    uni AS (
+        SELECT token AS u, CAST(COUNT(*) AS BIGINT) AS cu
+        FROM tok WHERE is_train GROUP BY 1
+    ),
+    total AS (SELECT CAST(SUM(cu) AS BIGINT) AS n_tok FROM uni),
+    ev AS (
+        SELECT c.doc_id,
+               CASE WHEN t.c3 IS NOT NULL THEN 0
+                    WHEN b.c2 IS NOT NULL THEN 1 ELSE 2 END AS lv,
+               CAST(FLOOR(-LN(
+                   CASE WHEN t.c3 IS NOT NULL
+                        THEN CAST(t.c3 AS DOUBLE) / CAST(tp.c3p AS DOUBLE)
+                        WHEN b.c2 IS NOT NULL
+                        THEN CAST({SBO_ALPHA_NUM} * b.c2 AS DOUBLE)
+                             / CAST({SBO_ALPHA_DEN} * bp.c2p AS DOUBLE)
+                        ELSE CAST({SBO_ALPHA_NUM * SBO_ALPHA_NUM}
+                                  * COALESCE(un.cu, 1) AS DOUBLE)
+                             / CAST({SBO_ALPHA_DEN * SBO_ALPHA_DEN}
+                                    * tt.n_tok AS DOUBLE)
+                   END) * {SBO_Q} + 0.5) AS BIGINT) AS q
+        FROM ctx c
+        LEFT JOIN tri t ON t.p2 = c.p2 AND t.p1 = c.p1
+                        AND t.token = c.token
+        LEFT JOIN tripre tp ON tp.t2 = c.p2 AND tp.t1 = c.p1
+        LEFT JOIN big b ON b.prev = c.p1 AND b.token = c.token
+        LEFT JOIN bigpre bp ON bp.b1 = c.p1
+        LEFT JOIN uni un ON un.u = c.token
+        CROSS JOIN total tt
+        WHERE NOT c.is_train
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(SUM(CASE WHEN lv = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bigram_backoff,
+           CAST(SUM(CASE WHEN lv = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unigram_backoff,
+           {pround_sql(
+               f'CAST(SUM(q) AS DOUBLE) / COUNT(*) / {SBO_Q}'
+           )} AS mean_neg_logscore
+    FROM ev GROUP BY 1
+"""

@@ -102,6 +102,8 @@ BNLJ_ALLOWED = {
     # (vec_id <>) by design like ann_topk_cosine
     "ks_length_drift",  # |langs|-row dim broadcast cross join building
     # the dense ECDF value grid (bounded by the language count)
+    "pmi_collocations",  # 1-row pair-total broadcast
+    "stupid_backoff_score",  # 1-row train-token-total broadcast
 }
 
 
