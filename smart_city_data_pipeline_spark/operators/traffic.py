@@ -1411,3 +1411,170 @@ ORACLES["colocated_bias_pairs"] = f"""
     FROM agg
     WHERE n_common_days >= {BIAS_MIN_COMMON_D}
 """
+
+
+HLL_SHARDS = 8  # simulated per-executor partial sketches
+
+
+def hll_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGEABILITY proof for the HLL sketch — the property the
+    entire 100 TB posture of ``hll_distinct_report`` rests on: build
+    PARTIAL register sets per shard (``user_id % 8`` stands in for
+    1000 executors' map-side partials), MAX-merge them, and check the
+    merged registers against registers computed directly on the full
+    stream. ``n_register_mismatch`` is hash-checked at 0 — merge ≡
+    direct, row for row (the ``ivm_merge_view`` discipline applied to
+    the sketch family). The merged estimate, exact distinct, and
+    relative error ride along per event type.
+
+    Same engine-exact register construction as the report operator
+    (md5 index, binary-string-length rank, BIGINT harmonic sum); the
+    shard column only adds a key to the first aggregate — partials
+    stay map-side combinable."""
+    from smart_city_data_pipeline_spark.functions.hashing import md5_long
+
+    ev = table(spark, sf_dir, "events")
+    h = md5_long(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
+    base = ev.select(
+        "event_type",
+        "user_id",
+        (F.col("user_id") % HLL_SHARDS).alias("shard"),
+        (h % HLL_M).alias("idx"),
+        h.alias("h"),
+    ).withColumn("w", F.expr(f"h DIV {HLL_M}"))
+    rho = F.when(F.col("w") == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS) - F.length(F.conv(F.col("w"), 10, 2)) + 1
+    )
+    rows = base.select("event_type", "shard", "idx", rho.alias("rho"))
+    partial = rows.groupBy("event_type", "shard", "idx").agg(
+        F.max("rho").alias("m_p")
+    )
+    merged = partial.groupBy("event_type", "idx").agg(
+        F.max("m_p").alias("m_merged")
+    )
+    direct = rows.groupBy("event_type", "idx").agg(
+        F.max("rho").alias("m_direct")
+    )
+    cmp_ = merged.join(direct, ["event_type", "idx"], "full_outer")
+    mism = cmp_.groupBy("event_type").agg(
+        F.sum(
+            F.when(
+                F.coalesce(F.col("m_merged"), F.lit(-1))
+                != F.coalesce(F.col("m_direct"), F.lit(-1)),
+                1,
+            ).otherwise(0)
+        ).alias("n_register_mismatch")
+    )
+    per_type = merged.groupBy("event_type").agg(
+        F.max("m_merged").alias("m_max"),
+        F.count(F.lit(1)).alias("n_filled"),
+        F.collect_list("m_merged").alias("ms"),
+    )
+    pow2 = lambda e: F.pow(F.lit(2.0), e.cast("double")).cast("long")  # noqa: E731
+    ssum = F.aggregate(
+        F.col("ms"),
+        F.lit(0).cast("long"),
+        lambda acc, m: acc + pow2(F.col("m_max") - m),
+    ) + (F.lit(HLL_M) - F.col("n_filled")).cast("long") * pow2(F.col("m_max"))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    est = F.lit(HLL_ALPHA * HLL_M * HLL_M) * F.pow(
+        F.lit(2.0), F.col("m_max").cast("double")
+    ) / F.col("s").cast("double")
+    return (
+        per_type.withColumn("s", ssum)
+        .join(mism, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_register_mismatch",
+            "exact_distinct",
+            pround(est).alias("merged_estimate"),
+            pround(
+                (est - F.col("exact_distinct").cast("double"))
+                / F.col("exact_distinct").cast("double")
+            ).alias("rel_err"),
+        )
+    )
+
+
+QUERIES["hll_merge_audit"] = hll_merge_audit
+
+ORACLES["hll_merge_audit"] = f"""
+    WITH base AS (
+        SELECT event_type,
+               user_id % {HLL_SHARDS} AS shard,
+               h % {HLL_M} AS idx,
+               CASE WHEN h // {HLL_M} = 0 THEN {HLL_W_BITS + 1}
+                    ELSE {HLL_W_BITS} - length(bin(h // {HLL_M})) + 1
+               END AS rho
+        FROM (
+            SELECT event_type, user_id,
+                   CAST(('0x' || substr(md5(
+                       'hll:' || CAST(user_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) AS h
+            FROM events
+        )
+    ),
+    partial AS (
+        SELECT event_type, shard, idx, MAX(rho) AS m_p
+        FROM base GROUP BY 1, 2, 3
+    ),
+    merged AS (
+        SELECT event_type, idx, MAX(m_p) AS m_merged
+        FROM partial GROUP BY 1, 2
+    ),
+    direct AS (
+        SELECT event_type, idx, MAX(rho) AS m_direct
+        FROM base GROUP BY 1, 2
+    ),
+    mism AS (
+        SELECT COALESCE(m.event_type, d.event_type) AS event_type,
+               CAST(SUM(CASE WHEN COALESCE(m.m_merged, -1)
+                             <> COALESCE(d.m_direct, -1)
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_register_mismatch
+        FROM merged m
+        FULL OUTER JOIN direct d
+            ON d.event_type = m.event_type AND d.idx = m.idx
+        GROUP BY 1
+    ),
+    wm AS (
+        SELECT *, MAX(m_merged) OVER (PARTITION BY event_type) AS m_max
+        FROM merged
+    ),
+    pt AS (
+        SELECT event_type, m_max,
+               CAST(COUNT(*) AS BIGINT) AS n_filled,
+               SUM(CAST(1 AS BIGINT) << (m_max - m_merged)) AS fsum
+        FROM wm GROUP BY 1, 2
+    ),
+    st AS (
+        SELECT event_type, m_max, n_filled,
+               fsum + ({HLL_M} - n_filled)
+                   * (CAST(1 AS BIGINT) << m_max) AS s
+        FROM pt
+    ),
+    exact AS (
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events GROUP BY 1
+    )
+    SELECT st.event_type, mism.n_register_mismatch, exact.exact_distinct,
+           {pround_sql(
+               f'{HLL_ALPHA * HLL_M * HLL_M!r}'
+               ' * pow(2.0, CAST(st.m_max AS DOUBLE))'
+               ' / CAST(st.s AS DOUBLE)'
+           )} AS merged_estimate,
+           {pround_sql(
+               f'({HLL_ALPHA * HLL_M * HLL_M!r}'
+               ' * pow(2.0, CAST(st.m_max AS DOUBLE))'
+               ' / CAST(st.s AS DOUBLE)'
+               ' - CAST(exact.exact_distinct AS DOUBLE))'
+               ' / CAST(exact.exact_distinct AS DOUBLE)'
+           )} AS rel_err
+    FROM st
+    JOIN mism USING (event_type)
+    JOIN exact USING (event_type)
+"""
