@@ -418,3 +418,144 @@ ORACLES["hbos_outlier_scores"] = f"""
            (score_q > {int(HBOS_TH * HBOS_Q)}) AS is_outlier
     FROM scored
 """
+
+
+# --------------------------------------------------------------------------
+# Two-proportion A/B test, decision in exact integer arithmetic.
+# --------------------------------------------------------------------------
+
+# chi-square(1df) / z^2 critical value at alpha=0.05, scaled by 1e4:
+# significant iff (c1*n2 - c2*n1)^2 * N * 1e4 > 38415 * n1*n2*C*(N-C),
+# all in DECIMAL(38,0)/HUGEINT (exact for per-arm counts to ~3e7;
+# beyond that, test on a sample — the ks_length_drift posture).
+AB_Z2_1E4 = 38_415
+
+
+def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B significance test — the product-analytics
+    primitive: users hash-split into arms (md5 — the deterministic
+    bucketing a real experiment framework uses), conversion = the user
+    produced at least one 'purchase' event, and the pooled two-
+    proportion z-test decided ENTIRELY in integer arithmetic (the
+    z² > 3.8415 comparison cross-multiplies exact counts in
+    DECIMAL(38,0) — no sqrt, no division); the displayed z² and rates
+    are single IEEE divisions of exact integers.
+
+    Shape: one per-user conditional aggregate (arm key in codegen),
+    one 2-row arm rollup, one 1-row final projection. Nothing after
+    the first aggregate scales with the corpus."""
+    from smart_city_data_pipeline_spark.functions.hashing import md5_long
+
+    ev = table(spark, sf_dir, "events")
+    # conversion = the user's FIRST event (by the unique (ts, event_id)
+    # order) is a purchase — an activation-style metric that is sparse
+    # per user ("ever purchased" saturates at 100% on long histories,
+    # degenerating the pooled variance to zero).
+    users = ev.groupBy("user_id").agg(
+        (
+            F.min_by("event_type", F.struct("ts", "event_id")) == "purchase"
+        )
+        .cast("int")
+        .alias("converted")
+    ).select(
+        (
+            md5_long(F.concat(F.lit("ab:"), F.col("user_id").cast("string")))
+            % 2
+        ).alias("arm"),
+        "converted",
+    )
+    arms = users.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").alias("c"),
+    )
+    a = arms.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("c").alias("conv_a")
+    )
+    b = arms.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("c").alias("conv_b")
+    )
+    j = a.crossJoin(b)
+
+    def dec(c: Column) -> Column:
+        return c.cast("decimal(38,0)")
+
+    diff = F.col("conv_a") * F.col("n_b") - F.col("conv_b") * F.col("n_a")
+    big_c = F.col("conv_a") + F.col("conv_b")
+    big_n = F.col("n_a") + F.col("n_b")
+    num = dec(diff) * dec(diff) * dec(big_n)
+    den = dec(F.col("n_a")) * dec(F.col("n_b")) * dec(big_c) * dec(
+        big_n - big_c
+    )
+    return j.select(
+        "n_a",
+        "conv_a",
+        pround(F.col("conv_a").cast("double") / F.col("n_a").cast("double")).alias(
+            "rate_a"
+        ),
+        "n_b",
+        "conv_b",
+        pround(F.col("conv_b").cast("double") / F.col("n_b").cast("double")).alias(
+            "rate_b"
+        ),
+        pround(num.cast("double") / den.cast("double")).alias("z2"),
+        (
+            num * F.lit(10_000).cast("decimal(38,0)")
+            > F.lit(AB_Z2_1E4).cast("decimal(38,0)") * den
+        ).alias("significant_05"),
+    )
+
+
+QUERIES["ab_test_report"] = ab_test_report
+
+from smart_city_data_pipeline_spark.functions.hashing import (  # noqa: E402
+    md5_long_sql as _md5_sql,
+)
+
+ORACLES["ab_test_report"] = f"""
+    WITH firsts AS (
+        SELECT user_id, event_type FROM (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+    ),
+    users AS (
+        SELECT ({_md5_sql("'ab:' || CAST(user_id AS VARCHAR)")} % 2) AS arm,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS converted
+        FROM firsts
+    ),
+    arms AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(converted) AS BIGINT) AS c
+        FROM users GROUP BY 1
+    ),
+    j AS (
+        SELECT a.n AS n_a, a.c AS conv_a, b.n AS n_b, b.c AS conv_b
+        FROM (SELECT n, c FROM arms WHERE arm = 0) a
+        CROSS JOIN (SELECT n, c FROM arms WHERE arm = 1) b
+    ),
+    t AS (
+        SELECT *,
+               CAST(conv_a * n_b - conv_b * n_a AS HUGEINT) AS diff,
+               CAST(conv_a + conv_b AS HUGEINT) AS big_c,
+               CAST(n_a + n_b AS HUGEINT) AS big_n
+        FROM j
+    )
+    SELECT n_a, conv_a,
+           {pround_sql('CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)')}
+               AS rate_a,
+           n_b, conv_b,
+           {pround_sql('CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)')}
+               AS rate_b,
+           {pround_sql(
+               'CAST(diff * diff * big_n AS DOUBLE)'
+               ' / CAST(CAST(n_a AS HUGEINT) * n_b * big_c'
+               '        * (big_n - big_c) AS DOUBLE)'
+           )} AS z2,
+           (diff * diff * big_n * 10000
+            > {AB_Z2_1E4} * CAST(n_a AS HUGEINT) * n_b * big_c
+              * (big_n - big_c)) AS significant_05
+    FROM t
+"""

@@ -3620,3 +3620,228 @@ ORACLES["stupid_backoff_score"] = f"""
            )} AS mean_neg_logscore
     FROM ev GROUP BY 1
 """
+
+
+# Multinomial naive Bayes language ID: trained on the 80% md5 split,
+# evaluated on the held-out 20% — the LEARNED upgrade of the stopword
+# heuristic scored by langid_confusion. Laplace +1 smoothing; every
+# log term is quantized per (token, lang) MODEL CELL (vocab x langs —
+# bounded), per-doc scores are integer sums, and the argmax tie-breaks
+# on the lang string, so train/score/eval are engine-exact end to end.
+NB_Q = 1048576.0
+
+
+def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-and-evaluate a multinomial naive Bayes language
+    classifier inside the engine: token likelihoods p(w|lang) with
+    Laplace smoothing learned from the 80% train split, docs of the
+    20% eval split scored by integer-summed quantized log
+    probabilities (prior + per-token), prediction = struct-min argmax
+    — returning the eval confusion matrix. The simplest end-to-end
+    proof that the engine can TRAIN a model, not just apply one
+    (compare ``quality_classifier_score``'s fixed weights and the
+    ``langid_confusion`` heuristic eval).
+
+    Scale shape: training is two keyed aggregates (lang-token counts,
+    lang totals); the model is a (vocab x langs) dense table built by
+    a broadcast cross join (vocabulary grows sublinearly; langs is a
+    closed enum); scoring joins eval tokens against the model on
+    (token, lang) — OOV tokens coalesce to the per-lang smoothing
+    floor, so the join stays an equi-join. No driver-side state."""
+    from smart_city_data_pipeline_spark.functions.hashing import md5_long
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "is_train",
+        md5_long(F.concat(F.lit("nb:"), F.col("doc_id").cast("string"))) % 10
+        < 8,
+    )
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        "is_train",
+        F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("token"),
+    )
+    train = tok.filter("is_train")
+    lt = train.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
+    lang_tot = train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    vocab = train.select("token").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
+    # dense (token, lang) model: lq = qlog((c+1) / (n_l + V))
+    dense = (
+        vocab.crossJoin(F.broadcast(lang_tot))
+        .join(lt, ["lang", "token"], "left")
+        .join(F.broadcast(vsize))
+        .select(
+            "token",
+            "lang",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / (F.col("n_l") + F.col("v")).cast("double")
+                )
+                * F.lit(NB_Q)
+                + 0.5
+            )
+            .cast("long")
+            .alias("lq"),
+        )
+    )
+    # per-lang OOV floor qlog(1 / (n_l + V)) and prior qlog(docs_l/docs)
+    train_docs = docs.filter("is_train")
+    prior = (
+        train_docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("d_l"))
+        .join(F.broadcast(train_docs.agg(F.count(F.lit(1)).alias("d"))))
+        .join(lang_tot, "lang")
+        .join(F.broadcast(vsize))
+        .select(
+            "lang",
+            F.floor(
+                F.log(F.col("d_l").cast("double") / F.col("d").cast("double"))
+                * F.lit(NB_Q)
+                + 0.5
+            )
+            .cast("long")
+            .alias("prior_lq"),
+            F.floor(
+                F.log(
+                    F.lit(1.0) / (F.col("n_l") + F.col("v")).cast("double")
+                )
+                * F.lit(NB_Q)
+                + 0.5
+            )
+            .cast("long")
+            .alias("oov_lq"),
+        )
+    )
+    ev = (
+        tok.filter(~F.col("is_train"))
+        .select(
+            "doc_id",
+            F.col("lang").alias("lang_true"),
+            F.col("token").alias("etok"),
+        )
+        .crossJoin(F.broadcast(prior.select(F.col("lang").alias("cand"))))
+        .join(
+            dense,
+            (F.col("etok") == dense["token"])
+            & (F.col("cand") == dense["lang"]),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "lang_true",
+            "cand",
+            F.col("lq").alias("lq"),
+        )
+        .join(prior.withColumnRenamed("lang", "cand"), "cand")
+        .select(
+            "doc_id",
+            "lang_true",
+            "cand",
+            F.coalesce(F.col("lq"), F.col("oov_lq")).alias("tok_lq"),
+            "prior_lq",
+        )
+    )
+    scores = ev.groupBy("doc_id", "lang_true", "cand").agg(
+        (F.max("prior_lq") + F.sum("tok_lq")).alias("score_q")
+    )
+    pred = scores.groupBy("doc_id", "lang_true").agg(
+        F.min(
+            F.struct((-F.col("score_q")).alias("ns"), F.col("cand").alias("lang"))
+        )["lang"].alias("lang_pred")
+    )
+    g = pred.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("lang_true")
+    return g.select(
+        "lang_true",
+        "lang_pred",
+        "n_docs",
+        pround(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w).cast("double")
+        ).alias("share_of_true"),
+    )
+
+
+QUERIES["naive_bayes_langid"] = naive_bayes_langid
+
+ORACLES["naive_bayes_langid"] = f"""
+    WITH d AS (
+        SELECT doc_id, lang, text,
+               ({_md5_long_sql("'nb:' || CAST(doc_id AS VARCHAR)")} % 10) < 8
+                   AS is_train
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, lang, is_train, unnest(
+            regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+        FROM d
+    ),
+    lt AS (
+        SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok WHERE is_train GROUP BY 1, 2
+    ),
+    lang_tot AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l
+        FROM tok WHERE is_train GROUP BY 1
+    ),
+    vocab AS (SELECT DISTINCT token FROM tok WHERE is_train),
+    vsize AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+    dense AS (
+        SELECT vo.token, l.lang,
+               CAST(FLOOR(LN(
+                   CAST(COALESCE(lt.c, 0) + 1 AS DOUBLE)
+                   / CAST(l.n_l + vs.v AS DOUBLE)
+               ) * {NB_Q} + 0.5) AS BIGINT) AS lq
+        FROM vocab vo
+        CROSS JOIN lang_tot l
+        LEFT JOIN lt ON lt.lang = l.lang AND lt.token = vo.token
+        CROSS JOIN vsize vs
+    ),
+    prior AS (
+        SELECT dl.lang,
+               CAST(FLOOR(LN(CAST(dl.d_l AS DOUBLE)
+                             / CAST(dt.d AS DOUBLE))
+                    * {NB_Q} + 0.5) AS BIGINT) AS prior_lq,
+               CAST(FLOOR(LN(1.0 / CAST(l.n_l + vs.v AS DOUBLE))
+                    * {NB_Q} + 0.5) AS BIGINT) AS oov_lq
+        FROM (SELECT lang, CAST(COUNT(*) AS BIGINT) AS d_l
+              FROM d WHERE is_train GROUP BY 1) dl
+        CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS d
+                    FROM d WHERE is_train) dt
+        JOIN lang_tot l ON l.lang = dl.lang
+        CROSS JOIN vsize vs
+    ),
+    ev AS (
+        SELECT t.doc_id, t.lang AS lang_true, p.lang AS cand,
+               COALESCE(de.lq, p.oov_lq) AS tok_lq, p.prior_lq
+        FROM tok t
+        CROSS JOIN prior p
+        LEFT JOIN dense de ON de.token = t.token AND de.lang = p.lang
+        WHERE NOT t.is_train
+    ),
+    scores AS (
+        SELECT doc_id, lang_true, cand,
+               MAX(prior_lq) + SUM(tok_lq) AS score_q
+        FROM ev GROUP BY 1, 2, 3
+    ),
+    pred AS (
+        SELECT doc_id, lang_true,
+               struct_extract(MIN({{'ns': -score_q, 'lang': cand}}), 'lang')
+                   AS lang_pred
+        FROM scores GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM pred GROUP BY 1, 2
+    )
+    SELECT lang_true, lang_pred, n_docs,
+           {pround_sql(
+               'CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs)'
+               ' OVER (PARTITION BY lang_true) AS DOUBLE)'
+           )} AS share_of_true
+    FROM g
+"""
