@@ -559,3 +559,166 @@ ORACLES["ab_test_report"] = f"""
               * (big_n - big_c)) AS significant_05
     FROM t
 """
+
+
+# --------------------------------------------------------------------------
+# Decision-stump training: exact information-gain split search.
+# --------------------------------------------------------------------------
+
+STUMP_Q = 1048576.0  # 2^20 gain quantization grid
+
+
+def decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a decision stump in-engine: find the reading-value
+    threshold with maximum information gain for predicting
+    ``event_type = 'error'`` — the split-search primitive inside every
+    tree/GBDT trainer, run the way a distributed trainer actually runs
+    it (histogram aggregation, then the scan over candidate splits —
+    XGBoost/LightGBM's approximate-histogram strategy, exact here
+    because the cents domain is the histogram).
+
+    Exactness: candidate statistics are cumulative INTEGER counts over
+    the sorted cents histogram; each candidate's gain
+    ``H(parent) - nl/N*H(left) - nr/N*H(right)`` is computed from
+    exact integer ratios and quantized ONCE per candidate (no float
+    summation anywhere); the argmax tie-breaks to the smallest
+    threshold via struct-min. The winning stump, its class counts, and
+    its gain are the single output row.
+
+    100 TB story: ONE map-side-combinable histogram aggregate over the
+    stream; the split scan is a window over the |distinct cents| table
+    — the same shape trainers use because it never re-scans facts."""
+    ev = table(spark, sf_dir, "events")
+    hist = (
+        ev.select(
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+            F.when(F.col("event_type") == "error", 1).otherwise(0).alias("y"),
+        )
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "cents",
+        F.sum("n").over(w).alias("nl"),
+        F.sum("pos").over(w).alias("pl"),
+    )
+    tot = hist.agg(
+        F.sum("n").alias("nn"), F.sum("pos").alias("pp")
+    )
+
+    def ent(p: Column, n: Column) -> Column:
+        """n-weighted entropy n*H(p/n) = -p*ln(p/n) - (n-p)*ln((n-p)/n),
+        with 0*ln(0) = 0."""
+        q = n - p
+        t1 = F.when(
+            p > 0,
+            -p.cast("double")
+            * F.log(p.cast("double") / n.cast("double")),
+        ).otherwise(F.lit(0.0))
+        t2 = F.when(
+            q > 0,
+            -q.cast("double")
+            * F.log(q.cast("double") / n.cast("double")),
+        ).otherwise(F.lit(0.0))
+        return t1 + t2
+
+    cand = cum.join(F.broadcast(tot)).filter(
+        F.col("nl") < F.col("nn")  # a split must leave the right side non-empty
+    )
+    gain = (
+        ent(F.col("pp"), F.col("nn"))
+        - ent(F.col("pl"), F.col("nl"))
+        - ent(F.col("pp") - F.col("pl"), F.col("nn") - F.col("nl"))
+    ) / F.col("nn").cast("double")
+    gq = F.floor(gain * F.lit(STUMP_Q) + 0.5).cast("long")
+    best = cand.select(
+        F.struct(
+            (-gq).alias("ngq"),
+            F.col("cents").alias("thr"),
+            F.col("nl").alias("nl"),
+            F.col("pl").alias("pl"),
+            (F.col("nn") - F.col("nl")).alias("nr"),
+            (F.col("pp") - F.col("pl")).alias("pr"),
+        ).alias("s")
+    ).agg(F.min("s").alias("b"))
+    return best.select(
+        F.col("b.thr").alias("threshold_cents"),
+        F.col("b.nl").alias("n_left"),
+        F.col("b.pl").alias("pos_left"),
+        F.col("b.nr").alias("n_right"),
+        F.col("b.pr").alias("pos_right"),
+        pround((-F.col("b.ngq")).cast("double") / F.lit(STUMP_Q)).alias(
+            "info_gain"
+        ),
+    )
+
+
+QUERIES["decision_stump_train"] = decision_stump_train
+
+ORACLES["decision_stump_train"] = f"""
+    WITH hist AS (
+        SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pos
+        FROM events GROUP BY 1
+    ),
+    cum AS (
+        SELECT cents,
+               CAST(SUM(n) OVER win AS BIGINT) AS nl,
+               CAST(SUM(pos) OVER win AS BIGINT) AS pl
+        FROM hist
+        WINDOW win AS (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(SUM(pos) AS BIGINT) AS pp
+        FROM hist
+    ),
+    cand AS (
+        SELECT c.cents, c.nl, c.pl, t.nn, t.pp,
+               t.nn - c.nl AS nr, t.pp - c.pl AS pr
+        FROM cum c CROSS JOIN tot t
+        WHERE c.nl < t.nn
+    ),
+    scored AS (
+        SELECT *,
+            CAST(FLOOR((
+                (CASE WHEN pp > 0 THEN -CAST(pp AS DOUBLE)
+                      * LN(CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE))
+                 ELSE 0.0 END
+                 + CASE WHEN nn - pp > 0 THEN -CAST(nn - pp AS DOUBLE)
+                        * LN(CAST(nn - pp AS DOUBLE) / CAST(nn AS DOUBLE))
+                   ELSE 0.0 END)
+                - (CASE WHEN pl > 0 THEN -CAST(pl AS DOUBLE)
+                        * LN(CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+                   ELSE 0.0 END
+                   + CASE WHEN nl - pl > 0 THEN -CAST(nl - pl AS DOUBLE)
+                          * LN(CAST(nl - pl AS DOUBLE) / CAST(nl AS DOUBLE))
+                     ELSE 0.0 END)
+                - (CASE WHEN pr > 0 THEN -CAST(pr AS DOUBLE)
+                        * LN(CAST(pr AS DOUBLE) / CAST(nr AS DOUBLE))
+                   ELSE 0.0 END
+                   + CASE WHEN nr - pr > 0 THEN -CAST(nr - pr AS DOUBLE)
+                          * LN(CAST(nr - pr AS DOUBLE) / CAST(nr AS DOUBLE))
+                     ELSE 0.0 END)
+            ) / CAST(nn AS DOUBLE) * {STUMP_Q} + 0.5) AS BIGINT) AS gq
+        FROM cand
+    ),
+    best AS (
+        SELECT MIN({{'ngq': -gq, 'thr': cents, 'nl': nl, 'pl': pl,
+                     'nr': nr, 'pr': pr}}) AS b
+        FROM scored
+    )
+    SELECT struct_extract(b, 'thr') AS threshold_cents,
+           struct_extract(b, 'nl') AS n_left,
+           struct_extract(b, 'pl') AS pos_left,
+           struct_extract(b, 'nr') AS n_right,
+           struct_extract(b, 'pr') AS pos_right,
+           {pround_sql(
+               f"CAST(-struct_extract(b, 'ngq') AS DOUBLE) / {STUMP_Q}"
+           )} AS info_gain
+    FROM best
+"""

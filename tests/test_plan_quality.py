@@ -107,6 +107,8 @@ BNLJ_ALLOWED = {
     "naive_bayes_langid",  # |langs|-row model cross joins + 1-row
     # vocab-size/train-total broadcasts (bounded lang enum)
     "ab_test_report",  # 1-row-per-arm final cross join (2 rows total)
+    "decision_stump_train",  # 1-row class-totals broadcast over the
+    # cents-histogram-bounded candidate table
 }
 
 
