@@ -368,6 +368,24 @@ HLL_W_BITS = 60 - HLL_IDX_BITS  # md5_long yields 60-bit hashes
 HLL_ALPHA = 0.709  # Flajolet et al. 2007 constant for m = 64
 
 
+def hll_rho_rows(ev: DataFrame) -> DataFrame:
+    """(event_type, idx, rho) rows — the shared HLL register-update
+    stream used by the batch report, the merge audit, and the
+    streaming maintainer (one construction ⇒ the paths cannot
+    drift). md5 index; rank via binary-string length (no float
+    log2)."""
+    from smart_city_data_pipeline_spark.functions.hashing import md5_long
+
+    h = md5_long(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
+    base = ev.select(
+        "event_type", "user_id", (h % HLL_M).alias("idx"), h.alias("h")
+    ).withColumn("w", F.expr(f"h DIV {HLL_M}"))
+    rho = F.when(F.col("w") == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS) - F.length(F.conv(F.col("w"), 10, 2)) + 1
+    )
+    return base.select("event_type", "user_id", "idx", rho.alias("rho"))
+
+
 def hll_distinct_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count estimation with exact error
     accounting — the third workhorse sketch next to CMS
@@ -387,24 +405,12 @@ def hll_distinct_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``Σ 2^(Mmax−Mj)`` (≤ 64·2⁵⁵ < 2⁶³), so the one float step is the
     final literal-constant multiply/divide, identical in both
     engines."""
-    from smart_city_data_pipeline_spark.functions.hashing import md5_long
-
     ev = table(spark, sf_dir, "events")
-    h = md5_long(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
-    base = ev.select(
-        "event_type",
-        "user_id",
-        (h % HLL_M).alias("idx"),
-        h.alias("h"),
-    ).withColumn("w", F.expr(f"h DIV {HLL_M}"))
-    # rank of first set bit from the top of the W-bit field: binary
-    # string length gives msb position exactly (no float log2)
-    rho = F.when(F.col("w") == 0, F.lit(HLL_W_BITS + 1)).otherwise(
-        F.lit(HLL_W_BITS) - F.length(F.conv(F.col("w"), 10, 2)) + 1
+    regs = (
+        hll_rho_rows(ev)
+        .groupBy("event_type", "idx")
+        .agg(F.max("rho").alias("m_j"))
     )
-    regs = base.select("event_type", "idx", rho.alias("rho")).groupBy(
-        "event_type", "idx"
-    ).agg(F.max("rho").alias("m_j"))
     per_type = regs.groupBy("event_type").agg(
         F.max("m_j").alias("m_max"),
         F.count(F.lit(1)).alias("n_filled"),
@@ -1431,21 +1437,13 @@ def hll_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (md5 index, binary-string-length rank, BIGINT harmonic sum); the
     shard column only adds a key to the first aggregate — partials
     stay map-side combinable."""
-    from smart_city_data_pipeline_spark.functions.hashing import md5_long
-
     ev = table(spark, sf_dir, "events")
-    h = md5_long(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
-    base = ev.select(
+    rows = hll_rho_rows(ev).select(
         "event_type",
-        "user_id",
         (F.col("user_id") % HLL_SHARDS).alias("shard"),
-        (h % HLL_M).alias("idx"),
-        h.alias("h"),
-    ).withColumn("w", F.expr(f"h DIV {HLL_M}"))
-    rho = F.when(F.col("w") == 0, F.lit(HLL_W_BITS + 1)).otherwise(
-        F.lit(HLL_W_BITS) - F.length(F.conv(F.col("w"), 10, 2)) + 1
+        "idx",
+        "rho",
     )
-    rows = base.select("event_type", "shard", "idx", rho.alias("rho"))
     partial = rows.groupBy("event_type", "shard", "idx").agg(
         F.max("rho").alias("m_p")
     )
