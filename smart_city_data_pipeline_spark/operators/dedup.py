@@ -2876,3 +2876,184 @@ ORACLES["text_embedding_agreement"] = f"""
            )} AS corpus_corr
     FROM m
 """
+
+
+# Winnowing (Schleimer, Wilkerson & Aiken 2003 — the MOSS algorithm):
+# guarantee-bearing fingerprint selection. Any shared substring of at
+# least WIN_K + WIN_W - 1 tokens is CAUGHT by at least one shared
+# selected fingerprint — the local-selection property rolling or
+# random sampling lacks.
+WIN_K = 3   # k-gram size (tokens)
+WIN_W = 4   # winnowing window (k-gram hashes per selection window)
+WIN_DF_CAP = 25   # stop-fingerprint cap (the dedup_ngram_jaccard knob)
+WIN_MIN_SHARED = 3  # report pairs sharing at least this many prints
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed document fingerprinting: hash every 3-token k-gram,
+    slide a 4-hash window, select each window's (hash, pos)-minimum —
+    the MOSS selection rule whose guarantee is what plagiarism/overlap
+    detection actually needs: any match of >= k+w-1 tokens shares a
+    selected fingerprint, while only ~2/(w+1) of all grams are kept.
+    Pairs of documents sharing >= WIN_MIN_SHARED fingerprints are
+    reported with their overlap counts — the copy-candidate shortlist.
+
+    Engine exactness: fingerprints are md5 integers; the selection
+    min is over (hash, pos) structs — fully deterministic, identical
+    window frames in both engines; all outputs are integer counts
+    plus one final ratio division.
+
+    100 TB story: selection is one bounded-frame window per doc
+    (ordered by gram position — per-doc partitions, no global sort);
+    the pair join is keyed on fingerprint hash with the df-cap
+    dropping stop-fingerprints, so cell fan-out is bounded exactly
+    like the shingle-LSH family."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(_ws_tokens(F.lower(F.col("text")))).alias("pos", "tk"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        tok.withColumn("t1", F.lead("tk", 1).over(wd))
+        .withColumn("t2", F.lead("tk", 2).over(wd))
+        .filter(F.col("t2").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            md5_long(
+                F.concat_ws(" ", F.col("tk"), F.col("t1"), F.col("t2"))
+            ).alias("h"),
+        )
+    )
+    # robust winnowing: per window of WIN_W consecutive gram hashes,
+    # select the (hash, pos)-min struct; DISTINCT collapses windows
+    # that picked the same gram.
+    wf = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WIN_W - 1)
+    )
+    n_grams = Window.partitionBy("doc_id")
+    sel = (
+        grams.withColumn("n", F.count(F.lit(1)).over(n_grams))
+        .withColumn(
+            "pick",
+            F.min(F.struct(F.col("h"), F.col("pos"))).over(wf),
+        )
+        .filter(F.col("pos") <= F.col("n") - WIN_W)  # full windows only
+        .select("doc_id", F.col("pick.h").alias("fp"))
+        .distinct()
+    )
+    per_doc = sel.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    dfreq = sel.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    idx = sel.join(
+        dfreq.filter(F.col("df") <= WIN_DF_CAP).select("fp"), "fp"
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WIN_MIN_SHARED)
+    )
+    return (
+        pairs.join(
+            per_doc.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("fp_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            per_doc.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("fp_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "fp_a",
+            "fp_b",
+            pround(
+                F.col("n_shared").cast("double")
+                / (F.col("fp_a") + F.col("fp_b") - F.col("n_shared")).cast(
+                    "double"
+                )
+            ).alias("fp_jaccard"),
+        )
+    )
+
+
+QUERIES["winnowing_fingerprints"] = winnowing_fingerprints
+
+ORACLES["winnowing_fingerprints"] = f"""
+    WITH tok AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(tk, 1) AS BIGINT) - 1 AS pos,
+               unnest(tk) AS tk
+        FROM (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+            FROM documents
+        )
+    ),
+    grams AS (
+        SELECT doc_id, pos,
+               {md5_long_sql("tk || ' ' || t1 || ' ' || t2")} AS h
+        FROM (
+            SELECT doc_id, pos, tk,
+                   LEAD(tk, 1) OVER dw AS t1,
+                   LEAD(tk, 2) OVER dw AS t2
+            FROM tok
+            WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+        ) WHERE t2 IS NOT NULL
+    ),
+    sel AS (
+        SELECT DISTINCT doc_id, struct_extract(pick, 'h') AS fp
+        FROM (
+            SELECT doc_id, pos,
+                   COUNT(*) OVER (PARTITION BY doc_id) AS n,
+                   MIN({{'h': h, 'pos': pos}}) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW
+                                AND {WIN_W - 1} FOLLOWING) AS pick
+            FROM grams
+        ) WHERE pos <= n - {WIN_W}
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp
+        FROM sel GROUP BY 1
+    ),
+    idx AS (
+        SELECT s.doc_id, s.fp
+        FROM sel s
+        JOIN (SELECT fp FROM sel GROUP BY fp
+              HAVING COUNT(*) <= {WIN_DF_CAP}) ok ON ok.fp = s.fp
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM idx a JOIN idx b
+            ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {WIN_MIN_SHARED}
+    )
+    SELECT p.doc_a, p.doc_b, p.n_shared,
+           pa.n_fp AS fp_a, pb.n_fp AS fp_b,
+           {pround_sql(
+               'CAST(p.n_shared AS DOUBLE)'
+               ' / CAST(pa.n_fp + pb.n_fp - p.n_shared AS DOUBLE)'
+           )} AS fp_jaccard
+    FROM pairs p
+    JOIN per_doc pa ON pa.doc_id = p.doc_a
+    JOIN per_doc pb ON pb.doc_id = p.doc_b
+"""
