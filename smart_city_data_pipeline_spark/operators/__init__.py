@@ -100,7 +100,8 @@ _GATE_FIRST = [
     # positional_delete_apply, scene_cut_detect, mrl_truncation_qc,
     # pmi_collocations, hbos_outlier_scores, stupid_backoff_score,
     # hll_merge_audit, naive_bayes_langid, ab_test_report,
-    # decision_stump_train, winnowing_fingerprints, ...)
+    # decision_stump_train, winnowing_fingerprints,
+    # retrieval_metrics_report, ...)
     # are judge-only this round and MUST lead the r8 window, before
     # the displaced r4 keys below.
     # rotate-back wave: every remaining r4 key was displaced to the

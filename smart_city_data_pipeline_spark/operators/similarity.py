@@ -2905,3 +2905,166 @@ def _mrl_oracle_sql() -> str:
 
 
 ORACLES["mrl_truncation_qc"] = _mrl_oracle_sql()
+
+
+# Rank-discount constants for NDCG@5, precomputed in python and
+# injected as LITERALS into both engines (libm log2 is not guaranteed
+# correctly rounded — a shared literal cannot disagree). Grid 2^20.
+import math as _math
+
+RM_K = 5
+RM_DCG_Q = {
+    r: int(_math.floor(1.0 / _math.log2(r + 1) * 1048576.0 + 0.5))
+    for r in range(1, RM_K + 1)
+}
+RM_IDCG_Q = sum(RM_DCG_Q.values())
+
+
+def retrieval_metrics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-sensitive retrieval evaluation of the matryoshka tiers:
+    MRR and NDCG@5 of each prefix-dim ranking against the full-dim
+    exact top-5 — the metrics that distinguish "right neighbors,
+    wrong order" from genuine recall loss (plain overlap, reported by
+    ``mrl_truncation_qc``, cannot). The standard IR eval loop run as
+    a query.
+
+    Exactness: binary relevance = membership in the exact top-k; DCG
+    discounts are shared integer LITERALS (python-precomputed — libm
+    log2 never enters either engine); DCG sums are integers; MRR and
+    NDCG are single divisions of exact integers under pround."""
+    emb = spread(
+        table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings"
+    )
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
+    )
+    pairs = emb.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+
+    def ranked(dim: int | None) -> DataFrame:
+        pe = F.slice(F.col("probe_emb"), 1, dim) if dim else F.col("probe_emb")
+        ce = F.slice(F.col("embedding"), 1, dim) if dim else F.col("embedding")
+        w = Window.partitionBy("trunc_dim", "probe_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            pairs.select(
+                F.lit(dim if dim else 64).alias("trunc_dim"),
+                "probe_id",
+                F.col("vec_id").alias("neighbor_id"),
+                pround(cosine(pe, ce)).alias("cos_sim"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= RM_K)
+        )
+
+    tiers = None
+    for d in MRL_DIMS:
+        t = ranked(d)
+        tiers = t if tiers is None else tiers.unionAll(t)
+    full = ranked(None).select("probe_id", "neighbor_id")
+    dcg_term = F.element_at(
+        F.array(*[F.lit(RM_DCG_Q[r]) for r in range(1, RM_K + 1)]),
+        F.col("rank"),
+    )
+    hit = tiers.join(
+        full.select("probe_id", "neighbor_id", F.lit(1).alias("rel")),
+        ["probe_id", "neighbor_id"],
+        "left",
+    ).select(
+        "trunc_dim",
+        "probe_id",
+        "rank",
+        F.coalesce(F.col("rel"), F.lit(0)).alias("rel"),
+        F.when(F.col("rel").isNotNull(), dcg_term).otherwise(0).alias("dq"),
+    )
+    agg = hit.groupBy("trunc_dim", "probe_id").agg(
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_hit"),
+        F.sum("dq").alias("dcg_q"),
+    )
+    return agg.select(
+        "trunc_dim",
+        "probe_id",
+        F.coalesce(F.col("first_hit"), F.lit(0)).cast("long").alias(
+            "first_hit_rank"
+        ),
+        pround(
+            F.when(
+                F.col("first_hit").isNotNull(),
+                F.lit(1.0) / F.col("first_hit").cast("double"),
+            ).otherwise(F.lit(0.0))
+        ).alias("mrr"),
+        pround(
+            F.col("dcg_q").cast("double") / F.lit(float(RM_IDCG_Q))
+        ).alias("ndcg_at_k"),
+    )
+
+
+QUERIES["retrieval_metrics_report"] = retrieval_metrics_report
+
+
+def _retrieval_metrics_oracle_sql() -> str:
+    def scored(d: int | None) -> str:
+        sl = f"[1:{d}]" if d else ""
+        dim = d if d else 64
+        return f"""
+            SELECT {dim} AS trunc_dim, p.vec_id AS probe_id,
+                   c.vec_id AS neighbor_id,
+                   {pround_sql(
+                       f"{dot_sql(f'c.embedding{sl}', f'p.embedding{sl}')}"
+                       f" / (sqrt({dot_sql(f'c.embedding{sl}', f'c.embedding{sl}')})"
+                       f" * sqrt({dot_sql(f'p.embedding{sl}', f'p.embedding{sl}')}))"
+                   )} AS cos_sim
+            FROM embeddings c
+            JOIN embeddings p ON p.vec_id < {N_PROBES}
+                              AND c.vec_id <> p.vec_id"""
+
+    union = " UNION ALL ".join(scored(d) for d in MRL_DIMS)
+    dcg_case = " ".join(
+        f"WHEN rank = {r} THEN {RM_DCG_Q[r]}" for r in range(1, RM_K + 1)
+    )
+    return f"""
+        WITH ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY trunc_dim, probe_id
+                ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+            FROM ({union}) QUALIFY rank <= {RM_K}
+        ),
+        full_k AS (
+            SELECT probe_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY probe_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+                FROM ({scored(None)})
+            ) WHERE rank <= {RM_K}
+        ),
+        hit AS (
+            SELECT r.trunc_dim, r.probe_id, r.rank,
+                   CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END
+                       AS rel,
+                   CASE WHEN f.neighbor_id IS NOT NULL
+                        THEN CASE {dcg_case} ELSE 0 END
+                        ELSE 0 END AS dq
+            FROM ranked r
+            LEFT JOIN full_k f ON f.probe_id = r.probe_id
+                               AND f.neighbor_id = r.neighbor_id
+        ),
+        agg AS (
+            SELECT trunc_dim, probe_id,
+                   MIN(CASE WHEN rel = 1 THEN rank END) AS first_hit,
+                   CAST(SUM(dq) AS BIGINT) AS dcg_q
+            FROM hit GROUP BY 1, 2
+        )
+        SELECT trunc_dim, probe_id,
+               CAST(COALESCE(first_hit, 0) AS BIGINT) AS first_hit_rank,
+               {pround_sql(
+                   'CASE WHEN first_hit IS NOT NULL'
+                   ' THEN 1.0 / CAST(first_hit AS DOUBLE) ELSE 0.0 END'
+               )} AS mrr,
+               {pround_sql(
+                   f'CAST(dcg_q AS DOUBLE) / {float(RM_IDCG_Q)}'
+               )} AS ndcg_at_k
+        FROM agg
+    """
+
+
+ORACLES["retrieval_metrics_report"] = _retrieval_metrics_oracle_sql()

@@ -109,6 +109,8 @@ BNLJ_ALLOWED = {
     "ab_test_report",  # 1-row-per-arm final cross join (2 rows total)
     "decision_stump_train",  # 1-row class-totals broadcast over the
     # cents-histogram-bounded candidate table
+    "retrieval_metrics_report",  # bounded probe side broadcast,
+    # non-equi (vec_id <>) by design like ann_topk_cosine
 }
 
 
