@@ -1157,3 +1157,208 @@ ORACLES["positional_delete_apply"] = f"""
            COALESCE(l.live_value_sum, 0.0) AS live_value_sum
     FROM per_all a LEFT JOIN per_live l ON l.file_id = a.file_id
 """
+
+
+# Encoding planner: estimated storage cost of PLAIN vs DICTIONARY vs
+# RLE per column, per data file (encoding decisions are per
+# file/rowgroup in every columnar format — modeled on the PDEL_FILES
+# layout so runs are counted within real write-order units, not a
+# fabricated global order).
+ENC_FILES = PDEL_FILES
+
+
+def encoding_plan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The columnar-encoding cost model a lakehouse writer runs before
+    choosing per-column encodings (parquet's PLAIN / RLE_DICTIONARY
+    decision, the Gorilla estimate's general-purpose sibling): for
+    each candidate column, exact integer byte costs of (a) PLAIN —
+    raw value bytes, (b) DICTIONARY — distinct-value bytes + n
+    indices at the dict's bit width, (c) RLE — runs counted within
+    each data file in write order x (value + length) bytes. The
+    winning encoding per (file, column) and the aggregate plan per
+    column come out as one report.
+
+    All integer arithmetic: byte counts are lengths and exact
+    ceil-log2 bit widths (computed by comparison chains on BIGINT
+    counts — no float log2); run counts are one lag window per file.
+
+    100 TB story: one scan feeds per-(file, column) aggregates keyed
+    exactly like the files a writer would emit; the distinct-count
+    side is a keyed aggregate over values, never a global sort."""
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("event_id") % ENC_FILES).alias("file_id"),
+        "event_id",
+        F.col("event_type").alias("c_event_type"),
+        F.col("user_id").cast("string").alias("c_user_id"),
+        F.floor(F.col("value") * 100 + 0.5)
+        .cast("long")
+        .cast("string")
+        .alias("c_value"),
+    )
+    cols = ["c_event_type", "c_user_id", "c_value"]
+    parts = []
+    for c in cols:
+        w = Window.partitionBy("file_id").orderBy("event_id")
+        runs = base.select(
+            "file_id",
+            "event_id",
+            F.col(c).alias("v"),
+        ).withColumn(
+            "new_run",
+            F.when(
+                F.lag("v").over(w).isNull() | (F.lag("v").over(w) != F.col("v")),
+                1,
+            ).otherwise(0),
+        )
+        per_file = runs.groupBy("file_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("v")).alias("plain_bytes"),
+            F.countDistinct("v").alias("n_distinct"),
+            F.sum(F.when(F.col("new_run") == 1, F.length("v") + 4).otherwise(0)).alias(
+                "rle_bytes"
+            ),
+        )
+        # dict cost: distinct-value bytes within the file + n indices at
+        # ceil(log2(n_distinct)) bits (comparison chain, no float log2)
+        dvals = (
+            base.select("file_id", F.col(c).alias("v"))
+            .distinct()
+            .groupBy("file_id")
+            .agg(F.sum(F.length("v")).alias("dict_val_bytes"))
+        )
+        bits = F.when(F.col("n_distinct") <= 2, 1)
+        for b in range(2, 21):
+            bits = bits.when(F.col("n_distinct") <= (1 << b), b)
+        bits = bits.otherwise(21)
+        j = per_file.join(dvals, "file_id").select(
+            "file_id",
+            F.lit(c.removeprefix("c_")).alias("column_name"),
+            "n",
+            "n_distinct",
+            "plain_bytes",
+            (
+                F.col("dict_val_bytes") + (F.col("n") * bits + 7).cast("long") / 8
+            ).cast("long").alias("dict_bytes"),
+            "rle_bytes",
+        )
+        parts.append(j)
+    per = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    best = F.array_min(
+        F.array(
+            F.struct(F.col("plain_bytes").alias("b"), F.lit("plain").alias("e")),
+            F.struct(F.col("dict_bytes").alias("b"), F.lit("dict").alias("e")),
+            F.struct(F.col("rle_bytes").alias("b"), F.lit("rle").alias("e")),
+        )
+    )
+    flagged = per.withColumn("best", best)
+    return flagged.groupBy("column_name").agg(
+        F.sum("n").alias("n_rows"),
+        F.sum("plain_bytes").alias("plain_bytes"),
+        F.sum("dict_bytes").alias("dict_bytes"),
+        F.sum("rle_bytes").alias("rle_bytes"),
+        F.sum(F.when(F.col("best.e") == "plain", 1).otherwise(0)).alias(
+            "files_plain"
+        ),
+        F.sum(F.when(F.col("best.e") == "dict", 1).otherwise(0)).alias(
+            "files_dict"
+        ),
+        F.sum(F.when(F.col("best.e") == "rle", 1).otherwise(0)).alias(
+            "files_rle"
+        ),
+    )
+
+
+QUERIES["encoding_plan_report"] = encoding_plan_report
+
+
+def _enc_oracle_col(c_expr: str, name: str) -> str:
+    return f"""
+        SELECT file_id, '{name}' AS column_name, n, n_distinct,
+               plain_bytes,
+               CAST(dict_val_bytes
+                    + (n * bits + 7) // 8 AS BIGINT) AS dict_bytes,
+               rle_bytes
+        FROM (
+            SELECT file_id, n, n_distinct, plain_bytes, rle_bytes,
+                   dict_val_bytes,
+                   CASE WHEN n_distinct <= 2 THEN 1
+                        {" ".join(f"WHEN n_distinct <= {1 << b} THEN {b}"
+                                  for b in range(2, 21))}
+                        ELSE 21 END AS bits
+            FROM (
+                SELECT file_id,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(length(v)) AS BIGINT) AS plain_bytes,
+                       CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+                       CAST(SUM(CASE WHEN new_run = 1
+                                THEN length(v) + 4 ELSE 0 END) AS BIGINT)
+                           AS rle_bytes
+                FROM (
+                    SELECT file_id, v,
+                           CASE WHEN LAG(v) OVER fw IS NULL
+                                  OR LAG(v) OVER fw <> v
+                                THEN 1 ELSE 0 END AS new_run
+                    FROM (
+                        SELECT event_id % {ENC_FILES} AS file_id,
+                               event_id, {c_expr} AS v
+                        FROM events
+                    )
+                    WINDOW fw AS (PARTITION BY file_id ORDER BY event_id)
+                ) GROUP BY 1
+            ) pf
+            JOIN (
+                SELECT file_id AS fid2,
+                       CAST(SUM(length(v)) AS BIGINT) AS dict_val_bytes
+                FROM (
+                    SELECT DISTINCT event_id % {ENC_FILES} AS file_id,
+                           {c_expr} AS v
+                    FROM events
+                ) GROUP BY 1
+            ) dv ON dv.fid2 = pf.file_id
+        )
+    """
+
+
+ORACLES["encoding_plan_report"] = f"""
+    WITH per AS (
+        {_enc_oracle_col("event_type", "event_type")}
+        UNION ALL
+        {_enc_oracle_col("CAST(user_id AS VARCHAR)", "user_id")}
+        UNION ALL
+        {_enc_oracle_col(
+            "CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS VARCHAR)",
+            "value",
+        )}
+    ),
+    expanded AS (
+        SELECT file_id, column_name, unnest(ARRAY[
+            {{'b': plain_bytes, 'e': 'plain'}},
+            {{'b': dict_bytes, 'e': 'dict'}},
+            {{'b': rle_bytes, 'e': 'rle'}}
+        ]) AS cand
+        FROM per
+    ),
+    best AS (
+        SELECT file_id, column_name,
+               struct_extract(MIN(cand), 'e') AS best_e
+        FROM expanded GROUP BY 1, 2
+    ),
+    flagged AS (
+        SELECT per.*, best.best_e
+        FROM per JOIN best ON best.file_id = per.file_id
+                           AND best.column_name = per.column_name
+    )
+    SELECT column_name,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(SUM(plain_bytes) AS BIGINT) AS plain_bytes,
+           CAST(SUM(dict_bytes) AS BIGINT) AS dict_bytes,
+           CAST(SUM(rle_bytes) AS BIGINT) AS rle_bytes,
+           CAST(SUM(CASE WHEN best_e = 'plain' THEN 1 ELSE 0 END) AS BIGINT)
+               AS files_plain,
+           CAST(SUM(CASE WHEN best_e = 'dict' THEN 1 ELSE 0 END) AS BIGINT)
+               AS files_dict,
+           CAST(SUM(CASE WHEN best_e = 'rle' THEN 1 ELSE 0 END) AS BIGINT)
+               AS files_rle
+    FROM flagged GROUP BY 1
+"""
