@@ -180,6 +180,16 @@ HEADLINERS = [
     "positional_delete_apply",
     "scene_cut_detect",
     "mrl_truncation_qc",
+    "pmi_collocations",
+    "hbos_outlier_scores",
+    "stupid_backoff_score",
+    "hll_merge_audit",
+    "naive_bayes_langid",
+    "ab_test_report",
+    "decision_stump_train",
+    "winnowing_fingerprints",
+    "retrieval_metrics_report",
+    "encoding_plan_report",
 ]
 
 
