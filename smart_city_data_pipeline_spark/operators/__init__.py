@@ -101,7 +101,8 @@ _GATE_FIRST = [
     # pmi_collocations, hbos_outlier_scores, stupid_backoff_score,
     # hll_merge_audit, naive_bayes_langid, ab_test_report,
     # decision_stump_train, winnowing_fingerprints,
-    # retrieval_metrics_report, encoding_plan_report, ...)
+    # retrieval_metrics_report, encoding_plan_report,
+    # markov_attribution, ...)
     # are judge-only this round and MUST lead the r8 window, before
     # the displaced r4 keys below.
     # rotate-back wave: every remaining r4 key was displaced to the

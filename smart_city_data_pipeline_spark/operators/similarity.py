@@ -2413,28 +2413,34 @@ ORACLES["cluster_label_nmi"] = _cluster_label_nmi_oracle_sql()
 KCORE_ROUNDS = 24
 
 
+def _peel_step(cur: DataFrame, k: int) -> DataFrame:
+    deg = (
+        cur.select("label", F.col("u").alias("node"))
+        .unionAll(cur.select("label", F.col("v").alias("node")))
+        .groupBy("label", "node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    keep = deg.filter(F.col("d") >= k).select("label", "node")
+    return (
+        cur.join(keep.withColumnRenamed("node", "u"), ["label", "u"])
+        .join(keep.withColumnRenamed("node", "v"), ["label", "v"])
+        .select("label", "u", "v")
+    )
+
+
 def _peel_edges(edges: DataFrame, k: int) -> DataFrame:
     """Iteratively drop edges incident to nodes of survivor-degree < k.
-    Each round is two keyed joins + one aggregate; localCheckpoint per
-    round keeps the plan flat (the dedup_clusters loop discipline)."""
+    Each round is two keyed joins + one aggregate; TWO rounds run per
+    localCheckpoint+count probe (the dbscan_grid round-batching sweet
+    spot — one probe job amortizes two peel rounds; deeper batching
+    regressed there). Early exit stays sound: peeling is monotone, so
+    edge-count equality across a probe implies the fixpoint, and an
+    extra round past the fixpoint is idempotent (matching the oracle's
+    fixed KCORE_ROUNDS replay)."""
     cur = edges
     prev = -1
-    for _ in range(KCORE_ROUNDS):
-        deg = (
-            cur.select("label", F.col("u").alias("node"))
-            .unionAll(cur.select("label", F.col("v").alias("node")))
-            .groupBy("label", "node")
-            .agg(F.count(F.lit(1)).alias("d"))
-        )
-        keep = deg.filter(F.col("d") >= k).select("label", "node")
-        nxt = (
-            cur.join(
-                keep.withColumnRenamed("node", "u"), ["label", "u"]
-            )
-            .join(keep.withColumnRenamed("node", "v"), ["label", "v"])
-            .select("label", "u", "v")
-            .localCheckpoint(eager=False)
-        )
+    for _ in range(KCORE_ROUNDS // 2):
+        nxt = _peel_step(_peel_step(cur, k), k).localCheckpoint(eager=False)
         n = nxt.count()
         if n == prev:
             break

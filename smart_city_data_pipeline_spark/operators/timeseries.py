@@ -4905,3 +4905,275 @@ ORACLES["sax_symbols"] = f"""
     FROM words WHERE word IS NOT NULL
     GROUP BY 1
 """
+
+
+# Markov removal-effect attribution (Anderl et al. 2014): channel
+# credit = how much the K-step conversion probability drops when paths
+# through that channel are severed. MATTR_ITERS truncates the
+# absorption replay (mass not absorbed within K steps is dropped
+# identically in both engines — documented K-step semantics; at K=16
+# the residual mass on this corpus is < 3%).
+MATTR_SCALE = 1 << 20
+MATTR_ITERS = 16
+MATTR_CONV = "purchase"
+
+
+def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov attribution with removal effects — the
+    principled alternative to last-touch (``attribution_last_touch``):
+    build the user-journey transition graph (START → channels →
+    CONV/NULL, truncated at the first conversion), compute the K-step
+    conversion probability by integer-grid absorption replay, then
+    re-run it with each channel severed; a channel's credit is the
+    normalized drop in conversion probability.
+
+    Engine-exact by the pagerank_types discipline: transition
+    probabilities quantize to ``n·2²⁰ DIV out_total``; mass vectors
+    are integers on the 2²⁰ grid; every step floors per edge then
+    integer-sums. The heavy leg is ONE keyed aggregate collapsing the
+    stream to the (≤ (|vocab|+1)²) edge list; the driver replays the
+    bounded recurrence (the Lloyd-collect discipline) and the oracle
+    unrolls the identical iterations as CTEs... in python on the
+    DuckDB side too: the oracle SQL embeds the recurrence REPLAYED
+    FROM THE SAME COUNTS (edge-count CTE + scenario-unrolled
+    arithmetic), so a drift in either leg hash-mismatches.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = F.sum(
+        F.when(F.col("event_type") == MATTR_CONV, 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    kept = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("cum", cum)
+        .filter(
+            (F.col("cum") - F.when(F.col("event_type") == MATTR_CONV, 1)
+             .otherwise(0)) == 0
+        )
+    )
+    wk = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = kept.withColumn("rn", F.row_number().over(wk)).withColumn(
+        "nxt", F.lead("event_type").over(wk)
+    )
+    start_edges = seq.filter(F.col("rn") == 1).select(
+        F.lit("START").alias("src"), F.col("event_type").alias("dst")
+    )
+    step_edges = seq.filter(F.col("event_type") != MATTR_CONV).select(
+        F.col("event_type").alias("src"),
+        F.coalesce(F.col("nxt"), F.lit("NULL")).alias("dst"),
+    )
+    edges = (
+        start_edges.unionAll(step_edges)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded: (|vocab|+1) x (|vocab|+2) over the closed enum
+    )
+
+    counts: dict[str, dict[str, int]] = {}
+    for e in edges:
+        counts.setdefault(e["src"], {})[e["dst"]] = e["n"]
+    channels = sorted(
+        {s for s in counts if s not in ("START",)}
+        | {
+            d
+            for per in counts.values()
+            for d in per
+            if d not in (MATTR_CONV, "NULL")
+        }
+    )
+    q = MATTR_SCALE
+
+    def tq(src: str, dst: str) -> int:
+        per = counts.get(src, {})
+        tot = sum(per.values())
+        return per.get(dst, 0) * q // tot if tot else 0
+
+    def replay(removed: str | None) -> int:
+        """K-step conversion mass (on the 2^20 grid) with `removed`
+        severed (transitions INTO it dropped)."""
+        mass = {
+            ch: tq("START", ch) for ch in channels if ch != removed
+        }
+        conv = tq("START", MATTR_CONV)
+        for _ in range(MATTR_ITERS):
+            new = dict.fromkeys(mass, 0)
+            for src, m in mass.items():
+                if m == 0:
+                    continue
+                for dst in channels:
+                    if dst == removed:
+                        continue
+                    new[dst] += m * tq(src, dst) // q
+                conv += m * tq(src, MATTR_CONV) // q
+            mass = new
+        return conv
+
+    p_base = replay(None)
+    drops = {ch: p_base - replay(ch) for ch in channels}
+    total_drop = sum(drops.values())
+    touches = {
+        ch: sum(counts.get(ch, {}).values()) for ch in channels
+    }
+    rows = [
+        (
+            ch,
+            int(touches[ch]),
+            int(p_base),
+            int(p_base - drops[ch]),
+            int(drops[ch]),
+            int(total_drop),
+        )
+        for ch in channels
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "channel string, n_touches long, p_base_q long, p_removed_q long,"
+        " drop_q long, total_drop_q long",
+    )
+    return df.select(
+        "channel",
+        "n_touches",
+        pround(F.col("p_base_q").cast("double") / F.lit(float(q))).alias(
+            "p_conv_base"
+        ),
+        pround(F.col("p_removed_q").cast("double") / F.lit(float(q))).alias(
+            "p_conv_removed"
+        ),
+        pround(
+            F.col("drop_q").cast("double") / F.col("p_base_q").cast("double")
+        ).alias("removal_effect"),
+        pround(
+            F.col("drop_q").cast("double")
+            / F.col("total_drop_q").cast("double")
+        ).alias("attribution_share"),
+    )
+
+
+QUERIES["markov_attribution"] = markov_attribution
+
+
+def _markov_attribution_oracle_sql() -> str:
+    # The event_type enum is closed (the BOUNDED_GROUP_COLS contract);
+    # channels = the enum minus the conversion state. The Spark side
+    # derives this from data — any divergence hash-mismatches.
+    chans = ["click", "error", "signup", "view"]
+    q = MATTR_SCALE
+    srcs = ["START"] + chans
+
+    def tcol(s: str, d: str) -> str:
+        return f"t_{s}_{d}".lower()
+
+    tmat_cols = ",\n               ".join(
+        f"COALESCE(MAX(CASE WHEN src = '{s}' AND dst = '{d}'"
+        f" THEN tq END), 0) AS {tcol(s, d)}"
+        for s in srcs
+        for d in chans + [MATTR_CONV]
+    )
+
+    def scenario(tag: str, removed: str | None) -> str:
+        live = [c for c in chans if c != removed]
+        init_mass = ", ".join(
+            f"{tcol('START', c)} AS m_{c}" for c in live
+        )
+        ctes = [
+            f"""
+        {tag}0 AS (
+            SELECT {init_mass}, {tcol('START', MATTR_CONV)} AS conv
+            FROM tmat
+        )"""
+        ]
+        for i in range(1, MATTR_ITERS + 1):
+            new_mass = ", ".join(
+                "("
+                + " + ".join(
+                    f"p.m_{s} * t.{tcol(s, d)} // {q}" for s in live
+                )
+                + f") AS m_{d}"
+                for d in live
+            )
+            conv_inc = " + ".join(
+                f"p.m_{s} * t.{tcol(s, MATTR_CONV)} // {q}" for s in live
+            )
+            ctes.append(
+                f"""
+        {tag}{i} AS (
+            SELECT {new_mass}, p.conv + {conv_inc} AS conv
+            FROM {tag}{i - 1} p, tmat t
+        )"""
+            )
+        return ",".join(ctes)
+
+    scen_sql = ",".join(
+        [scenario("b", None)]
+        + [scenario(f"r{j}", ch) for j, ch in enumerate(chans)]
+    )
+    drops = " + ".join(
+        f"(SELECT conv FROM b{MATTR_ITERS})"
+        f" - (SELECT conv FROM r{j}{MATTR_ITERS})"
+        for j in range(len(chans))
+    )
+    rows = " UNION ALL ".join(
+        f"""
+        SELECT '{ch}' AS channel,
+               (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM counts
+                WHERE src = '{ch}') AS n_touches,
+               (SELECT conv FROM b{MATTR_ITERS}) AS p_base_q,
+               (SELECT conv FROM r{j}{MATTR_ITERS}) AS p_removed_q,
+               (SELECT conv FROM b{MATTR_ITERS})
+                   - (SELECT conv FROM r{j}{MATTR_ITERS}) AS drop_q,
+               ({drops}) AS total_drop_q"""
+        for j, ch in enumerate(chans)
+    )
+    return f"""
+        WITH kept AS (
+            SELECT user_id, ts, event_id, event_type,
+                   ROW_NUMBER() OVER uw AS rn,
+                   LEAD(event_type) OVER uw AS nxt
+            FROM (
+                SELECT user_id, ts, event_id, event_type,
+                       SUM(CASE WHEN event_type = '{MATTR_CONV}'
+                           THEN 1 ELSE 0 END) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum
+                FROM events
+            )
+            WHERE cum - (CASE WHEN event_type = '{MATTR_CONV}'
+                         THEN 1 ELSE 0 END) = 0
+            WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        edges AS (
+            SELECT 'START' AS src, event_type AS dst FROM kept WHERE rn = 1
+            UNION ALL
+            SELECT event_type, COALESCE(nxt, 'NULL') FROM kept
+            WHERE event_type <> '{MATTR_CONV}'
+        ),
+        counts AS (
+            SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+            FROM edges GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT src, dst,
+                   n * {q} // SUM(n) OVER (PARTITION BY src) AS tq
+            FROM counts
+        ),
+        tmat AS MATERIALIZED (
+            SELECT {tmat_cols}
+            FROM t
+        ),{scen_sql}
+        SELECT channel, n_touches,
+               {pround_sql(f'CAST(p_base_q AS DOUBLE) / {float(q)}')}
+                   AS p_conv_base,
+               {pround_sql(f'CAST(p_removed_q AS DOUBLE) / {float(q)}')}
+                   AS p_conv_removed,
+               {pround_sql(
+                   'CAST(drop_q AS DOUBLE) / CAST(p_base_q AS DOUBLE)'
+               )} AS removal_effect,
+               {pround_sql(
+                   'CAST(drop_q AS DOUBLE) / CAST(total_drop_q AS DOUBLE)'
+               )} AS attribution_share
+        FROM ({rows})
+    """
+
+
+ORACLES["markov_attribution"] = _markov_attribution_oracle_sql()
