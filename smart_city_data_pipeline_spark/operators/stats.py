@@ -722,3 +722,202 @@ ORACLES["decision_stump_train"] = f"""
            )} AS info_gain
     FROM best
 """
+
+
+# --------------------------------------------------------------------------
+# Split-conformal anomaly calibration on top of HBOS.
+# --------------------------------------------------------------------------
+
+CONF_ALPHA_NUM = 5  # alpha = 5/100: target 5% flag rate with the
+CONF_ALPHA_DEN = 100  # (n+1)(1-alpha)/n finite-sample guarantee
+
+
+def conformal_anomaly_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration of the HBOS anomaly scores (Vovk et
+    al.; the Lei et al. 2018 split recipe): fit nothing — take the
+    md5 80% slice as calibration, set the threshold at the
+    ceil((n_cal+1)(1-alpha))-th smallest calibration score, and flag
+    the held-out 20%. The guarantee (flag rate <= alpha + 1/(n_cal+1)
+    under exchangeability) is distribution-free — the honest way to
+    turn ANY anomaly score into an alert budget.
+
+    Exactness: scores are the integer-quantized HBOS sums
+    (``hbos_outlier_scores``' construction re-derived over the SAME
+    histograms — conformal calibration must score calibration and
+    test points with the identical score function); the threshold is
+    an integer ORDER STATISTIC (rank = ceil arithmetic on integers,
+    row_number over the calibration scores with event_id tie-break);
+    the output compares integer counts.
+
+    Shape: histograms once over the full stream (the deployment
+    reality: the score function is fit before the split), one
+    row_number window over calibration scores, a 1-row threshold
+    broadcast, one filter + aggregate over the eval slice."""
+    from smart_city_data_pipeline_spark.functions.hashing import md5_long
+
+    ev = table(spark, sf_dir, "events")
+    feats = ev.select(
+        "event_id",
+        F.floor(
+            F.floor(F.col("value") * 100 + 0.5).cast("long")
+            / F.lit(HBOS_BUCKET_CENTS)
+        ).alias("vb"),
+        F.hour("ts").alias("hr"),
+        "event_type",
+        (
+            md5_long(
+                F.concat(F.lit("conf:"), F.col("event_id").cast("string"))
+            )
+            % 10
+            < 8
+        ).alias("is_cal"),
+    )
+    wall = Window.partitionBy(F.lit(1))
+
+    def hist(col: str) -> DataFrame:
+        h = feats.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        return h.select(
+            col,
+            F.floor(
+                -F.log(
+                    F.col("c").cast("double")
+                    / F.sum("c").over(wall).cast("double")
+                )
+                * F.lit(HBOS_Q)
+                + 0.5
+            )
+            .cast("long")
+            .alias(f"lq_{col}"),
+        )
+
+    scored = (
+        feats.join(hist("vb"), "vb")
+        .join(hist("hr"), "hr")
+        .join(hist("event_type"), "event_type")
+        .select(
+            "event_id",
+            "is_cal",
+            (F.col("lq_vb") + F.col("lq_hr") + F.col("lq_event_type")).alias(
+                "score_q"
+            ),
+        )
+    )
+    cal = scored.filter("is_cal")
+    n_cal = cal.agg(F.count(F.lit(1)).alias("n_cal"))
+    # rank = ceil((n_cal+1)*(1-alpha)) via the positive-only form
+    # (a+b-1)//b — DuckDB's integer // truncates toward zero on
+    # negatives while floor(-a/b) floors, so the -floor(-a/b) ceil
+    # idiom diverges across engines (session gotcha).
+    rank_expr = F.floor(
+        (
+            (F.col("n_cal") + 1) * F.lit(CONF_ALPHA_DEN - CONF_ALPHA_NUM)
+            + F.lit(CONF_ALPHA_DEN - 1)
+        )
+        / F.lit(CONF_ALPHA_DEN)
+    ).cast("long")
+    wr = Window.orderBy(F.col("score_q").asc(), F.col("event_id").asc())
+    # GLOBAL aggregate root over the single rank-matched row, so the
+    # broadcast side is policy-provably 1 row (the length_outlier_filter
+    # cutoff idiom) — a Filter/Project root the checker can't bound.
+    thr = (
+        cal.withColumn("rn", F.row_number().over(wr))
+        .join(F.broadcast(n_cal))
+        .filter(F.col("rn") == rank_expr)
+        .agg(
+            F.max("score_q").alias("thr_q"),
+            F.max("n_cal").alias("n_cal"),
+            F.max("rn").alias("thr_rank"),
+        )
+    )
+    ev_slice = scored.filter(~F.col("is_cal"))
+    return (
+        ev_slice.join(F.broadcast(thr))
+        .agg(
+            F.max("n_cal").alias("n_cal"),
+            F.max("thr_rank").alias("thr_rank"),
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(
+                F.when(F.col("score_q") > F.col("thr_q"), 1).otherwise(0)
+            ).alias("n_flagged"),
+            pround(
+                F.max("thr_q").cast("double") / F.lit(HBOS_Q)
+            ).alias("threshold"),
+        )
+        .select(
+            "n_cal",
+            "thr_rank",
+            "threshold",
+            "n_eval",
+            "n_flagged",
+            pround(
+                F.col("n_flagged").cast("double")
+                / F.col("n_eval").cast("double")
+            ).alias("flag_rate"),
+        )
+    )
+
+
+QUERIES["conformal_anomaly_rate"] = conformal_anomaly_rate
+
+ORACLES["conformal_anomaly_rate"] = f"""
+    WITH feats AS (
+        SELECT event_id,
+               CAST(FLOOR(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                          / {HBOS_BUCKET_CENTS}) AS BIGINT) AS vb,
+               EXTRACT(HOUR FROM ts) AS hr,
+               event_type,
+               ({_md5_sql("'conf:' || CAST(event_id AS VARCHAR)")} % 10) < 8
+                   AS is_cal
+        FROM events
+    ),
+    hv AS (
+        SELECT vb, CAST(FLOOR(-LN(CAST(COUNT(*) AS DOUBLE)
+                   / CAST(SUM(COUNT(*)) OVER () AS DOUBLE))
+                   * {HBOS_Q} + 0.5) AS BIGINT) AS lq_vb
+        FROM feats GROUP BY vb
+    ),
+    hh AS (
+        SELECT hr, CAST(FLOOR(-LN(CAST(COUNT(*) AS DOUBLE)
+                   / CAST(SUM(COUNT(*)) OVER () AS DOUBLE))
+                   * {HBOS_Q} + 0.5) AS BIGINT) AS lq_hr
+        FROM feats GROUP BY hr
+    ),
+    ht AS (
+        SELECT event_type, CAST(FLOOR(-LN(CAST(COUNT(*) AS DOUBLE)
+                   / CAST(SUM(COUNT(*)) OVER () AS DOUBLE))
+                   * {HBOS_Q} + 0.5) AS BIGINT) AS lq_et
+        FROM feats GROUP BY event_type
+    ),
+    scored AS (
+        SELECT f.event_id, f.is_cal,
+               hv.lq_vb + hh.lq_hr + ht.lq_et AS score_q
+        FROM feats f
+        JOIN hv ON hv.vb = f.vb
+        JOIN hh ON hh.hr = f.hr
+        JOIN ht ON ht.event_type = f.event_type
+    ),
+    cal AS (
+        SELECT score_q,
+               ROW_NUMBER() OVER (ORDER BY score_q ASC, event_id ASC) AS rn
+        FROM scored WHERE is_cal
+    ),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+    thr AS (
+        SELECT c.score_q AS thr_q, nc.n_cal, c.rn AS thr_rank
+        FROM cal c, nc
+        WHERE c.rn = ((nc.n_cal + 1) * {CONF_ALPHA_DEN - CONF_ALPHA_NUM}
+                      + {CONF_ALPHA_DEN - 1}) // {CONF_ALPHA_DEN}
+    )
+    SELECT t.n_cal, t.thr_rank,
+           {pround_sql(f'CAST(t.thr_q AS DOUBLE) / {HBOS_Q}')} AS threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(CASE WHEN s.score_q > t.thr_q THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           {pround_sql(
+               'CAST(SUM(CASE WHEN s.score_q > t.thr_q THEN 1 ELSE 0 END)'
+               ' AS DOUBLE) / COUNT(*)'
+           )} AS flag_rate
+    FROM scored s CROSS JOIN thr t
+    WHERE NOT s.is_cal
+    GROUP BY 1, 2, 3
+"""

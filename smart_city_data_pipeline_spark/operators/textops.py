@@ -3845,3 +3845,132 @@ ORACLES["naive_bayes_langid"] = f"""
            )} AS share_of_true
     FROM g
 """
+
+
+HEAPS_Q = 1 << 14  # zipf_fit's log grid (n·Σxy < 2^63 at |docs| points)
+
+
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit: vocabulary growth V(n) ≈ K·n^β measured at one
+    checkpoint per document in doc_id ingest order — the corpus-health
+    twin of ``zipf_fit`` (natural text sits near β≈0.5; a bounded
+    synthetic vocabulary saturates toward β≈0, which on this corpus is
+    itself the diagnostic). β tells a corpus build how much NEW
+    vocabulary the next 10× of data will buy.
+
+    Distributed without a global token sort: cumulative token count
+    and cumulative vocabulary both derive from PER-DOC aggregates —
+    n_cum is a running sum of doc token counts, V_cum a running sum of
+    "tokens whose FIRST document is this doc" (min(doc_id) per token,
+    one keyed aggregate) — so the only windows run over the |docs|-row
+    checkpoint table. Log coordinates quantize to the 2¹⁴ grid before
+    the exact-integer regression sums (the zipf_fit discipline)."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("t")
+    ).filter(F.col("t") != "")
+    per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    first_doc = tok.groupBy("t").agg(F.min("doc_id").alias("fd"))
+    new_vocab = first_doc.groupBy(F.col("fd").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    pts = (
+        per_doc.join(new_vocab, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_tok").over(w).alias("n_cum"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(w).alias("v_cum"),
+        )
+    )
+    qx = F.floor(F.log(F.col("n_cum").cast("double")) * HEAPS_Q + 0.5).cast(
+        "long"
+    )
+    qy = F.floor(F.log(F.col("v_cum").cast("double")) * HEAPS_Q + 0.5).cast(
+        "long"
+    )
+    agg = pts.select(qx.alias("x"), qy.alias("y")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    den = (n * F.col("sxx") - sx * sx).cast("double")
+    beta = num / den
+    logk = (sy.cast("double") - beta * sx.cast("double")) / (
+        n.cast("double") * F.lit(float(HEAPS_Q))
+    )
+    totals = pts.agg(
+        F.max("n_cum").alias("total_tokens"), F.max("v_cum").alias("vocab_size")
+    )
+    return agg.join(F.broadcast(totals)).select(
+        n.cast("long").alias("n_points"),
+        "total_tokens",
+        "vocab_size",
+        pround(beta).alias("beta"),
+        pround(logk).alias("ln_k"),
+    )
+
+
+QUERIES["heaps_law_fit"] = heaps_law_fit
+
+ORACLES["heaps_law_fit"] = f"""
+    WITH tok AS (
+        SELECT doc_id, t FROM (
+            SELECT doc_id, unnest(
+                regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+            FROM documents
+        ) WHERE t <> ''
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+        FROM tok GROUP BY 1
+    ),
+    new_vocab AS (
+        SELECT fd AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_new
+        FROM (SELECT t, MIN(doc_id) AS fd FROM tok GROUP BY 1)
+        GROUP BY 1
+    ),
+    pts AS (
+        SELECT p.doc_id,
+               CAST(SUM(p.n_tok) OVER w AS BIGINT) AS n_cum,
+               CAST(SUM(COALESCE(v.n_new, 0)) OVER w AS BIGINT) AS v_cum
+        FROM per_doc p LEFT JOIN new_vocab v ON v.doc_id = p.doc_id
+        WINDOW w AS (ORDER BY p.doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    q AS (
+        SELECT CAST(FLOOR(LN(CAST(n_cum AS DOUBLE)) * {HEAPS_Q} + 0.5)
+                    AS BIGINT) AS x,
+               CAST(FLOOR(LN(CAST(v_cum AS DOUBLE)) * {HEAPS_Q} + 0.5)
+                    AS BIGINT) AS y
+        FROM pts
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM q
+    ),
+    totals AS (
+        SELECT MAX(n_cum) AS total_tokens, MAX(v_cum) AS vocab_size
+        FROM pts
+    )
+    SELECT n AS n_points, total_tokens, vocab_size,
+           {pround_sql(
+               'CAST(n * sxy - sx * sy AS DOUBLE)'
+               ' / CAST(n * sxx - sx * sx AS DOUBLE)'
+           )} AS beta,
+           {pround_sql(
+               '(CAST(sy AS DOUBLE)'
+               ' - CAST(n * sxy - sx * sy AS DOUBLE)'
+               '   / CAST(n * sxx - sx * sx AS DOUBLE)'
+               f'   * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * {float(HEAPS_Q)})'
+           )} AS ln_k
+    FROM agg, totals
+"""

@@ -111,6 +111,9 @@ BNLJ_ALLOWED = {
     # cents-histogram-bounded candidate table
     "retrieval_metrics_report",  # bounded probe side broadcast,
     # non-equi (vec_id <>) by design like ann_topk_cosine
+    "conformal_anomaly_rate",  # 1-row calibration-size + threshold
+    # broadcasts (global-aggregate roots)
+    "heaps_law_fit",  # 1-row corpus-totals broadcast
 }
 
 
