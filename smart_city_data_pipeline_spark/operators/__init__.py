@@ -102,7 +102,8 @@ _GATE_FIRST = [
     # hll_merge_audit, naive_bayes_langid, ab_test_report,
     # decision_stump_train, winnowing_fingerprints,
     # retrieval_metrics_report, encoding_plan_report,
-    # markov_attribution, conformal_anomaly_rate, heaps_law_fit, ...)
+    # markov_attribution, conformal_anomaly_rate, heaps_law_fit,
+    # graph_bfs_levels, ...)
     # are judge-only this round and MUST lead the r8 window, before
     # the displaced r4 keys below.
     # rotate-back wave: every remaining r4 key was displaced to the

@@ -3074,3 +3074,110 @@ def _retrieval_metrics_oracle_sql() -> str:
 
 
 ORACLES["retrieval_metrics_report"] = _retrieval_metrics_oracle_sql()
+
+
+BFS_MAX_LEVEL = 3  # bounded-depth census (the dup-neighborhood radius)
+
+
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS distance census over the near-dup graph: from each label's
+    CANONICAL node (lowest vec_id — the doc a dedup pass would keep),
+    how many nodes sit at hop distance 1, 2, 3 — the "how far does
+    transitive near-duplication reach from the keeper" question that
+    decides whether cluster-collapse dedup is safe (tight star) or
+    over-deletes (long chains; compare ``kcore_decompose``'s density
+    view and ``dedup_clusters``' full components).
+
+    Spark-first BFS: frontier expansion with an anti-join against the
+    visited set per level — O(edges) per level, LEVELS bounded at 3,
+    every join keyed on (label, node); no path enumeration. The
+    DuckDB oracle instead enumerates walks with a depth-capped
+    recursive CTE and takes MIN(level) per node — the SPEC form
+    (exponential in depth, fine at the gate's scale) checking the
+    efficient frontier implementation.
+
+    Integer counts end-to-end."""
+    from smart_city_data_pipeline_spark.operators.dedup import (
+        embedding_neardup,
+    )
+
+    e0 = embedding_neardup(spark, sf_dir).select(
+        "label", F.col("vec_a").alias("u"), F.col("vec_b").alias("v")
+    )
+    edges = (
+        e0.unionAll(
+            e0.select("label", F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    nodes = edges.select("label", F.col("u").alias("node")).distinct()
+    seeds = nodes.groupBy("label").agg(F.min("node").alias("node"))
+    visited = seeds.select("label", "node", F.lit(0).alias("lvl"))
+    frontier = visited
+    hop = edges.select(
+        "label", F.col("u").alias("node"), F.col("v").alias("nbr")
+    )
+    for lvl in range(1, BFS_MAX_LEVEL + 1):
+        nxt = (
+            frontier.select("label", "node")
+            .join(hop, ["label", "node"])
+            .select("label", F.col("nbr").alias("node"))
+            .distinct()
+            .join(visited.select("label", "node"), ["label", "node"], "left_anti")
+            .select("label", "node", F.lit(lvl).alias("lvl"))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited.groupBy("label", "lvl").agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+
+
+QUERIES["graph_bfs_levels"] = graph_bfs_levels
+
+
+def _bfs_oracle_sql() -> str:
+    from smart_city_data_pipeline_spark.operators.dedup import (
+        COSINE_NEARDUP_THRESHOLD,
+    )
+
+    return f"""
+        WITH RECURSIVE emb AS (
+            SELECT vec_id, label, embedding,
+                   sqrt({dot_sql('embedding', 'embedding')}) AS nrm
+            FROM embeddings
+        ),
+        half AS MATERIALIZED (
+            SELECT a.label, a.vec_id AS u, b.vec_id AS v
+            FROM emb a
+            JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE {dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+                  >= {COSINE_NEARDUP_THRESHOLD}
+        ),
+        edges AS MATERIALIZED (
+            SELECT label, u, v FROM half
+            UNION ALL
+            SELECT label, v, u FROM half
+        ),
+        seeds AS (
+            SELECT label, MIN(u) AS node FROM edges GROUP BY 1
+        ),
+        walk(label, node, lvl) AS (
+            SELECT label, node, 0 FROM seeds
+            UNION ALL
+            SELECT e.label, e.v, w.lvl + 1
+            FROM walk w
+            JOIN edges e ON e.label = w.label AND e.u = w.node
+            WHERE w.lvl < {BFS_MAX_LEVEL}
+        ),
+        dist AS (
+            SELECT label, node, MIN(lvl) AS lvl
+            FROM walk GROUP BY 1, 2
+        )
+        SELECT label, lvl, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM dist GROUP BY 1, 2
+    """
+
+
+ORACLES["graph_bfs_levels"] = _bfs_oracle_sql()
