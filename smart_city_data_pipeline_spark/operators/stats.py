@@ -172,7 +172,17 @@ def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~F.col("is_exp"), 1).otherwise(0)).alias("ca"),
         )
     )
-    wt = Window.partitionBy("event_type")
+    return psi_finish(per, ["event_type"])
+
+
+def psi_finish(per: DataFrame, keys: list[str]) -> DataFrame:
+    """Shared PSI finisher — the batch report and the streaming drift
+    monitor import this one function, so the two paths cannot drift.
+    ``per``: one row per (*keys, bucket) with exact integer counts
+    ``ce`` (expected) and ``ca`` (actual). Totals ride window sums
+    over the bucket-bounded table; terms quantize to the 2^20 grid per
+    bucket; the verdict compares integers."""
+    wt = Window.partitionBy(*keys)
     per = per.withColumn("ne", F.sum("ce").over(wt)).withColumn(
         "na", F.sum("ca").over(wt)
     )
@@ -186,7 +196,7 @@ def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tq = F.when(both, F.floor(term * F.lit(PSI_Q) + 0.5).cast("long")).otherwise(
         F.lit(0)
     )
-    agg = per.groupBy("event_type").agg(
+    agg = per.groupBy(*keys).agg(
         F.max("ne").alias("n_expected"),
         F.max("na").alias("n_actual"),
         F.sum(F.when(both, 1).otherwise(0)).alias("n_buckets"),
@@ -194,7 +204,7 @@ def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(tq).alias("psi_q"),
     )
     return agg.select(
-        "event_type",
+        *keys,
         "n_expected",
         "n_actual",
         "n_buckets",
@@ -204,6 +214,14 @@ def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("psi_q") * 4 < F.lit(int(PSI_Q)), "moderate")
         .otherwise("shifted")
         .alias("stability"),
+    )
+
+
+def psi_value_bucket(col: Column = None) -> Column:
+    """The shared cents bucket key (batch report + streaming monitor)."""
+    c = col if col is not None else F.col("value")
+    return F.floor(
+        (c * 100 + 0.5).cast("long") / F.lit(PSI_BUCKET_CENTS)
     )
 
 
