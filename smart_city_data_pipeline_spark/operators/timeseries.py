@@ -5177,3 +5177,139 @@ def _markov_attribution_oracle_sql() -> str:
 
 
 ORACLES["markov_attribution"] = _markov_attribution_oracle_sql()
+
+
+def asof_nearest_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD and NEAREST as-of joins — the other two members of the
+    as-of family (``asof_enrich`` is backward-only): for each 'view'
+    reading, the earliest 'error' at-or-after it, the latest at-or-
+    before it, and the NEAREST of the two by absolute gap (ties to the
+    earlier — kdb's ``aj`` convention). Forward as-of is what
+    event-outcome labeling needs ("the first alarm AFTER this
+    reading"); nearest is the sensor-fusion default.
+
+    Same scalable shape as the backward operator: tag/union/one
+    ``last(ignorenulls)`` window per direction (the descending-order
+    window IS the forward fill — iterating decreasing ts, the last
+    non-null seen is the closest later error), one shuffle on the
+    key, linear work. Gaps are exact BIGINT epoch-second differences;
+    the nearest decision compares integers. Oracle: DuckDB's native
+    ASOF JOIN in both directions plus the same integer CASE."""
+    ev = table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("double").alias("r_value"),
+        F.lit(None).cast("timestamp").alias("r_ts"),
+        F.lit(0).alias("is_r"),
+    )
+    right = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("r_value"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("long").alias("event_id"),
+            "r_value",
+            F.col("ts").alias("r_ts"),
+            F.lit(1).alias("is_r"),
+        )
+    )
+    u = left.unionAll(right)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_r").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("is_r").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        u.withColumn("prev_value", F.last("r_value", ignorenulls=True).over(wb))
+        .withColumn("prev_ts", F.last("r_ts", ignorenulls=True).over(wb))
+        .withColumn("next_value", F.last("r_value", ignorenulls=True).over(wf))
+        .withColumn("next_ts", F.last("r_ts", ignorenulls=True).over(wf))
+        .filter(F.col("is_r") == 0)
+    )
+    sec = lambda c: (F.unix_micros(c) / 1_000_000).cast("long")  # noqa: E731
+    prev_gap = sec(F.col("ts")) - sec(F.col("prev_ts"))
+    next_gap = sec(F.col("next_ts")) - sec(F.col("ts"))
+    nearest_side = (
+        F.when(F.col("prev_ts").isNull() & F.col("next_ts").isNull(), "none")
+        .when(F.col("next_ts").isNull(), "prev")
+        .when(F.col("prev_ts").isNull(), "next")
+        .when(prev_gap <= next_gap, "prev")
+        .otherwise("next")
+    )
+    return filled.select(
+        "event_id",
+        "user_id",
+        "ts",
+        prev_gap.alias("prev_gap_s"),
+        next_gap.alias("next_gap_s"),
+        nearest_side.alias("nearest_side"),
+        pround(
+            F.when(nearest_side == "prev", F.col("prev_value"))
+            .when(nearest_side == "next", F.col("next_value"))
+        ).alias("nearest_error_value"),
+    )
+
+
+QUERIES["asof_nearest_enrich"] = asof_nearest_enrich
+
+ORACLES["asof_nearest_enrich"] = f"""
+    WITH views AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+    ),
+    errs AS (
+        SELECT user_id, ts,
+               arg_max(value, event_id) AS r_value
+        FROM events WHERE event_type = 'error' GROUP BY 1, 2
+    ),
+    back AS (
+        SELECT v.user_id, v.ts, v.event_id,
+               e.r_value AS prev_value, e.ts AS prev_ts
+        FROM views v
+        ASOF LEFT JOIN errs e
+            ON v.user_id = e.user_id AND v.ts >= e.ts
+    ),
+    fwd AS (
+        SELECT v.user_id, v.ts, v.event_id,
+               e.r_value AS next_value, e.ts AS next_ts
+        FROM views v
+        ASOF LEFT JOIN errs e
+            ON v.user_id = e.user_id AND v.ts <= e.ts
+    ),
+    j AS (
+        SELECT b.event_id, b.user_id, b.ts,
+               b.prev_value, b.prev_ts, f.next_value, f.next_ts,
+               (epoch_us(b.ts) // 1000000)
+                   - (epoch_us(b.prev_ts) // 1000000) AS prev_gap_s,
+               (epoch_us(f.next_ts) // 1000000)
+                   - (epoch_us(b.ts) // 1000000) AS next_gap_s
+        FROM back b
+        JOIN fwd f ON f.event_id = b.event_id
+    ),
+    sided AS (
+        SELECT *,
+               CASE WHEN prev_ts IS NULL AND next_ts IS NULL THEN 'none'
+                    WHEN next_ts IS NULL THEN 'prev'
+                    WHEN prev_ts IS NULL THEN 'next'
+                    WHEN prev_gap_s <= next_gap_s THEN 'prev'
+                    ELSE 'next' END AS nearest_side
+        FROM j
+    )
+    SELECT event_id, user_id, ts,
+           CAST(prev_gap_s AS BIGINT) AS prev_gap_s,
+           CAST(next_gap_s AS BIGINT) AS next_gap_s,
+           nearest_side,
+           {pround_sql(
+               "CASE WHEN nearest_side = 'prev' THEN prev_value"
+               " WHEN nearest_side = 'next' THEN next_value END"
+           )} AS nearest_error_value
+    FROM sided
+"""
