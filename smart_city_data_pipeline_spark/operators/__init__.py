@@ -103,7 +103,8 @@ _GATE_FIRST = [
     # decision_stump_train, winnowing_fingerprints,
     # retrieval_metrics_report, encoding_plan_report,
     # markov_attribution, conformal_anomaly_rate, heaps_law_fit,
-    # graph_bfs_levels, asof_nearest_enrich, ...)
+    # graph_bfs_levels, asof_nearest_enrich,
+    # label_propagation_communities, ...)
     # are judge-only this round and MUST lead the r8 window, before
     # the displaced r4 keys below.
     # rotate-back wave: every remaining r4 key was displaced to the

@@ -3181,3 +3181,122 @@ def _bfs_oracle_sql() -> str:
 
 
 ORACLES["graph_bfs_levels"] = _bfs_oracle_sql()
+
+
+LP_ROUNDS = 4  # synchronous label-propagation rounds (deterministic)
+
+
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the near-dup graph — the community view between
+    connected components (``dedup_clusters``: too coarse, one giant
+    component absorbs chains) and k-core density (no membership).
+    Deterministic variant: every node starts as its own label; each
+    round every node adopts the (count, label)-max label among its
+    neighbors' current labels (struct-max — most frequent, ties to the
+    LARGER label id, no randomness); exactly LP_ROUNDS synchronous
+    rounds in BOTH engines (LPA has no convergence guarantee —
+    oscillation is broken by the fixed round count, identical on both
+    sides). Output: per community, size and member span.
+
+    Shape: each round is one join (neighbor labels) + one keyed
+    aggregate — the dedup_clusters iteration discipline with
+    localCheckpoint lineage breaks; the oracle replays the identical
+    rounds as a recursive CTE carrying (node, label) state."""
+    from smart_city_data_pipeline_spark.operators.dedup import (
+        embedding_neardup,
+    )
+
+    e0 = embedding_neardup(spark, sf_dir).select(
+        "label", F.col("vec_a").alias("u"), F.col("vec_b").alias("v")
+    )
+    edges = (
+        e0.unionAll(
+            e0.select("label", F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .withColumnRenamed("label", "part")
+        .localCheckpoint(eager=False)
+    )
+    state = (
+        edges.select("part", F.col("u").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(LP_ROUNDS):
+        nbr = edges.join(
+            state.select(
+                "part", F.col("node").alias("v"), F.col("lbl").alias("nlbl")
+            ),
+            ["part", "v"],
+        )
+        votes = nbr.groupBy("part", "u", "nlbl").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        state = (
+            votes.groupBy("part", F.col("u").alias("node"))
+            .agg(
+                F.max(F.struct(F.col("c"), F.col("nlbl")))["nlbl"].alias(
+                    "lbl"
+                )
+            )
+            .localCheckpoint(eager=False)
+        )
+    return state.groupBy("part", F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).alias("size"),
+        F.min("node").alias("min_member"),
+        F.max("node").alias("max_member"),
+    )
+
+
+QUERIES["label_propagation_communities"] = label_propagation_communities
+
+
+def _lp_oracle_sql() -> str:
+    from smart_city_data_pipeline_spark.operators.dedup import (
+        COSINE_NEARDUP_THRESHOLD,
+    )
+
+    return f"""
+        WITH RECURSIVE emb AS (
+            SELECT vec_id, label, embedding,
+                   sqrt({dot_sql('embedding', 'embedding')}) AS nrm
+            FROM embeddings
+        ),
+        half AS MATERIALIZED (
+            SELECT a.label AS part, a.vec_id AS u, b.vec_id AS v
+            FROM emb a
+            JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE {dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+                  >= {COSINE_NEARDUP_THRESHOLD}
+        ),
+        edges AS MATERIALIZED (
+            SELECT part, u, v FROM half
+            UNION ALL
+            SELECT part, v, u FROM half
+        ),
+        lp(t, part, node, lbl) AS (
+            SELECT 0, part, u, u FROM (SELECT DISTINCT part, u FROM edges)
+            UNION ALL
+            SELECT t, part, node,
+                   struct_extract(MAX({{'c': cnt, 'lbl': nlbl}}), 'lbl')
+            FROM (
+                SELECT p.t + 1 AS t, e.part AS part, e.u AS node,
+                       p.lbl AS nlbl, COUNT(*) AS cnt
+                FROM lp p
+                JOIN edges e ON e.part = p.part AND e.v = p.node
+                WHERE p.t < {LP_ROUNDS}
+                GROUP BY 1, 2, 3, 4
+            )
+            GROUP BY 1, 2, 3
+        )
+        SELECT part, lbl AS community,
+               CAST(COUNT(*) AS BIGINT) AS size,
+               CAST(MIN(node) AS BIGINT) AS min_member,
+               CAST(MAX(node) AS BIGINT) AS max_member
+        FROM lp WHERE t = {LP_ROUNDS}
+        GROUP BY 1, 2
+    """
+
+
+ORACLES["label_propagation_communities"] = _lp_oracle_sql()
