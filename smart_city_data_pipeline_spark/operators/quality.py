@@ -443,3 +443,93 @@ ORACLES = {
     "benford_digit_test": _benford_oracle(),
     "k_anonymity_audit": _k_anonymity_oracle(),
 }
+
+
+L_DIV_THRESHOLDS = (2, 3, 5)
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the attack
+    k-anonymity misses: a class can hold k rows yet leak if they all
+    share ONE sensitive value (homogeneity attack). Same release
+    quasi-identifiers as ``k_anonymity_audit``; sensitive attribute =
+    the reporting sensor (user_id). One row per l ∈ {2, 3, 5}:
+    classes with fewer than l DISTINCT sensitive values, rows living
+    in them, worst-class diversity, and the verdict.
+
+    Plan: one groupBy of the fact into (QI class → size, distinct
+    sensitive) — countDistinct is exact and map-side partial over the
+    QI-grid-bounded class table — then the l-curve rides a broadcast
+    literal cross join exactly like the k-curve. Integer counts; one
+    final division."""
+    ev = table(spark, sf_dir, "events")
+    classes = ev.groupBy(
+        F.col("event_type").alias("zone"),
+        F.hour(F.col("ts")).alias("hod"),
+        F.floor(F.col("value") / 25.0).cast("long").alias("vbucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("sz"),
+        F.countDistinct("user_id").cast("long").alias("div"),
+    )
+    ls = spark.createDataFrame([(l,) for l in L_DIV_THRESHOLDS], "l int")
+    return (
+        classes.crossJoin(F.broadcast(ls))
+        .groupBy("l")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum(F.when(F.col("div") < F.col("l"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_homogeneous"),
+            F.sum(F.when(F.col("div") < F.col("l"), F.col("sz")).otherwise(0))
+            .cast("long")
+            .alias("rows_at_risk"),
+            F.sum("sz").cast("long").alias("n_rows"),
+            F.min("div").cast("long").alias("min_diversity"),
+        )
+        .select(
+            "l",
+            "n_classes",
+            "n_homogeneous",
+            "rows_at_risk",
+            "min_diversity",
+            (F.col("min_diversity") >= F.col("l")).alias("l_diverse"),
+            pround(
+                F.col("rows_at_risk").cast("double")
+                / F.col("n_rows").cast("double")
+            ).alias("risk_share"),
+        )
+    )
+
+
+QUERIES["l_diversity_audit"] = l_diversity_audit
+
+ORACLES["l_diversity_audit"] = f"""
+    WITH classes AS (
+        SELECT event_type AS zone,
+               EXTRACT(HOUR FROM ts) AS hod,
+               CAST(FLOOR(value / 25.0) AS BIGINT) AS vbucket,
+               CAST(COUNT(*) AS BIGINT) AS sz,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS div
+        FROM events GROUP BY 1, 2, 3
+    ),
+    ls AS (SELECT unnest(ARRAY{list(L_DIV_THRESHOLDS)}) AS l),
+    g AS (
+        SELECT l,
+               CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(CASE WHEN div < l THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_homogeneous,
+               CAST(SUM(CASE WHEN div < l THEN sz ELSE 0 END) AS BIGINT)
+                   AS rows_at_risk,
+               CAST(SUM(sz) AS BIGINT) AS n_rows,
+               CAST(MIN(div) AS BIGINT) AS min_diversity
+        FROM classes CROSS JOIN ls
+        GROUP BY 1
+    )
+    SELECT CAST(l AS INTEGER) AS l, n_classes, n_homogeneous,
+           rows_at_risk, min_diversity,
+           (min_diversity >= l) AS l_diverse,
+           {pround_sql(
+               'CAST(rows_at_risk AS DOUBLE) / CAST(n_rows AS DOUBLE)'
+           )} AS risk_share
+    FROM g
+"""
