@@ -87,6 +87,8 @@ BNLJ_ALLOWED = {
     # zone × digit completion join; constant cost at any scale)
     "k_anonymity_audit",  # 4-row k-threshold literal broadcast over
     # the grid-bounded class table
+    "l_diversity_audit",  # 3-row l-threshold literal broadcast over
+    # the same grid-bounded class table
     "rfm_segments",  # 1-row corpus max-order-date broadcast
     "ann_recall_report",  # exact-recall ground truth: bounded probe
     # side broadcast, non-equi (vec_id <>) by design like ann_topk_cosine
