@@ -190,6 +190,13 @@ HEADLINERS = [
     "winnowing_fingerprints",
     "retrieval_metrics_report",
     "encoding_plan_report",
+    "markov_attribution",
+    "conformal_anomaly_rate",
+    "heaps_law_fit",
+    "graph_bfs_levels",
+    "asof_nearest_enrich",
+    "label_propagation_communities",
+    "l_diversity_audit",
 ]
 
 
