@@ -2430,17 +2430,19 @@ def _peel_step(cur: DataFrame, k: int) -> DataFrame:
 
 def _peel_edges(edges: DataFrame, k: int) -> DataFrame:
     """Iteratively drop edges incident to nodes of survivor-degree < k.
-    Each round is two keyed joins + one aggregate; TWO rounds run per
-    localCheckpoint+count probe (the dbscan_grid round-batching sweet
-    spot — one probe job amortizes two peel rounds; deeper batching
-    regressed there). Early exit stays sound: peeling is monotone, so
-    edge-count equality across a probe implies the fixpoint, and an
-    extra round past the fixpoint is idempotent (matching the oracle's
-    fixed KCORE_ROUNDS replay)."""
+    Each round is two keyed joins + one aggregate, one
+    localCheckpoint+count probe per round. MEASURED negative result
+    (sf0.1, min-of-3): batching TWO peel steps per probe — the
+    dbscan_grid trick — regressed 5.1 → 7.0 s here; Catalyst spends
+    more optimizing the doubled 6-join plan than the saved probe jobs
+    cost, the same cliff dbscan hit at 3 steps/probe. Early exit is
+    sound: peeling is monotone, so edge-count equality implies the
+    fixpoint, idempotent under the oracle's fixed KCORE_ROUNDS
+    replay."""
     cur = edges
     prev = -1
-    for _ in range(KCORE_ROUNDS // 2):
-        nxt = _peel_step(_peel_step(cur, k), k).localCheckpoint(eager=False)
+    for _ in range(KCORE_ROUNDS):
+        nxt = _peel_step(cur, k).localCheckpoint(eager=False)
         n = nxt.count()
         if n == prev:
             break

@@ -5313,3 +5313,115 @@ ORACLES["asof_nearest_enrich"] = f"""
            )} AS nearest_error_value
     FROM sided
 """
+
+
+def pit_training_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training-set assembly — the feature-store
+    join that prevents label leakage: for every label event (a
+    purchase), attach features computed from STRICTLY-BEFORE history
+    only (a feature timestamped AT the label instant is already
+    contaminated). Features: lifetime view count, last error reading,
+    and seconds since that error — the "as the model would have seen
+    it" snapshot per training row.
+
+    Strictness is an ORDERING bit, not a filter: the union stream
+    sorts by (ts, is_label DESC) so at equal timestamps the label row
+    precedes its same-instant features and the running aggregates
+    exclude them — one window pass per user, no correlated subqueries,
+    no per-label rescans. The oracle states the same semantics
+    declaratively (strict-inequality ASOF JOIN + correlated count),
+    checking the efficient streaming form against the spec form."""
+    ev = table(spark, sf_dir, "events")
+    labels = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("double").alias("err_v"),
+        F.lit(None).cast("timestamp").alias("err_ts"),
+        F.lit(0).alias("is_view"),
+        F.lit(1).alias("is_label"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("err_v"),
+        F.lit(None).cast("timestamp").alias("err_ts"),
+        F.lit(1).alias("is_view"),
+        F.lit(0).alias("is_label"),
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("err_v"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("long").alias("event_id"),
+            "err_v",
+            F.col("ts").alias("err_ts"),
+            F.lit(0).alias("is_view"),
+            F.lit(0).alias("is_label"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_label").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = labels.unionAll(views).unionAll(errors)
+    filled = (
+        u.withColumn("n_views_before", F.sum("is_view").over(w))
+        .withColumn("last_err_v", F.last("err_v", ignorenulls=True).over(w))
+        .withColumn("last_err_ts", F.last("err_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_label") == 1)
+    )
+    sec = lambda c: (F.unix_micros(c) / 1_000_000).cast("long")  # noqa: E731
+    return filled.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("n_views_before").cast("long").alias("n_views_before"),
+        pround(F.col("last_err_v")).alias("last_error_value"),
+        (sec(F.col("ts")) - sec(F.col("last_err_ts"))).alias(
+            "secs_since_error"
+        ),
+    )
+
+
+QUERIES["pit_training_join"] = pit_training_join
+
+ORACLES["pit_training_join"] = f"""
+    WITH labels AS (
+        SELECT user_id, ts, event_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    views AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'view'
+    ),
+    errs AS (
+        SELECT user_id, ts, arg_max(value, event_id) AS err_v
+        FROM events WHERE event_type = 'error' GROUP BY 1, 2
+    ),
+    vc AS (
+        SELECT l.event_id, CAST(COUNT(v.ts) AS BIGINT) AS n_views_before
+        FROM labels l
+        LEFT JOIN views v ON v.user_id = l.user_id AND v.ts < l.ts
+        GROUP BY 1
+    ),
+    le AS (
+        SELECT l.event_id, e.err_v, e.ts AS err_ts
+        FROM labels l
+        ASOF LEFT JOIN errs e
+            ON l.user_id = e.user_id AND l.ts > e.ts
+    )
+    SELECT l.event_id, l.user_id, l.ts,
+           vc.n_views_before,
+           {pround_sql('le.err_v')} AS last_error_value,
+           CAST((epoch_us(l.ts) // 1000000)
+                - (epoch_us(le.err_ts) // 1000000) AS BIGINT)
+               AS secs_since_error
+    FROM labels l
+    JOIN vc ON vc.event_id = l.event_id
+    JOIN le ON le.event_id = l.event_id
+"""
