@@ -5425,3 +5425,244 @@ ORACLES["pit_training_join"] = f"""
     JOIN vc ON vc.event_id = l.event_id
     JOIN le ON le.event_id = l.event_id
 """
+
+
+# CEP pattern: error -> view -> purchase, strictly ordered, each hop
+# within CEP_GAP_S seconds — Flink CEP / ClickHouse sequenceCount
+# semantics for CONTIGUOUS matches (every occurrence counts, unlike
+# the funnel family's first-completion semantics).
+CEP_PATTERN = ("error", "view", "purchase")
+CEP_GAP_S = 7200
+
+
+def cep_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern counting: per user, every
+    CONTIGUOUS occurrence of error→view→purchase where each hop
+    arrives within 2 hours — the ClickHouse ``sequenceCount`` /
+    Flink-CEP strict-contiguity primitive. Funnels ask "did the user
+    ever convert"; CEP asks "how many times did this exact incident
+    signature fire", which is what alert-correlation rules consume.
+
+    One window pass per user (two lead taps on type and ts over the
+    unique (ts, event_id) order), pure-codegen predicate, one rollup:
+    per user, match count, first/last match time — exact integer gap
+    comparisons via epoch seconds."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = lambda c: (F.unix_micros(c) / 1_000_000).cast("long")  # noqa: E731
+    seq = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("t1", F.lead("event_type", 1).over(w))
+        .withColumn("t2", F.lead("event_type", 2).over(w))
+        .withColumn("ts1", F.lead("ts", 1).over(w))
+        .withColumn("ts2", F.lead("ts", 2).over(w))
+    )
+    is_match = (
+        (F.col("event_type") == CEP_PATTERN[0])
+        & (F.col("t1") == CEP_PATTERN[1])
+        & (F.col("t2") == CEP_PATTERN[2])
+        & ((sec(F.col("ts1")) - sec(F.col("ts"))) <= CEP_GAP_S)
+        & ((sec(F.col("ts2")) - sec(F.col("ts1"))) <= CEP_GAP_S)
+    )
+    matches = seq.filter(is_match)
+    return matches.groupBy(F.col("user_id").alias("sensor_id")).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("ts").alias("first_match_ts"),
+        F.max("ts").alias("last_match_ts"),
+    )
+
+
+QUERIES["cep_pattern_counts"] = cep_pattern_counts
+
+ORACLES["cep_pattern_counts"] = f"""
+    WITH seq AS (
+        SELECT user_id, ts, event_type,
+               LEAD(event_type, 1) OVER w AS t1,
+               LEAD(event_type, 2) OVER w AS t2,
+               LEAD(ts, 1) OVER w AS ts1,
+               LEAD(ts, 2) OVER w AS ts2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id AS sensor_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           MIN(ts) AS first_match_ts,
+           MAX(ts) AS last_match_ts
+    FROM seq
+    WHERE event_type = '{CEP_PATTERN[0]}'
+      AND t1 = '{CEP_PATTERN[1]}'
+      AND t2 = '{CEP_PATTERN[2]}'
+      AND (epoch_us(ts1) // 1000000) - (epoch_us(ts) // 1000000)
+          <= {CEP_GAP_S}
+      AND (epoch_us(ts2) // 1000000) - (epoch_us(ts1) // 1000000)
+          <= {CEP_GAP_S}
+    GROUP BY 1
+"""
+
+
+# DTW geometry: 30 daily points per zone, Sakoe-Chiba band radius 3,
+# profiles mean-normalized onto a 2^12 integer grid (q_i = total_i *
+# N * 4096 DIV sum_totals — integer division, engine-identical), cell
+# cost = |qa_i - qb_j| in exact BIGINT.
+DTW_BAND = 3
+DTW_Q = 4096
+
+
+def dtw_zone_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-time-warping distance between zone daily-load profiles
+    — THE time-series similarity primitive (Sakoe & Chiba 1978; the
+    UCR-suite workhorse): which zones follow the same demand shape
+    shifted by a few days, where lockstep L1 only sees aligned days.
+    Banded (radius 3) and mean-normalized, the production DTW recipe.
+    Output per zone pair: banded DTW cost, the lockstep L1 cost, and
+    the warp gain (L1/DTW — how much alignment freedom buys).
+
+    Engine-exact min-plus DP on integers: profiles quantize by integer
+    division onto the 2^12 grid, cell costs are BIGINT |qa-qb|, and
+    the whole DP is min/plus — no floats until the displayed ratios.
+    Spark collapses the stream to the |zones|x30 profile table (one
+    keyed aggregate), collects the vocabulary-bounded series (the
+    pagerank/Lloyd discipline), and runs the banded DP on the driver;
+    for corpus-scaled collections the same DP distributes as the
+    layered recurrence the ORACLE uses: d_t(cell) = min over
+    predecessors of d_{t-1} + cost — a per-layer keyed aggregate (the
+    oracle's recursive CTE carries exactly that layer, so the spec
+    form and the efficient form check each other)."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.col("event_type").alias("zone"),
+            F.dayofmonth("ts").alias("day"),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("c"))
+        .collect()  # bounded: |zones| x 31 cells over the closed enum
+    )
+    series: dict[str, dict[int, int]] = {}
+    for r in daily:
+        series.setdefault(r["zone"], {})[r["day"]] = r["c"]
+    zones = sorted(series)
+    days = sorted({d for per in series.values() for d in per})
+    n = len(days)
+    prof = {}
+    for z in zones:
+        tot = sum(series[z].get(d, 0) for d in days)
+        prof[z] = [
+            series[z].get(d, 0) * n * DTW_Q // tot if tot else 0
+            for d in days
+        ]
+
+    INF = 1 << 60
+
+    def dtw(a: list[int], b: list[int]) -> int:
+        d = [[INF] * n for _ in range(n)]
+        for i in range(n):
+            for j in range(max(0, i - DTW_BAND), min(n, i + DTW_BAND + 1)):
+                cost = abs(a[i] - b[j])
+                if i == 0 and j == 0:
+                    d[i][j] = cost
+                    continue
+                best = INF
+                if i > 0:
+                    best = min(best, d[i - 1][j])
+                if j > 0:
+                    best = min(best, d[i][j - 1])
+                if i > 0 and j > 0:
+                    best = min(best, d[i - 1][j - 1])
+                d[i][j] = cost + best
+        return d[n - 1][n - 1]
+
+    rows = []
+    for ai, za in enumerate(zones):
+        for zb in zones[ai + 1 :]:
+            dq = dtw(prof[za], prof[zb])
+            l1 = sum(abs(x - y) for x, y in zip(prof[za], prof[zb]))
+            rows.append((za, zb, int(dq), int(l1)))
+    df = spark.createDataFrame(
+        rows, "zone_a string, zone_b string, dtw_q long, l1_q long"
+    )
+    return df.select(
+        "zone_a",
+        "zone_b",
+        "dtw_q",
+        "l1_q",
+        pround(F.col("dtw_q").cast("double") / F.lit(float(DTW_Q))).alias(
+            "dtw"
+        ),
+        pround(
+            F.col("l1_q").cast("double") / F.col("dtw_q").cast("double")
+        ).alias("warp_gain"),
+    )
+
+
+QUERIES["dtw_zone_profiles"] = dtw_zone_profiles
+
+# Layered min-plus recurrence: d_t(i,j) = min over predecessors of
+# d_{t-1} + cost(i,j) — paths of exactly t+1 cells; DTW = min over t at
+# the terminal cell (path lengths vary between N and 2N-1, so the
+# final SELECT min-aggregates across layers). The recursive working
+# table carries exactly one layer.
+ORACLES["dtw_zone_profiles"] = f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type AS zone,
+               EXTRACT(DAY FROM ts) AS day,
+               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    meta AS (
+        SELECT COUNT(DISTINCT day) AS n FROM daily
+    ),
+    prof AS (
+        SELECT zone,
+               ROW_NUMBER() OVER (PARTITION BY zone ORDER BY day) - 1 AS i,
+               CAST(c * (SELECT n FROM meta) * {DTW_Q}
+                    // SUM(c) OVER (PARTITION BY zone) AS BIGINT) AS q
+        FROM daily
+    ),
+    cells AS MATERIALIZED (
+        SELECT a.zone AS zone_a, b.zone AS zone_b,
+               a.i AS i, b.i AS j,
+               ABS(a.q - b.q) AS cost
+        FROM prof a
+        JOIN prof b ON a.zone < b.zone
+                    AND ABS(a.i - b.i) <= {DTW_BAND}
+    ),
+    layer(t, zone_a, zone_b, i, j, d) AS (
+        SELECT 0, zone_a, zone_b, i, j, cost
+        FROM cells WHERE i = 0 AND j = 0
+        UNION ALL
+        SELECT t, zone_a, zone_b, i, j, MIN(d)
+        FROM (
+            SELECT w.t + 1 AS t, c.zone_a, c.zone_b, c.i, c.j,
+                   w.d + c.cost AS d
+            FROM layer w
+            JOIN cells c
+              ON c.zone_a = w.zone_a AND c.zone_b = w.zone_b
+             AND ((c.i = w.i + 1 AND c.j = w.j)
+               OR (c.i = w.i AND c.j = w.j + 1)
+               OR (c.i = w.i + 1 AND c.j = w.j + 1))
+            WHERE w.t < 2 * (SELECT n FROM meta)
+        )
+        GROUP BY 1, 2, 3, 4, 5
+    ),
+    dtw AS (
+        SELECT zone_a, zone_b, MIN(d) AS dtw_q
+        FROM layer, meta
+        WHERE i = meta.n - 1 AND j = meta.n - 1
+        GROUP BY 1, 2
+    ),
+    l1 AS (
+        SELECT a.zone AS zone_a, b.zone AS zone_b,
+               CAST(SUM(ABS(a.q - b.q)) AS BIGINT) AS l1_q
+        FROM prof a
+        JOIN prof b ON a.zone < b.zone AND a.i = b.i
+        GROUP BY 1, 2
+    )
+    SELECT d.zone_a, d.zone_b,
+           CAST(d.dtw_q AS BIGINT) AS dtw_q, l1.l1_q,
+           {pround_sql(f'CAST(d.dtw_q AS DOUBLE) / {float(DTW_Q)}')} AS dtw,
+           {pround_sql(
+               'CAST(l1.l1_q AS DOUBLE) / CAST(d.dtw_q AS DOUBLE)'
+           )} AS warp_gain
+    FROM dtw d
+    JOIN l1 ON l1.zone_a = d.zone_a AND l1.zone_b = d.zone_b
+"""
