@@ -5666,3 +5666,191 @@ ORACLES["dtw_zone_profiles"] = f"""
     FROM dtw d
     JOIN l1 ON l1.zone_a = d.zone_a AND l1.zone_b = d.zone_b
 """
+
+
+# ASAP smoothing (Rong & Bailis, VLDB 2017): pick the moving-average
+# window that minimizes roughness (std of first differences) while
+# preserving kurtosis >= the original series — "smooth to prioritize
+# attention, but don't smooth away the anomalies". Window candidates
+# over the 30-point daily profile; series mean-normalized onto the
+# DTW 2^12 grid so every moment is an exact (big)integer in BOTH
+# engines before the final float comparisons.
+ASAP_WINDOWS = (1, 2, 3, 4, 5)
+
+
+def asap_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASAP auto-smoothing per zone: for each candidate window w, the
+    sliding-mean series' roughness and kurtosis; chosen w = the
+    roughest-reduction window whose kurtosis still >= the original's
+    (the paper's constraint — kurtosis preservation keeps spikes
+    visible). Emits the per-zone choice plus its metrics — what a
+    dashboard layer computes before rendering any long series.
+
+    Exactness: window sums, first differences, and the raw power sums
+    S1..S4 are exact integers on the normalized grid; central-moment
+    identities (n^4 M4 = n^3 S4 - 4 n^2 S3 S1 + 6 n S2 S1^2 - 3 S1^4,
+    n^2 M2 = n S2 - S1^2) keep everything integer until kurtosis and
+    roughness become single float expressions of identical integer
+    inputs — IEEE-deterministic in both engines. Kurtosis is scale
+    invariant, so comparing the sum series (mean x w) against the
+    original needs no rescaling; roughness divides by (w*m) once.
+
+    Shape: one keyed aggregate to the |zones| x 30 profile, bounded
+    driver arithmetic (the pagerank/DTW collect discipline); the
+    oracle evaluates the identical identities with SQL window frames
+    per candidate w."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.col("event_type").alias("zone"),
+            F.dayofmonth("ts").alias("day"),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("c"))
+        .collect()
+    )
+    series: dict[str, dict[int, int]] = {}
+    for r in daily:
+        series.setdefault(r["zone"], {})[r["day"]] = r["c"]
+    zones = sorted(series)
+    days = sorted({d for per in series.values() for d in per})
+    n = len(days)
+
+    def metrics(vals: list[int]):
+        m = len(vals)
+        s1 = sum(vals)
+        s2 = sum(v * v for v in vals)
+        s3 = sum(v**3 for v in vals)
+        s4 = sum(v**4 for v in vals)
+        a4 = m**3 * s4 - 4 * m**2 * s3 * s1 + 6 * m * s2 * s1 * s1 - 3 * s1**4
+        a2 = m * s2 - s1 * s1
+        kurt = (
+            float(m) * float(a4) / (float(a2) * float(a2))
+            if a2 > 0
+            else 0.0
+        )
+        return kurt
+
+    rows = []
+    for z in zones:
+        tot = sum(series[z].get(d, 0) for d in days)
+        q = [
+            series[z].get(d, 0) * n * DTW_Q // tot if tot else 0
+            for d in days
+        ]
+        kurt_orig = metrics(q)
+        best = None
+        for w in ASAP_WINDOWS:
+            s = [sum(q[k : k + w]) for k in range(n - w + 1)]
+            m = len(s)
+            kurt = metrics(s)
+            d = [s[k + 1] - s[k] for k in range(m - 1)]
+            md = len(d)
+            vd = md * sum(x * x for x in d) - sum(d) ** 2
+            rough = float(vd) / (float(w) * float(w) * float(md) * float(md))
+            feasible = kurt >= kurt_orig
+            if feasible and (best is None or (rough, w) < best[:2]):
+                best = (rough, w, kurt)
+        rough, w, kurt = best
+        rows.append((z, int(w), float(rough), float(kurt), float(kurt_orig)))
+    df = spark.createDataFrame(
+        rows,
+        "zone string, chosen_w int, roughness double, kurt_smoothed double,"
+        " kurt_orig double",
+    )
+    return df.select(
+        "zone",
+        "chosen_w",
+        pround(F.col("roughness")).alias("roughness"),
+        pround(F.col("kurt_smoothed")).alias("kurt_smoothed"),
+        pround(F.col("kurt_orig")).alias("kurt_orig"),
+    )
+
+
+QUERIES["asap_smoothing"] = asap_smoothing
+
+
+def _asap_oracle_sql() -> str:
+    per_w = []
+    for w in ASAP_WINDOWS:
+        per_w.append(f"""
+        SELECT zone, {w} AS w, i, q,
+               SUM(q) OVER (PARTITION BY zone ORDER BY i
+                            ROWS BETWEEN CURRENT ROW
+                                     AND {w - 1} FOLLOWING) AS s,
+               COUNT(*) OVER (PARTITION BY zone ORDER BY i
+                              ROWS BETWEEN CURRENT ROW
+                                       AND {w - 1} FOLLOWING) AS wn
+        FROM prof""")
+    smoothed_union = " UNION ALL ".join(per_w)
+    return f"""
+        WITH daily AS (
+            SELECT event_type AS zone,
+                   EXTRACT(DAY FROM ts) AS day,
+                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        meta AS (SELECT COUNT(DISTINCT day) AS n FROM daily),
+        prof AS (
+            SELECT zone,
+                   ROW_NUMBER() OVER (PARTITION BY zone ORDER BY day) - 1
+                       AS i,
+                   CAST(c * (SELECT n FROM meta) * {DTW_Q}
+                        // SUM(c) OVER (PARTITION BY zone) AS BIGINT) AS q
+            FROM daily
+        ),
+        smoothed AS (
+            SELECT zone, w, i, s FROM ({smoothed_union})
+            WHERE wn = w
+        ),
+        diffs AS (
+            SELECT zone, w, s,
+                   LEAD(s) OVER (PARTITION BY zone, w ORDER BY i) - s AS d
+            FROM smoothed
+        ),
+        mom AS (
+            SELECT zone, w,
+                   CAST(COUNT(*) AS HUGEINT) AS m,
+                   CAST(SUM(s) AS HUGEINT) AS s1,
+                   CAST(SUM(s * s) AS HUGEINT) AS s2,
+                   CAST(SUM(s * s * s) AS HUGEINT) AS s3,
+                   CAST(SUM(s * s * s * s) AS HUGEINT) AS s4,
+                   CAST(COUNT(d) AS HUGEINT) AS md,
+                   CAST(SUM(d * d) AS HUGEINT) AS d2,
+                   CAST(SUM(d) AS HUGEINT) AS d1
+            FROM diffs GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT zone, w,
+                   CAST(m AS DOUBLE)
+                     * CAST(m*m*m*s4 - 4*m*m*s3*s1 + 6*m*s2*s1*s1
+                            - 3*s1*s1*s1*s1 AS DOUBLE)
+                     / (CAST(m*s2 - s1*s1 AS DOUBLE)
+                        * CAST(m*s2 - s1*s1 AS DOUBLE)) AS kurt,
+                   CAST(md * d2 - d1 * d1 AS DOUBLE)
+                     / (CAST(w AS DOUBLE) * CAST(w AS DOUBLE)
+                        * CAST(md AS DOUBLE) * CAST(md AS DOUBLE))
+                       AS rough
+            FROM mom
+        ),
+        orig AS (
+            SELECT zone, kurt AS kurt_orig FROM scored WHERE w = 1
+        ),
+        best AS (
+            SELECT s.zone,
+                   MIN({{'r': s.rough, 'w': s.w, 'k': s.kurt,
+                         'ko': o.kurt_orig}}) AS b
+            FROM scored s
+            JOIN orig o ON o.zone = s.zone
+            WHERE s.kurt >= o.kurt_orig
+            GROUP BY 1
+        )
+        SELECT zone,
+               CAST(struct_extract(b, 'w') AS INTEGER) AS chosen_w,
+               {pround_sql("struct_extract(b, 'r')")} AS roughness,
+               {pround_sql("struct_extract(b, 'k')")} AS kurt_smoothed,
+               {pround_sql("struct_extract(b, 'ko')")} AS kurt_orig
+        FROM best
+    """
+
+
+ORACLES["asap_smoothing"] = _asap_oracle_sql()
