@@ -5854,3 +5854,146 @@ def _asap_oracle_sql() -> str:
 
 
 ORACLES["asap_smoothing"] = _asap_oracle_sql()
+
+
+# Matrix profile geometry: length-5 subsequences over the 30-point
+# normalized daily profile, exclusion zone |k-j| > 2 (m//2, the
+# trivial-match guard), exact integer L2^2 distances.
+MP_M = 5
+MP_EXCL = MP_M // 2
+
+
+def matrix_profile_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix profile (Yeh et al., ICDM 2016) over each zone's daily
+    profile: for every length-5 subsequence, the L2² distance to its
+    nearest non-trivial neighbor — the one structure that yields BOTH
+    the motif (most-repeated shape, the profile minimum) and the
+    discord (most anomalous week, the profile maximum) of a series in
+    a single pass. The un-normalized integer-grid variant (profiles
+    are already mean-normalized onto the 2¹² grid, so z-normalizing
+    each window again would erase level anomalies — documented
+    deviation from the z-normed original).
+
+    Engine-exact: subsequences via 4 lead taps, distances are exact
+    BIGINT sums of squared grid differences, argmin/argmax via
+    struct-min with index tie-breaks. Everything after the first
+    keyed aggregate is bounded by |zones| × windows² (26² pairs per
+    zone) — at corpus scale the same pair join keys on (zone, band)
+    exactly like the LSH family."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("zone"), F.dayofmonth("ts").alias("day")
+    ).agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("c"))
+    wz = Window.partitionBy("zone")
+    wo = Window.partitionBy("zone").orderBy("day")
+    prof = daily.select(
+        "zone",
+        (F.row_number().over(wo) - 1).alias("i"),
+        F.floor(
+            F.col("c")
+            * F.count(F.lit(1)).over(wz)
+            * DTW_Q
+            / F.sum("c").over(wz)
+        ).cast("long").alias("q"),
+    )
+    sub = prof
+    for t in range(1, MP_M):
+        sub = sub.withColumn(f"q{t}", F.lead("q", t).over(wo.orderBy("i")))
+    sub = sub.filter(F.col(f"q{MP_M - 1}").isNotNull()).select(
+        "zone",
+        F.col("i").alias("k"),
+        F.array(F.col("q"), *[F.col(f"q{t}") for t in range(1, MP_M)]).alias(
+            "v"
+        ),
+    )
+    a, b = sub.alias("a"), sub.alias("b")
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("a.v"), F.col("b.v"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.zone") == F.col("b.zone"))
+        & (F.abs(F.col("a.k") - F.col("b.k")) > MP_EXCL),
+    ).select(
+        F.col("a.zone").alias("zone"),
+        F.col("a.k").alias("k"),
+        F.col("b.k").alias("j"),
+        d2.alias("d2"),
+    )
+    mp = pairs.groupBy("zone", "k").agg(
+        F.min(F.struct(F.col("d2"), F.col("j"))).alias("nn")
+    )
+    return mp.groupBy("zone").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.min(
+            F.struct(F.col("nn.d2").alias("d2"), F.col("k").alias("k"))
+        )["k"].alias("motif_idx"),
+        F.min(F.struct(F.col("nn.d2"), F.col("k")))["d2"].alias("motif_d2"),
+        F.min(
+            F.struct(
+                (-F.col("nn.d2")).alias("nd"), F.col("k").alias("k")
+            )
+        )["k"].alias("discord_idx"),
+        F.max("nn.d2").alias("discord_d2"),
+    )
+
+
+QUERIES["matrix_profile_lite"] = matrix_profile_lite
+
+ORACLES["matrix_profile_lite"] = f"""
+    WITH daily AS (
+        SELECT event_type AS zone,
+               EXTRACT(DAY FROM ts) AS day,
+               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    prof AS (
+        SELECT zone,
+               ROW_NUMBER() OVER (PARTITION BY zone ORDER BY day) - 1 AS i,
+               CAST(FLOOR(CAST(c AS DOUBLE)
+                    * COUNT(*) OVER (PARTITION BY zone) * {DTW_Q}
+                    / CAST(SUM(c) OVER (PARTITION BY zone) AS DOUBLE))
+                    AS BIGINT) AS q
+        FROM daily
+    ),
+    sub AS (
+        SELECT zone, i AS k,
+               [q, q1, q2, q3, q4] AS v
+        FROM (
+            SELECT zone, i, q,
+                   LEAD(q, 1) OVER zw AS q1,
+                   LEAD(q, 2) OVER zw AS q2,
+                   LEAD(q, 3) OVER zw AS q3,
+                   LEAD(q, 4) OVER zw AS q4
+            FROM prof
+            WINDOW zw AS (PARTITION BY zone ORDER BY i)
+        ) WHERE q4 IS NOT NULL
+    ),
+    pairs AS (
+        SELECT a.zone, a.k, b.k AS j,
+               CAST(
+                   (a.v[1]-b.v[1])*(a.v[1]-b.v[1])
+                 + (a.v[2]-b.v[2])*(a.v[2]-b.v[2])
+                 + (a.v[3]-b.v[3])*(a.v[3]-b.v[3])
+                 + (a.v[4]-b.v[4])*(a.v[4]-b.v[4])
+                 + (a.v[5]-b.v[5])*(a.v[5]-b.v[5]) AS BIGINT) AS d2
+        FROM sub a
+        JOIN sub b ON a.zone = b.zone AND ABS(a.k - b.k) > {MP_EXCL}
+    ),
+    mp AS (
+        SELECT zone, k,
+               struct_extract(MIN({{'d2': d2, 'j': j}}), 'd2') AS nn_d2
+        FROM pairs GROUP BY 1, 2
+    )
+    SELECT zone,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           struct_extract(MIN({{'d2': nn_d2, 'k': k}}), 'k') AS motif_idx,
+           struct_extract(MIN({{'d2': nn_d2, 'k': k}}), 'd2') AS motif_d2,
+           struct_extract(MIN({{'nd': -nn_d2, 'k': k}}), 'k') AS discord_idx,
+           CAST(MAX(nn_d2) AS BIGINT) AS discord_d2
+    FROM mp GROUP BY 1
+"""
