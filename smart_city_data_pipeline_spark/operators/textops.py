@@ -3974,3 +3974,110 @@ ORACLES["heaps_law_fit"] = f"""
            )} AS ln_k
     FROM agg, totals
 """
+
+
+# Green-list watermark detection (Kirchenbauer et al. 2023): a
+# watermarking LLM boosts tokens whose hash (seeded by the previous
+# token) lands in the gamma-fraction green list; a detector recomputes
+# the partition and z-tests the green fraction. gamma = 1/4 keeps the
+# z-test in pure integers: z^2 = (4g - T)^2 / (3T), detect at z > 4
+# <=> (4g - T)^2 > 48 T with 4g > T.
+WM_GAMMA_DEN = 4
+WM_Z_THRESH = 4
+
+
+def watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect green-list LLM watermarks in the corpus — the filter a
+    training-data pipeline will need as generated text floods the
+    crawl: per document, recompute the previous-token-seeded green
+    partition (md5, γ=1/4), count green tokens, and z-test the excess
+    over the human-text expectation γT. Human text scores z ≈ 0;
+    watermarked text (γ boosted at generation) scores z >> 4. On this
+    un-watermarked corpus the verdict column is honest-false with the
+    z distribution centered at 0 — the calibration leg; the detection
+    threshold is the paper's z > 4, decided ENTIRELY in integers
+    ((4g−T)² > 48T with 4g > T).
+
+    One explode + one lag window (the bigram machinery), a codegen md5
+    partition test, one keyed aggregate; z's sqrt is the single float
+    (IEEE-correctly-rounded, engine-portable)."""
+    from smart_city_data_pipeline_spark.functions.hashing import md5_long
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(T.ws_tokens(F.lower(F.col("text")))).alias("pos", "token"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prs = (
+        tok.withColumn("prev", F.lag("token").over(w))
+        .filter(F.col("prev").isNotNull())
+    )
+    green = (
+        md5_long(F.concat(F.lit("wm:"), F.col("prev"), F.lit(":"), F.col("token")))
+        % WM_GAMMA_DEN
+        == 0
+    )
+    agg = prs.select("doc_id", green.cast("int").alias("g")).groupBy(
+        "doc_id"
+    ).agg(F.count(F.lit(1)).alias("n_scored"), F.sum("g").alias("n_green"))
+    dev = 4 * F.col("n_green") - F.col("n_scored")
+    z = dev.cast("double") / F.sqrt(
+        F.lit(3.0) * F.col("n_scored").cast("double")
+    )
+    return agg.select(
+        "doc_id",
+        "n_scored",
+        "n_green",
+        pround(
+            F.col("n_green").cast("double") / F.col("n_scored").cast("double")
+        ).alias("green_frac"),
+        pround(z).alias("z_score"),
+        ((dev > 0) & (dev * dev > 48 * F.col("n_scored"))).alias(
+            "watermark_detected"
+        ),
+    )
+
+
+QUERIES["watermark_detect"] = watermark_detect
+
+ORACLES["watermark_detect"] = f"""
+    WITH tok AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(tk, 1) AS BIGINT) AS pos,
+               unnest(tk) AS token
+        FROM (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+            FROM documents
+        )
+    ),
+    prs AS (
+        SELECT doc_id, prev, token FROM (
+            SELECT doc_id, token,
+                   LAG(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM tok
+        ) WHERE prev IS NOT NULL
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_scored,
+               CAST(SUM(CASE WHEN
+                   {_md5_long_sql("'wm:' || prev || ':' || token")}
+                   % {WM_GAMMA_DEN} = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_green
+        FROM prs GROUP BY 1
+    )
+    SELECT doc_id, n_scored, n_green,
+           {pround_sql(
+               'CAST(n_green AS DOUBLE) / CAST(n_scored AS DOUBLE)'
+           )} AS green_frac,
+           {pround_sql(
+               'CAST(4 * n_green - n_scored AS DOUBLE)'
+               ' / sqrt(3.0 * CAST(n_scored AS DOUBLE))'
+           )} AS z_score,
+           (4 * n_green - n_scored > 0
+            AND (4 * n_green - n_scored) * (4 * n_green - n_scored)
+                > 48 * n_scored) AS watermark_detected
+    FROM agg
+"""
