@@ -5997,3 +5997,111 @@ ORACLES["matrix_profile_lite"] = f"""
            CAST(MAX(nn_d2) AS BIGINT) AS discord_d2
     FROM mp GROUP BY 1
 """
+
+
+# Pinball (quantile) loss evaluation: rolling-origin empirical-quantile
+# forecasts of daily zone load, scored at q in {0.1, 0.5, 0.9}. With
+# q = p/10 the loss is exact integers: 10*L = max(p*(y-f), (p-10)*(y-f)).
+PINBALL_QS = (1, 5, 9)  # deciles (x10)
+PINBALL_WIN = 14  # trailing training window (days)
+
+
+def pinball_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic-forecast evaluation — the metric that grades a
+    QUANTILE forecast the way MAE grades a point forecast (the M5
+    competition's scoring rule): for every origin day, forecast next-
+    day zone load quantiles as exact order statistics of the trailing
+    14 days, score with pinball loss at P10/P50/P90, roll up per
+    (zone, quantile). Complements ``forecast_backtest`` (point
+    forecasts) with calibration-aware scoring: an over-confident
+    forecaster loses on the tails here while looking fine on MAE.
+
+    Exactness: daily totals are integer cents; the forecast is the
+    ceil(q*w)-th smallest of the window (sort_array over the BOUNDED
+    14-element collected window — deterministic, both engines);
+    10x pinball loss is pure integer max(); only the final mean
+    divides. The range self-join is (zone, day)-keyed with a 14-day
+    band — bounded fan-out per origin at any scale."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("zone"), F.dayofmonth("ts").alias("day")
+    ).agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("c"))
+    a, b = daily.alias("a"), daily.alias("b")
+    wins = (
+        a.join(
+            b,
+            (F.col("a.zone") == F.col("b.zone"))
+            & (F.col("b.day") >= F.col("a.day") - PINBALL_WIN)
+            & (F.col("b.day") < F.col("a.day")),
+        )
+        .groupBy(
+            F.col("a.zone").alias("zone"),
+            F.col("a.day").alias("day"),
+            F.col("a.c").alias("y"),
+        )
+        .agg(
+            F.sort_array(F.collect_list(F.col("b.c"))).alias("hist"),
+            F.count(F.lit(1)).alias("nw"),
+        )
+        .filter(F.col("nw") == PINBALL_WIN)
+    )
+    out = None
+    for p in PINBALL_QS:
+        # rank = ceil(q*w) = ceil(p*w/10) via (a+b-1)//b
+        rank = (p * PINBALL_WIN + 9) // 10
+        f = F.element_at(F.col("hist"), rank)
+        diff = F.col("y") - f
+        loss10 = F.greatest(F.lit(p) * diff, F.lit(p - 10) * diff)
+        t = wins.select(
+            "zone",
+            F.lit(p).alias("q10"),
+            loss10.alias("l10"),
+        )
+        out = t if out is None else out.unionAll(t)
+    return out.groupBy("zone", "q10").agg(
+        F.count(F.lit(1)).alias("n_origins"),
+        F.sum("l10").alias("total_loss10"),
+        pround(
+            F.sum("l10").cast("double") / (10.0 * F.count(F.lit(1)))
+        ).alias("mean_pinball_cents"),
+    )
+
+
+QUERIES["pinball_forecast_eval"] = pinball_forecast_eval
+
+ORACLES["pinball_forecast_eval"] = f"""
+    WITH daily AS (
+        SELECT event_type AS zone,
+               EXTRACT(DAY FROM ts) AS day,
+               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    wins AS (
+        SELECT a.zone, a.day, a.c AS y,
+               list_sort(list(b.c)) AS hist,
+               COUNT(*) AS nw
+        FROM daily a
+        JOIN daily b ON b.zone = a.zone
+                     AND b.day >= a.day - {PINBALL_WIN}
+                     AND b.day < a.day
+        GROUP BY 1, 2, 3
+        HAVING COUNT(*) = {PINBALL_WIN}
+    ),
+    losses AS (
+        {" UNION ALL ".join(
+            f'''SELECT zone, {p} AS q10,
+                   GREATEST({p} * (y - hist[{(p * PINBALL_WIN + 9) // 10}]),
+                            {p - 10} * (y - hist[{(p * PINBALL_WIN + 9) // 10}]))
+                       AS l10
+            FROM wins'''
+            for p in PINBALL_QS
+        )}
+    )
+    SELECT zone, CAST(q10 AS INTEGER) AS q10,
+           CAST(COUNT(*) AS BIGINT) AS n_origins,
+           CAST(SUM(l10) AS BIGINT) AS total_loss10,
+           {pround_sql(
+               'CAST(SUM(l10) AS DOUBLE) / (10.0 * COUNT(*))'
+           )} AS mean_pinball_cents
+    FROM losses GROUP BY 1, 2
+"""
