@@ -6105,3 +6105,143 @@ ORACLES["pinball_forecast_eval"] = f"""
            )} AS mean_pinball_cents
     FROM losses GROUP BY 1, 2
 """
+
+
+# Token-bucket geometry, all in integer MICROSECONDS: 1 token = 600 s
+# of refill, capacity 5 tokens. Bucket starts full; an event needs one
+# whole token.
+RATE_REFILL_US = 600_000_000
+RATE_CAP_US = 5 * RATE_REFILL_US
+
+
+def rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-throttling simulation: replay every sensor's event
+    stream through a token bucket (5-token burst, 1 token / 10 min)
+    and report what a rate-limited collector would have dropped — the
+    capacity-planning answer ("which sensors exceed the contract, and
+    when did throttling first bite") an ingestion gateway needs before
+    enforcing limits for real.
+
+    The bucket recurrence is sequential and NON-linear (min + branch),
+    so unlike EWMA there is no associative block fold — this is the
+    centroid_tracks shape: co-locate each sensor's rows via the
+    row_number shuffle, then ONE mapInPandas pass per partition walks
+    the sensor runs in integer microseconds (exact: refill is elapsed
+    µs, a token is 600e6 µs, zero floats). The oracle replays the
+    identical recurrence as a per-sensor recursive CTE carrying
+    (prev_us, bucket, counts) state."""
+    ev = table(spark, sf_dir, "events")
+    rows = ev.select(
+        "user_id",
+        (F.unix_micros(F.col("ts"))).alias("us"),
+        "event_id",
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("us", "event_id")
+        ),
+    )
+
+    schema = (
+        "sensor_id long, n_events long, n_accepted long, n_dropped long,"
+        " first_drop_id long"
+    )
+
+    def fold(batches):
+        import numpy as np
+        import pandas as pd
+
+        frames = [b for b in batches]
+        if not frames:
+            return
+        pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+        users = pdf["user_id"].to_numpy()
+        uss = pdf["us"].to_numpy()
+        eids = pdf["event_id"].to_numpy()
+        order = np.lexsort((eids, uss, users))
+        users, uss, eids = users[order], uss[order], eids[order]
+        out = []
+        i, n = 0, len(users)
+        while i < n:
+            u = users[i]
+            tok = RATE_CAP_US
+            prev_us = None
+            acc = drp = 0
+            first_drop = None
+            while i < n and users[i] == u:
+                us = int(uss[i])
+                if prev_us is not None:
+                    tok = min(RATE_CAP_US, tok + (us - prev_us))
+                prev_us = us
+                if tok >= RATE_REFILL_US:
+                    tok -= RATE_REFILL_US
+                    acc += 1
+                else:
+                    drp += 1
+                    if first_drop is None:
+                        first_drop = int(eids[i])
+                i += 1
+            out.append((int(u), acc + drp, acc, drp, first_drop))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "sensor_id", "n_events", "n_accepted", "n_dropped",
+                "first_drop_id",
+            ],
+        )
+
+    return rows.mapInPandas(fold, schema)
+
+
+QUERIES["rate_limit_audit"] = rate_limit_audit
+
+ORACLES["rate_limit_audit"] = f"""
+    WITH RECURSIVE seq AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    rl(rn, user_id, prev_us, tok, acc, drp, first_drop) AS (
+        SELECT 1, user_id, us,
+               {RATE_CAP_US} - {RATE_REFILL_US},
+               CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+               CAST(NULL AS BIGINT)
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.rn, s.user_id, s.us,
+               CASE WHEN LEAST({RATE_CAP_US},
+                               r.tok + (s.us - r.prev_us))
+                         >= {RATE_REFILL_US}
+                    THEN LEAST({RATE_CAP_US},
+                               r.tok + (s.us - r.prev_us))
+                         - {RATE_REFILL_US}
+                    ELSE LEAST({RATE_CAP_US},
+                               r.tok + (s.us - r.prev_us)) END,
+               r.acc + CASE WHEN LEAST({RATE_CAP_US},
+                                       r.tok + (s.us - r.prev_us))
+                                 >= {RATE_REFILL_US}
+                            THEN 1 ELSE 0 END,
+               r.drp + CASE WHEN LEAST({RATE_CAP_US},
+                                       r.tok + (s.us - r.prev_us))
+                                 >= {RATE_REFILL_US}
+                            THEN 0 ELSE 1 END,
+               COALESCE(r.first_drop,
+                        CASE WHEN LEAST({RATE_CAP_US},
+                                        r.tok + (s.us - r.prev_us))
+                                  < {RATE_REFILL_US}
+                             THEN s.event_id END)
+        FROM rl r
+        JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    ),
+    final AS (
+        SELECT user_id, MAX(rn) AS last_rn FROM rl GROUP BY 1
+    )
+    SELECT r.user_id AS sensor_id,
+           CAST(r.rn AS BIGINT) AS n_events,
+           r.acc AS n_accepted,
+           r.drp AS n_dropped,
+           r.first_drop AS first_drop_id
+    FROM rl r
+    JOIN final f ON f.user_id = r.user_id AND f.last_rn = r.rn
+"""
