@@ -6245,3 +6245,122 @@ ORACLES["rate_limit_audit"] = f"""
     FROM rl r
     JOIN final f ON f.user_id = r.user_id AND f.last_rn = r.rn
 """
+
+
+ISO_Q = 1048576  # 2^20 grid for segment averages (quantize-then-minimax)
+
+
+def isotonic_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape-constrained regression: the best MONOTONE-nondecreasing
+    fit to each zone's daily-load series (isotonic regression, the
+    PAVA solution) via the minimax closed form
+    ``fit_i = max_{j<=i} min_{k>=i} mean(y[j..k])`` — how much of a
+    zone's month is explained by a pure growth trend, and how much
+    mass violates it (the residual). The calibration/trend primitive
+    GBDT post-processing and monotone dashboards use.
+
+    Engine-exact: segment means quantize once per (j, k) segment to
+    the 2^20 grid (prefix-sum differences, integer division), then
+    the minimax is pure integer MIN/MAX — the fit is the exact
+    isotonic solution of the quantized series (documented: PAVA's
+    pool averages, quantized). Segments come from a prefix-sum self
+    join bounded by 30² per zone; the spanning join (j <= i <= k) is
+    zone-keyed."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("zone"), F.dayofmonth("ts").alias("day")
+    ).agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("y"))
+    wo = Window.partitionBy("zone").orderBy("day")
+    pts = daily.select(
+        "zone",
+        (F.row_number().over(wo) - 1).alias("i"),
+        "y",
+        F.sum("y").over(
+            wo.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("ps"),
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    segs = a.join(
+        b,
+        (F.col("a.zone") == F.col("b.zone")) & (F.col("a.i") <= F.col("b.i")),
+    ).select(
+        F.col("a.zone").alias("zone"),
+        F.col("a.i").alias("j"),
+        F.col("b.i").alias("k"),
+        (
+            (F.col("b.ps") - F.col("a.ps") + F.col("a.y"))
+            * ISO_Q
+            / (F.col("b.i") - F.col("a.i") + 1)
+        ).cast("long").alias("avg_q"),
+    )
+    ptsr = pts.select(
+        F.col("zone").alias("p_zone"), "i", F.col("y").alias("yi")
+    )
+    spanning = segs.join(
+        ptsr,
+        (segs["zone"] == ptsr["p_zone"])
+        & (segs["j"] <= ptsr["i"])
+        & (segs["k"] >= ptsr["i"]),
+    ).select("zone", "i", "yi", "j", "avg_q")
+    inner = spanning.groupBy("zone", "i", "yi", "j").agg(
+        F.min("avg_q").alias("minv")
+    )
+    fit = inner.groupBy("zone", "i", "yi").agg(
+        F.max("minv").alias("fit_q")
+    )
+    return fit.groupBy("zone").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.countDistinct("fit_q").alias("n_levels"),
+        pround(
+            F.sum(F.abs(F.col("yi") * ISO_Q - F.col("fit_q"))).cast("double")
+            / (F.count(F.lit(1)) * F.lit(float(ISO_Q)))
+        ).alias("mean_abs_residual"),
+    )
+
+
+QUERIES["isotonic_trend_fit"] = isotonic_trend_fit
+
+ORACLES["isotonic_trend_fit"] = f"""
+    WITH daily AS (
+        SELECT event_type AS zone,
+               EXTRACT(DAY FROM ts) AS day,
+               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    pts AS (
+        SELECT zone,
+               ROW_NUMBER() OVER zw - 1 AS i, y,
+               SUM(y) OVER (PARTITION BY zone ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS ps
+        FROM daily
+        WINDOW zw AS (PARTITION BY zone ORDER BY day)
+    ),
+    segs AS (
+        SELECT a.zone, a.i AS j, b.i AS k,
+               -- FLOOR before the cast: DuckDB CAST(double AS BIGINT)
+               -- ROUNDS while Spark's .cast('long') truncates (the
+               -- psi_drift_report session gotcha)
+               CAST(FLOOR((b.ps - a.ps + a.y) * {ISO_Q}
+                    / (b.i - a.i + 1)) AS BIGINT) AS avg_q
+        FROM pts a JOIN pts b ON a.zone = b.zone AND a.i <= b.i
+    ),
+    inner_ AS (
+        SELECT s.zone, p.i, p.y AS yi, s.j, MIN(s.avg_q) AS minv
+        FROM segs s
+        JOIN pts p ON p.zone = s.zone AND s.j <= p.i AND s.k >= p.i
+        GROUP BY 1, 2, 3, 4
+    ),
+    fit AS (
+        SELECT zone, i, yi, MAX(minv) AS fit_q
+        FROM inner_ GROUP BY 1, 2, 3
+    )
+    SELECT zone,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(COUNT(DISTINCT fit_q) AS BIGINT) AS n_levels,
+           {pround_sql(
+               f'CAST(SUM(ABS(yi * {ISO_Q} - fit_q)) AS DOUBLE)'
+               f' / (COUNT(*) * {float(ISO_Q)})'
+           )} AS mean_abs_residual
+    FROM fit GROUP BY 1
+"""
