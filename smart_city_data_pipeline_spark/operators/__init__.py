@@ -107,7 +107,8 @@ _GATE_FIRST = [
     # label_propagation_communities, l_diversity_audit,
     # pit_training_join, cep_pattern_counts, dtw_zone_profiles,
     # asap_smoothing, matrix_profile_lite, watermark_detect,
-    # pinball_forecast_eval, rate_limit_audit, isotonic_trend_fit, ...)
+    # pinball_forecast_eval, rate_limit_audit, isotonic_trend_fit,
+    # wasserstein_drift, ...)
     # are judge-only this round and MUST lead the r8 window, before
     # the displaced r4 keys below.
     # rotate-back wave: every remaining r4 key was displaced to the

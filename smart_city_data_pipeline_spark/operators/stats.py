@@ -939,3 +939,107 @@ ORACLES["conformal_anomaly_rate"] = f"""
     WHERE NOT s.is_cal
     GROUP BY 1, 2, 3
 """
+
+
+# --------------------------------------------------------------------------
+# 1-D Wasserstein (earth mover's) drift distance.
+# --------------------------------------------------------------------------
+
+W1_SPLIT = PSI_SPLIT  # same expected/actual halves as the PSI report
+
+
+def wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earth-mover's distance between the first- and second-half value
+    distributions per event type — the drift metric that reports HOW
+    FAR the distribution moved in value units, where KS reports the
+    max ECDF gap (significance) and PSI a bucketed divergence: the
+    1-D Wasserstein-1 is the area between the ECDFs,
+    W1 = Σ_v Δv · |F_a(v) - F_e(v)|, and with integer counts it is
+    EXACT: Σ over the merged value grid of
+    gap_width · |cum_e·n_a - cum_a·n_e| / (n_e·n_a) — every term an
+    integer product until the single final division.
+
+    Shape: one keyed aggregate to the (type, cents) histogram with
+    conditional period sums, cumulative window over the value-bounded
+    table, lead() for the gap width, one integer rollup — the KS
+    construction with a sum instead of a max."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    split = F.col("ts") < F.lit(W1_SPLIT).cast("timestamp")
+    h = (
+        ev.select("event_type", cents.alias("c"), split.alias("is_exp"))
+        .groupBy("event_type", "c")
+        .agg(
+            F.sum(F.when(F.col("is_exp"), 1).otherwise(0)).alias("ce"),
+            F.sum(F.when(~F.col("is_exp"), 1).otherwise(0)).alias("ca"),
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    won = Window.partitionBy("event_type").orderBy("c")
+    cum = (
+        h.withColumn("ne", F.sum("ce").over(wt))
+        .withColumn("na", F.sum("ca").over(wt))
+        .withColumn("cum_e", F.sum("ce").over(wo))
+        .withColumn("cum_a", F.sum("ca").over(wo))
+        .withColumn("nxt", F.lead("c").over(won))
+        .filter(F.col("nxt").isNotNull())
+    )
+    term = (F.col("nxt") - F.col("c")) * F.abs(
+        F.col("cum_e") * F.col("na") - F.col("cum_a") * F.col("ne")
+    )
+    agg = cum.groupBy("event_type").agg(
+        F.max("ne").alias("n_expected"),
+        F.max("na").alias("n_actual"),
+        F.sum(term.cast("decimal(38,0)")).alias("w1_num"),
+    )
+    return agg.select(
+        "event_type",
+        "n_expected",
+        "n_actual",
+        pround(
+            F.col("w1_num").cast("double")
+            / (F.col("n_expected") * F.col("n_actual")).cast("double")
+            / 100.0  # cents -> value units
+        ).alias("w1_distance"),
+    )
+
+
+QUERIES["wasserstein_drift"] = wasserstein_drift
+
+ORACLES["wasserstein_drift"] = f"""
+    WITH h AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN ts < TIMESTAMP '{W1_SPLIT}'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS ce,
+               CAST(SUM(CASE WHEN ts < TIMESTAMP '{W1_SPLIT}'
+                        THEN 0 ELSE 1 END) AS BIGINT) AS ca
+        FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, c,
+               SUM(ce) OVER (PARTITION BY event_type) AS ne,
+               SUM(ca) OVER (PARTITION BY event_type) AS na,
+               SUM(ce) OVER cw AS cum_e,
+               SUM(ca) OVER cw AS cum_a,
+               LEAD(c) OVER (PARTITION BY event_type ORDER BY c) AS nxt
+        FROM h
+        WINDOW cw AS (PARTITION BY event_type ORDER BY c
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type,
+           CAST(MAX(ne) AS BIGINT) AS n_expected,
+           CAST(MAX(na) AS BIGINT) AS n_actual,
+           {pround_sql(
+               'CAST(SUM(CAST((nxt - c) * ABS(cum_e * na - cum_a * ne)'
+               ' AS HUGEINT)) AS DOUBLE)'
+               ' / CAST(MAX(ne) * MAX(na) AS DOUBLE) / 100.0'
+           )} AS w1_distance
+    FROM cum WHERE nxt IS NOT NULL
+    GROUP BY 1
+"""
