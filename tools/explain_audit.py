@@ -197,6 +197,15 @@ HEADLINERS = [
     "asof_nearest_enrich",
     "label_propagation_communities",
     "l_diversity_audit",
+    "pit_training_join",
+    "cep_pattern_counts",
+    "dtw_zone_profiles",
+    "asap_smoothing",
+    "matrix_profile_lite",
+    "watermark_detect",
+    "pinball_forecast_eval",
+    "rate_limit_audit",
+    "isotonic_trend_fit",
 ]
 
 
