@@ -1576,3 +1576,107 @@ ORACLES["hll_merge_audit"] = f"""
     JOIN mism USING (event_type)
     JOIN exact USING (event_type)
 """
+
+
+IDW_SCALE = 1 << 40  # quantized inverse-distance weights w = SCALE // d^2
+
+
+def idw_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-distance-weighted field interpolation (Shepard 1968):
+    estimate the mean reading AT each monitoring station from every
+    sensor's mean, weighted 1/d² on the integer grid — the spatial
+    upgrade of ``nearest_station_rollup``'s hard argmin assignment
+    (IDW blends all sensors instead of snapping to one; the standard
+    gap-filling surface for sparse sensor networks).
+
+    Engine-exact: per-sensor means floor to integer cents (documented
+    grid), weights quantize to ``SCALE // d²`` (co-located sensors cap
+    at SCALE — the d²≤1 guard), and both IDW sums accumulate in
+    DECIMAL(38,0)/HUGEINT; the single final division is the only
+    float. Shape: one keyed aggregate to per-sensor means, a 12-way
+    literal explode (stations are literals, as in the argmin
+    operator), one station-keyed rollup — linear in sensors."""
+    ev = table(spark, sf_dir, "events")
+    sensors = ev.groupBy("user_id").agg(
+        F.floor(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")))
+        .alias("sum_c"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).select(
+        "user_id",
+        F.expr("sum_c DIV cnt").alias("mean_c"),
+        ((F.col("user_id") * 8191) % 10000).alias("px"),
+        ((F.col("user_id") * 524287) % 10000).alias("py"),
+    )
+    pairs = sensors.select(
+        "user_id",
+        "mean_c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(sid).alias("sid"),
+                        (
+                            (F.col("px") - sx) * (F.col("px") - sx)
+                            + (F.col("py") - sy) * (F.col("py") - sy)
+                        ).alias("d2"),
+                    )
+                    for sid, sx, sy in STATIONS
+                ]
+            )
+        ).alias("e"),
+    ).select(
+        "user_id",
+        "mean_c",
+        F.col("e.sid").alias("station_id"),
+        F.col("e.d2").alias("d2"),
+    )
+    wq = F.when(
+        F.col("d2") <= 1, F.lit(IDW_SCALE)
+    ).otherwise(F.expr(f"CAST({IDW_SCALE} AS BIGINT) DIV d2"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = pairs.withColumn("wq", wq).groupBy("station_id").agg(
+        F.count(F.lit(1)).alias("n_sensors"),
+        F.sum(dec(F.col("wq") * F.col("mean_c"))).alias("num"),
+        F.sum(dec(F.col("wq"))).alias("den"),
+    )
+    return agg.select(
+        "station_id",
+        "n_sensors",
+        pround(
+            F.col("num").cast("double") / F.col("den").cast("double") / 100.0
+        ).alias("idw_value"),
+    )
+
+
+QUERIES["idw_interpolation"] = idw_interpolation
+
+ORACLES["idw_interpolation"] = f"""
+    WITH sensors AS (
+        SELECT user_id,
+               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                   // COUNT(*) AS mean_c,
+               (user_id * 8191) % 10000 AS px,
+               (user_id * 524287) % 10000 AS py
+        FROM events GROUP BY user_id
+    ),
+    stations AS ({_STATIONS_SQL}),
+    pairs AS (
+        SELECT s.user_id, s.mean_c, st.sid AS station_id,
+               (s.px - st.sx) * (s.px - st.sx)
+             + (s.py - st.sy) * (s.py - st.sy) AS d2
+        FROM sensors s CROSS JOIN stations st
+    ),
+    weighted AS (
+        SELECT station_id, mean_c,
+               CASE WHEN d2 <= 1 THEN CAST({IDW_SCALE} AS BIGINT)
+                    ELSE CAST({IDW_SCALE} AS BIGINT) // d2 END AS wq
+        FROM pairs
+    )
+    SELECT station_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sensors,
+           {pround_sql(
+               'CAST(SUM(CAST(wq AS HUGEINT) * mean_c) AS DOUBLE)'
+               ' / CAST(SUM(CAST(wq AS HUGEINT)) AS DOUBLE) / 100.0'
+           )} AS idw_value
+    FROM weighted GROUP BY 1
+"""
