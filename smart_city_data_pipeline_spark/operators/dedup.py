@@ -3057,3 +3057,94 @@ ORACLES["winnowing_fingerprints"] = f"""
     JOIN per_doc pa ON pa.doc_id = p.doc_a
     JOIN per_doc pb ON pb.doc_id = p.doc_b
 """
+
+
+def knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN classification accuracy over the embedding
+    corpus — the standard representation-quality probe ("do nearest
+    neighbors share labels?") run entirely on the existing ANN
+    artifact: each vector's predicted label is the majority vote of
+    its :func:`knn_graph` neighbors (ties to the smaller label id),
+    scored against its true label per class. A cheap proxy for linear-
+    probe quality that needs no training and reuses the band-bounded
+    kNN graph (self-matches are excluded by the graph's construction,
+    so the eval is leave-one-out by default).
+
+    Integer votes, struct-min argmax, one join against the label
+    column; vectors with no band-mates are counted as abstentions,
+    not errors (reported separately — they measure LSH recall, not
+    representation quality)."""
+    g = knn_graph(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    votes = (
+        g.join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nlbl"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("vec_id", "nlbl")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pred = votes.groupBy("vec_id").agg(
+        F.min(
+            F.struct((-F.col("cnt")).alias("nc"), F.col("nlbl").alias("lbl"))
+        )["lbl"].alias("pred")
+    )
+    scored = emb.join(pred, "vec_id", "left")
+    return scored.groupBy(F.col("label").alias("label_true")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.when(F.col("pred").isNull(), 1).otherwise(0)).alias(
+            "n_abstained"
+        ),
+        F.sum(
+            F.when(F.col("pred") == F.col("label"), 1).otherwise(0)
+        ).alias("n_correct"),
+        pround(
+            F.sum(
+                F.when(F.col("pred") == F.col("label"), 1).otherwise(0)
+            ).cast("double")
+            / F.sum(F.when(F.col("pred").isNotNull(), 1).otherwise(0)).cast(
+                "double"
+            )
+        ).alias("accuracy"),
+    )
+
+
+QUERIES["knn_classifier_eval"] = knn_classifier_eval
+
+ORACLES["knn_classifier_eval"] = f"""
+    WITH knn AS (
+        SELECT * FROM ({ORACLES["knn_graph"]})
+    ),
+    votes AS (
+        SELECT k.vec_id, e.label AS nlbl, COUNT(*) AS cnt
+        FROM knn k
+        JOIN embeddings e ON e.vec_id = k.neighbor_id
+        GROUP BY 1, 2
+    ),
+    pred AS (
+        SELECT vec_id,
+               struct_extract(MIN({{'nc': -cnt, 'lbl': nlbl}}), 'lbl')
+                   AS pred
+        FROM votes GROUP BY 1
+    ),
+    scored AS (
+        SELECT e.vec_id, e.label, p.pred
+        FROM embeddings e LEFT JOIN pred p ON p.vec_id = e.vec_id
+    )
+    SELECT label AS label_true,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN pred IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_abstained,
+           CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           {pround_sql(
+               'CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END)'
+               ' AS DOUBLE)'
+               ' / CAST(SUM(CASE WHEN pred IS NOT NULL THEN 1 ELSE 0 END)'
+               ' AS DOUBLE)'
+           )} AS accuracy
+    FROM scored GROUP BY 1
+"""
