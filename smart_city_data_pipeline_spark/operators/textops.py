@@ -4081,3 +4081,131 @@ ORACLES["watermark_detect"] = f"""
                 > 48 * n_scored) AS watermark_detected
     FROM agg
 """
+
+
+# Reciprocal-rank fusion (Cormack et al. 2009): the hybrid-search
+# combiner — rrf(d) = sum over legs of 1/(K + rank_leg(d)), K = 60.
+RRF_K = 60
+RRF_TOP = 20
+RRF_QUERY_VEC = 0  # the semantic leg's query = embedding of vec 0
+
+
+def rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion — the combiner
+    every modern search/RAG stack runs between its lexical and vector
+    legs: BM25 ranks documents against the fixed term query, cosine
+    ranks them against the query embedding, and RRF fuses the two
+    rank lists (score = Σ 1/(60+rank); a doc missing from a leg
+    contributes nothing). Rank fusion needs NO score calibration
+    between legs — exactly why it won out in production.
+
+    Determinism: both legs rank on engine-identical doubles (BM25 is
+    already oracle-paired; the cosine leg folds left-to-right over
+    DOUBLE) with doc_id tie-breaks; the RRF score is a two-term sum
+    of 1/(60+r) on identical integer ranks — same IEEE ops both
+    sides; the fused order ties on doc_id.
+
+    Shape: the lexical leg is the existing BM25 plan; the vector leg
+    is a broadcast 1-row query vector against the embedding scan; the
+    fusion is a full-outer join of two rank lists bounded by corpus
+    rank depth."""
+    from smart_city_data_pipeline_spark.functions.vector import cosine
+
+    lex = bm25_scores(spark, sf_dir)
+    wl = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    lex_r = lex.select(
+        "doc_id", F.row_number().over(wl).alias("lex_rank")
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    # GLOBAL aggregate root over the single query row, so the broadcast
+    # side is policy-provably 1 row (max over one array = identity).
+    q = emb.filter(F.col("vec_id") == RRF_QUERY_VEC).agg(
+        F.max("embedding").alias("q_emb")
+    )
+    sem = emb.filter(F.col("vec_id") != RRF_QUERY_VEC).join(
+        F.broadcast(q)
+    ).select(
+        F.col("vec_id").alias("doc_id"),
+        cosine(F.col("q_emb"), F.col("embedding")).alias("cs"),
+    )
+    ws = Window.orderBy(F.col("cs").desc(), F.col("doc_id").asc())
+    sem_r = sem.select(
+        "doc_id", F.row_number().over(ws).alias("sem_rank")
+    )
+    fused = lex_r.join(sem_r, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")).cast("double"),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("sem_rank")).cast("double"),
+                F.lit(0.0),
+            )
+        ).alias("rrf_raw"),
+    )
+    wf = Window.orderBy(F.col("rrf_raw").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= RRF_TOP)
+        .select(
+            "fused_rank",
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            pround(F.col("rrf_raw")).alias("rrf_score"),
+        )
+    )
+
+
+QUERIES["rrf_hybrid_fusion"] = rrf_hybrid_fusion
+
+from smart_city_data_pipeline_spark.functions.vector import (  # noqa: E402
+    dot_sql as _dot_sql,
+)
+
+ORACLES["rrf_hybrid_fusion"] = f"""
+    WITH lex AS (
+        SELECT * FROM ({ORACLES["bm25_scores"]})
+    ),
+    lex_r AS (
+        SELECT doc_id, ROW_NUMBER() OVER (
+            ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+        FROM lex
+    ),
+    q AS (
+        SELECT embedding AS q_emb FROM embeddings
+        WHERE vec_id = {RRF_QUERY_VEC}
+    ),
+    sem_r AS (
+        SELECT doc_id, ROW_NUMBER() OVER (
+            ORDER BY cs DESC, doc_id ASC) AS sem_rank
+        FROM (
+            SELECT e.vec_id AS doc_id,
+                   {_dot_sql('q.q_emb', 'e.embedding')}
+                   / (sqrt({_dot_sql('q.q_emb', 'q.q_emb')})
+                      * sqrt({_dot_sql('e.embedding', 'e.embedding')}))
+                       AS cs
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> {RRF_QUERY_VEC}
+        )
+    ),
+    fused AS (
+        SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+               l.lex_rank, s.sem_rank,
+               COALESCE(1.0 / ({RRF_K} + l.lex_rank), 0.0)
+             + COALESCE(1.0 / ({RRF_K} + s.sem_rank), 0.0) AS rrf_raw
+        FROM lex_r l FULL OUTER JOIN sem_r s ON s.doc_id = l.doc_id
+    )
+    SELECT CAST(fused_rank AS INTEGER) AS fused_rank, doc_id,
+           lex_rank, sem_rank,
+           {pround_sql('rrf_raw')} AS rrf_score
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY rrf_raw DESC, doc_id ASC) AS fused_rank
+        FROM fused
+    ) WHERE fused_rank <= {RRF_TOP}
+"""

@@ -116,6 +116,8 @@ BNLJ_ALLOWED = {
     "conformal_anomaly_rate",  # 1-row calibration-size + threshold
     # broadcasts (global-aggregate roots)
     "heaps_law_fit",  # 1-row corpus-totals broadcast
+    "rrf_hybrid_fusion",  # 1-row query-vector + inherited bm25
+    # corpus-stats broadcasts (global-aggregate roots)
 }
 
 
