@@ -206,6 +206,10 @@ HEADLINERS = [
     "pinball_forecast_eval",
     "rate_limit_audit",
     "isotonic_trend_fit",
+    "wasserstein_drift",
+    "idw_interpolation",
+    "knn_classifier_eval",
+    "rrf_hybrid_fusion",
 ]
 
 
