@@ -6364,3 +6364,185 @@ ORACLES["isotonic_trend_fit"] = f"""
            )} AS mean_abs_residual
     FROM fit GROUP BY 1
 """
+
+
+SEG_MIN_PTS = 3  # minimum points per segment for the two-piece fit
+
+
+def segmented_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broken-stick (two-piece OLS) trend-break detection per zone:
+    choose the split minimizing SSE(left fit) + SSE(right fit) — the
+    TREND-change complement of ``changepoint_detect``'s mean-shift
+    binseg (a slope change with no level jump is invisible to binseg
+    but lights up here). Reports the break day, one-line vs two-piece
+    SSE, and the explained-variance gain.
+
+    Exactness: prefix Gauss moments (Σx, Σx², Σy, Σxy, Σy²) are exact
+    BIGINTs; each candidate's segment SSE uses the centered identity
+    SSE·n·Sxx = Syy_c·Sxx_c − Sxy_c² evaluated in double FROM the
+    exact integers (identical inputs ⇒ identical IEEE results in both
+    engines); the argmin ties to the earliest break. One cumulative
+    window over the |zones|×days table — nothing rescans facts."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("zone"), F.dayofmonth("ts").alias("day")
+    ).agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("y"))
+    wo = Window.partitionBy("zone").orderBy("day")
+    wi = (
+        Window.partitionBy("zone")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pts = daily.select(
+        "zone",
+        (F.row_number().over(wo) - 1).alias("i"),
+        "y",
+    ).select(
+        "zone",
+        "i",
+        "y",
+        F.sum("i").over(wi).alias("p_x"),
+        F.sum(F.col("i") * F.col("i")).over(wi).alias("p_xx"),
+        F.sum("y").over(wi).alias("p_y"),
+        F.sum(F.col("i") * F.col("y")).over(wi).alias("p_xy"),
+        F.sum(F.col("y") * F.col("y")).over(wi).alias("p_yy"),
+        F.count(F.lit(1)).over(wi).alias("p_n"),
+    )
+    tot = pts.groupBy("zone").agg(
+        F.max("p_x").alias("t_x"),
+        F.max("p_xx").alias("t_xx"),
+        F.max("p_y").alias("t_y"),
+        F.max("p_xy").alias("t_xy"),
+        F.max("p_yy").alias("t_yy"),
+        F.max("p_n").alias("t_n"),
+    )
+
+    def sse(n, sx, sxx, sy, sxy, syy):
+        sxx_c = (n * sxx - sx * sx).cast("double")
+        sxy_c = (n * sxy - sx * sy).cast("double")
+        syy_c = (n * syy - sy * sy).cast("double")
+        return (syy_c * sxx_c - sxy_c * sxy_c) / (
+            n.cast("double") * sxx_c
+        )
+
+    cand = pts.join(tot, "zone").filter(
+        (F.col("p_n") >= SEG_MIN_PTS)
+        & (F.col("t_n") - F.col("p_n") >= SEG_MIN_PTS)
+    )
+    left = sse(
+        F.col("p_n"), F.col("p_x"), F.col("p_xx"),
+        F.col("p_y"), F.col("p_xy"), F.col("p_yy"),
+    )
+    right = sse(
+        F.col("t_n") - F.col("p_n"),
+        F.col("t_x") - F.col("p_x"),
+        F.col("t_xx") - F.col("p_xx"),
+        F.col("t_y") - F.col("p_y"),
+        F.col("t_xy") - F.col("p_xy"),
+        F.col("t_yy") - F.col("p_yy"),
+    )
+    scored = cand.select(
+        "zone",
+        "i",
+        (left + right).alias("sse_two"),
+    )
+    best = scored.groupBy("zone").agg(
+        F.min(F.struct(F.col("sse_two"), F.col("i"))).alias("b")
+    )
+    single = tot.select(
+        "zone",
+        sse(
+            F.col("t_n"), F.col("t_x"), F.col("t_xx"),
+            F.col("t_y"), F.col("t_xy"), F.col("t_yy"),
+        ).alias("sse_one"),
+    )
+    return best.join(single, "zone").select(
+        "zone",
+        F.col("b.i").alias("break_idx"),
+        pround(F.col("sse_one") / 1e8).alias("sse_single_m"),
+        pround(F.col("b.sse_two") / 1e8).alias("sse_two_m"),
+        pround(
+            (F.col("sse_one") - F.col("b.sse_two")) / F.col("sse_one")
+        ).alias("gain_share"),
+    )
+
+
+QUERIES["segmented_trend_fit"] = segmented_trend_fit
+
+ORACLES["segmented_trend_fit"] = f"""
+    WITH daily AS (
+        SELECT event_type AS zone,
+               EXTRACT(DAY FROM ts) AS day,
+               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT zone, y,
+               ROW_NUMBER() OVER (PARTITION BY zone ORDER BY day) - 1 AS i
+        FROM daily
+    ),
+    pts AS (
+        SELECT zone, i, y,
+               SUM(i) OVER cw AS p_x,
+               SUM(i * i) OVER cw AS p_xx,
+               SUM(y) OVER cw AS p_y,
+               SUM(i * y) OVER cw AS p_xy,
+               SUM(y * y) OVER cw AS p_yy,
+               COUNT(*) OVER cw AS p_n
+        FROM idx
+        WINDOW cw AS (PARTITION BY zone ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    tot AS (
+        SELECT zone, MAX(p_x) AS t_x, MAX(p_xx) AS t_xx,
+               MAX(p_y) AS t_y, MAX(p_xy) AS t_xy,
+               MAX(p_yy) AS t_yy, MAX(p_n) AS t_n
+        FROM pts GROUP BY 1
+    ),
+    scored AS (
+        SELECT p.zone, p.i,
+               ((CAST((p.p_n*p.p_yy - p.p_y*p.p_y) AS DOUBLE)
+                 * CAST((p.p_n*p.p_xx - p.p_x*p.p_x) AS DOUBLE)
+                 - CAST((p.p_n*p.p_xy - p.p_x*p.p_y) AS DOUBLE)
+                   * CAST((p.p_n*p.p_xy - p.p_x*p.p_y) AS DOUBLE))
+                / (CAST(p.p_n AS DOUBLE)
+                   * CAST((p.p_n*p.p_xx - p.p_x*p.p_x) AS DOUBLE)))
+             + ((CAST(((t.t_n-p.p_n)*(t.t_yy-p.p_yy)
+                       - (t.t_y-p.p_y)*(t.t_y-p.p_y)) AS DOUBLE)
+                 * CAST(((t.t_n-p.p_n)*(t.t_xx-p.p_xx)
+                         - (t.t_x-p.p_x)*(t.t_x-p.p_x)) AS DOUBLE)
+                 - CAST(((t.t_n-p.p_n)*(t.t_xy-p.p_xy)
+                         - (t.t_x-p.p_x)*(t.t_y-p.p_y)) AS DOUBLE)
+                   * CAST(((t.t_n-p.p_n)*(t.t_xy-p.p_xy)
+                           - (t.t_x-p.p_x)*(t.t_y-p.p_y)) AS DOUBLE))
+                / (CAST(t.t_n-p.p_n AS DOUBLE)
+                   * CAST(((t.t_n-p.p_n)*(t.t_xx-p.p_xx)
+                           - (t.t_x-p.p_x)*(t.t_x-p.p_x)) AS DOUBLE)))
+               AS sse_two
+        FROM pts p JOIN tot t ON t.zone = p.zone
+        WHERE p.p_n >= {SEG_MIN_PTS} AND t.t_n - p.p_n >= {SEG_MIN_PTS}
+    ),
+    best AS (
+        SELECT zone, MIN({{'sse_two': sse_two, 'i': i}}) AS b
+        FROM scored GROUP BY 1
+    ),
+    single AS (
+        SELECT zone,
+               (CAST((t_n*t_yy - t_y*t_y) AS DOUBLE)
+                * CAST((t_n*t_xx - t_x*t_x) AS DOUBLE)
+                - CAST((t_n*t_xy - t_x*t_y) AS DOUBLE)
+                  * CAST((t_n*t_xy - t_x*t_y) AS DOUBLE))
+               / (CAST(t_n AS DOUBLE)
+                  * CAST((t_n*t_xx - t_x*t_x) AS DOUBLE)) AS sse_one
+        FROM tot
+    )
+    SELECT b.zone,
+           CAST(struct_extract(b.b, 'i') AS BIGINT) AS break_idx,
+           {pround_sql('s.sse_one / 1e8')} AS sse_single_m,
+           {pround_sql("struct_extract(b.b, 'sse_two') / 1e8")}
+               AS sse_two_m,
+           {pround_sql(
+               "(s.sse_one - struct_extract(b.b, 'sse_two')) / s.sse_one"
+           )} AS gain_share
+    FROM best b JOIN single s ON s.zone = b.zone
+"""
