@@ -3148,3 +3148,146 @@ ORACLES["knn_classifier_eval"] = f"""
            )} AS accuracy
     FROM scored GROUP BY 1
 """
+
+
+LOF_Q = 10_000  # integer grid for reach-distances and lrd values
+LOF_TH_X100 = 150  # outlier verdict at LOF > 1.5 (integer compare)
+
+
+def lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local outlier factor (Breunig et al. 2000) over the kNN graph:
+    LOF(a) = mean(lrd(neighbors)) / lrd(a) — the DENSITY-RATIO
+    outlier score that catches points that are normal globally but
+    sparse relative to their own neighborhood (a global kth-distance
+    cutoff cannot). Runs entirely on the existing band-bounded
+    :func:`knn_graph` artifact; reported per vector with the
+    per-label outlier census.
+
+    Order-independence discipline: cosine distances arrive pround-
+    rounded from the graph; reach-distances quantize to the 1e4 grid
+    BEFORE the per-node sum (3-element double sums are partial-agg
+    order-dependent — the exact trap the quantize-then-sum rule
+    exists for), lrd values quantize again before the neighbor-mean,
+    and the verdict compares integers (lof_q > 1.5 on the grid)."""
+    g = knn_graph(spark, sf_dir)
+    dist = (F.lit(1.0) - F.col("cos_sim"))
+    edges = g.select(
+        "vec_id",
+        "neighbor_id",
+        F.floor(dist * LOF_Q + 0.5).cast("long").alias("d_q"),
+    )
+    kdist = edges.groupBy("vec_id").agg(F.max("d_q").alias("kdist_q"))
+    reach = edges.join(
+        kdist.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("kdist_q").alias("nbr_kdist_q"),
+        ),
+        "neighbor_id",
+    ).select(
+        "vec_id",
+        "neighbor_id",
+        F.greatest(F.col("d_q"), F.col("nbr_kdist_q")).alias("reach_q"),
+    )
+    lrd = reach.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("reach_q").alias("sum_reach_q"),
+    ).select(
+        "vec_id",
+        "k",
+        # lrd = k / mean(reach) on the grid: lrd_q = k*k*Q / sum_reach
+        F.floor(
+            (F.col("k") * F.col("k") * LOF_Q).cast("double")
+            / F.col("sum_reach_q").cast("double")
+            + 0.5
+        ).cast("long").alias("lrd_q"),
+    )
+    nbr_lrd = reach.join(
+        lrd.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("lrd_q").alias("nbr_lrd_q"),
+        ),
+        "neighbor_id",
+    ).groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("kn"),
+        F.sum("nbr_lrd_q").alias("sum_nbr_lrd_q"),
+    )
+    scored = lrd.join(nbr_lrd, "vec_id").select(
+        "vec_id",
+        F.floor(
+            (F.col("sum_nbr_lrd_q") * 100).cast("double")
+            / (F.col("kn") * F.col("lrd_q")).cast("double")
+            + 0.5
+        ).cast("long").alias("lof_x100"),
+    )
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        scored.join(emb, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum(
+                F.when(F.col("lof_x100") > LOF_TH_X100, 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.max("lof_x100").alias("max_lof_x100"),
+            pround(
+                F.sum("lof_x100").cast("double")
+                / (F.count(F.lit(1)) * 100.0)
+            ).alias("mean_lof"),
+        )
+    )
+
+
+QUERIES["lof_outliers"] = lof_outliers
+
+ORACLES["lof_outliers"] = f"""
+    WITH knn AS (
+        SELECT * FROM ({ORACLES["knn_graph"]})
+    ),
+    edges AS (
+        SELECT vec_id, neighbor_id,
+               CAST(FLOOR((1.0 - cos_sim) * {LOF_Q} + 0.5) AS BIGINT)
+                   AS d_q
+        FROM knn
+    ),
+    kdist AS (
+        SELECT vec_id, MAX(d_q) AS kdist_q FROM edges GROUP BY 1
+    ),
+    reach AS (
+        SELECT e.vec_id, e.neighbor_id,
+               GREATEST(e.d_q, kd.kdist_q) AS reach_q
+        FROM edges e
+        JOIN kdist kd ON kd.vec_id = e.neighbor_id
+    ),
+    lrd AS (
+        SELECT vec_id, COUNT(*) AS k,
+               CAST(FLOOR(CAST(COUNT(*) * COUNT(*) * {LOF_Q} AS DOUBLE)
+                    / CAST(SUM(reach_q) AS DOUBLE) + 0.5) AS BIGINT)
+                   AS lrd_q
+        FROM reach GROUP BY 1
+    ),
+    nbr_lrd AS (
+        SELECT r.vec_id, COUNT(*) AS kn,
+               SUM(l.lrd_q) AS sum_nbr_lrd_q
+        FROM reach r
+        JOIN lrd l ON l.vec_id = r.neighbor_id
+        GROUP BY 1
+    ),
+    scored AS (
+        SELECT l.vec_id,
+               CAST(FLOOR(CAST(n.sum_nbr_lrd_q * 100 AS DOUBLE)
+                    / CAST(n.kn * l.lrd_q AS DOUBLE) + 0.5) AS BIGINT)
+                   AS lof_x100
+        FROM lrd l JOIN nbr_lrd n ON n.vec_id = l.vec_id
+    )
+    SELECT e.label,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(SUM(CASE WHEN s.lof_x100 > {LOF_TH_X100}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(MAX(s.lof_x100) AS BIGINT) AS max_lof_x100,
+           {pround_sql(
+               'CAST(SUM(s.lof_x100) AS DOUBLE) / (COUNT(*) * 100.0)'
+           )} AS mean_lof
+    FROM scored s
+    JOIN embeddings e ON e.vec_id = s.vec_id
+    GROUP BY 1
+"""
