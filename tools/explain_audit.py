@@ -210,6 +210,8 @@ HEADLINERS = [
     "idw_interpolation",
     "knn_classifier_eval",
     "rrf_hybrid_fusion",
+    "segmented_trend_fit",
+    "lof_outliers",
 ]
 
 
