@@ -109,7 +109,8 @@ _GATE_FIRST = [
     # asap_smoothing, matrix_profile_lite, watermark_detect,
     # pinball_forecast_eval, rate_limit_audit, isotonic_trend_fit,
     # wasserstein_drift, idw_interpolation, knn_classifier_eval,
-    # rrf_hybrid_fusion, segmented_trend_fit, lof_outliers, ...)
+    # rrf_hybrid_fusion, segmented_trend_fit, lof_outliers,
+    # ppmi_svd_embeddings, ...)
     # are judge-only this round and MUST lead the r8 window, before
     # the displaced r4 keys below.
     # rotate-back wave: every remaining r4 key was displaced to the

@@ -4209,3 +4209,180 @@ ORACLES["rrf_hybrid_fusion"] = f"""
         FROM fused
     ) WHERE fused_rank <= {RRF_TOP}
 """
+
+
+# PPMI word-embedding axis (Levy & Goldberg 2014: SVD of the PPMI
+# cooccurrence matrix recovers word2vec-class embeddings): the
+# dominant singular direction of the symmetric PPMI matrix via the
+# integer-grid power iteration (the embedding_pca_power discipline).
+PPMI_Q = 1 << 20  # PPMI cell grid
+PPMI_XQ = 1 << 12  # iteration vector grid
+PPMI_ITERS = 32
+PPMI_MIN_CO = 2  # min cooccurrence count per cell
+
+
+def ppmi_svd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train count-based word embeddings IN the engine: build the
+    symmetric PPMI cooccurrence matrix (adjacent tokens, both
+    directions) and extract its dominant axis by power iteration —
+    Levy & Goldberg's result that SVD over PPMI matches word2vec
+    makes this the classical, fully-deterministic way an analytics
+    engine can learn distributional word vectors. Output: every
+    vocabulary token's 1-D loading on the dominant semantic axis
+    (the corpus's strongest distributional contrast).
+
+    Engine-exact: PPMI cells quantize once to the 2²⁰ grid (counts →
+    double before products, the pmi_collocations rule); the iteration
+    is the embedding_pca_power integer recurrence (matvec in exact
+    int64 — |cells| ≤ vocab², entries ≤ 2²⁰·2¹² — then max-abs
+    renormalization to the 2¹² grid); the oracle unrolls the IDENTICAL
+    32 matvecs as MATERIALIZED CTEs. The heavy leg is ONE explode +
+    keyed aggregate; the driver collects only the vocab²-bounded
+    matrix (Lloyd-collect discipline)."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(T.ws_tokens(F.lower(F.col("text")))).alias("pos", "tk"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    adj = (
+        tok.withColumn("nxt", F.lead("tk").over(wd))
+        .filter(F.col("nxt").isNotNull())
+    )
+    co = (
+        adj.select(F.col("tk").alias("a"), F.col("nxt").alias("b"))
+        .unionAll(adj.select(F.col("nxt").alias("a"), F.col("tk").alias("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= PPMI_MIN_CO)
+    )
+    marg = co.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    total = marg.agg(F.sum("c_a").alias("n"))
+    cells = (
+        co.join(marg, "a")
+        .join(
+            marg.select(F.col("a").alias("b"), F.col("c_a").alias("c_b")),
+            "b",
+        )
+        .join(F.broadcast(total))
+        .select(
+            "a",
+            "b",
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    F.log(
+                        (F.col("c_ab").cast("double") * F.col("n").cast("double"))
+                        / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+                    )
+                    * F.lit(float(PPMI_Q))
+                    + 0.5
+                ).cast("long"),
+            ).alias("m_q"),
+        )
+        .filter(F.col("m_q") > 0)
+        .collect()  # bounded: vocab^2 cells
+    )
+    import math
+
+    vocab = sorted({r["a"] for r in cells} | {r["b"] for r in cells})
+    idx = {t: i for i, t in enumerate(vocab)}
+    mat: dict[tuple[int, int], int] = {}
+    for r in cells:
+        mat[(idx[r["a"]], idx[r["b"]])] = r["m_q"]
+    x = [PPMI_XQ] * len(vocab)
+    for _ in range(PPMI_ITERS):
+        y = [0] * len(vocab)
+        for (i, j), m in mat.items():
+            y[i] += m * x[j]
+        denom = max(max(abs(v) for v in y), 1)
+        x = [int(math.floor(v / denom * PPMI_XQ + 0.5)) for v in y]
+    rows = [(t, int(x[idx[t]])) for t in vocab]
+    df = spark.createDataFrame(rows, "token string, loading_q long")
+    return df.select(
+        "token",
+        "loading_q",
+        pround(F.col("loading_q").cast("double") / F.lit(float(PPMI_XQ))).alias(
+            "loading"
+        ),
+    )
+
+
+QUERIES["ppmi_svd_embeddings"] = ppmi_svd_embeddings
+
+
+def _ppmi_oracle_sql() -> str:
+    iters = []
+    for i in range(1, PPMI_ITERS + 1):
+        iters.append(f"""
+        y{i} AS MATERIALIZED (
+            SELECT m.a AS t, CAST(SUM(m.m_q * x.xv) AS BIGINT) AS yv
+            FROM cells m JOIN x{i - 1} x ON x.t = m.b
+            GROUP BY 1
+        ),
+        mx{i} AS MATERIALIZED (
+            SELECT CASE WHEN MAX(ABS(yv)) > 0 THEN MAX(ABS(yv))
+                   ELSE 1 END AS mx FROM y{i}
+        ),
+        x{i} AS MATERIALIZED (
+            SELECT t, CAST(FLOOR(CAST(yv AS DOUBLE) / CAST(mx AS DOUBLE)
+                        * {PPMI_XQ} + 0.5) AS BIGINT) AS xv
+            FROM y{i}, mx{i}
+        )""")
+    return f"""
+        WITH adj AS (
+            SELECT tk AS a, nxt AS b FROM (
+                SELECT tk,
+                       LEAD(tk) OVER (PARTITION BY doc_id ORDER BY pos)
+                           AS nxt
+                FROM (
+                    SELECT doc_id,
+                           CAST(generate_subscripts(tks, 1) AS BIGINT)
+                               AS pos,
+                           unnest(tks) AS tk
+                    FROM (
+                        SELECT doc_id,
+                               regexp_split_to_array(
+                                   trim(lower(text)), '\\s+') AS tks
+                        FROM documents
+                    )
+                )
+            ) WHERE nxt IS NOT NULL
+        ),
+        co AS (
+            SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM (
+                SELECT a, b FROM adj
+                UNION ALL
+                SELECT b, a FROM adj
+            ) GROUP BY 1, 2
+            HAVING COUNT(*) >= {PPMI_MIN_CO}
+        ),
+        marg AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a
+                 FROM co GROUP BY 1),
+        total AS (SELECT CAST(SUM(c_a) AS BIGINT) AS n FROM marg),
+        cells AS MATERIALIZED (
+            SELECT co.a, co.b,
+                   GREATEST(0, CAST(FLOOR(LN(
+                       (CAST(co.c_ab AS DOUBLE) * CAST(t.n AS DOUBLE))
+                       / (CAST(ma.c_a AS DOUBLE)
+                          * CAST(mb.c_a AS DOUBLE))
+                   ) * {float(PPMI_Q)} + 0.5) AS BIGINT)) AS m_q
+            FROM co
+            JOIN marg ma ON ma.a = co.a
+            JOIN marg mb ON mb.a = co.b
+            CROSS JOIN total t
+        ),
+        x0 AS (
+            SELECT DISTINCT a AS t, CAST({PPMI_XQ} AS BIGINT) AS xv
+            FROM cells WHERE m_q > 0
+        ),{",".join(iters)}
+        SELECT v.t AS token, x.xv AS loading_q,
+               {pround_sql(f'CAST(x.xv AS DOUBLE) / {float(PPMI_XQ)}')}
+                   AS loading
+        FROM (SELECT DISTINCT a AS t FROM cells WHERE m_q > 0
+              UNION SELECT DISTINCT b FROM cells WHERE m_q > 0) v
+        JOIN x{PPMI_ITERS} x ON x.t = v.t
+    """
+
+
+ORACLES["ppmi_svd_embeddings"] = _ppmi_oracle_sql()
