@@ -212,6 +212,7 @@ HEADLINERS = [
     "rrf_hybrid_fusion",
     "segmented_trend_fit",
     "lof_outliers",
+    "ppmi_svd_embeddings",
 ]
 
 
