@@ -1238,7 +1238,11 @@ def encoding_plan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_distinct",
             "plain_bytes",
             (
-                F.col("dict_val_bytes") + (F.col("n") * bits + 7).cast("long") / 8
+                # (n*bits + 7) // 8 via shiftright: exact integer division
+                # by 8 on the non-negative bit count (the oracle's // 8),
+                # never a double intermediate.
+                F.col("dict_val_bytes")
+                + F.shiftright((F.col("n") * bits + 7).cast("long"), 3)
             ).cast("long").alias("dict_bytes"),
             "rle_bytes",
         )

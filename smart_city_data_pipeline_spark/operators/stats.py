@@ -32,9 +32,14 @@ from smart_city_data_pipeline_spark.functions.rounding import pround, pround_sql
 
 # c(alpha=0.05)^2 scaled by 1e6: reject when D > 1.358 * sqrt((na+nb)/(na*nb))
 # <=> M^2 * 1e6 > 1844164 * (na+nb) * na * nb  with M = max|cumA*nb - cumB*na|
-# (all-integer — no sqrt, no division). DECIMAL(38,0)/HUGEINT keeps the
-# product exact to per-group counts ~3e10; beyond that, coarsen by sampling
-# (documented contract, same posture as ols_trend's moment bounds).
+# (all-integer — no sqrt, no division). The cross-multiply runs in
+# DECIMAL(38,0) (HUGEINT in the oracle), exact to per-group counts ~1e18;
+# the squared significance comparison is exact while M^2*1e6 fits
+# DECIMAL(38,0) (M <~ 3e15 — comfortably past any real drift magnitude),
+# and past that both engines fail loud (ANSI decimal overflow / HUGEINT
+# range error), never silently wrap. Beyond those bounds, coarsen by
+# sampling (documented contract, same posture as ols_trend's moment
+# bounds).
 KS_C2_1E6 = 1_844_164
 
 
@@ -94,6 +99,9 @@ def ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(la), "lang_a")
         .join(F.broadcast(lb), "lang_b")
     )
+    def dec(c: Column) -> Column:
+        return c.cast("decimal(38,0)")
+
     mx = (
         pairs.select(
             "lang_a",
@@ -101,15 +109,13 @@ def ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_a",
             "n_b",
             F.abs(
-                F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")
+                dec(F.col("ca")) * dec(F.col("n_b"))
+                - dec(F.col("cb")) * dec(F.col("n_a"))
             ).alias("diff"),
         )
         .groupBy("lang_a", "lang_b", "n_a", "n_b")
         .agg(F.max("diff").alias("m"))
     )
-
-    def dec(c: Column) -> Column:
-        return c.cast("decimal(38,0)")
 
     return mx.select(
         "lang_a",
@@ -118,7 +124,7 @@ def ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         pround(
             F.col("m").cast("double")
-            / (F.col("n_a") * F.col("n_b")).cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
         ).alias("ks_d"),
         (
             dec(F.col("m")) * dec(F.col("m")) * F.lit(1_000_000).cast("decimal(38,0)")
@@ -257,7 +263,8 @@ ORACLES = {
         pairs AS (
             SELECT a.lang AS lang_a, b.lang AS lang_b,
                    la.n AS n_a, lb.n AS n_b,
-                   ABS(a.cum * lb.n - b.cum * la.n) AS diff
+                   ABS(CAST(a.cum AS HUGEINT) * lb.n
+                       - CAST(b.cum AS HUGEINT) * la.n) AS diff
             FROM cum a
             JOIN cum b ON a.n_chars = b.n_chars AND a.lang < b.lang
             JOIN langs la ON la.lang = a.lang
@@ -268,7 +275,10 @@ ORACLES = {
             FROM pairs GROUP BY 1, 2, 3, 4
         )
         SELECT lang_a, lang_b, n_a, n_b,
-               {pround_sql('CAST(m AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)')}
+               {pround_sql(
+                   'CAST(m AS DOUBLE)'
+                   ' / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))'
+               )}
                    AS ks_d,
                (CAST(m AS HUGEINT) * m * 1000000
                 > CAST({KS_C2_1E6} AS HUGEINT) * (n_a + n_b) * n_a * n_b)

@@ -6114,6 +6114,30 @@ RATE_REFILL_US = 600_000_000
 RATE_CAP_US = 5 * RATE_REFILL_US
 
 
+def rate_bucket_step(
+    tok: int, prev_us: int | None, us: int
+) -> tuple[int, int, bool]:
+    """One token-bucket transition, shared by the batch audit
+    (``rate_limit_audit``) and the streaming enforcer
+    (``streaming/rate_limiter.py``) so the two recurrences cannot
+    drift: refill by elapsed µs (capped at RATE_CAP_US), then spend one
+    token if available. Returns ``(tok, prev_us, accepted)``.
+
+    Contract: stream≡batch exactness requires each key's events to be
+    DELIVERED in event-time order (the batch path globally sorts; the
+    streaming path sorts only within a micro-batch). A regressing
+    timestamp (``us < prev_us``, a late event in a later micro-batch)
+    refills by ``max(0, ·)`` and leaves ``prev_us`` at the
+    high-water mark, so it can only under-refill — never the silent
+    negative-elapsed corruption of the raw recurrence."""
+    if prev_us is not None:
+        tok = min(RATE_CAP_US, tok + max(0, us - prev_us))
+        us = max(prev_us, us)
+    if tok >= RATE_REFILL_US:
+        return tok - RATE_REFILL_US, us, True
+    return tok, us, False
+
+
 def rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion-throttling simulation: replay every sensor's event
     stream through a token bucket (5-token burst, 1 token / 10 min)
@@ -6169,12 +6193,10 @@ def rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc = drp = 0
             first_drop = None
             while i < n and users[i] == u:
-                us = int(uss[i])
-                if prev_us is not None:
-                    tok = min(RATE_CAP_US, tok + (us - prev_us))
-                prev_us = us
-                if tok >= RATE_REFILL_US:
-                    tok -= RATE_REFILL_US
+                tok, prev_us, accepted = rate_bucket_step(
+                    tok, prev_us, int(uss[i])
+                )
+                if accepted:
                     acc += 1
                 else:
                     drp += 1

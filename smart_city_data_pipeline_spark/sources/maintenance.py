@@ -20,11 +20,13 @@ Durability/remote-fs rules (both operations):
   with just the update batch.
 - The new data is FULLY written to a temp sibling dir while the old
   directory is still being read (no localCheckpoint needed — source and
-  destination never overlap), then swapped in with delete+rename. A
-  crash anywhere during the write leaves the old lake untouched; only
-  the delete→rename window (two metadata ops) is exposed, and even
-  there the complete new data survives in the temp dir — never the
-  silent truncation of an in-place overwrite losing executor blocks.
+  destination never overlap), then swapped in with aside-rename +
+  rename (``_commit_swap``): the live dir moves to ``._old``, the temp
+  dir moves into place, ``._old`` is deleted last. A crash anywhere
+  during the write leaves the old lake untouched; a crash inside the
+  swap window leaves BOTH copies on disk and ``recover_swap`` (called
+  by every maintenance entry point before its existence probe) rolls
+  the table forward — no crash point deletes the sole copy.
 """
 
 from __future__ import annotations
@@ -42,17 +44,62 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return fs, hpath
 
 
+def _old_path(path: str) -> str:
+    return path.rstrip("/") + "._old"
+
+
+def recover_swap(spark: SparkSession, path: str) -> bool:
+    """Roll forward a swap that crashed between the aside-rename and
+    the rename-into-place: if ``path`` is missing but ``path._old``
+    survives, restore it. Returns True if a recovery happened.
+
+    Callers that probe ``fs.exists(path)`` to decide "no table yet"
+    MUST call this first — otherwise a crashed swap reads as an empty
+    lake and the next write silently drops all history.
+    """
+    fs, dest = _hadoop_fs(spark, path)
+    _, pold = _hadoop_fs(spark, _old_path(path))
+    if not fs.exists(dest) and fs.exists(pold):
+        if not fs.rename(pold, dest):
+            raise IOError(
+                f"recovery rename {_old_path(path)} -> {path} failed"
+            )
+        return True
+    return False
+
+
 def _commit_swap(spark: SparkSession, path: str, tmp: str) -> None:
     """Replace ``path`` with the fully-written ``tmp`` directory.
+
+    Sequence: rename the live dir aside (``path`` -> ``path._old``),
+    rename ``tmp`` into place, then delete ``._old`` — so no crash
+    point loses data: before the aside-rename the old lake is live;
+    between the two renames both the old data (at ``._old``) and the
+    new data (at ``tmp``) survive on disk and ``recover_swap`` rolls
+    the table forward on the next touch; after the second rename the
+    new lake is live. Only metadata ops (renames) are in the window —
+    never a delete of the sole copy.
 
     Module-level seam so tests can fault-inject a crash between the
     temp write and the swap and assert the old lake is intact.
     """
     fs, dest = _hadoop_fs(spark, path)
     _, tsrc = _hadoop_fs(spark, tmp)
-    fs.delete(dest, True)
+    _, pold = _hadoop_fs(spark, _old_path(path))
+    if fs.exists(pold):
+        fs.delete(pold, True)  # stale leftover from a completed crash
+    had_dest = fs.exists(dest)
+    if had_dest and not fs.rename(dest, pold):
+        raise IOError(
+            f"aside-rename {path} -> {_old_path(path)} failed;"
+            f" lake untouched, new data is at {tmp}"
+        )
     if not fs.rename(tsrc, dest):
+        if had_dest:
+            fs.rename(pold, dest)  # roll back: the old lake goes live again
         raise IOError(f"rename {tmp} -> {path} failed; new data is at {tmp}")
+    if had_dest:
+        fs.delete(pold, True)
 
 
 def upsert_latest(
@@ -63,6 +110,7 @@ def upsert_latest(
     ts_col: str = "ts",
 ) -> None:
     """Keep the newest row per key across existing data and updates."""
+    recover_swap(spark, path)
     fs, dest = _hadoop_fs(spark, path)
     tmp = path.rstrip("/") + "._tmp_upsert"
     _, tpath = _hadoop_fs(spark, tmp)
@@ -85,6 +133,7 @@ def upsert_latest(
 
 def compact_lake(spark: SparkSession, path: str, partition_cols: list[str]) -> None:
     """Rewrite a partitioned lake with one file per partition value."""
+    recover_swap(spark, path)
     fs, _ = _hadoop_fs(spark, path)
     tmp = path.rstrip("/") + "._tmp_compact"
     _, tpath = _hadoop_fs(spark, tmp)
@@ -125,6 +174,7 @@ def forget_subject(
     The audit is computed from the SAME scan lineage before the swap
     (counts per partition), so what it reports is exactly what was
     erased."""
+    recover_swap(spark, path)
     fs, _ = _hadoop_fs(spark, path)
     tmp = path.rstrip("/") + "._tmp_forget"
     _, tpath = _hadoop_fs(spark, tmp)

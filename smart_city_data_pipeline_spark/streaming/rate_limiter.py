@@ -2,10 +2,21 @@
 batch ``rate_limit_audit`` replay: per-sensor keyed state
 (bucket level in integer microseconds, last event time, counters)
 advanced per micro-batch with ``applyInPandasWithState``. The bucket
-constants and the recurrence are shared with the batch operator
-(imported, not copied — the paths cannot drift), and the pytest
-asserts per-sensor totals across micro-batch waves equal the one-shot
-batch audit EXACTLY, integer for integer.
+constants AND the transition function (``rate_bucket_step``) are
+shared with the batch operator — one imported recurrence, so the two
+paths cannot drift — and the pytest asserts per-sensor totals across
+micro-batch waves equal the one-shot batch audit EXACTLY, integer for
+integer.
+
+In-order-delivery contract: stream≡batch exactness holds when each
+key's events arrive across micro-batches in event-time order (within
+a batch we sort; across batches we cannot). A late event (``us`` below
+the stored high-water mark) takes the ``rate_bucket_step`` guarded
+path — zero refill, high-water mark kept — so it consumes a token at
+the late arrival point instead of corrupting the bucket level with a
+negative elapsed; the batch audit, which globally sorts, would have
+charged it at its true position. Deliver in order when exact replay
+parity matters.
 
 State per key is four scalars; output mode is update (latest running
 totals per sensor)."""
@@ -19,7 +30,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from smart_city_data_pipeline_spark.operators.timeseries import (
     RATE_CAP_US,
-    RATE_REFILL_US,
+    rate_bucket_step,
 )
 
 RL_OUTPUT_SCHEMA = T.StructType(
@@ -55,12 +66,8 @@ def _rl_update(key, pdfs, state: GroupState):
             ["us", "event_id"], kind="stable"
         )
         for us, eid in zip(pdf["us"], pdf["event_id"]):
-            us = int(us)
-            if prev_us is not None:
-                tok = min(RATE_CAP_US, tok + (us - prev_us))
-            prev_us = us
-            if tok >= RATE_REFILL_US:
-                tok -= RATE_REFILL_US
+            tok, prev_us, accepted = rate_bucket_step(tok, prev_us, int(us))
+            if accepted:
                 acc += 1
             else:
                 drp += 1

@@ -33,19 +33,29 @@ from smart_city_data_pipeline_spark.operators.lakehouse import (
     scd2_build_frame,
     scd2_merge,
 )
-from smart_city_data_pipeline_spark.sources.maintenance import _commit_swap
+from smart_city_data_pipeline_spark.sources.maintenance import (
+    _commit_swap,
+    _hadoop_fs,
+    recover_swap,
+)
 
 
 def merge_scd2_micro_batch(
     spark: SparkSession, dim_path: str, batch_df: DataFrame
 ) -> None:
-    """Fold one micro-batch of change events into the stored dimension."""
-    try:
+    """Fold one micro-batch of change events into the stored dimension.
+
+    "No dimension yet" is decided by an explicit FileSystem existence
+    probe (after ``recover_swap`` rolls forward any crashed swap) —
+    never by catching the read error, which would silently rebuild
+    from the current micro-batch alone (losing all prior history) on
+    ANY transient read failure. A real read error propagates, the
+    micro-batch fails, and streaming retries it.
+    """
+    recover_swap(spark, dim_path)
+    fs, dest = _hadoop_fs(spark, dim_path)
+    if fs.exists(dest):
         dim = spark.read.parquet(dim_path)
-        exists = True
-    except Exception:
-        exists = False
-    if exists:
         merged = scd2_merge(dim, batch_df)
     else:
         merged = scd2_build_frame(batch_df)
