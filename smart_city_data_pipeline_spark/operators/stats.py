@@ -773,14 +773,20 @@ def conformal_anomaly_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``hbos_outlier_scores``' construction re-derived over the SAME
     histograms — conformal calibration must score calibration and
     test points with the identical score function); the threshold is
-    an integer ORDER STATISTIC (rank = ceil arithmetic on integers,
-    row_number over the calibration scores with event_id tie-break);
-    the output compares integer counts.
+    an integer ORDER STATISTIC (rank = ceil arithmetic on integers)
+    picked from the score HISTOGRAM: the rank-r smallest calibration
+    score is the smallest ``score_q`` whose cumulative count reaches
+    r, identical to a row_number pick under any tie-break because
+    ties share the score value; the output compares integer counts.
 
     Shape: histograms once over the full stream (the deployment
-    reality: the score function is fit before the split), one
-    row_number window over calibration scores, a 1-row threshold
-    broadcast, one filter + aggregate over the eval slice."""
+    reality: the score function is fit before the split), one keyed
+    aggregate to the BOUNDED score grid (sums of three quantized
+    -ln p terms — |grid| is score-resolution-bounded, never
+    row-proportional), a cumulative window over that grid, a 1-row
+    threshold broadcast, one filter + aggregate over the eval slice.
+    No window ever sees data-proportional input (the
+    length_outlier_filter histogram-cutoff idiom)."""
     from smart_city_data_pipeline_spark.functions.hashing import md5_long
 
     ev = table(spark, sf_dir, "events")
@@ -843,18 +849,29 @@ def conformal_anomaly_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / F.lit(CONF_ALPHA_DEN)
     ).cast("long")
-    wr = Window.orderBy(F.col("score_q").asc(), F.col("event_id").asc())
-    # GLOBAL aggregate root over the single rank-matched row, so the
-    # broadcast side is policy-provably 1 row (the length_outlier_filter
-    # cutoff idiom) — a Filter/Project root the checker can't bound.
+    # Rank pick via the score-grid histogram: aggregate calibration
+    # rows to per-score counts (bounded grid), cumulative window over
+    # that grid only, then the rank-r order statistic is the row with
+    # cum - c < rank <= cum. GLOBAL aggregate root over the single
+    # rank-matched row, so the broadcast side is policy-provably 1 row
+    # (the length_outlier_filter cutoff idiom) — a Filter/Project root
+    # the checker can't bound.
+    sc_hist = cal.groupBy("score_q").agg(F.count(F.lit(1)).alias("c"))
+    wg = Window.orderBy("score_q").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     thr = (
-        cal.withColumn("rn", F.row_number().over(wr))
+        sc_hist.withColumn("cum", F.sum("c").over(wg))
         .join(F.broadcast(n_cal))
-        .filter(F.col("rn") == rank_expr)
+        .withColumn("rank", rank_expr)
+        .filter(
+            (F.col("cum") >= F.col("rank"))
+            & (F.col("cum") - F.col("c") < F.col("rank"))
+        )
         .agg(
             F.max("score_q").alias("thr_q"),
             F.max("n_cal").alias("n_cal"),
-            F.max("rn").alias("thr_rank"),
+            F.max("rank").alias("thr_rank"),
         )
     )
     ev_slice = scored.filter(~F.col("is_cal"))

@@ -3848,6 +3848,7 @@ ORACLES["naive_bayes_langid"] = f"""
 
 
 HEAPS_Q = 1 << 14  # zipf_fit's log grid (n·Σxy < 2^63 at |docs| points)
+HEAPS_BUCKET_SHIFT = 20  # 2^20 docs per prefix-sum bucket
 
 
 def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3858,13 +3859,19 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself the diagnostic). β tells a corpus build how much NEW
     vocabulary the next 10× of data will buy.
 
-    Distributed without a global token sort: cumulative token count
-    and cumulative vocabulary both derive from PER-DOC aggregates —
-    n_cum is a running sum of doc token counts, V_cum a running sum of
-    "tokens whose FIRST document is this doc" (min(doc_id) per token,
-    one keyed aggregate) — so the only windows run over the |docs|-row
-    checkpoint table. Log coordinates quantize to the 2¹⁴ grid before
-    the exact-integer regression sums (the zipf_fit discipline)."""
+    Distributed without a global token sort OR a global prefix-sum
+    window: cumulative token count and cumulative vocabulary both
+    derive from PER-DOC aggregates — n_cum is a running sum of doc
+    token counts, V_cum a running sum of "tokens whose FIRST document
+    is this doc" (min(doc_id) per token, one keyed aggregate) — and
+    the running sums are a TWO-LEVEL prefix sum: per-bucket partials
+    (bucket = doc_id >> 20, a keyed aggregate), an exclusive
+    cumulative over the BOUNDED bucket table (|buckets| =
+    max_doc_id/2²⁰ — thousands at 10⁹ docs, never row-proportional),
+    broadcast back as offsets, and a PARTITIONED within-bucket window
+    — so no window ever moves data-proportional input to one task.
+    Log coordinates quantize to the 2¹⁴ grid before the exact-integer
+    regression sums (the zipf_fit discipline)."""
     docs = table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("t")
@@ -3874,14 +3881,31 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_vocab = first_doc.groupBy(F.col("fd").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("n_new")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    pts = (
-        per_doc.join(new_vocab, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.sum("n_tok").over(w).alias("n_cum"),
-            F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(w).alias("v_cum"),
-        )
+    per = per_doc.join(new_vocab, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+        F.shiftright(F.col("doc_id"), HEAPS_BUCKET_SHIFT).alias("bk"),
+    )
+    buckets = per.groupBy("bk").agg(
+        F.sum("n_tok").alias("bn"), F.sum("n_new").alias("bv")
+    )
+    # exclusive prefix over the bounded bucket table only
+    wb = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = buckets.select(
+        "bk",
+        F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("off_n"),
+        F.coalesce(F.sum("bv").over(wb), F.lit(0)).alias("off_v"),
+    )
+    wd = (
+        Window.partitionBy("bk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pts = per.join(F.broadcast(offsets), "bk").select(
+        "doc_id",
+        (F.col("off_n") + F.sum("n_tok").over(wd)).alias("n_cum"),
+        (F.col("off_v") + F.sum("n_new").over(wd)).alias("v_cum"),
     )
     qx = F.floor(F.log(F.col("n_cum").cast("double")) * HEAPS_Q + 0.5).cast(
         "long"
@@ -4088,6 +4112,7 @@ ORACLES["watermark_detect"] = f"""
 RRF_K = 60
 RRF_TOP = 20
 RRF_QUERY_VEC = 0  # the semantic leg's query = embedding of vec 0
+RRF_DEPTH = 1000  # per-leg rank-list cap (production RRF semantics)
 
 
 def rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4099,6 +4124,13 @@ def rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributes nothing). Rank fusion needs NO score calibration
     between legs — exactly why it won out in production.
 
+    Rank-depth-``RRF_DEPTH`` semantics (the production contract):
+    each leg contributes its TOP-1000 rank list only — exactly how
+    deployed RRF runs (Elasticsearch/Vespa rank_window_size), because
+    a doc below rank 1000 contributes < 1/(60+1000) per leg and never
+    reaches the fused top-20 in practice. The oracle caps both legs
+    identically, so the comparison is exact under the same contract.
+
     Determinism: both legs rank on engine-identical doubles (BM25 is
     already oracle-paired; the cosine leg folds left-to-right over
     DOUBLE) with doc_id tie-breaks; the RRF score is a two-term sum
@@ -4106,15 +4138,20 @@ def rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides; the fused order ties on doc_id.
 
     Shape: the lexical leg is the existing BM25 plan; the vector leg
-    is a broadcast 1-row query vector against the embedding scan; the
-    fusion is a full-outer join of two rank lists bounded by corpus
-    rank depth."""
+    is a broadcast 1-row query vector against the embedding scan;
+    each leg caps to RRF_DEPTH rows via orderBy+limit
+    (TakeOrderedAndProject — per-partition heaps, never a global
+    sort) BEFORE ranking, so every row_number window runs over a
+    ≤1000-row constant-bounded table; the fusion is a full-outer
+    join of the two capped lists (≤2·RRF_DEPTH rows)."""
     from smart_city_data_pipeline_spark.functions.vector import cosine
 
     lex = bm25_scores(spark, sf_dir)
     wl = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-    lex_r = lex.select(
-        "doc_id", F.row_number().over(wl).alias("lex_rank")
+    lex_r = (
+        lex.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(RRF_DEPTH)
+        .select("doc_id", F.row_number().over(wl).alias("lex_rank"))
     )
     emb = table(spark, sf_dir, "embeddings")
     # GLOBAL aggregate root over the single query row, so the broadcast
@@ -4129,8 +4166,10 @@ def rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine(F.col("q_emb"), F.col("embedding")).alias("cs"),
     )
     ws = Window.orderBy(F.col("cs").desc(), F.col("doc_id").asc())
-    sem_r = sem.select(
-        "doc_id", F.row_number().over(ws).alias("sem_rank")
+    sem_r = (
+        sem.orderBy(F.col("cs").desc(), F.col("doc_id").asc())
+        .limit(RRF_DEPTH)
+        .select("doc_id", F.row_number().over(ws).alias("sem_rank"))
     )
     fused = lex_r.join(sem_r, "doc_id", "full_outer").select(
         "doc_id",
@@ -4172,26 +4211,30 @@ ORACLES["rrf_hybrid_fusion"] = f"""
         SELECT * FROM ({ORACLES["bm25_scores"]})
     ),
     lex_r AS (
-        SELECT doc_id, ROW_NUMBER() OVER (
-            ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
-        FROM lex
+        SELECT doc_id, lex_rank FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (
+                ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+            FROM lex
+        ) WHERE lex_rank <= {RRF_DEPTH}
     ),
     q AS (
         SELECT embedding AS q_emb FROM embeddings
         WHERE vec_id = {RRF_QUERY_VEC}
     ),
     sem_r AS (
-        SELECT doc_id, ROW_NUMBER() OVER (
-            ORDER BY cs DESC, doc_id ASC) AS sem_rank
-        FROM (
-            SELECT e.vec_id AS doc_id,
-                   {_dot_sql('q.q_emb', 'e.embedding')}
-                   / (sqrt({_dot_sql('q.q_emb', 'q.q_emb')})
-                      * sqrt({_dot_sql('e.embedding', 'e.embedding')}))
-                       AS cs
-            FROM embeddings e CROSS JOIN q
-            WHERE e.vec_id <> {RRF_QUERY_VEC}
-        )
+        SELECT doc_id, sem_rank FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (
+                ORDER BY cs DESC, doc_id ASC) AS sem_rank
+            FROM (
+                SELECT e.vec_id AS doc_id,
+                       {_dot_sql('q.q_emb', 'e.embedding')}
+                       / (sqrt({_dot_sql('q.q_emb', 'q.q_emb')})
+                          * sqrt({_dot_sql('e.embedding', 'e.embedding')}))
+                           AS cs
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> {RRF_QUERY_VEC}
+            )
+        ) WHERE sem_rank <= {RRF_DEPTH}
     ),
     fused AS (
         SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,

@@ -929,16 +929,22 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup (recency / frequency / monetary quintiles + a named
     segment), run over orders.
 
-    Determinism: quintiles are ``ntile(5)`` on a TOTAL order (metric,
-    then custkey) so ties split identically in both engines; monetary
-    sums are DECIMAL(18,2)-exact. Recency counts days from the
-    corpus's max order date (a 1-row broadcast).
+    Determinism: quintiles follow ``ntile(5)`` semantics on a TOTAL
+    order (metric, then custkey) so ties split identically in both
+    engines; monetary sums are DECIMAL(18,2)-exact. Recency counts
+    days from the corpus's max order date (a 1-row broadcast).
 
-    Scale note: global ntile is a single-partition window by
-    definition — fine for the |customers|-sized rollup (already
-    aggregated), and at larger |customers| the same scores come from
-    broadcast quantile CUTOFFS (the ``value_quantiles`` panel) instead
-    of a global sort; the segmentation logic is unchanged.
+    100 TB posture — NO global ntile window: each score is derived
+    from the row's exact GLOBAL RANK on the (metric, custkey) total
+    order, computed as a two-level rank — per-bucket counts (bucket =
+    the metric value for the day/count-bounded r/f metrics; cents>>16
+    for monetary, a value-domain-bounded grid), an exclusive
+    cumulative over the BOUNDED bucket table, broadcast offsets, and
+    a PARTITIONED within-bucket row_number — then the standard ntile
+    arithmetic (first n%5 tiles hold n//5+1 rows) applied to the rank
+    in pure integers. Identical output to a global ntile window,
+    without ever moving |customers| rows to one task. The oracle keeps
+    DuckDB's native ntile — the semantics equivalence IS the check.
     """
     orders = table(spark, sf_dir, "orders")
     per = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
@@ -955,19 +961,69 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("r_days"),
         "frequency",
         F.col("m").cast("double").alias("monetary"),
+        (F.col("m") * 100).cast("long").alias("cents"),
     )
-    # lower r_days = better recency => r_score 5 for the most recent
-    w_r = Window.orderBy(F.col("r_days").desc(), F.col("custkey"))
-    w_f = Window.orderBy(F.col("frequency").asc(), F.col("custkey"))
-    w_m = Window.orderBy(F.col("monetary").asc(), F.col("custkey"))
-    scored = base.select(
-        "custkey",
-        "r_days",
-        "frequency",
-        "monetary",
-        F.ntile(5).over(w_r).alias("r_score"),
-        F.ntile(5).over(w_f).alias("f_score"),
-        F.ntile(5).over(w_m).alias("m_score"),
+
+    def global_rank(bucket: Column, order_cols: list[Column], out: str):
+        """Exact 1-based rank on a total order without a global sort:
+        exclusive prefix over the bounded bucket histogram + a
+        partitioned within-bucket row_number. ``bucket`` must be
+        monotone non-decreasing in the order."""
+        d = base.withColumn("_bk", bucket)
+        h = d.groupBy("_bk").agg(F.count(F.lit(1)).alias("_c"))
+        wb = Window.orderBy("_bk").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        off = h.select(
+            "_bk",
+            F.coalesce(F.sum("_c").over(wb), F.lit(0)).alias("_off"),
+        )
+        wd = Window.partitionBy("_bk").orderBy(*order_cols)
+        return (
+            d.join(F.broadcast(off), "_bk")
+            .select(
+                "custkey",
+                (F.col("_off") + F.row_number().over(wd)).alias(out),
+            )
+        )
+
+    # lower r_days = better recency => r_score 5 for the most recent;
+    # rank ascends on (-r_days, custkey) = ntile order (r_days DESC).
+    r_rank = global_rank(-F.col("r_days"), [F.col("custkey")], "rn_r")
+    f_rank = global_rank(F.col("frequency"), [F.col("custkey")], "rn_f")
+    m_rank = global_rank(
+        F.shiftright(F.col("cents"), 16),
+        [F.col("cents"), F.col("custkey")],
+        "rn_m",
+    )
+    n_tot = base.agg(F.count(F.lit(1)).alias("n_cust"))
+
+    def tile(rn: Column) -> Column:
+        """Standard ntile(5): q=n//5, r=n%5; first r tiles take q+1
+        rows. Integer ceil via (a+b-1) div b."""
+        q = F.expr("n_cust div 5")
+        r = F.col("n_cust") % 5
+        big = r * (q + F.lit(1))
+        in_big = F.floor((rn + q) / (q + F.lit(1))).cast("int")
+        in_small = (
+            r + F.floor((rn - big + q - F.lit(1)) / q)
+        ).cast("int")
+        return F.when(rn <= big, in_big).otherwise(in_small)
+
+    scored = (
+        base.join(r_rank, "custkey")
+        .join(f_rank, "custkey")
+        .join(m_rank, "custkey")
+        .join(F.broadcast(n_tot))
+        .select(
+            "custkey",
+            "r_days",
+            "frequency",
+            "monetary",
+            tile(F.col("rn_r")).alias("r_score"),
+            tile(F.col("rn_f")).alias("f_score"),
+            tile(F.col("rn_m")).alias("m_score"),
+        )
     )
     seg = (
         F.when(
