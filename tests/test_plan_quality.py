@@ -121,9 +121,71 @@ BNLJ_ALLOWED = {
 }
 
 
+# Unpartitioned-window allowlist: keys whose plans contain a Window
+# with NO partition spec — legal ONLY because the window's input is a
+# BOUNDED table (a value-domain histogram, a score/bucket grid, a
+# capped top-N list, or file/partition metadata), never
+# row-proportional data. Every entry carries the bound. Any new
+# unpartitioned window must either partition, switch to the
+# histogram/two-level-prefix idioms, or be justified here.
+UNPARTITIONED_WINDOW_ALLOWED = {
+    "bpe_merge_counts": "pair-rank window over the vocab²-bounded merge table",
+    "cluster_label_nmi": "contingency table bounded by |clusters|×|labels|",
+    "compaction_plan": "file-metadata table (|files|, not rows)",
+    "conformal_anomaly_rate": "histogram walls + cumulative over the "
+    "bounded quantized-score grid",
+    "decision_stump_train": "cumulative over the cents-histogram table",
+    "dedup_cluster_modularity": "cluster-bounded degree/edge tables",
+    "density_heatmap": "cumulative over the bounded spatial grid",
+    "funnel_conversion_report": "|steps|-row funnel table",
+    "hbos_outlier_scores": "histogram walls over vb/hour/type tables "
+    "(value-domain bounded)",
+    "heaps_law_fit": "exclusive prefix over the doc_id>>20 bucket table",
+    "hilbert_prune_report": "file/partition metadata table",
+    "km_survival": "cumulative over the duration-bucket step table",
+    "length_outlier_filter": "cumulative over the token-count histogram",
+    "minhash_estimate_audit": "signature-grid-bounded estimate table",
+    "partition_skew_report": "partition metadata table",
+    "rfm_segments": "exclusive prefix over metric-value/cents>>16 "
+    "bucket histograms",
+    "rrf_hybrid_fusion": "rank windows over RRF_DEPTH-capped (<=1000-row) "
+    "leg lists and their <=2000-row fusion",
+    "seq_len_histogram": "cumulative over the length histogram",
+    "text_embedding_agreement": "rank-grid-bounded agreement table",
+    "zipf_fit": "rank window over the vocab-bounded term table",
+    "zone_hod_mi": "zone x 24-hour grid table",
+}
+
+
+def _unpartitioned_windows(df) -> int:
+    """Count logical Window nodes with an empty partition spec."""
+    n = 0
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+        ):
+            n += 1
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return n
+
+
 @pytest.mark.parametrize("key", sorted(_queries()))
-def test_no_cartesian_blowup(key, spark, sf_dir):
-    plan = plan_str(_queries()[key](spark, sf_dir))
+def test_no_cartesian_blowup_or_global_window(key, spark, sf_dir):
+    df = _queries()[key](spark, sf_dir)
+    plan = plan_str(df)
     assert "CartesianProduct" not in plan, key
     if key not in BNLJ_ALLOWED:
         assert "BroadcastNestedLoopJoin" not in plan, key
+    if key not in UNPARTITIONED_WINDOW_ALLOWED:
+        n = _unpartitioned_windows(df)
+        assert n == 0, (
+            f"{key}: {n} unpartitioned Window node(s) — single-partition "
+            "scale-killer unless the input is bounded; partition it, use "
+            "the histogram/two-level-prefix idioms, or justify in "
+            "UNPARTITIONED_WINDOW_ALLOWED"
+        )
