@@ -21,129 +21,77 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Round-7 rotation (VERDICT r6 items 1-3): never-driver-checked and
-# red-in-r6 entries lead, entries whose BEHAVIOR changed this round
-# follow (they must re-earn driver-green), then entries new in round 7
-# (grown as the round progresses), then the rotate-back wave — every
-# key whose last driver check was round 4 (checked r7 keeps its
-# gap-since-last-check <= 2 rounds; the 48 r5-greens rotate back in
-# r8). New r7 entries displace the TAIL of the rotate-back wave; the
-# displaced keys lead r8.
+# Round-8 rotation (VERDICT r7 item 4): the 79 keys that had never
+# appeared in any driver gate window (judge-sweep-verified only) are
+# rotated in over rounds 8-9 — 50 here, the remaining 28 lead round 9:
+# ab_test_report, asof_nearest_enrich, attribution_last_touch,
+# colocated_bias_pairs, decision_stump_train, density_heatmap,
+# funnel_conversion_report, hbos_outlier_scores, hll_merge_audit,
+# l_diversity_audit, ols_trend, pareto_front, psi_drift_report,
+# quantile_normalize, rollup_cascade, wasserstein_drift, zone_hod_mi,
+# zone_xcorr_lags, cluster_label_nmi, code_detect, corpus_datasheet,
+# dsir_importance_weights, embedding_abtt_qc, embedding_bq_hamming,
+# link_prediction_cn, pmi_collocations, rake_keywords,
+# retrieval_metrics_report.
+# Window order: behavior-changed-this-round first (they must re-earn
+# driver-green), then the keys VERDICT named as likeliest to diverge
+# under the driver harness (driver-loop / mapInPandas shapes), then
+# the remaining iterative/codec-shaped never-gated keys.
 _GATE_FIRST = [
-    # never driver-checked / red in r6
-    "window_funnel_strict",  # added late in r6, never gated
-    "scd2_dim",  # r6 red row (harness sentinel overflow) — re-check
-    # behavior changed in round 7 (sentinel / exactness fixes)
-    "ccnet_perplexity_buckets",  # integer-grid per-token scoring
-    "doc_outlier_mahalanobis",  # decimal(38,0)/HUGEINT moment products
-    # new in round 7 (append as built; shrink the wave below)
-    "centroid_tracks",  # new: greedy nearest-centroid frame tracker
-    "gopher_repetition_full",  # new: remaining Gopher §A1.1 rows
-    "ann_ivfpq_topk",  # new: IVF-PQ asymmetric-distance search
-    "cdc_apply",  # new: CDC I/U/D change-feed application
-    "state_as_of",  # new: SCD2 time-travel read
-    "audio_features_wav",  # new: real RIFF/WAV decode, closed-form oracle
-    "value_quantiles",  # new: exact percentile panel, no global sort
-    "bloom_prefilter_report",  # new: Bloom semi-join reduction audit
-    "audio_resample_stats",  # new: decimate->re-encode->decode roundtrip
-    "nearest_station_rollup",  # new: spatial argmin zone assignment
-    "hard_negative_mining",  # new: contrastive cross-label top-k
-    "bpe_train_merges",  # new: full BPE training loop, unrolled oracle
-    "time_weighted_avg",  # new: LOCF time-weighted average
-    "counter_rate",  # new: reset-aware counter deltas
-    "cms_error_report",  # new: count-min sketch w/ exact error audit
-    "dataset_split_assign",  # new: stratified train/val/test audit
-    "embedding_sq8",  # new: int8 scalar quantization audit
-    "zorder_prune_report",  # new: z-order file-skipping audit
-    "zone_hour_cube",  # new: CUBE grouping sets (both margins)
-    "type_cooccurrence",  # new: sensor co-occurrence matrix
-    "gorilla_compression_estimate",  # new: TSDB bit-cost planning
-    "lateness_audit",  # new: watermark-delay sizing
-    "c4_badwords_filter",  # new: C4 blocklist rule
-    "stream_state_estimate",  # new: join-state capacity planning
-    "layer_reconciliation",  # new: bronze/silver checksum audit
-    "burstiness",  # new: per-sensor Fano factor
-    "zipf_fit",  # new: vocabulary power-law slope
-    "dup_cluster_histogram",  # new: dedup cluster-size report
-    "week_over_week",  # new: weekly delta dashboard
-    "dq_expectations",  # new: data-quality expectation suite
-    "theil_sen_slope",  # new: robust pairwise-median trend
-    "hampel_filter",  # new: rolling median-MAD despike/repair
-    "ann_recall_report",  # new: IVF recall/cost audit per nprobe
-    "pagerank_types",  # new: integer-grid weighted PageRank
-    "hll_distinct_report",  # new: HLL sketch w/ exact error audit
-    "downsample_lttb",  # new: sequential LTTB, recursive-CTE oracle
-    "track_lifetimes",  # new: tracker-population rollup
-    "token_gini_by_source",  # new: length-inequality audit
-    "source_divergence_chi2",  # new: domain-mix drift audit
-    "triangle_count",  # new: near-dup graph triangle census
-    "benford_digit_test",  # new: Benford first-digit fraud audit
-    "walsh_energy",  # new: exact-integer Walsh-Hadamard bands
-    "forecast_backtest",  # new: naive-vs-snaive rolling-origin audit
-    "k_anonymity_audit",  # new: pre-export privacy compliance curve
-    "changepoint_detect",  # new: binseg first-split regime change
-    "hilbert_codes",  # new: Hilbert clustering key (vs zorder)
-    # window FULL (50). Later r7 additions (hilbert_prune_report,
-    # embedding_pca_power, cdc_chunk_dedup, rollup_cascade, code_detect,
-    # od_matrix, forget_subject, pareto_front, rfm_segments,
-    # embedding_abtt_qc, stl_decompose_lite, ols_trend,
-    # soft_dedup_weights, snapshot_diff, rake_keywords, dbscan_grid,
-    # km_survival, zone_hod_mi, ann_graph_search, kcenter_sample,
-    # link_prediction_cn, corpus_datasheet, density_heatmap,
-    # quantile_normalize, cluster_label_nmi, attribution_last_touch,
-    # holt_winters_forecast, ivm_merge_view, colocated_bias_pairs,
-    # funnel_conversion_report, zone_xcorr_lags, audio_silence_segments,
-    # minhash_estimate_audit, dedup_cluster_modularity,
-    # text_embedding_agreement, ks_length_drift, psi_drift_report,
-    # dsir_importance_weights, frames_ahash_dedup, audio_walsh_bands,
-    # kcore_decompose, embedding_bq_hamming, sax_symbols,
-    # positional_delete_apply, scene_cut_detect, mrl_truncation_qc,
-    # pmi_collocations, hbos_outlier_scores, stupid_backoff_score,
-    # hll_merge_audit, naive_bayes_langid, ab_test_report,
-    # decision_stump_train, winnowing_fingerprints,
-    # retrieval_metrics_report, encoding_plan_report,
-    # markov_attribution, conformal_anomaly_rate, heaps_law_fit,
-    # graph_bfs_levels, asof_nearest_enrich,
-    # label_propagation_communities, l_diversity_audit,
-    # pit_training_join, cep_pattern_counts, dtw_zone_profiles,
-    # asap_smoothing, matrix_profile_lite, watermark_detect,
-    # pinball_forecast_eval, rate_limit_audit, isotonic_trend_fit,
-    # wasserstein_drift, idw_interpolation, knn_classifier_eval,
-    # rrf_hybrid_fusion, segmented_trend_fit, lof_outliers,
-    # ppmi_svd_embeddings, ...)
-    # are judge-only this round and MUST lead the r8 window, before
-    # the displaced r4 keys below.
-    # rotate-back wave: every remaining r4 key was displaced to the
-    # r8 head by r7 additions: congestion_classify, zone_analytics,
-    # road_type_analytics,
-    # hourly_stats,
-    # aqi_compute,
-    # air_quality_zone,
-    # parking_status,
-    # retention_filter,
-    # sessionize, moving_avg, top_k, event_funnel,
-    # melt_type_counts,
-    # props_extract, q1_pricing_summary,
-    # q3_shipping_priority, q5_local_supplier, revenue_by_nation,
-    # promo_revenue, order_priority_count,
-    # q7_volume_shipping,
-    # q10_returned_items,
-    # q13_customer_distribution,
-    # q17_small_quantity_revenue,
-    # q22_global_sales_opportunity, q20_surplus_suppliers,
-    # q2_min_cost_supplier,
-    # lang_id, text_quality,
-    # token_count,
-    # doc_fingerprint, rolling_fingerprint,
-    # token_explode_count,
-    # source_token_rebalance, unigram_logprob_score,
-    # length_outlier_filter,
-    # bigram_logprob_score,
-    # filter_funnel_report, dedup_exact,
-    # dedup_ngram_jaccard, dedup_minhash_lsh,
-    # dedup_simhash,
-    # embedding_neardup, embedding_srp_lsh, dedup_clusters,
-    # decontaminate_ngram
+    # behavior changed in round 8 (scale-killer rewrites + ADVICE fixes)
+    "conformal_anomaly_rate",  # score-grid histogram rank pick
+    "rrf_hybrid_fusion",  # per-leg top-1000 rank-depth caps
+    "heaps_law_fit",  # two-level prefix sum
+    "rfm_segments",  # bucket-rank ntile arithmetic, no global sort
+    "ks_length_drift",  # DECIMAL(38,0) cross-multiply
+    "encoding_plan_report",  # integer shiftright //8
+    "rate_limit_audit",  # shared rate_bucket_step recurrence
+    # VERDICT-named: harness divergence likeliest (driver loops /
+    # mapInPandas / session-6 additions never driver-checked)
+    "dtw_zone_profiles",
+    "ann_graph_search",
+    "kcenter_sample",
+    "embedding_pca_power",
+    "ppmi_svd_embeddings",
+    # remaining never-driver-gated keys (iterative / codec / join-heavy)
+    "dbscan_grid",
+    "kcore_decompose",
+    "label_propagation_communities",
+    "graph_bfs_levels",
+    "dedup_cluster_modularity",
+    "matrix_profile_lite",
+    "stl_decompose_lite",
+    "holt_winters_forecast",
+    "cdc_chunk_dedup",
+    "winnowing_fingerprints",
+    "knn_classifier_eval",
+    "lof_outliers",
+    "naive_bayes_langid",
+    "stupid_backoff_score",
+    "watermark_detect",
+    "markov_attribution",
+    "km_survival",
+    "pit_training_join",
+    "cep_pattern_counts",
+    "asap_smoothing",
+    "isotonic_trend_fit",
+    "segmented_trend_fit",
+    "pinball_forecast_eval",
+    "idw_interpolation",
+    "sax_symbols",
+    "od_matrix",
+    "snapshot_diff",
+    "positional_delete_apply",
+    "hilbert_prune_report",
+    "audio_silence_segments",
+    "audio_walsh_bands",
+    "frames_ahash_dedup",
+    "scene_cut_detect",
+    "ivm_merge_view",
+    "soft_dedup_weights",
+    "minhash_estimate_audit",
+    "text_embedding_agreement",
+    "mrl_truncation_qc",
 ]
 
 # Entries that can never hash-match (no oracle_sql twin by documented
