@@ -30,6 +30,16 @@ def main() -> None:
     qs = e.queries()
     # Warm the JVM/codegen path once so q1 doesn't pay session startup.
     qs["road_type_analytics"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm the Python worker pool too (fork + Arrow socket setup across
+    # local[32] is a one-off ~2-4 s, same class as codegen warm-up):
+    # otherwise whichever mapInPandas codec query happens to run FIRST
+    # in registry order pays it, and the registry order rotates every
+    # round — the r6/r7 frames_resize_stats "bimodality" was exactly
+    # this cost landing on different keys (ROUND_NOTES_r8).
+    for _ in range(2):
+        qs["frames_features_bmp"](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     # Steady-state timing: each query runs RUNS times, min is reported
     # (hyperfine-style). The first execution of a query shape pays 2-4 s
