@@ -178,8 +178,37 @@ def main() -> None:
     except Exception:
         head_sha = None
 
+    # Per-family ratio vs the FROZEN baseline (BASELINE.md /
+    # BASELINE_BUDGET.json, r7 freeze): the "within 2x of BASELINE"
+    # bar, mechanically checkable on every run. Keys added after the
+    # freeze have no budget; they're counted separately so new
+    # operators never dilute the ratio.
+    family_ratios, unbudgeted = {}, []
+    try:
+        with open(os.path.join(here, "BASELINE_BUDGET.json")) as f:
+            budget = json.load(f)
+        fam_of = budget["family_of"]
+        base_q = budget["queries"]
+        per_fam: dict[str, list[float]] = {}
+        for k, v in timings.items():
+            if k in base_q and k in fam_of:
+                per_fam.setdefault(fam_of[k], [0.0, 0.0])
+                per_fam[fam_of[k]][0] += v
+                per_fam[fam_of[k]][1] += base_q[k]
+            else:
+                unbudgeted.append(k)
+        family_ratios = {
+            f: round(meas / base, 2)
+            for f, (meas, base) in sorted(per_fam.items())
+            if base > 0
+        }
+    except (OSError, ValueError, KeyError):
+        pass
+
     full = {
         "queries": timings,
+        "family_ratios_vs_baseline": family_ratios,
+        "unbudgeted_keys": unbudgeted,
         "runs_per_query": runs,
         "timing": "min over runs (steady-state)",
         "git_head": head_sha,
@@ -197,6 +226,7 @@ def main() -> None:
         json.dump(full, f, indent=1)
     line = dict(full)
     del line["deltas_vs_prev"]
+    del line["unbudgeted_keys"]
     line["full_record"] = "BENCH_FULL.json"
     print(json.dumps(line))
     spark.stop()

@@ -22,7 +22,7 @@ shuffle partition count, handled by AQE coalescing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from smart_city_data_pipeline_spark.catalog import table
@@ -1679,4 +1679,258 @@ ORACLES["idw_interpolation"] = f"""
                ' / CAST(SUM(CAST(wq AS HUGEINT)) AS DOUBLE) / 100.0'
            )} AS idw_value
     FROM weighted GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Consolidated "latest city snapshot" serving view.
+# --------------------------------------------------------------------------
+
+SNAPSHOT_WINDOW_US = 86_400_000_000  # 24 h rolling windows for aq/vision
+PARKING_FULL_BP = 19_000  # occupancy >= 0.95 on the 0..20000 grid
+PARKING_CAP_BP = 20_000  # occupancy = min(value/200, 1) => value cents cap
+
+
+def city_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row-per-zone city dashboard read — the serving pattern the
+    reference's dashboard implies (``pipline2/test_code/templates/
+    dashboard.html`` polls ``/cameras`` + ``/camera_metadata`` and
+    renders per-camera object/person counts next to the city metric
+    tiles; ``vision_prototype.py:246`` keeps exactly this
+    latest-state-plus-staleness map in memory). Composes four source
+    views into one multi-source snapshot with PER-SOURCE FRESHNESS:
+
+    - metrics:  latest reading per zone (``latest_metrics`` grain
+      rolled to zone) + its EPA AQI value/category;
+    - parking:  latest reading PER LOT, rolled to zone occupancy
+      (lot count, mean occupancy, full-lot count);
+    - air quality: trailing-24 h per-zone AQI rollup
+      (``air_quality_zone`` semantics, windowed to "today");
+    - vision:   trailing-24 h per-zone detection rollup
+      (``camera_object_stats`` generator, zone-keyed).
+
+    Each source carries ``*_staleness_s`` = seconds between the
+    city-wide newest event (1-row broadcast) and that source's newest
+    contributing event in the zone — the dashboard's "last updated"
+    badge, computed in exact integer microseconds.
+
+    Shape: one events scan per leg, each leg a partitioned window or
+    keyed aggregate to |zones|-bounded rollups, then |zones|-sized
+    joins (broadcast by size). The vision leg consumes the detection
+    generator map-side exactly like camera_object_stats. No global
+    sorts, no unpartitioned windows, no row-proportional driver state.
+    """
+    from smart_city_data_pipeline_spark.operators.vision import _detections_col
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("event_type").alias("zone"),
+        "value",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+    )
+    now = ev.agg(F.max("t_us").alias("now_us"))  # 1-row broadcast
+
+    # metrics leg: latest reading per zone (ts, event_id tie-break)
+    wz = Window.partitionBy("zone").orderBy(
+        F.col("t_us").desc(), F.col("event_id").desc()
+    )
+    leg_m = (
+        ev.withColumn("rn", F.row_number().over(wz))
+        .filter(F.col("rn") == 1)
+        .select(
+            "zone",
+            F.col("t_us").alias("m_us"),
+            pround(F.col("value")).alias("last_value"),
+            aqi_value(F.col("value")).alias("last_aqi"),
+            aqi_category(F.col("value")).alias("last_aqi_category"),
+        )
+    )
+
+    # parking leg: latest reading per (zone, lot), rolled up per zone
+    wl = Window.partitionBy("zone", "user_id").orderBy(
+        F.col("t_us").desc(), F.col("event_id").desc()
+    )
+    occ_bp = F.least(
+        F.floor(F.col("value") * 100 + 0.5).cast("long"),
+        F.lit(PARKING_CAP_BP).cast("long"),
+    )
+    leg_p = (
+        ev.withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") == 1)
+        .select("zone", occ_bp.alias("occ_bp"), "t_us")
+        .groupBy("zone")
+        .agg(
+            F.count(F.lit(1)).alias("n_lots"),
+            F.sum("occ_bp").alias("s_occ"),
+            F.sum(
+                (F.col("occ_bp") >= PARKING_FULL_BP).cast("long")
+            ).alias("n_full_lots"),
+            F.max("t_us").alias("p_us"),
+        )
+    )
+
+    # air-quality leg: trailing-24 h AQI rollup per zone
+    ev24 = ev.join(F.broadcast(now)).filter(
+        F.col("t_us") > F.col("now_us") - F.lit(SNAPSHOT_WINDOW_US)
+    )
+    aqi = aqi_value(F.col("value"))
+    leg_a = ev24.groupBy("zone").agg(
+        F.count(F.lit(1)).alias("aq24_readings"),
+        F.sum(aqi).alias("s_aqi"),
+        F.sum((aqi > 100).cast("long")).alias("n_unhealthy"),
+        F.max("t_us").alias("a_us"),
+    )
+
+    # vision leg: trailing-24 h detection rollup per zone (generator
+    # consumed map-side, the camera_object_stats discipline)
+    leg_v = (
+        ev24.select(
+            "zone", "user_id", "t_us", F.inline_outer(_detections_col())
+        )
+        .groupBy("zone")
+        .agg(
+            F.count(F.lit(1)).alias("cam24_detections"),
+            F.sum((F.col("obj_type") == "person").cast("long")).alias(
+                "cam24_persons"
+            ),
+            F.countDistinct("user_id").alias("cam24_cameras"),
+            F.max("t_us").alias("v_us"),
+        )
+    )
+
+    joined = (
+        leg_m.join(leg_p, "zone", "left")
+        .join(leg_a, "zone", "left")
+        .join(leg_v, "zone", "left")
+        .join(F.broadcast(now))
+    )
+
+    def staleness(us: str) -> Column:
+        # exact integer seconds; null when the source has no rows
+        return F.expr(f"(now_us - {us}) div 1000000")
+
+    return joined.select(
+        "zone",
+        "last_value",
+        "last_aqi",
+        "last_aqi_category",
+        staleness("m_us").alias("metrics_staleness_s"),
+        "n_lots",
+        pround(
+            F.col("s_occ").cast("double")
+            / (F.col("n_lots").cast("double") * float(PARKING_CAP_BP))
+        ).alias("avg_occupancy"),
+        "n_full_lots",
+        staleness("p_us").alias("parking_staleness_s"),
+        "aq24_readings",
+        pround(
+            F.col("s_aqi").cast("double")
+            / F.col("aq24_readings").cast("double")
+        ).alias("aq24_avg_aqi"),
+        pround(
+            F.col("n_unhealthy").cast("double")
+            / F.col("aq24_readings").cast("double")
+        ).alias("aq24_unhealthy_share"),
+        staleness("a_us").alias("air_staleness_s"),
+        "cam24_detections",
+        "cam24_persons",
+        "cam24_cameras",
+        staleness("v_us").alias("vision_staleness_s"),
+    )
+
+
+QUERIES["city_snapshot"] = city_snapshot
+
+from smart_city_data_pipeline_spark.operators.vision import (  # noqa: E402
+    _DET_BASE_SQL,
+)
+
+ORACLES["city_snapshot"] = f"""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type AS zone, value,
+               epoch_us(ts) AS t_us
+        FROM events
+    ),
+    now_t AS (SELECT MAX(t_us) AS now_us FROM ev),
+    leg_m AS (
+        SELECT zone, t_us AS m_us,
+               {pround_sql('value')} AS last_value,
+               {aqi_value_sql('value')} AS last_aqi,
+               {aqi_category_sql('value')} AS last_aqi_category
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY zone ORDER BY t_us DESC, event_id DESC) AS rn
+            FROM ev
+        ) WHERE rn = 1
+    ),
+    lots AS (
+        SELECT zone,
+               LEAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT),
+                     {PARKING_CAP_BP}) AS occ_bp,
+               t_us
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY zone, user_id
+                ORDER BY t_us DESC, event_id DESC) AS rn
+            FROM ev
+        ) WHERE rn = 1
+    ),
+    leg_p AS (
+        SELECT zone, CAST(COUNT(*) AS BIGINT) AS n_lots,
+               CAST(SUM(occ_bp) AS BIGINT) AS s_occ,
+               CAST(SUM(CASE WHEN occ_bp >= {PARKING_FULL_BP}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_full_lots,
+               MAX(t_us) AS p_us
+        FROM lots GROUP BY 1
+    ),
+    ev24 AS (
+        SELECT ev.* FROM ev, now_t
+        WHERE t_us > now_us - {SNAPSHOT_WINDOW_US}
+    ),
+    leg_a AS (
+        SELECT zone, CAST(COUNT(*) AS BIGINT) AS aq24_readings,
+               CAST(SUM({aqi_value_sql('value')}) AS BIGINT) AS s_aqi,
+               CAST(SUM(CASE WHEN {aqi_value_sql('value')} > 100
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_unhealthy,
+               MAX(t_us) AS a_us
+        FROM ev24 GROUP BY 1
+    ),
+    det24 AS (
+        SELECT e24.zone, e24.t_us, e24.user_id, d.obj_type
+        FROM ({_DET_BASE_SQL}) d
+        JOIN ev24 e24 USING (event_id)
+    ),
+    leg_v AS (
+        SELECT zone, CAST(COUNT(*) AS BIGINT) AS cam24_detections,
+               CAST(SUM(CASE WHEN obj_type = 'person'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS cam24_persons,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS cam24_cameras,
+               MAX(t_us) AS v_us
+        FROM det24 GROUP BY 1
+    )
+    SELECT m.zone, m.last_value, m.last_aqi, m.last_aqi_category,
+           (now_us - m_us) // 1000000 AS metrics_staleness_s,
+           p.n_lots,
+           {pround_sql(
+               'CAST(s_occ AS DOUBLE)'
+               f' / (CAST(n_lots AS DOUBLE) * {float(PARKING_CAP_BP)})'
+           )} AS avg_occupancy,
+           p.n_full_lots,
+           (now_us - p_us) // 1000000 AS parking_staleness_s,
+           a.aq24_readings,
+           {pround_sql(
+               'CAST(s_aqi AS DOUBLE) / CAST(aq24_readings AS DOUBLE)'
+           )} AS aq24_avg_aqi,
+           {pround_sql(
+               'CAST(n_unhealthy AS DOUBLE) / CAST(aq24_readings AS DOUBLE)'
+           )} AS aq24_unhealthy_share,
+           (now_us - a_us) // 1000000 AS air_staleness_s,
+           v.cam24_detections, v.cam24_persons, v.cam24_cameras,
+           (now_us - v_us) // 1000000 AS vision_staleness_s
+    FROM leg_m m
+    LEFT JOIN leg_p p USING (zone)
+    LEFT JOIN leg_a a USING (zone)
+    LEFT JOIN leg_v v USING (zone)
+    CROSS JOIN now_t
 """

@@ -118,6 +118,8 @@ BNLJ_ALLOWED = {
     "heaps_law_fit",  # 1-row corpus-totals broadcast
     "rrf_hybrid_fusion",  # 1-row query-vector + inherited bm25
     # corpus-stats broadcasts (global-aggregate roots)
+    "city_snapshot",  # 1-row city-wide max-ts broadcast (freshness
+    # anchor joined to every leg and the final projection)
 }
 
 
