@@ -4429,3 +4429,226 @@ def _ppmi_oracle_sql() -> str:
 
 
 ORACLES["ppmi_svd_embeddings"] = _ppmi_oracle_sql()
+
+
+# Interpolated Kneser-Ney bigram LM scoring (Kneser & Ney 1995; Chen &
+# Goodman 1999's interpolated form): the ln-count smoothing that every
+# production n-gram LM shipped before neural LMs, and the standard
+# quality probe a corpus build runs next to stupid_backoff. Discount
+# D = 0.75 carried as the exact ratio 3/4 so every probability is an
+# exact integer rational:
+#   P(w2|w1) = (4·c12 − 3)/(4·c1) + (3·N1+(w1,·))/(4·c1) · N1+(·,w2)/N1+(·,·)
+#            = [(4·c12 − 3)·Ncc + 3·N1fw·N1bw] / (4·c1·Ncc)
+KN_D_NUM = 3  # discount 0.75 as the exact ratio 3/4
+KN_D_DEN = 4
+KN_Q = 1048576.0  # 2^20 quantization grid (the SBO discipline)
+
+
+def kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out interpolated Kneser-Ney bigram scoring per language —
+    the absolute-discounting LM with CONTINUATION counts (how many
+    distinct contexts a word follows), the distributional insight that
+    made KN the strongest count-based smoother. Trains on the md5 80%
+    split, scores the other 20%, reports per-language mean negative
+    log-probability plus honest backoff telemetry (unseen-bigram /
+    OOV-context / continuation-floor counts are live hash-checked
+    columns).
+
+    Exactness: with D = 3/4 every probability is the exact integer
+    rational [(4·c12−3)·Ncc + 3·N1fw·N1bw] / (4·c1·Ncc) (bigram seen),
+    3·N1fw·N1bw / (4·c1·Ncc) (context seen, bigram unseen), or the
+    documented fallbacks max(N1bw,1)/Ncc (context OOV) — products in
+    DECIMAL(38,0)/HUGEINT (c12·Ncc overflows BIGINT past ~1e9·1e9),
+    one double division, -ln quantized per position to the 2^20 grid,
+    INTEGER sums per language.
+
+    Shape: one posexplode + lag for the bigram stream, four count
+    aggregates that shrink with n-gram order, four LEFT equi-joins on
+    the eval stream, one 1-row continuation-total broadcast, one final
+    keyed aggregate. Linear keyed shuffles only — the stupid_backoff
+    plan with KN's continuation tables."""
+    from smart_city_data_pipeline_spark.functions.hashing import md5_long
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "is_train",
+        md5_long(F.concat(F.lit("kn:"), F.col("doc_id").cast("string"))) % 10
+        < 8,
+    )
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        "is_train",
+        F.posexplode(T.ws_tokens(F.lower(F.col("text")))).alias("pos", "token"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prs = (
+        tok.withColumn("prev", F.lag("token").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("doc_id", "lang", "is_train", "prev", "token")
+    )
+    trn = prs.filter("is_train")
+    big = trn.groupBy("prev", "token").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = big.groupBy("prev").agg(
+        F.sum("c12").alias("c1"),
+        F.count(F.lit(1)).alias("n1fw"),  # N1+(w1,*): distinct continuations
+    )
+    cont = big.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n1bw")  # N1+(*,w2): distinct left contexts
+    )
+    ncc = big.agg(F.count(F.lit(1)).alias("ncc"))  # N1+(*,*), 1-row broadcast
+
+    ev = (
+        prs.filter(~F.col("is_train"))
+        .join(big, ["prev", "token"], "left")
+        .join(ctx, "prev", "left")
+        .join(cont, "token", "left")
+        .join(F.broadcast(ncc))
+    )
+
+    def dec(c: Column) -> Column:
+        return c.cast("decimal(38,0)")
+
+    ctx_seen = F.col("c1").isNotNull()
+    big_seen = F.col("c12").isNotNull()
+    n1bw_f = F.greatest(F.coalesce(F.col("n1bw"), F.lit(0)), F.lit(1))
+    num = F.when(
+        ctx_seen & big_seen,
+        (
+            dec(F.lit(KN_D_DEN) * F.col("c12") - F.lit(KN_D_NUM))
+            * dec(F.col("ncc"))
+            + dec(F.lit(KN_D_NUM)) * dec(F.col("n1fw")) * dec(n1bw_f)
+        ),
+    ).when(
+        ctx_seen,
+        dec(F.lit(KN_D_NUM)) * dec(F.col("n1fw")) * dec(n1bw_f),
+    ).otherwise(dec(n1bw_f))
+    den = F.when(
+        ctx_seen, dec(F.lit(KN_D_DEN)) * dec(F.col("c1")) * dec(F.col("ncc"))
+    ).otherwise(dec(F.col("ncc")))
+    p = num.cast("double") / den.cast("double")
+    lq = F.floor(-F.log(p) * F.lit(KN_Q) + 0.5).cast("long")
+    bucket = (
+        F.when(~ctx_seen, 2)  # OOV context: continuation-only fallback
+        .when(~big_seen, 1)  # unseen bigram: continuation interpolation
+        .otherwise(0)
+    )
+    floor_hit = (F.col("n1bw").isNull()).cast("long")
+    return (
+        ev.select("lang", lq.alias("lq"), bucket.alias("b"), floor_hit.alias("fl"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("b") == 1, 1).otherwise(0)).alias(
+                "n_unseen_bigram"
+            ),
+            F.sum(F.when(F.col("b") == 2, 1).otherwise(0)).alias(
+                "n_ctx_oov"
+            ),
+            F.sum("fl").alias("n_cont_floor"),
+            F.sum("lq").alias("slq"),
+        )
+        .select(
+            "lang",
+            "n_bigrams",
+            "n_unseen_bigram",
+            "n_ctx_oov",
+            "n_cont_floor",
+            pround(
+                F.col("slq").cast("double")
+                / F.col("n_bigrams").cast("double")
+                / F.lit(KN_Q)
+            ).alias("mean_neg_logprob"),
+        )
+    )
+
+
+QUERIES["kneser_ney_score"] = kneser_ney_score
+
+ORACLES["kneser_ney_score"] = f"""
+    WITH d AS (
+        SELECT doc_id, lang, text,
+               ({_md5_long_sql("'kn:' || CAST(doc_id AS VARCHAR)")} % 10) < 8
+                   AS is_train
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, lang, is_train,
+               CAST(generate_subscripts(tk, 1) AS BIGINT) AS pos,
+               unnest(tk) AS token
+        FROM (
+            SELECT doc_id, lang, is_train,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+            FROM d
+        )
+    ),
+    prs AS (
+        SELECT doc_id, lang, is_train, prev, token FROM (
+            SELECT doc_id, lang, is_train, token,
+                   LAG(token) OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM tok
+        ) WHERE prev IS NOT NULL
+    ),
+    big AS (
+        SELECT prev, token, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM prs WHERE is_train GROUP BY 1, 2
+    ),
+    ctx AS (
+        SELECT prev, CAST(SUM(c12) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS n1fw
+        FROM big GROUP BY 1
+    ),
+    cont AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n1bw
+        FROM big GROUP BY 1
+    ),
+    ncc AS (SELECT CAST(COUNT(*) AS BIGINT) AS ncc FROM big),
+    ev AS (
+        SELECT p.lang,
+               b.c12, x.c1, x.n1fw, co.n1bw, n.ncc,
+               GREATEST(COALESCE(co.n1bw, 0), 1) AS n1bw_f,
+               x.c1 IS NOT NULL AS ctx_seen,
+               b.c12 IS NOT NULL AS big_seen
+        FROM prs p
+        LEFT JOIN big b ON b.prev = p.prev AND b.token = p.token
+        LEFT JOIN ctx x ON x.prev = p.prev
+        LEFT JOIN cont co ON co.token = p.token
+        CROSS JOIN ncc n
+        WHERE NOT p.is_train
+    ),
+    scored AS (
+        SELECT lang,
+               CAST(FLOOR(-LN(
+                   CAST(CASE
+                       WHEN ctx_seen AND big_seen THEN
+                           CAST({KN_D_DEN} * c12 - {KN_D_NUM} AS HUGEINT)
+                               * ncc
+                           + CAST({KN_D_NUM} AS HUGEINT) * n1fw * n1bw_f
+                       WHEN ctx_seen THEN
+                           CAST({KN_D_NUM} AS HUGEINT) * n1fw * n1bw_f
+                       ELSE CAST(n1bw_f AS HUGEINT)
+                   END AS DOUBLE)
+                   / CAST(CASE
+                       WHEN ctx_seen THEN
+                           CAST({KN_D_DEN} AS HUGEINT) * c1 * ncc
+                       ELSE CAST(ncc AS HUGEINT)
+                   END AS DOUBLE)
+               ) * {KN_Q} + 0.5) AS BIGINT) AS lq,
+               CASE WHEN NOT ctx_seen THEN 2
+                    WHEN NOT big_seen THEN 1 ELSE 0 END AS b,
+               CASE WHEN n1bw IS NULL THEN 1 ELSE 0 END AS fl
+        FROM ev
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unseen_bigram,
+           CAST(SUM(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ctx_oov,
+           CAST(SUM(fl) AS BIGINT) AS n_cont_floor,
+           {pround_sql(
+               'CAST(SUM(lq) AS DOUBLE) / COUNT(*) / ' + str(KN_Q)
+           )} AS mean_neg_logprob
+    FROM scored
+    GROUP BY 1
+"""

@@ -106,6 +106,7 @@ BNLJ_ALLOWED = {
     # the dense ECDF value grid (bounded by the language count)
     "pmi_collocations",  # 1-row pair-total broadcast
     "stupid_backoff_score",  # 1-row train-token-total broadcast
+    "kneser_ney_score",  # 1-row continuation-total (Ncc) broadcast
     "naive_bayes_langid",  # |langs|-row model cross joins + 1-row
     # vocab-size/train-total broadcasts (bounded lang enum)
     "ab_test_report",  # 1-row-per-arm final cross join (2 rows total)
