@@ -3291,3 +3291,168 @@ ORACLES["lof_outliers"] = f"""
     JOIN embeddings e ON e.vec_id = s.vec_id
     GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# ROUGE-2 verification of LSH near-dup candidates.
+# --------------------------------------------------------------------------
+
+
+def rouge2_candidate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 precision/recall/F1 for every MinHash-LSH candidate pair
+    — the clipped-bigram overlap metric (Lin 2004) that summarization
+    and decontamination audits report where plain Jaccard hides
+    near-verbatim REUSE (Jaccard over distinct shingles ignores how
+    MUCH of each doc the shared material covers; ROUGE-2's clipped
+    multiset counts measure exactly that). The pair list is the SAME
+    banded candidate stage the dedup operator uses, so this is the
+    drop-in "how similar are my candidates really" verification
+    report.
+
+    Exactness: per-pair overlap = Σ over shared bigram types of
+    min(count_a, count_b) — pure integers; P = ov/n_b, R = ov/n_a,
+    F1 = 2·ov/(n_a+n_b) quantized once each (guarded for bigram-less
+    docs). Zero-overlap candidates stay in the report (banding can
+    pair docs with no shared bigram at all — that IS the finding).
+
+    Shape: candidate pairs are LSH-band-bounded (never all-pairs);
+    the overlap join expands each pair by its docs' bigram lists —
+    the standard candidate-verification cost, linear in candidate
+    volume × doc length. Reuses ``_band_pairs``/``_minhash_sig_wide``
+    (one signature row per doc)."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(_ws_tokens(F.col("text"))).alias("pos", "token"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tok.withColumn("prev", F.lag("token").over(w))
+        .filter(F.col("prev").isNotNull())
+        .groupBy("doc_id", "prev", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tb = bg.groupBy("doc_id").agg(F.sum("c").alias("n_bg"))
+    cand = _band_pairs(_minhash_sig_wide(spark, sf_dir))
+    ba, bb = bg.alias("ba"), bg.alias("bb")
+    ov = (
+        cand.join(ba, F.col("doc_a") == F.col("ba.doc_id"))
+        .join(
+            bb,
+            (F.col("doc_b") == F.col("bb.doc_id"))
+            & (F.col("ba.prev") == F.col("bb.prev"))
+            & (F.col("ba.token") == F.col("bb.token")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least(F.col("ba.c"), F.col("bb.c"))).alias("n_overlap"))
+    )
+    ta, tb2 = tb.alias("ta"), tb.alias("tb")
+    out = (
+        cand.join(ov, ["doc_a", "doc_b"], "left")
+        .join(ta, F.col("doc_a") == F.col("ta.doc_id"), "left")
+        .join(tb2, F.col("doc_b") == F.col("tb.doc_id"), "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce(F.col("ta.n_bg"), F.lit(0)).alias("n_bg_a"),
+            F.coalesce(F.col("tb.n_bg"), F.lit(0)).alias("n_bg_b"),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+        )
+    )
+    ovc = F.col("n_overlap").cast("double")
+    return out.select(
+        "doc_a",
+        "doc_b",
+        "n_bg_a",
+        "n_bg_b",
+        "n_overlap",
+        F.when(
+            F.col("n_bg_b") > 0, pround(ovc / F.col("n_bg_b").cast("double"))
+        ).alias("rouge2_p"),
+        F.when(
+            F.col("n_bg_a") > 0, pround(ovc / F.col("n_bg_a").cast("double"))
+        ).alias("rouge2_r"),
+        F.when(
+            F.col("n_bg_a") + F.col("n_bg_b") > 0,
+            pround(
+                2.0 * ovc
+                / (F.col("n_bg_a") + F.col("n_bg_b")).cast("double")
+            ),
+        ).alias("rouge2_f1"),
+    )
+
+
+QUERIES["rouge2_candidate_report"] = rouge2_candidate_report
+
+ORACLES["rouge2_candidate_report"] = f"""
+    WITH sh AS ({_HASHED_SHINGLES_SQL}),
+    sigm AS (
+        SELECT doc_id,
+           {_SIG_COLS_SQL}
+        FROM sh GROUP BY 1
+    ),
+    sig AS (
+        SELECT *,
+           {_BAND_COLS_SQL}
+        FROM sigm
+    ),
+    cand AS (
+        SELECT DISTINCT doc_a, doc_b FROM (
+            {_CAND_UNION_SQL}
+        )
+    ),
+    tok AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(tk, 1) AS BIGINT) AS pos,
+               unnest(tk) AS token
+        FROM (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+            FROM documents
+        )
+    ),
+    bg AS (
+        SELECT doc_id, prev, token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (
+            SELECT doc_id, token,
+                   LAG(token) OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM tok
+        ) WHERE prev IS NOT NULL
+        GROUP BY 1, 2, 3
+    ),
+    tb AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bg FROM bg GROUP BY 1),
+    ov AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS n_overlap
+        FROM cand c
+        JOIN bg a ON a.doc_id = c.doc_a
+        JOIN bg b ON b.doc_id = c.doc_b
+               AND b.prev = a.prev AND b.token = a.token
+        GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           COALESCE(ta.n_bg, 0) AS n_bg_a,
+           COALESCE(tb2.n_bg, 0) AS n_bg_b,
+           COALESCE(o.n_overlap, 0) AS n_overlap,
+           CASE WHEN COALESCE(tb2.n_bg, 0) > 0 THEN
+               {pround_sql(
+                   'CAST(COALESCE(o.n_overlap, 0) AS DOUBLE)'
+                   ' / CAST(tb2.n_bg AS DOUBLE)'
+               )} END AS rouge2_p,
+           CASE WHEN COALESCE(ta.n_bg, 0) > 0 THEN
+               {pround_sql(
+                   'CAST(COALESCE(o.n_overlap, 0) AS DOUBLE)'
+                   ' / CAST(ta.n_bg AS DOUBLE)'
+               )} END AS rouge2_r,
+           CASE WHEN COALESCE(ta.n_bg, 0) + COALESCE(tb2.n_bg, 0) > 0 THEN
+               {pround_sql(
+                   '2.0 * CAST(COALESCE(o.n_overlap, 0) AS DOUBLE)'
+                   ' / CAST(COALESCE(ta.n_bg, 0) + COALESCE(tb2.n_bg, 0)'
+                   '        AS DOUBLE)'
+               )} END AS rouge2_f1
+    FROM cand c
+    LEFT JOIN ov o ON o.doc_a = c.doc_a AND o.doc_b = c.doc_b
+    LEFT JOIN tb ta ON ta.doc_id = c.doc_a
+    LEFT JOIN tb tb2 ON tb2.doc_id = c.doc_b
+"""
