@@ -6568,3 +6568,169 @@ ORACLES["segmented_trend_fit"] = f"""
            )} AS gain_share
     FROM best b JOIN single s ON s.zone = b.zone
 """
+
+
+# --------------------------------------------------------------------------
+# Fixed-period periodogram (daily/weekly spectral power per type).
+# --------------------------------------------------------------------------
+
+PG_PERIODS = (24, 168)  # hours: daily and weekly cycles
+PG_Q = 1 << 20  # cos/sin quantization grid
+
+
+def periodogram_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-frequency DFT power at the daily (24 h) and weekly
+    (168 h) periods per event type — the direct spectral complement of
+    ``acf_lags`` (ACF says "correlated with itself an hour later";
+    the periodogram says "HOW BIG the daily/weekly cycle is, in
+    reading units"): the amplitude estimate of the best-fit sinusoid
+    at each fixed period, 2·|Σ (v_t − v̄)·e^{-2πi·t/T}|/N.
+
+    Exactness: the hourly series point is the acf_lags integer
+    ``(sum_cents·128) DIV n``; cos/sin are evaluated per PHASE
+    (t mod T — a ≤168-row table per period) and quantized ONCE to the
+    2²⁰ grid, so the correlation sums A = Σ v·cq, B = Σ v·sq are exact
+    integers; mean removal is the all-integer cross-multiply
+    A′ = N·A − S·C (DECIMAL(38,0)/HUGEINT — N·A overflows BIGINT past
+    ~1e5 hours × 1e12 sums); sqrt + the normalizing division are the
+    only float ops, applied once per output row.
+
+    Shape: ONE map-side-combinable hourly rollup of the facts, a
+    2-literal period explode, a broadcast join against the ≤192-row
+    quantized phase table, one keyed aggregate over (type, period) —
+    everything after the first shuffle runs on #types × #hours rows."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hourly = (
+        ev.groupBy(
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+            .cast("long")
+            .alias("he"),
+            F.col("event_type"),
+        )
+        .agg(F.sum(cents).alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("he", "event_type", F.expr("(s * 128) DIV n").alias("v"))
+    )
+    # quantized phase tables: period x phase -> (cq, sq), <=192 rows
+    phases = None
+    for T in PG_PERIODS:
+        ph = spark.range(T).select(
+            F.lit(T).cast("long").alias("period_h"),
+            F.col("id").cast("long").alias("p"),
+        )
+        phases = ph if phases is None else phases.unionByName(ph)
+    two_pi = 2.0 * 3.141592653589793
+    ang = F.lit(two_pi) * F.col("p").cast("double") / F.col(
+        "period_h"
+    ).cast("double")
+    phq = phases.select(
+        "period_h",
+        "p",
+        F.floor(F.cos(ang) * F.lit(float(PG_Q)) + 0.5).cast("long").alias("cq"),
+        F.floor(F.sin(ang) * F.lit(float(PG_Q)) + 0.5).cast("long").alias("sq"),
+    )
+    exp = hourly.select(
+        "event_type",
+        "he",
+        "v",
+        F.explode(
+            F.array(*[F.lit(T).cast("long") for T in PG_PERIODS])
+        ).alias("period_h"),
+    ).withColumn("p", F.pmod(F.col("he"), F.col("period_h")))
+    j = exp.join(F.broadcast(phq), ["period_h", "p"])
+    g = j.groupBy("event_type", "period_h").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("cq")).alias("a"),
+        F.sum(F.col("v") * F.col("sq")).alias("b"),
+        F.sum("cq").alias("c"),
+        F.sum("sq").alias("d"),
+    )
+
+    def dec(c: Column) -> Column:
+        return c.cast("decimal(38,0)")
+
+    aw = dec(F.col("n_points")) * dec(F.col("a")) - dec(F.col("sv")) * dec(
+        F.col("c")
+    )
+    bw = dec(F.col("n_points")) * dec(F.col("b")) - dec(F.col("sv")) * dec(
+        F.col("d")
+    )
+    amp = (
+        F.lit(2.0)
+        * F.sqrt(
+            aw.cast("double") * aw.cast("double")
+            + bw.cast("double") * bw.cast("double")
+        )
+        / (
+            F.col("n_points").cast("double")
+            * F.col("n_points").cast("double")
+            * F.lit(float(PG_Q))
+            * F.lit(12800.0)
+        )
+    )
+    return g.select(
+        "event_type",
+        F.col("period_h").cast("int").alias("period_h"),
+        "n_points",
+        pround(amp).alias("amplitude"),
+    )
+
+
+QUERIES["periodogram_power"] = periodogram_power
+
+_PG_PHASES_SQL = " UNION ALL ".join(
+    f"SELECT CAST({T} AS BIGINT) AS period_h,"
+    f" CAST(p AS BIGINT) AS p,"
+    f" CAST(FLOOR(COS(2 * PI() * p / {T}.0) * {PG_Q} + 0.5) AS BIGINT) AS cq,"
+    f" CAST(FLOOR(SIN(2 * PI() * p / {T}.0) * {PG_Q} + 0.5) AS BIGINT) AS sq"
+    f" FROM generate_series(0, {T - 1}) t(p)"
+    for T in PG_PERIODS
+)
+_PG_PERIODS_SQL = " UNION ALL ".join(
+    f"SELECT CAST({T} AS BIGINT) AS period_h" for T in PG_PERIODS
+)
+
+ORACLES["periodogram_power"] = f"""
+    WITH hourly AS (
+        SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600 AS he,
+               event_type,
+               (CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) * 128)
+                   // COUNT(*) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    phq AS ({_PG_PHASES_SQL}),
+    periods AS ({_PG_PERIODS_SQL}),
+    j AS (
+        SELECT h.event_type, pr.period_h, h.v, q.cq, q.sq
+        FROM hourly h
+        CROSS JOIN periods pr
+        JOIN phq q ON q.period_h = pr.period_h
+                  AND q.p = ((h.he % pr.period_h) + pr.period_h) % pr.period_h
+    ),
+    g AS (
+        SELECT event_type, period_h,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(SUM(v) AS BIGINT) AS sv,
+               CAST(SUM(v * cq) AS BIGINT) AS a,
+               CAST(SUM(v * sq) AS BIGINT) AS b,
+               CAST(SUM(cq) AS BIGINT) AS c,
+               CAST(SUM(sq) AS BIGINT) AS d
+        FROM j GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(period_h AS INTEGER) AS period_h, n_points,
+           {pround_sql(
+               '2.0 * SQRT('
+               'CAST(CAST(n_points AS HUGEINT) * a - CAST(sv AS HUGEINT) * c'
+               '     AS DOUBLE)'
+               ' * CAST(CAST(n_points AS HUGEINT) * a'
+               '        - CAST(sv AS HUGEINT) * c AS DOUBLE)'
+               ' + CAST(CAST(n_points AS HUGEINT) * b'
+               '        - CAST(sv AS HUGEINT) * d AS DOUBLE)'
+               ' * CAST(CAST(n_points AS HUGEINT) * b'
+               '        - CAST(sv AS HUGEINT) * d AS DOUBLE))'
+               ' / (CAST(n_points AS DOUBLE) * CAST(n_points AS DOUBLE)'
+               f'    * {float(PG_Q)} * 12800.0)'
+           )} AS amplitude
+    FROM g
+"""
