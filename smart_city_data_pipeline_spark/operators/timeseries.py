@@ -6734,3 +6734,193 @@ ORACLES["periodogram_power"] = f"""
            )} AS amplitude
     FROM g
 """
+
+
+# --------------------------------------------------------------------------
+# Western Electric (WECO) control-chart rule violations per sensor.
+# --------------------------------------------------------------------------
+
+
+def weco_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart control-chart monitoring with the four classic Western
+    Electric zone rules per sensor — the SPC layer an operations
+    dashboard runs next to cusum_drift (CUSUM finds sustained small
+    shifts; WECO's zone tests catch the textbook instability
+    patterns):
+
+    - R1: one point beyond 3σ;
+    - R2: ≥2 of 3 consecutive points beyond 2σ on the same side;
+    - R3: ≥4 of 5 consecutive points beyond 1σ on the same side;
+    - R4: 8 consecutive points on the same side of the center line.
+
+    Determinism: control limits come from exact DECIMAL(18,2) moments
+    per sensor (the anomaly_zscore discipline — stddev() over doubles
+    is summation-order-dependent); z and the zone comparisons are then
+    the identical IEEE ops in both engines; all outputs are integer
+    counts. Sensors with fewer than 2 points or zero variance are
+    excluded (no control limits to violate).
+
+    Shape: one keyed moment aggregate, one shuffle join back on
+    sensor, one partitioned lag window (9 codegen'd lag taps), one
+    keyed count rollup. No unpartitioned windows."""
+    ev = table(spark, sf_dir, "events")
+    vd = F.col("value").cast("decimal(18,2)")
+    stats = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(vd).cast("double").alias("s1"),
+            F.sum(vd * vd).cast("double").alias("s2"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    mu = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    lim = stats.select(
+        "user_id",
+        mu.alias("mu"),
+        F.sqrt(var).alias("sigma"),
+    ).filter(F.col("sigma") > 0)
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    base = ev.join(lim, "user_id").select(
+        "user_id",
+        "ts",
+        "event_id",
+        z.alias("z"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    up = (F.col("z") > 0).cast("int")
+
+    def lagged(col: Column, k: int) -> Column:
+        return F.lag(col, k).over(w)
+
+    # zone hits per point (current row)
+    a2 = (F.col("z") > 2).cast("int")
+    b2 = (F.col("z") < -2).cast("int")
+    a1 = (F.col("z") > 1).cast("int")
+    b1 = (F.col("z") < -1).cast("int")
+    d = base.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "z",
+        *[lagged(F.col("z"), k).alias(f"z{k}") for k in range(1, 8)],
+    )
+
+    def zc(k: int) -> Column:
+        return F.col("z") if k == 0 else F.col(f"z{k}")
+
+    def runsum(pred, win: int) -> Column:
+        total = None
+        for k in range(win):
+            t = F.when(zc(k).isNotNull() & pred(zc(k)), 1).otherwise(0)
+            total = t if total is None else total + t
+        return total
+
+    def fullrun(pred, win: int) -> Column:
+        cond = None
+        for k in range(win):
+            t = zc(k).isNotNull() & pred(zc(k))
+            cond = t if cond is None else cond & t
+        return cond
+
+    r1 = (F.abs(F.col("z")) > 3).cast("long")
+    r2 = (
+        (runsum(lambda c: c > 2, 3) >= 2) | (runsum(lambda c: c < -2, 3) >= 2)
+    ).cast("long")
+    r3 = (
+        (runsum(lambda c: c > 1, 5) >= 4) | (runsum(lambda c: c < -1, 5) >= 4)
+    ).cast("long")
+    r4 = (
+        fullrun(lambda c: c > 0, 8) | fullrun(lambda c: c < 0, 8)
+    ).cast("long")
+    return (
+        d.select("user_id", r1.alias("r1"), r2.alias("r2"), r3.alias("r3"), r4.alias("r4"))
+        .groupBy(F.col("user_id").alias("sensor_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("r1").alias("n_rule1"),
+            F.sum("r2").alias("n_rule2"),
+            F.sum("r3").alias("n_rule3"),
+            F.sum("r4").alias("n_rule4"),
+        )
+    )
+
+
+QUERIES["weco_rule_violations"] = weco_rule_violations
+
+_WECO_LAGS_SQL = ",\n                   ".join(
+    f"LAG(z, {k}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS z{k}"
+    for k in range(1, 8)
+)
+
+
+def _weco_runsum_sql(op: str, thr: str, win: int) -> str:
+    terms = []
+    for k in range(win):
+        c = "z" if k == 0 else f"z{k}"
+        terms.append(
+            f"(CASE WHEN {c} IS NOT NULL AND {c} {op} {thr}"
+            f" THEN 1 ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _weco_fullrun_sql(op: str, win: int) -> str:
+    terms = []
+    for k in range(win):
+        c = "z" if k == 0 else f"z{k}"
+        terms.append(f"({c} IS NOT NULL AND {c} {op} 0)")
+    return "(" + " AND ".join(terms) + ")"
+
+
+ORACLES["weco_rule_violations"] = f"""
+    WITH stats AS (
+        SELECT user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))
+                        * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+               CAST(COUNT(*) AS DOUBLE) AS n
+        FROM events GROUP BY 1
+        HAVING COUNT(*) >= 2
+    ),
+    lim AS (
+        SELECT user_id, s1 / n AS mu,
+               SQRT((s2 - s1 * s1 / n) / (n - 1)) AS sigma
+        FROM stats
+        WHERE SQRT((s2 - s1 * s1 / n) / (n - 1)) > 0
+    ),
+    base AS (
+        SELECT e.user_id, e.ts, e.event_id,
+               (e.value - l.mu) / l.sigma AS z
+        FROM events e JOIN lim l USING (user_id)
+    ),
+    d AS (
+        SELECT user_id, z,
+                   {_WECO_LAGS_SQL}
+        FROM base
+    ),
+    flags AS (
+        SELECT user_id,
+               CASE WHEN ABS(z) > 3 THEN 1 ELSE 0 END AS r1,
+               CASE WHEN {_weco_runsum_sql('>', '2', 3)} >= 2
+                     OR {_weco_runsum_sql('<', '-2', 3)} >= 2
+                    THEN 1 ELSE 0 END AS r2,
+               CASE WHEN {_weco_runsum_sql('>', '1', 5)} >= 4
+                     OR {_weco_runsum_sql('<', '-1', 5)} >= 4
+                    THEN 1 ELSE 0 END AS r3,
+               CASE WHEN {_weco_fullrun_sql('>', 8)}
+                     OR {_weco_fullrun_sql('<', 8)}
+                    THEN 1 ELSE 0 END AS r4
+        FROM d
+    )
+    SELECT user_id AS sensor_id,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(r1) AS BIGINT) AS n_rule1,
+           CAST(SUM(r2) AS BIGINT) AS n_rule2,
+           CAST(SUM(r3) AS BIGINT) AS n_rule3,
+           CAST(SUM(r4) AS BIGINT) AS n_rule4
+    FROM flags GROUP BY 1
+"""
