@@ -3902,7 +3902,11 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    pts = per.join(F.broadcast(offsets), "bk").select(
+    # no forced broadcast hint: the bucket table is bounded (see
+    # docstring) but derived from fact keys, so the broadcast-policy
+    # checker can't bound it statically — AQE broadcasts it at runtime
+    # from its actual (tiny) size instead.
+    pts = per.join(offsets, "bk").select(
         "doc_id",
         (F.col("off_n") + F.sum("n_tok").over(wd)).alias("n_cum"),
         (F.col("off_v") + F.sum("n_new").over(wd)).alias("v_cum"),

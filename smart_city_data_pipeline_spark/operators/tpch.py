@@ -979,8 +979,12 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("_c").over(wb), F.lit(0)).alias("_off"),
         )
         wd = Window.partitionBy("_bk").orderBy(*order_cols)
+        # no forced broadcast hint on the bucket-offset side: bounded
+        # by the value domain but derived from fact keys, so the
+        # broadcast-policy checker can't bound it statically — AQE
+        # broadcasts it at runtime from its actual (tiny) size.
         return (
-            d.join(F.broadcast(off), "_bk")
+            d.join(off, "_bk")
             .select(
                 "custkey",
                 (F.col("_off") + F.row_number().over(wd)).alias(out),
