@@ -3456,3 +3456,124 @@ ORACLES["rouge2_candidate_report"] = f"""
     LEFT JOIN tb ta ON ta.doc_id = c.doc_a
     LEFT JOIN tb tb2 ON tb2.doc_id = c.doc_b
 """
+
+
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the MinHash-LSH near-dup candidate
+    graph (Newman 2002): the Pearson correlation of endpoint degrees
+    over edges — positive means near-dup clusters are degree-stratified
+    hubs-with-hubs (template families), negative means hub-and-spoke
+    (one canonical doc with many one-off variants). The one-number
+    structure probe next to triangle_count / kcore_decompose that
+    tells a dedup pipeline WHICH cluster shape dominates before it
+    picks a canonical-selection rule.
+
+    Exactness: degrees are integer counts over the banded edge set;
+    the correlation runs on the directed edge list (each undirected
+    edge contributes both orientations — the standard undirected
+    convention) with exact integer Gauss moments in
+    DECIMAL(38,0)/HUGEINT (Σd·d' overflows BIGINT on hub degrees past
+    ~1e6) and ONE final double formula (the ols_trend discipline).
+
+    Shape: the shared band-bounded pair stage, one keyed degree
+    aggregate, two joins edge→degree, one global moment aggregate."""
+    cand = _band_pairs(_minhash_sig_wide(spark, sf_dir))
+    edges = cand.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        cand.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("u").alias("eu"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("ev"), F.col("d").alias("dv"))
+    ed = edges.join(du, F.col("u") == F.col("eu")).join(
+        dv, F.col("v") == F.col("ev")
+    )
+
+    def dec(c: Column) -> Column:
+        return c.cast("decimal(38,0)")
+
+    g = ed.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("du").alias("sx"),
+        F.sum("dv").alias("sy"),
+        F.sum(dec(F.col("du")) * dec(F.col("dv"))).alias("sxy"),
+        F.sum(dec(F.col("du")) * dec(F.col("du"))).alias("sxx"),
+        F.sum(dec(F.col("dv")) * dec(F.col("dv"))).alias("syy"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    m, sx, sy = F.col("m"), F.col("sx"), F.col("sy")
+    cov = (dec(m) * F.col("sxy") - dec(sx) * dec(sy)).cast("double")
+    vx = (dec(m) * F.col("sxx") - dec(sx) * dec(sx)).cast("double")
+    vy = (dec(m) * F.col("syy") - dec(sy) * dec(sy)).cast("double")
+    return (
+        g.join(F.broadcast(n_nodes))
+        .select(
+            "n_nodes",
+            (m / 2).cast("long").alias("n_edges"),
+            F.when(
+                (vx > 0) & (vy > 0),
+                pround(cov / F.sqrt(vx) / F.sqrt(vy)),
+            ).alias("assortativity"),
+        )
+    )
+
+
+QUERIES["graph_degree_assortativity"] = graph_degree_assortativity
+
+ORACLES["graph_degree_assortativity"] = f"""
+    WITH sh AS ({_HASHED_SHINGLES_SQL}),
+    sigm AS (
+        SELECT doc_id,
+           {_SIG_COLS_SQL}
+        FROM sh GROUP BY 1
+    ),
+    sig AS (
+        SELECT *,
+           {_BAND_COLS_SQL}
+        FROM sigm
+    ),
+    cand AS (
+        SELECT DISTINCT doc_a, doc_b FROM (
+            {_CAND_UNION_SQL}
+        )
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM cand
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM cand
+    ),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+    ed AS (
+        SELECT a.d AS du, b.d AS dv
+        FROM edges e
+        JOIN deg a ON a.u = e.u
+        JOIN deg b ON b.u = e.v
+    ),
+    g AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(du) AS BIGINT) AS sx,
+               CAST(SUM(dv) AS BIGINT) AS sy,
+               SUM(CAST(du AS HUGEINT) * dv) AS sxy,
+               SUM(CAST(du AS HUGEINT) * du) AS sxx,
+               SUM(CAST(dv AS HUGEINT) * dv) AS syy
+        FROM ed
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+    SELECT n_nodes,
+           CAST(m / 2 AS BIGINT) AS n_edges,
+           CASE WHEN CAST(CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                          AS DOUBLE) > 0
+                 AND CAST(CAST(m AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+                          AS DOUBLE) > 0
+           THEN
+               {pround_sql(
+                   'CAST(CAST(m AS HUGEINT) * sxy'
+                   '     - CAST(sx AS HUGEINT) * sy AS DOUBLE)'
+                   ' / SQRT(CAST(CAST(m AS HUGEINT) * sxx'
+                   '             - CAST(sx AS HUGEINT) * sx AS DOUBLE))'
+                   ' / SQRT(CAST(CAST(m AS HUGEINT) * syy'
+                   '             - CAST(sy AS HUGEINT) * sy AS DOUBLE))'
+               )} END AS assortativity
+    FROM g CROSS JOIN nn
+"""

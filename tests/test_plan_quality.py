@@ -121,6 +121,8 @@ BNLJ_ALLOWED = {
     # corpus-stats broadcasts (global-aggregate roots)
     "city_snapshot",  # 1-row city-wide max-ts broadcast (freshness
     # anchor joined to every leg and the final projection)
+    "graph_degree_assortativity",  # 1-row node-count broadcast onto
+    # the 1-row moment aggregate (global-aggregate roots both sides)
 }
 
 
