@@ -49,3 +49,13 @@ def sum_exact_sql(expr: str) -> str:
 
 def avg_exact_sql(expr: str) -> str:
     return f"({sum_exact_sql(expr)} / COUNT(*))"
+
+
+def pround_py(x: float, n: int = 4) -> float:
+    """Python-side twin of :func:`pround` for values computed inside
+    Pandas-UDF partition walks: floor(x*10^n + 0.5)/10^n on IEEE
+    doubles — the identical op sequence both engines run."""
+    import math
+
+    scale = float(10**n)
+    return math.floor(float(x) * scale + 0.5) / scale

@@ -6924,3 +6924,138 @@ ORACLES["weco_rule_violations"] = f"""
            CAST(SUM(r4) AS BIGINT) AS n_rule4
     FROM flags GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# 1-D Kalman level filter (local-level model) per sensor.
+# --------------------------------------------------------------------------
+
+KAL_Q_C2 = 25  # process variance q, cents^2 per step
+KAL_R_C2 = 40_000  # measurement variance r, cents^2 (sigma = 2.00 units)
+KAL_G = 1 << 12  # state quantization grid
+
+
+def _kal_trunc_div(num: int, den: int) -> int:
+    """Integer division truncating toward zero (DuckDB ``//``
+    semantics; Python ``//`` floors, which diverges on negatives)."""
+    t = abs(num) // den
+    return -t if num < 0 else t
+
+
+def kalman_level_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state tracking with a 1-D Kalman filter (local-level /
+    random-walk-plus-noise model) replayed per sensor — the optimal
+    recursive smoother EWMA approximates, with a principled gain that
+    starts high (trust the first readings) and converges as variance
+    shrinks: predict p+=q; gain k=p/(p+r); update x+=k(z−x),
+    p=(1−k)p.
+
+    Exactness: the recurrence runs on an INTEGER grid — state x and
+    variance p are stored in cents·2¹² / cents²·2¹² units, each step
+    is one integer multiply + one division TRUNCATED TOWARD ZERO
+    (DuckDB ``//`` semantics, mirrored explicitly in Python where
+    ``//`` floors), so the DuckDB recursive-CTE oracle replays the
+    IDENTICAL state sequence (the rate_limit_audit discipline).
+    Magnitude bound: |p_pred·(z·G−x)| ≤ (r+q)·G · zmax·G ≈ 7e16 —
+    inside BIGINT by two orders at any corpus size (bounds come from
+    the VALUE domain, not row count).
+
+    Shape: applyInPandas per sensor (Arrow-batched partition walk, the
+    centroid_tracks shape) — state is two scalars, output one summary
+    row per sensor; at 1000 executors every sensor replays in
+    parallel. Output: final level, final variance, mean absolute
+    innovation (how surprised the filter stayed)."""
+    ev = table(spark, sf_dir, "events")
+    src = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("z"),
+    )
+
+    out_schema = (
+        "sensor_id long, n_points long, final_level double, "
+        "final_variance double, mean_abs_innovation double"
+    )
+    rq = KAL_R_C2 * KAL_G
+    qq = KAL_Q_C2 * KAL_G
+
+    def run(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
+        zs = pdf["z"].astype("int64").to_numpy()
+        sensor = int(pdf["user_id"].iloc[0])
+        xq = int(zs[0]) * KAL_G
+        pq = rq
+        sum_abs_innov = 0
+        for z in zs[1:]:
+            ppred = pq + qq
+            den = ppred + rq
+            innov = int(z) * KAL_G - xq
+            sum_abs_innov += abs(innov)
+            xq = xq + _kal_trunc_div(ppred * innov, den)
+            pq = _kal_trunc_div(ppred * rq, den)
+        n = len(zs)
+        from smart_city_data_pipeline_spark.functions.rounding import (
+            pround_py,
+        )
+
+        return pd.DataFrame(
+            {
+                "sensor_id": [sensor],
+                "n_points": [n],
+                "final_level": [pround_py(xq / KAL_G / 100.0)],
+                "final_variance": [pround_py(pq / KAL_G / 10000.0)],
+                "mean_abs_innovation": [
+                    pround_py(sum_abs_innov / (n - 1) / KAL_G / 100.0)
+                    if n > 1
+                    else None
+                ],
+            }
+        )
+
+    return src.groupBy("user_id").applyInPandas(run, out_schema)
+
+
+QUERIES["kalman_level_filter"] = kalman_level_filter
+
+ORACLES["kalman_level_filter"] = f"""
+    WITH RECURSIVE seq AS (
+        SELECT user_id, event_id,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS z,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    kal(rn, user_id, xq, pq, sai) AS (
+        SELECT 1, user_id, z * {KAL_G},
+               CAST({KAL_R_C2 * KAL_G} AS BIGINT),
+               CAST(0 AS BIGINT)
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.rn, s.user_id,
+               k.xq + ((k.pq + {KAL_Q_C2 * KAL_G})
+                       * (s.z * {KAL_G} - k.xq))
+                      // (k.pq + {KAL_Q_C2 * KAL_G} + {KAL_R_C2 * KAL_G}),
+               ((k.pq + {KAL_Q_C2 * KAL_G})
+                * CAST({KAL_R_C2 * KAL_G} AS BIGINT))
+               // (k.pq + {KAL_Q_C2 * KAL_G} + {KAL_R_C2 * KAL_G}),
+               k.sai + ABS(s.z * {KAL_G} - k.xq)
+        FROM kal k
+        JOIN seq s ON s.user_id = k.user_id AND s.rn = k.rn + 1
+    ),
+    final AS (SELECT user_id, MAX(rn) AS last_rn FROM kal GROUP BY 1)
+    SELECT k.user_id AS sensor_id,
+           CAST(k.rn AS BIGINT) AS n_points,
+           {pround_sql(f'CAST(k.xq AS DOUBLE) / {KAL_G} / 100.0')}
+               AS final_level,
+           {pround_sql(f'CAST(k.pq AS DOUBLE) / {KAL_G} / 10000.0')}
+               AS final_variance,
+           CASE WHEN k.rn > 1 THEN
+               {pround_sql(
+                   f'CAST(k.sai AS DOUBLE) / (k.rn - 1) / {KAL_G} / 100.0'
+               )} END AS mean_abs_innovation
+    FROM kal k
+    JOIN final f ON f.user_id = k.user_id AND f.last_rn = k.rn
+"""
