@@ -6942,6 +6942,23 @@ def _kal_trunc_div(num: int, den: int) -> int:
     return -t if num < 0 else t
 
 
+def kalman_step(xq: int, pq: int, z: int) -> tuple[int, int, int]:
+    """One local-level Kalman transition on the integer grid, shared
+    by the batch replay (``kalman_level_filter``) and the streaming
+    filter (``streaming/kalman_stream.py``) so the recurrences cannot
+    drift. Returns ``(xq, pq, innov)`` with ``innov`` the pre-update
+    residual in grid-cents."""
+    rq = KAL_R_C2 * KAL_G
+    ppred = pq + KAL_Q_C2 * KAL_G
+    den = ppred + rq
+    innov = z * KAL_G - xq
+    return (
+        xq + _kal_trunc_div(ppred * innov, den),
+        _kal_trunc_div(ppred * rq, den),
+        innov,
+    )
+
+
 def kalman_level_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Steady-state tracking with a 1-D Kalman filter (local-level /
     random-walk-plus-noise model) replayed per sensor — the optimal
@@ -6978,7 +6995,6 @@ def kalman_level_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "final_variance double, mean_abs_innovation double"
     )
     rq = KAL_R_C2 * KAL_G
-    qq = KAL_Q_C2 * KAL_G
 
     def run(pdf):
         import pandas as pd
@@ -6990,12 +7006,8 @@ def kalman_level_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq = rq
         sum_abs_innov = 0
         for z in zs[1:]:
-            ppred = pq + qq
-            den = ppred + rq
-            innov = int(z) * KAL_G - xq
+            xq, pq, innov = kalman_step(xq, pq, int(z))
             sum_abs_innov += abs(innov)
-            xq = xq + _kal_trunc_div(ppred * innov, den)
-            pq = _kal_trunc_div(ppred * rq, den)
         n = len(zs)
         from smart_city_data_pipeline_spark.functions.rounding import (
             pround_py,
