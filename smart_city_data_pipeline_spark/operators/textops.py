@@ -1507,7 +1507,10 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_train_oracle(iters: int) -> str:
+def _bpe_stages_sql(iters: int) -> tuple[str, list[str]]:
+    """Shared CTE chain for the BPE oracles: words -> wc -> w0 ->
+    (sy_k, p_k, m_k, w_k) per iteration. Returns (with_prefix,
+    per-iteration m_k select list)."""
     stages = []
     outs = []
     for k in range(1, iters + 1):
@@ -1535,7 +1538,7 @@ def _bpe_train_oracle(iters: int) -> str:
         outs.append(
             f"SELECT CAST({k} AS INTEGER) AS iteration, pair, n_pairs FROM m{k}"
         )
-    return f"""
+    prefix = f"""
         WITH words AS (
             SELECT token AS w FROM (
                 SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
@@ -1549,7 +1552,13 @@ def _bpe_train_oracle(iters: int) -> str:
                        '') AS s,
                    wn
             FROM wc
-        ),{",".join(stages)}
+        ),{",".join(stages)}"""
+    return prefix, outs
+
+
+def _bpe_train_oracle(iters: int) -> str:
+    prefix, outs = _bpe_stages_sql(iters)
+    return f"""{prefix}
         {" UNION ALL ".join(outs)}
     """
 
@@ -4656,3 +4665,120 @@ ORACLES["kneser_ney_score"] = f"""
     FROM scored
     GROUP BY 1
 """
+
+
+def bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training loop CLOSED: retrain the ``BPE_TRAIN_ITERS``
+    merges (the bpe_train_merges loop) and then ENCODE the corpus with
+    them, reporting what the tokenizer actually bought — symbols per
+    word after merging vs characters per word before, and the share of
+    symbol positions the merge table eliminated. This is the
+    fertility/compression readout a tokenizer team checks before
+    shipping a vocab (tokenizer_fertility measures a fixed external
+    vocab; this measures the one WE just trained).
+
+    Exactness: encoding applies the learned merges to the DISTINCT
+    word vocabulary (the Sennrich working set — never the corpus) via
+    the same leftmost-greedy fold training uses, so the per-word
+    symbol counts are integers weighted by exact corpus frequencies;
+    the three ratios are single final divisions. The DuckDB oracle
+    re-learns the identical merges (the unrolled bpe_train_merges
+    CTE chain) and re-encodes with the same bracket-replace identity.
+
+    Shape: per iteration one vocab-sized keyed count + a 1-ROW driver
+    argmax collect (the Lloyd-loop posture); the final readout is one
+    vocab-sized aggregate collapsed to a single row."""
+    docs = table(spark, sf_dir, "documents")
+    sym0 = bpe_word_symbols(docs)
+    cached = []
+    try:
+        cur = sym0
+        for _ in range(BPE_TRAIN_ITERS):
+            cur = cur.persist()
+            cached.append(cur)
+            top = (
+                bpe_pair_counts_frame(cur)
+                .orderBy(F.col("n_pairs").desc(), F.col("pair").asc())
+                .limit(1)
+                .collect()
+            )[0]
+            a, b = top["pair"].split(" ")
+            cur = bpe_apply_merge(cur, a, b)
+        row = (
+            cur.agg(
+                F.count(F.lit(1)).alias("vocab_words"),
+                F.sum("wn").alias("total_words"),
+                F.sum(F.col("wn") * F.size("syms")).alias("syms_after"),
+            )
+            .join(
+                F.broadcast(
+                    sym0.agg(
+                        F.sum(F.col("wn") * F.size("syms")).alias(
+                            "chars_before"
+                        )
+                    )
+                )
+            )
+            .collect()
+        )[0]
+    finally:
+        for df in cached:
+            df.unpersist()
+    from smart_city_data_pipeline_spark.functions.rounding import pround_py
+
+    tw = int(row["total_words"])
+    ca = int(row["chars_before"])
+    sa = int(row["syms_after"])
+    return spark.createDataFrame(
+        [
+            (
+                BPE_TRAIN_ITERS,
+                int(row["vocab_words"]),
+                tw,
+                pround_py(ca / tw),
+                pround_py(sa / tw),
+                pround_py((ca - sa) / ca),
+            )
+        ],
+        "n_merges int, vocab_words long, total_words long, "
+        "chars_per_word double, symbols_per_word double, "
+        "saved_share double",
+    )
+
+
+QUERIES["bpe_encode_fertility"] = bpe_encode_fertility
+
+
+def _bpe_fertility_oracle(iters: int) -> str:
+    prefix, _ = _bpe_stages_sql(iters)
+    return f"""{prefix},
+        enc AS (
+            SELECT len(string_split(substr(s, 2, len(s) - 2), '][')) AS k,
+                   wn
+            FROM w{iters} WHERE len(s) > 0
+        ),
+        aft AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS vocab_words,
+                   CAST(SUM(wn) AS BIGINT) AS total_words,
+                   CAST(SUM(wn * k) AS BIGINT) AS syms_after
+            FROM enc
+        ),
+        bef AS (
+            SELECT CAST(SUM(wn * len(w)) AS BIGINT) AS chars_before
+            FROM wc
+        )
+        SELECT CAST({iters} AS INTEGER) AS n_merges,
+               vocab_words, total_words,
+               {pround_sql('CAST(chars_before AS DOUBLE) / total_words')}
+                   AS chars_per_word,
+               {pround_sql('CAST(syms_after AS DOUBLE) / total_words')}
+                   AS symbols_per_word,
+               {pround_sql(
+                   'CAST(chars_before - syms_after AS DOUBLE)'
+                   ' / chars_before'
+               )} AS saved_share
+        FROM aft CROSS JOIN bef
+    """
+
+
+ORACLES["bpe_encode_fertility"] = _bpe_fertility_oracle(BPE_TRAIN_ITERS)
