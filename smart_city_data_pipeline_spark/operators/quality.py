@@ -533,3 +533,182 @@ ORACLES["l_diversity_audit"] = f"""
            )} AS risk_share
     FROM g
 """
+
+
+# t-closeness thresholds as exact rationals (num, den)
+T_CLOSE_THRESHOLDS = ((1, 5), (7, 20), (1, 2))
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al. 2007) — the attack l-diversity
+    misses: a class can hold l distinct sensitive values yet leak if
+    its sensitive DISTRIBUTION is skewed far from the table's
+    (skewness attack). Same release quasi-identifiers as
+    ``k_anonymity_audit``; sensitive attribute = the reporting sensor;
+    distance = variational distance (the categorical EMD with unit
+    ground distance), ½·Σ_s |p_class(s) − p_global(s)|. One row per
+    t ∈ {0.20, 0.35, 0.50}: violating classes, rows in them, worst
+    distance, verdict.
+
+    All-integer exactness: d_c·2·n_c·N = Σ_{s∈c} |n_cs·N − n_s·n_c|
+    + (N − Σ_{s∈c} n_s)·n_c (the second term folds every sensitive
+    value ABSENT from the class), products in DECIMAL(38,0)/HUGEINT
+    (n_cs·N passes BIGINT at ~1e10 rows); the t comparison
+    cross-multiplies against the exact rational thresholds, so the
+    verdict never touches a float. The reported distance is the one
+    final double division.
+
+    Plan: one keyed count to (QI class × sensor) cells, one keyed join
+    against the per-sensor global counts, one class rollup over the
+    QI-grid-bounded table, then the 3-row threshold literal cross join
+    (the k/l-curve shape)."""
+    ev = table(spark, sf_dir, "events")
+    qi = [
+        F.col("event_type").alias("zone"),
+        F.hour(F.col("ts")).alias("hod"),
+        F.floor(F.col("value") / 25.0).cast("long").alias("vbucket"),
+    ]
+    cs = ev.groupBy(*qi, F.col("user_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cs")
+    )
+    glob = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s")
+    )
+    tot = ev.agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    per = cs.join(glob, "user_id").join(F.broadcast(tot))
+    # two-pass: the |n_cs*N - n_s*n_c| term needs n_c, so aggregate
+    # class sizes first, join back, then fold the distance numerator.
+    sizes = cs.groupBy("zone", "hod", "vbucket").agg(
+        F.sum("n_cs").alias("n_c")
+    )
+    d = (
+        per.join(sizes, ["zone", "hod", "vbucket"])
+        .groupBy("zone", "hod", "vbucket", "n_c", "n_tot")
+        .agg(
+            F.sum(
+                F.abs(
+                    dec(F.col("n_cs")) * dec(F.col("n_tot"))
+                    - dec(F.col("n_s")) * dec(F.col("n_c"))
+                )
+            ).alias("present"),
+            F.sum("n_s").alias("s_in_class"),
+        )
+        .select(
+            "zone",
+            "hod",
+            "vbucket",
+            "n_c",
+            "n_tot",
+            (
+                F.col("present")
+                + dec(F.col("n_tot") - F.col("s_in_class"))
+                * dec(F.col("n_c"))
+            ).alias("d_num"),
+        )
+    )
+    ts = spark.createDataFrame(
+        [(f"{n / d_:.2f}", n, d_) for n, d_ in T_CLOSE_THRESHOLDS],
+        "t string, t_num int, t_den int",
+    )
+    dist = F.col("d_num").cast("double") / (
+        2.0 * F.col("n_c").cast("double") * F.col("n_tot").cast("double")
+    )
+    violates = dec(F.col("d_num")) * dec(F.col("t_den")) > dec(
+        F.lit(2)
+    ) * dec(F.col("t_num")) * dec(F.col("n_c")) * dec(F.col("n_tot"))
+    return (
+        d.crossJoin(F.broadcast(ts))
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum(F.when(violates, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating"),
+            F.sum(F.when(violates, F.col("n_c")).otherwise(0))
+            .cast("long")
+            .alias("rows_at_risk"),
+            F.sum("n_c").cast("long").alias("n_rows"),
+            F.max(dist).alias("max_d"),
+        )
+        .select(
+            "t",
+            "n_classes",
+            "n_violating",
+            "rows_at_risk",
+            (F.col("n_violating") == 0).alias("t_close"),
+            pround(F.col("max_d")).alias("max_distance"),
+            pround(
+                F.col("rows_at_risk").cast("double")
+                / F.col("n_rows").cast("double")
+            ).alias("risk_share"),
+        )
+    )
+
+
+QUERIES["t_closeness_audit"] = t_closeness_audit
+
+_T_ROWS_SQL = " UNION ALL ".join(
+    f"SELECT '{n / d_:.2f}' AS t, {n} AS t_num, {d_} AS t_den"
+    for n, d_ in T_CLOSE_THRESHOLDS
+)
+
+ORACLES["t_closeness_audit"] = f"""
+    WITH cs AS (
+        SELECT event_type AS zone, EXTRACT(HOUR FROM ts) AS hod,
+               CAST(FLOOR(value / 25.0) AS BIGINT) AS vbucket,
+               user_id, CAST(COUNT(*) AS BIGINT) AS n_cs
+        FROM events GROUP BY 1, 2, 3, 4
+    ),
+    gl AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_s
+        FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM events),
+    sizes AS (
+        SELECT zone, hod, vbucket, CAST(SUM(n_cs) AS BIGINT) AS n_c
+        FROM cs GROUP BY 1, 2, 3
+    ),
+    d AS (
+        SELECT c.zone, c.hod, c.vbucket, z.n_c, t.n_tot,
+               SUM(ABS(CAST(c.n_cs AS HUGEINT) * t.n_tot
+                       - CAST(g.n_s AS HUGEINT) * z.n_c))
+               + CAST(t.n_tot - SUM(g.n_s) AS HUGEINT) * z.n_c AS d_num
+        FROM cs c
+        JOIN gl g USING (user_id)
+        JOIN sizes z ON z.zone = c.zone AND z.hod = c.hod
+                    AND z.vbucket = c.vbucket
+        CROSS JOIN tot t
+        GROUP BY 1, 2, 3, 4, 5
+    ),
+    ts AS ({_T_ROWS_SQL}),
+    g AS (
+        SELECT ts.t,
+               CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(CASE WHEN d.d_num * ts.t_den
+                                  > 2 * CAST(ts.t_num AS HUGEINT)
+                                    * d.n_c * d.n_tot
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+               CAST(SUM(CASE WHEN d.d_num * ts.t_den
+                                  > 2 * CAST(ts.t_num AS HUGEINT)
+                                    * d.n_c * d.n_tot
+                             THEN d.n_c ELSE 0 END) AS BIGINT)
+                   AS rows_at_risk,
+               CAST(SUM(d.n_c) AS BIGINT) AS n_rows,
+               MAX(CAST(d.d_num AS DOUBLE)
+                   / (2.0 * CAST(d.n_c AS DOUBLE)
+                      * CAST(d.n_tot AS DOUBLE))) AS max_d
+        FROM d CROSS JOIN ts
+        GROUP BY 1
+    )
+    SELECT t, n_classes, n_violating, rows_at_risk,
+           (n_violating = 0) AS t_close,
+           {pround_sql('max_d')} AS max_distance,
+           {pround_sql(
+               'CAST(rows_at_risk AS DOUBLE) / CAST(n_rows AS DOUBLE)'
+           )} AS risk_share
+    FROM g
+"""

@@ -89,6 +89,8 @@ BNLJ_ALLOWED = {
     # the grid-bounded class table
     "l_diversity_audit",  # 3-row l-threshold literal broadcast over
     # the same grid-bounded class table
+    "t_closeness_audit",  # 1-row total broadcast + 3-row t-threshold
+    # literal over the same grid-bounded class table
     "rfm_segments",  # 1-row corpus max-order-date broadcast
     "ann_recall_report",  # exact-recall ground truth: bounded probe
     # side broadcast, non-equi (vec_id <>) by design like ann_topk_cosine
