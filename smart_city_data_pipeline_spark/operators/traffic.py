@@ -1934,3 +1934,147 @@ ORACLES["city_snapshot"] = f"""
     LEFT JOIN leg_v v USING (zone)
     CROSS JOIN now_t
 """
+
+
+# --------------------------------------------------------------------------
+# Moran's I spatial autocorrelation over the sensor grid.
+# --------------------------------------------------------------------------
+
+MORAN_CELL = 500  # 10000x10000 layout -> 20x20 cells (the dbscan grid)
+
+
+def morans_i_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global spatial autocorrelation of the reading field — Moran's I
+    over the 20×20 sensor-grid cells with rook (4-neighbor) weights:
+    the one-number answer to "do nearby zones read alike?" that
+    decides whether spatial methods (idw_interpolation, dbscan_grid,
+    density_heatmap) will find structure or noise. I ≈ +1 clustered,
+    ≈ E[I] = −1/(M−1) random, ≈ −1 checkerboard.
+
+    Exactness: cell values are the acf_lags integer mean
+    ``(sum_cents·128) DIV n``; centering cross-multiplies
+    (v_i·M − Σv) so both the pair sum and the variance sum are exact
+    DECIMAL(38,0)/HUGEINT integers (squares pass BIGINT at ~5e11²);
+    adjacency is the dbscan_grid shifted-key EQUI-join (4 literal
+    offsets, never a distance join); the clustered verdict
+    M·P·(M−1) > −W·Q compares integers — the reported I and E[I] are
+    the only float divisions.
+
+    Shape: one keyed rollup of the facts to ≤400 cells, one 4-offset
+    explode + self-equi-join on the cell table, two bounded
+    aggregates. Fact table shuffles once."""
+    ev = table(spark, sf_dir, "events")
+    cx = F.expr(f"((user_id * 8191) % 10000) DIV {MORAN_CELL}")
+    cy = F.expr(f"((user_id * 524287) % 10000) DIV {MORAN_CELL}")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    cells = (
+        ev.groupBy(cx.alias("cx"), cy.alias("cy"))
+        .agg(F.sum(cents).alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("cx", "cy", F.expr("(s * 128) DIV n").alias("v"))
+    )
+    tot = cells.agg(
+        F.count(F.lit(1)).alias("m"), F.sum("v").alias("sv")
+    )
+
+    def dec(c: Column) -> Column:
+        return c.cast("decimal(38,0)")
+
+    a = cells.select(
+        "cx",
+        "cy",
+        F.col("v").alias("va"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                    for dx, dy in ((0, 1), (0, -1), (1, 0), (-1, 0))
+                ]
+            )
+        ).alias("o"),
+    )
+    b = cells.select(
+        F.col("cx").alias("bx"), F.col("cy").alias("by"),
+        F.col("v").alias("vb"),
+    )
+    edges = a.join(
+        b,
+        (F.col("bx") == F.col("cx") + F.col("o.dx"))
+        & (F.col("by") == F.col("cy") + F.col("o.dy")),
+    )
+    zp = lambda v: dec(v) * dec(F.col("m")) - dec(F.col("sv"))  # noqa: E731
+    pair = edges.join(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).alias("w"),
+        F.sum(zp(F.col("va")) * zp(F.col("vb"))).alias("p"),
+    )
+    varsum = cells.join(F.broadcast(tot)).agg(
+        F.sum(zp(F.col("v")) * zp(F.col("v"))).alias("q"),
+        F.max("m").alias("m"),
+    )
+    out = pair.join(F.broadcast(varsum))
+    i_val = (
+        F.col("m").cast("double")
+        * F.col("p").cast("double")
+        / (F.col("w").cast("double") * F.col("q").cast("double"))
+    )
+    e_i = F.lit(-1.0) / (F.col("m").cast("double") - 1.0)
+    clustered = dec(F.col("m")) * F.col("p") * dec(F.col("m") - 1) > -(
+        dec(F.col("w")) * F.col("q")
+    )
+    return out.select(
+        F.col("m").cast("long").alias("n_cells"),
+        F.col("w").cast("long").alias("n_links"),
+        pround(i_val).alias("morans_i"),
+        pround(e_i).alias("expected_i"),
+        clustered.alias("clustered"),
+    )
+
+
+QUERIES["morans_i_grid"] = morans_i_grid
+
+ORACLES["morans_i_grid"] = f"""
+    WITH cells AS (
+        SELECT ((user_id * 8191) % 10000) // {MORAN_CELL} AS cx,
+               ((user_id * 524287) % 10000) // {MORAN_CELL} AS cy,
+               (CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                     AS BIGINT) * 128) // COUNT(*) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(v) AS BIGINT) AS sv
+        FROM cells
+    ),
+    offs AS (
+        SELECT * FROM (VALUES (0, 1), (0, -1), (1, 0), (-1, 0)) o(dx, dy)
+    ),
+    edges AS (
+        SELECT a.v AS va, b.v AS vb
+        FROM cells a
+        CROSS JOIN offs o
+        JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+    ),
+    pair AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS w,
+               SUM((CAST(va AS HUGEINT) * t.m - t.sv)
+                   * (CAST(vb AS HUGEINT) * t.m - t.sv)) AS p
+        FROM edges CROSS JOIN tot t
+        GROUP BY t.m, t.sv
+    ),
+    varsum AS (
+        SELECT SUM((CAST(v AS HUGEINT) * t.m - t.sv)
+                   * (CAST(v AS HUGEINT) * t.m - t.sv)) AS q,
+               MAX(t.m) AS m
+        FROM cells CROSS JOIN tot t
+        GROUP BY t.m, t.sv
+    )
+    SELECT CAST(v2.m AS BIGINT) AS n_cells,
+           p1.w AS n_links,
+           {pround_sql(
+               'CAST(v2.m AS DOUBLE) * CAST(p1.p AS DOUBLE)'
+               ' / (CAST(p1.w AS DOUBLE) * CAST(v2.q AS DOUBLE))'
+           )} AS morans_i,
+           {pround_sql('-1.0 / (CAST(v2.m AS DOUBLE) - 1.0)')} AS expected_i,
+           (CAST(v2.m AS HUGEINT) * p1.p * (v2.m - 1)
+            > -(CAST(p1.w AS HUGEINT) * v2.q)) AS clustered
+    FROM pair p1 CROSS JOIN varsum v2
+"""

@@ -125,6 +125,8 @@ BNLJ_ALLOWED = {
     # anchor joined to every leg and the final projection)
     "graph_degree_assortativity",  # 1-row node-count broadcast onto
     # the 1-row moment aggregate (global-aggregate roots both sides)
+    "morans_i_grid",  # 1-row cell-total broadcast onto the
+    # grid-bounded cell table + 1-row pair/variance aggregates
 }
 
 
