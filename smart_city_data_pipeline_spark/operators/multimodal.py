@@ -1784,3 +1784,117 @@ ORACLES["scene_cut_detect"] = f"""
            )} AS cut_rate
     FROM flagged GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Histogram equalization through the real BMP codec.
+# --------------------------------------------------------------------------
+
+
+def equalize_frames(frames: DataFrame) -> DataFrame:
+    """Decode → histogram-equalize → BMP re-encode via mapInPandas.
+
+    The mapping is the classic integer CDF stretch, pinned to exact
+    integer arithmetic so an oracle can recompute it:
+    ``eq(v) = (cdf(v) − cdf_min)·255 // (n_px − cdf_min)`` (floor on
+    non-negative operands — engine-portable), identity when the image
+    is constant (``n_px == cdf_min``)."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for buf in pdf["payload"]:
+                raw = bytes(buf) if buf is not None else b""
+                arr = _decode_frame(raw)
+                if arr is None:
+                    out.append(raw)
+                    continue
+                vals, counts = np.unique(arr, return_counts=True)
+                cdf = np.cumsum(counts)
+                denom = int(arr.size) - int(cdf[0])
+                if denom <= 0:
+                    out.append(encode_bmp_gray(arr))
+                    continue
+                lut_vals = ((cdf - cdf[0]) * 255) // denom
+                lut = np.zeros(256, dtype=np.int64)
+                lut[vals] = lut_vals
+                out.append(encode_bmp_gray(lut[arr].astype(np.uint8)))
+            res = pdf.copy()
+            res["payload"] = out
+            yield res
+
+    base = frames.select("frame_id", "camera_id", "meta", "payload")
+    return base.mapInPandas(run, base.schema)
+
+
+def frames_equalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry proving histogram EQUALIZATION end-to-end under
+    the hash gate: BMP frames → integer-CDF equalize + BMP re-encode
+    (:func:`equalize_frames`) → decode again → camera rollup. The
+    per-frame gradient is closed-form, so the oracle regenerates each
+    frame's pixel multiset in SQL, rebuilds the same integer CDF map
+    (a per-frame window over the ≤256-value histogram), and re-derives
+    the equalized pixel means exactly — a wrong LUT, cumsum, or
+    re-encode defect hash-mismatches here. Equalized images should
+    read near mid-gray (mean ≈ 127.5) — the flatness the transform
+    promises; the hash check pins the exact value."""
+    frames = sample_frames(synth_bmp_frames(spark, sf_dir), every_k=FRAME_SAMPLE_K)
+    return camera_rollup_exact(extract_features(equalize_frames(frames))).select(
+        "camera_id", "n_frames", "avg_intensity", "total_px"
+    )
+
+
+QUERIES["frames_equalize_stats"] = frames_equalize_stats
+
+ORACLES["frames_equalize_stats"] = f"""
+    WITH f AS (
+        SELECT doc_id AS frame_id, doc_id % 16 AS camera_id
+        FROM documents WHERE (doc_id % 30) % {FRAME_SAMPLE_K} = 0
+    ),
+    grid AS (
+        SELECT gx.x AS x, gy.y AS y
+        FROM generate_series(0, {BMP_W - 1}) gx(x),
+             generate_series(0, {BMP_H - 1}) gy(y)
+    ),
+    px AS (
+        SELECT frame_id, camera_id,
+               (3 * x + 5 * y + 7 * frame_id) % 256 AS v
+        FROM f, grid
+    ),
+    hist AS (
+        SELECT frame_id, camera_id, v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM px GROUP BY 1, 2, 3
+    ),
+    cdf AS (
+        SELECT frame_id, camera_id, v, c,
+               SUM(c) OVER (PARTITION BY frame_id ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               FIRST_VALUE(c) OVER (PARTITION BY frame_id ORDER BY v
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cdf_min
+        FROM hist
+    ),
+    mapped AS (
+        SELECT frame_id, camera_id,
+               CASE WHEN {BMP_W * BMP_H} - cdf_min > 0
+                    THEN ((cum - cdf_min) * 255)
+                         // ({BMP_W * BMP_H} - cdf_min)
+                    ELSE v END AS ev,
+               c
+        FROM cdf
+    ),
+    per AS (
+        SELECT frame_id, camera_id,
+               CAST(SUM(ev * c) AS BIGINT) AS s,
+               CAST(SUM(c) AS BIGINT) AS n_px
+        FROM mapped GROUP BY 1, 2
+    )
+    SELECT camera_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+           {pround_sql('CAST(SUM(s) AS DOUBLE) / CAST(SUM(n_px) AS DOUBLE)')}
+               AS avg_intensity,
+           CAST(SUM(n_px) AS BIGINT) AS total_px
+    FROM per GROUP BY 1
+"""
