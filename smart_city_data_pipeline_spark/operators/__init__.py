@@ -32,12 +32,29 @@ from pyspark.sql import DataFrame, SparkSession
 # zone_xcorr_lags, cluster_label_nmi, code_detect, corpus_datasheet,
 # dsir_importance_weights, embedding_abtt_qc, embedding_bq_hamming,
 # link_prediction_cn, pmi_collocations, rake_keywords,
-# retrieval_metrics_report.
+# retrieval_metrics_report — plus the 11 displaced by the round-8
+# additions: positional_delete_apply, hilbert_prune_report,
+# audio_silence_segments, audio_walsh_bands, frames_ahash_dedup,
+# scene_cut_detect, ivm_merge_view, soft_dedup_weights,
+# minhash_estimate_audit, text_embedding_agreement,
+# mrl_truncation_qc.
 # Window order: behavior-changed-this-round first (they must re-earn
 # driver-green), then the keys VERDICT named as likeliest to diverge
 # under the driver harness (driver-loop / mapInPandas shapes), then
 # the remaining iterative/codec-shaped never-gated keys.
 _GATE_FIRST = [
+    # new in round 8 (never driver-checked; newest first)
+    "city_snapshot",  # multi-source serving view + freshness
+    "kneser_ney_score",  # interpolated KN bigram LM scoring
+    "rouge2_candidate_report",  # clipped-bigram candidate audit
+    "periodogram_power",  # daily/weekly DFT amplitude
+    "weco_rule_violations",  # Western Electric zone rules
+    "kalman_level_filter",  # integer-grid Kalman replay
+    "graph_degree_assortativity",  # near-dup graph structure probe
+    "bpe_encode_fertility",  # encode with the trained merges
+    "t_closeness_audit",  # privacy trio completion
+    "morans_i_grid",  # spatial autocorrelation
+    "frames_equalize_stats",  # histogram equalization codec loop
     # behavior changed in round 8 (scale-killer rewrites + ADVICE fixes)
     "conformal_anomaly_rate",  # score-grid histogram rank pick
     "rrf_hybrid_fusion",  # per-leg top-1000 rank-depth caps
@@ -81,17 +98,6 @@ _GATE_FIRST = [
     "sax_symbols",
     "od_matrix",
     "snapshot_diff",
-    "positional_delete_apply",
-    "hilbert_prune_report",
-    "audio_silence_segments",
-    "audio_walsh_bands",
-    "frames_ahash_dedup",
-    "scene_cut_detect",
-    "ivm_merge_view",
-    "soft_dedup_weights",
-    "minhash_estimate_audit",
-    "text_embedding_agreement",
-    "mrl_truncation_qc",
 ]
 
 # Entries that can never hash-match (no oracle_sql twin by documented
