@@ -2078,3 +2078,152 @@ ORACLES["morans_i_grid"] = f"""
             > -(CAST(p1.w AS HUGEINT) * v2.q)) AS clustered
     FROM pair p1 CROSS JOIN varsum v2
 """
+
+
+def local_morans_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Moran's I (Anselin 1995 LISA) per grid cell — the hotspot
+    MAP that the global ``morans_i_grid`` number summarizes: each
+    cell's deviation times its neighbors' mean deviation, classified
+    into the four LISA quadrants (HH hotspot, LL coldspot, HL/LH
+    spatial outliers). This is the layer a city dashboard actually
+    draws.
+
+    Exactness: the same integer cell means and cross-multiplied
+    centering as the global statistic (zq_i = v_i·M − Σv, exact);
+    the neighbor lag is an exact integer sum over the rook
+    equi-join; quadrant signs compare integers; local
+    I_i = M·zq_i·lagq_i / Σ zq² is one double division of
+    DECIMAL(38,0)/HUGEINT products. Cells with no neighbors (grid
+    corners of a sparse layout) report NULL lag honestly.
+
+    Shape: identical bounded machinery to morans_i_grid — one fact
+    rollup to ≤400 cells, one 4-offset equi-join, one cell-keyed
+    neighbor aggregate, two 1-row broadcasts."""
+    ev = table(spark, sf_dir, "events")
+    cx = F.expr(f"((user_id * 8191) % 10000) DIV {MORAN_CELL}")
+    cy = F.expr(f"((user_id * 524287) % 10000) DIV {MORAN_CELL}")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    cells = (
+        ev.groupBy(cx.alias("cx"), cy.alias("cy"))
+        .agg(F.sum(cents).alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("cx", "cy", F.expr("(s * 128) DIV n").alias("v"))
+    )
+    tot = cells.agg(F.count(F.lit(1)).alias("m"), F.sum("v").alias("sv"))
+
+    def dec(c: Column) -> Column:
+        return c.cast("decimal(38,0)")
+
+    zc = cells.join(F.broadcast(tot)).select(
+        "cx",
+        "cy",
+        "v",
+        (dec(F.col("v")) * dec(F.col("m")) - dec(F.col("sv"))).alias("zq"),
+        "m",
+    )
+    q = zc.agg(F.sum(F.col("zq") * F.col("zq")).alias("ssq"))
+    a = zc.select(
+        "cx",
+        "cy",
+        "v",
+        "zq",
+        "m",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                    for dx, dy in ((0, 1), (0, -1), (1, 0), (-1, 0))
+                ]
+            )
+        ).alias("o"),
+    )
+    b = zc.select(
+        F.col("cx").alias("bx"),
+        F.col("cy").alias("by"),
+        F.col("zq").alias("zqb"),
+    )
+    lag = (
+        a.join(
+            b,
+            (F.col("bx") == F.col("cx") + F.col("o.dx"))
+            & (F.col("by") == F.col("cy") + F.col("o.dy")),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.sum("zqb").alias("lagq"), F.count(F.lit(1)).alias("n_nb"))
+    )
+    out = (
+        zc.join(lag, ["cx", "cy"], "left")
+        .join(F.broadcast(q))
+    )
+    quadrant = (
+        F.when(F.col("lagq").isNull(), "isolated")
+        .when((F.col("zq") > 0) & (F.col("lagq") > 0), "HH")
+        .when((F.col("zq") < 0) & (F.col("lagq") < 0), "LL")
+        .when((F.col("zq") > 0) & (F.col("lagq") <= 0), "HL")
+        .otherwise("LH")
+    )
+    local_i = (
+        F.col("m").cast("double")
+        * F.col("zq").cast("double")
+        * F.col("lagq").cast("double")
+        / F.col("ssq").cast("double")
+    )
+    return out.select(
+        "cx",
+        "cy",
+        pround(F.col("v").cast("double") / 12800.0).alias("cell_mean"),
+        F.coalesce(F.col("n_nb"), F.lit(0)).cast("long").alias("n_neighbors"),
+        quadrant.alias("quadrant"),
+        F.when(F.col("lagq").isNotNull(), pround(local_i)).alias("local_i"),
+    )
+
+
+QUERIES["local_morans_hotspots"] = local_morans_hotspots
+
+ORACLES["local_morans_hotspots"] = f"""
+    WITH cells AS (
+        SELECT ((user_id * 8191) % 10000) // {MORAN_CELL} AS cx,
+               ((user_id * 524287) % 10000) // {MORAN_CELL} AS cy,
+               (CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                     AS BIGINT) * 128) // COUNT(*) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(v) AS BIGINT) AS sv
+        FROM cells
+    ),
+    zc AS (
+        SELECT cx, cy, v,
+               CAST(v AS HUGEINT) * t.m - t.sv AS zq,
+               t.m
+        FROM cells CROSS JOIN tot t
+    ),
+    q AS (SELECT SUM(zq * zq) AS ssq FROM zc),
+    offs AS (
+        SELECT * FROM (VALUES (0, 1), (0, -1), (1, 0), (-1, 0)) o(dx, dy)
+    ),
+    lag AS (
+        SELECT a.cx, a.cy, SUM(b.zq) AS lagq,
+               CAST(COUNT(*) AS BIGINT) AS n_nb
+        FROM zc a
+        CROSS JOIN offs o
+        JOIN zc b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+        GROUP BY 1, 2
+    )
+    SELECT z.cx, z.cy,
+           {pround_sql('CAST(z.v AS DOUBLE) / 12800.0')} AS cell_mean,
+           COALESCE(l.n_nb, 0) AS n_neighbors,
+           CASE WHEN l.lagq IS NULL THEN 'isolated'
+                WHEN z.zq > 0 AND l.lagq > 0 THEN 'HH'
+                WHEN z.zq < 0 AND l.lagq < 0 THEN 'LL'
+                WHEN z.zq > 0 AND l.lagq <= 0 THEN 'HL'
+                ELSE 'LH' END AS quadrant,
+           CASE WHEN l.lagq IS NOT NULL THEN
+               {pround_sql(
+                   'CAST(z.m AS DOUBLE) * CAST(z.zq AS DOUBLE)'
+                   ' * CAST(l.lagq AS DOUBLE) / CAST(q.ssq AS DOUBLE)'
+               )} END AS local_i
+    FROM zc z
+    LEFT JOIN lag l ON l.cx = z.cx AND l.cy = z.cy
+    CROSS JOIN q
+"""

@@ -127,6 +127,8 @@ BNLJ_ALLOWED = {
     # the 1-row moment aggregate (global-aggregate roots both sides)
     "morans_i_grid",  # 1-row cell-total broadcast onto the
     # grid-bounded cell table + 1-row pair/variance aggregates
+    "local_morans_hotspots",  # same 1-row total + 1-row variance-sum
+    # broadcasts over the grid-bounded cell table
 }
 
 
