@@ -7071,3 +7071,182 @@ ORACLES["kalman_level_filter"] = f"""
     FROM kal k
     JOIN final f ON f.user_id = k.user_id AND f.last_rn = k.rn
 """
+
+
+# --------------------------------------------------------------------------
+# Seasonal / trend strength (Wang-Hyndman forecastability scorecard).
+# --------------------------------------------------------------------------
+
+
+def seasonal_strength_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wang–Hyndman decomposition strengths per zone — the
+    forecastability scorecard on top of the ``stl_decompose_lite``
+    components: seasonal strength Fs = max(0, 1 − Var(R)/Var(S+R))
+    and trend strength Ft = max(0, 1 − Var(R)/Var(T+R)). Fs near 1
+    says the daily profile explains the series (forecast with the
+    seasonal naive); Ft near 1 says the level drifts (forecast with
+    trend); both near 0 says noise — don't bother. The one-row-per-
+    zone answer to "which zones are worth forecasting at all".
+
+    Exactness: the STL-lite integer pipeline (2¹⁴ hourly grid, exact
+    24-slot window sums), with the per-hour seasonal mean quantized
+    ONCE by truncating division ((sum_d·128) DIV n_d — Spark DIV and
+    DuckDB // both truncate toward zero, so negative detrended means
+    agree); every variance numerator M·ΣX² − (ΣX)² is an exact
+    DECIMAL(38,0)/HUGEINT integer; the strengths are the only double
+    divisions, and the strong-seasonality verdict (Fs > 0.6)
+    cross-multiplies integers (5·VR < 2·VD).
+
+    Shape: identical bounded machinery to stl_decompose_lite plus one
+    keyed moment aggregate per zone."""
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+        )
+        .agg(avg_exact(F.col("value")).alias("avg_v"))
+        .select(
+            "event_type",
+            "hour_ts",
+            F.floor(F.col("avg_v") * F.lit(STL_Q) + F.lit(0.5))
+            .cast("long")
+            .alias("avg_q"),
+        )
+    )
+    wt = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(-11, 12)
+    )
+    trended = (
+        hourly.select(
+            "event_type",
+            "hour_ts",
+            "avg_q",
+            F.sum("avg_q").over(wt).alias("sum24"),
+            F.count(F.lit(1)).over(wt).alias("c24"),
+        )
+        .filter(F.col("c24") == 24)
+        .select(
+            "event_type",
+            "hour_ts",
+            (F.lit(128) * (F.lit(24) * F.col("avg_q") - F.col("sum24")))
+            .alias("d128"),
+            (F.lit(128) * F.col("sum24")).alias("t128"),
+            F.hour("hour_ts").alias("hod"),
+        )
+    )
+    seas = trended.groupBy("event_type", "hod").agg(
+        F.expr("(sum(d128)) DIV count(*)").alias("c128")
+    )
+    # (zone x 24)-bounded seasonal table; AQE size-gates the join.
+    pts = trended.join(seas, ["event_type", "hod"]).select(
+        "event_type",
+        (F.col("d128") - F.col("c128")).alias("r"),
+        (F.col("t128") + F.col("d128") - F.col("c128")).alias("tr"),
+        F.col("d128").alias("d"),
+    )
+
+    def dec(c: Column) -> Column:
+        return c.cast("decimal(38,0)")
+
+    g = pts.groupBy(F.col("event_type").alias("zone")).agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("r").alias("sr"),
+        F.sum(dec(F.col("r")) * dec(F.col("r"))).alias("srr"),
+        F.sum("d").alias("sd"),
+        F.sum(dec(F.col("d")) * dec(F.col("d"))).alias("sdd"),
+        F.sum("tr").alias("st"),
+        F.sum(dec(F.col("tr")) * dec(F.col("tr"))).alias("stt"),
+    )
+    vr = dec(F.col("m")) * F.col("srr") - dec(F.col("sr")) * dec(F.col("sr"))
+    vd = dec(F.col("m")) * F.col("sdd") - dec(F.col("sd")) * dec(F.col("sd"))
+    vt = dec(F.col("m")) * F.col("stt") - dec(F.col("st")) * dec(F.col("st"))
+    fs = F.greatest(
+        F.lit(0.0),
+        F.lit(1.0) - vr.cast("double") / vd.cast("double"),
+    )
+    ft = F.greatest(
+        F.lit(0.0),
+        F.lit(1.0) - vr.cast("double") / vt.cast("double"),
+    )
+    return g.select(
+        "zone",
+        F.col("m").cast("long").alias("n_points"),
+        F.when(vd > 0, pround(fs)).alias("seasonal_strength"),
+        F.when(vt > 0, pround(ft)).alias("trend_strength"),
+        (vr * 5 < vd * 2).alias("strong_seasonality"),
+    )
+
+
+QUERIES["seasonal_strength_report"] = seasonal_strength_report
+
+ORACLES["seasonal_strength_report"] = f"""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+               CAST(FLOOR(({avg_exact_sql('value')}) * {STL_Q} + 0.5)
+                    AS BIGINT) AS avg_q
+        FROM events
+        GROUP BY 1, 2
+    ),
+    trended AS (
+        SELECT event_type, hour_ts,
+               128 * (24 * avg_q - sum24) AS d128,
+               128 * sum24 AS t128,
+               EXTRACT(HOUR FROM hour_ts) AS hod
+        FROM (
+            SELECT *,
+                   CAST(SUM(avg_q) OVER w AS BIGINT) AS sum24,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS c24
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+                         ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+        ) WHERE c24 = 24
+    ),
+    seas AS (
+        SELECT event_type, hod,
+               CAST(SUM(d128) AS BIGINT) // COUNT(*) AS c128
+        FROM trended GROUP BY 1, 2
+    ),
+    pts AS (
+        SELECT t.event_type,
+               t.d128 - s.c128 AS r,
+               t.t128 + t.d128 - s.c128 AS tr,
+               t.d128 AS d
+        FROM trended t JOIN seas s USING (event_type, hod)
+    ),
+    g AS (
+        SELECT event_type AS zone,
+               CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(r) AS BIGINT) AS sr,
+               SUM(CAST(r AS HUGEINT) * r) AS srr,
+               CAST(SUM(d) AS BIGINT) AS sd,
+               SUM(CAST(d AS HUGEINT) * d) AS sdd,
+               CAST(SUM(tr) AS BIGINT) AS st,
+               SUM(CAST(tr AS HUGEINT) * tr) AS stt
+        FROM pts GROUP BY 1
+    )
+    SELECT zone, m AS n_points,
+           CASE WHEN CAST(m AS HUGEINT) * sdd - CAST(sd AS HUGEINT) * sd > 0
+           THEN {pround_sql(
+               'GREATEST(0.0, 1.0'
+               ' - CAST(CAST(m AS HUGEINT) * srr'
+               '        - CAST(sr AS HUGEINT) * sr AS DOUBLE)'
+               ' / CAST(CAST(m AS HUGEINT) * sdd'
+               '        - CAST(sd AS HUGEINT) * sd AS DOUBLE))'
+           )} END AS seasonal_strength,
+           CASE WHEN CAST(m AS HUGEINT) * stt - CAST(st AS HUGEINT) * st > 0
+           THEN {pround_sql(
+               'GREATEST(0.0, 1.0'
+               ' - CAST(CAST(m AS HUGEINT) * srr'
+               '        - CAST(sr AS HUGEINT) * sr AS DOUBLE)'
+               ' / CAST(CAST(m AS HUGEINT) * stt'
+               '        - CAST(st AS HUGEINT) * st AS DOUBLE))'
+           )} END AS trend_strength,
+           ((CAST(m AS HUGEINT) * srr - CAST(sr AS HUGEINT) * sr) * 5
+            < (CAST(m AS HUGEINT) * sdd - CAST(sd AS HUGEINT) * sd) * 2)
+               AS strong_seasonality
+    FROM g
+"""
