@@ -2227,3 +2227,218 @@ ORACLES["local_morans_hotspots"] = f"""
     LEFT JOIN lag l ON l.cx = z.cx AND l.cy = z.cy
     CROSS JOIN q
 """
+
+
+# --------------------------------------------------------------------------
+# k-distance elbow (DBSCAN eps selection).
+# --------------------------------------------------------------------------
+
+ELBOW_K = 4  # k-th nearest neighbor (the DBSCAN paper's k = minPts)
+
+
+def eps_elbow_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN eps selection by the k-distance elbow (Ester et al.
+    1996 §4.2): sort every point's distance to its 4th nearest
+    neighbor, find the knee of that curve — the eps the paper says to
+    read off the plot, computed here without plotting OR a global
+    sort. The tuning companion to ``dbscan_grid`` (which currently
+    fixes its cell side a priori).
+
+    Distributed + exact: candidate neighbors come from the 3×3 cell
+    neighborhood equi-join (never all-pairs; points with fewer than k
+    candidates in that radius are excluded and COUNTED — the
+    documented locality cap, honest in the n_capped column); the
+    4th-NN squared distance is an exact integer rank pick inside the
+    bounded per-point candidate list; the k-distance CURVE lives as a
+    d²-histogram + cumulative over the BOUNDED distinct-d² table (the
+    value_quantiles idiom); the knee is the histogram point with max
+    |cross-product| deviation from the first→last chord —
+    DECIMAL(38,0)/HUGEINT integers, ties to the smaller d²
+    (struct-min). The reported eps = sqrt(knee_d2) is the only float.
+
+    Shape: one point→cell projection, one 9-offset equi-join, one
+    per-point rank aggregate, one bounded histogram + cumulative, one
+    argmin struct fold."""
+    ev = table(spark, sf_dir, "events")
+    pts = ev.select(F.col("user_id").alias("sid")).distinct()
+    px = (F.col("sid") * 8191) % 10000
+    py = (F.col("sid") * 524287) % 10000
+    p = pts.select(
+        "sid",
+        px.alias("px"),
+        py.alias("py"),
+        F.floor(px / DBSCAN_CELL).cast("long").alias("cx"),
+        F.floor(py / DBSCAN_CELL).cast("long").alias("cy"),
+    )
+    a = p.select(
+        F.col("sid").alias("ida"),
+        F.col("px").alias("xa"),
+        F.col("py").alias("ya"),
+        "cx",
+        "cy",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("o"),
+    )
+    b = p.select(
+        F.col("sid").alias("idb"),
+        F.col("px").alias("xb"),
+        F.col("py").alias("yb"),
+        F.col("cx").alias("bx"),
+        F.col("cy").alias("by"),
+    )
+    cand = a.join(
+        b,
+        (F.col("bx") == F.col("cx") + F.col("o.dx"))
+        & (F.col("by") == F.col("cy") + F.col("o.dy"))
+        & (F.col("idb") != F.col("ida")),
+    ).select(
+        "ida",
+        (
+            (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+            + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+        ).alias("d2"),
+    )
+    # exact k-th smallest d2 per point from the cell-bounded candidate
+    # list: sort the collected small list per point (bounded by 9-cell
+    # occupancy) via sort_array on the aggregated list
+    kth = (
+        cand.groupBy("ida")
+        .agg(F.sort_array(F.collect_list("d2")).alias("ds"))
+        .select(
+            "ida",
+            F.size("ds").alias("n_cand"),
+            F.when(
+                F.size("ds") >= ELBOW_K, F.element_at("ds", ELBOW_K)
+            ).alias("kd2"),
+        )
+    )
+    n_capped = kth.filter(F.col("n_cand") < ELBOW_K).agg(
+        F.count(F.lit(1)).alias("n_capped")
+    )
+    hist = (
+        kth.filter(F.col("kd2").isNotNull())
+        .groupBy("kd2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wc = Window.orderBy("kd2").rowsBetween(Window.unboundedPreceding, 0)
+    curve = hist.select(
+        "kd2", F.sum("c").over(wc).alias("cum")
+    )
+    # GLOBAL aggregate root (no trailing select), so the broadcast side
+    # is policy-provably 1 row; endpoints unpack after the join.
+    ends = curve.agg(
+        F.min_by(F.struct("cum", "kd2"), F.col("kd2")).alias("lo"),
+        F.max_by(F.struct("cum", "kd2"), F.col("kd2")).alias("hi"),
+    )
+
+    def dec(c: Column) -> Column:
+        return c.cast("decimal(38,0)")
+
+    x1, y1 = F.col("lo.cum"), F.col("lo.kd2")
+    x2, y2 = F.col("hi.cum"), F.col("hi.kd2")
+    dev = F.abs(
+        dec(y2 - y1) * dec(F.col("cum") - x1)
+        - dec(x2 - x1) * dec(F.col("kd2") - y1)
+    )
+    knee = (
+        curve.join(F.broadcast(ends))
+        .select(
+            F.struct(
+                (-dev).alias("negdev"), F.col("kd2").alias("kd2")
+            ).alias("s"),
+        )
+        .agg(F.min("s").alias("m"))
+        .select(
+            F.col("m.kd2").alias("knee_d2"),
+            (-F.col("m.negdev")).alias("max_dev"),
+        )
+    )
+    tot = kth.agg(
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    return (
+        knee.join(F.broadcast(tot))
+        .join(F.broadcast(n_capped))
+        .select(
+            "n_points",
+            "n_capped",
+            F.col("knee_d2").cast("long").alias("knee_d2"),
+            pround(F.sqrt(F.col("knee_d2").cast("double"))).alias(
+                "suggested_eps"
+            ),
+        )
+    )
+
+
+QUERIES["eps_elbow_report"] = eps_elbow_report
+
+ORACLES["eps_elbow_report"] = f"""
+    WITH p AS (
+        SELECT DISTINCT user_id AS sid,
+               (user_id * 8191) % 10000 AS px,
+               (user_id * 524287) % 10000 AS py,
+               (user_id * 8191) % 10000 // {DBSCAN_CELL} AS cx,
+               (user_id * 524287) % 10000 // {DBSCAN_CELL} AS cy
+        FROM events
+    ),
+    offs AS (
+        SELECT dx.x AS dx, dy.y AS dy
+        FROM generate_series(-1, 1) dx(x), generate_series(-1, 1) dy(y)
+    ),
+    cand AS (
+        SELECT a.sid AS ida,
+               (a.px - b.px) * (a.px - b.px)
+               + (a.py - b.py) * (a.py - b.py) AS d2
+        FROM p a
+        CROSS JOIN offs o
+        JOIN p b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+               AND b.sid <> a.sid
+    ),
+    kth AS (
+        SELECT ida, CAST(COUNT(*) AS BIGINT) AS n_cand,
+               CASE WHEN COUNT(*) >= {ELBOW_K}
+                    THEN (list_sort(list(d2)))[{ELBOW_K}] END AS kd2
+        FROM cand GROUP BY 1
+    ),
+    nc AS (
+        SELECT CAST(SUM(CASE WHEN n_cand < {ELBOW_K} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_capped,
+               CAST(COUNT(*) AS BIGINT) AS n_points
+        FROM kth
+    ),
+    hist AS (
+        SELECT kd2, CAST(COUNT(*) AS BIGINT) AS c
+        FROM kth WHERE kd2 IS NOT NULL GROUP BY 1
+    ),
+    curve AS (
+        SELECT kd2,
+               CAST(SUM(c) OVER (ORDER BY kd2
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM hist
+    ),
+    ends AS (
+        SELECT MIN(kd2) AS y1, MAX(kd2) AS y2,
+               (SELECT cum FROM curve ORDER BY kd2 ASC LIMIT 1) AS x1,
+               (SELECT cum FROM curve ORDER BY kd2 DESC LIMIT 1) AS x2
+        FROM curve
+    ),
+    knee AS (
+        SELECT c.kd2 AS knee_d2,
+               ABS(CAST(e.y2 - e.y1 AS HUGEINT) * (c.cum - e.x1)
+                   - CAST(e.x2 - e.x1 AS HUGEINT) * (c.kd2 - e.y1)) AS dev
+        FROM curve c CROSS JOIN ends e
+        ORDER BY dev DESC, knee_d2 ASC LIMIT 1
+    )
+    SELECT nc.n_points, nc.n_capped,
+           CAST(k.knee_d2 AS BIGINT) AS knee_d2,
+           {pround_sql('SQRT(CAST(k.knee_d2 AS DOUBLE))')} AS suggested_eps
+    FROM knee k CROSS JOIN nc
+"""

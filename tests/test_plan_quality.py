@@ -129,6 +129,8 @@ BNLJ_ALLOWED = {
     # grid-bounded cell table + 1-row pair/variance aggregates
     "local_morans_hotspots",  # same 1-row total + 1-row variance-sum
     # broadcasts over the grid-bounded cell table
+    "eps_elbow_report",  # 1-row chord-endpoints/totals broadcasts
+    # (global-aggregate roots) over the bounded k-distance histogram
 }
 
 
@@ -146,6 +148,7 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "conformal_anomaly_rate": "histogram walls + cumulative over the "
     "bounded quantized-score grid",
     "decision_stump_train": "cumulative over the cents-histogram table",
+    "eps_elbow_report": "cumulative over the bounded distinct-d2 k-distance histogram",
     "dedup_cluster_modularity": "cluster-bounded degree/edge tables",
     "density_heatmap": "cumulative over the bounded spatial grid",
     "funnel_conversion_report": "|steps|-row funnel table",
