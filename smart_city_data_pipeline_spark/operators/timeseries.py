@@ -7250,3 +7250,191 @@ ORACLES["seasonal_strength_report"] = f"""
                AS strong_seasonality
     FROM g
 """
+
+
+# --------------------------------------------------------------------------
+# Granger-causality (lag-1) between zone hourly series.
+# --------------------------------------------------------------------------
+
+GRANGER_F_CRIT_X100 = 400  # ~F(1, large) at alpha=0.05 is 3.84; use 4.00
+
+
+def granger_causality_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Granger causality between every ordered zone pair: does
+    knowing zone A's last hour IMPROVE the prediction of zone B's next
+    hour beyond B's own history? The conditional upgrade of
+    ``zone_xcorr_lags`` (correlation at a lag can be pure
+    co-seasonality; Granger asks for incremental predictive power):
+    restricted model B_t ~ B_{t-1} vs unrestricted B_t ~ B_{t-1} +
+    A_{t-1}, compared by SSE.
+
+    Exactness: series points are the acf_lags integer hourly means;
+    every raw moment (Σxy, Σxx, …) accumulates in DECIMAL(38,0)/
+    HUGEINT (per-row products ≈ 1e18 overflow BIGINT on long spans);
+    centered moments n·Σxy − ΣxΣy stay exact (≈1e28 « 1e38); the SSE
+    closed forms, the gain share, and the F statistic are IDENTICAL
+    single-IEEE-op finisher formulas on those exact integers (the
+    ols_trend discipline), so both engines emit the same doubles. The
+    verdict compares F against 4.00 in the same doubles.
+
+    Shape: ONE hourly rollup of the facts, two shifted-hour
+    equi-joins building (y, x=own lag, z=other's lag) triples, one
+    keyed moment aggregate per ordered pair — everything after the
+    first shuffle runs on zones² × hours rows."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hourly = (
+        ev.groupBy(
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+            .cast("long")
+            .alias("he"),
+            F.col("event_type"),
+        )
+        .agg(F.sum(cents).alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("he", "event_type", F.expr("(s * 128) DIV n").alias("v"))
+    )
+    y = hourly.select(
+        F.col("event_type").alias("effect"),
+        F.col("he").alias("t"),
+        F.col("v").alias("vy"),
+    )
+    own = hourly.select(
+        F.col("event_type").alias("effect"),
+        (F.col("he") + 1).alias("t"),
+        F.col("v").alias("vx"),
+    )
+    other = hourly.select(
+        F.col("event_type").alias("cause"),
+        (F.col("he") + 1).alias("t"),
+        F.col("v").alias("vz"),
+    )
+    tri = (
+        y.join(own, ["effect", "t"])
+        .join(other, "t")
+        .filter(F.col("cause") != F.col("effect"))
+    )
+
+    def dec(c: Column) -> Column:
+        return c.cast("decimal(38,0)")
+
+    g = tri.groupBy("cause", "effect").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vy").alias("sy"),
+        F.sum("vx").alias("sx"),
+        F.sum("vz").alias("sz"),
+        F.sum(dec(F.col("vx")) * dec(F.col("vy"))).alias("sxy"),
+        F.sum(dec(F.col("vz")) * dec(F.col("vy"))).alias("szy"),
+        F.sum(dec(F.col("vx")) * dec(F.col("vz"))).alias("sxz"),
+        F.sum(dec(F.col("vx")) * dec(F.col("vx"))).alias("sxx"),
+        F.sum(dec(F.col("vz")) * dec(F.col("vz"))).alias("szz"),
+        F.sum(dec(F.col("vy")) * dec(F.col("vy"))).alias("syy"),
+    )
+    n = F.col("n")
+    cyy = (dec(n) * F.col("syy") - dec(F.col("sy")) * dec(F.col("sy"))).cast(
+        "double"
+    )
+    cxx = (dec(n) * F.col("sxx") - dec(F.col("sx")) * dec(F.col("sx"))).cast(
+        "double"
+    )
+    czz = (dec(n) * F.col("szz") - dec(F.col("sz")) * dec(F.col("sz"))).cast(
+        "double"
+    )
+    cxy = (dec(n) * F.col("sxy") - dec(F.col("sx")) * dec(F.col("sy"))).cast(
+        "double"
+    )
+    czy = (dec(n) * F.col("szy") - dec(F.col("sz")) * dec(F.col("sy"))).cast(
+        "double"
+    )
+    cxz = (dec(n) * F.col("sxz") - dec(F.col("sx")) * dec(F.col("sz"))).cast(
+        "double"
+    )
+    sse_r = cyy - cxy * cxy / cxx
+    det = cxx * czz - cxz * cxz
+    sse_u = cyy - (czz * cxy * cxy - 2.0 * cxz * cxy * czy + cxx * czy * czy) / det
+    fstat = (sse_r - sse_u) * (n.cast("double") - 3.0) / sse_u
+    ok = (cxx > 0) & (det > 0) & (cyy > 0) & (F.col("n") > 3)
+    return g.select(
+        "cause",
+        "effect",
+        F.col("n").cast("long").alias("n_points"),
+        F.when(ok & (sse_r > 0), pround((sse_r - sse_u) / sse_r)).alias(
+            "gain_share"
+        ),
+        F.when(ok & (sse_u > 0), pround(fstat)).alias("f_stat"),
+        F.when(
+            ok & (sse_u > 0),
+            fstat * 100.0 > float(GRANGER_F_CRIT_X100),
+        ).alias("granger_causal"),
+    )
+
+
+QUERIES["granger_causality_lite"] = granger_causality_lite
+
+_GR_C = {
+    "cyy": "CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)",
+    "cxx": "CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)",
+    "czz": "CAST(CAST(n AS HUGEINT) * szz - CAST(sz AS HUGEINT) * sz AS DOUBLE)",
+    "cxy": "CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)",
+    "czy": "CAST(CAST(n AS HUGEINT) * szy - CAST(sz AS HUGEINT) * sy AS DOUBLE)",
+    "cxz": "CAST(CAST(n AS HUGEINT) * sxz - CAST(sx AS HUGEINT) * sz AS DOUBLE)",
+}
+
+ORACLES["granger_causality_lite"] = f"""
+    WITH hourly AS (
+        SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600 AS he,
+               event_type,
+               (CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) * 128)
+                   // COUNT(*) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    tri AS (
+        SELECT z.event_type AS cause, y.event_type AS effect,
+               y.v AS vy, x.v AS vx, z.v AS vz
+        FROM hourly y
+        JOIN hourly x ON x.event_type = y.event_type AND x.he = y.he - 1
+        JOIN hourly z ON z.he = y.he - 1 AND z.event_type <> y.event_type
+    ),
+    g AS (
+        SELECT cause, effect,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(vy) AS BIGINT) AS sy,
+               CAST(SUM(vx) AS BIGINT) AS sx,
+               CAST(SUM(vz) AS BIGINT) AS sz,
+               SUM(CAST(vx AS HUGEINT) * vy) AS sxy,
+               SUM(CAST(vz AS HUGEINT) * vy) AS szy,
+               SUM(CAST(vx AS HUGEINT) * vz) AS sxz,
+               SUM(CAST(vx AS HUGEINT) * vx) AS sxx,
+               SUM(CAST(vz AS HUGEINT) * vz) AS szz,
+               SUM(CAST(vy AS HUGEINT) * vy) AS syy
+        FROM tri GROUP BY 1, 2
+    ),
+    f AS (
+        SELECT cause, effect, n,
+               {_GR_C['cyy']} AS cyy, {_GR_C['cxx']} AS cxx,
+               {_GR_C['czz']} AS czz, {_GR_C['cxy']} AS cxy,
+               {_GR_C['czy']} AS czy, {_GR_C['cxz']} AS cxz
+        FROM g
+    ),
+    s AS (
+        SELECT cause, effect, n, cyy, cxx, czz, cxy, czy, cxz,
+               cyy - cxy * cxy / cxx AS sse_r,
+               cxx * czz - cxz * cxz AS det,
+               cyy - (czz * cxy * cxy - 2.0 * cxz * cxy * czy
+                      + cxx * czy * czy) / (cxx * czz - cxz * cxz) AS sse_u
+        FROM f
+    )
+    SELECT cause, effect, n AS n_points,
+           CASE WHEN cxx > 0 AND det > 0 AND cyy > 0 AND n > 3
+                     AND sse_r > 0 THEN
+               {pround_sql('(sse_r - sse_u) / sse_r')} END AS gain_share,
+           CASE WHEN cxx > 0 AND det > 0 AND cyy > 0 AND n > 3
+                     AND sse_u > 0 THEN
+               {pround_sql(
+                   '(sse_r - sse_u) * (CAST(n AS DOUBLE) - 3.0) / sse_u'
+               )} END AS f_stat,
+           CASE WHEN cxx > 0 AND det > 0 AND cyy > 0 AND n > 3
+                     AND sse_u > 0 THEN
+               ((sse_r - sse_u) * (CAST(n AS DOUBLE) - 3.0) / sse_u * 100.0
+                > {float(GRANGER_F_CRIT_X100)}) END AS granger_causal
+    FROM s
+"""
