@@ -7438,3 +7438,111 @@ ORACLES["granger_causality_lite"] = f"""
                 > {float(GRANGER_F_CRIT_X100)}) END AS granger_causal
     FROM s
 """
+
+
+# --------------------------------------------------------------------------
+# Hill tail-index estimator per event type.
+# --------------------------------------------------------------------------
+
+HILL_K = 50  # order statistics used by the estimator
+HILL_Q = 1048576.0  # 2^20 log-ratio quantization grid
+
+
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the value distribution's tail index per event
+    type (Hill 1975): α̂ = k / Σ_{i≤k} ln(X_(i)/X_(k+1)) over the top
+    k+1 order statistics — the standard heavy-tail detector. α < 2
+    means infinite variance (means/sigmas stop being trustworthy —
+    robust_zscore territory); α > 4 says Gaussian-ish tools are fine.
+    The numeric companion to ``burstiness`` (which scores dispersion,
+    not tail shape).
+
+    Exactness: order statistics are an integer-cents rank pick inside
+    a PARTITIONED window (per type — never global); each log-ratio
+    quantizes ONCE to the 2²⁰ grid and the k terms sum as integers
+    (quantize-then-sum); α̂ = k·Q/Σ is the single float division, and
+    the heavy-tail verdict compares the same doubles in both engines.
+
+    Shape: one partitioned top-(k+1) rank filter (per-partition heaps
+    after the type shuffle), a per-type 1-row threshold join, one
+    keyed integer aggregate."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("c").desc(), F.col("event_id").asc()
+    )
+    ranked = (
+        ev.select("event_type", "event_id", cents.alias("c"))
+        .filter(F.col("c") > 0)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= HILL_K + 1)
+    )
+    thr = ranked.filter(F.col("rk") == HILL_K + 1).select(
+        "event_type", F.col("c").alias("ck1")
+    )
+    top = ranked.filter(F.col("rk") <= HILL_K).join(thr, "event_type")
+    lq = F.floor(
+        F.log(F.col("c").cast("double") / F.col("ck1").cast("double"))
+        * F.lit(HILL_Q)
+        + 0.5
+    ).cast("long")
+    g = top.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.max("ck1").alias("ck1"),
+        F.sum(lq).alias("slq"),
+    )
+    alpha = (
+        F.col("k").cast("double")
+        * F.lit(HILL_Q)
+        / F.col("slq").cast("double")
+    )
+    return g.filter(F.col("k") == HILL_K).select(
+        "event_type",
+        F.col("k").cast("int").alias("k"),
+        pround(F.col("ck1").cast("double") / 100.0).alias("x_k1"),
+        F.when(F.col("slq") > 0, pround(alpha)).alias("tail_index"),
+        F.when(F.col("slq") > 0, alpha < 2.0).alias("heavy_tail"),
+    )
+
+
+QUERIES["hill_tail_index"] = hill_tail_index
+
+ORACLES["hill_tail_index"] = f"""
+    WITH ranked AS (
+        SELECT event_type, c,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY c DESC, event_id ASC) AS rk
+        FROM (
+            SELECT event_type, event_id,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+            FROM events
+        ) WHERE c > 0
+    ),
+    thr AS (
+        SELECT event_type, c AS ck1 FROM ranked WHERE rk = {HILL_K + 1}
+    ),
+    g AS (
+        SELECT r.event_type,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(MAX(t.ck1) AS BIGINT) AS ck1,
+               CAST(SUM(CAST(FLOOR(LN(CAST(r.c AS DOUBLE)
+                                      / CAST(t.ck1 AS DOUBLE))
+                                   * {HILL_Q} + 0.5) AS BIGINT))
+                    AS BIGINT) AS slq
+        FROM ranked r
+        JOIN thr t USING (event_type)
+        WHERE r.rk <= {HILL_K}
+        GROUP BY 1
+    )
+    SELECT event_type, CAST(k AS INTEGER) AS k,
+           {pround_sql('CAST(ck1 AS DOUBLE) / 100.0')} AS x_k1,
+           CASE WHEN slq > 0 THEN
+               {pround_sql(
+                   f'CAST(k AS DOUBLE) * {HILL_Q} / CAST(slq AS DOUBLE)'
+               )} END AS tail_index,
+           CASE WHEN slq > 0 THEN
+               (CAST(k AS DOUBLE) * {HILL_Q} / CAST(slq AS DOUBLE) < 2.0)
+           END AS heavy_tail
+    FROM g
+    WHERE k = {HILL_K}
+"""
