@@ -3577,3 +3577,116 @@ ORACLES["graph_degree_assortativity"] = f"""
                )} END AS assortativity
     FROM g CROSS JOIN nn
 """
+
+
+DEDUP_SWEEP_T100 = (30, 40, 50, 60, 70, 80, 90)  # Jaccard·100 curve
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-threshold SENSITIVITY curve for near-dup removal — the
+    tuning report run before committing a dedup threshold to a 100 TB
+    pass: for each candidate threshold, how many exact-Jaccard pairs
+    qualify, how many documents the larger-id-loses rule would drop,
+    and the resulting removal rate. ``dedup_ngram_jaccard`` answers
+    "pairs at THE threshold"; this answers "how sensitive is the
+    corpus to where we put it" (a steep curve means the threshold is
+    doing real work; a flat one means any value lands the same
+    corpus).
+
+    Exactness: the inverted-index self-join gives exact integer
+    intersection counts; every threshold verdict cross-multiplies
+    integers (100·n_inter ≥ t·(n_a+n_b−n_inter)) — no float until the
+    final removal-rate division. The curve rides a 7-row literal
+    cross join over the pair table (the k_anonymity_audit shape).
+
+    Shape: one shingle explode, one inverted-index self-equi-join
+    (the df_cap contract documented on dedup_ngram_jaccard bounds the
+    pair fan-out in production), two size joins, one 7-row literal
+    cross join + keyed aggregate."""
+    sh = _hashed_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.hs") == F.col("b.hs"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    pairs = inter.join(sa, F.col("doc_a") == F.col("sa.doc_id")).join(
+        sb, F.col("doc_b") == F.col("sb.doc_id")
+    ).select(
+        "doc_a",
+        "doc_b",
+        "n_inter",
+        (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")).alias("u"),
+    )
+    ts = spark.createDataFrame(
+        [(t,) for t in DEDUP_SWEEP_T100], "t100 int"
+    )
+    n_docs = sh.select("doc_id").distinct().count()
+    hit = F.col("n_inter") * 100 >= F.col("t100") * F.col("u")
+    return (
+        pairs.crossJoin(F.broadcast(ts))
+        .groupBy("t100")
+        .agg(
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_pairs"),
+            F.countDistinct(F.when(hit, F.col("doc_b")))
+            .cast("long")
+            .alias("n_docs_removed"),
+        )
+        .select(
+            "t100",
+            "n_pairs",
+            "n_docs_removed",
+            pround(
+                F.col("n_docs_removed").cast("double") / float(n_docs)
+            ).alias("removal_rate"),
+        )
+    )
+
+
+QUERIES["dedup_threshold_sweep"] = dedup_threshold_sweep
+
+_SWEEP_T_SQL = " UNION ALL ".join(
+    f"SELECT {t} AS t100" for t in DEDUP_SWEEP_T100
+)
+
+ORACLES["dedup_threshold_sweep"] = f"""
+    WITH sh AS ({_HASHED_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+              FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM sh a JOIN sh b ON a.hs = b.hs AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT i.doc_a, i.doc_b, i.n_inter,
+               sa.n_sh + sb.n_sh - i.n_inter AS u
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+    ),
+    ts AS ({_SWEEP_T_SQL}),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM sh)
+    SELECT ts.t100,
+           CAST(SUM(CASE WHEN p.n_inter * 100 >= ts.t100 * p.u
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN p.n_inter * 100 >= ts.t100 * p.u
+                                    THEN p.doc_b END) AS BIGINT)
+               AS n_docs_removed,
+           {pround_sql(
+               'CAST(COUNT(DISTINCT CASE WHEN p.n_inter * 100'
+               ' >= ts.t100 * p.u THEN p.doc_b END) AS DOUBLE)'
+               ' / CAST(MAX(nd.n_docs) AS DOUBLE)'
+           )} AS removal_rate
+    FROM pairs p CROSS JOIN ts CROSS JOIN nd
+    GROUP BY 1
+"""

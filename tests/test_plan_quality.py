@@ -85,6 +85,8 @@ BNLJ_ALLOWED = {
     "layer_reconciliation",  # 1-row retention-cutoff broadcast
     "benford_digit_test",  # 9-row digit-grid literal broadcast (the
     # zone × digit completion join; constant cost at any scale)
+    "dedup_threshold_sweep",  # 7-row threshold literal broadcast over
+    # the inverted-index pair table (the k-curve shape)
     "k_anonymity_audit",  # 4-row k-threshold literal broadcast over
     # the grid-bounded class table
     "l_diversity_audit",  # 3-row l-threshold literal broadcast over
