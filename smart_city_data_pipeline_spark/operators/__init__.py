@@ -37,13 +37,21 @@ from pyspark.sql import DataFrame, SparkSession
 # audio_silence_segments, audio_walsh_bands, frames_ahash_dedup,
 # scene_cut_detect, ivm_merge_view, soft_dedup_weights,
 # minhash_estimate_audit, text_embedding_agreement,
-# mrl_truncation_qc.
+# mrl_truncation_qc — and the 6 displaced by the late-round-8 wave:
+# sax_symbols, od_matrix, snapshot_diff, pinball_forecast_eval,
+# idw_interpolation, segmented_trend_fit.
 # Window order: behavior-changed-this-round first (they must re-earn
 # driver-green), then the keys VERDICT named as likeliest to diverge
 # under the driver harness (driver-loop / mapInPandas shapes), then
 # the remaining iterative/codec-shaped never-gated keys.
 _GATE_FIRST = [
     # new in round 8 (never driver-checked; newest first)
+    "local_morans_hotspots",  # LISA quadrant map
+    "seasonal_strength_report",  # Wang-Hyndman forecastability
+    "eps_elbow_report",  # k-distance elbow
+    "granger_causality_lite",  # conditional lead-lag test
+    "hill_tail_index",  # heavy-tail detector
+    "dedup_threshold_sweep",  # Jaccard sensitivity curve
     "city_snapshot",  # multi-source serving view + freshness
     "kneser_ney_score",  # interpolated KN bigram LM scoring
     "rouge2_candidate_report",  # clipped-bigram candidate audit
@@ -92,12 +100,6 @@ _GATE_FIRST = [
     "cep_pattern_counts",
     "asap_smoothing",
     "isotonic_trend_fit",
-    "segmented_trend_fit",
-    "pinball_forecast_eval",
-    "idw_interpolation",
-    "sax_symbols",
-    "od_matrix",
-    "snapshot_diff",
 ]
 
 # Entries that can never hash-match (no oracle_sql twin by documented
