@@ -7361,10 +7361,14 @@ def granger_causality_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gain_share"
         ),
         F.when(ok & (sse_u > 0), pround(fstat)).alias("f_stat"),
+        # sse_u == 0 with sse_r > 0 is the PERFECT-predictor edge
+        # (F -> infinity): causal by definition, f_stat left NULL.
         F.when(
             ok & (sse_u > 0),
             fstat * 100.0 > float(GRANGER_F_CRIT_X100),
-        ).alias("granger_causal"),
+        )
+        .when(ok & (sse_r > 0) & (sse_u <= 0), F.lit(True))
+        .alias("granger_causal"),
     )
 
 
@@ -7435,7 +7439,10 @@ ORACLES["granger_causality_lite"] = f"""
            CASE WHEN cxx > 0 AND det > 0 AND cyy > 0 AND n > 3
                      AND sse_u > 0 THEN
                ((sse_r - sse_u) * (CAST(n AS DOUBLE) - 3.0) / sse_u * 100.0
-                > {float(GRANGER_F_CRIT_X100)}) END AS granger_causal
+                > {float(GRANGER_F_CRIT_X100)})
+                WHEN cxx > 0 AND det > 0 AND cyy > 0 AND n > 3
+                     AND sse_r > 0 AND sse_u <= 0 THEN TRUE
+           END AS granger_causal
     FROM s
 """
 
