@@ -2054,18 +2054,19 @@ ORACLES["morans_i_grid"] = f"""
         JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
     ),
     pair AS (
+        -- no GROUP BY: an empty edge set (no adjacent occupied cells
+        -- at tiny SF) must still yield ONE row (w=0, p NULL), matching
+        -- the Spark global aggregate
         SELECT CAST(COUNT(*) AS BIGINT) AS w,
                SUM((CAST(va AS HUGEINT) * t.m - t.sv)
                    * (CAST(vb AS HUGEINT) * t.m - t.sv)) AS p
         FROM edges CROSS JOIN tot t
-        GROUP BY t.m, t.sv
     ),
     varsum AS (
         SELECT SUM((CAST(v AS HUGEINT) * t.m - t.sv)
                    * (CAST(v AS HUGEINT) * t.m - t.sv)) AS q,
                MAX(t.m) AS m
         FROM cells CROSS JOIN tot t
-        GROUP BY t.m, t.sv
     )
     SELECT CAST(v2.m AS BIGINT) AS n_cells,
            p1.w AS n_links,
@@ -2408,7 +2409,8 @@ ORACLES["eps_elbow_report"] = f"""
         FROM cand GROUP BY 1
     ),
     nc AS (
-        SELECT CAST(SUM(CASE WHEN n_cand < {ELBOW_K} THEN 1 ELSE 0 END)
+        SELECT CAST(COALESCE(SUM(CASE WHEN n_cand < {ELBOW_K}
+                                      THEN 1 ELSE 0 END), 0)
                     AS BIGINT) AS n_capped,
                CAST(COUNT(*) AS BIGINT) AS n_points
         FROM kth
@@ -2440,5 +2442,7 @@ ORACLES["eps_elbow_report"] = f"""
     SELECT nc.n_points, nc.n_capped,
            CAST(k.knee_d2 AS BIGINT) AS knee_d2,
            {pround_sql('SQRT(CAST(k.knee_d2 AS DOUBLE))')} AS suggested_eps
-    FROM knee k CROSS JOIN nc
+    -- LEFT JOIN: an empty k-distance curve (every point capped at tiny
+    -- SF) still yields the totals row with NULL knee, matching Spark
+    FROM nc LEFT JOIN knee k ON TRUE
 """
