@@ -1366,3 +1366,105 @@ ORACLES["encoding_plan_report"] = f"""
                AS files_rle
     FROM flagged GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Retention-policy cost curve.
+# --------------------------------------------------------------------------
+
+RETENTION_WINDOWS_D = (7, 30, 90, 180)
+
+
+def retention_cost_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-policy WHAT-IF over the day-partitioned event lake:
+    for each candidate window (7/30/90/180 days back from the newest
+    event), the day-partitions and rows kept vs dropped and the kept
+    share — the sizing table a lakehouse team reads before committing
+    a retention DDL (the reference's TimescaleDB retention policy,
+    init-timescaledb.sql, hardcodes one window; this prices all of
+    them from one scan). ``retention_filter`` applies one policy;
+    this reports the curve.
+
+    Exactness: day buckets and row counts are integers; the cutoff
+    comparison is exact integer microseconds against the 1-row max-ts
+    broadcast; one final division per row. Shape: ONE
+    map-side-combinable rollup of the facts to day-partitions, then a
+    4-row literal cross join over the bounded day table (the k-curve
+    shape)."""
+    ev = table(spark, sf_dir, "events")
+    days = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    mx = days.agg(F.max("day").alias("max_day"))
+    ws = spark.createDataFrame(
+        [(w,) for w in RETENTION_WINDOWS_D], "window_days int"
+    )
+    kept = F.col("day") >= F.col("max_day") - F.expr(
+        "make_interval(0, 0, 0, window_days, 0, 0, 0)"
+    )
+    return (
+        days.join(F.broadcast(mx))
+        .crossJoin(F.broadcast(ws))
+        .groupBy("window_days")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_partitions"),
+            F.sum(F.when(kept, 1).otherwise(0))
+            .cast("long")
+            .alias("partitions_kept"),
+            F.sum(F.when(kept, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_kept"),
+            F.sum(F.when(~kept, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_dropped"),
+            F.sum("n_rows").cast("long").alias("n_rows_total"),
+        )
+        .select(
+            "window_days",
+            "n_partitions",
+            "partitions_kept",
+            "rows_kept",
+            "rows_dropped",
+            pround(
+                F.col("rows_kept").cast("double")
+                / F.col("n_rows_total").cast("double")
+            ).alias("kept_share"),
+        )
+    )
+
+
+QUERIES["retention_cost_curve"] = retention_cost_curve
+
+_RET_WS_SQL = " UNION ALL ".join(
+    f"SELECT {w} AS window_days" for w in RETENTION_WINDOWS_D
+)
+
+ORACLES["retention_cost_curve"] = f"""
+    WITH days AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY 1
+    ),
+    mx AS (SELECT MAX(day) AS max_day FROM days),
+    ws AS ({_RET_WS_SQL})
+    SELECT ws.window_days,
+           CAST(COUNT(*) AS BIGINT) AS n_partitions,
+           CAST(SUM(CASE WHEN d.day >= m.max_day
+                              - to_days(ws.window_days)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS partitions_kept,
+           CAST(SUM(CASE WHEN d.day >= m.max_day
+                              - to_days(ws.window_days)
+                         THEN d.n_rows ELSE 0 END) AS BIGINT) AS rows_kept,
+           CAST(SUM(CASE WHEN d.day >= m.max_day
+                              - to_days(ws.window_days)
+                         THEN 0 ELSE d.n_rows END) AS BIGINT)
+               AS rows_dropped,
+           {pround_sql(
+               'CAST(SUM(CASE WHEN d.day >= m.max_day'
+               '               - to_days(ws.window_days)'
+               '          THEN d.n_rows ELSE 0 END) AS DOUBLE)'
+               ' / CAST(SUM(d.n_rows) AS DOUBLE)'
+           )} AS kept_share
+    FROM days d CROSS JOIN mx m CROSS JOIN ws
+    GROUP BY 1
+"""

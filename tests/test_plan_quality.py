@@ -85,6 +85,8 @@ BNLJ_ALLOWED = {
     "layer_reconciliation",  # 1-row retention-cutoff broadcast
     "benford_digit_test",  # 9-row digit-grid literal broadcast (the
     # zone × digit completion join; constant cost at any scale)
+    "retention_cost_curve",  # 1-row max-day + 4-row window literal
+    # broadcasts over the bounded day-partition table
     "dedup_threshold_sweep",  # 7-row threshold literal broadcast over
     # the inverted-index pair table (the k-curve shape)
     "k_anonymity_audit",  # 4-row k-threshold literal broadcast over
