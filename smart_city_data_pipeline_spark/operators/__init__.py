@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 # minhash_estimate_audit, text_embedding_agreement,
 # mrl_truncation_qc — and the 6 displaced by the late-round-8 wave:
 # sax_symbols, od_matrix, snapshot_diff, pinball_forecast_eval,
-# idw_interpolation, segmented_trend_fit.
+# idw_interpolation, segmented_trend_fit, matrix_profile_lite.
 # Window order: behavior-changed-this-round first (they must re-earn
 # driver-green), then the keys VERDICT named as likeliest to diverge
 # under the driver harness (driver-loop / mapInPandas shapes), then
@@ -52,6 +52,7 @@ _GATE_FIRST = [
     "granger_causality_lite",  # conditional lead-lag test
     "hill_tail_index",  # heavy-tail detector
     "dedup_threshold_sweep",  # Jaccard sensitivity curve
+    "retention_cost_curve",  # retention what-if curve
     "city_snapshot",  # multi-source serving view + freshness
     "kneser_ney_score",  # interpolated KN bigram LM scoring
     "rouge2_candidate_report",  # clipped-bigram candidate audit
@@ -84,7 +85,6 @@ _GATE_FIRST = [
     "label_propagation_communities",
     "graph_bfs_levels",
     "dedup_cluster_modularity",
-    "matrix_profile_lite",
     "stl_decompose_lite",
     "holt_winters_forecast",
     "cdc_chunk_dedup",
