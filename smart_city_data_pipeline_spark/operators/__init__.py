@@ -39,7 +39,8 @@ from pyspark.sql import DataFrame, SparkSession
 # minhash_estimate_audit, text_embedding_agreement,
 # mrl_truncation_qc — and the 6 displaced by the late-round-8 wave:
 # sax_symbols, od_matrix, snapshot_diff, pinball_forecast_eval,
-# idw_interpolation, segmented_trend_fit, matrix_profile_lite.
+# idw_interpolation, segmented_trend_fit, matrix_profile_lite,
+# asap_smoothing.
 # Window order: behavior-changed-this-round first (they must re-earn
 # driver-green), then the keys VERDICT named as likeliest to diverge
 # under the driver harness (driver-loop / mapInPandas shapes), then
@@ -53,6 +54,7 @@ _GATE_FIRST = [
     "hill_tail_index",  # heavy-tail detector
     "dedup_threshold_sweep",  # Jaccard sensitivity curve
     "retention_cost_curve",  # retention what-if curve
+    "iqr_outlier_fences",  # Tukey boxplot fences
     "city_snapshot",  # multi-source serving view + freshness
     "kneser_ney_score",  # interpolated KN bigram LM scoring
     "rouge2_candidate_report",  # clipped-bigram candidate audit
@@ -98,7 +100,6 @@ _GATE_FIRST = [
     "km_survival",
     "pit_training_join",
     "cep_pattern_counts",
-    "asap_smoothing",
     "isotonic_trend_fit",
 ]
 

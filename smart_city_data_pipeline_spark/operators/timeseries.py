@@ -7553,3 +7553,143 @@ ORACLES["hill_tail_index"] = f"""
     FROM g
     WHERE k = {HILL_K}
 """
+
+
+def iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey box-plot fences per event type: exact Q1/Q3 from the
+    cents histogram (the ``length_outlier_filter`` cumulative-counts
+    idiom — never a sort), fences at Q1 − 1.5·IQR / Q3 + 1.5·IQR, and
+    the outlier count outside them — the boxplot summary every
+    monitoring UI draws, sitting between ``anomaly_zscore``
+    (parametric) and ``robust_zscore`` (median/MAD) in robustness.
+
+    Exactness: quartiles are the smallest cents value with
+    4·cum ≥ k·n (k = 1, 3) — integer order statistics identical in
+    both engines; the fences stay in integer QUARTER-cents
+    (4·Q1 − 6·IQR_c) so the outlier comparison 4·c vs fence is pure
+    integers; displayed fences are single divisions.
+
+    Shape: one keyed histogram aggregate, a cumulative window
+    PARTITIONED by type over the value-domain-bounded histogram, a
+    per-type quartile aggregate, one broadcast-size join back, one
+    count rollup."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    hist = (
+        ev.select("event_type", cents.alias("c"))
+        .groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wt = Window.partitionBy("event_type")
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "event_type",
+        "c",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wt).alias("n"),
+    )
+    qs = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("cum") * 4 >= F.col("n"), F.col("c"))
+        ).alias("q1_c"),
+        F.min(
+            F.when(F.col("cum") * 4 >= F.col("n") * 3, F.col("c"))
+        ).alias("q3_c"),
+        F.max("n").alias("n"),
+    )
+    # fences in quarter-cents: 4*Q1 - 6*IQR_c and 4*Q3 + 6*IQR_c
+    iqr = F.col("q3_c") - F.col("q1_c")
+    fences = qs.select(
+        "event_type",
+        "n",
+        "q1_c",
+        "q3_c",
+        (F.lit(4) * F.col("q1_c") - F.lit(6) * iqr).alias("lo4"),
+        (F.lit(4) * F.col("q3_c") + F.lit(6) * iqr).alias("hi4"),
+    )
+    # fences table is |types|-bounded but fact-key-derived: AQE
+    # size-gates the join at runtime (no forced hint).
+    joined = ev.select("event_type", cents.alias("c")).join(
+        fences, "event_type"
+    )
+    out = joined.groupBy(
+        "event_type", "n", "q1_c", "q3_c", "lo4", "hi4"
+    ).agg(
+        F.sum(
+            F.when(
+                (F.col("c") * 4 < F.col("lo4"))
+                | (F.col("c") * 4 > F.col("hi4")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers")
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_rows"),
+        pround(F.col("q1_c").cast("double") / 100.0).alias("q1"),
+        pround(F.col("q3_c").cast("double") / 100.0).alias("q3"),
+        pround(F.col("lo4").cast("double") / 400.0).alias("lower_fence"),
+        pround(F.col("hi4").cast("double") / 400.0).alias("upper_fence"),
+        "n_outliers",
+        pround(
+            F.col("n_outliers").cast("double") / F.col("n").cast("double")
+        ).alias("outlier_share"),
+    )
+
+
+QUERIES["iqr_outlier_fences"] = iqr_outlier_fences
+
+ORACLES["iqr_outlier_fences"] = f"""
+    WITH hist AS (
+        SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, c,
+               CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY c
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+               CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM hist
+    ),
+    qs AS (
+        SELECT event_type,
+               MIN(CASE WHEN cum * 4 >= n THEN c END) AS q1_c,
+               MIN(CASE WHEN cum * 4 >= n * 3 THEN c END) AS q3_c,
+               MAX(n) AS n
+        FROM cum GROUP BY 1
+    ),
+    fences AS (
+        SELECT event_type, n, q1_c, q3_c,
+               4 * q1_c - 6 * (q3_c - q1_c) AS lo4,
+               4 * q3_c + 6 * (q3_c - q1_c) AS hi4
+        FROM qs
+    ),
+    cnts AS (
+        SELECT f.event_type, f.n, f.q1_c, f.q3_c, f.lo4, f.hi4,
+               CAST(SUM(CASE WHEN CAST(FLOOR(e.value * 100 + 0.5)
+                                       AS BIGINT) * 4 < f.lo4
+                              OR CAST(FLOOR(e.value * 100 + 0.5)
+                                      AS BIGINT) * 4 > f.hi4
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM events e JOIN fences f USING (event_type)
+        GROUP BY 1, 2, 3, 4, 5, 6
+    )
+    SELECT event_type, n AS n_rows,
+           {pround_sql('CAST(q1_c AS DOUBLE) / 100.0')} AS q1,
+           {pround_sql('CAST(q3_c AS DOUBLE) / 100.0')} AS q3,
+           {pround_sql('CAST(lo4 AS DOUBLE) / 400.0')} AS lower_fence,
+           {pround_sql('CAST(hi4 AS DOUBLE) / 400.0')} AS upper_fence,
+           n_outliers,
+           {pround_sql(
+               'CAST(n_outliers AS DOUBLE) / CAST(n AS DOUBLE)'
+           )} AS outlier_share
+    FROM cnts
+"""
