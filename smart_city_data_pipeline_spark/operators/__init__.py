@@ -21,86 +21,69 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Round-8 rotation (VERDICT r7 item 4): the 79 keys that had never
-# appeared in any driver gate window (judge-sweep-verified only) are
-# rotated in over rounds 8-9 — 50 here, the remaining 28 lead round 9:
-# ab_test_report, asof_nearest_enrich, attribution_last_touch,
-# colocated_bias_pairs, decision_stump_train, density_heatmap,
-# funnel_conversion_report, hbos_outlier_scores, hll_merge_audit,
-# l_diversity_audit, ols_trend, pareto_front, psi_drift_report,
-# quantile_normalize, rollup_cascade, wasserstein_drift, zone_hod_mi,
-# zone_xcorr_lags, cluster_label_nmi, code_detect, corpus_datasheet,
-# dsir_importance_weights, embedding_abtt_qc, embedding_bq_hamming,
-# link_prediction_cn, pmi_collocations, rake_keywords,
-# retrieval_metrics_report — plus the 11 displaced by the round-8
-# additions: positional_delete_apply, hilbert_prune_report,
-# audio_silence_segments, audio_walsh_bands, frames_ahash_dedup,
-# scene_cut_detect, ivm_merge_view, soft_dedup_weights,
-# minhash_estimate_audit, text_embedding_agreement,
-# mrl_truncation_qc — and the 6 displaced by the late-round-8 wave:
-# sax_symbols, od_matrix, snapshot_diff, pinball_forecast_eval,
-# idw_interpolation, segmented_trend_fit, matrix_profile_lite,
-# asap_smoothing.
-# Window order: behavior-changed-this-round first (they must re-earn
-# driver-green), then the keys VERDICT named as likeliest to diverge
-# under the driver harness (driver-loop / mapInPandas shapes), then
-# the remaining iterative/codec-shaped never-gated keys.
+# Round-9 rotation (VERDICT r8 item 1): after the r8 window, exactly
+# 47 checkable keys had never appeared in any driver gate (they are
+# judge-sweep-green only). ALL 47 lead this round's 50-slot window —
+# the judge-recounted list below is copied verbatim from VERDICT r8 —
+# plus `kalman_level_filter` (behavior changed in r9: the per-row
+# partition loop was vectorized, so it must re-earn driver-green) and
+# the two new r9 operators (`aqi_nowcast`, `parking_price_elasticity`)
+# in the final two slots: 47 + 1 + 2 = 50. Any further r9 additions
+# land at position 51+ and lead the round-10 window.
 _GATE_FIRST = [
-    # new in round 8 (never driver-checked; newest first)
-    "local_morans_hotspots",  # LISA quadrant map
-    "seasonal_strength_report",  # Wang-Hyndman forecastability
-    "eps_elbow_report",  # k-distance elbow
-    "granger_causality_lite",  # conditional lead-lag test
-    "hill_tail_index",  # heavy-tail detector
-    "dedup_threshold_sweep",  # Jaccard sensitivity curve
-    "retention_cost_curve",  # retention what-if curve
-    "iqr_outlier_fences",  # Tukey boxplot fences
-    "city_snapshot",  # multi-source serving view + freshness
-    "kneser_ney_score",  # interpolated KN bigram LM scoring
-    "rouge2_candidate_report",  # clipped-bigram candidate audit
-    "periodogram_power",  # daily/weekly DFT amplitude
-    "weco_rule_violations",  # Western Electric zone rules
-    "kalman_level_filter",  # integer-grid Kalman replay
-    "graph_degree_assortativity",  # near-dup graph structure probe
-    "bpe_encode_fertility",  # encode with the trained merges
-    "t_closeness_audit",  # privacy trio completion
-    "morans_i_grid",  # spatial autocorrelation
-    "frames_equalize_stats",  # histogram equalization codec loop
-    # behavior changed in round 8 (scale-killer rewrites + ADVICE fixes)
-    "conformal_anomaly_rate",  # score-grid histogram rank pick
-    "rrf_hybrid_fusion",  # per-leg top-1000 rank-depth caps
-    "heaps_law_fit",  # two-level prefix sum
-    "rfm_segments",  # bucket-rank ntile arithmetic, no global sort
-    "ks_length_drift",  # DECIMAL(38,0) cross-multiply
-    "encoding_plan_report",  # integer shiftright //8
-    "rate_limit_audit",  # shared rate_bucket_step recurrence
-    # VERDICT-named: harness divergence likeliest (driver loops /
-    # mapInPandas / session-6 additions never driver-checked)
-    "dtw_zone_profiles",
-    "ann_graph_search",
-    "kcenter_sample",
-    "embedding_pca_power",
-    "ppmi_svd_embeddings",
-    # remaining never-driver-gated keys (iterative / codec / join-heavy)
-    "dbscan_grid",
-    "kcore_decompose",
-    "label_propagation_communities",
-    "graph_bfs_levels",
-    "dedup_cluster_modularity",
-    "stl_decompose_lite",
-    "holt_winters_forecast",
-    "cdc_chunk_dedup",
-    "winnowing_fingerprints",
-    "knn_classifier_eval",
-    "lof_outliers",
-    "naive_bayes_langid",
-    "stupid_backoff_score",
-    "watermark_detect",
-    "markov_attribution",
-    "km_survival",
-    "pit_training_join",
-    "cep_pattern_counts",
-    "isotonic_trend_fit",
+    # --- the 47 never-driver-gated keys (VERDICT r8 item 1, verbatim)
+    "ab_test_report",
+    "asap_smoothing",
+    "asof_nearest_enrich",
+    "attribution_last_touch",
+    "audio_silence_segments",
+    "audio_walsh_bands",
+    "cluster_label_nmi",
+    "code_detect",
+    "colocated_bias_pairs",
+    "corpus_datasheet",
+    "decision_stump_train",
+    "density_heatmap",
+    "dsir_importance_weights",
+    "embedding_abtt_qc",
+    "embedding_bq_hamming",
+    "frames_ahash_dedup",
+    "funnel_conversion_report",
+    "hbos_outlier_scores",
+    "hilbert_prune_report",
+    "hll_merge_audit",
+    "idw_interpolation",
+    "ivm_merge_view",
+    "l_diversity_audit",
+    "link_prediction_cn",
+    "matrix_profile_lite",
+    "minhash_estimate_audit",
+    "mrl_truncation_qc",
+    "od_matrix",
+    "ols_trend",
+    "pareto_front",
+    "pinball_forecast_eval",
+    "pmi_collocations",
+    "positional_delete_apply",
+    "psi_drift_report",
+    "quantile_normalize",
+    "rake_keywords",
+    "retrieval_metrics_report",
+    "rollup_cascade",
+    "sax_symbols",
+    "scene_cut_detect",
+    "segmented_trend_fit",
+    "snapshot_diff",
+    "soft_dedup_weights",
+    "text_embedding_agreement",
+    "wasserstein_drift",
+    "zone_hod_mi",
+    "zone_xcorr_lags",
+    # --- behavior changed in round 9 (must re-earn driver-green)
+    "kalman_level_filter",  # partition walk vectorized (numpy gain schedule)
+    # --- new in round 9
+    "aqi_nowcast",  # EPA NowCast 12-hour weighted AQI
+    "parking_price_elasticity",  # occupancy response to price moves
 ]
 
 # Entries that can never hash-match (no oracle_sql twin by documented

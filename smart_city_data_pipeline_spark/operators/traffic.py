@@ -2446,3 +2446,293 @@ ORACLES["eps_elbow_report"] = f"""
     -- SF) still yields the totals row with NULL knee, matching Spark
     FROM nc LEFT JOIN knee k ON TRUE
 """
+
+
+# --------------------------------------------------------------------------
+# EPA NowCast rolling AQI (VERDICT r8 item 5).
+# --------------------------------------------------------------------------
+
+NOWCAST_HOURS = 12  # EPA NowCast window: the trailing 12 hourly means
+NOWCAST_W_GRID = 64  # dyadic weight grid: w quantized to 1/64ths
+
+
+def aqi_nowcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPA NowCast PM2.5 — the number a city dashboard actually
+    publishes (the reference simulator computes only the INSTANTANEOUS
+    AQI, ``air_quality_simulator.py:95``; NowCast is the published
+    12-hour weighted average layered on the same breakpoint table).
+
+    Algorithm (EPA NowCast for PM): per sensor, take the trailing 12
+    hourly mean concentrations c_age (age 0 = the sensor's latest
+    hour); weight factor w = clamp(min/max, [0.5, 1]); NowCast =
+    sum(c_age * w^age) / sum(w^age) over the PRESENT hours. The EPA
+    validity rule (>= 2 of the 3 most recent hours present) is
+    surfaced as the ``eligible`` flag — the NowCast value itself is
+    always defined because the age-0 hour always exists, and keeping
+    every sensor's row (rather than NULLing ineligible ones) gives
+    the dashboard its data-gap observability.
+
+    Exactness: hourly means live on the integer cents grid (truncated
+    division, identical in both engines) and the weight is quantized
+    to the 1/64 DYADIC grid (wq = (min*64) div max, clamped to
+    [32, 64]); every w^age term is then the exact integer
+    wq^age * 64^(11-age) <= 64^11 ~ 7.4e19, summed in DECIMAL(38,0)
+    (Spark) / HUGEINT (DuckDB) — numerator <= 12 * 64^11 * max_cents
+    ~ 5e25, two orders inside both types. The final NowCast is one
+    integral division back to cents, so both engines emit identical
+    integers and the AQI/category branches (shared breakpoint CASE,
+    ``functions/aqi.py``) cannot diverge.
+
+    Scale shape: hourly pre-aggregation collapses the fact stream to
+    one row per sensor-hour (map-side combinable); the trailing-12
+    filter runs under a sensor-partitioned MAX window; the weight
+    ratio is a second window over <= 12 rows per sensor. No joins, no
+    driver state; at 100 TB the post-rollup working set is
+    sensors x 12 rows."""
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            F.col("user_id").alias("sensor_id"),
+            F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        )
+        .groupBy("sensor_id", "hr")
+        .agg(F.sum("c").alias("s"), F.count(F.lit(1)).alias("nr"))
+        .withColumn("m", F.expr("s div nr"))
+    )
+    w_anchor = Window.partitionBy("sensor_id")
+    aged = hourly.withColumn(
+        "age", F.max("hr").over(w_anchor) - F.col("hr")
+    ).filter(F.col("age") < NOWCAST_HOURS)
+    win = (
+        aged.withColumn("min_m", F.min("m").over(w_anchor))
+        .withColumn("max_m", F.max("m").over(w_anchor))
+        .withColumn("n_hours", F.count(F.lit(1)).over(w_anchor))
+        .withColumn(
+            "recent3",
+            F.sum((F.col("age") <= 2).cast("long")).over(w_anchor),
+        )
+        .withColumn(
+            "wq",
+            F.when(F.col("max_m") <= 0, F.lit(NOWCAST_W_GRID)).otherwise(
+                F.greatest(
+                    F.expr(f"(min_m * {NOWCAST_W_GRID}) div max_m"),
+                    F.lit(NOWCAST_W_GRID // 2),
+                )
+            ),
+        )
+    )
+    d38 = "decimal(38,0)"
+    wqd = F.col("wq").cast(d38)
+    weight = None
+    for a in range(NOWCAST_HOURS):
+        term = F.expr(
+            f"CAST('{NOWCAST_W_GRID ** (NOWCAST_HOURS - 1 - a)}'"
+            f" AS DECIMAL(38,0))"
+        )
+        for _ in range(a):
+            term = term * wqd
+        cond = F.col("age") == a
+        weight = F.when(cond, term) if weight is None else weight.when(cond, term)
+    g = win.groupBy("sensor_id", "n_hours", "recent3", "wq").agg(
+        F.sum(weight * F.col("m").cast(d38)).alias("nsum"),
+        F.sum(weight).alias("dsum"),
+    )
+    nc = g.withColumn("ncents", F.expr("nsum div dsum"))
+    pm = F.col("ncents").cast("double") / 100.0
+    return nc.select(
+        "sensor_id",
+        "n_hours",
+        F.col("wq").cast("long").alias("wq"),
+        (F.col("recent3") >= 2).alias("eligible"),
+        pround(pm).alias("nowcast_pm25"),
+        aqi_value(pm).alias("nowcast_aqi"),
+        aqi_category(pm).alias("nowcast_category"),
+    )
+
+
+QUERIES["aqi_nowcast"] = aqi_nowcast
+
+_NOWCAST_CASE = " ".join(
+    f"WHEN {a} THEN CAST('{NOWCAST_W_GRID ** (NOWCAST_HOURS - 1 - a)}'"
+    f" AS HUGEINT)" + " * wq" * a
+    for a in range(NOWCAST_HOURS)
+)
+
+ORACLES["aqi_nowcast"] = f"""
+    WITH hourly AS (
+        SELECT user_id AS sensor_id,
+               epoch_us(ts) // 3600000000 AS hr,
+               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS s,
+               COUNT(*) AS nr
+        FROM events GROUP BY 1, 2
+    ),
+    aged AS (
+        SELECT sensor_id, s // nr AS m,
+               MAX(hr) OVER (PARTITION BY sensor_id) - hr AS age
+        FROM hourly
+    ),
+    win AS (SELECT * FROM aged WHERE age < {NOWCAST_HOURS}),
+    stats AS (
+        SELECT sensor_id,
+               MIN(m) AS min_m, MAX(m) AS max_m,
+               CAST(COUNT(*) AS BIGINT) AS n_hours,
+               CAST(SUM(CASE WHEN age <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS recent3
+        FROM win GROUP BY 1
+    ),
+    wgt AS (
+        SELECT sensor_id, n_hours, recent3,
+               CASE WHEN max_m <= 0 THEN {NOWCAST_W_GRID}
+                    ELSE GREATEST((min_m * {NOWCAST_W_GRID}) // max_m,
+                                  {NOWCAST_W_GRID // 2}) END AS wq
+        FROM stats
+    ),
+    terms AS (
+        SELECT w.sensor_id, s2.n_hours, s2.recent3, s2.wq,
+               (CASE w.age {_NOWCAST_CASE} END) AS wgt_i, w.m
+        FROM win w JOIN wgt s2 USING (sensor_id)
+    ),
+    g AS (
+        SELECT sensor_id, n_hours, recent3, wq,
+               (SUM(wgt_i * m) // SUM(wgt_i)) AS ncents
+        FROM terms GROUP BY 1, 2, 3, 4
+    )
+    SELECT sensor_id, n_hours, CAST(wq AS BIGINT) AS wq,
+           recent3 >= 2 AS eligible,
+           {pround_sql('CAST(ncents AS DOUBLE) / 100.0')} AS nowcast_pm25,
+           {aqi_value_sql('(CAST(ncents AS DOUBLE) / 100.0)')}
+               AS nowcast_aqi,
+           {aqi_category_sql('(CAST(ncents AS DOUBLE) / 100.0)')}
+               AS nowcast_category
+    FROM g
+"""
+
+
+# --------------------------------------------------------------------------
+# Parking price elasticity what-if (VERDICT r8 item 6).
+# --------------------------------------------------------------------------
+
+PPE_MIN_N = 12  # below this the per-lot fit is noise
+
+
+def parking_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What does a price change do to occupancy? The reference's
+    dynamic pricing prices ON occupancy
+    (``parking_simulator.py:165-197``: rate = base * (1 + occ * 0.5));
+    this operator answers the INVERSE question the pricing team asks
+    before changing the schedule — a per-lot OLS regression of the
+    NEXT occupancy move against the price-bucket transition that
+    preceded it.
+
+    Grid: occupancy lives on the sensor's raw 0..200 half-percent
+    grid (clamped); the posted price is the simulator's rate in
+    integer cents (250 + (250*occ) div 400, truncated like the
+    posted tariff) bucketed to dimes. Observation i: x = dime-bucket
+    move from the previous event, y = occupancy move to the NEXT
+    event (lead), both integers — so the five Gauss moments are exact
+    in DECIMAL(38,0)/HUGEINT and slope/R2 are single IEEE ops over
+    identical integers (the ``ols_trend`` discipline).
+
+    Scale shape: one lag/lead window partitioned by lot (high
+    cardinality), one map-side-combinable moment aggregate; no join,
+    no driver state. Lots with a degenerate design (all price moves
+    equal, or fewer than ``PPE_MIN_N`` points) are excluded;
+    zero-variance response reports R2 = NULL."""
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("user_id").alias("lot_id"),
+        "ts",
+        "event_id",
+        F.least(F.floor(F.col("value")).cast("long"), F.lit(200)).alias(
+            "occ_b"
+        ),
+    ).withColumn("rate_c", F.lit(250) + F.expr("(250 * occ_b) div 400"))
+    w = Window.partitionBy("lot_id").orderBy("ts", "event_id")
+    pts = (
+        base.withColumn("price_b", F.expr("rate_c div 10"))
+        .withColumn("x", F.col("price_b") - F.lag("price_b").over(w))
+        .withColumn("y", F.lead("occ_b").over(w) - F.col("occ_b"))
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    d38 = "decimal(38,0)"
+    m = pts.groupBy("lot_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).alias("syy"),
+        F.sum(F.col("rate_c").cast(d38)).alias("src"),
+    )
+    nd = F.col("n_obs").cast(d38)
+    num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / dx  # occ grid units per dime bucket
+    return (
+        m.filter((F.col("n_obs") >= PPE_MIN_N) & (dx > 0))
+        .select(
+            "lot_id",
+            "n_obs",
+            pround(
+                F.col("src").cast("double")
+                / F.col("n_obs").cast("double")
+                / 100.0
+            ).alias("mean_rate"),
+            # dime bucket -> dollars (x10), half-percent grid -> pct (/2)
+            pround(slope * F.lit(5.0)).alias("occ_pct_per_dollar"),
+            pround(F.when(dy > 0, (num * num) / (dx * dy))).alias("r2"),
+        )
+    )
+
+
+QUERIES["parking_price_elasticity"] = parking_price_elasticity
+
+ORACLES["parking_price_elasticity"] = f"""
+    WITH base AS (
+        SELECT user_id AS lot_id, ts, event_id,
+               LEAST(CAST(FLOOR(value) AS BIGINT), 200) AS occ_b
+        FROM events
+    ),
+    priced AS (
+        SELECT *, (250 + (250 * occ_b) // 400) // 10 AS price_b,
+               250 + (250 * occ_b) // 400 AS rate_c
+        FROM base
+    ),
+    pts AS (
+        SELECT lot_id, rate_c,
+               price_b - LAG(price_b) OVER w AS x,
+               LEAD(occ_b) OVER w - occ_b AS y
+        FROM priced
+        WINDOW w AS (PARTITION BY lot_id ORDER BY ts, event_id)
+    ),
+    m AS (
+        SELECT lot_id,
+               CAST(COUNT(*) AS BIGINT) AS n_obs,
+               SUM(CAST(x AS HUGEINT)) AS sx,
+               SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+               SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+               SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+               SUM(CAST(rate_c AS HUGEINT)) AS src
+        FROM pts WHERE x IS NOT NULL AND y IS NOT NULL
+        GROUP BY 1
+    ),
+    d AS (
+        SELECT lot_id, n_obs,
+               CAST(CAST(n_obs AS HUGEINT) * sxy - sx * sy AS DOUBLE) AS num,
+               CAST(CAST(n_obs AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS dx,
+               CAST(CAST(n_obs AS HUGEINT) * syy - sy * sy AS DOUBLE) AS dy,
+               CAST(src AS DOUBLE) AS srcd
+        FROM m
+    )
+    SELECT lot_id, n_obs,
+           {pround_sql('srcd / CAST(n_obs AS DOUBLE) / 100.0')} AS mean_rate,
+           {pround_sql('(num / dx) * 5.0')} AS occ_pct_per_dollar,
+           {pround_sql(
+               'CASE WHEN dy > 0 THEN (num * num) / (dx * dy) END'
+           )} AS r2
+    FROM d
+    WHERE n_obs >= {PPE_MIN_N} AND dx > 0
+"""
