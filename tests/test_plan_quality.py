@@ -175,6 +175,49 @@ UNPARTITIONED_WINDOW_ALLOWED = {
 }
 
 
+# Single-partition-exchange allowlist (VERDICT r8 item 8): keys whose
+# physical plans contain an `Exchange SinglePartition` whose CHILD is
+# data-proportional-looking. Auto-allowed without listing: an aggregate
+# child with an EMPTY grouping (emits <= 1 row per input partition —
+# the partial/merge half of any global aggregate) and LocalLimit. The
+# remaining legal case is the same one the unpartitioned-window
+# allowlist documents — the exchange feeds a rank/prefix window over a
+# BOUNDED table (histogram / grid / capped list / file metadata) — so
+# those keys are allowed with the SAME per-key bound justification;
+# anything new must partition, switch idioms, or be justified in
+# SINGLE_PARTITION_EXTRA with its input bound.
+SINGLE_PARTITION_EXTRA: dict[str, str] = {}
+
+
+def _single_partition_exchanges(df) -> list[str]:
+    """Describe ShuffleExchange(SinglePartition) nodes whose child is
+    not auto-bounded (walks the AQE initial physical plan — sparkPlan()
+    predates EnsureRequirements and has no exchanges at all)."""
+    ep = df._jdf.queryExecution().executedPlan()
+    if ep.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        ep = ep.initialPlan()
+    out = []
+    stack = [ep]
+    while stack:
+        node = stack.pop()
+        if (
+            node.getClass().getSimpleName() == "ShuffleExchangeExec"
+            and "SinglePartition" in node.outputPartitioning().toString()
+        ):
+            child = node.child()
+            cname = child.getClass().getSimpleName()
+            cstr = child.simpleString(200)
+            empty_group_agg = "Aggregate" in cname and (
+                "keys=[]" in cstr or "key=[]" in cstr
+            )
+            if not (empty_group_agg or cname == "LocalLimitExec"):
+                out.append(f"{cname}: {cstr[:160]}")
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return out
+
+
 def _unpartitioned_windows(df) -> int:
     """Count logical Window nodes with an empty partition spec."""
     n = 0
@@ -206,4 +249,11 @@ def test_no_cartesian_blowup_or_global_window(key, spark, sf_dir):
             "scale-killer unless the input is bounded; partition it, use "
             "the histogram/two-level-prefix idioms, or justify in "
             "UNPARTITIONED_WINDOW_ALLOWED"
+        )
+    if key not in UNPARTITIONED_WINDOW_ALLOWED and key not in SINGLE_PARTITION_EXTRA:
+        hits = _single_partition_exchanges(df)
+        assert not hits, (
+            f"{key}: Exchange SinglePartition over a non-bounded child — "
+            "a coalesce(1)/global-sort class regression; partition it or "
+            f"justify the bound in SINGLE_PARTITION_EXTRA: {hits}"
         )
