@@ -4782,3 +4782,240 @@ def _bpe_fertility_oracle(iters: int) -> str:
 
 
 ORACLES["bpe_encode_fertility"] = _bpe_fertility_oracle(BPE_TRAIN_ITERS)
+
+
+# --------------------------------------------------------------------------
+# CCNet-style perplexity threshold sweep (round 9).
+# --------------------------------------------------------------------------
+
+# Mean neg-logprob (nats/token) cutoffs, in milli-nats so the keep
+# comparison is pure integers.
+PPLX_THRESHOLDS_MILLI = (5000, 6000, 7000, 8000, 9000, 10000)
+
+
+def perplexity_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What does each perplexity cutoff cost? For a grid of
+    mean-neg-logprob thresholds, the kept document/token counts and
+    shares per language — the sensitivity curve a corpus team reads
+    BEFORE committing a CCNet-style quality filter to a 100 TB run
+    (the ``dedup_threshold_sweep`` discipline applied to the
+    ``ccnet_perplexity_buckets`` score).
+
+    Exactness: the per-doc score is the SAME 2²⁰-quantized integer
+    sum the CCNet bucketer uses (order-independent under partial
+    aggregation); the keep test is the integer cross-multiply
+    ``1000·Σq ≤ thr_milli·n_tok·Q`` — no float threshold compare
+    anywhere, so a last-ulp cannot flip a document across engines.
+    Headroom: 1000·Σq ≤ n_tok·4·10¹⁰ — BIGINT to ~10⁸ tokens/doc.
+
+    Scale shape: one explode → vocab aggregate (the shared unigram
+    table), one per-doc integer aggregate, then a |thresholds|-literal
+    explode over the per-doc table and a (lang, threshold) keyed
+    re-aggregate. Output bounded by |langs| × |grid|."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("n_total"))
+    neg_lp = -F.log(F.col("tf").cast("double") / F.col("n_total"))
+    q_neg_lp = F.floor(neg_lp * F.lit(float(CCNET_Q)) + F.lit(0.5)).cast("long")
+    per_doc = (
+        tok.join(vocab, "token")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(q_neg_lp).alias("sum_q"),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    thr = F.explode(
+        F.array(*[F.lit(t) for t in PPLX_THRESHOLDS_MILLI])
+    ).alias("thr_milli")
+    sweep = per_doc.select("lang", "sum_q", "n_tok", thr)
+    keep = (
+        F.col("sum_q") * 1000
+        <= F.col("thr_milli").cast("long") * F.col("n_tok") * CCNET_Q
+    ).cast("long")
+    g = sweep.groupBy("lang", "thr_milli").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(keep).alias("kept_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum(F.col("n_tok") * keep).alias("kept_tokens"),
+    )
+    return g.select(
+        "lang",
+        F.col("thr_milli").cast("long").alias("thr_milli_nats"),
+        "n_docs",
+        "kept_docs",
+        pround(
+            F.col("kept_docs").cast("double") / F.col("n_docs").cast("double")
+        ).alias("kept_doc_share"),
+        "total_tokens",
+        "kept_tokens",
+        pround(
+            F.col("kept_tokens").cast("double")
+            / F.col("total_tokens").cast("double")
+        ).alias("kept_token_share"),
+    )
+
+
+QUERIES["perplexity_threshold_sweep"] = perplexity_threshold_sweep
+
+_PPLX_GRID_SQL = ", ".join(str(t) for t in PPLX_THRESHOLDS_MILLI)
+
+ORACLES["perplexity_threshold_sweep"] = f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                   AS token
+        FROM documents
+    ),
+    vocab AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY 1),
+    tot AS (SELECT SUM(tf) AS n_total FROM vocab),
+    per_doc AS (
+        SELECT t.doc_id, d.lang,
+               SUM(CAST(FLOOR(-ln(CAST(tf AS DOUBLE) / n_total)
+                   * {float(CCNET_Q)} + 0.5) AS BIGINT)) AS sum_q,
+               CAST(COUNT(*) AS BIGINT) AS n_tok
+        FROM tok t JOIN vocab USING (token), tot, documents d
+        WHERE d.doc_id = t.doc_id
+        GROUP BY 1, 2
+    ),
+    sweep AS (
+        SELECT p.lang, p.sum_q, p.n_tok, g.thr_milli
+        FROM per_doc p
+        CROSS JOIN (SELECT UNNEST([{_PPLX_GRID_SQL}]) AS thr_milli) g
+    ),
+    agg AS (
+        SELECT lang, thr_milli,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN sum_q * 1000
+                        <= thr_milli * n_tok * {CCNET_Q}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               CAST(SUM(CASE WHEN sum_q * 1000
+                        <= thr_milli * n_tok * {CCNET_Q}
+                    THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+        FROM sweep GROUP BY 1, 2
+    )
+    SELECT lang, CAST(thr_milli AS BIGINT) AS thr_milli_nats,
+           n_docs, kept_docs,
+           {pround_sql(
+               'CAST(kept_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)'
+           )} AS kept_doc_share,
+           total_tokens, kept_tokens,
+           {pround_sql(
+               'CAST(kept_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)'
+           )} AS kept_token_share
+    FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Vocabulary-size coverage curve (round 9).
+# --------------------------------------------------------------------------
+
+VOCAB_CURVE_SIZES = (1000, 2000, 4000, 8000, 16000, 32000)
+
+
+def vocab_size_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token coverage as a function of vocabulary size — "how big a
+    vocab do we need?": for each candidate size, the share of corpus
+    tokens covered by the top-N terms (frequency-ranked, token
+    lexicographic tiebreak) and the OOV rate a tokenizer of that size
+    would eat. The sizing curve read before ``bpe_train_merges``
+    commits to a merge budget (``vocab_coverage`` audits FIXED
+    min-frequency vocabs; this sweeps SIZE).
+
+    Exactness: ranks and cumulative token counts are exact integers
+    over the vocab table; coverage is one division per output row.
+    Scale shape: one explode → vocab aggregate; the rank/cumulative
+    window runs over the VOCAB-BOUNDED table (the ``zipf_fit``
+    allowlist class — value-domain bounded, never row-proportional),
+    and the size grid joins on ``rank == least(size, |vocab|)`` —
+    |grid| output rows."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    wr = Window.orderBy(F.desc("tf"), F.asc("token"))
+    ranked = vocab.select(
+        "tf",
+        F.row_number().over(wr).alias("rn"),
+        F.sum("tf").over(
+            wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+    )
+    tots = vocab.agg(
+        F.sum("tf").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    sizes = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(s) for s in VOCAB_CURVE_SIZES])
+        ).alias("vocab_size")
+    )
+    pick = sizes.join(F.broadcast(tots)).withColumn(
+        "rn_pick", F.least(F.col("vocab_size"), F.col("n_terms"))
+    )
+    j = pick.join(ranked, F.col("rn") == F.col("rn_pick"))
+    return j.select(
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        F.col("rn_pick").cast("long").alias("n_terms_used"),
+        F.col("cum").alias("covered_tokens"),
+        F.col("total_tokens"),
+        pround(
+            F.col("cum").cast("double") / F.col("total_tokens").cast("double")
+        ).alias("coverage"),
+        pround(
+            1.0
+            - F.col("cum").cast("double")
+            / F.col("total_tokens").cast("double")
+        ).alias("oov_rate"),
+    )
+
+
+QUERIES["vocab_size_curve"] = vocab_size_curve
+
+_VOCAB_GRID_SQL = ", ".join(str(s) for s in VOCAB_CURVE_SIZES)
+
+ORACLES["vocab_size_curve"] = f"""
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                   AS token
+        FROM documents
+    ),
+    vocab AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY 1),
+    ranked AS (
+        SELECT tf,
+               ROW_NUMBER() OVER (ORDER BY tf DESC, token ASC) AS rn,
+               CAST(SUM(tf) OVER (ORDER BY tf DESC, token ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM vocab
+    ),
+    tots AS (
+        SELECT CAST(SUM(tf) AS BIGINT) AS total_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_terms
+        FROM vocab
+    ),
+    pick AS (
+        SELECT g.vocab_size, t.total_tokens,
+               LEAST(g.vocab_size, t.n_terms) AS rn_pick
+        FROM (SELECT UNNEST([{_VOCAB_GRID_SQL}]) AS vocab_size) g, tots t
+    )
+    SELECT CAST(p.vocab_size AS BIGINT) AS vocab_size,
+           CAST(p.rn_pick AS BIGINT) AS n_terms_used,
+           r.cum AS covered_tokens,
+           p.total_tokens,
+           {pround_sql(
+               'CAST(r.cum AS DOUBLE) / CAST(p.total_tokens AS DOUBLE)'
+           )} AS coverage,
+           {pround_sql(
+               '1.0 - CAST(r.cum AS DOUBLE) / CAST(p.total_tokens AS DOUBLE)'
+           )} AS oov_rate
+    FROM pick p JOIN ranked r ON r.rn = p.rn_pick
+"""

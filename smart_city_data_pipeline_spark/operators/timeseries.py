@@ -7753,3 +7753,449 @@ ORACLES["iqr_outlier_fences"] = f"""
            )} AS outlier_share
     FROM cnts
 """
+
+
+# --------------------------------------------------------------------------
+# Ljung–Box portmanteau white-noise test (round 9).
+# --------------------------------------------------------------------------
+
+LB_LAGS = 6  # lags pooled into the Q statistic
+# chi-square 0.95 critical values by degrees of freedom (lags actually
+# usable — a gapped series can pair fewer); standard table constants.
+LB_CHI2_95 = (3.841, 5.991, 7.815, 9.488, 11.070, 12.592)
+
+
+def ljung_box_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau test per event type — "is this hourly
+    series white noise, or is there structure worth forecasting?"
+    (Ljung & Box 1978). Pools the first ``LB_LAGS`` autocorrelations
+    into Q = n(n+2)·Σ ρ_k²/(n−k) and compares against the chi-square
+    0.95 critical value — the go/no-go gate a fleet runs BEFORE
+    spending on the forecasting family (``holt_winters_forecast``,
+    ``seasonal_strength_report`` report strength; this reports
+    significance).
+
+    Exactness: the hourly series lives on ``acf_lags``'s integer grid
+    ((sum·128) DIV n); each ρ_k is a ratio of two exact
+    DECIMAL(38,0)/HUGEINT polynomials in the raw sums (numerator and
+    denominator both scaled by n², so the mean never materializes as
+    a float): num_k = n²·Σxy − n·S·(Σx+Σy) + m·S², den = n²·Σv² −
+    n·S². Magnitude at 10⁶ hours/type: ≤ 5e31, inside both types. Q
+    sums ≤ LB_LAGS doubles (pround-guarded, house float-sum
+    standard). Lags a gapped series cannot pair are skipped and
+    reported in ``n_lags_used``; the critical value follows the used
+    count.
+
+    Scale shape: ONE fact rollup to (type, hour) — map-side
+    combinable — then every join/window runs on the #types × #hours
+    aggregate; the lag pairing is an equi-join on (type, he+k). No
+    window over facts, no driver state."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hourly = (
+        ev.groupBy(
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+            .cast("long")
+            .alias("he"),
+            F.col("event_type"),
+        )
+        .agg(F.sum(cents).alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("he", "event_type", F.expr("(s * 128) DIV n").alias("v"))
+    )
+    d38 = "decimal(38,0)"
+    per_type = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum(F.col("v").cast(d38)).alias("sv"),
+        F.sum((F.col("v") * F.col("v")).cast(d38)).alias("svv"),
+    )
+    a = hourly.select(
+        "event_type",
+        F.explode(F.array(*[F.lit(k) for k in range(1, LB_LAGS + 1)])).alias(
+            "lag"
+        ),
+        F.col("he").alias("hea"),
+        F.col("v").alias("va"),
+    )
+    b = hourly.select(
+        F.col("event_type").alias("tb"),
+        F.col("he").alias("heb"),
+        F.col("v").alias("vb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("event_type") == F.col("tb"))
+        & (F.col("heb") == F.col("hea") + F.col("lag")),
+    )
+    lag_stats = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("va").cast(d38)).alias("sx"),
+        F.sum(F.col("vb").cast(d38)).alias("sy"),
+        F.sum((F.col("va") * F.col("vb")).cast(d38)).alias("sxy"),
+    )
+    j = lag_stats.join(per_type, "event_type")
+    nhd = F.col("nh").cast(d38)
+    md = F.col("m").cast(d38)
+    num = (
+        nhd * nhd * F.col("sxy")
+        - nhd * F.col("sv") * (F.col("sx") + F.col("sy"))
+        + md * F.col("sv") * F.col("sv")
+    ).cast("double")
+    den = (nhd * nhd * F.col("svv") - nhd * F.col("sv") * F.col("sv")).cast(
+        "double"
+    )
+    rho = num / den
+    term = (
+        F.when(
+            (den > 0) & (F.col("nh") > F.col("lag")),
+            rho * rho / (F.col("nh") - F.col("lag")).cast("double"),
+        )
+    )
+    per = j.groupBy("event_type", "nh").agg(
+        F.sum(F.when(term.isNotNull(), 1).otherwise(0))
+        .cast("int")
+        .alias("n_lags_used"),
+        F.sum(term).alias("tsum"),
+    )
+    crit = None
+    for i, c in enumerate(LB_CHI2_95, start=1):
+        cond = F.col("n_lags_used") == i
+        crit = F.when(cond, F.lit(c)) if crit is None else crit.when(cond, F.lit(c))
+    q = (
+        F.col("nh").cast("double")
+        * (F.col("nh") + 2).cast("double")
+        * F.col("tsum")
+    )
+    return per.filter(F.col("n_lags_used") > 0).select(
+        "event_type",
+        F.col("nh").alias("n_hours"),
+        "n_lags_used",
+        pround(q).alias("q_stat"),
+        (q > crit).alias("reject_white_noise"),
+    )
+
+
+QUERIES["ljung_box_test"] = ljung_box_test
+
+_LB_CRIT_CASE = " ".join(
+    f"WHEN {i} THEN {c}" for i, c in enumerate(LB_CHI2_95, start=1)
+)
+
+ORACLES["ljung_box_test"] = f"""
+    WITH hourly AS (
+        SELECT CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS he,
+               event_type,
+               (SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) * 128)
+                   // COUNT(*) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    per_type AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nh,
+               SUM(CAST(v AS HUGEINT)) AS sv,
+               SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS svv
+        FROM hourly GROUP BY 1
+    ),
+    lag_stats AS (
+        SELECT a.event_type, l.lag,
+               CAST(COUNT(*) AS BIGINT) AS m,
+               SUM(CAST(a.v AS HUGEINT)) AS sx,
+               SUM(CAST(b.v AS HUGEINT)) AS sy,
+               SUM(CAST(a.v AS HUGEINT) * CAST(b.v AS HUGEINT)) AS sxy
+        FROM hourly a
+        CROSS JOIN (SELECT UNNEST(RANGE(1, {LB_LAGS + 1})) AS lag) l
+        JOIN hourly b ON b.event_type = a.event_type
+                     AND b.he = a.he + l.lag
+        GROUP BY 1, 2
+    ),
+    terms AS (
+        SELECT ls.event_type, pt.nh,
+               CAST(CAST(pt.nh AS HUGEINT) * pt.nh * ls.sxy
+                    - CAST(pt.nh AS HUGEINT) * pt.sv * (ls.sx + ls.sy)
+                    + CAST(ls.m AS HUGEINT) * pt.sv * pt.sv AS DOUBLE)
+                   AS num,
+               CAST(CAST(pt.nh AS HUGEINT) * pt.nh * pt.svv
+                    - CAST(pt.nh AS HUGEINT) * pt.sv * pt.sv AS DOUBLE)
+                   AS den,
+               ls.lag
+        FROM lag_stats ls JOIN per_type pt USING (event_type)
+    ),
+    per AS (
+        SELECT event_type, nh,
+               CAST(SUM(CASE WHEN den > 0 AND nh > lag THEN 1 ELSE 0 END)
+                    AS INTEGER) AS n_lags_used,
+               SUM(CASE WHEN den > 0 AND nh > lag THEN
+                   (num / den) * (num / den) / CAST(nh - lag AS DOUBLE)
+               END) AS tsum
+        FROM terms GROUP BY 1, 2
+    )
+    SELECT event_type, nh AS n_hours, n_lags_used,
+           {pround_sql(
+               'CAST(nh AS DOUBLE) * CAST(nh + 2 AS DOUBLE) * tsum'
+           )} AS q_stat,
+           (CAST(nh AS DOUBLE) * CAST(nh + 2 AS DOUBLE) * tsum)
+               > (CASE n_lags_used {_LB_CRIT_CASE} END)
+               AS reject_white_noise
+    FROM per WHERE n_lags_used > 0
+"""
+
+
+# --------------------------------------------------------------------------
+# Mann–Kendall trend test (round 9).
+# --------------------------------------------------------------------------
+
+MK_K = 32  # trailing readings per sensor entering the pair set
+MK_MIN_N = 8  # below this the normal approximation is meaningless
+MK_Z_CRIT = 1.96  # two-sided 0.95
+
+
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend SIGNIFICANCE per sensor — the
+    nonparametric companion to ``theil_sen_slope`` (which reports the
+    robust slope magnitude; this reports whether a monotone trend is
+    statistically there at all): S = Σ_{i<j} sign(x_j − x_i) over the
+    trailing ``MK_K`` readings in time order, tie-corrected variance
+    Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)]/18, and the
+    continuity-corrected z = (S∓1)/√Var.
+
+    Exactness: S, n, and the tie term are exact integers; Var and z
+    are single IEEE ops (÷18, √, ÷) over those integers — identical
+    in both engines (the theil_sen discipline). All-tied samples
+    (Var = 0) report NULL z and 'none'.
+
+    Scale shape: the row_number window takes the trailing K per
+    sensor FIRST (theil_sen's bound), so the sign pair join is keyed
+    on sensor_id with a hard K(K−1)/2 cell bound per key; tie groups
+    aggregate on (sensor, cents). Never data-quadratic."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("t").desc(), F.col("event_id").desc()
+    )
+    recent = (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("t"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        )
+        .withColumn("i", F.row_number().over(w))
+        .filter(F.col("i") <= MK_K)
+    )
+    a, b = recent.alias("a"), recent.alias("b")
+    # i is recency rank: a.i < b.i ⇒ a is LATER in time than b, so the
+    # MK pair (earlier, later) contributes sign(a.c − b.c).
+    s_stat = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.i") < F.col("b.i")),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.sum(F.signum(F.col("a.c") - F.col("b.c")).cast("long")).alias("s"))
+    )
+    per = recent.groupBy("user_id").agg(F.max("i").alias("n_used"))
+    ties = (
+        recent.groupBy("user_id", "c")
+        .agg(F.count(F.lit(1)).alias("tg"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.col("tg") * (F.col("tg") - 1) * (2 * F.col("tg") + 5)
+            ).alias("tie_term")
+        )
+    )
+    j = per.join(s_stat, "user_id").join(ties, "user_id")
+    n = F.col("n_used")
+    var18 = (n * (n - 1) * (2 * n + 5) - F.col("tie_term")).cast("double")
+    var_s = var18 / 18.0
+    z = F.when(
+        var_s > 0,
+        F.when(F.col("s") > 0, (F.col("s") - 1).cast("double"))
+        .when(F.col("s") < 0, (F.col("s") + 1).cast("double"))
+        .otherwise(F.lit(0.0))
+        / F.sqrt(var_s),
+    )
+    trend = (
+        F.when(z.isNull(), "none")
+        .when(z > MK_Z_CRIT, "increasing")
+        .when(z < -MK_Z_CRIT, "decreasing")
+        .otherwise("none")
+    )
+    return j.filter(n >= MK_MIN_N).select(
+        F.col("user_id").alias("sensor_id"),
+        "n_used",
+        F.col("s").alias("s_stat"),
+        pround(var_s).alias("var_s"),
+        pround(z).alias("z"),
+        trend.alias("trend"),
+    )
+
+
+QUERIES["mann_kendall_trend"] = mann_kendall_trend
+
+ORACLES["mann_kendall_trend"] = f"""
+    WITH recent AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) AS t,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts) DESC, event_id DESC) AS i
+        FROM events
+        QUALIFY i <= {MK_K}
+    ),
+    s_stat AS (
+        SELECT a.user_id,
+               CAST(SUM(SIGN(a.c - b.c)) AS BIGINT) AS s
+        FROM recent a JOIN recent b
+          ON a.user_id = b.user_id AND a.i < b.i
+        GROUP BY 1
+    ),
+    per AS (
+        SELECT user_id, MAX(i) AS n_used FROM recent GROUP BY 1
+    ),
+    ties AS (
+        SELECT user_id,
+               CAST(SUM(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT) AS tie_term
+        FROM (SELECT user_id, c, COUNT(*) AS tg FROM recent GROUP BY 1, 2)
+        GROUP BY 1
+    ),
+    j AS (
+        SELECT p.user_id, p.n_used, s.s, t.tie_term,
+               CAST(p.n_used * (p.n_used - 1) * (2 * p.n_used + 5)
+                    - t.tie_term AS DOUBLE) / 18.0 AS var_s
+        FROM per p JOIN s_stat s USING (user_id)
+                   JOIN ties t USING (user_id)
+        WHERE p.n_used >= {MK_MIN_N}
+    )
+    SELECT user_id AS sensor_id, n_used, s AS s_stat,
+           {pround_sql('var_s')} AS var_s,
+           {pround_sql(
+               'CASE WHEN var_s > 0 THEN '
+               '(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) '
+               'WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) ELSE 0.0 END) '
+               '/ SQRT(var_s) END'
+           )} AS z,
+           CASE
+             WHEN var_s <= 0 THEN 'none'
+             WHEN (CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+                        WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+                        ELSE 0.0 END) / SQRT(var_s) > {MK_Z_CRIT}
+                 THEN 'increasing'
+             WHEN (CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+                        WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+                        ELSE 0.0 END) / SQRT(var_s) < -{MK_Z_CRIT}
+                 THEN 'decreasing'
+             ELSE 'none'
+           END AS trend
+    FROM j
+"""
+
+
+# --------------------------------------------------------------------------
+# Markov conditional-entropy rate (round 9).
+# --------------------------------------------------------------------------
+
+
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How predictable is each sensor's event-type sequence? The
+    empirical first-order entropy rate H(Xₜ|Xₜ₋₁) =
+    Σ_{f,t} (n_ft/N)·log₂(n_f/n_ft) against the marginal H(Xₜ), with
+    the gap (information the previous state carries) as
+    ``info_gain_bits`` — the sequence-model sibling of
+    ``markov_surprisal`` (which scores individual transitions; this
+    scores the SENSOR).
+
+    Exactness: all counts are exact integers from two keyed
+    aggregates; each entropy term is log₂ of an integer ratio
+    (deterministic IEEE), summed over ≤ |types|² = 25 rows per sensor
+    (pround-guarded house float-sum standard).
+
+    Scale shape: one lag window partitioned by sensor (high
+    cardinality), transition counts keyed on (sensor, from, to) —
+    map-side combinable — then windows over the 25-row-per-sensor
+    aggregate. No joins against facts."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("f"),
+        F.col("event_type").alias("tt"),
+    ).filter(F.col("f").isNotNull())
+    cnt = trans.groupBy("user_id", "f", "tt").agg(
+        F.count(F.lit(1)).alias("nft")
+    )
+    wf = Window.partitionBy("user_id", "f")
+    wt = Window.partitionBy("user_id", "tt")
+    wu = Window.partitionBy("user_id")
+    nf = F.sum("nft").over(wf)
+    nt = F.sum("nft").over(wt)
+    nn = F.sum("nft").over(wu)
+    lg2 = F.lit(0.6931471805599453)  # ln 2
+    h_cond_term = (
+        F.col("nft").cast("double")
+        / nn.cast("double")
+        * F.log(nf.cast("double") / F.col("nft").cast("double"))
+        / lg2
+    )
+    # marginal term divided per (user, to) row count so the window
+    # table sums it exactly once per 'to' symbol
+    h_marg_term = (
+        F.col("nft").cast("double")
+        / nn.cast("double")
+        * F.log(nn.cast("double") / nt.cast("double"))
+        / lg2
+    )
+    terms = cnt.select(
+        "user_id",
+        nn.alias("n_trans"),
+        h_cond_term.alias("hc"),
+        h_marg_term.alias("hm"),
+    )
+    g = terms.groupBy("user_id", "n_trans").agg(
+        F.sum("hc").alias("h_cond"), F.sum("hm").alias("h_marg")
+    )
+    return g.select(
+        F.col("user_id").alias("sensor_id"),
+        "n_trans",
+        pround(F.col("h_cond")).alias("h_cond_bits"),
+        pround(F.col("h_marg")).alias("h_marginal_bits"),
+        pround(F.col("h_marg") - F.col("h_cond")).alias("info_gain_bits"),
+    )
+
+
+QUERIES["markov_entropy_rate"] = markov_entropy_rate
+
+ORACLES["markov_entropy_rate"] = f"""
+    WITH trans AS (
+        SELECT user_id,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS f,
+               event_type AS tt
+        FROM events
+    ),
+    cnt AS (
+        SELECT user_id, f, tt, CAST(COUNT(*) AS BIGINT) AS nft
+        FROM trans WHERE f IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    wins AS (
+        SELECT user_id, nft,
+               SUM(nft) OVER (PARTITION BY user_id, f) AS nf,
+               SUM(nft) OVER (PARTITION BY user_id, tt) AS nt,
+               SUM(nft) OVER (PARTITION BY user_id) AS nn
+        FROM cnt
+    ),
+    g AS (
+        SELECT user_id, nn AS n_trans,
+               SUM(CAST(nft AS DOUBLE) / CAST(nn AS DOUBLE)
+                   * LN(CAST(nf AS DOUBLE) / CAST(nft AS DOUBLE))
+                   / 0.6931471805599453) AS h_cond,
+               SUM(CAST(nft AS DOUBLE) / CAST(nn AS DOUBLE)
+                   * LN(CAST(nn AS DOUBLE) / CAST(nt AS DOUBLE))
+                   / 0.6931471805599453) AS h_marg
+        FROM wins GROUP BY 1, 2
+    )
+    SELECT user_id AS sensor_id, n_trans,
+           {pround_sql('h_cond')} AS h_cond_bits,
+           {pround_sql('h_marg')} AS h_marginal_bits,
+           {pround_sql('h_marg - h_cond')} AS info_gain_bits
+    FROM g
+"""

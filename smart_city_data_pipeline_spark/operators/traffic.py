@@ -2736,3 +2736,146 @@ ORACLES["parking_price_elasticity"] = f"""
     FROM d
     WHERE n_obs >= {PPE_MIN_N} AND dx > 0
 """
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences zone report (round 9).
+# --------------------------------------------------------------------------
+
+
+def did_zone_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did the intervention in zone Z work? A difference-in-differences
+    panel per zone: split the stream at the global time midpoint
+    (pre/post), treat each zone as the treated unit against ALL OTHER
+    zones as control, and report DiD = (Z_post − Z_pre) −
+    (rest_post − rest_pre) — the standard causal read a city analyst
+    runs after a congestion-pricing or signal-retiming change (the
+    policy follow-up to ``zone_analytics``).
+
+    Exactness: cents sums and cell counts are exact integers; the
+    cutoff is the integer midpoint ``(min_us + max_us) DIV 2``; each
+    mean is ONE IEEE division and DiD two subtractions — identical in
+    both engines. Scale shape: one 1-row min/max aggregate broadcast
+    onto the fact scan (the ``retention_filter`` class), one
+    (zone, period) keyed aggregate — map-side combinable — then the
+    rest-of-city cells come from window sums over the zone-bounded
+    aggregate, never a second fact pass."""
+    ev = table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.unix_micros(F.col("ts"))).alias("lo"),
+        F.max(F.unix_micros(F.col("ts"))).alias("hi"),
+    ).select(F.expr("(lo + hi) div 2").alias("cut_us"))
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    cells = (
+        ev.join(F.broadcast(span))
+        .select(
+            F.col("event_type").alias("zone"),
+            (F.unix_micros(F.col("ts")) > F.col("cut_us")).alias("post"),
+            cents.alias("c"),
+        )
+        .groupBy("zone", "post")
+        .agg(F.sum("c").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("post")
+    wide = (
+        cells.withColumn("s_all", F.sum("s").over(wp))
+        .withColumn("n_all", F.sum("n").over(wp))
+        .groupBy("zone")
+        .agg(
+            F.sum(F.when(~F.col("post"), F.col("n"))).alias("n_pre"),
+            F.sum(F.when(F.col("post"), F.col("n"))).alias("n_post"),
+            F.sum(F.when(~F.col("post"), F.col("s"))).alias("s_pre"),
+            F.sum(F.when(F.col("post"), F.col("s"))).alias("s_post"),
+            F.sum(F.when(~F.col("post"), F.col("s_all") - F.col("s"))).alias(
+                "rs_pre"
+            ),
+            F.sum(F.when(F.col("post"), F.col("s_all") - F.col("s"))).alias(
+                "rs_post"
+            ),
+            F.sum(F.when(~F.col("post"), F.col("n_all") - F.col("n"))).alias(
+                "rn_pre"
+            ),
+            F.sum(F.when(F.col("post"), F.col("n_all") - F.col("n"))).alias(
+                "rn_post"
+            ),
+        )
+        .filter(
+            (F.col("n_pre") > 0)
+            & (F.col("n_post") > 0)
+            & (F.col("rn_pre") > 0)
+            & (F.col("rn_post") > 0)
+        )
+    )
+    mean = lambda s, n: F.col(s).cast("double") / F.col(n).cast("double") / 100.0  # noqa: E731
+    did = (mean("s_post", "n_post") - mean("s_pre", "n_pre")) - (
+        mean("rs_post", "rn_post") - mean("rs_pre", "rn_pre")
+    )
+    return wide.select(
+        "zone",
+        "n_pre",
+        "n_post",
+        pround(mean("s_pre", "n_pre")).alias("zone_pre_mean"),
+        pround(mean("s_post", "n_post")).alias("zone_post_mean"),
+        pround(mean("rs_pre", "rn_pre")).alias("rest_pre_mean"),
+        pround(mean("rs_post", "rn_post")).alias("rest_post_mean"),
+        pround(did).alias("did_estimate"),
+    )
+
+
+QUERIES["did_zone_report"] = did_zone_report
+
+ORACLES["did_zone_report"] = f"""
+    WITH span AS (
+        SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS cut_us
+        FROM events
+    ),
+    cells AS (
+        SELECT event_type AS zone,
+               epoch_us(ts) > (SELECT cut_us FROM span) AS post,
+               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY 1, 2
+    ),
+    wins AS (
+        SELECT zone, post, s, n,
+               SUM(s) OVER (PARTITION BY post) AS s_all,
+               SUM(n) OVER (PARTITION BY post) AS n_all
+        FROM cells
+    ),
+    wide AS (
+        SELECT zone,
+               SUM(CASE WHEN NOT post THEN n END) AS n_pre,
+               SUM(CASE WHEN post THEN n END) AS n_post,
+               SUM(CASE WHEN NOT post THEN s END) AS s_pre,
+               SUM(CASE WHEN post THEN s END) AS s_post,
+               SUM(CASE WHEN NOT post THEN s_all - s END) AS rs_pre,
+               SUM(CASE WHEN post THEN s_all - s END) AS rs_post,
+               SUM(CASE WHEN NOT post THEN n_all - n END) AS rn_pre,
+               SUM(CASE WHEN post THEN n_all - n END) AS rn_post
+        FROM wins GROUP BY 1
+    )
+    SELECT zone,
+           CAST(n_pre AS BIGINT) AS n_pre,
+           CAST(n_post AS BIGINT) AS n_post,
+           {pround_sql(
+               'CAST(s_pre AS DOUBLE) / CAST(n_pre AS DOUBLE) / 100.0'
+           )} AS zone_pre_mean,
+           {pround_sql(
+               'CAST(s_post AS DOUBLE) / CAST(n_post AS DOUBLE) / 100.0'
+           )} AS zone_post_mean,
+           {pround_sql(
+               'CAST(rs_pre AS DOUBLE) / CAST(rn_pre AS DOUBLE) / 100.0'
+           )} AS rest_pre_mean,
+           {pround_sql(
+               'CAST(rs_post AS DOUBLE) / CAST(rn_post AS DOUBLE) / 100.0'
+           )} AS rest_post_mean,
+           {pround_sql(
+               '(CAST(s_post AS DOUBLE) / CAST(n_post AS DOUBLE) / 100.0'
+               ' - CAST(s_pre AS DOUBLE) / CAST(n_pre AS DOUBLE) / 100.0)'
+               ' - (CAST(rs_post AS DOUBLE) / CAST(rn_post AS DOUBLE) / 100.0'
+               ' - CAST(rs_pre AS DOUBLE) / CAST(rn_pre AS DOUBLE) / 100.0)'
+           )} AS did_estimate
+    FROM wide
+    WHERE n_pre > 0 AND n_post > 0 AND rn_pre > 0 AND rn_post > 0
+"""

@@ -135,6 +135,12 @@ BNLJ_ALLOWED = {
     # broadcasts over the grid-bounded cell table
     "eps_elbow_report",  # 1-row chord-endpoints/totals broadcasts
     # (global-aggregate roots) over the bounded k-distance histogram
+    "perplexity_threshold_sweep",  # 1-row corpus-token-total broadcast
+    # (the unigram_logprob_score class) feeding the integer keep test
+    "vocab_size_curve",  # 1-row (total, |vocab|) broadcast onto the
+    # |grid|-row size literal table
+    "did_zone_report",  # 1-row global time-midpoint broadcast (the
+    # retention_filter class)
 }
 
 
@@ -170,6 +176,8 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "leg lists and their <=2000-row fusion",
     "seq_len_histogram": "cumulative over the length histogram",
     "text_embedding_agreement": "rank-grid-bounded agreement table",
+    "vocab_size_curve": "rank/cumulative window over the vocab-bounded "
+    "term table (zipf_fit class)",
     "zipf_fit": "rank window over the vocab-bounded term table",
     "zone_hod_mi": "zone x 24-hour grid table",
 }

@@ -265,3 +265,338 @@ def test_elasticity_fraction_exactness_guard():
     exact = Fraction(n * sxy - sx * sy, n * sxx - sx * sx) * 5
     ref = _ref_elasticity(vals)
     assert ref["occ_pct_per_dollar"] == pround_py(float(exact))
+
+
+# ------------------------------------------------------------ Ljung–Box
+
+from smart_city_data_pipeline_spark.operators.timeseries import (  # noqa: E402
+    LB_CHI2_95,
+    LB_LAGS,
+    MK_K,
+    MK_MIN_N,
+    ljung_box_test,
+    mann_kendall_trend,
+    markov_entropy_rate,
+)
+
+
+def _ref_ljung_box(hourly_vals):
+    """Independent integer-exact replay for ONE type: hourly_vals =
+    {hour_index: [raw values]}; returns (n_hours, n_lags_used, Q)."""
+    v = {
+        h: (sum(int(math.floor(x * 100 + 0.5)) for x in xs) * 128)
+        // len(xs)
+        for h, xs in hourly_vals.items()
+    }
+    n = len(v)
+    S = sum(v.values())
+    Svv = sum(x * x for x in v.values())
+    den = n * n * Svv - n * S * S
+    tsum, used = 0.0, 0
+    for k in range(1, LB_LAGS + 1):
+        pairs = [(v[h], v[h + k]) for h in v if h + k in v]
+        if not pairs or den <= 0 or n <= k:
+            continue
+        m = len(pairs)
+        sx = sum(p[0] for p in pairs)
+        sy = sum(p[1] for p in pairs)
+        sxy = sum(p[0] * p[1] for p in pairs)
+        num = n * n * sxy - n * S * (sx + sy) + m * S * S
+        rho = float(num) / float(den)
+        tsum += rho * rho / float(n - k)
+        used += 1
+    return n, used, float(n) * float(n + 2) * tsum
+
+
+def test_ljung_box_flags_structure_not_alternation(spark, tmp_path):
+    """A strong 24h sine rejects white noise; a fast alternating series
+    has negative lag-1 ACF and also rejects — but a shuffled-looking
+    low-autocorrelation series does not. All three match the
+    independent replay."""
+    rows, specs = [], {}
+    # type 'sine': smooth daily cycle -> big positive rho_1
+    vals = {h: [100.0 + 50.0 * math.cos(2 * math.pi * h / 24)] for h in range(96)}
+    specs["sine"] = vals
+    # type 'jump': values that bounce across a wide range with little
+    # linear lag correlation
+    vals2 = {h: [100.0 + ((h * 37) % 11) * 9.0] for h in range(96)}
+    specs["jump"] = vals2
+    i = 0
+    for typ, spec in specs.items():
+        for h, xs in spec.items():
+            for x in xs:
+                rows.append((i, T0 + timedelta(hours=h), 1 + i % 7, typ, x, ""))
+                i += 1
+    got = {
+        r["event_type"]: r
+        for r in ljung_box_test(
+            spark, _write_events(spark, tmp_path, rows)
+        ).collect()
+    }
+    for typ, spec in specs.items():
+        n, used, q = _ref_ljung_box(spec)
+        assert got[typ]["n_hours"] == n
+        assert got[typ]["n_lags_used"] == used
+        assert got[typ]["q_stat"] == pround_py(q)
+        assert got[typ]["reject_white_noise"] == (q > LB_CHI2_95[used - 1])
+    assert got["sine"]["reject_white_noise"] is True
+
+
+def test_ljung_box_gapped_series_uses_fewer_lags(spark, tmp_path):
+    """A series sampled every 6 hours pairs nothing at lags 1-5: only
+    lag 6 contributes and the used-lag count (and critical value)
+    follow."""
+    rows = [
+        (h, T0 + timedelta(hours=6 * h), 3, "gappy", 50.0 + (h % 3) * 20.0, "")
+        for h in range(40)
+    ]
+    [r] = ljung_box_test(spark, _write_events(spark, tmp_path, rows)).collect()
+    assert r["n_lags_used"] == 1
+
+
+# ---------------------------------------------------------- Mann–Kendall
+
+
+def _ref_mann_kendall(vals):
+    """Independent replay over the trailing MK_K readings (vals in time
+    order)."""
+    c = [int(math.floor(v * 100 + 0.5)) for v in vals][-MK_K:]
+    n = len(c)
+    s = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            s += (c[j] > c[i]) - (c[j] < c[i])
+    from collections import Counter
+
+    ties = sum(t * (t - 1) * (2 * t + 5) for t in Counter(c).values())
+    var_s = (n * (n - 1) * (2 * n + 5) - ties) / 18.0
+    if var_s <= 0:
+        return n, s, var_s, None, "none"
+    zed = ((s - 1) if s > 0 else (s + 1) if s < 0 else 0) / math.sqrt(var_s)
+    trend = (
+        "increasing" if zed > 1.96 else "decreasing" if zed < -1.96 else "none"
+    )
+    return n, s, var_s, zed, trend
+
+
+def test_mann_kendall_monotone_and_tied_and_mixed(spark, tmp_path):
+    """Strictly rising -> S = n(n-1)/2 and 'increasing'; constant ->
+    Var 0, NULL z, 'none'; a mixed profile matches the independent
+    replay exactly."""
+    series = {
+        1: [10.0 + 3.0 * i for i in range(20)],           # monotone up
+        2: [55.5] * 15,                                    # all tied
+        3: [40.0 + 20.0 * math.sin(i) + i for i in range(40)],  # mixed
+    }
+    rows = []
+    i = 0
+    for uid, vals in series.items():
+        for k, v in enumerate(vals):
+            rows.append((i, T0 + timedelta(minutes=k), uid, "a", v, ""))
+            i += 1
+    got = {
+        r["sensor_id"]: r
+        for r in mann_kendall_trend(
+            spark, _write_events(spark, tmp_path, rows)
+        ).collect()
+    }
+    for uid, vals in series.items():
+        n, s, var_s, zed, trend = _ref_mann_kendall(vals)
+        if n < MK_MIN_N:
+            assert uid not in got
+            continue
+        r = got[uid]
+        assert r["n_used"] == n
+        assert r["s_stat"] == s
+        assert r["var_s"] == pround_py(var_s)
+        assert r["z"] == (pround_py(zed) if zed is not None else None)
+        assert r["trend"] == trend
+    assert got[1]["s_stat"] == 20 * 19 // 2
+    assert got[1]["trend"] == "increasing"
+    assert got[2]["z"] is None and got[2]["trend"] == "none"
+
+
+# --------------------------------------------------- Markov entropy rate
+
+
+def test_markov_entropy_deterministic_cycle_is_fully_predictable(
+    spark, tmp_path
+):
+    """a->b->a->b...: conditional entropy 0, marginal ~1 bit, info gain
+    equals the marginal."""
+    rows = [
+        (i, T0 + timedelta(minutes=i), 9, "ab"[i % 2], 1.0, "")
+        for i in range(41)
+    ]
+    [r] = markov_entropy_rate(
+        spark, _write_events(spark, tmp_path, rows)
+    ).collect()
+    assert r["n_trans"] == 40
+    assert r["h_cond_bits"] == 0.0
+    assert r["h_marginal_bits"] == r["info_gain_bits"]
+    assert abs(r["h_marginal_bits"] - 1.0) < 0.01
+
+
+def test_markov_entropy_matches_reference_counts(spark, tmp_path):
+    """A planted 3-symbol sequence matches the independent count-based
+    entropy computation."""
+    seq = "aabacbbacabcabacba"
+    rows = [
+        (i, T0 + timedelta(minutes=i), 4, s, 1.0, "")
+        for i, s in enumerate(seq)
+    ]
+    from collections import Counter
+
+    trans = Counter(zip(seq, seq[1:]))
+    N = sum(trans.values())
+    nf = Counter()
+    nt = Counter()
+    for (f, t), k in trans.items():
+        nf[f] += k
+        nt[t] += k
+    h_cond = sum(
+        k / N * math.log2(nf[f] / k) for (f, t), k in trans.items()
+    )
+    h_marg = sum(
+        k / N * math.log2(N / nt[t]) for (f, t), k in trans.items()
+    )
+    [r] = markov_entropy_rate(
+        spark, _write_events(spark, tmp_path, rows)
+    ).collect()
+    assert r["n_trans"] == N
+    assert r["h_cond_bits"] == pround_py(h_cond)
+    assert r["h_marginal_bits"] == pround_py(h_marg)
+    assert r["info_gain_bits"] == pround_py(h_marg - h_cond)
+
+
+# ----------------------------------------------------------------- DiD
+
+from smart_city_data_pipeline_spark.operators.traffic import (  # noqa: E402
+    did_zone_report,
+)
+
+
+def test_did_recovers_planted_treatment_effect(spark, tmp_path):
+    """Zone A jumps +30 after the midpoint while zone B (the control)
+    drifts +5 everywhere: A's DiD ≈ +25, B's is the mirror image."""
+    rows = []
+    i = 0
+    # pre period: hours 0..9; post: hours 10..19 (midpoint exact)
+    for h in range(20):
+        a = 100.0 + (30.0 if h >= 10 else 0.0)
+        b = 50.0 + (5.0 if h >= 10 else 0.0)
+        for rep in range(4):
+            rows.append((i, T0 + timedelta(hours=h, minutes=rep), 1, "A", a, ""))
+            i += 1
+            rows.append((i, T0 + timedelta(hours=h, minutes=rep), 2, "B", b, ""))
+            i += 1
+    got = {
+        r["zone"]: r
+        for r in did_zone_report(
+            spark, _write_events(spark, tmp_path, rows)
+        ).collect()
+    }
+    assert got["A"]["did_estimate"] == 25.0
+    assert got["B"]["did_estimate"] == -25.0
+    assert got["A"]["zone_pre_mean"] == 100.0
+    assert got["A"]["zone_post_mean"] == 130.0
+    assert got["A"]["rest_pre_mean"] == 50.0
+    assert got["A"]["rest_post_mean"] == 55.0
+
+
+# ------------------------------------------- perplexity threshold sweep
+
+from smart_city_data_pipeline_spark.operators.textops import (  # noqa: E402
+    CCNET_Q,
+    PPLX_THRESHOLDS_MILLI,
+    VOCAB_CURVE_SIZES,
+    perplexity_threshold_sweep,
+    vocab_size_curve,
+)
+
+
+def _ref_pplx_sweep(docs):
+    """docs: list of (lang, text). Returns {(lang, thr): (n, kept_docs,
+    total_tok, kept_tok)} replicating the integer keep test."""
+    toks = [(lang, t.lower().split()) for lang, t in docs]
+    from collections import Counter
+
+    tf = Counter(w for _, ws in toks for w in ws)
+    total = sum(tf.values())
+    out = {}
+    for thr in PPLX_THRESHOLDS_MILLI:
+        agg = {}
+        for lang, ws in toks:
+            sum_q = sum(
+                int(math.floor(-math.log(tf[w] / total) * CCNET_Q + 0.5))
+                for w in ws
+            )
+            keep = 1000 * sum_q <= thr * len(ws) * CCNET_Q
+            a = agg.setdefault(lang, [0, 0, 0, 0])
+            a[0] += 1
+            a[1] += keep
+            a[2] += len(ws)
+            a[3] += len(ws) * keep
+        for lang, a in agg.items():
+            out[(lang, thr)] = tuple(a)
+    return out
+
+
+def _write_docs(spark, tmp_path, rows):
+    d = str(tmp_path / "lake")
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d + "/documents.parquet")
+    return d
+
+
+def test_pplx_sweep_matches_reference_and_is_monotone(spark, tmp_path):
+    docs = [
+        ("en", "the cat sat on the mat"),
+        ("en", "the the the the"),
+        ("en", "zyx qwv jkl pqr"),
+        ("fr", "le chat le chat le"),
+        ("fr", "zzz yyy xxx"),
+    ]
+    rows = [
+        (i, t, lang, "s", len(t)) for i, (lang, t) in enumerate(docs)
+    ]
+    got = {
+        (r["lang"], r["thr_milli_nats"]): (
+            r["n_docs"],
+            r["kept_docs"],
+            r["total_tokens"],
+            r["kept_tokens"],
+        )
+        for r in perplexity_threshold_sweep(
+            spark, _write_docs(spark, tmp_path, rows)
+        ).collect()
+    }
+    ref = _ref_pplx_sweep(docs)
+    assert got == ref
+    # kept counts are monotone in the threshold
+    for lang in ("en", "fr"):
+        kept = [got[(lang, t)][1] for t in PPLX_THRESHOLDS_MILLI]
+        assert kept == sorted(kept)
+
+
+def test_vocab_size_curve_closed_form(spark, tmp_path):
+    """Corpus with freqs 8/4/2/1 over 4 terms: full coverage at any
+    size >= 4; the curve reports cum/total for the available prefix."""
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    rows = [(1, text, "en", "s", len(text))]
+    got = {
+        r["vocab_size"]: r
+        for r in vocab_size_curve(
+            spark, _write_docs(spark, tmp_path, rows)
+        ).collect()
+    }
+    assert set(got) == set(VOCAB_CURVE_SIZES)
+    for s in VOCAB_CURVE_SIZES:
+        r = got[s]
+        assert r["n_terms_used"] == min(s, 4)
+        assert r["covered_tokens"] == 15
+        assert r["coverage"] == 1.0 and r["oov_rate"] == 0.0
