@@ -3690,3 +3690,103 @@ ORACLES["dedup_threshold_sweep"] = f"""
     FROM pairs p CROSS JOIN ts CROSS JOIN nd
     GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Duplicate-cluster representative pick (round 9).
+# --------------------------------------------------------------------------
+
+
+def cluster_representative_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which copy do we KEEP? Per near-dup cluster (the
+    ``dedup_clusters`` connected components), the kept representative
+    under the keep-the-longest policy (max ``n_chars``, doc_id
+    ascending tiebreak — the RefinedWeb-style choice) plus what the
+    drop costs: document and character counts removed. This is the
+    step that turns a cluster map into an actual training-corpus
+    manifest; ``priority_dedup`` ranks by source priority, this ranks
+    by content length.
+
+    Exactness: the pick is an integer argmax (rank over exact
+    integers with a total tiebreak), counts/sums are exact integers.
+    Scale shape: inherits the CC loop's posture (band-bounded LSH
+    pairs, iterative min-label over the edge-induced subgraph); the
+    pick itself is one window partitioned by cluster over the
+    (doc, cluster) table and one keyed aggregate."""
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = clusters.join(docs, "doc_id")
+    wc = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = j.withColumn("rk", F.row_number().over(wc))
+    g = ranked.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("rep_doc_id"),
+        F.max(F.when(F.col("rk") == 1, F.col("n_chars"))).alias(
+            "rep_n_chars"
+        ),
+    )
+    return g.select(
+        "cluster_id",
+        "n_docs",
+        "rep_doc_id",
+        "rep_n_chars",
+        (F.col("n_docs") - 1).alias("dropped_docs"),
+        (F.col("total_chars") - F.col("rep_n_chars")).alias("dropped_chars"),
+    )
+
+
+QUERIES["cluster_representative_pick"] = cluster_representative_pick
+
+ORACLES["cluster_representative_pick"] = f"""
+    WITH RECURSIVE sh AS ({_HASHED_SHINGLES_SQL}),
+    sigm AS (
+        SELECT doc_id,
+           {_SIG_COLS_SQL}
+        FROM sh GROUP BY 1
+    ),
+    sig AS (
+        SELECT *,
+           {_BAND_COLS_SQL}
+        FROM sigm
+    ),
+    cand AS (
+        {_CAND_UNION_SQL}
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM cand
+        WHERE (FLOOR(CAST((raw_sim) AS DOUBLE) * 10000.0 + 0.5) / 10000.0)
+            >= {MINHASH_SIM_THRESHOLD}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, comp) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    clusters AS (
+        SELECT node AS doc_id, MIN(comp) AS cluster_id
+        FROM reach GROUP BY node
+    ),
+    ranked AS (
+        SELECT c.cluster_id, c.doc_id, d.n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.cluster_id
+                   ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk
+        FROM clusters c JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MAX(CASE WHEN rk = 1 THEN doc_id END) AS rep_doc_id,
+           MAX(CASE WHEN rk = 1 THEN n_chars END) AS rep_n_chars,
+           CAST(COUNT(*) - 1 AS BIGINT) AS dropped_docs,
+           CAST(SUM(n_chars) - MAX(CASE WHEN rk = 1 THEN n_chars END)
+                AS BIGINT) AS dropped_chars
+    FROM ranked GROUP BY 1
+"""

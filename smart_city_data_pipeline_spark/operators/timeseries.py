@@ -8199,3 +8199,423 @@ ORACLES["markov_entropy_rate"] = f"""
            {pround_sql('h_marg - h_cond')} AS info_gain_bits
     FROM g
 """
+
+
+# --------------------------------------------------------------------------
+# Funnel drop-off transit times (round 9).
+# --------------------------------------------------------------------------
+
+
+def funnel_dropoff_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long do converting users take between funnel stages? Per
+    adjacent stage pair (signup→click, click→purchase), the user
+    count, mean, median, and p90 transit seconds — the latency half
+    of the funnel read (``funnel_conversion_report`` counts WHO
+    converts; this reports HOW FAST), straight off
+    ``window_funnel_frame``'s matched stage times.
+
+    Exactness: transit times are integer seconds bounded by the
+    funnel window (≤ 86 400 distinct values — a VALUE-DOMAIN bounded
+    histogram), so median/p90 are exact lower order statistics from
+    a cumulative window over the (pair, seconds) histogram, never a
+    sort over users; the mean is one division over exact sums.
+
+    Scale shape: the funnel frame is state O(users); the histogram
+    aggregate is keyed on (pair, dt) with map-side combine; the
+    cumulative window partitions on the 2-row pair key over the
+    bounded histogram."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    funnel = window_funnel_frame(ev)
+    legs = []
+    for i in range(len(FUNNEL_STAGES) - 1):
+        a, b = FUNNEL_STAGES[i], FUNNEL_STAGES[i + 1]
+        legs.append(
+            funnel.filter(F.col("funnel_stage") >= i + 2).select(
+                F.lit(f"{a}->{b}").alias("leg"),
+                (
+                    F.unix_timestamp(f"t_{b}") - F.unix_timestamp(f"t_{a}")
+                ).alias("dt"),
+            )
+        )
+    dts = legs[0]
+    for more in legs[1:]:
+        dts = dts.unionByName(more)
+    hist = dts.groupBy("leg", "dt").agg(F.count(F.lit(1)).alias("n"))
+    wl = Window.partitionBy("leg")
+    wc = wl.orderBy("dt").rowsBetween(Window.unboundedPreceding, 0)
+    tot = F.sum("n").over(wl)
+    stot = F.sum(F.col("dt") * F.col("n")).over(wl)
+    cum = F.sum("n").over(wc)
+    med_pos = F.floor((tot + 1) / 2).cast("long")
+    p90_pos = F.ceil(tot * 0.9).cast("long")
+    ranked = hist.select(
+        "leg",
+        "dt",
+        cum.alias("cum"),
+        tot.alias("n_users"),
+        stot.alias("sum_dt"),
+        med_pos.alias("mp"),
+        p90_pos.alias("pp"),
+    )
+    med = (
+        ranked.filter(F.col("cum") >= F.col("mp"))
+        .groupBy("leg")
+        .agg(F.min("dt").alias("median_s"))
+    )
+    p90 = (
+        ranked.filter(F.col("cum") >= F.col("pp"))
+        .groupBy("leg")
+        .agg(F.min("dt").alias("p90_s"))
+    )
+    base = ranked.select("leg", "n_users", "sum_dt").distinct()
+    return (
+        base.join(med, "leg")
+        .join(p90, "leg")
+        .select(
+            "leg",
+            "n_users",
+            pround(
+                F.col("sum_dt").cast("double") / F.col("n_users").cast("double")
+            ).alias("mean_s"),
+            "median_s",
+            "p90_s",
+        )
+    )
+
+
+QUERIES["funnel_dropoff_times"] = funnel_dropoff_times
+
+ORACLES["funnel_dropoff_times"] = f"""
+    WITH ev AS (SELECT user_id, event_type, ts FROM events),
+    s1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev
+           WHERE event_type = 'signup' GROUP BY 1),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+           FROM ev e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click'
+             AND e.ts > t1 AND e.ts <= t1 + {FUNNEL_WINDOW} GROUP BY 1),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+           FROM ev e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase'
+             AND e.ts > t2 AND e.ts <= t1 + {FUNNEL_WINDOW} GROUP BY 1),
+    dts AS (
+        -- whole-second deltas, matching unix_timestamp()'s floor
+        SELECT 'signup->click' AS leg,
+               epoch_us(t2) // 1000000 - epoch_us(t1) // 1000000 AS dt
+        FROM s1 JOIN s2 USING (user_id)
+        UNION ALL
+        SELECT 'click->purchase' AS leg,
+               epoch_us(t3) // 1000000 - epoch_us(t2) // 1000000 AS dt
+        FROM s2 JOIN s3 USING (user_id)
+    ),
+    hist AS (
+        SELECT leg, dt, CAST(COUNT(*) AS BIGINT) AS n
+        FROM dts GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT leg, dt,
+               CAST(SUM(n) OVER (PARTITION BY leg ORDER BY dt
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+               CAST(SUM(n) OVER (PARTITION BY leg) AS BIGINT) AS n_users,
+               CAST(SUM(dt * n) OVER (PARTITION BY leg) AS BIGINT) AS sum_dt
+        FROM hist
+    ),
+    med AS (
+        SELECT leg, MIN(dt) AS median_s FROM ranked
+        WHERE cum >= (n_users + 1) // 2 GROUP BY 1
+    ),
+    p90 AS (
+        SELECT leg, MIN(dt) AS p90_s FROM ranked
+        WHERE cum >= CAST(CEIL(n_users * 0.9) AS BIGINT) GROUP BY 1
+    ),
+    base AS (SELECT DISTINCT leg, n_users, sum_dt FROM ranked)
+    SELECT b.leg, b.n_users,
+           {pround_sql(
+               'CAST(b.sum_dt AS DOUBLE) / CAST(b.n_users AS DOUBLE)'
+           )} AS mean_s,
+           m.median_s, p.p90_s
+    FROM base b JOIN med m USING (leg) JOIN p90 p USING (leg)
+"""
+
+
+# --------------------------------------------------------------------------
+# X̄-R control chart (round 9).
+# --------------------------------------------------------------------------
+
+XBAR_SUB_N = 5  # readings per rational subgroup (complete blocks only)
+# Shewhart chart constants for n = 5, as exact rationals ×1000
+XBAR_A2_MILLI = 577
+XBAR_D4_MILLI = 2114
+# D3 = 0 for n = 5: the R lower limit is 0, never violated
+
+
+def xbar_r_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart X̄-R control chart per sensor: readings grouped into
+    rational subgroups of {n} consecutive readings (complete blocks
+    only), subgroup means charted against X̿ ± A₂·R̄ and ranges
+    against D₄·R̄ — the classic SPC pair ``weco_rule_violations``
+    extends (WECO reads the z-score stream; X̄-R is what the plant
+    wallboard shows).
+
+    Exactness: subgroup sums and ranges are exact integers on the
+    cents grid; EVERY limit comparison is an integer cross-multiply
+    (violation iff 1000·G·s_g − 1000·Σs > {a2x}·ΣR, range iff
+    1000·G·r_g > {d4}·ΣR, A₂/D₄ as exact ×1000 rationals), so no
+    float boundary exists anywhere; the reported centre lines are
+    single divisions, pround-guarded.
+
+    Scale shape: one row_number window per sensor (high cardinality),
+    one (sensor, block) aggregate, one per-sensor re-aggregate with
+    map-side combine — no joins against facts."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    blocked = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        ((F.row_number().over(w) - 1) / XBAR_SUB_N).cast("long").alias("blk"),
+    )
+    sub = (
+        blocked.groupBy("user_id", "blk")
+        .agg(
+            F.sum("c").alias("s_g"),
+            (F.max("c") - F.min("c")).alias("r_g"),
+            F.count(F.lit(1)).alias("n_g"),
+        )
+        .filter(F.col("n_g") == XBAR_SUB_N)
+    )
+    wu = Window.partitionBy("user_id")
+    per = (
+        sub.withColumn("gg", F.count(F.lit(1)).over(wu))
+        .withColumn("ss", F.sum("s_g").over(wu))
+        .withColumn("rr", F.sum("r_g").over(wu))
+        .withColumn(
+            "x_viol",
+            (
+                F.abs(1000 * F.col("gg") * F.col("s_g") - 1000 * F.col("ss"))
+                > XBAR_A2_MILLI * XBAR_SUB_N * F.col("rr")
+            ).cast("long"),
+        )
+        .withColumn(
+            "r_viol",
+            (
+                1000 * F.col("gg") * F.col("r_g")
+                > XBAR_D4_MILLI * F.col("rr")
+            ).cast("long"),
+        )
+    )
+    g = per.groupBy("user_id", "gg", "ss", "rr").agg(
+        F.sum("x_viol").alias("n_x_violations"),
+        F.sum("r_viol").alias("n_r_violations"),
+    )
+    xbb = F.col("ss").cast("double") / (
+        F.col("gg") * XBAR_SUB_N
+    ).cast("double") / 100.0
+    rb = F.col("rr").cast("double") / F.col("gg").cast("double") / 100.0
+    return g.filter(F.col("gg") >= 2).select(
+        F.col("user_id").alias("sensor_id"),
+        F.col("gg").alias("n_subgroups"),
+        pround(xbb).alias("xbar_bar"),
+        pround(rb).alias("r_bar"),
+        pround(xbb + 0.577 * rb).alias("ucl_x"),
+        pround(xbb - 0.577 * rb).alias("lcl_x"),
+        pround(2.114 * rb).alias("ucl_r"),
+        "n_x_violations",
+        "n_r_violations",
+    )
+
+
+xbar_r_chart.__doc__ = xbar_r_chart.__doc__.format(
+    n=XBAR_SUB_N, a2x=XBAR_A2_MILLI * XBAR_SUB_N, d4=XBAR_D4_MILLI
+)
+
+QUERIES["xbar_r_chart"] = xbar_r_chart
+
+ORACLES["xbar_r_chart"] = f"""
+    WITH blocked AS (
+        SELECT user_id,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+               (ROW_NUMBER() OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) - 1)
+                   // {XBAR_SUB_N} AS blk
+        FROM events
+    ),
+    sub AS (
+        SELECT user_id, blk,
+               SUM(c) AS s_g, MAX(c) - MIN(c) AS r_g,
+               COUNT(*) AS n_g
+        FROM blocked GROUP BY 1, 2
+        HAVING COUNT(*) = {XBAR_SUB_N}
+    ),
+    per AS (
+        SELECT user_id, s_g, r_g,
+               CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS gg,
+               CAST(SUM(s_g) OVER (PARTITION BY user_id) AS BIGINT) AS ss,
+               CAST(SUM(r_g) OVER (PARTITION BY user_id) AS BIGINT) AS rr
+        FROM sub
+    ),
+    g AS (
+        SELECT user_id, gg, ss, rr,
+               CAST(SUM(CASE WHEN ABS(1000 * gg * s_g - 1000 * ss)
+                        > {XBAR_A2_MILLI * XBAR_SUB_N} * rr
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_x_violations,
+               CAST(SUM(CASE WHEN 1000 * gg * r_g > {XBAR_D4_MILLI} * rr
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_r_violations
+        FROM per GROUP BY 1, 2, 3, 4
+    )
+    SELECT user_id AS sensor_id, gg AS n_subgroups,
+           {pround_sql(
+               'CAST(ss AS DOUBLE) / CAST(gg * ' + str(XBAR_SUB_N)
+               + ' AS DOUBLE) / 100.0'
+           )} AS xbar_bar,
+           {pround_sql('CAST(rr AS DOUBLE) / CAST(gg AS DOUBLE) / 100.0')}
+               AS r_bar,
+           {pround_sql(
+               'CAST(ss AS DOUBLE) / CAST(gg * ' + str(XBAR_SUB_N)
+               + ' AS DOUBLE) / 100.0 + 0.577 * '
+               '(CAST(rr AS DOUBLE) / CAST(gg AS DOUBLE) / 100.0)'
+           )} AS ucl_x,
+           {pround_sql(
+               'CAST(ss AS DOUBLE) / CAST(gg * ' + str(XBAR_SUB_N)
+               + ' AS DOUBLE) / 100.0 - 0.577 * '
+               '(CAST(rr AS DOUBLE) / CAST(gg AS DOUBLE) / 100.0)'
+           )} AS lcl_x,
+           {pround_sql(
+               '2.114 * (CAST(rr AS DOUBLE) / CAST(gg AS DOUBLE) / 100.0)'
+           )} AS ucl_r,
+           n_x_violations, n_r_violations
+    FROM g WHERE gg >= 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Winsorized / trimmed robust summary (round 9).
+# --------------------------------------------------------------------------
+
+WINSOR_DIV = 20  # trim n DIV 20 (5%) from each tail
+
+
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust location summary: the plain mean next to the 5%
+    TRIMMED mean (drop t = n div 20 readings from each tail) and the
+    5% WINSORIZED mean (clamp those tails to the cut values) — the
+    robust pair dashboards quote when ``anomaly_zscore``'s mean is
+    dragged by the very spikes it flags.
+
+    Exactness: everything is integer arithmetic over the (type,
+    cents) VALUE-DOMAIN histogram — each level contributes
+    ``c · (min(cum, n−t) − max(cum−cnt, t))`` clamped at 0 to the
+    middle sum, and the tail cut values are exact order statistics at
+    ranks t+1 / n−t from the same cumulative — so both engines emit
+    identical integers; the three means are single divisions.
+
+    Scale shape: one fact rollup to the bounded histogram (map-side
+    combinable), one cumulative window partitioned by type over it,
+    one keyed re-aggregate. The facts are never sorted or windowed."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hist = ev.groupBy(
+        F.col("event_type"), cents.alias("c")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wt = Window.partitionBy("event_type")
+    wc = wt.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    n = F.sum("cnt").over(wt)
+    cum = F.sum("cnt").over(wc)
+    t = F.expr("n div {d}".format(d=WINSOR_DIV))
+    lev = hist.select(
+        "event_type",
+        "c",
+        "cnt",
+        cum.alias("cum"),
+        n.alias("n"),
+        F.sum(F.col("c") * F.col("cnt")).over(wt).alias("s_all"),
+    ).withColumn("t", t)
+    mid_take = F.greatest(
+        F.least(F.col("cum"), F.col("n") - F.col("t"))
+        - F.greatest(F.col("cum") - F.col("cnt"), F.col("t")),
+        F.lit(0),
+    )
+    lo_cut = F.when(
+        (F.col("cum") >= F.col("t") + 1)
+        & (F.col("cum") - F.col("cnt") < F.col("t") + 1),
+        F.col("c"),
+    )
+    hi_cut = F.when(
+        (F.col("cum") >= F.col("n") - F.col("t"))
+        & (F.col("cum") - F.col("cnt") < F.col("n") - F.col("t")),
+        F.col("c"),
+    )
+    g = lev.groupBy("event_type", "n", "t", "s_all").agg(
+        F.sum(F.col("c") * mid_take).alias("s_mid"),
+        F.max(lo_cut).alias("lo_c"),
+        F.max(hi_cut).alias("hi_c"),
+    )
+    nmid = (F.col("n") - 2 * F.col("t")).cast("double")
+    wins_sum = (
+        F.col("s_mid")
+        + F.col("t") * F.col("lo_c")
+        + F.col("t") * F.col("hi_c")
+    )
+    return g.select(
+        "event_type",
+        F.col("n").alias("n_rows"),
+        F.col("t").alias("n_trimmed_each"),
+        pround(
+            F.col("s_all").cast("double") / F.col("n").cast("double") / 100.0
+        ).alias("mean"),
+        pround(F.col("s_mid").cast("double") / nmid / 100.0).alias(
+            "trimmed_mean"
+        ),
+        pround(
+            wins_sum.cast("double") / F.col("n").cast("double") / 100.0
+        ).alias("winsorized_mean"),
+        pround(F.col("lo_c").cast("double") / 100.0).alias("lo_cut"),
+        pround(F.col("hi_c").cast("double") / 100.0).alias("hi_cut"),
+    )
+
+
+QUERIES["winsorized_stats"] = winsorized_stats
+
+ORACLES["winsorized_stats"] = f"""
+    WITH hist AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    lev AS (
+        SELECT event_type, c, cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY c
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+               CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+               CAST(SUM(c * cnt) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS s_all
+        FROM hist
+    ),
+    lev2 AS (SELECT *, n // {WINSOR_DIV} AS t FROM lev),
+    g AS (
+        SELECT event_type, n, t, s_all,
+               SUM(c * GREATEST(
+                   LEAST(cum, n - t) - GREATEST(cum - cnt, t), 0))
+                   AS s_mid,
+               MAX(CASE WHEN cum >= t + 1 AND cum - cnt < t + 1
+                   THEN c END) AS lo_c,
+               MAX(CASE WHEN cum >= n - t AND cum - cnt < n - t
+                   THEN c END) AS hi_c
+        FROM lev2 GROUP BY 1, 2, 3, 4
+    )
+    SELECT event_type, n AS n_rows, t AS n_trimmed_each,
+           {pround_sql(
+               'CAST(s_all AS DOUBLE) / CAST(n AS DOUBLE) / 100.0'
+           )} AS mean,
+           {pround_sql(
+               'CAST(s_mid AS DOUBLE) / CAST(n - 2 * t AS DOUBLE) / 100.0'
+           )} AS trimmed_mean,
+           {pround_sql(
+               'CAST(s_mid + t * lo_c + t * hi_c AS DOUBLE)'
+               ' / CAST(n AS DOUBLE) / 100.0'
+           )} AS winsorized_mean,
+           {pround_sql('CAST(lo_c AS DOUBLE) / 100.0')} AS lo_cut,
+           {pround_sql('CAST(hi_c AS DOUBLE) / 100.0')} AS hi_cut
+    FROM g
+"""

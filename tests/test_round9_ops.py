@@ -600,3 +600,201 @@ def test_vocab_size_curve_closed_form(spark, tmp_path):
         assert r["n_terms_used"] == min(s, 4)
         assert r["covered_tokens"] == 15
         assert r["coverage"] == 1.0 and r["oov_rate"] == 0.0
+
+
+# ----------------------------------------------- funnel drop-off times
+
+from smart_city_data_pipeline_spark.operators.timeseries import (  # noqa: E402
+    WINSOR_DIV,
+    XBAR_SUB_N,
+    funnel_dropoff_times,
+    winsorized_stats,
+    xbar_r_chart,
+)
+
+
+def test_funnel_dropoff_closed_form(spark, tmp_path):
+    """Three converting users with transit times 60/120/600 s on leg 1
+    and 30/30 s on leg 2: means and exact lower order statistics."""
+    t = lambda m: T0 + timedelta(minutes=m)  # noqa: E731
+    rows = []
+    eid = 0
+    # user 1: signup@0 click@1 purchase@1.5 ; user 2: signup@0 click@2
+    # purchase@2.5 ; user 3: signup@0 click@10 (no purchase)
+    specs = {
+        1: [("signup", 0.0), ("click", 1.0), ("purchase", 1.5)],
+        2: [("signup", 0.0), ("click", 2.0), ("purchase", 2.5)],
+        3: [("signup", 0.0), ("click", 10.0)],
+    }
+    for uid, evs in specs.items():
+        for typ, m in evs:
+            rows.append((eid, t(m), uid, typ, 1.0, ""))
+            eid += 1
+    got = {
+        r["leg"]: r
+        for r in funnel_dropoff_times(
+            spark, _write_events(spark, tmp_path, rows)
+        ).collect()
+    }
+    l1 = got["signup->click"]
+    assert l1["n_users"] == 3
+    assert l1["mean_s"] == pround_py((60 + 120 + 600) / 3)
+    assert l1["median_s"] == 120  # lower median of {60,120,600}
+    assert l1["p90_s"] == 600
+    l2 = got["click->purchase"]
+    assert l2["n_users"] == 2
+    assert l2["mean_s"] == 30.0
+    assert l2["median_s"] == 30 and l2["p90_s"] == 30
+
+
+# ------------------------------------------------------------ X̄-R chart
+
+
+def test_xbar_r_flags_planted_shift(spark, tmp_path):
+    """19 calm subgroups around 100 with range 1, then one subgroup
+    shifted by +2 (beyond A2*R_bar ~ 0.58 but small enough not to
+    drag the grand mean past the calm groups' own limits): exactly
+    one X̄ violation; ranges stay in control. A second sensor with a
+    wild-range subgroup flags on the R chart instead."""
+    rows = []
+    eid = 0
+    vals1 = []
+    for g in range(19):
+        vals1 += [100.0, 100.5, 101.0, 100.5, 100.0]
+    vals1 += [102.0, 102.5, 103.0, 102.5, 102.0]  # shifted mean, calm range
+    for k, v in enumerate(vals1):
+        rows.append((eid, T0 + timedelta(minutes=k), 1, "a", v, ""))
+        eid += 1
+    vals2 = []
+    for g in range(19):
+        vals2 += [50.0, 50.5, 51.0, 50.5, 50.0]
+    vals2 += [10.0, 90.0, 50.0, 50.0, 50.0]  # same-ish mean, wild range
+    for k, v in enumerate(vals2):
+        rows.append((eid, T0 + timedelta(minutes=k), 2, "a", v, ""))
+        eid += 1
+    got = {
+        r["sensor_id"]: r
+        for r in xbar_r_chart(
+            spark, _write_events(spark, tmp_path, rows)
+        ).collect()
+    }
+    assert got[1]["n_subgroups"] == 20
+    assert got[1]["n_x_violations"] == 1
+    assert got[1]["n_r_violations"] == 0
+    assert got[2]["n_r_violations"] == 1
+
+
+def test_xbar_r_matches_reference(spark, tmp_path):
+    """A mixed profile matches an independent Python replay of the
+    integer cross-multiply violation rules."""
+    vals = [100.0 + 7.0 * math.sin(i / 3.0) + (i % 4) for i in range(53)]
+    rows = [
+        (i, T0 + timedelta(minutes=i), 5, "a", v, "")
+        for i, v in enumerate(vals)
+    ]
+    c = [int(math.floor(v * 100 + 0.5)) for v in vals]
+    subs = [
+        c[i : i + XBAR_SUB_N]
+        for i in range(0, len(c) - XBAR_SUB_N + 1, XBAR_SUB_N)
+    ]
+    subs = [s for s in subs if len(s) == XBAR_SUB_N]
+    gg = len(subs)
+    s_gs = [sum(s) for s in subs]
+    r_gs = [max(s) - min(s) for s in subs]
+    ss, rr = sum(s_gs), sum(r_gs)
+    x_viol = sum(
+        1 for s_g in s_gs if abs(1000 * gg * s_g - 1000 * ss) > 2885 * rr
+    )
+    r_viol = sum(1 for r_g in r_gs if 1000 * gg * r_g > 2114 * rr)
+    [r] = xbar_r_chart(spark, _write_events(spark, tmp_path, rows)).collect()
+    assert r["n_subgroups"] == gg
+    assert r["n_x_violations"] == x_viol
+    assert r["n_r_violations"] == r_viol
+    assert r["xbar_bar"] == pround_py(ss / (gg * XBAR_SUB_N) / 100.0)
+    assert r["r_bar"] == pround_py(rr / gg / 100.0)
+
+
+# ------------------------------------------------------ winsorized stats
+
+
+def test_winsorized_clamps_planted_outliers(spark, tmp_path):
+    """38 readings at 50 plus outliers 0.01 and 10000: t = 2, so the
+    trimmed mean drops both tails to exactly 50 while the plain mean
+    is dragged; winsorized clamps the outliers to the cut values."""
+    vals = [50.0] * 38 + [0.01, 10000.0]
+    rows = [
+        (i, T0 + timedelta(minutes=i), 3, "a", v, "")
+        for i, v in enumerate(vals)
+    ]
+    [r] = winsorized_stats(
+        spark, _write_events(spark, tmp_path, rows)
+    ).collect()
+    assert r["n_rows"] == 40
+    assert r["n_trimmed_each"] == 2
+    assert r["trimmed_mean"] == 50.0
+    assert r["mean"] > 290.0
+    # winsorized: 36×50 + 2×50 (low clamp) + 2×50 (high clamp) = 50
+    assert r["winsorized_mean"] == 50.0
+    assert r["lo_cut"] == 50.0 and r["hi_cut"] == 50.0
+
+
+def test_winsorized_matches_reference(spark, tmp_path):
+    """A mixed profile matches the independent sorted-list replay."""
+    vals = [round(37.0 + 13.0 * math.sin(i / 2.0) + (i % 7), 2) for i in range(57)]
+    rows = [
+        (i, T0 + timedelta(minutes=i), 4, "a", v, "")
+        for i, v in enumerate(vals)
+    ]
+    c = sorted(int(math.floor(v * 100 + 0.5)) for v in vals)
+    n = len(c)
+    t = n // WINSOR_DIV
+    mid = c[t : n - t]
+    lo_cut, hi_cut = c[t], c[n - t - 1]
+    wins = sum(mid) + t * lo_cut + t * hi_cut
+    [r] = winsorized_stats(
+        spark, _write_events(spark, tmp_path, rows)
+    ).collect()
+    assert r["n_trimmed_each"] == t
+    assert r["trimmed_mean"] == pround_py(sum(mid) / len(mid) / 100.0)
+    assert r["winsorized_mean"] == pround_py(wins / n / 100.0)
+    assert r["lo_cut"] == pround_py(lo_cut / 100.0)
+    assert r["hi_cut"] == pround_py(hi_cut / 100.0)
+
+
+# ------------------------------------------- cluster representative pick
+
+from smart_city_data_pipeline_spark.operators.dedup import (  # noqa: E402
+    cluster_representative_pick,
+)
+
+
+def test_cluster_rep_keeps_longest_copy(spark, tmp_path):
+    """Two near-identical documents (one longer) plus an unrelated
+    singleton: the duplicate cluster keeps the LONGER copy and reports
+    the dropped cost; the singleton keeps itself at zero cost."""
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the crowd watches the quick brown fox jump once more"
+    )
+    d1 = base
+    d2 = base + " extra tail words here"
+    d3 = "completely different content about parquet files and shuffles " * 3
+    rows = [
+        (1, d1, "en", "s", len(d1)),
+        (2, d2, "en", "s", len(d2)),
+        (3, d3, "en", "s", len(d3)),
+    ]
+    got = {
+        r["cluster_id"]: r
+        for r in cluster_representative_pick(
+            spark, _write_docs(spark, tmp_path, rows)
+        ).collect()
+    }
+    dup = got[1]  # cluster id = min doc id of the component
+    assert dup["n_docs"] == 2
+    assert dup["rep_doc_id"] == 2  # the longer copy wins
+    assert dup["rep_n_chars"] == len(d2)
+    assert dup["dropped_docs"] == 1
+    assert dup["dropped_chars"] == len(d1)
+    assert got[3]["n_docs"] == 1 and got[3]["dropped_chars"] == 0
+    assert got[3]["rep_doc_id"] == 3

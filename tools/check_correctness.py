@@ -34,6 +34,16 @@ def norm_cell(v):
     return str(v)
 
 
+def _row_key(row: tuple) -> tuple:
+    """None-safe, cross-type-safe sort key: Python can't order None
+    against a value (or an int against a str), which crashed the sort
+    whenever a NULLABLE column had to break a tie on the prefix
+    columns. Sort by (type-tag, value) per cell instead."""
+    return tuple(
+        (1, "") if v is None else (2, str(type(v)), str(v)) for v in row
+    )
+
+
 def compare(name, spark_df, duck_rows, duck_cols):
     s_cols = sorted(spark_df.columns)
     d_cols = sorted(duck_cols)
@@ -42,9 +52,13 @@ def compare(name, spark_df, duck_rows, duck_cols):
     s_idx = [spark_df.columns.index(c) for c in s_cols]
     d_idx = [duck_cols.index(c) for c in d_cols]
     s_rows = sorted(
-        tuple(norm_cell(r[i]) for i in s_idx) for r in spark_df.collect()
+        (tuple(norm_cell(r[i]) for i in s_idx) for r in spark_df.collect()),
+        key=_row_key,
     )
-    d_rows = sorted(tuple(norm_cell(r[i]) for i in d_idx) for r in duck_rows)
+    d_rows = sorted(
+        (tuple(norm_cell(r[i]) for i in d_idx) for r in duck_rows),
+        key=_row_key,
+    )
     if len(s_rows) != len(d_rows):
         return f"ROWCOUNT MISMATCH spark={len(s_rows)} duck={len(d_rows)}"
     for i, (a, b) in enumerate(zip(s_rows, d_rows)):
