@@ -60,3 +60,38 @@ def aqi_category_sql(col: str) -> str:
         f" WHEN {col} <= 250.4 THEN 'Very Unhealthy'"
         f" ELSE 'Hazardous' END"
     )
+
+
+# Python twins of the Column transforms — used by the streaming
+# NowCast twin (one breakpoint table, IDENTICAL IEEE arithmetic, so
+# stream and batch cannot disagree at a category boundary).
+def aqi_value_py(pm25: float) -> int:
+    if pm25 <= 12.0:
+        x = (50.0 / 12.0) * pm25
+    elif pm25 <= 35.4:
+        x = 50.0 + (50.0 / 23.4) * (pm25 - 12.0)
+    elif pm25 <= 55.4:
+        x = 100.0 + (50.0 / 20.0) * (pm25 - 35.4)
+    elif pm25 <= 150.4:
+        x = 150.0 + (50.0 / 95.0) * (pm25 - 55.4)
+    elif pm25 <= 250.4:
+        x = 200.0 + (100.0 / 100.0) * (pm25 - 150.4)
+    else:
+        x = 300.0 + (200.0 / 249.6) * min(pm25 - 250.4, 249.6)
+    import math
+
+    return int(math.floor(x))
+
+
+def aqi_category_py(pm25: float) -> str:
+    if pm25 <= 12.0:
+        return "Good"
+    if pm25 <= 35.4:
+        return "Moderate"
+    if pm25 <= 55.4:
+        return "Unhealthy for Sensitive Groups"
+    if pm25 <= 150.4:
+        return "Unhealthy"
+    if pm25 <= 250.4:
+        return "Very Unhealthy"
+    return "Hazardous"

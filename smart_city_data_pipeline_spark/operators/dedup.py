@@ -3790,3 +3790,132 @@ ORACLES["cluster_representative_pick"] = f"""
                 AS BIGINT) AS dropped_chars
     FROM ranked GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Over-merge audit of the near-dup clustering (round 9).
+# --------------------------------------------------------------------------
+
+
+def dedup_overmerge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of each cluster is TRANSITIVE CLOSURE rather than
+    direct evidence? Connected components merge a∼b∼c into one
+    cluster even when (a,c) was never an LSH match — at aggressive
+    thresholds chains over-merge and the representative silently
+    replaces documents it never matched. Per cluster size, this
+    reports direct LSH pairs vs implied pairs C(n,2) and the
+    over-merge share — the audit read next to
+    ``dedup_threshold_sweep`` before committing a threshold at
+    100 TB (chaining effects only show up in CLUSTER structure, not
+    in the pair list the sweep scores).
+
+    Exactness: pair counts and C(n,2) are exact integers; the share
+    is one division. Scale shape: inherits the CC posture; the audit
+    itself is one join of the (bounded) pair list onto the cluster
+    map, then two keyed aggregates over |clusters| rows."""
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.join(
+            clusters.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("cluster_id").alias("ca"),
+            ),
+            "doc_a",
+        )
+        .groupBy("ca")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    per_cluster = sizes.filter(F.col("n_docs") >= 2).join(
+        edges, sizes.cluster_id == edges.ca, "left"
+    )
+    implied = F.expr("(n_docs * (n_docs - 1)) div 2")
+    g = per_cluster.select(
+        "n_docs",
+        implied.alias("implied"),
+        F.coalesce("n_edges", F.lit(0)).alias("direct"),
+    ).groupBy(F.col("n_docs").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("direct").alias("direct_pairs"),
+        F.sum("implied").alias("implied_pairs"),
+    )
+    return g.select(
+        "cluster_size",
+        "n_clusters",
+        "direct_pairs",
+        "implied_pairs",
+        pround(
+            1.0
+            - F.col("direct_pairs").cast("double")
+            / F.col("implied_pairs").cast("double")
+        ).alias("overmerge_share"),
+    )
+
+
+QUERIES["dedup_overmerge_audit"] = dedup_overmerge_audit
+
+ORACLES["dedup_overmerge_audit"] = f"""
+    WITH RECURSIVE sh AS ({_HASHED_SHINGLES_SQL}),
+    sigm AS (
+        SELECT doc_id,
+           {_SIG_COLS_SQL}
+        FROM sh GROUP BY 1
+    ),
+    sig AS (
+        SELECT *,
+           {_BAND_COLS_SQL}
+        FROM sigm
+    ),
+    cand AS (
+        {_CAND_UNION_SQL}
+    ),
+    pairs AS (
+        -- DISTINCT: cand emits a pair once PER MATCHING BAND, fine for
+        -- reachability but wrong for counting direct evidence
+        SELECT DISTINCT doc_a, doc_b FROM cand
+        WHERE (FLOOR(CAST((raw_sim) AS DOUBLE) * 10000.0 + 0.5) / 10000.0)
+            >= {MINHASH_SIM_THRESHOLD}
+    ),
+    bidir AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, comp) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN bidir e ON e.src = r.node
+    ),
+    clusters AS (
+        SELECT node AS doc_id, MIN(comp) AS cluster_id
+        FROM reach GROUP BY node
+    ),
+    edges AS (
+        SELECT c.cluster_id AS ca, CAST(COUNT(*) AS BIGINT) AS n_edges
+        FROM pairs p JOIN clusters c ON c.doc_id = p.doc_a
+        GROUP BY 1
+    ),
+    sizes AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM clusters GROUP BY 1
+        HAVING COUNT(*) >= 2
+    ),
+    per AS (
+        SELECT s.n_docs,
+               CAST(s.n_docs * (s.n_docs - 1) // 2 AS BIGINT) AS implied,
+               COALESCE(e.n_edges, 0) AS direct
+        FROM sizes s LEFT JOIN edges e ON e.ca = s.cluster_id
+    )
+    SELECT n_docs AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(direct) AS BIGINT) AS direct_pairs,
+           CAST(SUM(implied) AS BIGINT) AS implied_pairs,
+           {pround_sql(
+               '1.0 - CAST(SUM(direct) AS DOUBLE)'
+               ' / CAST(SUM(implied) AS DOUBLE)'
+           )} AS overmerge_share
+    FROM per GROUP BY 1
+"""

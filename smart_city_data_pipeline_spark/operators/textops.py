@@ -5019,3 +5019,103 @@ ORACLES["vocab_size_curve"] = f"""
            )} AS oov_rate
     FROM pick p JOIN ranked r ON r.rn = p.rn_pick
 """
+
+
+# --------------------------------------------------------------------------
+# Per-source document-cap sweep (round 9).
+# --------------------------------------------------------------------------
+
+SOURCE_CAPS = (50, 100, 200, 400, 800)
+
+
+def source_cap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What does a per-domain document cap cost? For a grid of cap
+    values, the kept documents/tokens per source under the
+    keep-the-longest priority (n_chars desc, doc_id asc — each
+    source's best content survives the cap) — the domain-capping knob
+    C4/RefinedWeb-style corpus builds apply against boilerplate-heavy
+    domains, as a sensitivity curve (the ``dedup_threshold_sweep`` /
+    ``perplexity_threshold_sweep`` discipline applied to source
+    caps).
+
+    Exactness: ranks are a partitioned row_number over exact integers
+    with a total tiebreak; token counts are exact whitespace counts;
+    keep tests compare integers. Scale shape: ONE window partitioned
+    by source (high cardinality), a |caps|-literal explode, one
+    (source, cap) keyed re-aggregate. Output bounded by |sources| ×
+    |grid|."""
+    docs = table(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "source",
+        F.col("n_chars"),
+        T.ws_token_count(F.col("text")).cast("long").alias("n_tok"),
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.desc("n_chars"), F.asc("doc_id")
+            )
+        )
+        .alias("rk"),
+    )
+    sweep = ranked.select(
+        "source",
+        "rk",
+        "n_tok",
+        F.explode(F.array(*[F.lit(c) for c in SOURCE_CAPS])).alias("cap"),
+    )
+    keep = (F.col("rk") <= F.col("cap")).cast("long")
+    g = sweep.groupBy("source", "cap").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(keep).alias("kept_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum(F.col("n_tok") * keep).alias("kept_tokens"),
+    )
+    return g.select(
+        "source",
+        F.col("cap").cast("long").alias("cap"),
+        "n_docs",
+        "kept_docs",
+        "total_tokens",
+        "kept_tokens",
+        pround(
+            F.col("kept_tokens").cast("double")
+            / F.col("total_tokens").cast("double")
+        ).alias("kept_token_share"),
+    )
+
+
+QUERIES["source_cap_sweep"] = source_cap_sweep
+
+_CAPS_SQL = ", ".join(str(c) for c in SOURCE_CAPS)
+
+ORACLES["source_cap_sweep"] = f"""
+    WITH ranked AS (
+        SELECT source,
+               CAST({T.ws_token_count_sql("text")} AS BIGINT) AS n_tok,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id ASC) AS rk
+        FROM documents
+    ),
+    sweep AS (
+        SELECT r.source, r.rk, r.n_tok, g.cap
+        FROM ranked r
+        CROSS JOIN (SELECT UNNEST([{_CAPS_SQL}]) AS cap) g
+    ),
+    agg AS (
+        SELECT source, cap,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN rk <= cap THEN 1 ELSE 0 END) AS BIGINT)
+                   AS kept_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               CAST(SUM(CASE WHEN rk <= cap THEN n_tok ELSE 0 END)
+                    AS BIGINT) AS kept_tokens
+        FROM sweep GROUP BY 1, 2
+    )
+    SELECT source, CAST(cap AS BIGINT) AS cap, n_docs, kept_docs,
+           total_tokens, kept_tokens,
+           {pround_sql(
+               'CAST(kept_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)'
+           )} AS kept_token_share
+    FROM agg
+"""

@@ -2879,3 +2879,31 @@ ORACLES["did_zone_report"] = f"""
     FROM wide
     WHERE n_pre > 0 AND n_post > 0 AND rn_pre > 0 AND rn_post > 0
 """
+
+
+def nowcast_fold_py(
+    hours: dict[int, tuple[int, int]],
+) -> tuple[int, int, bool, int]:
+    """Pure-python NowCast fold over per-hour (cents_sum, count) —
+    the ONE transition the streaming twin (streaming/nowcast.py)
+    advances, kept next to the batch operator so the integer
+    recurrences cannot drift (the ``kalman_step`` discipline).
+    Returns (n_hours, wq, eligible, nowcast_cents)."""
+    anchor = max(hours)
+    win = {
+        anchor - h: s // n
+        for h, (s, n) in hours.items()
+        if anchor - h < NOWCAST_HOURS
+    }
+    mn, mx = min(win.values()), max(win.values())
+    if mx <= 0:
+        wq = NOWCAST_W_GRID
+    else:
+        wq = max((mn * NOWCAST_W_GRID) // mx, NOWCAST_W_GRID // 2)
+    top = NOWCAST_HOURS - 1
+    num = sum(
+        m * wq**a * NOWCAST_W_GRID ** (top - a) for a, m in win.items()
+    )
+    den = sum(wq**a * NOWCAST_W_GRID ** (top - a) for a in win)
+    recent3 = sum(1 for a in win if a <= 2)
+    return len(win), wq, recent3 >= 2, num // den

@@ -798,3 +798,149 @@ def test_cluster_rep_keeps_longest_copy(spark, tmp_path):
     assert dup["dropped_chars"] == len(d1)
     assert got[3]["n_docs"] == 1 and got[3]["dropped_chars"] == 0
     assert got[3]["rep_doc_id"] == 3
+
+
+# ------------------------------------------------------ source cap sweep
+
+from smart_city_data_pipeline_spark.operators.textops import (  # noqa: E402
+    SOURCE_CAPS,
+    source_cap_sweep,
+)
+
+
+def test_source_cap_sweep_keeps_longest(spark, tmp_path):
+    """A source with 3 docs of lengths 30/20/10: cap grid keeps the
+    longest first; token counts follow the kept set exactly."""
+    docs = [
+        (1, "w " * 15, "a", 30),   # 15 tokens? text "w w w ..." n_chars=30
+        (2, "w " * 10, "a", 20),
+        (3, "w " * 5, "a", 10),
+        (4, "x y z", "b", 5),
+    ]
+    rows = [
+        (i, t.strip(), "en", src, nc) for (i, t, src, nc) in docs
+    ]
+    got = {
+        (r["source"], r["cap"]): r
+        for r in source_cap_sweep(
+            spark, _write_docs_src(spark, tmp_path, rows)
+        ).collect()
+    }
+    assert set(got) == {
+        (s, c) for s in ("a", "b") for c in SOURCE_CAPS
+    }
+    # smallest cap in the grid is 50 > 3 docs, so everything is kept
+    for c in SOURCE_CAPS:
+        assert got[("a", c)]["kept_docs"] == 3
+        assert got[("a", c)]["kept_token_share"] == 1.0
+
+
+def test_source_cap_sweep_cap_bites_in_rank_order(spark, tmp_path):
+    """60 single-token docs in one source with increasing n_chars:
+    cap 50 keeps exactly the 50 LONGEST (ranks by n_chars desc)."""
+    rows = [
+        (i, f"tok{i}", "en", "big", 100 + i) for i in range(60)
+    ]
+    got = {
+        r["cap"]: r
+        for r in source_cap_sweep(
+            spark, _write_docs_src(spark, tmp_path, rows)
+        ).collect()
+    }
+    assert got[50]["n_docs"] == 60
+    assert got[50]["kept_docs"] == 50
+    assert got[50]["kept_tokens"] == 50  # one token per doc
+    assert got[100]["kept_docs"] == 60
+
+
+def _write_docs_src(spark, tmp_path, rows):
+    d = str(tmp_path / "lake")
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d + "/documents.parquet")
+    return d
+
+
+# --------------------------------------------------- dedup overmerge audit
+
+from smart_city_data_pipeline_spark.operators.dedup import (  # noqa: E402
+    dedup_overmerge_audit,
+)
+
+
+def test_overmerge_audit_matches_union_find_reference(spark, tmp_path):
+    """The audit must agree with an independent union-find replay over
+    the MEASURED LSH pair set (whatever the deterministic hash
+    geometry produced), and a clean two-doc near-dup cluster reports
+    1 direct / 1 implied / zero over-merge."""
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    )
+    words = base.split()
+    a = " ".join(words)
+    b = " ".join(words[4:] + ["one", "two", "three", "four"])
+    c = " ".join(
+        words[8:] + ["one", "two", "three", "four", "five", "six",
+                     "seven", "eight"]
+    )
+    d1 = "totally unrelated content about spark shuffles " * 3
+    d2 = "totally unrelated content about spark shuffles " * 3 + "tail"
+    rows = [
+        (1, a, "en", "s", len(a)),
+        (2, b, "en", "s", len(b)),
+        (3, c, "en", "s", len(c)),
+        (4, d1, "en", "s", len(d1)),
+        (5, d2, "en", "s", len(d2)),
+    ]
+    from smart_city_data_pipeline_spark.operators.dedup import (
+        dedup_minhash_lsh,
+    )
+
+    sfd = _write_docs_src(spark, tmp_path, rows)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_minhash_lsh(spark, sfd).collect()
+    }
+    assert (4, 5) in pairs  # the planted clean pair really pairs
+
+    # independent union-find over the measured pair set
+    parent = {d: d for d in range(1, 6)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in pairs:
+        parent[find(x)] = find(y)
+    from collections import Counter, defaultdict
+
+    comp = {d: find(d) for d in parent}
+    sizes = Counter(comp.values())
+    direct_by_root = Counter(comp[x] for x, _ in pairs)
+    want = defaultdict(lambda: [0, 0, 0])  # size -> [clusters, direct, implied]
+    for root, n in sizes.items():
+        if n < 2:
+            continue
+        w = want[n]
+        w[0] += 1
+        w[1] += direct_by_root[root]
+        w[2] += n * (n - 1) // 2
+    got = {
+        r["cluster_size"]: r
+        for r in dedup_overmerge_audit(spark, sfd).collect()
+    }
+    assert set(got) == set(want)
+    for size, (ncl, direct, implied) in want.items():
+        r = got[size]
+        assert r["n_clusters"] == ncl
+        assert r["direct_pairs"] == direct
+        assert r["implied_pairs"] == implied
+        assert r["overmerge_share"] == pround_py(1.0 - direct / implied)
+    # the planted clean pair cluster has zero over-merge
+    assert got[2]["overmerge_share"] == 0.0
