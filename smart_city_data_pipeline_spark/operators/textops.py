@@ -5119,3 +5119,186 @@ ORACLES["source_cap_sweep"] = f"""
            )} AS kept_token_share
     FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# Context-length truncation loss sweep (round 9).
+# --------------------------------------------------------------------------
+
+TRUNC_MAX_LENS = (64, 128, 256, 512, 1024)
+
+
+def truncation_loss_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What does each context length throw away? For a grid of
+    max-sequence lengths, the share of documents that would be
+    truncated and the share of tokens lost past the cutoff — the
+    sizing read before committing a context length for tokenization
+    (``pack_sequences`` packs AT a length; this chooses one).
+
+    Exactness: per-doc whitespace token counts and per-cap losses
+    max(n_tok − L, 0) are exact integers; shares are single
+    divisions. Scale shape: one per-doc projection, a |grid| literal
+    explode, one (cap) keyed aggregate — map-side combinable, output
+    = |grid| rows."""
+    docs = table(spark, sf_dir, "documents")
+    per = docs.select(
+        T.ws_token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    sweep = per.select(
+        "n_tok",
+        F.explode(F.array(*[F.lit(c) for c in TRUNC_MAX_LENS])).alias(
+            "max_len"
+        ),
+    )
+    lost = F.greatest(F.col("n_tok") - F.col("max_len"), F.lit(0))
+    g = sweep.groupBy("max_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_tok") > F.col("max_len")).cast("long")).alias(
+            "truncated_docs"
+        ),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum(lost).alias("lost_tokens"),
+    )
+    return g.select(
+        F.col("max_len").cast("long").alias("max_len"),
+        "n_docs",
+        "truncated_docs",
+        pround(
+            F.col("truncated_docs").cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("truncated_doc_share"),
+        "total_tokens",
+        "lost_tokens",
+        pround(
+            F.col("lost_tokens").cast("double")
+            / F.col("total_tokens").cast("double")
+        ).alias("lost_token_share"),
+    )
+
+
+QUERIES["truncation_loss_sweep"] = truncation_loss_sweep
+
+_TRUNC_GRID_SQL = ", ".join(str(c) for c in TRUNC_MAX_LENS)
+
+ORACLES["truncation_loss_sweep"] = f"""
+    WITH per AS (
+        SELECT CAST({T.ws_token_count_sql("text")} AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    sweep AS (
+        SELECT p.n_tok, g.max_len
+        FROM per p
+        CROSS JOIN (SELECT UNNEST([{_TRUNC_GRID_SQL}]) AS max_len) g
+    ),
+    agg AS (
+        SELECT max_len,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN n_tok > max_len THEN 1 ELSE 0 END)
+                    AS BIGINT) AS truncated_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               CAST(SUM(GREATEST(n_tok - max_len, 0)) AS BIGINT)
+                   AS lost_tokens
+        FROM sweep GROUP BY 1
+    )
+    SELECT CAST(max_len AS BIGINT) AS max_len, n_docs, truncated_docs,
+           {pround_sql(
+               'CAST(truncated_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)'
+           )} AS truncated_doc_share,
+           total_tokens, lost_tokens,
+           {pround_sql(
+               'CAST(lost_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)'
+           )} AS lost_token_share
+    FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Grouped k-fold assignment (round 9).
+# --------------------------------------------------------------------------
+
+KFOLD_K = 5
+
+
+def grouped_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe cross-validation folds: every document of a SOURCE
+    lands in the same fold (fold = md5 of the source, mod K — near-dup
+    and boilerplate text clusters within a domain, so a doc-level
+    split leaks train content into eval; grouping by source is the
+    standard guard), deterministic like ``dataset_split_assign``
+    (never rand(): engines and re-runs must agree doc-by-doc). The
+    report is the balance audit: per-fold doc/token/source counts and
+    each fold's token share vs the ideal 1/K.
+
+    Exactness: md5 fold ids and counts are exact integers; shares are
+    single divisions. Scale shape: a pure per-row fold projection
+    (composes with pushdown), one keyed aggregate, one 1-row total
+    broadcast onto K rows."""
+    from smart_city_data_pipeline_spark.functions.hashing import md5_long
+
+    docs = table(spark, sf_dir, "documents")
+    fold = (
+        md5_long(F.concat(F.lit("fold:"), F.col("source"))) % KFOLD_K
+    ).alias("fold")
+    per = docs.select(
+        fold,
+        "source",
+        T.ws_token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    g = per.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tok").alias("total_tokens"))
+    return (
+        g.join(F.broadcast(tot))
+        .select(
+            F.col("fold").cast("long").alias("fold"),
+            "n_docs",
+            "n_sources",
+            "n_tokens",
+            pround(
+                F.col("n_tokens").cast("double")
+                / F.col("total_tokens").cast("double")
+            ).alias("token_share"),
+            pround(
+                F.col("n_tokens").cast("double")
+                / F.col("total_tokens").cast("double")
+                * float(KFOLD_K)
+            ).alias("balance_ratio"),
+        )
+    )
+
+
+QUERIES["grouped_kfold_assign"] = grouped_kfold_assign
+
+from smart_city_data_pipeline_spark.functions.hashing import (  # noqa: E402
+    md5_long_sql as _md5_sql_r9,
+)
+
+ORACLES["grouped_kfold_assign"] = f"""
+    WITH per AS (
+        SELECT {_md5_sql_r9("'fold:' || source")} % {KFOLD_K} AS fold,
+               source,
+               CAST({T.ws_token_count_sql("text")} AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    g AS (
+        SELECT fold,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM per GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS total_tokens FROM per)
+    SELECT CAST(g.fold AS BIGINT) AS fold, g.n_docs, g.n_sources,
+           g.n_tokens,
+           {pround_sql(
+               'CAST(g.n_tokens AS DOUBLE) / CAST(t.total_tokens AS DOUBLE)'
+           )} AS token_share,
+           {pround_sql(
+               'CAST(g.n_tokens AS DOUBLE) / CAST(t.total_tokens AS DOUBLE)'
+               f' * {float(KFOLD_K)}'
+           )} AS balance_ratio
+    FROM g, tot t
+"""

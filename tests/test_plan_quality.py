@@ -141,6 +141,8 @@ BNLJ_ALLOWED = {
     # |grid|-row size literal table
     "did_zone_report",  # 1-row global time-midpoint broadcast (the
     # retention_filter class)
+    "grouped_kfold_assign",  # 1-row corpus-token-total broadcast onto
+    # the K-row fold table
 }
 
 

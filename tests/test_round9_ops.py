@@ -944,3 +944,70 @@ def test_overmerge_audit_matches_union_find_reference(spark, tmp_path):
         assert r["overmerge_share"] == pround_py(1.0 - direct / implied)
     # the planted clean pair cluster has zero over-merge
     assert got[2]["overmerge_share"] == 0.0
+
+
+# ---------------------------------------------- truncation loss sweep
+
+from smart_city_data_pipeline_spark.operators.textops import (  # noqa: E402
+    KFOLD_K,
+    TRUNC_MAX_LENS,
+    grouped_kfold_assign,
+    truncation_loss_sweep,
+)
+
+
+def test_truncation_loss_closed_form(spark, tmp_path):
+    """Docs of 50/100/200 tokens: at max_len 64, docs 2 and 3 truncate
+    and lose (100-64)+(200-64) tokens; at 1024 nothing is lost."""
+    rows = [
+        (1, "t " * 50, "en", "s", 100),
+        (2, "t " * 100, "en", "s", 200),
+        (3, "t " * 200, "en", "s", 400),
+    ]
+    rows = [(i, t.strip(), lang, s, n) for (i, t, lang, s, n) in rows]
+    got = {
+        r["max_len"]: r
+        for r in truncation_loss_sweep(
+            spark, _write_docs_src(spark, tmp_path, rows)
+        ).collect()
+    }
+    assert set(got) == set(TRUNC_MAX_LENS)
+    r64 = got[64]
+    assert r64["truncated_docs"] == 2
+    assert r64["lost_tokens"] == (100 - 64) + (200 - 64)
+    assert r64["total_tokens"] == 350
+    assert r64["lost_token_share"] == pround_py(172 / 350)
+    assert got[1024]["lost_tokens"] == 0
+    assert got[1024]["truncated_doc_share"] == 0.0
+
+
+# ------------------------------------------------- grouped k-fold assign
+
+
+def test_grouped_kfold_is_leakage_safe_and_balanced(spark, tmp_path):
+    """Every source lands wholly in one fold (sum of per-fold source
+    counts equals the distinct source count — no source is split),
+    folds partition the corpus, and token shares sum to 1."""
+    import hashlib
+
+    rows = []
+    for s in range(20):
+        for d in range(5):
+            did = s * 10 + d
+            rows.append((did, f"w{did} " * (d + 1), "en", f"src{s}", d + 1))
+    rows = [(i, t.strip(), lang, src, n) for (i, t, lang, src, n) in rows]
+    got = grouped_kfold_assign(
+        spark, _write_docs_src(spark, tmp_path, rows)
+    ).collect()
+    assert sum(r["n_docs"] for r in got) == 100
+    assert sum(r["n_sources"] for r in got) == 20  # no source is split
+    assert abs(sum(r["token_share"] for r in got) - 1.0) < 1e-6
+    # folds match the documented md5 rule exactly
+    def fold_of(src):
+        return int(hashlib.md5(f"fold:{src}".encode()).hexdigest()[:15], 16) % KFOLD_K
+
+    from collections import Counter
+
+    want = Counter(fold_of(f"src{s}") for s in range(20))
+    got_sources = {r["fold"]: r["n_sources"] for r in got}
+    assert got_sources == dict(want)
