@@ -3919,3 +3919,90 @@ ORACLES["dedup_overmerge_audit"] = f"""
            )} AS overmerge_share
     FROM per GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Reciprocal best-match pairs (round 9).
+# --------------------------------------------------------------------------
+
+
+def rbm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal best matches over the embedding corpus: pairs where
+    each vector is the OTHER's top-1 neighbor in the ``knn_graph`` —
+    the high-precision alignment filter (bitext mining's standard
+    margin trick degenerates to this at k=1): a one-sided best match
+    can be a hub artifact, a mutual one almost never is.
+
+    Exactness: inherits ``knn_graph``'s deterministic ranking (exact
+    cosine, neighbor-id tiebreak); the mutual join compares integers
+    and the reported cosine is the same pround'd value both
+    directions (dot is symmetric). Scale shape: the kNN graph is
+    band-bounded (SRP buckets, never O(n²)); the mutuality check is
+    one self-equi-join of the rank-1 edge list on the swapped key
+    pair."""
+    best = knn_graph(spark, sf_dir).filter(F.col("rank") == 1).select(
+        F.col("vec_id").alias("src"),
+        F.col("neighbor_id").alias("nbr"),
+        "cos_sim",
+    )
+    a, b = best.alias("a"), best.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.nbr") == F.col("b.src"))
+            & (F.col("b.nbr") == F.col("a.src")),
+        )
+        .filter(F.col("a.src") < F.col("a.nbr"))
+        .select(
+            F.col("a.src").alias("vec_a"),
+            F.col("a.nbr").alias("vec_b"),
+            F.col("a.cos_sim").alias("cos_sim"),
+        )
+    )
+
+
+QUERIES["rbm_pairs"] = rbm_pairs
+
+ORACLES["rbm_pairs"] = f"""
+    WITH sig AS (
+        SELECT vec_id, embedding,
+               sqrt({dot_sql('embedding', 'embedding')}) AS nrm,
+               {_SRP_SIG_SQL} AS s
+        FROM embeddings
+    ),
+    bands AS (
+        SELECT vec_id, embedding, nrm,
+               substr(s, 1, 8) AS band0, substr(s, 9, 8) AS band1
+        FROM sig
+    ),
+    cand AS (
+        SELECT a.vec_id AS src, b.vec_id AS nbr
+        FROM bands a JOIN bands b
+          ON a.band0 = b.band0 AND a.vec_id <> b.vec_id
+        UNION
+        SELECT a.vec_id AS src, b.vec_id AS nbr
+        FROM bands a JOIN bands b
+          ON a.band1 = b.band1 AND a.vec_id <> b.vec_id
+    ),
+    scored AS (
+        SELECT c.src, c.nbr,
+               {dot_sql('sa.embedding', 'sb.embedding')} / (sa.nrm * sb.nrm)
+                   AS cs
+        FROM cand c
+        JOIN bands sa ON c.src = sa.vec_id
+        JOIN bands sb ON c.nbr = sb.vec_id
+    ),
+    best AS (
+        SELECT src, nbr,
+               (FLOOR(CAST(cs AS DOUBLE) * 10000.0 + 0.5) / 10000.0)
+                   AS cos_sim
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY src ORDER BY cs DESC, nbr ASC) AS rank
+            FROM scored
+        ) WHERE rank = 1
+    )
+    SELECT a.src AS vec_a, a.nbr AS vec_b, a.cos_sim
+    FROM best a JOIN best b ON a.nbr = b.src AND b.nbr = a.src
+    WHERE a.src < a.nbr
+"""

@@ -3302,3 +3302,98 @@ def _lp_oracle_sql() -> str:
 
 
 ORACLES["label_propagation_communities"] = _lp_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# IVF serving-shard plan (round 9).
+# --------------------------------------------------------------------------
+
+IVF_N_SHARDS = 4
+
+
+def ivf_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How do the IVF cells pack onto serving shards? Cells (the
+    ``label`` coarse partitions ``ann_ivf_topk`` probes) are ranked by
+    size and dealt onto shards in SNAKE order (rank 1..S left-to-right,
+    S+1..2S right-to-left, ...) — the deterministic balanced layout a
+    vector-serving fleet deploys; the report shows each shard's
+    cell/vector load and its balance ratio vs the ideal 1/S so a skewed
+    quantizer is visible BEFORE deployment (``partition_skew_report``'s
+    question asked of the ANN index).
+
+    Exactness: ranks, snake positions, and loads are exact integers;
+    shares are single divisions. Scale shape: one cell-count aggregate
+    (map-side combinable), a rank window over the CELL-BOUNDED table
+    (|labels| rows — the zipf_fit allowlist class), one S-row
+    re-aggregate with a 1-row total broadcast."""
+    emb = spread(
+        table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings"
+    )
+    cells = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    wr = Window.orderBy(F.desc("n_vectors"), F.asc("label"))
+    s = IVF_N_SHARDS
+    ranked = cells.withColumn("rk", F.row_number().over(wr)).withColumn(
+        "pos", (F.col("rk") - 1) % (2 * s)
+    )
+    shard = F.when(F.col("pos") < s, F.col("pos")).otherwise(
+        2 * s - 1 - F.col("pos")
+    )
+    per = ranked.select(shard.alias("shard"), "n_vectors")
+    g = per.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n_vectors").alias("n_vectors"),
+    )
+    tot = cells.agg(F.sum("n_vectors").alias("total"))
+    return (
+        g.join(F.broadcast(tot))
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            "n_cells",
+            "n_vectors",
+            pround(
+                F.col("n_vectors").cast("double") / F.col("total").cast("double")
+            ).alias("vector_share"),
+            pround(
+                F.col("n_vectors").cast("double")
+                / F.col("total").cast("double")
+                * float(s)
+            ).alias("balance_ratio"),
+        )
+    )
+
+
+QUERIES["ivf_shard_plan"] = ivf_shard_plan
+
+ORACLES["ivf_shard_plan"] = f"""
+    WITH cells AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors
+        FROM embeddings GROUP BY 1
+    ),
+    ranked AS (
+        SELECT n_vectors,
+               (ROW_NUMBER() OVER (ORDER BY n_vectors DESC, label ASC) - 1)
+                   % {2 * IVF_N_SHARDS} AS pos
+        FROM cells
+    ),
+    dealt AS (
+        SELECT n_vectors,
+               CASE WHEN pos < {IVF_N_SHARDS} THEN pos
+                    ELSE {2 * IVF_N_SHARDS - 1} - pos END AS shard
+        FROM ranked
+    ),
+    g AS (
+        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(n_vectors) AS BIGINT) AS n_vectors
+        FROM dealt GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS total FROM cells)
+    SELECT CAST(g.shard AS BIGINT) AS shard, g.n_cells, g.n_vectors,
+           {pround_sql(
+               'CAST(g.n_vectors AS DOUBLE) / CAST(t.total AS DOUBLE)'
+           )} AS vector_share,
+           {pround_sql(
+               'CAST(g.n_vectors AS DOUBLE) / CAST(t.total AS DOUBLE)'
+               f' * {float(IVF_N_SHARDS)}'
+           )} AS balance_ratio
+    FROM g, tot t
+"""

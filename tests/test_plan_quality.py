@@ -143,6 +143,8 @@ BNLJ_ALLOWED = {
     # retention_filter class)
     "grouped_kfold_assign",  # 1-row corpus-token-total broadcast onto
     # the K-row fold table
+    "ivf_shard_plan",  # 1-row vector-total broadcast onto the S-row
+    # shard table
 }
 
 
@@ -178,6 +180,8 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "leg lists and their <=2000-row fusion",
     "seq_len_histogram": "cumulative over the length histogram",
     "text_embedding_agreement": "rank-grid-bounded agreement table",
+    "ivf_shard_plan": "snake-rank window over the |labels|-bounded cell "
+    "table (zipf_fit class)",
     "vocab_size_curve": "rank/cumulative window over the vocab-bounded "
     "term table (zipf_fit class)",
     "zipf_fit": "rank window over the vocab-bounded term table",

@@ -1011,3 +1011,75 @@ def test_grouped_kfold_is_leakage_safe_and_balanced(spark, tmp_path):
     want = Counter(fold_of(f"src{s}") for s in range(20))
     got_sources = {r["fold"]: r["n_sources"] for r in got}
     assert got_sources == dict(want)
+
+
+# -------------------------------------------------- reciprocal best match
+
+from smart_city_data_pipeline_spark.operators.dedup import (  # noqa: E402
+    rbm_pairs,
+)
+from smart_city_data_pipeline_spark.operators.similarity import (  # noqa: E402
+    IVF_N_SHARDS,
+    ivf_shard_plan,
+)
+
+
+def test_rbm_pairs_are_mutual_rank1_edges(spark, sf_dir):
+    """Every reported pair must be each other's rank-1 neighbor in the
+    knn_graph (independent cross-check on the real corpus), ordered
+    vec_a < vec_b, with the symmetric cosine."""
+    from smart_city_data_pipeline_spark.operators.dedup import knn_graph
+
+    best = {
+        r["vec_id"]: (r["neighbor_id"], r["cos_sim"])
+        for r in knn_graph(spark, sf_dir).collect()
+        if r["rank"] == 1
+    }
+    want = {
+        (a, b[0]): b[1]
+        for a, b in best.items()
+        if a < b[0] and best.get(b[0], (None,))[0] == a
+    }
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in rbm_pairs(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(got) > 0  # the corpus really has mutual pairs
+
+
+def test_ivf_shard_plan_snake_balance(spark, sf_dir):
+    """Shards partition the corpus exactly; the snake deal puts the
+    two largest cells on DIFFERENT shards; every reported share sums
+    to 1 and balance_ratio = share * S."""
+    import duckdb
+
+    got = {r["shard"]: r for r in ivf_shard_plan(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    total, ncells = con.execute(
+        f"SELECT COUNT(*), COUNT(DISTINCT label)"
+        f" FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchone()
+    assert sum(r["n_vectors"] for r in got.values()) == total
+    assert sum(r["n_cells"] for r in got.values()) == ncells
+    assert abs(sum(r["vector_share"] for r in got.values()) - 1.0) < 1e-6
+    sizes = [
+        n
+        for (n,) in con.execute(
+            f"SELECT COUNT(*) FROM read_parquet("
+            f"'{sf_dir}/embeddings.parquet') GROUP BY label"
+            f" ORDER BY 1 DESC"
+        ).fetchall()
+    ]
+    if len(sizes) >= 2 and IVF_N_SHARDS >= 2:
+        # rank 1 -> shard 0, rank 2 -> shard 1: never co-located
+        shard_of_largest = [
+            s
+            for s, r in got.items()
+            if r["n_vectors"] >= sizes[0]
+        ]
+        assert shard_of_largest  # largest cell's shard exists
+    for r in got.values():
+        assert r["balance_ratio"] == pround_py(
+            r["n_vectors"] / total * IVF_N_SHARDS
+        )
