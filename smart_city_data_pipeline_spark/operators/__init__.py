@@ -30,14 +30,15 @@ from pyspark.sql import DataFrame, SparkSession
 # the two new r9 operators (`aqi_nowcast`, `parking_price_elasticity`)
 # in the final two slots: 47 + 1 + 2 = 50. Any further r9 additions
 # land at position 51+ and lead the round-10 window — as of this
-# session that queue is the sixteen later-r9 operators, none ever
+# session that queue is the eighteen later-r9 operators, none ever
 # driver-gated: ljung_box_test, mann_kendall_trend,
 # markov_entropy_rate, did_zone_report, perplexity_threshold_sweep,
 # vocab_size_curve, funnel_dropoff_times, xbar_r_chart,
 # winsorized_stats, cluster_representative_pick, source_cap_sweep,
 # dedup_overmerge_audit, truncation_loss_sweep, grouped_kfold_assign,
-# rbm_pairs, ivf_shard_plan (judge-sweep + planted-pytest verified
-# this round).
+# rbm_pairs, ivf_shard_plan, embedding_threshold_sweep,
+# first_exceedance_report — eighteen in all (judge-sweep +
+# planted-pytest verified this round).
 _GATE_FIRST = [
     # --- the 47 never-driver-gated keys (VERDICT r8 item 1, verbatim)
     "ab_test_report",

@@ -4006,3 +4006,164 @@ ORACLES["rbm_pairs"] = f"""
     FROM best a JOIN best b ON a.nbr = b.src AND b.nbr = a.src
     WHERE a.src < a.nbr
 """
+
+
+# --------------------------------------------------------------------------
+# Embedding cosine-threshold sweep (round 9).
+# --------------------------------------------------------------------------
+
+EMB_SWEEP_THRESH_MILLI = (900, 925, 950, 975, 990)
+
+
+def embedding_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``dedup_threshold_sweep`` question asked of the EMBEDDING
+    near-dup path: for a grid of cosine thresholds, how many candidate
+    pairs survive and how much of the corpus is dup-involved — the
+    sensitivity curve read before committing a semantic-dedup
+    threshold at 100 TB (a threshold chosen on one corpus slice
+    routinely over-fires on another; the curve shows the cliff).
+
+    Exactness: candidates come from the SAME SRP band machinery as
+    ``knn_graph``/``embedding_srp_lsh`` (bounded buckets, never
+    O(n²)); the compared cosine is the pround'd 1e-4-grid value in
+    BOTH engines, so a threshold literal cannot split engines at a
+    boundary ulp. Scale shape: band-bounded pair join, |grid| literal
+    explode over the pair list, keyed counts; distinct-vector counts
+    aggregate the pair endpoints."""
+    emb = spread(
+        table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings"
+    )
+    sig = _srp_sig()
+    bands = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(F.substring(sig, 1, 8), F.substring(sig, 9, 8))
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+        .dropDuplicates(["va", "vb"])
+    )
+    vec = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    sa, sb = vec.alias("sa"), vec.alias("sb")
+    cos = dot(F.col("sa.embedding"), F.col("sb.embedding")) / (
+        F.col("sa.nrm") * F.col("sb.nrm")
+    )
+    scored = (
+        cand.join(sa, F.col("va") == F.col("sa.vec_id"))
+        .join(sb, F.col("vb") == F.col("sb.vec_id"))
+        .select("va", "vb", pround(cos).alias("cs"))
+    )
+    thr = F.explode(
+        F.array(*[F.lit(t) for t in EMB_SWEEP_THRESH_MILLI])
+    ).alias("thr_milli")
+    sweep = scored.select("va", "vb", "cs", thr).filter(
+        F.col("cs") >= F.col("thr_milli").cast("double") / 1000.0
+    )
+    pairs_per = sweep.groupBy("thr_milli").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    ends = sweep.select("thr_milli", F.col("va").alias("v")).unionByName(
+        sweep.select("thr_milli", F.col("vb").alias("v"))
+    )
+    dupped = ends.groupBy("thr_milli").agg(
+        F.countDistinct("v").alias("n_dup_vectors")
+    )
+    total = emb.agg(F.count(F.lit(1)).alias("n_total"))
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t) for t in EMB_SWEEP_THRESH_MILLI])
+        ).alias("thr_milli")
+    )
+    g = (
+        grid.join(pairs_per, "thr_milli", "left")
+        .join(dupped, "thr_milli", "left")
+        .join(F.broadcast(total))
+    )
+    return g.select(
+        F.col("thr_milli").cast("long").alias("thr_milli"),
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        F.coalesce("n_dup_vectors", F.lit(0)).alias("n_dup_vectors"),
+        pround(
+            F.coalesce("n_dup_vectors", F.lit(0)).cast("double")
+            / F.col("n_total").cast("double")
+        ).alias("dup_vector_share"),
+    )
+
+
+QUERIES["embedding_threshold_sweep"] = embedding_threshold_sweep
+
+_EMB_SWEEP_GRID_SQL = ", ".join(str(t) for t in EMB_SWEEP_THRESH_MILLI)
+
+ORACLES["embedding_threshold_sweep"] = f"""
+    WITH sig AS (
+        SELECT vec_id, embedding,
+               sqrt({dot_sql('embedding', 'embedding')}) AS nrm,
+               {_SRP_SIG_SQL} AS s
+        FROM embeddings
+    ),
+    bands AS (
+        SELECT vec_id, embedding, nrm,
+               substr(s, 1, 8) AS band0, substr(s, 9, 8) AS band1
+        FROM sig
+    ),
+    cand AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM bands a JOIN bands b
+          ON a.band0 = b.band0 AND a.vec_id < b.vec_id
+        UNION
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM bands a JOIN bands b
+          ON a.band1 = b.band1 AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+        SELECT c.va, c.vb,
+               (FLOOR(CAST({dot_sql('sa.embedding', 'sb.embedding')}
+                    / (sa.nrm * sb.nrm) AS DOUBLE) * 10000.0 + 0.5)
+                    / 10000.0) AS cs
+        FROM cand c
+        JOIN bands sa ON c.va = sa.vec_id
+        JOIN bands sb ON c.vb = sb.vec_id
+    ),
+    sweep AS (
+        SELECT s.va, s.vb, g.thr_milli
+        FROM scored s
+        CROSS JOIN (SELECT UNNEST([{_EMB_SWEEP_GRID_SQL}]) AS thr_milli) g
+        WHERE s.cs >= CAST(g.thr_milli AS DOUBLE) / 1000.0
+    ),
+    pairs_per AS (
+        SELECT thr_milli, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM sweep GROUP BY 1
+    ),
+    dupped AS (
+        SELECT thr_milli, CAST(COUNT(DISTINCT v) AS BIGINT) AS n_dup_vectors
+        FROM (
+            SELECT thr_milli, va AS v FROM sweep
+            UNION ALL
+            SELECT thr_milli, vb FROM sweep
+        ) GROUP BY 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM embeddings)
+    SELECT CAST(g.thr_milli AS BIGINT) AS thr_milli,
+           COALESCE(p.n_pairs, 0) AS n_pairs,
+           COALESCE(d.n_dup_vectors, 0) AS n_dup_vectors,
+           {pround_sql(
+               'CAST(COALESCE(d.n_dup_vectors, 0) AS DOUBLE)'
+               ' / CAST(t.n_total AS DOUBLE)'
+           )} AS dup_vector_share
+    FROM (SELECT UNNEST([{_EMB_SWEEP_GRID_SQL}]) AS thr_milli) g
+    LEFT JOIN pairs_per p USING (thr_milli)
+    LEFT JOIN dupped d USING (thr_milli)
+    CROSS JOIN tot t
+"""

@@ -8619,3 +8619,139 @@ ORACLES["winsorized_stats"] = f"""
            {pround_sql('CAST(hi_c AS DOUBLE) / 100.0')} AS hi_cut
     FROM g
 """
+
+
+# --------------------------------------------------------------------------
+# First-exceedance (time-to-threshold) report (round 9).
+# --------------------------------------------------------------------------
+
+EXCEED_THRESHOLDS = (100.0, 200.0, 300.0, 400.0, 500.0)
+
+
+def first_exceedance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-threshold per alert level: for each threshold in the
+    grid, how many sensors EVER exceed it and the exact median
+    minutes from each sensor's first reading to its first exceedance
+    — the SLA/alerting design read ("how long until a sensor
+    breaching 300 shows itself?") next to ``peak_detection``.
+
+    Exactness: first-exceedance and first-reading timestamps are min
+    aggregates; the elapsed time quantizes to integer MINUTES (floor
+    division of the µs delta) whose distinct values are bounded by
+    the observation span — so the median is an exact lower order
+    statistic from a cumulative window over the (threshold, minutes)
+    histogram, never a sort over sensors.
+
+    Scale shape: one |grid|-literal explode over the fact scan with
+    an immediate keyed min aggregate (map-side combinable), one
+    per-sensor min aggregate, a shuffle join on sensor_id, then the
+    histogram windows on the bounded table."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    base = ev.select(
+        "user_id", F.unix_micros(F.col("ts")).alias("us"), cents.alias("c")
+    )
+    t0 = base.groupBy("user_id").agg(F.min("us").alias("us0"))
+    n_sensors = t0.agg(F.count(F.lit(1)).alias("n_sensors"))
+    thr = F.explode(
+        F.array(*[F.lit(int(t * 100)) for t in EXCEED_THRESHOLDS])
+    ).alias("thr_c")
+    firsts = (
+        base.select("user_id", "us", "c", thr)
+        .filter(F.col("c") > F.col("thr_c"))
+        .groupBy("user_id", "thr_c")
+        .agg(F.min("us").alias("us_first"))
+        .join(t0, "user_id")
+        .select(
+            "thr_c",
+            F.expr("(us_first - us0) div 60000000").alias("dt_min"),
+        )
+    )
+    hist = firsts.groupBy("thr_c", "dt_min").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = Window.partitionBy("thr_c")
+    wc = wt.orderBy("dt_min").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = hist.select(
+        "thr_c",
+        "dt_min",
+        F.sum("n").over(wc).alias("cum"),
+        F.sum("n").over(wt).alias("n_reached"),
+    )
+    med = (
+        ranked.filter(
+            F.col("cum") >= F.expr("(n_reached + 1) div 2")
+        )
+        .groupBy("thr_c", "n_reached")
+        .agg(F.min("dt_min").alias("median_minutes"))
+    )
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(int(t * 100)) for t in EXCEED_THRESHOLDS])
+        ).alias("thr_c")
+    )
+    g = grid.join(med, "thr_c", "left").join(F.broadcast(n_sensors))
+    return g.select(
+        pround(F.col("thr_c").cast("double") / 100.0).alias("threshold"),
+        F.col("n_sensors"),
+        F.coalesce("n_reached", F.lit(0)).alias("n_reached"),
+        pround(
+            F.coalesce("n_reached", F.lit(0)).cast("double")
+            / F.col("n_sensors").cast("double")
+        ).alias("reach_share"),
+        F.col("median_minutes"),
+    )
+
+
+QUERIES["first_exceedance_report"] = first_exceedance_report
+
+_EXCEED_GRID_SQL = ", ".join(str(int(t * 100)) for t in EXCEED_THRESHOLDS)
+
+ORACLES["first_exceedance_report"] = f"""
+    WITH base AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events
+    ),
+    t0 AS (SELECT user_id, MIN(us) AS us0 FROM base GROUP BY 1),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sensors FROM t0),
+    firsts AS (
+        SELECT b.user_id, g.thr_c, MIN(b.us) AS us_first
+        FROM base b
+        CROSS JOIN (SELECT UNNEST([{_EXCEED_GRID_SQL}]) AS thr_c) g
+        WHERE b.c > g.thr_c
+        GROUP BY 1, 2
+    ),
+    dts AS (
+        SELECT f.thr_c, (f.us_first - t.us0) // 60000000 AS dt_min
+        FROM firsts f JOIN t0 t USING (user_id)
+    ),
+    hist AS (
+        SELECT thr_c, dt_min, CAST(COUNT(*) AS BIGINT) AS n
+        FROM dts GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT thr_c, dt_min,
+               CAST(SUM(n) OVER (PARTITION BY thr_c ORDER BY dt_min
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+               CAST(SUM(n) OVER (PARTITION BY thr_c) AS BIGINT) AS n_reached
+        FROM hist
+    ),
+    med AS (
+        SELECT thr_c, n_reached, MIN(dt_min) AS median_minutes
+        FROM ranked WHERE cum >= (n_reached + 1) // 2
+        GROUP BY 1, 2
+    )
+    SELECT {pround_sql('CAST(g.thr_c AS DOUBLE) / 100.0')} AS threshold,
+           n.n_sensors,
+           COALESCE(m.n_reached, 0) AS n_reached,
+           {pround_sql(
+               'CAST(COALESCE(m.n_reached, 0) AS DOUBLE)'
+               ' / CAST(n.n_sensors AS DOUBLE)'
+           )} AS reach_share,
+           m.median_minutes
+    FROM (SELECT UNNEST([{_EXCEED_GRID_SQL}]) AS thr_c) g
+    LEFT JOIN med m USING (thr_c)
+    CROSS JOIN ns n
+"""

@@ -145,6 +145,10 @@ BNLJ_ALLOWED = {
     # the K-row fold table
     "ivf_shard_plan",  # 1-row vector-total broadcast onto the S-row
     # shard table
+    "embedding_threshold_sweep",  # 1-row corpus-vector-total broadcast
+    # onto the |grid|-row sweep table
+    "first_exceedance_report",  # 1-row sensor-count broadcast onto the
+    # |grid|-row threshold table
 }
 
 

@@ -1083,3 +1083,98 @@ def test_ivf_shard_plan_snake_balance(spark, sf_dir):
         assert r["balance_ratio"] == pround_py(
             r["n_vectors"] / total * IVF_N_SHARDS
         )
+
+
+# --------------------------------------------- embedding threshold sweep
+
+from smart_city_data_pipeline_spark.operators.dedup import (  # noqa: E402
+    EMB_SWEEP_THRESH_MILLI,
+    embedding_threshold_sweep,
+)
+from smart_city_data_pipeline_spark.operators.timeseries import (  # noqa: E402
+    EXCEED_THRESHOLDS,
+    first_exceedance_report,
+)
+
+
+def test_embedding_sweep_monotone_and_consistent(spark, sf_dir):
+    """On the real corpus: pair and dup-vector counts are monotone
+    non-increasing in the threshold, every count is bounded by the
+    corpus, and each n_dup_vectors <= 2*n_pairs."""
+    rows = {
+        r["thr_milli"]: r
+        for r in embedding_threshold_sweep(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(EMB_SWEEP_THRESH_MILLI)
+    pair_seq = [rows[t]["n_pairs"] for t in sorted(rows)]
+    dup_seq = [rows[t]["n_dup_vectors"] for t in sorted(rows)]
+    assert pair_seq == sorted(pair_seq, reverse=True)
+    assert dup_seq == sorted(dup_seq, reverse=True)
+    for t, r in rows.items():
+        assert r["n_dup_vectors"] <= 2 * r["n_pairs"]
+        assert 0.0 <= r["dup_vector_share"] <= 1.0
+
+
+def test_embedding_sweep_counts_match_bruteforce_on_tiny_corpus(
+    spark, tmp_path
+):
+    """Tiny planted corpus: identical vectors pair at every threshold,
+    near-orthogonal ones never do; counts match a brute-force cosine
+    over the SAME candidate set (band-filtered, like the operator)."""
+    dim = 8
+    v1 = [1.0] * dim
+    v3 = [1.0] * (dim // 2) + [-1.0] * (dim // 2)
+    rows = [
+        (1, v1, 0, "a"),
+        (2, v1, 0, "a"),   # exact duplicate of v1
+        (3, v3, 1, "b"),
+    ]
+    d = str(tmp_path / "lake")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long, tag string"
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/embeddings.parquet")
+    got = {
+        r["thr_milli"]: r
+        for r in embedding_threshold_sweep(spark, d).collect()
+    }
+    for t in EMB_SWEEP_THRESH_MILLI:
+        assert got[t]["n_pairs"] == 1  # only the identical pair survives
+        assert got[t]["n_dup_vectors"] == 2
+        assert got[t]["dup_vector_share"] == pround_py(2 / 3)
+
+
+# ------------------------------------------------ first exceedance report
+
+
+def test_first_exceedance_closed_form(spark, tmp_path):
+    """Three sensors: one crosses 100 after 5 min and 200 after 20,
+    one crosses 100 only (at 10 min), one never crosses. Counts,
+    shares, and exact median minutes follow."""
+    rows = [
+        # sensor 1: starts low, crosses 100 at +5min, 200 at +20min
+        (1, T0, 1, "a", 50.0, ""),
+        (2, T0 + timedelta(minutes=5), 1, "a", 150.0, ""),
+        (3, T0 + timedelta(minutes=20), 1, "a", 250.0, ""),
+        # sensor 2: crosses 100 at +10min only
+        (4, T0, 2, "a", 90.0, ""),
+        (5, T0 + timedelta(minutes=10), 2, "a", 120.0, ""),
+        # sensor 3: never crosses anything
+        (6, T0, 3, "a", 10.0, ""),
+        (7, T0 + timedelta(minutes=30), 3, "a", 20.0, ""),
+    ]
+    got = {
+        r["threshold"]: r
+        for r in first_exceedance_report(
+            spark, _write_events(spark, tmp_path, rows)
+        ).collect()
+    }
+    assert set(got) == set(EXCEED_THRESHOLDS)
+    r100 = got[100.0]
+    assert r100["n_sensors"] == 3
+    assert r100["n_reached"] == 2
+    assert r100["reach_share"] == pround_py(2 / 3)
+    assert r100["median_minutes"] == 5  # lower median of {5, 10}
+    r200 = got[200.0]
+    assert r200["n_reached"] == 1 and r200["median_minutes"] == 20
+    assert got[500.0]["n_reached"] == 0
+    assert got[500.0]["median_minutes"] is None
