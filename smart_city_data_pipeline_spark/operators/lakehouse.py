@@ -1468,3 +1468,151 @@ ORACLES["retention_cost_curve"] = f"""
     FROM days d CROSS JOIN mx m CROSS JOIN ws
     GROUP BY 1
 """
+
+
+CLUST_INGEST_FILES = 64  # synthetic ingest-order file count (md5 buckets)
+
+
+def clustering_depth_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-DEPTH audit over the event lake — the metric behind
+    a lakehouse's "should I OPTIMIZE/recluster" decision (Delta's
+    clustering metrics, Iceberg's overlap-aware compaction): for each
+    data file, how many files' ``[ts_min, ts_max]`` ranges a reader
+    must open when probing at that file's start. Depth 1 everywhere
+    means perfect time clustering (every ts probe touches one file);
+    depth ~= n_files means ingest-order placement where every probe
+    scans the whole lake despite min/max stats.
+
+    Two layouts of the SAME rows are audited side by side: ``ingest``
+    (file = md5(event_id) mod 64 — arrival-hash placement, every file
+    spans the full time range) and ``clustered`` (file = day
+    partition — the layout ``compaction_plan`` / ``zorder_codes``
+    exist to produce). The report is the before/after a reclustering
+    PR cites.
+
+    Exactness: bounds are integer unix seconds, depth/overlap counts
+    are integers from interval predicates; the only float is the
+    average depth (one division, pround'ed).
+
+    Shape: two keyed rollups of the fact table (file -> min/max/count,
+    map-side combinable), then an all-pairs interval join WITHIN each
+    layout over the FILE SUMMARY table only — bounded by construction
+    (64 ingest buckets; day files bounded by retention), never the
+    fact table, so the quadratic term is O(files^2) rows of a few
+    dozen bytes at any fact scale. Equi-key on layout keeps the join
+    a hash join, not a cartesian."""
+    ev = table(spark, sf_dir, "events")
+    from smart_city_data_pipeline_spark.functions.hashing import md5_long
+
+    secs = F.unix_timestamp(F.col("ts")).cast("long")
+    ingest = ev.groupBy(
+        F.concat(
+            F.lit("ingest:"),
+            (md5_long(F.col("event_id").cast("string")) % CLUST_INGEST_FILES)
+            .cast("string"),
+        ).alias("file_id")
+    ).agg(
+        F.min(secs).alias("ts_min"),
+        F.max(secs).alias("ts_max"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).select(F.lit("ingest").alias("layout"), "file_id", "ts_min", "ts_max", "n_rows")
+    clustered = ev.groupBy(
+        F.concat(
+            F.lit("day:"), F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+        ).alias("file_id")
+    ).agg(
+        F.min(secs).alias("ts_min"),
+        F.max(secs).alias("ts_max"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).select(
+        F.lit("clustered").alias("layout"), "file_id", "ts_min", "ts_max", "n_rows"
+    )
+    files = ingest.unionByName(clustered)
+    other = files.select(
+        F.col("layout").alias("layout_b"),
+        F.col("file_id").alias("file_b"),
+        F.col("ts_min").alias("min_b"),
+        F.col("ts_max").alias("max_b"),
+    )
+    # depth at this file's start: files (self included) whose range
+    # covers ts_min; overlapping unordered pairs counted once via the
+    # file-id order tie-break
+    pairs = files.join(
+        other,
+        (F.col("layout") == F.col("layout_b")),
+    )
+    per_file = pairs.groupBy("layout", "file_id").agg(
+        F.sum(
+            (
+                (F.col("min_b") <= F.col("ts_min"))
+                & (F.col("max_b") >= F.col("ts_min"))
+            ).cast("int")
+        ).cast("bigint").alias("depth_at_start"),
+        F.sum(
+            (
+                (F.col("file_b") < F.col("file_id"))
+                & (F.col("min_b") <= F.col("ts_max"))
+                & (F.col("max_b") >= F.col("ts_min"))
+            ).cast("int")
+        ).cast("bigint").alias("overlapping_before"),
+    )
+    return (
+        per_file.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.max("depth_at_start").alias("max_depth"),
+            pround(
+                F.sum("depth_at_start").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_depth"),
+            F.sum("overlapping_before").alias("overlapping_pairs"),
+        )
+    )
+
+
+QUERIES["clustering_depth_report"] = clustering_depth_report
+
+from smart_city_data_pipeline_spark.functions.hashing import (  # noqa: E402
+    md5_long_sql as _md5_sql_clust,
+)
+
+ORACLES["clustering_depth_report"] = f"""
+    WITH files AS (
+        SELECT 'ingest' AS layout,
+               'ingest:' || CAST({_md5_sql_clust("CAST(event_id AS VARCHAR)")}
+                   % {CLUST_INGEST_FILES} AS VARCHAR) AS file_id,
+               CAST(MIN(floor(epoch(ts))) AS BIGINT) AS ts_min,
+               CAST(MAX(floor(epoch(ts))) AS BIGINT) AS ts_max,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY 2
+        UNION ALL
+        SELECT 'clustered',
+               'day:' || strftime(date_trunc('day', ts), '%Y-%m-%d'),
+               CAST(MIN(floor(epoch(ts))) AS BIGINT),
+               CAST(MAX(floor(epoch(ts))) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM events GROUP BY 2
+    ),
+    per_file AS (
+        SELECT a.layout, a.file_id,
+               CAST(SUM(CASE WHEN b.ts_min <= a.ts_min
+                              AND b.ts_max >= a.ts_min
+                             THEN 1 ELSE 0 END) AS BIGINT) AS depth_at_start,
+               CAST(SUM(CASE WHEN b.file_id < a.file_id
+                              AND b.ts_min <= a.ts_max
+                              AND b.ts_max >= a.ts_min
+                             THEN 1 ELSE 0 END) AS BIGINT) AS overlapping_before
+        FROM files a
+        JOIN files b ON b.layout = a.layout
+        GROUP BY 1, 2
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           MAX(depth_at_start) AS max_depth,
+           {pround_sql(
+               'CAST(SUM(depth_at_start) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)'
+           )} AS avg_depth,
+           CAST(SUM(overlapping_before) AS BIGINT) AS overlapping_pairs
+    FROM per_file
+    GROUP BY 1
+"""

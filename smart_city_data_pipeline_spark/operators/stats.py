@@ -1070,3 +1070,190 @@ ORACLES["wasserstein_drift"] = f"""
     FROM cum WHERE nxt IS NOT NULL
     GROUP BY 1
 """
+
+
+# Mann-Whitney significance: z0 = 1.96 = 49/25, z^2 > z0^2 decided by
+# integer cross-multiplication (see mwu_zone_shift docstring).
+MWU_Z0_NUM2 = 2401
+MWU_Z0_DEN2 = 625
+
+
+def mwu_zone_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U location-shift test between every event-type
+    pair's hourly series — the DISTRIBUTION-FREE "does zone A read
+    systematically higher than zone B" answer: `ks_length_drift` asks
+    "are the shapes different", Spearman asks "do they co-move"; MWU
+    asks the dashboard question "which one is higher", robust to the
+    spike hours that drag a t-test around.
+
+    Exactness: series points are the shared quantized integer hourly
+    means; ranks over the MERGED per-pair sample use the doubled
+    average-rank trick (2·avgrank = 2·rank + ties − 1, integers), so
+    the doubled statistic ``u2 = 2·U_a = R2_a − 2·n_a·(n_a+1)/2`` is
+    an exact BIGINT. The tie-corrected normal-approximation verdict is
+    an integer cross-multiply — ``3·625·(u2 − n_a·n_b)²·n·(n−1) >
+    2401·n_a·n_b·(n³ − n − Σ(t³−t))`` with every term
+    DECIMAL(38,0)/HUGEINT (n = merged hourly buckets, bounded by 2×
+    the calendar hour grid: n³ ≈ 1e18 at century scale, the full
+    products ≤ ~1e33) — so no float boundary can flip a verdict. The
+    reported z is the only float, spelled identically in the oracle.
+
+    Shape: one hourly rollup (map-side combinable), the tiny distinct
+    type×type pair table broadcast onto the rollup twice (side a /
+    side b), two pair-keyed windows (rank + tie count), one keyed
+    aggregate. Facts shuffle once; nothing quadratic touches them."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            F.col("event_type"),
+        )
+        .agg(F.sum(cents).alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("event_type", F.expr("(s * 128) DIV n").alias("v"))
+    )
+    t1 = hourly.select(F.col("event_type").alias("type_a")).distinct()
+    t2 = hourly.select(F.col("event_type").alias("type_b")).distinct()
+    pairs = t1.join(t2, F.col("type_a") < F.col("type_b"))
+    side_a = hourly.join(
+        F.broadcast(pairs), F.col("event_type") == F.col("type_a")
+    ).select("type_a", "type_b", F.lit(1).alias("is_a"), "v")
+    side_b = hourly.join(
+        F.broadcast(pairs), F.col("event_type") == F.col("type_b")
+    ).select("type_a", "type_b", F.lit(0).alias("is_a"), "v")
+    merged = side_a.unionByName(side_b)
+    pw = ["type_a", "type_b"]
+    wr = Window.partitionBy(*pw).orderBy("v")
+    wt = Window.partitionBy(*pw, "v")
+    ranked = merged.select(
+        "type_a",
+        "type_b",
+        "is_a",
+        (
+            2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1
+        ).cast("long").alias("r2"),
+        F.count(F.lit(1)).over(wt).cast("long").alias("tie_size"),
+    )
+    g = ranked.groupBy("type_a", "type_b").agg(
+        F.sum("is_a").cast("long").alias("n_a"),
+        F.sum(F.lit(1) - F.col("is_a")).cast("long").alias("n_b"),
+        F.sum(F.col("is_a") * F.col("r2")).alias("r2_a"),
+        # each member of a tie group carries tie_size, so the group of
+        # size t contributes t·(t²−1) = Σ over members of (t²−1)
+        F.sum(
+            F.col("tie_size") * F.col("tie_size") - 1
+        ).alias("tie_term"),
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    n = F.col("n_a") + F.col("n_b")
+    u2 = F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1)
+    dev = dec(u2) - dec(F.col("n_a")) * dec(F.col("n_b"))
+    var_num = (
+        dec(n) * dec(n) * dec(n) - dec(n) - dec(F.col("tie_term"))
+    )
+    lhs = (
+        F.lit(3 * MWU_Z0_DEN2).cast("decimal(38,0)")
+        * dev
+        * dev
+        * dec(n)
+        * dec(n - 1)
+    )
+    rhs = (
+        F.lit(MWU_Z0_NUM2).cast("decimal(38,0)")
+        * dec(F.col("n_a"))
+        * dec(F.col("n_b"))
+        * var_num
+    )
+    sig = (lhs > rhs) & (var_num > 0)
+    verdict = (
+        F.when(sig & (dev > 0), "a_high")
+        .when(sig & (dev < 0), "b_high")
+        .otherwise("ns")
+    )
+    z = F.when(
+        (var_num > 0) & (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        dev.cast("double")
+        * F.sqrt(F.lit(3.0))
+        * F.sqrt(n.cast("double") - 1.0)
+        / F.sqrt(F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        / F.sqrt(var_num.cast("double") / n.cast("double")),
+    )
+    return g.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        u2.cast("long").alias("u2_a"),
+        pround(z).alias("z_score"),
+        verdict.alias("verdict"),
+    )
+
+
+QUERIES["mwu_zone_shift"] = mwu_zone_shift
+
+ORACLES["mwu_zone_shift"] = f"""
+    WITH hourly AS (
+        SELECT event_type,
+               (CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                     AS BIGINT) * 128) // COUNT(*) AS v
+        FROM events GROUP BY date_trunc('hour', ts), event_type
+    ),
+    pairs AS (
+        SELECT a.type_a, b.type_b
+        FROM (SELECT DISTINCT event_type AS type_a FROM hourly) a
+        JOIN (SELECT DISTINCT event_type AS type_b FROM hourly) b
+          ON a.type_a < b.type_b
+    ),
+    merged AS (
+        SELECT p.type_a, p.type_b, 1 AS is_a, h.v
+        FROM hourly h JOIN pairs p ON h.event_type = p.type_a
+        UNION ALL
+        SELECT p.type_a, p.type_b, 0, h.v
+        FROM hourly h JOIN pairs p ON h.event_type = p.type_b
+    ),
+    ranked AS (
+        SELECT type_a, type_b, is_a,
+               CAST(2 * rank() OVER (PARTITION BY type_a, type_b ORDER BY v)
+                    + COUNT(*) OVER (PARTITION BY type_a, type_b, v)
+                    - 1 AS BIGINT) AS r2,
+               CAST(COUNT(*) OVER (PARTITION BY type_a, type_b, v)
+                    AS BIGINT) AS tie_size
+        FROM merged
+    ),
+    g AS (
+        SELECT type_a, type_b,
+               CAST(SUM(is_a) AS BIGINT) AS n_a,
+               CAST(SUM(1 - is_a) AS BIGINT) AS n_b,
+               CAST(SUM(is_a * r2) AS BIGINT) AS r2_a,
+               CAST(SUM(tie_size * tie_size - 1) AS BIGINT) AS tie_term
+        FROM ranked GROUP BY 1, 2
+    ),
+    terms AS (
+        SELECT type_a, type_b, n_a, n_b,
+               CAST(n_a + n_b AS HUGEINT) AS n,
+               CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2,
+               CAST(r2_a - n_a * (n_a + 1) AS HUGEINT)
+                   - CAST(n_a AS HUGEINT) * n_b AS dev,
+               CAST(n_a + n_b AS HUGEINT) * (n_a + n_b) * (n_a + n_b)
+                   - (n_a + n_b) - tie_term AS var_num
+        FROM g
+    )
+    SELECT type_a, type_b, n_a, n_b, u2 AS u2_a,
+           CASE WHEN var_num > 0 AND n_a > 0 AND n_b > 0 THEN {pround_sql(
+               'CAST(dev AS DOUBLE) * sqrt(3.0)'
+               ' * sqrt(CAST(n AS DOUBLE) - 1.0)'
+               ' / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))'
+               ' / sqrt(CAST(var_num AS DOUBLE) / CAST(n AS DOUBLE))'
+           )} END AS z_score,
+           CASE WHEN var_num > 0
+                 AND {3 * MWU_Z0_DEN2} * dev * dev * n * (n - 1)
+                     > {MWU_Z0_NUM2} * CAST(n_a AS HUGEINT) * n_b * var_num
+                THEN CASE WHEN dev > 0 THEN 'a_high'
+                          WHEN dev < 0 THEN 'b_high'
+                          ELSE 'ns' END
+                ELSE 'ns' END AS verdict
+    FROM terms
+"""

@@ -5302,3 +5302,264 @@ ORACLES["grouped_kfold_assign"] = f"""
            )} AS balance_ratio
     FROM g, tot t
 """
+
+
+def filter_agreement_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise AGREEMENT between the four corpus quality rules — for
+    every rule pair, how many documents both flag, how many each flags
+    alone, and the Jaccard of the two reject sets. The question a
+    corpus team asks before simplifying its filter stack: a pair with
+    Jaccard near 1 is a redundant rule (drop one and save a pass); a
+    pair near 0 removes disjoint slices (both earn their keep). The
+    funnel report (``filter_funnel_report``) hides this: marginal
+    counts depend on rule ORDER, agreement does not.
+
+    Rules and thresholds are shared verbatim with the funnel
+    (reference quality gates re-expressed: language, classifier score,
+    token repetition, token-length band). All four per-doc flags come
+    from pure Column expressions plus the ONE token-explode aggregate
+    (the repetition signal); the 6 pairwise intersection counts are
+    conditional sums inside a SINGLE global aggregate (map-side
+    partial), unpivoted to one row per pair with ``stack`` — no pair
+    join, no second shuffle, scale-invariant by construction.
+    """
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    rep = (
+        docs.select(
+            "doc_id", F.explode_outer(T.ws_tokens(F.lower(t))).alias("token")
+        )
+        .filter(F.col("token").isNotNull())
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            (F.count(F.lit(1)).cast("double") / F.sum("cnt")).alias("distinct_ratio")
+        )
+    )
+    flags = (
+        docs.select(
+            "doc_id",
+            (T.lang_id(t) != "en").alias("f_lang"),
+            (T.quality_score(t) < FUNNEL_MIN_QUALITY).alias("f_quality"),
+            T.ws_token_count(t).alias("n_tok"),
+        )
+        .join(rep, "doc_id")
+        .select(
+            "f_lang",
+            "f_quality",
+            (F.col("distinct_ratio") < FUNNEL_MIN_DISTINCT_RATIO).alias("f_rep"),
+            (
+                (F.col("n_tok") < FUNNEL_MIN_TOKENS)
+                | (F.col("n_tok") > FUNNEL_MAX_TOKENS)
+            ).alias("f_len"),
+        )
+    )
+    names = ["lang", "quality", "rep", "len"]
+    cols = {n: F.col(f"f_{n}") for n in names}
+    cnt = lambda c: F.sum(c.cast("int")).cast("bigint")  # noqa: E731
+    aggs = [cnt(cols[n]).alias(f"n_{n}") for n in names]
+    pairs = [
+        (a, b) for i, a in enumerate(names) for b in names[i + 1 :]
+    ]
+    aggs += [
+        cnt(cols[a] & cols[b]).alias(f"b_{a}_{b}") for a, b in pairs
+    ]
+    agg = flags.agg(*aggs)
+    stack_args = []
+    for a, b in pairs:
+        both = F.col(f"b_{a}_{b}")
+        na, nb = F.col(f"n_{a}"), F.col(f"n_{b}")
+        either = na + nb - both
+        stack_args.append(
+            f"'{a}', '{b}', n_{a}, n_{b}, b_{a}_{b}"
+        )
+    stacked = agg.selectExpr(
+        "stack(6, "
+        + ", ".join(stack_args)
+        + ") AS (rule_a, rule_b, n_a, n_b, n_both)"
+    )
+    either = F.col("n_a") + F.col("n_b") - F.col("n_both")
+    jac = F.when(
+        either > 0, F.col("n_both").cast("double") / either.cast("double")
+    ).otherwise(F.lit(0.0))
+    return stacked.select(
+        "rule_a",
+        "rule_b",
+        "n_a",
+        "n_b",
+        "n_both",
+        (F.col("n_a") - F.col("n_both")).alias("n_only_a"),
+        (F.col("n_b") - F.col("n_both")).alias("n_only_b"),
+        either.alias("n_either"),
+        pround(jac).alias("jaccard"),
+    )
+
+
+QUERIES["filter_agreement_matrix"] = filter_agreement_matrix
+
+ORACLES["filter_agreement_matrix"] = f"""
+    WITH rep AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS DOUBLE) / SUM(cnt) AS distinct_ratio
+        FROM (
+            SELECT doc_id, token, COUNT(*) AS cnt
+            FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+                FROM documents
+            )
+            GROUP BY 1, 2
+        )
+        GROUP BY 1
+    ),
+    flags AS (
+        SELECT ({T.lang_id_sql(_T)}) <> 'en' AS f_lang,
+               ({T.quality_score_sql(_T)}) < {FUNNEL_MIN_QUALITY} AS f_quality,
+               rep.distinct_ratio < {FUNNEL_MIN_DISTINCT_RATIO} AS f_rep,
+               ({T.ws_token_count_sql(_T)} < {FUNNEL_MIN_TOKENS}
+                OR {T.ws_token_count_sql(_T)} > {FUNNEL_MAX_TOKENS}) AS f_len
+        FROM documents JOIN rep USING (doc_id)
+    ),
+    agg AS (
+        SELECT
+            CAST(SUM(CASE WHEN f_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+            CAST(SUM(CASE WHEN f_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+            CAST(SUM(CASE WHEN f_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_rep,
+            CAST(SUM(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+            CAST(SUM(CASE WHEN f_lang AND f_quality THEN 1 ELSE 0 END) AS BIGINT) AS b_lang_quality,
+            CAST(SUM(CASE WHEN f_lang AND f_rep THEN 1 ELSE 0 END) AS BIGINT) AS b_lang_rep,
+            CAST(SUM(CASE WHEN f_lang AND f_len THEN 1 ELSE 0 END) AS BIGINT) AS b_lang_len,
+            CAST(SUM(CASE WHEN f_quality AND f_rep THEN 1 ELSE 0 END) AS BIGINT) AS b_quality_rep,
+            CAST(SUM(CASE WHEN f_quality AND f_len THEN 1 ELSE 0 END) AS BIGINT) AS b_quality_len,
+            CAST(SUM(CASE WHEN f_rep AND f_len THEN 1 ELSE 0 END) AS BIGINT) AS b_rep_len
+        FROM flags
+    ),
+    pairs AS (
+        SELECT 'lang' AS rule_a, 'quality' AS rule_b, n_lang AS n_a, n_quality AS n_b, b_lang_quality AS n_both FROM agg
+        UNION ALL SELECT 'lang', 'rep', n_lang, n_rep, b_lang_rep FROM agg
+        UNION ALL SELECT 'lang', 'len', n_lang, n_len, b_lang_len FROM agg
+        UNION ALL SELECT 'quality', 'rep', n_quality, n_rep, b_quality_rep FROM agg
+        UNION ALL SELECT 'quality', 'len', n_quality, n_len, b_quality_len FROM agg
+        UNION ALL SELECT 'rep', 'len', n_rep, n_len, b_rep_len FROM agg
+    )
+    SELECT rule_a, rule_b, n_a, n_b, n_both,
+           n_a - n_both AS n_only_a,
+           n_b - n_both AS n_only_b,
+           n_a + n_b - n_both AS n_either,
+           CASE WHEN n_a + n_b - n_both > 0 THEN {pround_sql(
+               'CAST(n_both AS DOUBLE) / CAST(n_a + n_b - n_both AS DOUBLE)'
+           )} ELSE 0.0 END AS jaccard
+    FROM pairs
+"""
+
+
+FEATHASH_DIMS = (256, 1024)  # candidate hashed-feature table sizes
+
+
+def feature_hashing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick collision audit — before committing a fastText /
+    VW-style hashed bag-of-words featurizer (features = md5(term) mod
+    dim, no vocab table), measure what each candidate table size
+    DESTROYS: for each dim and collision depth d (distinct terms
+    sharing one slot), how many slots, how many terms, and how much
+    occurrence mass rides on them. The depth-0 row is the free
+    headroom; mass at depth ≥ 2 is signal the model can never
+    separate. The dim column turns the classic "just use 2^20" advice
+    into a measured curve.
+
+    Exactness: all counts are integers (distinct terms from one
+    explode + term aggregate; md5 slot assignment is the engine's
+    shared deterministic hash). No floats at all.
+
+    Shape: one token explode → term aggregate (the shuffle), a
+    2-literal dim explode on the TERM table (vocab-bounded), two
+    keyed aggregates. Output ≤ dims × max-depth rows."""
+    from smart_city_data_pipeline_spark.functions.hashing import md5_long
+
+    docs = table(spark, sf_dir, "documents")
+    terms = (
+        docs.select(
+            F.explode_outer(T.ws_tokens(F.lower(F.col("text")))).alias("term")
+        )
+        .filter(F.col("term").isNotNull() & (F.col("term") != ""))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dims = F.explode(
+        F.array(*[F.lit(d) for d in FEATHASH_DIMS])
+    ).alias("dim")
+    slotted = terms.select(
+        "term", "cnt", dims
+    ).select(
+        "dim",
+        (md5_long(F.col("term")) % F.col("dim")).alias("slot"),
+        "cnt",
+    )
+    slots = slotted.groupBy("dim", "slot").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("cnt").alias("n_occ"),
+    )
+    occupied = slots.groupBy("dim", F.col("n_terms").alias("depth")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_slots"),
+        F.sum("n_terms").cast("bigint").alias("n_terms"),
+        F.sum("n_occ").cast("bigint").alias("n_occurrences"),
+    )
+    empty = slots.groupBy("dim").agg(
+        (F.first("dim") - F.count(F.lit(1))).cast("bigint").alias("n_slots")
+    ).select(
+        "dim",
+        F.lit(0).cast("bigint").alias("depth"),
+        "n_slots",
+        F.lit(0).cast("bigint").alias("n_terms"),
+        F.lit(0).cast("bigint").alias("n_occurrences"),
+    ).filter(F.col("n_slots") > 0)
+    return occupied.unionByName(empty).select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("depth").cast("long").alias("depth"),
+        "n_slots",
+        "n_terms",
+        "n_occurrences",
+    )
+
+
+QUERIES["feature_hashing_audit"] = feature_hashing_audit
+
+from smart_city_data_pipeline_spark.functions.hashing import (  # noqa: E402
+    md5_long_sql as _md5_sql_fh,
+)
+
+ORACLES["feature_hashing_audit"] = f"""
+    WITH terms AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                       AS term
+            FROM documents
+        )
+        WHERE term IS NOT NULL AND term <> ''
+        GROUP BY 1
+    ),
+    dims AS (SELECT * FROM (VALUES {", ".join(f"({d})" for d in FEATHASH_DIMS)}) d(dim)),
+    slots AS (
+        SELECT d.dim,
+               {_md5_sql_fh("t.term")} % d.dim AS slot,
+               CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(t.cnt) AS BIGINT) AS n_occ
+        FROM terms t CROSS JOIN dims d
+        GROUP BY 1, 2
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           CAST(n_terms AS BIGINT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_slots,
+           CAST(SUM(n_terms) AS BIGINT) AS n_terms,
+           CAST(SUM(n_occ) AS BIGINT) AS n_occurrences
+    FROM slots
+    GROUP BY 1, 2
+    UNION ALL
+    SELECT CAST(dim AS INT), 0,
+           CAST(dim - COUNT(*) AS BIGINT), 0, 0
+    FROM slots
+    GROUP BY dim
+    HAVING dim - COUNT(*) > 0
+"""

@@ -8755,3 +8755,342 @@ ORACLES["first_exceedance_report"] = f"""
     LEFT JOIN med m USING (thr_c)
     CROSS JOIN ns n
 """
+
+
+def spearman_zone_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman RANK correlation between event types' hourly series —
+    the robust twin of ``type_corr_matrix``: Pearson on the raw means
+    is dragged around by a handful of spike hours (exactly the hours
+    ``anomaly_zscore`` flags), Spearman on ranks is invariant to any
+    monotone distortion of either series, so the two matrices
+    disagreeing IS the outlier diagnostic. Reported per type pair over
+    their common hourly buckets.
+
+    Exactness: the series points are the shared quantized integer
+    means ``(sum*128) DIV n``; ranks use the average-tie convention
+    kept INTEGER by doubling — ``2*avgrank = 2*rank + ties - 1`` from
+    one rank window plus one tie-count window per side, both
+    partitioned by the type pair (bounded by the hourly grid, never
+    facts). Spearman rho = Pearson on the doubled ranks (the doubling
+    cancels); moments are exact BIGINTs (2n ranks, n = common hours),
+    cross-multiplied in DECIMAL(38,0), and rho is one double
+    expression spelled identically in the oracle (sqrt of each
+    variance separately — their product can pass 1e38 at century
+    scale, the sqrt factors cannot).
+
+    Shape: one hourly rollup shuffle (map-side combinable), a pair
+    self-join ON THE ROLLUP (T^2 small), two rank windows keyed by
+    pair, one keyed aggregate."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            F.col("event_type"),
+        )
+        .agg(F.sum(cents).alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("bucket", "event_type", F.expr("(s * 128) DIV n").alias("v"))
+    )
+    a = hourly.select(
+        "bucket", F.col("event_type").alias("type_a"), F.col("v").alias("va")
+    )
+    b = hourly.select(
+        "bucket", F.col("event_type").alias("type_b"), F.col("v").alias("vb")
+    )
+    pairs = a.join(b, "bucket").filter(F.col("type_a") < F.col("type_b"))
+    pw = ["type_a", "type_b"]
+    wa = Window.partitionBy(*pw).orderBy("va")
+    wat = Window.partitionBy(*pw, "va")
+    wb = Window.partitionBy(*pw).orderBy("vb")
+    wbt = Window.partitionBy(*pw, "vb")
+    ranked = pairs.select(
+        "type_a",
+        "type_b",
+        (
+            2 * F.rank().over(wa) + F.count(F.lit(1)).over(wat) - 1
+        ).cast("long").alias("ra"),
+        (
+            2 * F.rank().over(wb) + F.count(F.lit(1)).over(wbt) - 1
+        ).cast("long").alias("rb"),
+    )
+    g = ranked.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("ra").alias("sx"),
+        F.sum("rb").alias("sy"),
+        F.sum(F.col("ra") * F.col("rb")).alias("sxy"),
+        F.sum(F.col("ra") * F.col("ra")).alias("sxx"),
+        F.sum(F.col("rb") * F.col("rb")).alias("syy"),
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    cov = dec(F.col("nb")) * dec(F.col("sxy")) - dec(F.col("sx")) * dec(
+        F.col("sy")
+    )
+    varx = dec(F.col("nb")) * dec(F.col("sxx")) - dec(F.col("sx")) * dec(
+        F.col("sx")
+    )
+    vary = dec(F.col("nb")) * dec(F.col("syy")) - dec(F.col("sy")) * dec(
+        F.col("sy")
+    )
+    rho = F.when(
+        (varx > 0) & (vary > 0),
+        cov.cast("double")
+        / F.sqrt(varx.cast("double"))
+        / F.sqrt(vary.cast("double")),
+    )
+    return g.select(
+        "type_a",
+        "type_b",
+        F.col("nb").alias("n_buckets"),
+        pround(rho).alias("spearman_rho"),
+    )
+
+
+QUERIES["spearman_zone_corr"] = spearman_zone_corr
+
+ORACLES["spearman_zone_corr"] = f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS bucket, event_type,
+               (CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                     AS BIGINT) * 128) // COUNT(*) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.v AS va, b.v AS vb
+        FROM hourly a
+        JOIN hourly b ON b.bucket = a.bucket
+        WHERE a.event_type < b.event_type
+    ),
+    ranked AS (
+        SELECT type_a, type_b,
+               CAST(2 * rank() OVER (PARTITION BY type_a, type_b ORDER BY va)
+                    + COUNT(*) OVER (PARTITION BY type_a, type_b, va)
+                    - 1 AS BIGINT) AS ra,
+               CAST(2 * rank() OVER (PARTITION BY type_a, type_b ORDER BY vb)
+                    + COUNT(*) OVER (PARTITION BY type_a, type_b, vb)
+                    - 1 AS BIGINT) AS rb
+        FROM pairs
+    ),
+    g AS (
+        SELECT type_a, type_b,
+               CAST(COUNT(*) AS BIGINT) AS nb,
+               CAST(SUM(ra) AS BIGINT) AS sx,
+               CAST(SUM(rb) AS BIGINT) AS sy,
+               CAST(SUM(ra * rb) AS BIGINT) AS sxy,
+               CAST(SUM(ra * ra) AS BIGINT) AS sxx,
+               CAST(SUM(rb * rb) AS BIGINT) AS syy
+        FROM ranked GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, nb AS n_buckets,
+           CASE WHEN CAST(nb AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
+                 AND CAST(nb AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0
+                THEN {pround_sql(
+                    'CAST(CAST(nb AS HUGEINT) * sxy'
+                    ' - CAST(sx AS HUGEINT) * sy AS DOUBLE)'
+                    ' / sqrt(CAST(CAST(nb AS HUGEINT) * sxx'
+                    ' - CAST(sx AS HUGEINT) * sx AS DOUBLE))'
+                    ' / sqrt(CAST(CAST(nb AS HUGEINT) * syy'
+                    ' - CAST(sy AS HUGEINT) * sy AS DOUBLE))'
+                )} END AS spearman_rho
+    FROM g
+"""
+
+
+# Quantized cosinor basis: round(1024·cos/sin(2πh/24)) for h = 0..23.
+# Integer literals shared verbatim with the oracle, so the harmonic
+# regression's design matrix is EXACT on both engines — no trig in the
+# data path (only the final phase/amplitude report uses floats).
+HARMONIC_COS = [1024, 989, 887, 724, 512, 265, 0, -265, -512, -724,
+                -887, -989, -1024, -989, -887, -724, -512, -265, 0,
+                265, 512, 724, 887, 989]
+HARMONIC_SIN = [0, 265, 512, 724, 887, 989, 1024, 989, 887, 724, 512,
+                265, 0, -265, -512, -724, -887, -989, -1024, -989,
+                -887, -724, -512, -265]
+
+
+def diurnal_harmonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosinor (harmonic) regression of the daily cycle per event
+    type: fit ``v ≈ mesor + A·cos(2π(h − φ)/24)`` to the hourly means
+    via OLS on a cos/sin pair — the parametric quantification of the
+    diurnal rhythm that `seasonal_strength_report` only scores and
+    `zone_hour_cube` only tabulates: WHEN does the zone peak
+    (acrophase φ in hours), and HOW HARD (amplitude in reading
+    units)? Chronobiology's standard single-cosinor model, run as a
+    query.
+
+    Exactness: the design matrix is the shared INTEGER basis
+    ``round(1024·cos/sin(2πh/24))`` (24 literals, no engine trig);
+    series points are the quantized integer hourly means. The 3×3
+    normal equations are solved by Cramer's rule with every
+    determinant an exact DECIMAL(38,0)/HUGEINT polynomial in the
+    integer moments (n ≤ calendar hours keeps the worst product
+    ≈ Scc·Sss·Sv ≈ 7e36 inside 38 digits at century scale; the
+    degenerate D = 0 case — under 3 distinct design rows — reports
+    NULLs honestly). mesor/amplitude/acrophase are the only floats:
+    one division each off exact determinants, atan2/sqrt are IEEE
+    correctly-rounded in both engines, identical spelling + pround.
+
+    Shape: one hourly rollup (map-side combinable), hour-of-day basis
+    lookup as a 24-literal array index (codegen), ONE keyed aggregate
+    of 9 integer moments per type. Facts shuffle once."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            F.col("event_type"),
+        )
+        .agg(F.sum(cents).alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            F.hour("bucket").alias("h"),
+            F.expr("(s * 128) DIV n").alias("v"),
+        )
+    )
+    cos_arr = F.array(*[F.lit(x) for x in HARMONIC_COS])
+    sin_arr = F.array(*[F.lit(x) for x in HARMONIC_SIN])
+    pts = hourly.select(
+        "event_type",
+        "v",
+        F.element_at(cos_arr, F.col("h") + 1).cast("long").alias("c"),
+        F.element_at(sin_arr, F.col("h") + 1).cast("long").alias("s"),
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    g = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum("s").alias("ss"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+        F.sum(F.col("s") * F.col("s")).alias("sss"),
+        F.sum(F.col("c") * F.col("s")).alias("scs"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("c") * F.col("v")).alias("scv"),
+        F.sum(F.col("s") * F.col("v")).alias("ssv"),
+    )
+    n, sc, ss = dec(F.col("n")), dec(F.col("sc")), dec(F.col("ss"))
+    scc, sss, scs = dec(F.col("scc")), dec(F.col("sss")), dec(F.col("scs"))
+    sv, scv, ssv = dec(F.col("sv")), dec(F.col("scv")), dec(F.col("ssv"))
+    d = (
+        n * (scc * sss - scs * scs)
+        - sc * (sc * sss - scs * ss)
+        + ss * (sc * scs - scc * ss)
+    )
+    d0 = (
+        sv * (scc * sss - scs * scs)
+        - sc * (scv * sss - scs * ssv)
+        + ss * (scv * scs - scc * ssv)
+    )
+    d1 = (
+        n * (scv * sss - scs * ssv)
+        - sv * (sc * sss - scs * ss)
+        + ss * (sc * ssv - scv * ss)
+    )
+    d2 = (
+        n * (scc * ssv - scv * scs)
+        - sc * (sc * ssv - scv * ss)
+        + sv * (sc * scs - scc * ss)
+    )
+    dd = d.cast("double")
+    b1 = d1.cast("double") / dd
+    b2 = d2.cast("double") / dd
+    # v = cents·128, basis = 1024·trig ⇒ reading units = ·1024/12800
+    mesor = F.when(d != 0, pround(d0.cast("double") / dd / 12800.0))
+    amplitude = F.when(
+        d != 0,
+        pround(F.sqrt(b1 * b1 + b2 * b2) * 1024.0 / 12800.0),
+    )
+    raw_phase = F.atan2(b2, b1) * F.lit(12.0 / 3.141592653589793) + 24.0
+    peak_hour = F.when(
+        d != 0,
+        pround(
+            F.when(raw_phase >= 24.0, raw_phase - 24.0).otherwise(raw_phase)
+        ),
+    )
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_points"),
+        mesor.alias("mesor"),
+        amplitude.alias("amplitude"),
+        peak_hour.alias("peak_hour"),
+    )
+
+
+QUERIES["diurnal_harmonic_fit"] = diurnal_harmonic_fit
+
+_HC_SQL = "[" + ", ".join(str(x) for x in HARMONIC_COS) + "]"
+_HS_SQL = "[" + ", ".join(str(x) for x in HARMONIC_SIN) + "]"
+
+ORACLES["diurnal_harmonic_fit"] = f"""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(EXTRACT(hour FROM date_trunc('hour', ts)) AS INT) AS h,
+               (CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                     AS BIGINT) * 128) // COUNT(*) AS v
+        FROM events GROUP BY date_trunc('hour', ts), event_type
+    ),
+    pts AS (
+        SELECT event_type, v,
+               CAST(({_HC_SQL})[h + 1] AS BIGINT) AS c,
+               CAST(({_HS_SQL})[h + 1] AS BIGINT) AS s
+        FROM hourly
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(c) AS HUGEINT) AS sc,
+               CAST(SUM(s) AS HUGEINT) AS ss,
+               CAST(SUM(c * c) AS HUGEINT) AS scc,
+               CAST(SUM(s * s) AS HUGEINT) AS sss,
+               CAST(SUM(c * s) AS HUGEINT) AS scs,
+               CAST(SUM(v) AS HUGEINT) AS sv,
+               CAST(SUM(c * v) AS HUGEINT) AS scv,
+               CAST(SUM(s * v) AS HUGEINT) AS ssv
+        FROM pts GROUP BY 1
+    ),
+    dets AS (
+        SELECT event_type, n,
+               n * (scc * sss - scs * scs)
+                 - sc * (sc * sss - scs * ss)
+                 + ss * (sc * scs - scc * ss) AS d,
+               sv * (scc * sss - scs * scs)
+                 - sc * (scv * sss - scs * ssv)
+                 + ss * (scv * scs - scc * ssv) AS d0,
+               n * (scv * sss - scs * ssv)
+                 - sv * (sc * sss - scs * ss)
+                 + ss * (sc * ssv - scv * ss) AS d1,
+               n * (scc * ssv - scv * scs)
+                 - sc * (sc * ssv - scv * ss)
+                 + sv * (sc * scs - scc * ss) AS d2
+        FROM g
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_points,
+           CASE WHEN d <> 0 THEN {pround_sql(
+               'CAST(d0 AS DOUBLE) / CAST(d AS DOUBLE) / 12800.0'
+           )} END AS mesor,
+           CASE WHEN d <> 0 THEN {pround_sql(
+               'sqrt((CAST(d1 AS DOUBLE) / CAST(d AS DOUBLE))'
+               '     * (CAST(d1 AS DOUBLE) / CAST(d AS DOUBLE))'
+               '     + (CAST(d2 AS DOUBLE) / CAST(d AS DOUBLE))'
+               '     * (CAST(d2 AS DOUBLE) / CAST(d AS DOUBLE)))'
+               ' * 1024.0 / 12800.0'
+           )} END AS amplitude,
+           CASE WHEN d <> 0 THEN {pround_sql(
+               'CASE WHEN atan2(CAST(d2 AS DOUBLE) / CAST(d AS DOUBLE),'
+               '                CAST(d1 AS DOUBLE) / CAST(d AS DOUBLE))'
+               '          * (12.0 / 3.141592653589793) + 24.0 >= 24.0'
+               ' THEN atan2(CAST(d2 AS DOUBLE) / CAST(d AS DOUBLE),'
+               '            CAST(d1 AS DOUBLE) / CAST(d AS DOUBLE))'
+               '      * (12.0 / 3.141592653589793) + 24.0 - 24.0'
+               ' ELSE atan2(CAST(d2 AS DOUBLE) / CAST(d AS DOUBLE),'
+               '            CAST(d1 AS DOUBLE) / CAST(d AS DOUBLE))'
+               '      * (12.0 / 3.141592653589793) + 24.0 END'
+           )} END AS peak_hour
+    FROM dets
+"""

@@ -2907,3 +2907,401 @@ def nowcast_fold_py(
     den = sum(wq**a * NOWCAST_W_GRID ** (top - a) for a in win)
     recent3 = sum(1 for a in win if a <= 2)
     return len(win), wq, recent3 >= 2, num // den
+
+
+# Getis-Ord G* significance threshold z0 = 1.96 = 49/25, so
+# z^2 > z0^2  <=>  625 * num^2 * (M-1) > 2401 * a * b  in exact integers.
+GSTAR_Z0_NUM2 = 2401  # 49^2
+GSTAR_Z0_DEN2 = 625   # 25^2
+
+
+def getis_ord_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord G*_i hot-spot map over the 20x20 sensor grid — the
+    OTHER standard local statistic next to the LISA quadrants
+    (``local_morans_hotspots``): where Moran asks "is this cell LIKE
+    its neighbors", G* asks "does this cell's NEIGHBORHOOD (self
+    included) concentrate an unusually large or small share of the
+    city-wide mass". A uniformly-high plateau is HH-but-not-G*-hot in
+    the interior and G*-hot as a whole; the two maps disagree exactly
+    where a dashboard needs both.
+
+    Exactness: cell values are the shared integer means
+    ``(sum_cents*128) DIV n``; with W_i = neighbors-present + self and
+    nsum_i = their value sum, the z numerator is the exact integer
+    ``num = nsum*M - sv*W`` and the hot/cold verdict cross-multiplies
+    z^2 against 1.96^2 = 2401/625: hot iff ``num > 0 AND
+    625*num^2*(M-1) > 2401*(M*svv - sv^2)*(M*W - W^2)`` — every term a
+    DECIMAL(38,0)/HUGEINT integer (num <= ~2.6e13 at 128-scaled cents,
+    num^2*625*M <= ~1e32), so no float boundary can flip a verdict.
+    The reported z and G* share are the only float divisions (both
+    spelled identically in Spark and the oracle, sqrt is IEEE
+    correctly-rounded in both engines, then pround).
+
+    Shape: the bounded morans_i_grid machinery verbatim — fact rollup
+    to <=400 cells, one 4-offset equi-join (never a distance join),
+    one cell-keyed neighbor aggregate, two 1-row broadcasts."""
+    ev = table(spark, sf_dir, "events")
+    cx = F.expr(f"((user_id * 8191) % 10000) DIV {MORAN_CELL}")
+    cy = F.expr(f"((user_id * 524287) % 10000) DIV {MORAN_CELL}")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    cells = (
+        ev.groupBy(cx.alias("cx"), cy.alias("cy"))
+        .agg(F.sum(cents).alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("cx", "cy", F.expr("(s * 128) DIV n").alias("v"))
+    )
+
+    def dec(c: Column) -> Column:
+        return c.cast("decimal(38,0)")
+
+    tot = cells.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("v").alias("sv"),
+        F.sum(dec(F.col("v")) * dec(F.col("v"))).alias("svv"),
+    )
+    a = cells.select(
+        "cx",
+        "cy",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                    for dx, dy in ((0, 1), (0, -1), (1, 0), (-1, 0))
+                ]
+            )
+        ).alias("o"),
+    )
+    b = cells.select(
+        F.col("cx").alias("bx"),
+        F.col("cy").alias("by"),
+        F.col("v").alias("vb"),
+    )
+    nb = (
+        a.join(
+            b,
+            (F.col("bx") == F.col("cx") + F.col("o.dx"))
+            & (F.col("by") == F.col("cy") + F.col("o.dy")),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.sum("vb").alias("nb_sum"), F.count(F.lit(1)).alias("n_nb"))
+    )
+    j = (
+        cells.join(nb, ["cx", "cy"], "left")
+        .select(
+            "cx",
+            "cy",
+            "v",
+            F.coalesce(F.col("n_nb"), F.lit(0).cast("long")).alias("n_nb"),
+            (
+                F.coalesce(F.col("nb_sum"), F.lit(0).cast("long")) + F.col("v")
+            ).alias("nsum"),
+        )
+        .join(F.broadcast(tot))
+    )
+    w = F.col("n_nb") + 1
+    num = dec(F.col("nsum")) * dec(F.col("m")) - dec(F.col("sv")) * dec(w)
+    aa = dec(F.col("m")) * F.col("svv") - dec(F.col("sv")) * dec(F.col("sv"))
+    bb = dec(F.col("m")) * dec(w) - dec(w) * dec(w)
+    lhs = F.lit(GSTAR_Z0_DEN2).cast("decimal(38,0)") * num * num * dec(
+        F.col("m") - 1
+    )
+    rhs = F.lit(GSTAR_Z0_NUM2).cast("decimal(38,0)") * aa * bb
+    sig = lhs > rhs
+    verdict = (
+        F.when((num > 0) & sig, "hot")
+        .when((num < 0) & sig, "cold")
+        .otherwise("ns")
+    )
+    z = F.when(
+        (aa > 0) & (bb > 0),
+        num.cast("double")
+        * F.sqrt(F.col("m").cast("double") - 1.0)
+        / F.sqrt(aa.cast("double"))
+        / F.sqrt(bb.cast("double")),
+    )
+    gi = F.when(
+        F.col("sv") != 0,
+        F.col("nsum").cast("double") / F.col("sv").cast("double"),
+    )
+    return j.select(
+        "cx",
+        "cy",
+        pround(F.col("v").cast("double") / 12800.0).alias("cell_mean"),
+        w.cast("long").alias("w_window"),
+        pround(gi).alias("gi_share"),
+        pround(z).alias("z_score"),
+        verdict.alias("verdict"),
+    )
+
+
+QUERIES["getis_ord_hotspots"] = getis_ord_hotspots
+
+ORACLES["getis_ord_hotspots"] = f"""
+    WITH cells AS (
+        SELECT ((user_id * 8191) % 10000) // {MORAN_CELL} AS cx,
+               ((user_id * 524287) % 10000) // {MORAN_CELL} AS cy,
+               (CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                     AS BIGINT) * 128) // COUNT(*) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+               CAST(SUM(v) AS HUGEINT) AS sv,
+               SUM(CAST(v AS HUGEINT) * v) AS svv
+        FROM cells
+    ),
+    offs AS (
+        SELECT * FROM (VALUES (0, 1), (0, -1), (1, 0), (-1, 0)) o(dx, dy)
+    ),
+    nb AS (
+        SELECT a.cx, a.cy, SUM(b.v) AS nb_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_nb
+        FROM cells a
+        CROSS JOIN offs o
+        JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+        GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT c.cx, c.cy, c.v,
+               COALESCE(n.n_nb, 0) AS n_nb,
+               CAST(COALESCE(n.nb_sum, 0) + c.v AS HUGEINT) AS nsum,
+               t.m, t.sv, t.svv,
+               CAST(COALESCE(n.n_nb, 0) + 1 AS HUGEINT) AS w
+        FROM cells c
+        LEFT JOIN nb n ON n.cx = c.cx AND n.cy = c.cy
+        CROSS JOIN tot t
+    ),
+    terms AS (
+        SELECT cx, cy, v, n_nb, nsum, m, sv, w,
+               nsum * m - sv * w AS num,
+               m * svv - sv * sv AS aa,
+               m * w - w * w AS bb
+        FROM j
+    )
+    SELECT cx, cy,
+           {pround_sql('CAST(v AS DOUBLE) / 12800.0')} AS cell_mean,
+           CAST(w AS BIGINT) AS w_window,
+           CASE WHEN sv <> 0 THEN {pround_sql(
+               'CAST(nsum AS DOUBLE) / CAST(sv AS DOUBLE)'
+           )} END AS gi_share,
+           CASE WHEN aa > 0 AND bb > 0 THEN {pround_sql(
+               'CAST(num AS DOUBLE) * sqrt(CAST(m AS DOUBLE) - 1.0)'
+               ' / sqrt(CAST(aa AS DOUBLE)) / sqrt(CAST(bb AS DOUBLE))'
+           )} END AS z_score,
+           CASE WHEN num > 0 AND {GSTAR_Z0_DEN2} * num * num * (m - 1)
+                     > {GSTAR_Z0_NUM2} * aa * bb THEN 'hot'
+                WHEN num < 0 AND {GSTAR_Z0_DEN2} * num * num * (m - 1)
+                     > {GSTAR_Z0_NUM2} * aa * bb THEN 'cold'
+                ELSE 'ns' END AS verdict
+    FROM terms
+"""
+
+
+KNOX_MINUTES = 60      # time-proximity window (minute grid)
+KNOX_BLOCK = KNOX_MINUTES + 1  # equi-join block: |dm|<=60 spans <=2 blocks
+
+
+def knox_spacetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knox space-time interaction test — do events cluster in space
+    AND time TOGETHER (an incident signature: a crash surges nearby
+    sensors for the next hour) beyond what the marginal spatial and
+    temporal clusterings explain? Knox (1964): compare the count of
+    event pairs close in BOTH dimensions against the independence
+    expectation ``N_s·N_t / C(n,2)``.
+
+    Proximity is exact on the engine's grids: spatial = same or
+    rook-adjacent 500-unit cell (the morans/dbscan layout), temporal =
+    |Δminute| ≤ 60 on the minute grid. All three pair counts are
+    computed from KEYED ROLLUPS, never event-level self-joins: ordered
+    pair mass Σ c_a·c_b over (cell, minute-block) equi-joins — the
+    |Δm| ≤ 60 predicate spans at most TWO 61-minute blocks, so a
+    3-literal block-offset explode makes the time dimension an
+    EQUI-join too (no range join, no unpartitioned window, no
+    BNLJ); unordered counts are (ordered − n)/2 exactly. Counts are
+    exact BIGINT/DECIMAL(38,0); the Knox ratio and its >1 verdict are
+    the only doubles (identical spelling in the oracle).
+
+    Shape: one fact rollup to (cell × minute) (map-side combinable),
+    three bounded equi-joins on rollups (15/3/5 offset copies), three
+    1-row aggregates joined by broadcast."""
+    ev = table(spark, sf_dir, "events")
+    cxe = F.expr(f"((user_id * 8191) % 10000) DIV {MORAN_CELL}")
+    cye = F.expr(f"((user_id * 524287) % 10000) DIV {MORAN_CELL}")
+    minute = F.expr("unix_timestamp(ts) DIV 60")
+    st = ev.groupBy(
+        cxe.alias("cx"), cye.alias("cy"), minute.alias("m")
+    ).agg(F.count(F.lit(1)).alias("c"))
+
+    def dec(c: Column) -> Column:
+        return c.cast("decimal(38,0)")
+
+    rook5 = [(0, 0), (0, 1), (0, -1), (1, 0), (-1, 0)]
+    # --- pairs close in BOTH: (cell-offset, block-offset) equi-join
+    a_st = st.select(
+        "cx",
+        "cy",
+        "m",
+        F.col("c").alias("ca"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(dx).alias("dx"),
+                        F.lit(dy).alias("dy"),
+                        F.lit(db).alias("db"),
+                    )
+                    for dx, dy in rook5
+                    for db in (-1, 0, 1)
+                ]
+            )
+        ).alias("o"),
+    )
+    b_st = st.select(
+        F.col("cx").alias("bx"),
+        F.col("cy").alias("by"),
+        F.col("m").alias("bm"),
+        F.col("c").alias("cb"),
+    )
+    p_st = (
+        a_st.join(
+            b_st,
+            (F.col("bx") == F.col("cx") + F.col("o.dx"))
+            & (F.col("by") == F.col("cy") + F.col("o.dy"))
+            & (
+                F.expr(f"bm DIV {KNOX_BLOCK}")
+                == F.expr(f"m DIV {KNOX_BLOCK}") + F.col("o.db")
+            ),
+        )
+        .filter(F.abs(F.col("bm") - F.col("m")) <= KNOX_MINUTES)
+        .agg(F.sum(dec(F.col("ca")) * dec(F.col("cb"))).alias("p_st"))
+    )
+    # --- pairs close in time only: minute rollup, block equi-join
+    mt = st.groupBy("m").agg(F.sum("c").alias("c"))
+    a_t = mt.select(
+        "m",
+        F.col("c").alias("ca"),
+        F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("db"),
+    )
+    b_t = mt.select(F.col("m").alias("bm"), F.col("c").alias("cb"))
+    p_t = (
+        a_t.join(
+            b_t,
+            F.expr(f"bm DIV {KNOX_BLOCK}")
+            == F.expr(f"m DIV {KNOX_BLOCK}") + F.col("db"),
+        )
+        .filter(F.abs(F.col("bm") - F.col("m")) <= KNOX_MINUTES)
+        .agg(F.sum(dec(F.col("ca")) * dec(F.col("cb"))).alias("p_t"))
+    )
+    # --- pairs close in space only: cell rollup, rook-5 equi-join
+    ct = st.groupBy("cx", "cy").agg(F.sum("c").alias("c"))
+    a_s = ct.select(
+        "cx",
+        "cy",
+        F.col("c").alias("ca"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                    for dx, dy in rook5
+                ]
+            )
+        ).alias("o"),
+    )
+    b_s = ct.select(
+        F.col("cx").alias("bx"),
+        F.col("cy").alias("by"),
+        F.col("c").alias("cb"),
+    )
+    p_s = a_s.join(
+        b_s,
+        (F.col("bx") == F.col("cx") + F.col("o.dx"))
+        & (F.col("by") == F.col("cy") + F.col("o.dy")),
+    ).agg(F.sum(dec(F.col("ca")) * dec(F.col("cb"))).alias("p_s"))
+    tot = ev.agg(F.count(F.lit(1)).alias("n"))
+    j = (
+        tot.join(F.broadcast(p_st))
+        .join(F.broadcast(p_t))
+        .join(F.broadcast(p_s))
+    )
+    nn = dec(F.col("n"))
+    x_both = (F.col("p_st") - nn) / 2
+    n_s = (F.col("p_s") - nn) / 2
+    n_t = (F.col("p_t") - nn) / 2
+    ratio = F.when(
+        (n_s > 0) & (n_t > 0),
+        x_both.cast("double")
+        * F.col("n").cast("double")
+        * (F.col("n").cast("double") - 1.0)
+        / 2.0
+        / (n_s.cast("double") * n_t.cast("double")),
+    )
+    return j.select(
+        F.col("n").cast("long").alias("n_events"),
+        n_s.cast("decimal(38,0)").cast("long").alias("close_space_pairs"),
+        n_t.cast("decimal(38,0)").cast("long").alias("close_time_pairs"),
+        x_both.cast("decimal(38,0)").cast("long").alias("close_both_pairs"),
+        pround(ratio).alias("knox_ratio"),
+        F.coalesce(ratio > 1.0, F.lit(False)).alias("interaction"),
+    )
+
+
+QUERIES["knox_spacetime"] = knox_spacetime
+
+ORACLES["knox_spacetime"] = f"""
+    WITH st AS (
+        SELECT ((user_id * 8191) % 10000) // {MORAN_CELL} AS cx,
+               ((user_id * 524287) % 10000) // {MORAN_CELL} AS cy,
+               CAST(floor(epoch(ts)) AS BIGINT) // 60 AS m,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2, 3
+    ),
+    rook AS (
+        SELECT * FROM (VALUES (0,0),(0,1),(0,-1),(1,0),(-1,0)) o(dx, dy)
+    ),
+    blocks AS (SELECT * FROM (VALUES (-1),(0),(1)) b(db)),
+    p_st AS (
+        SELECT SUM(CAST(a.c AS HUGEINT) * b.c) AS p_st
+        FROM st a CROSS JOIN rook o CROSS JOIN blocks k
+        JOIN st b
+          ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+         AND b.m // {KNOX_BLOCK} = a.m // {KNOX_BLOCK} + k.db
+        WHERE abs(b.m - a.m) <= {KNOX_MINUTES}
+    ),
+    mt AS (SELECT m, CAST(SUM(c) AS BIGINT) AS c FROM st GROUP BY 1),
+    p_t AS (
+        SELECT SUM(CAST(a.c AS HUGEINT) * b.c) AS p_t
+        FROM mt a CROSS JOIN blocks k
+        JOIN mt b ON b.m // {KNOX_BLOCK} = a.m // {KNOX_BLOCK} + k.db
+        WHERE abs(b.m - a.m) <= {KNOX_MINUTES}
+    ),
+    ct AS (
+        SELECT cx, cy, CAST(SUM(c) AS BIGINT) AS c FROM st GROUP BY 1, 2
+    ),
+    p_s AS (
+        SELECT SUM(CAST(a.c AS HUGEINT) * b.c) AS p_s
+        FROM ct a CROSS JOIN rook o
+        JOIN ct b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM events)
+    SELECT CAST(t.n AS BIGINT) AS n_events,
+           CAST((s.p_s - t.n) // 2 AS BIGINT) AS close_space_pairs,
+           CAST((m2.p_t - t.n) // 2 AS BIGINT) AS close_time_pairs,
+           CAST((b2.p_st - t.n) // 2 AS BIGINT) AS close_both_pairs,
+           CASE WHEN (s.p_s - t.n) // 2 > 0 AND (m2.p_t - t.n) // 2 > 0
+                THEN {pround_sql(
+                    'CAST((b2.p_st - t.n) // 2 AS DOUBLE)'
+                    ' * CAST(t.n AS DOUBLE)'
+                    ' * (CAST(t.n AS DOUBLE) - 1.0) / 2.0'
+                    ' / (CAST((s.p_s - t.n) // 2 AS DOUBLE)'
+                    '    * CAST((m2.p_t - t.n) // 2 AS DOUBLE))'
+                )} END AS knox_ratio,
+           COALESCE(
+               CASE WHEN (s.p_s - t.n) // 2 > 0 AND (m2.p_t - t.n) // 2 > 0
+                    THEN CAST((b2.p_st - t.n) // 2 AS DOUBLE)
+                         * CAST(t.n AS DOUBLE)
+                         * (CAST(t.n AS DOUBLE) - 1.0) / 2.0
+                         / (CAST((s.p_s - t.n) // 2 AS DOUBLE)
+                            * CAST((m2.p_t - t.n) // 2 AS DOUBLE)) > 1.0
+                    END, FALSE) AS interaction
+    FROM tot t CROSS JOIN p_st b2 CROSS JOIN p_t m2 CROSS JOIN p_s s
+"""

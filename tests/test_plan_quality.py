@@ -83,6 +83,14 @@ BNLJ_ALLOWED = {
     "hard_negative_mining",  # cross-label mining: bounded probe side
     # broadcast, non-equi (label <>) by design like ann_topk_cosine
     "layer_reconciliation",  # 1-row retention-cutoff broadcast
+    "getis_ord_hotspots",  # 1-row global (m, sv, svv) moment broadcast
+    # onto the ≤400-cell table (the morans_i_grid discipline)
+    "knox_spacetime",  # three 1-row pair-mass aggregates cross-joined
+    # with the 1-row total (morans discipline); the pair joins
+    # themselves are (cell, block)-equi
+    "mwu_zone_shift",  # type×type pair construction: non-equi (<) join
+    # of two DISTINCT event-type lists (bounded by type cardinality,
+    # never facts); the merged-sample joins are equi on the pair key
     "benford_digit_test",  # 9-row digit-grid literal broadcast (the
     # zone × digit completion join; constant cost at any scale)
     "retention_cost_curve",  # 1-row max-day + 4-row window literal
