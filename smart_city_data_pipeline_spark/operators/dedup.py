@@ -4167,3 +4167,108 @@ ORACLES["embedding_threshold_sweep"] = f"""
     LEFT JOIN dupped d USING (thr_milli)
     CROSS JOIN tot t
 """
+
+
+def cross_source_neardup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH SOURCES COPY FROM WHICH: the MinHash-LSH near-dup pairs
+    rolled up to an unordered source×source matrix — candidate pairs,
+    verified duplicates (signature similarity ≥ the shared threshold),
+    and the dup share per source pair. `source_ngram_overlap` answers
+    this at n-gram granularity; this is the DOCUMENT-pair view a
+    dedup run actually acts on, and the diagonal (src×src) exposes
+    self-copying feeds. The matrix is the input to "drop source B, it
+    is 80% source A" decisions before a 100 TB crawl merge.
+
+    Reuses the shared signature/band machinery verbatim
+    (`_minhash_sig_wide` → `_band_pairs` — slim band join, ReuseExchange
+    on the verify joins, nothing all-pairs); two doc_id-keyed joins
+    attach sources, one keyed aggregate over the bounded source grid.
+    Counts are integers; the share is one pround'd division."""
+    sig = _minhash_sig_wide(spark, sf_dir).select(
+        "doc_id", *[F.col(f"m{i}") for i in range(N_MINHASH)]
+    )
+    pairs = _band_pairs(sig)
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    sim = _minhash_eq_sim()
+    verified = (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (pround(sim) >= MINHASH_SIM_THRESHOLD).alias("is_dup"),
+        )
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    d1 = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+    )
+    d2 = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+    )
+    j = verified.join(d1, "doc_a").join(d2, "doc_b")
+    g = (
+        j.groupBy(
+            F.least(F.col("src_a"), F.col("src_b")).alias("source_a"),
+            F.greatest(F.col("src_a"), F.col("src_b")).alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
+            F.sum(F.col("is_dup").cast("int")).cast("bigint").alias(
+                "n_dup_pairs"
+            ),
+        )
+    )
+    return g.select(
+        "source_a",
+        "source_b",
+        "n_candidate_pairs",
+        "n_dup_pairs",
+        pround(
+            F.col("n_dup_pairs").cast("double")
+            / F.col("n_candidate_pairs").cast("double")
+        ).alias("dup_share"),
+    )
+
+
+QUERIES["cross_source_neardup_matrix"] = cross_source_neardup_matrix
+
+ORACLES["cross_source_neardup_matrix"] = f"""
+    WITH sh AS ({_HASHED_SHINGLES_SQL}),
+    sigm AS (
+        SELECT doc_id,
+           {_SIG_COLS_SQL}
+        FROM sh GROUP BY 1
+    ),
+    sig AS (
+        SELECT *,
+           {_BAND_COLS_SQL}
+        FROM sigm
+    ),
+    cand AS (
+        {_CAND_UNION_SQL}
+    ),
+    verified AS (
+        SELECT doc_a, doc_b,
+               ((FLOOR(CAST((raw_sim) AS DOUBLE) * 10000.0 + 0.5) / 10000.0)
+                >= {MINHASH_SIM_THRESHOLD}) AS is_dup
+        FROM cand
+    ),
+    j AS (
+        SELECT LEAST(d1.source, d2.source) AS source_a,
+               GREATEST(d1.source, d2.source) AS source_b,
+               v.is_dup
+        FROM verified v
+        JOIN documents d1 ON v.doc_a = d1.doc_id
+        JOIN documents d2 ON v.doc_b = d2.doc_id
+    )
+    SELECT source_a, source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_pairs,
+           (FLOOR(CAST((SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1.0
+                        / COUNT(*)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0)
+               AS dup_share
+    FROM j
+    GROUP BY 1, 2
+"""

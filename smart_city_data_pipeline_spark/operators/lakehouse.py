@@ -18,6 +18,8 @@ deployment adds profiling and clustering jobs on top).
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1615,4 +1617,103 @@ ORACLES["clustering_depth_report"] = f"""
            CAST(SUM(overlapping_before) AS BIGINT) AS overlapping_pairs
     FROM per_file
     GROUP BY 1
+"""
+
+
+# Broadcast-policy model: Spark's default autoBroadcastJoinThreshold
+# (10 MiB) and a per-row envelope matching _hour_partition_rollup's.
+JOIN_BROADCAST_BYTES = 10 * 1024 * 1024
+JOIN_ROW_OVERHEAD = 20
+JOIN_NUM_WIDTH = 8
+
+# (table, [numeric/date column count], [string columns]) — the width
+# model is literal so the byte estimate is an exact integer on both
+# engines.
+JOIN_DIM_TABLES = (
+    ("region", 1, ("r_name",)),
+    ("nation", 2, ("n_name",)),
+    ("customer", 3, ("c_name", "c_mktsegment")),
+    ("supplier", 3, ("s_name",)),
+    ("part", 3, ("p_name", "p_brand", "p_type")),
+    ("orders", 4, ("o_orderstatus", "o_orderpriority")),
+)
+
+
+def join_strategy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-policy PLANNING table for the warehouse star: for
+    every dimension of the lineitem fact, the measured row count, an
+    exact byte estimate (literal per-type widths + measured string
+    lengths + row envelope), the fact-to-dim row ratio, and the join
+    strategy the engine should pick — ``broadcast`` under the 10 MiB
+    autoBroadcastJoinThreshold, ``shuffle_hash`` while the dim is
+    ≥1000× smaller than the fact (one-sided shuffle still wins),
+    ``sort_merge`` otherwise. This is tests/test_broadcast_policy.py's
+    enforcement turned into a QUERY — the number a 100 TB capacity
+    plan cites when a dim outgrows the driver.
+
+    Exactness: counts and byte sums are integers; the ratio is one
+    pround'd division. Shape: one aggregate per dim table (map-side
+    combinable; dims are the SMALL side by construction) + the 1-row
+    fact count, unioned into a ≤6-row report."""
+    fact = table(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("fact_rows")
+    )
+    parts = []
+    for name, n_num, str_cols in JOIN_DIM_TABLES:
+        t = table(spark, sf_dir, name)
+        row_bytes = F.lit(JOIN_ROW_OVERHEAD + JOIN_NUM_WIDTH * n_num).cast(
+            "long"
+        )
+        for c in str_cols:
+            row_bytes = row_bytes + F.length(F.col(c)).cast("long")
+        parts.append(
+            t.agg(
+                F.lit(name).alias("table_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(row_bytes).alias("est_bytes"),
+            )
+        )
+    dims = functools.reduce(lambda a, b: a.unionByName(b), parts)
+    j = dims.join(F.broadcast(fact))
+    strategy = (
+        F.when(F.col("est_bytes") <= JOIN_BROADCAST_BYTES, "broadcast")
+        .when(
+            F.col("n_rows") * 1000 <= F.col("fact_rows"), "shuffle_hash"
+        )
+        .otherwise("sort_merge")
+    )
+    return j.select(
+        "table_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("est_bytes").cast("long").alias("est_bytes"),
+        pround(
+            F.col("fact_rows").cast("double") / F.col("n_rows").cast("double")
+        ).alias("fact_row_ratio"),
+        strategy.alias("strategy"),
+    )
+
+
+QUERIES["join_strategy_report"] = join_strategy_report
+
+_JOIN_DIM_SQL = "\n    UNION ALL\n    ".join(
+    f"SELECT '{name}' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,\n"
+    f"           CAST(SUM({JOIN_ROW_OVERHEAD + JOIN_NUM_WIDTH * n_num}"
+    + "".join(f" + length({c})" for c in str_cols)
+    + f") AS BIGINT) AS est_bytes\n    FROM {name}"
+    for name, n_num, str_cols in JOIN_DIM_TABLES
+)
+
+ORACLES["join_strategy_report"] = f"""
+    WITH dims AS (
+    {_JOIN_DIM_SQL}
+    ),
+    fact AS (SELECT CAST(COUNT(*) AS BIGINT) AS fact_rows FROM lineitem)
+    SELECT d.table_name, d.n_rows, d.est_bytes,
+           {pround_sql(
+               'CAST(f.fact_rows AS DOUBLE) / CAST(d.n_rows AS DOUBLE)'
+           )} AS fact_row_ratio,
+           CASE WHEN d.est_bytes <= {JOIN_BROADCAST_BYTES} THEN 'broadcast'
+                WHEN d.n_rows * 1000 <= f.fact_rows THEN 'shuffle_hash'
+                ELSE 'sort_merge' END AS strategy
+    FROM dims d CROSS JOIN fact f
 """

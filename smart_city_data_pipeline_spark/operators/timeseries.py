@@ -9094,3 +9094,183 @@ ORACLES["diurnal_harmonic_fit"] = f"""
            )} END AS peak_hour
     FROM dets
 """
+
+
+# Runs-test significance: z0 = 1.96 = 49/25 (cross-multiplied).
+RUNS_Z0_NUM2 = 2401
+RUNS_Z0_DEN2 = 625
+
+
+def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test per sensor — is the hourly series
+    RANDOM around its median, or does it drift (too few runs: long
+    same-side excursions, what `cusum_drift` hunts) or oscillate (too
+    many runs: alternating overshoot, a control loop hunting)? The
+    one-number randomness gate to run before trusting i.i.d.-flavored
+    monitors (`anomaly_zscore`, control charts) on a sensor.
+
+    Semantics: per-sensor hourly means (the shared quantized integer
+    grid), dichotomized against the sensor's LOWER MEDIAN (exact
+    rank-pick at position (n+1)//2); values equal to the median are
+    dropped per the classic construction (an all-constant sensor drops
+    every point and is honestly absent). Runs are counted over hour
+    order. The normal-approximation verdict is an exact integer
+    cross-multiply: with dev·n = R·n − n − 2·n1·n2,
+    ``625·(R·n − n − 2n1n2)²·(n−1) > 2401·2n1n2·(2n1n2 − n)`` decides
+    |z| > 1.96 — every term DECIMAL(38,0)/HUGEINT, and n is the
+    calendar-bounded HOURLY count (≤ ~1e6 at century scale, worst
+    product ≈ 1e30), so no float boundary flips a verdict. z is the
+    only float, spelled identically in the oracle.
+
+    Shape: one hourly rollup (map-side combinable), three sensor-keyed
+    windows (median rank-pick, lag for run breaks), one keyed
+    aggregate. No global window, nothing quadratic."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hourly = (
+        ev.groupBy(
+            F.col("user_id").alias("sensor_id"),
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        )
+        .agg(F.sum(cents).alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("sensor_id", "bucket", F.expr("(s * 128) DIV n").alias("v"))
+    )
+    wv = Window.partitionBy("sensor_id").orderBy("v", "bucket")
+    wc = Window.partitionBy("sensor_id")
+    med = (
+        hourly.select(
+            "sensor_id",
+            "v",
+            F.row_number().over(wv).alias("rk"),
+            F.count(F.lit(1)).over(wc).alias("n_all"),
+        )
+        .filter(F.col("rk") == F.expr("(n_all + 1) DIV 2"))
+        .select("sensor_id", F.col("v").alias("median_v"))
+    )
+    seq = (
+        hourly.join(med, "sensor_id")
+        .filter(F.col("v") != F.col("median_v"))
+        .select(
+            "sensor_id", "bucket", (F.col("v") > F.col("median_v")).alias("above")
+        )
+    )
+    wt = Window.partitionBy("sensor_id").orderBy("bucket")
+    runs = seq.select(
+        "sensor_id",
+        "above",
+        F.when(
+            F.lag("above").over(wt).isNull()
+            | (F.lag("above").over(wt) != F.col("above")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    g = runs.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("above").cast("int")).alias("n1"),
+        F.sum((~F.col("above")).cast("int")).alias("n2"),
+        F.sum("new_run").alias("r"),
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    n, n1, n2, r = (F.col(c) for c in ("n", "n1", "n2", "r"))
+    devn = dec(r) * dec(n) - dec(n) - 2 * dec(n1) * dec(n2)
+    var_a = 2 * dec(n1) * dec(n2)
+    var_b = 2 * dec(n1) * dec(n2) - dec(n)
+    sig = (var_b > 0) & (
+        F.lit(RUNS_Z0_DEN2).cast("decimal(38,0)") * devn * devn * dec(n - 1)
+        > F.lit(RUNS_Z0_NUM2).cast("decimal(38,0)") * var_a * var_b
+    )
+    verdict = (
+        F.when(sig & (devn < 0), "clustered")
+        .when(sig & (devn > 0), "oscillating")
+        .otherwise("random")
+    )
+    z = F.when(
+        var_b > 0,
+        devn.cast("double")
+        * F.sqrt(n.cast("double") - 1.0)
+        / F.sqrt(var_a.cast("double"))
+        / F.sqrt(var_b.cast("double")),
+    )
+    return g.select(
+        "sensor_id",
+        n.cast("long").alias("n_points"),
+        n1.cast("long").alias("n_above"),
+        n2.cast("long").alias("n_below"),
+        r.cast("long").alias("n_runs"),
+        pround(z).alias("z_score"),
+        verdict.alias("verdict"),
+    )
+
+
+QUERIES["runs_test_randomness"] = runs_test_randomness
+
+ORACLES["runs_test_randomness"] = f"""
+    WITH hourly AS (
+        SELECT user_id AS sensor_id, date_trunc('hour', ts) AS bucket,
+               (CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                     AS BIGINT) * 128) // COUNT(*) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT sensor_id, v AS median_v
+        FROM (
+            SELECT sensor_id, v,
+                   row_number() OVER (PARTITION BY sensor_id
+                                      ORDER BY v, bucket) AS rk,
+                   COUNT(*) OVER (PARTITION BY sensor_id) AS n_all
+            FROM hourly
+        )
+        WHERE rk = (n_all + 1) // 2
+    ),
+    seq AS (
+        SELECT h.sensor_id, h.bucket, h.v > m.median_v AS above
+        FROM hourly h JOIN med m USING (sensor_id)
+        WHERE h.v <> m.median_v
+    ),
+    runs AS (
+        SELECT sensor_id, above,
+               CASE WHEN lag(above) OVER (PARTITION BY sensor_id
+                                          ORDER BY bucket) IS NULL
+                      OR lag(above) OVER (PARTITION BY sensor_id
+                                          ORDER BY bucket) <> above
+                    THEN 1 ELSE 0 END AS new_run
+        FROM seq
+    ),
+    g AS (
+        SELECT sensor_id,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(CASE WHEN above THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+               CAST(SUM(CASE WHEN above THEN 0 ELSE 1 END) AS HUGEINT) AS n2,
+               CAST(SUM(new_run) AS HUGEINT) AS r
+        FROM runs GROUP BY 1
+    ),
+    terms AS (
+        SELECT sensor_id, n, n1, n2, r,
+               r * n - n - 2 * n1 * n2 AS devn,
+               2 * n1 * n2 AS var_a,
+               2 * n1 * n2 - n AS var_b
+        FROM g
+    )
+    SELECT sensor_id,
+           CAST(n AS BIGINT) AS n_points,
+           CAST(n1 AS BIGINT) AS n_above,
+           CAST(n2 AS BIGINT) AS n_below,
+           CAST(r AS BIGINT) AS n_runs,
+           CASE WHEN var_b > 0 THEN {pround_sql(
+               'CAST(devn AS DOUBLE) * sqrt(CAST(n AS DOUBLE) - 1.0)'
+               ' / sqrt(CAST(var_a AS DOUBLE)) / sqrt(CAST(var_b AS DOUBLE))'
+           )} END AS z_score,
+           CASE WHEN var_b > 0
+                 AND {RUNS_Z0_DEN2} * devn * devn * (n - 1)
+                     > {RUNS_Z0_NUM2} * var_a * var_b
+                THEN CASE WHEN devn < 0 THEN 'clustered'
+                          WHEN devn > 0 THEN 'oscillating'
+                          ELSE 'random' END
+                ELSE 'random' END AS verdict
+    FROM terms
+"""

@@ -91,6 +91,8 @@ BNLJ_ALLOWED = {
     "mwu_zone_shift",  # type×type pair construction: non-equi (<) join
     # of two DISTINCT event-type lists (bounded by type cardinality,
     # never facts); the merged-sample joins are equi on the pair key
+    "join_strategy_report",  # 1-row fact-count broadcast onto the
+    # ≤6-row dim summary table
     "benford_digit_test",  # 9-row digit-grid literal broadcast (the
     # zone × digit completion join; constant cost at any scale)
     "retention_cost_curve",  # 1-row max-day + 4-row window literal

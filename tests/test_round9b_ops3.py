@@ -1,0 +1,233 @@
+"""Planted-data property tests for the third late-round-9 batch
+(runs_test_randomness, cross_source_neardup_matrix,
+join_strategy_report)."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime, timedelta
+
+from smart_city_data_pipeline_spark.functions.rounding import pround_py
+from smart_city_data_pipeline_spark.operators.dedup import (
+    cross_source_neardup_matrix,
+)
+from smart_city_data_pipeline_spark.operators.lakehouse import (
+    JOIN_DIM_TABLES,
+    JOIN_NUM_WIDTH,
+    JOIN_ROW_OVERHEAD,
+    join_strategy_report,
+)
+from smart_city_data_pipeline_spark.operators.timeseries import (
+    RUNS_Z0_DEN2,
+    RUNS_Z0_NUM2,
+    runs_test_randomness,
+)
+
+EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+T0 = datetime(2026, 1, 1)
+
+
+def _write_events(spark, tmp_path, rows):
+    d = str(tmp_path / "lake")
+    spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d + "/events.parquet")
+    return d
+
+
+# --------------------------------------------------- runs_test_randomness
+
+
+def _ref_runs(series):
+    """Independent replay on one sensor's hourly integer series."""
+    n_all = len(series)
+    med = sorted(series)[(n_all + 1) // 2 - 1]
+    seq = [v > med for v in series if v != med]
+    if not seq:
+        return None
+    n = len(seq)
+    n1 = sum(seq)
+    n2 = n - n1
+    r = 1 + sum(1 for i in range(1, n) if seq[i] != seq[i - 1])
+    devn = r * n - n - 2 * n1 * n2
+    var_a, var_b = 2 * n1 * n2, 2 * n1 * n2 - n
+    sig = var_b > 0 and (
+        RUNS_Z0_DEN2 * devn * devn * (n - 1) > RUNS_Z0_NUM2 * var_a * var_b
+    )
+    verdict = (
+        "clustered" if (sig and devn < 0)
+        else ("oscillating" if (sig and devn > 0) else "random")
+    )
+    z = (
+        pround_py(
+            devn * math.sqrt(n - 1.0) / math.sqrt(var_a) / math.sqrt(var_b)
+        )
+        if var_b > 0
+        else None
+    )
+    return {
+        "n_points": n, "n_above": n1, "n_below": n2, "n_runs": r,
+        "z_score": z, "verdict": verdict,
+    }
+
+
+def test_runs_test_patterns_match_replay(spark, tmp_path):
+    """Sensor 1 alternates every hour (oscillating: max runs), sensor 2
+    is two long blocks (clustered: 2 runs), sensor 3 carries an
+    arbitrary fixed pattern replayed independently; a constant sensor 4
+    drops every point and is absent."""
+    # distinct values (lows 10.., highs 30..) so only the single
+    # median point drops — a two-valued series would drop a whole side
+    patterns = {
+        1: [
+            (10.0 + h // 2) if h % 2 == 0 else (30.0 + h // 2)
+            for h in range(24)
+        ],
+        2: [10.0 + k for k in range(12)] + [30.0 + k for k in range(12)],
+        3: [12.0, 17.0, 11.0, 30.0, 5.0, 22.0, 9.0, 14.0, 28.0, 3.0,
+            19.0, 25.0],
+        4: [7.0] * 10,
+    }
+    rows, eid = [], 0
+    for uid, vals in patterns.items():
+        for h, v in enumerate(vals):
+            rows.append((eid, T0 + timedelta(hours=h), uid, "a", v, ""))
+            eid += 1
+    got = {
+        r["sensor_id"]: r
+        for r in runs_test_randomness(
+            spark, _write_events(spark, tmp_path, rows)
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}  # sensor 4 honestly absent
+    for uid in (1, 2, 3):
+        series = [int(math.floor(v * 100 + 0.5)) * 128
+                  for v in patterns[uid]]
+        e = _ref_runs(series)
+        for k, v in e.items():
+            assert got[uid][k] == v, (uid, k, got[uid][k], v)
+    assert got[1]["verdict"] == "oscillating"
+    assert got[2]["verdict"] == "clustered"
+    assert got[2]["n_runs"] == 2
+
+
+# ---------------------------------------------- cross_source_neardup_matrix
+
+
+def test_cross_source_matrix_finds_the_copying_feed(spark, tmp_path):
+    """src1 carries two copies of a document, src2 republishes it once;
+    src3 is unique content. The matrix must show exactly the
+    (src1,src1) and (src1,src2) dup pairs and no verified dup anywhere
+    else."""
+    copied = " ".join(f"tok{i:02d} shared corpus body text" for i in range(30))
+    uniq = [
+        " ".join(f"u{j}x{i:02d} zq{j}w{i} brr{j * 7 + i}" for i in range(25))
+        for j in range(4)
+    ]
+    rows = [
+        (0, copied, "en", "src1", len(copied)),
+        (1, copied, "en", "src1", len(copied)),
+        (2, copied, "en", "src2", len(copied)),
+        (3, uniq[0], "en", "src2", len(uniq[0])),
+        (4, uniq[1], "en", "src3", len(uniq[1])),
+        (5, uniq[2], "en", "src3", len(uniq[2])),
+        (6, uniq[3], "en", "src1", len(uniq[3])),
+    ]
+    d = str(tmp_path / "lake")
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d + "/documents.parquet")
+    out = cross_source_neardup_matrix(spark, d).collect()
+    dup = {
+        (r["source_a"], r["source_b"]): (r["n_dup_pairs"], r["dup_share"])
+        for r in out
+        if r["n_dup_pairs"] > 0
+    }
+    assert dup == {
+        ("src1", "src1"): (1, 1.0),
+        ("src1", "src2"): (2, 1.0),
+    }
+    for r in out:
+        assert r["n_candidate_pairs"] >= r["n_dup_pairs"]
+
+
+# --------------------------------------------------- join_strategy_report
+
+
+def test_join_strategy_byte_model_matches_replay(spark, tmp_path):
+    """Tiny planted star: every dim's byte estimate equals the Python
+    replay of the width model, every dim broadcasts, and the fact/dim
+    ratio is exact."""
+    d = str(tmp_path / "lake")
+    tables = {
+        "region": (
+            "r_regionkey int, r_name string",
+            [(i, f"region{i}") for i in range(3)],
+        ),
+        "nation": (
+            "n_nationkey int, n_name string, n_regionkey int",
+            [(i, f"nat{i:02d}", i % 3) for i in range(6)],
+        ),
+        "customer": (
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string",
+            [(i, f"cust{i:03d}", i % 6, 10.0 * i, "SEG" + str(i % 2))
+             for i in range(10)],
+        ),
+        "supplier": (
+            "s_suppkey long, s_name string, s_nationkey int, "
+            "s_acctbal double",
+            [(i, f"sup{i:03d}", i % 6, 5.0 * i) for i in range(4)],
+        ),
+        "part": (
+            "p_partkey long, p_name string, p_brand string, "
+            "p_type string, p_size int, p_retailprice double",
+            [(i, f"part{i:03d}", f"B{i % 3}", f"T{i % 2}", i, 1.5 * i)
+             for i in range(8)],
+        ),
+        "orders": (
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate date, o_orderpriority string",
+            [(i, i % 10, "O", 100.0 * i, datetime(2026, 1, 1).date(),
+              f"{i % 3}-PRIO") for i in range(12)],
+        ),
+        "lineitem": (
+            "l_orderkey long, l_partkey long, l_suppkey long, "
+            "l_linenumber int, l_quantity double, l_extendedprice double, "
+            "l_discount double, l_tax double, l_returnflag string, "
+            "l_linestatus string, l_shipdate date",
+            [(i % 12, i % 8, i % 4, i, 1.0, 2.0, 0.0, 0.0, "N", "O",
+              datetime(2026, 1, 2).date()) for i in range(36)],
+        ),
+    }
+    for name, (schema, rows) in tables.items():
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/{name}.parquet")
+    got = {
+        r["table_name"]: r
+        for r in join_strategy_report(spark, d).collect()
+    }
+    assert set(got) == {t for t, _, _ in JOIN_DIM_TABLES}
+    fact_rows = 36
+    for name, n_num, str_cols in JOIN_DIM_TABLES:
+        _, rows = tables[name]
+        cols = [c.split()[0] for c in tables[name][0].split(", ")]
+        idx = [cols.index(c) for c in str_cols]
+        est = sum(
+            JOIN_ROW_OVERHEAD + JOIN_NUM_WIDTH * n_num
+            + sum(len(row[i]) for i in idx)
+            for row in rows
+        )
+        r = got[name]
+        assert r["n_rows"] == len(rows)
+        assert r["est_bytes"] == est, name
+        assert r["strategy"] == "broadcast"
+        assert r["fact_row_ratio"] == pround_py(fact_rows / len(rows))
