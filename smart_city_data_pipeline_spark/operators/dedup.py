@@ -4272,3 +4272,139 @@ ORACLES["cross_source_neardup_matrix"] = f"""
     FROM j
     GROUP BY 1, 2
 """
+
+
+def dedup_survivor_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What does the keep-the-longest policy DO to the corpus mix?
+    Per source: kept vs dropped document/character counts and the
+    mean quality score of each side — the survivor-bias audit a
+    dedup PR ships with, because "keep the longest" silently favors
+    whichever feed pads its documents, and a quality gap between
+    kept and dropped on one source is the smoking gun. Complements
+    ``cluster_representative_pick`` (which picks) and
+    ``source_cap_sweep`` (which caps): this one measures the bias.
+
+    Exactness: kept = rank-1 under the exact (n_chars DESC, doc_id)
+    order per ``dedup_clusters`` component (singletons trivially
+    kept); quality enters on the 1e-4 integer grid
+    ``floor(q·10⁴ + 0.5)`` (the pround lattice, so sums are exact
+    BIGINTs) and each mean is ONE double division, pround'd.
+
+    Scale shape: inherits the CC posture (band-bounded LSH pairs,
+    min-label loop); the audit adds one cluster-keyed window and one
+    source-keyed aggregate."""
+    from smart_city_data_pipeline_spark.functions import text as TX
+
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.floor(TX.quality_score(F.col("text")) * 10000 + 0.5)
+        .cast("long")
+        .alias("q4"),
+    )
+    j = clusters.join(docs, "doc_id")
+    wc = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    flagged = j.withColumn("kept", F.row_number().over(wc) == 1)
+    g = flagged.groupBy("source").agg(
+        F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_kept"),
+        F.sum((~F.col("kept")).cast("int")).cast("bigint").alias("n_dropped"),
+        F.sum(F.when(F.col("kept"), F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_chars"),
+        F.sum(F.when(~F.col("kept"), F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("dropped_chars"),
+        F.sum(F.when(F.col("kept"), F.col("q4")).otherwise(0)).alias("qk"),
+        F.sum(F.when(~F.col("kept"), F.col("q4")).otherwise(0)).alias("qd"),
+    )
+    mean_kept = F.when(
+        F.col("n_kept") > 0,
+        F.col("qk").cast("double") / F.col("n_kept").cast("double") / 10000.0,
+    )
+    mean_dropped = F.when(
+        F.col("n_dropped") > 0,
+        F.col("qd").cast("double")
+        / F.col("n_dropped").cast("double")
+        / 10000.0,
+    )
+    return g.select(
+        "source",
+        "n_kept",
+        "n_dropped",
+        "kept_chars",
+        "dropped_chars",
+        pround(mean_kept).alias("mean_quality_kept"),
+        pround(mean_dropped).alias("mean_quality_dropped"),
+    )
+
+
+QUERIES["dedup_survivor_bias"] = dedup_survivor_bias
+
+from smart_city_data_pipeline_spark.functions import text as _TX_sb  # noqa: E402
+
+ORACLES["dedup_survivor_bias"] = f"""
+    WITH RECURSIVE sh AS ({_HASHED_SHINGLES_SQL}),
+    sigm AS (
+        SELECT doc_id,
+           {_SIG_COLS_SQL}
+        FROM sh GROUP BY 1
+    ),
+    sig AS (
+        SELECT *,
+           {_BAND_COLS_SQL}
+        FROM sigm
+    ),
+    cand AS (
+        {_CAND_UNION_SQL}
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM cand
+        WHERE (FLOOR(CAST((raw_sim) AS DOUBLE) * 10000.0 + 0.5) / 10000.0)
+            >= {MINHASH_SIM_THRESHOLD}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, comp) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    clusters AS (
+        SELECT node AS doc_id, MIN(comp) AS cluster_id
+        FROM reach GROUP BY node
+    ),
+    flagged AS (
+        SELECT c.cluster_id, c.doc_id, d.source, d.n_chars,
+               CAST(FLOOR(({_TX_sb.quality_score_sql('d.text')}) * 10000
+                          + 0.5) AS BIGINT) AS q4,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.cluster_id
+                   ORDER BY d.n_chars DESC, c.doc_id ASC) = 1 AS kept
+        FROM clusters c JOIN documents d USING (doc_id)
+    ),
+    g AS (
+        SELECT source,
+               CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+               CAST(SUM(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+               CAST(SUM(CASE WHEN kept THEN 0 ELSE n_chars END) AS BIGINT) AS dropped_chars,
+               CAST(SUM(CASE WHEN kept THEN q4 ELSE 0 END) AS BIGINT) AS qk,
+               CAST(SUM(CASE WHEN kept THEN 0 ELSE q4 END) AS BIGINT) AS qd
+        FROM flagged GROUP BY 1
+    )
+    SELECT source, n_kept, n_dropped, kept_chars, dropped_chars,
+           CASE WHEN n_kept > 0 THEN {pround_sql(
+               'CAST(qk AS DOUBLE) / CAST(n_kept AS DOUBLE) / 10000.0'
+           )} END AS mean_quality_kept,
+           CASE WHEN n_dropped > 0 THEN {pround_sql(
+               'CAST(qd AS DOUBLE) / CAST(n_dropped AS DOUBLE) / 10000.0'
+           )} END AS mean_quality_dropped
+    FROM g
+"""

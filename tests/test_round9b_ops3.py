@@ -231,3 +231,42 @@ def test_join_strategy_byte_model_matches_replay(spark, tmp_path):
         assert r["est_bytes"] == est, name
         assert r["strategy"] == "broadcast"
         assert r["fact_row_ratio"] == pround_py(fact_rows / len(rows))
+
+
+# ------------------------------------------------------ dedup_survivor_bias
+
+
+def test_survivor_bias_keeps_longest_and_splits_by_source(spark, tmp_path):
+    """A cluster spanning two sources (identical text, doc_id
+    tiebreak) plus a singleton: the first copy's source keeps, the
+    republisher shows the drop, singletons are kept, and the
+    quality-mean columns are NULL exactly where a side is empty."""
+    from smart_city_data_pipeline_spark.operators.dedup import (
+        dedup_survivor_bias,
+    )
+
+    copied = " ".join(f"tok{i:02d} shared corpus body text" for i in range(30))
+    uniq = " ".join(f"uniq{i:02d} zzq{i} brr{i}" for i in range(25))
+    rows = [
+        (0, copied, "en", "srcA", len(copied)),
+        (1, copied, "en", "srcB", len(copied)),
+        (2, uniq, "en", "srcB", len(uniq)),
+    ]
+    d = str(tmp_path / "lake")
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d + "/documents.parquet")
+    got = {r["source"]: r for r in dedup_survivor_bias(spark, d).collect()}
+    a, b = got["srcA"], got["srcB"]
+    assert (a["n_kept"], a["n_dropped"]) == (1, 0)
+    assert (b["n_kept"], b["n_dropped"]) == (1, 1)
+    assert a["kept_chars"] == len(copied)
+    assert b["dropped_chars"] == len(copied)
+    assert b["kept_chars"] == len(uniq)
+    assert a["mean_quality_dropped"] is None
+    assert a["mean_quality_kept"] is not None
+    assert b["mean_quality_kept"] is not None
+    assert b["mean_quality_dropped"] is not None
