@@ -4408,3 +4408,124 @@ ORACLES["dedup_survivor_bias"] = f"""
            )} END AS mean_quality_dropped
     FROM g
 """
+
+
+NOVELTY_BATCH_DOCS = 100  # synthetic ingest batch size (doc_id order)
+
+
+def ingest_novelty_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the crawl still finding NEW content? Per ingest batch
+    (doc_id DIV 100 — the same synthetic split discipline as
+    ``dedup_incremental``'s probe split), the exact-duplicate
+    accounting every continuous-crawl dashboard plots: how many
+    documents are copies of PRIOR batches, how many duplicate within
+    their own batch, how many are genuinely novel, and the cumulative
+    distinct-content count. A flattening novel-share curve is the
+    "stop re-crawling this feed" signal; the same query over real
+    ingest dates is the production form.
+
+    Exactness: content identity is md5(text); a doc duplicates a
+    prior batch iff its hash's FIRST occurrence (min batch, then min
+    doc_id) sits in an earlier batch; within-batch dups are the
+    non-first copies inside the first batch. All counts integers; the
+    novel share is one pround'd division; the cumulative sum runs over
+    the BATCH-indexed rollup (bounded by corpus/100), not documents.
+
+    Shape: one hash aggregate (map-side combinable), one doc→first
+    join keyed on the hash, one keyed batch aggregate, one bounded
+    prefix window."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"doc_id DIV {NOVELTY_BATCH_DOCS}").alias("batch_id"),
+        F.md5(F.col("text")).alias("h"),
+    )
+    first = docs.groupBy("h").agg(
+        F.min(F.struct("batch_id", "doc_id")).alias("f")
+    ).select("h", F.col("f.batch_id").alias("first_batch"),
+             F.col("f.doc_id").alias("first_doc"))
+    j = docs.join(first, "h")
+    per = j.groupBy("batch_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            (F.col("first_batch") < F.col("batch_id")).cast("int")
+        ).cast("bigint").alias("n_dup_prior"),
+        F.sum(
+            (
+                (F.col("first_batch") == F.col("batch_id"))
+                & (F.col("first_doc") != F.col("doc_id"))
+            ).cast("int")
+        ).cast("bigint").alias("n_dup_within"),
+        F.sum(
+            (F.col("first_doc") == F.col("doc_id")).cast("int")
+        ).cast("bigint").alias("n_novel"),
+    )
+    # two-level prefix (the heaps_law_fit discipline): the batch table
+    # is corpus/100-proportional, so the inclusive cumulative runs as a
+    # batch-keyed window inside 4096-batch superbuckets plus an
+    # exclusive prefix over the superbucket rollup — the only
+    # unpartitioned window input is |batches|/4096 rows.
+    per = per.withColumn("sb", F.expr("batch_id DIV 4096"))
+    supers = per.groupBy("sb").agg(F.sum("n_novel").alias("sv"))
+    ws = Window.orderBy("sb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = supers.select(
+        "sb", F.coalesce(F.sum("sv").over(ws), F.lit(0)).alias("off")
+    )
+    wd = (
+        Window.partitionBy("sb")
+        .orderBy("batch_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per.join(offsets, "sb").select(
+        "batch_id",
+        "n_docs",
+        "n_dup_prior",
+        "n_dup_within",
+        "n_novel",
+        (F.col("off") + F.sum("n_novel").over(wd))
+        .cast("long")
+        .alias("cum_distinct"),
+        pround(
+            F.col("n_novel").cast("double") / F.col("n_docs").cast("double")
+        ).alias("novel_share"),
+    )
+
+
+QUERIES["ingest_novelty_timeline"] = ingest_novelty_timeline
+
+ORACLES["ingest_novelty_timeline"] = f"""
+    WITH docs AS (
+        SELECT doc_id, doc_id // {NOVELTY_BATCH_DOCS} AS batch_id,
+               md5(text) AS h
+        FROM documents
+    ),
+    first AS (
+        SELECT h, MIN(batch_id * 10000000000 + doc_id) AS fk
+        FROM docs GROUP BY 1
+    ),
+    j AS (
+        SELECT d.batch_id, d.doc_id,
+               f.fk // 10000000000 AS first_batch,
+               f.fk % 10000000000 AS first_doc
+        FROM docs d JOIN first f USING (h)
+    ),
+    per AS (
+        SELECT batch_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN first_batch < batch_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_prior,
+               CAST(SUM(CASE WHEN first_batch = batch_id
+                              AND first_doc <> doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_within,
+               CAST(SUM(CASE WHEN first_doc = doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        FROM j GROUP BY 1
+    )
+    SELECT batch_id, n_docs, n_dup_prior, n_dup_within, n_novel,
+           CAST(SUM(n_novel) OVER (ORDER BY batch_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_distinct,
+           {pround_sql(
+               'CAST(n_novel AS DOUBLE) / CAST(n_docs AS DOUBLE)'
+           )} AS novel_share
+    FROM per
+"""

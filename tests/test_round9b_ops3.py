@@ -270,3 +270,57 @@ def test_survivor_bias_keeps_longest_and_splits_by_source(spark, tmp_path):
     assert a["mean_quality_kept"] is not None
     assert b["mean_quality_kept"] is not None
     assert b["mean_quality_dropped"] is not None
+
+
+# --------------------------------------------------- ingest_novelty_timeline
+
+
+def test_ingest_novelty_timeline_counts_exactly(spark, tmp_path):
+    """Three synthetic batches: batch 0 has a within-batch dup, batch 1
+    republishes batch-0 content plus one novel doc, batch 2 is all
+    copies — counts, cumulative distinct and novel share are closed
+    form."""
+    from smart_city_data_pipeline_spark.operators.dedup import (
+        NOVELTY_BATCH_DOCS,
+        ingest_novelty_timeline,
+    )
+
+    texts = {
+        "x": "alpha beta gamma delta epsilon zeta",
+        "y": "one two three four five six seven",
+        "z": "red green blue cyan magenta yellow",
+        "w": "totally fresh content arriving late here",
+    }
+    b = NOVELTY_BATCH_DOCS
+    rows = [
+        # batch 0: x, y, z, x (one within-batch dup)
+        (0, texts["x"]), (1, texts["y"]), (2, texts["z"]), (3, texts["x"]),
+        # batch 1: x, y (dups of prior), w (novel)
+        (b, texts["x"]), (b + 1, texts["y"]), (b + 2, texts["w"]),
+        # batch 2: z, w — all dups of prior
+        (2 * b, texts["z"]), (2 * b + 1, texts["w"]),
+    ]
+    d = str(tmp_path / "lake")
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in rows], schema
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    got = {
+        r["batch_id"]: r
+        for r in ingest_novelty_timeline(spark, d).collect()
+    }
+    expect = {
+        0: (4, 0, 1, 3, 3),
+        1: (3, 2, 0, 1, 4),
+        2: (2, 2, 0, 0, 4),
+    }
+    assert set(got) == set(expect)
+    for bid, (nd, prior, within, novel, cum) in expect.items():
+        r = got[bid]
+        assert (
+            r["n_docs"], r["n_dup_prior"], r["n_dup_within"],
+            r["n_novel"], r["cum_distinct"],
+        ) == (nd, prior, within, novel, cum), bid
+        assert r["novel_share"] == pround_py(novel / nd), bid
