@@ -1115,11 +1115,15 @@ def mwu_zone_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     t1 = hourly.select(F.col("event_type").alias("type_a")).distinct()
     t2 = hourly.select(F.col("event_type").alias("type_b")).distinct()
     pairs = t1.join(t2, F.col("type_a") < F.col("type_b"))
+    # no forced broadcast hint: the pair table is bounded by type
+    # cardinality but derived from fact keys, so the broadcast-policy
+    # checker can't bound it statically — AQE broadcasts it at runtime
+    # from its actual (tiny) size instead.
     side_a = hourly.join(
-        F.broadcast(pairs), F.col("event_type") == F.col("type_a")
+        pairs, F.col("event_type") == F.col("type_a")
     ).select("type_a", "type_b", F.lit(1).alias("is_a"), "v")
     side_b = hourly.join(
-        F.broadcast(pairs), F.col("event_type") == F.col("type_b")
+        pairs, F.col("event_type") == F.col("type_b")
     ).select("type_a", "type_b", F.lit(0).alias("is_a"), "v")
     merged = side_a.unionByName(side_b)
     pw = ["type_a", "type_b"]
