@@ -9274,3 +9274,127 @@ ORACLES["runs_test_randomness"] = f"""
                 ELSE 'random' END AS verdict
     FROM terms
 """
+
+
+# Gumbel method-of-moments constants, precomputed so neither engine
+# evaluates ln/pi at query time (only sqrt — IEEE correctly rounded —
+# touches data-dependent values):
+#   beta = s·sqrt(6)/pi, mu = mean − gamma·beta,
+#   x_T = mu + beta·y_T with y_T = −ln(−ln(1 − 1/T)).
+GUMBEL_SQRT6_PI = 0.779696801233676
+GUMBEL_EULER = 0.5772156649015329
+GUMBEL_Y30 = 3.3842944934992527
+GUMBEL_Y365 = 5.8985259242227315
+
+
+def gumbel_return_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value RETURN LEVELS per event type — "what reading do
+    we exceed once a month / once a year?", the number an SLA or a
+    flood-style capacity plan is written against. Classical block-
+    maxima Gumbel fit by the method of moments over DAILY maxima:
+    `value_quantiles` describes the bulk, `hill_tail_index` classifies
+    the tail shape; this prices the tail in the unit that matters
+    (a reading level per return period).
+
+    Exactness: daily maxima are exact integer cents (max of a keyed
+    rollup); the fit consumes only the exact BIGINT moments (n, Σm,
+    Σm²). Every irrational constant (√6/π, Euler γ, the double-log
+    Gumbel quantiles y_T) is a PYTHON-precomputed literal shared with
+    the oracle, so no engine ln/π evaluation can diverge; the only
+    data-dependent float ops are one sqrt (IEEE correctly rounded) and
+    fused multiply-free arithmetic spelled identically on both sides,
+    then pround. Degenerate types (n < 2 or zero variance) report
+    NULLs honestly.
+
+    Shape: one (type, day) max rollup (map-side combinable), one keyed
+    moment aggregate. Facts shuffle once."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = ev.groupBy(
+        F.col("event_type"), F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.max(cents).alias("m"))
+    g = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("m").alias("sm"),
+        F.sum(F.col("m") * F.col("m")).alias("smm"),
+        F.max("m").alias("obs_max"),
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    var_ss = dec(F.col("n")) * dec(F.col("smm")) - dec(F.col("sm")) * dec(
+        F.col("sm")
+    )
+    ok = (F.col("n") >= 2) & (var_ss > 0)
+    nd = F.col("n").cast("double")
+    s = F.sqrt(var_ss.cast("double") / (nd * (nd - 1.0)))
+    beta = s * GUMBEL_SQRT6_PI
+    mu = F.col("sm").cast("double") / nd - GUMBEL_EULER * beta
+    out = lambda c: pround(F.when(ok, c / 100.0))  # noqa: E731
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        pround(F.col("obs_max").cast("double") / 100.0).alias("observed_max"),
+        out(mu).alias("gumbel_mu"),
+        out(beta).alias("gumbel_beta"),
+        out(mu + beta * GUMBEL_Y30).alias("return_level_30d"),
+        out(mu + beta * GUMBEL_Y365).alias("return_level_365d"),
+    )
+
+
+QUERIES["gumbel_return_levels"] = gumbel_return_levels
+
+ORACLES["gumbel_return_levels"] = f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS m
+        FROM events GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(m) AS HUGEINT) AS sm,
+               CAST(SUM(m * m) AS HUGEINT) AS smm,
+               MAX(m) AS obs_max
+        FROM daily GROUP BY 1
+    ),
+    terms AS (
+        SELECT event_type, n, sm, obs_max,
+               n * smm - sm * sm AS var_ss
+        FROM g
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           {pround_sql('CAST(obs_max AS DOUBLE) / 100.0')} AS observed_max,
+           CASE WHEN n >= 2 AND var_ss > 0 THEN {pround_sql(
+               '(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)'
+               f' - {GUMBEL_EULER!r} * (sqrt(CAST(var_ss AS DOUBLE)'
+               ' / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))'
+               f' * {GUMBEL_SQRT6_PI!r})) / 100.0'
+           )} END AS gumbel_mu,
+           CASE WHEN n >= 2 AND var_ss > 0 THEN {pround_sql(
+               '(sqrt(CAST(var_ss AS DOUBLE)'
+               ' / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))'
+               f' * {GUMBEL_SQRT6_PI!r}) / 100.0'
+           )} END AS gumbel_beta,
+           CASE WHEN n >= 2 AND var_ss > 0 THEN {pround_sql(
+               '(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)'
+               f' - {GUMBEL_EULER!r} * (sqrt(CAST(var_ss AS DOUBLE)'
+               ' / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))'
+               f' * {GUMBEL_SQRT6_PI!r})'
+               f' + (sqrt(CAST(var_ss AS DOUBLE)'
+               ' / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))'
+               f' * {GUMBEL_SQRT6_PI!r}) * {GUMBEL_Y30!r}) / 100.0'
+           )} END AS return_level_30d,
+           CASE WHEN n >= 2 AND var_ss > 0 THEN {pround_sql(
+               '(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)'
+               f' - {GUMBEL_EULER!r} * (sqrt(CAST(var_ss AS DOUBLE)'
+               ' / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))'
+               f' * {GUMBEL_SQRT6_PI!r})'
+               f' + (sqrt(CAST(var_ss AS DOUBLE)'
+               ' / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))'
+               f' * {GUMBEL_SQRT6_PI!r}) * {GUMBEL_Y365!r}) / 100.0'
+           )} END AS return_level_365d
+    FROM terms
+"""

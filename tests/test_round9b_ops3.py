@@ -324,3 +324,57 @@ def test_ingest_novelty_timeline_counts_exactly(spark, tmp_path):
             r["n_novel"], r["cum_distinct"],
         ) == (nd, prior, within, novel, cum), bid
         assert r["novel_share"] == pround_py(novel / nd), bid
+
+
+# ----------------------------------------------------- gumbel_return_levels
+
+
+def test_gumbel_return_levels_match_float_replay(spark, tmp_path):
+    """Planted daily maxima with known values: the fit matches a
+    Python replay of the exact same float recipe, return levels are
+    ordered, and a single-day type reports NULLs."""
+    from smart_city_data_pipeline_spark.operators.timeseries import (
+        GUMBEL_EULER,
+        GUMBEL_SQRT6_PI,
+        GUMBEL_Y30,
+        GUMBEL_Y365,
+        gumbel_return_levels,
+    )
+
+    maxima = [100.0, 120.0, 90.0, 150.0, 110.0, 130.0, 95.0, 140.0]
+    rows, eid = [], 0
+    for d, mx in enumerate(maxima):
+        # two events per day so the daily MAX (not the mean) is fitted
+        rows.append((eid, T0 + timedelta(days=d, hours=1), 1, "a",
+                     mx / 2, ""))
+        rows.append((eid + 1, T0 + timedelta(days=d, hours=2), 1, "a",
+                     mx, ""))
+        eid += 2
+    rows.append((eid, T0, 1, "single", 50.0, ""))
+    got = {
+        r["event_type"]: r
+        for r in gumbel_return_levels(
+            spark, _write_events(spark, tmp_path, rows)
+        ).collect()
+    }
+    cents = [int(math.floor(v * 100 + 0.5)) for v in maxima]
+    n, sm = len(cents), sum(cents)
+    smm = sum(c * c for c in cents)
+    var_ss = n * smm - sm * sm
+    s = math.sqrt(var_ss / (n * (n - 1.0)))
+    beta = s * GUMBEL_SQRT6_PI
+    mu = sm / n - GUMBEL_EULER * beta
+    a = got["a"]
+    assert a["n_days"] == n
+    assert a["observed_max"] == 150.0
+    assert a["gumbel_mu"] == pround_py(mu / 100.0)
+    assert a["gumbel_beta"] == pround_py(beta / 100.0)
+    assert a["return_level_30d"] == pround_py((mu + beta * GUMBEL_Y30) / 100.0)
+    assert a["return_level_365d"] == pround_py(
+        (mu + beta * GUMBEL_Y365) / 100.0
+    )
+    assert a["return_level_365d"] > a["return_level_30d"] > a["observed_max"] / 2
+    sgl = got["single"]
+    assert sgl["n_days"] == 1
+    assert sgl["gumbel_mu"] is None
+    assert sgl["return_level_365d"] is None
