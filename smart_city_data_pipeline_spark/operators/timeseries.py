@@ -9398,3 +9398,138 @@ ORACLES["gumbel_return_levels"] = f"""
            )} END AS return_level_365d
     FROM terms
 """
+
+
+WATERMARK_WHATIF_US = (0, 60_000_000, 300_000_000, 3_600_000_000)
+WM_BUCKET_SHIFT = 20  # arrival_seq DIV 2^20 superbuckets (heaps discipline)
+
+
+def watermark_whatif_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price the ``withWatermark`` delay BEFORE deploying it: for each
+    candidate delay, how many events the stream would drop as
+    too-late. `lateness_audit` measures per-sensor disorder; the
+    watermark is GLOBAL in Structured Streaming, so this runs the
+    actual drop rule — event dropped iff global high-water-mark at its
+    arrival minus its event time exceeds the delay — over the same
+    synthesized arrival order (every 17th event delayed 400 id slots,
+    the lateness_audit perturbation), for delays 0 s / 1 min / 5 min /
+    1 h. The curve's knee is the delay every streaming operator in
+    this repo should quote.
+
+    Exactness: times are exact µs BIGINTs; the global running max is
+    the TWO-LEVEL prefix (within arrival_seq>>20 superbuckets plus an
+    exclusive prefix-max over the superbucket rollup — the only
+    unpartitioned window input is |events|/2^20 rows); drop counts are
+    conditional integer sums in ONE global aggregate, unpivoted with
+    stack. Shares are pround'd divisions.
+
+    Shape: one bucket rollup, one bounded prefix window, one
+    bucket-keyed window, one global aggregate. No per-delay pass."""
+    ev = table(spark, sf_dir, "events")
+    arrival = F.col("event_id") + F.when(
+        F.col("event_id") % 17 == 0, F.lit(400)
+    ).otherwise(F.lit(0))
+    us = F.unix_micros(F.col("ts"))
+    base = ev.select(
+        "event_id", us.alias("t_us"), arrival.alias("arrival_seq")
+    ).withColumn("bk", F.expr(f"arrival_seq DIV {1 << WM_BUCKET_SHIFT}"))
+    buckets = base.groupBy("bk").agg(F.max("t_us").alias("bmax"))
+    wb = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = buckets.select(
+        "bk", F.max("bmax").over(wb).alias("prior_max")
+    )
+    wd = (
+        Window.partitionBy("bk")
+        .orderBy("arrival_seq", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hwm = F.greatest(
+        F.coalesce(F.max("t_us").over(wd), F.lit(None).cast("long")),
+        F.col("prior_max"),
+    )
+    late_by = F.when(
+        hwm.isNotNull() & (hwm > F.col("t_us")), hwm - F.col("t_us")
+    ).otherwise(F.lit(0).cast("long"))
+    pts = base.join(offsets, "bk").select(late_by.alias("late_by"))
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    for i, d in enumerate(WATERMARK_WHATIF_US):
+        aggs.append(
+            F.sum((F.col("late_by") > d).cast("int")).cast("bigint").alias(
+                f"d{i}"
+            )
+        )
+    agg = pts.agg(*aggs)
+    stack = ", ".join(
+        f"{d}L, d{i}" for i, d in enumerate(WATERMARK_WHATIF_US)
+    )
+    out = agg.selectExpr(
+        "n_events",
+        f"stack({len(WATERMARK_WHATIF_US)}, {stack})"
+        " AS (delay_us, n_dropped)",
+    )
+    return out.select(
+        (F.col("delay_us") / 1_000_000).cast("long").alias("delay_s"),
+        "n_events",
+        "n_dropped",
+        pround(
+            F.col("n_dropped").cast("double") / F.col("n_events").cast("double")
+        ).alias("dropped_share"),
+    )
+
+
+QUERIES["watermark_whatif_curve"] = watermark_whatif_curve
+
+_WM_STACK_SQL = "\n    UNION ALL ".join(
+    f"SELECT {d // 1_000_000} AS delay_s, n_events, d{i} AS n_dropped FROM agg"
+    for i, d in enumerate(WATERMARK_WHATIF_US)
+)
+
+ORACLES["watermark_whatif_curve"] = f"""
+    WITH base AS (
+        SELECT event_id,
+               CAST(epoch_us(ts) AS BIGINT) AS t_us,
+               event_id + CASE WHEN event_id % 17 = 0
+                               THEN 400 ELSE 0 END AS arrival_seq
+        FROM events
+    ),
+    bk AS (
+        SELECT *, arrival_seq // {1 << WM_BUCKET_SHIFT} AS bk FROM base
+    ),
+    buckets AS (SELECT bk, MAX(t_us) AS bmax FROM bk GROUP BY 1),
+    offsets AS (
+        SELECT bk,
+               MAX(bmax) OVER (ORDER BY bk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prior_max
+        FROM buckets
+    ),
+    pts AS (
+        SELECT b.t_us,
+               GREATEST(
+                   COALESCE(MAX(b.t_us) OVER (PARTITION BY b.bk
+                       ORDER BY b.arrival_seq, b.event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       NULL),
+                   o.prior_max) AS hwm
+        FROM bk b JOIN offsets o USING (bk)
+    ),
+    lateness AS (
+        SELECT CASE WHEN hwm IS NOT NULL AND hwm > t_us
+                    THEN hwm - t_us ELSE 0 END AS late_by
+        FROM pts
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+               {", ".join(
+                   f"CAST(SUM(CASE WHEN late_by > {d} THEN 1 ELSE 0 END)"
+                   f" AS BIGINT) AS d{i}"
+                   for i, d in enumerate(WATERMARK_WHATIF_US)
+               )}
+        FROM lateness
+    )
+    SELECT delay_s, n_events, n_dropped,
+           {pround_sql(
+               'CAST(n_dropped AS DOUBLE) / CAST(n_events AS DOUBLE)'
+           )} AS dropped_share
+    FROM ({_WM_STACK_SQL})
+"""

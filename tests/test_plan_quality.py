@@ -185,6 +185,9 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "heaps_law_fit": "exclusive prefix over the doc_id>>20 bucket table",
     "ingest_novelty_timeline": "exclusive prefix over the batch>>12 "
     "superbucket table (|batches|/4096 rows, heaps_law discipline)",
+    "watermark_whatif_curve": "exclusive prefix-max over the "
+    "arrival_seq>>20 superbucket table (|events|/2^20 rows, "
+    "heaps_law discipline)",
     "hilbert_prune_report": "file/partition metadata table",
     "km_survival": "cumulative over the duration-bucket step table",
     "length_outlier_filter": "cumulative over the token-count histogram",

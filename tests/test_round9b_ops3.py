@@ -378,3 +378,41 @@ def test_gumbel_return_levels_match_float_replay(spark, tmp_path):
     assert sgl["n_days"] == 1
     assert sgl["gumbel_mu"] is None
     assert sgl["return_level_365d"] is None
+
+
+# ---------------------------------------------------- watermark_whatif_curve
+
+
+def test_watermark_whatif_closed_form(spark, tmp_path):
+    """Hand-built arrival sequence (ids chosen to dodge the %17
+    perturbation): three late events of 30 s / 90 s / 700 s lateness
+    give drop counts 3 / 2 / 1 / 0 across the 0 s / 1 min / 5 min /
+    1 h candidate delays."""
+    from smart_city_data_pipeline_spark.operators.timeseries import (
+        watermark_whatif_curve,
+    )
+
+    base_min = {i: i for i in range(1, 11)}  # id -> on-time minute
+    rows = []
+    for i in range(1, 11):
+        ts = T0 + timedelta(minutes=base_min[i])
+        if i == 3:
+            ts = T0 + timedelta(minutes=2) - timedelta(seconds=30)
+        if i == 6:
+            ts = T0 + timedelta(minutes=5) - timedelta(seconds=90)
+        if i == 8:
+            ts = T0 + timedelta(minutes=7) - timedelta(seconds=700)
+        rows.append((i, ts, 1, "a", 1.0, ""))
+    got = {
+        r["delay_s"]: r
+        for r in watermark_whatif_curve(
+            spark, _write_events(spark, tmp_path, rows)
+        ).collect()
+    }
+    assert set(got) == {0, 60, 300, 3600}
+    expect = {0: 3, 60: 2, 300: 1, 3600: 0}
+    for d, nd in expect.items():
+        r = got[d]
+        assert r["n_events"] == 10
+        assert r["n_dropped"] == nd, d
+        assert r["dropped_share"] == pround_py(nd / 10)
