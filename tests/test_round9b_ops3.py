@@ -416,3 +416,67 @@ def test_watermark_whatif_closed_form(spark, tmp_path):
         assert r["n_events"] == 10
         assert r["n_dropped"] == nd, d
         assert r["dropped_share"] == pround_py(nd / 10)
+
+
+# -------------------------------------------------------- video_mjpeg_index
+
+
+def test_avi_container_roundtrip_and_corruption():
+    """The RIFF builder and walker agree with each other and with the
+    closed-form pixel source; corrupt containers are rejected."""
+    import numpy as np
+
+    from smart_city_data_pipeline_spark.operators.multimodal import (
+        JPEG_H,
+        JPEG_W,
+        VIDEO_DECODE_K,
+        _avi_build,
+        _avi_parse,
+    )
+
+    fids = [8, 9, 10, 11, 12, 13, 14]  # 7 frames: exercises a short tail
+    buf = _avi_build(fids)
+    n_hdr, n_chunks, n_idx, w, h, n_dec, s, px = _avi_parse(buf)
+    assert n_hdr == n_chunks == n_idx == len(fids)
+    assert (w, h) == (JPEG_W, JPEG_H)
+    decoded_fids = fids[::VIDEO_DECODE_K]
+    assert n_dec == len(decoded_fids)
+    yy, xx = np.mgrid[0:JPEG_H, 0:JPEG_W]
+    bxg, byg = xx // 8, yy // 8
+    expect_s = sum(
+        int((64 + 2 * ((3 * bxg + 5 * byg + 7 * f) % 64)).sum())
+        for f in decoded_fids
+    )
+    assert s == expect_s
+    assert px == len(decoded_fids) * JPEG_W * JPEG_H
+    assert _avi_parse(b"RIFX" + buf[4:]) is None
+    assert _avi_parse(buf[:10]) is None
+
+
+def test_video_mjpeg_index_end_to_end(spark, tmp_path):
+    """16 documents → videos 0 and 1; only video 0 (the %4 sample) is
+    built; its parity flag is true and the rollup matches the
+    closed-form replay."""
+    from smart_city_data_pipeline_spark.operators.multimodal import (
+        JPEG_H,
+        JPEG_W,
+        video_mjpeg_index,
+    )
+
+    rows = [(i, f"doc {i} text", "en", "src", 10) for i in range(16)]
+    d = str(tmp_path / "lake")
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d + "/documents.parquet")
+    out = video_mjpeg_index(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["camera_id"] == 0
+    assert r["n_videos"] == 1
+    assert r["n_frames"] == 8
+    assert r["containers_consistent"] is True
+    assert r["n_decoded"] == 2  # positions 0 and 4 -> frame ids 0, 4
+    assert r["total_px"] == 2 * JPEG_W * JPEG_H
