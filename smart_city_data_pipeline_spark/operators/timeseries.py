@@ -9533,3 +9533,151 @@ ORACLES["watermark_whatif_curve"] = f"""
            )} AS dropped_share
     FROM ({_WM_STACK_SQL})
 """
+
+
+# Kruskal-Wallis chi-square 95% critical values for df = 1..12 (same
+# literal-table discipline as LB_CHI2_95; more zones than 13 -> NULL
+# verdict, honestly out of table).
+KW_CHI2_95 = (
+    3.841, 5.991, 7.815, 9.488, 11.070, 12.592,
+    14.067, 15.507, 16.919, 18.307, 19.675, 21.026,
+)
+
+
+def kruskal_zone_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H — do the event types' hourly series share ONE
+    location, or does at least one zone read systematically apart?
+    The k-sample completion of the test family: `mwu_zone_shift`
+    answers per PAIR (k² reads, multiple-comparison risk); this is the
+    single gate a dashboard checks FIRST, descending into the pair
+    matrix only when H rejects.
+
+    Exactness: one GLOBAL doubled-average-rank pass over the merged
+    hourly-mean table (2·avgrank = 2·rank + ties − 1, exact BIGINTs;
+    the unpartitioned rank window's input is the type×calendar-hour
+    rollup — bounded, see plan-lint allowlist), exact integer per-type
+    rank sums and the exact tie term Σ(t³−t). H and its tie-corrected
+    form are assembled in doubles from those exact integers with
+    IDENTICAL spelling in the oracle (the knox-ratio discipline), and
+    the verdict compares against the literal χ²₉₅ table keyed by
+    df = k−1 (df > 12 → NULL, honestly out of table).
+
+    Shape: one hourly rollup shuffle, two bounded global windows, one
+    type-keyed aggregate, one 1-row assembly."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            F.col("event_type"),
+        )
+        .agg(F.sum(cents).alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("event_type", F.expr("(s * 128) DIV n").alias("v"))
+    )
+    wr = Window.orderBy("v")
+    wt = Window.partitionBy("v")
+    ranked = hourly.select(
+        "event_type",
+        (
+            2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1
+        ).cast("long").alias("r2"),
+        F.count(F.lit(1)).over(wt).cast("long").alias("tie_size"),
+    )
+    per = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nj"),
+        F.sum("r2").alias("r2j"),
+        F.sum(F.col("tie_size") * F.col("tie_size") - 1).alias("tt"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    g = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("nj").alias("n"),
+        F.sum(d(F.col("r2j")) * d(F.col("r2j")) / d(F.col("nj"))).alias(
+            "sr2"
+        ),
+        F.sum("tt").alias("tie_term"),
+    )
+    nn = d(F.col("n"))
+    # doubled ranks: avgrank = r2/2, so Σ R_j²/n_j = sr2/4 and
+    # H = 12/(n(n+1))·(sr2/4) − 3(n+1) = 3·sr2/(n(n+1)) − 3(n+1)
+    h = F.lit(3.0) * F.col("sr2") / (nn * (nn + 1.0)) - 3.0 * (nn + 1.0)
+    tie_c = F.lit(1.0) - d(F.col("tie_term")) / (nn * nn * nn - nn)
+    h_adj = F.when((F.col("n") > 1) & (tie_c > 0.0), h / tie_c)
+    # index clamped INSIDE the table (ANSI element_at errors past the
+    # end); the df>12 case is already NULLed by the `significant` gate
+    crit = F.element_at(
+        F.array(*[F.lit(c) for c in KW_CHI2_95]),
+        F.greatest(
+            F.least(F.col("k").cast("int") - 1, F.lit(len(KW_CHI2_95))),
+            F.lit(1),
+        ),
+    )
+    significant = F.when(
+        (F.col("k") >= 2) & (F.col("k") - 1 <= len(KW_CHI2_95)),
+        h_adj > crit,
+    )
+    return g.select(
+        F.col("k").cast("long").alias("n_types"),
+        F.col("n").cast("long").alias("n_points"),
+        pround(h).alias("h_stat"),
+        pround(h_adj).alias("h_adjusted"),
+        (F.col("k") - 1).cast("long").alias("df"),
+        significant.alias("zones_differ"),
+    )
+
+
+QUERIES["kruskal_zone_test"] = kruskal_zone_test
+
+_KW_CRIT_SQL = " ".join(
+    f"WHEN {i} THEN {c}" for i, c in enumerate(KW_CHI2_95, start=1)
+)
+
+ORACLES["kruskal_zone_test"] = f"""
+    WITH hourly AS (
+        SELECT event_type,
+               (CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                     AS BIGINT) * 128) // COUNT(*) AS v
+        FROM events GROUP BY date_trunc('hour', ts), event_type
+    ),
+    ranked AS (
+        SELECT event_type,
+               CAST(2 * rank() OVER (ORDER BY v)
+                    + COUNT(*) OVER (PARTITION BY v) - 1 AS BIGINT) AS r2,
+               CAST(COUNT(*) OVER (PARTITION BY v) AS BIGINT) AS tie_size
+        FROM hourly
+    ),
+    per AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS nj,
+               CAST(SUM(r2) AS BIGINT) AS r2j,
+               CAST(SUM(tie_size * tie_size - 1) AS BIGINT) AS tt
+        FROM ranked GROUP BY 1
+    ),
+    g AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(nj) AS BIGINT) AS n,
+               SUM(CAST(r2j AS DOUBLE) * CAST(r2j AS DOUBLE)
+                   / CAST(nj AS DOUBLE)) AS sr2,
+               CAST(SUM(tt) AS BIGINT) AS tie_term
+        FROM per
+    ),
+    terms AS (
+        SELECT k, n, sr2, tie_term,
+               3.0 * sr2 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                   - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h,
+               1.0 - CAST(tie_term AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                      * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) AS tie_c
+        FROM g
+    )
+    SELECT k AS n_types, n AS n_points,
+           {pround_sql('h')} AS h_stat,
+           CASE WHEN n > 1 AND tie_c > 0.0 THEN {pround_sql('h / tie_c')}
+                END AS h_adjusted,
+           k - 1 AS df,
+           CASE WHEN k >= 2 AND k - 1 <= {len(KW_CHI2_95)}
+                THEN (CASE WHEN n > 1 AND tie_c > 0.0 THEN h / tie_c END)
+                     > (CASE k - 1 {_KW_CRIT_SQL} END)
+                END AS zones_differ
+    FROM terms
+"""

@@ -188,6 +188,8 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "watermark_whatif_curve": "exclusive prefix-max over the "
     "arrival_seq>>20 superbucket table (|events|/2^20 rows, "
     "heaps_law discipline)",
+    "kruskal_zone_test": "global rank over the type×calendar-hour "
+    "rollup (bounded by zone count × hours, never facts)",
     "hilbert_prune_report": "file/partition metadata table",
     "km_survival": "cumulative over the duration-bucket step table",
     "length_outlier_filter": "cumulative over the token-count histogram",

@@ -480,3 +480,71 @@ def test_video_mjpeg_index_end_to_end(spark, tmp_path):
     assert r["containers_consistent"] is True
     assert r["n_decoded"] == 2  # positions 0 and 4 -> frame ids 0, 4
     assert r["total_px"] == 2 * JPEG_W * JPEG_H
+
+
+# ------------------------------------------------------- kruskal_zone_test
+
+
+def _ref_kruskal(groups):
+    """Independent Kruskal-Wallis replay on integer samples."""
+    merged = [(v, g) for g, vals in groups.items() for v in vals]
+    vals = [v for v, _ in merged]
+    r2 = {
+        v: 2 * sum(1 for w in vals if w < v) + vals.count(v) + 1
+        for v in set(vals)
+    }
+    n = len(vals)
+    k = len(groups)
+    sr2 = sum(
+        (sum(r2[v] for v in gv)) ** 2 / len(gv) for gv in groups.values()
+    )
+    h = 3.0 * sr2 / (n * (n + 1.0)) - 3.0 * (n + 1.0)
+    tie_term = sum(
+        t * (t * t - 1) for t in (vals.count(v) for v in set(vals))
+    )
+    tie_c = 1.0 - tie_term / (n**3 - n)
+    h_adj = h / tie_c if (n > 1 and tie_c > 0) else None
+    return n, k, pround_py(h), (None if h_adj is None else pround_py(h_adj))
+
+
+def test_kruskal_separated_vs_identical(spark, tmp_path):
+    """One zone far above the others must reject; three identical
+    value-multisets must not; both match the independent replay."""
+    from smart_city_data_pipeline_spark.operators.timeseries import (
+        kruskal_zone_test,
+    )
+
+    sep = {
+        "a": [100.0 + h for h in range(12)],
+        "b": [10.0 + h for h in range(12)],
+        "c": [10.5 + h for h in range(12)],
+    }
+    rows, eid = [], 0
+    for typ, vals in sep.items():
+        for h, v in enumerate(vals):
+            rows.append((eid, T0 + timedelta(hours=h), 1, typ, v, ""))
+            eid += 1
+    [r] = kruskal_zone_test(
+        spark, _write_events(spark, tmp_path, rows)
+    ).collect()
+    groups = {
+        t: [int(math.floor(v * 100 + 0.5)) * 128 for v in vs]
+        for t, vs in sep.items()
+    }
+    n, k, h, h_adj = _ref_kruskal(groups)
+    assert (r["n_types"], r["n_points"], r["df"]) == (k, n, k - 1)
+    assert r["h_stat"] == h
+    assert r["h_adjusted"] == h_adj
+    assert r["zones_differ"] is True
+
+    same = {t: [10.0 + h for h in range(10)] for t in ("a", "b", "c")}
+    rows, eid = [], 0
+    for typ, vals in same.items():
+        for h, v in enumerate(vals):
+            rows.append((eid, T0 + timedelta(hours=h), 1, typ, v, ""))
+            eid += 1
+    [r2_] = kruskal_zone_test(
+        spark, _write_events(spark, tmp_path, rows)
+    ).collect()
+    assert r2_["zones_differ"] is False
+    assert r2_["h_adjusted"] is not None and r2_["h_adjusted"] < 0.001
