@@ -15,10 +15,12 @@ metadata and runs decode→detect over them. Spark-first re-expression:
   8-bit PNG (zlib + all five scanline filters, :func:`encode_png` /
   :func:`decode_png`), and baseline JPEG — single-component, 4:4:4
   color, AND 4:2:0 chroma-subsampled, with restart markers
-  (:mod:`jpeg_codec`, bitstream-driven Huffman + dequant + IDCT).
-  Only progressive JPEG remains behind the cv2 seam (absent in this
-  container) with a deterministic payload-statistics fallback,
-  keeping schema / partitioning / batch plumbing honest.
+  (:mod:`jpeg_codec`, bitstream-driven Huffman + dequant + IDCT), and
+  GIF89a with real LZW (:mod:`gif_codec`, variable 9→12-bit codes,
+  stream-rebuilt string table incl. KwKwK, CLEAR handling).
+  Only interlaced/local-palette GIF remains behind the cv2 seam
+  (absent in this container) with a deterministic payload-statistics
+  fallback, keeping schema / partitioning / batch plumbing honest.
 
 Scale notes: binary payloads dominate bytes, so the pipeline projects
 metadata-only columns whenever the payload is not needed (column pruning
@@ -406,11 +408,17 @@ def _decode_frame(buf: bytes):
         decode_jpeg_gray,
     )
 
+    from smart_city_data_pipeline_spark.operators.gif_codec import (
+        decode_gif_gray,
+    )
+
     if not buf:
         return None
     arr = decode_bmp_gray(buf)
     if arr is None:
         arr = decode_png(buf)
+    if arr is None:
+        arr = decode_gif_gray(buf)
     if arr is None:
         arr = decode_jpeg_gray(buf)
     if arr is None:
@@ -2169,3 +2177,92 @@ ORACLES["video_mjpeg_index"] = f"""
            d.px AS total_px
     FROM vstats v JOIN dstats d USING (camera_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# GIF modality (round 9): real LZW codec under the hash gate.
+# ---------------------------------------------------------------------------
+
+GIF_W, GIF_H = 48, 20
+
+
+def synth_gif_frames(
+    spark: SparkSession, sf_dir: str, every_k: int | None = None
+) -> DataFrame:
+    """Frame table whose payloads are REAL LZW-compressed GIF89a files
+    (:mod:`gif_codec`) over the shared closed-form gradient — GIF is
+    lossless, so the decoded pixels equal the source exactly and the
+    rollup carries a full SQL oracle through a genuinely compressed
+    variable-code-width bitstream."""
+    import numpy as np
+
+    from smart_city_data_pipeline_spark.operators.gif_codec import (
+        encode_gif_gray,
+    )
+
+    docs = spread(
+        table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents"
+    ).select(
+        F.col("doc_id").alias("frame_id"), (F.col("doc_id") % 16).alias("camera_id")
+    )
+    if every_k is not None:
+        docs = docs.where((F.col("frame_id") % 30) % every_k == 0)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("frame_id", T.LongType()),
+            T.StructField("camera_id", T.LongType()),
+            T.StructField("meta", FRAME_META),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yy, xx = np.mgrid[0:GIF_H, 0:GIF_W]
+        for pdf in batches:
+            payloads, metas = [], []
+            for fid in pdf["frame_id"]:
+                img = ((3 * xx + 5 * yy + 7 * int(fid)) % 256).astype(
+                    np.uint8
+                )
+                payloads.append(encode_gif_gray(img))
+                metas.append(
+                    {
+                        "width": GIF_W,
+                        "height": GIF_H,
+                        "format": "gif",
+                        "frame_no": int(fid) % 30,
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "frame_id": pdf["frame_id"],
+                    "camera_id": pdf["camera_id"],
+                    "meta": metas,
+                    "payload": payloads,
+                }
+            )
+
+    return docs.mapInPandas(run, schema=out_schema)
+
+
+def frames_features_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry exercising the REAL GIF LZW decoder end-to-end
+    under the hash gate: variable 9→12-bit codes, stream-rebuilt string
+    table (incl. the KwKwK case), CLEAR handling, sub-block framing —
+    same closed-form gradient oracle as the BMP/PNG entries, with
+    ``total_px`` third (compressed sizes are not SQL-computable)."""
+    frames = sample_frames(
+        synth_gif_frames(spark, sf_dir, every_k=FRAME_SAMPLE_K),
+        every_k=FRAME_SAMPLE_K,
+    )
+    return camera_rollup_exact(extract_features(frames)).select(
+        "camera_id", "n_frames", "avg_intensity", "total_px"
+    )
+
+
+QUERIES["frames_features_gif"] = frames_features_gif
+
+ORACLES["frames_features_gif"] = _grid_rollup_oracle(
+    GIF_W, GIF_H, f"CAST(COUNT(*) * {GIF_W * GIF_H} AS BIGINT) AS total_px"
+)
