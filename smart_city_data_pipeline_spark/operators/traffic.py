@@ -3305,3 +3305,169 @@ ORACLES["knox_spacetime"] = f"""
                     END, FALSE) AS interaction
     FROM tot t CROSS JOIN p_st b2 CROSS JOIN p_t m2 CROSS JOIN p_s s
 """
+
+
+THETA_K = 64           # KMV sketch size (k smallest hash values)
+THETA_MAX = 1 << 60    # md5_long is 15 hex digits = 60 bits
+
+
+def theta_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which zones share SENSORS — estimated from mergeable KMV (theta)
+    sketches and audited against the exact answer. HLL (the repo's
+    `hll_distinct_report` family) unions but cannot INTERSECT;
+    KMV/theta sketches can: keep each zone's K smallest sensor-id
+    hashes, then |A∩B| ≈ c·M/θ_min where θ_min is the smaller of the
+    two K-th-smallest thresholds and c counts common hashes below it.
+    This entry reports, per zone pair, the sketch estimate NEXT TO the
+    exact overlap (the cms_error_report audit discipline) — the
+    measured-error table a team reads before trusting 64-hash sketches
+    at 100 TB where the exact pair join is the thing being avoided.
+
+    Determinism/exactness: the hash is the engine's shared 60-bit
+    md5_long, the sketch is "K smallest distinct values" (a pure
+    rank-pick — no randomness), c and the exact overlap are integers;
+    an UNSATURATED zone (fewer than K sensors) has θ = M and its
+    estimates collapse to exact counts by construction. The only float
+    is the estimate's one division, spelled identically in the oracle.
+
+    Shape: one distinct (zone, sensor) rollup, one zone-keyed rank
+    window (spillable sort; only K rows survive per zone), a ≤K·zones
+    sketch pair join on the hash value, and a sensor-keyed exact pair
+    join (each sensor contributes its own zone-pair square, never a
+    global product)."""
+    from smart_city_data_pipeline_spark.functions.hashing import md5_long
+
+    ev = table(spark, sf_dir, "events")
+    du = (
+        ev.select(F.col("event_type").alias("zone"), "user_id")
+        .distinct()
+        .select(
+            "zone",
+            "user_id",
+            md5_long(F.concat(F.lit("theta:"), F.col("user_id").cast("string")))
+            .alias("h"),
+        )
+    )
+    wz = Window.partitionBy("zone").orderBy("h")
+    ranked = du.select(
+        "zone", "h", F.row_number().over(wz).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("zone")).alias("nz"),
+    )
+    sketch = ranked.filter(F.col("rk") <= THETA_K)
+    theta = sketch.groupBy("zone").agg(
+        F.when(F.max("nz") >= THETA_K, F.max("h"))
+        .otherwise(F.lit(THETA_MAX))
+        .alias("theta"),
+        F.max("nz").alias("n_distinct"),
+    )
+    sa = sketch.select(F.col("zone").alias("zone_a"), "h")
+    sb = sketch.select(F.col("zone").alias("zone_b"), "h")
+    common = (
+        sa.join(sb, "h")
+        .filter(F.col("zone_a") < F.col("zone_b"))
+        .join(
+            theta.select(F.col("zone").alias("zone_a"), F.col("theta").alias("ta")),
+            "zone_a",
+        )
+        .join(
+            theta.select(F.col("zone").alias("zone_b"), F.col("theta").alias("tb")),
+            "zone_b",
+        )
+        .filter(F.col("h") < F.least(F.col("ta"), F.col("tb")))
+        .groupBy("zone_a", "zone_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.min(F.least(F.col("ta"), F.col("tb"))).alias("theta_min"),
+        )
+    )
+    exact = (
+        du.select(F.col("zone").alias("zone_a"), "user_id")
+        .join(du.select(F.col("zone").alias("zone_b"), "user_id"), "user_id")
+        .filter(F.col("zone_a") < F.col("zone_b"))
+        .groupBy("zone_a", "zone_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_overlap"))
+    )
+    j = exact.join(common, ["zone_a", "zone_b"], "left")
+    est = F.when(
+        F.col("c").isNotNull(),
+        F.col("c").cast("double")
+        * (F.lit(float(THETA_MAX)) / F.col("theta_min").cast("double")),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "zone_a",
+        "zone_b",
+        F.coalesce(F.col("c"), F.lit(0).cast("bigint")).alias(
+            "n_common_sketch"
+        ),
+        "exact_overlap",
+        pround(est).alias("est_overlap"),
+        pround(
+            F.abs(est - F.col("exact_overlap").cast("double"))
+            / F.col("exact_overlap").cast("double")
+        ).alias("rel_error"),
+    )
+
+
+QUERIES["theta_sketch_overlap"] = theta_sketch_overlap
+
+from smart_city_data_pipeline_spark.functions.hashing import (  # noqa: E402
+    md5_long_sql as _md5_sql_theta,
+)
+
+ORACLES["theta_sketch_overlap"] = f"""
+    WITH du AS (
+        SELECT DISTINCT event_type AS zone, user_id
+        FROM events
+    ),
+    hashed AS (
+        SELECT zone, user_id,
+               {_md5_sql_theta("'theta:' || CAST(user_id AS VARCHAR)")} AS h
+        FROM du
+    ),
+    ranked AS (
+        SELECT zone, h,
+               row_number() OVER (PARTITION BY zone ORDER BY h) AS rk,
+               COUNT(*) OVER (PARTITION BY zone) AS nz
+        FROM hashed
+    ),
+    sketch AS (SELECT * FROM ranked WHERE rk <= {THETA_K}),
+    theta AS (
+        SELECT zone,
+               CASE WHEN MAX(nz) >= {THETA_K} THEN MAX(h)
+                    ELSE {THETA_MAX} END AS theta
+        FROM sketch GROUP BY 1
+    ),
+    common AS (
+        SELECT a.zone AS zone_a, b.zone AS zone_b,
+               CAST(COUNT(*) AS BIGINT) AS c,
+               MIN(LEAST(ta.theta, tb.theta)) AS theta_min
+        FROM sketch a
+        JOIN sketch b ON b.h = a.h AND a.zone < b.zone
+        JOIN theta ta ON ta.zone = a.zone
+        JOIN theta tb ON tb.zone = b.zone
+        WHERE a.h < LEAST(ta.theta, tb.theta)
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT a.zone AS zone_a, b.zone AS zone_b,
+               CAST(COUNT(*) AS BIGINT) AS exact_overlap
+        FROM du a JOIN du b ON b.user_id = a.user_id AND a.zone < b.zone
+        GROUP BY 1, 2
+    )
+    SELECT e.zone_a, e.zone_b,
+           COALESCE(c.c, 0) AS n_common_sketch,
+           e.exact_overlap,
+           {pround_sql(
+               'CASE WHEN c.c IS NOT NULL THEN CAST(c.c AS DOUBLE)'
+               f' * ({float(THETA_MAX)!r} / CAST(c.theta_min AS DOUBLE))'
+               ' ELSE 0.0 END'
+           )} AS est_overlap,
+           {pround_sql(
+               'abs((CASE WHEN c.c IS NOT NULL THEN CAST(c.c AS DOUBLE)'
+               f' * ({float(THETA_MAX)!r} / CAST(c.theta_min AS DOUBLE))'
+               ' ELSE 0.0 END) - CAST(e.exact_overlap AS DOUBLE))'
+               ' / CAST(e.exact_overlap AS DOUBLE)'
+           )} AS rel_error
+    FROM exact e
+    LEFT JOIN common c ON c.zone_a = e.zone_a AND c.zone_b = e.zone_b
+"""

@@ -548,3 +548,71 @@ def test_kruskal_separated_vs_identical(spark, tmp_path):
     ).collect()
     assert r2_["zones_differ"] is False
     assert r2_["h_adjusted"] is not None and r2_["h_adjusted"] < 0.001
+
+
+# ------------------------------------------------------ theta_sketch_overlap
+
+
+def test_theta_sketch_overlap_matches_full_replay(spark, tmp_path):
+    """Three zones with engineered sensor overlaps (two saturated, one
+    in exact mode): every column — sketch thresholds, common counts,
+    the estimate, and its error — matches an independent KMV replay,
+    and unsaturated pairs collapse to exact counts."""
+    import hashlib
+
+    from smart_city_data_pipeline_spark.operators.traffic import (
+        THETA_K,
+        THETA_MAX,
+        theta_sketch_overlap,
+    )
+
+    def th(uid):
+        return int(
+            hashlib.md5(f"theta:{uid}".encode()).hexdigest()[:15], 16
+        )
+
+    zones = {
+        "za": list(range(1, 101)),         # saturated (100 > 64)
+        "zb": list(range(51, 151)),        # saturated, overlap 50 w/ za
+        "zc": list(range(1, 31)),          # exact mode (30 < 64)
+    }
+    rows, eid = [], 0
+    for z, uids in zones.items():
+        for u in uids:
+            rows.append((eid, T0 + timedelta(minutes=eid), u, z, 1.0, ""))
+            eid += 1
+    got = {
+        (r["zone_a"], r["zone_b"]): r
+        for r in theta_sketch_overlap(
+            spark, _write_events(spark, tmp_path, rows)
+        ).collect()
+    }
+    sketches, thetas = {}, {}
+    for z, uids in zones.items():
+        hs = sorted(th(u) for u in set(uids))
+        sketches[z] = set(hs[:THETA_K])
+        thetas[z] = hs[THETA_K - 1] if len(hs) >= THETA_K else THETA_MAX
+    # zb and zc share no sensors: zero-overlap pairs are absent from
+    # the report by construction (and a sketch hash match implies a
+    # shared sensor, so no false-positive row can exist either)
+    assert ("zb", "zc") not in got
+    for (za, uza), (zb, uzb) in [
+        (("za", zones["za"]), ("zb", zones["zb"])),
+        (("za", zones["za"]), ("zc", zones["zc"])),
+    ]:
+        exact = len(set(uza) & set(uzb))
+        tmin = min(thetas[za], thetas[zb])
+        c = len(
+            {h for h in sketches[za] & sketches[zb] if h < tmin}
+        )
+        est = c * (float(THETA_MAX) / tmin) if c else 0.0
+        r = got[(za, zb)]
+        assert r["exact_overlap"] == exact, (za, zb)
+        assert r["n_common_sketch"] == c, (za, zb)
+        assert r["est_overlap"] == pround_py(est), (za, zb)
+        if exact:
+            assert r["rel_error"] == pround_py(abs(est - exact) / exact)
+    # the unsaturated pair: zc never saturates, and zc ⊂ za means the
+    # sketch sees every common sensor below za's threshold or not at
+    # all — the replay above already pinned the exact arithmetic
+    assert got[("za", "zc")]["exact_overlap"] == 30
