@@ -1717,3 +1717,149 @@ ORACLES["join_strategy_report"] = f"""
                 ELSE 'sort_merge' END AS strategy
     FROM dims d CROSS JOIN fact f
 """
+
+
+# Roaring-style container cost model (bytes), per 2^16-value chunk:
+# sorted array = 2 bytes/value, fixed bitmap = 8192, run-length =
+# 4 bytes/run + 2 header. Tie-break prefers the simpler container
+# (array < bitmap < run) — fixed, so both engines pick identically.
+BITMAP_CHUNK_SHIFT = 16
+BITMAP_ARRAY_BPV = 2
+BITMAP_FIXED_BYTES = 8192
+BITMAP_RUN_BPR = 4
+BITMAP_RUN_HDR = 2
+
+
+def bitmap_index_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size a Roaring-style BITMAP INDEX over sensor ids per zone —
+    the secondary-index planning read ("is a bitmap index worth it for
+    this dimension?") before building zone→sensors postings at 100 TB.
+    For each zone, sensor ids split into 2^16-value chunks; each chunk
+    picks the cheapest real Roaring container — sorted array (2 B per
+    value), fixed bitmap (8192 B), or run-length (4 B per run + 2) —
+    and the report rolls up container mix, estimated index bytes, raw
+    list bytes, and the compression ratio. Dense consecutive id ranges
+    go run, sparse chunks go array, half-full chunks go bitmap — all
+    three verdicts live in the data and in the hash.
+
+    Exactness: value counts, run counts (a lag window per zone-chunk:
+    run starts where id ≠ prev+1) and every byte cost are integers;
+    the ratio is one pround'd division. Shape: one distinct rollup,
+    one keyed window, two keyed aggregates — nothing global."""
+    ev = table(spark, sf_dir, "events")
+    du = ev.select(F.col("event_type").alias("zone"), "user_id").distinct()
+    chunk = F.expr(f"user_id DIV {1 << BITMAP_CHUNK_SHIFT}")
+    wz = Window.partitionBy("zone", "chunk").orderBy("user_id")
+    runs = du.select("zone", "user_id", chunk.alias("chunk")).select(
+        "zone",
+        "chunk",
+        "user_id",
+        F.when(
+            F.lag("user_id").over(wz).isNull()
+            | (F.lag("user_id").over(wz) != F.col("user_id") - 1),
+            1,
+        )
+        .otherwise(0)
+        .alias("run_start"),
+    )
+    per_chunk = runs.groupBy("zone", "chunk").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("run_start").alias("n_runs"),
+    )
+    cost_array = BITMAP_ARRAY_BPV * F.col("n")
+    cost_bitmap = F.lit(BITMAP_FIXED_BYTES)
+    cost_run = BITMAP_RUN_BPR * F.col("n_runs") + BITMAP_RUN_HDR
+    best = F.least(cost_array, cost_bitmap, cost_run)
+    ctype = (
+        F.when(cost_array == best, "array")
+        .when(cost_bitmap == best, "bitmap")
+        .otherwise("run")
+    )
+    chosen = per_chunk.select(
+        "zone", "n", best.alias("cost"), ctype.alias("ctype")
+    )
+    g = chosen.groupBy("zone").agg(
+        F.sum("n").cast("bigint").alias("n_values"),
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum((F.col("ctype") == "array").cast("int")).cast("bigint").alias(
+            "array_chunks"
+        ),
+        F.sum((F.col("ctype") == "bitmap").cast("int")).cast("bigint").alias(
+            "bitmap_chunks"
+        ),
+        F.sum((F.col("ctype") == "run").cast("int")).cast("bigint").alias(
+            "run_chunks"
+        ),
+        F.sum("cost").cast("bigint").alias("index_bytes"),
+    )
+    raw = 8 * F.col("n_values")
+    return g.select(
+        "zone",
+        "n_values",
+        "n_chunks",
+        "array_chunks",
+        "bitmap_chunks",
+        "run_chunks",
+        "index_bytes",
+        raw.cast("bigint").alias("raw_bytes"),
+        pround(raw.cast("double") / F.col("index_bytes").cast("double")).alias(
+            "compression_ratio"
+        ),
+    )
+
+
+QUERIES["bitmap_index_plan"] = bitmap_index_plan
+
+ORACLES["bitmap_index_plan"] = f"""
+    WITH du AS (
+        SELECT DISTINCT event_type AS zone, user_id FROM events
+    ),
+    runs AS (
+        SELECT zone, user_id,
+               user_id // {1 << BITMAP_CHUNK_SHIFT} AS chunk,
+               CASE WHEN lag(user_id) OVER w IS NULL
+                      OR lag(user_id) OVER w <> user_id - 1
+                    THEN 1 ELSE 0 END AS run_start
+        FROM du
+        WINDOW w AS (PARTITION BY zone, user_id // {1 << BITMAP_CHUNK_SHIFT}
+                     ORDER BY user_id)
+    ),
+    per_chunk AS (
+        SELECT zone, chunk,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(run_start) AS BIGINT) AS n_runs
+        FROM runs GROUP BY 1, 2
+    ),
+    chosen AS (
+        SELECT zone, n,
+               LEAST({BITMAP_ARRAY_BPV} * n, {BITMAP_FIXED_BYTES},
+                     {BITMAP_RUN_BPR} * n_runs + {BITMAP_RUN_HDR}) AS cost,
+               CASE WHEN {BITMAP_ARRAY_BPV} * n
+                         = LEAST({BITMAP_ARRAY_BPV} * n,
+                                 {BITMAP_FIXED_BYTES},
+                                 {BITMAP_RUN_BPR} * n_runs
+                                 + {BITMAP_RUN_HDR}) THEN 'array'
+                    WHEN {BITMAP_FIXED_BYTES}
+                         = LEAST({BITMAP_ARRAY_BPV} * n,
+                                 {BITMAP_FIXED_BYTES},
+                                 {BITMAP_RUN_BPR} * n_runs
+                                 + {BITMAP_RUN_HDR}) THEN 'bitmap'
+                    ELSE 'run' END AS ctype
+        FROM per_chunk
+    )
+    SELECT zone,
+           CAST(SUM(n) AS BIGINT) AS n_values,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN ctype = 'array' THEN 1 ELSE 0 END) AS BIGINT)
+               AS array_chunks,
+           CAST(SUM(CASE WHEN ctype = 'bitmap' THEN 1 ELSE 0 END) AS BIGINT)
+               AS bitmap_chunks,
+           CAST(SUM(CASE WHEN ctype = 'run' THEN 1 ELSE 0 END) AS BIGINT)
+               AS run_chunks,
+           CAST(SUM(cost) AS BIGINT) AS index_bytes,
+           CAST(8 * SUM(n) AS BIGINT) AS raw_bytes,
+           {pround_sql(
+               'CAST(8 * SUM(n) AS DOUBLE) / CAST(SUM(cost) AS DOUBLE)'
+           )} AS compression_ratio
+    FROM chosen GROUP BY 1
+"""

@@ -616,3 +616,48 @@ def test_theta_sketch_overlap_matches_full_replay(spark, tmp_path):
     # sketch sees every common sensor below za's threshold or not at
     # all — the replay above already pinned the exact arithmetic
     assert got[("za", "zc")]["exact_overlap"] == 30
+
+
+# -------------------------------------------------------- bitmap_index_plan
+
+
+def test_bitmap_index_plan_picks_each_container(spark, tmp_path):
+    """Three zones engineered so each Roaring container wins: a dense
+    consecutive run (run container), a sparse scatter (array), and an
+    every-other-id half-full chunk (bitmap); byte costs are closed
+    form."""
+    from smart_city_data_pipeline_spark.operators.lakehouse import (
+        BITMAP_ARRAY_BPV,
+        BITMAP_FIXED_BYTES,
+        BITMAP_RUN_BPR,
+        BITMAP_RUN_HDR,
+        bitmap_index_plan,
+    )
+
+    rows, eid = [], 0
+    run_ids = list(range(20_000, 30_000))          # 10k consecutive
+    sparse_ids = [i * 131 for i in range(300)]     # array wins
+    dense_ids = [2 * i for i in range(32_768)]     # half-full: bitmap
+    for z, ids in (
+        ("zrun", run_ids), ("zarr", sparse_ids), ("zbit", dense_ids)
+    ):
+        for u in ids:
+            rows.append((eid, T0 + timedelta(seconds=eid % 3600), u, z, 1.0, ""))
+            eid += 1
+    got = {
+        r["zone"]: r
+        for r in bitmap_index_plan(
+            spark, _write_events(spark, tmp_path, rows)
+        ).collect()
+    }
+    r = got["zrun"]
+    assert (r["run_chunks"], r["array_chunks"], r["bitmap_chunks"]) == (1, 0, 0)
+    assert r["index_bytes"] == BITMAP_RUN_BPR * 1 + BITMAP_RUN_HDR
+    assert r["raw_bytes"] == 8 * 10_000
+    a = got["zarr"]
+    assert a["array_chunks"] == a["n_chunks"]
+    assert a["index_bytes"] == BITMAP_ARRAY_BPV * 300
+    b = got["zbit"]
+    assert b["bitmap_chunks"] == 1 and b["n_chunks"] == 1
+    assert b["index_bytes"] == BITMAP_FIXED_BYTES
+    assert b["compression_ratio"] == round(8 * 32768 / 8192, 4)
