@@ -4529,3 +4529,164 @@ ORACLES["ingest_novelty_timeline"] = f"""
            )} AS novel_share
     FROM per
 """
+
+
+# Analytic LSH S-curve as exact rationals: for each (bands b, rows r)
+# split of the 16 minhash slots and each similarity-grid point s = k/8,
+# capture probability p = 1 - (1 - s^r)^b = p_num / LSH_PLAN_DEN with
+# p_num = 8^16 - (8^r - k^r)^b — INTEGER on both engines (8^16 < 2^63),
+# precomputed here so neither engine raises floats to the 16th power.
+LSH_PLAN_DEN = 8 ** 16
+LSH_PLAN_SPLITS = ((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+LSH_PLAN_ROWS = tuple(
+    (b, r, k, LSH_PLAN_DEN - (8 ** r - k ** r) ** b)
+    for b, r in LSH_PLAN_SPLITS
+    for k in range(9)
+)
+
+
+def lsh_banding_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Choose the MinHash band geometry from THIS corpus's measured
+    similarity mass, before committing it at 100 TB: for every way to
+    split the 16 signature slots into (bands × rows), the expected
+    candidate-pair count, the expected recall on true pairs (exact
+    Jaccard ≥ the shared 0.5 threshold) and the expected sub-threshold
+    false-candidate mass — the analytic 1−(1−s^r)^b S-curve evaluated
+    against the exact pair-similarity histogram. `lsh_quality_report`
+    measures the ONE configured geometry after the fact; this prices
+    all five before.
+
+    Exactness: the histogram bucket is the integer
+    ``(8·|A∩B|) DIV |A∪B|`` (no float Jaccard), the S-curve enters as
+    precomputed integer rationals over the constant denominator 8^16
+    (each bucket priced at its LOWER edge — a conservative recall
+    model, documented), so every expectation numerator is an exact
+    DECIMAL(38,0) sum; the three reported expectations are single
+    divisions. Shape: the shared inverted-index pair join (df-cap
+    class), a 9-row histogram, a 45-row literal plan table, one tiny
+    keyed aggregate."""
+    sh = _hashed_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.hs") == F.col("b.hs"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    bucket = F.expr(
+        "(8 * n_inter) DIV (sa_n + sb_n - n_inter)"
+    )
+    hist = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            F.col("n_inter"),
+            F.col("sa.n_sh").alias("sa_n"),
+            F.col("sb.n_sh").alias("sb_n"),
+        )
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    plans = spark.createDataFrame(
+        list(LSH_PLAN_ROWS), "bands int, rows_per_band int, bucket int, p_num long"
+    )
+    j = hist.join(F.broadcast(plans), "bucket")
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    above = F.col("bucket") >= 4  # tau = 0.5 on the 1/8 grid
+    g = j.groupBy("bands", "rows_per_band").agg(
+        F.sum(dec(F.col("n_pairs")) * dec(F.col("p_num"))).alias("cap_all"),
+        F.sum(
+            F.when(above, dec(F.col("n_pairs")) * dec(F.col("p_num"))).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("cap_true"),
+        F.sum(F.when(above, F.col("n_pairs")).otherwise(0)).alias("n_true"),
+        F.sum("n_pairs").alias("n_pairs"),
+    )
+    den = F.lit(float(LSH_PLAN_DEN))
+    return g.select(
+        "bands",
+        "rows_per_band",
+        F.col("n_pairs").cast("long").alias("n_scored_pairs"),
+        F.col("n_true").cast("long").alias("n_true_pairs"),
+        pround(F.col("cap_all").cast("double") / den).alias(
+            "expected_candidates"
+        ),
+        pround(
+            F.when(
+                F.col("n_true") > 0,
+                F.col("cap_true").cast("double")
+                / den
+                / F.col("n_true").cast("double"),
+            )
+        ).alias("expected_recall"),
+        pround(
+            (F.col("cap_all") - F.col("cap_true")).cast("double") / den
+        ).alias("expected_false_candidates"),
+    )
+
+
+QUERIES["lsh_banding_planner"] = lsh_banding_planner
+
+_LSH_PLAN_VALUES = ",\n            ".join(
+    f"({b}, {r}, {k}, {p})" for b, r, k, p in LSH_PLAN_ROWS
+)
+
+ORACLES["lsh_banding_planner"] = f"""
+    WITH sh AS ({_HASHED_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM sh a JOIN sh b ON a.hs = b.hs AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    hist AS (
+        SELECT (8 * n_inter) // (sa.n_sh + sb.n_sh - n_inter) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        GROUP BY 1
+    ),
+    plans(bands, rows_per_band, bucket, p_num) AS (
+        VALUES
+            {_LSH_PLAN_VALUES}
+    ),
+    g AS (
+        SELECT p.bands, p.rows_per_band,
+               SUM(CAST(h.n_pairs AS HUGEINT) * p.p_num) AS cap_all,
+               SUM(CASE WHEN h.bucket >= 4
+                        THEN CAST(h.n_pairs AS HUGEINT) * p.p_num
+                        ELSE 0 END) AS cap_true,
+               CAST(SUM(CASE WHEN h.bucket >= 4 THEN h.n_pairs
+                             ELSE 0 END) AS BIGINT) AS n_true,
+               CAST(SUM(h.n_pairs) AS BIGINT) AS n_pairs
+        FROM hist h JOIN plans p USING (bucket)
+        GROUP BY 1, 2
+    )
+    SELECT bands, rows_per_band,
+           n_pairs AS n_scored_pairs,
+           n_true AS n_true_pairs,
+           {pround_sql(
+               f'CAST(cap_all AS DOUBLE) / {float(LSH_PLAN_DEN)!r}'
+           )} AS expected_candidates,
+           CASE WHEN n_true > 0 THEN {pround_sql(
+               f'CAST(cap_true AS DOUBLE) / {float(LSH_PLAN_DEN)!r}'
+               ' / CAST(n_true AS DOUBLE)'
+           )} END AS expected_recall,
+           {pround_sql(
+               'CAST(cap_all - cap_true AS DOUBLE)'
+               f' / {float(LSH_PLAN_DEN)!r}'
+           )} AS expected_false_candidates
+    FROM g
+"""

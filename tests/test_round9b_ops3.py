@@ -661,3 +661,60 @@ def test_bitmap_index_plan_picks_each_container(spark, tmp_path):
     assert b["bitmap_chunks"] == 1 and b["n_chunks"] == 1
     assert b["index_bytes"] == BITMAP_FIXED_BYTES
     assert b["compression_ratio"] == round(8 * 32768 / 8192, 4)
+
+
+# ------------------------------------------------------- lsh_banding_planner
+
+
+def test_lsh_planner_scurve_table_and_monotonicity(spark, tmp_path):
+    """The rational S-curve table equals the closed form; on a planted
+    corpus of exact duplicates plus unrelated docs, every plan's
+    recall on identical pairs is 1.0 and more-bands-fewer-rows plans
+    capture at least as much sub-threshold mass."""
+    from smart_city_data_pipeline_spark.operators.dedup import (
+        LSH_PLAN_DEN,
+        LSH_PLAN_ROWS,
+        LSH_PLAN_SPLITS,
+        lsh_banding_planner,
+    )
+
+    for b, r, k, p in LSH_PLAN_ROWS:
+        assert p == LSH_PLAN_DEN - (8**r - k**r) ** b
+        assert 0 <= p <= LSH_PLAN_DEN
+    # s = 1 always captured, s = 0 never
+    for b, r in LSH_PLAN_SPLITS:
+        by_k = {k: p for bb, rr, k, p in LSH_PLAN_ROWS if (bb, rr) == (b, r)}
+        assert by_k[8] == LSH_PLAN_DEN
+        assert by_k[0] == 0
+        assert sorted(by_k.values()) == [by_k[k] for k in range(9)]
+
+    copied = " ".join(f"tok{i:02d} shared corpus body text" for i in range(30))
+    uniq = [
+        " ".join(f"u{j}x{i:02d} zq{j}w{i} brr{j * 7 + i}" for i in range(25))
+        for j in range(3)
+    ]
+    rows = [(0, copied), (1, copied), (2, copied)] + [
+        (3 + j, t) for j, t in enumerate(uniq)
+    ]
+    d = str(tmp_path / "lake")
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in rows], schema
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    got = {
+        (r["bands"], r["rows_per_band"]): r
+        for r in lsh_banding_planner(spark, d).collect()
+    }
+    assert set(got) == set(LSH_PLAN_SPLITS)
+    for (b, r), row in got.items():
+        assert row["n_true_pairs"] == 3  # the three identical-pair combos
+        assert row["expected_recall"] == 1.0  # s = 1 rows capture always
+        assert 0.0 <= row["expected_false_candidates"] <= row["n_scored_pairs"]
+    # bands=16 (r=1) is the most permissive geometry, bands=1 (r=16)
+    # the strictest: candidate mass must be monotone between them
+    assert (
+        got[(16, 1)]["expected_candidates"]
+        >= got[(1, 16)]["expected_candidates"]
+    )
