@@ -9681,3 +9681,105 @@ ORACLES["kruskal_zone_test"] = f"""
                 END AS zones_differ
     FROM terms
 """
+
+
+SESSION_SWEEP_GAPS_S = (300, 900, 1800, 3600)
+
+
+def session_timeout_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price the SESSION GAP before hardcoding it: for each candidate
+    inactivity timeout (5/15/30/60 min), the session count, average
+    events per session, and single-event-session share the
+    ``sessionize`` operator would produce — the knob-sensitivity curve
+    (dedup_threshold_sweep's discipline applied to sessionization). A
+    cliff between two gaps means the choice is load-bearing; a flat
+    stretch means the 30-min default is safe. The 30-min row equals
+    `sessionize`'s aggregate by construction.
+
+    Exactness: the inter-event gap is an exact µs BIGINT from ONE lag
+    window per user (shared across all four candidates — session
+    starts for gap g are simply rows with prev-gap > g, so the whole
+    sweep is four conditional sums over the same pass, no per-gap
+    re-sessionization); counts are integers, the two shares one
+    pround'd division each. Shape: one user-keyed window, one global
+    aggregate, a 4-row stack."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    nxt = F.lead(us).over(w) - us
+    base = ev.select(
+        gap.alias("gap_us"),
+        nxt.alias("next_us"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    for i, g in enumerate(SESSION_SWEEP_GAPS_S):
+        g_us = g * 1_000_000
+        start = F.col("gap_us").isNull() | (F.col("gap_us") > g_us)
+        end = F.col("next_us").isNull() | (F.col("next_us") > g_us)
+        aggs.append(F.sum(start.cast("int")).cast("bigint").alias(f"s{i}"))
+        aggs.append(
+            F.sum((start & end).cast("int")).cast("bigint").alias(f"o{i}")
+        )
+    agg = base.agg(*aggs)
+    stack = ", ".join(
+        f"{g}L, s{i}, o{i}" for i, g in enumerate(SESSION_SWEEP_GAPS_S)
+    )
+    out = agg.selectExpr(
+        "n_events",
+        f"stack({len(SESSION_SWEEP_GAPS_S)}, {stack})"
+        " AS (gap_s, n_sessions, n_singletons)",
+    )
+    return out.select(
+        F.col("gap_s").cast("long").alias("gap_s"),
+        "n_events",
+        "n_sessions",
+        "n_singletons",
+        pround(
+            F.col("n_events").cast("double") / F.col("n_sessions").cast("double")
+        ).alias("avg_events_per_session"),
+        pround(
+            F.col("n_singletons").cast("double")
+            / F.col("n_sessions").cast("double")
+        ).alias("singleton_share"),
+    )
+
+
+QUERIES["session_timeout_sweep"] = session_timeout_sweep
+
+_SS_STACK_SQL = "\n    UNION ALL ".join(
+    f"SELECT {g} AS gap_s, n_events, s{i} AS n_sessions,"
+    f" o{i} AS n_singletons FROM agg"
+    for i, g in enumerate(SESSION_SWEEP_GAPS_S)
+)
+
+ORACLES["session_timeout_sweep"] = f"""
+    WITH base AS (
+        SELECT CAST(epoch_us(ts) AS BIGINT)
+                   - lag(CAST(epoch_us(ts) AS BIGINT)) OVER w AS gap_us,
+               lead(CAST(epoch_us(ts) AS BIGINT)) OVER w
+                   - CAST(epoch_us(ts) AS BIGINT) AS next_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+               {", ".join(
+                   f"CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > "
+                   f"{g * 1_000_000} THEN 1 ELSE 0 END) AS BIGINT) AS s{i}, "
+                   f"CAST(SUM(CASE WHEN (gap_us IS NULL OR gap_us > "
+                   f"{g * 1_000_000}) AND (next_us IS NULL OR next_us > "
+                   f"{g * 1_000_000}) THEN 1 ELSE 0 END) AS BIGINT) AS o{i}"
+                   for i, g in enumerate(SESSION_SWEEP_GAPS_S)
+               )}
+        FROM base
+    )
+    SELECT gap_s, n_events, n_sessions, n_singletons,
+           {pround_sql(
+               'CAST(n_events AS DOUBLE) / CAST(n_sessions AS DOUBLE)'
+           )} AS avg_events_per_session,
+           {pround_sql(
+               'CAST(n_singletons AS DOUBLE) / CAST(n_sessions AS DOUBLE)'
+           )} AS singleton_share
+    FROM ({_SS_STACK_SQL})
+"""

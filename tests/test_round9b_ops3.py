@@ -718,3 +718,41 @@ def test_lsh_planner_scurve_table_and_monotonicity(spark, tmp_path):
         got[(16, 1)]["expected_candidates"]
         >= got[(1, 16)]["expected_candidates"]
     )
+
+
+# ------------------------------------------------------ session_timeout_sweep
+
+
+def test_session_timeout_sweep_closed_form(spark, tmp_path):
+    """One user with gaps 10 min / 20 min / 45 min / 2 h between five
+    events: session counts per candidate gap are closed form
+    (5/15/30/60 min -> 5/4/3/2 sessions), and singleton counts track
+    which events sit alone."""
+    from smart_city_data_pipeline_spark.operators.timeseries import (
+        session_timeout_sweep,
+    )
+
+    offsets_min = [0, 10, 30, 75, 195]
+    rows = [
+        (i, T0 + timedelta(minutes=m), 1, "a", 1.0, "")
+        for i, m in enumerate(offsets_min)
+    ]
+    got = {
+        r["gap_s"]: r
+        for r in session_timeout_sweep(
+            spark, _write_events(spark, tmp_path, rows)
+        ).collect()
+    }
+    # inter-event gaps: 10, 20, 45, 120 minutes
+    expect = {
+        300: (5, 5),   # every event its own session
+        900: (4, 3),   # {0,10} + singletons {30}, {75}, {195}
+        1800: (3, 2),  # {0,10,30} + singletons {75}, {195}
+        3600: (2, 1),  # {0,10,30,75} + singleton {195}
+    }
+    for g, (ns, singles) in expect.items():
+        r = got[g]
+        assert r["n_events"] == 5
+        assert r["n_sessions"] == ns, g
+        assert r["n_singletons"] == singles, g
+        assert r["avg_events_per_session"] == pround_py(5 / ns)
