@@ -9783,3 +9783,134 @@ ORACLES["session_timeout_sweep"] = f"""
            )} AS singleton_share
     FROM ({_SS_STACK_SQL})
 """
+
+
+MEDIAN_POLISH_ITERS = 3
+
+
+def median_polish_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey MEDIAN POLISH of the zone × hour-of-day grid — the robust
+    two-way decomposition ``value ≈ row_effect(zone) + col_effect(hour)
+    + residual``: `zone_hour_cube` tabulates the grid, `anomaly_zscore`
+    reacts to single readings; this separates "that zone is just
+    always high" from "that hour is rush hour everywhere" from the
+    residual map where the real anomalies live (a mean-based two-way
+    fit would smear one hot cell into its whole row and column —
+    medians don't).
+
+    Exactness: grid cells are the shared quantized integer means; the
+    procedure is a FIXED recipe — MEDIAN_POLISH_ITERS iterations of
+    (row sweep, column sweep), each sweep subtracting the rank-picked
+    LOWER median (position (n+1) DIV 2, ties broken by the other
+    coordinate — fully deterministic) — so effects and residuals stay
+    exact integers end-to-end; the oracle unrolls the identical six
+    sweeps as CTEs. No floats anywhere.
+
+    Shape: one fact rollup to the ≤ zones×24 grid, then a fixed chain
+    of 12 grid-keyed windows/joins on that bounded table. Facts
+    shuffle once."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    grid = (
+        ev.groupBy(
+            F.col("event_type").alias("zone"),
+            F.hour(F.date_trunc("hour", F.col("ts"))).alias("h"),
+        )
+        .agg(F.sum(cents).alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("zone", "h", F.expr("(s * 128) DIV n").alias("v"))
+    )
+    cur = grid.select(
+        "zone",
+        "h",
+        F.col("v").alias("e"),
+        F.lit(0).cast("long").alias("row_eff"),
+        F.lit(0).cast("long").alias("col_eff"),
+    )
+    for _ in range(MEDIAN_POLISH_ITERS):
+        for part, other, eff in (("zone", "h", "row_eff"), ("h", "zone", "col_eff")):
+            wr = Window.partitionBy(part).orderBy("e", other)
+            wc = Window.partitionBy(part)
+            med = (
+                cur.select(
+                    part,
+                    other,
+                    "e",
+                    F.row_number().over(wr).alias("rk"),
+                    F.count(F.lit(1)).over(wc).alias("na"),
+                )
+                .filter(F.col("rk") == F.expr("(na + 1) DIV 2"))
+                .select(F.col(part), F.col("e").alias("m"))
+            )
+            cur = cur.join(med, part).select(
+                "zone",
+                "h",
+                (F.col("e") - F.col("m")).alias("e"),
+                (
+                    F.col("row_eff") + (F.col("m") if eff == "row_eff" else F.lit(0))
+                ).cast("long").alias("row_eff"),
+                (
+                    F.col("col_eff") + (F.col("m") if eff == "col_eff" else F.lit(0))
+                ).cast("long").alias("col_eff"),
+            )
+    return cur.select(
+        "zone",
+        F.col("h").cast("int").alias("hour"),
+        F.col("row_eff").alias("zone_effect_q"),
+        F.col("col_eff").alias("hour_effect_q"),
+        F.col("e").alias("residual_q"),
+    )
+
+
+QUERIES["median_polish_grid"] = median_polish_grid
+
+
+def _mp_oracle() -> str:
+    sweeps = []
+    prev = "g0"
+    idx = 0
+    for _ in range(MEDIAN_POLISH_ITERS):
+        for part, other, eff in (
+            ("zone", "h", "row_eff"), ("h", "zone", "col_eff")
+        ):
+            idx += 1
+            med = f"m{idx}"
+            nxt = f"g{idx}"
+            sweeps.append(f"""
+    {med} AS (
+        SELECT {part}, e AS m FROM (
+            SELECT {part}, e,
+                   row_number() OVER (PARTITION BY {part}
+                                      ORDER BY e, {other}) AS rk,
+                   COUNT(*) OVER (PARTITION BY {part}) AS na
+            FROM {prev}
+        ) WHERE rk = (na + 1) // 2
+    ),
+    {nxt} AS (
+        SELECT g.zone, g.h, g.e - mm.m AS e,
+               g.row_eff + {('mm.m' if eff == 'row_eff' else '0')} AS row_eff,
+               g.col_eff + {('mm.m' if eff == 'col_eff' else '0')} AS col_eff
+        FROM {prev} g JOIN {med} mm USING ({part})
+    )""")
+            prev = nxt
+    return f"""
+    WITH grid AS (
+        SELECT event_type AS zone,
+               CAST(EXTRACT(hour FROM date_trunc('hour', ts)) AS INT) AS h,
+               (CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                     AS BIGINT) * 128) // COUNT(*) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    g0 AS (
+        SELECT zone, h, v AS e,
+               CAST(0 AS BIGINT) AS row_eff, CAST(0 AS BIGINT) AS col_eff
+        FROM grid
+    ),{",".join(sweeps)}
+    SELECT zone, h AS hour,
+           CAST(row_eff AS BIGINT) AS zone_effect_q,
+           CAST(col_eff AS BIGINT) AS hour_effect_q,
+           CAST(e AS BIGINT) AS residual_q
+    FROM {prev}
+"""
+
+
+ORACLES["median_polish_grid"] = _mp_oracle()

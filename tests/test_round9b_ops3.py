@@ -756,3 +756,80 @@ def test_session_timeout_sweep_closed_form(spark, tmp_path):
         assert r["n_sessions"] == ns, g
         assert r["n_singletons"] == singles, g
         assert r["avg_events_per_session"] == pround_py(5 / ns)
+
+
+# -------------------------------------------------------- median_polish_grid
+
+
+def _ref_median_polish(grid, iters):
+    """Independent replay: grid maps (zone, h) -> integer v."""
+    zones = sorted({z for z, _ in grid})
+    hours = sorted({h for _, h in grid})
+    e = dict(grid)
+    row = {z: 0 for z in zones}
+    col = {h: 0 for h in hours}
+
+    def lower_median(pairs):
+        # pairs of (e, other) sorted by (e, other); pick (n+1)//2-th
+        s = sorted(pairs)
+        return s[(len(s) + 1) // 2 - 1][0]
+
+    for _ in range(iters):
+        for z in zones:
+            m = lower_median(
+                [(e[(z, h)], h) for h in hours if (z, h) in e]
+            )
+            row[z] += m
+            for h in hours:
+                if (z, h) in e:
+                    e[(z, h)] -= m
+        for h in hours:
+            m = lower_median(
+                [(e[(z, h)], z) for z in zones if (z, h) in e]
+            )
+            col[h] += m
+            for z in zones:
+                if (z, h) in e:
+                    e[(z, h)] -= m
+    return e, row, col
+
+
+def test_median_polish_additive_grid_and_replay(spark, tmp_path):
+    """A purely additive grid (v = zone_base + hour_base) polishes to
+    all-zero residuals; a grid with one spiked cell isolates the spike
+    in that cell's residual; both match the independent replay
+    cell-for-cell."""
+    from smart_city_data_pipeline_spark.operators.timeseries import (
+        MEDIAN_POLISH_ITERS,
+        median_polish_grid,
+    )
+
+    zone_base = {"za": 1000, "zb": 3000, "zc": 8000}
+    hour_base = {h: 100 * h for h in range(6)}
+    rows, eid, planted = [], 0, {}
+    for z, zb in zone_base.items():
+        for h, hb in hour_base.items():
+            cents = zb + hb
+            if (z, h) == ("zb", 3):
+                cents += 5000  # the spiked cell
+            rows.append(
+                (eid, T0 + timedelta(hours=h), 1, z, cents / 100.0, "")
+            )
+            planted[(z, h)] = cents * 128
+            eid += 1
+    got = {
+        (r["zone"], r["hour"]): r
+        for r in median_polish_grid(
+            spark, _write_events(spark, tmp_path, rows)
+        ).collect()
+    }
+    e, row, col = _ref_median_polish(planted, MEDIAN_POLISH_ITERS)
+    assert set(got) == set(planted)
+    for key, r in got.items():
+        assert r["residual_q"] == e[key], key
+        assert r["zone_effect_q"] == row[key[0]], key
+        assert r["hour_effect_q"] == col[key[1]], key
+    # the spike survives in exactly its own cell's residual
+    assert got[("zb", 3)]["residual_q"] == 5000 * 128
+    others = [r["residual_q"] for k, r in got.items() if k != ("zb", 3)]
+    assert all(v == 0 for v in others)
