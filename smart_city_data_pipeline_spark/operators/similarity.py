@@ -3397,3 +3397,127 @@ ORACLES["ivf_shard_plan"] = f"""
            )} AS balance_ratio
     FROM g, tot t
 """
+
+
+CLIP_PCT_DIV = 100  # clip at the 1st/99th rank-picked percentiles
+
+
+def embedding_clip_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CALIBRATION read before `embedding_sq8` commits its affine
+    grid: per dimension, rank-picked robust clip bounds (1st/99th
+    percentile values), how many components fall outside them, and the
+    RESOLUTION GAIN ``(max−min)/(hi−lo)`` — how much of the int8 code
+    range the corpus min/max grid wastes on outlier tails. A dim with
+    gain 5 means sq8 spends 80% of its codes on 2% of the mass; clip
+    first, then quantize.
+
+    Determinism: the bounds are rank-PICKED input values (row_number
+    over (x, vec_id) — a total order, so the picked doubles are
+    bit-identical in both engines; no interpolation, no float sums),
+    counts are integers, and the two reported ratios are single
+    pround'd divisions of picked/extreme values. Shape: one
+    posexplode, one dim-keyed rank window (spillable, corpus-sized per
+    dim), two dim-keyed aggregates — 64 rows out."""
+    emb = spread(
+        table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings"
+    )
+    comp = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos0", "x"
+        ),
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "x")
+    wr = Window.partitionBy("pos").orderBy("x", "vec_id")
+    wc = Window.partitionBy("pos")
+    ranked = comp.select(
+        "pos",
+        "x",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    r_lo = F.expr(f"(n - 1) DIV {CLIP_PCT_DIV} + 1")
+    r_hi = F.expr(f"n - (n - 1) DIV {CLIP_PCT_DIV}")
+    bounds = (
+        ranked.filter((F.col("rk") == r_lo) | (F.col("rk") == r_hi))
+        .groupBy("pos")
+        .agg(
+            F.min("x").alias("lo"),
+            F.max("x").alias("hi"),
+            F.max("n").alias("n"),
+        )
+    )
+    stats = comp.groupBy("pos").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    clipped = (
+        comp.join(bounds.select("pos", "lo", "hi"), "pos")
+        .groupBy("pos")
+        .agg(
+            F.sum(
+                ((F.col("x") < F.col("lo")) | (F.col("x") > F.col("hi"))).cast(
+                    "int"
+                )
+            )
+            .cast("bigint")
+            .alias("n_clipped")
+        )
+    )
+    j = bounds.join(stats, "pos").join(clipped, "pos")
+    gain = F.when(
+        F.col("hi") > F.col("lo"),
+        (F.col("mx") - F.col("mn")) / (F.col("hi") - F.col("lo")),
+    )
+    return j.select(
+        F.col("pos").cast("int").alias("dim"),
+        F.col("n").cast("long").alias("n_values"),
+        pround(F.col("lo")).alias("clip_lo"),
+        pround(F.col("hi")).alias("clip_hi"),
+        "n_clipped",
+        pround(gain).alias("resolution_gain"),
+    )
+
+
+QUERIES["embedding_clip_plan"] = embedding_clip_plan
+
+ORACLES["embedding_clip_plan"] = f"""
+    WITH comp AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    ranked AS (
+        SELECT pos, x,
+               row_number() OVER (PARTITION BY pos ORDER BY x, vec_id) AS rk,
+               COUNT(*) OVER (PARTITION BY pos) AS n
+        FROM comp
+    ),
+    bounds AS (
+        SELECT pos, MIN(x) AS lo, MAX(x) AS hi, MAX(n) AS n
+        FROM ranked
+        WHERE rk = (n - 1) // {CLIP_PCT_DIV} + 1
+           OR rk = n - (n - 1) // {CLIP_PCT_DIV}
+        GROUP BY 1
+    ),
+    stats AS (
+        SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM comp GROUP BY 1
+    ),
+    clipped AS (
+        SELECT c.pos,
+               CAST(SUM(CASE WHEN c.x < b.lo OR c.x > b.hi
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+        FROM comp c JOIN bounds b USING (pos)
+        GROUP BY 1
+    )
+    SELECT CAST(b.pos AS INT) AS dim,
+           CAST(b.n AS BIGINT) AS n_values,
+           {pround_sql('b.lo')} AS clip_lo,
+           {pround_sql('b.hi')} AS clip_hi,
+           cl.n_clipped,
+           CASE WHEN b.hi > b.lo THEN {pround_sql(
+               '(s.mx - s.mn) / (b.hi - b.lo)'
+           )} END AS resolution_gain
+    FROM bounds b
+    JOIN stats s ON s.pos = b.pos
+    JOIN clipped cl ON cl.pos = b.pos
+"""

@@ -833,3 +833,44 @@ def test_median_polish_additive_grid_and_replay(spark, tmp_path):
     assert got[("zb", 3)]["residual_q"] == 5000 * 128
     others = [r["residual_q"] for k, r in got.items() if k != ("zb", 3)]
     assert all(v == 0 for v in others)
+
+
+# -------------------------------------------------------- embedding_clip_plan
+
+
+def test_embedding_clip_plan_planted_outliers(spark, tmp_path):
+    """200 vectors, dim0 uniform in [0,1] with two planted ±100
+    outliers, dim1 constant: dim0's bounds exclude exactly the
+    outliers and its resolution gain is huge; the constant dim reports
+    NULL gain and zero clipped."""
+    from smart_city_data_pipeline_spark.operators.similarity import (
+        embedding_clip_plan,
+    )
+
+    n = 200
+    rows = []
+    for i in range(n):
+        x0 = i / (n - 1)
+        if i == 0:
+            x0 = -100.0
+        if i == n - 1:
+            x0 = 100.0
+        rows.append((i, [x0, 7.0], i % 3))
+    d = str(tmp_path / "lake")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/embeddings.parquet")
+    got = {
+        r["dim"]: r for r in embedding_clip_plan(spark, d).collect()
+    }
+    assert set(got) == {1, 2}
+    d0 = got[1]
+    assert d0["n_values"] == n
+    # r_lo = (199 DIV 100) + 1 = 2 -> the 2nd smallest (first in-range)
+    assert d0["clip_lo"] == round(1 / (n - 1), 4)
+    assert d0["clip_hi"] == round((n - 2) / (n - 1), 4)
+    assert d0["n_clipped"] == 2
+    assert d0["resolution_gain"] > 100.0
+    d1 = got[2]
+    assert d1["n_clipped"] == 0
+    assert d1["resolution_gain"] is None
