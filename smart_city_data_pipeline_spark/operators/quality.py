@@ -712,3 +712,73 @@ ORACLES["t_closeness_audit"] = f"""
            )} AS risk_share
     FROM g
 """
+
+
+SEQ_BLOCK = 4096  # event_id continuity audited per 4096-id block
+
+
+def sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-LOSS detector over the event_id sequence: producers
+    assign dense monotone ids, so any hole in the id space is a
+    dropped batch, a crashed collector, or a silent filter — found per
+    4096-id block (present vs expected counts, missing ids, id range
+    seen) so the re-ingest can target exactly the damaged blocks
+    instead of replaying the topic. `layer_reconciliation` checks
+    bronze≡silver AFTER landing; this checks the landing itself
+    against the id contract.
+
+    Exactness: all counts integers; the last block's expected size
+    comes from the 1-row max-id broadcast (layer_reconciliation
+    discipline); duplicate ids would show as present > expected —
+    surfaced, not clamped (the audit must not hide double-ingest).
+    Shape: one keyed aggregate over blocks + one 1-row broadcast."""
+    ev = table(spark, sf_dir, "events")
+    blocks = ev.groupBy(
+        F.expr(f"event_id DIV {SEQ_BLOCK}").alias("block_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.countDistinct("event_id").alias("n_distinct"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+    tot = ev.agg(F.max("event_id").alias("top_id"))
+    j = blocks.join(F.broadcast(tot))
+    expected = F.least(
+        F.lit(SEQ_BLOCK).cast("long"),
+        F.col("top_id") + 1 - F.col("block_id") * SEQ_BLOCK,
+    )
+    return j.select(
+        F.col("block_id").cast("long").alias("block_id"),
+        expected.alias("n_expected"),
+        F.col("n_present").cast("long").alias("n_present"),
+        (expected - F.col("n_distinct")).cast("long").alias("n_missing"),
+        (F.col("n_present") - F.col("n_distinct")).cast("long").alias(
+            "n_duplicated"
+        ),
+        "min_id",
+        "max_id",
+    )
+
+
+QUERIES["sequence_gap_audit"] = sequence_gap_audit
+
+ORACLES["sequence_gap_audit"] = f"""
+    WITH blocks AS (
+        SELECT event_id // {SEQ_BLOCK} AS block_id,
+               CAST(COUNT(*) AS BIGINT) AS n_present,
+               CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+               MIN(event_id) AS min_id,
+               MAX(event_id) AS max_id
+        FROM events GROUP BY 1
+    ),
+    tot AS (SELECT MAX(event_id) AS top_id FROM events)
+    SELECT b.block_id,
+           LEAST({SEQ_BLOCK}, t.top_id + 1 - b.block_id * {SEQ_BLOCK})
+               AS n_expected,
+           b.n_present,
+           LEAST({SEQ_BLOCK}, t.top_id + 1 - b.block_id * {SEQ_BLOCK})
+               - b.n_distinct AS n_missing,
+           b.n_present - b.n_distinct AS n_duplicated,
+           b.min_id, b.max_id
+    FROM blocks b CROSS JOIN tot t
+"""

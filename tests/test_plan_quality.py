@@ -93,6 +93,8 @@ BNLJ_ALLOWED = {
     # never facts); the merged-sample joins are equi on the pair key
     "join_strategy_report",  # 1-row fact-count broadcast onto the
     # ≤6-row dim summary table
+    "sequence_gap_audit",  # 1-row max-id broadcast onto the bounded
+    # id-block rollup (layer_reconciliation discipline)
     "benford_digit_test",  # 9-row digit-grid literal broadcast (the
     # zone × digit completion join; constant cost at any scale)
     "retention_cost_curve",  # 1-row max-day + 4-row window literal

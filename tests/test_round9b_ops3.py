@@ -874,3 +874,39 @@ def test_embedding_clip_plan_planted_outliers(spark, tmp_path):
     d1 = got[2]
     assert d1["n_clipped"] == 0
     assert d1["resolution_gain"] is None
+
+
+# -------------------------------------------------------- sequence_gap_audit
+
+
+def test_sequence_gap_audit_finds_holes_and_dups(spark, tmp_path):
+    """ids 0..9999 with block-1 ids 5000..5099 missing and id 7 written
+    twice: block 0 reports the duplicate, block 1 the 100-id hole, the
+    partial tail block its true expected size."""
+    from smart_city_data_pipeline_spark.operators.quality import (
+        SEQ_BLOCK,
+        sequence_gap_audit,
+    )
+
+    ids = [i for i in range(10_000) if not (5000 <= i < 5100)] + [7]
+    rows = [
+        (i, T0 + timedelta(seconds=k % 3600), i % 9, "a", 1.0, "")
+        for k, i in enumerate(ids)
+    ]
+    got = {
+        r["block_id"]: r
+        for r in sequence_gap_audit(
+            spark, _write_events(spark, tmp_path, rows)
+        ).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    b0, b1, b2 = got[0], got[1], got[2]
+    assert (b0["n_expected"], b0["n_missing"], b0["n_duplicated"]) == (
+        SEQ_BLOCK, 0, 1,
+    )
+    assert (b1["n_expected"], b1["n_missing"], b1["n_duplicated"]) == (
+        SEQ_BLOCK, 100, 0,
+    )
+    assert b2["n_expected"] == 10_000 - 2 * SEQ_BLOCK
+    assert b2["n_missing"] == 0
+    assert b2["max_id"] == 9999
