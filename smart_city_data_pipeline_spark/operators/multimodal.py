@@ -2266,3 +2266,149 @@ QUERIES["frames_features_gif"] = frames_features_gif
 ORACLES["frames_features_gif"] = _grid_rollup_oracle(
     GIF_W, GIF_H, f"CAST(COUNT(*) * {GIF_W * GIF_H} AS BIGINT) AS total_px"
 )
+
+
+# Gain schedule for the clipping audit: deterministic per clip, chosen
+# so some clips stay clean (gain 1-3) and some drive the +A half of the
+# square wave past the int16 rail (gain up to 6 on amps up to 8000).
+def _clip_gain(clip_id: int) -> int:
+    return 1 + (clip_id % 6)
+
+
+def synth_wav_clips_gained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV clips with a deterministic per-clip GAIN applied before the
+    int16 clamp — the overdriven-microphone corpus for
+    :func:`audio_clip_detect`. The clamp happens pre-encode, so the
+    REAL decoder sees genuine rail-valued PCM, exactly like a clipped
+    field recording."""
+    import numpy as np
+
+    docs = spread(
+        table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents"
+    ).select(
+        F.col("doc_id").alias("clip_id"), (F.col("doc_id") % 16).alias("device_id")
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("clip_id", T.LongType()),
+            T.StructField("device_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for cid in pdf["clip_id"]:
+                n, a, p = _wav_params(int(cid))
+                g = _clip_gain(int(cid))
+                i = np.arange(n)
+                raw = np.where(i % p < p // 2, a * g, -(a // 2) * g)
+                s = np.clip(raw, -32768, 32767).astype("<i2")
+                payloads.append(encode_wav_pcm16(s))
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"],
+                    "device_id": pdf["device_id"],
+                    "payload": payloads,
+                }
+            )
+
+    return docs.mapInPandas(run, out_schema)
+
+
+def audio_clip_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIPPING audit for the audio leg — the overdriven-input QC every
+    ingest fleet runs before wasting model time on distorted clips:
+    per device, how many clips touch the int16 rails, how many samples
+    sit AT a rail, and the worst per-clip clipped share. Rail contact
+    is the definition (s = +32767 or −32768 after the recorder's own
+    clamp), counted from REAL decoded PCM through the shared RIFF
+    chunk walker.
+
+    FULL oracle with no decode: the gained two-level square wave has
+    closed-form rail counts — the +A half (⌈..⌉/⌊..⌋ period
+    arithmetic over n, p) clips exactly when a·g > 32767, the −A/2
+    half never reaches −32768 on this schedule — so the gate
+    hash-checks that the real parser reproduces every rail sample.
+    Integers throughout; the worst share is one pround'd division.
+
+    Shape: Arrow-batched synth+decode per clip, one device-keyed
+    aggregate."""
+    clips = synth_wav_clips_gained(spark, sf_dir)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("clip_id", T.LongType()),
+            T.StructField("device_id", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("n_railed", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ns, railed = [], []
+            for buf in pdf["payload"]:
+                s = decode_wav_pcm16(bytes(buf))[1]
+                arr = np.asarray(s, dtype=np.int32)
+                ns.append(int(arr.size))
+                railed.append(
+                    int(((arr == 32767) | (arr == -32768)).sum())
+                )
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"],
+                    "device_id": pdf["device_id"],
+                    "n_samples": ns,
+                    "n_railed": railed,
+                }
+            )
+
+    feats = clips.mapInPandas(run, out_schema)
+    share = F.col("n_railed").cast("double") / F.col("n_samples").cast("double")
+    return feats.groupBy("device_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clips"),
+        F.sum((F.col("n_railed") > 0).cast("int")).cast("bigint").alias(
+            "n_clipped_clips"
+        ),
+        F.sum("n_railed").cast("bigint").alias("n_railed_samples"),
+        F.sum("n_samples").cast("bigint").alias("n_samples"),
+        pround(F.max(share)).alias("worst_clip_share"),
+    )
+
+
+QUERIES["audio_clip_detect"] = audio_clip_detect
+
+ORACLES["audio_clip_detect"] = f"""
+    WITH clips AS (
+        SELECT doc_id AS clip_id, doc_id % 16 AS device_id,
+               1600 + (doc_id % 5) * 160 AS n,
+               1000 + (doc_id % 8) * 1000 AS a,
+               8 + (doc_id % 13) * 4 AS p,
+               1 + (doc_id % 6) AS g
+        FROM documents
+    ),
+    per AS (
+        SELECT clip_id, device_id, n,
+               -- samples in the +A half: full periods + remainder
+               CASE WHEN a * g > 32767
+                    THEN (n // p) * (p // 2) + LEAST(n % p, p // 2)
+                    ELSE 0 END AS n_railed
+        FROM clips
+    )
+    SELECT device_id,
+           CAST(COUNT(*) AS BIGINT) AS n_clips,
+           CAST(SUM(CASE WHEN n_railed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_clips,
+           CAST(SUM(n_railed) AS BIGINT) AS n_railed_samples,
+           CAST(SUM(n) AS BIGINT) AS n_samples,
+           {pround_sql(
+               'MAX(CAST(n_railed AS DOUBLE) / CAST(n AS DOUBLE))'
+           )} AS worst_clip_share
+    FROM per
+    GROUP BY 1
+"""

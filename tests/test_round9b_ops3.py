@@ -910,3 +910,47 @@ def test_sequence_gap_audit_finds_holes_and_dups(spark, tmp_path):
     assert b2["n_expected"] == 10_000 - 2 * SEQ_BLOCK
     assert b2["n_missing"] == 0
     assert b2["max_id"] == 9999
+
+
+# --------------------------------------------------------- audio_clip_detect
+
+
+def test_audio_clip_detect_rail_arithmetic():
+    """The decoded rail counts equal the closed form for a hot clip
+    (a·g past the rail) and are zero for a clean one."""
+    import numpy as np
+
+    from smart_city_data_pipeline_spark.operators.multimodal import (
+        _clip_gain,
+        _wav_params,
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    def build(cid):
+        n, a, p = _wav_params(cid)
+        g = _clip_gain(cid)
+        i = np.arange(n)
+        raw = np.where(i % p < p // 2, a * g, -(a // 2) * g)
+        return n, a, p, g, encode_wav_pcm16(
+            np.clip(raw, -32768, 32767).astype("<i2")
+        )
+
+    hot = next(
+        c for c in range(64)
+        if (1000 + c % 8 * 1000) * (1 + c % 6) > 32767
+    )
+    cold = next(
+        c for c in range(64)
+        if (1000 + c % 8 * 1000) * (1 + c % 6) <= 32767
+    )
+    for cid, expect_hot in ((hot, True), (cold, False)):
+        n, a, p, g, buf = build(cid)
+        arr = np.asarray(decode_wav_pcm16(buf)[1], dtype=np.int32)
+        railed = int(((arr == 32767) | (arr == -32768)).sum())
+        if expect_hot:
+            assert railed == (n // p) * (p // 2) + min(n % p, p // 2)
+        else:
+            assert railed == 0
+        # the -A/2 half never reaches the bottom rail on this schedule
+        assert int((arr == -32768).sum()) == 0
