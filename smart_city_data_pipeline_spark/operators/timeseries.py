@@ -9914,3 +9914,218 @@ def _mp_oracle() -> str:
 
 
 ORACLES["median_polish_grid"] = _mp_oracle()
+
+
+PACF_MAX_LAG = 8
+
+
+def _pacf_dl_steps(max_lag: int) -> list[list[str]]:
+    """Durbin-Levinson recursion unrolled as SQL-text column
+    definitions, shared VERBATIM by the Spark selectExpr chain and the
+    oracle's CTE chain so both engines evaluate the identical IEEE
+    double expression tree. Returns one list of `expr AS name` strings
+    per step; inputs are columns r1..r{max_lag} (and everything from
+    earlier steps)."""
+    steps = []
+    # step 1
+    steps.append(
+        [
+            "r1 AS phi_1_1",
+            "1.0 - r1 * r1 AS err_1",
+        ]
+    )
+    for k in range(2, max_lag + 1):
+        prev = k - 1
+        num = f"r{k} - (" + " + ".join(
+            f"phi_{prev}_{j} * r{k - j}" for j in range(1, k)
+        ) + ")"
+        cols = [
+            f"CASE WHEN err_{prev} > 0.0 THEN ({num}) / err_{prev} END"
+            f" AS phi_{k}_{k}"
+        ]
+        for j in range(1, k):
+            cols.append(
+                f"phi_{prev}_{j} - phi_{k}_{k} * phi_{prev}_{k - j}"
+                f" AS phi_{k}_{j}"
+            )
+        cols.append(
+            f"err_{prev} * (1.0 - phi_{k}_{k} * phi_{k}_{k}) AS err_{k}"
+        )
+        steps.append(cols)
+    return steps
+
+
+def pacf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL autocorrelation of each type's hourly series at lags
+    1-8 — the AR-order identification read `acf_lags` cannot give: ACF
+    at lag 3 conflates the direct effect with the lag-1 chain; PACF
+    isolates it (an AR(p) series cuts off after lag p). The
+    forecasting-panel companion that decides how many lag features
+    `forecast_backtest`'s models deserve.
+
+    Exactness discipline: autocovariances come from EXACT integer lag
+    moments (the acf_lags equi-join pairing, global mean,
+    pairwise-complete) and every float step after that — the gamma
+    assembly and the full Durbin-Levinson recursion — is generated
+    ONCE as SQL text and evaluated verbatim by both engines
+    (`_pacf_dl_steps`), so the IEEE expression trees are identical by
+    construction; pround finishes. Degenerate prediction error
+    (err ≤ 0, a perfectly collinear prefix) NULLs later lags honestly.
+
+    Shape: one hourly rollup, one 9-literal lag explode + equi-join on
+    the rollup, one keyed pivot to a per-type wide row, then pure
+    scalar codegen. Facts shuffle once."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hourly = (
+        ev.groupBy(
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+            .cast("long")
+            .alias("he"),
+            F.col("event_type"),
+        )
+        .agg(F.sum(cents).alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("he", "event_type", F.expr("(s * 128) DIV n").alias("v"))
+    )
+    lags = list(range(0, PACF_MAX_LAG + 1))
+    a = hourly.select(
+        "event_type",
+        F.explode(F.array(*[F.lit(k) for k in lags])).alias("lag"),
+        F.col("he").alias("hea"),
+        F.col("v").alias("va"),
+    )
+    b = hourly.select(
+        F.col("event_type").alias("tb"),
+        F.col("he").alias("heb"),
+        F.col("v").alias("vb"),
+    )
+    per_lag = (
+        a.join(
+            b,
+            (F.col("event_type") == F.col("tb"))
+            & (F.col("heb") == F.col("hea") + F.col("lag")),
+        )
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum("va").alias("sxa"),
+            F.sum("vb").alias("sxb"),
+            F.sum(F.col("va") * F.col("vb")).alias("sxy"),
+        )
+    )
+    wide_aggs = []
+    for k in lags:
+        for c in ("nb", "sxa", "sxb", "sxy"):
+            wide_aggs.append(
+                F.max(F.when(F.col("lag") == k, F.col(c))).alias(f"{c}_{k}")
+            )
+    wide = per_lag.groupBy("event_type").agg(*wide_aggs)
+    # gamma_k and r_k as shared SQL text (identical in the oracle)
+    gamma_exprs = [
+        "CAST(sxa_0 AS DOUBLE) / CAST(nb_0 AS DOUBLE) AS mu",
+    ]
+    cur = wide.selectExpr("*", *gamma_exprs)
+    g_defs = [
+        f"(CAST(sxy_{k} AS DOUBLE) - mu * (CAST(sxa_{k} AS DOUBLE)"
+        f" + CAST(sxb_{k} AS DOUBLE)) + CAST(nb_{k} AS DOUBLE) * mu * mu)"
+        f" / CAST(nb_0 AS DOUBLE) AS g_{k}"
+        for k in lags
+    ]
+    cur = cur.selectExpr("*", *g_defs)
+    r_defs = [
+        f"CASE WHEN g_0 > 0.0 THEN g_{k} / g_0 END AS r{k}"
+        for k in range(1, PACF_MAX_LAG + 1)
+    ]
+    cur = cur.selectExpr("*", *r_defs)
+    for step in _pacf_dl_steps(PACF_MAX_LAG):
+        cur = cur.selectExpr("*", *step)
+    stack = ", ".join(
+        f"{k}, nb_{k}, phi_{k}_{k}" for k in range(1, PACF_MAX_LAG + 1)
+    )
+    out = cur.selectExpr(
+        "event_type",
+        f"stack({PACF_MAX_LAG}, {stack}) AS (lag, n_pairs, phi)",
+    )
+    return out.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        pround(F.col("phi")).alias("pacf"),
+    )
+
+
+QUERIES["pacf_lags"] = pacf_lags
+
+
+def _pacf_oracle() -> str:
+    lags = list(range(0, PACF_MAX_LAG + 1))
+    lag_vals = ", ".join(f"({k})" for k in lags)
+    agg_cols = ", ".join(
+        f"MAX(CASE WHEN lag = {k} THEN {c} END) AS {c}_{k}"
+        for k in lags
+        for c in ("nb", "sxa", "sxb", "sxy")
+    )
+    g_defs = ", ".join(
+        f"(CAST(sxy_{k} AS DOUBLE) - mu * (CAST(sxa_{k} AS DOUBLE)"
+        f" + CAST(sxb_{k} AS DOUBLE)) + CAST(nb_{k} AS DOUBLE) * mu * mu)"
+        f" / CAST(nb_0 AS DOUBLE) AS g_{k}"
+        for k in lags
+    )
+    r_defs = ", ".join(
+        f"CASE WHEN g_0 > 0.0 THEN g_{k} / g_0 END AS r{k}"
+        for k in range(1, PACF_MAX_LAG + 1)
+    )
+    step_ctes = []
+    prev = "rr"
+    for i, step in enumerate(_pacf_dl_steps(PACF_MAX_LAG)):
+        name = f"dl{i + 1}"
+        step_ctes.append(
+            f"{name} AS (SELECT *, {', '.join(step)} FROM {prev})"
+        )
+        prev = name
+    unpivot = "\n        UNION ALL ".join(
+        f"SELECT event_type, {k} AS lag, nb_{k} AS n_pairs,"
+        f" phi_{k}_{k} AS phi FROM {prev}"
+        for k in range(1, PACF_MAX_LAG + 1)
+    )
+    return f"""
+    WITH hourly AS (
+        SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600
+                   AS he,
+               event_type,
+               (CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                     AS BIGINT) * 128) // COUNT(*) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    lags(lag) AS (VALUES {lag_vals}),
+    per_lag AS (
+        SELECT a.event_type, l.lag,
+               CAST(COUNT(*) AS BIGINT) AS nb,
+               CAST(SUM(a.v) AS BIGINT) AS sxa,
+               CAST(SUM(b.v) AS BIGINT) AS sxb,
+               CAST(SUM(a.v * b.v) AS BIGINT) AS sxy
+        FROM hourly a
+        CROSS JOIN lags l
+        JOIN hourly b
+          ON b.event_type = a.event_type AND b.he = a.he + l.lag
+        GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT event_type, {agg_cols}
+        FROM per_lag GROUP BY 1
+    ),
+    mus AS (
+        SELECT *, CAST(sxa_0 AS DOUBLE) / CAST(nb_0 AS DOUBLE) AS mu
+        FROM wide
+    ),
+    gs AS (SELECT *, {g_defs} FROM mus),
+    rr AS (SELECT *, {r_defs} FROM gs),
+    {", ".join(step_ctes)}
+    SELECT event_type, CAST(lag AS INT) AS lag,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           (FLOOR(CAST((phi) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS pacf
+    FROM ({unpivot})
+"""
+
+
+ORACLES["pacf_lags"] = _pacf_oracle()

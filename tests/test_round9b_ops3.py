@@ -954,3 +954,79 @@ def test_audio_clip_detect_rail_arithmetic():
             assert railed == 0
         # the -A/2 half never reaches the bottom rail on this schedule
         assert int((arr == -32768).sum()) == 0
+
+
+# ---------------------------------------------------------------- pacf_lags
+
+
+def test_pacf_matches_independent_durbin_levinson(spark, tmp_path):
+    """A deterministic hourly series replayed through an independent
+    Python Durbin-Levinson over the same pairwise-complete
+    autocovariances: every (lag, pacf) matches; an alternating series
+    pins the lag-1 sign."""
+    import hashlib
+
+    from smart_city_data_pipeline_spark.operators.timeseries import (
+        PACF_MAX_LAG,
+        pacf_lags,
+    )
+
+    def noise(t):
+        return int(hashlib.md5(f"n{t}".encode()).hexdigest()[:4], 16) % 200
+
+    series = []
+    v = 5000
+    for t in range(120):
+        v = (3 * v) // 4 + 1000 + noise(t)  # AR(1)-flavored, deterministic
+        series.append(v)
+    alt = [1000 if t % 2 == 0 else 3000 for t in range(60)]
+    rows, eid = [], 0
+    for t, val in enumerate(series):
+        rows.append((eid, T0 + timedelta(hours=t), 1, "ar", val / 100.0, ""))
+        eid += 1
+    for t, val in enumerate(alt):
+        rows.append((eid, T0 + timedelta(hours=t), 1, "alt", val / 100.0, ""))
+        eid += 1
+    got = {
+        (r["event_type"], r["lag"]): r
+        for r in pacf_lags(spark, _write_events(spark, tmp_path, rows)).collect()
+    }
+
+    def ref_pacf(vals):
+        n = len(vals)
+        mu = sum(vals) / n
+        g = []
+        for k in range(PACF_MAX_LAG + 1):
+            pairs = [(vals[t], vals[t + k]) for t in range(n - k)]
+            sxy = sum(a * b for a, b in pairs)
+            sxa = sum(a for a, _ in pairs)
+            sxb = sum(b for _, b in pairs)
+            g.append((sxy - mu * (sxa + sxb) + len(pairs) * mu * mu) / n)
+        r = [None] + [g[k] / g[0] for k in range(1, PACF_MAX_LAG + 1)]
+        phi = {(1, 1): r[1]}
+        err = 1.0 - r[1] * r[1]
+        out = {1: r[1]}
+        for k in range(2, PACF_MAX_LAG + 1):
+            num = r[k] - sum(phi[(k - 1, j)] * r[k - j] for j in range(1, k))
+            pkk = num / err if err > 0 else None
+            out[k] = pkk
+            if pkk is None:
+                break
+            for j in range(1, k):
+                phi[(k, j)] = phi[(k - 1, j)] - pkk * phi[(k - 1, k - j)]
+            phi[(k, k)] = pkk
+            err = err * (1.0 - pkk * pkk)
+        return out
+
+    for typ, vals in (("ar", series), ("alt", alt)):
+        q = [c * 128 for c in vals]  # engine grid: cents * 128
+        ref = ref_pacf(q)
+        for k in range(1, PACF_MAX_LAG + 1):
+            got_v = got[(typ, k)]["pacf"]
+            e = ref.get(k)
+            if e is None:
+                assert got_v is None, (typ, k)
+            else:
+                assert got_v == pround_py(e), (typ, k, got_v, pround_py(e))
+    assert got[("ar", 1)]["pacf"] > 0.5      # strong AR(1) signature
+    assert got[("alt", 1)]["pacf"] < -0.9    # alternation: negative lag-1
