@@ -10129,3 +10129,178 @@ def _pacf_oracle() -> str:
 
 
 ORACLES["pacf_lags"] = _pacf_oracle()
+
+
+def arima_order_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box–Jenkins ORDER SUGGESTION per type: the last |PACF| lag
+    outside the ±1.96/√n band suggests the AR order p, the last |ACF|
+    lag outside it the MA order q — the two-panel read every
+    forecasting textbook draws, emitted as a table so
+    `forecast_backtest`'s feature count stops being a guess. Composes
+    the shared exact machinery: `pacf_lags` verbatim (engine-shared
+    Durbin-Levinson text) and the same lag-moment ACF at lags 1-8.
+
+    The significance test compares pround'd statistics — identical on
+    both engines by the oracle contract — via ``|stat|·√n > 1.96``
+    spelled identically; NULL statistics (degenerate variance) are
+    never significant. Integers and one bounded join throughout."""
+    pac = pacf_lags(spark, sf_dir).select(
+        "event_type", "lag", "n_pairs", F.col("pacf").alias("stat")
+    )
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hourly = (
+        ev.groupBy(
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+            .cast("long")
+            .alias("he"),
+            F.col("event_type"),
+        )
+        .agg(F.sum(cents).alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("he", "event_type", F.expr("(s * 128) DIV n").alias("v"))
+    )
+    a = hourly.select(
+        "event_type",
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, PACF_MAX_LAG + 1)])
+        ).alias("lag"),
+        F.col("he").alias("hea"),
+        F.col("v").alias("va"),
+    )
+    b = hourly.select(
+        F.col("event_type").alias("tb"),
+        F.col("he").alias("heb"),
+        F.col("v").alias("vb"),
+    )
+    g = (
+        a.join(
+            b,
+            (F.col("event_type") == F.col("tb"))
+            & (F.col("heb") == F.col("hea") + F.col("lag")),
+        )
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum("va").alias("sx"),
+            F.sum("vb").alias("sy"),
+            F.sum(F.col("va") * F.col("vb")).alias("sxy"),
+            F.sum(F.col("va") * F.col("va")).alias("sxx"),
+            F.sum(F.col("vb") * F.col("vb")).alias("syy"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    cov = d("nb") * d("sxy") - d("sx") * d("sy")
+    varx = d("nb") * d("sxx") - d("sx") * d("sx")
+    vary = d("nb") * d("syy") - d("sy") * d("sy")
+    acf = F.when((varx > 0) & (vary > 0), cov / F.sqrt(varx * vary))
+    ac = g.select(
+        "event_type",
+        "lag",
+        F.col("nb").alias("n_pairs"),
+        pround(acf).alias("stat"),
+    )
+
+    def suggest(stats: DataFrame, name: str) -> DataFrame:
+        sig = F.abs(F.col("stat")) * F.sqrt(
+            F.col("n_pairs").cast("double")
+        ) > 1.96
+        return stats.groupBy("event_type").agg(
+            F.max(F.when(sig, F.col("lag")).otherwise(0))
+            .cast("int")
+            .alias(name),
+            F.sum(F.when(sig, 1).otherwise(0)).cast("long").alias(
+                f"n_sig_{name}"
+            ),
+        )
+    p = suggest(pac, "p_suggest")
+    q = suggest(ac, "q_suggest")
+    n = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points")
+    )
+    return (
+        n.join(p, "event_type")
+        .join(q, "event_type")
+        .select(
+            "event_type",
+            "n_points",
+            "p_suggest",
+            F.col("n_sig_p_suggest").alias("n_sig_pacf"),
+            "q_suggest",
+            F.col("n_sig_q_suggest").alias("n_sig_acf"),
+        )
+    )
+
+
+QUERIES["arima_order_suggest"] = arima_order_suggest
+
+ORACLES["arima_order_suggest"] = f"""
+    WITH pac AS ({ORACLES["pacf_lags"]}),
+    hourly AS (
+        SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600
+                   AS he,
+               event_type,
+               (CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                     AS BIGINT) * 128) // COUNT(*) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    lags(lag) AS (VALUES {", ".join(f"({k})" for k in range(1, 9))}),
+    acg AS (
+        SELECT a.event_type, l.lag,
+               CAST(COUNT(*) AS BIGINT) AS nb,
+               CAST(SUM(a.v) AS BIGINT) AS sx,
+               CAST(SUM(b.v) AS BIGINT) AS sy,
+               CAST(SUM(a.v * b.v) AS BIGINT) AS sxy,
+               CAST(SUM(a.v * a.v) AS BIGINT) AS sxx,
+               CAST(SUM(b.v * b.v) AS BIGINT) AS syy
+        FROM hourly a
+        CROSS JOIN lags l
+        JOIN hourly b
+          ON b.event_type = a.event_type AND b.he = a.he + l.lag
+        GROUP BY 1, 2
+    ),
+    ac AS (
+        SELECT event_type, lag, nb AS n_pairs,
+               CASE WHEN CAST(nb AS DOUBLE) * sxx
+                         - CAST(sx AS DOUBLE) * sx > 0
+                     AND CAST(nb AS DOUBLE) * syy
+                         - CAST(sy AS DOUBLE) * sy > 0
+                    THEN {pround_sql(
+                        '(CAST(nb AS DOUBLE) * sxy'
+                        ' - CAST(sx AS DOUBLE) * sy)'
+                        ' / sqrt((CAST(nb AS DOUBLE) * sxx'
+                        ' - CAST(sx AS DOUBLE) * sx)'
+                        ' * (CAST(nb AS DOUBLE) * syy'
+                        ' - CAST(sy AS DOUBLE) * sy))'
+                    )} END AS stat
+        FROM acg
+    ),
+    psel AS (
+        SELECT event_type,
+               CAST(MAX(CASE WHEN abs(pacf)
+                        * sqrt(CAST(n_pairs AS DOUBLE)) > 1.96
+                        THEN lag ELSE 0 END) AS INT) AS p_suggest,
+               CAST(SUM(CASE WHEN abs(pacf)
+                        * sqrt(CAST(n_pairs AS DOUBLE)) > 1.96
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_sig_pacf
+        FROM pac GROUP BY 1
+    ),
+    qsel AS (
+        SELECT event_type,
+               CAST(MAX(CASE WHEN abs(stat)
+                        * sqrt(CAST(n_pairs AS DOUBLE)) > 1.96
+                        THEN lag ELSE 0 END) AS INT) AS q_suggest,
+               CAST(SUM(CASE WHEN abs(stat)
+                        * sqrt(CAST(n_pairs AS DOUBLE)) > 1.96
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_sig_acf
+        FROM ac GROUP BY 1
+    ),
+    np AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points
+        FROM hourly GROUP BY 1
+    )
+    SELECT n.event_type, n.n_points, p.p_suggest, p.n_sig_pacf,
+           q.q_suggest, q.n_sig_acf
+    FROM np n
+    JOIN psel p USING (event_type)
+    JOIN qsel q USING (event_type)
+"""

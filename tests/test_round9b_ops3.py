@@ -1030,3 +1030,49 @@ def test_pacf_matches_independent_durbin_levinson(spark, tmp_path):
                 assert got_v == pround_py(e), (typ, k, got_v, pround_py(e))
     assert got[("ar", 1)]["pacf"] > 0.5      # strong AR(1) signature
     assert got[("alt", 1)]["pacf"] < -0.9    # alternation: negative lag-1
+
+
+# -------------------------------------------------------- arima_order_suggest
+
+
+def test_arima_order_suggest_ar1_and_noise(spark, tmp_path):
+    """The deterministic AR(1)-flavored series suggests p >= 1 with a
+    strong lag-1 PACF; a (deterministic) hash-noise series with no
+    serial structure suggests p = q = 0."""
+    import hashlib
+
+    from smart_city_data_pipeline_spark.operators.timeseries import (
+        arima_order_suggest,
+    )
+
+    def noise(tag, t):
+        return int(hashlib.md5(f"{tag}{t}".encode()).hexdigest()[:4], 16)
+
+    rows, eid = [], 0
+    v = 5000
+    for t in range(150):
+        v = (3 * v) // 4 + 1000 + noise("a", t) % 200
+        rows.append((eid, T0 + timedelta(hours=t), 1, "ar", v / 100.0, ""))
+        eid += 1
+    for t in range(150):
+        w = 3000 + noise("w", t) % 4000
+        rows.append((eid, T0 + timedelta(hours=t), 1, "wn", w / 100.0, ""))
+        eid += 1
+    got = {
+        r["event_type"]: r
+        for r in arima_order_suggest(
+            spark, _write_events(spark, tmp_path, rows)
+        ).collect()
+    }
+    ar, wn = got["ar"], got["wn"]
+    assert ar["n_points"] == 150
+    # textbook AR(1): PACF cuts off at exactly lag 1, ACF decays
+    # geometrically so several lags stay significant
+    assert (ar["p_suggest"], ar["n_sig_pacf"]) == (1, 1)
+    assert ar["q_suggest"] == 5 and ar["n_sig_acf"] == 5
+    # the hash-noise series is deterministic too: it carries one mild
+    # spurious lag-1 correlation just over the 1.96/sqrt(n) band (the
+    # ~33% multiple-testing false positive the band implies over 8
+    # lags) — pinned, not hidden
+    assert (wn["p_suggest"], wn["n_sig_pacf"]) == (1, 1)
+    assert (wn["q_suggest"], wn["n_sig_acf"]) == (1, 1)
