@@ -10304,3 +10304,118 @@ ORACLES["arima_order_suggest"] = f"""
     JOIN psel p USING (event_type)
     JOIN qsel q USING (event_type)
 """
+
+
+STUCK_RUN_HOURS = 12
+
+
+def sensor_stuck_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STUCK-AT-VALUE fault detector per sensor — the failure mode the
+    z-score family is blind to (a frozen sensor has zero variance, so
+    nothing ever crosses a σ band): the longest run of consecutive
+    IDENTICAL hourly readings, the value it froze at, and the stuck
+    verdict at the 12-hour threshold. `runs_test_randomness` asks "is
+    it random"; this asks the maintenance question "is it even
+    measuring".
+
+    Exactness: runs over the quantized integer hourly means via ONE
+    lag window per sensor (run id = prefix sum of change flags — a
+    second sensor-keyed window over the same sort, no re-shuffle),
+    exact integer run lengths, rank-picked longest run with a
+    deterministic (length, latest-start) tie-break. Shape: hourly
+    rollup, two stacked sensor-keyed windows, two keyed aggregates."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hourly = (
+        ev.groupBy(
+            F.col("user_id").alias("sensor_id"),
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        )
+        .agg(F.sum(cents).alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("sensor_id", "bucket", F.expr("(s * 128) DIV n").alias("v"))
+    )
+    w = Window.partitionBy("sensor_id").orderBy("bucket")
+    chg = F.when(
+        F.lag("v").over(w).isNull() | (F.lag("v").over(w) != F.col("v")), 1
+    ).otherwise(0)
+    runs = hourly.select(
+        "sensor_id",
+        "bucket",
+        "v",
+        F.sum(chg).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("run_id"),
+    )
+    per_run = runs.groupBy("sensor_id", "run_id").agg(
+        F.count(F.lit(1)).alias("run_len"),
+        F.min("bucket").alias("run_start"),
+        F.max("v").alias("run_v"),
+    )
+    wr = Window.partitionBy("sensor_id").orderBy(
+        F.desc("run_len"), F.desc("run_start")
+    )
+    best = per_run.withColumn("rk", F.row_number().over(wr)).filter(
+        F.col("rk") == 1
+    )
+    tot = hourly.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).alias("n_hours")
+    )
+    return tot.join(best, "sensor_id").select(
+        "sensor_id",
+        F.col("n_hours").cast("long").alias("n_hours"),
+        F.col("run_len").cast("long").alias("longest_run_hours"),
+        F.col("run_start").alias("run_start"),
+        pround(F.col("run_v").cast("double") / 12800.0).alias("stuck_value"),
+        (F.col("run_len") >= STUCK_RUN_HOURS).alias("stuck"),
+    )
+
+
+QUERIES["sensor_stuck_report"] = sensor_stuck_report
+
+ORACLES["sensor_stuck_report"] = f"""
+    WITH hourly AS (
+        SELECT user_id AS sensor_id, date_trunc('hour', ts) AS bucket,
+               (CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                     AS BIGINT) * 128) // COUNT(*) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    flagged AS (
+        SELECT sensor_id, bucket, v,
+               CASE WHEN lag(v) OVER w IS NULL
+                      OR lag(v) OVER w <> v THEN 1 ELSE 0 END AS chg
+        FROM hourly
+        WINDOW w AS (PARTITION BY sensor_id ORDER BY bucket)
+    ),
+    runs AS (
+        SELECT sensor_id, bucket, v,
+               SUM(chg) OVER (PARTITION BY sensor_id ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS run_id
+        FROM flagged
+    ),
+    per_run AS (
+        SELECT sensor_id, run_id,
+               CAST(COUNT(*) AS BIGINT) AS run_len,
+               MIN(bucket) AS run_start,
+               MAX(v) AS run_v
+        FROM runs GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY sensor_id
+                ORDER BY run_len DESC, run_start DESC) AS rk
+            FROM per_run
+        ) WHERE rk = 1
+    ),
+    tot AS (
+        SELECT sensor_id, CAST(COUNT(*) AS BIGINT) AS n_hours
+        FROM hourly GROUP BY 1
+    )
+    SELECT t.sensor_id, t.n_hours,
+           b.run_len AS longest_run_hours,
+           b.run_start,
+           {pround_sql('CAST(b.run_v AS DOUBLE) / 12800.0')} AS stuck_value,
+           b.run_len >= {STUCK_RUN_HOURS} AS stuck
+    FROM tot t JOIN best b USING (sensor_id)
+"""

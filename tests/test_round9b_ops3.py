@@ -1076,3 +1076,40 @@ def test_arima_order_suggest_ar1_and_noise(spark, tmp_path):
     # lags) — pinned, not hidden
     assert (wn["p_suggest"], wn["n_sig_pacf"]) == (1, 1)
     assert (wn["q_suggest"], wn["n_sig_acf"]) == (1, 1)
+
+
+# ------------------------------------------------------- sensor_stuck_report
+
+
+def test_sensor_stuck_report_runs_and_threshold(spark, tmp_path):
+    """Sensor 1 freezes at one value for 15 hours mid-series (stuck),
+    sensor 2 never repeats consecutively (longest run 1, not stuck);
+    the frozen value and run start are pinned."""
+    from smart_city_data_pipeline_spark.operators.timeseries import (
+        STUCK_RUN_HOURS,
+        sensor_stuck_report,
+    )
+
+    rows, eid = [], 0
+    vals1 = [10.0, 11.0, 12.0] + [55.5] * 15 + [13.0, 14.0]
+    for h, v in enumerate(vals1):
+        rows.append((eid, T0 + timedelta(hours=h), 1, "a", v, ""))
+        eid += 1
+    for h in range(10):
+        rows.append((eid, T0 + timedelta(hours=h), 2, "a", 10.0 + h, ""))
+        eid += 1
+    got = {
+        r["sensor_id"]: r
+        for r in sensor_stuck_report(
+            spark, _write_events(spark, tmp_path, rows)
+        ).collect()
+    }
+    s1 = got[1]
+    assert s1["n_hours"] == 20
+    assert s1["longest_run_hours"] == 15
+    assert s1["stuck_value"] == 55.5
+    assert s1["run_start"] == T0 + timedelta(hours=3)
+    assert s1["stuck"] is (15 >= STUCK_RUN_HOURS)
+    s2 = got[2]
+    assert s2["longest_run_hours"] == 1
+    assert s2["stuck"] is False
