@@ -2412,3 +2412,105 @@ ORACLES["audio_clip_detect"] = f"""
     FROM per
     GROUP BY 1
 """
+
+
+def frames_laplacian_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDGE ENERGY per camera through the real decode path — the
+    variance-of-Laplacian family statistic a vision pipeline uses to
+    pick the sharpest frame per window before running detectors (a
+    defocused or smeared frame has low second-order energy). Every
+    existing frame entry aggregates ZEROTH-order pixel stats; this is
+    the first second-order STENCIL over decoded pixels: the 4-neighbor
+    discrete Laplacian |4f − f(x±1,y) − f(x,y±1)| summed over interior
+    pixels.
+
+    FULL oracle: the decoded image is the closed-form gradient, so the
+    stencil is a direct per-(x,y) arithmetic expression over a
+    generate_series grid — a stride/row-order/palette decode bug
+    shifts a neighbor and flips the hash. All sums exact integers; the
+    per-camera mean is one pround'd division.
+
+    Shape: Arrow-batched decode + numpy stencil (vectorized, no Python
+    per-pixel loop), one camera-keyed aggregate."""
+    frames = sample_frames(synth_bmp_frames(spark, sf_dir), every_k=FRAME_SAMPLE_K)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("frame_id", T.LongType()),
+            T.StructField("camera_id", T.LongType()),
+            T.StructField("abs_lap", T.LongType()),
+            T.StructField("n_interior", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            laps, ns = [], []
+            for buf in pdf["payload"]:
+                img = decode_bmp_gray(bytes(buf)).astype(np.int64)
+                core = img[1:-1, 1:-1]
+                lap = (
+                    4 * core
+                    - img[:-2, 1:-1]
+                    - img[2:, 1:-1]
+                    - img[1:-1, :-2]
+                    - img[1:-1, 2:]
+                )
+                laps.append(int(np.abs(lap).sum()))
+                ns.append(int(core.size))
+            yield pd.DataFrame(
+                {
+                    "frame_id": pdf["frame_id"],
+                    "camera_id": pdf["camera_id"],
+                    "abs_lap": laps,
+                    "n_interior": ns,
+                }
+            )
+
+    feats = frames.mapInPandas(run, out_schema)
+    return feats.groupBy("camera_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum("abs_lap").cast("bigint").alias("total_abs_laplacian"),
+        F.max("abs_lap").cast("bigint").alias("max_frame_laplacian"),
+        pround(
+            F.sum("abs_lap").cast("double")
+            / F.sum("n_interior").cast("double")
+        ).alias("mean_abs_laplacian"),
+    )
+
+
+QUERIES["frames_laplacian_stats"] = frames_laplacian_stats
+
+ORACLES["frames_laplacian_stats"] = f"""
+    WITH f AS (
+        SELECT doc_id AS frame_id, doc_id % 16 AS camera_id
+        FROM documents WHERE (doc_id % 30) % {FRAME_SAMPLE_K} = 0
+    ),
+    grid AS (
+        SELECT gx.x AS x, gy.y AS y
+        FROM generate_series(1, {BMP_W - 2}) gx(x),
+             generate_series(1, {BMP_H - 2}) gy(y)
+    ),
+    per AS (
+        SELECT frame_id, camera_id,
+               SUM(ABS(
+                   4 * ((3 * x + 5 * y + 7 * frame_id) % 256)
+                   - ((3 * (x - 1) + 5 * y + 7 * frame_id) % 256)
+                   - ((3 * (x + 1) + 5 * y + 7 * frame_id) % 256)
+                   - ((3 * x + 5 * (y - 1) + 7 * frame_id) % 256)
+                   - ((3 * x + 5 * (y + 1) + 7 * frame_id) % 256)
+               )) AS abs_lap,
+               CAST(COUNT(*) AS BIGINT) AS n_interior
+        FROM f, grid GROUP BY 1, 2
+    )
+    SELECT camera_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(abs_lap) AS BIGINT) AS total_abs_laplacian,
+           CAST(MAX(abs_lap) AS BIGINT) AS max_frame_laplacian,
+           {pround_sql(
+               'CAST(SUM(abs_lap) AS DOUBLE) / CAST(SUM(n_interior) AS DOUBLE)'
+           )} AS mean_abs_laplacian
+    FROM per GROUP BY 1
+"""

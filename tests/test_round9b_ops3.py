@@ -1113,3 +1113,48 @@ def test_sensor_stuck_report_runs_and_threshold(spark, tmp_path):
     s2 = got[2]
     assert s2["longest_run_hours"] == 1
     assert s2["stuck"] is False
+
+
+# ----------------------------------------------------- frames_laplacian_stats
+
+
+def test_laplacian_stencil_closed_form():
+    """The decoded-image stencil equals the closed-form neighbor
+    arithmetic including mod-256 wrap edges (where the |L| mass lives
+    for a linear gradient)."""
+    import numpy as np
+
+    from smart_city_data_pipeline_spark.operators.multimodal import (
+        BMP_H,
+        BMP_W,
+        decode_bmp_gray,
+        encode_bmp_gray,
+    )
+
+    for fid in (0, 11, 29, 77):
+        yy, xx = np.mgrid[0:BMP_H, 0:BMP_W]
+        img = ((3 * xx + 5 * yy + 7 * fid) % 256).astype(np.uint8)
+        dec = decode_bmp_gray(encode_bmp_gray(img)).astype(np.int64)
+        core = dec[1:-1, 1:-1]
+        lap = (
+            4 * core - dec[:-2, 1:-1] - dec[2:, 1:-1]
+            - dec[1:-1, :-2] - dec[1:-1, 2:]
+        )
+        got = int(np.abs(lap).sum())
+        ref = 0
+        for y in range(1, BMP_H - 1):
+            for x in range(1, BMP_W - 1):
+                g = lambda a, b: (3 * a + 5 * b + 7 * fid) % 256  # noqa: E731
+                ref += abs(
+                    4 * g(x, y) - g(x - 1, y) - g(x + 1, y)
+                    - g(x, y - 1) - g(x, y + 1)
+                )
+        assert got == ref, fid
+        # a perfectly flat frame has zero second-order energy
+    flat = np.full((BMP_H, BMP_W), 99, dtype=np.uint8)
+    dec = decode_bmp_gray(encode_bmp_gray(flat)).astype(np.int64)
+    lap = (
+        4 * dec[1:-1, 1:-1] - dec[:-2, 1:-1] - dec[2:, 1:-1]
+        - dec[1:-1, :-2] - dec[1:-1, 2:]
+    )
+    assert int(np.abs(lap).sum()) == 0
