@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 # dedup_overmerge_audit, truncation_loss_sweep, grouped_kfold_assign,
 # rbm_pairs, ivf_shard_plan, embedding_threshold_sweep,
 # first_exceedance_report — eighteen in all (judge-sweep +
-# planted-pytest verified this round) — PLUS the twenty-eight
+# planted-pytest verified this round) — PLUS the thirty
 # session-2 additions (also never driver-gated, each oracle-green at
 # sf0.001 AND sf0.01 this round): getis_ord_hotspots,
 # spearman_zone_corr, filter_agreement_matrix, clustering_depth_report,
@@ -50,10 +50,12 @@ from pyspark.sql import DataFrame, SparkSession
 # frames_features_gif, theta_sketch_overlap, bitmap_index_plan,
 # lsh_banding_planner, session_timeout_sweep, median_polish_grid,
 # embedding_clip_plan, sequence_gap_audit, audio_clip_detect,
-# pacf_lags, arima_order_suggest (twenty-eight in all). The round-10
-# queue is therefore FORTY-SIX keys; they fill 46 of the next
-# window's 50 slots, leaving 4 for r10 behavior changes and
-# additions.
+# pacf_lags, arima_order_suggest, sensor_stuck_report,
+# frames_laplacian_stats (thirty in all). The round-10 queue is
+# therefore FORTY-EIGHT keys — more than one 50-slot window can
+# absorb alongside r10 changes, so r10 should gate all 48 plus its
+# own behavior changes across its window, spilling any remainder to
+# the r11 head exactly as this round did.
 _GATE_FIRST = [
     # --- the 47 never-driver-gated keys (VERDICT r8 item 1, verbatim)
     "ab_test_report",
