@@ -4499,13 +4499,16 @@ ORACLES["ingest_novelty_timeline"] = f"""
         FROM documents
     ),
     first AS (
-        SELECT h, MIN(batch_id * 10000000000 + doc_id) AS fk
+        -- batch_id = doc_id // {NOVELTY_BATCH_DOCS} is MONOTONE in
+        -- doc_id, so MIN(doc_id) identifies the lexicographic-min
+        -- (batch_id, doc_id) row exactly — no arithmetic packing (the
+        -- old batch*1e10+doc encoding silently assumed doc_id < 1e10).
+        SELECT h, MIN(doc_id) AS first_doc,
+               MIN(doc_id) // {NOVELTY_BATCH_DOCS} AS first_batch
         FROM docs GROUP BY 1
     ),
     j AS (
-        SELECT d.batch_id, d.doc_id,
-               f.fk // 10000000000 AS first_batch,
-               f.fk % 10000000000 AS first_doc
+        SELECT d.batch_id, d.doc_id, f.first_batch, f.first_doc
         FROM docs d JOIN first f USING (h)
     ),
     per AS (

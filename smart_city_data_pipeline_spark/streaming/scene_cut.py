@@ -112,6 +112,16 @@ def _sc_update(key, pdfs: Iterator, state: GroupState):
         (e for e in pend if e[3] < wm_us), key=lambda e: e[0]
     )
     pend = [e for e in pend if e[3] >= wm_us]
+    if final and b_fid != _NO_BOUNDARY and final[0][0] <= b_fid:
+        # Contract violation (event time NOT monotone in frame_id for
+        # this camera): a frame at or before the finalized boundary
+        # would fold out of frame order and silently corrupt every
+        # downstream diff — fail loudly instead.
+        raise ValueError(
+            f"camera {camera_id}: finalized frame_id {final[0][0]} "
+            f"regresses behind boundary {b_fid} — event time is not "
+            "monotone in frame_id for this source"
+        )
     bs, nf, nc, mj, fc = scene_cut_fold(
         b_sum if b_fid != _NO_BOUNDARY else None,
         [(f, s, px) for f, s, px, _ in final],

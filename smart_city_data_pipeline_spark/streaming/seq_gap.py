@@ -67,6 +67,16 @@ def _sg_update(key, pdfs: Iterator, state: GroupState):
         for eid in pdf["event_id"]:
             eid = int(eid)
             off = eid - base
+            if not 0 <= off < SEQ_BLOCK:
+                # Out-of-contract id (e.g. negative, where Spark's DIV
+                # truncation routes ids -(SEQ_BLOCK-1)..-1 into block 0):
+                # Python's negative indexing would silently flip a bit
+                # at the bitmap TAIL and corrupt the census — fail the
+                # query instead, diverging loudly like the batch twin.
+                raise ValueError(
+                    f"event_id {eid} outside block {block_id} "
+                    f"[{base}, {base + SEQ_BLOCK})"
+                )
             byte, bit = off >> 3, 1 << (off & 7)
             n_present += 1
             if bitmap[byte] & bit:

@@ -102,3 +102,55 @@ def test_header_fields_are_real():
     w, h = struct.unpack("<HH", buf[6:10])
     assert (w, h) == (9, 7)
     assert buf.endswith(b"\x00\x3b")
+
+
+# The GIF89a spec-walkthrough sample image (public documentation of the
+# format: a 10x10, 4-color GCT, LZW-min-code-2 stream produced by a
+# REFERENCE encoder and hand-annotated byte by byte in the widely
+# mirrored "What's in a GIF" format walkthrough). A decoder that
+# deviated from the spec's width-growth / CLEAR conventions in lockstep
+# with our encoder would still round-trip — this fixture breaks the
+# lockstep: the bytes were never produced by our encoder. (PIL/cv2 are
+# absent in this container, so cross-validation is decode-golden only.)
+_GOLDEN_SPEC_GIF = bytes.fromhex(
+    "474946383961"  # "GIF89a"
+    "0a000a00"      # 10x10 logical screen
+    "91"            # GCT present, 2-bit color, 4 entries
+    "0000"          # background index, aspect
+    "ffffff" "ff0000" "0000ff" "000000"  # GCT: white red blue black
+    "21f90400000000" "00"      # graphic control extension
+    "2c00000000" "0a000a00" "00"  # image descriptor, no local palette
+    "02"            # LZW minimum code size
+    "16"            # one 22-byte data sub-block
+    "8c2d99872a1cdc33a00275ec95faa8de608c04914c01"
+    "00"            # block terminator
+    "3b"            # trailer
+)
+
+# The documented pixel indices (0=white 1=red 2=blue): red/blue halves
+# swapping at row 5, with a 4x4 white block centered on the seam.
+_GOLDEN_SPEC_IDX = [
+    [1, 1, 1, 1, 1, 2, 2, 2, 2, 2],
+    [1, 1, 1, 1, 1, 2, 2, 2, 2, 2],
+    [1, 1, 1, 1, 1, 2, 2, 2, 2, 2],
+    [1, 1, 1, 0, 0, 0, 0, 2, 2, 2],
+    [1, 1, 1, 0, 0, 0, 0, 2, 2, 2],
+    [2, 2, 2, 0, 0, 0, 0, 1, 1, 1],
+    [2, 2, 2, 0, 0, 0, 0, 1, 1, 1],
+    [2, 2, 2, 2, 2, 1, 1, 1, 1, 1],
+    [2, 2, 2, 2, 2, 1, 1, 1, 1, 1],
+    [2, 2, 2, 2, 2, 1, 1, 1, 1, 1],
+]
+
+
+def test_decode_reference_encoded_golden_bytes():
+    """Cross-implementation check: decode a stream we did not encode.
+    The decoder returns the palette red channel, so the documented
+    index image is projected through the golden GCT's red column
+    (white/red -> 255, blue -> 0) before comparing."""
+    red = np.array([0xFF, 0xFF, 0x00, 0x00], dtype=np.uint8)
+    want = red[np.array(_GOLDEN_SPEC_IDX, dtype=np.uint8)]
+    got = decode_gif_gray(_GOLDEN_SPEC_GIF)
+    assert got is not None
+    assert got.shape == (10, 10)
+    assert (got == want).all()

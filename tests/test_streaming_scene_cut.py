@@ -129,3 +129,23 @@ def test_streamed_scene_cut_handles_late_predecessor(spark, tmp_path):
     assert r["n_cuts"] == 2
     assert r["first_cut_frame"] == 1
     assert r["max_jump"] == 49_000
+
+
+def test_frame_order_contract_violation_fails_loudly(spark, tmp_path):
+    """A source violating the contract (event time monotone in frame_id
+    per camera) must FAIL the query, not silently fold a regressed
+    frame_id against the carried boundary: frame 10 is finalized first,
+    then frame 5 arrives with a LATER event time."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    px = 100
+    waves = [
+        # frame 10 early in event time -> finalized by the first flush
+        [(7, 10, T0, 1000, px)],
+        # frame 5 carries a LATER event time (contract violation); it
+        # finalizes after the boundary has advanced to frame 10
+        [(7, 5, T0 + timedelta(days=30), 2000, px)],
+    ]
+    with pytest.raises(StreamingQueryException, match="not.*monotone"):
+        _drive(spark, tmp_path, waves, "scq_viol")

@@ -83,3 +83,15 @@ def test_streamed_seq_gap_equals_batch(spark, tmp_path):
         assert s["n_distinct"] == b["n_present"] - b["n_duplicated"]
     assert got[1]["n_present"] == SEQ_BLOCK - 100
     assert got[0]["n_duplicated"] + got[2]["n_duplicated"] == 2
+
+
+def test_out_of_contract_event_id_fails_loudly(spark, tmp_path):
+    """A negative event_id (Spark DIV truncation routes -4095..-1 into
+    block 0) must FAIL the query, not silently flip a tail bit of block
+    0's bitmap via Python negative indexing."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    rows = [(5, T0, 1, "a", 1.0, ""), (-3, T0, 1, "a", 1.0, "")]
+    with pytest.raises(StreamingQueryException, match="outside block"):
+        _drive(spark, tmp_path, [rows], "sgq_neg")
