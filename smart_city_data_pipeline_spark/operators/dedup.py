@@ -251,21 +251,83 @@ def _band_cols() -> tuple:
     return tuple(cols)
 
 
-def _band_pairs(sig: DataFrame) -> DataFrame:
+# Hot-bucket guard for the band self-join (the NEARDUP_CELL_CAP
+# discipline, dedup.py embedding_neardup): the candidate OUTPUT of an
+# LSH band join is quadratic in the largest (band_idx, band_hash)
+# bucket, so a 100 TB template flood (millions of near-identical docs
+# hashing one band value) would explode the pair list itself — AQE can
+# split a skewed shuffle partition but cannot shrink a quadratic
+# output. Buckets over the cap are subdivided by EXTRA signature bits.
+BAND_BUCKET_CAP = 20_000
+
+
+def _band_pairs(
+    sig: DataFrame, bucket_cap: int | None = BAND_BUCKET_CAP
+) -> DataFrame:
     """Distinct LSH candidate pairs from a wide signature table: slim
     (doc_id, band_idx, band_hash) posexplode + ONE self-equi-join,
-    deduped while still slim. Shared by the dedup operator and the
-    LSH-quality evaluation."""
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(F.array(*_band_cols())).alias("band_idx", "band_hash"),
+    deduped while still slim. Shared by the dedup operator, the
+    LSH-quality evaluation, and the band-join audits.
+
+    Skew guard: per-bucket counts (one map-side-combinable aggregate
+    over the slim band table) mark buckets over ``bucket_cap``; rows in
+    an oversized bucket get the NEXT band's hash appended to the join
+    key (``sub``), so a pair inside a flooded bucket must ALSO agree on
+    four more signature slots — honest graceful degradation (template
+    floods are near-identical docs that share those slots anyway; the
+    forced-tiny-cap pytest measures the recall cost) instead of a
+    quadratic candidate list. Under-cap buckets join on the sentinel
+    ``sub=''`` and are EXACT, so on any corpus whose buckets sit under
+    the cap (this test corpus included — noop pytest) the output is
+    identical to the unguarded join and the uncapped SQL oracle stays
+    exact. The oversized-bucket list is tiny by construction (≤ n/cap
+    entries), so AQE broadcasts the marker join; no hint, per the
+    sizes-join discipline above.
+    """
+    n_bands = N_MINHASH // BAND_SIZE
+    bands = (
+        sig.select("doc_id", F.array(*_band_cols()).alias("bs"))
+        .select(
+            "doc_id",
+            F.posexplode("bs").alias("band_idx", "band_hash"),
+            # the refinement key: the NEXT band's hash (element_at is
+            # 1-based; band_idx is 0-based) — projected BEFORE the
+            # shuffle, so only the slim rows cross it
+            "bs",
+        )
+        .select(
+            "doc_id",
+            "band_idx",
+            "band_hash",
+            F.element_at(
+                "bs", ((F.col("band_idx") + F.lit(1)) % n_bands + F.lit(1)).cast("int")
+            ).alias("refine"),
+        )
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    if bucket_cap is not None:
+        over = (
+            bands.groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("n_bucket"))
+            .filter(F.col("n_bucket") > F.lit(bucket_cap))
+            .select("band_idx", "band_hash", F.lit(True).alias("is_over"))
+        )
+        guarded = bands.join(over, ["band_idx", "band_hash"], "left").select(
+            "doc_id",
+            "band_idx",
+            "band_hash",
+            F.when(F.col("is_over"), F.col("refine")).otherwise(F.lit("")).alias("sub"),
+        )
+    else:
+        guarded = bands.select(
+            "doc_id", "band_idx", "band_hash", F.lit("").alias("sub")
+        )
+    a, b = guarded.alias("a"), guarded.alias("b")
     return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.sub") == F.col("b.sub"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
