@@ -5563,3 +5563,280 @@ ORACLES["feature_hashing_audit"] = f"""
     GROUP BY dim
     HAVING dim - COUNT(*) > 0
 """
+
+
+# --- Unigram-LM (SentencePiece-style) tokenizer training ------------
+#
+# The EM counterpart to `bpe_train_merges` (Kudo 2018): seed a piece
+# vocabulary from weighted substring counts, then iterate hard-EM —
+# E-step: Viterbi-segment every distinct word under the current piece
+# scores; M-step: re-estimate scores from the weighted piece counts —
+# and prune to a target vocabulary. Everything runs on an INTEGER
+# grid so both engines agree bit for bit: piece scores are quantized
+# to q = max(1, count*GRID // total) and the Viterbi objective is the
+# exact integer product(q_i) * GRID^(max_pieces - k), carried as
+# dp[j] = dp[i] * q * GRID^(len-1) (Python bigint / DuckDB HUGEINT;
+# bounded by GRID^MAX_WORD = 128^16 = 2^112 < 2^127). Ties break to
+# the lexicographically smallest bracket-encoded segmentation — a
+# DP-consistent order because one segmentation's encoding is never a
+# string prefix of another's for the same word.
+ULM_MAX_WORD = 16  # words longer than this are excluded from training
+ULM_MAX_PIECE = 4
+ULM_GRID = 128  # score quantization grid; keeps the DP in 128 bits
+ULM_SEED_N = 48  # multi-char seed pieces (all single chars always kept)
+ULM_EM_ITERS = 3
+ULM_VOCAB_TARGET = 32  # multi-char pieces kept after the final prune
+
+_ULM_POW = tuple(ULM_GRID ** k for k in range(ULM_MAX_PIECE))
+
+
+def _ulm_viterbi(w: str, vocab: dict) -> list:
+    """Best segmentation of ``w`` under integer piece scores ``vocab``:
+    maximize product(q_i)*GRID^(len(w)-k); ties to the smallest
+    bracket-encoded segmentation. Single characters are always in the
+    vocabulary, so every word is segmentable."""
+    n = len(w)
+    dp: list = [None] * (n + 1)
+    dp[0] = (1, "")
+    for j in range(1, n + 1):
+        best = None
+        for plen in range(1, min(ULM_MAX_PIECE, j) + 1):
+            prev = dp[j - plen]
+            if prev is None:
+                continue
+            q = vocab.get(w[j - plen:j])
+            if q is None:
+                continue
+            s = prev[0] * q * _ULM_POW[plen - 1]
+            seg = prev[1] + "[" + w[j - plen:j] + "]"
+            if best is None or s > best[0] or (s == best[0] and seg < best[1]):
+                best = (s, seg)
+        dp[j] = best
+    return dp[n][1][1:-1].split("][")
+
+
+def _ulm_word_counts(docs: DataFrame) -> DataFrame:
+    """Distinct lowercased whitespace words with corpus frequencies —
+    the bounded working set (the Sennrich/BPE trick: EM walks the
+    VOCABULARY weighted by frequency, never the corpus)."""
+    words = docs.select(
+        F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("w")
+    ).filter(F.col("w") != "")
+    return (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wn"))
+        .filter(F.length("w") <= ULM_MAX_WORD)
+    )
+
+
+def _ulm_estep(words: DataFrame, vocab: dict) -> dict:
+    """One E-step: Viterbi-segment the distinct-word table under
+    ``vocab`` (shipped in the task closure — piece-vocabulary-sized,
+    the Lloyd-loop broadcast posture) and return weighted piece
+    counts. The mapInPandas pass and the count aggregate are both
+    bounded by the word vocabulary, not the corpus."""
+    import pandas as pd
+
+    vb = dict(vocab)
+
+    def seg_iter(batches):
+        for pdf in batches:
+            pieces, wns = [], []
+            for w, wn in zip(pdf["w"], pdf["wn"]):
+                for piece in _ulm_viterbi(str(w), vb):
+                    pieces.append(piece)
+                    wns.append(int(wn))
+            yield pd.DataFrame({"piece": pieces, "wn": wns})
+
+    agg = (
+        words.mapInPandas(seg_iter, "piece string, wn long")
+        .groupBy("piece")
+        .agg(F.sum("wn").cast("long").alias("c"))
+        .collect()
+    )
+    return {r["piece"]: int(r["c"]) for r in agg}
+
+
+def ulm_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer TRAINING (the SentencePiece counterpart to
+    ``bpe_train_merges``): substring seed → ULM_EM_ITERS hard-EM
+    rounds over the bounded word-frequency table → prune to
+    ULM_VOCAB_TARGET multi-char pieces (single characters are never
+    pruned — they guarantee segmentability). Emits the learned vocab
+    with its final Viterbi counts and quantized scores — the artifact
+    a tokenizer ships.
+
+    Scale shape: the seed is one substring explode + keyed count over
+    the distinct-word vocabulary (weighted by frequency — never the
+    corpus), topped by a distributed top-N; each EM round is one
+    vocab-bounded mapInPandas segmentation pass + one keyed count,
+    with only the piece vocabulary (≤ SEED_N + alphabet rows)
+    collected to the driver per round — the k-means Lloyd posture.
+    Oracle: the DuckDB twin unrolls the SAME integer-grid EM — the
+    Viterbi DP is ULM_MAX_WORD chained argmax CTEs per round (HUGEINT
+    scores, identical (score DESC, seg ASC) tie-break), so both
+    engines learn the identical vocabulary.
+    """
+    docs = table(spark, sf_dir, "documents")
+    words = _ulm_word_counts(docs)
+    subs = words.select(
+        "wn",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w")),
+                    lambda s: F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.least(
+                                F.lit(ULM_MAX_PIECE),
+                                F.length("w") - s + F.lit(1),
+                            ),
+                        ),
+                        lambda plen: F.col("w").substr(s, plen),
+                    ),
+                )
+            )
+        ).alias("piece"),
+    )
+    cnt = subs.groupBy("piece").agg(F.sum("wn").cast("long").alias("c"))
+    multi = (
+        cnt.filter(F.length("piece") >= 2)
+        .orderBy(F.col("c").desc(), F.col("piece").asc())
+        .limit(ULM_SEED_N)
+        .collect()
+    )
+    singles_rows = cnt.filter(F.length("piece") == 1).collect()
+    seed = {r["piece"]: int(r["c"]) for r in multi}
+    seed.update({r["piece"]: int(r["c"]) for r in singles_rows})
+    single_chars = sorted(r["piece"] for r in singles_rows)
+    total = sum(seed.values())
+    vocab = {p: max(1, c * ULM_GRID // total) for p, c in seed.items()}
+    counts: dict = {}
+    for _ in range(ULM_EM_ITERS):
+        counts = _ulm_estep(words, vocab)
+        total = sum(counts.values())
+        vocab = {p: max(1, c * ULM_GRID // total) for p, c in counts.items()}
+        for ch in single_chars:
+            vocab.setdefault(ch, 1)  # unused singles survive at q=1
+    multis = sorted(
+        ((p, c) for p, c in counts.items() if len(p) >= 2),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:ULM_VOCAB_TARGET]
+    rows = [(ch, counts.get(ch, 0), vocab[ch]) for ch in single_chars]
+    rows += [(p, c, vocab[p]) for p, c in multis]
+    return spark.createDataFrame(
+        rows, "piece string, n_viterbi long, score_q long"
+    )
+
+
+def _ulm_oracle() -> str:
+    """Unrolled integer-grid EM: per round, ULM_MAX_WORD chained
+    Viterbi-DP argmax CTEs (HUGEINT scores, '(score DESC, seg ASC)'
+    tie-break) + one piece-count aggregate + the quantized M-step."""
+    g = ULM_GRID
+    ctes = [f"""
+    words AS MATERIALIZED (
+        SELECT token AS w FROM (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                       AS token
+            FROM documents
+        ) WHERE token <> ''
+    ),
+    wc AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS wn FROM words
+        WHERE len(w) <= {ULM_MAX_WORD}
+        GROUP BY 1
+    ),
+    subs AS MATERIALIZED (
+        SELECT piece, CAST(SUM(wn) AS BIGINT) AS c FROM (
+            SELECT substr(w, s, l) AS piece, wn FROM (
+                SELECT w, wn, s, unnest(range(1, {ULM_MAX_PIECE} + 1)) AS l
+                FROM (SELECT w, wn, unnest(range(1, len(w) + 1)) AS s FROM wc)
+            ) WHERE s + l - 1 <= len(w)
+        ) GROUP BY 1
+    ),
+    vc0 AS MATERIALIZED (
+        SELECT piece, c FROM (
+            SELECT piece, c FROM subs WHERE len(piece) >= 2
+            ORDER BY c DESC, piece ASC LIMIT {ULM_SEED_N}
+        )
+        UNION ALL
+        SELECT piece, c FROM subs WHERE len(piece) = 1
+    ),
+    v0 AS MATERIALIZED (
+        SELECT piece,
+               GREATEST(1, (c * {g}) // (SELECT SUM(c) FROM vc0)) AS q
+        FROM vc0
+    )"""]
+    for k in range(1, ULM_EM_ITERS + 1):
+        vprev = f"v{k - 1}"
+        ctes.append(f"""
+    dp{k}_0 AS MATERIALIZED (SELECT w, wn, CAST(1 AS HUGEINT) AS score, '' AS seg FROM wc)""")
+        for j in range(1, ULM_MAX_WORD + 1):
+            cands = " UNION ALL ".join(
+                f"""
+                SELECT d.w, d.wn,
+                       d.score * v.q * CAST({g ** (plen - 1)} AS HUGEINT)
+                           AS score,
+                       d.seg || '[' || substr(d.w, {j - plen + 1}, {plen})
+                           || ']' AS seg
+                FROM dp{k}_{j - plen} d JOIN {vprev} v
+                  ON v.piece = substr(d.w, {j - plen + 1}, {plen})
+                WHERE len(d.w) >= {j}"""
+                for plen in range(1, min(ULM_MAX_PIECE, j) + 1)
+            )
+            ctes.append(f"""
+    dp{k}_{j} AS MATERIALIZED (
+        SELECT w, wn, score, seg FROM (
+            SELECT w, wn, score, seg,
+                   ROW_NUMBER() OVER (PARTITION BY w
+                                      ORDER BY score DESC, seg ASC) AS rn
+            FROM ({cands})
+        ) WHERE rn = 1
+    )""")
+        fins = " UNION ALL ".join(
+            f"SELECT wn, seg FROM dp{k}_{j} WHERE len(w) = {j}"
+            for j in range(1, ULM_MAX_WORD + 1)
+        )
+        ctes.append(f"""
+    cnt{k} AS MATERIALIZED (
+        SELECT piece, CAST(SUM(wn) AS BIGINT) AS c FROM (
+            SELECT unnest(string_split(substr(seg, 2, len(seg) - 2), ']['))
+                       AS piece,
+                   wn
+            FROM ({fins})
+        ) GROUP BY 1
+    ),
+    vc{k} AS MATERIALIZED (
+        SELECT piece, c FROM cnt{k}
+        UNION ALL
+        SELECT v.piece, CAST(0 AS BIGINT) AS c FROM {vprev} v
+        WHERE len(v.piece) = 1
+          AND v.piece NOT IN (SELECT piece FROM cnt{k})
+    ),
+    v{k} AS MATERIALIZED (
+        SELECT piece,
+               GREATEST(1, (c * {g}) // (SELECT SUM(c) FROM vc{k})) AS q
+        FROM vc{k}
+    )""")
+    kk = ULM_EM_ITERS
+    return f"""
+    WITH {",".join(ctes)}
+    SELECT piece,
+           c AS n_viterbi,
+           CAST(GREATEST(1, (c * {g}) // (SELECT SUM(c) FROM vc{kk}))
+                AS BIGINT) AS score_q
+    FROM (
+        SELECT piece, c FROM vc{kk} WHERE len(piece) = 1
+        UNION ALL
+        SELECT piece, c FROM (
+            SELECT piece, c FROM vc{kk} WHERE len(piece) >= 2
+            ORDER BY c DESC, piece ASC LIMIT {ULM_VOCAB_TARGET}
+        )
+    )
+"""
+
+
+QUERIES["ulm_train_vocab"] = ulm_train_vocab
+ORACLES["ulm_train_vocab"] = _ulm_oracle()
