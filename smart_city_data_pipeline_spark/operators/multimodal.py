@@ -2414,24 +2414,12 @@ ORACLES["audio_clip_detect"] = f"""
 """
 
 
-def frames_laplacian_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EDGE ENERGY per camera through the real decode path — the
-    variance-of-Laplacian family statistic a vision pipeline uses to
-    pick the sharpest frame per window before running detectors (a
-    defocused or smeared frame has low second-order energy). Every
-    existing frame entry aggregates ZEROTH-order pixel stats; this is
-    the first second-order STENCIL over decoded pixels: the 4-neighbor
-    discrete Laplacian |4f − f(x±1,y) − f(x,y±1)| summed over interior
-    pixels.
-
-    FULL oracle: the decoded image is the closed-form gradient, so the
-    stencil is a direct per-(x,y) arithmetic expression over a
-    generate_series grid — a stride/row-order/palette decode bug
-    shifts a neighbor and flips the hash. All sums exact integers; the
-    per-camera mean is one pround'd division.
-
-    Shape: Arrow-batched decode + numpy stencil (vectorized, no Python
-    per-pixel loop), one camera-keyed aggregate."""
+def _laplacian_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame 4-neighbor |Laplacian| sum + interior pixel count
+    through the REAL decode path (Arrow-batched numpy stencil, no
+    per-pixel Python) — shared by the camera rollup
+    (:func:`frames_laplacian_stats`) and the per-window keyframe pick
+    (:func:`keyframe_select`)."""
     frames = sample_frames(synth_bmp_frames(spark, sf_dir), every_k=FRAME_SAMPLE_K)
 
     out_schema = T.StructType(
@@ -2469,7 +2457,28 @@ def frames_laplacian_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    feats = frames.mapInPandas(run, out_schema)
+    return frames.mapInPandas(run, out_schema)
+
+
+def frames_laplacian_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDGE ENERGY per camera through the real decode path — the
+    variance-of-Laplacian family statistic a vision pipeline uses to
+    pick the sharpest frame per window before running detectors (a
+    defocused or smeared frame has low second-order energy). Every
+    existing frame entry aggregates ZEROTH-order pixel stats; this is
+    the first second-order STENCIL over decoded pixels: the 4-neighbor
+    discrete Laplacian |4f − f(x±1,y) − f(x,y±1)| summed over interior
+    pixels.
+
+    FULL oracle: the decoded image is the closed-form gradient, so the
+    stencil is a direct per-(x,y) arithmetic expression over a
+    generate_series grid — a stride/row-order/palette decode bug
+    shifts a neighbor and flips the hash. All sums exact integers; the
+    per-camera mean is one pround'd division.
+
+    Shape: Arrow-batched decode + numpy stencil (vectorized, no Python
+    per-pixel loop), one camera-keyed aggregate."""
+    feats = _laplacian_feats(spark, sf_dir)
     return feats.groupBy("camera_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_frames"),
         F.sum("abs_lap").cast("bigint").alias("total_abs_laplacian"),
@@ -2513,4 +2522,101 @@ ORACLES["frames_laplacian_stats"] = f"""
                'CAST(SUM(abs_lap) AS DOUBLE) / CAST(SUM(n_interior) AS DOUBLE)'
            )} AS mean_abs_laplacian
     FROM per GROUP BY 1
+"""
+
+
+# Keyframe selection window, in RAW frame_id units (frame ids are the
+# video timeline; cameras interleave on doc_id % 16, so a window holds
+# every sampled frame of a camera inside the id range).
+KEYFRAME_WIN = 128
+
+
+def _keyframe_pick(feats: DataFrame) -> DataFrame:
+    """Argmax-|Laplacian| frame per (camera, KEYFRAME_WIN id window)
+    from a per-frame feature table ``(camera_id, frame_id, abs_lap)``.
+    Ties break to the SMALLEST frame_id (earliest frame) via one
+    max-of-struct aggregate — no window function, so the pick is a
+    single map-side-combinable keyed aggregate at any scale."""
+    win = F.expr(f"frame_id DIV {KEYFRAME_WIN}").alias("win_id")
+    best = F.max(
+        F.struct(
+            F.col("abs_lap").alias("lap"),
+            (-F.col("frame_id")).alias("neg_fid"),
+        )
+    ).alias("b")
+    return (
+        feats.groupBy("camera_id", win)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+            best,
+        )
+        .select(
+            "camera_id",
+            "win_id",
+            "n_frames",
+            (-F.col("b.neg_fid")).cast("bigint").alias("keyframe_id"),
+            F.col("b.lap").cast("bigint").alias("keyframe_lap"),
+        )
+    )
+
+
+def keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-frame-per-window pick — the keyframe-selection read every
+    vision pipeline ships before running expensive detectors: within
+    each (camera, KEYFRAME_WIN-frame-id window), the frame with the
+    maximal 4-neighbor |Laplacian| energy (sharpest; defocused/smeared
+    frames score low), ties to the earliest frame. Composes the real
+    decode path of :func:`frames_laplacian_stats` with a keyed
+    argmax-by-struct aggregate.
+
+    FULL oracle: per-frame |Laplacian| is closed-form over the
+    synthetic gradient (any stride/row-order decode bug flips it), and
+    the pick is ROW_NUMBER over (abs_lap DESC, frame_id ASC) — exact
+    integers everywhere.
+
+    Shape: one Arrow-batched decode pass + ONE map-side-combinable
+    (camera, window)-keyed aggregate; no global order, no window
+    function, so the plan is flat at any frame count."""
+    return _keyframe_pick(_laplacian_feats(spark, sf_dir))
+
+
+QUERIES["keyframe_select"] = keyframe_select
+
+ORACLES["keyframe_select"] = f"""
+    WITH f AS (
+        SELECT doc_id AS frame_id, doc_id % 16 AS camera_id
+        FROM documents WHERE (doc_id % 30) % {FRAME_SAMPLE_K} = 0
+    ),
+    grid AS (
+        SELECT gx.x AS x, gy.y AS y
+        FROM generate_series(1, {BMP_W - 2}) gx(x),
+             generate_series(1, {BMP_H - 2}) gy(y)
+    ),
+    per AS (
+        SELECT frame_id, camera_id,
+               SUM(ABS(
+                   4 * ((3 * x + 5 * y + 7 * frame_id) % 256)
+                   - ((3 * (x - 1) + 5 * y + 7 * frame_id) % 256)
+                   - ((3 * (x + 1) + 5 * y + 7 * frame_id) % 256)
+                   - ((3 * x + 5 * (y - 1) + 7 * frame_id) % 256)
+                   - ((3 * x + 5 * (y + 1) + 7 * frame_id) % 256)
+               )) AS abs_lap
+        FROM f, grid GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT camera_id, frame_id // {KEYFRAME_WIN} AS win_id,
+               frame_id, abs_lap,
+               CAST(COUNT(*) OVER (
+                   PARTITION BY camera_id, frame_id // {KEYFRAME_WIN}
+               ) AS BIGINT) AS n_frames,
+               ROW_NUMBER() OVER (
+                   PARTITION BY camera_id, frame_id // {KEYFRAME_WIN}
+                   ORDER BY abs_lap DESC, frame_id ASC
+               ) AS rn
+        FROM per
+    )
+    SELECT camera_id, win_id, n_frames,
+           CAST(frame_id AS BIGINT) AS keyframe_id,
+           CAST(abs_lap AS BIGINT) AS keyframe_lap
+    FROM ranked WHERE rn = 1
 """
