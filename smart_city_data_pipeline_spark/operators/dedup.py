@@ -260,76 +260,141 @@ def _band_cols() -> tuple:
 # output. Buckets over the cap are subdivided by EXTRA signature bits.
 BAND_BUCKET_CAP = 20_000
 
+# Oversized buckets are a property of the DATA, not the query, and
+# their count is bounded at band_rows/cap by construction — so (the
+# `_label_counts` posture) the set is computed ONCE per process per
+# dataset and embedded at plan time. On a healthy corpus it is EMPTY
+# and the guard costs ZERO runtime plan nodes: no counts subplan, no
+# marker join — the plan is byte-identical to the unguarded one. Only
+# a set larger than the embed budget falls back to the in-plan join.
+BAND_OVER_EMBED_MAX = 4096
+_BAND_OVER_CACHE: dict[tuple, tuple] = {}
+
+
+def _bands_frame(sig: DataFrame, with_refine: bool) -> DataFrame:
+    """Slim (doc_id, band_idx, band_hash[, refine]) band rows. The
+    refinement key is the NEXT band's hash (element_at is 1-based;
+    band_idx is 0-based), projected BEFORE any shuffle."""
+    n_bands = N_MINHASH // BAND_SIZE
+    exploded = sig.select("doc_id", F.array(*_band_cols()).alias("bs")).select(
+        "doc_id",
+        F.posexplode("bs").alias("band_idx", "band_hash"),
+        "bs",
+    )
+    if not with_refine:
+        return exploded.select("doc_id", "band_idx", "band_hash")
+    return exploded.select(
+        "doc_id",
+        "band_idx",
+        "band_hash",
+        F.element_at(
+            "bs", ((F.col("band_idx") + F.lit(1)) % n_bands + F.lit(1)).cast("int")
+        ).alias("refine"),
+    )
+
+
+def _oversized_band_buckets(
+    sig: DataFrame, bucket_cap: int, dataset_key, embed_max: int
+):
+    """The (band_idx, band_hash) buckets holding more than
+    ``bucket_cap`` rows — one map-side-combinable aggregate whose
+    result is bounded at band_rows/cap; at most ``embed_max + 1`` rows
+    reach the driver (the +1 row is the 'too many to embed' signal).
+    Cached per (dataset fingerprint, cap) like :func:`_label_counts`.
+    Returns None when the set exceeds the embed budget."""
+    ck = None if dataset_key is None else (dataset_key, bucket_cap)
+    if ck is not None and ck in _BAND_OVER_CACHE:
+        return _BAND_OVER_CACHE[ck]
+    rows = (
+        _bands_frame(sig, with_refine=False)
+        .groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n_bucket"))
+        .filter(F.col("n_bucket") > F.lit(bucket_cap))
+        .select("band_idx", "band_hash")
+        .limit(embed_max + 1)
+        .collect()
+    )
+    over = (
+        None
+        if len(rows) > embed_max
+        else tuple(sorted((int(r["band_idx"]), r["band_hash"]) for r in rows))
+    )
+    if ck is not None:
+        _BAND_OVER_CACHE[ck] = over
+    return over
+
 
 def _band_pairs(
-    sig: DataFrame, bucket_cap: int | None = BAND_BUCKET_CAP
+    sig: DataFrame,
+    bucket_cap: int | None = BAND_BUCKET_CAP,
+    dataset_key=None,
+    embed_max: int = BAND_OVER_EMBED_MAX,
 ) -> DataFrame:
     """Distinct LSH candidate pairs from a wide signature table: slim
     (doc_id, band_idx, band_hash) posexplode + ONE self-equi-join,
     deduped while still slim. Shared by the dedup operator, the
     LSH-quality evaluation, and the band-join audits.
 
-    Skew guard: per-bucket counts (one map-side-combinable aggregate
-    over the slim band table) mark buckets over ``bucket_cap``; rows in
-    an oversized bucket get the NEXT band's hash appended to the join
-    key (``sub``), so a pair inside a flooded bucket must ALSO agree on
-    four more signature slots — honest graceful degradation (template
-    floods are near-identical docs that share those slots anyway; the
-    forced-tiny-cap pytest measures the recall cost) instead of a
-    quadratic candidate list. Under-cap buckets join on the sentinel
-    ``sub=''`` and are EXACT, so on any corpus whose buckets sit under
-    the cap (this test corpus included — noop pytest) the output is
-    identical to the unguarded join and the uncapped SQL oracle stays
-    exact. The oversized-bucket list is tiny by construction (≤ n/cap
-    entries), so AQE broadcasts the marker join; no hint, per the
-    sizes-join discipline above.
+    Skew guard: rows in a bucket over ``bucket_cap`` get the NEXT
+    band's hash appended to the join key (``sub``), so a pair inside a
+    flooded bucket must ALSO agree on four more signature slots —
+    honest graceful degradation (template floods are near-identical
+    docs that share those slots anyway; the forced-tiny-cap pytest
+    measures the recall cost) instead of a quadratic candidate list.
+    Under-cap buckets are EXACT, so on any corpus whose buckets sit
+    under the cap (this test corpus included — noop pytest) the output
+    is identical to the unguarded join and the uncapped SQL oracle
+    stays exact.
+
+    The oversized-bucket set is known at PLAN TIME
+    (:func:`_oversized_band_buckets`): empty ⇒ the band machinery
+    vanishes entirely (no refine column, no ``sub`` key — the plan is
+    the plain self-join, zero guard cost); small ⇒ the set is embedded
+    as an InSet literal (one hash probe per row, still no extra
+    shuffle); only a flood wider than ``embed_max`` buckets plans the
+    in-plan counts subplan + marker join. Either way the DECISION is
+    the guard, and all three forms are pytest-exercised.
     """
-    n_bands = N_MINHASH // BAND_SIZE
-    bands = (
-        sig.select("doc_id", F.array(*_band_cols()).alias("bs"))
-        .select(
-            "doc_id",
-            F.posexplode("bs").alias("band_idx", "band_hash"),
-            # the refinement key: the NEXT band's hash (element_at is
-            # 1-based; band_idx is 0-based) — projected BEFORE the
-            # shuffle, so only the slim rows cross it
-            "bs",
-        )
-        .select(
-            "doc_id",
-            "band_idx",
-            "band_hash",
-            F.element_at(
-                "bs", ((F.col("band_idx") + F.lit(1)) % n_bands + F.lit(1)).cast("int")
-            ).alias("refine"),
-        )
+    over = (
+        _oversized_band_buckets(sig, bucket_cap, dataset_key, embed_max)
+        if bucket_cap is not None
+        else ()
     )
-    if bucket_cap is not None:
-        over = (
-            bands.groupBy("band_idx", "band_hash")
-            .agg(F.count(F.lit(1)).alias("n_bucket"))
-            .filter(F.col("n_bucket") > F.lit(bucket_cap))
-            .select("band_idx", "band_hash", F.lit(True).alias("is_over"))
-        )
-        guarded = bands.join(over, ["band_idx", "band_hash"], "left").select(
-            "doc_id",
-            "band_idx",
-            "band_hash",
-            F.when(F.col("is_over"), F.col("refine")).otherwise(F.lit("")).alias("sub"),
+    if bucket_cap is None or over == ():
+        guarded = _bands_frame(sig, with_refine=False)
+        keys_eq = (F.col("a.band_idx") == F.col("b.band_idx")) & (
+            F.col("a.band_hash") == F.col("b.band_hash")
         )
     else:
+        bands = _bands_frame(sig, with_refine=True)
+        if over is not None:
+            is_over = F.concat(
+                F.col("band_idx").cast("string"), F.lit(":"), F.col("band_hash")
+            ).isin([f"{i}:{h}" for i, h in over])
+        else:
+            marker = (
+                _bands_frame(sig, with_refine=False)
+                .groupBy("band_idx", "band_hash")
+                .agg(F.count(F.lit(1)).alias("n_bucket"))
+                .filter(F.col("n_bucket") > F.lit(bucket_cap))
+                .select("band_idx", "band_hash", F.lit(True).alias("ov"))
+            )
+            bands = bands.join(marker, ["band_idx", "band_hash"], "left")
+            is_over = F.col("ov").isNotNull()
         guarded = bands.select(
-            "doc_id", "band_idx", "band_hash", F.lit("").alias("sub")
+            "doc_id",
+            "band_idx",
+            "band_hash",
+            F.when(is_over, F.col("refine")).otherwise(F.lit("")).alias("sub"),
         )
-    a, b = guarded.alias("a"), guarded.alias("b")
-    return (
-        a.join(
-            b,
+        keys_eq = (
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.sub") == F.col("b.sub"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+    a, b = guarded.alias("a"), guarded.alias("b")
+    return (
+        a.join(b, keys_eq & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
@@ -349,7 +414,7 @@ def lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _minhash_sig_wide(spark, sf_dir).select(
         "doc_id", *[F.col(f"m{i}") for i in range(N_MINHASH)]
     )
-    cand = _band_pairs(sig).withColumn("is_cand", F.lit(1))
+    cand = _band_pairs(sig, dataset_key=dataset_fingerprint(sf_dir, "documents")).withColumn("is_cand", F.lit(1))
     truth = (
         dedup_ngram_jaccard(spark, sf_dir)
         .select("doc_a", "doc_b")
@@ -398,7 +463,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB-correct layout: the wide rows cross exactly one shuffle.
     """
     sig = _minhash_sig_wide(spark, sf_dir).select("doc_id", *[F.col(f"m{i}") for i in range(N_MINHASH)])
-    pairs = _band_pairs(sig)
+    pairs = _band_pairs(sig, dataset_key=dataset_fingerprint(sf_dir, "documents"))
     sa, sb = sig.alias("sa"), sig.alias("sb")
     sim = _minhash_eq_sim()
     return (
@@ -2381,7 +2446,7 @@ def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _minhash_sig_wide(spark, sf_dir).select(
         "doc_id", *[F.col(f"m{i}") for i in range(N_MINHASH)]
     )
-    pairs = _band_pairs(sig)
+    pairs = _band_pairs(sig, dataset_key=dataset_fingerprint(sf_dir, "documents"))
     sa, sb = sig.alias("sa"), sig.alias("sb")
     n_eq = functools.reduce(
         operator.add,
@@ -2755,7 +2820,8 @@ def text_embedding_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _band_pairs(
         _minhash_sig_wide(spark, sf_dir).select(
             "doc_id", *[F.col(f"m{i}") for i in range(N_MINHASH)]
-        )
+        ),
+        dataset_key=dataset_fingerprint(sf_dir, "documents"),
     )
     sh = _hashed_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(
@@ -3395,7 +3461,9 @@ def rouge2_candidate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     tb = bg.groupBy("doc_id").agg(F.sum("c").alias("n_bg"))
-    cand = _band_pairs(_minhash_sig_wide(spark, sf_dir))
+    cand = _band_pairs(
+        _minhash_sig_wide(spark, sf_dir), dataset_key=dataset_fingerprint(sf_dir, "documents")
+    )
     ba, bb = bg.alias("ba"), bg.alias("bb")
     ov = (
         cand.join(ba, F.col("doc_a") == F.col("ba.doc_id"))
@@ -3539,7 +3607,9 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: the shared band-bounded pair stage, one keyed degree
     aggregate, two joins edge→degree, one global moment aggregate."""
-    cand = _band_pairs(_minhash_sig_wide(spark, sf_dir))
+    cand = _band_pairs(
+        _minhash_sig_wide(spark, sf_dir), dataset_key=dataset_fingerprint(sf_dir, "documents")
+    )
     edges = cand.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionByName(
@@ -4249,7 +4319,7 @@ def cross_source_neardup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _minhash_sig_wide(spark, sf_dir).select(
         "doc_id", *[F.col(f"m{i}") for i in range(N_MINHASH)]
     )
-    pairs = _band_pairs(sig)
+    pairs = _band_pairs(sig, dataset_key=dataset_fingerprint(sf_dir, "documents"))
     sa, sb = sig.alias("sa"), sig.alias("sb")
     sim = _minhash_eq_sim()
     verified = (

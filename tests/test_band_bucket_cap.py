@@ -48,10 +48,32 @@ def _planted_sig(spark):
 def test_bucket_cap_splits_flooded_buckets(spark):
     """With cap=1 every shared bucket is 'flooded': the identical-
     signature pair survives (it also agrees on the refinement band);
-    the band-0-only pair is dropped — the documented recall cost."""
+    the band-0-only pair is dropped — the documented recall cost.
+    Both guard plans (plan-time InSet embed AND the in-plan marker
+    join fallback for floods wider than the embed budget) must give
+    the same answer."""
     sig = _planted_sig(spark)
     assert _pairs(_band_pairs(sig, bucket_cap=None)) == [(1, 2), (3, 4)]
     assert _pairs(_band_pairs(sig, bucket_cap=1)) == [(1, 2)]
+    assert _pairs(_band_pairs(sig, bucket_cap=1, embed_max=0)) == [(1, 2)]
+
+
+def test_empty_over_set_plans_the_plain_join(spark, sf_dir):
+    """On a healthy corpus the guard must cost ZERO plan nodes: the
+    default-cap plan is byte-identical to the uncapped plan (no sub
+    key, no counts subplan, no marker join)."""
+    sig = _minhash_sig_wide(spark, sf_dir)
+    capped = _band_pairs(
+        sig, dataset_key=("t", "band-noop")
+    )._jdf.queryExecution().optimizedPlan().toString()
+    uncapped = _band_pairs(
+        sig, bucket_cap=None
+    )._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    strip = lambda s: re.sub(r"#\d+L?", "#x", s)  # noqa: E731
+    assert strip(capped) == strip(uncapped)
+    assert "sub#" not in capped  # no guard key column anywhere
 
 
 def test_forced_cap_candidates_are_subset_with_recall(spark, sf_dir):
