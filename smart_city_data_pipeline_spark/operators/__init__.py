@@ -21,95 +21,73 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Round-9 rotation (VERDICT r8 item 1): after the r8 window, exactly
-# 47 checkable keys had never appeared in any driver gate (they are
-# judge-sweep-green only). ALL 47 lead this round's 50-slot window —
-# the judge-recounted list below is copied verbatim from VERDICT r8 —
-# plus `kalman_level_filter` (behavior changed in r9: the per-row
-# partition loop was vectorized, so it must re-earn driver-green) and
-# the two new r9 operators (`aqi_nowcast`, `parking_price_elasticity`)
-# in the final two slots: 47 + 1 + 2 = 50. Any further r9 additions
-# land at position 51+ and lead the round-10 window — as of this
-# session that queue is the eighteen later-r9 operators, none ever
-# driver-gated: ljung_box_test, mann_kendall_trend,
-# markov_entropy_rate, did_zone_report, perplexity_threshold_sweep,
-# vocab_size_curve, funnel_dropoff_times, xbar_r_chart,
-# winsorized_stats, cluster_representative_pick, source_cap_sweep,
-# dedup_overmerge_audit, truncation_loss_sweep, grouped_kfold_assign,
-# rbm_pairs, ivf_shard_plan, embedding_threshold_sweep,
-# first_exceedance_report — eighteen in all (judge-sweep +
-# planted-pytest verified this round) — PLUS the thirty
-# session-2 additions (also never driver-gated, each oracle-green at
-# sf0.001 AND sf0.01 this round): getis_ord_hotspots,
-# spearman_zone_corr, filter_agreement_matrix, clustering_depth_report,
-# mwu_zone_shift, knox_spacetime, diurnal_harmonic_fit,
-# feature_hashing_audit, runs_test_randomness,
-# cross_source_neardup_matrix, join_strategy_report,
-# dedup_survivor_bias, ingest_novelty_timeline, gumbel_return_levels,
-# watermark_whatif_curve, kruskal_zone_test, video_mjpeg_index,
-# frames_features_gif, theta_sketch_overlap, bitmap_index_plan,
-# lsh_banding_planner, session_timeout_sweep, median_polish_grid,
-# embedding_clip_plan, sequence_gap_audit, audio_clip_detect,
-# pacf_lags, arima_order_suggest, sensor_stuck_report,
-# frames_laplacian_stats (thirty in all). The round-10 queue is
-# therefore FORTY-EIGHT keys — more than one 50-slot window can
-# absorb alongside r10 changes, so r10 should gate all 48 plus its
-# own behavior changes across its window, spilling any remainder to
-# the r11 head exactly as this round did.
+# Round-10 rotation (VERDICT r9 item 1): after the r9 window, exactly
+# 48 checkable keys had never appeared in any driver gate (the ledger
+# VERDICT r9 recounted — 18 later-r9 operators + 30 session-2
+# additions, all judge-sweep green at sf0.001 in the r9 independent
+# sweep). ALL 48 lead this round's 50-slot window, in the ledger's
+# order, followed by `dedup_minhash_lsh` (behavior-adjacent change in
+# r10: the band self-join gained the hot-bucket guard — plan-identical
+# on this corpus by pytest, but VERDICT r9 item 3 requires the
+# hash-green gate row) and `ulm_train_vocab` (new r10 operator):
+# 48 + 1 + 1 = 50. The round-11 queue is therefore ONE key —
+# `keyframe_select` (new r10 operator, oracle-green at sf0.001 and
+# sf0.01 this session, planted-pytest verified) — plus any further
+# r10-session additions noted here as they land.
 _GATE_FIRST = [
-    # --- the 47 never-driver-gated keys (VERDICT r8 item 1, verbatim)
-    "ab_test_report",
-    "asap_smoothing",
-    "asof_nearest_enrich",
-    "attribution_last_touch",
-    "audio_silence_segments",
-    "audio_walsh_bands",
-    "cluster_label_nmi",
-    "code_detect",
-    "colocated_bias_pairs",
-    "corpus_datasheet",
-    "decision_stump_train",
-    "density_heatmap",
-    "dsir_importance_weights",
-    "embedding_abtt_qc",
-    "embedding_bq_hamming",
-    "frames_ahash_dedup",
-    "funnel_conversion_report",
-    "hbos_outlier_scores",
-    "hilbert_prune_report",
-    "hll_merge_audit",
-    "idw_interpolation",
-    "ivm_merge_view",
-    "l_diversity_audit",
-    "link_prediction_cn",
-    "matrix_profile_lite",
-    "minhash_estimate_audit",
-    "mrl_truncation_qc",
-    "od_matrix",
-    "ols_trend",
-    "pareto_front",
-    "pinball_forecast_eval",
-    "pmi_collocations",
-    "positional_delete_apply",
-    "psi_drift_report",
-    "quantile_normalize",
-    "rake_keywords",
-    "retrieval_metrics_report",
-    "rollup_cascade",
-    "sax_symbols",
-    "scene_cut_detect",
-    "segmented_trend_fit",
-    "snapshot_diff",
-    "soft_dedup_weights",
-    "text_embedding_agreement",
-    "wasserstein_drift",
-    "zone_hod_mi",
-    "zone_xcorr_lags",
-    # --- behavior changed in round 9 (must re-earn driver-green)
-    "kalman_level_filter",  # partition walk vectorized (numpy gain schedule)
-    # --- new in round 9
-    "aqi_nowcast",  # EPA NowCast 12-hour weighted AQI
-    "parking_price_elasticity",  # occupancy response to price moves
+    # --- the 48 never-driver-gated keys (VERDICT r9 ledger, verbatim)
+    "ljung_box_test",
+    "mann_kendall_trend",
+    "markov_entropy_rate",
+    "did_zone_report",
+    "perplexity_threshold_sweep",
+    "vocab_size_curve",
+    "funnel_dropoff_times",
+    "xbar_r_chart",
+    "winsorized_stats",
+    "cluster_representative_pick",
+    "source_cap_sweep",
+    "dedup_overmerge_audit",
+    "truncation_loss_sweep",
+    "grouped_kfold_assign",
+    "rbm_pairs",
+    "ivf_shard_plan",
+    "embedding_threshold_sweep",
+    "first_exceedance_report",
+    "getis_ord_hotspots",
+    "spearman_zone_corr",
+    "filter_agreement_matrix",
+    "clustering_depth_report",
+    "mwu_zone_shift",
+    "knox_spacetime",
+    "diurnal_harmonic_fit",
+    "feature_hashing_audit",
+    "runs_test_randomness",
+    "cross_source_neardup_matrix",
+    "join_strategy_report",
+    "dedup_survivor_bias",
+    "ingest_novelty_timeline",  # oracle re-expressed in r10 (MIN(doc_id))
+    "gumbel_return_levels",
+    "watermark_whatif_curve",
+    "kruskal_zone_test",
+    "video_mjpeg_index",
+    "frames_features_gif",
+    "theta_sketch_overlap",
+    "bitmap_index_plan",
+    "lsh_banding_planner",
+    "session_timeout_sweep",
+    "median_polish_grid",
+    "embedding_clip_plan",
+    "sequence_gap_audit",
+    "audio_clip_detect",
+    "pacf_lags",
+    "arima_order_suggest",
+    "sensor_stuck_report",
+    "frames_laplacian_stats",  # feature extraction refactored in r10 (shared helper)
+    # --- behavior-adjacent change in round 10 (must re-earn driver-green)
+    "dedup_minhash_lsh",  # band self-join gained the hot-bucket guard
+    # --- new in round 10
+    "ulm_train_vocab",  # Unigram-LM tokenizer training (integer-grid EM)
 ]
 
 # Entries that can never hash-match (no oracle_sql twin by documented
