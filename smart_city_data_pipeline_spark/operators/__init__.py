@@ -30,10 +30,11 @@ from pyspark.sql import DataFrame, SparkSession
 # r10: the band self-join gained the hot-bucket guard — plan-identical
 # on this corpus by pytest, but VERDICT r9 item 3 requires the
 # hash-green gate row) and `ulm_train_vocab` (new r10 operator):
-# 48 + 1 + 1 = 50. The round-11 queue is therefore ONE key —
-# `keyframe_select` (new r10 operator, oracle-green at sf0.001 and
-# sf0.01 this session, planted-pytest verified) — plus any further
-# r10-session additions noted here as they land.
+# 48 + 1 + 1 = 50. The round-11 queue is therefore the r10-session
+# additions that did not fit this window — `keyframe_select`,
+# `wordpiece_train_merges`, `ulm_encode_fertility` (each oracle-green
+# at sf0.001 AND sf0.01 this session, planted-pytest verified) — plus
+# any further additions noted here as they land.
 _GATE_FIRST = [
     # --- the 48 never-driver-gated keys (VERDICT r9 ledger, verbatim)
     "ljung_box_test",

@@ -5677,6 +5677,26 @@ def ulm_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores, identical (score DESC, seg ASC) tie-break), so both
     engines learn the identical vocabulary.
     """
+    words, single_chars, counts, vocab = _ulm_fit(spark, sf_dir)
+    multis = _ulm_pruned_multis(counts)
+    rows = [(ch, counts.get(ch, 0), vocab[ch]) for ch in single_chars]
+    rows += [(p, c, vocab[p]) for p, c in multis]
+    return spark.createDataFrame(
+        rows, "piece string, n_viterbi long, score_q long"
+    )
+
+
+def _ulm_pruned_multis(counts: dict) -> list:
+    return sorted(
+        ((p, c) for p, c in counts.items() if len(p) >= 2),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:ULM_VOCAB_TARGET]
+
+
+def _ulm_fit(spark: SparkSession, sf_dir: str):
+    """Seed + ULM_EM_ITERS hard-EM rounds (the shared training core):
+    returns (words frame, sorted single chars, final E-step counts,
+    final quantized vocab)."""
     docs = table(spark, sf_dir, "documents")
     words = _ulm_word_counts(docs)
     subs = words.select(
@@ -5719,21 +5739,16 @@ def ulm_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab = {p: max(1, c * ULM_GRID // total) for p, c in counts.items()}
         for ch in single_chars:
             vocab.setdefault(ch, 1)  # unused singles survive at q=1
-    multis = sorted(
-        ((p, c) for p, c in counts.items() if len(p) >= 2),
-        key=lambda pc: (-pc[1], pc[0]),
-    )[:ULM_VOCAB_TARGET]
-    rows = [(ch, counts.get(ch, 0), vocab[ch]) for ch in single_chars]
-    rows += [(p, c, vocab[p]) for p, c in multis]
-    return spark.createDataFrame(
-        rows, "piece string, n_viterbi long, score_q long"
-    )
+    return words, single_chars, counts, vocab
 
 
-def _ulm_oracle() -> str:
-    """Unrolled integer-grid EM: per round, ULM_MAX_WORD chained
-    Viterbi-DP argmax CTEs (HUGEINT scores, '(score DESC, seg ASC)'
-    tie-break) + one piece-count aggregate + the quantized M-step."""
+def _ulm_em_ctes() -> list:
+    """Shared CTE chain for the ULM oracles: words → wc → substring
+    seed → v0, then per EM round the unrolled HUGEINT Viterbi DP
+    (``_ulm_dp_ctes``) + piece counts + the quantized M-step.
+    Everything MATERIALIZED — DuckDB would otherwise inline the dp
+    chain exponentially (each dp_j is referenced by up to four later
+    CTEs)."""
     g = ULM_GRID
     ctes = [f"""
     words AS MATERIALIZED (
@@ -5770,39 +5785,12 @@ def _ulm_oracle() -> str:
         FROM vc0
     )"""]
     for k in range(1, ULM_EM_ITERS + 1):
-        vprev = f"v{k - 1}"
-        ctes.append(f"""
-    dp{k}_0 AS MATERIALIZED (SELECT w, wn, CAST(1 AS HUGEINT) AS score, '' AS seg FROM wc)""")
-        for j in range(1, ULM_MAX_WORD + 1):
-            cands = " UNION ALL ".join(
-                f"""
-                SELECT d.w, d.wn,
-                       d.score * v.q * CAST({g ** (plen - 1)} AS HUGEINT)
-                           AS score,
-                       d.seg || '[' || substr(d.w, {j - plen + 1}, {plen})
-                           || ']' AS seg
-                FROM dp{k}_{j - plen} d JOIN {vprev} v
-                  ON v.piece = substr(d.w, {j - plen + 1}, {plen})
-                WHERE len(d.w) >= {j}"""
-                for plen in range(1, min(ULM_MAX_PIECE, j) + 1)
-            )
-            ctes.append(f"""
-    dp{k}_{j} AS MATERIALIZED (
-        SELECT w, wn, score, seg FROM (
-            SELECT w, wn, score, seg,
-                   ROW_NUMBER() OVER (PARTITION BY w
-                                      ORDER BY score DESC, seg ASC) AS rn
-            FROM ({cands})
-        ) WHERE rn = 1
-    )""")
-        fins = " UNION ALL ".join(
-            f"SELECT wn, seg FROM dp{k}_{j} WHERE len(w) = {j}"
-            for j in range(1, ULM_MAX_WORD + 1)
-        )
+        dp, fins = _ulm_dp_ctes(str(k), f"v{k - 1}")
+        ctes += dp
         ctes.append(f"""
     cnt{k} AS MATERIALIZED (
         SELECT piece, CAST(SUM(wn) AS BIGINT) AS c FROM (
-            SELECT unnest(string_split(substr(seg, 2, len(seg) - 2), ']['))
+            SELECT unnest(string_split(substr(seg, 2, len(seg) - 2), \'][\'))
                        AS piece,
                    wn
             FROM ({fins})
@@ -5811,7 +5799,7 @@ def _ulm_oracle() -> str:
     vc{k} AS MATERIALIZED (
         SELECT piece, c FROM cnt{k}
         UNION ALL
-        SELECT v.piece, CAST(0 AS BIGINT) AS c FROM {vprev} v
+        SELECT v.piece, CAST(0 AS BIGINT) AS c FROM v{k - 1} v
         WHERE len(v.piece) = 1
           AND v.piece NOT IN (SELECT piece FROM cnt{k})
     ),
@@ -5820,9 +5808,53 @@ def _ulm_oracle() -> str:
                GREATEST(1, (c * {g}) // (SELECT SUM(c) FROM vc{k})) AS q
         FROM vc{k}
     )""")
+    return ctes
+
+
+def _ulm_dp_ctes(tag: str, vname: str) -> tuple:
+    """One unrolled Viterbi pass over ``wc`` under vocabulary CTE
+    ``vname``: ULM_MAX_WORD chained argmax DP CTEs (HUGEINT scores,
+    \'(score DESC, seg ASC)\' tie-break). Returns (ctes, fins) where
+    ``fins`` unions each word\'s final dp row."""
+    g = ULM_GRID
+    ctes = [f"""
+    dp{tag}_0 AS MATERIALIZED (
+        SELECT w, wn, CAST(1 AS HUGEINT) AS score, \'\' AS seg FROM wc
+    )"""]
+    for j in range(1, ULM_MAX_WORD + 1):
+        cands = " UNION ALL ".join(
+            f"""
+            SELECT d.w, d.wn,
+                   d.score * v.q * CAST({g ** (plen - 1)} AS HUGEINT)
+                       AS score,
+                   d.seg || \'[\' || substr(d.w, {j - plen + 1}, {plen})
+                       || \']\' AS seg
+            FROM dp{tag}_{j - plen} d JOIN {vname} v
+              ON v.piece = substr(d.w, {j - plen + 1}, {plen})
+            WHERE len(d.w) >= {j}"""
+            for plen in range(1, min(ULM_MAX_PIECE, j) + 1)
+        )
+        ctes.append(f"""
+    dp{tag}_{j} AS MATERIALIZED (
+        SELECT w, wn, score, seg FROM (
+            SELECT w, wn, score, seg,
+                   ROW_NUMBER() OVER (PARTITION BY w
+                                      ORDER BY score DESC, seg ASC) AS rn
+            FROM ({cands})
+        ) WHERE rn = 1
+    )""")
+    fins = " UNION ALL ".join(
+        f"SELECT w, wn, seg FROM dp{tag}_{j} WHERE len(w) = {j}"
+        for j in range(1, ULM_MAX_WORD + 1)
+    )
+    return ctes, fins
+
+
+def _ulm_oracle() -> str:
+    g = ULM_GRID
     kk = ULM_EM_ITERS
     return f"""
-    WITH {",".join(ctes)}
+    WITH {",".join(_ulm_em_ctes())}
     SELECT piece,
            c AS n_viterbi,
            CAST(GREATEST(1, (c * {g}) // (SELECT SUM(c) FROM vc{kk}))
@@ -5840,3 +5872,259 @@ def _ulm_oracle() -> str:
 
 QUERIES["ulm_train_vocab"] = ulm_train_vocab
 ORACLES["ulm_train_vocab"] = _ulm_oracle()
+
+
+# --- WordPiece tokenizer training ------------------------------------
+#
+# Third tokenizer family (Schuster & Nakajima 2012; the BERT
+# tokenizer): like BPE it fuses one adjacent symbol pair per round,
+# but the pick maximizes the LIKELIHOOD GAIN count(ab) /
+# (count(a)*count(b)) instead of the raw pair count. The score is
+# quantized to the integer grid (c_ab << 20) // (c_a * c_b), computed
+# in DECIMAL(38,0)/HUGEINT on the two engines (both floor-divide
+# exactly; operands bounded far below 38 digits for any real corpus),
+# with the DEFINED deterministic tie-break (score_q DESC, n_pairs
+# DESC, pair ASC) — quantization + tie order are part of the spec, so
+# Spark and the oracle learn identical merge tables.
+WP_TRAIN_ITERS = 6
+WP_SCORE_SHIFT = 1 << 20
+
+
+def _wp_symbol_counts(symdf: DataFrame) -> DataFrame:
+    """Corpus-frequency-weighted symbol occurrence counts over the
+    weighted symbol-sequence frame — one explode + keyed sum, bounded
+    by the symbol vocabulary."""
+    return (
+        symdf.select("wn", F.explode("syms").alias("s"))
+        .groupBy("s")
+        .agg(F.sum("wn").alias("c"))
+    )
+
+
+def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer TRAINING for ``WP_TRAIN_ITERS`` rounds:
+    count weighted adjacent pairs AND weighted symbol occurrences over
+    the distinct-word vocabulary → argmax of the quantized likelihood
+    gain (c_ab << 20) // (c_a*c_b) → fuse leftmost-greedy (the shared
+    :func:`bpe_apply_merge`) → repeat. Emits the learned merge table
+    with its pair count and quantized score. Completes the tokenizer-
+    training triple next to :func:`bpe_train_merges` (count argmax)
+    and :func:`ulm_train_vocab` (EM).
+
+    Scale shape: each round is two vocab-bounded keyed counts, one
+    pair↔symbol-count join keyed on the symbol, and a 1-ROW driver
+    collect (the argmax — the Lloyd/BPE posture); the merge rewrite is
+    a JVM-side fold over the DISTINCT vocabulary, never the corpus.
+    Oracle: the DuckDB twin unrolls the same rounds over the shared
+    bracket-string representation, scoring with HUGEINT floor division
+    (provably equal to Spark's DECIMAL(38,0) DIV)."""
+    docs = table(spark, sf_dir, "documents")
+    sym = bpe_word_symbols(docs)
+    rows = []
+    cached = []
+    try:
+        for it in range(1, WP_TRAIN_ITERS + 1):
+            sym = sym.persist()
+            cached.append(sym)
+            pc = bpe_pair_counts_frame(sym)
+            sc = _wp_symbol_counts(sym)
+            parts = F.split(F.col("pair"), " ")
+            j = (
+                pc.select("pair", "n_pairs", parts[0].alias("a"), parts[1].alias("b"))
+                .join(sc.select(F.col("s").alias("a"), F.col("c").alias("ca")), "a")
+                .join(sc.select(F.col("s").alias("b"), F.col("c").alias("cb")), "b")
+            )
+            scored = j.select(
+                "pair",
+                "n_pairs",
+                F.expr(
+                    f"(CAST(n_pairs AS DECIMAL(38,0)) * {WP_SCORE_SHIFT})"
+                    " DIV (CAST(ca AS DECIMAL(38,0)) * CAST(cb AS DECIMAL(38,0)))"
+                ).alias("score_q"),
+            )
+            top = (
+                scored.orderBy(
+                    F.col("score_q").desc(),
+                    F.col("n_pairs").desc(),
+                    F.col("pair").asc(),
+                )
+                .limit(1)
+                .collect()
+            )[0]
+            rows.append(
+                (it, top["pair"], int(top["n_pairs"]), int(top["score_q"]))
+            )
+            a, b = top["pair"].split(" ")
+            sym = bpe_apply_merge(sym, a, b)
+    finally:
+        for df in cached:
+            df.unpersist()
+    return spark.createDataFrame(
+        rows, "iteration int, pair string, n_pairs long, score_q long"
+    )
+
+
+def _wp_train_oracle(iters: int) -> str:
+    """Unrolled WordPiece rounds over the shared bracket-string
+    representation (the `_bpe_stages_sql` discipline plus a symbol-
+    count CTE and the quantized-likelihood argmax per round)."""
+    stages = []
+    outs = []
+    for k in range(1, iters + 1):
+        prev = f"ww{k - 1}"
+        stages.append(f"""
+        wsy{k} AS MATERIALIZED (
+            SELECT string_split(substr(s, 2, len(s) - 2), '][') AS syms, wn
+            FROM {prev} WHERE len(s) > 0
+        ),
+        wp{k} AS MATERIALIZED (
+            SELECT syms[i] || ' ' || syms[i + 1] AS pair,
+                   syms[i] AS a, syms[i + 1] AS b,
+                   CAST(SUM(wn) AS BIGINT) AS n_pairs
+            FROM (SELECT syms, wn, unnest(range(1, len(syms))) AS i FROM wsy{k})
+            GROUP BY 1, 2, 3
+        ),
+        ws{k} AS MATERIALIZED (
+            SELECT s, CAST(SUM(wn) AS BIGINT) AS c
+            FROM (SELECT unnest(syms) AS s, wn FROM wsy{k})
+            GROUP BY 1
+        ),
+        wm{k} AS MATERIALIZED (
+            SELECT pair, n_pairs,
+                   CAST((CAST(n_pairs AS HUGEINT) * {WP_SCORE_SHIFT})
+                        // (CAST(sa.c AS HUGEINT) * CAST(sb.c AS HUGEINT))
+                        AS BIGINT) AS score_q
+            FROM wp{k}
+            JOIN ws{k} sa ON sa.s = wp{k}.a
+            JOIN ws{k} sb ON sb.s = wp{k}.b
+            ORDER BY score_q DESC, n_pairs DESC, pair ASC LIMIT 1
+        ),
+        ww{k} AS MATERIALIZED (
+            SELECT replace(s,
+                (SELECT '[' || replace(pair, ' ', '][') || ']' FROM wm{k}),
+                (SELECT '[' || replace(pair, ' ', '') || ']' FROM wm{k})) AS s,
+                wn
+            FROM {prev}
+        )""")
+        outs.append(
+            f"SELECT CAST({k} AS INTEGER) AS iteration, pair, n_pairs,"
+            f" score_q FROM wm{k}"
+        )
+    prefix = f"""
+        WITH words AS (
+            SELECT token AS w FROM (
+                SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+                FROM documents
+            ) WHERE token <> ''
+        ),
+        wwc AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS wn FROM words GROUP BY 1),
+        ww0 AS MATERIALIZED (
+            SELECT array_to_string(
+                       list_transform(string_split(w, ''), c -> '[' || c || ']'),
+                       '') AS s,
+                   wn
+            FROM wwc
+        ),{",".join(stages)}"""
+    return f"""{prefix}
+        {" UNION ALL ".join(outs)}
+    """
+
+
+QUERIES["wordpiece_train_merges"] = wordpiece_train_merges
+ORACLES["wordpiece_train_merges"] = _wp_train_oracle(WP_TRAIN_ITERS)
+
+
+def ulm_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ULM tokenizer loop CLOSED (the `bpe_encode_fertility` readout
+    for the EM-trained vocab): retrain the ULM_EM_ITERS rounds, prune
+    to the shipped vocabulary, then ENCODE the corpus with it — pieces
+    per word after vs characters per word before and the share of
+    positions the vocab eliminated, exact corpus-frequency-weighted
+    integers with single final divisions.
+
+    The encode pass is one more vocab-bounded Viterbi mapInPandas over
+    the distinct-word table under the PRUNED vocab (pruned multi-char
+    pieces fall back to singles, which are never pruned). Oracle:
+    the shared unrolled EM CTE chain + a final pruned-vocab DP pass
+    (`_ulm_dp_ctes('f', 'vfin')`)."""
+    words, single_chars, counts, vocab = _ulm_fit(spark, sf_dir)
+    pruned = {ch: vocab[ch] for ch in single_chars}
+    pruned.update({p: vocab[p] for p, _ in _ulm_pruned_multis(counts)})
+    enc_counts = _ulm_estep(words, pruned)
+    pieces_after = sum(enc_counts.values())
+    stats = words.agg(
+        F.count(F.lit(1)).alias("vocab_words"),
+        F.sum("wn").alias("total_words"),
+        F.sum(F.col("wn") * F.length("w")).alias("chars_before"),
+    ).collect()[0]
+    from smart_city_data_pipeline_spark.functions.rounding import pround_py
+
+    vw = int(stats["vocab_words"])
+    tw = int(stats["total_words"])
+    cb = int(stats["chars_before"])
+    return spark.createDataFrame(
+        [
+            (
+                ULM_EM_ITERS,
+                len(pruned),
+                vw,
+                tw,
+                pround_py(cb / tw),
+                pround_py(pieces_after / tw),
+                pround_py((cb - pieces_after) / cb),
+            )
+        ],
+        "em_iters int, vocab_pieces long, vocab_words long, "
+        "total_words long, chars_per_word double, pieces_per_word double, "
+        "saved_share double",
+    )
+
+
+def _ulm_fertility_oracle() -> str:
+    g = ULM_GRID
+    kk = ULM_EM_ITERS
+    ctes = _ulm_em_ctes()
+    ctes.append(f"""
+    vfin AS MATERIALIZED (
+        SELECT piece,
+               GREATEST(1, (c * {g}) // (SELECT SUM(c) FROM vc{kk})) AS q
+        FROM (
+            SELECT piece, c FROM vc{kk} WHERE len(piece) = 1
+            UNION ALL
+            SELECT piece, c FROM (
+                SELECT piece, c FROM vc{kk} WHERE len(piece) >= 2
+                ORDER BY c DESC, piece ASC LIMIT {ULM_VOCAB_TARGET}
+            )
+        )
+    )""")
+    dp, fins = _ulm_dp_ctes("f", "vfin")
+    ctes += dp
+    return f"""
+    WITH {",".join(ctes)},
+    enc AS (
+        SELECT wn, len(string_split(substr(seg, 2, len(seg) - 2), '][')) AS k
+        FROM ({fins})
+    ),
+    aft AS (SELECT CAST(SUM(wn * k) AS BIGINT) AS pieces_after FROM enc),
+    bef AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS vocab_words,
+               CAST(SUM(wn) AS BIGINT) AS total_words,
+               CAST(SUM(wn * len(w)) AS BIGINT) AS chars_before
+        FROM wc
+    )
+    SELECT CAST({kk} AS INTEGER) AS em_iters,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM vfin) AS vocab_pieces,
+           vocab_words, total_words,
+           {pround_sql('CAST(chars_before AS DOUBLE) / total_words')}
+               AS chars_per_word,
+           {pround_sql('CAST(pieces_after AS DOUBLE) / total_words')}
+               AS pieces_per_word,
+           {pround_sql(
+               'CAST(chars_before - pieces_after AS DOUBLE) / chars_before'
+           )} AS saved_share
+    FROM aft CROSS JOIN bef
+"""
+
+
+QUERIES["ulm_encode_fertility"] = ulm_encode_fertility
+ORACLES["ulm_encode_fertility"] = _ulm_fertility_oracle()

@@ -166,3 +166,36 @@ def test_ulm_singles_never_pruned(spark, sf_dir):
         for ch in w
     }
     assert alphabet <= pieces
+
+
+def test_ulm_fertility_matches_reference(spark, tmp_path):
+    """ulm_encode_fertility ≡ an independent encode pass: prune the
+    reference's final vocab, re-Viterbi every word, and compute the
+    weighted ratios directly."""
+    from smart_city_data_pipeline_spark.functions.rounding import pround_py
+    from smart_city_data_pipeline_spark.operators.textops import (
+        ulm_encode_fertility,
+    )
+
+    ref = _ref_ulm(_PLANT_DOCS)  # piece -> (count, q): the pruned vocab
+    vocab = {p: q for p, (_, q) in ref.items()}
+    words = {}
+    for t in _PLANT_DOCS:
+        for w in re.split(r"\s+", t.strip().lower()):
+            if w and len(w) <= ULM_MAX_WORD:
+                words[w] = words.get(w, 0) + 1
+    pieces_after = sum(
+        wn * len(_ref_viterbi(w, vocab)) for w, wn in words.items()
+    )
+    tw = sum(words.values())
+    cb = sum(wn * len(w) for w, wn in words.items())
+    d = _plant(spark, tmp_path, _PLANT_DOCS, "fert")
+    row = ulm_encode_fertility(spark, d).collect()[0]
+    assert row["em_iters"] == ULM_EM_ITERS
+    assert row["vocab_pieces"] == len(vocab)
+    assert row["vocab_words"] == len(words)
+    assert row["total_words"] == tw
+    assert row["chars_per_word"] == pround_py(cb / tw)
+    assert row["pieces_per_word"] == pround_py(pieces_after / tw)
+    assert row["saved_share"] == pround_py((cb - pieces_after) / cb)
+    assert row["pieces_per_word"] < row["chars_per_word"]  # vocab bought something
