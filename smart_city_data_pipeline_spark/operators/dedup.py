@@ -4825,3 +4825,126 @@ ORACLES["lsh_banding_planner"] = f"""
            )} AS expected_false_candidates
     FROM g
 """
+
+
+def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITION-level duplicated-text coverage per document — the
+    companion readout to :func:`exact_substring_spans` (which counts
+    duplicated WINDOWS): overlapping duplicated 8-token windows are
+    merged into maximal spans and the share of token POSITIONS inside
+    any such span is reported. Window counts overstate heavily
+    boilerplated docs (a 100-token quote yields 93 overlapping
+    windows); position coverage is the number a span-cutting pass
+    (Lee et al. 2022's actual remediation) acts on.
+
+    Exactness: the interval union runs as a per-doc sorted-gap sum —
+    the first duplicated window contributes SPAN_K positions, each
+    subsequent one min(SPAN_K, pos − prev_pos) — one partitioned lag
+    window + one keyed sum of exact integers; the share is a single
+    pround'd division.
+
+    Shape: the linear occurrence/df aggregates of exact_substring_spans
+    (no pair join anywhere), plus ONE doc-partitioned window over only
+    the DUPLICATED occurrences — bounded per doc by document length."""
+    docs = spread(
+        table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents"
+    )
+    occ = (
+        docs.select(
+            "doc_id",
+            F.posexplode_outer(_kgram_hashes(F.col("text"), SPAN_K)).alias(
+                "pos", "hs"
+            ),
+        )
+        .filter(F.col("hs").isNotNull())
+    )
+    dup_hs = (
+        occ.groupBy("hs")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("hs")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cov = (
+        occ.join(dup_hs, "hs")
+        .select("doc_id", "pos")
+        .select("doc_id", "pos", F.lag("pos").over(w).alias("prev"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("prev").isNull(), F.lit(SPAN_K)).otherwise(
+                    F.least(F.lit(SPAN_K), F.col("pos") - F.col("prev"))
+                )
+            )
+            .cast("long")
+            .alias("n_dup_positions")
+        )
+    )
+    per_doc = docs.select(
+        "doc_id",
+        F.size(_ws_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return per_doc.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_dup_positions"), F.lit(0).cast("long")).alias(
+            "n_dup_positions"
+        ),
+        F.when(
+            F.col("n_tokens") > 0,
+            pround(
+                F.coalesce(F.col("n_dup_positions"), F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double")
+            ),
+        ).alias("coverage_share"),
+    )
+
+
+QUERIES["dup_span_coverage"] = dup_span_coverage
+
+ORACLES["dup_span_coverage"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+        FROM documents
+    ),
+    occ AS (
+        SELECT doc_id, i, {md5_long_sql('g')} AS hs
+        FROM (
+            SELECT doc_id, i, {_KGRAM_SQL} AS g
+            FROM (SELECT doc_id, tk,
+                         unnest(range(1, len(tk) - {SPAN_K - 2})) AS i
+                  FROM toks)
+        )
+    ),
+    duph AS (
+        SELECT hs FROM (
+            SELECT hs, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY 1
+        ) WHERE df >= 2
+    ),
+    gaps AS (
+        SELECT doc_id, i,
+               LAG(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM occ JOIN duph USING (hs)
+    ),
+    cov AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN prev IS NULL THEN {SPAN_K}
+                             ELSE LEAST({SPAN_K}, i - prev) END)
+                    AS BIGINT) AS n_dup_positions
+        FROM gaps GROUP BY 1
+    ),
+    per AS (
+        SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks
+    )
+    SELECT p.doc_id, p.n_tokens,
+           CAST(COALESCE(c.n_dup_positions, 0) AS BIGINT)
+               AS n_dup_positions,
+           CASE WHEN p.n_tokens > 0 THEN
+               {pround_sql(
+                   'CAST(COALESCE(c.n_dup_positions, 0) AS DOUBLE)'
+                   ' / CAST(p.n_tokens AS DOUBLE)'
+               )}
+           END AS coverage_share
+    FROM per p LEFT JOIN cov c USING (doc_id)
+"""

@@ -1261,3 +1261,167 @@ ORACLES["mwu_zone_shift"] = f"""
                 ELSE 'ns' END AS verdict
     FROM terms
 """
+
+
+# --------------------------------------------------------------------------
+# Engle ARCH-effect LM test per sensor (volatility clustering).
+# --------------------------------------------------------------------------
+
+# chi^2(1) 95% critical value for LM = n*R^2 (Engle 1982, one lag).
+ARCH_LM_CRIT = 3.841459
+ARCH_MIN_PAIRS = 8
+
+
+def arch_lm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle's LM test for ARCH effects, per sensor: does today's
+    squared deviation predict tomorrow's (volatility clustering)? The
+    screen a forecasting team runs before trusting constant-variance
+    prediction intervals (`holt_linear`/`ols_trend` bands) on a
+    sensor: regress z_t = e_t² on z_{t-1}; LM = n·R² ~ chi²(1) under
+    homoskedasticity; LM over the 95% critical value flags the sensor
+    for a variance-aware model.
+
+    Exactness: residuals are demeaned on the INTEGER GRID — e_t =
+    cents(value) − (Σcents DIV n), so z_t = e_t² is an exact integer
+    bounded by the value range (never by n), and the six Gauss moments
+    of the (z_t, z_{t-1}) pair series accumulate in DECIMAL(38,0)/
+    HUGEINT (z² ≤ ~1.6e17 ⇒ exact past 1e20 rows per sensor). R² is
+    single IEEE ops over nearest-doubles of identical integers on both
+    engines; grid demeaning (vs exact-rational) is part of the spec —
+    the LM statistic is asymptotically unchanged and every engine
+    computes the identical integers.
+
+    Shape: one keyed mean aggregate + one partitioned-window lag +
+    one map-side-combinable moment aggregate — all keyed by sensor;
+    the (ts, event_id) window order is total, so the lag pairing is
+    deterministic under any physical row order."""
+    ev = table(spark, sf_dir, "events")
+    y = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    pts = ev.select(
+        F.col("user_id").alias("sensor_id"),
+        F.col("ts"),
+        F.col("event_id"),
+        y.alias("y"),
+    )
+    mbar = pts.groupBy("sensor_id").agg(
+        F.expr("CAST(SUM(y) AS DECIMAL(38,0)) DIV COUNT(1)").alias("mbar")
+    )
+    w = Window.partitionBy("sensor_id").orderBy("ts", "event_id")
+    z = (
+        pts.join(mbar, "sensor_id")
+        .select(
+            "sensor_id",
+            "ts",
+            "event_id",
+            ((F.col("y") - F.col("mbar")) * (F.col("y") - F.col("mbar")))
+            .cast("long")
+            .alias("z"),
+        )
+        .select(
+            "sensor_id",
+            F.col("z"),
+            F.lag("z").over(w).alias("zp"),
+        )
+        .filter(F.col("zp").isNotNull())
+    )
+    d = "decimal(38,0)"
+    g = z.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("z").cast(d)).alias("sx"),
+        F.sum(F.col("zp").cast(d)).alias("sy"),
+        F.sum((F.col("z").cast(d) * F.col("zp").cast(d))).alias("sxy"),
+        F.sum((F.col("z").cast(d) * F.col("z").cast(d))).alias("sxx"),
+        F.sum((F.col("zp").cast(d) * F.col("zp").cast(d))).alias("syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    num = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    denx = n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    deny = n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    lm = F.when(
+        (F.col("n_pairs") >= ARCH_MIN_PAIRS) & (denx > 0) & (deny > 0),
+        n * (num * num) / (denx * deny),
+    )
+    return g.select(
+        "sensor_id",
+        "n_pairs",
+        pround(lm).alias("lm_stat"),
+        (lm > ARCH_LM_CRIT).alias("arch_flag"),
+    )
+
+
+QUERIES["arch_lm_test"] = arch_lm_test
+
+ORACLES["arch_lm_test"] = f"""
+    WITH pts AS (
+        SELECT user_id AS sensor_id, ts, event_id,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+        FROM events
+    ),
+    mbar AS (
+        SELECT sensor_id,
+               CAST(SUM(y) AS HUGEINT) // COUNT(1) AS mbar
+        FROM pts GROUP BY 1
+    ),
+    z AS (
+        SELECT sensor_id, z,
+               LAG(z) OVER (PARTITION BY sensor_id
+                            ORDER BY ts, event_id) AS zp
+        FROM (
+            SELECT p.sensor_id, p.ts, p.event_id,
+                   CAST((p.y - m.mbar) * (p.y - m.mbar) AS BIGINT) AS z
+            FROM pts p JOIN mbar m USING (sensor_id)
+        )
+    ),
+    g AS (
+        SELECT sensor_id,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               SUM(CAST(z AS HUGEINT)) AS sx,
+               SUM(CAST(zp AS HUGEINT)) AS sy,
+               SUM(CAST(z AS HUGEINT) * CAST(zp AS HUGEINT)) AS sxy,
+               SUM(CAST(z AS HUGEINT) * CAST(z AS HUGEINT)) AS sxx,
+               SUM(CAST(zp AS HUGEINT) * CAST(zp AS HUGEINT)) AS syy
+        FROM z WHERE zp IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT sensor_id, n_pairs,
+           {pround_sql(
+               "CASE WHEN n_pairs >= " + str(ARCH_MIN_PAIRS)
+               + " AND (CAST(n_pairs AS DOUBLE)*CAST(sxx AS DOUBLE)"
+               + "      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) > 0"
+               + " AND (CAST(n_pairs AS DOUBLE)*CAST(syy AS DOUBLE)"
+               + "      - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)) > 0"
+               + " THEN CAST(n_pairs AS DOUBLE)"
+               + "  * (CAST(n_pairs AS DOUBLE)*CAST(sxy AS DOUBLE)"
+               + "     - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))"
+               + "  * (CAST(n_pairs AS DOUBLE)*CAST(sxy AS DOUBLE)"
+               + "     - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))"
+               + " / ((CAST(n_pairs AS DOUBLE)*CAST(sxx AS DOUBLE)"
+               + "     - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))"
+               + "  * (CAST(n_pairs AS DOUBLE)*CAST(syy AS DOUBLE)"
+               + "     - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))"
+               + " END"
+           )} AS lm_stat,
+           CASE WHEN n_pairs >= {ARCH_MIN_PAIRS}
+                 AND (CAST(n_pairs AS DOUBLE)*CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) > 0
+                 AND (CAST(n_pairs AS DOUBLE)*CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)) > 0
+           THEN (CAST(n_pairs AS DOUBLE)
+                  * (CAST(n_pairs AS DOUBLE)*CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                  * (CAST(n_pairs AS DOUBLE)*CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                  / ((CAST(n_pairs AS DOUBLE)*CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                   * (CAST(n_pairs AS DOUBLE)*CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+                ) > {ARCH_LM_CRIT}
+           END AS arch_flag
+    FROM g
+"""
