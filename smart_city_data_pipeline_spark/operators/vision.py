@@ -615,3 +615,101 @@ ORACLES["track_lifetimes"] = f"""
     FROM ({ORACLES['centroid_tracks']})
     GROUP BY 1
 """
+
+
+# Cross-camera handoff window: a track starting on another camera
+# within this many seconds of a track's end (same object class) is a
+# handoff candidate — the city-scale re-identification prior.
+HANDOFF_WINDOW_S = 600
+
+
+def camera_handoff_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-camera handoff candidate matrix — the re-identification
+    prior every multi-camera deployment computes before attempting
+    appearance matching: for each ordered camera pair, how many
+    (track end on A) → (track start on B within HANDOFF_WINDOW_S,
+    same object class) candidates exist and their mean time gap.
+
+    Scale shape: the inequality is a RANGE JOIN, executed as a keyed
+    EQUI-join on (obj_type, Δ-sized time bucket) with the end side
+    exploded to its bucket and the next (a start in (t, t+Δ] lands in
+    exactly ONE of the two — so every candidate pair matches exactly
+    once and needs no dedup shuffle), then the residual range filter.
+    Never a cross product, never a broadcast of a corpus-scaled side;
+    pair volume is bounded by per-(type, bucket) track density. The
+    track table itself is two keyed aggregates over the exploded
+    detections (bounded by objects × cameras).
+
+    Exactness: gaps are exact integer microseconds; the mean is one
+    pround'd division. Oracle: the same track table + a direct
+    inequality join (DuckDB handles the range join natively at gate
+    scale)."""
+    frames = synth_detections(table(spark, sf_dir, "events"))
+    det = frames.select("camera_id", "ts", F.inline_outer("detections"))
+    tracks = det.groupBy("camera_id", "object_id", "obj_type").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    bucket_us = HANDOFF_WINDOW_S * 1_000_000
+    ends = tracks.select(
+        F.col("camera_id").alias("from_camera"),
+        "obj_type",
+        F.col("last_ts"),
+        F.explode(
+            F.array(
+                F.expr(f"unix_micros(last_ts) div {bucket_us}"),
+                F.expr(f"unix_micros(last_ts) div {bucket_us}") + F.lit(1),
+            )
+        ).alias("jb"),
+    )
+    starts = tracks.select(
+        F.col("camera_id").alias("to_camera"),
+        "obj_type",
+        F.col("first_ts"),
+        F.expr(f"unix_micros(first_ts) div {bucket_us}").alias("jb"),
+    )
+    gap_us = F.unix_micros(F.col("first_ts")) - F.unix_micros(F.col("last_ts"))
+    pairs = (
+        ends.join(starts, ["obj_type", "jb"])
+        .filter(
+            (F.col("to_camera") != F.col("from_camera"))
+            & (gap_us > 0)
+            & (gap_us <= F.lit(HANDOFF_WINDOW_S * 1_000_000))
+        )
+        .select("from_camera", "to_camera", gap_us.alias("gap_us"))
+    )
+    return pairs.groupBy("from_camera", "to_camera").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_handoffs"),
+        pround(
+            F.sum("gap_us").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("avg_gap_s"),
+    )
+
+
+QUERIES["camera_handoff_matrix"] = camera_handoff_matrix
+
+ORACLES["camera_handoff_matrix"] = f"""
+    WITH tracks AS (
+        SELECT camera_id, object_id, obj_type,
+               MIN(ts) AS first_ts, MAX(ts) AS last_ts
+        FROM ({_DET_BASE_SQL})
+        GROUP BY 1, 2, 3
+    ),
+    pairs AS (
+        SELECT a.camera_id AS from_camera, b.camera_id AS to_camera,
+               epoch_us(b.first_ts) - epoch_us(a.last_ts) AS gap_us
+        FROM tracks a JOIN tracks b
+          ON a.obj_type = b.obj_type
+         AND a.camera_id <> b.camera_id
+         AND epoch_us(b.first_ts) > epoch_us(a.last_ts)
+         AND epoch_us(b.first_ts)
+             <= epoch_us(a.last_ts) + {HANDOFF_WINDOW_S * 1_000_000}
+    )
+    SELECT from_camera, to_camera,
+           CAST(COUNT(*) AS BIGINT) AS n_handoffs,
+           {pround_sql(
+               'CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1000000.0'
+           )} AS avg_gap_s
+    FROM pairs GROUP BY 1, 2
+"""
