@@ -33,7 +33,8 @@ from pyspark.sql import DataFrame, SparkSession
 # 48 + 1 + 1 = 50. The round-11 queue is therefore the r10-session
 # additions that did not fit this window — `keyframe_select`,
 # `wordpiece_train_merges`, `ulm_encode_fertility`, `arch_lm_test`,
-# `dup_span_coverage`, `camera_handoff_matrix` (each oracle-green at
+# `dup_span_coverage`, `camera_handoff_matrix`,
+# `lm_interpolation_sweep` (each oracle-green at
 # sf0.001 AND sf0.01 this session, planted-pytest verified) — plus
 # any further additions noted here as they land.
 _GATE_FIRST = [

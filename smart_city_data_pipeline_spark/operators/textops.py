@@ -6128,3 +6128,177 @@ def _ulm_fertility_oracle() -> str:
 
 QUERIES["ulm_encode_fertility"] = ulm_encode_fertility
 ORACLES["ulm_encode_fertility"] = _ulm_fertility_oracle()
+
+
+# --- held-out LM interpolation sweep ---------------------------------
+#
+# lambda grid k/8 for k = 0..7: pure-bigram (k=8) is EXCLUDED by
+# design — a held-out unseen bigram has p2 = 0 and infinite penalty,
+# which is precisely why interpolation exists. Per-pair neg-logprobs
+# are quantized to the CCNet integer grid before summing, so the
+# per-lambda totals are order-independent integers (the repo's
+# float-aggregation rule) and both engines agree exactly.
+LM_INTERP_Q = 1 << 20
+LM_INTERP_DEN = 8
+
+
+def lm_interpolation_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek–Mercer interpolation weight sweep on a HELD-OUT split:
+    train bigram/unigram counts on even doc_ids, score odd doc_ids
+    under mix_λ = λ·p2(w|u) + (1−λ)·p1(w) for λ = k/8 (k = 0..7), with
+    add-one unigram smoothing (OOV bucket) so every mix is positive.
+    The argmin row is the tuned weight an n-gram rescorer ships — the
+    sweep that turns `bigram_logprob_score`'s fixed model into a
+    calibrated one (the threshold-sweep discipline of
+    `perplexity_threshold_sweep`).
+
+    Shape: ONE pair explode feeds train counts and eval pairs; two
+    keyed train aggregates + one bounded (1-row, broadcast-exempt)
+    N/V aggregate; the eight λ totals are conditional aggregate
+    expressions over the scored pair table — no λ explode, no extra
+    shuffle, one global aggregate row unpivoted via stack.
+
+    Exactness: every per-pair −ln(mix) is quantized to the 2^20 grid
+    BEFORE summation (integer, order-independent); the mean is one
+    pround'd division. All probability ratios are the same
+    integer-derived doubles on both engines; λ and 1−λ are exact
+    dyadics."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(T.ws_tokens(F.lower(F.col("text")))).alias("pos", "token"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prs = (
+        tok.withColumn("prev", F.lag("token").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("doc_id", "prev", "token")
+    )
+    train = prs.filter(F.col("doc_id") % 2 == 0)
+    ev = prs.filter(F.col("doc_id") % 2 == 1)
+    big = train.groupBy("prev", "token").agg(F.count(F.lit(1)).alias("c2"))
+    pre = train.groupBy(F.col("prev").alias("p1w")).agg(
+        F.count(F.lit(1)).alias("cp")
+    )
+    tok_train = tok.filter(F.col("doc_id") % 2 == 0)
+    uni = tok_train.groupBy(F.col("token").alias("u1w")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    # 1-row global aggregate: bounded, broadcast is policy-exempt.
+    nv = tok_train.agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.countDistinct("token").alias("vv"),
+    )
+    scored = (
+        ev.join(big, ["prev", "token"], "left")
+        .join(pre, ev.prev == F.col("p1w"), "left")
+        .join(uni, ev.token == F.col("u1w"), "left")
+        .join(F.broadcast(nv))
+    )
+    p1 = (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(1)).cast("double") / (
+        F.col("nn") + F.col("vv") + F.lit(1)
+    ).cast("double")
+    p2 = F.when(
+        F.col("cp").isNotNull(),
+        F.coalesce(F.col("c2"), F.lit(0)).cast("double")
+        / F.col("cp").cast("double"),
+    ).otherwise(F.lit(0.0))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_pairs")]
+    for k in range(LM_INTERP_DEN):
+        lam = k / LM_INTERP_DEN
+        mix = F.lit(lam) * p2 + F.lit(1.0 - lam) * p1
+        q = F.floor(-F.log(mix) * F.lit(float(LM_INTERP_Q)) + F.lit(0.5)).cast(
+            "long"
+        )
+        aggs.append(F.sum(q).alias(f"s{k}"))
+    row = scored.agg(*aggs)
+    stack = ", ".join(f"{k}, s{k}" for k in range(LM_INTERP_DEN))
+    return (
+        row.selectExpr(
+            "n_pairs", f"stack({LM_INTERP_DEN}, {stack}) AS (lam_num, sq)"
+        )
+        .select(
+            F.col("lam_num").cast("int").alias("lam_num"),
+            "n_pairs",
+            pround(
+                F.col("sq").cast("double")
+                / (F.col("n_pairs") * F.lit(LM_INTERP_Q)).cast("double")
+            ).alias("mean_neg_logprob"),
+        )
+    )
+
+
+QUERIES["lm_interpolation_sweep"] = lm_interpolation_sweep
+
+
+def _lm_interp_oracle() -> str:
+    per_k = []
+    for k in range(LM_INTERP_DEN):
+        lam = k / LM_INTERP_DEN
+        mix = f"({lam!r}) * p2 + ({1.0 - lam!r}) * p1"
+        per_k.append(
+            f"SUM(CAST(FLOOR(-LN({mix}) * {float(LM_INTERP_Q)!r} + 0.5)"
+            f" AS BIGINT)) AS s{k}"
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT {k} AS lam_num, n_pairs, s{k} AS sq FROM g"
+        for k in range(LM_INTERP_DEN)
+    )
+    return f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+        FROM documents
+    ),
+    prs AS MATERIALIZED (
+        SELECT doc_id, tk[i] AS prev, tk[i + 1] AS token
+        FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks)
+    ),
+    big AS MATERIALIZED (
+        SELECT prev, token, CAST(COUNT(*) AS BIGINT) AS c2
+        FROM prs WHERE doc_id % 2 = 0 GROUP BY 1, 2
+    ),
+    pre AS MATERIALIZED (
+        SELECT prev AS p1w, CAST(COUNT(*) AS BIGINT) AS cp
+        FROM prs WHERE doc_id % 2 = 0 GROUP BY 1
+    ),
+    uni AS MATERIALIZED (
+        SELECT token AS u1w, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
+            SELECT doc_id, unnest(tk) AS token FROM toks WHERE doc_id % 2 = 0
+        ) GROUP BY 1
+    ),
+    nv AS MATERIALIZED (
+        -- nn from the UN-exploded table (summing len(tk) after unnest
+        -- would count each doc len(tk) times)
+        SELECT (SELECT CAST(SUM(len(tk)) AS BIGINT)
+                FROM toks WHERE doc_id % 2 = 0) AS nn,
+               (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) FROM (
+                    SELECT unnest(tk) AS token FROM toks WHERE doc_id % 2 = 0
+                )) AS vv
+    ),
+    scored AS MATERIALIZED (
+        SELECT CAST(COALESCE(c1, 0) + 1 AS DOUBLE)
+                   / CAST(nn + vv + 1 AS DOUBLE) AS p1,
+               CASE WHEN cp IS NOT NULL THEN
+                   CAST(COALESCE(c2, 0) AS DOUBLE) / CAST(cp AS DOUBLE)
+               ELSE 0.0 END AS p2
+        FROM (SELECT * FROM prs WHERE doc_id % 2 = 1) e
+        LEFT JOIN big USING (prev, token)
+        LEFT JOIN pre ON e.prev = pre.p1w
+        LEFT JOIN uni ON e.token = uni.u1w
+        CROSS JOIN nv
+    ),
+    g AS MATERIALIZED (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, {", ".join(per_k)}
+        FROM scored
+    )
+    SELECT CAST(lam_num AS INTEGER) AS lam_num, n_pairs,
+           {pround_sql(
+               'CAST(sq AS DOUBLE)'
+               ' / CAST(n_pairs * ' + str(LM_INTERP_Q) + ' AS DOUBLE)'
+           )} AS mean_neg_logprob
+    FROM ({rows})
+"""
+
+
+ORACLES["lm_interpolation_sweep"] = _lm_interp_oracle()
