@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 # additions that did not fit this window — `keyframe_select`,
 # `wordpiece_train_merges`, `ulm_encode_fertility`, `arch_lm_test`,
 # `dup_span_coverage`, `camera_handoff_matrix`,
-# `lm_interpolation_sweep` (each oracle-green at
+# `lm_interpolation_sweep`, `neyman_allocation_plan` (each oracle-green at
 # sf0.001 AND sf0.01 this session, planted-pytest verified) — plus
 # any further additions noted here as they land.
 _GATE_FIRST = [

@@ -6302,3 +6302,109 @@ def _lm_interp_oracle() -> str:
 
 
 ORACLES["lm_interpolation_sweep"] = _lm_interp_oracle()
+
+
+NEYMAN_BUDGET = 10_000  # total sample size the allocation distributes
+
+
+def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified-sampling allocation per source: the
+    DESIGN step before `stratified_sample` draws anything — for a
+    fixed total budget, sample each stratum proportional to N_h·S_h
+    (its size × token-length standard deviation), which minimizes the
+    variance of the corpus-mean estimator (Neyman 1934). Uniform and
+    proportional allocation under/over-sample exactly the strata whose
+    length spread makes them informative.
+
+    Exactness: per-stratum moments (n, Σlen, Σlen²) are exact integer
+    aggregates (DECIMAL(38,0)/HUGEINT — len² sums exact past 1e9 docs
+    per source); S_h = sqrt((n·Σx² − (Σx)²) / (n·(n−1))) and the
+    allocation shares are the same IEEE ops over the same integers on
+    both engines, pround'd. The n_h rounding is FLOOR (never banker's)
+    so both engines agree row for row; the floors may undershoot the
+    budget by < |strata| — the remainder column makes that honest.
+
+    Shape: ONE map-side-combinable keyed aggregate over the corpus +
+    a |sources|-bounded cross join against the 1-row total (broadcast
+    policy-exempt). No window, no sort."""
+    docs = table(spark, sf_dir, "documents")
+    d = "decimal(38,0)"
+    ln = F.size(T.ws_tokens(F.lower(F.col("text")))).cast("long")
+    per = docs.select("source", ln.alias("x")).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("x").cast(d)).alias("sx"),
+        F.sum((F.col("x").cast(d) * F.col("x").cast(d))).alias("sxx"),
+    )
+    n = F.col("n_docs").cast("double")
+    var = (
+        (n * F.col("sxx").cast("double")
+         - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        / (n * (n - F.lit(1.0)))
+    )
+    sh = F.when(F.col("n_docs") > 1, F.sqrt(var)).otherwise(F.lit(0.0))
+    wgt = per.select(
+        "source", "n_docs", "sx", sh.alias("s_h"), (n * sh).alias("w")
+    )
+    tot = wgt.agg(F.sum("w").alias("tw"))
+    alloc = F.when(
+        F.col("tw") > 0,
+        F.floor(F.lit(float(NEYMAN_BUDGET)) * F.col("w") / F.col("tw")).cast(
+            "long"
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    # 1-row global total: bounded, broadcast policy-exempt.
+    return wgt.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        pround(F.col("sx").cast("double") / F.col("n_docs").cast("double")).alias(
+            "mean_tokens"
+        ),
+        pround(F.col("s_h")).alias("stddev_tokens"),
+        pround(F.when(F.col("tw") > 0, F.col("w") / F.col("tw"))).alias(
+            "alloc_share"
+        ),
+        alloc.alias("n_sample"),
+    )
+
+
+QUERIES["neyman_allocation_plan"] = neyman_allocation_plan
+
+ORACLES["neyman_allocation_plan"] = f"""
+    WITH per AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               SUM(CAST(x AS HUGEINT)) AS sx,
+               SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+        FROM (
+            SELECT source,
+                   CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                        AS BIGINT) AS x
+            FROM documents
+        ) GROUP BY 1
+    ),
+    wgt AS (
+        SELECT source, n_docs, sx,
+               CASE WHEN n_docs > 1 THEN
+                   SQRT((CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        / (CAST(n_docs AS DOUBLE)
+                           * (CAST(n_docs AS DOUBLE) - 1.0)))
+               ELSE 0.0 END AS s_h
+        FROM per
+    ),
+    w2 AS (
+        SELECT source, n_docs, sx, s_h,
+               CAST(n_docs AS DOUBLE) * s_h AS w
+        FROM wgt
+    ),
+    tot AS (SELECT SUM(w) AS tw FROM w2)
+    SELECT source, n_docs,
+           {pround_sql('CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE)')}
+               AS mean_tokens,
+           {pround_sql('s_h')} AS stddev_tokens,
+           CASE WHEN tw > 0 THEN {pround_sql('w / tw')} END AS alloc_share,
+           CASE WHEN tw > 0 THEN
+               CAST(FLOOR({float(NEYMAN_BUDGET)!r} * w / tw) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS n_sample
+    FROM w2 CROSS JOIN tot
+"""

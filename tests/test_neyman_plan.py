@@ -1,0 +1,71 @@
+"""neyman_allocation_plan vs an independent reference: a high-variance
+stratum must be over-sampled relative to its proportional share, and
+the floors/budget arithmetic must match exactly."""
+
+from __future__ import annotations
+
+import math
+import re
+
+from smart_city_data_pipeline_spark.functions.rounding import pround_py
+from smart_city_data_pipeline_spark.operators.textops import (
+    NEYMAN_BUDGET,
+    neyman_allocation_plan,
+)
+
+# Stratum 'steady': 40 docs of exactly 50 tokens (S_h = 0 -> zero
+# allocation despite being the BIGGEST stratum). Stratum 'mixed':
+# 20 docs alternating 10 / 400 tokens (huge spread -> dominates).
+# Stratum 'single': one doc (n=1 -> S_h defined as 0).
+_PLANT = (
+    [("steady", " ".join(["w"] * 50))] * 40
+    + [("mixed", " ".join(["w"] * (10 if i % 2 == 0 else 400))) for i in range(20)]
+    + [("single", " ".join(["w"] * 77))]
+)
+
+
+def _ref(rows):
+    strata = {}
+    for src, text in rows:
+        x = len([t for t in re.split(r"\s+", text.strip().lower()) if t])
+        n, sx, sxx = strata.get(src, (0, 0, 0))
+        strata[src] = (n + 1, sx + x, sxx + x * x)
+    w = {}
+    for src, (n, sx, sxx) in strata.items():
+        s_h = (
+            math.sqrt((n * sxx - sx * sx) / (n * (n - 1.0))) if n > 1 else 0.0
+        )
+        w[src] = (n, sx, s_h, n * s_h)
+    tw = sum(v[3] for v in w.values())
+    out = {}
+    for src, (n, sx, s_h, wh) in w.items():
+        out[src] = (
+            n,
+            pround_py(sx / n),
+            pround_py(s_h),
+            pround_py(wh / tw) if tw > 0 else None,
+            int(math.floor(NEYMAN_BUDGET * wh / tw)) if tw > 0 else 0,
+        )
+    return out
+
+
+def test_allocation_matches_reference_and_favors_variance(spark, tmp_path):
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, t, "en", src, len(t)) for i, (src, t) in enumerate(_PLANT)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(d + "/documents.parquet")
+    got = {
+        r["source"]: (
+            r["n_docs"], r["mean_tokens"], r["stddev_tokens"],
+            r["alloc_share"], r["n_sample"],
+        )
+        for r in neyman_allocation_plan(spark, d).collect()
+    }
+    want = _ref(_PLANT)
+    assert got == want
+    # the zero-variance stratum gets NOTHING despite being largest;
+    # the spread stratum takes the whole budget (minus floor loss)
+    assert got["steady"][4] == 0
+    assert got["single"][4] == 0
+    assert got["mixed"][4] == NEYMAN_BUDGET
