@@ -93,6 +93,10 @@ BNLJ_ALLOWED = {
     # never facts); the merged-sample joins are equi on the pair key
     "join_strategy_report",  # 1-row fact-count broadcast onto the
     # ≤6-row dim summary table
+    "lm_interpolation_sweep",  # 1-row (N, V) train-total broadcast
+    # onto the scored pair table (the unigram_logprob discipline)
+    "neyman_allocation_plan",  # 1-row allocation-total broadcast onto
+    # the |sources|-bounded stratum table
     "sequence_gap_audit",  # 1-row max-id broadcast onto the bounded
     # id-block rollup (layer_reconciliation discipline)
     "benford_digit_test",  # 9-row digit-grid literal broadcast (the
