@@ -6342,15 +6342,23 @@ def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (n * (n - F.lit(1.0)))
     )
     sh = F.when(F.col("n_docs") > 1, F.sqrt(var)).otherwise(F.lit(0.0))
+    # Quantize each stratum's Neyman weight N_h·S_h ONCE to the 2^20
+    # grid; the total is then an exact INTEGER sum (order-independent
+    # across Spark partial aggregation and DuckDB's scan) and the
+    # FLOOR'd allocation is pure integer arithmetic — a raw-double tw
+    # could differ by 1 ulp between engines and flip the floor
+    # (ADVICE r10).
+    ney_q = F.lit(1048576.0)  # 2^20 weight grid
+    wq = F.floor(n * sh * ney_q + F.lit(0.5)).cast(d)
     wgt = per.select(
-        "source", "n_docs", "sx", sh.alias("s_h"), (n * sh).alias("w")
+        "source", "n_docs", "sx", sh.alias("s_h"), wq.alias("wq")
     )
-    tot = wgt.agg(F.sum("w").alias("tw"))
+    tot = wgt.agg(F.sum("wq").alias("twq"))
     alloc = F.when(
-        F.col("tw") > 0,
-        F.floor(F.lit(float(NEYMAN_BUDGET)) * F.col("w") / F.col("tw")).cast(
-            "long"
-        ),
+        F.col("twq") > 0,
+        F.expr(
+            f"CAST({NEYMAN_BUDGET} AS DECIMAL(38,0)) * wq DIV twq"
+        ).cast("long"),
     ).otherwise(F.lit(0).cast("long"))
     # 1-row global total: bounded, broadcast policy-exempt.
     return wgt.join(F.broadcast(tot)).select(
@@ -6360,9 +6368,12 @@ def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_tokens"
         ),
         pround(F.col("s_h")).alias("stddev_tokens"),
-        pround(F.when(F.col("tw") > 0, F.col("w") / F.col("tw"))).alias(
-            "alloc_share"
-        ),
+        pround(
+            F.when(
+                F.col("twq") > 0,
+                F.col("wq").cast("double") / F.col("twq").cast("double"),
+            )
+        ).alias("alloc_share"),
         alloc.alias("n_sample"),
     )
 
@@ -6394,17 +6405,20 @@ ORACLES["neyman_allocation_plan"] = f"""
     ),
     w2 AS (
         SELECT source, n_docs, sx, s_h,
-               CAST(n_docs AS DOUBLE) * s_h AS w
+               CAST(FLOOR(CAST(n_docs AS DOUBLE) * s_h * 1048576.0 + 0.5)
+                    AS HUGEINT) AS wq
         FROM wgt
     ),
-    tot AS (SELECT SUM(w) AS tw FROM w2)
+    tot AS (SELECT SUM(wq) AS twq FROM w2)
     SELECT source, n_docs,
            {pround_sql('CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE)')}
                AS mean_tokens,
            {pround_sql('s_h')} AS stddev_tokens,
-           CASE WHEN tw > 0 THEN {pround_sql('w / tw')} END AS alloc_share,
-           CASE WHEN tw > 0 THEN
-               CAST(FLOOR({float(NEYMAN_BUDGET)!r} * w / tw) AS BIGINT)
+           CASE WHEN twq > 0 THEN
+               {pround_sql('CAST(wq AS DOUBLE) / CAST(twq AS DOUBLE)')}
+           END AS alloc_share,
+           CASE WHEN twq > 0 THEN
+               CAST((CAST({NEYMAN_BUDGET} AS HUGEINT) * wq) // twq AS BIGINT)
            ELSE CAST(0 AS BIGINT) END AS n_sample
     FROM w2 CROSS JOIN tot
 """

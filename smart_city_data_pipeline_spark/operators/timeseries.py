@@ -8106,8 +8106,11 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: all counts are exact integers from two keyed
     aggregates; each entropy term is log₂ of an integer ratio
-    (deterministic IEEE), summed over ≤ |types|² = 25 rows per sensor
-    (pround-guarded house float-sum standard).
+    (deterministic IEEE) snapped ONCE to the 2²⁰ grid, and the
+    per-sensor totals are exact INTEGER sums of grid values (the
+    quantize-then-sum rule, ``zone_hod_mi`` discipline) — raw-double
+    sums are partial-aggregation-order-dependent and flipped a
+    driver-gate pround at a .xxxx5 boundary in round 10.
 
     Scale shape: one lag window partitioned by sensor (high
     cardinality), transition counts keyed on (sensor, from, to) —
@@ -8144,21 +8147,27 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.log(nn.cast("double") / nt.cast("double"))
         / lg2
     )
+    # Snap each nonnegative entropy term to the 2^20 grid before the
+    # sum: integer addition is order-independent, so Spark's partial
+    # aggregation and DuckDB's sequential scan agree bit for bit.
+    ent_q = F.lit(1048576.0)  # 2^20 per-term entropy grid
     terms = cnt.select(
         "user_id",
         nn.alias("n_trans"),
-        h_cond_term.alias("hc"),
-        h_marg_term.alias("hm"),
+        F.floor(h_cond_term * ent_q + F.lit(0.5)).cast("long").alias("hcq"),
+        F.floor(h_marg_term * ent_q + F.lit(0.5)).cast("long").alias("hmq"),
     )
     g = terms.groupBy("user_id", "n_trans").agg(
-        F.sum("hc").alias("h_cond"), F.sum("hm").alias("h_marg")
+        F.sum("hcq").alias("h_cond_q"), F.sum("hmq").alias("h_marg_q")
     )
+    h_cond = F.col("h_cond_q").cast("double") / ent_q
+    h_marg = F.col("h_marg_q").cast("double") / ent_q
     return g.select(
         F.col("user_id").alias("sensor_id"),
         "n_trans",
-        pround(F.col("h_cond")).alias("h_cond_bits"),
-        pround(F.col("h_marg")).alias("h_marginal_bits"),
-        pround(F.col("h_marg") - F.col("h_cond")).alias("info_gain_bits"),
+        pround(h_cond).alias("h_cond_bits"),
+        pround(h_marg).alias("h_marginal_bits"),
+        pround(h_marg - h_cond).alias("info_gain_bits"),
     )
 
 
@@ -8185,18 +8194,24 @@ ORACLES["markov_entropy_rate"] = f"""
     ),
     g AS (
         SELECT user_id, nn AS n_trans,
-               SUM(CAST(nft AS DOUBLE) / CAST(nn AS DOUBLE)
+               SUM(CAST(FLOOR(CAST(nft AS DOUBLE) / CAST(nn AS DOUBLE)
                    * LN(CAST(nf AS DOUBLE) / CAST(nft AS DOUBLE))
-                   / 0.6931471805599453) AS h_cond,
-               SUM(CAST(nft AS DOUBLE) / CAST(nn AS DOUBLE)
+                   / 0.6931471805599453 * 1048576.0 + 0.5) AS BIGINT))
+                   AS h_cond_q,
+               SUM(CAST(FLOOR(CAST(nft AS DOUBLE) / CAST(nn AS DOUBLE)
                    * LN(CAST(nn AS DOUBLE) / CAST(nt AS DOUBLE))
-                   / 0.6931471805599453) AS h_marg
+                   / 0.6931471805599453 * 1048576.0 + 0.5) AS BIGINT))
+                   AS h_marg_q
         FROM wins GROUP BY 1, 2
     )
     SELECT user_id AS sensor_id, n_trans,
-           {pround_sql('h_cond')} AS h_cond_bits,
-           {pround_sql('h_marg')} AS h_marginal_bits,
-           {pround_sql('h_marg - h_cond')} AS info_gain_bits
+           {pround_sql('CAST(h_cond_q AS DOUBLE) / 1048576.0')} AS h_cond_bits,
+           {pround_sql('CAST(h_marg_q AS DOUBLE) / 1048576.0')}
+               AS h_marginal_bits,
+           {pround_sql(
+               'CAST(h_marg_q AS DOUBLE) / 1048576.0'
+               ' - CAST(h_cond_q AS DOUBLE) / 1048576.0'
+           )} AS info_gain_bits
     FROM g
 """
 

@@ -111,7 +111,11 @@ def arch_finish(moments: list):
     np_ = g["np"]
     if np_ == 0:
         return 0, None, None
-    m = g["sum_y"] // g["n"]
+    # Truncate toward zero, matching Spark DECIMAL DIV and DuckDB //
+    # (both of which give -7 DIV 2 = -3, while Python's // floors to
+    # -4): the stream ≡ batch contract must hold for negative sums too.
+    sum_y, n_obs = g["sum_y"], g["n"]
+    m = sum_y // n_obs if sum_y >= 0 else -((-sum_y) // n_obs)
     sx = g["p20"] - 2 * m * g["p10"] + m * m * np_
     sy = g["p02"] - 2 * m * g["p01"] + m * m * np_
     sxy = (

@@ -30,21 +30,25 @@ def _ref(rows):
         x = len([t for t in re.split(r"\s+", text.strip().lower()) if t])
         n, sx, sxx = strata.get(src, (0, 0, 0))
         strata[src] = (n + 1, sx + x, sxx + x * x)
+    # mirrors the operator's quantize-then-sum rule: each stratum's
+    # Neyman weight snaps once to the 2^20 grid, the total is an exact
+    # integer sum, and the allocation is pure integer floor division
     w = {}
     for src, (n, sx, sxx) in strata.items():
         s_h = (
             math.sqrt((n * sxx - sx * sx) / (n * (n - 1.0))) if n > 1 else 0.0
         )
-        w[src] = (n, sx, s_h, n * s_h)
-    tw = sum(v[3] for v in w.values())
+        wq = math.floor(n * s_h * 1048576.0 + 0.5)
+        w[src] = (n, sx, s_h, wq)
+    twq = sum(v[3] for v in w.values())
     out = {}
-    for src, (n, sx, s_h, wh) in w.items():
+    for src, (n, sx, s_h, wq) in w.items():
         out[src] = (
             n,
             pround_py(sx / n),
             pround_py(s_h),
-            pround_py(wh / tw) if tw > 0 else None,
-            int(math.floor(NEYMAN_BUDGET * wh / tw)) if tw > 0 else 0,
+            pround_py(wq / twq) if twq > 0 else None,
+            (NEYMAN_BUDGET * wq) // twq if twq > 0 else 0,
         )
     return out
 
@@ -69,3 +73,28 @@ def test_allocation_matches_reference_and_favors_variance(spark, tmp_path):
     assert got["steady"][4] == 0
     assert got["single"][4] == 0
     assert got["mixed"][4] == NEYMAN_BUDGET
+
+
+def test_two_variable_strata_split_budget_exactly(spark, tmp_path):
+    """Two nonzero-variance strata: shares sum to ~1, integer floors
+    never overshoot the budget, and each matches the quantized-grid
+    reference."""
+    plant = (
+        [("a", " ".join(["w"] * (5 if i % 2 == 0 else 105))) for i in range(12)]
+        + [("b", " ".join(["w"] * (40 if i % 3 == 0 else 70))) for i in range(18)]
+    )
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, t, "en", src, len(t)) for i, (src, t) in enumerate(plant)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(d + "/documents.parquet")
+    got = {
+        r["source"]: (
+            r["n_docs"], r["mean_tokens"], r["stddev_tokens"],
+            r["alloc_share"], r["n_sample"],
+        )
+        for r in neyman_allocation_plan(spark, d).collect()
+    }
+    assert got == _ref(plant)
+    n_total = sum(v[4] for v in got.values())
+    assert NEYMAN_BUDGET - len(got) < n_total <= NEYMAN_BUDGET

@@ -454,12 +454,21 @@ def test_markov_entropy_matches_reference_counts(spark, tmp_path):
     for (f, t), k in trans.items():
         nf[f] += k
         nt[t] += k
-    h_cond = sum(
-        k / N * math.log2(nf[f] / k) for (f, t), k in trans.items()
+    # Reference mirrors the operator's quantize-then-sum rule: each
+    # term snaps once to the 2^20 grid, totals are INTEGER sums (the
+    # r10 driver-gate fix — raw-double sums are aggregation-order-
+    # dependent and flipped a pround at a .xxxx5 boundary).
+    Q = 1048576.0
+    hcq = sum(
+        math.floor(k / N * math.log(nf[f] / k) / math.log(2.0) * Q + 0.5)
+        for (f, t), k in trans.items()
     )
-    h_marg = sum(
-        k / N * math.log2(N / nt[t]) for (f, t), k in trans.items()
+    hmq = sum(
+        math.floor(k / N * math.log(N / nt[t]) / math.log(2.0) * Q + 0.5)
+        for (f, t), k in trans.items()
     )
+    h_cond = hcq / Q
+    h_marg = hmq / Q
     [r] = markov_entropy_rate(
         spark, _write_events(spark, tmp_path, rows)
     ).collect()
@@ -467,6 +476,47 @@ def test_markov_entropy_matches_reference_counts(spark, tmp_path):
     assert r["h_cond_bits"] == pround_py(h_cond)
     assert r["h_marginal_bits"] == pround_py(h_marg)
     assert r["info_gain_bits"] == pround_py(h_marg - h_cond)
+
+
+def test_markov_entropy_sum_is_integer_grid_order_independent(
+    spark, tmp_path
+):
+    """The per-sensor totals must be exact multiples of 2^-20: the
+    quantize-then-sum discipline means ANY summation order (Spark
+    partial aggregation, DuckDB sequential, Python) lands on the
+    identical grid integer — the class of flake that made this key
+    the round-10 driver-gate red."""
+    seq = "abcabacbbcaacbabccabacbacba" * 3
+    rows = [
+        (i, T0 + timedelta(minutes=i), 4, s, 1.0, "")
+        for i, s in enumerate(seq)
+    ]
+    from collections import Counter
+
+    trans = Counter(zip(seq, seq[1:]))
+    N = sum(trans.values())
+    nf = Counter()
+    nt = Counter()
+    for (f, t), k in trans.items():
+        nf[f] += k
+        nt[t] += k
+    Q = 1048576.0
+    # Sum the grid integers in three different orders: identical.
+    tc = [
+        math.floor(k / N * math.log(nf[f] / k) / math.log(2.0) * Q + 0.5)
+        for (f, t), k in sorted(trans.items())
+    ]
+    tm = [
+        math.floor(k / N * math.log(N / nt[t]) / math.log(2.0) * Q + 0.5)
+        for (f, t), k in sorted(trans.items())
+    ]
+    assert sum(tc) == sum(reversed(tc)) == sum(sorted(tc))
+    [r] = markov_entropy_rate(
+        spark, _write_events(spark, tmp_path, rows)
+    ).collect()
+    assert r["h_cond_bits"] == pround_py(sum(tc) / Q)
+    assert r["h_marginal_bits"] == pround_py(sum(tm) / Q)
+    assert r["info_gain_bits"] == pround_py((sum(tm) - sum(tc)) / Q)
 
 
 # ----------------------------------------------------------------- DiD

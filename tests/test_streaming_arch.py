@@ -22,13 +22,26 @@ EV_SCHEMA = (
 FLUSH_SENSOR = 999_999
 
 
-def test_fold_and_finish_match_direct_z_series():
+import pytest
+
+
+@pytest.mark.parametrize(
+    "ys",
+    [
+        [103, 250, 99, 987, 12, 12, 4031, 77, 240, 240, 9, 1500, 33],
+        # negative-sum series: Spark DECIMAL DIV and DuckDB // truncate
+        # toward zero (-7 DIV 2 = -3) while Python's // floors (-4);
+        # arch_finish must match the engines, not Python (ADVICE r10)
+        [-103, -250, 99, -987, 12, -12, -4031, 77, -240, 240, -9, -1500, 33],
+    ],
+)
+def test_fold_and_finish_match_direct_z_series(ys):
     """The moment expansion around m = sum DIV n equals the direct
     z-series Gauss moments (independent reference computation)."""
-    ys = [103, 250, 99, 987, 12, 12, 4031, 77, 240, 240, 9, 1500, 33]
     moments, _ = arch_fold([0] * 15, None, ys)
     n_pairs, lm, flag = arch_finish(moments)
-    m = sum(ys) // len(ys)
+    s = sum(ys)
+    m = s // len(ys) if s >= 0 else -((-s) // len(ys))
     z = [(y - m) ** 2 for y in ys]
     pairs = list(zip(z[1:], z[:-1]))
     n = len(pairs)
