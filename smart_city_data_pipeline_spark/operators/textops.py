@@ -231,13 +231,21 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
     total = vocab.agg(F.sum("tf").alias("n_total"))
     neg_lp = -F.log(F.col("tf").cast("double") / F.col("n_total"))
+    # quantize-then-sum: each token's -ln p snaps once to the 2^20
+    # grid; the per-doc mean is exact-integer sum / exact count (a raw
+    # double AVG is partial-aggregation-order-dependent)
+    lp_q = F.floor(neg_lp * F.lit(1048576.0) + F.lit(0.5)).cast("long")
     return (
         tok.join(vocab, "token")
         .join(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            pround(F.avg(neg_lp)).alias("mean_neg_logprob"),
+            pround(
+                F.sum(lp_q).cast("double")
+                / F.lit(1048576.0)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_neg_logprob"),
         )
     )
 
@@ -396,13 +404,20 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = prs.groupBy("prev", "token").agg(F.count(F.lit(1)).alias("c2"))
     pre = prs.groupBy(F.col("prev").alias("p1")).agg(F.count(F.lit(1)).alias("c1"))
     neg_lp = -F.log(F.col("c2").cast("double") / F.col("c1"))
+    # quantize-then-sum (see unigram_logprob_score): 2^20 grid per
+    # pair term, exact integer sum / exact count
+    lp_q = F.floor(neg_lp * F.lit(1048576.0) + F.lit(0.5)).cast("long")
     return (
         prs.join(big, ["prev", "token"])
         .join(pre, prs.prev == F.col("p1"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            pround(F.avg(neg_lp)).alias("mean_neg_logprob"),
+            pround(
+                F.sum(lp_q).cast("double")
+                / F.lit(1048576.0)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_neg_logprob"),
         )
     )
 
@@ -789,15 +804,23 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n"))
     wd = Window.partitionBy("doc_id")
     p = F.col("n").cast("double") / F.sum("n").over(wd).cast("double")
+    # each -p·ln p term snaps once to the 2^20 grid so the per-doc
+    # total is an exact INTEGER sum (quantize-then-sum rule — raw
+    # double sums are partial-aggregation-order-dependent)
+    ent_q = 1048576.0
     terms = counts.select(
         "doc_id",
         F.sum("n").over(wd).alias("n_chars"),
-        (-p * F.log(p)).alias("term"),
+        F.floor(-p * F.log(p) * F.lit(ent_q) + F.lit(0.5))
+        .cast("long")
+        .alias("tq"),
     )
     return terms.groupBy("doc_id").agg(
         F.max("n_chars").alias("n_chars"),
         F.count(F.lit(1)).alias("n_unique_chars"),
-        pround(F.sum("term")).alias("char_entropy"),
+        pround(F.sum("tq").cast("double") / F.lit(ent_q)).alias(
+            "char_entropy"
+        ),
     )
 
 
@@ -837,6 +860,9 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf = F.log((d("n_docs") - d("df") + 0.5) / (d("df") + 0.5) + 1.0)
     denom = d("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * d("dl") / avgdl)
     score = idf * d("tf") * (BM25_K1 + 1.0) / denom
+    # per-term contributions snap once to the 2^20 grid; the per-doc
+    # total is an exact INTEGER sum (quantize-then-sum rule)
+    score_q = F.floor(score * F.lit(1048576.0) + F.lit(0.5)).cast("long")
     return (
         tf.join(dl, "doc_id")
         .join(dfreq, "token")
@@ -844,7 +870,9 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_query_terms"),
-            pround(F.sum(score)).alias("bm25"),
+            pround(F.sum(score_q).cast("double") / F.lit(1048576.0)).alias(
+                "bm25"
+            ),
         )
     )
 
@@ -2058,7 +2086,10 @@ ORACLES = {
         )
         SELECT doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_query_terms,
-               {pround_sql("SUM(" + _BM25_SCORE_SQL + ")")} AS bm25
+               {pround_sql(
+                   "SUM(CAST(FLOOR((" + _BM25_SCORE_SQL + ")"
+                   " * 1048576.0 + 0.5) AS BIGINT)) / 1048576.0"
+               )} AS bm25
         FROM tf
         JOIN dl USING (doc_id)
         JOIN dfreq USING (token)
@@ -2081,7 +2112,10 @@ ORACLES = {
         SELECT doc_id,
                CAST(MAX(n_chars) AS BIGINT) AS n_chars,
                CAST(COUNT(*) AS BIGINT) AS n_unique_chars,
-               {pround_sql(f"SUM(-{_ENTROPY_P_SQL} * ln({_ENTROPY_P_SQL}))")} AS char_entropy
+               {pround_sql(
+                   f"SUM(CAST(FLOOR(-{_ENTROPY_P_SQL} * ln({_ENTROPY_P_SQL})"
+                   " * 1048576.0 + 0.5) AS BIGINT)) / 1048576.0"
+               )} AS char_entropy
         FROM t GROUP BY doc_id
     """,
     "quality_classifier_score": f"""
@@ -2309,7 +2343,11 @@ ORACLES = {
         tot AS (SELECT SUM(tf) AS n_total FROM vocab)
         SELECT doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_tokens,
-               (FLOOR(CAST((AVG(-ln(CAST(tf AS DOUBLE) / n_total))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS mean_neg_logprob
+               (FLOOR(
+                    SUM(CAST(FLOOR(-ln(CAST(tf AS DOUBLE)
+                            / CAST(n_total AS DOUBLE))
+                        * 1048576.0 + 0.5) AS BIGINT)) / 1048576.0
+                    / COUNT(*) * 10000.0 + 0.5) / 10000.0) AS mean_neg_logprob
         FROM tok JOIN vocab USING (token), tot
         GROUP BY 1
     """,
@@ -2370,7 +2408,10 @@ ORACLES = {
         pre AS (SELECT prev AS p1, COUNT(*) AS c1 FROM prs GROUP BY 1)
         SELECT doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-               (FLOOR(CAST((AVG(-ln(CAST(c2 AS DOUBLE) / c1))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS mean_neg_logprob
+               (FLOOR(
+                    SUM(CAST(FLOOR(-ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))
+                        * 1048576.0 + 0.5) AS BIGINT)) / 1048576.0
+                    / COUNT(*) * 10000.0 + 0.5) / 10000.0) AS mean_neg_logprob
         FROM prs
         JOIN big USING (prev, token)
         JOIN pre ON prs.prev = pre.p1

@@ -1123,12 +1123,23 @@ def markov_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probs is ≤ types² rows by semantics, but its grouping key is a
     # lag() alias the broadcast-policy checker can't prove bounded —
     # no forced hint; AQE size-gates the join and broadcasts at runtime.
+    # quantize-then-sum: each -ln p snaps once to the 2^20 grid; the
+    # per-sensor mean is exact-integer sum / exact count (a raw double
+    # AVG is partial-aggregation-order-dependent — the
+    # markov_entropy_rate flake class)
+    sq = F.floor(-F.log(F.col("p")) * F.lit(1048576.0) + F.lit(0.5)).cast(
+        "long"
+    )
     return (
         pairs.join(probs, ["from_type", "to_type"])
         .groupBy("sensor_id")
         .agg(
             F.count(F.lit(1)).alias("n_transitions"),
-            pround(F.avg(-F.log(F.col("p")))).alias("mean_surprisal"),
+            pround(
+                F.sum(sq).cast("double")
+                / F.lit(1048576.0)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_surprisal"),
         )
     )
 
@@ -2737,7 +2748,10 @@ ORACLES = {
         )
         SELECT sensor_id,
                CAST(COUNT(*) AS BIGINT) AS n_transitions,
-               {pround_sql('AVG(-ln(p))')} AS mean_surprisal
+               {pround_sql(
+                   'SUM(CAST(FLOOR(-ln(p) * 1048576.0 + 0.5) AS BIGINT))'
+                   ' / 1048576.0 / COUNT(*)'
+               )} AS mean_surprisal
         FROM filtered JOIN probs USING (from_type, to_type)
         GROUP BY 1
     """,
@@ -7844,27 +7858,33 @@ def ljung_box_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double"
     )
     rho = num / den
+    # each lag's FULL Q contribution n(n+2)·ρ²/(n−k) — an O(1)-sized
+    # double — snaps once to the 2^20 grid; the ≤LB_LAGS-term sum is
+    # then an exact INTEGER sum (quantize-then-sum rule; scaling
+    # INSIDE the term keeps grid resolution ~1e-6 of the statistic at
+    # any n, where a raw ρ²/(n−k) term would underflow the grid)
     term = (
         F.when(
             (den > 0) & (F.col("nh") > F.col("lag")),
-            rho * rho / (F.col("nh") - F.col("lag")).cast("double"),
+            F.col("nh").cast("double")
+            * (F.col("nh") + 2).cast("double")
+            * rho
+            * rho
+            / (F.col("nh") - F.col("lag")).cast("double"),
         )
     )
+    tq = F.floor(term * F.lit(1048576.0) + F.lit(0.5)).cast("long")
     per = j.groupBy("event_type", "nh").agg(
         F.sum(F.when(term.isNotNull(), 1).otherwise(0))
         .cast("int")
         .alias("n_lags_used"),
-        F.sum(term).alias("tsum"),
+        F.sum(tq).alias("qsum"),
     )
     crit = None
     for i, c in enumerate(LB_CHI2_95, start=1):
         cond = F.col("n_lags_used") == i
         crit = F.when(cond, F.lit(c)) if crit is None else crit.when(cond, F.lit(c))
-    q = (
-        F.col("nh").cast("double")
-        * (F.col("nh") + 2).cast("double")
-        * F.col("tsum")
-    )
+    q = F.col("qsum").cast("double") / F.lit(1048576.0)
     return per.filter(F.col("n_lags_used") > 0).select(
         "event_type",
         F.col("nh").alias("n_hours"),
@@ -7923,15 +7943,16 @@ ORACLES["ljung_box_test"] = f"""
                CAST(SUM(CASE WHEN den > 0 AND nh > lag THEN 1 ELSE 0 END)
                     AS INTEGER) AS n_lags_used,
                SUM(CASE WHEN den > 0 AND nh > lag THEN
-                   (num / den) * (num / den) / CAST(nh - lag AS DOUBLE)
-               END) AS tsum
+                   CAST(FLOOR(CAST(nh AS DOUBLE) * CAST(nh + 2 AS DOUBLE)
+                       * (num / den) * (num / den)
+                       / CAST(nh - lag AS DOUBLE)
+                       * 1048576.0 + 0.5) AS BIGINT)
+               END) AS qsum
         FROM terms GROUP BY 1, 2
     )
     SELECT event_type, nh AS n_hours, n_lags_used,
-           {pround_sql(
-               'CAST(nh AS DOUBLE) * CAST(nh + 2 AS DOUBLE) * tsum'
-           )} AS q_stat,
-           (CAST(nh AS DOUBLE) * CAST(nh + 2 AS DOUBLE) * tsum)
+           {pround_sql('CAST(qsum AS DOUBLE) / 1048576.0')} AS q_stat,
+           (CAST(qsum AS DOUBLE) / 1048576.0)
                > (CASE n_lags_used {_LB_CRIT_CASE} END)
                AS reject_white_noise
     FROM per WHERE n_lags_used > 0
@@ -9571,9 +9592,12 @@ def kruskal_zone_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly-mean table (2·avgrank = 2·rank + ties − 1, exact BIGINTs;
     the unpartitioned rank window's input is the type×calendar-hour
     rollup — bounded, see plan-lint allowlist), exact integer per-type
-    rank sums and the exact tie term Σ(t³−t). H and its tie-corrected
-    form are assembled in doubles from those exact integers with
-    IDENTICAL spelling in the oracle (the knox-ratio discipline), and
+    rank sums and the exact tie term Σ(t³−t); Σ R_j²/n_j snaps each
+    term once to the integer grid (terms are O(n²)-sized, so the unit
+    grid keeps full pround precision) and sums exactly in
+    DECIMAL(38,0) — never a raw-double k-term sum. H and its
+    tie-corrected form are assembled in doubles from those exact
+    integers with IDENTICAL spelling in the oracle, and
     the verdict compares against the literal χ²₉₅ table keyed by
     df = k−1 (df > 12 → NULL, honestly out of table).
 
@@ -9604,12 +9628,18 @@ def kruskal_zone_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("tie_size") * F.col("tie_size") - 1).alias("tt"),
     )
     d = lambda c: c.cast("double")  # noqa: E731
+    # each r2j²/nj term snaps once to the INTEGER grid (terms are
+    # O(n²)-sized, so unit grid keeps ~15 significant digits while the
+    # DECIMAL(38,0) sum is exact and aggregation-order-independent —
+    # the quantize-then-sum rule; raw-double k-term sums are the
+    # markov_entropy_rate flake class)
+    srq = F.floor(
+        d(F.col("r2j")) * d(F.col("r2j")) / d(F.col("nj")) + F.lit(0.5)
+    ).cast("decimal(38,0)")
     g = per.agg(
         F.count(F.lit(1)).alias("k"),
         F.sum("nj").alias("n"),
-        F.sum(d(F.col("r2j")) * d(F.col("r2j")) / d(F.col("nj"))).alias(
-            "sr2"
-        ),
+        F.sum(srq).cast("double").alias("sr2"),
         F.sum("tt").alias("tie_term"),
     )
     nn = d(F.col("n"))
@@ -9671,8 +9701,8 @@ ORACLES["kruskal_zone_test"] = f"""
     g AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS k,
                CAST(SUM(nj) AS BIGINT) AS n,
-               SUM(CAST(r2j AS DOUBLE) * CAST(r2j AS DOUBLE)
-                   / CAST(nj AS DOUBLE)) AS sr2,
+               CAST(SUM(CAST(FLOOR(CAST(r2j AS DOUBLE) * CAST(r2j AS DOUBLE)
+                   / CAST(nj AS DOUBLE) + 0.5) AS HUGEINT)) AS DOUBLE) AS sr2,
                CAST(SUM(tt) AS BIGINT) AS tie_term
         FROM per
     ),

@@ -216,6 +216,56 @@ UNPARTITIONED_WINDOW_ALLOWED = {
 }
 
 
+# Float-sum lint allowlist (VERDICT r10 item 2): keys allowed to carry
+# a Sum/Average aggregate over a raw DOUBLE/FLOAT input. Double
+# summation is partial-aggregation-order-dependent (Spark's partials
+# vs DuckDB's sequential scan disagree in the last ulp, which flips a
+# pround at a .xxxx5 boundary — the markov_entropy_rate r10 driver-gate
+# red). The house rule: quantize each term once to an integer grid
+# (2^20, or unit grid for O(n²)-sized terms) and SUM INTEGERS — or sum
+# in DECIMAL. Integer-typed, decimal-typed, and quantized-grid sums
+# never trigger this lint (their input type isn't double); any new
+# double-sum must be quantized or justified here with its bound.
+FLOATSUM_ALLOWED: dict[str, str] = {
+    "frames_features": "rows-only key by documented design (cv2-gated "
+    "decode, no DuckDB oracle) — the Average(mean_intensity) rollup is "
+    "never value-hashed, so last-ulp aggregation order cannot flake a "
+    "gate; every oracle-paired key stays lint-clean",
+}
+
+
+def _double_sum_hits(df) -> list[str]:
+    """Describe Sum/Average aggregates over DOUBLE/FLOAT inputs in the
+    optimized logical plan (Aggregate and Window nodes both)."""
+    from tools.floatsum_scan import double_sum_hits
+
+    return double_sum_hits(df)
+
+
+def test_floatsum_lint_catches_planted_violation(spark):
+    """The lint must go red on an unquantized double sum (and stay
+    quiet on integer / decimal / quantized-grid sums)."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(10).select(
+        F.col("id"), (F.col("id") * 0.1).alias("x")
+    )
+    bad = base.groupBy((F.col("id") % 2).alias("g")).agg(F.sum("x").alias("s"))
+    assert _double_sum_hits(bad), "planted raw-double Sum not caught"
+    bad_avg = base.groupBy((F.col("id") % 2).alias("g")).agg(
+        F.avg("x").alias("m")
+    )
+    assert _double_sum_hits(bad_avg), "planted raw-double Average not caught"
+    ok = base.groupBy((F.col("id") % 2).alias("g")).agg(
+        F.sum(
+            F.floor(F.col("x") * 1048576.0 + 0.5).cast("long")
+        ).alias("sq"),
+        F.sum(F.col("x").cast("decimal(18,2)")).alias("sd"),
+        F.sum("id").alias("si"),
+    )
+    assert not _double_sum_hits(ok), "quantized/decimal/integer sum flagged"
+
+
 # Single-partition-exchange allowlist (VERDICT r8 item 8): keys whose
 # physical plans contain an `Exchange SinglePartition` whose CHILD is
 # data-proportional-looking. Auto-allowed without listing: an aggregate
@@ -297,4 +347,13 @@ def test_no_cartesian_blowup_or_global_window(key, spark, sf_dir):
             f"{key}: Exchange SinglePartition over a non-bounded child — "
             "a coalesce(1)/global-sort class regression; partition it or "
             f"justify the bound in SINGLE_PARTITION_EXTRA: {hits}"
+        )
+    if key not in FLOATSUM_ALLOWED:
+        fs = _double_sum_hits(df)
+        assert not fs, (
+            f"{key}: Sum/Average over a raw DOUBLE input — aggregation-"
+            "order-dependent float sum (the markov_entropy_rate driver-"
+            "gate flake class); quantize each term to an integer grid "
+            "and sum integers, sum in DECIMAL, or justify the bound in "
+            f"FLOATSUM_ALLOWED: {fs}"
         )

@@ -51,11 +51,20 @@ def test_char_entropy_matches_python(spark, sf_dir, docs):
     for doc_id, row in docs.items():
         counts = Counter(row["text"])  # every char; no empties possible
         n = sum(counts.values())
-        ent = -sum((c / n) * math.log(c / n) for c in sorted(counts.values()))
+        # mirrors the operator's quantize-then-sum rule: each -p·ln p
+        # term snaps once to the 2^20 grid, the total is an exact
+        # integer sum — so the match is EXACT, not tolerance-based
+        ent = (
+            sum(
+                math.floor(-(c / n) * math.log(c / n) * 1048576.0 + 0.5)
+                for c in counts.values()
+            )
+            / 1048576.0
+        )
         got = out[doc_id]
         assert got["n_chars"] == n
         assert got["n_unique_chars"] == len(counts)
-        assert abs(got["char_entropy"] - _pround(ent)) <= 1e-4, doc_id
+        assert got["char_entropy"] == _pround(ent), doc_id
 
 
 def test_bm25_matches_python(spark, sf_dir, docs):
@@ -76,18 +85,21 @@ def test_bm25_matches_python(spark, sf_dir, docs):
     for d, c in tf.items():
         if not c:
             continue
-        s = 0.0
+        # mirrors the operator's quantize-then-sum rule: per-term BM25
+        # contributions snap once to the 2^20 grid, summed exactly
+        sq = 0
         for term, f in c.items():
             idf = math.log((n_docs - df[term] + 0.5) / (df[term] + 0.5) + 1.0)
-            s += idf * f * (BM25_K1 + 1.0) / (
+            contrib = idf * f * (BM25_K1 + 1.0) / (
                 f + BM25_K1 * (1.0 - BM25_B + BM25_B * dl[d] / avgdl)
             )
-        expected[d] = (len(c), s)
+            sq += math.floor(contrib * 1048576.0 + 0.5)
+        expected[d] = (len(c), sq / 1048576.0)
     out = {r["doc_id"]: r for r in bm25_scores(spark, sf_dir).collect()}
     assert set(out) == set(expected)
     for d, (n_terms, s) in expected.items():
         assert out[d]["n_query_terms"] == n_terms, d
-        assert abs(out[d]["bm25"] - _pround(s)) <= 2e-4, d
+        assert abs(out[d]["bm25"] - _pround(s)) <= 1e-9, d
 
 
 def _lower_median(values: list[int]) -> int:

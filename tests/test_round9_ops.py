@@ -292,7 +292,10 @@ def _ref_ljung_box(hourly_vals):
     S = sum(v.values())
     Svv = sum(x * x for x in v.values())
     den = n * n * Svv - n * S * S
-    tsum, used = 0.0, 0
+    # mirrors the operator's quantize-then-sum rule: each lag's FULL
+    # n(n+2)·ρ²/(n−k) contribution snaps once to the 2^20 grid and the
+    # sum is an exact integer sum
+    qsum, used = 0, 0
     for k in range(1, LB_LAGS + 1):
         pairs = [(v[h], v[h + k]) for h in v if h + k in v]
         if not pairs or den <= 0 or n <= k:
@@ -303,9 +306,10 @@ def _ref_ljung_box(hourly_vals):
         sxy = sum(p[0] * p[1] for p in pairs)
         num = n * n * sxy - n * S * (sx + sy) + m * S * S
         rho = float(num) / float(den)
-        tsum += rho * rho / float(n - k)
+        term = float(n) * float(n + 2) * rho * rho / float(n - k)
+        qsum += math.floor(term * 1048576.0 + 0.5)
         used += 1
-    return n, used, float(n) * float(n + 2) * tsum
+    return n, used, qsum / 1048576.0
 
 
 def test_ljung_box_flags_structure_not_alternation(spark, tmp_path):

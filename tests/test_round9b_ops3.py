@@ -495,8 +495,13 @@ def _ref_kruskal(groups):
     }
     n = len(vals)
     k = len(groups)
-    sr2 = sum(
-        (sum(r2[v] for v in gv)) ** 2 / len(gv) for gv in groups.values()
+    # mirrors the operator's quantize-then-sum rule: each r2j²/nj term
+    # snaps once to the integer grid, summed exactly
+    sr2 = float(
+        sum(
+            math.floor((sum(r2[v] for v in gv)) ** 2 / len(gv) + 0.5)
+            for gv in groups.values()
+        )
     )
     h = 3.0 * sr2 / (n * (n + 1.0)) - 3.0 * (n + 1.0)
     tie_term = sum(
