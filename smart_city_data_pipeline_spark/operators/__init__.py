@@ -21,76 +21,77 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Round-10 rotation (VERDICT r9 item 1): after the r9 window, exactly
-# 48 checkable keys had never appeared in any driver gate (the ledger
-# VERDICT r9 recounted — 18 later-r9 operators + 30 session-2
-# additions, all judge-sweep green at sf0.001 in the r9 independent
-# sweep). ALL 48 lead this round's 50-slot window, in the ledger's
-# order, followed by `dedup_minhash_lsh` (behavior-adjacent change in
-# r10: the band self-join gained the hot-bucket guard — plan-identical
-# on this corpus by pytest, but VERDICT r9 item 3 requires the
-# hash-green gate row) and `ulm_train_vocab` (new r10 operator):
-# 48 + 1 + 1 = 50. The round-11 queue is therefore the r10-session
-# additions that did not fit this window — `keyframe_select`,
-# `wordpiece_train_merges`, `ulm_encode_fertility`, `arch_lm_test`,
-# `dup_span_coverage`, `camera_handoff_matrix`,
-# `lm_interpolation_sweep`, `neyman_allocation_plan` (each oracle-green at
-# sf0.001 AND sf0.01 this session, planted-pytest verified) — plus
-# any further additions noted here as they land.
+# Round-11 rotation (VERDICT r10 items 1-3): the 50-slot window is
+# (a) `markov_entropy_rate`, the only driver-gate red row of r10 —
+# its entropy terms are now snapped to the 2^20 integer grid before
+# summation (the zone_hod_mi discipline) and the key must re-earn a
+# hash-green row; (b) the 8 r10-session keys that have never been
+# driver-gated (VERDICT r10 What's-wrong #2 ledger); (c) the 8 keys
+# whose output math changed in the float-sum-lint sweep late in r10
+# (quantized-grid sums replacing raw-double sums: char_entropy,
+# bm25_scores + rrf_hybrid_fusion, unigram/bigram_logprob_score,
+# markov_surprisal, kruskal_zone_test, ljung_box_test) — gate history
+# predates the change, so they re-earn; (d) the r11 behavior-adjacent
+# star-CC family (`dedup_clusters` moved to large-star/small-star
+# alternation; its four consumers inherit the new component labels)
+# plus the new r11 operators; (e) fill to 50 with the longest-since-
+# gated keys (last green row r4, the oldest cohort in the ledger).
 _GATE_FIRST = [
-    # --- the 48 never-driver-gated keys (VERDICT r9 ledger, verbatim)
-    "ljung_box_test",
-    "mann_kendall_trend",
+    # --- (a) the r10 red row, fixed, re-earning
     "markov_entropy_rate",
-    "did_zone_report",
-    "perplexity_threshold_sweep",
-    "vocab_size_curve",
-    "funnel_dropoff_times",
-    "xbar_r_chart",
-    "winsorized_stats",
-    "cluster_representative_pick",
-    "source_cap_sweep",
-    "dedup_overmerge_audit",
-    "truncation_loss_sweep",
-    "grouped_kfold_assign",
-    "rbm_pairs",
-    "ivf_shard_plan",
-    "embedding_threshold_sweep",
-    "first_exceedance_report",
-    "getis_ord_hotspots",
-    "spearman_zone_corr",
-    "filter_agreement_matrix",
-    "clustering_depth_report",
-    "mwu_zone_shift",
-    "knox_spacetime",
-    "diurnal_harmonic_fit",
-    "feature_hashing_audit",
-    "runs_test_randomness",
-    "cross_source_neardup_matrix",
-    "join_strategy_report",
-    "dedup_survivor_bias",
-    "ingest_novelty_timeline",  # oracle re-expressed in r10 (MIN(doc_id))
-    "gumbel_return_levels",
-    "watermark_whatif_curve",
+    # --- (b) never driver-gated (r10-session additions)
+    "wordpiece_train_merges",
+    "ulm_encode_fertility",
+    "lm_interpolation_sweep",
+    "neyman_allocation_plan",  # also re-quantized in the r10 fix commit
+    "dup_span_coverage",
+    "keyframe_select",
+    "camera_handoff_matrix",
+    "arch_lm_test",
+    # --- (c) float-sum-lint quantize sweep (output math changed)
+    "char_entropy",
+    "bm25_scores",
+    "rrf_hybrid_fusion",
+    "unigram_logprob_score",
+    "bigram_logprob_score",
+    "markov_surprisal",
     "kruskal_zone_test",
-    "video_mjpeg_index",
-    "frames_features_gif",
-    "theta_sketch_overlap",
-    "bitmap_index_plan",
-    "lsh_banding_planner",
-    "session_timeout_sweep",
-    "median_polish_grid",
-    "embedding_clip_plan",
-    "sequence_gap_audit",
-    "audio_clip_detect",
-    "pacf_lags",
-    "arima_order_suggest",
-    "sensor_stuck_report",
-    "frames_laplacian_stats",  # feature extraction refactored in r10 (shared helper)
-    # --- behavior-adjacent change in round 10 (must re-earn driver-green)
-    "dedup_minhash_lsh",  # band self-join gained the hot-bucket guard
-    # --- new in round 10
-    "ulm_train_vocab",  # Unigram-LM tokenizer training (integer-grid EM)
+    "ljung_box_test",
+    # --- (d) r11 star-CC rewrite + new r11 operators
+    "dedup_clusters",
+    "cluster_representative_pick",
+    "dedup_overmerge_audit",
+    "dedup_survivor_bias",
+    "dedup_cluster_modularity",
+    "dedup_span_rewrite",
+    "ann_hnsw_search",
+    # --- (e) longest-since-gated fill (last green row r4)
+    "congestion_classify",
+    "zone_analytics",
+    "road_type_analytics",
+    "hourly_stats",
+    "aqi_compute",
+    "air_quality_zone",
+    "parking_status",
+    "retention_filter",
+    "sessionize",
+    "moving_avg",
+    "top_k",
+    "event_funnel",
+    "melt_type_counts",
+    "props_extract",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "revenue_by_nation",
+    "promo_revenue",
+    "order_priority_count",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q22_global_sales_opportunity",
+    "lang_id",
 ]
 
 # Entries that can never hash-match (no oracle_sql twin by documented

@@ -1070,6 +1070,138 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 CLUSTER_MAX_ITERS = 20
 
 
+def star_cc_labels(
+    spark: SparkSession,
+    pairs: DataFrame,
+    max_iters: int = CLUSTER_MAX_ITERS,
+    checkpoint_dir: str | None = None,
+) -> tuple[DataFrame, int, bool]:
+    """Connected components over an undirected edge list via
+    large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14 — the GraphFrames CC
+    algorithm), returning ``(labels, rounds_used, converged)`` where
+    ``labels`` maps every edge-endpoint ``node`` to ``comp`` = the MIN
+    node id in its component.
+
+    Why star-contraction and not min-label propagation: min-label
+    needs O(component diameter) rounds, and at 100 TB a boilerplate
+    CHAIN (each doc near-dups only its neighbor) makes the diameter —
+    not the data volume — the round count; a 10⁶-doc chain would need
+    10⁶ keyed joins. Star alternation doubles the pointer-jump reach
+    every other round, converging in O(log² n) rounds worst-case
+    (O(log n) in practice), independent of diameter — the planted
+    63-diameter chain in tests/test_star_cc.py converges in ≤9 rounds
+    where min-label needs 63.
+
+    State is the EDGE LIST itself, kept in canonical larger→smaller
+    orientation (no self-loops, deduped). One round =
+
+    * **large-star**: every node ``u`` links each STRICTLY LARGER
+      neighbor to ``m(u) = min(N(u) ∪ {u})`` — over the symmetric
+      neighbor view, one min-aggregate + one keyed join, emitting
+      ``(v, m(u))`` for ``v > u``.
+    * **small-star**: over the (now all larger→smaller) edges, every
+      node ``u`` links its smaller neighbors AND ITSELF to
+      ``m(u) = min`` of the group — one min-aggregate + one keyed
+      join.
+
+    Both steps preserve the component partition and keep the
+    larger→smaller invariant, so every intermediate state is a valid
+    contraction; the unique fixpoint is a star forest rooted at each
+    component's minimum node. Convergence probe: the stepped edge set
+    equals the previous one — two ``exceptAll(...).isEmpty()``
+    anti-join scalars per round over the two checkpointed sets (same
+    driver-scalar discipline as the old min-label probe; never a data
+    collect). Labels are then one min-aggregate over the converged
+    star edges (roots never appear as a source; callers coalesce them
+    to themselves).
+
+    Checkpoint lifecycle and durability are identical to the previous
+    min-label loop (see ``dedup_clusters``): eager per-round
+    checkpoints truncate lineage, superseded rounds are explicitly
+    unpersisted, ``checkpoint_dir`` switches to reliable checkpoints
+    for real clusters.
+    """
+    jsc = spark.sparkContext._jsc
+
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    def _persistent_ids() -> set[int]:
+        return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+
+    base_ids = _persistent_ids()
+    src, dst = pairs.columns[0], pairs.columns[1]
+    edges = _ckpt(
+        pairs.select(
+            F.greatest(F.col(src), F.col(dst)).alias("src"),
+            F.least(F.col(src), F.col(dst)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    live_ids = _persistent_ids() - base_ids
+    rounds = 0
+    converged = False
+    for _ in range(max_iters):
+        rounds += 1
+        pre_ids = _persistent_ids()
+        # ---- large-star: v > u re-pointed at m(u) = min(N(u) ∪ {u})
+        nbrs = edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        big_min = nbrs.groupBy("src").agg(F.min("dst").alias("mn"))
+        ls = (
+            nbrs.join(big_min, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(
+                F.col("dst").alias("src"),
+                F.least(F.col("src"), F.col("mn")).alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # ---- small-star: u and its smaller neighbors re-pointed at the
+        # group min (ls edges all point larger→smaller, so the group min
+        # is already < src and m = mn).
+        small_min = ls.groupBy("src").agg(F.min("dst").alias("mn"))
+        moved = (
+            ls.join(small_min, "src")
+            .filter(F.col("dst") != F.col("mn"))
+            .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+        )
+        stepped = _ckpt(
+            moved.union(small_min.select("src", F.col("mn").alias("dst"))).distinct()
+        )
+        new_ids = _persistent_ids() - pre_ids
+        # Fixpoint probe: the star map is idempotent exactly on star
+        # forests, so set-equality of consecutive edge sets is the
+        # convergence certificate (both sides are distinct sets, so
+        # mutual exceptAll-emptiness is full equality).
+        converged = (
+            stepped.exceptAll(edges).isEmpty() and edges.exceptAll(stepped).isEmpty()
+        )
+        jmap = jsc.getPersistentRDDs()
+        for rid in live_ids:
+            rdd = jmap.get(rid)
+            if rdd is not None:
+                rdd.unpersist(False)
+        live_ids = new_ids
+        edges = stepped
+        if converged:
+            break
+    # At the fixpoint every non-root node has exactly one edge to its
+    # component root; the min-aggregate is exact there and a safe
+    # (still-correct-upper-bound) contraction if the cap tripped first.
+    labels = edges.groupBy(F.col("src").alias("node")).agg(F.min("dst").alias("comp"))
+    return labels, rounds, converged
+
+
 def dedup_clusters(
     spark: SparkSession,
     sf_dir: str,
@@ -1082,22 +1214,17 @@ def dedup_clusters(
     ``is_canonical`` flag — the step that turns a pair list into "keep
     one copy per duplicate group" for a training corpus.
 
-    Iterative min-label propagation (the standard large-graph CC loop):
-    each round every node takes the minimum component id among itself
-    and its neighbors — one equi-join + one min-aggregate per round,
-    both keyed shuffles, converging in O(component diameter) rounds
-    (near-dup clusters are shallow; the cap is a runaway guard). The
+    Components come from :func:`star_cc_labels` — large-star/small-star
+    alternation, O(log² n) rounds worst-case regardless of component
+    diameter (the r10 min-label loop needed O(diameter) rounds, which a
+    boilerplate chain corpus turns into the bottleneck at 100 TB). THE
     LOOP RUNS ONLY OVER THE EDGE-INDUCED SUBGRAPH: a node with no
     near-dup edge can never change label, so the iterative working set
     is the dup-involved nodes (at production dup rates, a few percent
     of the corpus), not every document — singletons join the result
-    once at the end via a left join (comp = coalesce(comp, doc_id)).
-    The edge list and each round's labels are eagerly checkpointed:
-    edges so the LSH pipeline runs ONCE (not once per round), labels so
-    the plan does not grow by two joins every round. The convergence
-    probe is ``isEmpty()`` on the changed-rows diff — a driver-side
-    SCALAR per round, not a data collect; this is an iterative
-    algorithm, the one shape where a driver loop is the right design.
+    once at the end via a left join (comp = coalesce(comp, doc_id));
+    star roots likewise coalesce to themselves (a root never appears as
+    a star-edge source).
 
     Checkpoint lifecycle: each round's checkpoint TRUNCATES lineage, so
     once the loop ends only the LAST checkpoint backs the result — the
@@ -1118,58 +1245,14 @@ def dedup_clusters(
     DuckDB oracle: recursive CTE computing min-reachable-id — exact
     match including singleton clusters.
     """
-    jsc = spark.sparkContext._jsc
-
-    if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
-
-    def _ckpt(df: DataFrame) -> DataFrame:
-        if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
-
-    def _persistent_ids() -> set[int]:
-        return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
-
-    base_ids = _persistent_ids()
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    edges = _ckpt(pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF("src", "dst"))
-    docs = spread(table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents")
-    # Edge-induced subgraph only: the loop never touches edge-less docs.
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "comp", F.col("node")
+    labels, _, _ = star_cc_labels(
+        spark, pairs, max_iters=max_iters, checkpoint_dir=checkpoint_dir
     )
-    last_ids: set[int] = set()
-    for _ in range(max_iters):
-        pre_ids = _persistent_ids()
-        nbr_min = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("nbr_node"))
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        new_comp = F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp")))
-        # The convergence flag rides INSIDE the checkpointed row, so the
-        # probe is a filter over the already-materialized RDD — no extra
-        # join job per round.
-        stepped = _ckpt(
-            labels.join(nbr_min, labels.node == F.col("nbr_node"), "left").select(
-                "node",
-                new_comp.alias("comp"),
-                (new_comp != F.col("comp")).alias("_changed"),
-            )
-        )
-        last_ids = _persistent_ids() - pre_ids
-        converged = stepped.filter(F.col("_changed")).isEmpty()
-        labels = stepped.drop("_changed")
-        if converged:
-            break
-    jmap = jsc.getPersistentRDDs()
-    for rid in (_persistent_ids() - base_ids) - last_ids:
-        rdd = jmap.get(rid)
-        if rdd is not None:
-            rdd.unpersist(False)
-    # Singletons (no near-dup edge) are their own cluster; one left
-    # join attaches the converged subgraph labels to the full corpus.
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents")
+    # Singletons (no near-dup edge) and star roots are their own
+    # cluster; one left join attaches the converged labels to the
+    # full corpus.
     return (
         docs.select("doc_id")
         .join(labels, docs.doc_id == labels.node, "left")
@@ -4947,4 +5030,491 @@ ORACLES["dup_span_coverage"] = f"""
                )}
            END AS coverage_share
     FROM per p LEFT JOIN cov c USING (doc_id)
+"""
+
+
+def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-cut remediation — the step Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better") actually SHIP:
+    ``dup_span_coverage`` measures duplicated-position mass; this
+    operator emits the remediated text. Every duplicated 8-token window
+    (appearing in ≥2 documents) keeps its globally FIRST occurrence —
+    minimum (doc_id, pos) — and every other occurrence is excised:
+    overlapping cut windows merge naturally because excision is a
+    per-token-POSITION union, and the rewritten document is the
+    space-join of the surviving tokens in order. Rewritten text is
+    certified by an md5 signature (the ``pii_scrub`` convention) next
+    to exact before/after token counts.
+
+    Shape (all keyed, all linear — no pair join anywhere): positional
+    shingle explode → df-filter (hash aggregate with map-side combine)
+    → first-occurrence pick as ONE min-of-struct aggregate per shingle
+    (partial aggregation absorbs boilerplate hot shingles; deliberately
+    NOT a row_number window, which cannot combine map-side) → cut
+    windows fan out ×8 into covered positions (constant fanout) →
+    one (doc_id, pos)-keyed anti join drops cut tokens → one per-doc
+    aggregate reassembles the text (collect bounded by document
+    length, the ``pack_sequences`` discipline).
+
+    Reference parity: the reference has no span-level remediation
+    (its dedup story ends at exact-duplicate drops); this is the
+    LLM-pipeline extension mandated by the build brief.
+    """
+    docs = spread(
+        table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents"
+    )
+    toked = docs.select("doc_id", _ws_tokens(F.col("text")).alias("tk"))
+    occ = (
+        docs.select(
+            "doc_id",
+            F.posexplode_outer(_kgram_hashes(F.col("text"), SPAN_K)).alias(
+                "pos", "hs"
+            ),
+        )
+        .filter(F.col("hs").isNotNull())
+    )
+    dup_hs = (
+        occ.groupBy("hs")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("hs")
+    )
+    firsts = (
+        occ.join(dup_hs, "hs")
+        .groupBy("hs")
+        .agg(F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("keep"))
+    )
+    cut = (
+        occ.join(firsts, "hs")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("keep.doc_id"))
+                & (F.col("pos") == F.col("keep.pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    cutpos = cut.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(SPAN_K - 1))).alias(
+            "p"
+        ),
+    ).distinct()
+    tokpos = toked.select("doc_id", F.posexplode("tk").alias("p", "tok"))
+    kept = tokpos.join(cutpos, ["doc_id", "p"], "left_anti")
+    rew = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("rtext"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens_after"),
+    )
+    per = toked.select("doc_id", F.size("tk").cast("long").alias("n_tokens"))
+    return per.join(rew, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_tokens_after"), F.lit(0).cast("long")).alias(
+            "n_tokens_after"
+        ),
+        (
+            F.col("n_tokens")
+            - F.coalesce(F.col("n_tokens_after"), F.lit(0).cast("long"))
+        ).alias("n_tokens_cut"),
+        F.md5(F.coalesce(F.col("rtext"), F.lit(""))).alias("rewrite_sig"),
+    )
+
+
+QUERIES["dedup_span_rewrite"] = dedup_span_rewrite
+
+ORACLES["dedup_span_rewrite"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+        FROM documents
+    ),
+    occ AS (
+        SELECT doc_id, i, {md5_long_sql('g')} AS hs
+        FROM (
+            SELECT doc_id, i, {_KGRAM_SQL} AS g
+            FROM (SELECT doc_id, tk,
+                         unnest(range(1, len(tk) - {SPAN_K - 2})) AS i
+                  FROM toks)
+        )
+    ),
+    duph AS (
+        SELECT hs FROM (
+            SELECT hs, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY 1
+        ) WHERE df >= 2
+    ),
+    cut AS (
+        SELECT doc_id, i FROM (
+            SELECT doc_id, i,
+                   ROW_NUMBER() OVER (PARTITION BY hs ORDER BY doc_id, i)
+                       AS rn
+            FROM occ JOIN duph USING (hs)
+        ) WHERE rn > 1
+    ),
+    cutpos AS (
+        SELECT DISTINCT doc_id, unnest(range(i, i + {SPAN_K})) AS p
+        FROM cut
+    ),
+    tokpos AS (
+        SELECT doc_id, unnest(tk) AS tok,
+               unnest(range(1, len(tk) + 1)) AS p
+        FROM toks
+    ),
+    kept AS (
+        SELECT t.doc_id, t.p, t.tok
+        FROM tokpos t ANTI JOIN cutpos c
+          ON t.doc_id = c.doc_id AND t.p = c.p
+    ),
+    rew AS (
+        SELECT doc_id,
+               string_agg(tok, ' ' ORDER BY p) AS rtext,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens_after
+        FROM kept GROUP BY 1
+    ),
+    per AS (
+        SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks
+    )
+    SELECT p.doc_id, p.n_tokens,
+           CAST(COALESCE(r.n_tokens_after, 0) AS BIGINT) AS n_tokens_after,
+           CAST(p.n_tokens - COALESCE(r.n_tokens_after, 0) AS BIGINT)
+               AS n_tokens_cut,
+           md5(COALESCE(r.rtext, '')) AS rewrite_sig
+    FROM per p LEFT JOIN rew r USING (doc_id)
+"""
+
+
+HNSW_LVL1_MOD = 8  # ~1/8 of nodes reach layer 1 (md5-deterministic)
+HNSW_LVL2_MOD = 64  # ~1/64 reach layer 2
+
+
+def _hnsw_lvl(vid: Column) -> Column:
+    h = md5_long(vid.cast("string"))
+    return (
+        F.when(h % HNSW_LVL2_MOD == 0, F.lit(2))
+        .when(h % HNSW_LVL1_MOD == 0, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
+def ann_hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-layer greedy graph ANN — the HNSW descent (Malkov &
+    Yashunin 2018) that :func:`ann_graph_search`'s single-layer walk
+    lacks: a coarse top layer holds ~1/64 of the corpus, a middle
+    layer ~1/8, the base layer everything; each probe greedily walks
+    layer 2, then re-enters layer 1 at the settled node, then layer 0
+    — long-range moves happen on the sparse layers, so the base-layer
+    walk starts near its optimum and the total hop count drops (the
+    planted-corpus pytest pins hierarchical < flat hops).
+
+    Determinism contract: layer membership is md5(vec_id) modulo
+    (never randomness — the ``dataset_split_assign`` discipline), the
+    per-layer graphs are the SRP-band top-k of :func:`knn_graph`
+    restricted to nodes of that layer and above, every walk move
+    compares the same fold-ordered dot-product doubles both engines
+    compute, and strict improvement (ties stop) makes the DuckDB
+    recursive-CTE replay settle on the identical node per layer.
+
+    Scale shape: ONE banded candidate pass (checkpointed) feeds all
+    three layer graphs (three shrinking per-src top-k windows, each
+    bounded by the band buckets); the three move tables are keyed
+    equi-joins against the bounded probe broadcast; the walk state is
+    one row per probe and the descent is 3 bounded iterative loops
+    (the ``dedup_clusters`` checkpoint discipline). Entry point: the
+    min vec_id on the highest occupied layer — one min-of-struct
+    aggregate.
+    """
+    emb = spread(
+        table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings"
+    )
+    sig = _srp_sig()
+    nodes = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        _hnsw_lvl(F.col("vec_id")).alias("lvl"),
+    )
+    bands = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(F.substring(sig, 1, 8), F.substring(sig, 9, 8))
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("nbr"))
+        .dropDuplicates(["src", "nbr"])
+    )
+    va = nodes.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("s_emb"),
+        F.col("nrm").alias("s_nrm"),
+        F.col("lvl").alias("s_lvl"),
+    )
+    vb = nodes.select(
+        F.col("vec_id").alias("nbr"),
+        F.col("embedding").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+        F.col("lvl").alias("n_lvl"),
+    )
+    edge_cs = dot(F.col("s_emb"), F.col("n_emb")) / (
+        F.col("s_nrm") * F.col("n_nrm")
+    )
+    scored = (
+        cand.join(va, "src")
+        .join(vb, "nbr")
+        .select("src", "nbr", "s_lvl", "n_lvl", edge_cs.alias("ecs"))
+        .localCheckpoint(eager=True)
+    )
+    probes = nodes.filter(F.col("vec_id") < GS_N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p_emb"),
+        F.col("nrm").alias("p_nrm"),
+    )
+    nbr_vec = nodes.select(
+        F.col("vec_id").alias("nbr"),
+        F.col("embedding").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+    )
+    probe_cs = dot(F.col("p_emb"), F.col("n_emb")) / (
+        F.col("p_nrm") * F.col("n_nrm")
+    )
+    # entry: highest occupied layer, then min vec_id (one struct-min)
+    entry = (
+        nodes.filter(F.col("vec_id") >= GS_N_PROBES)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("lvl")).alias("nl"), F.col("vec_id").alias("vid")
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.vid").alias("entry_id"))
+    )
+    e_vec = nodes.select(
+        F.col("vec_id").alias("entry_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+    )
+    state = (
+        probes.join(F.broadcast(entry))
+        .join(e_vec, "entry_id")
+        .select(
+            "probe_id",
+            "entry_id",
+            F.col("entry_id").alias("cur"),
+            probe_cs.alias("cs"),
+            F.lit(0).alias("n_hops_l2"),
+            F.lit(0).alias("n_hops_l1"),
+            F.lit(0).alias("n_hops_l0"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wbest = Window.partitionBy("probe_id", "src").orderBy(
+        F.col("cs").desc(), F.col("nbr").asc()
+    )
+    wrank = Window.partitionBy("src").orderBy(
+        F.col("ecs").desc(), F.col("nbr").asc()
+    )
+    for lv in (2, 1, 0):
+        edges_l = (
+            scored.filter((F.col("s_lvl") >= lv) & (F.col("n_lvl") >= lv))
+            .select("src", "nbr", "ecs")
+            .withColumn("rank", F.row_number().over(wrank))
+            .filter(F.col("rank") <= KNN_K)
+            .select("src", "nbr")
+        )
+        best = (
+            edges_l.join(nbr_vec, "nbr")
+            .join(F.broadcast(probes))
+            .select("probe_id", "src", "nbr", probe_cs.alias("cs"))
+            .withColumn("rn", F.row_number().over(wbest))
+            .filter(F.col("rn") == 1)
+            .select(
+                "probe_id",
+                F.col("src").alias("cur"),
+                F.col("nbr").alias("best_nbr"),
+                F.col("cs").alias("best_cs"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        hop_col = f"n_hops_l{lv}"
+        for _ in range(GS_MAX_HOPS):
+            moved_cond = F.col("best_cs") > F.col("cs")
+            keep = [
+                c
+                for c in state.columns
+                if c not in ("cur", "cs", hop_col)
+            ]
+            stepped = (
+                state.join(best, ["probe_id", "cur"], "left")
+                .select(
+                    *keep,
+                    F.when(moved_cond, F.col("best_nbr"))
+                    .otherwise(F.col("cur"))
+                    .alias("cur"),
+                    F.when(moved_cond, F.col("best_cs"))
+                    .otherwise(F.col("cs"))
+                    .alias("cs"),
+                    (
+                        F.col(hop_col)
+                        + F.when(moved_cond, 1).otherwise(0)
+                    ).alias(hop_col),
+                    moved_cond.alias("_moved"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            moved = not stepped.filter(F.col("_moved")).isEmpty()
+            state = stepped.drop("_moved")
+            if not moved:
+                break
+    return state.select(
+        "probe_id",
+        "entry_id",
+        F.col("cur").alias("neighbor_id"),
+        pround(F.col("cs")).alias("cos_sim"),
+        F.col("n_hops_l2").cast("int").alias("n_hops_l2"),
+        F.col("n_hops_l1").cast("int").alias("n_hops_l1"),
+        F.col("n_hops_l0").cast("int").alias("n_hops_l0"),
+    )
+
+
+QUERIES["ann_hnsw_search"] = ann_hnsw_search
+
+_HNSW_LVL_SQL = (
+    f"CASE WHEN {md5_long_sql('CAST(vec_id AS VARCHAR)')} % {HNSW_LVL2_MOD} = 0"
+    f" THEN 2 WHEN {md5_long_sql('CAST(vec_id AS VARCHAR)')} % {HNSW_LVL1_MOD} = 0"
+    f" THEN 1 ELSE 0 END"
+)
+
+
+def _hnsw_layer_sql(lv: int) -> str:
+    return f"""
+    edges{lv} AS (
+        SELECT src, nbr FROM (
+            SELECT c.src, c.nbr, ROW_NUMBER() OVER (
+                PARTITION BY c.src
+                ORDER BY {dot_sql('sa.embedding', 'sb.embedding')}
+                         / (sa.nrm * sb.nrm) DESC, c.nbr ASC) AS rank
+            FROM cand c
+            JOIN sig sa ON c.src = sa.vec_id
+            JOIN sig sb ON c.nbr = sb.vec_id
+            WHERE sa.lvl >= {lv} AND sb.lvl >= {lv}
+        ) WHERE rank <= {KNN_K}
+    ),
+    best{lv} AS (
+        SELECT probe_id, src AS cur, nbr AS best_nbr, cs AS best_cs
+        FROM (
+            SELECT p.probe_id, e.src, e.nbr,
+                   {dot_sql('p.p_emb', 'nv.embedding')} / (p.p_nrm * nv.nrm)
+                       AS cs,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.probe_id, e.src
+                       ORDER BY {dot_sql('p.p_emb', 'nv.embedding')}
+                                / (p.p_nrm * nv.nrm) DESC, e.nbr ASC
+                   ) AS rn
+            FROM edges{lv} e
+            JOIN sig nv ON e.nbr = nv.vec_id
+            CROSS JOIN probes p
+        ) WHERE rn = 1
+    )"""
+
+
+ORACLES["ann_hnsw_search"] = f"""
+    WITH RECURSIVE sig AS (
+        SELECT vec_id, embedding,
+               sqrt({dot_sql('embedding', 'embedding')}) AS nrm,
+               {_HNSW_LVL_SQL} AS lvl,
+               {_SRP_SIG_SQL} AS s
+        FROM embeddings
+    ),
+    bands AS (
+        SELECT vec_id, substr(s, 1, 8) AS band0, substr(s, 9, 8) AS band1
+        FROM sig
+    ),
+    cand AS (
+        SELECT a.vec_id AS src, b.vec_id AS nbr
+        FROM bands a JOIN bands b
+          ON a.band0 = b.band0 AND a.vec_id <> b.vec_id
+        UNION
+        SELECT a.vec_id AS src, b.vec_id AS nbr
+        FROM bands a JOIN bands b
+          ON a.band1 = b.band1 AND a.vec_id <> b.vec_id
+    ),
+    probes AS (
+        SELECT vec_id AS probe_id, embedding AS p_emb, nrm AS p_nrm
+        FROM sig WHERE vec_id < {GS_N_PROBES}
+    ),
+    entry AS (
+        SELECT vec_id AS entry_id FROM sig
+        WHERE vec_id >= {GS_N_PROBES}
+        ORDER BY lvl DESC, vec_id ASC LIMIT 1
+    ),{_hnsw_layer_sql(2)},{_hnsw_layer_sql(1)},{_hnsw_layer_sql(0)},
+    walk2(probe_id, entry_id, cur, cs, h) AS (
+        SELECT p.probe_id, e.entry_id, e.entry_id,
+               {dot_sql('p.p_emb', 'ev.embedding')} / (p.p_nrm * ev.nrm), 0
+        FROM probes p, entry e
+        JOIN sig ev ON e.entry_id = ev.vec_id
+        UNION ALL
+        SELECT w.probe_id, w.entry_id, b.best_nbr, b.best_cs, w.h + 1
+        FROM walk2 w JOIN best2 b
+          ON b.probe_id = w.probe_id AND b.cur = w.cur
+        WHERE b.best_cs > w.cs AND w.h < {GS_MAX_HOPS}
+    ),
+    settle2 AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY probe_id ORDER BY h DESC) AS rn
+            FROM walk2
+        ) WHERE rn = 1
+    ),
+    walk1(probe_id, entry_id, cur, cs, h) AS (
+        SELECT probe_id, entry_id, cur, cs, 0 FROM settle2
+        UNION ALL
+        SELECT w.probe_id, w.entry_id, b.best_nbr, b.best_cs, w.h + 1
+        FROM walk1 w JOIN best1 b
+          ON b.probe_id = w.probe_id AND b.cur = w.cur
+        WHERE b.best_cs > w.cs AND w.h < {GS_MAX_HOPS}
+    ),
+    settle1 AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY probe_id ORDER BY h DESC) AS rn
+            FROM walk1
+        ) WHERE rn = 1
+    ),
+    walk0(probe_id, entry_id, cur, cs, h) AS (
+        SELECT probe_id, entry_id, cur, cs, 0 FROM settle1
+        UNION ALL
+        SELECT w.probe_id, w.entry_id, b.best_nbr, b.best_cs, w.h + 1
+        FROM walk0 w JOIN best0 b
+          ON b.probe_id = w.probe_id AND b.cur = w.cur
+        WHERE b.best_cs > w.cs AND w.h < {GS_MAX_HOPS}
+    ),
+    settle0 AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY probe_id ORDER BY h DESC) AS rn
+            FROM walk0
+        ) WHERE rn = 1
+    )
+    SELECT s0.probe_id, s0.entry_id, s0.cur AS neighbor_id,
+           {pround_sql('s0.cs')} AS cos_sim,
+           CAST(s2.h AS INTEGER) AS n_hops_l2,
+           CAST(s1.h AS INTEGER) AS n_hops_l1,
+           CAST(s0.h AS INTEGER) AS n_hops_l0
+    FROM settle0 s0
+    JOIN settle1 s1 ON s0.probe_id = s1.probe_id
+    JOIN settle2 s2 ON s0.probe_id = s2.probe_id
 """

@@ -1,4 +1,4 @@
-"""10x scale replay for the pair-join families (VERDICT r9 item 4).
+"""Nx scale replay (SPARK_GRAFT_SCALE_REPLICAS, default 10) for the pair-join families (VERDICT r9 item 4).
 
 Builds a builder-owned 10x-replicated copy of events / documents /
 embeddings (never touching the read-only /root/testdata) and measures
@@ -37,8 +37,8 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
 SF1 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-SCALE_DIR = os.path.join(HERE, ".scale10")
-REPLICAS = 10
+REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
+SCALE_DIR = os.path.join(HERE, f".scale{REPLICAS}")
 
 # The most expensive budgeted keys whose inputs are events/documents/
 # embeddings (BASELINE_BUDGET.json, r10 freeze) + the capped
@@ -180,10 +180,10 @@ def main() -> None:
     for k in keys:
         t1 = best_of(qs[k], SF1)
         t10 = best_of(qs[k], SCALE_DIR)
-        alpha = math.log10(t10 / t1)
+        alpha = math.log(t10 / t1) / math.log(REPLICAS)
         table[k] = {
             "t_1x_sec": round(t1, 3),
-            "t_10x_sec": round(t10, 3),
+            "t_nx_sec": round(t10, 3),
             "alpha": round(alpha, 3),
         }
         print(json.dumps({k: table[k]}), flush=True)
