@@ -65,6 +65,7 @@ _GATE_FIRST = [
     "dedup_cluster_modularity",
     "dedup_span_rewrite",
     "ann_hnsw_search",
+    "self_repetition_truncate",
     # --- (e) longest-since-gated fill (last green row r4)
     "congestion_classify",
     "zone_analytics",
@@ -91,7 +92,6 @@ _GATE_FIRST = [
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
     "q22_global_sales_opportunity",
-    "lang_id",
 ]
 
 # Entries that can never hash-match (no oracle_sql twin by documented

@@ -5518,3 +5518,113 @@ ORACLES["ann_hnsw_search"] = f"""
     JOIN settle1 s1 ON s0.probe_id = s1.probe_id
     JOIN settle2 s2 ON s0.probe_id = s2.probe_id
 """
+
+
+def self_repetition_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repetition truncation — the self-repetition
+    companion to :func:`dedup_span_rewrite` (which only cuts CROSS-doc
+    duplication): generated/boilerplated text that starts looping is
+    cut at the first position whose 8-token window already occurred
+    earlier in the SAME document (the "stop at first repeated n-gram"
+    rule degeneration filters apply to model output and crawl spam
+    alike). Everything before the first repeat survives; untruncated
+    docs pass through whole. The kept text is md5-certified next to
+    exact before/after token counts.
+
+    Shape: positional shingle explode → per-(doc, shingle) min-pos +
+    count aggregate (map-side combine) → second-occurrence positions
+    by one join back (pos > first_pos) → per-doc min — three keyed
+    shuffles, all linear. Reassembly is a pure ``slice`` on the token
+    array (no re-explode): the truncation point IS the kept-token
+    count, so both engines slice and join the identical prefix.
+    """
+    docs = spread(
+        table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents"
+    )
+    toked = docs.select("doc_id", _ws_tokens(F.col("text")).alias("tk"))
+    occ = (
+        docs.select(
+            "doc_id",
+            F.posexplode_outer(_kgram_hashes(F.col("text"), SPAN_K)).alias(
+                "pos", "hs"
+            ),
+        )
+        .filter(F.col("hs").isNotNull())
+    )
+    firsts = (
+        occ.groupBy("doc_id", "hs")
+        .agg(F.min("pos").alias("first_pos"), F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+    )
+    trunc = (
+        occ.join(firsts, ["doc_id", "hs"])
+        .filter(F.col("pos") > F.col("first_pos"))
+        .groupBy("doc_id")
+        # 0-based position of the first repeated window == kept count
+        .agg(F.min("pos").cast("long").alias("n_keep"))
+    )
+    kept = toked.join(trunc, "doc_id", "left").select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.col("n_keep").isNotNull().alias("truncated"),
+        F.coalesce(F.col("n_keep"), F.size("tk").cast("long")).alias(
+            "n_tokens_after"
+        ),
+        F.array_join(
+            F.slice(
+                F.col("tk"),
+                F.lit(1),
+                F.coalesce(F.col("n_keep"), F.size("tk").cast("long")).cast(
+                    "int"
+                ),
+            ),
+            " ",
+        ).alias("ktext"),
+    )
+    return kept.select(
+        "doc_id",
+        "n_tokens",
+        "truncated",
+        "n_tokens_after",
+        F.md5(F.col("ktext")).alias("trunc_sig"),
+    )
+
+
+QUERIES["self_repetition_truncate"] = self_repetition_truncate
+
+ORACLES["self_repetition_truncate"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+        FROM documents
+    ),
+    occ AS (
+        SELECT doc_id, i, {md5_long_sql('g')} AS hs
+        FROM (
+            SELECT doc_id, i, {_KGRAM_SQL} AS g
+            FROM (SELECT doc_id, tk,
+                         unnest(range(1, len(tk) - {SPAN_K - 2})) AS i
+                  FROM toks)
+        )
+    ),
+    firsts AS (
+        SELECT doc_id, hs, MIN(i) AS first_i
+        FROM occ GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    trunc AS (
+        -- 1-based position of the first repeated window; kept-token
+        -- count is that position minus 1 (== the Spark 0-based pos)
+        SELECT o.doc_id, CAST(MIN(o.i) - 1 AS BIGINT) AS n_keep
+        FROM occ o JOIN firsts f
+          ON o.doc_id = f.doc_id AND o.hs = f.hs AND o.i > f.first_i
+        GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           tr.n_keep IS NOT NULL AS truncated,
+           COALESCE(tr.n_keep, CAST(len(t.tk) AS BIGINT)) AS n_tokens_after,
+           md5(array_to_string(
+               t.tk[1:CAST(COALESCE(tr.n_keep, len(t.tk)) AS INTEGER)], ' '
+           )) AS trunc_sig
+    FROM toks t LEFT JOIN trunc tr USING (doc_id)
+"""
