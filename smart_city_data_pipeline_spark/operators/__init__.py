@@ -66,6 +66,8 @@ _GATE_FIRST = [
     "dedup_span_rewrite",
     "ann_hnsw_search",
     "self_repetition_truncate",
+    "hnsw_layer_stats",
+    "dedup_remediation_funnel",
     # --- (e) longest-since-gated fill (last green row r4)
     "congestion_classify",
     "zone_analytics",
@@ -90,8 +92,6 @@ _GATE_FIRST = [
     "q7_volume_shipping",
     "q10_returned_items",
     "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q22_global_sales_opportunity",
 ]
 
 # Entries that can never hash-match (no oracle_sql twin by documented

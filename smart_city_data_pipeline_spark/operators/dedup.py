@@ -5628,3 +5628,271 @@ ORACLES["self_repetition_truncate"] = f"""
            )) AS trunc_sig
     FROM toks t LEFT JOIN trunc tr USING (doc_id)
 """
+
+
+def hnsw_layer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layer-structure report for :func:`ann_hnsw_search` — the
+    planner/observability readout an index build ships next to the
+    index (the ``lsh_banding_planner`` convention): per layer, how many
+    nodes the md5 assignment promoted, how many top-k edges the
+    restricted SRP-band graph kept, how many sources have any edge, and
+    the mean out-degree. A layer whose node count or degree collapses
+    flags a descent that will settle early (too sparse) or walk long
+    (too dense) BEFORE the search runs.
+
+    Shape: the candidate pass is computed once (same banded join as
+    the search); each layer is one filter + per-src top-k window + one
+    single-row aggregate — exact integers, one pround'd division.
+    """
+    emb = spread(
+        table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings"
+    )
+    sig = _srp_sig()
+    nodes = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        _hnsw_lvl(F.col("vec_id")).alias("lvl"),
+    )
+    bands = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(F.substring(sig, 1, 8), F.substring(sig, 9, 8))
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("nbr"))
+        .dropDuplicates(["src", "nbr"])
+    )
+    va = nodes.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("s_emb"),
+        F.col("nrm").alias("s_nrm"),
+        F.col("lvl").alias("s_lvl"),
+    )
+    vb = nodes.select(
+        F.col("vec_id").alias("nbr"),
+        F.col("embedding").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+        F.col("lvl").alias("n_lvl"),
+    )
+    edge_cs = dot(F.col("s_emb"), F.col("n_emb")) / (
+        F.col("s_nrm") * F.col("n_nrm")
+    )
+    scored = (
+        cand.join(va, "src")
+        .join(vb, "nbr")
+        .select("src", "nbr", "s_lvl", "n_lvl", edge_cs.alias("ecs"))
+        .localCheckpoint(eager=True)
+    )
+    wrank = Window.partitionBy("src").orderBy(
+        F.col("ecs").desc(), F.col("nbr").asc()
+    )
+    per_layer = []
+    for lv in (0, 1, 2):
+        n_nodes = nodes.filter(F.col("lvl") >= lv).agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes")
+        )
+        edges_l = (
+            scored.filter((F.col("s_lvl") >= lv) & (F.col("n_lvl") >= lv))
+            .withColumn("rank", F.row_number().over(wrank))
+            .filter(F.col("rank") <= KNN_K)
+        )
+        e_agg = edges_l.agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.countDistinct("src").cast("long").alias("n_srcs"),
+        )
+        per_layer.append(
+            n_nodes.join(e_agg)
+            .select(
+                F.lit(lv).cast("int").alias("lvl"),
+                "n_nodes",
+                "n_edges",
+                "n_srcs",
+                F.when(
+                    F.col("n_nodes") > 0,
+                    pround(
+                        F.col("n_edges").cast("double")
+                        / F.col("n_nodes").cast("double")
+                    ),
+                ).alias("avg_out_degree"),
+            )
+        )
+    out = per_layer[0]
+    for df in per_layer[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+QUERIES["hnsw_layer_stats"] = hnsw_layer_stats
+
+
+def _hnsw_stats_layer_sql(lv: int) -> str:
+    return f"""
+    SELECT CAST({lv} AS INTEGER) AS lvl,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM sig WHERE lvl >= {lv})
+               AS n_nodes,
+           CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(COUNT(DISTINCT src) AS BIGINT) AS n_srcs,
+           CASE WHEN (SELECT COUNT(*) FROM sig WHERE lvl >= {lv}) > 0 THEN
+               {pround_sql(
+                   "CAST(COUNT(*) AS DOUBLE) / "
+                   f"(SELECT CAST(COUNT(*) AS DOUBLE) FROM sig WHERE lvl >= {lv})"
+               )}
+           END AS avg_out_degree
+    FROM (
+        SELECT src, nbr FROM (
+            SELECT c.src, c.nbr, ROW_NUMBER() OVER (
+                PARTITION BY c.src
+                ORDER BY {dot_sql('sa.embedding', 'sb.embedding')}
+                         / (sa.nrm * sb.nrm) DESC, c.nbr ASC) AS rank
+            FROM cand c
+            JOIN sig sa ON c.src = sa.vec_id
+            JOIN sig sb ON c.nbr = sb.vec_id
+            WHERE sa.lvl >= {lv} AND sb.lvl >= {lv}
+        ) WHERE rank <= {KNN_K}
+    )"""
+
+
+ORACLES["hnsw_layer_stats"] = f"""
+    WITH sig AS (
+        SELECT vec_id, embedding,
+               sqrt({dot_sql('embedding', 'embedding')}) AS nrm,
+               {_HNSW_LVL_SQL} AS lvl,
+               {_SRP_SIG_SQL} AS s
+        FROM embeddings
+    ),
+    bands AS (
+        SELECT vec_id, substr(s, 1, 8) AS band0, substr(s, 9, 8) AS band1
+        FROM sig
+    ),
+    cand AS (
+        SELECT a.vec_id AS src, b.vec_id AS nbr
+        FROM bands a JOIN bands b
+          ON a.band0 = b.band0 AND a.vec_id <> b.vec_id
+        UNION
+        SELECT a.vec_id AS src, b.vec_id AS nbr
+        FROM bands a JOIN bands b
+          ON a.band1 = b.band1 AND a.vec_id <> b.vec_id
+    )
+    {_hnsw_stats_layer_sql(0)}
+    UNION ALL
+    {_hnsw_stats_layer_sql(1)}
+    UNION ALL
+    {_hnsw_stats_layer_sql(2)}
+"""
+
+
+def dedup_remediation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source remediation funnel — the one-table answer to "where
+    would our tokens go if we ran the dedup stack?": exact-duplicate
+    docs drop whole (stage 1), then the exact-dedup SURVIVORS are
+    measured for cross-doc span-cut tokens (:func:`dedup_span_rewrite`)
+    and within-doc self-repetition tokens
+    (:func:`self_repetition_truncate`). The two survivor signals are
+    each reported per their OWN operator's semantics — positions can
+    overlap between them, so the closing share is explicitly an UPPER
+    BOUND diagnostic (`remediated_share_ub`), not a byte-exact replay
+    of a staged pipeline.
+
+    Shape: the three per-doc remediation outputs (each linear, see
+    their own docstrings) joined doc-keyed to the source column, one
+    grouped aggregate of exact integers, one pround'd division.
+    """
+    docs = spread(
+        table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents"
+    ).select("doc_id", "source")
+    ex = dedup_exact(spark, sf_dir).select("doc_id", "is_duplicate")
+    sp = dedup_span_rewrite(spark, sf_dir).select(
+        "doc_id", "n_tokens", "n_tokens_cut"
+    )
+    sr = self_repetition_truncate(spark, sf_dir).select(
+        "doc_id",
+        (F.col("n_tokens") - F.col("n_tokens_after")).alias("tok_self"),
+    )
+    dup = F.col("is_duplicate")
+    joined = (
+        docs.join(ex, "doc_id").join(sp, "doc_id").join(sr, "doc_id")
+    )
+    agg = joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(F.when(dup, 1).otherwise(0)).cast("long").alias("docs_exact_dup"),
+        F.sum(F.when(dup, F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("tok_exact_dup"),
+        F.sum(F.when(~dup, F.col("n_tokens_cut")).otherwise(0))
+        .cast("long")
+        .alias("tok_span_cut"),
+        F.sum(F.when(~dup, F.col("tok_self")).otherwise(0))
+        .cast("long")
+        .alias("tok_self_repeat"),
+    )
+    total_cut = (
+        F.col("tok_exact_dup") + F.col("tok_span_cut") + F.col("tok_self_repeat")
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "docs_exact_dup",
+        "tok_exact_dup",
+        "tok_span_cut",
+        "tok_self_repeat",
+        F.when(
+            F.col("n_tokens") > 0,
+            pround(total_cut.cast("double") / F.col("n_tokens").cast("double")),
+        ).alias("remediated_share_ub"),
+    )
+
+
+QUERIES["dedup_remediation_funnel"] = dedup_remediation_funnel
+
+ORACLES["dedup_remediation_funnel"] = f"""
+    WITH ex AS ({{exact_sql}}),
+    sp AS ({{span_sql}}),
+    sr AS ({{selfrep_sql}}),
+    j AS (
+        SELECT d.source, ex.is_duplicate, sp.n_tokens, sp.n_tokens_cut,
+               sr.n_tokens - sr.n_tokens_after AS tok_self
+        FROM documents d
+        JOIN ex ON d.doc_id = ex.doc_id
+        JOIN sp ON d.doc_id = sp.doc_id
+        JOIN sr ON d.doc_id = sr.doc_id
+    ),
+    agg AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN is_duplicate THEN 1 ELSE 0 END) AS BIGINT)
+                   AS docs_exact_dup,
+               CAST(SUM(CASE WHEN is_duplicate THEN n_tokens ELSE 0 END)
+                    AS BIGINT) AS tok_exact_dup,
+               CAST(SUM(CASE WHEN NOT is_duplicate THEN n_tokens_cut
+                             ELSE 0 END) AS BIGINT) AS tok_span_cut,
+               CAST(SUM(CASE WHEN NOT is_duplicate THEN tok_self
+                             ELSE 0 END) AS BIGINT) AS tok_self_repeat
+        FROM j GROUP BY 1
+    )
+    SELECT source, n_docs, n_tokens, docs_exact_dup, tok_exact_dup,
+           tok_span_cut, tok_self_repeat,
+           CASE WHEN n_tokens > 0 THEN
+               {pround_sql(
+                   'CAST(tok_exact_dup + tok_span_cut + tok_self_repeat'
+                   ' AS DOUBLE) / CAST(n_tokens AS DOUBLE)'
+               )}
+           END AS remediated_share_ub
+    FROM agg
+"""
+ORACLES["dedup_remediation_funnel"] = ORACLES["dedup_remediation_funnel"].format(
+    exact_sql=ORACLES["dedup_exact"],
+    span_sql=ORACLES["dedup_span_rewrite"],
+    selfrep_sql=ORACLES["self_repetition_truncate"],
+)
