@@ -103,6 +103,8 @@ BNLJ_ALLOWED = {
     # zone × digit completion join; constant cost at any scale)
     "retention_cost_curve",  # 1-row max-day + 4-row window literal
     # broadcasts over the bounded day-partition table
+    "hnsw_layer_stats",  # three 1-row x 1-row joins (layer node
+    # count x edge aggregate); constant cost at any scale
     "dedup_threshold_sweep",  # 7-row threshold literal broadcast over
     # the inverted-index pair table (the k-curve shape)
     "k_anonymity_audit",  # 4-row k-threshold literal broadcast over
