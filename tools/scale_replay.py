@@ -11,11 +11,15 @@ Replication is HONEST about duplicate density — naive row copies would
 make every document an exact 10-way duplicate and every pair operator
 quadratically MORE work than a real 10x corpus:
 
-- documents: replica k suffixes every whitespace token with ``_k``, so
-  replicas share no shingles with each other or the original — the
-  planted near-dup structure repeats once per replica and the true
-  pair count scales exactly 10x (linear), like a real crawl that grew
-  10x.
+- documents: replica k applies a bijective substitution cipher
+  (letters rotated k mod 26, digits k mod 10), so each replica is an
+  exact isomorph of the original (same token lengths, prefix blocks,
+  duplicate structure, edit distances) sharing no shingles with other
+  replicas — the planted near-dup structure repeats once per replica
+  and the true pair workload scales exactly Nx (linear), like a real
+  crawl that grew Nx. (r10 used ``_k`` token suffixes; those extra
+  chars blunted prefix blocks and inflated length-sensitive keys —
+  ROUND_NOTES_r11 quantifies the artifact.)
 - embeddings: replica k rolls the float array k positions (norms and
   within-replica geometry preserved exactly, cross-replica cosines
   scrambled) and offsets the label space, so blocked pair counts scale
@@ -80,27 +84,50 @@ def build_scale_dir() -> str:
 
     os.makedirs(SCALE_DIR, exist_ok=True)
     marker = os.path.join(SCALE_DIR, ".built_from")
-    stamp = f"{SF1}:{REPLICAS}"
+    stamp = f"{SF1}:{REPLICAS}:cipher2"
     if os.path.exists(marker) and open(marker).read() == stamp:
         return SCALE_DIR
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 8}")
+    # Replica k applies a bijective per-replica substitution cipher
+    # (letters rotated k mod 26, digits k mod 10; unique pair for every
+    # k < 130): each replica is an exact ISOMORPH of the original —
+    # same token lengths, same prefix-block sizes, same within-replica
+    # duplicate/shingle structure, same per-pair edit distances — while
+    # replicas share no tokens/shingles with each other or the original
+    # (up to the vanishing chance of whole token SEQUENCES being mutual
+    # rotations). This replaces the r10 `_k`-suffix transform, whose
+    # extra characters lengthened strings and blunted 12-char prefix
+    # blocks, inflating length-sensitive keys superlinearly (the
+    # dedup_levenshtein 30x artifact quantified in ROUND_NOTES_r11).
+    import string
+
+    max_doc = con.execute(
+        f"SELECT MAX(doc_id) + 1 FROM read_parquet('{SF1}/documents.parquet')"
+    ).fetchone()[0]
+    src_chars = string.ascii_lowercase + string.digits
+
+    def _dst_chars(k: int) -> str:
+        # k < 26: rotations; k >= 26: rotations of the REVERSED
+        # alphabet (a reversal is never a rotation), so every replica
+        # up to 52 gets a distinct letter bijection even for corpora
+        # with no digits (rotation alone repeats at k = 26).
+        lt = string.ascii_lowercase if k < 26 else string.ascii_lowercase[::-1]
+        dg = string.digits if k < 10 else string.digits[::-1]
+        r, q = k % 26, k % 10
+        return lt[r:] + lt[:r] + dg[q:] + dg[:q]
+
+    arms = "\n            UNION ALL\n            ".join(
+        f"""SELECT doc_id + {k} * {max_doc} AS doc_id,
+                   translate(text, '{src_chars}', '{_dst_chars(k)}') AS text,
+                   lang, source, n_chars
+            FROM read_parquet('{SF1}/documents.parquet')"""
+        for k in range(REPLICAS)
+    )
     con.execute(
         f"""
         COPY (
-            SELECT doc_id + k * (SELECT MAX(doc_id) + 1 FROM
-                       read_parquet('{SF1}/documents.parquet')) AS doc_id,
-                   CASE WHEN k = 0 THEN text
-                        ELSE regexp_replace(text, '(\\S+)',
-                                            '\\1_' || k, 'g')
-                   END AS text,
-                   lang, source,
-                   CASE WHEN k = 0 THEN n_chars
-                        ELSE length(regexp_replace(text, '(\\S+)',
-                                                   '\\1_' || k, 'g'))
-                   END AS n_chars
-            FROM read_parquet('{SF1}/documents.parquet'),
-                 range({REPLICAS}) t(k)
+            {arms}
         ) TO '{SCALE_DIR}/documents.parquet' (FORMAT PARQUET)
         """
     )
