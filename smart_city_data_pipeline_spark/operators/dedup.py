@@ -1181,10 +1181,14 @@ def star_cc_labels(
         new_ids = _persistent_ids() - pre_ids
         # Fixpoint probe: the star map is idempotent exactly on star
         # forests, so set-equality of consecutive edge sets is the
-        # convergence certificate (both sides are distinct sets, so
-        # mutual exceptAll-emptiness is full equality).
+        # convergence certificate. Both sides are DISTINCT sets, so
+        # |stepped| == |edges| plus one-directional exceptAll-emptiness
+        # proves full equality — the counts are near-free scans of the
+        # two materialized checkpoints, replacing the second anti-join
+        # the first probe spelling paid every round (r11 review).
         converged = (
-            stepped.exceptAll(edges).isEmpty() and edges.exceptAll(stepped).isEmpty()
+            stepped.count() == edges.count()
+            and stepped.exceptAll(edges).isEmpty()
         )
         jmap = jsc.getPersistentRDDs()
         for rid in live_ids:
@@ -5202,33 +5206,15 @@ def _hnsw_lvl(vid: Column) -> Column:
     )
 
 
-def ann_hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-layer greedy graph ANN — the HNSW descent (Malkov &
-    Yashunin 2018) that :func:`ann_graph_search`'s single-layer walk
-    lacks: a coarse top layer holds ~1/64 of the corpus, a middle
-    layer ~1/8, the base layer everything; each probe greedily walks
-    layer 2, then re-enters layer 1 at the settled node, then layer 0
-    — long-range moves happen on the sparse layers, so the base-layer
-    walk starts near its optimum and the total hop count drops (the
-    planted-corpus pytest pins hierarchical < flat hops).
-
-    Determinism contract: layer membership is md5(vec_id) modulo
-    (never randomness — the ``dataset_split_assign`` discipline), the
-    per-layer graphs are the SRP-band top-k of :func:`knn_graph`
-    restricted to nodes of that layer and above, every walk move
-    compares the same fold-ordered dot-product doubles both engines
-    compute, and strict improvement (ties stop) makes the DuckDB
-    recursive-CTE replay settle on the identical node per layer.
-
-    Scale shape: ONE banded candidate pass (checkpointed) feeds all
-    three layer graphs (three shrinking per-src top-k windows, each
-    bounded by the band buckets); the three move tables are keyed
-    equi-joins against the bounded probe broadcast; the walk state is
-    one row per probe and the descent is 3 bounded iterative loops
-    (the ``dedup_clusters`` checkpoint discipline). Entry point: the
-    min vec_id on the highest occupied layer — one min-of-struct
-    aggregate.
-    """
+def _hnsw_graph_parts(spark: SparkSession, sf_dir: str):
+    """Shared candidate-graph construction for the HNSW family —
+    ``ann_hnsw_search`` WALKS this graph and ``hnsw_layer_stats``
+    DESCRIBES it, so both must be built from the one spelling (r11
+    review: a drifted copy would make the planner readout describe a
+    different graph than the search walks). Returns ``(nodes,
+    scored)``: per-vector (embedding, norm, md5 layer) and the
+    checkpointed deduped SRP-band candidate edges scored by exact
+    cosine with both endpoints' layers attached."""
     emb = spread(
         table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings"
     )
@@ -5277,6 +5263,37 @@ def ann_hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "nbr", "s_lvl", "n_lvl", edge_cs.alias("ecs"))
         .localCheckpoint(eager=True)
     )
+    return nodes, scored
+
+
+def ann_hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-layer greedy graph ANN — the HNSW descent (Malkov &
+    Yashunin 2018) that :func:`ann_graph_search`'s single-layer walk
+    lacks: a coarse top layer holds ~1/64 of the corpus, a middle
+    layer ~1/8, the base layer everything; each probe greedily walks
+    layer 2, then re-enters layer 1 at the settled node, then layer 0
+    — long-range moves happen on the sparse layers, so the base-layer
+    walk starts near its optimum and the total hop count drops (the
+    planted-corpus pytest pins hierarchical < flat hops).
+
+    Determinism contract: layer membership is md5(vec_id) modulo
+    (never randomness — the ``dataset_split_assign`` discipline), the
+    per-layer graphs are the SRP-band top-k of :func:`knn_graph`
+    restricted to nodes of that layer and above, every walk move
+    compares the same fold-ordered dot-product doubles both engines
+    compute, and strict improvement (ties stop) makes the DuckDB
+    recursive-CTE replay settle on the identical node per layer.
+
+    Scale shape: ONE banded candidate pass (checkpointed) feeds all
+    three layer graphs (three shrinking per-src top-k windows, each
+    bounded by the band buckets); the three move tables are keyed
+    equi-joins against the bounded probe broadcast; the walk state is
+    one row per probe and the descent is 3 bounded iterative loops
+    (the ``dedup_clusters`` checkpoint discipline). Entry point: the
+    min vec_id on the highest occupied layer — one min-of-struct
+    aggregate.
+    """
+    nodes, scored = _hnsw_graph_parts(spark, sf_dir)
     probes = nodes.filter(F.col("vec_id") < GS_N_PROBES).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("p_emb"),
@@ -5399,10 +5416,10 @@ _HNSW_LVL_SQL = (
 )
 
 
-def _hnsw_layer_sql(lv: int) -> str:
-    return f"""
-    edges{lv} AS (
-        SELECT src, nbr FROM (
+def _hnsw_edges_sql(lv: int) -> str:
+    """The per-layer top-k edge subquery — the ONE spelling shared by
+    the search oracle (walks it) and the stats oracle (describes it)."""
+    return f"""SELECT src, nbr FROM (
             SELECT c.src, c.nbr, ROW_NUMBER() OVER (
                 PARTITION BY c.src
                 ORDER BY {dot_sql('sa.embedding', 'sb.embedding')}
@@ -5411,7 +5428,13 @@ def _hnsw_layer_sql(lv: int) -> str:
             JOIN sig sa ON c.src = sa.vec_id
             JOIN sig sb ON c.nbr = sb.vec_id
             WHERE sa.lvl >= {lv} AND sb.lvl >= {lv}
-        ) WHERE rank <= {KNN_K}
+        ) WHERE rank <= {KNN_K}"""
+
+
+def _hnsw_layer_sql(lv: int) -> str:
+    return f"""
+    edges{lv} AS (
+        {_hnsw_edges_sql(lv)}
     ),
     best{lv} AS (
         SELECT probe_id, src AS cur, nbr AS best_nbr, cs AS best_cs
@@ -5644,54 +5667,7 @@ def hnsw_layer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the search); each layer is one filter + per-src top-k window + one
     single-row aggregate — exact integers, one pround'd division.
     """
-    emb = spread(
-        table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings"
-    )
-    sig = _srp_sig()
-    nodes = emb.select(
-        "vec_id",
-        "embedding",
-        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
-        _hnsw_lvl(F.col("vec_id")).alias("lvl"),
-    )
-    bands = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.array(F.substring(sig, 1, 8), F.substring(sig, 9, 8))
-        ).alias("band_idx", "band_val"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("nbr"))
-        .dropDuplicates(["src", "nbr"])
-    )
-    va = nodes.select(
-        F.col("vec_id").alias("src"),
-        F.col("embedding").alias("s_emb"),
-        F.col("nrm").alias("s_nrm"),
-        F.col("lvl").alias("s_lvl"),
-    )
-    vb = nodes.select(
-        F.col("vec_id").alias("nbr"),
-        F.col("embedding").alias("n_emb"),
-        F.col("nrm").alias("n_nrm"),
-        F.col("lvl").alias("n_lvl"),
-    )
-    edge_cs = dot(F.col("s_emb"), F.col("n_emb")) / (
-        F.col("s_nrm") * F.col("n_nrm")
-    )
-    scored = (
-        cand.join(va, "src")
-        .join(vb, "nbr")
-        .select("src", "nbr", "s_lvl", "n_lvl", edge_cs.alias("ecs"))
-        .localCheckpoint(eager=True)
-    )
+    nodes, scored = _hnsw_graph_parts(spark, sf_dir)
     wrank = Window.partitionBy("src").orderBy(
         F.col("ecs").desc(), F.col("nbr").asc()
     )
@@ -5748,16 +5724,7 @@ def _hnsw_stats_layer_sql(lv: int) -> str:
                )}
            END AS avg_out_degree
     FROM (
-        SELECT src, nbr FROM (
-            SELECT c.src, c.nbr, ROW_NUMBER() OVER (
-                PARTITION BY c.src
-                ORDER BY {dot_sql('sa.embedding', 'sb.embedding')}
-                         / (sa.nrm * sb.nrm) DESC, c.nbr ASC) AS rank
-            FROM cand c
-            JOIN sig sa ON c.src = sa.vec_id
-            JOIN sig sb ON c.nbr = sb.vec_id
-            WHERE sa.lvl >= {lv} AND sb.lvl >= {lv}
-        ) WHERE rank <= {KNN_K}
+        {_hnsw_edges_sql(lv)}
     )"""
 
 

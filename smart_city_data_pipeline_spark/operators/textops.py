@@ -6383,14 +6383,22 @@ def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (n * (n - F.lit(1.0)))
     )
     sh = F.when(F.col("n_docs") > 1, F.sqrt(var)).otherwise(F.lit(0.0))
-    # Quantize each stratum's Neyman weight N_h·S_h ONCE to the 2^20
-    # grid; the total is then an exact INTEGER sum (order-independent
-    # across Spark partial aggregation and DuckDB's scan) and the
-    # FLOOR'd allocation is pure integer arithmetic — a raw-double tw
-    # could differ by 1 ulp between engines and flip the floor
-    # (ADVICE r10).
-    ney_q = F.lit(1048576.0)  # 2^20 weight grid
-    wq = F.floor(n * sh * ney_q + F.lit(0.5)).cast(d)
+    # Quantize each stratum's S_h ONCE to the 2^20 grid, then build the
+    # Neyman weight as the EXACT integer product n_docs × S_h_q in
+    # DECIMAL(38,0); the total is then an exact INTEGER sum
+    # (order-independent across Spark partial aggregation and DuckDB's
+    # scan) and the FLOOR'd allocation is pure integer arithmetic — a
+    # raw-double tw could differ by 1 ulp between engines and flip the
+    # floor (ADVICE r10). Quantizing S_h (not n·S_h) keeps the floor'd
+    # double inside LongType at ANY corpus size: Spark's floor(double)
+    # returns LONG and saturates at 2⁶³−1 where DuckDB's HUGEINT does
+    # not, so the floor operand must stay small — S_h is bounded by the
+    # token count of one document (S_h·2²⁰ < 2⁶³ until a single doc
+    # holds ~2⁴³ tokens, i.e. ~30 TB of text in one row), while n·S_h
+    # crosses 2⁶³ at ~10⁹ heavy docs per source (r11 review finding).
+    ney_q = F.lit(1048576.0)  # 2^20 S_h grid
+    shq = F.floor(sh * ney_q + F.lit(0.5)).cast(d)
+    wq = (F.col("n_docs").cast(d) * shq).cast(d)
     wgt = per.select(
         "source", "n_docs", "sx", sh.alias("s_h"), wq.alias("wq")
     )
@@ -6446,8 +6454,8 @@ ORACLES["neyman_allocation_plan"] = f"""
     ),
     w2 AS (
         SELECT source, n_docs, sx, s_h,
-               CAST(FLOOR(CAST(n_docs AS DOUBLE) * s_h * 1048576.0 + 0.5)
-                    AS HUGEINT) AS wq
+               CAST(n_docs AS HUGEINT)
+                   * CAST(FLOOR(s_h * 1048576.0 + 0.5) AS HUGEINT) AS wq
         FROM wgt
     ),
     tot AS (SELECT SUM(wq) AS twq FROM w2)

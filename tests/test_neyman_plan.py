@@ -31,14 +31,16 @@ def _ref(rows):
         n, sx, sxx = strata.get(src, (0, 0, 0))
         strata[src] = (n + 1, sx + x, sxx + x * x)
     # mirrors the operator's quantize-then-sum rule: each stratum's
-    # Neyman weight snaps once to the 2^20 grid, the total is an exact
-    # integer sum, and the allocation is pure integer floor division
+    # S_h snaps once to the 2^20 grid (small enough that floor stays
+    # inside a 64-bit long at any corpus size), the weight is the
+    # exact integer product n x S_h_q, the total an exact integer
+    # sum, and the allocation pure integer floor division
     w = {}
     for src, (n, sx, sxx) in strata.items():
         s_h = (
             math.sqrt((n * sxx - sx * sx) / (n * (n - 1.0))) if n > 1 else 0.0
         )
-        wq = math.floor(n * s_h * 1048576.0 + 0.5)
+        wq = n * math.floor(s_h * 1048576.0 + 0.5)
         w[src] = (n, sx, s_h, wq)
     twq = sum(v[3] for v in w.values())
     out = {}

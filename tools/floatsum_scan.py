@@ -9,9 +9,10 @@ Prints one line per offending aggregate: key, node kind, expression.
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def iter_plan_nodes(plan):

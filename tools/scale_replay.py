@@ -42,6 +42,15 @@ sys.path.insert(0, HERE)
 
 SF1 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
+# alpha = log(t_N/t_1)/log(N) needs N >= 2, and the substitution
+# cipher has exactly 52 distinct letter bijections (26 rotations + 26
+# reversed rotations): beyond that, digit-free replicas would silently
+# coincide and corrupt the duplicate density the tool exists to hold
+# constant (r11 review finding).
+if not 2 <= REPLICAS <= 52:
+    raise SystemExit(
+        f"SPARK_GRAFT_SCALE_REPLICAS={REPLICAS} out of range [2, 52]"
+    )
 SCALE_DIR = os.path.join(HERE, f".scale{REPLICAS}")
 
 # The most expensive budgeted keys whose inputs are events/documents/
