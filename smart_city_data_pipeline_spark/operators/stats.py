@@ -1425,3 +1425,351 @@ ORACLES["arch_lm_test"] = f"""
            END AS arch_flag
     FROM g
 """
+
+
+# --------------------------------------------------------------------------
+# Classifier-eval pair over the shipped quality classifier: reliability
+# (calibration) and ranking (ROC) — the audits a corpus build runs on
+# its keep/drop model before trusting its threshold. Ground truth is
+# the deterministic `lang = 'en'` label: the classifier's dominant
+# positive weight is English-stopword density, so the label is the
+# construction-time proxy the model was pointed at (reference parity:
+# the pipeline ships a fixed model artifact and never re-trains it —
+# pipline/spark/jobs/traffic_batch_processing.py's fixed-threshold
+# posture; see also quality_classifier_score).
+# --------------------------------------------------------------------------
+
+CAL_N_BINS = 10  # fixed 0.1-wide confidence bins on the [0,1] score
+
+
+def qc_labeled_df(docs: DataFrame) -> DataFrame:
+    """(s, y) per doc: the pround'd quality score recovered onto its
+    exact 1e-4 integer grid (floor(q·10⁴+0.5) re-reads the grid index;
+    the pround residual is ~1e-13 ≪ 0.5, so both engines agree
+    exactly) and the binary English label. Works on a static OR
+    streaming documents frame (pure projection) — shared with the
+    streaming calibration monitor."""
+    from smart_city_data_pipeline_spark.operators.textops import qc_score_col
+
+    return docs.select(
+        F.floor(qc_score_col(F.col("text")) * F.lit(10000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("s"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+
+
+def calibration_bin_moments(docs: DataFrame) -> DataFrame:
+    """Per-confidence-bin integer moments (bin, n_docs, n_pos,
+    conf_sum, sq_err) — every column a COMMUTATIVE integer sum, so the
+    aggregate is a monoid any delivery order folds to the same value:
+    the batch report and the streaming calibration monitor both build
+    exactly this table (shared code — monitor and report cannot
+    drift; the ``psi_monitor`` discipline)."""
+    d = "decimal(38,0)"
+    rows = qc_labeled_df(docs)
+    err = F.col("s") - F.col("y") * F.lit(10000)
+    return rows.groupBy(
+        F.least(F.floor(F.col("s") / F.lit(1000)).cast("long"), F.lit(9)).alias(
+            "bin"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("y").alias("n_pos"),
+        F.sum(F.col("s").cast(d)).alias("conf_sum"),
+        F.sum((err * err).cast(d)).alias("sq_err"),
+    )
+
+
+def calibration_finish(per: DataFrame) -> DataFrame:
+    """Display finisher over the bounded bin-moments table: pround'd
+    means, grid-exact gaps, corpus ECE/Brier — the identical IEEE
+    sequence whether the moments came from one batch scan or a
+    streaming fold."""
+    d = "decimal(38,0)"
+    mean_conf = pround(
+        F.col("conf_sum").cast("double")
+        / (F.lit(10000.0) * F.col("n_docs").cast("double"))
+    )
+    frac_pos = pround(
+        F.col("n_pos").cast("double") / F.col("n_docs").cast("double")
+    )
+    b = per.select(
+        "bin",
+        "n_docs",
+        "n_pos",
+        "sq_err",
+        mean_conf.alias("mean_conf"),
+        frac_pos.alias("frac_pos"),
+    ).withColumn(
+        "gap_i",
+        F.abs(
+            F.floor(F.col("mean_conf") * F.lit(10000.0) + F.lit(0.5)).cast(
+                "long"
+            )
+            - F.floor(F.col("frac_pos") * F.lit(10000.0) + F.lit(0.5)).cast(
+                "long"
+            )
+        ),
+    )
+    tot = b.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.sum((F.col("gap_i") * F.col("n_docs")).cast(d)).alias("ece_num"),
+        F.sum("sq_err").alias("sq_tot"),
+    )
+    ece = pround(
+        F.col("ece_num").cast("double")
+        / (F.lit(10000.0) * F.col("n_total").cast("double"))
+    )
+    brier = pround(
+        F.col("sq_tot").cast("double")
+        / (F.lit(100000000.0) * F.col("n_total").cast("double"))
+    )
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_docs",
+            "n_pos",
+            "mean_conf",
+            "frac_pos",
+            (F.col("gap_i").cast("double") / F.lit(10000.0)).alias("cal_gap"),
+            ece.alias("ece"),
+            brier.alias("brier"),
+        )
+    )
+
+
+def classifier_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE + Brier score for the quality
+    classifier: per 0.1-wide confidence bin, the mean predicted
+    probability vs the observed positive rate, the per-bin |gap|, and
+    the corpus-level expected calibration error and Brier score
+    repeated on every row (Guo et al. 2017's ECE over equal-width
+    bins). An over-confident filter model shows up here before it
+    silently skews the keep set.
+
+    Exactness: every moment is an integer sum on the 1e-4 score grid
+    (Σs, Σy, Σ(s−10⁴y)² — DECIMAL(38,0) against 100 TB row counts);
+    bin means are pround'd divisions of those integers; the ECE
+    numerator Σ n_b·|gap_b| re-reads the pround'd means onto their 1e-4
+    grid so it is again an exact integer. No raw-double summation
+    anywhere (the markov_entropy_rate lesson).
+
+    Scale shape: ONE full-scan keyed aggregate into ≤10 bin rows; the
+    corpus totals are a 1-row broadcast back onto the bin table.
+    """
+    return calibration_finish(
+        calibration_bin_moments(table(spark, sf_dir, "documents"))
+    )
+
+
+def roc_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC curve + exact tie-aware AUC for the quality classifier: one
+    row per DISTINCT score threshold (the operating points a filter
+    could actually ship) with TPR / FPR / precision at "keep iff
+    score ≥ threshold", plus the corpus AUC repeated on every row.
+    AUC uses the rank-statistic identity AUC = Σ_s pos_s·(neg_below_s
+    + neg_s/2) / (P·N) — ties contribute half, exactly the
+    Mann-Whitney U convention (``mwu_zone_shift``'s statistic, read as
+    a ranking metric).
+
+    Exactness: the curve lives on the bounded 1e-4 score grid (≤10001
+    distinct thresholds — output size is GRID-bounded, never
+    row-proportional); every cumulative and the AUC numerator
+    2·Σ pos·neg_below + Σ pos·neg are integer sums in DECIMAL(38,0)
+    (P·N ≈ 10²⁴ at 100 TB), divided once at display.
+
+    Scale shape: one full-scan keyed aggregate into the grid table;
+    all windows are unpartitioned but GRID-bounded (allowlisted — the
+    ``conformal_anomaly_rate`` class).
+    """
+    d = "decimal(38,0)"
+    rows = qc_labeled_df(table(spark, sf_dir, "documents"))
+    g = rows.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("y").alias("pos")
+    )
+    g = g.withColumn("neg", F.col("n_docs") - F.col("pos"))
+    w_ge = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_le = Window.orderBy(F.col("s").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy(F.col("s").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = g.select(
+        "s",
+        "n_docs",
+        "pos",
+        "neg",
+        F.sum(F.col("pos").cast(d)).over(w_ge).alias("tp"),
+        F.sum(F.col("neg").cast(d)).over(w_ge).alias("fp"),
+        (F.sum(F.col("neg").cast(d)).over(w_le) - F.col("neg").cast(d)).alias(
+            "neg_below"
+        ),
+        F.sum(F.col("pos").cast(d)).over(w_all).alias("p_tot"),
+        F.sum(F.col("neg").cast(d)).over(w_all).alias("n_tot"),
+    )
+    numer2 = F.sum(
+        (
+            F.col("pos").cast(d)
+            * (F.lit(2).cast(d) * F.col("neg_below") + F.col("neg").cast(d))
+        )
+    ).over(w_all)
+    c = c.withColumn("numer2", numer2)
+    auc = F.when(
+        (F.col("p_tot") > 0) & (F.col("n_tot") > 0),
+        pround(
+            F.col("numer2").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("p_tot").cast("double")
+                * F.col("n_tot").cast("double")
+            )
+        ),
+    )
+    return c.select(
+        (F.col("s").cast("double") / F.lit(10000.0)).alias("thr"),
+        "n_docs",
+        F.col("tp").cast("long").alias("n_pos_ge"),
+        F.col("fp").cast("long").alias("n_neg_ge"),
+        F.when(
+            F.col("p_tot") > 0,
+            pround(F.col("tp").cast("double") / F.col("p_tot").cast("double")),
+        ).alias("tpr"),
+        F.when(
+            F.col("n_tot") > 0,
+            pround(F.col("fp").cast("double") / F.col("n_tot").cast("double")),
+        ).alias("fpr"),
+        pround(
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fp")).cast("double")
+        ).alias("precision"),
+        auc.alias("auc"),
+    )
+
+
+QUERIES["classifier_calibration_report"] = classifier_calibration_report
+QUERIES["roc_auc_report"] = roc_auc_report
+
+
+def _qc_labeled_sql() -> str:
+    from smart_city_data_pipeline_spark.operators.textops import _QC_Z_SQL
+
+    return (
+        "SELECT CAST(FLOOR((1.0 / (1.0 + exp(-("
+        + _QC_Z_SQL
+        + ")))) * 10000.0 + 0.5) AS BIGINT) AS s,"
+        " CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y"
+        " FROM documents"
+    )
+
+
+ORACLES["classifier_calibration_report"] = f"""
+    WITH sc AS ({{_labeled}}),
+    per AS (
+        SELECT LEAST(s // 1000, 9) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               SUM(CAST(s AS HUGEINT)) AS conf_sum,
+               SUM(CAST(s - y * 10000 AS HUGEINT)
+                   * CAST(s - y * 10000 AS HUGEINT)) AS sq_err
+        FROM sc GROUP BY 1
+    ),
+    b AS (
+        SELECT bin, n_docs, n_pos, sq_err,
+               {pround_sql(
+                   'CAST(conf_sum AS DOUBLE)'
+                   ' / (10000.0 * CAST(n_docs AS DOUBLE))'
+               )} AS mean_conf,
+               {pround_sql(
+                   'CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE)'
+               )} AS frac_pos
+        FROM per
+    ),
+    g AS (
+        SELECT *,
+               ABS(CAST(FLOOR(mean_conf * 10000.0 + 0.5) AS BIGINT)
+                   - CAST(FLOOR(frac_pos * 10000.0 + 0.5) AS BIGINT))
+                   AS gap_i
+        FROM b
+    ),
+    tot AS (
+        SELECT SUM(n_docs) AS n_total,
+               SUM(CAST(gap_i AS HUGEINT) * CAST(n_docs AS HUGEINT))
+                   AS ece_num,
+               SUM(sq_err) AS sq_tot
+        FROM g
+    )
+    SELECT bin, n_docs, n_pos, mean_conf, frac_pos,
+           CAST(gap_i AS DOUBLE) / 10000.0 AS cal_gap,
+           {pround_sql(
+               'CAST(ece_num AS DOUBLE)'
+               ' / (10000.0 * CAST(n_total AS DOUBLE))'
+           )} AS ece,
+           {pround_sql(
+               'CAST(sq_tot AS DOUBLE)'
+               ' / (100000000.0 * CAST(n_total AS DOUBLE))'
+           )} AS brier
+    FROM g CROSS JOIN tot
+"""
+
+ORACLES["roc_auc_report"] = f"""
+    WITH sc AS ({{_labeled}}),
+    g AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(y) AS BIGINT) AS pos,
+               CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+        FROM sc GROUP BY s
+    ),
+    c AS (
+        SELECT s, n_docs, pos, neg,
+               SUM(CAST(pos AS HUGEINT)) OVER (ORDER BY s DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+               SUM(CAST(neg AS HUGEINT)) OVER (ORDER BY s DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+               SUM(CAST(neg AS HUGEINT)) OVER (ORDER BY s ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - CAST(neg AS HUGEINT) AS neg_below,
+               SUM(CAST(pos AS HUGEINT)) OVER () AS p_tot,
+               SUM(CAST(neg AS HUGEINT)) OVER () AS n_tot
+        FROM g
+    ),
+    c2 AS (
+        SELECT *,
+               SUM(CAST(pos AS HUGEINT)
+                   * (2 * neg_below + CAST(neg AS HUGEINT))) OVER ()
+                   AS numer2
+        FROM c
+    )
+    SELECT CAST(s AS DOUBLE) / 10000.0 AS thr, n_docs,
+           CAST(tp AS BIGINT) AS n_pos_ge,
+           CAST(fp AS BIGINT) AS n_neg_ge,
+           CASE WHEN p_tot > 0 THEN
+               {pround_sql('CAST(tp AS DOUBLE) / CAST(p_tot AS DOUBLE)')}
+           END AS tpr,
+           CASE WHEN n_tot > 0 THEN
+               {pround_sql('CAST(fp AS DOUBLE) / CAST(n_tot AS DOUBLE)')}
+           END AS fpr,
+           {pround_sql(
+               'CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)'
+           )} AS precision,
+           CASE WHEN p_tot > 0 AND n_tot > 0 THEN
+               {pround_sql(
+                   'CAST(numer2 AS DOUBLE)'
+                   ' / (2.0 * CAST(p_tot AS DOUBLE) * CAST(n_tot AS DOUBLE))'
+               )}
+           END AS auc
+    FROM c2
+"""
+
+
+def _fill_qc_labeled() -> None:
+    lab = _qc_labeled_sql()
+    for k in ("classifier_calibration_report", "roc_auc_report"):
+        ORACLES[k] = ORACLES[k].replace("{_labeled}", lab)
+
+
+_fill_qc_labeled()

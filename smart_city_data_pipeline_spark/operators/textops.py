@@ -757,6 +757,23 @@ QC_WEIGHTS = {
 QC_KEEP_THRESHOLD = 0.5
 
 
+def qc_score_col(t: Column) -> Column:
+    """The pround'd logistic quality score as ONE Column expression —
+    shared by :func:`quality_classifier_score` and the classifier-eval
+    operators in ``stats.py`` (calibration / ROC), so the score the
+    evals grade is definitionally the score the filter ships.
+    """
+    z = (
+        F.lit(QC_WEIGHTS["bias"])
+        + F.lit(QC_WEIGHTS["stopword_ratio"]) * T.stopword_ratio(t)
+        + F.lit(QC_WEIGHTS["punct_ratio"]) * T.punct_ratio(t)
+        + F.lit(QC_WEIGHTS["mean_word_len"]) * T.mean_word_len(t)
+        + F.lit(QC_WEIGHTS["log_tokens"])
+        * F.log(F.lit(1.0) + T.ws_token_count(t).cast("double"))
+    )
+    return pround(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+
+
 def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality scoring: a fixed-weight logistic model over
     cheap text features → per-doc keep probability + keep flag — the
@@ -770,16 +787,7 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable at the boundary.
     """
     docs = table(spark, sf_dir, "documents")
-    t = F.col("text")
-    z = (
-        F.lit(QC_WEIGHTS["bias"])
-        + F.lit(QC_WEIGHTS["stopword_ratio"]) * T.stopword_ratio(t)
-        + F.lit(QC_WEIGHTS["punct_ratio"]) * T.punct_ratio(t)
-        + F.lit(QC_WEIGHTS["mean_word_len"]) * T.mean_word_len(t)
-        + F.lit(QC_WEIGHTS["log_tokens"])
-        * F.log(F.lit(1.0) + T.ws_token_count(t).cast("double"))
-    )
-    score = pround(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+    score = qc_score_col(F.col("text"))
     return docs.select(
         "doc_id",
         score.alias("qc_score"),
@@ -6470,4 +6478,114 @@ ORACLES["neyman_allocation_plan"] = f"""
                CAST((CAST({NEYMAN_BUDGET} AS HUGEINT) * wq) // twq AS BIGINT)
            ELSE CAST(0 AS BIGINT) END AS n_sample
     FROM w2 CROSS JOIN tot
+"""
+
+
+# Temperature-based source sampling (Conneau & Lample 2019; mT5/XLM-R):
+# p_s(tau) ∝ c_s^tau flattens the source distribution as tau → 0 —
+# THE standard knob for up-sampling low-resource sources in a
+# multilingual/multi-source pretraining mix. The sweep prices several
+# temperatures side by side before any data is drawn (the
+# `lsh_banding_planner` posture: plan first, move bytes later).
+SAMPLING_TEMPS = (0.3, 0.5, 0.7, 1.0)
+TEMP_Q = 1048576.0  # 2^20 weight grid (quantize-then-sum rule)
+
+
+def temperature_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sweep source-mixing plan: per (tau, source), the
+    sampling share p_s ∝ c_s^tau over whitespace-token counts c_s, and
+    the implied per-source epoch factor (how many times the source is
+    re-seen in one corpus-sized draw — the over-sampling diagnostic
+    that catches low-resource sources being memorized at small tau).
+
+    Exactness: token counts are exact integer sums; each weight
+    normalizes by the LARGEST source first (x = c/max ≤ 1) so the
+    2^20-grid quantized x^tau stays inside a 64-bit floor at ANY corpus
+    size (the ``neyman_allocation_plan`` overflow discipline), and the
+    per-tau totals are integer sums. Doubles appear only in pow and the
+    pround'd display divisions, identical on both engines.
+
+    Scale shape: one full-scan keyed aggregate (map-side combine),
+    then everything runs on the |sources| × |temps| bounded plan table
+    — two 1-row broadcasts (corpus totals) and one tiny equi-join on
+    tau. Nothing row-proportional past the first groupBy.
+    """
+    docs = table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.ws_token_count(F.col("text")).cast("long")).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("corpus_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+    taus = F.explode(
+        F.array(*[F.lit(float(t)) for t in SAMPLING_TEMPS])
+    ).alias("tau")
+    x = F.col("n_tokens").cast("double") / F.col("max_tokens").cast("double")
+    base = per.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "n_tokens", "corpus_tokens", x.alias("x"), taus
+    )
+    wq = F.floor(
+        F.pow(F.col("x"), F.col("tau")) * F.lit(TEMP_Q) + F.lit(0.5)
+    ).cast("long")
+    w = base.select(
+        "tau", "source", "n_docs", "n_tokens", "corpus_tokens",
+        wq.alias("wq"),
+    )
+    twq = w.groupBy("tau").agg(F.sum("wq").alias("twq"))
+    j = w.join(F.broadcast(twq), "tau")
+    share = pround(F.col("wq").cast("double") / F.col("twq").cast("double"))
+    epochs = F.when(
+        F.col("n_tokens") > 0,
+        pround(
+            F.col("wq").cast("double")
+            * F.col("corpus_tokens").cast("double")
+            / (F.col("twq").cast("double") * F.col("n_tokens").cast("double"))
+        ),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "tau",
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("sample_share"),
+        epochs.alias("epochs"),
+    )
+
+
+QUERIES["temperature_sampling_plan"] = temperature_sampling_plan
+
+_TEMP_LIST_SQL = ", ".join(f"CAST({t} AS DOUBLE)" for t in SAMPLING_TEMPS)
+
+ORACLES["temperature_sampling_plan"] = f"""
+    WITH per AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM({T.ws_token_count_sql(_T)}) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS corpus_tokens,
+               CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+        FROM per
+    ),
+    w AS (
+        SELECT tau, source, n_docs, n_tokens, corpus_tokens,
+               CAST(FLOOR(POW(CAST(n_tokens AS DOUBLE)
+                              / CAST(max_tokens AS DOUBLE), tau)
+                          * {TEMP_Q} + 0.5) AS BIGINT) AS wq
+        FROM per CROSS JOIN tot
+        CROSS JOIN (SELECT UNNEST([{_TEMP_LIST_SQL}]) AS tau) taus
+    ),
+    tw AS (SELECT tau, SUM(CAST(wq AS HUGEINT)) AS twq FROM w GROUP BY tau)
+    SELECT w.tau, source, n_docs, n_tokens,
+           {pround_sql('CAST(wq AS DOUBLE) / CAST(twq AS DOUBLE)')}
+               AS sample_share,
+           CASE WHEN n_tokens > 0 THEN
+               {pround_sql(
+                   'CAST(wq AS DOUBLE) * CAST(corpus_tokens AS DOUBLE)'
+                   ' / (CAST(twq AS DOUBLE) * CAST(n_tokens AS DOUBLE))'
+               )}
+           ELSE 0.0 END AS epochs
+    FROM w JOIN tw USING (tau)
 """

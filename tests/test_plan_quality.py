@@ -167,6 +167,10 @@ BNLJ_ALLOWED = {
     # onto the |grid|-row sweep table
     "first_exceedance_report",  # 1-row sensor-count broadcast onto the
     # |grid|-row threshold table
+    "classifier_calibration_report",  # 1-row corpus-totals broadcast
+    # onto the <=10-row confidence-bin table
+    "temperature_sampling_plan",  # 1-row (corpus, max) token-total
+    # broadcast onto the |sources|-bounded stratum table
 }
 
 
@@ -215,6 +219,9 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     "term table (zipf_fit class)",
     "zipf_fit": "rank window over the vocab-bounded term table",
     "zone_hod_mi": "zone x 24-hour grid table",
+    "roc_auc_report": "cumulative/total windows over the 1e-4-score-"
+    "grid threshold table (<=10001 rows, the conformal_anomaly_rate "
+    "class)",
 }
 
 
