@@ -3521,3 +3521,133 @@ ORACLES["embedding_clip_plan"] = f"""
     JOIN stats s ON s.pos = b.pos
     JOIN clipped cl ON cl.pos = b.pos
 """
+
+
+# --------------------------------------------------------------------------
+# PageRank over the kNN graph — centrality for curriculum/coreset
+# picks ("which documents does the embedding neighborhood keep
+# pointing at") and the hub diagnostic for ANN graphs (a few
+# super-attractor nodes degrade greedy-walk recall).
+# --------------------------------------------------------------------------
+
+PR_ROUNDS = 8  # fixed synchronous power-iteration rounds (both engines)
+PR_Q = 1048576  # 2^20 mass grid: every node seeds Q units of mass
+PR_BASE = (15 * PR_Q) // 100  # teleport share of the 0.15/0.85 damping
+
+
+def knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (Page et al. 1998, d=0.85) over the directed
+    SRP-band kNN graph of :func:`smart_city_data_pipeline_spark.
+    operators.dedup.knn_graph` — exactly ``PR_ROUNDS`` synchronous
+    rounds of the ALL-INTEGER recurrence
+
+        r₀(v) = Q;   r_{t+1}(v) = (15·Q)//100 + (85·S_v)//100,
+        S_v = Σ_{u→v} r_t(u) // out_deg(u)
+
+    on the 2²⁰ mass grid: every step is integer floor-division and an
+    order-independent integer sum, so both engines replay the identical
+    trajectory (division remainders and dangling-node mass are BURNED
+    by the same rule on both sides — PageRank up to normalization,
+    which the pround'd display absorbs). DECIMAL(38,0)/HUGEINT state:
+    a node's mass is bounded by ~0.85·N·Q only in the pathological
+    all-point-here graph, still inside 38 digits at any corpus.
+
+    Scale shape: the kNN edge set is built ONCE (band-bounded, never
+    O(n²)) and checkpointed with its out-degrees; each round is one
+    keyed join (mass onto edges) + one keyed integer aggregate + one
+    left join back onto the node list — the ``dedup_clusters`` bounded
+    driver-loop discipline with lazy localCheckpoint lineage breaks.
+    O(PR_ROUNDS) rounds, independent of graph shape.
+    """
+    from smart_city_data_pipeline_spark.operators.dedup import knn_graph
+
+    d = "decimal(38,0)"
+    edges = (
+        knn_graph(spark, sf_dir)
+        .select(F.col("vec_id").alias("u"), F.col("neighbor_id").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ed = edges.join(deg, "u").localCheckpoint(eager=False)
+    nodes = spread(
+        table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings"
+    ).select(F.col("vec_id").alias("node"))
+    state = nodes.select(
+        "node", F.lit(PR_Q).cast(d).alias("r")
+    ).localCheckpoint(eager=False)
+    for _ in range(PR_ROUNDS):
+        contrib = ed.join(
+            state.select(F.col("node").alias("u"), "r"), "u"
+        ).select(
+            "v",
+            F.expr(f"CAST(r DIV CAST(deg AS {d}) AS {d})").alias("c"),
+        )
+        s = contrib.groupBy(F.col("v").alias("node")).agg(
+            F.sum("c").alias("s")
+        )
+        state = (
+            nodes.join(s, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({PR_BASE} AS {d})"
+                    f" + CAST(CAST(85 AS {d})"
+                    f" * COALESCE(s, CAST(0 AS {d}))"
+                    f" DIV CAST(100 AS {d}) AS {d})"
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        state.join(deg, state["node"] == deg["u"], "left")
+        .select(
+            F.col("node").alias("vec_id"),
+            F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("out_deg"),
+            pround(F.col("r").cast("double") / F.lit(float(PR_Q))).alias(
+                "pagerank"
+            ),
+        )
+    )
+
+
+QUERIES["knn_pagerank"] = knn_pagerank
+
+
+def _pr_oracle_sql() -> str:
+    from smart_city_data_pipeline_spark.operators.dedup import ORACLES as _DO
+
+    its = []
+    for t in range(PR_ROUNDS):
+        its.append(
+            f"""it{t + 1} AS (
+        SELECT n.node,
+               CAST({PR_BASE} AS HUGEINT)
+                   + (85 * COALESCE(s.s, CAST(0 AS HUGEINT))) // 100 AS r
+        FROM nodes n LEFT JOIN (
+            SELECT e.v AS node, SUM(p.r // d.deg) AS s
+            FROM edges e
+            JOIN deg d ON e.u = d.u
+            JOIN it{t} p ON e.u = p.node
+            GROUP BY e.v
+        ) s ON n.node = s.node
+    )"""
+        )
+    return f"""
+    WITH knn AS (
+        SELECT * FROM ({_DO["knn_graph"]})
+    ),
+    edges AS (SELECT vec_id AS u, neighbor_id AS v FROM knn),
+    deg AS (
+        SELECT u, CAST(COUNT(*) AS HUGEINT) AS deg FROM edges GROUP BY u
+    ),
+    nodes AS (SELECT vec_id AS node FROM embeddings),
+    it0 AS (SELECT node, CAST({PR_Q} AS HUGEINT) AS r FROM nodes),
+    {", ".join(its)}
+    SELECT i.node AS vec_id,
+           CAST(COALESCE(d.deg, 0) AS BIGINT) AS out_deg,
+           {pround_sql(f'CAST(i.r AS DOUBLE) / {float(PR_Q)}')} AS pagerank
+    FROM it{PR_ROUNDS} i LEFT JOIN deg d ON i.node = d.u
+"""
+
+
+ORACLES["knn_pagerank"] = _pr_oracle_sql()
