@@ -3619,7 +3619,7 @@ def _pr_oracle_sql() -> str:
     its = []
     for t in range(PR_ROUNDS):
         its.append(
-            f"""it{t + 1} AS (
+            f"""it{t + 1} AS MATERIALIZED (
         SELECT n.node,
                CAST({PR_BASE} AS HUGEINT)
                    + (85 * COALESCE(s.s, CAST(0 AS HUGEINT))) // 100 AS r
@@ -3633,15 +3633,15 @@ def _pr_oracle_sql() -> str:
     )"""
         )
     return f"""
-    WITH knn AS (
+    WITH knn AS MATERIALIZED (
         SELECT * FROM ({_DO["knn_graph"]})
     ),
-    edges AS (SELECT vec_id AS u, neighbor_id AS v FROM knn),
-    deg AS (
+    edges AS MATERIALIZED (SELECT vec_id AS u, neighbor_id AS v FROM knn),
+    deg AS MATERIALIZED (
         SELECT u, CAST(COUNT(*) AS HUGEINT) AS deg FROM edges GROUP BY u
     ),
     nodes AS (SELECT vec_id AS node FROM embeddings),
-    it0 AS (SELECT node, CAST({PR_Q} AS HUGEINT) AS r FROM nodes),
+    it0 AS MATERIALIZED (SELECT node, CAST({PR_Q} AS HUGEINT) AS r FROM nodes),
     {", ".join(its)}
     SELECT i.node AS vec_id,
            CAST(COALESCE(d.deg, 0) AS BIGINT) AS out_deg,
@@ -3651,3 +3651,298 @@ def _pr_oracle_sql() -> str:
 
 
 ORACLES["knn_pagerank"] = _pr_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998) — the
+# relevance-vs-redundancy selection every RAG / few-shot-example /
+# dedup-aware retrieval layer runs after ANN: pure top-k returns near
+# duplicates of one good hit; MMR trades λ·relevance against
+# (1−λ)·max-similarity-to-already-selected.
+# --------------------------------------------------------------------------
+
+MMR_K = 6  # picks (unrolled in the oracle — keep small)
+# λ = 0.7 on a ×10 integer grid: score10 = 7·rel − 3·max_sim, so the
+# selection argmax compares EXACT integers (no double mixing ever).
+MMR_LAM10 = 7
+
+
+def mmr_diverse_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR selection of ``MMR_K`` diverse-but-relevant vectors
+    for the lowest-vec_id query (the ANN probe convention): seed with
+    the highest-relevance candidate, then repeatedly add
+    argmax(7·rel − 3·max_sim_to_selected) — reporting each pick with
+    its relevance, its max similarity to the prior picks at selection
+    time (0 for the seed, by definition), and the ×10 MMR score.
+
+    Exactness: vectors snap to the 2¹⁶ integer grid (``_qvec``), so
+    relevance and every pairwise similarity are exact integer dot
+    products below 2⁵³ and the λ-mix is pure integer arithmetic —
+    selection ties break to the lower vec_id in both engines; there is
+    NO double anywhere in the statistic.
+
+    Scale shape: the ``kcenter_sample`` discipline — k−1 rounds, each
+    ONE corpus scan (a dot against the new pick's dim-bounded vector
+    literal + a running GREATEST), one TakeOrdered argmax row per
+    round; the driver holds only the k picked vectors.
+    """
+    emb = spread(
+        table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings"
+    )
+    qv = emb.select(
+        "vec_id", _qvec(F.col("embedding")).alias("q")
+    ).localCheckpoint(eager=True)
+    qrow = qv.orderBy("vec_id").limit(1).collect()[0]
+    q_lit = F.lit(list(qrow["q"])).cast("array<double>")
+    cand = qv.filter(F.col("vec_id") != int(qrow["vec_id"])).select(
+        "vec_id", "q", dot(F.col("q"), q_lit).cast("long").alias("rel")
+    )
+
+    picks = []
+    srow = (
+        cand.orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(1)
+        .collect()[0]
+    )
+    picks.append((1, int(srow["vec_id"]), int(srow["rel"]), 0))
+    state = cand.filter(F.col("vec_id") != int(srow["vec_id"])).select(
+        "vec_id",
+        "q",
+        "rel",
+        dot(F.col("q"), F.lit(list(srow["q"])).cast("array<double>"))
+        .cast("long")
+        .alias("ms"),
+    ).localCheckpoint(eager=True)
+    for i in range(2, MMR_K + 1):
+        score10 = (
+            F.lit(MMR_LAM10) * F.col("rel")
+            - F.lit(10 - MMR_LAM10) * F.col("ms")
+        )
+        crow = (
+            state.select("*", score10.alias("s10"))
+            .orderBy(F.col("s10").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append((i, int(crow["vec_id"]), int(crow["rel"]), int(crow["ms"])))
+        state = state.filter(F.col("vec_id") != int(crow["vec_id"])).select(
+            "vec_id",
+            "rel",
+            "q",
+            F.greatest(
+                F.col("ms"),
+                dot(F.col("q"), F.lit(list(crow["q"])).cast("array<double>"))
+                .cast("long"),
+            ).alias("ms"),
+        ).localCheckpoint(eager=True)
+    rows = [
+        (order, vid, rel, ms, MMR_LAM10 * rel - (10 - MMR_LAM10) * ms)
+        for order, vid, rel, ms in picks
+    ]
+    return spark.createDataFrame(
+        rows,
+        "sel_order int, vec_id long, rel long, max_sim long, mmr_score10 long",
+    )
+
+
+QUERIES["mmr_diverse_select"] = mmr_diverse_select
+
+
+def _mmr_oracle_sql() -> str:
+    lam, om = MMR_LAM10, 10 - MMR_LAM10
+    qexpr = (
+        "list_transform(CAST(embedding AS DOUBLE[]),"
+        f" x -> CAST(FLOOR(x * {KMEANS_SCALE} + 0.5) AS DOUBLE))"
+    )
+    steps = [
+        f"qv AS MATERIALIZED (SELECT vec_id, {qexpr} AS q FROM embeddings)",
+        "qq AS (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT 1)",
+        "cand AS MATERIALIZED (SELECT v.vec_id, v.q,"
+        " CAST(list_dot_product(v.q, w.q) AS BIGINT) AS rel"
+        " FROM qv v, qq w WHERE v.vec_id <> w.vec_id)",
+        "s1 AS (SELECT vec_id, q, rel, CAST(0 AS BIGINT) AS ms"
+        " FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1)",
+        "m1 AS MATERIALIZED (SELECT c.vec_id, c.q, c.rel,"
+        " CAST(list_dot_product(c.q, s.q) AS BIGINT) AS ms"
+        " FROM cand c, s1 s WHERE c.vec_id <> s.vec_id)",
+    ]
+    sel = [
+        f"SELECT 1 AS sel_order, vec_id, rel, ms AS max_sim,"
+        f" {lam} * rel - {om} * ms AS mmr_score10 FROM s1"
+    ]
+    for i in range(2, MMR_K + 1):
+        steps.append(
+            f"s{i} AS (SELECT vec_id, q, rel, ms FROM m{i-1}"
+            f" ORDER BY {lam} * rel - {om} * ms DESC, vec_id ASC LIMIT 1)"
+        )
+        steps.append(
+            f"m{i} AS MATERIALIZED (SELECT m.vec_id, m.q, m.rel,"
+            f" GREATEST(m.ms, CAST(list_dot_product(m.q, s.q) AS BIGINT))"
+            f" AS ms FROM m{i-1} m, s{i} s WHERE m.vec_id <> s.vec_id)"
+        )
+        sel.append(
+            f"SELECT {i} AS sel_order, vec_id, rel, ms AS max_sim,"
+            f" {lam} * rel - {om} * ms AS mmr_score10 FROM s{i}"
+        )
+    return "WITH " + ",\n".join(steps) + "\n" + " UNION ALL ".join(sel)
+
+
+ORACLES["mmr_diverse_select"] = _mmr_oracle_sql()
+
+
+HITS_ROUNDS = 6  # fixed synchronous hub/authority rounds (both engines)
+
+
+def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over the directed
+    SRP-band kNN graph — the companion centrality to
+    :func:`knn_pagerank`: a good HUB points at many good authorities
+    (a probe whose neighbor list covers the corpus's attractors), a
+    good AUTHORITY is pointed at by many good hubs (the super-
+    attractor diagnostic for greedy-walk ANN). Exactly ``HITS_ROUNDS``
+    synchronous rounds of the ALL-INTEGER recurrence on the 2²⁰ grid:
+
+        a'(v) = Σ_{u→v} h(u);  a(v) = a'(v)·Q // max_v a'(v)
+        h'(u) = Σ_{u→v} a(v);  h(u) = h'(u)·Q // max_u h'(u)
+
+    (max-normalization instead of the L2 norm — same fixpoint
+    direction, but integer floor-division both engines replay exactly;
+    sums are order-independent integers in DECIMAL(38,0)/HUGEINT).
+
+    Scale shape: the kNN edge set is built ONCE and checkpointed;
+    each half-round is one keyed join + one keyed integer aggregate +
+    a 1-row max broadcast (global-aggregate root) — O(HITS_ROUNDS)
+    rounds, shape-independent, the ``knn_pagerank`` discipline.
+    """
+    from smart_city_data_pipeline_spark.operators.dedup import knn_graph
+
+    d = "decimal(38,0)"
+    edges = (
+        knn_graph(spark, sf_dir)
+        .select(F.col("vec_id").alias("u"), F.col("neighbor_id").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = spread(
+        table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings"
+    ).select(F.col("vec_id").alias("node"))
+    q_lit = f"CAST(1048576 AS {d})"
+    h = nodes.select("node", F.expr(q_lit).alias("h")).localCheckpoint(
+        eager=False
+    )
+    a = None
+    for _ in range(HITS_ROUNDS):
+        a_raw = (
+            nodes.join(
+                edges.join(
+                    h.select(F.col("node").alias("u"), "h"), "u"
+                )
+                .groupBy(F.col("v").alias("node"))
+                .agg(F.sum("h").alias("ar")),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                F.expr(f"COALESCE(ar, CAST(0 AS {d}))").alias("ar"),
+            )
+        )
+        amax = a_raw.agg(F.max("ar").alias("am"))
+        a = (
+            a_raw.crossJoin(F.broadcast(amax))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST(ar * {q_lit} DIV"
+                    f" GREATEST(am, CAST(1 AS {d})) AS {d})"
+                ).alias("a"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        h_raw = (
+            nodes.join(
+                edges.join(
+                    a.select(F.col("node").alias("v"), "a"), "v"
+                )
+                .groupBy(F.col("u").alias("node"))
+                .agg(F.sum("a").alias("hr")),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                F.expr(f"COALESCE(hr, CAST(0 AS {d}))").alias("hr"),
+            )
+        )
+        hmax = h_raw.agg(F.max("hr").alias("hm"))
+        h = (
+            h_raw.crossJoin(F.broadcast(hmax))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST(hr * {q_lit} DIV"
+                    f" GREATEST(hm, CAST(1 AS {d})) AS {d})"
+                ).alias("h"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return h.join(a, "node").select(
+        F.col("node").alias("vec_id"),
+        pround(F.col("h").cast("double") / F.lit(1048576.0)).alias("hub"),
+        pround(F.col("a").cast("double") / F.lit(1048576.0)).alias(
+            "authority"
+        ),
+    )
+
+
+QUERIES["hits_scores"] = hits_scores
+
+
+def _hits_oracle_sql() -> str:
+    from smart_city_data_pipeline_spark.operators.dedup import ORACLES as _DO
+
+    its = []
+    prev_h = "h0"
+    for t in range(1, HITS_ROUNDS + 1):
+        its.append(
+            f"""ar{t} AS MATERIALIZED (
+        SELECT n.node, COALESCE(s.ar, CAST(0 AS HUGEINT)) AS ar
+        FROM nodes n LEFT JOIN (
+            SELECT e.v AS node, SUM(p.h) AS ar
+            FROM edges e JOIN {prev_h} p ON e.u = p.node GROUP BY e.v
+        ) s ON n.node = s.node
+    ), a{t} AS MATERIALIZED (
+        SELECT node, ar * CAST(1048576 AS HUGEINT)
+               // GREATEST((SELECT MAX(ar) FROM ar{t}),
+                           CAST(1 AS HUGEINT)) AS a
+        FROM ar{t}
+    ), hr{t} AS MATERIALIZED (
+        SELECT n.node, COALESCE(s.hr, CAST(0 AS HUGEINT)) AS hr
+        FROM nodes n LEFT JOIN (
+            SELECT e.u AS node, SUM(p.a) AS hr
+            FROM edges e JOIN a{t} p ON e.v = p.node GROUP BY e.u
+        ) s ON n.node = s.node
+    ), h{t} AS MATERIALIZED (
+        SELECT node, hr * CAST(1048576 AS HUGEINT)
+               // GREATEST((SELECT MAX(hr) FROM hr{t}),
+                           CAST(1 AS HUGEINT)) AS h
+        FROM hr{t}
+    )"""
+        )
+        prev_h = f"h{t}"
+    t = HITS_ROUNDS
+    return f"""
+    WITH knn AS MATERIALIZED (
+        SELECT * FROM ({_DO["knn_graph"]})
+    ),
+    edges AS (SELECT vec_id AS u, neighbor_id AS v FROM knn),
+    nodes AS (SELECT vec_id AS node FROM embeddings),
+    h0 AS MATERIALIZED (SELECT node, CAST(1048576 AS HUGEINT) AS h FROM nodes),
+    {", ".join(its)}
+    SELECT h.node AS vec_id,
+           {pround_sql('CAST(h.h AS DOUBLE) / 1048576.0')} AS hub,
+           {pround_sql('CAST(a.a AS DOUBLE) / 1048576.0')} AS authority
+    FROM h{t} h JOIN a{t} a ON h.node = a.node
+"""
+
+
+ORACLES["hits_scores"] = _hits_oracle_sql()
