@@ -3826,69 +3826,47 @@ def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings"
     ).select(F.col("vec_id").alias("node"))
     q_lit = f"CAST(1048576 AS {d})"
-    h = nodes.select("node", F.expr(q_lit).alias("h")).localCheckpoint(
+
+    def half_round(state: DataFrame, src: str, dst: str) -> DataFrame:
+        """ONE spelling for both normalize half-rounds (r11 review:
+        the a-step and h-step differ only in edge orientation, so a
+        drifted copy could silently normalize them differently):
+        push ``state.x`` along src→dst, coalesce no-in-link nodes to
+        zero, and max-normalize back onto the 2²⁰ grid."""
+        raw = nodes.join(
+            edges.join(state.select(F.col("node").alias(src), "x"), src)
+            .groupBy(F.col(dst).alias("node"))
+            .agg(F.sum("x").alias("r")),
+            "node",
+            "left",
+        ).select("node", F.expr(f"COALESCE(r, CAST(0 AS {d}))").alias("r"))
+        mx = raw.agg(F.max("r").alias("m"))
+        return (
+            raw.crossJoin(F.broadcast(mx))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST(r * {q_lit} DIV"
+                    f" GREATEST(m, CAST(1 AS {d})) AS {d})"
+                ).alias("x"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    h = nodes.select("node", F.expr(q_lit).alias("x")).localCheckpoint(
         eager=False
     )
-    a = None
+    a = h
     for _ in range(HITS_ROUNDS):
-        a_raw = (
-            nodes.join(
-                edges.join(
-                    h.select(F.col("node").alias("u"), "h"), "u"
-                )
-                .groupBy(F.col("v").alias("node"))
-                .agg(F.sum("h").alias("ar")),
-                "node",
-                "left",
-            )
-            .select(
-                "node",
-                F.expr(f"COALESCE(ar, CAST(0 AS {d}))").alias("ar"),
-            )
-        )
-        amax = a_raw.agg(F.max("ar").alias("am"))
-        a = (
-            a_raw.crossJoin(F.broadcast(amax))
-            .select(
-                "node",
-                F.expr(
-                    f"CAST(ar * {q_lit} DIV"
-                    f" GREATEST(am, CAST(1 AS {d})) AS {d})"
-                ).alias("a"),
-            )
-            .localCheckpoint(eager=False)
-        )
-        h_raw = (
-            nodes.join(
-                edges.join(
-                    a.select(F.col("node").alias("v"), "a"), "v"
-                )
-                .groupBy(F.col("u").alias("node"))
-                .agg(F.sum("a").alias("hr")),
-                "node",
-                "left",
-            )
-            .select(
-                "node",
-                F.expr(f"COALESCE(hr, CAST(0 AS {d}))").alias("hr"),
-            )
-        )
-        hmax = h_raw.agg(F.max("hr").alias("hm"))
-        h = (
-            h_raw.crossJoin(F.broadcast(hmax))
-            .select(
-                "node",
-                F.expr(
-                    f"CAST(hr * {q_lit} DIV"
-                    f" GREATEST(hm, CAST(1 AS {d})) AS {d})"
-                ).alias("h"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    return h.join(a, "node").select(
+        a = half_round(h, "u", "v")
+        h = half_round(a, "v", "u")
+    return h.join(
+        a.select(F.col("node").alias("anode"), F.col("x").alias("ax")),
+        F.col("node") == F.col("anode"),
+    ).select(
         F.col("node").alias("vec_id"),
-        pround(F.col("h").cast("double") / F.lit(1048576.0)).alias("hub"),
-        pround(F.col("a").cast("double") / F.lit(1048576.0)).alias(
+        pround(F.col("x").cast("double") / F.lit(1048576.0)).alias("hub"),
+        pround(F.col("ax").cast("double") / F.lit(1048576.0)).alias(
             "authority"
         ),
     )

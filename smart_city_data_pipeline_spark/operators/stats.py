@@ -1455,7 +1455,11 @@ def qc_labeled_df(docs: DataFrame) -> DataFrame:
         F.floor(qc_score_col(F.col("text")) * F.lit(10000.0) + F.lit(0.5))
         .cast("long")
         .alias("s"),
-        (F.col("lang") == "en").cast("long").alias("y"),
+        # eqNullSafe: a NULL lang is a NEGATIVE, matching the oracle's
+        # CASE WHEN lang = 'en' THEN 1 ELSE 0 END — a plain == would
+        # NULL the label and silently drop the row from every moment
+        # sum while the oracle keeps it (r11 review finding).
+        F.col("lang").eqNullSafe(F.lit("en")).cast("long").alias("y"),
     )
 
 

@@ -6487,7 +6487,16 @@ ORACLES["neyman_allocation_plan"] = f"""
 # multilingual/multi-source pretraining mix. The sweep prices several
 # temperatures side by side before any data is drawn (the
 # `lsh_banding_planner` posture: plan first, move bytes later).
-SAMPLING_TEMPS = (0.3, 0.5, 0.7, 1.0)
+# The tau grid is deliberately {k/4}: x^tau is then a COMPOSITION OF
+# IEEE-EXACT ops — sqrt is correctly rounded (IEEE 754 requirement,
+# honored by both the JVM and libm) and multiplication is a single
+# rounding, so x^0.25 = sqrt(sqrt(x)), x^0.5 = sqrt(x), and
+# x^0.75 = sqrt(x)·sqrt(sqrt(x)) produce the bit-identical double on
+# both engines. pow() carries NO such guarantee (JVM Math.pow is
+# specified only to ≤1 ulp, DuckDB uses libm pow) and a 1-ulp
+# disagreement under the 2^20 floor flips a weight (r11 review
+# finding) — so pow never appears in this operator.
+SAMPLING_TEMPS = (0.25, 0.5, 0.75, 1.0)
 TEMP_Q = 1048576.0  # 2^20 weight grid (quantize-then-sum rule)
 
 
@@ -6502,8 +6511,11 @@ def temperature_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalizes by the LARGEST source first (x = c/max ≤ 1) so the
     2^20-grid quantized x^tau stays inside a 64-bit floor at ANY corpus
     size (the ``neyman_allocation_plan`` overflow discipline), and the
-    per-tau totals are integer sums. Doubles appear only in pow and the
-    pround'd display divisions, identical on both engines.
+    per-tau totals are integer sums. x^tau itself is a sqrt
+    COMPOSITION per the quarter-grid tau (see ``SAMPLING_TEMPS``) —
+    every double op in the statistic is correctly rounded, so both
+    engines quantize the bit-identical value; the only remaining
+    doubles are the pround'd display divisions.
 
     Scale shape: one full-scan keyed aggregate (map-side combine),
     then everything runs on the |sources| × |temps| bounded plan table
@@ -6519,16 +6531,31 @@ def temperature_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("corpus_tokens"),
         F.max("n_tokens").alias("max_tokens"),
     )
-    taus = F.explode(
-        F.array(*[F.lit(float(t)) for t in SAMPLING_TEMPS])
-    ).alias("tau")
     x = F.col("n_tokens").cast("double") / F.col("max_tokens").cast("double")
-    base = per.crossJoin(F.broadcast(tot)).select(
-        "source", "n_docs", "n_tokens", "corpus_tokens", x.alias("x"), taus
+    r4 = F.sqrt(F.sqrt(F.col("x")))  # x^0.25 — two exact roundings
+    r2 = F.sqrt(F.col("x"))  # x^0.5
+    pairs = F.array(
+        F.struct(F.lit(0.25).alias("tau"), r4.alias("xt")),
+        F.struct(F.lit(0.5).alias("tau"), r2.alias("xt")),
+        F.struct(F.lit(0.75).alias("tau"), (r2 * r4).alias("xt")),
+        F.struct(F.lit(1.0).alias("tau"), F.col("x").alias("xt")),
     )
-    wq = F.floor(
-        F.pow(F.col("x"), F.col("tau")) * F.lit(TEMP_Q) + F.lit(0.5)
-    ).cast("long")
+    base = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_docs", "n_tokens", "corpus_tokens", x.alias("x")
+        )
+        .select("*", F.explode(pairs).alias("p"))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "corpus_tokens",
+            F.col("p.tau").alias("tau"),
+            F.col("p.xt").alias("xt"),
+        )
+    )
+    wq = F.floor(F.col("xt") * F.lit(TEMP_Q) + F.lit(0.5)).cast("long")
     w = base.select(
         "tau", "source", "n_docs", "n_tokens", "corpus_tokens",
         wq.alias("wq"),
@@ -6569,12 +6596,22 @@ ORACLES["temperature_sampling_plan"] = f"""
                CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
         FROM per
     ),
-    w AS (
-        SELECT tau, source, n_docs, n_tokens, corpus_tokens,
-               CAST(FLOOR(POW(CAST(n_tokens AS DOUBLE)
-                              / CAST(max_tokens AS DOUBLE), tau)
-                          * {TEMP_Q} + 0.5) AS BIGINT) AS wq
+    xs AS (
+        SELECT source, n_docs, n_tokens, corpus_tokens,
+               CAST(n_tokens AS DOUBLE) / CAST(max_tokens AS DOUBLE) AS x
         FROM per CROSS JOIN tot
+    ),
+    w AS (
+        -- the sqrt compositions mirror the Spark side exactly: sqrt
+        -- is correctly rounded on both engines, pow is not
+        SELECT tau, source, n_docs, n_tokens, corpus_tokens,
+               CAST(FLOOR(CASE tau
+                              WHEN 0.25 THEN SQRT(SQRT(x))
+                              WHEN 0.5 THEN SQRT(x)
+                              WHEN 0.75 THEN SQRT(x) * SQRT(SQRT(x))
+                              ELSE x END
+                          * {TEMP_Q} + 0.5) AS BIGINT) AS wq
+        FROM xs
         CROSS JOIN (SELECT UNNEST([{_TEMP_LIST_SQL}]) AS tau) taus
     ),
     tw AS (SELECT tau, SUM(CAST(wq AS HUGEINT)) AS twq FROM w GROUP BY tau)

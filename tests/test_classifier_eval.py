@@ -135,6 +135,29 @@ def test_roc_matches_reference_and_separable_corpus_hits_auc_1(
     assert all(r["auc"] == 1.0 for r in got2)
 
 
+def test_null_lang_counts_as_negative(spark, tmp_path):
+    """A NULL lang row is a NEGATIVE, not a dropped row: the Spark
+    label uses eqNullSafe to match the oracle's CASE WHEN lang = 'en'
+    semantics (a plain == would NULL the label and silently remove
+    the row from every moment sum — r11 review finding)."""
+    plant = _PLANT[:6] + [(None, "!!! ??? ,,, ;;; ::: !!! ??? ,,, ;;;")] * 3
+    d = _write_docs(spark, tmp_path, plant)
+    pairs = _sy_pairs(spark, d, plant)
+    assert sum(1 for _, y in pairs if y == 0) == 3  # NULLs landed as 0
+    want_rows, want_ece, want_brier = _cal_ref(pairs)
+    got = classifier_calibration_report(spark, d).collect()
+    assert sum(r["n_docs"] for r in got) == len(plant)  # nothing dropped
+    assert {
+        r["bin"]: (
+            r["n_docs"], r["n_pos"], r["mean_conf"], r["frac_pos"], r["cal_gap"]
+        )
+        for r in got
+    } == want_rows
+    assert all(r["ece"] == want_ece and r["brier"] == want_brier for r in got)
+    got_roc = roc_auc_report(spark, d).collect()
+    assert all(r["auc"] == _auc_ref(pairs) for r in got_roc)
+
+
 def test_roc_all_ties_reads_auc_half(spark, tmp_path):
     """One shared score across both classes: every pair is a tie, and
     the Mann-Whitney half-credit convention must land AUC at exactly

@@ -24,6 +24,19 @@ _PLANT = (
 )
 
 
+def _xt(x, tau):
+    """x^tau via the SAME sqrt composition the engines use — the
+    reference must mirror the correctly-rounded op sequence, not
+    Python's pow."""
+    if tau == 0.25:
+        return math.sqrt(math.sqrt(x))
+    if tau == 0.5:
+        return math.sqrt(x)
+    if tau == 0.75:
+        return math.sqrt(x) * math.sqrt(math.sqrt(x))
+    return x
+
+
 def _ref(rows):
     per = {}
     for src, text in rows:
@@ -35,7 +48,7 @@ def _ref(rows):
     out = {}
     for tau in SAMPLING_TEMPS:
         wq = {
-            src: math.floor((c / mx) ** tau * TEMP_Q + 0.5)
+            src: math.floor(_xt(c / mx, tau) * TEMP_Q + 0.5)
             for src, (_, c) in per.items()
         }
         twq = sum(wq.values())
@@ -73,6 +86,6 @@ def test_plan_matches_reference_and_flattens_at_low_tau(spark, tmp_path):
     big_shares = [got[(t, "big")][2] for t in SAMPLING_TEMPS]
     assert small_shares == sorted(small_shares, reverse=True)
     assert big_shares == sorted(big_shares)
-    # the over-sampling diagnostic: at tau=0.3 the small source is
+    # the over-sampling diagnostic: at tau=0.25 the small source is
     # re-seen many times per corpus draw
-    assert got[(0.3, "small")][3] > 5.0
+    assert got[(0.25, "small")][3] > 5.0
