@@ -3924,3 +3924,205 @@ def _hits_oracle_sql() -> str:
 
 
 ORACLES["hits_scores"] = _hits_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# Submodular facility-location selection (the CRAIG / submodular data-
+# pruning objective): pick the k vectors that together best COVER the
+# corpus, where coverage of v is max over picks of sim(pick, v). The
+# greedy argmax-of-marginal-gain is the classic (1−1/e)-approximation
+# (Nemhauser et al. 1978). kcenter_sample maximizes spread, MMR serves
+# one query; facility location picks the corpus's best REPRESENTATIVES.
+# --------------------------------------------------------------------------
+
+FL_K = 5  # picks (unrolled in the oracle — keep small)
+
+
+def _fl_weighted_edges(spark: SparkSession, sf_dir: str):
+    """(edges, nodes) for facility location: SRP-band-mate pairs plus
+    self-edges, weighted by the exact integer dot of 2¹⁶-quantized
+    vectors — exposed so the pytest can replay the greedy over the
+    operator's own edge list."""
+    from smart_city_data_pipeline_spark.operators.dedup import _srp_sig
+
+    d = "decimal(38,0)"
+    emb = spread(
+        table(spark, sf_dir, "embeddings"), "vec_id", key=f"{sf_dir}:embeddings"
+    )
+    sig = _srp_sig()
+    qv = emb.select(
+        "vec_id", _qvec(F.col("embedding")).alias("q"), sig.alias("s")
+    )
+    bands = qv.select(
+        "vec_id",
+        F.posexplode(
+            F.array(F.substring("s", 1, 8), F.substring("s", 9, 8))
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("v"))
+        .dropDuplicates(["src", "v"])
+        .unionAll(
+            qv.select(F.col("vec_id").alias("src"), F.col("vec_id").alias("v"))
+        )
+    )
+    va = qv.select(F.col("vec_id").alias("src"), F.col("q").alias("qa"))
+    vb = qv.select(F.col("vec_id").alias("v"), F.col("q").alias("qb"))
+    edges = (
+        cand.join(va, "src")
+        .join(vb, "v")
+        .select(
+            "src",
+            "v",
+            dot(F.col("qa"), F.col("qb")).cast(d).alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = qv.select(F.col("vec_id").alias("v"))
+    return edges, nodes
+
+
+def facility_location_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy facility-location coreset: ``FL_K`` rounds of
+    argmax_c Σ_v max(0, w(c,v) − cur(v)), where w is the exact integer
+    dot product of 2¹⁶-quantized vectors (``_qvec``), coverage is
+    restricted to SRP-band mates plus self (the LSH recall contract of
+    ``semantic_dedup`` — similarity below band resolution counts 0),
+    and cur(v) is the running best coverage. Each pick reports its
+    marginal gain and the corpus coverage Σ_v cur(v) after it joins —
+    the knee of that curve prices k.
+
+    Exactness: weights, gains, and coverage are INTEGER sums in
+    DECIMAL(38,0)/HUGEINT (no doubles anywhere in the statistic);
+    argmax ties break to the lower vec_id on both engines.
+
+    Scale shape: the weighted band-mate edge list is built ONCE
+    (band-bounded, never O(n²)) and checkpointed; each round is one
+    keyed join + one keyed integer aggregate + a TakeOrdered argmax
+    row, then a broadcast of the pick's (dim-bounded) edge slice onto
+    the coverage table — the ``kcenter_sample`` driver-pick bound with
+    ``dedup_clusters`` checkpoint lineage.
+    """
+    d = "decimal(38,0)"
+    edges, nodes = _fl_weighted_edges(spark, sf_dir)
+    cur = nodes.select("v", F.expr(f"CAST(0 AS {d})").alias("cur"))
+    picks = []
+    for order in range(1, FL_K + 1):
+        gains = (
+            edges.join(cur, "v")
+            .select(
+                "src",
+                F.expr(f"GREATEST(w - cur, CAST(0 AS {d}))").alias("g"),
+            )
+            .groupBy("src")
+            .agg(F.sum("g").alias("gain"))
+        )
+        if picks:
+            gains = gains.join(
+                spark.createDataFrame(
+                    [(p[1],) for p in picks], "src long"
+                ),
+                "src",
+                "left_anti",
+            )
+        crow = (
+            gains.orderBy(F.col("gain").desc(), F.col("src").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append((order, int(crow["src"]), int(crow["gain"])))
+        pe = edges.filter(F.col("src") == int(crow["src"])).select(
+            "v", F.col("w").alias("pw")
+        )
+        cur = (
+            cur.join(F.broadcast(pe), "v", "left")
+            .select(
+                "v",
+                F.expr(
+                    f"GREATEST(cur, COALESCE(pw, CAST(0 AS {d})))"
+                ).alias("cur"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        picks[-1] = picks[-1] + (
+            int(cur.agg(F.sum("cur")).collect()[0][0]),
+        )
+    return spark.createDataFrame(
+        [(o, vid, g, cov) for o, vid, g, cov in picks],
+        "sel_order int, vec_id long, gain long, total_coverage long",
+    )
+
+
+QUERIES["facility_location_select"] = facility_location_select
+
+
+def _fl_oracle_sql() -> str:
+    from smart_city_data_pipeline_spark.operators.dedup import _SRP_SIG_SQL
+
+    qexpr = (
+        "list_transform(CAST(embedding AS DOUBLE[]),"
+        f" x -> CAST(FLOOR(x * {KMEANS_SCALE} + 0.5) AS DOUBLE))"
+    )
+    steps = [
+        f"qv AS MATERIALIZED (SELECT vec_id, {qexpr} AS q,"
+        f" {_SRP_SIG_SQL} AS s FROM embeddings)",
+        "bands AS MATERIALIZED (SELECT vec_id, q,"
+        " substr(s, 1, 8) AS band0, substr(s, 9, 8) AS band1 FROM qv)",
+        "cand AS MATERIALIZED ("
+        " SELECT a.vec_id AS src, b.vec_id AS v FROM bands a"
+        "  JOIN bands b ON a.band0 = b.band0 AND a.vec_id <> b.vec_id"
+        " UNION"
+        " SELECT a.vec_id AS src, b.vec_id AS v FROM bands a"
+        "  JOIN bands b ON a.band1 = b.band1 AND a.vec_id <> b.vec_id"
+        " UNION"
+        " SELECT vec_id AS src, vec_id AS v FROM qv)",
+        "edges AS MATERIALIZED (SELECT c.src, c.v,"
+        " CAST(list_dot_product(sa.q, sb.q) AS HUGEINT) AS w"
+        " FROM cand c JOIN qv sa ON c.src = sa.vec_id"
+        " JOIN qv sb ON c.v = sb.vec_id)",
+        "cur0 AS MATERIALIZED (SELECT vec_id AS v,"
+        " CAST(0 AS HUGEINT) AS cur FROM qv)",
+    ]
+    sel = []
+    excl = ""
+    for i in range(1, FL_K + 1):
+        steps.append(
+            f"g{i} AS MATERIALIZED (SELECT e.src,"
+            f" SUM(GREATEST(e.w - c.cur, CAST(0 AS HUGEINT))) AS gain"
+            f" FROM edges e JOIN cur{i-1} c ON e.v = c.v"
+            f" {excl}"
+            f" GROUP BY e.src)"
+        )
+        steps.append(
+            f"p{i} AS MATERIALIZED (SELECT src, gain FROM g{i}"
+            f" ORDER BY gain DESC, src ASC LIMIT 1)"
+        )
+        steps.append(
+            f"cur{i} AS MATERIALIZED (SELECT c.v,"
+            f" GREATEST(c.cur, COALESCE(e.w, CAST(0 AS HUGEINT))) AS cur"
+            f" FROM cur{i-1} c LEFT JOIN"
+            f" (SELECT e.v, e.w FROM edges e, p{i} p WHERE e.src = p.src) e"
+            f" ON c.v = e.v)"
+        )
+        sel.append(
+            f"SELECT {i} AS sel_order, src AS vec_id,"
+            f" CAST(gain AS BIGINT) AS gain,"
+            f" CAST((SELECT SUM(cur) FROM cur{i}) AS BIGINT)"
+            f" AS total_coverage FROM p{i}"
+        )
+        excl = (
+            "WHERE e.src NOT IN ("
+            + " UNION ALL ".join(f"SELECT src FROM p{j}" for j in range(1, i + 1))
+            + ")"
+        )
+    return "WITH " + ",\n".join(steps) + "\n" + " UNION ALL ".join(sel)
+
+
+ORACLES["facility_location_select"] = _fl_oracle_sql()
