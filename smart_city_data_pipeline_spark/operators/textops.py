@@ -6560,8 +6560,11 @@ def temperature_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tau", "source", "n_docs", "n_tokens", "corpus_tokens",
         wq.alias("wq"),
     )
+    # |temps|-row totals table — no broadcast HINT (the grouped-on-tau
+    # aggregate isn't provably bounded to the policy checker; AQE
+    # size-gates the join and will broadcast 4 rows at runtime anyway)
     twq = w.groupBy("tau").agg(F.sum("wq").alias("twq"))
-    j = w.join(F.broadcast(twq), "tau")
+    j = w.join(twq, "tau")
     share = pround(F.col("wq").cast("double") / F.col("twq").cast("double"))
     epochs = F.when(
         F.col("n_tokens") > 0,
