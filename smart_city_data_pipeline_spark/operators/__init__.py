@@ -36,11 +36,11 @@ from pyspark.sql import DataFrame, SparkSession
 # alternation; its four consumers inherit the new component labels)
 # plus the new r11 operators; (e) fill to 50 with the longest-since-
 # gated keys (last green row r4, the oldest cohort in the ledger).
-# r12 queue: the seven late-r11 keys past the 50-slot window
+# r12 queue: the eight late-r11 keys past the 50-slot window
 # (temperature_sampling_plan, classifier_calibration_report,
 # roc_auc_report, knn_pagerank, mmr_diverse_select, hits_scores,
-# facility_location_select — never driver-gated, locally green at
-# both SFs)
+# facility_location_select, poisson_bootstrap_ci — never
+# driver-gated, locally green at both SFs)
 # head the r12 window, then the keys the r11 fill displaced
 # (q17_small_quantity_revenue, q22_global_sales_opportunity,
 # lang_id, text_quality — last driver-green r4).

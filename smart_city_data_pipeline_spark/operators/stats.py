@@ -1777,3 +1777,255 @@ def _fill_qc_labeled() -> None:
 
 
 _fill_qc_labeled()
+
+
+# --------------------------------------------------------------------------
+# Deterministic Poisson bootstrap — THE production bootstrap at scale
+# (Chamandy et al., "Estimating Uncertainty for Massive Data Streams",
+# Google 2012): resampling row i into replicate b with multinomial
+# counts needs a global index; Poisson(1) weights need only the row
+# itself, so the whole bootstrap is ONE pass, embarrassingly parallel,
+# and here fully DETERMINISTIC — the weight is an md5-derived uniform
+# on the 2^20 integer grid pushed through the Poisson(1) inverse CDF
+# as a ladder of INTEGER thresholds (computed once, embedded as
+# literals), so both engines draw the bit-identical "randomness".
+# --------------------------------------------------------------------------
+
+BOOT_B = 50  # replicates per group
+# Poisson(1) CDF on the 2^20 grid: weight k iff u < threshold[k]
+# (floor(CDF(k) * 2^20), k = 0..9; u >= last  =>  w = 10).
+BOOT_POISSON_THRESH = (
+    (0, 385749),
+    (1, 771499),
+    (2, 964373),
+    (3, 1028665),
+    (4, 1044738),
+    (5, 1047952),
+    (6, 1048488),
+    (7, 1048565),
+    (8, 1048574),
+    (9, 1048575),
+)
+
+
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type mean reading with a deterministic Poisson-
+    bootstrap 95% confidence interval: ``BOOT_B`` one-pass replicates,
+    each row weighted Poisson(1) by its md5 draw, CI endpoints the
+    ceil(2.5%·m)/ceil(97.5%·m) order statistics of the replicate means
+    (m = replicates with any mass — integer ceils via (25m+999)//1000,
+    never a double product).
+
+    Exactness: the uniform, the inverse-CDF ladder, every replicate
+    moment (Σw, Σw·cents in DECIMAL(38,0)/HUGEINT), and the rank key
+    (the 2^20-quantized replicate mean, ties to lower b) are ALL
+    integers — pround'd doubles appear only in the displayed means.
+
+    Scale shape: one ×B explode (cheap literals + md5) into ONE keyed
+    aggregate → the |types|×B replicate table; ranking is a window
+    over that bounded table. No global index, no second pass — the
+    property that makes Poisson bootstrap the 100 TB choice over
+    multinomial resampling.
+    """
+    from smart_city_data_pipeline_spark.functions.hashing import md5_long
+
+    d = "decimal(38,0)"
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    rows = ev.select(
+        "event_type", F.col("event_id").cast("string").alias("eid"),
+        cents.alias("cents"),
+    )
+    # one md5 serves SIX 20-bit uniforms (both 60-bit halves of the
+    # digest, three 20-bit slices each): hash per (event, hash-group
+    # g = b DIV 6) — 6x fewer md5 evaluations than hashing per
+    # (event, replicate), the dominant cost of the x B explode.
+    n_groups = (BOOT_B + 5) // 6
+    g = rows.select(
+        "event_type",
+        "cents",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(n_groups)])
+        ).alias("g"),
+        "eid",
+    )
+    hex_ = F.md5(
+        F.concat(F.col("eid"), F.lit(":"), F.col("g").cast("string"))
+    )
+    h1 = F.conv(F.substring(hex_, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(hex_, 16, 15), 16, 10).cast("long")
+    trip = F.array(
+        *[
+            F.struct(
+                (F.col("g") * 6 + j).alias("b"),
+                (
+                    F.shiftright(h1 if j < 3 else h2, 20 * (j % 3))
+                    % F.lit(1048576)
+                ).alias("u"),
+            )
+            for j in range(6)
+        ]
+    )
+    r = (
+        g.select("event_type", "cents", F.explode(trip).alias("p"))
+        .select(
+            "event_type",
+            "cents",
+            F.col("p.b").alias("b"),
+            F.col("p.u").alias("u"),
+        )
+        .filter(F.col("b") < BOOT_B)
+    )
+    w = F.lit(10)
+    for k, t in reversed(BOOT_POISSON_THRESH):
+        w = F.when(F.col("u") < t, F.lit(k)).otherwise(w)
+    rep = (
+        r.select("event_type", "b", w.alias("w"), "cents")
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("w").cast(d)).alias("n_eff"),
+            F.sum((F.col("w") * F.col("cents")).cast(d)).alias("s"),
+        )
+        .filter(F.col("n_eff") > 0)
+    )
+    mq = F.expr(f"CAST(s * CAST(1048576 AS {d}) DIV n_eff AS {d})")
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("mq").asc(), F.col("b").asc()
+    )
+    wt = Window.partitionBy("event_type")
+    ranked = rep.select(
+        "event_type",
+        "b",
+        "n_eff",
+        "s",
+        mq.alias("mq"),
+    ).select(
+        "*",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("m"),
+    )
+    mean_b = pround(
+        F.col("s").cast("double") / (F.lit(100.0) * F.col("n_eff").cast("double"))
+    )
+    lo = ranked.filter(
+        F.col("rn") == F.expr("(25 * m + 999) div 1000")
+    ).select("event_type", mean_b.alias("ci_lo"))
+    hi = ranked.filter(
+        F.col("rn") == F.expr("(975 * m + 999) div 1000")
+    ).select("event_type", mean_b.alias("ci_hi"))
+    full = rows.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("cents").cast(d)).alias("cs"),
+    )
+    mean_full = pround(
+        F.col("cs").cast("double")
+        / (F.lit(100.0) * F.col("n_events").cast("double"))
+    )
+    return (
+        full.join(lo, "event_type")
+        .join(hi, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            mean_full.alias("mean_value"),
+            "ci_lo",
+            "ci_hi",
+        )
+    )
+
+
+QUERIES["poisson_bootstrap_ci"] = poisson_bootstrap_ci
+
+
+def _boot_oracle_sql() -> str:
+    from smart_city_data_pipeline_spark.functions.hashing import md5_long_sql
+
+    ladder = "CASE"
+    for k, t in BOOT_POISSON_THRESH:
+        ladder += f" WHEN u < {t} THEN {k}"
+    ladder += " ELSE 10 END"
+    n_groups = (BOOT_B + 5) // 6
+    return f"""
+    WITH rows0 AS MATERIALIZED (
+        SELECT event_type, CAST(event_id AS VARCHAR) AS eid,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    hashed AS MATERIALIZED (
+        SELECT event_type, cents, g,
+               md5(eid || ':' || CAST(g AS VARCHAR)) AS hx
+        FROM rows0 CROSS JOIN (
+            SELECT UNNEST(range({n_groups})) AS g
+        ) gs
+    ),
+    halves AS MATERIALIZED (
+        SELECT event_type, cents, g,
+               CAST(('0x' || substr(hx, 1, 15)) AS BIGINT) AS h1,
+               CAST(('0x' || substr(hx, 16, 15)) AS BIGINT) AS h2
+        FROM hashed
+    ),
+    uni AS MATERIALIZED (
+        -- one md5 serves six 20-bit uniforms (b = 6g + j): three
+        -- slices of each 60-bit digest half
+        SELECT event_type, cents, p.b AS b, p.u AS u
+        FROM halves, UNNEST([
+            {{'b': 6 * g, 'u': h1 % 1048576}},
+            {{'b': 6 * g + 1, 'u': (h1 // 1048576) % 1048576}},
+            {{'b': 6 * g + 2, 'u': (h1 // 1099511627776) % 1048576}},
+            {{'b': 6 * g + 3, 'u': h2 % 1048576}},
+            {{'b': 6 * g + 4, 'u': (h2 // 1048576) % 1048576}},
+            {{'b': 6 * g + 5, 'u': (h2 // 1099511627776) % 1048576}}
+        ]) AS t(p)
+        WHERE p.b < {BOOT_B}
+    ),
+    drawn AS MATERIALIZED (
+        SELECT event_type, b, cents, {ladder} AS w
+        FROM uni
+    ),
+    rep AS MATERIALIZED (
+        SELECT event_type, b,
+               SUM(CAST(w AS HUGEINT)) AS n_eff,
+               SUM(CAST(w AS HUGEINT) * CAST(cents AS HUGEINT)) AS s
+        FROM drawn GROUP BY event_type, b
+        HAVING SUM(w) > 0
+    ),
+    ranked AS MATERIALIZED (
+        SELECT event_type, b, n_eff, s,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY s * CAST(1048576 AS HUGEINT) // n_eff ASC,
+                            b ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS m
+        FROM rep
+    ),
+    lo AS (
+        SELECT event_type,
+               {pround_sql(
+                   'CAST(s AS DOUBLE) / (100.0 * CAST(n_eff AS DOUBLE))'
+               )} AS ci_lo
+        FROM ranked WHERE rn = (25 * m + 999) // 1000
+    ),
+    hi AS (
+        SELECT event_type,
+               {pround_sql(
+                   'CAST(s AS DOUBLE) / (100.0 * CAST(n_eff AS DOUBLE))'
+               )} AS ci_hi
+        FROM ranked WHERE rn = (975 * m + 999) // 1000
+    ),
+    full0 AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+               SUM(CAST(cents AS HUGEINT)) AS cs
+        FROM rows0 GROUP BY event_type
+    )
+    SELECT f.event_type, f.n_events,
+           {pround_sql(
+               'CAST(cs AS DOUBLE) / (100.0 * CAST(n_events AS DOUBLE))'
+           )} AS mean_value,
+           lo.ci_lo, hi.ci_hi
+    FROM full0 f
+    JOIN lo ON f.event_type = lo.event_type
+    JOIN hi ON f.event_type = hi.event_type
+"""
+
+
+ORACLES["poisson_bootstrap_ci"] = _boot_oracle_sql()
