@@ -1808,29 +1808,15 @@ BOOT_POISSON_THRESH = (
 )
 
 
-def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event-type mean reading with a deterministic Poisson-
-    bootstrap 95% confidence interval: ``BOOT_B`` one-pass replicates,
-    each row weighted Poisson(1) by its md5 draw, CI endpoints the
-    ceil(2.5%·m)/ceil(97.5%·m) order statistics of the replicate means
-    (m = replicates with any mass — integer ceils via (25m+999)//1000,
-    never a double product).
-
-    Exactness: the uniform, the inverse-CDF ladder, every replicate
-    moment (Σw, Σw·cents in DECIMAL(38,0)/HUGEINT), and the rank key
-    (the 2^20-quantized replicate mean, ties to lower b) are ALL
-    integers — pround'd doubles appear only in the displayed means.
-
-    Scale shape: one ×B explode (cheap literals + md5) into ONE keyed
-    aggregate → the |types|×B replicate table; ranking is a window
-    over that bounded table. No global index, no second pass — the
-    property that makes Poisson bootstrap the 100 TB choice over
-    multinomial resampling.
-    """
-    from smart_city_data_pipeline_spark.functions.hashing import md5_long
-
+def bootstrap_replicate_moments(ev: DataFrame) -> DataFrame:
+    """Per-(event_type, replicate) integer moments (n_eff = Σw,
+    s = Σw·cents) under the deterministic md5 → Poisson(1) draw —
+    every column a COMMUTATIVE integer sum, so the aggregate is a
+    monoid any delivery order folds identically: the batch CI and the
+    streaming bootstrap monitor both build exactly this table (the
+    ``calibration_bin_moments`` discipline). Accepts a static OR
+    streaming events frame (the draw is a pure projection)."""
     d = "decimal(38,0)"
-    ev = table(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
     rows = ev.select(
         "event_type", F.col("event_id").cast("string").alias("eid"),
@@ -1879,15 +1865,37 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.lit(10)
     for k, t in reversed(BOOT_POISSON_THRESH):
         w = F.when(F.col("u") < t, F.lit(k)).otherwise(w)
-    rep = (
+    return (
         r.select("event_type", "b", w.alias("w"), "cents")
         .groupBy("event_type", "b")
         .agg(
             F.sum(F.col("w").cast(d)).alias("n_eff"),
             F.sum((F.col("w") * F.col("cents")).cast(d)).alias("s"),
         )
-        .filter(F.col("n_eff") > 0)
     )
+
+
+def bootstrap_corpus_moments(ev: DataFrame) -> DataFrame:
+    """Full-sample per-type integer moments (n_events, Σcents) — the
+    un-resampled leg of the CI report; also a streaming-safe monoid."""
+    d = "decimal(38,0)"
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    return ev.select("event_type", cents.alias("cents")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("cents").cast(d)).alias("cs"),
+    )
+
+
+def bootstrap_ci_finish(rep: DataFrame, full: DataFrame) -> DataFrame:
+    """Display finisher over the bounded |types|×B replicate table:
+    drop empty replicates, rank by the 2²⁰-quantized replicate mean,
+    pick the integer order-statistic endpoints, join the full-sample
+    means — the identical IEEE sequence whether the moments came from
+    one batch scan or a streaming fold."""
+    d = "decimal(38,0)"
+    rep = rep.filter(F.col("n_eff") > 0)
     mq = F.expr(f"CAST(s * CAST(1048576 AS {d}) DIV n_eff AS {d})")
     wr = Window.partitionBy("event_type").orderBy(
         F.col("mq").asc(), F.col("b").asc()
@@ -1913,10 +1921,6 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = ranked.filter(
         F.col("rn") == F.expr("(975 * m + 999) div 1000")
     ).select("event_type", mean_b.alias("ci_hi"))
-    full = rows.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("cents").cast(d)).alias("cs"),
-    )
     mean_full = pround(
         F.col("cs").cast("double")
         / (F.lit(100.0) * F.col("n_events").cast("double"))
@@ -1931,6 +1935,31 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_lo",
             "ci_hi",
         )
+    )
+
+
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type mean reading with a deterministic Poisson-
+    bootstrap 95% confidence interval: ``BOOT_B`` one-pass replicates,
+    each row weighted Poisson(1) by its md5 draw, CI endpoints the
+    ceil(2.5%·m)/ceil(97.5%·m) order statistics of the replicate means
+    (m = replicates with any mass — integer ceils via (25m+999)//1000,
+    never a double product).
+
+    Exactness: the uniform, the inverse-CDF ladder, every replicate
+    moment (Σw, Σw·cents in DECIMAL(38,0)/HUGEINT), and the rank key
+    (the 2^20-quantized replicate mean, ties to lower b) are ALL
+    integers — pround'd doubles appear only in the displayed means.
+
+    Scale shape: one ×B explode (cheap literals + md5) into ONE keyed
+    aggregate → the |types|×B replicate table; ranking is a window
+    over that bounded table. No global index, no second pass — the
+    property that makes Poisson bootstrap the 100 TB choice over
+    multinomial resampling.
+    """
+    ev = table(spark, sf_dir, "events")
+    return bootstrap_ci_finish(
+        bootstrap_replicate_moments(ev), bootstrap_corpus_moments(ev)
     )
 
 
