@@ -36,14 +36,13 @@ from pyspark.sql import DataFrame, SparkSession
 # alternation; its four consumers inherit the new component labels)
 # plus the new r11 operators; (e) fill to 50 with the longest-since-
 # gated keys (last green row r4, the oldest cohort in the ledger).
-# r12 queue: the eight late-r11 keys past the 50-slot window
-# (temperature_sampling_plan, classifier_calibration_report,
-# roc_auc_report, knn_pagerank, mmr_diverse_select, hits_scores,
-# facility_location_select, poisson_bootstrap_ci — never
-# driver-gated, locally green at both SFs)
-# head the r12 window, then the keys the r11 fill displaced
-# (q17_small_quantity_revenue, q22_global_sales_opportunity,
-# lang_id, text_quality — last driver-green r4).
+# r12 queue: the keys the r11 fill displaced — q3_shipping_priority,
+# q5_local_supplier, revenue_by_nation, promo_revenue,
+# order_priority_count, q7_volume_shipping, q10_returned_items,
+# q13_customer_distribution (displaced this session for the eight
+# late-r11 keys, section (f) below), then q17_small_quantity_revenue,
+# q22_global_sales_opportunity, lang_id, text_quality — all last
+# driver-green r4.
 _GATE_FIRST = [
     # --- (a) the r10 red row, fixed, re-earning
     "markov_entropy_rate",
@@ -92,14 +91,19 @@ _GATE_FIRST = [
     "melt_type_counts",
     "props_extract",
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "revenue_by_nation",
-    "promo_revenue",
-    "order_priority_count",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q13_customer_distribution",
+    # --- (f) late-r11 session additions (would otherwise sit
+    # never-gated until r12 — the VERDICT r10 What's-wrong #2 class;
+    # the 8 displaced longest-since-gated fill keys, q3/q5/
+    # revenue_by_nation/promo_revenue/order_priority_count/q7/q10/q13,
+    # are green-since-r4 and head the r12 fill instead)
+    "temperature_sampling_plan",
+    "classifier_calibration_report",
+    "roc_auc_report",
+    "knn_pagerank",
+    "mmr_diverse_select",
+    "hits_scores",
+    "facility_location_select",
+    "poisson_bootstrap_ci",
 ]
 
 # Entries that can never hash-match (no oracle_sql twin by documented
