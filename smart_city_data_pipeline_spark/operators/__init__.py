@@ -36,7 +36,10 @@ from pyspark.sql import DataFrame, SparkSession
 # alternation; its four consumers inherit the new component labels)
 # plus the new r11 operators; (e) fill to 50 with the longest-since-
 # gated keys (last green row r4, the oldest cohort in the ledger).
-# r12 queue: the keys the r11 fill displaced — q3_shipping_priority,
+# r12 queue: error_rate_wilson_ci (the one post-rotation addition —
+# locally green at both SFs incl. a vanilla-session run, one slot
+# short of the 50 cap), then the keys the r11 fill displaced —
+# q3_shipping_priority,
 # q5_local_supplier, revenue_by_nation, promo_revenue,
 # order_priority_count, q7_volume_shipping, q10_returned_items,
 # q13_customer_distribution (displaced this session for the eight

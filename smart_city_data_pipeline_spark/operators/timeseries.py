@@ -10464,3 +10464,94 @@ ORACLES["sensor_stuck_report"] = f"""
            b.run_len >= {STUCK_RUN_HOURS} AS stuck
     FROM tot t JOIN best b USING (sensor_id)
 """
+
+
+# Wilson score interval (Wilson 1927) — the small-sample-correct CI
+# for a proportion (the Wald interval collapses to zero width at
+# p=0/1 and undercovers everywhere; Wilson is what Agresti & Coull
+# recommend and what monitoring dashboards should draw). z = 1.96
+# spelled as the exact literal both engines parse identically.
+WILSON_Z = 1.96
+
+
+def error_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per hour-of-day error share with a Wilson 95% score interval:
+    "when do errors spike, and is the spike real or small-n noise" —
+    the parametric companion to the resampling
+    ``poisson_bootstrap_ci`` (stats.py). An hour with 3/10 errors and
+    an hour with 300/1000 have the same point estimate; only the
+    interval separates them.
+
+    Exactness: n and k are exact integer counts; the Wilson endpoints
+    use only +,−,×,/ and sqrt — ALL correctly rounded IEEE ops, so
+    both engines produce the bit-identical double before the pround
+    (the ``temperature_sampling_plan`` sqrt-composition rule: no pow,
+    no libm-divergent op anywhere).
+
+    Scale shape: ONE full-scan conditional aggregate into the 24-row
+    hour grid; everything after is per-row arithmetic on that bounded
+    table. Map-side combine collapses the scan.
+    """
+    ev = table(spark, sf_dir, "events")
+    per = ev.groupBy(F.hour("ts").cast("int").alias("hour_of_day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            (F.col("event_type") == "error").cast("long")
+        ).alias("n_errors"),
+    )
+    n = F.col("n_events").cast("double")
+    k = F.col("n_errors").cast("double")
+    z2 = F.lit(WILSON_Z * WILSON_Z)
+    p = k / n
+    center = p + z2 / (F.lit(2.0) * n)
+    half = F.lit(WILSON_Z) * F.sqrt(
+        p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n)
+    )
+    denom = F.lit(1.0) + z2 / n
+    return per.select(
+        "hour_of_day",
+        "n_events",
+        "n_errors",
+        pround(p).alias("error_rate"),
+        pround((center - half) / denom).alias("ci_lo"),
+        pround((center + half) / denom).alias("ci_hi"),
+    )
+
+
+QUERIES["error_rate_wilson_ci"] = error_rate_wilson_ci
+
+ORACLES["error_rate_wilson_ci"] = f"""
+    WITH per AS (
+        SELECT CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour_of_day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_errors
+        FROM events GROUP BY 1
+    )
+    SELECT hour_of_day, n_events, n_errors,
+           {pround_sql('CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE)')}
+               AS error_rate,
+           {pround_sql(
+               '((CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE))'
+               f' + {WILSON_Z * WILSON_Z} / (2.0 * CAST(n_events AS DOUBLE))'
+               f' - {WILSON_Z} * SQRT('
+               '(CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE))'
+               ' * (1.0 - CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE))'
+               ' / CAST(n_events AS DOUBLE)'
+               f' + {WILSON_Z * WILSON_Z}'
+               ' / (4.0 * CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE))))'
+               f' / (1.0 + {WILSON_Z * WILSON_Z} / CAST(n_events AS DOUBLE))'
+           )} AS ci_lo,
+           {pround_sql(
+               '((CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE))'
+               f' + {WILSON_Z * WILSON_Z} / (2.0 * CAST(n_events AS DOUBLE))'
+               f' + {WILSON_Z} * SQRT('
+               '(CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE))'
+               ' * (1.0 - CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE))'
+               ' / CAST(n_events AS DOUBLE)'
+               f' + {WILSON_Z * WILSON_Z}'
+               ' / (4.0 * CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE))))'
+               f' / (1.0 + {WILSON_Z * WILSON_Z} / CAST(n_events AS DOUBLE))'
+           )} AS ci_hi
+    FROM per
+"""
