@@ -1146,6 +1146,11 @@ def star_cc_labels(
         .distinct()
     )
     live_ids = _persistent_ids() - base_ids
+    # |edges| is re-used by every round's convergence probe; counting
+    # the PREVIOUS round's set again each round was a whole extra job
+    # over the old checkpoint — carry the count forward instead (the
+    # stepped set's count becomes next round's edges count).
+    edges_count = edges.count()
     rounds = 0
     converged = False
     for _ in range(max_iters):
@@ -1186,10 +1191,12 @@ def star_cc_labels(
         # proves full equality — the counts are near-free scans of the
         # two materialized checkpoints, replacing the second anti-join
         # the first probe spelling paid every round (r11 review).
+        stepped_count = stepped.count()
         converged = (
-            stepped.count() == edges.count()
+            stepped_count == edges_count
             and stepped.exceptAll(edges).isEmpty()
         )
+        edges_count = stepped_count
         jmap = jsc.getPersistentRDDs()
         for rid in live_ids:
             rdd = jmap.get(rid)
@@ -1211,6 +1218,7 @@ def dedup_clusters(
     sf_dir: str,
     max_iters: int = CLUSTER_MAX_ITERS,
     checkpoint_dir: str | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Connected components over the MinHash-LSH near-dup pairs:
     every document gets a ``cluster_id`` (the MIN doc_id reachable
@@ -1249,7 +1257,8 @@ def dedup_clusters(
     DuckDB oracle: recursive CTE computing min-reachable-id — exact
     match including singleton clusters.
     """
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    if pairs is None:
+        pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     labels, _, _ = star_cc_labels(
         spark, pairs, max_iters=max_iters, checkpoint_dir=checkpoint_dir
     )
@@ -2530,10 +2539,21 @@ def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pearson r = num/sqrt(dx·dy) on nearest-doubles of exact decimal
     integers (x = n_eq, y = the 2^20-quantized Jaccard).
     """
-    sig = _minhash_sig_wide(spark, sf_dir).select(
-        "doc_id", *[F.col(f"m{i}") for i in range(N_MINHASH)]
+    # Materialize the three shared legs ONCE each: the signature table
+    # feeds the band join AND both verify sides, the pair list feeds
+    # cand AND the candidate-doc semi-join, and the shingle table feeds
+    # sizes AND both intersection sides. Lazily shared, the plan re-ran
+    # the shingle→signature pipeline ~8× (32 parquet scans measured —
+    # guide §7.2 duplicated subtrees; §5 cache-vs-recompute: each leg
+    # is reused ≥2× and strictly cheaper to store than recompute).
+    sig = (
+        _minhash_sig_wide(spark, sf_dir)
+        .select("doc_id", *[F.col(f"m{i}") for i in range(N_MINHASH)])
+        .localCheckpoint(eager=True)
     )
-    pairs = _band_pairs(sig, dataset_key=dataset_fingerprint(sf_dir, "documents"))
+    pairs = _band_pairs(
+        sig, dataset_key=dataset_fingerprint(sf_dir, "documents")
+    ).localCheckpoint(eager=True)
     sa, sb = sig.alias("sa"), sig.alias("sb")
     n_eq = functools.reduce(
         operator.add,
@@ -2547,7 +2567,7 @@ def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", n_eq.alias("n_eq"))
     )
-    sh = _hashed_shingles(spark, sf_dir)
+    sh = _hashed_shingles(spark, sf_dir).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_sh")
     )
@@ -2746,8 +2766,19 @@ def dedup_cluster_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Q term is (e_c/m) − t·t with t one division — identical
     expression trees both engines.
     """
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    labels = dedup_clusters(spark, sf_dir).select(
+    # ONE materialization of the LSH pair list serves BOTH legs (the
+    # e_c/degree aggregates here and the CC loop inside dedup_clusters):
+    # the first spelling constructed dedup_minhash_lsh twice, so the
+    # final plan re-ran the whole shingle→signature→band-join pipeline
+    # a second time just to re-derive the identical pairs (28 parquet
+    # scans in the plan; guide §7.2 duplicated subtrees / §5 cache-vs-
+    # recompute). The checkpoint lives only inside this query's run.
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    labels = dedup_clusters(spark, sf_dir, pairs=pairs).select(
         F.col("doc_id").alias("doc_a"), F.col("cluster_id")
     )
     e = (
@@ -2904,13 +2935,18 @@ def text_embedding_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the knn_graph contract); both quantize to the 2^20 grid before
     the moment sums.
     """
+    # Materialize the two shared legs once (pair list → cand_docs + the
+    # final join; shingles → sizes + both intersection sides): lazily
+    # shared they re-ran the shingle/signature pipeline ~8× in one plan
+    # (32 parquet scans measured — guide §7.2, the
+    # minhash_estimate_audit refactor).
     pairs = _band_pairs(
         _minhash_sig_wide(spark, sf_dir).select(
             "doc_id", *[F.col(f"m{i}") for i in range(N_MINHASH)]
         ),
         dataset_key=dataset_fingerprint(sf_dir, "documents"),
-    )
-    sh = _hashed_shingles(spark, sf_dir)
+    ).localCheckpoint(eager=True)
+    sh = _hashed_shingles(spark, sf_dir).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_sh")
     )
@@ -3159,6 +3195,12 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pos") <= F.col("n") - WIN_W)  # full windows only
         .select("doc_id", F.col("pick.h").alias("fp"))
         .distinct()
+        # Selected fingerprints feed per_doc, dfreq AND both self-join
+        # sides; materialize the tokenize→window selection once instead
+        # of re-running it per consumer (12 parquet scans in the lazily
+        # shared plan — guide §7.2/§5). Bounded: ≤ one row per gram
+        # window per doc.
+        .localCheckpoint(eager=True)
     )
     per_doc = sel.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     dfreq = sel.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
@@ -3386,11 +3428,17 @@ def lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the verdict compares integers (lof_q > 1.5 on the grid)."""
     g = knn_graph(spark, sf_dir)
     dist = (F.lit(1.0) - F.col("cos_sim"))
+    # One materialization of the quantized kNN edge list (band-bounded,
+    # n·k rows): kdist/reach/lrd each reference their parent twice, so
+    # the lazily shared tree re-ran the whole band-join + window kNN
+    # build ~8× (50 parquet scans in the plan — guide §7.2 duplicated
+    # subtrees). Downstream recomputation over the checkpoint is a few
+    # joins on the bounded edge table.
     edges = g.select(
         "vec_id",
         "neighbor_id",
         F.floor(dist * LOF_Q + 0.5).cast("long").alias("d_q"),
-    )
+    ).localCheckpoint(eager=True)
     kdist = edges.groupBy("vec_id").agg(F.max("d_q").alias("kdist_q"))
     reach = edges.join(
         kdist.select(
@@ -4032,8 +4080,17 @@ def dedup_overmerge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one division. Scale shape: inherits the CC posture; the audit
     itself is one join of the (bounded) pair list onto the cluster
     map, then two keyed aggregates over |clusters| rows."""
-    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # Share ONE materialized pair list between the direct-evidence leg
+    # and the CC loop (the dedup_cluster_modularity refactor — the old
+    # plan re-ran the full LSH pipeline for each leg).
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    clusters = dedup_clusters(spark, sf_dir, pairs=pairs).select(
+        "doc_id", "cluster_id"
+    )
     edges = (
         pairs.join(
             clusters.select(

@@ -3832,25 +3832,35 @@ def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         the a-step and h-step differ only in edge orientation, so a
         drifted copy could silently normalize them differently):
         push ``state.x`` along src→dst, coalesce no-in-link nodes to
-        zero, and max-normalize back onto the 2²⁰ grid."""
-        raw = nodes.join(
-            edges.join(state.select(F.col("node").alias(src), "x"), src)
-            .groupBy(F.col(dst).alias("node"))
-            .agg(F.sum("x").alias("r")),
-            "node",
-            "left",
-        ).select("node", F.expr(f"COALESCE(r, CAST(0 AS {d}))").alias("r"))
-        mx = raw.agg(F.max("r").alias("m"))
-        return (
-            raw.crossJoin(F.broadcast(mx))
-            .select(
+        zero, and max-normalize back onto the 2²⁰ grid.
+
+        The raw sums are checkpointed ONCE per half-round and the
+        normalizer max is a 1-row driver scalar read off that
+        checkpoint (the star-CC probe discipline): the first spelling
+        fed the max through a crossJoin(broadcast(agg)) whose
+        broadcast subtree re-executed the whole join+aggregate a
+        second time every half-round (guide §7.2 duplicated subtrees —
+        measured 104 jobs/221 stages for the query). The max is an
+        exact integer, so inlining it as a literal replays the
+        identical normalization."""
+        raw = (
+            nodes.join(
+                edges.join(state.select(F.col("node").alias(src), "x"), src)
+                .groupBy(F.col(dst).alias("node"))
+                .agg(F.sum("x").alias("r")),
                 "node",
-                F.expr(
-                    f"CAST(r * {q_lit} DIV"
-                    f" GREATEST(m, CAST(1 AS {d})) AS {d})"
-                ).alias("x"),
+                "left",
             )
+            .select("node", F.expr(f"COALESCE(r, CAST(0 AS {d}))").alias("r"))
+            # lazy: the max-collect below is the job that materializes
+            # this checkpoint, so each half-round costs exactly ONE job
             .localCheckpoint(eager=False)
+        )
+        m = raw.agg(F.max("r")).collect()[0][0]
+        m_lit = f"CAST('{max(int(m), 1) if m is not None else 1}' AS {d})"
+        return raw.select(
+            "node",
+            F.expr(f"CAST(r * {q_lit} DIV {m_lit} AS {d})").alias("x"),
         )
 
     h = nodes.select("node", F.expr(q_lit).alias("x")).localCheckpoint(
@@ -4014,6 +4024,12 @@ def facility_location_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges, nodes = _fl_weighted_edges(spark, sf_dir)
     cur = nodes.select("v", F.expr(f"CAST(0 AS {d})").alias("cur"))
     picks = []
+    # Coverage recurrence: Σ_v max(cur, w(p,v)) = Σ_v cur + gain(p) —
+    # exact integer identity, so the running total replaces the
+    # separate Σcur aggregation job the first spelling ran after every
+    # pick (guide §1.2: one fewer full pass per round; the reported
+    # numbers are unchanged by construction).
+    coverage = 0
     for order in range(1, FL_K + 1):
         gains = (
             edges.join(cur, "v")
@@ -4037,7 +4053,10 @@ def facility_location_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .collect()[0]
         )
-        picks.append((order, int(crow["src"]), int(crow["gain"])))
+        coverage += int(crow["gain"])
+        picks.append((order, int(crow["src"]), int(crow["gain"]), coverage))
+        if order == FL_K:
+            break  # the last pick's coverage table is never read again
         pe = edges.filter(F.col("src") == int(crow["src"])).select(
             "v", F.col("w").alias("pw")
         )
@@ -4050,9 +4069,6 @@ def facility_location_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("cur"),
             )
             .localCheckpoint(eager=True)
-        )
-        picks[-1] = picks[-1] + (
-            int(cur.agg(F.sum("cur")).collect()[0][0]),
         )
     return spark.createDataFrame(
         [(o, vid, g, cov) for o, vid, g, cov in picks],

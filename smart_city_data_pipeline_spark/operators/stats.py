@@ -1915,26 +1915,36 @@ def bootstrap_ci_finish(rep: DataFrame, full: DataFrame) -> DataFrame:
     mean_b = pround(
         F.col("s").cast("double") / (F.lit(100.0) * F.col("n_eff").cast("double"))
     )
-    lo = ranked.filter(
-        F.col("rn") == F.expr("(25 * m + 999) div 1000")
-    ).select("event_type", mean_b.alias("ci_lo"))
-    hi = ranked.filter(
-        F.col("rn") == F.expr("(975 * m + 999) div 1000")
-    ).select("event_type", mean_b.alias("ci_hi"))
+    # Both CI endpoints in ONE pass over the ranked table: the first
+    # spelling filtered `ranked` twice (rn = lo-rank, rn = hi-rank) and
+    # joined the two 1-row-per-type legs back — Spark planned each leg
+    # as an independent subtree, so the ENTIRE replicate pipeline
+    # (explode → md5 → ladder → aggregate → window) executed twice
+    # (guide §7.2 "duplicated subtrees"; measured 2 scans+2 windows in
+    # the plan). A conditional aggregate picks both order statistics
+    # from one scan of the bounded |types|×B table; when m = 1 the two
+    # ranks coincide and the same row serves both endpoints, exactly
+    # as the join spelling did.
+    is_lo = F.col("rn") == F.expr("(25 * m + 999) div 1000")
+    is_hi = F.col("rn") == F.expr("(975 * m + 999) div 1000")
+    ci = (
+        ranked.filter(is_lo | is_hi)
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(is_lo, mean_b)).alias("ci_lo"),
+            F.max(F.when(is_hi, mean_b)).alias("ci_hi"),
+        )
+    )
     mean_full = pround(
         F.col("cs").cast("double")
         / (F.lit(100.0) * F.col("n_events").cast("double"))
     )
-    return (
-        full.join(lo, "event_type")
-        .join(hi, "event_type")
-        .select(
-            "event_type",
-            "n_events",
-            mean_full.alias("mean_value"),
-            "ci_lo",
-            "ci_hi",
-        )
+    return full.join(ci, "event_type").select(
+        "event_type",
+        "n_events",
+        mean_full.alias("mean_value"),
+        "ci_lo",
+        "ci_hi",
     )
 
 

@@ -1046,26 +1046,40 @@ def gopher_repetition_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.lead("a2", j).over(w).alias(f"b2_{j}") for j in range(1, kmax)],
         *[F.lead("al", j).over(w).alias(f"bl_{j}") for j in range(1, kmax)],
     )
+    # Fold the hash chains into PLAIN projection columns BEFORE the
+    # generator: embedded directly in the array-of-structs argument,
+    # each entry carried its full cumulative fold-expression tree and
+    # the Generate input evaluated the chains without common-
+    # subexpression sharing — measured 5.3 s for the explode stage vs
+    # 1.3 s with the chains projected first (guide §1.2 per-task work;
+    # same integers, so every downstream number is unchanged).
     h1, h2, clen = F.col("a1"), F.col("a2"), F.col("al")
-    entries = []
+    chain_cols = []
     for k in range(2, kmax + 1):
         h1 = (h1 * GOPHER_HB + F.col(f"b1_{k - 1}")) % GOPHER_HM1
         h2 = (h2 * GOPHER_HB + F.col(f"b2_{k - 1}")) % GOPHER_HM2
         clen = clen + F.col(f"bl_{k - 1}") + 1
         if k in GOPHER_NS:
-            entries.append(
-                F.when(
-                    F.col("pos") <= F.col("ntok") - k,
-                    F.struct(
-                        F.lit(k).cast("int").alias("n"),
-                        h1.alias("h1"),
-                        h2.alias("h2"),
-                        clen.alias("clen"),
-                    ),
-                )
-            )
+            chain_cols += [
+                h1.alias(f"ch1_{k}"),
+                h2.alias(f"ch2_{k}"),
+                clen.alias(f"ccl_{k}"),
+            ]
+    chained = leads.select("doc_id", "ntok", "pos", *chain_cols)
+    entries = [
+        F.when(
+            F.col("pos") <= F.col("ntok") - k,
+            F.struct(
+                F.lit(k).cast("int").alias("n"),
+                F.col(f"ch1_{k}").alias("h1"),
+                F.col(f"ch2_{k}").alias("h2"),
+                F.col(f"ccl_{k}").alias("clen"),
+            ),
+        )
+        for k in GOPHER_NS
+    ]
     occ = (
-        leads.select("doc_id", F.explode(F.array(*entries)).alias("e"))
+        chained.select("doc_id", F.explode(F.array(*entries)).alias("e"))
         .filter(F.col("e").isNotNull())
         .select(
             "doc_id",
@@ -1078,6 +1092,15 @@ def gopher_repetition_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_gram = occ.groupBy("doc_id", "n", "h1", "h2").agg(
         F.count(F.lit(1)).alias("cnt"), F.max("clen").alias("clen")
     )
+    # top gram = lexicographic max by (cnt, clen). Spelled as max over a
+    # STRUCT this planned a Sort + SortAggregate over the whole per-gram
+    # table (struct max is not hash-aggregable); packing the pair into
+    # one BIGINT (cnt·2³² + clen — clen is a gram's char length, far
+    # below 2³², so the encoded order IS the lexicographic order) keeps
+    # the aggregate a HashAggregate pipelined on the window's doc_id
+    # partitioning with no extra sort (guide §2.4/§5: hash vs sort
+    # aggregate). Decoded cnt·clen is bit-identical to the struct form.
+    enc = F.col("cnt") * F.lit(4294967296).cast("long") + F.col("clen")
     per_n = per_gram.groupBy("doc_id", "n").agg(
         F.sum(F.col("cnt") * F.col("clen")).alias("total_chars"),
         F.sum(
@@ -1085,16 +1108,16 @@ def gopher_repetition_full(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0).cast("long")
             )
         ).alias("dup_chars"),
-        F.max(
-            F.struct(F.col("cnt").alias("cnt"), F.col("clen").alias("clen"))
-        ).alias("top"),
+        F.max(enc).alias("topenc"),
     )
     sel = per_n.select(
         "doc_id",
         "n",
         "total_chars",
         "dup_chars",
-        (F.col("top.cnt") * F.col("top.clen")).alias("top_chars"),
+        (
+            F.expr("topenc DIV 4294967296") * (F.col("topenc") % 4294967296)
+        ).alias("top_chars"),
     )
 
     def pick(n: int, col: str) -> Column:

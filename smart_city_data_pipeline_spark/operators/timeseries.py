@@ -9864,13 +9864,22 @@ def median_polish_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(cents).alias("s"), F.count(F.lit(1)).alias("n"))
         .select("zone", "h", F.expr("(s * 128) DIV n").alias("v"))
     )
+    # The grid is bounded (≤ zones × 24 rows) but each sweep references
+    # `cur` TWICE (median subtree + the join back), so the lazily
+    # unrolled 6-sweep chain duplicated the whole upstream tree
+    # 2^sweeps times — the plan grew to 128 parquet scans / 158
+    # exchanges of pure re-computation and re-planning (guide §7.2
+    # duplicated subtrees, §3.3 "materialise to truncate huge plans").
+    # One eager checkpoint of the bounded grid per sweep pins each
+    # round to a single tiny materialization; the arithmetic — and so
+    # every output integer — is unchanged.
     cur = grid.select(
         "zone",
         "h",
         F.col("v").alias("e"),
         F.lit(0).cast("long").alias("row_eff"),
         F.lit(0).cast("long").alias("col_eff"),
-    )
+    ).localCheckpoint(eager=True)
     for _ in range(MEDIAN_POLISH_ITERS):
         for part, other, eff in (("zone", "h", "row_eff"), ("h", "zone", "col_eff")):
             wr = Window.partitionBy(part).orderBy("e", other)
@@ -9896,7 +9905,7 @@ def median_polish_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (
                     F.col("col_eff") + (F.col("m") if eff == "col_eff" else F.lit(0))
                 ).cast("long").alias("col_eff"),
-            )
+            ).localCheckpoint(eager=True)
     return cur.select(
         "zone",
         F.col("h").cast("int").alias("hour"),
