@@ -3742,9 +3742,13 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: the shared band-bounded pair stage, one keyed degree
     aggregate, two joins edge→degree, one global moment aggregate."""
+    # cand feeds both union orientations, and everything downstream
+    # (deg, ed, n_nodes) re-references the edge view — lazily shared,
+    # the shingle→signature→band-join pipeline ran ~6× in one plan
+    # (32 parquet scans measured — guide §7.2/§5). Materialize once.
     cand = _band_pairs(
         _minhash_sig_wide(spark, sf_dir), dataset_key=dataset_fingerprint(sf_dir, "documents")
-    )
+    ).localCheckpoint(eager=True)
     edges = cand.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionByName(
@@ -3870,7 +3874,9 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the df_cap contract documented on dedup_ngram_jaccard bounds the
     pair fan-out in production), two size joins, one 7-row literal
     cross join + keyed aggregate."""
-    sh = _hashed_shingles(spark, sf_dir)
+    # shingles feed sizes, both self-join sides and the distinct-doc
+    # count action below — materialize once (guide §7.2/§5).
+    sh = _hashed_shingles(spark, sf_dir).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -5133,6 +5139,10 @@ def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("hs").isNotNull())
+        # occ feeds the df-filter, the first-pick aggregate AND the cut
+        # join (3 consumers): one materialization instead of three runs
+        # of the tokenize + shingle explode (guide §7.2/§5).
+        .localCheckpoint(eager=True)
     )
     dup_hs = (
         occ.groupBy("hs")
@@ -5630,6 +5640,11 @@ def self_repetition_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("hs").isNotNull())
+        # occ feeds the per-(doc, shingle) aggregate AND the join back;
+        # both consumers hash-partition on the same key, so runtime
+        # exchange reuse already shares the shuffle — an explicit
+        # localCheckpoint A/B-measured ~0.25 s slower (guide §5),
+        # left lazy on purpose.
     )
     firsts = (
         occ.groupBy("doc_id", "hs")

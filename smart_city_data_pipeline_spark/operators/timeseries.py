@@ -8276,6 +8276,12 @@ def funnel_dropoff_times(spark: SparkSession, sf_dir: str) -> DataFrame:
     dts = legs[0]
     for more in legs[1:]:
         dts = dts.unionByName(more)
+    # The (leg × seconds) histogram feeds med, p90 AND base. The lazy
+    # plan prints 96 parquet scans, but all three consumers hang off
+    # the SAME (leg, dt) aggregate exchange, which runtime exchange
+    # reuse deduplicates — an explicit localCheckpoint A/B-measured
+    # ~0.4 s SLOWER (materialization overhead, guide §5 cache-vs-
+    # recompute), so the shared subtree is left lazy on purpose.
     hist = dts.groupBy("leg", "dt").agg(F.count(F.lit(1)).alias("n"))
     wl = Window.partitionBy("leg")
     wc = wl.orderBy("dt").rowsBetween(Window.unboundedPreceding, 0)

@@ -954,6 +954,11 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx = orders.agg(F.max("o_orderdate").alias("max_date"))
     j = per.join(F.broadcast(mx))
+    # base (the |customers|-bounded RFM rollup) feeds the three
+    # global-rank derivations (2 references each), the total count and
+    # the final join — 8 lazily-shared references that each re-ran the
+    # orders scan + rollup (32 parquet scans in the plan; guide
+    # §7.2/§5). Materialize once.
     base = j.select(
         "custkey",
         F.datediff(F.col("max_date"), F.col("last_order"))
@@ -962,7 +967,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         F.col("m").cast("double").alias("monetary"),
         (F.col("m") * 100).cast("long").alias("cents"),
-    )
+    ).localCheckpoint(eager=True)
 
     def global_rank(bucket: Column, order_cols: list[Column], out: str):
         """Exact 1-based rank on a total order without a global sort:

@@ -866,17 +866,25 @@ def dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = ev.select(F.col("user_id").alias("sensor_id")).distinct()
     px = (F.col("sensor_id") * 8191) % 10000
     py = (F.col("sensor_id") * 524287) % 10000
+    # pts (the distinct sensor fleet — bounded far below the fact
+    # stream) feeds the density aggregate, the core join and the
+    # sparse anti-join; dense (occupied dense cells) feeds the shifted
+    # self-join, the label init and the final label attach. Lazily
+    # shared, each reference re-ran the events scan + distinct (20
+    # parquet scans in the plan — guide §7.2); materialize both once.
     pts = pts.select(
         "sensor_id",
         F.floor(px / DBSCAN_CELL).cast("long").alias("cx"),
         F.floor(py / DBSCAN_CELL).cast("long").alias("cy"),
-    )
+    ).localCheckpoint(eager=True)
     cells = pts.groupBy("cx", "cy").agg(
         F.count(F.lit(1)).cast("long").alias("n_pts")
     )
     lbl = (F.col("cx") * 1024 + F.col("cy")).cast("long")
-    dense = cells.filter(F.col("n_pts") >= DBSCAN_MINPTS).select(
-        "cx", "cy", lbl.alias("lbl")
+    dense = (
+        cells.filter(F.col("n_pts") >= DBSCAN_MINPTS)
+        .select("cx", "cy", lbl.alias("lbl"))
+        .localCheckpoint(eager=True)
     )
     offsets = F.array(
         *[
