@@ -183,7 +183,12 @@ def dedup_ngram_jaccard(
     lower bound — on this corpus no shingle exceeds a modest cap and
     results are identical (pytest-asserted); the oracle runs uncapped.
     """
-    sh = _hashed_shingles(spark, sf_dir)
+    # sh feeds consumers with DIVERGENT exchanges (per-doc sizes /
+    # per-shingle df / the intersection self-join), so runtime
+    # exchange reuse cannot share them and the lazy plan re-ran the
+    # tokenize->shingle->hash pipeline per consumer (guide §7.2/§5,
+    # the dedup_threshold_sweep A/B win). Materialize once.
+    sh = _hashed_shingles(spark, sf_dir).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if df_cap is not None:
         rare = (
@@ -856,10 +861,16 @@ def dedup_levenshtein(
     from smart_city_data_pipeline_spark.functions.text import normalized_text
 
     docs = spread(table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents")
+    # norm feeds the block-size rollup, the semi-join probe side and
+    # BOTH self-join sides — divergent exchanges, so the regex-heavy
+    # normalize ran up to 4x per query (guide §7.2/§5). Materialize
+    # once.
     norm = docs.select(
         "doc_id",
         normalized_text(F.col("text")).alias("norm"),
-    ).withColumn("block", F.substring("norm", 1, _PREFIX_LEN))
+    ).withColumn("block", F.substring("norm", 1, _PREFIX_LEN)).localCheckpoint(
+        eager=True
+    )
     if block_cap is not None:
         small = (
             norm.groupBy("block")
@@ -983,7 +994,12 @@ def dedup_containment(
     ``df_cap=None`` for the exact uncapped semantics (what the DuckDB
     oracle computes).
     """
-    sh = _hashed_shingles(spark, sf_dir)
+    # sh feeds consumers with DIVERGENT exchanges (per-doc sizes /
+    # per-shingle df / the intersection self-join), so runtime
+    # exchange reuse cannot share them and the lazy plan re-ran the
+    # tokenize->shingle->hash pipeline per consumer (guide §7.2/§5,
+    # the dedup_threshold_sweep A/B win). Materialize once.
+    sh = _hashed_shingles(spark, sf_dir).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if df_cap is not None:
         rare = (
@@ -1044,7 +1060,10 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct means no fanout: each corpus shingle row matches at most
     once, so n_shingles is exact.
     """
-    sh = _hashed_shingles(spark, sf_dir)
+    # sh feeds the probe-distinct leg AND the corpus join leg —
+    # different subtrees above the hs-exchange, so no runtime reuse;
+    # materialize the shingle pipeline once (guide §7.2/§5).
+    sh = _hashed_shingles(spark, sf_dir).localCheckpoint(eager=True)
     probes = (
         sh.filter(F.col("doc_id") < DECONTAM_PROBE_DOCS)
         .select(F.col("hs").alias("phs"))
@@ -2076,7 +2095,10 @@ def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal. Docs shorter than 3 tokens have no shingles and are
     excluded by construction (nothing to weight against).
     """
-    sh = _hashed_shingles(spark, sf_dir)
+    # sh feeds the df rollup AND the join-back side; the partial-agg
+    # subtree differs from the bare join exchange, so runtime reuse
+    # cannot share them — materialize once (guide §7.2/§5).
+    sh = _hashed_shingles(spark, sf_dir).localCheckpoint(eager=True)
     dfreq = sh.groupBy("hs").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
@@ -3589,16 +3611,22 @@ def rouge2_candidate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(_ws_tokens(F.col("text"))).alias("pos", "token"),
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
+    # bg feeds both sides of the clipped-overlap join (different join
+    # keys) plus the per-doc totals; cand (the full shingle→signature→
+    # band-join pipeline) feeds the overlap join AND the final left
+    # join — all divergent exchanges, no runtime reuse possible.
+    # Materialize each once (guide §7.2/§5).
     bg = (
         tok.withColumn("prev", F.lag("token").over(w))
         .filter(F.col("prev").isNotNull())
         .groupBy("doc_id", "prev", "token")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
     tb = bg.groupBy("doc_id").agg(F.sum("c").alias("n_bg"))
     cand = _band_pairs(
         _minhash_sig_wide(spark, sf_dir), dataset_key=dataset_fingerprint(sf_dir, "documents")
-    )
+    ).localCheckpoint(eager=True)
     ba, bb = bg.alias("ba"), bg.alias("bb")
     ov = (
         cand.join(ba, F.col("doc_a") == F.col("ba.doc_id"))
@@ -4850,7 +4878,12 @@ def lsh_banding_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     divisions. Shape: the shared inverted-index pair join (df-cap
     class), a 9-row histogram, a 45-row literal plan table, one tiny
     keyed aggregate."""
-    sh = _hashed_shingles(spark, sf_dir)
+    # sh feeds consumers with DIVERGENT exchanges (per-doc sizes /
+    # per-shingle df / the intersection self-join), so runtime
+    # exchange reuse cannot share them and the lazy plan re-ran the
+    # tokenize->shingle->hash pipeline per consumer (guide §7.2/§5,
+    # the dedup_threshold_sweep A/B win). Materialize once.
+    sh = _hashed_shingles(spark, sf_dir).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

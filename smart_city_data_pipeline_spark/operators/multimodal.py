@@ -104,12 +104,22 @@ BMP_W, BMP_H = 32, 24
 FRAME_SAMPLE_K = 3
 
 
-def synth_bmp_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synth_bmp_frames(
+    spark: SparkSession, sf_dir: str, every_k: int | None = None
+) -> DataFrame:
     """Frame table whose payloads are REAL uncompressed 8-bit BMPs
     (deterministic per-frame gradient seeded by frame_id), built in
     mapInPandas — the shape an RTSP bridge writing raw frames to the
     lake produces. Everything downstream exercises the actual decoder,
-    not the statistics fallback."""
+    not the statistics fallback.
+
+    ``every_k`` pre-applies :func:`sample_frames`'s frame_no filter
+    (frame_no ≡ frame_id % 30) BEFORE the encode stage, like
+    :func:`synth_png_frames`: a post-synth filter cannot push through
+    mapInPandas, so without it the Python encoder runs on every frame
+    only to throw 2 of 3 away (guide §4 — ship only the rows the
+    Python stage must touch). In production frames arrive already
+    encoded; the encoder here is synthetic overhead only."""
     import numpy as np
 
     # spread BEFORE the mapInPandas chain: a single-row-group scan would
@@ -119,6 +129,8 @@ def synth_bmp_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("doc_id").alias("frame_id"), (F.col("doc_id") % 16).alias("camera_id")
     )
+    if every_k is not None:
+        docs = docs.where((F.col("frame_id") % 30) % every_k == 0)
 
     out_schema = T.StructType(
         [
@@ -762,7 +774,10 @@ def frames_features_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``img[y, x] = (3x + 5y + 7·frame_id) mod 256``, so the rolled-up
     pixel sums are computable in SQL over a generate_series grid — the
     gate hash-checks the real decode, not just pytest."""
-    frames = sample_frames(synth_bmp_frames(spark, sf_dir), every_k=FRAME_SAMPLE_K)
+    frames = sample_frames(
+        synth_bmp_frames(spark, sf_dir, every_k=FRAME_SAMPLE_K),
+        every_k=FRAME_SAMPLE_K,
+    )
     return camera_rollup_exact(extract_features(frames)).select(
         "camera_id", "n_frames", "avg_intensity", "total_bytes"
     )
@@ -825,7 +840,10 @@ def frames_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic gradient is closed-form, so the oracle recomputes the
     resized pixel means entirely in SQL — a wrong index map, stride
     bug, or re-encode defect hash-mismatches here."""
-    frames = sample_frames(synth_bmp_frames(spark, sf_dir), every_k=FRAME_SAMPLE_K)
+    frames = sample_frames(
+        synth_bmp_frames(spark, sf_dir, every_k=FRAME_SAMPLE_K),
+        every_k=FRAME_SAMPLE_K,
+    )
     resized = resize_frames(frames, RESIZE_W, RESIZE_H)
     return camera_rollup_exact(extract_features(resized)).select(
         "camera_id", "n_frames", "avg_intensity", "total_px"
@@ -1498,7 +1516,10 @@ def frames_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB story: the only Python is the Arrow-batched decode (already
     the documented seam); the dedup itself is ONE map-side-combinable
     keyed aggregate on a 64-bit key — no pair joins, no windows."""
-    frames = sample_frames(synth_bmp_frames(spark, sf_dir), every_k=FRAME_SAMPLE_K)
+    frames = sample_frames(
+        synth_bmp_frames(spark, sf_dir, every_k=FRAME_SAMPLE_K),
+        every_k=FRAME_SAMPLE_K,
+    )
     hashed = ahash_features(frames)
     return (
         hashed.groupBy("ahash_hi", "ahash_lo")
@@ -1720,7 +1741,10 @@ def scene_cut_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the window state is one previous row per camera."""
     from pyspark.sql import Window
 
-    frames = sample_frames(synth_bmp_frames(spark, sf_dir), every_k=FRAME_SAMPLE_K)
+    frames = sample_frames(
+        synth_bmp_frames(spark, sf_dir, every_k=FRAME_SAMPLE_K),
+        every_k=FRAME_SAMPLE_K,
+    )
     feats = extract_features(frames).select(
         "camera_id", "frame_id", "sum_intensity", "n_px"
     )
@@ -1848,7 +1872,10 @@ def frames_equalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-encode defect hash-mismatches here. Equalized images should
     read near mid-gray (mean ≈ 127.5) — the flatness the transform
     promises; the hash check pins the exact value."""
-    frames = sample_frames(synth_bmp_frames(spark, sf_dir), every_k=FRAME_SAMPLE_K)
+    frames = sample_frames(
+        synth_bmp_frames(spark, sf_dir, every_k=FRAME_SAMPLE_K),
+        every_k=FRAME_SAMPLE_K,
+    )
     return camera_rollup_exact(extract_features(equalize_frames(frames))).select(
         "camera_id", "n_frames", "avg_intensity", "total_px"
     )
@@ -2420,7 +2447,10 @@ def _laplacian_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-pixel Python) — shared by the camera rollup
     (:func:`frames_laplacian_stats`) and the per-window keyframe pick
     (:func:`keyframe_select`)."""
-    frames = sample_frames(synth_bmp_frames(spark, sf_dir), every_k=FRAME_SAMPLE_K)
+    frames = sample_frames(
+        synth_bmp_frames(spark, sf_dir, every_k=FRAME_SAMPLE_K),
+        every_k=FRAME_SAMPLE_K,
+    )
 
     out_schema = T.StructType(
         [

@@ -3506,17 +3506,23 @@ def stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_long(F.concat(F.lit("sbo:"), F.col("doc_id").cast("string"))) % 10
         < 8,
     )
+    # tok feeds the trigram-context window, the bigram window and the
+    # unigram rollup; ctx feeds two train aggregates + the eval leg;
+    # prs feeds two train aggregates — all divergent exchanges that
+    # re-ran the scan+explode(+window) per consumer (guide §7.2/§5).
+    # Materialize each once.
     tok = docs.select(
         "doc_id",
         "is_train",
         F.posexplode(T.ws_tokens(F.lower(F.col("text")))).alias("pos", "token"),
-    )
+    ).localCheckpoint(eager=True)
     w = Window.partitionBy("doc_id").orderBy("pos")
     ctx = (
         tok.withColumn("p1", F.lag("token", 1).over(w))
         .withColumn("p2", F.lag("token", 2).over(w))
         .filter(F.col("p2").isNotNull())
         .select("doc_id", "is_train", "p2", "p1", "token")
+        .localCheckpoint(eager=True)
     )
     train = ctx.filter("is_train")
     tri = train.groupBy("p2", "p1", "token").agg(
@@ -3531,6 +3537,7 @@ def stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.withColumn("prev", F.lag("token").over(w))
         .filter(F.col("prev").isNotNull())
         .select("doc_id", "is_train", "prev", "token")
+        .localCheckpoint(eager=True)
     )
     big = (
         prs.filter("is_train")
@@ -3736,12 +3743,16 @@ def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_long(F.concat(F.lit("nb:"), F.col("doc_id").cast("string"))) % 10
         < 8,
     )
+    # tok feeds the three train aggregates (lang-token counts, lang
+    # totals, vocab distinct) AND the eval scoring leg — four
+    # divergent exchanges re-running the scan+explode per consumer
+    # (guide §7.2/§5). Materialize once.
     tok = docs.select(
         "doc_id",
         "lang",
         "is_train",
         F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("token"),
-    )
+    ).localCheckpoint(eager=True)
     train = tok.filter("is_train")
     lt = train.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
     lang_tot = train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
@@ -4377,12 +4388,17 @@ def ppmi_svd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.withColumn("nxt", F.lead("tk").over(wd))
         .filter(F.col("nxt").isNotNull())
     )
+    # co (vocab²-bounded after the min-co filter) feeds the marginal
+    # rollup AND the cell join — divergent exchanges re-running the
+    # explode→window→union→count per consumer (guide §7.2/§5).
+    # Materialize once.
     co = (
         adj.select(F.col("tk").alias("a"), F.col("nxt").alias("b"))
         .unionAll(adj.select(F.col("nxt").alias("a"), F.col("tk").alias("b")))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .filter(F.col("c_ab") >= PPMI_MIN_CO)
+        .localCheckpoint(eager=True)
     )
     marg = co.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
     total = marg.agg(F.sum("c_a").alias("n"))
@@ -5770,7 +5786,14 @@ def _ulm_fit(spark: SparkSession, sf_dir: str):
     returns (words frame, sorted single chars, final E-step counts,
     final quantized vocab)."""
     docs = table(spark, sf_dir, "documents")
-    words = _ulm_word_counts(docs)
+    # The distinct-word frequency table is the working set of EVERY
+    # later pass — the substring seed, each of the ULM_EM_ITERS
+    # mapInPandas E-steps, and the callers' encode/stats passes. Left
+    # lazy, each pass re-ran the corpus scan + token explode + count
+    # (5-6 full tokenization pipelines per query; guide §4/§7.2: ship
+    # the bounded vocabulary into the Python stages, not the corpus).
+    # Materialize once — |distinct words|-bounded, inside the query.
+    words = _ulm_word_counts(docs).localCheckpoint(eager=True)
     subs = words.select(
         "wn",
         F.explode(
@@ -5791,7 +5814,13 @@ def _ulm_fit(spark: SparkSession, sf_dir: str):
             )
         ).alias("piece"),
     )
-    cnt = subs.groupBy("piece").agg(F.sum("wn").cast("long").alias("c"))
+    # cnt feeds TWO collects (seed multis, singles): checkpoint so the
+    # substring explode+count runs once, not per collect.
+    cnt = (
+        subs.groupBy("piece")
+        .agg(F.sum("wn").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     multi = (
         cnt.filter(F.length("piece") >= 2)
         .orderBy(F.col("c").desc(), F.col("piece").asc())
