@@ -1309,6 +1309,25 @@ def gopher_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_TOP = 50  # merge candidates reported per counting pass
 
 
+def _free_loop_checkpoints(spark, base_ids: set) -> None:
+    """Release the localCheckpoint blocks a driver loop materialized:
+    checkpointed RDDs register in getPersistentRDDs but are NOT freed
+    by DataFrame.unpersist(), so without this they linger until GC
+    (the star_cc_labels cleanup discipline, shared by the tokenizer
+    training loops)."""
+    jsc = spark.sparkContext._jsc
+    jmap = jsc.getPersistentRDDs()
+    for rid in {int(i) for i in jmap.keySet().toArray()} - base_ids:
+        rdd = jmap.get(rid)
+        if rdd is not None:
+            rdd.unpersist(False)
+
+
+def _persistent_rdd_ids(spark) -> set:
+    jsc = spark.sparkContext._jsc
+    return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+
+
 def bpe_pair_counts_frame(symdf: DataFrame) -> DataFrame:
     """Adjacent-symbol-pair counting over a weighted symbol-sequence
     frame (``syms array<string>``, ``wn`` word frequency) — the inner
@@ -1541,14 +1560,16 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     sym = bpe_word_symbols(docs)
     rows = []
-    cached = []
+    base_ids = _persistent_rdd_ids(spark)
     try:
         for it in range(1, BPE_TRAIN_ITERS + 1):
-            # cache the (vocab-sized) symbol table: without it every
-            # iteration's action re-scans the CORPUS through the whole
-            # merge lineage — 6 full scans instead of one
-            sym = sym.persist()
-            cached.append(sym)
+            # checkpoint the (vocab-sized) symbol table: without it
+            # every iteration's action re-scans the CORPUS through the
+            # whole merge lineage — 6 full scans instead of one.
+            # localCheckpoint (not persist) also TRUNCATES lineage, so
+            # round k's plan optimizes one merge fold, not k stacked
+            # ones (A/B-measured on the wordpiece twin; guide §3.3).
+            sym = sym.localCheckpoint(eager=False)
             top = (
                 bpe_pair_counts_frame(sym)
                 .orderBy(F.col("n_pairs").desc(), F.col("pair").asc())
@@ -1559,8 +1580,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             a, b = top["pair"].split(" ")
             sym = bpe_apply_merge(sym, a, b)
     finally:
-        for df in cached:
-            df.unpersist()
+        _free_loop_checkpoints(spark, base_ids)
     return spark.createDataFrame(
         rows, "iteration int, pair string, n_pairs long"
     )
@@ -4778,12 +4798,13 @@ def bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-sized aggregate collapsed to a single row."""
     docs = table(spark, sf_dir, "documents")
     sym0 = bpe_word_symbols(docs)
-    cached = []
+    base_ids = _persistent_rdd_ids(spark)
     try:
         cur = sym0
         for _ in range(BPE_TRAIN_ITERS):
-            cur = cur.persist()
-            cached.append(cur)
+            # localCheckpoint: lineage-truncating round cache (see
+            # bpe_train_merges / the star-CC loop discipline).
+            cur = cur.localCheckpoint(eager=False)
             top = (
                 bpe_pair_counts_frame(cur)
                 .orderBy(F.col("n_pairs").desc(), F.col("pair").asc())
@@ -4810,8 +4831,7 @@ def bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )[0]
     finally:
-        for df in cached:
-            df.unpersist()
+        _free_loop_checkpoints(spark, base_ids)
     from smart_city_data_pipeline_spark.functions.rounding import pround_py
 
     tw = int(row["total_words"])
@@ -6022,11 +6042,15 @@ def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     sym = bpe_word_symbols(docs)
     rows = []
-    cached = []
+    base_ids = _persistent_rdd_ids(spark)
     try:
         for it in range(1, WP_TRAIN_ITERS + 1):
-            sym = sym.persist()
-            cached.append(sym)
+            # localCheckpoint (not persist): TRUNCATES lineage, so
+            # round k's plan starts from the materialized vocab table
+            # instead of re-optimizing k stacked merge-fold rewrites
+            # (plan-compile time grows per round under persist; the
+            # star-CC loop discipline, guide §3.3). Freed in finally.
+            sym = sym.localCheckpoint(eager=False)
             pc = bpe_pair_counts_frame(sym)
             sc = _wp_symbol_counts(sym)
             parts = F.split(F.col("pair"), " ")
@@ -6058,8 +6082,7 @@ def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             a, b = top["pair"].split(" ")
             sym = bpe_apply_merge(sym, a, b)
     finally:
-        for df in cached:
-            df.unpersist()
+        _free_loop_checkpoints(spark, base_ids)
     return spark.createDataFrame(
         rows, "iteration int, pair string, n_pairs long, score_q long"
     )

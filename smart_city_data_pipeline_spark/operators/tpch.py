@@ -774,9 +774,13 @@ def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final lift computation runs on the tiny pair aggregate, and
     top-N compiles to TakeOrderedAndProject.
     """
+    # li feeds the order count, the per-part rollup and both pair-join
+    # sides — the distinct's exchange is shared by runtime reuse, but
+    # its final dedup aggregate re-ran per consumer; materialize the
+    # (order, part) projection once (guide §7.2/§5, A/B-gated).
     li = table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     n_orders = li.select(F.countDistinct("ok").alias("n_orders"))
     per_part = li.groupBy("pk").agg(F.count(F.lit(1)).alias("n_part"))
     a = li.select("ok", F.col("pk").alias("part_a"))
