@@ -5177,6 +5177,17 @@ def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         # of the tokenize + shingle explode (guide §7.2/§5).
         .localCheckpoint(eager=True)
     )
+    return _span_rewrite_from(toked, occ)
+
+
+def _span_rewrite_from(toked: DataFrame, occ: DataFrame) -> DataFrame:
+    """Core of :func:`dedup_span_rewrite` over pre-built inputs, so
+    composite operators (``dedup_remediation_funnel``) can share ONE
+    tokenize + shingle-explode pipeline across sub-operators instead of
+    re-running it per leg (guide §7.2). ``toked`` is (doc_id, tk);
+    ``occ`` is the non-null positional SPAN_K-gram hash table
+    (doc_id, pos, hs) — materialized by the caller, since it has three
+    consumers ending in different exchanges."""
     dup_hs = (
         occ.groupBy("hs")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -5679,6 +5690,15 @@ def self_repetition_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # localCheckpoint A/B-measured ~0.25 s slower (guide §5),
         # left lazy on purpose.
     )
+    return _selfrep_from(toked, occ)
+
+
+def _selfrep_from(toked: DataFrame, occ: DataFrame) -> DataFrame:
+    """Core of :func:`self_repetition_truncate` over pre-built
+    (doc_id, tk) / (doc_id, pos, hs) inputs — shared-input twin of
+    :func:`_span_rewrite_from` (see there). Standalone the occ input
+    stays lazy (its two consumers share one exchange via runtime
+    reuse); composite callers pass an already-materialized occ."""
     firsts = (
         occ.groupBy("doc_id", "hs")
         .agg(F.min("pos").alias("first_pos"), F.count(F.lit(1)).alias("n_occ"))
@@ -5878,14 +5898,36 @@ def dedup_remediation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     their own docstrings) joined doc-keyed to the source column, one
     grouped aggregate of exact integers, one pround'd division.
     """
-    docs = spread(
+    docs_full = spread(
         table(spark, sf_dir, "documents"), "doc_id", key=f"{sf_dir}:documents"
-    ).select("doc_id", "source")
+    )
+    docs = docs_full.select("doc_id", "source")
+    # The span-cut and self-repetition legs consume the IDENTICAL
+    # tokenize + positional-shingle pipelines; build each once and feed
+    # both cores (guide §7.2 — the legs otherwise re-run the corpus
+    # scan + explode + hash per consumer; A/B 12.16 → 5.14 s). occ is
+    # materialized (five consumers across the two legs, ending in
+    # different exchanges); toked stays LAZY: its three consumers are
+    # plain scan+split projections, and checkpointing it A/B-measured
+    # slower on matched runs (materializing every token array costs
+    # more than the two extra column-pruned scans — guide §5
+    # cache-vs-recompute).
+    toked = docs_full.select("doc_id", _ws_tokens(F.col("text")).alias("tk"))
+    occ = (
+        docs_full.select(
+            "doc_id",
+            F.posexplode_outer(_kgram_hashes(F.col("text"), SPAN_K)).alias(
+                "pos", "hs"
+            ),
+        )
+        .filter(F.col("hs").isNotNull())
+        .localCheckpoint(eager=True)
+    )
     ex = dedup_exact(spark, sf_dir).select("doc_id", "is_duplicate")
-    sp = dedup_span_rewrite(spark, sf_dir).select(
+    sp = _span_rewrite_from(toked, occ).select(
         "doc_id", "n_tokens", "n_tokens_cut"
     )
-    sr = self_repetition_truncate(spark, sf_dir).select(
+    sr = _selfrep_from(toked, occ).select(
         "doc_id",
         (F.col("n_tokens") - F.col("n_tokens_after")).alias("tok_self"),
     )
