@@ -5194,19 +5194,22 @@ def _span_rewrite_from(toked: DataFrame, occ: DataFrame) -> DataFrame:
         .filter(F.col("df") >= 2)
         .select("hs")
     )
+    # Lexicographic min over (doc_id, pos) packed into ONE number:
+    # min(struct(...)) is not hash-aggregable, so the struct spelling
+    # planned Sort + SortAggregate over every duplicated-shingle
+    # occurrence (the gopher_repetition_full lesson). pos is a 32-bit
+    # token index, so doc_id·2³² + pos orders exactly like the struct;
+    # DECIMAL(38,0) (hash-aggregable, mutable buffer) keeps the pack
+    # exact for ANY doc_id — no 2³¹-doc cap at 100 TB.
+    pk = F.expr("CAST(doc_id AS DECIMAL(38,0)) * 4294967296 + pos")
     firsts = (
         occ.join(dup_hs, "hs")
         .groupBy("hs")
-        .agg(F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("keep"))
+        .agg(F.min(pk).alias("keep_pk"))
     )
     cut = (
         occ.join(firsts, "hs")
-        .filter(
-            ~(
-                (F.col("doc_id") == F.col("keep.doc_id"))
-                & (F.col("pos") == F.col("keep.pos"))
-            )
-        )
+        .filter(pk != F.col("keep_pk"))
         .select("doc_id", "pos")
     )
     cutpos = cut.select(

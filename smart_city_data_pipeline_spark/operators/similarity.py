@@ -3235,12 +3235,25 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         votes = nbr.groupBy("part", "u", "nlbl").agg(
             F.count(F.lit(1)).alias("c")
         )
+        # argmax by (c, nlbl) packed into ONE DECIMAL(38,0):
+        # max(struct(...)) is not hash-aggregable, so the struct
+        # spelling planned Sort + SortAggregate over the votes table
+        # EVERY round. c·2⁶⁴ + nlbl orders exactly like (c, nlbl)
+        # for any 64-bit label id (nlbl ∈ [0, 2⁶³)) and any count up
+        # to ~5.4·10¹⁸ — no id-width cap at 100 TB; the label comes
+        # back out as pack mod 2⁶⁴.
+        pack = F.expr(
+            "CAST(c AS DECIMAL(38,0)) * 18446744073709551616 + nlbl"
+        )
         state = (
             votes.groupBy("part", F.col("u").alias("node"))
-            .agg(
-                F.max(F.struct(F.col("c"), F.col("nlbl")))["nlbl"].alias(
-                    "lbl"
-                )
+            .agg(F.max(pack).alias("mx"))
+            .select(
+                "part",
+                "node",
+                F.expr(
+                    "CAST(mx % 18446744073709551616 AS BIGINT)"
+                ).alias("lbl"),
             )
             .localCheckpoint(eager=False)
         )

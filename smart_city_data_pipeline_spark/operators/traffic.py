@@ -2327,6 +2327,12 @@ def eps_elbow_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.size("ds") >= ELBOW_K, F.element_at("ds", ELBOW_K)
             ).alias("kd2"),
         )
+        # kth feeds n_capped, the histogram AND the n_points total.
+        # All three consumers sit above the ONE reused groupBy(ida)
+        # exchange; only the small post-exchange aggregate re-runs per
+        # consumer. An explicit localCheckpoint here A/B-measured a
+        # wash (1.64 s vs 1.56 s lazy) — left lazy per the
+        # recompute-is-cheap rule (guide §5).
     )
     n_capped = kth.filter(F.col("n_cand") < ELBOW_K).agg(
         F.count(F.lit(1)).alias("n_capped")
