@@ -457,17 +457,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (band_idx, band_hash), not a join per band, so candidate search
     is a single keyed shuffle regardless of band count. Candidate pairs
     are deduped while still slim, THEN joined back to the m0..m15
-    signatures (twice, keyed on doc_id) for verification. Both verify
-    joins use the IDENTICAL signature subplan, so Spark's ReuseExchange
-    rule materializes that exchange once and feeds both sides from it —
-    no persist() needed (an explicit cache would outlive the query and
-    leak executor storage for the session). Round 3 instead rode all 16
-    signature columns through the band self-join; that doubled the band
-    shuffle's width and cost 1.5× wall at sf0.1 — the slim-band +
-    verify-join shape (proven on :func:`embedding_srp_lsh`) is the
-    100 TB-correct layout: the wide rows cross exactly one shuffle.
+    signatures (twice, keyed on doc_id) for verification. Round 3
+    instead rode all 16 signature columns through the band self-join;
+    that doubled the band shuffle's width and cost 1.5× wall at sf0.1 —
+    the slim-band + verify-join shape (proven on
+    :func:`embedding_srp_lsh`) is the 100 TB-correct layout: the wide
+    rows cross exactly one shuffle.
+
+    sig is materialized ONCE (localCheckpoint, scoped to this query):
+    its three consumers end in different exchanges — the band explode
+    keys on (band_idx, band_hash), the verify joins on doc_id — so
+    runtime ReuseExchange only shares the two verify sides and the
+    band leg re-ran the whole shingle→minhash pipeline (guide §7.2/§5;
+    the minhash_estimate_audit refactor).
     """
-    sig = _minhash_sig_wide(spark, sf_dir).select("doc_id", *[F.col(f"m{i}") for i in range(N_MINHASH)])
+    sig = (
+        _minhash_sig_wide(spark, sf_dir)
+        .select("doc_id", *[F.col(f"m{i}") for i in range(N_MINHASH)])
+        .localCheckpoint(eager=True)
+    )
     pairs = _band_pairs(sig, dataset_key=dataset_fingerprint(sf_dir, "documents"))
     sa, sb = sig.alias("sa"), sig.alias("sb")
     sim = _minhash_eq_sim()
@@ -919,8 +927,14 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per new doc with ≥1 existing near-dup —
     (new_doc_id, n_dups, first_dup = min existing match).
     """
-    sig = _minhash_sig_wide(spark, sf_dir).select(
-        "doc_id", *[F.col(f"m{i}") for i in range(N_MINHASH)]
+    # sig materialized once: the new/old band sides differ by a filter
+    # BELOW their exchanges, so they are not identical subtrees and
+    # runtime exchange reuse cannot share them — lazily shared, both
+    # sides re-ran the shingle→minhash pipeline (guide §7.2/§5).
+    sig = (
+        _minhash_sig_wide(spark, sf_dir)
+        .select("doc_id", *[F.col(f"m{i}") for i in range(N_MINHASH)])
+        .localCheckpoint(eager=True)
     )
     bands = sig.select(
         "doc_id",
@@ -4494,8 +4508,14 @@ def cross_source_neardup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the verify joins, nothing all-pairs); two doc_id-keyed joins
     attach sources, one keyed aggregate over the bounded source grid.
     Counts are integers; the share is one pround'd division."""
-    sig = _minhash_sig_wide(spark, sf_dir).select(
-        "doc_id", *[F.col(f"m{i}") for i in range(N_MINHASH)]
+    # sig materialized once: the band-pair leg and the two verify
+    # joins end in different exchanges, so lazily shared the
+    # shingle→minhash pipeline re-ran per leg (guide §7.2/§5; the
+    # dedup_minhash_lsh / minhash_estimate_audit refactor).
+    sig = (
+        _minhash_sig_wide(spark, sf_dir)
+        .select("doc_id", *[F.col(f"m{i}") for i in range(N_MINHASH)])
+        .localCheckpoint(eager=True)
     )
     pairs = _band_pairs(sig, dataset_key=dataset_fingerprint(sf_dir, "documents"))
     sa, sb = sig.alias("sa"), sig.alias("sb")
