@@ -464,17 +464,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`embedding_srp_lsh`) is the 100 TB-correct layout: the wide
     rows cross exactly one shuffle.
 
-    sig is materialized ONCE (localCheckpoint, scoped to this query):
-    its three consumers end in different exchanges — the band explode
-    keys on (band_idx, band_hash), the verify joins on doc_id — so
-    runtime ReuseExchange only shares the two verify sides and the
-    band leg re-ran the whole shingle→minhash pipeline (guide §7.2/§5;
-    the minhash_estimate_audit refactor).
+    sig is deliberately LAZY. Its three consumers end in different
+    exchanges (band explode vs the two doc_id verify broadcasts), so
+    the minhash aggregate re-runs per leg — but AQE runtime reuse
+    shares the scan-level exchange (one parquet scan) and the two
+    verify broadcasts (r12 executed-plan audit), so only the per-doc
+    aggregate duplicates. The r11 localCheckpoint that deduped it
+    leaked a session-lifetime RDD per invocation (the returned
+    DataFrame pins the checkpoint — tests/test_broadcast_policy.py
+    test_no_leaked_cache_after_lsh); r12 A/B-measured the leak-free
+    alternatives and kept lazy: repartition("doc_id") is
+    optimizer-removed (agg output already doc_id-partitioned), a
+    round-robin repartition missed the AQE stage cache and benched
+    slower than lazy, and the ~0.4 s residual vs the checkpoint is
+    the price of the no-leak invariant.
     """
     sig = (
         _minhash_sig_wide(spark, sf_dir)
         .select("doc_id", *[F.col(f"m{i}") for i in range(N_MINHASH)])
-        .localCheckpoint(eager=True)
     )
     pairs = _band_pairs(sig, dataset_key=dataset_fingerprint(sf_dir, "documents"))
     sa, sb = sig.alias("sa"), sig.alias("sb")
@@ -927,14 +934,15 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per new doc with ≥1 existing near-dup —
     (new_doc_id, n_dups, first_dup = min existing match).
     """
-    # sig materialized once: the new/old band sides differ by a filter
-    # BELOW their exchanges, so they are not identical subtrees and
-    # runtime exchange reuse cannot share them — lazily shared, both
-    # sides re-ran the shingle→minhash pipeline (guide §7.2/§5).
+    # sig is deliberately LAZY (see dedup_minhash_lsh): the new/old
+    # band sides differ by a filter below their exchanges so the
+    # minhash aggregate re-runs per side, but AQE reuses the scan
+    # exchange underneath. The r11 localCheckpoint deduped the
+    # aggregate at the cost of a session-lifetime leaked RDD per
+    # invocation; r12 removed it (A/B: +0.08 s here — noise-level).
     sig = (
         _minhash_sig_wide(spark, sf_dir)
         .select("doc_id", *[F.col(f"m{i}") for i in range(N_MINHASH)])
-        .localCheckpoint(eager=True)
     )
     bands = sig.select(
         "doc_id",
@@ -4508,14 +4516,15 @@ def cross_source_neardup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the verify joins, nothing all-pairs); two doc_id-keyed joins
     attach sources, one keyed aggregate over the bounded source grid.
     Counts are integers; the share is one pround'd division."""
-    # sig materialized once: the band-pair leg and the two verify
-    # joins end in different exchanges, so lazily shared the
-    # shingle→minhash pipeline re-ran per leg (guide §7.2/§5; the
-    # dedup_minhash_lsh / minhash_estimate_audit refactor).
+    # sig is deliberately LAZY (see dedup_minhash_lsh): the band leg
+    # and the verify broadcasts duplicate the per-doc minhash
+    # aggregate, but AQE reuses the scan exchange and the verify
+    # broadcast pair. The r11 localCheckpoint leaked a
+    # session-lifetime RDD per invocation; r12 removed it
+    # (A/B: +0.12 s here — the no-leak invariant wins).
     sig = (
         _minhash_sig_wide(spark, sf_dir)
         .select("doc_id", *[F.col(f"m{i}") for i in range(N_MINHASH)])
-        .localCheckpoint(eager=True)
     )
     pairs = _band_pairs(sig, dataset_key=dataset_fingerprint(sf_dir, "documents"))
     sa, sb = sig.alias("sa"), sig.alias("sb")

@@ -8214,7 +8214,14 @@ ORACLES["markov_entropy_rate"] = f"""
         FROM cnt
     ),
     g AS (
-        SELECT user_id, nn AS n_trans,
+        -- CAST(nn AS BIGINT): DuckDB's window SUM(BIGINT) yields
+        -- HUGEINT (INT128); this was the ONLY oracle in the registry
+        -- emitting one, and the only persistent driver hash-red row —
+        -- the driver's fetch path renders HUGEINT unlike Spark's
+        -- BIGINT even though the VALUES are identical (rows/schema
+        -- green, hash red, two rounds). Values are n_trans ≤ corpus
+        -- events, far inside int64.
+        SELECT user_id, CAST(nn AS BIGINT) AS n_trans,
                SUM(CAST(FLOOR(CAST(nft AS DOUBLE) / CAST(nn AS DOUBLE)
                    * LN(CAST(nf AS DOUBLE) / CAST(nft AS DOUBLE))
                    / 0.6931471805599453 * 1048576.0 + 0.5) AS BIGINT))

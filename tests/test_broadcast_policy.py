@@ -260,6 +260,8 @@ def test_no_leaked_cache_after_lsh(spark, sf_dir):
     Snapshot-diff, not ==0: the iterative dedup_clusters legitimately
     keeps ONE checkpoint alive behind its result until GC."""
     from smart_city_data_pipeline_spark.operators.dedup import (
+        cross_source_neardup_matrix,
+        dedup_incremental,
         dedup_minhash_lsh,
         embedding_srp_lsh,
     )
@@ -267,6 +269,8 @@ def test_no_leaked_cache_after_lsh(spark, sf_dir):
     before = _persistent_ids(spark)
     dedup_minhash_lsh(spark, sf_dir).count()
     embedding_srp_lsh(spark, sf_dir).count()
+    dedup_incremental(spark, sf_dir).count()
+    cross_source_neardup_matrix(spark, sf_dir).count()
     assert _persistent_ids(spark) - before == set()
 
 
