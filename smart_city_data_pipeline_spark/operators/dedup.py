@@ -539,28 +539,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NEARDUP_CELL_CAP = 20_000
 
-# Per-label corpus counts per DATASET: a property of the data, not of
-# the query — one bounded aggregate (≤ label-vocabulary rows reach the
-# driver), collected once per process. Embedded as a map literal, the
-# skew guard costs ZERO runtime plan nodes: no counts subplan, no
-# broadcast exchange, no join — at any scale the guard is one map
-# lookup per row. Keyed on the parquet fingerprint (path, size, mtime)
-# so regenerating the data under a reused sf_dir invalidates the cache
-# rather than planning the skew guard against stale counts.
-_LABEL_COUNTS_CACHE: dict[tuple, dict] = {}
+# Per-label corpus counts: one bounded aggregate (≤ label-vocabulary
+# rows reach the driver), embedded as a map literal so the skew guard
+# costs ZERO runtime plan nodes — no counts subplan, no broadcast
+# exchange, no join. Collected on EVERY invocation: the earlier
+# per-process memo keyed on the dataset fingerprint let the bench's
+# steady-state min skip this aggregate (clearCache could not evict
+# it) — removed in r12 (the r11 gaming-check finding).
 
 
 def _label_counts(spark: SparkSession, sf_dir: str) -> dict:
-    key = dataset_fingerprint(sf_dir, "embeddings")
-    if key not in _LABEL_COUNTS_CACHE:
-        rows = (
-            table(spark, sf_dir, "embeddings")
-            .groupBy("label")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        _LABEL_COUNTS_CACHE[key] = {r["label"]: int(r["n"]) for r in rows}
-    return _LABEL_COUNTS_CACHE[key]
+    rows = (
+        table(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    return {r["label"]: int(r["n"]) for r in rows}
 
 
 def embedding_neardup(
